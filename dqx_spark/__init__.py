@@ -1,0 +1,51 @@
+"""dqx_spark — a PySpark-native declarative data-quality / analytics engine.
+
+Built from scratch against the semantics of the public ``databrickslabs/dqx``
+project (see SURVEY.md).  Users declare *checks* (rules) in Python or
+YAML/JSON metadata; the engine compiles each check into Spark ``Column``
+expressions and/or DataFrame transforms, annotates every input row with
+structured ``_errors`` / ``_warnings`` result columns, optionally splits the
+output into good/quarantine DataFrames, and emits summary metrics via Spark
+``Observation``.
+
+Design stance (SURVEY.md §7.0): pure functions producing Columns; rules as
+frozen dataclasses; engine = a fold over rules; ``pyspark`` is the only hard
+dependency.  The two keystone conventions are kept from the reference:
+
+* **message-or-null condition columns** (``make_condition``): a check's
+  condition Column evaluates to NULL when the row passes and to a message
+  string when it fails.
+* the **row/dataset rule split**: row rules compile to a single Column
+  expression; dataset rules return ``(condition, apply_closure)`` where the
+  closure enriches the DataFrame (agg / join / window) with hidden condition
+  columns that the condition references.
+"""
+
+from dqx_spark.rule import (
+    Criticality,
+    DQDatasetRule,
+    DQForEachColRule,
+    DQRowRule,
+    DQRule,
+    make_condition,
+    register_rule,
+)
+from dqx_spark.schema import ERRORS_COLUMN, WARNINGS_COLUMN, dq_result_item_schema, dq_result_schema
+from dqx_spark.engine import DQEngine
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Criticality",
+    "DQDatasetRule",
+    "DQEngine",
+    "DQForEachColRule",
+    "DQRowRule",
+    "DQRule",
+    "ERRORS_COLUMN",
+    "WARNINGS_COLUMN",
+    "dq_result_item_schema",
+    "dq_result_schema",
+    "make_condition",
+    "register_rule",
+]

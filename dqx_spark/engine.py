@@ -1,0 +1,268 @@
+"""Engine: fold a list of rules over a DataFrame, annotating rows with
+structured ``_errors`` / ``_warnings`` array columns.
+
+Semantics derived from the reference ``engine.py:120-184`` (apply_checks),
+``engine.py:530-619`` (results-array assembly), ``manager.py:195-245``
+(per-rule processing incl. skip detection and filter application) and
+``executor.py:53-172`` (row/dataset dispatch).  The whole engine is lazy
+plan construction on the driver: zero Spark actions in ``apply_checks``.
+"""
+
+from __future__ import annotations
+
+import inspect
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from dqx_spark.rule import (
+    CRITICALITY_ERROR,
+    CRITICALITY_WARN,
+    PRESELECT_ORIGINAL_COLUMNS_REGISTRY,
+    DQRule,
+    rule_set_fingerprint,
+)
+from dqx_spark.schema import ERRORS_COLUMN, WARNINGS_COLUMN, dq_result_item_schema
+
+
+@dataclass(frozen=True)
+class ExtraParams:
+    """Determinism knobs (reference ``engine.py:98-114``)."""
+
+    run_time_overwrite: datetime | str | None = None
+    run_id_overwrite: str | None = None
+    user_metadata: dict[str, str] = field(default_factory=dict)
+
+
+class DQEngine:
+    """Applies declarative quality rules to batch or streaming DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        extra_params: ExtraParams | None = None,
+        suppress_skipped: bool = False,
+    ):
+        self.spark = spark
+        self.extra_params = extra_params or ExtraParams()
+        self.suppress_skipped = suppress_skipped
+        self._run_id = self.extra_params.run_id_overwrite or str(uuid.uuid4())
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def apply_checks(
+        self,
+        df: DataFrame,
+        checks: list[DQRule],
+        ref_dfs: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        """Append ``_errors`` then ``_warnings`` array-of-struct columns."""
+        self._validate_no_result_column_collision(df)
+        for c in checks:
+            if not isinstance(c, DQRule):
+                raise TypeError(f"checks must be DQRule instances, got {type(c)!r}")
+
+        spark = self.spark or df.sparkSession
+        set_fp = rule_set_fingerprint(checks)
+        original_columns = list(df.columns)
+
+        error_rules = [r for r in checks if r.criticality == CRITICALITY_ERROR]
+        warn_rules = [r for r in checks if r.criticality == CRITICALITY_WARN]
+
+        current_df = df
+        error_conds: list[Column] = []
+        warn_conds: list[Column] = []
+        # Thread current_df through rules so later rules see earlier rules'
+        # hidden condition columns (reference engine.py:568-591).
+        for rule in error_rules:
+            cond, current_df = self._process_rule(rule, current_df, df, spark, ref_dfs, set_fp)
+            if cond is not None:
+                error_conds.append(cond)
+        for rule in warn_rules:
+            cond, current_df = self._process_rule(rule, current_df, df, spark, ref_dfs, set_fp)
+            if cond is not None:
+                warn_conds.append(cond)
+
+        result = current_df.withColumn(ERRORS_COLUMN, _assemble_results(error_conds)).withColumn(
+            WARNINGS_COLUMN, _assemble_results(warn_conds)
+        )
+        # temp-column hygiene: restore exactly the original columns + results
+        keep = original_columns + [ERRORS_COLUMN, WARNINGS_COLUMN]
+        return result.select(*keep)
+
+    def apply_checks_and_split(
+        self,
+        df: DataFrame,
+        checks: list[DQRule],
+        ref_dfs: dict[str, DataFrame] | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """(good, bad): good rows have no errors (result cols dropped);
+        bad rows have errors or warnings (result cols kept)."""
+        checked = self.apply_checks(df, checks, ref_dfs)
+        return self.get_valid(checked), self.get_invalid(checked)
+
+    def apply_checks_by_metadata(
+        self,
+        df: DataFrame,
+        checks: list[dict],
+        custom_check_functions: dict[str, Callable] | None = None,
+        ref_dfs: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        from dqx_spark.serde import deserialize_checks
+
+        rules = deserialize_checks(checks, custom_check_functions)
+        return self.apply_checks(df, rules, ref_dfs)
+
+    def apply_checks_by_metadata_and_split(
+        self,
+        df: DataFrame,
+        checks: list[dict],
+        custom_check_functions: dict[str, Callable] | None = None,
+        ref_dfs: dict[str, DataFrame] | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        checked = self.apply_checks_by_metadata(df, checks, custom_check_functions, ref_dfs)
+        return self.get_valid(checked), self.get_invalid(checked)
+
+    @staticmethod
+    def get_valid(df: DataFrame) -> DataFrame:
+        """Rows with no errors, result columns dropped (reference engine.py:345-357)."""
+        return df.where(F.col(ERRORS_COLUMN).isNull()).drop(ERRORS_COLUMN, WARNINGS_COLUMN)
+
+    @staticmethod
+    def get_invalid(df: DataFrame) -> DataFrame:
+        """Rows with any error or warning, result columns kept
+        (reference engine.py:359-372)."""
+        return df.where(F.col(ERRORS_COLUMN).isNotNull() | F.col(WARNINGS_COLUMN).isNotNull())
+
+    # ------------------------------------------------------------------
+    # per-rule processing (reference manager.py:195-245, executor.py:53-172)
+    # ------------------------------------------------------------------
+    def _process_rule(
+        self,
+        rule: DQRule,
+        current_df: DataFrame,
+        original_df: DataFrame,
+        spark: SparkSession,
+        ref_dfs: dict[str, DataFrame] | None,
+        set_fp: str,
+    ) -> tuple[Column | None, DataFrame]:
+        skip_reason = self._skip_reason(rule, original_df)
+        if skip_reason is not None:
+            if self.suppress_skipped:
+                return None, current_df
+            return self._result_struct(rule, F.lit(skip_reason), set_fp, skipped=True), current_df
+
+        if rule.rule_type == "dataset":
+            condition, closure = rule.invoke()
+            # checks like has_valid_schema must see only the original
+            # (pre-check) column set (reference engine.py:483-513)
+            original_columns = (
+                list(original_df.columns)
+                if rule.check_func.__name__ in PRESELECT_ORIGINAL_COLUMNS_REGISTRY
+                else None
+            )
+            new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns)
+            return self._result_struct(rule, condition, set_fp), new_df
+
+        condition = rule.invoke()
+        return self._result_struct(rule, condition, set_fp), current_df
+
+    def _skip_reason(self, rule: DQRule, df: DataFrame) -> str | None:
+        """Plan-only validation: unresolvable column/filter => structured skip,
+        not a run failure (reference manager.py:195-215, 323-356)."""
+        for col_str in rule.columns_as_strings:
+            if not _is_resolvable(df, col_str):
+                return f"column '{col_str}' is not found in the input"
+        if rule.filter and not _is_resolvable(df, rule.filter):
+            return f"filter '{rule.filter}' cannot be resolved on the input"
+        return None
+
+    def _result_struct(self, rule: DQRule, condition: Column, set_fp: str, skipped: bool = False) -> Column:
+        """Wrap a raw message-or-null condition into the result struct and
+        apply the rule-level filter (reference manager.py:217-245)."""
+        run_time = (
+            F.lit(self.extra_params.run_time_overwrite).cast("timestamp")
+            if self.extra_params.run_time_overwrite is not None
+            else F.current_timestamp()
+        )
+        cols = rule.columns_as_strings
+        columns_lit = (
+            F.array(*[F.lit(c) for c in cols]) if cols else F.lit(None).cast("array<string>")
+        )
+        metadata = {**self.extra_params.user_metadata, **(rule.user_metadata or {})}
+        metadata_lit = (
+            F.create_map(*[F.lit(x) for kv in metadata.items() for x in kv])
+            if metadata
+            else F.lit(None).cast("map<string,string>")
+        )
+        struct_col = F.struct(
+            F.lit(rule.name).alias("name"),
+            condition.cast("string").alias("message"),
+            columns_lit.alias("columns"),
+            F.lit(rule.filter).cast("string").alias("filter"),
+            F.lit(rule.check_func.__name__).alias("function"),
+            run_time.alias("run_time"),
+            F.lit(self._run_id).alias("run_id"),
+            metadata_lit.alias("user_metadata"),
+            F.lit(rule.fingerprint()).alias("rule_fingerprint"),
+            F.lit(set_fp).alias("rule_set_fingerprint"),
+            F.lit(skipped).alias("skipped"),
+        ).cast(dq_result_item_schema)
+
+        if skipped:
+            return struct_col
+
+        fired = condition.isNotNull()
+        if rule.filter:
+            fired = F.expr(rule.filter) & fired
+        return F.when(fired, struct_col).otherwise(F.lit(None).cast(dq_result_item_schema))
+
+    def _validate_no_result_column_collision(self, df: DataFrame) -> None:
+        clash = {ERRORS_COLUMN, WARNINGS_COLUMN} & set(df.columns)
+        if clash:
+            raise ValueError(f"input DataFrame already contains result columns: {sorted(clash)}")
+
+
+def _assemble_results(conditions: list[Column]) -> Column:
+    """``array_compact(array(*conds))`` -> null if empty
+    (reference engine.py:593-602)."""
+    if not conditions:
+        return F.lit(None).cast(f"array<{dq_result_item_schema.simpleString()}>")
+    arr = F.array_compact(F.array(*conditions))
+    return F.when(F.size(arr) > 0, arr).otherwise(F.lit(None))
+
+
+def _call_closure(
+    closure: Callable,
+    df: DataFrame,
+    spark: SparkSession,
+    ref_dfs: dict[str, DataFrame] | None,
+    original_columns: list[str] | None = None,
+) -> DataFrame:
+    """Signature-inspected injection of spark/ref_dfs
+    (reference executor.py:115-149)."""
+    params = inspect.signature(closure).parameters
+    kwargs: dict[str, Any] = {}
+    if "spark" in params:
+        kwargs["spark"] = spark
+    if "ref_dfs" in params:
+        kwargs["ref_dfs"] = ref_dfs
+    if "original_columns" in params and original_columns is not None:
+        kwargs["original_columns"] = original_columns
+    return closure(df, **kwargs)
+
+
+def _is_resolvable(df: DataFrame, expr: str) -> bool:
+    try:
+        df.select(F.expr(expr)).schema  # plan-only; no action
+        return True
+    except AnalysisException:
+        return False
+    except Exception:
+        return False

@@ -1,0 +1,932 @@
+"""Dataset-level checks: each returns ``(condition, apply_closure)``.
+
+The closure transforms the DataFrame (aggregate / join / window) to append a
+*hidden message column* (null = pass, message = fail); the condition simply
+lifts that column through ``make_condition``.  The engine threads the
+DataFrame through closures and restores the original column set afterwards.
+
+Semantics derived from the reference ``check_funcs.py`` §2.4 inventory
+(SURVEY.md).  Scale-driven deviations (documented inline):
+
+* grouped aggregate checks use ``groupBy`` + map-side partial aggregation +
+  join-back (AQE auto-broadcasts the small aggregated side) instead of a
+  window over the full row stream — a window has no partial aggregation and
+  shuffles every row; ``groupBy`` shuffles only the reduced groups.
+* MAD outlier stats are computed lazily inside the plan (agg + crossJoin of
+  1-row DataFrames) instead of driver-side actions.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from dqx_spark.functions._helpers import (
+    filtered,
+    get_limit_expr,
+    null_safe_join_condition,
+    str_value,
+    unique_suffix,
+    within_tolerance,
+)
+from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
+
+__all__ = [
+    "is_unique",
+    "foreign_key",
+    "sql_query",
+    "is_aggr_not_greater_than",
+    "is_aggr_not_less_than",
+    "is_aggr_equal",
+    "is_aggr_not_equal",
+    "aggr_matches_dataset",
+    "compare_datasets",
+    "is_data_fresh_per_time_window",
+    "has_no_gaps_per_time_window",
+    "has_valid_schema",
+    "has_no_outliers",
+    "has_no_aggr_outliers",
+]
+
+#: Spark rejects DISTINCT aggregates over windows (reference check_funcs.py:78-81)
+WINDOW_INCOMPATIBLE_AGGREGATES = {"count_distinct"}
+
+#: reference CURATED_AGGR_FUNCTIONS (check_funcs.py:52-73)
+CURATED_AGGR_FUNCTIONS = {
+    "count", "sum", "avg", "min", "max", "count_distinct", "approx_count_distinct",
+    "count_if", "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+    "var_samp", "median", "mode", "skewness", "kurtosis", "percentile",
+    "approx_percentile",
+}
+
+_FORBIDDEN_SQL = re.compile(
+    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant|revoke|vacuum|refresh)\b",
+    re.IGNORECASE,
+)
+
+
+def _check_sql_safety(text: str) -> None:
+    """Reject DDL/DML in user SQL (reference utils.py:309-362)."""
+    if _FORBIDDEN_SQL.search(text):
+        raise ValueError(f"forbidden SQL keyword in: {text!r}")
+
+
+def _lift(message_col_name: str, alias: str) -> Column:
+    """condition = hidden message column, via the standard convention."""
+    col = F.col(message_col_name)
+    return make_condition(col.isNotNull(), col, alias)
+
+
+def _resolve_ref(
+    ref_df_name: str | None,
+    ref_table: str | None,
+    spark: SparkSession,
+    ref_dfs: dict[str, DataFrame] | None,
+) -> DataFrame:
+    if (ref_df_name is None) == (ref_table is None):
+        raise ValueError("provide exactly one of ref_df_name / ref_table")
+    if ref_df_name is not None:
+        if not ref_dfs or ref_df_name not in ref_dfs:
+            raise ValueError(f"reference DataFrame {ref_df_name!r} not provided in ref_dfs")
+        return ref_dfs[ref_df_name]
+    return spark.read.table(ref_table)
+
+
+# ---------------------------------------------------------------------------
+# uniqueness
+# ---------------------------------------------------------------------------
+@register_rule("dataset")
+def is_unique(columns: list[str | Column], nulls_distinct: bool = True, row_filter: str | None = None):
+    """Duplicate detection on a (composite) key (reference check_funcs.py:1822-1915).
+
+    A window keyed on the composite struct is the single-shuffle strategy:
+    every row must learn its key's multiplicity, so the full row stream
+    shuffles exactly once on the key.  ``nulls_distinct=True`` (ANSI) makes
+    rows with any NULL key component pass.  In streaming, uniqueness is
+    per-micro-batch (reference check_funcs.py:1835).
+    """
+    names = [normalize_col_str(c) for c in columns]
+    alias = f"struct_{'_'.join(names)}_is_not_unique" if len(names) > 1 else f"{names[0]}_is_not_unique"
+    cnt_col = f"__dq_unique_cnt_{unique_suffix()}"
+    msg_col = f"__dq_unique_msg_{unique_suffix()}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        cols = [to_col(c) for c in columns]
+        key = F.struct(*cols)
+        w = Window.partitionBy(key)
+        counted = F.sum(filtered(F.lit(1), row_filter).cast("int")).over(w)
+        if nulls_distinct:
+            has_null = None
+            for c in cols:
+                term = c.isNull()
+                has_null = term if has_null is None else (has_null | term)
+            counted = F.when(~has_null, counted)
+        out = df.withColumn(cnt_col, counted)
+        message = F.when(
+            F.col(cnt_col) > 1,
+            F.format_string(
+                f"Value '%s' in column struct({', '.join(names)}) is not unique",
+                str_value(F.struct(*[to_col(c) for c in columns]).cast("string")),
+            ),
+        )
+        return out.withColumn(msg_col, message)
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# foreign key
+# ---------------------------------------------------------------------------
+@register_rule("dataset")
+def foreign_key(
+    columns: list[str | Column],
+    ref_columns: list[str],
+    ref_df_name: str | None = None,
+    ref_table: str | None = None,
+    negate: bool = False,
+    null_safe: bool = False,
+    row_filter: str | None = None,
+):
+    """FK must (not) exist in the reference (reference check_funcs.py:1919-2044).
+
+    Plan shape: ``ref.select(keys).distinct()`` (dedupe BEFORE the join —
+    reference :2005) then a left join with a marker column; violation = marker
+    null.  The deduped key side is usually small → AQE broadcast; for a
+    same-size ref this degrades to a sort-merge join, which is the correct
+    strategy at scale.
+    """
+    if len(columns) != len(ref_columns):
+        raise ValueError("columns and ref_columns must have the same length")
+    names = [normalize_col_str(c) for c in columns]
+    alias = f"{'_'.join(names)}_{'exists_in' if negate else 'not_exists_in'}_ref"
+    sfx = unique_suffix()
+    marker = f"__dq_fk_marker_{sfx}"
+    msg_col = f"__dq_fk_msg_{sfx}"
+
+    def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
+        ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
+        tmp_keys = [f"__dq_fk_ref_{i}_{sfx}" for i in range(len(ref_columns))]
+        ref_keys = (
+            ref.select(*[to_col(rc).alias(tk) for rc, tk in zip(ref_columns, tmp_keys)])
+            .distinct()
+            .withColumn(marker, F.lit(True))
+        )
+        cond = None
+        for c, tk in zip(columns, tmp_keys):
+            left = to_col(c)
+            term = left.eqNullSafe(ref_keys[tk]) if null_safe else (left == ref_keys[tk])
+            cond = term if cond is None else (cond & term)
+        joined = df.join(ref_keys, on=cond, how="left").drop(*tmp_keys)
+
+        exists = F.col(marker).isNotNull()
+        key_cols = [to_col(c) for c in columns]
+        any_null = None
+        for c in key_cols:
+            term = c.isNull()
+            any_null = term if any_null is None else (any_null | term)
+        if negate:
+            violation = exists
+        else:
+            violation = ~exists if null_safe else (~any_null & ~exists)
+        if row_filter:
+            violation = F.expr(row_filter) & violation
+        verb = "found in" if negate else "not found in"
+        message = F.when(
+            violation,
+            F.format_string(
+                f"Value '%s' in column struct({', '.join(names)}) {verb} reference",
+                str_value(F.struct(*key_cols).cast("string")),
+            ),
+        )
+        return joined.withColumn(msg_col, message).drop(marker)
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# arbitrary SQL
+# ---------------------------------------------------------------------------
+@register_rule("dataset")
+def sql_query(
+    query: str,
+    merge_columns: list[str] | None = None,
+    msg: str | None = None,
+    name: str | None = None,
+    negate: bool = False,
+    condition_column: str = "condition",
+    input_placeholder: str = "input",
+    row_filter: str | None = None,
+):
+    """Arbitrary SQL over the input (registered as a unique temp view) and
+    reference views (reference check_funcs.py:2048-2175).
+
+    ``{{ input }}`` in the query resolves to the input view; ``{{ name }}``
+    to each ref DataFrame.  With ``merge_columns``: row-level — the query's
+    ``condition_column`` is deduped per merge key (groupBy+max) and joined
+    back null-safely.  Without: dataset-level — a single verdict broadcast to
+    all rows via crossJoin of the 1-row aggregate.
+    """
+    _check_sql_safety(query)
+    sfx = unique_suffix()
+    alias = name or f"sql_query_{sfx}"
+    msg_col = f"__dq_sql_msg_{sfx}"
+
+    def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
+        view = f"__dq_input_{sfx}"
+        df.createOrReplaceTempView(view)
+        text = query.replace("{{ " + input_placeholder + " }}", view).replace(
+            "{{" + input_placeholder + "}}", view
+        )
+        for ref_name, ref_df in (ref_dfs or {}).items():
+            ref_view = f"__dq_ref_{ref_name}_{sfx}"
+            ref_df.createOrReplaceTempView(ref_view)
+            text = text.replace("{{ " + ref_name + " }}", ref_view).replace("{{" + ref_name + "}}", ref_view)
+        result = spark.sql(text)
+
+        failure_message = msg or f"Query condition violated: {alias}"
+        if merge_columns:
+            cond_val = F.col(condition_column)
+            cond_val = cond_val if negate else cond_val  # raw condition col
+            # dedupe to one verdict per merge key (reference :2157-2159)
+            verdict = result.groupBy(*[F.col(c) for c in merge_columns]).agg(
+                F.max(F.col(condition_column).cast("boolean")).alias(condition_column)
+            )
+            tmp = {c: f"__dq_sqlq_{c}_{sfx}" for c in merge_columns}
+            verdict = verdict.select(
+                *[F.col(c).alias(tmp[c]) for c in merge_columns], F.col(condition_column).alias(f"__dq_sqlq_cond_{sfx}")
+            )
+            cond = None
+            for c in merge_columns:
+                term = df[c].eqNullSafe(verdict[tmp[c]])
+                cond = term if cond is None else (cond & term)
+            joined = df.join(verdict, on=cond, how="left").drop(*tmp.values())
+            fired = F.coalesce(F.col(f"__dq_sqlq_cond_{sfx}"), F.lit(False))
+            fired = ~fired if negate else fired
+            if row_filter:
+                fired = F.expr(row_filter) & fired
+            return joined.withColumn(msg_col, F.when(fired, F.lit(failure_message))).drop(f"__dq_sqlq_cond_{sfx}")
+
+        # dataset-level: same verdict for every row (reference :4799-4851)
+        verdict = result.select(F.max(F.col(condition_column).cast("boolean")).alias(f"__dq_sqlq_cond_{sfx}")).limit(1)
+        joined = df.crossJoin(F.broadcast(verdict))
+        fired = F.coalesce(F.col(f"__dq_sqlq_cond_{sfx}"), F.lit(False))
+        fired = ~fired if negate else fired
+        return joined.withColumn(msg_col, F.when(fired, F.lit(failure_message))).drop(f"__dq_sqlq_cond_{sfx}")
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# aggregate-comparison family
+# ---------------------------------------------------------------------------
+def _agg_expr(column, aggr_type: str, row_filter: str | None, aggr_params: dict | None = None) -> Column:
+    """aggr_type resolves to the same-named pyspark.sql.functions member
+    (reference _build_aggregate_expression, check_funcs.py:4061-4113).
+    The rule filter is pushed INTO the aggregate input — all rows survive for
+    annotation (reference :4324-4333)."""
+    params = aggr_params or {}
+    if column == "*":
+        inp = filtered(F.lit(1), row_filter)
+        if aggr_type != "count":
+            raise ValueError("column '*' only supported with aggr_type='count'")
+        return F.count(inp)
+    inp = filtered(to_col(column), row_filter)
+    if aggr_type == "count_distinct":
+        return F.countDistinct(inp)
+    if aggr_type in ("percentile", "approx_percentile"):
+        pct = params.get("percentage", 0.5)
+        fn = F.percentile if aggr_type == "percentile" else F.percentile_approx
+        return fn(inp, F.lit(pct))
+    if not hasattr(F, aggr_type):
+        raise ValueError(f"unknown aggregate function: {aggr_type!r}")
+    return getattr(F, aggr_type)(inp)
+
+
+def _is_aggr_compare(
+    column,
+    limit,
+    aggr_type: str,
+    compare: str,
+    group_by: list[str | Column] | None,
+    row_filter: str | None,
+    abs_tolerance: float | None = None,
+    rel_tolerance: float | None = None,
+    aggr_params: dict | None = None,
+):
+    """Shared core (reference check_funcs.py:4234-4403).
+
+    Strategies:
+    * global → 1-row aggregate + broadcast crossJoin (explicitly avoids a
+      single-partition window — reference :4361-4373);
+    * grouped → groupBy + null-safe join-back.  Deviation from the
+      reference's window strategy: partial (map-side) aggregation shrinks the
+      shuffle to one row per group, and AQE broadcasts the joined-back side
+      when small — strictly less data movement at 100 TB than windowing the
+      full row stream.
+    """
+    name = normalize_col_str(column)
+    op = {"gt": ">", "lt": "<", "eq": "!=", "ne": "=="}[compare]
+    alias = f"{name}_{aggr_type}_{compare}_limit"
+    sfx = unique_suffix()
+    metric_col = f"__dq_aggr_metric_{sfx}"
+    msg_col = f"__dq_aggr_msg_{sfx}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        agg = _agg_expr(column, aggr_type, row_filter, aggr_params).alias(metric_col)
+        if group_by:
+            group_cols = [to_col(g) for g in group_by]
+            tmp = [f"__dq_aggr_g{i}_{sfx}" for i in range(len(group_cols))]
+            stats = df.groupBy(*[g.alias(t) for g, t in zip(group_cols, tmp)]).agg(agg)
+            cond = None
+            for g, t in zip(group_cols, tmp):
+                term = g.eqNullSafe(stats[t])
+                cond = term if cond is None else (cond & term)
+            out = df.join(stats, on=cond, how="left").drop(*tmp)
+        else:
+            stats = df.select(agg).limit(1)
+            out = df.crossJoin(F.broadcast(stats))
+
+        metric = F.col(metric_col)
+        limit_expr = get_limit_expr(limit)
+        if compare == "gt":
+            violated = metric > limit_expr
+            desc = "greater than"
+        elif compare == "lt":
+            violated = metric < limit_expr
+            desc = "less than"
+        elif compare == "eq":
+            violated = ~within_tolerance(metric, limit_expr, abs_tolerance, rel_tolerance)
+            desc = "not equal to"
+        else:  # ne
+            violated = within_tolerance(metric, limit_expr, abs_tolerance, rel_tolerance)
+            desc = "equal to"
+        message = F.when(
+            F.coalesce(violated, F.lit(False)),
+            F.format_string(
+                f"{aggr_type}({name}) value '%s' is {desc} limit '%s'",
+                str_value(metric),
+                str_value(limit_expr),
+            ),
+        )
+        return out.withColumn(msg_col, message).drop(metric_col)
+
+    return _lift(msg_col, alias), apply
+
+
+@register_rule("dataset")
+def is_aggr_not_greater_than(
+    column,
+    limit,
+    aggr_type: str = "count",
+    group_by: list | None = None,
+    row_filter: str | None = None,
+    aggr_params: dict | None = None,
+):
+    """Aggregate must be <= limit (reference check_funcs.py:2179)."""
+    return _is_aggr_compare(column, limit, aggr_type, "gt", group_by, row_filter, aggr_params=aggr_params)
+
+
+@register_rule("dataset")
+def is_aggr_not_less_than(
+    column,
+    limit,
+    aggr_type: str = "count",
+    group_by: list | None = None,
+    row_filter: str | None = None,
+    aggr_params: dict | None = None,
+):
+    """Aggregate must be >= limit (reference check_funcs.py:2227)."""
+    return _is_aggr_compare(column, limit, aggr_type, "lt", group_by, row_filter, aggr_params=aggr_params)
+
+
+@register_rule("dataset")
+def is_aggr_equal(
+    column,
+    limit,
+    aggr_type: str = "count",
+    group_by: list | None = None,
+    row_filter: str | None = None,
+    abs_tolerance: float | None = None,
+    rel_tolerance: float | None = None,
+    aggr_params: dict | None = None,
+):
+    """Aggregate must equal limit within tolerance (reference check_funcs.py:2275)."""
+    return _is_aggr_compare(
+        column, limit, aggr_type, "eq", group_by, row_filter, abs_tolerance, rel_tolerance, aggr_params
+    )
+
+
+@register_rule("dataset")
+def is_aggr_not_equal(
+    column,
+    limit,
+    aggr_type: str = "count",
+    group_by: list | None = None,
+    row_filter: str | None = None,
+    abs_tolerance: float | None = None,
+    rel_tolerance: float | None = None,
+    aggr_params: dict | None = None,
+):
+    """Aggregate must NOT equal limit (reference check_funcs.py:2321)."""
+    return _is_aggr_compare(
+        column, limit, aggr_type, "ne", group_by, row_filter, abs_tolerance, rel_tolerance, aggr_params
+    )
+
+
+@register_rule("dataset")
+def aggr_matches_dataset(
+    column,
+    ref_column=None,
+    aggr_type: str = "count",
+    group_by: list | None = None,
+    ref_group_by: list | None = None,
+    ref_df_name: str | None = None,
+    ref_table: str | None = None,
+    abs_tolerance: float | None = None,
+    rel_tolerance: float | None = None,
+    row_filter: str | None = None,
+):
+    """Aggregate on the checked df must equal the same aggregate on an
+    upstream reference, scalar or per-group (reference check_funcs.py:2610-2781)."""
+    if (group_by is None) != (ref_group_by is None):
+        raise ValueError("group_by and ref_group_by must be provided together")
+    if group_by and len(group_by) != len(ref_group_by):
+        raise ValueError("group_by and ref_group_by must have the same length")
+    name = normalize_col_str(column)
+    alias = f"{name}_{aggr_type}_matches_dataset"
+    sfx = unique_suffix()
+    metric_col = f"__dq_amd_metric_{sfx}"
+    ref_metric_col = f"__dq_amd_ref_metric_{sfx}"
+    msg_col = f"__dq_amd_msg_{sfx}"
+
+    def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
+        ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
+        rc = ref_column if ref_column is not None else column
+        agg = _agg_expr(column, aggr_type, row_filter).alias(metric_col)
+        ref_agg = _agg_expr(rc, aggr_type, None).alias(ref_metric_col)
+
+        if group_by:
+            gcols = [to_col(g) for g in group_by]
+            tmp = [f"__dq_amd_g{i}_{sfx}" for i in range(len(gcols))]
+            cur = df.groupBy(*[g.alias(t) for g, t in zip(gcols, tmp)]).agg(agg)
+            rtmp = [f"__dq_amd_rg{i}_{sfx}" for i in range(len(gcols))]
+            refstats = ref.groupBy(
+                *[to_col(g).alias(t) for g, t in zip(ref_group_by, rtmp)]
+            ).agg(ref_agg)
+            # full outer on group keys so ref-only groups also mismatch
+            jc = None
+            for lt, rt in zip(tmp, rtmp):
+                term = cur[lt].eqNullSafe(refstats[rt])
+                jc = term if jc is None else (jc & term)
+            stats = cur.join(refstats, on=jc, how="full_outer").select(
+                *[F.coalesce(cur[lt], refstats[rt]).alias(lt) for lt, rt in zip(tmp, rtmp)],
+                F.col(metric_col),
+                F.col(ref_metric_col),
+            )
+            cond = None
+            for g, t in zip(gcols, tmp):
+                term = g.eqNullSafe(stats[t])
+                cond = term if cond is None else (cond & term)
+            out = df.join(stats, on=cond, how="left").drop(*tmp)
+        else:
+            cur = df.select(agg).limit(1)
+            refstats = ref.select(ref_agg).limit(1)
+            out = df.crossJoin(F.broadcast(cur)).crossJoin(F.broadcast(refstats))
+
+        matches = within_tolerance(F.col(metric_col), F.col(ref_metric_col), abs_tolerance, rel_tolerance)
+        message = F.when(
+            ~F.coalesce(matches, F.lit(False)),
+            F.format_string(
+                f"{aggr_type}({name}) value '%s' does not match reference value '%s'",
+                str_value(F.col(metric_col)),
+                str_value(F.col(ref_metric_col)),
+            ),
+        )
+        return out.withColumn(msg_col, message).drop(metric_col, ref_metric_col)
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# dataset diff
+# ---------------------------------------------------------------------------
+@register_rule("dataset")
+def compare_datasets(
+    columns: list[str],
+    ref_columns: list[str],
+    ref_df_name: str | None = None,
+    ref_table: str | None = None,
+    check_missing_records: bool = False,
+    exclude_columns: list[str] | None = None,
+    null_safe_row_matching: bool = True,
+    null_safe_column_value_matching: bool = True,
+    abs_tolerance: float | None = None,
+    rel_tolerance: float | None = None,
+):
+    """Full row/column diff keyed on PK (reference check_funcs.py:2785-2944).
+
+    Join on the PK (eqNullSafe by default); per-column diffs over the common
+    non-PK columns (map-typed columns skipped — eqNullSafe can't compare
+    maps); verdict = JSON {row_missing,row_extra,changed:{col:{df,ref}}}.
+    With ``check_missing_records`` the join is full-outer, so ref-only rows
+    ARE ADDED to the output (all input columns null) — the one check that may
+    change row count.
+    """
+    if len(columns) != len(ref_columns):
+        raise ValueError("columns and ref_columns must have the same length")
+    alias = f"datasets_diff_{'_'.join(normalize_col_str(c) for c in columns)}"
+    sfx = unique_suffix()
+    msg_col = f"__dq_cmp_msg_{sfx}"
+    excl = set(exclude_columns or [])
+
+    def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
+        ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
+        ref_renamed = ref.select(
+            *[F.col(c).alias(f"__dq_ref_{c}_{sfx}") for c in ref.columns]
+        ).withColumn(f"__dq_ref_marker_{sfx}", F.lit(True))
+
+        def refc(c: str) -> Column:
+            return F.col(f"__dq_ref_{c}_{sfx}")
+
+        jc = None
+        for lc, rc in zip(columns, ref_columns):
+            term = df[lc].eqNullSafe(refc(rc)) if null_safe_row_matching else (df[lc] == refc(rc))
+            jc = term if jc is None else (jc & term)
+        how = "full_outer" if check_missing_records else "left_outer"
+        joined = df.withColumn(f"__dq_src_marker_{sfx}", F.lit(True)).join(ref_renamed, on=jc, how=how)
+
+        row_extra = F.col(f"__dq_ref_marker_{sfx}").isNull()   # in df, not in ref
+        row_missing = F.col(f"__dq_src_marker_{sfx}").isNull() # in ref, not in df
+
+        pk = set(columns)
+        ref_pk_by_name = {rc for rc in ref_columns}
+        df_types = dict(df.dtypes)
+        value_cols = [
+            c
+            for c in df.columns
+            if c in set(ref.columns)
+            and c not in pk
+            and c not in ref_pk_by_name
+            and c not in excl
+            and not df_types[c].startswith("map<")
+        ]
+        numeric_types = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        changed_entries = []
+        for c in value_cols:
+            a, b = df[c], refc(c)
+            if (abs_tolerance is not None or rel_tolerance is not None) and (
+                df_types[c] in numeric_types or df_types[c].startswith("decimal")
+            ):
+                same = within_tolerance(a.cast("double"), b.cast("double"), abs_tolerance, rel_tolerance)
+            elif null_safe_column_value_matching:
+                same = a.eqNullSafe(b)
+            else:
+                same = F.coalesce(a == b, F.lit(False))
+            entry = F.when(
+                ~same,
+                F.struct(
+                    F.lit(c).alias("column"),
+                    a.cast("string").alias("df_value"),
+                    b.cast("string").alias("ref_value"),
+                ),
+            )
+            changed_entries.append(entry)
+        changed = (
+            F.array_compact(F.array(*changed_entries)) if changed_entries else F.array().cast(
+                "array<struct<column:string,df_value:string,ref_value:string>>"
+            )
+        )
+        diff = F.struct(
+            row_missing.alias("row_missing"),
+            row_extra.alias("row_extra"),
+            F.map_from_arrays(
+                F.transform(changed, lambda x: x.getField("column")),
+                F.transform(
+                    changed,
+                    lambda x: F.struct(x.getField("df_value").alias("df"), x.getField("ref_value").alias("ref")),
+                ),
+            ).alias("changed"),
+        )
+        fired = row_missing | row_extra | (F.size(changed) > 0)
+        message = F.when(fired, F.to_json(diff))
+        drop_cols = [f"__dq_ref_{c}_{sfx}" for c in ref.columns] + [
+            f"__dq_ref_marker_{sfx}",
+            f"__dq_src_marker_{sfx}",
+        ]
+        return joined.withColumn(msg_col, message).drop(*drop_cols)
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# time-window checks
+# ---------------------------------------------------------------------------
+@register_rule("dataset")
+def is_data_fresh_per_time_window(
+    column: str | Column,
+    window_minutes: int,
+    min_records_per_window: int,
+    lookback_windows: int | None = None,
+    curr_timestamp: Column | str | datetime.datetime | None = None,
+    row_filter: str | None = None,
+):
+    """Every fixed time window must contain >= N records
+    (reference check_funcs.py:2948-3058).  Single shuffle: count over a
+    window partitioned by the tumbling bucket."""
+    name = normalize_col_str(column)
+    alias = f"{name}_is_not_fresh_per_time_window"
+    sfx = unique_suffix()
+    cnt_col = f"__dq_fresh_cnt_{sfx}"
+    msg_col = f"__dq_fresh_msg_{sfx}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        ts = F.coalesce(to_col(column), F.lit("1900-01-01").cast("timestamp"))
+        bucket = F.window(ts, f"{int(window_minutes)} minutes")
+        w = Window.partitionBy(bucket)
+        out = df.withColumn(cnt_col, F.count(filtered(F.lit(1), row_filter)).over(w))
+        fired = F.col(cnt_col) < F.lit(int(min_records_per_window))
+        if lookback_windows is not None:
+            curr = (
+                F.current_timestamp()
+                if curr_timestamp is None
+                else (F.lit(curr_timestamp).cast("timestamp") if not isinstance(curr_timestamp, Column) else curr_timestamp)
+            )
+            horizon = curr - F.expr(f"INTERVAL {int(lookback_windows) * int(window_minutes)} MINUTES")
+            fired = fired & (bucket.getField("start") >= horizon)
+        message = F.when(
+            fired,
+            F.format_string(
+                f"Time window of '{name}' starting at '%s' has %s records, fewer than {int(min_records_per_window)}",
+                bucket.getField("start").cast("string"),
+                F.col(cnt_col).cast("string"),
+            ),
+        )
+        return out.withColumn(msg_col, message).drop(cnt_col)
+
+    return _lift(msg_col, alias), apply
+
+
+@register_rule("dataset")
+def has_no_gaps_per_time_window(
+    column: str | Column,
+    window_minutes: int,
+    group_by: list | None = None,
+    trailing_gap: bool = False,
+    curr_timestamp: Column | str | datetime.datetime | None = None,
+    row_filter: str | None = None,
+):
+    """Detect empty buckets between occupied buckets on a fixed grid, per
+    group (reference check_funcs.py:3062-3213).  Occupied buckets are
+    ``distinct()``-reduced first, so the lead() window runs over the tiny
+    bucket set, not the row stream; the verdict joins back null-safely."""
+    name = normalize_col_str(column)
+    alias = f"{name}_has_gaps_per_time_window"
+    sfx = unique_suffix()
+    msg_col = f"__dq_gap_msg_{sfx}"
+    bucket_col = f"__dq_gap_bucket_{sfx}"
+    next_col = f"__dq_gap_next_{sfx}"
+    gcols_tmp = None
+
+    def apply(df: DataFrame) -> DataFrame:
+        ts = F.coalesce(to_col(column), F.lit("1900-01-01").cast("timestamp"))
+        if row_filter:
+            occupied_src = df.where(F.expr(row_filter))
+        else:
+            occupied_src = df
+        bucket = F.window(ts, f"{int(window_minutes)} minutes").getField("start")
+        groups = [to_col(g) for g in (group_by or [])]
+        tmp = [f"__dq_gap_g{i}_{sfx}" for i in range(len(groups))]
+        occupied = occupied_src.select(
+            *[g.alias(t) for g, t in zip(groups, tmp)], bucket.alias(bucket_col)
+        ).distinct()
+        w = Window.partitionBy(*[F.col(t) for t in tmp]).orderBy(F.col(bucket_col))
+        occupied = occupied.withColumn(next_col, F.lead(bucket_col).over(w))
+        gap_seconds = F.col(next_col).cast("long") - F.col(bucket_col).cast("long")
+        has_gap = F.col(next_col).isNotNull() & (gap_seconds > int(window_minutes) * 60)
+        if trailing_gap:
+            curr = (
+                F.current_timestamp()
+                if curr_timestamp is None
+                else (F.lit(curr_timestamp).cast("timestamp") if not isinstance(curr_timestamp, Column) else curr_timestamp)
+            )
+            now_bucket = F.window(curr, f"{int(window_minutes)} minutes").getField("start")
+            trailing = F.col(next_col).isNull() & (
+                (now_bucket.cast("long") - F.col(bucket_col).cast("long")) > int(window_minutes) * 60
+            )
+            has_gap = has_gap | trailing
+        flags = occupied.select(
+            *[F.col(t) for t in tmp],
+            F.col(bucket_col),
+            F.when(
+                has_gap,
+                F.format_string(
+                    f"Gap detected after time window of '{name}' starting at '%s'",
+                    F.col(bucket_col).cast("string"),
+                ),
+            ).alias(msg_col),
+        )
+        cond = bucket.eqNullSafe(flags[bucket_col])
+        for g, t in zip(groups, tmp):
+            cond = cond & g.eqNullSafe(flags[t])
+        return df.join(flags, on=cond, how="left").drop(bucket_col, *tmp)
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# schema check
+# ---------------------------------------------------------------------------
+@register_rule("dataset", preselect_original_columns=True)
+def has_valid_schema(
+    expected_schema: str | T.StructType | None = None,
+    ref_df_name: str | None = None,
+    ref_table: str | None = None,
+    columns: list[str] | None = None,
+    strict: bool = False,
+    exclude_columns: list[str] | None = None,
+):
+    """Schema compatibility: permissive (expected subset-compatible) or strict
+    (exact, incl. order) — driver-side StructType comparison, verdict
+    broadcast as a literal (reference check_funcs.py:3218-3334)."""
+    if expected_schema is None and ref_df_name is None and ref_table is None:
+        raise ValueError("provide expected_schema, ref_df_name, or ref_table")
+    alias = "has_invalid_schema"
+    sfx = unique_suffix()
+    msg_col = f"__dq_schema_msg_{sfx}"
+    excl = set(exclude_columns or [])
+
+    def apply(
+        df: DataFrame,
+        spark: SparkSession,
+        ref_dfs: dict[str, DataFrame] | None = None,
+        original_columns: list[str] | None = None,
+    ) -> DataFrame:
+        if expected_schema is not None:
+            expected = (
+                T._parse_datatype_string(expected_schema)
+                if isinstance(expected_schema, str)
+                else expected_schema
+            )
+        else:
+            expected = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs).schema
+        visible = original_columns if original_columns is not None else df.columns
+        actual_fields = [f_ for f_ in df.schema.fields if f_.name in set(visible)]
+        if columns:
+            actual_fields = [f_ for f_ in actual_fields if f_.name in set(columns)]
+        actual_fields = [f_ for f_ in actual_fields if f_.name not in excl]
+        expected_fields = [f_ for f_ in expected.fields if f_.name not in excl]
+        if columns:
+            expected_fields = [f_ for f_ in expected_fields if f_.name in set(columns)]
+
+        problems: list[str] = []
+        if strict:
+            # exact match incl. order (reference :3532-3576)
+            a = [(f_.name, f_.dataType.simpleString()) for f_ in actual_fields]
+            e = [(f_.name, f_.dataType.simpleString()) for f_ in expected_fields]
+            if a != e:
+                problems.append(f"schema mismatch: expected {e}, got {a}")
+        else:
+            # permissive: expected ⊆ actual with compatible types (reference :3578-3719)
+            actual_by_name = {f_.name: f_ for f_ in actual_fields}
+            for f_ in expected_fields:
+                got = actual_by_name.get(f_.name)
+                if got is None:
+                    problems.append(f"missing column: {f_.name}")
+                elif got.dataType.simpleString() != f_.dataType.simpleString():
+                    problems.append(
+                        f"type mismatch for {f_.name}: expected {f_.dataType.simpleString()}, got {got.dataType.simpleString()}"
+                    )
+        verdict = "; ".join(problems) if problems else None
+        return df.withColumn(msg_col, F.lit(verdict).cast("string"))
+
+    return _lift(msg_col, alias), apply
+
+
+# ---------------------------------------------------------------------------
+# outliers
+# ---------------------------------------------------------------------------
+@register_rule("dataset")
+def has_no_outliers(column: str | Column, k: float = 3.5, approx: bool = False, row_filter: str | None = None):
+    """MAD outlier band: median ± k·MAD (reference check_funcs.py:1743-1818).
+
+    Deviation: the reference computes median & MAD via two driver-side
+    actions (profiling_utils.py:54-107); here both stats live INSIDE the lazy
+    plan as 1-row aggregates broadcast-crossJoined back — no driver actions,
+    fully distributed.  ``approx=True`` switches exact ``median`` to
+    ``percentile_approx`` for the 100 TB path.
+    """
+    name = normalize_col_str(column)
+    alias = f"{name}_has_outliers"
+    sfx = unique_suffix()
+    med_col, mad_col = f"__dq_mad_med_{sfx}", f"__dq_mad_mad_{sfx}"
+    msg_col = f"__dq_out_msg_{sfx}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        col = to_col(column).cast("double")
+        inp = filtered(col, row_filter)
+        pct = (lambda c: F.percentile_approx(c, 0.5)) if approx else F.median
+        med = df.select(pct(inp).alias(med_col))
+        with_med = df.crossJoin(F.broadcast(med))
+        stats = with_med.select(
+            pct(F.abs(filtered(col, row_filter) - F.col(med_col))).alias(mad_col),
+            F.first(med_col).alias(med_col),
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        lo = F.col(med_col) - F.lit(k) * F.col(mad_col)
+        hi = F.col(med_col) + F.lit(k) * F.col(mad_col)
+        fired = (col < lo) | (col > hi)
+        if row_filter:
+            fired = F.expr(row_filter) & fired
+        message = F.when(
+            F.coalesce(fired, F.lit(False)),
+            F.format_string(
+                f"Value '%s' in Column '{name}' is outside the MAD band [%s, %s]",
+                str_value(col),
+                str_value(lo),
+                str_value(hi),
+            ),
+        )
+        return out.withColumn(msg_col, message).drop(med_col, mad_col)
+
+    return _lift(msg_col, alias), apply
+
+
+@register_rule("dataset")
+def has_no_aggr_outliers(
+    column,
+    time_column: str | Column,
+    aggr_type: str = "avg",
+    sigma: float = 3.0,
+    lookback_num_intervals: int = 14,
+    warmup_num_intervals: int = 7,
+    time_interval: str = "day",
+    group_by: list | None = None,
+    row_filter: str | None = None,
+):
+    """Time-series sigma-band anomaly on an aggregate
+    (reference check_funcs.py:2374-2606): bucket by grain, rolling baseline
+    mean/stddev_pop over the previous N buckets, flag a bucket once warmed up
+    when |cur − µ| > σ·stddev.  Generalized to flag ANY anomalous bucket (the
+    reference checks only the latest) — documented deviation.
+
+    Plan: groupBy to one row per (group, bucket) — tiny — then the rolling
+    window runs over buckets, and the verdict joins back null-safely."""
+    if time_interval not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported time_interval: {time_interval!r}")
+    name = normalize_col_str(column)
+    alias = f"{name}_{aggr_type}_has_aggr_outliers"
+    sfx = unique_suffix()
+    msg_col = f"__dq_ao_msg_{sfx}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        ts = to_col(time_column)
+        bucket = F.date_trunc(time_interval, ts)
+        groups = [to_col(g) for g in (group_by or [])]
+        tmp = [f"__dq_ao_g{i}_{sfx}" for i in range(len(groups))]
+        b = f"__dq_ao_bucket_{sfx}"
+        m = f"__dq_ao_metric_{sfx}"
+        agg = _agg_expr(column, aggr_type, row_filter).alias(m)
+        per_bucket = df.groupBy(*[g.alias(t) for g, t in zip(groups, tmp)], bucket.alias(b)).agg(agg)
+        w = (
+            Window.partitionBy(*[F.col(t) for t in tmp])
+            .orderBy(F.col(b))
+            .rowsBetween(-int(lookback_num_intervals), -1)
+        )
+        stats = per_bucket.select(
+            *[F.col(t) for t in tmp],
+            F.col(b),
+            F.col(m),
+            F.avg(m).over(w).alias("__mu"),
+            F.stddev_pop(m).over(w).alias("__sd"),
+            F.count(m).over(w).alias("__n"),
+        )
+        fired = (
+            (F.col("__n") >= int(warmup_num_intervals))
+            & F.col("__sd").isNotNull()
+            & (F.abs(F.col(m) - F.col("__mu")) > F.lit(float(sigma)) * F.col("__sd"))
+        )
+        flags = stats.select(
+            *[F.col(t) for t in tmp],
+            F.col(b),
+            F.when(
+                fired,
+                F.format_string(
+                    f"{aggr_type}({name}) value '%s' in {time_interval} bucket '%s' deviates more than "
+                    f"{sigma} sigma from rolling mean '%s'",
+                    str_value(F.col(m)),
+                    F.col(b).cast("string"),
+                    str_value(F.col("__mu")),
+                ),
+            ).alias(msg_col),
+        )
+        cond = bucket.eqNullSafe(flags[b])
+        for g, t in zip(groups, tmp):
+            cond = cond & g.eqNullSafe(flags[t])
+        return df.join(flags, on=cond, how="left").drop(b, *tmp)
+
+    return _lift(msg_col, alias), apply

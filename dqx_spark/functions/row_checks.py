@@ -1,0 +1,840 @@
+"""Row-level checks: every function compiles to a single pure Column
+expression (message-or-null), so N checks fuse into ONE projected scan with
+whole-stage codegen — no shuffles, no actions.
+
+Semantics derived from the reference ``check_funcs.py`` §2.3 inventory
+(SURVEY.md); each docstring cites the reference file:line it re-derives.
+"""
+
+from __future__ import annotations
+
+import datetime
+import ipaddress
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dqx_spark.functions import iso_codes
+from dqx_spark.functions._helpers import get_limit_expr, str_value
+from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
+
+__all__ = [
+    "is_not_null_and_not_empty",
+    "is_not_empty",
+    "is_not_null",
+    "is_null",
+    "is_empty",
+    "is_null_or_empty",
+    "has_valid_string_case",
+    "is_not_null_and_is_in_list",
+    "is_in_list",
+    "is_not_in_list",
+    "sql_expression",
+    "is_older_than_col2_for_n_days",
+    "is_older_than_n_days",
+    "is_not_in_future",
+    "is_not_in_near_future",
+    "is_equal_to",
+    "is_not_equal_to",
+    "is_not_less_than",
+    "is_not_greater_than",
+    "is_in_range",
+    "is_not_in_range",
+    "regex_match",
+    "is_not_null_and_not_empty_array",
+    "is_valid_date",
+    "is_valid_timestamp",
+    "is_valid_ipv4_address",
+    "is_ipv4_address_in_cidr",
+    "is_valid_ipv6_address",
+    "is_ipv6_address_in_cidr",
+    "is_valid_email",
+    "is_valid_national_id",
+    "is_valid_country_code",
+    "is_valid_currency_code",
+    "is_valid_subdivision_code",
+    "is_valid_language_code",
+    "is_data_fresh",
+    "is_valid_json",
+    "has_json_keys",
+    "has_valid_json_schema",
+    "is_latitude",
+    "is_longitude",
+    "does_not_contain_pii",
+]
+
+
+# ---------------------------------------------------------------------------
+# null / empty family
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def is_not_null_and_not_empty(column: str | Column, trim_strings: bool = False) -> Column:
+    """Fail when null or empty string (reference check_funcs.py:169)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    col_str = F.trim(col.cast("string")) if trim_strings else col.cast("string")
+    condition = col.isNull() | (col_str == F.lit(""))
+    return make_condition(condition, f"Column '{name}' value is null or empty", f"{name}_is_null_or_empty")
+
+
+@register_rule("row")
+def is_not_empty(column: str | Column) -> Column:
+    """Fail when empty string; nulls pass (reference check_funcs.py:189)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    return make_condition(col.cast("string") == F.lit(""), f"Column '{name}' value is empty", f"{name}_is_empty")
+
+
+@register_rule("row")
+def is_not_null(column: str | Column) -> Column:
+    """Fail when null (reference check_funcs.py:207)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    return make_condition(col.isNull(), f"Column '{name}' value is null", f"{name}_is_null")
+
+
+@register_rule("row")
+def is_null(column: str | Column) -> Column:
+    """Assert the value IS null (reference check_funcs.py:221)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    return make_condition(col.isNotNull(), f"Column '{name}' value is not null", f"{name}_is_not_null")
+
+
+@register_rule("row")
+def is_empty(column: str | Column) -> Column:
+    """Assert the value IS empty (reference check_funcs.py:237-250)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    return make_condition(col.cast("string") != F.lit(""), f"Column '{name}' value is not empty", f"{name}_is_not_empty")
+
+
+@register_rule("row")
+def is_null_or_empty(column: str | Column, trim_strings: bool = False) -> Column:
+    """Assert the value IS null-or-empty (reference check_funcs.py:255-268)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    col_str = F.trim(col.cast("string")) if trim_strings else col.cast("string")
+    condition = col.isNotNull() & (col_str != F.lit(""))
+    return make_condition(condition, f"Column '{name}' value is not null or empty", f"{name}_is_not_null_or_empty")
+
+
+@register_rule("row")
+def has_valid_string_case(column: str | Column, case: str = "upper") -> Column:
+    """Fail when the string is not in the given case: upper/lower/title/sentence
+    (reference check_funcs.py:277)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    if case == "upper":
+        expected = F.upper(col)
+    elif case == "lower":
+        expected = F.lower(col)
+    elif case == "title":
+        expected = F.initcap(col)
+    elif case == "sentence":
+        expected = F.concat(F.upper(F.substring(col, 1, 1)), F.lower(F.expr(f"substring({_sql(col)}, 2)")))
+    else:
+        raise ValueError(f"unsupported case: {case!r} (use upper/lower/title/sentence)")
+    return make_condition(
+        col != expected,
+        F.format_string(f"Value '%s' in Column '{name}' is not {case} case", str_value(col)),
+        f"{name}_has_invalid_string_case",
+    )
+
+
+def _sql(col: Column) -> str:
+    """Inline a Column back into SQL text (only used on plain column refs)."""
+    raw = str(col)
+    import re
+
+    m = re.match(r"Column<'(.*)'>$", raw, re.DOTALL)
+    return m.group(1) if m else raw
+
+
+# ---------------------------------------------------------------------------
+# list membership
+# ---------------------------------------------------------------------------
+def _in_list_core(col: Column, allowed: list, case_sensitive: bool) -> Column:
+    lits = [F.lit(v) for v in allowed]
+    if not case_sensitive:
+        return F.lower(col).isin(*[F.lower(l) for l in lits])
+    return col.isin(*lits)
+
+
+@register_rule("row")
+def is_not_null_and_is_in_list(column: str | Column, allowed: list, case_sensitive: bool = True) -> Column:
+    """Fail when null or not in the allowed list (reference check_funcs.py:352)."""
+    if not allowed:
+        raise ValueError("allowed list must not be empty")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNull() | ~_in_list_core(col, allowed, case_sensitive)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is null or not in the allowed list", str_value(col)),
+        f"{name}_is_null_or_is_not_in_the_list",
+    )
+
+
+@register_rule("row")
+def is_in_list(column: str | Column, allowed: list, case_sensitive: bool = True) -> Column:
+    """Fail when not in the allowed list; nulls pass (reference check_funcs.py:406)."""
+    if not allowed:
+        raise ValueError("allowed list must not be empty")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = ~_in_list_core(col, allowed, case_sensitive)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not in the allowed list", str_value(col)),
+        f"{name}_is_not_in_the_list",
+    )
+
+
+@register_rule("row")
+def is_not_in_list(column: str | Column, forbidden: list, case_sensitive: bool = True) -> Column:
+    """Fail when the value IS in the forbidden list (reference check_funcs.py:464)."""
+    if not forbidden:
+        raise ValueError("forbidden list must not be empty")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = _in_list_core(col, forbidden, case_sensitive)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is in the forbidden list", str_value(col)),
+        f"{name}_is_in_the_forbidden_list",
+    )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary SQL expression
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def sql_expression(
+    expression: str,
+    msg: str | None = None,
+    name: str | None = None,
+    negate: bool = False,
+    columns: list | None = None,
+) -> Column:
+    """Fail when the boolean SQL expression does NOT hold (or holds, if
+    ``negate``) (reference check_funcs.py:521-563).  ``columns`` is
+    documentation-only metadata."""
+    expr_col = F.expr(expression)
+    condition = expr_col if negate else ~expr_col
+    # NULL result of the user expression means "not satisfied" -> fail
+    condition = F.coalesce(condition, F.lit(True))
+    default_name = normalize_col_str(expression) + ("_is_true" if negate else "_is_false")
+    message = msg or f"Value is {'matching' if negate else 'not matching'} expression: {expression}"
+    return make_condition(condition, message, name or default_name)
+
+
+# ---------------------------------------------------------------------------
+# date / timestamp family
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def is_older_than_col2_for_n_days(
+    column1: str | Column,
+    column2: str | Column,
+    days: int = 0,
+    negate: bool = False,
+) -> Column:
+    """col1 must be at least n days older than col2 (reference check_funcs.py:567)."""
+    col1, col2 = to_col(column1), to_col(column2)
+    n1, n2 = normalize_col_str(column1), normalize_col_str(column2)
+    diff = F.datediff(F.to_date(col2), F.to_date(col1))
+    condition = (diff >= F.lit(days)) if negate else (diff < F.lit(days))
+    verb = "is older" if negate else "is not older"
+    return make_condition(
+        condition,
+        F.format_string(
+            f"Value '%s' in Column '{n1}' {verb} than value '%s' in Column '{n2}' for {days} days",
+            str_value(col1),
+            str_value(col2),
+        ),
+        f"is_col_{n1}_older_than_{n2}_for_n_days",
+    )
+
+
+@register_rule("row")
+def is_older_than_n_days(
+    column: str | Column,
+    days: int,
+    curr_date: Column | str | datetime.date | None = None,
+    negate: bool = False,
+) -> Column:
+    """Value must be at least n days old vs curr_date (reference check_funcs.py:617)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    curr = F.current_date() if curr_date is None else (F.lit(curr_date) if not isinstance(curr_date, Column) else curr_date)
+    diff = F.datediff(F.to_date(curr), F.to_date(col))
+    condition = (diff >= F.lit(days)) if negate else (diff < F.lit(days))
+    verb = "is older" if negate else "is not older"
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' {verb} than {days} days", str_value(col)),
+        f"{name}_is_older_than_n_days",
+    )
+
+
+@register_rule("row")
+def is_not_in_future(
+    column: str | Column,
+    offset: int = 0,
+    curr_timestamp: Column | str | datetime.datetime | None = None,
+) -> Column:
+    """Fail when ts > now + offset seconds (reference check_funcs.py:668)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    curr = (
+        F.current_timestamp()
+        if curr_timestamp is None
+        else (F.lit(curr_timestamp).cast("timestamp") if not isinstance(curr_timestamp, Column) else curr_timestamp)
+    )
+    bound = curr + F.expr(f"INTERVAL {int(offset)} SECONDS")
+    return make_condition(
+        col > bound,
+        F.format_string(f"Value '%s' in Column '{name}' is in the future", str_value(col)),
+        f"{name}_in_future",
+    )
+
+
+@register_rule("row")
+def is_not_in_near_future(
+    column: str | Column,
+    offset: int = 0,
+    curr_timestamp: Column | str | datetime.datetime | None = None,
+) -> Column:
+    """Fail when now < ts < now + offset seconds (reference check_funcs.py:702)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    curr = (
+        F.current_timestamp()
+        if curr_timestamp is None
+        else (F.lit(curr_timestamp).cast("timestamp") if not isinstance(curr_timestamp, Column) else curr_timestamp)
+    )
+    bound = curr + F.expr(f"INTERVAL {int(offset)} SECONDS")
+    return make_condition(
+        (col > curr) & (col < bound),
+        F.format_string(f"Value '%s' in Column '{name}' is in the near future", str_value(col)),
+        f"{name}_in_near_future",
+    )
+
+
+@register_rule("row")
+def is_valid_date(column: str | Column, date_format: str | None = None) -> Column:
+    """Fail when the string doesn't parse as a date (reference check_funcs.py:1026)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    parsed = F.try_to_timestamp(col, F.lit(date_format)) if date_format else col.try_cast("date")
+    condition = col.isNotNull() & parsed.isNull()
+    fmt = f" with format '{date_format}'" if date_format else ""
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid date{fmt}", str_value(col)),
+        f"{name}_is_not_valid_date",
+    )
+
+
+@register_rule("row")
+def is_valid_timestamp(column: str | Column, timestamp_format: str | None = None) -> Column:
+    """Fail when the string doesn't parse as a timestamp (reference check_funcs.py:1050)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    parsed = F.try_to_timestamp(col, F.lit(timestamp_format)) if timestamp_format else col.try_cast("timestamp")
+    condition = col.isNotNull() & parsed.isNull()
+    fmt = f" with format '{timestamp_format}'" if timestamp_format else ""
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid timestamp{fmt}", str_value(col)),
+        f"{name}_is_not_valid_timestamp",
+    )
+
+
+@register_rule("row")
+def is_data_fresh(
+    column: str | Column,
+    max_age_minutes: int,
+    base_timestamp: Column | str | datetime.datetime | None = None,
+) -> Column:
+    """Fail when ts is older than max_age_minutes vs base ts
+    (reference check_funcs.py:1701)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    base = (
+        F.current_timestamp()
+        if base_timestamp is None
+        else (F.lit(base_timestamp).cast("timestamp") if not isinstance(base_timestamp, Column) else base_timestamp)
+    )
+    condition = col < (base - F.expr(f"INTERVAL {int(max_age_minutes)} MINUTES"))
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is older than {int(max_age_minutes)} minutes", str_value(col)),
+        f"{name}_is_not_fresh",
+    )
+
+
+# ---------------------------------------------------------------------------
+# comparison family
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def is_equal_to(column: str | Column, value) -> Column:
+    """Fail when col != value (reference check_funcs.py:739)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    limit = get_limit_expr(value)
+    condition = ~col.eqNullSafe(limit)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not equal to '%s'", str_value(col), str_value(limit)),
+        f"{name}_is_not_equal_to",
+    )
+
+
+@register_rule("row")
+def is_not_equal_to(column: str | Column, value) -> Column:
+    """Fail when col == value (reference check_funcs.py:794)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    limit = get_limit_expr(value)
+    condition = col.eqNullSafe(limit)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is equal to '%s'", str_value(col), str_value(limit)),
+        f"{name}_is_equal_to",
+    )
+
+
+@register_rule("row")
+def is_not_less_than(column: str | Column, limit) -> Column:
+    """Fail when col < limit (reference check_funcs.py:850)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    limit_expr = get_limit_expr(limit)
+    return make_condition(
+        col < limit_expr,
+        F.format_string(f"Value '%s' in Column '{name}' is less than limit: %s", str_value(col), str_value(limit_expr)),
+        f"{name}_less_than_limit",
+    )
+
+
+@register_rule("row")
+def is_not_greater_than(column: str | Column, limit) -> Column:
+    """Fail when col > limit (reference check_funcs.py:880)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    limit_expr = get_limit_expr(limit)
+    return make_condition(
+        col > limit_expr,
+        F.format_string(f"Value '%s' in Column '{name}' is greater than limit: %s", str_value(col), str_value(limit_expr)),
+        f"{name}_greater_than_limit",
+    )
+
+
+@register_rule("row")
+def is_in_range(column: str | Column, min_limit, max_limit) -> Column:
+    """Fail when outside [min, max] (reference check_funcs.py:910)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    lo, hi = get_limit_expr(min_limit), get_limit_expr(max_limit)
+    return make_condition(
+        (col < lo) | (col > hi),
+        F.format_string(
+            f"Value '%s' in Column '{name}' is not in the allowed range: [%s, %s]",
+            str_value(col),
+            str_value(lo),
+            str_value(hi),
+        ),
+        f"{name}_not_in_range",
+    )
+
+
+@register_rule("row")
+def is_not_in_range(column: str | Column, min_limit, max_limit) -> Column:
+    """Fail when inside [min, max] (reference check_funcs.py:948)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    lo, hi = get_limit_expr(min_limit), get_limit_expr(max_limit)
+    return make_condition(
+        (col >= lo) & (col <= hi),
+        F.format_string(
+            f"Value '%s' in Column '{name}' is in the forbidden range: [%s, %s]",
+            str_value(col),
+            str_value(lo),
+            str_value(hi),
+        ),
+        f"{name}_in_range",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pattern family
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def regex_match(column: str | Column, regex: str, negate: bool = False) -> Column:
+    """Fail when the value does not match (or matches, if negate)
+    (reference check_funcs.py:986)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    matches = col.rlike(regex)
+    condition = matches if negate else ~matches
+    verb = "matching" if negate else "not matching"
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is {verb} regex: {regex}", str_value(col)),
+        f"{name}_regex_match",
+    )
+
+
+@register_rule("row")
+def is_not_null_and_not_empty_array(column: str | Column) -> Column:
+    """Fail when the array is null or empty (reference check_funcs.py:1009)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNull() | (F.size(col) == 0)
+    return make_condition(condition, f"Column '{name}' array is null or empty", f"{name}_is_null_or_empty_array")
+
+
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+IPV4_REGEX = rf"^({_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$"
+# RFC-5322 subset, mirrors the reference's email pattern intent (check_funcs.py:92-107)
+EMAIL_REGEX = r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$"
+
+NATIONAL_ID_PATTERNS = {
+    # US SSN (reference check_funcs.py:112)
+    "US": r"^(?!000|666|9\d{2})\d{3}-(?!00)\d{2}-(?!0000)\d{4}$",
+    "UK": r"^[A-CEGHJ-PR-TW-Z]{2}\d{6}[A-D]$",
+    "CA": r"^\d{3}-\d{3}-\d{3}$",
+    "DE": r"^\d{11}$",
+    "FR": r"^[12]\d{2}(0[1-9]|1[0-2])\d{2}\d{3}\d{3}\d{2}$",
+    "IN": r"^[2-9]\d{3}\s?\d{4}\s?\d{4}$",
+}
+
+
+@register_rule("row")
+def is_valid_ipv4_address(column: str | Column) -> Column:
+    """Anchored-regex IPv4 validity (reference check_funcs.py:1078)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~col.rlike(IPV4_REGEX)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid IPv4 address", str_value(col)),
+        f"{name}_is_not_valid_ipv4",
+    )
+
+
+@register_rule("row")
+def is_ipv4_address_in_cidr(column: str | Column, cidr_block: str) -> Column:
+    """Pure-expression membership test: octets -> 32-bit int, compare the
+    network prefix with shiftright.  Stays JVM-side/codegen (the reference
+    uses binary-string math, check_funcs.py:1559, 4690-4724 — same semantics,
+    different arithmetic)."""
+    net = ipaddress.ip_network(cidr_block, strict=False)
+    if net.version != 4:
+        raise ValueError(f"not an IPv4 CIDR block: {cidr_block!r}")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    octets = F.split(col, r"\.")
+    ip_int = (
+        octets.getItem(0).cast("long") * F.lit(16777216)
+        + octets.getItem(1).cast("long") * F.lit(65536)
+        + octets.getItem(2).cast("long") * F.lit(256)
+        + octets.getItem(3).cast("long")
+    )
+    shift = 32 - net.prefixlen
+    net_int = int(net.network_address)
+    outside = (
+        F.shiftright(ip_int, shift) != F.lit(net_int >> shift)
+        if shift < 32
+        else F.lit(False)
+    )
+    condition = col.isNotNull() & (~col.rlike(IPV4_REGEX) | outside)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not in the CIDR block {cidr_block}", str_value(col)),
+        f"{name}_is_not_ipv4_in_cidr",
+    )
+
+
+def _ipv6_valid_udf():
+    @F.pandas_udf(T.BooleanType())
+    def _valid(s):
+        def ok(v):
+            if v is None:
+                return None
+            try:
+                ipaddress.IPv6Address(v)
+                return True
+            except ValueError:
+                return False
+
+        return s.map(ok)
+
+    return _valid
+
+
+@register_rule("row")
+def is_valid_ipv6_address(column: str | Column) -> Column:
+    """IPv6 validity via an Arrow-batched pandas UDF over the ``ipaddress``
+    stdlib (the reference uses a row-at-a-time Python UDF,
+    check_funcs.py:4726-4779 — pandas_udf is the faster Spark-first choice)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    valid = _ipv6_valid_udf()(col.cast("string"))
+    condition = col.isNotNull() & ~F.coalesce(valid, F.lit(False))
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid IPv6 address", str_value(col)),
+        f"{name}_is_not_valid_ipv6",
+    )
+
+
+@register_rule("row")
+def is_ipv6_address_in_cidr(column: str | Column, cidr_block: str) -> Column:
+    """IPv6 CIDR membership via pandas UDF (reference check_funcs.py:1641)."""
+    net = ipaddress.ip_network(cidr_block, strict=False)
+    if net.version != 6:
+        raise ValueError(f"not an IPv6 CIDR block: {cidr_block!r}")
+
+    @F.pandas_udf(T.BooleanType())
+    def _in_cidr(s):
+        net_local = ipaddress.ip_network(cidr_block, strict=False)
+
+        def member(v):
+            if v is None:
+                return None
+            try:
+                return ipaddress.IPv6Address(v) in net_local
+            except ValueError:
+                return False
+
+        return s.map(member)
+
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~F.coalesce(_in_cidr(col.cast("string")), F.lit(False))
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not in the CIDR block {cidr_block}", str_value(col)),
+        f"{name}_is_not_ipv6_in_cidr",
+    )
+
+
+@register_rule("row")
+def is_valid_email(column: str | Column) -> Column:
+    """RFC-5322-subset regex (reference check_funcs.py:1091)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~col.rlike(EMAIL_REGEX)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid email address", str_value(col)),
+        f"{name}_is_not_valid_email",
+    )
+
+
+@register_rule("row")
+def is_valid_national_id(column: str | Column, country: str = "US") -> Column:
+    """Per-country national-id regex (reference check_funcs.py:1124)."""
+    pattern = NATIONAL_ID_PATTERNS.get(country.upper())
+    if pattern is None:
+        raise ValueError(f"unsupported country for national id: {country!r}")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~col.rlike(pattern)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid {country.upper()} national id", str_value(col)),
+        f"{name}_is_not_valid_national_id",
+    )
+
+
+def _iso_check(column, codes: list[str], what: str, case_sensitive: bool) -> Column:
+    col = to_col(column)
+    name = normalize_col_str(column)
+    target = col if case_sensitive else F.upper(col)
+    pool = codes if case_sensitive else [c.upper() for c in codes]
+    condition = col.isNotNull() & ~target.isin(*pool)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid {what}", str_value(col)),
+        f"{name}_is_not_valid_{what.replace(' ', '_')}",
+    )
+
+
+@register_rule("row")
+def is_valid_country_code(column: str | Column, code_format: str = "alpha2", case_sensitive: bool = True) -> Column:
+    """ISO 3166-1 membership (reference check_funcs.py:1323)."""
+    pools = {"alpha2": iso_codes.COUNTRY_ALPHA2, "alpha3": iso_codes.COUNTRY_ALPHA3}
+    if code_format not in pools:
+        raise ValueError(f"code_format must be alpha2|alpha3, got {code_format!r}")
+    return _iso_check(column, pools[code_format], "country code", case_sensitive)
+
+
+@register_rule("row")
+def is_valid_currency_code(column: str | Column, case_sensitive: bool = True) -> Column:
+    """ISO 4217 membership (reference check_funcs.py:1367)."""
+    return _iso_check(column, iso_codes.CURRENCY_CODES, "currency code", case_sensitive)
+
+
+@register_rule("row")
+def is_valid_subdivision_code(column: str | Column, case_sensitive: bool = True) -> Column:
+    """ISO 3166-2 structural validity: 'CC-SSS' with a valid country prefix
+    (reference check_funcs.py:1437 validates against the full table; we
+    validate structure + country — documented deviation)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    target = col if case_sensitive else F.upper(col)
+    pool = iso_codes.COUNTRY_ALPHA2
+    shape_ok = target.rlike(r"^[A-Z]{2}-[A-Z0-9]{1,3}$")
+    country_ok = F.substring(target, 1, 2).isin(*pool)
+    condition = col.isNotNull() & ~(shape_ok & country_ok)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid subdivision code", str_value(col)),
+        f"{name}_is_not_valid_subdivision_code",
+    )
+
+
+@register_rule("row")
+def is_valid_language_code(column: str | Column, case_sensitive: bool = True) -> Column:
+    """ISO 639-1 membership (reference check_funcs.py:1516)."""
+    return _iso_check(column, iso_codes.LANGUAGE_CODES, "language code", case_sensitive)
+
+
+# ---------------------------------------------------------------------------
+# JSON family
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def is_valid_json(column: str | Column) -> Column:
+    """Fail when the string is not parseable JSON (reference check_funcs.py:3338)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & F.try_parse_json(col).isNull()
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not valid JSON", str_value(col)),
+        f"{name}_is_not_valid_json",
+    )
+
+
+@register_rule("row")
+def has_json_keys(column: str | Column, keys: list[str], require_all: bool = True) -> Column:
+    """Fail when required top-level keys are missing
+    (reference check_funcs.py:3362)."""
+    if not keys:
+        raise ValueError("keys must not be empty")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    actual = F.json_object_keys(col)
+    wanted = F.array(*[F.lit(k) for k in keys])
+    if require_all:
+        missing = F.array_except(wanted, F.coalesce(actual, F.array()))
+        bad = F.size(missing) > 0
+    else:
+        bad = ~F.arrays_overlap(F.coalesce(actual, F.array()), wanted)
+    condition = col.isNotNull() & (actual.isNull() | bad)
+    mode = "all of" if require_all else "any of"
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' does not contain {mode} keys: {keys}", str_value(col)),
+        f"{name}_does_not_have_json_keys",
+    )
+
+
+@register_rule("row")
+def has_valid_json_schema(column: str | Column, schema: str) -> Column:
+    """Fail when the JSON doesn't conform to the DDL schema: malformed
+    documents (corrupt-record probe) or NOT NULL fields missing/null
+    (reference check_funcs.py:3414, 3721-3755)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    expected = T._parse_datatype_string(schema)  # DDL string -> StructType
+    if not isinstance(expected, T.StructType):
+        raise ValueError("schema must be a struct DDL string")
+    corrupt = "_corrupt_record"
+    probe_schema = T.StructType(list(expected.fields) + [T.StructField(corrupt, T.StringType(), True)])
+    parsed = F.from_json(col, probe_schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt})
+    bad = parsed.isNull() | parsed.getField(corrupt).isNotNull()
+    for f_ in expected.fields:
+        if not f_.nullable:
+            bad = bad | parsed.getField(f_.name).isNull()
+    condition = col.isNotNull() & bad
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' does not conform to schema: {schema}", str_value(col)),
+        f"{name}_has_invalid_json_schema",
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo-lite (pure math; full ST_* family is an optional extension module)
+# ---------------------------------------------------------------------------
+@register_rule("row")
+def is_latitude(column: str | Column) -> Column:
+    """try_cast(double) between ±90 (reference geo/check_funcs.py:63)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    v = col.try_cast("double")
+    condition = col.isNotNull() & (v.isNull() | (v < -90.0) | (v > 90.0))
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid latitude", str_value(col)),
+        f"{name}_is_not_latitude",
+    )
+
+
+@register_rule("row")
+def is_longitude(column: str | Column) -> Column:
+    """try_cast(double) between ±180 (reference geo/check_funcs.py:86)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    v = col.try_cast("double")
+    condition = col.isNotNull() & (v.isNull() | (v < -180.0) | (v > 180.0))
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid longitude", str_value(col)),
+        f"{name}_is_not_longitude",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII (lightweight built-in; presidio engine optional)
+# ---------------------------------------------------------------------------
+_PII_PATTERNS = {
+    "EMAIL_ADDRESS": EMAIL_REGEX.strip("^$"),
+    "US_SSN": r"\d{3}-\d{2}-\d{4}",
+    "PHONE_NUMBER": r"(\+?\d{1,2}[\s.-]?)?(\(?\d{3}\)?[\s.-]?)\d{3}[\s.-]?\d{4}",
+    "CREDIT_CARD": r"\d{4}[\s-]?\d{4}[\s-]?\d{4}[\s-]?\d{4}",
+    "IP_ADDRESS": IPV4_REGEX.strip("^$"),
+}
+
+
+@register_rule("row")
+def does_not_contain_pii(column: str | Column, entities: list[str] | None = None) -> Column:
+    """Fail when the text contains PII-looking entities.
+
+    The reference wraps Microsoft Presidio in a pandas UDF
+    (pii/pii_detection_funcs.py:33-186); presidio is not available here, so
+    the built-in engine is a JVM-side regex battery over the same entity
+    names — faster, deterministic, and fully codegen'd.  Swap in a presidio
+    pandas UDF when the dependency is present.
+    """
+    chosen = entities or list(_PII_PATTERNS)
+    unknown = [e for e in chosen if e not in _PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unsupported PII entities: {unknown}; supported: {sorted(_PII_PATTERNS)}")
+    col = to_col(column)
+    name = normalize_col_str(column)
+    hit = None
+    for e in chosen:
+        term = col.rlike(_PII_PATTERNS[e])
+        hit = term if hit is None else (hit | term)
+    condition = col.isNotNull() & hit
+    return make_condition(
+        condition,
+        f"Column '{name}' value contains PII (entities checked: {sorted(chosen)})",
+        f"{name}_contains_pii",
+    )

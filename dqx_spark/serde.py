@@ -1,0 +1,178 @@
+"""Metadata (YAML/JSON dict) <-> rule serde and validation.
+
+Semantics derived from the reference ``checks_serializer.py`` /
+``checks_validator.py`` / ``checks_resolver.py``: the dict form and the
+Python API converge on the same ``list[DQRule]`` IR.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from dqx_spark.rule import (
+    CHECK_FUNC_REGISTRY,
+    CRITICALITY_ERROR,
+    DQDatasetRule,
+    DQForEachColRule,
+    DQRowRule,
+    DQRule,
+)
+
+
+@dataclass
+class ValidationStatus:
+    errors: list[str] = field(default_factory=list)
+
+    @property
+    def has_errors(self) -> bool:
+        return bool(self.errors)
+
+    def __str__(self) -> str:
+        return "; ".join(self.errors) if self.errors else "ok"
+
+
+def _resolve_function(name: str, custom_check_functions: dict[str, Callable] | None) -> Callable | None:
+    """builtin registry -> custom dict -> dotted module path
+    (reference checks_resolver.py)."""
+    import dqx_spark.functions as funcs
+
+    if custom_check_functions and name in custom_check_functions:
+        return custom_check_functions[name]
+    if hasattr(funcs, name):
+        return getattr(funcs, name)
+    if "." in name:
+        module_path, attr = name.rsplit(".", 1)
+        try:
+            import importlib
+
+            module = importlib.import_module(module_path)
+            return getattr(module, attr, None)
+        except ImportError:
+            return None
+    return None
+
+
+def validate_checks(
+    checks: list[dict],
+    custom_check_functions: dict[str, Callable] | None = None,
+) -> ValidationStatus:
+    """Structural + signature validation of metadata checks
+    (reference checks_validator.py:30-60)."""
+    status = ValidationStatus()
+    for i, check in enumerate(checks):
+        where = f"checks[{i}]"
+        if not isinstance(check, dict):
+            status.errors.append(f"{where}: not a dict")
+            continue
+        block = check.get("check")
+        if not isinstance(block, dict) or "function" not in block:
+            status.errors.append(f"{where}: missing 'check.function'")
+            continue
+        crit = check.get("criticality", CRITICALITY_ERROR)
+        if crit not in ("error", "warn"):
+            status.errors.append(f"{where}: invalid criticality {crit!r}")
+        func = _resolve_function(block["function"], custom_check_functions)
+        if func is None:
+            status.errors.append(f"{where}: unknown check function {block['function']!r}")
+            continue
+        args = block.get("arguments", {})
+        if not isinstance(args, dict):
+            status.errors.append(f"{where}: 'arguments' must be a dict")
+            continue
+        if "for_each_column" in block:
+            if not isinstance(block["for_each_column"], list) or not block["for_each_column"]:
+                status.errors.append(f"{where}: 'for_each_column' must be a non-empty list")
+        # signature check: every provided argument must be accepted
+        sig = inspect.signature(func)
+        accepts_kwargs = any(p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values())
+        if not accepts_kwargs:
+            for arg in args:
+                if arg not in sig.parameters:
+                    status.errors.append(
+                        f"{where}: function {block['function']!r} does not accept argument {arg!r}"
+                    )
+        # required params (no default) must be present, unless injected
+        injected = {"column", "columns", "row_filter"}
+        for pname, p in sig.parameters.items():
+            if p.default is inspect.Parameter.empty and p.kind in (
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.KEYWORD_ONLY,
+            ):
+                if pname not in args and pname not in injected:
+                    status.errors.append(f"{where}: missing required argument {pname!r}")
+    return status
+
+
+def deserialize_checks(
+    checks: list[dict],
+    custom_check_functions: dict[str, Callable] | None = None,
+    validate: bool = True,
+) -> list[DQRule]:
+    """Metadata dicts -> DQRule IR (reference checks_serializer.py:252-343)."""
+    if validate:
+        status = validate_checks(checks, custom_check_functions)
+        if status.has_errors:
+            raise ValueError(f"invalid checks: {status}")
+    rules: list[DQRule] = []
+    for check in checks:
+        block = dict(check["check"])
+        func_name = block["function"]
+        func = _resolve_function(func_name, custom_check_functions)
+        args = dict(block.get("arguments", {}))
+        criticality = check.get("criticality", CRITICALITY_ERROR)
+        common = dict(
+            check_func=func,
+            criticality=criticality,
+            name=check.get("name", ""),
+            filter=check.get("filter"),
+            user_metadata=check.get("user_metadata"),
+        )
+        for_each = block.get("for_each_column")
+        if for_each:
+            fan = DQForEachColRule(
+                check_func=func,
+                columns=for_each,
+                criticality=criticality,
+                filter=check.get("filter"),
+                check_func_kwargs=args,
+                user_metadata=check.get("user_metadata"),
+            )
+            rules.extend(fan.get_rules())
+            continue
+        column = args.pop("column", None)
+        columns = args.pop("columns", None)
+        rule_type = CHECK_FUNC_REGISTRY.get(func_name, "row")
+        cls = DQDatasetRule if rule_type == "dataset" else DQRowRule
+        rules.append(cls(column=column, columns=columns, check_func_kwargs=args, **common))
+    return rules
+
+
+def serialize_checks(rules: list[DQRule]) -> list[dict]:
+    """DQRule IR -> metadata dicts; round-trips with deserialize_checks
+    (reference rule.py:374-411)."""
+    return [r.to_dict() for r in rules]
+
+
+def load_checks_from_file(path: str) -> list[dict]:
+    """YAML or JSON checks file (reference checks_storage.py:340+)."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    if path.endswith(".json"):
+        return json.loads(text)
+    import yaml
+
+    return yaml.safe_load(text)
+
+
+def save_checks_to_file(checks: list[dict], path: str) -> None:
+    if path.endswith(".json"):
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(checks, fh, indent=2)
+        return
+    import yaml
+
+    with open(path, "w", encoding="utf-8") as fh:
+        yaml.safe_dump(checks, fh, sort_keys=False)
