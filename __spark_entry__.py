@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship run on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2; each
+callable takes (spark, sf_dir) and returns a DataFrame whose columns are
+aliased identically to the matching ``oracle_sql()`` entry.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for the same parquet views.
+
+Every query applies exactly ONE rule through the real engine
+(``DQEngine.apply_checks``) and projects stable key columns plus a boolean
+``failed`` (presence of ``_errors``), so value-hash comparison is robust:
+no floats, no timestamps, no volatile fields in the output.
 """
 
 from __future__ import annotations
@@ -12,27 +17,492 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import dqx_spark.functions as C
+from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
+from dqx_spark.engine import ExtraParams
+from dqx_spark.functions.iso_codes import LANGUAGE_CODES
+from dqx_spark.functions.row_checks import EMAIL_REGEX
+
+RUN_TS = "2024-06-01 00:00:00"
 
 
+def _engine() -> DQEngine:
+    return DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="oracle"))
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+        # natively: read nanos as long, integer-divide to micros (double
+        # division would lose precision at ~1.7e18), rebuild the timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _apply_one(df: DataFrame, rule, keys: list[str], ref_dfs=None) -> DataFrame:
+    checked = _engine().apply_checks(df, [rule], ref_dfs=ref_dfs)
+    return checked.select(*keys, F.col("_errors").isNotNull().alias("failed"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: SURVEY §7.2 slice on sf0.001 — row exprs + window + join +
+    global agg, summarized as violations per check."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    checks = [
+        DQRowRule(check_func=C.is_not_null, column="l_orderkey"),
+        DQRowRule(check_func=C.is_in_range, column="l_quantity", check_func_kwargs={"min_limit": 1, "max_limit": 50}),
+        DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"]),
+        DQDatasetRule(
+            check_func=C.foreign_key,
+            columns=["l_orderkey"],
+            check_func_kwargs={"ref_columns": ["o_orderkey"], "ref_df_name": "orders"},
+        ),
+        DQDatasetRule(
+            check_func=C.is_aggr_not_greater_than,
+            column="l_extendedprice",
+            check_func_kwargs={"limit": 1e12, "aggr_type": "avg"},
+        ),
+    ]
+    checked = _engine().apply_checks(li, checks, ref_dfs={"orders": orders})
+    return (
+        checked.select(F.explode_outer("_errors").alias("e"))
+        .groupBy(F.coalesce(F.col("e.name"), F.lit("__no_error__")).alias("check_name"))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .orderBy("check_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator
+# ---------------------------------------------------------------------------
+def q_is_not_null_and_not_empty(spark, sf):
+    df = _read(spark, sf, "documents")
+    rule = DQRowRule(check_func=C.is_not_null_and_not_empty, column="text")
+    return _apply_one(df, rule, ["doc_id"])
+
+
+def q_is_in_range(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQRowRule(check_func=C.is_in_range, column="l_quantity", check_func_kwargs={"min_limit": 5, "max_limit": 45})
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_is_in_list(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQRowRule(
+        check_func=C.is_in_list, column="event_type", check_func_kwargs={"allowed": ["click", "view", "purchase"]}
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_regex_match(spark, sf):
+    df = _read(spark, sf, "customer")
+    rule = DQRowRule(
+        check_func=C.regex_match, column="c_name", check_func_kwargs={"regex": "^Customer#000000[0-4][0-9]{2}$"}
+    )
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_sql_expression(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQRowRule(check_func=C.sql_expression, check_func_args=("l_discount <= l_tax",))
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_is_not_in_future(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQRowRule(
+        check_func=C.is_not_in_future, column="ts", check_func_kwargs={"curr_timestamp": "2024-01-15 00:00:00"}
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_is_data_fresh(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQRowRule(
+        check_func=C.is_data_fresh,
+        column="ts",
+        check_func_kwargs={"max_age_minutes": 10080, "base_timestamp": "2024-01-20 00:00:00"},
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_is_valid_timestamp(spark, sf):
+    df = _read(spark, sf, "events").withColumn(
+        "ts_str",
+        F.when(F.col("event_id") % 7 == 0, F.lit("not-a-ts")).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
+    )
+    rule = DQRowRule(check_func=C.is_valid_timestamp, column="ts_str")
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_is_valid_json(spark, sf):
+    df = _read(spark, sf, "events").withColumn(
+        "props2", F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("x"), F.col("props"))).otherwise(F.col("props"))
+    )
+    rule = DQRowRule(check_func=C.is_valid_json, column="props2")
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_has_json_keys(spark, sf):
+    df = _read(spark, sf, "events").withColumn(
+        "props2", F.when(F.col("event_id") % 9 == 0, F.lit("{}")).otherwise(F.col("props"))
+    )
+    rule = DQRowRule(check_func=C.has_json_keys, column="props2", check_func_kwargs={"keys": ["k"]})
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_is_valid_email(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "email",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("user@"))
+        .otherwise(F.concat(F.lit("user"), F.col("c_custkey").cast("string"), F.lit("@example.com"))),
+    )
+    rule = DQRowRule(check_func=C.is_valid_email, column="email")
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_is_valid_ipv4(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "ip",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("999.1.2.3"))
+        .otherwise(
+            F.concat(
+                F.lit("10."), (F.col("c_custkey") % 256).cast("string"), F.lit(".0."), (F.col("c_custkey") % 200 + 1).cast("string")
+            )
+        ),
+    )
+    rule = DQRowRule(check_func=C.is_valid_ipv4_address, column="ip")
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_ipv4_in_cidr(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "ip",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("999.1.2.3"))
+        .otherwise(
+            F.concat(
+                F.lit("10."), (F.col("c_custkey") % 256).cast("string"), F.lit(".0."), (F.col("c_custkey") % 200 + 1).cast("string")
+            )
+        ),
+    )
+    rule = DQRowRule(check_func=C.is_ipv4_address_in_cidr, column="ip", check_func_kwargs={"cidr_block": "10.128.0.0/9"})
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_is_valid_language_code(spark, sf):
+    df = _read(spark, sf, "documents").withColumn(
+        "lang2", F.when(F.col("doc_id") % 11 == 0, F.lit("xq")).otherwise(F.col("lang"))
+    )
+    rule = DQRowRule(check_func=C.is_valid_language_code, column="lang2")
+    return _apply_one(df, rule, ["doc_id"])
+
+
+def q_is_unique(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_foreign_key(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    ref = _read(spark, sf, "part").where(F.col("p_partkey") >= 100)
+    rule = DQDatasetRule(
+        check_func=C.foreign_key,
+        columns=["l_partkey"],
+        check_func_kwargs={"ref_columns": ["p_partkey"], "ref_df_name": "part_subset"},
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"part_subset": ref})
+
+
+def q_foreign_key_negate(spark, sf):
+    df = _read(spark, sf, "orders")
+    ref = _read(spark, sf, "customer").where(F.col("c_custkey") < 50)
+    rule = DQDatasetRule(
+        check_func=C.foreign_key,
+        columns=["o_custkey"],
+        check_func_kwargs={"ref_columns": ["c_custkey"], "ref_df_name": "cust_subset", "negate": True},
+    )
+    return _apply_one(df, rule, ["o_orderkey"], ref_dfs={"cust_subset": ref})
+
+
+def q_sql_query(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders")
+    rule = DQDatasetRule(
+        check_func=C.sql_query,
+        check_func_kwargs={
+            "query": (
+                "SELECT l.l_orderkey, max(CASE WHEN l.l_shipdate < o.o_orderdate THEN true ELSE false END) AS condition "
+                "FROM {{ input }} l JOIN {{ orders }} o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey"
+            ),
+            "merge_columns": ["l_orderkey"],
+            "condition_column": "condition",
+            "msg": "shipped before order date",
+        },
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"orders": orders})
+
+
+def q_aggr_group_max(spark, sf):
+    df = _read(spark, sf, "part")
+    rule = DQDatasetRule(
+        check_func=C.is_aggr_not_greater_than,
+        column="p_retailprice",
+        check_func_kwargs={"limit": 997.0, "aggr_type": "max", "group_by": ["p_brand"]},
+    )
+    return _apply_one(df, rule, ["p_partkey"])
+
+
+def q_aggr_global_count(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQDatasetRule(
+        check_func=C.is_aggr_not_greater_than,
+        column="*",
+        check_func_kwargs={"limit": 1000, "aggr_type": "count"},
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_aggr_equal_tolerance(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQDatasetRule(
+        check_func=C.is_aggr_equal,
+        column="l_quantity",
+        check_func_kwargs={"limit": 25.5, "aggr_type": "avg", "rel_tolerance": 0.05},
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_aggr_matches_dataset(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders")
+    rule = DQDatasetRule(
+        check_func=C.aggr_matches_dataset,
+        column="l_orderkey",
+        check_func_kwargs={"ref_column": "o_orderkey", "aggr_type": "count_distinct", "ref_df_name": "orders"},
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"orders": orders})
+
+
+def q_compare_datasets(spark, sf):
+    df = _read(spark, sf, "orders")
+    ref = (
+        df.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.concat(F.col("o_orderstatus"), F.lit("X")))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .where(F.col("o_orderkey") % 50 != 0)
+    )
+    rule = DQDatasetRule(
+        check_func=C.compare_datasets,
+        check_func_kwargs={"columns": ["o_orderkey"], "ref_columns": ["o_orderkey"], "ref_df_name": "ref"},
+    )
+    return _apply_one(df, rule, ["o_orderkey"], ref_dfs={"ref": ref})
+
+
+def q_fresh_per_window(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQDatasetRule(
+        check_func=C.is_data_fresh_per_time_window,
+        column="ts",
+        check_func_kwargs={"window_minutes": 60, "min_records_per_window": 5},
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_gaps_per_window(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQDatasetRule(
+        check_func=C.has_no_gaps_per_time_window,
+        column="ts",
+        check_func_kwargs={"window_minutes": 1440, "group_by": ["user_id"]},
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_aggr_outliers(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQDatasetRule(
+        check_func=C.has_no_aggr_outliers,
+        column="value",
+        check_func_kwargs={
+            "time_column": "ts",
+            "aggr_type": "avg",
+            "sigma": 2.5,
+            "lookback_num_intervals": 7,
+            "warmup_num_intervals": 5,
+            "time_interval": "day",
+        },
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_mad_outliers(spark, sf):
+    df = _read(spark, sf, "orders")
+    rule = DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice", check_func_kwargs={"k": 3.5})
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
+def q_has_valid_schema(spark, sf):
+    df = _read(spark, sf, "orders")
+    ddl = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    rule = DQDatasetRule(check_func=C.has_valid_schema, check_func_kwargs={"expected_schema": ddl, "strict": True})
+    return _apply_one(df, rule, ["o_orderkey"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "is_not_null_and_not_empty": q_is_not_null_and_not_empty,
+        "is_in_range": q_is_in_range,
+        "is_in_list": q_is_in_list,
+        "regex_match": q_regex_match,
+        "sql_expression": q_sql_expression,
+        "is_not_in_future": q_is_not_in_future,
+        "is_data_fresh": q_is_data_fresh,
+        "is_valid_timestamp": q_is_valid_timestamp,
+        "is_valid_json": q_is_valid_json,
+        "has_json_keys": q_has_json_keys,
+        "is_valid_email": q_is_valid_email,
+        "is_valid_ipv4_address": q_is_valid_ipv4,
+        "is_ipv4_address_in_cidr": q_ipv4_in_cidr,
+        "is_valid_language_code": q_is_valid_language_code,
+        "is_unique": q_is_unique,
+        "foreign_key": q_foreign_key,
+        "foreign_key_negate": q_foreign_key_negate,
+        "sql_query": q_sql_query,
+        "is_aggr_not_greater_than_grouped": q_aggr_group_max,
+        "is_aggr_not_greater_than_global": q_aggr_global_count,
+        "is_aggr_equal_tolerance": q_aggr_equal_tolerance,
+        "aggr_matches_dataset": q_aggr_matches_dataset,
+        "compare_datasets": q_compare_datasets,
+        "is_data_fresh_per_time_window": q_fresh_per_window,
+        "has_no_gaps_per_time_window": q_gaps_per_window,
+        "has_no_aggr_outliers": q_aggr_outliers,
+        "has_no_outliers": q_mad_outliers,
+        "has_valid_schema": q_has_valid_schema,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_list = ", ".join(f"'{c}'" for c in LANGUAGE_CODES)
+    return {
+        "is_not_null_and_not_empty": "SELECT doc_id, (text IS NULL OR text = '') AS failed FROM documents",
+        "is_in_range": (
+            "SELECT l_orderkey, l_linenumber, (l_quantity < 5 OR l_quantity > 45) AS failed FROM lineitem"
+        ),
+        "is_in_list": (
+            "SELECT event_id, event_type NOT IN ('click','view','purchase') AS failed FROM events"
+        ),
+        "regex_match": (
+            "SELECT c_custkey, NOT regexp_matches(c_name, '^Customer#000000[0-4][0-9]{2}$') AS failed FROM customer"
+        ),
+        "sql_expression": (
+            "SELECT l_orderkey, l_linenumber, NOT (l_discount <= l_tax) AS failed FROM lineitem"
+        ),
+        "is_not_in_future": (
+            "SELECT event_id, ts > TIMESTAMP '2024-01-15 00:00:00' AS failed FROM events"
+        ),
+        "is_data_fresh": (
+            "SELECT event_id, ts < (TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 10080 MINUTES) AS failed FROM events"
+        ),
+        "is_valid_timestamp": (
+            "SELECT event_id, try_cast(CASE WHEN event_id % 7 = 0 THEN 'not-a-ts' ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS timestamp) IS NULL AS failed FROM events"
+        ),
+        "is_valid_json": (
+            "SELECT event_id, NOT json_valid(CASE WHEN event_id % 5 = 0 THEN 'x' || props ELSE props END) AS failed FROM events"
+        ),
+        "has_json_keys": (
+            "SELECT event_id, json_extract(CASE WHEN event_id % 9 = 0 THEN '{}' ELSE props END, '$.k') IS NULL AS failed FROM events"
+        ),
+        "is_valid_email": (
+            "SELECT c_custkey, NOT regexp_matches("
+            "CASE WHEN c_custkey % 10 = 0 THEN 'user@' ELSE 'user' || cast(c_custkey AS varchar) || '@example.com' END, "
+            f"'{EMAIL_REGEX.replace(chr(39), chr(39) * 2)}') AS failed FROM customer"
+        ),
+        "is_valid_ipv4_address": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN '999.1.2.3' "
+            "ELSE '10.' || cast(c_custkey % 256 AS varchar) || '.0.' || cast(c_custkey % 200 + 1 AS varchar) END AS ip FROM customer) "
+            r"SELECT c_custkey, NOT regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$') AS failed FROM t"
+        ),
+        "is_ipv4_address_in_cidr": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN '999.1.2.3' "
+            "ELSE '10.' || cast(c_custkey % 256 AS varchar) || '.0.' || cast(c_custkey % 200 + 1 AS varchar) END AS ip FROM customer), "
+            r"v AS (SELECT c_custkey, ip, regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$') AS ok FROM t) "
+            "SELECT c_custkey, (NOT ok OR ("
+            "cast(split_part(ip,'.',1) AS bigint)*16777216 + cast(split_part(ip,'.',2) AS bigint)*65536 "
+            "+ cast(split_part(ip,'.',3) AS bigint)*256 + cast(split_part(ip,'.',4) AS bigint)) // 8388608 <> 21"
+            ") AS failed FROM v"
+        ),
+        "is_valid_language_code": (
+            f"SELECT doc_id, (CASE WHEN doc_id % 11 = 0 THEN 'xq' ELSE lang END) NOT IN ({lang_list}) AS failed FROM documents"
+        ),
+        "is_unique": (
+            "SELECT l_orderkey, l_linenumber, (count(*) OVER (PARTITION BY l_orderkey, l_linenumber)) > 1 AS failed FROM lineitem"
+        ),
+        "foreign_key": (
+            "SELECT l_orderkey, l_linenumber, l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey >= 100) AS failed FROM lineitem"
+        ),
+        "foreign_key_negate": (
+            "SELECT o_orderkey, o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey < 50) AS failed FROM orders"
+        ),
+        "sql_query": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_orderkey IN ("
+            "SELECT li.l_orderkey FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey "
+            "WHERE li.l_shipdate < o.o_orderdate) AS failed FROM lineitem l"
+        ),
+        "is_aggr_not_greater_than_grouped": (
+            "SELECT p_partkey, (max(p_retailprice) OVER (PARTITION BY p_brand)) > 997.0 AS failed FROM part"
+        ),
+        "is_aggr_not_greater_than_global": (
+            "SELECT l_orderkey, l_linenumber, (SELECT count(*) FROM lineitem) > 1000 AS failed FROM lineitem"
+        ),
+        "is_aggr_equal_tolerance": (
+            "SELECT l_orderkey, l_linenumber, NOT (abs((SELECT avg(l_quantity) FROM lineitem) - 25.5) "
+            "<= 0.05 * greatest(abs((SELECT avg(l_quantity) FROM lineitem)), 25.5)) AS failed FROM lineitem"
+        ),
+        "aggr_matches_dataset": (
+            "SELECT l_orderkey, l_linenumber, "
+            "(SELECT count(DISTINCT l_orderkey) FROM lineitem) <> (SELECT count(o_orderkey) FROM orders) AS failed FROM lineitem"
+        ),
+        "compare_datasets": (
+            "WITH ref AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN o_orderstatus || 'X' ELSE o_orderstatus END AS o_orderstatus, "
+            "o_totalprice FROM orders WHERE o_orderkey % 50 <> 0) "
+            "SELECT o.o_orderkey, (r.o_orderkey IS NULL OR o.o_orderstatus IS DISTINCT FROM r.o_orderstatus "
+            "OR o.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
+            "FROM orders o LEFT JOIN ref r ON o.o_orderkey = r.o_orderkey"
+        ),
+        "is_data_fresh_per_time_window": (
+            "SELECT event_id, (count(*) OVER (PARTITION BY floor(epoch(ts) / 3600))) < 5 AS failed FROM events"
+        ),
+        "has_no_gaps_per_time_window": (
+            "WITH occ AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events), "
+            "flags AS (SELECT user_id, d, lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd FROM occ) "
+            "SELECT e.event_id, coalesce(f.nd IS NOT NULL AND epoch(f.nd) - epoch(f.d) > 86400, false) AS failed "
+            "FROM events e LEFT JOIN flags f ON e.user_id = f.user_id AND date_trunc('day', e.ts) = f.d"
+        ),
+        "has_no_aggr_outliers": (
+            "WITH pb AS (SELECT date_trunc('day', ts) AS b, avg(value) AS m FROM events GROUP BY 1), "
+            "st AS (SELECT b, m, avg(m) OVER w AS mu, stddev_pop(m) OVER w AS sd, count(m) OVER w AS n FROM pb "
+            "WINDOW w AS (ORDER BY b ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+            "flags AS (SELECT b, (n >= 5 AND sd IS NOT NULL AND abs(m - mu) > 2.5 * sd) AS failed FROM st) "
+            "SELECT e.event_id, coalesce(f.failed, false) AS failed FROM events e LEFT JOIN flags f ON date_trunc('day', e.ts) = f.b"
+        ),
+        "has_no_outliers": (
+            "WITH s AS (SELECT median(o_totalprice) AS med, median(abs(o_totalprice - (SELECT median(o_totalprice) FROM orders))) AS mad FROM orders) "
+            "SELECT o_orderkey, (o_totalprice < med - 3.5 * mad OR o_totalprice > med + 3.5 * mad) AS failed FROM orders, s"
+        ),
+        "has_valid_schema": "SELECT o_orderkey, false AS failed FROM orders",
+    }

@@ -175,8 +175,15 @@ class DQEngine:
 
     def _skip_reason(self, rule: DQRule, df: DataFrame) -> str | None:
         """Plan-only validation: unresolvable column/filter => structured skip,
-        not a run failure (reference manager.py:195-215, 323-356)."""
+        not a run failure (reference manager.py:195-215, 323-356).
+
+        Fast path: a bare identifier already present in df.columns needs no
+        analyzer probe — each probe is a py4j round trip, and N rules × M
+        columns of them dominate plan-build time."""
+        existing = set(df.columns)
         for col_str in rule.columns_as_strings:
+            if col_str in existing:
+                continue
             if not _is_resolvable(df, col_str):
                 return f"column '{col_str}' is not found in the input"
         if rule.filter and not _is_resolvable(df, rule.filter):

@@ -730,10 +730,14 @@ def has_no_gaps_per_time_window(
                 ),
             ).alias(msg_col),
         )
-        cond = bucket.eqNullSafe(flags[bucket_col])
+        # F.window is unresolvable inside a join condition — materialize the
+        # row-side bucket as a column first, then join on it.
+        row_bucket = f"__dq_gap_rowb_{sfx}"
+        with_bucket = df.withColumn(row_bucket, bucket)
+        cond = with_bucket[row_bucket].eqNullSafe(flags[bucket_col])
         for g, t in zip(groups, tmp):
             cond = cond & g.eqNullSafe(flags[t])
-        return df.join(flags, on=cond, how="left").drop(bucket_col, *tmp)
+        return with_bucket.join(flags, on=cond, how="left").drop(bucket_col, row_bucket, *tmp)
 
     return _lift(msg_col, alias), apply
 
