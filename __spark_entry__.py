@@ -24,6 +24,8 @@ from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
 from dqx_spark.engine import ExtraParams
 from dqx_spark.functions.iso_codes import LANGUAGE_CODES
 from dqx_spark.functions.row_checks import EMAIL_REGEX
+from dqx_spark.pipeline import dedup, multimodal, similarity, text
+from dqx_spark.pipeline.text import LANG_STOPWORDS
 
 RUN_TS = "2024-06-01 00:00:00"
 
@@ -363,6 +365,101 @@ def q_has_valid_schema(spark, sf):
     return _apply_one(df, rule, ["o_orderkey"])
 
 
+# ---------------------------------------------------------------------------
+# pipeline extension queries (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+def q_text_token_count(spark, sf):
+    df = _read(spark, sf, "documents")
+    return df.select("doc_id", text.token_count("text").cast("bigint").alias("tc"))
+
+
+def q_text_fingerprint(spark, sf):
+    df = _read(spark, sf, "documents")
+    return df.select("doc_id", text.doc_fingerprint("text").alias("fp"))
+
+
+def q_text_quality(spark, sf):
+    # rows-only: composite heuristic, not SQL-replicated
+    df = _read(spark, sf, "documents")
+    return df.select("doc_id", text.quality_score("text").alias("q"), text.bpe_ish_token_count("text").alias("btc"))
+
+
+def q_lang_id(spark, sf):
+    df = _read(spark, sf, "documents")
+    return df.select("doc_id", text.lang_id("text").alias("predicted"))
+
+
+def q_dedup_exact(spark, sf):
+    base = _read(spark, sf, "documents").select("doc_id", "text")
+    # inject exact duplicates: re-add every 25th doc under a shifted id
+    dup = base.where(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    out = dedup.exact_duplicates(base.union(dup), "doc_id", text_col="text")
+    return out.select("doc_id", "is_duplicate").orderBy("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    df = _read(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None)
+    return pairs.select("id_a", "id_b", "common", "size_a", "size_b")
+
+
+def q_dedup_minhash(spark, sf):
+    # rows-only: LSH candidate generation is probabilistic by construction
+    df = _read(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=64, bands=16, shingle_k=5, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    # rows-only: xxhash64 has no DuckDB twin
+    df = _read(spark, sf, "documents")
+    return dedup.simhash_duplicate_pairs(df, "doc_id", "text", max_hamming=3).select("id_a", "id_b", "hamming")
+
+
+def q_dedup_groups(spark, sf):
+    df = _read(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None)
+    groups = dedup.connected_components(pairs, df.select(F.col("doc_id").alias("id")))
+    return groups.select(F.col("id").alias("doc_id"), "group_id")
+
+
+def q_embedding_dup_pairs(spark, sf):
+    df = _read(spark, sf, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.45, num_planes=None)
+    return pairs.select("id_a", "id_b")
+
+
+def q_embedding_topk(spark, sf):
+    df = _read(spark, sf, "embeddings")
+    qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=10).select("id", "rank")
+
+
+def q_ann_lsh_topk(spark, sf):
+    # rows-only: approximate by construction
+    df = _read(spark, sf, "embeddings")
+    qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10, num_planes=6).select("id", "rank")
+
+
+def q_multimodal_metadata(spark, sf):
+    df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
+    out = multimodal.attach_media_metadata(df, "content")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    # rows-only: stubbed decode plumbing — checks batch shape + schema
+    df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
+    feats = multimodal.image_features(df, "content", "doc_id", dim=16)
+    return feats.select("doc_id", F.size("features").alias("n_features"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "is_not_null_and_not_empty": q_is_not_null_and_not_empty,
@@ -393,7 +490,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_no_aggr_outliers": q_aggr_outliers,
         "has_no_outliers": q_mad_outliers,
         "has_valid_schema": q_has_valid_schema,
+        # pipeline extensions
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_cosine_topk": q_embedding_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_features": q_multimodal_features,
     }
+
+
+_NGRAM_PAIRS_SQL = (
+    r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1), "
+    "i -> array_to_string(toks[i:i+4], ' ')))) s FROM t), "
+    "sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), "
+    "cm AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) common FROM sh a JOIN sh b "
+    "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+)
+
+
+def _lang_id_oracle() -> str:
+    """Programmatically mirror text.lang_id in DuckDB SQL (same stopword
+    sets, same tie-break order, same CJK overrides)."""
+    hit_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_exprs.append(f"len(list_filter(toks, t -> list_contains({arr}, t))) AS h_{lang}")
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case_best = "CASE " + " ".join(f"WHEN h_{la} = gmax THEN '{la}'" for la in langs) + " END"
+    return (
+        r"WITH t AS (SELECT doc_id, coalesce(text,'') AS text, "
+        r"string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS toks, "
+        "length(coalesce(text,'')) AS n FROM documents), "
+        f"h AS (SELECT doc_id, text, n, toks, {', '.join(hit_exprs)} FROM t), "
+        f"g AS (SELECT *, {greatest} AS gmax FROM h) "
+        "SELECT doc_id, CASE WHEN n = 0 THEN 'und' "
+        "WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) > n * 0.1 THEN 'ja' "
+        "WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) > n * 0.1 THEN 'ko' "
+        "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > n * 0.2 THEN 'zh' "
+        f"WHEN len(toks) > 0 AND gmax > 0 THEN {case_best} "
+        "ELSE 'und' END AS predicted FROM g"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -505,4 +652,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, (o_totalprice < med - 3.5 * mad OR o_totalprice > med + 3.5 * mad) AS failed FROM orders, s"
         ),
         "has_valid_schema": "SELECT o_orderkey, false AS failed FROM orders",
+        # pipeline extensions
+        "text_token_count": (
+            r"SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS tc FROM documents"
+        ),
+        "text_fingerprint": (
+            r"SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents"
+        ),
+        "lang_id": _lang_id_oracle(),
+        "dedup_exact": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0), "
+            r"k AS (SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) h FROM base), "
+            "c AS (SELECT h, count(*) cnt FROM k GROUP BY h) "
+            "SELECT doc_id, cnt > 1 AS is_duplicate FROM k JOIN c USING (h) ORDER BY doc_id"
+        ),
+        "dedup_ngram_jaccard": (
+            _NGRAM_PAIRS_SQL
+            + "SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b "
+            "FROM cm JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+            "WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5"
+        ),
+        "dedup_groups": (
+            "WITH RECURSIVE "
+            + _NGRAM_PAIRS_SQL[5:]  # strip leading 'WITH '
+            + ", pairs AS (SELECT id_a, id_b FROM cm JOIN sizes sa ON id_a = sa.doc_id "
+            "JOIN sizes sb ON id_b = sb.doc_id WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5), "
+            "edges AS (SELECT id_a s, id_b d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
+            "SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"
+        ),
+        "embedding_dup_pairs": (
+            "SELECT a.vec_id id_a, b.vec_id id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        ),
+        "embedding_cosine_topk": (
+            "WITH qv AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) s FROM embeddings) "
+            "SELECT vec_id AS id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank FROM scored ORDER BY s DESC, vec_id LIMIT 10"
+        ),
+        "multimodal_metadata": (
+            "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, sha256(text) AS sha FROM documents"
+        ),
     }

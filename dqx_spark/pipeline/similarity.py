@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k for one query vector: a single
+  projected scan + ``orderBy(...).limit(k)`` (Spark executes TakeOrdered —
+  per-partition heaps, no full sort shuffle).
+* ``cosine_topk_per_query`` — batch of queries: broadcast the (small) query
+  side, window row_number per query.
+* ``ann_lsh_topk`` — the 100 TB path: sign-LSH bucket the corpus once,
+  probe only the query's bucket (plus optional multi-probe neighbors),
+  exact-rerank inside the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dqx_spark.pipeline.dedup import _cosine, _hyperplane_bucket
+
+__all__ = ["cosine_similarity_col", "cosine_topk", "cosine_topk_per_query", "ann_lsh_topk"]
+
+
+def cosine_similarity_col(vec_col: Column, query: list[float]) -> Column:
+    """Cosine similarity of an array column against a literal query vector —
+    JVM-side zip_with/aggregate, no UDF."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return _cosine(vec_col.cast("array<double>"), q)
+
+
+def cosine_topk(df: DataFrame, query: list[float], vec_col: str, id_col: str, k: int = 10) -> DataFrame:
+    """Exact top-k: (id, rank) ordered by cosine desc, id asc (deterministic
+    tiebreak).  TakeOrdered — no global sort."""
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        cosine_similarity_col(F.col(vec_col), query).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("id", "rank", "score")
+
+
+def cosine_topk_per_query(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, id, rank) for each query's exact top-k.  The query side is
+    broadcast; ranking is a per-query window over the scored join."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).cast("array<double>").alias("qvec")
+    )
+    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
+    scored = corpus.join(F.broadcast(q)).withColumn("score", _cosine(F.col("vec"), F.col("qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "score")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact rerank to the corpus rows whose
+    sign-LSH bucket is within ``multiprobe`` bit flips of the query's bucket.
+    Bucketing is a deterministic Column expression, so the bucketed corpus
+    can be precomputed/partitioned once and reused across queries."""
+    corpus = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bucket", _hyperplane_bucket(F.col("vec"), num_planes, seed))
+
+    # query bucket computed the same way, driver-side arithmetic-free:
+    # evaluate the same expression on a 1-row frame
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(query,)], f"v array<double>")
+    qbucket = qdf.select(_hyperplane_bucket(F.col("v"), num_planes, seed).alias("b")).collect()[0]["b"]
+
+    probe_buckets = {qbucket}
+    if multiprobe > 0:
+        for bit in range(num_planes):
+            probe_buckets.add(qbucket ^ (1 << bit))
+    cand = corpus.where(F.col("bucket").isin(*probe_buckets))
+    scored = cand.withColumn("score", cosine_similarity_col(F.col("vec"), query))
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("id", "rank", "score")

@@ -1,0 +1,161 @@
+"""Pipeline-operator tests: dedup families, similarity search, text
+analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast tonight"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast today"),  # near-dup of 0
+        (2, "der schnelle braune fuchs springt über den faulen hund und rennt weg"),
+        (3, "completely different content about spark dataframes and shuffle partitions here"),
+        (4, "the quick brown fox jumps over the lazy dog and runs away fast tonight"),  # exact dup of 0
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs, "id", text_col="text")
+    flags = {r["id"]: r["is_duplicate"] for r in out.collect()}
+    assert flags[0] and flags[4]
+    assert not flags[1] and not flags[3]
+    kept = dedup.drop_exact_duplicates(docs, "id", text_col="text")
+    ids = {r["id"] for r in kept.select("id").collect()}
+    assert 0 in ids and 4 not in ids
+    assert len(ids) == 5
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "id", "text", k=3, threshold=0.5).collect()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in pairset  # identical
+    assert (0, 1) in pairset  # near-dup
+    assert all(p[1] != 3 and p[0] != 3 for p in pairset)
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 4)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_lsh(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.5)
+    pairset = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert pairset[(0, 4)] == 1.0  # identical docs always collide
+    assert (0, 1) in pairset  # near-dup should be found at jaccard ~0.8
+
+
+def test_simhash(docs, spark):
+    pairs = dedup.simhash_duplicate_pairs(docs, "id", "text", max_hamming=3)
+    pairset = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert pairset[(0, 4)] == 0
+    # simhash is deterministic across runs
+    a = sorted(dedup.simhash64(docs, "id", "text").collect())
+    b = sorted(dedup.simhash64(docs, "id", "text").collect())
+    assert a == b
+
+
+def test_connected_components(docs):
+    groups = dedup.near_duplicate_groups(docs, "id", "text", method="ngram", threshold=0.5, k=3)
+    label = {r["id"]: r["group_id"] for r in groups.collect()}
+    assert label[0] == label[1] == label[4] == 0
+    assert label[3] == 3 and label[2] == 2
+
+
+def test_embedding_pairs_and_topk(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    exact = dedup.embedding_cosine_pairs(df, "id", "vec", threshold=0.95, num_planes=None)
+    pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert pairs == {(0, 1)}
+    lsh = dedup.embedding_cosine_pairs(df, "id", "vec", threshold=0.95, num_planes=4)
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+
+    top = similarity.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], "vec", "id", k=3).collect()
+    assert [r["id"] for r in top] == [0, 1, 4]
+    assert abs(top[2]["score"] - math.cos(math.pi / 4)) < 1e-9
+
+    ann = similarity.ann_lsh_topk(df, [1.0, 0.0, 0.0, 0.0], "vec", "id", k=2, num_planes=4)
+    assert [r["id"] for r in ann.collect()][0] == 0
+
+
+def test_topk_per_query(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)], "id long, vec array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0]), (101, [0.0, 0.0, 0.1, 1.0])], "qid long, qvec array<double>"
+    )
+    out = similarity.cosine_topk_per_query(corpus, queries, "vec", "id", "qvec", "qid", k=1).collect()
+    best = {r["query_id"]: r["id"] for r in out}
+    assert best == {100: 0, 101: 3}
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox jumps over the lazy dog."),
+            (1, "der die das und ist nicht ein"),
+            (2, "你好世界这是一个测试文档内容"),
+            (3, ""),
+            (4, "le chat est sur la table et il ne veut pas descendre"),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        text.token_count("t").alias("tc"),
+        text.lang_id("t").alias("lang"),
+        text.quality_score("t").alias("q"),
+        text.doc_fingerprint("t").alias("fp"),
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[0]["tc"] == 9
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["lang"] == "zh"
+    assert rows[3]["lang"] == "und"
+    assert rows[4]["lang"] == "fr"
+    assert rows[3]["tc"] == 0
+    assert 0 <= rows[0]["q"] <= 1
+    import hashlib
+
+    expected = hashlib.md5("the quick brown fox jumps over the lazy dog.".encode()).hexdigest()
+    assert rows[0]["fp"] == expected
+
+
+def test_multimodal_plumbing(spark):
+    jpeg = bytes.fromhex("FFD8FF") + b"fakejpegdata" * 100
+    png = bytes.fromhex("89504E47") + b"fakepngdata" * 200
+    df = spark.createDataFrame([(0, jpeg), (1, png), (2, None)], "id long, content binary")
+
+    meta = multimodal.attach_media_metadata(df, "content").collect()
+    m = {r["id"]: r["media_meta"] for r in meta}
+    assert m[0]["mime"] == "image/jpeg"
+    assert m[1]["mime"] == "image/png"
+    assert m[2]["mime"] is None
+    assert m[0]["size_bytes"] == len(jpeg)
+
+    decoded = multimodal.decode_image(df, "content", "id").collect()
+    d = {r["id"]: r for r in decoded}
+    assert d[0]["decode_ok"] in (True, False)  # depends on PIL availability
+    assert d[2]["decode_ok"] is False
+
+    feats = multimodal.image_features(df, "content", "id", dim=16).collect()
+    f = {r["id"]: r["features"] for r in feats}
+    assert len(f[0]) == 16 and f[2] is None
+    assert all(0 <= v <= 1 for v in f[0])
+
+    frames = multimodal.sample_video_frames(df, "content", "id", every_n=1).collect()
+    assert {r["id"] for r in frames} == {0, 1}
