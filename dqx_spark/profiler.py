@@ -1,0 +1,238 @@
+"""Profiler: infer data-quality rule candidates from data.
+
+Semantics derived from the reference ``profiler/profiler.py`` (sampling,
+summary stats, per-column metrics, nested struct flattening),
+``profiler/profile_builder.py`` (builder chain: null/empty -> is_in ->
+min_max -> outliers) and ``profiler/generator.py`` (profile -> rule
+metadata).  All statistics come from Spark aggregates — one ``summary()``
+pass plus one aggregate pass per profiled batch of columns; approximate
+quantiles for outlier bands.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class DQProfile:
+    """A rule candidate inferred from data (reference profiler/profile.py:10-17)."""
+
+    name: str
+    column: str
+    description: str | None = None
+    parameters: dict[str, Any] = field(default_factory=dict)
+    filter: str | None = None
+
+
+DEFAULT_OPTIONS: dict[str, Any] = {
+    "sample_fraction": 0.3,
+    "sample_seed": 42,
+    "limit": 1000,
+    "round": True,
+    "max_in_count": 10,          # emit is_in_list when distinct <= this
+    "distinct_ratio": 0.05,      # ...and distinct/count below this
+    "max_null_ratio": 0.01,      # emit is_not_null when null ratio below this
+    "remove_outliers": True,     # min/max from trimmed quantiles
+    "outlier_columns": [],       # restrict outlier profiling; [] = all numeric
+    "num_sigmas": 3.0,
+    "trim_strings": True,
+    "max_empty_ratio": 0.01,
+}
+
+_NUMERIC_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def flatten_fields(schema: T.StructType, prefix: str = "") -> list[tuple[str, T.DataType]]:
+    """Recursive struct walk -> dotted field names
+    (reference profiler/profiler.py:620-638)."""
+    out: list[tuple[str, T.DataType]] = []
+    for f_ in schema.fields:
+        name = f"{prefix}{f_.name}"
+        if isinstance(f_.dataType, T.StructType):
+            out.extend(flatten_fields(f_.dataType, prefix=f"{name}."))
+        else:
+            out.append((name, f_.dataType))
+    return out
+
+
+class DQProfiler:
+    """profile(df) -> (summary_stats, [DQProfile])."""
+
+    def __init__(self, options: dict[str, Any] | None = None):
+        self.options = {**DEFAULT_OPTIONS, **(options or {})}
+
+    def _sample(self, df: DataFrame) -> DataFrame:
+        opts = self.options
+        if opts.get("filter"):
+            df = df.filter(opts["filter"])
+        if opts.get("sample_fraction") and opts["sample_fraction"] < 1.0:
+            df = df.sample(fraction=opts["sample_fraction"], seed=opts.get("sample_seed", 42))
+        if opts.get("limit"):
+            df = df.limit(int(opts["limit"]))
+        return df
+
+    def profile(
+        self, df: DataFrame, columns: list[str] | None = None
+    ) -> tuple[dict[str, dict[str, Any]], list[DQProfile]]:
+        sample = self._sample(df)
+        fields = flatten_fields(df.schema)
+        if columns:
+            wanted = set(columns)
+            fields = [(n, t) for n, t in fields if n in wanted]
+
+        # one aggregate pass for all per-column metrics
+        aggs: list = [F.count(F.lit(1)).alias("__total")]
+        for name, dtype in fields:
+            col = F.col(name)
+            safe = name.replace(".", "__")
+            aggs.append(F.count(col).alias(f"{safe}__count"))
+            aggs.append(F.approx_count_distinct(col).alias(f"{safe}__distinct"))
+            if isinstance(dtype, T.StringType):
+                aggs.append(F.count(F.when(F.trim(col) == "", 1)).alias(f"{safe}__empty"))
+            if isinstance(dtype, _NUMERIC_TYPES):
+                aggs.extend(
+                    [
+                        F.min(col).alias(f"{safe}__min"),
+                        F.max(col).alias(f"{safe}__max"),
+                        F.avg(col).alias(f"{safe}__mean"),
+                        F.stddev(col).alias(f"{safe}__stddev"),
+                    ]
+                )
+            if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                aggs.extend([F.min(col).alias(f"{safe}__min"), F.max(col).alias(f"{safe}__max")])
+        row = sample.agg(*aggs).collect()[0].asDict()
+        total = row["__total"]
+
+        # trimmed quantiles for numeric outlier bands, one approxQuantile call
+        numeric = [n for n, t in fields if isinstance(t, _NUMERIC_TYPES)]
+        if self.options["outlier_columns"]:
+            numeric = [n for n in numeric if n in set(self.options["outlier_columns"])]
+        quantiles: dict[str, list[float]] = {}
+        if numeric and self.options["remove_outliers"]:
+            flat = sample.select([F.col(n).cast("double").alias(n.replace(".", "__")) for n in numeric])
+            qs = flat.approxQuantile([n.replace(".", "__") for n in numeric], [0.01, 0.25, 0.5, 0.75, 0.99], 0.01)
+            quantiles = dict(zip(numeric, qs))
+
+        stats: dict[str, dict[str, Any]] = {}
+        profiles: list[DQProfile] = []
+        for name, dtype in fields:
+            safe = name.replace(".", "__")
+            col_stats = {k[len(safe) + 2 :]: v for k, v in row.items() if k.startswith(f"{safe}__")}
+            col_stats["total"] = total
+            col_stats["null_count"] = total - (col_stats.get("count") or 0)
+            if name in quantiles:
+                col_stats["quantiles"] = quantiles[name]
+            stats[name] = col_stats
+            profiles.extend(self._build_profiles(name, dtype, col_stats, total))
+        return stats, profiles
+
+    # builder chain order mirrors the reference: null/empty -> is_in ->
+    # min_max/outliers (profile_builder.py:44-54)
+    def _build_profiles(self, name: str, dtype: T.DataType, s: dict[str, Any], total: int) -> list[DQProfile]:
+        out: list[DQProfile] = []
+        if total == 0:
+            return out
+        opts = self.options
+        null_ratio = s["null_count"] / total
+        if null_ratio <= opts["max_null_ratio"]:
+            if isinstance(dtype, T.StringType) and (s.get("empty") or 0) / total <= opts["max_empty_ratio"]:
+                out.append(
+                    DQProfile(
+                        "is_not_null_and_not_empty",
+                        name,
+                        f"null+empty ratio {(null_ratio + (s.get('empty') or 0) / total):.4f} below threshold",
+                        {"trim_strings": opts["trim_strings"]},
+                    )
+                )
+            else:
+                out.append(DQProfile("is_not_null", name, f"null ratio {null_ratio:.4f} below threshold"))
+        distinct = s.get("distinct") or 0
+        cnt = s.get("count") or 0
+        if (
+            isinstance(dtype, (T.StringType, T.IntegerType, T.LongType, T.ShortType))
+            and 0 < distinct <= opts["max_in_count"]
+            and cnt > 0
+            and distinct / cnt <= opts["distinct_ratio"]
+        ):
+            out.append(DQProfile("is_in_list", name, f"{distinct} distinct values", {"needs_values": True}))
+        if "min" in s and s.get("min") is not None and s.get("max") is not None:
+            lo, hi = s["min"], s["max"]
+            if "quantiles" in s and opts["remove_outliers"]:
+                q = s["quantiles"]
+                p01, p99 = q[0], q[4]
+                if p01 is not None and p99 is not None and p01 < p99:
+                    lo, hi = p01, p99
+            out.append(
+                DQProfile(
+                    "min_max",
+                    name,
+                    "range inferred from sample" + (" (outlier-trimmed)" if "quantiles" in s else ""),
+                    {"min": lo, "max": hi},
+                )
+            )
+        return out
+
+
+def resolve_in_list_values(df: DataFrame, profiles: list[DQProfile], max_in_count: int = 10) -> None:
+    """Fill actual value lists for is_in_list candidates (one distinct pass
+    per flagged column, bounded by max_in_count+1)."""
+    for p in profiles:
+        if p.name == "is_in_list" and p.parameters.get("needs_values"):
+            values = [r[0] for r in df.select(p.column).where(F.col(p.column).isNotNull()).distinct().limit(max_in_count + 1).collect()]
+            if len(values) <= max_in_count:
+                p.parameters = {"allowed": sorted(values)}
+            else:
+                p.parameters = {"dropped": True}
+
+
+def generate_rules(profiles: list[DQProfile], criticality: str = "error") -> list[dict]:
+    """Profiles -> check metadata dicts (reference profiler/generator.py:71-105)."""
+    rules: list[dict] = []
+    for p in profiles:
+        if p.name == "is_not_null":
+            check = {"function": "is_not_null", "arguments": {"column": p.column}}
+        elif p.name == "is_not_null_and_not_empty":
+            check = {
+                "function": "is_not_null_and_not_empty",
+                "arguments": {"column": p.column, "trim_strings": bool(p.parameters.get("trim_strings", True))},
+            }
+        elif p.name == "is_in_list":
+            allowed = p.parameters.get("allowed")
+            if not allowed:
+                continue
+            check = {"function": "is_in_list", "arguments": {"column": p.column, "allowed": allowed}}
+        elif p.name == "min_max":
+            check = {
+                "function": "is_in_range",
+                "arguments": {"column": p.column, "min_limit": p.parameters["min"], "max_limit": p.parameters["max"]},
+            }
+        else:
+            continue
+        rule = {"criticality": criticality, "check": check}
+        if p.filter:
+            rule["filter"] = p.filter
+        rules.append(rule)
+    return rules
+
+
+def generate_dlt_expectations(profiles: list[DQProfile]) -> list[str]:
+    """SQL CONSTRAINT ... EXPECT strings (reference profiler/dlt_generator.py)."""
+    out = []
+    for p in profiles:
+        c = p.column
+        if p.name in ("is_not_null", "is_not_null_and_not_empty"):
+            out.append(f"CONSTRAINT {c}_is_not_null EXPECT ({c} IS NOT NULL)")
+        elif p.name == "is_in_list" and p.parameters.get("allowed"):
+            vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in p.parameters["allowed"])
+            out.append(f"CONSTRAINT {c}_is_in_list EXPECT ({c} IN ({vals}))")
+        elif p.name == "min_max":
+            out.append(
+                f"CONSTRAINT {c}_in_range EXPECT ({c} BETWEEN {p.parameters['min']} AND {p.parameters['max']})"
+            )
+    return out

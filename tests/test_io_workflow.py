@@ -1,0 +1,123 @@
+"""E2E runner, metrics, and streaming micro-batch parity tests."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+import dqx_spark.functions as C
+from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
+from dqx_spark.engine import ExtraParams
+from dqx_spark.io import InputConfig, OutputConfig, RunConfig
+from dqx_spark.metrics import DQMetricsObserver, compute_summary_metrics_lazy
+from dqx_spark.serde import save_checks_to_file, serialize_checks, validate_checks
+from dqx_spark.streaming import apply_checks_streaming
+from dqx_spark.workflow import apply_checks_and_save_in_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+RUN_TS = "2024-06-01 00:00:00"
+
+
+def test_e2e_run_with_quarantine_and_metrics(spark, tmp_path):
+    checks = [
+        {"criticality": "error", "check": {"function": "is_unique", "arguments": {"columns": ["l_orderkey", "l_linenumber"]}}},
+        {"criticality": "warn", "check": {"function": "is_in_range", "arguments": {"column": "l_quantity", "min_limit": 5, "max_limit": 45}}},
+    ]
+    checks_path = str(tmp_path / "checks.json")
+    with open(checks_path, "w") as fh:
+        json.dump(checks, fh)
+
+    rc = RunConfig(
+        name="lineitem_run",
+        input_config=InputConfig(location=f"{SF_DIR}/lineitem.parquet"),
+        output_config=OutputConfig(location=str(tmp_path / "good"), mode="overwrite"),
+        quarantine_config=OutputConfig(location=str(tmp_path / "bad"), mode="overwrite"),
+        metrics_config=OutputConfig(location=str(tmp_path / "metrics"), mode="overwrite"),
+        checks_location=checks_path,
+    )
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="e2e"))
+    metrics = apply_checks_and_save_in_table(spark, rc, engine=engine)
+
+    total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    good = spark.read.parquet(str(tmp_path / "good"))
+    bad = spark.read.parquet(str(tmp_path / "bad"))
+    assert good.count() + bad.where(F.col("_errors").isNotNull()).count() == total
+    assert "_errors" not in good.columns and "_errors" in bad.columns
+
+    assert metrics["input_row_count"] == total
+    assert metrics["error_row_count"] == bad.where(F.col("_errors").isNotNull()).count()
+    saved = spark.read.parquet(str(tmp_path / "metrics"))
+    names = {r["metric_name"] for r in saved.collect()}
+    assert {"input_row_count", "error_row_count", "warning_row_count", "valid_row_count"} <= names
+
+
+def test_lazy_metrics(spark, lineitem):
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    checked = engine.apply_checks(lineitem, [DQRowRule(check_func=C.is_not_null, column="l_orderkey")])
+    lazy = compute_summary_metrics_lazy(checked, DQMetricsObserver())
+    vals = {r["metric_name"]: int(r["metric_value"]) for r in lazy.collect()}
+    assert vals["input_row_count"] == lineitem.count()
+    assert vals["error_row_count"] == 0
+
+
+def test_streaming_micro_batch_parity(spark, lineitem, tmp_path):
+    """FIXTURES F4: readStream + availableNow + foreachBatch == batch."""
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="stream"))
+    checks = [
+        DQRowRule(check_func=C.is_in_range, column="l_quantity", check_func_kwargs={"min_limit": 5, "max_limit": 45}),
+        DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"]),
+    ]
+    # the file streaming source requires a directory
+    src_dir = str(tmp_path / "src")
+    import shutil
+
+    os.makedirs(src_dir)
+    shutil.copy(f"{SF_DIR}/lineitem.parquet", src_dir)
+    stream = spark.readStream.schema(lineitem.schema).parquet(src_dir)
+    out_dir = str(tmp_path / "stream_out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = apply_checks_streaming(
+        engine, stream, checks, sink,
+        trigger={"availableNow": True},
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = engine.apply_checks(lineitem, checks)
+    assert streamed.count() == batch.count()
+    # single micro-batch over one file: identical error counts
+    assert (
+        streamed.where(F.col("_errors").isNotNull()).count()
+        == batch.where(F.col("_errors").isNotNull()).count()
+    )
+
+
+def test_serde_round_trip(spark):
+    rules = [
+        DQRowRule(check_func=C.is_not_null, column="a", criticality="warn", filter="b > 0"),
+        DQDatasetRule(check_func=C.is_unique, columns=["a", "b"], user_metadata={"team": "core"}),
+    ]
+    dicts = serialize_checks(rules)
+    assert validate_checks(dicts).has_errors is False
+    from dqx_spark.serde import deserialize_checks
+
+    back = deserialize_checks(dicts)
+    assert [r.name for r in back] == [r.name for r in rules]
+    assert [r.fingerprint() for r in back] == [r.fingerprint() for r in rules]
+    assert back[0].filter == "b > 0"
+
+
+def test_validate_checks_errors(spark):
+    bad = [
+        {"criticality": "fatal", "check": {"function": "is_not_null", "arguments": {"column": "x"}}},
+        {"check": {"function": "no_such_check"}},
+        {"check": {"function": "is_in_list", "arguments": {"column": "x", "bogus_arg": 1}}},
+    ]
+    status = validate_checks(bad)
+    assert status.has_errors
+    text = str(status)
+    assert "fatal" in text and "no_such_check" in text and "bogus_arg" in text
