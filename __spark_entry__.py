@@ -358,6 +358,15 @@ def q_mad_outliers(spark, sf):
     return _apply_one(df, rule, ["o_orderkey"])
 
 
+def q_row_anomalies(spark, sf):
+    df = _read(spark, sf, "orders")
+    rule = DQDatasetRule(
+        check_func=C.has_no_row_anomalies,
+        check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "threshold": 1.25},
+    )
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
 def q_has_valid_schema(spark, sf):
     df = _read(spark, sf, "orders")
     ddl = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
@@ -489,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_no_gaps_per_time_window": q_gaps_per_window,
         "has_no_aggr_outliers": q_aggr_outliers,
         "has_no_outliers": q_mad_outliers,
+        "has_no_row_anomalies": q_row_anomalies,
         "has_valid_schema": q_has_valid_schema,
         # pipeline extensions
         "text_token_count": q_text_token_count,
@@ -650,6 +660,14 @@ def oracle_sql() -> dict[str, str]:
         "has_no_outliers": (
             "WITH s AS (SELECT median(o_totalprice) AS med, median(abs(o_totalprice - (SELECT median(o_totalprice) FROM orders))) AS mad FROM orders) "
             "SELECT o_orderkey, (o_totalprice < med - 3.5 * mad OR o_totalprice > med + 3.5 * mad) AS failed FROM orders, s"
+        ),
+        "has_no_row_anomalies": (
+            "WITH s AS (SELECT median(o_totalprice) m1, mad(o_totalprice) d1, "
+            "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders) "
+            "SELECT o_orderkey, greatest("
+            "CASE WHEN d1 > 0 THEN 0.6745 * abs(o_totalprice - m1) / d1 ELSE 0 END, "
+            "CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > 1.25 AS failed "
+            "FROM orders, s"
         ),
         "has_valid_schema": "SELECT o_orderkey, false AS failed FROM orders",
         # pipeline extensions

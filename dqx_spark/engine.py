@@ -188,6 +188,8 @@ class DQEngine:
                 return f"column '{col_str}' is not found in the input"
         if rule.filter and not _is_resolvable(df, rule.filter):
             return f"filter '{rule.filter}' cannot be resolved on the input"
+        if rule.message_expr and not _is_resolvable(df, rule.message_expr):
+            return f"message_expr '{rule.message_expr}' cannot be resolved on the input"
         return None
 
     def _result_struct(self, rule: DQRule, condition: Column, set_fp: str, skipped: bool = False) -> Column:
@@ -208,9 +210,14 @@ class DQEngine:
             if metadata
             else F.lit(None).cast("map<string,string>")
         )
+        message_val = condition.cast("string")
+        if rule.message_expr and not skipped:
+            # custom message expression, truncated to 500 chars
+            # (reference manager.py:247-274)
+            message_val = F.substring(F.expr(rule.message_expr).cast("string"), 1, 500)
         struct_col = F.struct(
             F.lit(rule.name).alias("name"),
-            condition.cast("string").alias("message"),
+            message_val.alias("message"),
             columns_lit.alias("columns"),
             F.lit(rule.filter).cast("string").alias("filter"),
             F.lit(rule.check_func.__name__).alias("function"),

@@ -51,6 +51,7 @@ __all__ = [
     "has_valid_schema",
     "has_no_outliers",
     "has_no_aggr_outliers",
+    "has_no_row_anomalies",
 ]
 
 #: Spark rejects DISTINCT aggregates over windows (reference check_funcs.py:78-81)
@@ -856,6 +857,71 @@ def has_no_outliers(column: str | Column, k: float = 3.5, approx: bool = False, 
             ),
         )
         return out.withColumn(msg_col, message).drop(med_col, mad_col)
+
+    return _lift(msg_col, alias), apply
+
+
+@register_rule("dataset")
+def has_no_row_anomalies(
+    columns: list[str],
+    threshold: float = 3.5,
+    approx: bool = False,
+    row_filter: str | None = None,
+):
+    """Multivariate row anomaly score without an ML dependency: the max
+    robust z-score (0.6745·|x−median|/MAD) across the given numeric columns;
+    rows above ``threshold`` are flagged with the worst column named.
+
+    The reference's anomaly module trains a sklearn IsolationForest on
+    driver-collected pandas (anomaly/core.py:45-243) — unavailable here and
+    driver-bound; this re-derivation keeps the same check surface
+    (dataset-level, per-row verdict + explanation) but stays fully
+    distributed: two lazy aggregate passes (medians, then MADs) broadcast
+    back via crossJoin, then a pure Column score.  ``approx=True`` switches
+    exact medians to percentile_approx for the 100 TB path."""
+    if not columns:
+        raise ValueError("columns must not be empty")
+    names = [normalize_col_str(c) for c in columns]
+    alias = f"{'_'.join(names)}_has_row_anomalies"
+    sfx = unique_suffix()
+    msg_col = f"__dq_anom_msg_{sfx}"
+    med_cols = [f"__dq_anom_med{i}_{sfx}" for i in range(len(columns))]
+    mad_cols = [f"__dq_anom_mad{i}_{sfx}" for i in range(len(columns))]
+
+    def apply(df: DataFrame) -> DataFrame:
+        pct = (lambda c: F.percentile_approx(c, 0.5)) if approx else F.median
+        cols = [to_col(c).cast("double") for c in columns]
+        meds = df.select(*[pct(filtered(c, row_filter)).alias(m) for c, m in zip(cols, med_cols)])
+        with_med = df.crossJoin(F.broadcast(meds))
+        mads = with_med.select(
+            *[
+                pct(F.abs(filtered(c, row_filter) - F.col(m))).alias(md)
+                for c, m, md in zip(cols, med_cols, mad_cols)
+            ],
+            *[F.first(m).alias(m) for m in med_cols],
+        )
+        out = df.crossJoin(F.broadcast(mads))
+
+        zscores = []
+        for c, m, md in zip(cols, med_cols, mad_cols):
+            z = F.when(F.col(md) > 0, F.lit(0.6745) * F.abs(c - F.col(m)) / F.col(md)).otherwise(F.lit(0.0))
+            zscores.append(F.coalesce(z, F.lit(0.0)))
+        worst = F.greatest(*zscores) if len(zscores) > 1 else zscores[0]
+        worst_name = F.lit(names[0])
+        for n, z in zip(names[1:], zscores[1:]):
+            worst_name = F.when(z >= worst, F.lit(n)).otherwise(worst_name)
+        fired = worst > F.lit(float(threshold))
+        if row_filter:
+            fired = F.expr(row_filter) & fired
+        message = F.when(
+            fired,
+            F.format_string(
+                f"Row anomaly score %s exceeds threshold {threshold} (worst column: %s)",
+                F.round(worst, 4).cast("string"),
+                worst_name,
+            ),
+        )
+        return out.withColumn(msg_col, message).drop(*med_cols, *mad_cols)
 
     return _lift(msg_col, alias), apply
 

@@ -103,6 +103,9 @@ class DQRule:
     check_func_args: tuple = ()
     check_func_kwargs: dict[str, Any] = field(default_factory=dict)
     user_metadata: dict[str, str] | None = None
+    #: optional custom failure message: SQL expression string, truncated to
+    #: 500 chars (reference rule.py:219-224, manager.py:247-274)
+    message_expr: str | None = None
 
     def __post_init__(self):
         if self.criticality not in (CRITICALITY_ERROR, CRITICALITY_WARN):
@@ -171,6 +174,8 @@ class DQRule:
             d["filter"] = self.filter
         if self.user_metadata:
             d["user_metadata"] = dict(self.user_metadata)
+        if self.message_expr:
+            d["message_expr"] = self.message_expr
         return d
 
     def fingerprint(self) -> str:

@@ -129,6 +129,7 @@ def deserialize_checks(
             name=check.get("name", ""),
             filter=check.get("filter"),
             user_metadata=check.get("user_metadata"),
+            message_expr=check.get("message_expr"),
         )
         for_each = block.get("for_each_column")
         if for_each:

@@ -17,6 +17,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", "/tmp/dqx_test_warehouse")
         .getOrCreate()
     )
     session.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,79 @@
+"""Checks storage backends, message_expr, row-anomaly check."""
+
+from pyspark.sql import functions as F
+
+import dqx_spark.functions as C
+from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
+from dqx_spark.checks_storage import FileChecksStorage, TableChecksStorage, checks_storage_factory
+from dqx_spark.engine import ExtraParams
+
+RUN_TS = "2024-06-01 00:00:00"
+
+CHECKS = [
+    {"criticality": "error", "check": {"function": "is_not_null", "arguments": {"column": "a"}}},
+    {"criticality": "warn", "name": "named", "filter": "b > 0",
+     "check": {"function": "is_in_list", "arguments": {"column": "c", "allowed": ["x", "y"]}}},
+]
+
+
+def test_file_storage_round_trip(tmp_path):
+    for ext in ("yaml", "json"):
+        path = str(tmp_path / f"checks.{ext}")
+        storage = FileChecksStorage(path)
+        storage.save(CHECKS)
+        assert storage.load() == CHECKS
+        storage.save([CHECKS[0]], mode="append")
+        assert len(storage.load()) == 3
+    assert isinstance(checks_storage_factory(None, path), FileChecksStorage)
+
+
+def test_table_storage_round_trip(spark, tmp_path):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS dq_checks_test")
+    shutil.rmtree("/tmp/dqx_test_warehouse/dq_checks_test", ignore_errors=True)
+    storage = TableChecksStorage(spark, "dq_checks_test", run_config_name="rc1")
+    storage.save(CHECKS)
+    loaded = storage.load()
+    assert len(loaded) == 2
+    named = next(c for c in loaded if c.get("name") == "named")
+    assert named["filter"] == "b > 0"
+    # another run config does not clobber rc1
+    other = TableChecksStorage(spark, "dq_checks_test", run_config_name="rc2")
+    other.save([CHECKS[0]])
+    assert len(storage.load()) == 2
+    assert len(other.load()) == 1
+    spark.sql("DROP TABLE IF EXISTS dq_checks_test")
+
+
+def test_message_expr(spark):
+    df = spark.createDataFrame([(1, "bad"), (2, "ok")], "id int, status string")
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    rule = DQRowRule(
+        check_func=C.is_not_equal_to,
+        column="status",
+        check_func_kwargs={"value": F.lit("bad")},
+        message_expr="concat('row ', cast(id AS string), ' has bad status')",
+    )
+    rows = {r["id"]: r for r in engine.apply_checks(df, [rule]).collect()}
+    assert rows[1]["_errors"][0]["message"] == "row 1 has bad status"
+    assert rows[2]["_errors"] is None
+    # metadata path carries message_expr through
+    meta = [{"criticality": "error", "message_expr": "concat('id=', cast(id AS string))",
+             "check": {"function": "is_null", "arguments": {"column": "id"}}}]
+    rows2 = engine.apply_checks_by_metadata(df, meta).collect()
+    assert rows2[0]["_errors"][0]["message"].startswith("id=")
+
+
+def test_row_anomalies(spark):
+    rows = [(i, 100.0 + (i % 7), 50.0 + (i % 5)) for i in range(200)] + [(900, 10000.0, 52.0), (901, 101.0, -4000.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    rule = DQDatasetRule(
+        check_func=C.has_no_row_anomalies, check_func_kwargs={"columns": ["x", "y"], "threshold": 3.5}
+    )
+    checked = engine.apply_checks(df, [rule])
+    flagged = {r["id"]: r["_errors"][0]["message"] for r in checked.where(F.col("_errors").isNotNull()).collect()}
+    assert set(flagged) == {900, 901}
+    assert "worst column: x" in flagged[900]
+    assert "worst column: y" in flagged[901]
