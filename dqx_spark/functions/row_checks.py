@@ -243,7 +243,7 @@ def is_older_than_col2_for_n_days(
     """col1 must be at least n days older than col2 (reference check_funcs.py:567)."""
     col1, col2 = to_col(column1), to_col(column2)
     n1, n2 = normalize_col_str(column1), normalize_col_str(column2)
-    diff = F.datediff(F.to_date(col2), F.to_date(col1))
+    diff = F.datediff(col2.try_cast("date"), col1.try_cast("date"))
     condition = (diff >= F.lit(days)) if negate else (diff < F.lit(days))
     verb = "is older" if negate else "is not older"
     return make_condition(
@@ -268,7 +268,7 @@ def is_older_than_n_days(
     col = to_col(column)
     name = normalize_col_str(column)
     curr = F.current_date() if curr_date is None else (F.lit(curr_date) if not isinstance(curr_date, Column) else curr_date)
-    diff = F.datediff(F.to_date(curr), F.to_date(col))
+    diff = F.datediff(F.to_date(curr), col.try_cast("date"))
     condition = (diff >= F.lit(days)) if negate else (diff < F.lit(days))
     verb = "is older" if negate else "is not older"
     return make_condition(
@@ -294,7 +294,7 @@ def is_not_in_future(
     )
     bound = curr + F.expr(f"INTERVAL {int(offset)} SECONDS")
     return make_condition(
-        col > bound,
+        col.try_cast("timestamp") > bound,
         F.format_string(f"Value '%s' in Column '{name}' is in the future", str_value(col)),
         f"{name}_in_future",
     )
@@ -316,7 +316,7 @@ def is_not_in_near_future(
     )
     bound = curr + F.expr(f"INTERVAL {int(offset)} SECONDS")
     return make_condition(
-        (col > curr) & (col < bound),
+        (col.try_cast("timestamp") > curr) & (col.try_cast("timestamp") < bound),
         F.format_string(f"Value '%s' in Column '{name}' is in the near future", str_value(col)),
         f"{name}_in_near_future",
     )
@@ -367,7 +367,7 @@ def is_data_fresh(
         if base_timestamp is None
         else (F.lit(base_timestamp).cast("timestamp") if not isinstance(base_timestamp, Column) else base_timestamp)
     )
-    condition = col < (base - F.expr(f"INTERVAL {int(max_age_minutes)} MINUTES"))
+    condition = col.try_cast("timestamp") < (base - F.expr(f"INTERVAL {int(max_age_minutes)} MINUTES"))
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is older than {int(max_age_minutes)} minutes", str_value(col)),
