@@ -374,6 +374,140 @@ def q_has_valid_schema(spark, sf):
     return _apply_one(df, rule, ["o_orderkey"])
 
 
+def q_is_not_null(spark, sf):
+    df = _read(spark, sf, "events").withColumn(
+        "v2", F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_not_null, column="v2"), ["event_id"])
+
+
+def q_is_null(spark, sf):
+    df = _read(spark, sf, "events").withColumn(
+        "v2", F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_null, column="v2"), ["event_id"])
+
+
+def q_is_null_or_empty(spark, sf):
+    df = _read(spark, sf, "documents").withColumn(
+        "t2", F.when(F.col("doc_id") % 4 == 0, F.lit("")).when(F.col("doc_id") % 4 == 1, F.lit(None)).otherwise(F.col("text"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_null_or_empty, column="t2"), ["doc_id"])
+
+
+def q_is_not_equal_to(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQRowRule(check_func=C.is_not_equal_to, column="l_linestatus", check_func_kwargs={"value": F.lit("O")})
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_is_not_less_than(spark, sf):
+    df = _read(spark, sf, "customer")
+    rule = DQRowRule(check_func=C.is_not_less_than, column="c_acctbal", check_func_kwargs={"limit": 0})
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_is_older_than_n_days(spark, sf):
+    df = _read(spark, sf, "orders")
+    rule = DQRowRule(
+        check_func=C.is_older_than_n_days, column="o_orderdate", check_func_kwargs={"days": 9000, "curr_date": "2024-06-01"}
+    )
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
+def q_is_older_than_col2(spark, sf):
+    df = _read(spark, sf, "orders").withColumn(
+        "d2", F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 10 AS INT))")
+    )
+    rule = DQRowRule(
+        check_func=C.is_older_than_col2_for_n_days, check_func_kwargs={"column1": "o_orderdate", "column2": "d2", "days": 5}
+    )
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
+def q_is_not_in_near_future(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQRowRule(
+        check_func=C.is_not_in_near_future,
+        column="ts",
+        check_func_kwargs={"offset": 7 * 86400, "curr_timestamp": "2024-01-10 00:00:00"},
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_has_valid_string_case(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "seg", F.when(F.col("c_custkey") % 4 == 0, F.lower(F.col("c_mktsegment"))).otherwise(F.col("c_mktsegment"))
+    )
+    rule = DQRowRule(check_func=C.has_valid_string_case, column="seg", check_func_kwargs={"case": "upper"})
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_is_valid_country_code(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "cc", F.when(F.col("c_custkey") % 7 == 0, F.lit("XX")).otherwise(F.lit("US"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_valid_country_code, column="cc"), ["c_custkey"])
+
+
+def q_is_valid_currency_code(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "cur", F.when(F.col("c_custkey") % 9 == 0, F.lit("XYZ")).otherwise(F.lit("EUR"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_valid_currency_code, column="cur"), ["c_custkey"])
+
+
+def q_is_valid_national_id(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "ssn",
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("000-12-3456")).otherwise(F.lit("123-45-6789")),
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_valid_national_id, column="ssn"), ["c_custkey"])
+
+
+def q_not_empty_array(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "arr", F.when(F.col("c_custkey") % 5 == 0, F.array().cast("array<string>")).otherwise(F.array(F.col("c_name")))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_not_null_and_not_empty_array, column="arr"), ["c_custkey"])
+
+
+def q_aggr_grouped_median(spark, sf):
+    df = _read(spark, sf, "part")
+    rule = DQDatasetRule(
+        check_func=C.is_aggr_not_greater_than,
+        column="p_retailprice",
+        check_func_kwargs={"limit": 500.0, "aggr_type": "median", "group_by": ["p_brand"]},
+    )
+    return _apply_one(df, rule, ["p_partkey"])
+
+
+def q_aggr_not_less_than_grouped(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQDatasetRule(
+        check_func=C.is_aggr_not_less_than,
+        column="*",
+        check_func_kwargs={"limit": 15000, "aggr_type": "count", "group_by": ["l_returnflag"]},
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_aggr_not_equal_global(spark, sf):
+    df = _read(spark, sf, "orders")
+    rule = DQDatasetRule(
+        check_func=C.is_aggr_not_equal, column="o_orderkey",
+        check_func_kwargs={"limit": 15000, "aggr_type": "count"},
+    )
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
+def q_dedup_drop_exact(spark, sf):
+    base = _read(spark, sf, "documents").select("doc_id", "text")
+    dup = base.where(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    kept = dedup.drop_exact_duplicates(base.union(dup), "doc_id", text_col="text")
+    return kept.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # pipeline extension queries (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -500,6 +634,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_no_outliers": q_mad_outliers,
         "has_no_row_anomalies": q_row_anomalies,
         "has_valid_schema": q_has_valid_schema,
+        "is_not_null": q_is_not_null,
+        "is_null": q_is_null,
+        "is_null_or_empty": q_is_null_or_empty,
+        "is_not_equal_to": q_is_not_equal_to,
+        "is_not_less_than": q_is_not_less_than,
+        "is_older_than_n_days": q_is_older_than_n_days,
+        "is_older_than_col2_for_n_days": q_is_older_than_col2,
+        "is_not_in_near_future": q_is_not_in_near_future,
+        "has_valid_string_case": q_has_valid_string_case,
+        "is_valid_country_code": q_is_valid_country_code,
+        "is_valid_currency_code": q_is_valid_currency_code,
+        "is_valid_national_id": q_is_valid_national_id,
+        "is_not_null_and_not_empty_array": q_not_empty_array,
+        "is_aggr_not_greater_than_grouped_median": q_aggr_grouped_median,
+        "is_aggr_not_less_than_grouped": q_aggr_not_less_than_grouped,
+        "is_aggr_not_equal_global": q_aggr_not_equal_global,
+        "dedup_drop_exact": q_dedup_drop_exact,
         # pipeline extensions
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
@@ -554,7 +705,11 @@ def _lang_id_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dqx_spark.functions.iso_codes import COUNTRY_ALPHA2, CURRENCY_CODES
+
     lang_list = ", ".join(f"'{c}'" for c in LANGUAGE_CODES)
+    country_list = ", ".join(f"'{c}'" for c in COUNTRY_ALPHA2)
+    currency_list = ", ".join(f"'{c}'" for c in CURRENCY_CODES)
     return {
         "is_not_null_and_not_empty": "SELECT doc_id, (text IS NULL OR text = '') AS failed FROM documents",
         "is_in_range": (
@@ -670,6 +825,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders, s"
         ),
         "has_valid_schema": "SELECT o_orderkey, false AS failed FROM orders",
+        "is_not_null": (
+            "SELECT event_id, (CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END) IS NULL AS failed FROM events"
+        ),
+        "is_null": (
+            "SELECT event_id, (CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END) IS NOT NULL AS failed FROM events"
+        ),
+        "is_null_or_empty": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN NULL ELSE text END t2 FROM documents) "
+            "SELECT doc_id, (t2 IS NOT NULL AND t2 <> '') AS failed FROM t"
+        ),
+        "is_not_equal_to": (
+            "SELECT l_orderkey, l_linenumber, l_linestatus IS NOT DISTINCT FROM 'O' AS failed FROM lineitem"
+        ),
+        "is_not_less_than": "SELECT c_custkey, c_acctbal < 0 AS failed FROM customer",
+        "is_older_than_n_days": (
+            "SELECT o_orderkey, date_diff('day', o_orderdate::DATE, DATE '2024-06-01') < 9000 AS failed FROM orders"
+        ),
+        "is_older_than_col2_for_n_days": (
+            "WITH t AS (SELECT o_orderkey, o_orderdate, o_orderdate + (o_orderkey % 10) * INTERVAL 1 DAY AS d2 FROM orders) "
+            "SELECT o_orderkey, date_diff('day', o_orderdate::DATE, d2::DATE) < 5 AS failed FROM t"
+        ),
+        "is_not_in_near_future": (
+            "SELECT event_id, (ts > TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00') AS failed FROM events"
+        ),
+        "has_valid_string_case": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END seg FROM customer) "
+            "SELECT c_custkey, seg <> upper(seg) AS failed FROM t"
+        ),
+        "is_valid_country_code": (
+            f"SELECT c_custkey, (CASE WHEN c_custkey % 7 = 0 THEN 'XX' ELSE 'US' END) NOT IN ({country_list}) AS failed FROM customer"
+        ),
+        "is_valid_currency_code": (
+            f"SELECT c_custkey, (CASE WHEN c_custkey % 9 = 0 THEN 'XYZ' ELSE 'EUR' END) NOT IN ({currency_list}) AS failed FROM customer"
+        ),
+        "is_valid_national_id": (
+            # RE2 has no lookahead: decompose the SSN rule into shape + bans
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 6 = 0 THEN '000-12-3456' ELSE '123-45-6789' END ssn FROM customer) "
+            r"SELECT c_custkey, NOT (regexp_matches(ssn, '^\d{3}-\d{2}-\d{4}$') "
+            "AND substr(ssn, 1, 3) NOT IN ('000', '666') AND substr(ssn, 1, 1) <> '9' "
+            "AND substr(ssn, 5, 2) <> '00' AND substr(ssn, 9, 4) <> '0000') AS failed FROM t"
+        ),
+        "is_not_null_and_not_empty_array": (
+            "SELECT c_custkey, len(CASE WHEN c_custkey % 5 = 0 THEN []::VARCHAR[] ELSE [c_name] END) = 0 AS failed FROM customer"
+        ),
+        "is_aggr_not_greater_than_grouped_median": (
+            "WITH m AS (SELECT p_brand, median(p_retailprice) md FROM part GROUP BY 1) "
+            "SELECT p_partkey, md > 500.0 AS failed FROM part JOIN m USING (p_brand)"
+        ),
+        "is_aggr_not_less_than_grouped": (
+            "SELECT l_orderkey, l_linenumber, (count(*) OVER (PARTITION BY l_returnflag)) < 15000 AS failed FROM lineitem"
+        ),
+        "is_aggr_not_equal_global": (
+            "SELECT o_orderkey, (SELECT count(o_orderkey) FROM orders) = 15000 AS failed FROM orders"
+        ),
+        "dedup_drop_exact": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0), "
+            r"k AS (SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) h FROM base) "
+            "SELECT min(doc_id) AS doc_id FROM k GROUP BY h"
+        ),
         # pipeline extensions
         "text_token_count": (
             r"SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "

@@ -122,6 +122,22 @@ def main() -> None:
             orders, [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice")]
         ),
     }
+
+    # pipeline-operator cases (documents/embeddings tables)
+    from dqx_spark.pipeline import dedup as _dedup, similarity as _sim, text as _text
+
+    docs = read("documents")
+    emb = read("embeddings")
+    cases["text_metrics"] = lambda: docs.select(
+        "doc_id",
+        _text.token_count("text").alias("tc"),
+        _text.lang_id("text").alias("lang"),
+        _text.quality_score("text").alias("q"),
+        _text.doc_fingerprint("text").alias("fp"),
+    )
+    cases["dedup_minhash_pairs"] = lambda: _dedup.minhash_lsh_pairs(docs, "doc_id", "text", 64, 16, 5, 0.5)
+    cases["dedup_ngram_pairs"] = lambda: _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5)
+    cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
     def timed(fn, runs: int = 2) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-2 strips first-run codegen compile."""
