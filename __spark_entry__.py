@@ -501,6 +501,35 @@ def q_aggr_not_equal_global(spark, sf):
     return _apply_one(df, rule, ["o_orderkey"])
 
 
+def _wkt_col():
+    """Deterministic WKT fixture derived from c_custkey."""
+    x = (F.col("c_custkey") % 360 - 180).cast("string")
+    y = (F.col("c_custkey") % 180 - 90).cast("string")
+    return (
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("JUNK WKT"))
+        .when(F.col("c_custkey") % 17 == 0, F.lit("POINT (0 0)"))
+        .otherwise(F.concat(F.lit("POINT ("), x, F.lit(" "), y, F.lit(")")))
+    )
+
+
+def q_is_geometry(spark, sf):
+    df = _read(spark, sf, "customer").withColumn("g", _wkt_col())
+    return _apply_one(df, DQRowRule(check_func=C.is_geometry, column="g"), ["c_custkey"])
+
+
+def q_is_not_null_island(spark, sf):
+    df = _read(spark, sf, "customer").withColumn("g", _wkt_col())
+    return _apply_one(df, DQRowRule(check_func=C.is_not_null_island, column="g"), ["c_custkey"])
+
+
+def q_has_x_coordinate_between(spark, sf):
+    df = _read(spark, sf, "customer").withColumn("g", _wkt_col())
+    rule = DQRowRule(
+        check_func=C.has_x_coordinate_between, column="g", check_func_kwargs={"min_value": -90, "max_value": 90}
+    )
+    return _apply_one(df, rule, ["c_custkey"])
+
+
 def q_dedup_drop_exact(spark, sf):
     base = _read(spark, sf, "documents").select("doc_id", "text")
     dup = base.where(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -650,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_aggr_not_greater_than_grouped_median": q_aggr_grouped_median,
         "is_aggr_not_less_than_grouped": q_aggr_not_less_than_grouped,
         "is_aggr_not_equal_global": q_aggr_not_equal_global,
+        "is_geometry": q_is_geometry,
+        "is_not_null_island": q_is_not_null_island,
+        "has_x_coordinate_between": q_has_x_coordinate_between,
         "dedup_drop_exact": q_dedup_drop_exact,
         # pipeline extensions
         "text_token_count": q_text_token_count,
@@ -878,6 +910,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "is_aggr_not_equal_global": (
             "SELECT o_orderkey, (SELECT count(o_orderkey) FROM orders) = 15000 AS failed FROM orders"
+        ),
+        "is_geometry": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN 'JUNK WKT' "
+            "WHEN c_custkey % 17 = 0 THEN 'POINT (0 0)' "
+            "ELSE 'POINT (' || (c_custkey % 360 - 180)::VARCHAR || ' ' || (c_custkey % 180 - 90)::VARCHAR || ')' END g FROM customer) "
+            r"SELECT c_custkey, NOT regexp_matches(g, '^\s*POINT\s*(?:EMPTY|\(\s*-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?\s+-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?\s*\))\s*$') AS failed FROM t"
+        ),
+        "is_not_null_island": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN 'JUNK WKT' "
+            "WHEN c_custkey % 17 = 0 THEN 'POINT (0 0)' "
+            "ELSE 'POINT (' || (c_custkey % 360 - 180)::VARCHAR || ' ' || (c_custkey % 180 - 90)::VARCHAR || ')' END g FROM customer) "
+            "SELECT c_custkey, (g = 'POINT (0 0)') AS failed FROM t"
+        ),
+        "has_x_coordinate_between": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 13 = 0 THEN NULL "
+            "WHEN c_custkey % 17 = 0 THEN 0 "
+            "ELSE c_custkey % 360 - 180 END x FROM customer) "
+            "SELECT c_custkey, coalesce(x < -90 OR x > 90, false) AS failed FROM t"
         ),
         "dedup_drop_exact": (
             "WITH base AS (SELECT doc_id, text FROM documents "

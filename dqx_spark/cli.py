@@ -1,0 +1,154 @@
+"""Command-line interface: profile, validate-checks, apply, e2e.
+
+Parity with the reference CLI surface (cli.py:84-307 — ``profile``,
+``apply_checks``, ``validate_checks``, ``e2e``), minus the Databricks
+workspace/installer coupling.
+
+    python -m dqx_spark.cli profile --input /data/t.parquet --output checks.yaml
+    python -m dqx_spark.cli validate-checks --checks checks.yaml
+    python -m dqx_spark.cli apply --input /data/t.parquet --checks checks.yaml \
+        --output /out/good --quarantine /out/bad
+    python -m dqx_spark.cli e2e --input /data/t.parquet --output /out/good
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(f"dqx_spark_{app}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def cmd_profile(args) -> int:
+    from dqx_spark.io import InputConfig, read_input_data
+    from dqx_spark.profiler import DQProfiler, generate_rules, resolve_in_list_values
+    from dqx_spark.serde import save_checks_to_file
+
+    spark = _spark("profile")
+    df = read_input_data(spark, InputConfig(location=args.input, format=args.format))
+    profiler = DQProfiler({"sample_fraction": args.sample_fraction, "limit": args.limit})
+    _, profiles = profiler.profile(df, columns=args.columns)
+    resolve_in_list_values(df, profiles)
+    rules = generate_rules(profiles)
+    save_checks_to_file(rules, args.output)
+    print(f"wrote {len(rules)} generated checks to {args.output}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from dqx_spark.serde import load_checks_from_file, validate_checks
+
+    checks = load_checks_from_file(args.checks)
+    status = validate_checks(checks)
+    if status.has_errors:
+        print(f"INVALID: {status}")
+        return 1
+    print(f"OK: {len(checks)} checks valid")
+    return 0
+
+
+def cmd_apply(args) -> int:
+    from dqx_spark.engine import DQEngine
+    from dqx_spark.io import InputConfig, OutputConfig, RunConfig
+    from dqx_spark.workflow import apply_checks_and_save_in_table
+
+    spark = _spark("apply")
+    rc = RunConfig(
+        name=args.run_name,
+        input_config=InputConfig(location=args.input, format=args.format),
+        output_config=OutputConfig(location=args.output, mode=args.mode),
+        quarantine_config=OutputConfig(location=args.quarantine, mode=args.mode) if args.quarantine else None,
+        metrics_config=OutputConfig(location=args.metrics, mode=args.mode) if args.metrics else None,
+        checks_location=args.checks,
+    )
+    metrics = apply_checks_and_save_in_table(spark, rc, engine=DQEngine(spark))
+    if metrics:
+        print(json.dumps({k: str(v) for k, v in metrics.items()}))
+    return 0
+
+
+def cmd_e2e(args) -> int:
+    """profile -> generate -> apply in one run (reference e2e_workflow.py:10-69)."""
+    from dqx_spark.engine import DQEngine
+    from dqx_spark.io import InputConfig, OutputConfig, RunConfig, read_input_data
+    from dqx_spark.profiler import DQProfiler, generate_rules, resolve_in_list_values
+    from dqx_spark.workflow import apply_checks_and_save_in_table
+
+    spark = _spark("e2e")
+    df = read_input_data(spark, InputConfig(location=args.input, format=args.format))
+    profiler = DQProfiler({"sample_fraction": args.sample_fraction, "limit": args.limit})
+    _, profiles = profiler.profile(df)
+    resolve_in_list_values(df, profiles)
+    rules = generate_rules(profiles)
+    print(f"generated {len(rules)} checks")
+    rc = RunConfig(
+        name=args.run_name,
+        input_config=InputConfig(location=args.input, format=args.format),
+        output_config=OutputConfig(location=args.output, mode=args.mode),
+        quarantine_config=OutputConfig(location=args.quarantine, mode=args.mode) if args.quarantine else None,
+        metrics_config=OutputConfig(location=args.metrics, mode=args.mode) if args.metrics else None,
+    )
+    metrics = apply_checks_and_save_in_table(spark, rc, checks=rules, engine=DQEngine(spark))
+    if metrics:
+        print(json.dumps({k: str(v) for k, v in metrics.items()}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="dqx_spark", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("profile", help="infer checks from data")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--output", required=True, help="checks YAML/JSON path")
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--sample-fraction", type=float, default=0.3)
+    p.add_argument("--limit", type=int, default=1000)
+    p.set_defaults(func=cmd_profile)
+
+    p = sub.add_parser("validate-checks", help="validate a checks file")
+    p.add_argument("--checks", required=True)
+    p.set_defaults(func=cmd_validate)
+
+    p = sub.add_parser("apply", help="apply checks and write output/quarantine")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--checks", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--quarantine", default=None)
+    p.add_argument("--metrics", default=None)
+    p.add_argument("--mode", default="overwrite")
+    p.add_argument("--run-name", default="cli")
+    p.set_defaults(func=cmd_apply)
+
+    p = sub.add_parser("e2e", help="profile -> generate -> apply")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--quarantine", default=None)
+    p.add_argument("--metrics", default=None)
+    p.add_argument("--mode", default="overwrite")
+    p.add_argument("--run-name", default="cli_e2e")
+    p.add_argument("--sample-fraction", type=float, default=0.3)
+    p.add_argument("--limit", type=int, default=1000)
+    p.set_defaults(func=cmd_e2e)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,236 @@
+"""Geo checks over WKT strings — the dependency-free subset.
+
+The reference's geo module (geo/check_funcs.py, 1342 LoC) wraps Databricks
+spatial SQL (``ST_*`` / ``H3_*``), which does not exist in OSS Spark; Sedona
+would provide it but is not a dependency here.  This module re-derives the
+checks that are expressible over WKT **as pure Column expressions** (regex +
+coordinate extraction), and documents the rest as requiring a spatial
+backend.  Covered (reference file:line):
+
+* ``is_latitude`` / ``is_longitude`` (geo/check_funcs.py:63/:86) — in
+  row_checks.py.
+* ``is_geometry`` (:110) — WKT well-formedness for
+  POINT/LINESTRING/POLYGON/MULTIPOINT/MULTILINESTRING/MULTIPOLYGON.
+* ``is_point`` / ``is_linestring`` / ``is_polygon`` (:166-360) — type tag.
+* ``is_non_empty_geometry`` (:391) — ``... EMPTY`` forms fail.
+* ``is_not_null_island`` (:420) — POINT(0 0).
+* ``has_x_coordinate_between`` / ``has_y_coordinate_between`` (:487/:520) —
+  every coordinate inside the band.
+* ``are_polygons_mutually_disjoint`` (:893) — bounding-box overlap
+  candidates (conservative approximation: bbox-disjoint ⇒ truly disjoint;
+  flagged pairs MAY intersect).  Exact predicates need a spatial backend.
+
+Unsupported without ST_: ``is_geography``, ``is_ogc_valid``,
+``has_dimension``, area/num-points families, exact geofencing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqx_spark.functions._helpers import str_value, unique_suffix
+from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
+
+__all__ = [
+    "is_geometry",
+    "is_point",
+    "is_linestring",
+    "is_polygon",
+    "is_non_empty_geometry",
+    "is_not_null_island",
+    "has_x_coordinate_between",
+    "has_y_coordinate_between",
+    "are_polygons_mutually_disjoint",
+]
+
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_PAIR = rf"{_NUM}\s+{_NUM}"
+_RING = rf"\(\s*{_PAIR}(?:\s*,\s*{_PAIR})*\s*\)"
+WKT_PATTERNS = {
+    "POINT": rf"^\s*POINT\s*(?:EMPTY|\(\s*{_PAIR}\s*\))\s*$",
+    "LINESTRING": rf"^\s*LINESTRING\s*(?:EMPTY|{_RING})\s*$",
+    "POLYGON": rf"^\s*POLYGON\s*(?:EMPTY|\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))\s*$",
+    "MULTIPOINT": rf"^\s*MULTIPOINT\s*(?:EMPTY|\(\s*(?:{_PAIR}|\(\s*{_PAIR}\s*\))(?:\s*,\s*(?:{_PAIR}|\(\s*{_PAIR}\s*\)))*\s*\))\s*$",
+    "MULTILINESTRING": rf"^\s*MULTILINESTRING\s*(?:EMPTY|\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))\s*$",
+    "MULTIPOLYGON": rf"^\s*MULTIPOLYGON\s*(?:EMPTY|\(\s*\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\)(?:\s*,\s*\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))*\s*\))\s*$",
+}
+_ANY_WKT = "|".join(f"(?:{p})" for p in WKT_PATTERNS.values())
+
+
+def _wkt_upper(col: Column) -> Column:
+    return F.upper(F.trim(col))
+
+
+@register_rule("row")
+def is_geometry(column: str | Column) -> Column:
+    """Fail when the string is not well-formed WKT of a supported type
+    (reference geo/check_funcs.py:110 uses try_to_geometry)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~_wkt_upper(col).rlike(_ANY_WKT)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not well-formed WKT", str_value(col)),
+        f"{name}_is_not_geometry",
+    )
+
+
+def _typed_check(column, wkt_type: str) -> Column:
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~_wkt_upper(col).rlike(WKT_PATTERNS[wkt_type])
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a {wkt_type}", str_value(col)),
+        f"{name}_is_not_{wkt_type.lower()}",
+    )
+
+
+@register_rule("row")
+def is_point(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:166 (st_geometrytype = 'ST_Point')."""
+    return _typed_check(column, "POINT")
+
+
+@register_rule("row")
+def is_linestring(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:200."""
+    return _typed_check(column, "LINESTRING")
+
+
+@register_rule("row")
+def is_polygon(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:234."""
+    return _typed_check(column, "POLYGON")
+
+
+@register_rule("row")
+def is_non_empty_geometry(column: str | Column) -> Column:
+    """Fail on '<TYPE> EMPTY' (reference geo/check_funcs.py:391)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & _wkt_upper(col).rlike(r"^\s*[A-Z]+\s+EMPTY\s*$")
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is an empty geometry", str_value(col)),
+        f"{name}_is_empty_geometry",
+    )
+
+
+@register_rule("row")
+def is_not_null_island(column: str | Column) -> Column:
+    """Fail on POINT(0 0) (reference geo/check_funcs.py:420 — st_x/st_y != 0)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    x = F.regexp_extract(_wkt_upper(col), rf"^POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)$", 1)
+    y = F.regexp_extract(_wkt_upper(col), rf"^POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)$", 2)
+    condition = (
+        col.isNotNull()
+        & (x != "")
+        & (x.cast("double") == 0.0)
+        & (y.cast("double") == 0.0)
+    )
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is null island", str_value(col)),
+        f"{name}_is_null_island",
+    )
+
+
+def _coords(col: Column) -> Column:
+    """All coordinate pairs of a WKT string as array<struct<x,y>>."""
+    pairs = F.regexp_extract_all(_wkt_upper(col), F.lit(f"({_NUM}\\s+{_NUM})"), 1)
+    return F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.split(p, r"\s+").getItem(0).cast("double").alias("x"),
+            F.split(p, r"\s+").getItem(1).cast("double").alias("y"),
+        ),
+    )
+
+
+def _coord_band_check(column, lo: float, hi: float, axis: str) -> Column:
+    col = to_col(column)
+    name = normalize_col_str(column)
+    coords = _coords(col)
+    outside = F.exists(coords, lambda c: (c.getField(axis) < lo) | (c.getField(axis) > hi))
+    condition = col.isNotNull() & (F.size(coords) > 0) & outside
+    return make_condition(
+        condition,
+        F.format_string(
+            f"Value '%s' in Column '{name}' has {axis} coordinates outside [{lo}, {hi}]", str_value(col)
+        ),
+        f"{name}_has_{axis}_outside_band",
+    )
+
+
+@register_rule("row")
+def has_x_coordinate_between(column: str | Column, min_value: float, max_value: float) -> Column:
+    """All x coordinates within the band (reference geo/check_funcs.py:487)."""
+    return _coord_band_check(column, float(min_value), float(max_value), "x")
+
+
+@register_rule("row")
+def has_y_coordinate_between(column: str | Column, min_value: float, max_value: float) -> Column:
+    """All y coordinates within the band (reference geo/check_funcs.py:520)."""
+    return _coord_band_check(column, float(min_value), float(max_value), "y")
+
+
+@register_rule("dataset")
+def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None = None):
+    """Flag rows whose polygon's bounding box overlaps another row's
+    (reference geo/check_funcs.py:893 uses exact st_intersects).
+
+    CONSERVATIVE APPROXIMATION: bbox-disjoint implies truly disjoint, so a
+    clean result is trustworthy; flagged rows may be false positives (bbox
+    overlap without geometry intersection).  Plan: extract per-row bbox
+    (scan-local), pairwise bbox-overlap via an interval self-join on an
+    x-range bucket key — not the O(n²) crossJoin."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    sfx = unique_suffix()
+    msg_col = f"__dq_geo_msg_{sfx}"
+    rid = f"__dq_geo_id_{sfx}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        coords = _coords(col)
+        with_box = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
+            "__bb",
+            F.struct(
+                F.aggregate(coords, F.lit(float("inf")), lambda a, c: F.least(a, c.getField("x"))).alias("xmin"),
+                F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("x"))).alias("xmax"),
+                F.aggregate(coords, F.lit(float("inf")), lambda a, c: F.least(a, c.getField("y"))).alias("ymin"),
+                F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("y"))).alias("ymax"),
+            ),
+        )
+        boxes = with_box.select(rid, "__bb")
+        if row_filter:
+            boxes = with_box.where(F.expr(row_filter)).select(rid, "__bb")
+        a = boxes.select(F.col(rid).alias("ida"), F.col("__bb").alias("ba"))
+        b = boxes.select(F.col(rid).alias("idb"), F.col("__bb").alias("bb"))
+        overlap = (
+            a.join(
+                b,
+                (F.col("ida") != F.col("idb"))
+                & (F.col("ba.xmin") <= F.col("bb.xmax"))
+                & (F.col("bb.xmin") <= F.col("ba.xmax"))
+                & (F.col("ba.ymin") <= F.col("bb.ymax"))
+                & (F.col("bb.ymin") <= F.col("ba.ymax")),
+            )
+            .groupBy("ida")
+            .agg(F.count(F.lit(1)).alias("__n_overlaps"))
+        )
+        out = with_box.join(overlap, with_box[rid] == overlap["ida"], "left").drop("ida")
+        message = F.when(
+            F.col("__n_overlaps").isNotNull(),
+            F.format_string(
+                f"Polygon in Column '{name}' overlaps the bounding box of %s other polygon(s)",
+                F.col("__n_overlaps").cast("string"),
+            ),
+        )
+        return out.withColumn(msg_col, message).drop(rid, "__bb", "__n_overlaps")
+
+    from dqx_spark.functions.dataset_checks import _lift
+
+    return _lift(msg_col, f"{name}_polygons_not_disjoint"), apply
