@@ -47,10 +47,17 @@ class DQEngine:
         spark: SparkSession | None = None,
         extra_params: ExtraParams | None = None,
         suppress_skipped: bool = False,
+        checkpoint_every_n_dataset_checks: int | None = None,
     ):
         self.spark = spark
         self.extra_params = extra_params or ExtraParams()
         self.suppress_skipped = suppress_skipped
+        #: N dataset checks chain N joins onto one DataFrame; very large rule
+        #: sets explode the plan (the reference only warns —
+        #: check_funcs.py:2161-2163).  Setting this truncates lineage with a
+        #: lazy localCheckpoint every N dataset checks.  Trade-off: the
+        #: checkpoint caches the intermediate rows on executors.
+        self.checkpoint_every_n_dataset_checks = checkpoint_every_n_dataset_checks
         self._run_id = self.extra_params.run_id_overwrite or str(uuid.uuid4())
 
     # ------------------------------------------------------------------
@@ -78,16 +85,18 @@ class DQEngine:
         current_df = df
         error_conds: list[Column] = []
         warn_conds: list[Column] = []
+        n_dataset = 0
         # Thread current_df through rules so later rules see earlier rules'
         # hidden condition columns (reference engine.py:568-591).
-        for rule in error_rules:
+        for rule, sink in [(r, error_conds) for r in error_rules] + [(r, warn_conds) for r in warn_rules]:
             cond, current_df = self._process_rule(rule, current_df, df, spark, ref_dfs, set_fp)
             if cond is not None:
-                error_conds.append(cond)
-        for rule in warn_rules:
-            cond, current_df = self._process_rule(rule, current_df, df, spark, ref_dfs, set_fp)
-            if cond is not None:
-                warn_conds.append(cond)
+                sink.append(cond)
+            if rule.rule_type == "dataset":
+                n_dataset += 1
+                every = self.checkpoint_every_n_dataset_checks
+                if every and n_dataset % every == 0 and not current_df.isStreaming:
+                    current_df = current_df.localCheckpoint(eager=False)
 
         result = current_df.withColumn(ERRORS_COLUMN, _assemble_results(error_conds)).withColumn(
             WARNINGS_COLUMN, _assemble_results(warn_conds)
@@ -167,7 +176,7 @@ class DQEngine:
                 if rule.check_func.__name__ in PRESELECT_ORIGINAL_COLUMNS_REGISTRY
                 else None
             )
-            new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns)
+            new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns, original_df)
             return self._result_struct(rule, condition, set_fp), new_df
 
         condition = rule.invoke()
@@ -258,9 +267,19 @@ def _call_closure(
     spark: SparkSession,
     ref_dfs: dict[str, DataFrame] | None,
     original_columns: list[str] | None = None,
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
     """Signature-inspected injection of spark/ref_dfs
-    (reference executor.py:115-149)."""
+    (reference executor.py:115-149).
+
+    ``source_df`` is the ORIGINAL (pre-check) input.  Closures that build a
+    stats subplan (aggregates, medians) accept it and derive the stats from
+    the original rather than the threaded DataFrame: the threaded plan
+    re-embeds every earlier check's join, so stats-from-current makes plan
+    size EXPONENTIAL in the number of dataset checks (30 chained grouped
+    checks OOM the driver analyzer); stats-from-original keeps it linear and
+    is semantically identical (checks are independent of each other's hidden
+    columns)."""
     params = inspect.signature(closure).parameters
     kwargs: dict[str, Any] = {}
     if "spark" in params:
@@ -269,6 +288,8 @@ def _call_closure(
         kwargs["ref_dfs"] = ref_dfs
     if "original_columns" in params and original_columns is not None:
         kwargs["original_columns"] = original_columns
+    if "source_df" in params and source_df is not None:
+        kwargs["source_df"] = source_df
     return closure(df, **kwargs)
 
 

@@ -237,9 +237,13 @@ def sql_query(
     alias = name or f"sql_query_{sfx}"
     msg_col = f"__dq_sql_msg_{sfx}"
 
-    def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
+    def apply(
+        df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None,
+        source_df: DataFrame | None = None,
+    ) -> DataFrame:
+        base = source_df if source_df is not None else df
         view = f"__dq_input_{sfx}"
-        df.createOrReplaceTempView(view)
+        base.createOrReplaceTempView(view)
         text = query.replace("{{ " + input_placeholder + " }}", view).replace(
             "{{" + input_placeholder + "}}", view
         )
@@ -337,19 +341,20 @@ def _is_aggr_compare(
     metric_col = f"__dq_aggr_metric_{sfx}"
     msg_col = f"__dq_aggr_msg_{sfx}"
 
-    def apply(df: DataFrame) -> DataFrame:
+    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+        base = source_df if source_df is not None else df
         agg = _agg_expr(column, aggr_type, row_filter, aggr_params).alias(metric_col)
         if group_by:
             group_cols = [to_col(g) for g in group_by]
             tmp = [f"__dq_aggr_g{i}_{sfx}" for i in range(len(group_cols))]
-            stats = df.groupBy(*[g.alias(t) for g, t in zip(group_cols, tmp)]).agg(agg)
+            stats = base.groupBy(*[g.alias(t) for g, t in zip(group_cols, tmp)]).agg(agg)
             cond = None
             for g, t in zip(group_cols, tmp):
                 term = g.eqNullSafe(stats[t])
                 cond = term if cond is None else (cond & term)
             out = df.join(stats, on=cond, how="left").drop(*tmp)
         else:
-            stats = df.select(agg).limit(1)
+            stats = base.select(agg).limit(1)
             out = df.crossJoin(F.broadcast(stats))
 
         metric = F.col(metric_col)
@@ -465,7 +470,11 @@ def aggr_matches_dataset(
     ref_metric_col = f"__dq_amd_ref_metric_{sfx}"
     msg_col = f"__dq_amd_msg_{sfx}"
 
-    def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
+    def apply(
+        df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None,
+        source_df: DataFrame | None = None,
+    ) -> DataFrame:
+        base = source_df if source_df is not None else df
         ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
         rc = ref_column if ref_column is not None else column
         agg = _agg_expr(column, aggr_type, row_filter).alias(metric_col)
@@ -474,7 +483,7 @@ def aggr_matches_dataset(
         if group_by:
             gcols = [to_col(g) for g in group_by]
             tmp = [f"__dq_amd_g{i}_{sfx}" for i in range(len(gcols))]
-            cur = df.groupBy(*[g.alias(t) for g, t in zip(gcols, tmp)]).agg(agg)
+            cur = base.groupBy(*[g.alias(t) for g, t in zip(gcols, tmp)]).agg(agg)
             rtmp = [f"__dq_amd_rg{i}_{sfx}" for i in range(len(gcols))]
             refstats = ref.groupBy(
                 *[to_col(g).alias(t) for g, t in zip(ref_group_by, rtmp)]
@@ -495,7 +504,7 @@ def aggr_matches_dataset(
                 cond = term if cond is None else (cond & term)
             out = df.join(stats, on=cond, how="left").drop(*tmp)
         else:
-            cur = df.select(agg).limit(1)
+            cur = base.select(agg).limit(1)
             refstats = ref.select(ref_agg).limit(1)
             out = df.crossJoin(F.broadcast(cur)).crossJoin(F.broadcast(refstats))
 
@@ -693,12 +702,13 @@ def has_no_gaps_per_time_window(
     next_col = f"__dq_gap_next_{sfx}"
     gcols_tmp = None
 
-    def apply(df: DataFrame) -> DataFrame:
+    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+        base = source_df if source_df is not None else df
         ts = F.coalesce(to_col(column), F.lit("1900-01-01").cast("timestamp"))
         if row_filter:
-            occupied_src = df.where(F.expr(row_filter))
+            occupied_src = base.where(F.expr(row_filter))
         else:
-            occupied_src = df
+            occupied_src = base
         bucket = F.window(ts, f"{int(window_minutes)} minutes").getField("start")
         groups = [to_col(g) for g in (group_by or [])]
         tmp = [f"__dq_gap_g{i}_{sfx}" for i in range(len(groups))]
@@ -831,12 +841,13 @@ def has_no_outliers(column: str | Column, k: float = 3.5, approx: bool = False, 
     med_col, mad_col = f"__dq_mad_med_{sfx}", f"__dq_mad_mad_{sfx}"
     msg_col = f"__dq_out_msg_{sfx}"
 
-    def apply(df: DataFrame) -> DataFrame:
+    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+        base = source_df if source_df is not None else df
         col = to_col(column).cast("double")
         inp = filtered(col, row_filter)
         pct = (lambda c: F.percentile_approx(c, 0.5)) if approx else F.median
-        med = df.select(pct(inp).alias(med_col))
-        with_med = df.crossJoin(F.broadcast(med))
+        med = base.select(pct(inp).alias(med_col))
+        with_med = base.crossJoin(F.broadcast(med))
         stats = with_med.select(
             pct(F.abs(filtered(col, row_filter) - F.col(med_col))).alias(mad_col),
             F.first(med_col).alias(med_col),
@@ -888,11 +899,12 @@ def has_no_row_anomalies(
     med_cols = [f"__dq_anom_med{i}_{sfx}" for i in range(len(columns))]
     mad_cols = [f"__dq_anom_mad{i}_{sfx}" for i in range(len(columns))]
 
-    def apply(df: DataFrame) -> DataFrame:
+    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+        base = source_df if source_df is not None else df
         pct = (lambda c: F.percentile_approx(c, 0.5)) if approx else F.median
         cols = [to_col(c).cast("double") for c in columns]
-        meds = df.select(*[pct(filtered(c, row_filter)).alias(m) for c, m in zip(cols, med_cols)])
-        with_med = df.crossJoin(F.broadcast(meds))
+        meds = base.select(*[pct(filtered(c, row_filter)).alias(m) for c, m in zip(cols, med_cols)])
+        with_med = base.crossJoin(F.broadcast(meds))
         mads = with_med.select(
             *[
                 pct(F.abs(filtered(c, row_filter) - F.col(m))).alias(md)
@@ -953,7 +965,8 @@ def has_no_aggr_outliers(
     sfx = unique_suffix()
     msg_col = f"__dq_ao_msg_{sfx}"
 
-    def apply(df: DataFrame) -> DataFrame:
+    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+        base = source_df if source_df is not None else df
         ts = to_col(time_column)
         bucket = F.date_trunc(time_interval, ts)
         groups = [to_col(g) for g in (group_by or [])]
@@ -961,7 +974,7 @@ def has_no_aggr_outliers(
         b = f"__dq_ao_bucket_{sfx}"
         m = f"__dq_ao_metric_{sfx}"
         agg = _agg_expr(column, aggr_type, row_filter).alias(m)
-        per_bucket = df.groupBy(*[g.alias(t) for g, t in zip(groups, tmp)], bucket.alias(b)).agg(agg)
+        per_bucket = base.groupBy(*[g.alias(t) for g, t in zip(groups, tmp)], bucket.alias(b)).agg(agg)
         w = (
             Window.partitionBy(*[F.col(t) for t in tmp])
             .orderBy(F.col(b))

@@ -71,7 +71,12 @@ class DQProfiler:
         opts = self.options
         if opts.get("filter"):
             df = df.filter(opts["filter"])
-        if opts.get("sample_fraction") and opts["sample_fraction"] < 1.0:
+        if opts.get("stratified_column") and opts.get("stratified_fractions"):
+            # stratified sampling per key (reference profiler.py:335-414 sampleBy)
+            df = df.sampleBy(
+                opts["stratified_column"], opts["stratified_fractions"], seed=opts.get("sample_seed", 42)
+            )
+        elif opts.get("sample_fraction") and opts["sample_fraction"] < 1.0:
             df = df.sample(fraction=opts["sample_fraction"], seed=opts.get("sample_seed", 42))
         if opts.get("limit"):
             df = df.limit(int(opts["limit"]))

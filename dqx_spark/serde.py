@@ -151,6 +151,40 @@ def deserialize_checks(
     return rules
 
 
+#: directly contradictory check pairs on the same column
+#: (reference checks_semantic_validator.py)
+_CONTRADICTIONS = [
+    ("is_null", "is_not_null"),
+    ("is_empty", "is_not_empty"),
+    ("is_null_or_empty", "is_not_null_and_not_empty"),
+]
+
+
+def semantic_validate(
+    checks: list[dict], custom_check_functions: dict[str, Callable] | None = None
+) -> list[str]:
+    """Detect duplicate and directly conflicting rules; returns warnings,
+    not errors (reference checks_semantic_validator.py via engine.py:302-343)."""
+    warnings: list[str] = []
+    rules = deserialize_checks(checks, custom_check_functions, validate=False)
+    seen: dict[str, int] = {}
+    for i, rule in enumerate(rules):
+        fp = rule.fingerprint()
+        if fp in seen:
+            warnings.append(f"checks[{i}] duplicates checks[{seen[fp]}] ({rule.name})")
+        else:
+            seen[fp] = i
+    by_col: dict[str, set[str]] = {}
+    for rule in rules:
+        for c in rule.columns_as_strings:
+            by_col.setdefault(c, set()).add(rule.check_func.__name__)
+    for col, funcs in by_col.items():
+        for a, b in _CONTRADICTIONS:
+            if a in funcs and b in funcs:
+                warnings.append(f"column '{col}' has contradictory checks: {a} and {b}")
+    return warnings
+
+
 def serialize_checks(rules: list[DQRule]) -> list[dict]:
     """DQRule IR -> metadata dicts; round-trips with deserialize_checks
     (reference rule.py:374-411)."""

@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around must survive refactors.
+
+Checks (via explain output): predicate pushdown reaches the parquet scan
+through check projections, column pruning narrows ReadSchema, FK joins
+broadcast small refs, grouped aggregates use partial aggregation + join-back
+(not a full-row window), global aggregates broadcast a 1-row side, row
+checks stay in whole-stage codegen."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import dqx_spark.functions as C
+from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
+from dqx_spark.engine import ExtraParams
+
+RUN_TS = "2024-06-01 00:00:00"
+
+
+def engine():
+    return DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="plan"))
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode) if mode != "simple" else df.explain()
+    return buf.getvalue()
+
+
+def test_filter_pushdown_through_checks(spark, lineitem):
+    checked = engine().apply_checks(lineitem, [DQRowRule(check_func=C.is_not_null, column="l_orderkey")])
+    p = plan_of(checked.where(F.col("l_quantity") > 40).select("l_orderkey", "_errors"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "GreaterThan(l_quantity,40" in pushed.group(1)
+
+
+def test_column_pruning(spark, lineitem):
+    checked = engine().apply_checks(lineitem, [DQRowRule(check_func=C.is_not_null, column="l_orderkey")])
+    p = plan_of(checked.select("l_orderkey", "_errors"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and m.group(1) == "l_orderkey:bigint", m.group(1) if m else "no ReadSchema"
+
+
+def test_row_checks_no_shuffle(spark, lineitem):
+    rules = [
+        DQRowRule(check_func=C.is_not_null, column="l_orderkey"),
+        DQRowRule(check_func=C.is_in_range, column="l_quantity", check_func_kwargs={"min_limit": 1, "max_limit": 50}),
+        DQRowRule(check_func=C.regex_match, column="l_returnflag", check_func_kwargs={"regex": "^[ANR]$"}),
+    ]
+    p = plan_of(engine().apply_checks(lineitem, rules))
+    assert "Exchange" not in p  # pure projection: zero shuffles
+
+
+def test_row_checks_codegen(spark, lineitem):
+    rules = [
+        DQRowRule(check_func=C.is_not_null, column="l_orderkey"),
+        DQRowRule(check_func=C.is_in_range, column="l_quantity", check_func_kwargs={"min_limit": 1, "max_limit": 50}),
+    ]
+    p = plan_of(engine().apply_checks(lineitem, rules), mode="simple")
+    # requires spark.sql.codegen.maxFields high enough (conftest default 100
+    # covers 2 rules); wide rule sets need the conf raised — README
+    assert re.search(r"\*\(\d+\)", p), "row-check projection fell out of whole-stage codegen"
+
+
+def test_foreign_key_broadcasts_small_ref(spark, lineitem, orders):
+    fk = engine().apply_checks(
+        lineitem,
+        [DQDatasetRule(check_func=C.foreign_key, columns=["l_orderkey"],
+                       check_func_kwargs={"ref_columns": ["o_orderkey"], "ref_df_name": "o"})],
+        ref_dfs={"o": orders},
+    )
+    p = plan_of(fk)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_grouped_aggr_partial_agg_not_window(spark, lineitem):
+    gr = engine().apply_checks(
+        lineitem,
+        [DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                       check_func_kwargs={"limit": 1e9, "aggr_type": "sum", "group_by": ["l_returnflag"]})],
+    )
+    p = plan_of(gr)
+    assert "HashAggregate" in p        # partial (map-side) aggregation present
+    assert "Window" not in p           # deliberately NOT a full-row window
+
+
+def test_global_aggr_broadcast_one_row(spark, lineitem):
+    ga = engine().apply_checks(
+        lineitem,
+        [DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                       check_func_kwargs={"limit": 1e12, "aggr_type": "avg"})],
+    )
+    p = plan_of(ga)
+    assert "BroadcastNestedLoopJoin" in p
+    # the full row stream must not shuffle for a global aggregate verdict
+    assert "Window" not in p
+
+
+def test_is_unique_single_window_shuffle(spark, lineitem):
+    u = engine().apply_checks(
+        lineitem, [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])]
+    )
+    p = plan_of(u)
+    assert "Window" in p
+    # exactly one exchange of the full row stream (hash partitioning on key);
+    # formatted mode lists each operator once in the detail section
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 1
