@@ -322,6 +322,7 @@ def _is_aggr_compare(
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
     aggr_params: dict | None = None,
+    broadcast_stats: bool = True,
 ):
     """Shared core (reference check_funcs.py:4234-4403).
 
@@ -352,7 +353,12 @@ def _is_aggr_compare(
             for g, t in zip(group_cols, tmp):
                 term = g.eqNullSafe(stats[t])
                 cond = term if cond is None else (cond & term)
-            out = df.join(stats, on=cond, how="left").drop(*tmp)
+            # the aggregated side is one row per group — broadcast it
+            # explicitly: AQE converts SMJ->BHJ only after shuffling the big
+            # side (measured 2x slower at 20M rows).  Callers with extreme
+            # group cardinality pass broadcast_stats=False.
+            stats_side = F.broadcast(stats) if broadcast_stats else stats
+            out = df.join(stats_side, on=cond, how="left").drop(*tmp)
         else:
             stats = base.select(agg).limit(1)
             out = df.crossJoin(F.broadcast(stats))
@@ -392,9 +398,11 @@ def is_aggr_not_greater_than(
     group_by: list | None = None,
     row_filter: str | None = None,
     aggr_params: dict | None = None,
+    broadcast_stats: bool = True,
 ):
     """Aggregate must be <= limit (reference check_funcs.py:2179)."""
-    return _is_aggr_compare(column, limit, aggr_type, "gt", group_by, row_filter, aggr_params=aggr_params)
+    return _is_aggr_compare(column, limit, aggr_type, "gt", group_by, row_filter,
+                            aggr_params=aggr_params, broadcast_stats=broadcast_stats)
 
 
 @register_rule("dataset")
@@ -405,9 +413,11 @@ def is_aggr_not_less_than(
     group_by: list | None = None,
     row_filter: str | None = None,
     aggr_params: dict | None = None,
+    broadcast_stats: bool = True,
 ):
     """Aggregate must be >= limit (reference check_funcs.py:2227)."""
-    return _is_aggr_compare(column, limit, aggr_type, "lt", group_by, row_filter, aggr_params=aggr_params)
+    return _is_aggr_compare(column, limit, aggr_type, "lt", group_by, row_filter,
+                            aggr_params=aggr_params, broadcast_stats=broadcast_stats)
 
 
 @register_rule("dataset")
@@ -420,10 +430,12 @@ def is_aggr_equal(
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
     aggr_params: dict | None = None,
+    broadcast_stats: bool = True,
 ):
     """Aggregate must equal limit within tolerance (reference check_funcs.py:2275)."""
     return _is_aggr_compare(
-        column, limit, aggr_type, "eq", group_by, row_filter, abs_tolerance, rel_tolerance, aggr_params
+        column, limit, aggr_type, "eq", group_by, row_filter, abs_tolerance, rel_tolerance, aggr_params,
+        broadcast_stats=broadcast_stats,
     )
 
 
@@ -437,10 +449,12 @@ def is_aggr_not_equal(
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
     aggr_params: dict | None = None,
+    broadcast_stats: bool = True,
 ):
     """Aggregate must NOT equal limit (reference check_funcs.py:2321)."""
     return _is_aggr_compare(
-        column, limit, aggr_type, "ne", group_by, row_filter, abs_tolerance, rel_tolerance, aggr_params
+        column, limit, aggr_type, "ne", group_by, row_filter, abs_tolerance, rel_tolerance, aggr_params,
+        broadcast_stats=broadcast_stats,
     )
 
 
@@ -502,7 +516,7 @@ def aggr_matches_dataset(
             for g, t in zip(gcols, tmp):
                 term = g.eqNullSafe(stats[t])
                 cond = term if cond is None else (cond & term)
-            out = df.join(stats, on=cond, how="left").drop(*tmp)
+            out = df.join(F.broadcast(stats), on=cond, how="left").drop(*tmp)
         else:
             cur = base.select(agg).limit(1)
             refstats = ref.select(ref_agg).limit(1)
@@ -748,7 +762,7 @@ def has_no_gaps_per_time_window(
         cond = with_bucket[row_bucket].eqNullSafe(flags[bucket_col])
         for g, t in zip(groups, tmp):
             cond = cond & g.eqNullSafe(flags[t])
-        return with_bucket.join(flags, on=cond, how="left").drop(bucket_col, row_bucket, *tmp)
+        return with_bucket.join(F.broadcast(flags), on=cond, how="left").drop(bucket_col, row_bucket, *tmp)
 
     return _lift(msg_col, alias), apply
 
@@ -1010,6 +1024,6 @@ def has_no_aggr_outliers(
         cond = bucket.eqNullSafe(flags[b])
         for g, t in zip(groups, tmp):
             cond = cond & g.eqNullSafe(flags[t])
-        return df.join(flags, on=cond, how="left").drop(b, *tmp)
+        return df.join(F.broadcast(flags), on=cond, how="left").drop(b, *tmp)
 
     return _lift(msg_col, alias), apply
