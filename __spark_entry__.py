@@ -615,6 +615,30 @@ def q_ann_lsh_topk(spark, sf):
     return similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10, num_planes=6).select("id", "rank")
 
 
+def q_ivf_topk(spark, sf):
+    # rows-only: approximate by construction (KMeans-seeded IVF probe)
+    df = _read(spark, sf, "embeddings")
+    indexed, centroids = similarity.ivf_build_index(df, "embedding", "vec_id", n_centroids=8, seed=42)
+    qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.ivf_topk(indexed, centroids, qvec, k=10, n_probe=3).select("id", "rank")
+
+
+def q_aggr_matches_dataset_grouped(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    ref = df.where(F.col("l_orderkey") % 2 == 0)
+    rule = DQDatasetRule(
+        check_func=C.aggr_matches_dataset,
+        column="l_quantity",
+        check_func_kwargs={
+            "aggr_type": "count",
+            "group_by": ["l_returnflag"],
+            "ref_group_by": ["l_returnflag"],
+            "ref_df_name": "ref",
+        },
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"ref": ref})
+
+
 def q_multimodal_metadata(spark, sf):
     df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
     out = multimodal.attach_media_metadata(df, "content")
@@ -696,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_cosine_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "aggr_matches_dataset_grouped": q_aggr_matches_dataset_grouped,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
     }
@@ -975,6 +1001,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH qv AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0), "
             "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) s FROM embeddings) "
             "SELECT vec_id AS id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank FROM scored ORDER BY s DESC, vec_id LIMIT 10"
+        ),
+        "aggr_matches_dataset_grouped": (
+            "WITH cur AS (SELECT l_returnflag, count(l_quantity) c FROM lineitem GROUP BY 1), "
+            "ref AS (SELECT l_returnflag, count(l_quantity) c FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1) "
+            "SELECT l.l_orderkey, l.l_linenumber, coalesce(cur.c <> ref.c, true) AS failed "
+            "FROM lineitem l LEFT JOIN cur USING (l_returnflag) LEFT JOIN ref USING (l_returnflag)"
         ),
         "multimodal_metadata": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, sha256(text) AS sha FROM documents"

@@ -18,7 +18,14 @@ from pyspark.sql.window import Window
 
 from dqx_spark.pipeline.dedup import _cosine, _hyperplane_bucket
 
-__all__ = ["cosine_similarity_col", "cosine_topk", "cosine_topk_per_query", "ann_lsh_topk"]
+__all__ = [
+    "cosine_similarity_col",
+    "cosine_topk",
+    "cosine_topk_per_query",
+    "ann_lsh_topk",
+    "ivf_build_index",
+    "ivf_topk",
+]
 
 
 def cosine_similarity_col(vec_col: Column, query: list[float]) -> Column:
@@ -62,6 +69,59 @@ def cosine_topk_per_query(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "rank", "score")
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: distributed KMeans (pyspark.ml) partitions the corpus into
+    Voronoi cells; returns (corpus with ``ivf_bucket`` column, centroid
+    list).  At scale the bucketed corpus is written back partitioned by
+    bucket so probes prune partitions; centroids are tiny driver state."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    featurized = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("features", array_to_vector(F.col("vec")))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(featurized.select("features"))
+    indexed = (
+        model.transform(featurized)
+        .withColumnRenamed("prediction", "ivf_bucket")
+        .select("id", "vec", "ivf_bucket")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k over an IVF index: rank centroids by distance to the
+    query (driver-side arithmetic over n_centroids floats), exact-rerank
+    only the ``n_probe`` nearest cells — the scan prunes to
+    ~n_probe/n_centroids of the corpus."""
+    import math
+
+    def dist(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+    cand = indexed.where(F.col("ivf_bucket").isin(*probe))
+    scored = cand.withColumn("score", cosine_similarity_col(F.col("vec"), query))
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("id", "rank", "score")
 
 
 def ann_lsh_topk(

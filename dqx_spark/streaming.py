@@ -12,10 +12,12 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from dqx_spark.engine import DQEngine
 from dqx_spark.rule import DQRule
+from dqx_spark.schema import ERRORS_COLUMN, WARNINGS_COLUMN
 
 
 def apply_checks_streaming(
@@ -47,6 +49,53 @@ def apply_checks_streaming(
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
     return writer.start()
+
+
+def deduplicate_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming exact-dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) — state
+    is bounded by the delay, unlike an unbounded ``dropDuplicates``.  This
+    is the streaming twin of ``pipeline.dedup.drop_exact_duplicates``."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    return stream_df.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(keys)
+
+
+def windowed_check_metrics(
+    checked_stream: DataFrame,
+    event_time_col: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed quality metrics with late-data handling: tumbling
+    event-time windows (watermarked) aggregating input/error/warning/valid
+    row counts from the ``_errors``/``_warnings`` columns.  Append-mode
+    safe: windows finalize once the watermark passes."""
+    return (
+        checked_stream.withWatermark(event_time_col, watermark_delay)
+        .groupBy(F.window(F.col(event_time_col), window_duration).alias("time_window"))
+        .agg(
+            F.count(F.lit(1)).alias("input_row_count"),
+            F.count(F.when(F.col(ERRORS_COLUMN).isNotNull(), 1)).alias("error_row_count"),
+            F.count(F.when(F.col(WARNINGS_COLUMN).isNotNull(), 1)).alias("warning_row_count"),
+            F.count(
+                F.when(F.col(ERRORS_COLUMN).isNull() & F.col(WARNINGS_COLUMN).isNull(), 1)
+            ).alias("valid_row_count"),
+        )
+        .select(
+            F.col("time_window.start").alias("window_start"),
+            F.col("time_window.end").alias("window_end"),
+            "input_row_count",
+            "error_row_count",
+            "warning_row_count",
+            "valid_row_count",
+        )
+    )
 
 
 def split_and_write_streaming(
