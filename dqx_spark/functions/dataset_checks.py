@@ -29,7 +29,6 @@ from pyspark.sql.window import Window
 from dqx_spark.functions._helpers import (
     filtered,
     get_limit_expr,
-    null_safe_join_condition,
     str_value,
     unique_suffix,
     within_tolerance,

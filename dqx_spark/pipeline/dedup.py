@@ -9,9 +9,9 @@ Five families, each with an explicit 100 TB scale story:
   in more than ``max_shingle_doc_freq`` documents (a hot shingle would
   otherwise quadratically explode the join).
 * **MinHash + LSH** — signature = array of k independent 64-bit hashes
-  (xxhash64(shingle, seed)) min-reduced JVM-side in ONE nested
-  higher-order-function expression (no UDF); banding hashes signature
-  slices; candidate pairs only join within a band bucket.
+  (xxhash64(shingle, seed)), built by explode + k min-aggregates (codegen'd,
+  no UDF); banding hashes signature slices; candidate pairs only join
+  within a band bucket.
 * **SimHash** — 64-bit bit-majority of token hashes; Hamming-ball matching
   via band partitioning (pigeonhole: d bits differ => some band of d+1 is
   identical).
@@ -29,7 +29,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dqx_spark.pipeline.text import doc_fingerprint, tokens, word_shingles
-from dqx_spark.rule import to_col
 
 __all__ = [
     "exact_duplicates",
@@ -43,9 +42,6 @@ __all__ = [
     "connected_components",
     "near_duplicate_groups",
 ]
-
-_MERSENNE61 = (1 << 61) - 1
-
 
 # ---------------------------------------------------------------------------
 # exact

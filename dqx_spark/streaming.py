@@ -98,6 +98,74 @@ def windowed_check_metrics(
     )
 
 
+def sessionize_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    gap_minutes: int = 30,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: assign
+    gap-based session ids per key.  State per key = (last event time,
+    session counter, session start); a new session opens when the gap since
+    the last event exceeds ``gap_minutes``.  Output: (key, event_time,
+    session_id, session_start).
+
+    This is the ``applyInPandasWithState`` pattern for stateful logic the
+    built-in operators can't express (session windows with per-session
+    metadata); state is Arrow-serialized per key and bounded by the
+    watermark."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+
+    gap_seconds = int(gap_minutes) * 60
+    output_schema = (
+        f"{key_col} long, {event_time_col} timestamp, session_id long, session_start timestamp"
+    )
+    state_schema = "last_ts double, session_id long, session_start double"
+
+    def assign(key, pdf_iter, state: GroupState):
+        batch = pd.concat(list(pdf_iter)).sort_values(event_time_col)
+        ts = batch[event_time_col]
+        epochs = ts.astype("int64") / 1e9
+        if state.exists:
+            last_ts, session_id, session_start = state.get
+        else:
+            last_ts, session_id, session_start = None, 0, None
+        ids, starts = [], []
+        for t in epochs:
+            if last_ts is None or t - last_ts > gap_seconds:
+                session_id += 1
+                session_start = t
+            last_ts = t
+            ids.append(session_id)
+            starts.append(session_start)
+        state.update((float(last_ts), int(session_id), float(session_start)))
+        out = pd.DataFrame(
+            {
+                key_col: batch[key_col].values,
+                event_time_col: ts.values,
+                "session_id": ids,
+                "session_start": pd.to_datetime(pd.Series(starts), unit="s"),
+            }
+        )
+        yield out
+
+    return (
+        stream_df.withWatermark(event_time_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            assign,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def split_and_write_streaming(
     engine: DQEngine,
     stream_df: DataFrame,

@@ -15,8 +15,6 @@ from pyspark.sql import SparkSession
 
 from dqx_spark.engine import DQEngine
 from dqx_spark.io import (
-    InputConfig,
-    OutputConfig,
     RunConfig,
     get_reference_dataframes,
     is_one_time_trigger,

@@ -101,3 +101,36 @@ def test_ivf_topk(spark):
     exact_ids = [r["id"] for r in exact.collect()]
     # clusters are well separated: probing 1/4 cells must recover exact top-5
     assert approx_ids == exact_ids
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from dqx_spark.streaming import sessionize_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (gap 10 < 30)
+        (1, "2024-01-01 02:00:00"),   # new session
+        (2, "2024-01-01 00:05:00"),   # user 2, session 1
+    ]
+    src = _write_stream_source(spark, tmp_path, rows, "user_id long, ts string")
+    stream = (
+        spark.readStream.schema("user_id long, ts string").parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    out = str(tmp_path / "sess")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append((str(r["ts"]), r["session_id"]))
+    u1 = sorted(by_user[1])
+    assert [s for _, s in u1] == [1, 1, 2]
+    assert by_user[2][0][1] == 1
