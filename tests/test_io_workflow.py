@@ -121,3 +121,26 @@ def test_validate_checks_errors(spark):
     assert status.has_errors
     text = str(status)
     assert "fatal" in text and "no_such_check" in text and "bogus_arg" in text
+
+
+def test_multi_table_fan_out(spark, tmp_path):
+    from dqx_spark.workflow import apply_checks_and_save_in_tables
+
+    configs, checks_by_run = [], {}
+    for table in ("orders", "customer"):
+        configs.append(
+            RunConfig(
+                name=table,
+                input_config=InputConfig(location=f"{SF_DIR}/{table}.parquet"),
+                output_config=OutputConfig(location=str(tmp_path / table), mode="overwrite"),
+                metrics_config=OutputConfig(location=str(tmp_path / f"{table}_m"), mode="overwrite"),
+            )
+        )
+        key = "o_orderkey" if table == "orders" else "c_custkey"
+        checks_by_run[table] = [
+            {"criticality": "error", "check": {"function": "is_not_null", "arguments": {"column": key}}}
+        ]
+    results = apply_checks_and_save_in_tables(spark, configs, checks_by_run, max_parallelism=2)
+    assert set(results) == {"orders", "customer"}
+    assert results["orders"]["error_row_count"] == 0
+    assert spark.read.parquet(str(tmp_path / "customer")).count() == results["customer"]["input_row_count"]

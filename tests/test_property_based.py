@@ -1,0 +1,117 @@
+"""Property-based invariants (hypothesis) + golden all-checks YAML corpus."""
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import dqx_spark.functions as C
+from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
+from dqx_spark.engine import ExtraParams
+from dqx_spark.serde import deserialize_checks, load_checks_from_file, serialize_checks, validate_checks
+
+RUN_TS = "2024-06-01 00:00:00"
+SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+def _engine():
+    return DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="prop"))
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.one_of(st.none(), st.sampled_from(["", "a", "b", "A", " "])),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_split_partition_invariant(spark, rows):
+    """good + invalid == total, and good has zero errors — for ANY data."""
+    df = spark.createDataFrame([(i, *r) for i, r in enumerate(rows)], "idx int, k int, v int, s string")
+    engine = _engine()
+    checked = engine.apply_checks(
+        df,
+        [
+            DQRowRule(check_func=C.is_not_null, column="v"),
+            DQRowRule(check_func=C.is_not_null_and_not_empty, column="s", criticality="warn"),
+            DQDatasetRule(check_func=C.is_unique, columns=["k"]),
+        ],
+    )
+    total = df.count()
+    good = engine.get_valid(checked)
+    errors = checked.where(F.col("_errors").isNotNull())
+    assert checked.count() == total
+    assert good.count() + errors.count() == total
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_is_unique_matches_sql_semantics(spark, rows):
+    """is_unique (ANSI nulls_distinct) == SQL window count over non-null keys."""
+    df = spark.createDataFrame([(i, r[1]) for i, r in enumerate(rows)], "idx int, k int")
+    engine = _engine()
+    checked = engine.apply_checks(df, [DQDatasetRule(check_func=C.is_unique, columns=["k"])])
+    flagged = {r["idx"] for r in checked.where(F.col("_errors").isNotNull()).collect()}
+    df.createOrReplaceTempView("t_prop_unique")
+    expected = {
+        r["idx"]
+        for r in df.sparkSession.sql(
+            "SELECT idx FROM (SELECT idx, k, count(*) OVER (PARTITION BY k) c FROM t_prop_unique) "
+            "WHERE k IS NOT NULL AND c > 1"
+        ).collect()
+    }
+    assert flagged == expected
+
+
+@SETTINGS
+@given(
+    crit=st.sampled_from(["error", "warn"]),
+    filt=st.one_of(st.none(), st.just("v > 0")),
+    meta=st.one_of(st.none(), st.dictionaries(st.sampled_from(["a", "b"]), st.text(max_size=5), max_size=2)),
+)
+def test_serde_round_trip_property(crit, filt, meta):
+    rule = DQRowRule(
+        check_func=C.is_not_null, column="v", criticality=crit, filter=filt, user_metadata=meta or None
+    )
+    dicts = serialize_checks([rule])
+    assert not validate_checks(dicts).has_errors
+    back = deserialize_checks(dicts)[0]
+    assert back.fingerprint() == rule.fingerprint()
+    assert back.criticality == crit and back.filter == filt
+
+
+def test_all_checks_yaml_corpus(spark, lineitem):
+    """The golden YAML corpus deserializes, validates, and runs end-to-end;
+    only the expected checks fire on the fixture."""
+    checks = load_checks_from_file(os.path.join(os.path.dirname(__file__), "resources", "all_checks.yaml"))
+    assert not validate_checks(checks).has_errors
+    engine = _engine()
+    checked = engine.apply_checks_by_metadata(lineitem, checks)
+    total = lineitem.count()
+    assert checked.count() == total
+
+    fired = (
+        checked.select(F.explode(F.col("_errors")).alias("e"))
+        .groupBy("e.name").count().collect()
+    )
+    by_name = {r["name"]: r["count"] for r in fired}
+    # the only true error violations in the fixture are the duplicated keys
+    assert set(by_name) == {"l_orderkey_l_linenumber_is_unique"}
+    # custom message_expr + filter check lands in warnings with the rendered message
+    sample = (
+        checked.select(F.explode(F.col("_warnings")).alias("w"))
+        .where(F.col("w.name") == "custom_named_check")
+        .limit(1)
+        .collect()
+    )
+    if sample:  # fires only when a filtered row also violates — may be empty
+        assert sample[0]["w"]["message"].startswith("qty ")
