@@ -77,3 +77,39 @@ def test_row_anomalies(spark):
     assert set(flagged) == {900, 901}
     assert "worst column: x" in flagged[900]
     assert "worst column: y" in flagged[901]
+
+
+def test_contract_rules_generator(spark):
+    from dqx_spark.contracts import generate_rules_from_contract
+    from dqx_spark.serde import validate_checks
+
+    contract = {
+        "schema": [
+            {
+                "name": "users",
+                "properties": [
+                    {"name": "id", "type": "long", "required": True, "primaryKey": True},
+                    {"name": "email", "type": "string", "format": "email", "required": True},
+                    {"name": "age", "type": "int", "minimum": 0, "maximum": 150},
+                    {"name": "country", "type": "string", "enum": ["US", "DE"]},
+                    {"name": "handle", "type": "string", "minLength": 3, "maxLength": 10, "pattern": "^[a-z]+$"},
+                ],
+            }
+        ]
+    }
+    checks = generate_rules_from_contract(contract)
+    assert not validate_checks(checks).has_errors
+    funcs = [c["check"]["function"] for c in checks]
+    assert funcs.count("is_unique") == 1 and "has_valid_schema" in funcs
+    assert "is_valid_email" in funcs and "is_in_range" in funcs and "is_in_list" in funcs
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com", 30, "US", "alice"), (2, "nope", 200, "XX", "B")],
+        "id bigint, email string, age int, country string, handle string",
+    )
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    checked = engine.apply_checks_by_metadata(df, checks)
+    rows = {r["id"]: r for r in checked.collect()}
+    assert rows[1]["_errors"] is None
+    bad_names = {e["function"] for e in rows[2]["_errors"]}
+    assert {"is_valid_email", "is_in_range", "is_in_list", "regex_match", "sql_expression"} <= bad_names
