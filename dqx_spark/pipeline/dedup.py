@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dqx_spark.pipeline.text import doc_fingerprint, tokens, word_shingles
+from dqx_spark.pipeline.text import doc_fingerprint, exploded_shingle_hashes, tokens
 
 __all__ = [
     "exact_duplicates",
@@ -90,11 +90,17 @@ def ngram_jaccard_pairs(
     Plan: per-doc distinct shingles -> explode -> self-join on shingle ->
     count per pair -> join back sizes.  ``max_shingle_doc_freq`` drops hot
     shingles before the join — the standard skew guard (a shingle shared by
-    D docs contributes D² candidate pairs)."""
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
-        .distinct()
-    )
+    D docs contributes D² candidate pairs).
+
+    Shingles are 64-bit hashes from birth (``exploded_shingle_hashes`` —
+    no shingle strings are ever built): every downstream shuffle/join keys
+    on an 8-byte long instead of a ~30-byte string (64-bit collisions are
+    negligible next to the threshold), which at 100 TB cuts the dominant
+    shuffle's bytes several-fold."""
+    # no .distinct() needed: shingle hashes are array_distinct'd per doc
+    # before the explode, so (id, shingle) is already unique — one less
+    # full shuffle
+    sh = exploded_shingle_hashes(df, id_col, text_col, k).withColumnRenamed("h", "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_doc_freq is not None:
         freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).where(F.col("df_") <= max_shingle_doc_freq)
@@ -124,18 +130,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
-    Shape: explode distinct shingles -> ONE xxhash64 per (row, seed) ->
-    groupBy(id) with ``num_hashes`` min-aggregates -> assemble array.
-    Exploding keeps every expression codegen-able and each subtree evaluated
-    exactly once; a single nested higher-order-function expression instead
-    re-evaluates the shingle construction once per seed per row (64× — it
-    benchmarked 300+ s for 5k docs vs ~1 s for this shape), because Catalyst
-    does not CSE across lambda boundaries.  Shuffle = one compact
-    (id, 64 longs) row per document, map-side combined."""
-    ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_k)).alias("s"))
-    )
-    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    Shape: hash-explode shingles (``exploded_shingle_hashes`` — shingle
+    strings never materialize; tokens hash once, shingles are hashes of
+    token-hash slices) -> groupBy(id) with ``num_hashes`` min-aggregates
+    over cheap long re-hashes -> assemble array.  Exploding keeps every
+    expression codegen-able and each subtree evaluated exactly once; a
+    single nested higher-order-function expression instead re-evaluates the
+    shingle construction once per seed per row (64× — it benchmarked 300+ s
+    for 5k docs vs ~1 s for this shape), because Catalyst does not CSE
+    across lambda boundaries.  The k hash functions are ``xxhash64(h, i)``
+    over the 8-byte base hash — text is scanned once, not k times.
+    Shuffle = one compact (id, 64 longs) row per document, map-side
+    combined."""
+    ex = exploded_shingle_hashes(df, id_col, text_col, shingle_k)
+    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     sig = ex.groupBy("id").agg(*aggs).select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
     # docs with no shingles (shorter than k tokens) drop out of the explode;
     # restore them with a null signature
@@ -161,18 +169,29 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded MinHash-LSH, scored by estimated
     Jaccard: (id_a, id_b, est_jaccard).
 
-    Plan: signature per doc (scan-local) -> explode (band_id, band_hash) ->
-    groupBy bucket, pair docs within a bucket (docs sharing >=1 band) ->
-    dedupe pairs -> score from full signatures.  The only full-data shuffle
-    keys on band_hash; bucket sizes are bounded by collision probability,
-    not data size."""
+    Plan: signature per doc (scan-local) -> explode (band_id, band_hash)
+    WITHOUT the signature payload -> pair ids within a bucket (docs sharing
+    >=1 band) -> dedupe pairs -> join the full signatures back for scoring.
+    The banding shuffle therefore moves (id, band, bucket) = ~24 bytes/row
+    instead of dragging the 64×8-byte signature array through it (the
+    signature rejoins only for the far smaller candidate set).  The only
+    full-data shuffle keys on band_hash; bucket sizes are bounded by
+    collision probability, not data size.
+
+    The signature subplan is shared by the banding branch and the two
+    score joins; ``localCheckpoint`` materializes it once (at cluster scale
+    this would be a persist/checkpoint of (id, 64 longs) — tiny next to the
+    corpus)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).where(F.col("sig").isNotNull())
+    sigs = (
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+        .where(F.col("sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -182,16 +201,20 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select(F.col("band").alias("band"), F.col("bucket").alias("bucket"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    right = banded.select(F.col("band").alias("band"), F.col("bucket").alias("bucket"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    scored = cand.withColumn("est_jaccard", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+    scored = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+    )
     return scored.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
 
 
