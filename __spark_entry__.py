@@ -656,6 +656,111 @@ def q_multimodal_features(spark, sf):
     return feats.select("doc_id", F.size("features").alias("n_features"))
 
 
+def q_is_latitude(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "lat",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("95.5"))
+        .when(F.col("c_custkey") % 13 == 0, F.lit("junk"))
+        .otherwise((F.col("c_custkey") % 180 - 90).cast("string")),
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_latitude, column="lat"), ["c_custkey"])
+
+
+def q_is_longitude(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "lon",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("190.25"))
+        .when(F.col("c_custkey") % 13 == 0, F.lit("junk"))
+        .otherwise((F.col("c_custkey") % 360 - 180).cast("string")),
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_longitude, column="lon"), ["c_custkey"])
+
+
+def q_does_not_contain_pii(spark, sf):
+    df = _read(spark, sf, "documents").withColumn(
+        "t2",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" ssn 123-45-6789")))
+        .when(F.col("doc_id") % 11 == 0, F.concat(F.lit("contact user@example.com re: "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    rule = DQRowRule(
+        check_func=C.does_not_contain_pii, column="t2", check_func_kwargs={"entities": ["US_SSN", "EMAIL_ADDRESS"]}
+    )
+    return _apply_one(df, rule, ["doc_id"])
+
+
+def q_is_equal_to(spark, sf):
+    df = _read(spark, sf, "orders")
+    rule = DQRowRule(check_func=C.is_equal_to, column="o_orderstatus", check_func_kwargs={"value": F.lit("O")})
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
+def q_is_not_greater_than(spark, sf):
+    df = _read(spark, sf, "customer")
+    rule = DQRowRule(check_func=C.is_not_greater_than, column="c_acctbal", check_func_kwargs={"limit": 9000})
+    return _apply_one(df, rule, ["c_custkey"])
+
+
+def q_is_not_in_range(spark, sf):
+    df = _read(spark, sf, "lineitem")
+    rule = DQRowRule(
+        check_func=C.is_not_in_range, column="l_quantity", check_func_kwargs={"min_limit": 10, "max_limit": 20}
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
+def q_is_not_in_list(spark, sf):
+    df = _read(spark, sf, "events")
+    rule = DQRowRule(
+        check_func=C.is_not_in_list, column="event_type", check_func_kwargs={"forbidden": ["error", "signup"]}
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_is_not_null_and_is_in_list(spark, sf):
+    df = _read(spark, sf, "events").withColumn(
+        "et", F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type"))
+    )
+    rule = DQRowRule(
+        check_func=C.is_not_null_and_is_in_list, column="et", check_func_kwargs={"allowed": ["click", "view"]}
+    )
+    return _apply_one(df, rule, ["event_id"])
+
+
+def q_is_empty(spark, sf):
+    df = _read(spark, sf, "documents").withColumn(
+        "t2", F.when(F.col("doc_id") % 6 == 0, F.lit("")).otherwise(F.col("text"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_empty, column="t2"), ["doc_id"])
+
+
+def q_is_not_empty(spark, sf):
+    df = _read(spark, sf, "documents").withColumn(
+        "t2", F.when(F.col("doc_id") % 6 == 0, F.lit("")).otherwise(F.col("text"))
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_not_empty, column="t2"), ["doc_id"])
+
+
+def q_is_valid_date(spark, sf):
+    df = _read(spark, sf, "orders").withColumn(
+        "ds",
+        F.when(F.col("o_orderkey") % 8 == 0, F.lit("2024-13-45")).otherwise(
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
+        ),
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_valid_date, column="ds"), ["o_orderkey"])
+
+
+def q_is_valid_subdivision_code(spark, sf):
+    df = _read(spark, sf, "customer").withColumn(
+        "sub",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("XX-CA"))
+        .when(F.col("c_custkey") % 5 == 0, F.lit("usca"))
+        .otherwise(F.lit("US-CA")),
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_valid_subdivision_code, column="sub"), ["c_custkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "is_not_null_and_not_empty": q_is_not_null_and_not_empty,
@@ -707,6 +812,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_not_null_island": q_is_not_null_island,
         "has_x_coordinate_between": q_has_x_coordinate_between,
         "dedup_drop_exact": q_dedup_drop_exact,
+        "is_latitude": q_is_latitude,
+        "is_longitude": q_is_longitude,
+        "does_not_contain_pii": q_does_not_contain_pii,
+        "is_equal_to": q_is_equal_to,
+        "is_not_greater_than": q_is_not_greater_than,
+        "is_not_in_range": q_is_not_in_range,
+        "is_not_in_list": q_is_not_in_list,
+        "is_not_null_and_is_in_list": q_is_not_null_and_is_in_list,
+        "is_empty": q_is_empty,
+        "is_not_empty": q_is_not_empty,
+        "is_valid_date": q_is_valid_date,
+        "is_valid_subdivision_code": q_is_valid_subdivision_code,
         # pipeline extensions
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
@@ -954,6 +1071,53 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c_custkey % 17 = 0 THEN 0 "
             "ELSE c_custkey % 360 - 180 END x FROM customer) "
             "SELECT c_custkey, coalesce(x < -90 OR x > 90, false) AS failed FROM t"
+        ),
+        "is_latitude": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 11 = 0 THEN '95.5' "
+            "WHEN c_custkey % 13 = 0 THEN 'junk' ELSE (c_custkey % 180 - 90)::VARCHAR END lat FROM customer) "
+            "SELECT c_custkey, (try_cast(lat AS DOUBLE) IS NULL OR try_cast(lat AS DOUBLE) < -90 "
+            "OR try_cast(lat AS DOUBLE) > 90) AS failed FROM t"
+        ),
+        "is_longitude": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 11 = 0 THEN '190.25' "
+            "WHEN c_custkey % 13 = 0 THEN 'junk' ELSE (c_custkey % 360 - 180)::VARCHAR END lon FROM customer) "
+            "SELECT c_custkey, (try_cast(lon AS DOUBLE) IS NULL OR try_cast(lon AS DOUBLE) < -180 "
+            "OR try_cast(lon AS DOUBLE) > 180) AS failed FROM t"
+        ),
+        "does_not_contain_pii": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' ssn 123-45-6789' "
+            "WHEN doc_id % 11 = 0 THEN 'contact user@example.com re: ' || text ELSE text END t2 FROM documents) "
+            r"SELECT doc_id, (regexp_matches(t2, '\d{3}-\d{2}-\d{4}') OR regexp_matches(t2, "
+            f"'{EMAIL_REGEX.strip('^$').replace(chr(39), chr(39) * 2)}')) AS failed FROM t"
+        ),
+        "is_equal_to": ("SELECT o_orderkey, o_orderstatus IS DISTINCT FROM 'O' AS failed FROM orders"),
+        "is_not_greater_than": ("SELECT c_custkey, c_acctbal > 9000 AS failed FROM customer"),
+        "is_not_in_range": (
+            "SELECT l_orderkey, l_linenumber, (l_quantity >= 10 AND l_quantity <= 20) AS failed FROM lineitem"
+        ),
+        "is_not_in_list": ("SELECT event_id, event_type IN ('error','signup') AS failed FROM events"),
+        "is_not_null_and_is_in_list": (
+            "WITH t AS (SELECT event_id, CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END et FROM events) "
+            "SELECT event_id, (et IS NULL OR et NOT IN ('click','view')) AS failed FROM t"
+        ),
+        "is_empty": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN '' ELSE text END t2 FROM documents) "
+            "SELECT doc_id, coalesce(t2 <> '', false) AS failed FROM t"
+        ),
+        "is_not_empty": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN '' ELSE text END t2 FROM documents) "
+            "SELECT doc_id, coalesce(t2 = '', false) AS failed FROM t"
+        ),
+        "is_valid_date": (
+            "WITH t AS (SELECT o_orderkey, CASE WHEN o_orderkey % 8 = 0 THEN '2024-13-45' "
+            "ELSE strftime(o_orderdate, '%Y-%m-%d') END ds FROM orders) "
+            "SELECT o_orderkey, (ds IS NOT NULL AND try_cast(ds AS DATE) IS NULL) AS failed FROM t"
+        ),
+        "is_valid_subdivision_code": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 'XX-CA' "
+            "WHEN c_custkey % 5 = 0 THEN 'usca' ELSE 'US-CA' END sub FROM customer) "
+            "SELECT c_custkey, NOT (regexp_matches(sub, '^[A-Z]{2}-[A-Z0-9]{1,3}$') "
+            f"AND substr(sub, 1, 2) IN ({country_list})) AS failed FROM t"
         ),
         "dedup_drop_exact": (
             "WITH base AS (SELECT doc_id, text FROM documents "
