@@ -24,7 +24,7 @@ from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
 from dqx_spark.engine import ExtraParams
 from dqx_spark.functions.iso_codes import LANGUAGE_CODES
 from dqx_spark.functions.row_checks import EMAIL_REGEX
-from dqx_spark.pipeline import dedup, multimodal, similarity, text
+from dqx_spark.pipeline import corpus, dedup, multimodal, similarity, text
 from dqx_spark.pipeline.text import LANG_STOPWORDS
 
 RUN_TS = "2024-06-01 00:00:00"
@@ -623,6 +623,57 @@ def q_ivf_topk(spark, sf):
     return similarity.ivf_topk(indexed, centroids, qvec, k=10, n_probe=3).select("id", "rank")
 
 
+def q_boilerplate_removal(spark, sf):
+    # inject a shared banner + footer into every 3rd doc, then strip lines
+    # shared by >2 distinct docs
+    df = _read(spark, sf, "documents").withColumn(
+        "t2",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("SHARED COOKIE BANNER\n"), F.col("text"), F.lit("\nSHARED FOOTER TEXT")),
+        ).otherwise(F.col("text")),
+    )
+    out = corpus.remove_boilerplate_lines(df.select("doc_id", "t2"), "doc_id", "t2", max_line_doc_freq=2)
+    return out.select("doc_id", F.md5(F.col("t2_clean")).alias("clean_md5"), "removed_line_count")
+
+
+def q_line_stats(spark, sf):
+    # integer-valued corpus line statistics (float signals are rows-only in
+    # gopher_signals below)
+    df = _read(spark, sf, "documents")
+    lines = corpus.split_lines("text")
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("n_uniq_lines"),
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*]|[0-9]+[.)])\s"))).cast("bigint").alias("n_bullet_lines"),
+    )
+
+
+def q_gopher_signals(spark, sf):
+    # rows-only: composite float signals (no stable cross-engine float hash)
+    df = _read(spark, sf, "documents")
+    return df.select("doc_id", corpus.gopher_signals("text").alias("gs")).select(
+        "doc_id",
+        F.col("gs.word_count").alias("word_count"),
+        F.col("gs.mean_word_length").alias("mean_word_length"),
+        F.col("gs.duplicate_line_fraction").alias("duplicate_line_fraction"),
+        F.col("gs.bullet_line_fraction").alias("bullet_line_fraction"),
+        F.col("gs.symbol_to_word_ratio").alias("symbol_to_word_ratio"),
+        F.col("gs.alpha_word_fraction").alias("alpha_word_fraction"),
+    )
+
+
+def q_top_ngram_coverage(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = corpus.top_ngram_coverage(df, "doc_id", "text", n=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("top_ngram_count").cast("bigint").alias("top_ngram_count"),
+        F.col("total_ngrams").cast("bigint").alias("total_ngrams"),
+    )
+
+
 def q_aggr_matches_dataset_grouped(spark, sf):
     df = _read(spark, sf, "lineitem")
     ref = df.where(F.col("l_orderkey") % 2 == 0)
@@ -839,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "aggr_matches_dataset_grouped": q_aggr_matches_dataset_grouped,
+        "boilerplate_removal": q_boilerplate_removal,
+        "line_stats": q_line_stats,
+        "gopher_signals": q_gopher_signals,
+        "top_ngram_coverage": q_top_ngram_coverage,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
     }
@@ -1171,6 +1226,31 @@ def oracle_sql() -> dict[str, str]:
             "ref AS (SELECT l_returnflag, count(l_quantity) c FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1) "
             "SELECT l.l_orderkey, l.l_linenumber, coalesce(cur.c <> ref.c, true) AS failed "
             "FROM lineitem l LEFT JOIN cur USING (l_returnflag) LEFT JOIN ref USING (l_returnflag)"
+        ),
+        "boilerplate_removal": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'SHARED COOKIE BANNER' || chr(10) || text || chr(10) || 'SHARED FOOTER TEXT' ELSE text END t2 FROM documents), "
+            "ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(t2,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM t), "
+            "ex AS (SELECT doc_id, unnest(list_distinct(lines)) line FROM ls), "
+            "freq AS (SELECT line, count(*) df FROM ex GROUP BY 1), "
+            "hot AS (SELECT coalesce(list(line), []) hl FROM freq WHERE df > 2), "
+            "k AS (SELECT doc_id, lines, list_filter(lines, l -> NOT list_contains(hl, l)) kept FROM ls CROSS JOIN hot) "
+            "SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_md5, "
+            "(len(lines) - len(kept))::BIGINT AS removed_line_count FROM k"
+        ),
+        "line_stats": (
+            "WITH ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM documents) "
+            "SELECT doc_id, len(lines)::BIGINT AS n_lines, len(list_distinct(lines))::BIGINT AS n_uniq_lines, "
+            r"len(list_filter(lines, l -> regexp_matches(l, '^([-*]|[0-9]+[.)])\s')))::BIGINT AS n_bullet_lines FROM ls"
+        ),
+        "top_ngram_coverage": (
+            r"WITH t AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
+            r"ELSE string_split_regex(trim(lower(text)), '\s+') END toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE []::VARCHAR[] END grams FROM t), "
+            "ex AS (SELECT doc_id, unnest(grams) gr FROM g), "
+            "pg AS (SELECT doc_id, gr, count(*) c FROM ex GROUP BY 1, 2), "
+            "pd AS (SELECT doc_id, max(c) tc, sum(c) tt FROM pg GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(pd.tc, 0)::BIGINT AS top_ngram_count, "
+            "coalesce(pd.tt, 0)::BIGINT AS total_ngrams FROM documents d LEFT JOIN pd USING (doc_id)"
         ),
         "multimodal_metadata": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, sha256(text) AS sha FROM documents"

@@ -1,0 +1,241 @@
+"""Corpus-level text cleaning operators for training-data pipelines.
+
+Two families the large-scale pretraining pipelines (CCNet, Gopher/MassiveText,
+RefinedWeb) apply after near-dedup:
+
+* **line-level boilerplate removal** — lines repeated across many documents
+  (nav bars, cookie banners, footers) are detected corpus-wide and stripped
+  per document.  Scale shape: explode lines -> hash to 64-bit -> count
+  DISTINCT docs per line hash (map-side combined) -> the hot set (lines over
+  the threshold) is TINY relative to the corpus -> broadcast anti-join it
+  back against the exploded lines -> reassemble text in original line order.
+  The only full-data shuffle is the line-count aggregation on a long key;
+  the join back is broadcast, so no second full shuffle at 100 TB.
+
+* **per-document repetition / quality signals** (Gopher-style) — duplicate
+  line fraction, bullet/ellipsis line fractions, mean word length, symbol
+  ratios, top-n-gram coverage.  All pure Column expressions except
+  ``top_ngram_coverage`` (explode + two-stage agg).
+
+No Python UDFs anywhere; everything is codegen-able Spark SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline.text import tokens
+from dqx_spark.rule import to_col
+
+__all__ = [
+    "split_lines",
+    "line_doc_frequency",
+    "remove_boilerplate_lines",
+    "duplicate_line_fraction",
+    "bullet_line_fraction",
+    "ellipsis_line_fraction",
+    "mean_word_length",
+    "symbol_to_word_ratio",
+    "alpha_word_fraction",
+    "gopher_signals",
+    "top_ngram_coverage",
+]
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate
+# ---------------------------------------------------------------------------
+def split_lines(column: str | Column) -> Column:
+    """Non-empty trimmed lines of a document (order preserved)."""
+    col = to_col(column)
+    raw = F.split(F.coalesce(col, F.lit("")), r"\n")
+    return F.filter(F.transform(raw, lambda ln: F.trim(ln)), lambda ln: ln != "")
+
+
+def line_doc_frequency(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(line_hash, line, doc_freq): number of DISTINCT documents containing
+    each (trimmed, non-empty) line.  ``array_distinct`` before the explode
+    makes plain ``count`` a distinct-doc count — no count_distinct shuffle."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(split_lines(text_col))).alias("line"),
+    )
+    return (
+        ex.groupBy(F.xxhash64("line").alias("line_hash"))
+        .agg(F.first("line").alias("line"), F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_doc_freq: int = 2,
+    min_line_chars: int = 0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip lines that occur in more than ``max_line_doc_freq`` distinct
+    documents (CCNet-style boilerplate removal), preserving line order.
+
+    The hot-line set (doc_freq > threshold) is aggregated corpus-wide and
+    **broadcast** for the anti-join — at 100 TB the hot set is MBs (nav bars
+    and banners), so the removal pass costs one scan + one agg shuffle, never
+    a full-corpus join shuffle.  Lines shorter than ``min_line_chars`` are
+    always kept (short strings collide naturally: "Yes", "1.", …).
+
+    Returns the input plus ``out_col`` (default ``<text_col>_clean``) and
+    ``removed_line_count``.
+    """
+    out_col = out_col or f"{text_col}_clean"
+    hot = (
+        line_doc_frequency(df, id_col, text_col)
+        .where(F.col("doc_freq") > max_line_doc_freq)
+        .where(F.length("line") >= min_line_chars)
+        .select("line_hash")
+    )
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(split_lines(text_col)).alias("__pos", "__line"),
+    ).withColumn("line_hash", F.xxhash64("__line"))
+    kept = (
+        pos.join(F.broadcast(hot), "line_hash", "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__line"))), lambda s: s["__line"]),
+                "\n",
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("__kept"),
+        )
+    )
+    total = df.select(F.col(id_col).alias("__id"), F.size(split_lines(text_col)).alias("__total"))
+    return (
+        df.join(kept, df[id_col] == kept["__id"], "left")
+        .join(total, df[id_col] == total["__id"], "left")
+        .select(
+            *[df[c] for c in df.columns],
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias("removed_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style per-document signals (pure expressions)
+# ---------------------------------------------------------------------------
+def duplicate_line_fraction(column: str | Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line in the same
+    document (Gopher repetition signal)."""
+    lines = split_lines(column)
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - uniq).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def duplicate_line_char_fraction(column: str | Column) -> Column:
+    """Fraction of characters contained in repeated lines."""
+    lines = split_lines(column)
+    total = F.aggregate(lines, F.lit(0), lambda acc, ln: acc + F.length(ln))
+    uniq_chars = F.aggregate(F.array_distinct(lines), F.lit(0), lambda acc, ln: acc + F.length(ln))
+    return F.when(total > 0, (total - uniq_chars).cast("double") / total).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(column: str | Column) -> Column:
+    """Fraction of lines starting with a bullet marker."""
+    lines = split_lines(column)
+    n = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*•‣◦]|\d+[.)])\s")))
+    return F.when(n > 0, bullets.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(column: str | Column) -> Column:
+    """Fraction of lines ending with an ellipsis."""
+    lines = split_lines(column)
+    n = F.size(lines)
+    ell = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    return F.when(n > 0, ell.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(column: str | Column) -> Column:
+    toks = tokens(column)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def symbol_to_word_ratio(column: str | Column) -> Column:
+    """(# of '#', '…', '...' occurrences) / word count (Gopher signal)."""
+    col = to_col(column)
+    s = F.coalesce(col, F.lit(""))
+    hashes = F.length(s) - F.length(F.regexp_replace(s, r"#", ""))
+    # count '…' plus literal '...' runs (each '...' counted once)
+    uni = F.length(s) - F.length(F.regexp_replace(s, r"…", ""))
+    dots = F.size(F.regexp_extract_all(s, F.lit(r"(\.{3})"), F.lit(1)))
+    n_words = F.size(tokens(col))
+    return F.when(n_words > 0, (hashes + uni + dots).cast("double") / n_words).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(column: str | Column) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    toks = tokens(column)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    return F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def gopher_signals(column: str | Column) -> Column:
+    """Struct of the classic MassiveText/Gopher quality-filter signals, all
+    computed in one pass over the string (single projection, codegen'd)."""
+    col = to_col(column)
+    return F.struct(
+        F.size(tokens(col)).alias("word_count"),
+        mean_word_length(col).alias("mean_word_length"),
+        duplicate_line_fraction(col).alias("duplicate_line_fraction"),
+        duplicate_line_char_fraction(col).alias("duplicate_line_char_fraction"),
+        bullet_line_fraction(col).alias("bullet_line_fraction"),
+        ellipsis_line_fraction(col).alias("ellipsis_line_fraction"),
+        symbol_to_word_ratio(col).alias("symbol_to_word_ratio"),
+        alpha_word_fraction(col).alias("alpha_word_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition: top n-gram coverage
+# ---------------------------------------------------------------------------
+def top_ngram_coverage(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """(id, top_ngram_count, total_ngrams, coverage): how often the most
+    frequent word n-gram of each document occurs, as a fraction of all its
+    n-grams (Gopher rep-ngram signal).
+
+    Shape: token-hash the text once, explode n-gram hashes, two-stage agg —
+    count per (id, gram) then max per id — both map-side combined; join the
+    per-id result back is 1 row/doc.  No strings shuffle: gram keys are
+    64-bit hashes."""
+    col = F.lower(F.col(text_col))
+    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    step1 = df.select(F.col(id_col).alias("id"), th.alias("__th"))
+    sz = F.size(F.col("__th"))
+    grams = F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(1), sz - (n - 1)), lambda i: F.xxhash64(F.slice(F.col("__th"), i, n))),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = step1.select("id", F.explode(grams).alias("g"))
+    per_gram = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.max("c").alias("top_ngram_count"), F.sum("c").alias("total_ngrams")
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.when(
+                F.col("total_ngrams") > 0,
+                F.col("top_ngram_count").cast("double") / F.col("total_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Corpus-cleaning operator tests: line-level boilerplate removal and
+Gopher-style quality signals."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import corpus
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "COOKIE BANNER\nreal content zero\nFOOTER"),
+        (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+        (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+        (3, "unique doc\n- bullet a\n- bullet b\nplain line\nplain line"),
+        (4, ""),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_line_doc_frequency(spark, docs):
+    freq = {r.line: r.doc_freq for r in corpus.line_doc_frequency(docs, "doc_id", "text").collect()}
+    assert freq["COOKIE BANNER"] == 3
+    assert freq["FOOTER"] == 3
+    assert freq["real content zero"] == 1
+    # within-doc repeats count once per doc
+    assert freq["plain line"] == 1
+
+
+def test_remove_boilerplate_lines(spark, docs):
+    out = corpus.remove_boilerplate_lines(docs, "doc_id", "text", max_line_doc_freq=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].text_clean == "real content zero"
+    assert rows[0].removed_line_count == 2
+    # untouched doc keeps all lines in order
+    assert rows[3].text_clean == "unique doc\n- bullet a\n- bullet b\nplain line\nplain line"
+    assert rows[3].removed_line_count == 0
+    # empty + null docs survive with empty output
+    assert rows[4].text_clean == "" and rows[4].removed_line_count == 0
+    assert rows[5].text_clean == "" and rows[5].removed_line_count == 0
+    # original columns are preserved
+    assert set(out.columns) == {"doc_id", "text", "text_clean", "removed_line_count"}
+
+
+def test_min_line_chars_keeps_short_lines(spark):
+    rows = [(i, "Yes\nbody text " + str(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = corpus.remove_boilerplate_lines(df, "doc_id", "text", max_line_doc_freq=2, min_line_chars=10)
+    assert all(r.text_clean.startswith("Yes") for r in out.collect())
+
+
+def test_gopher_signals(spark, docs):
+    sig = {r.doc_id: r.g for r in docs.select("doc_id", corpus.gopher_signals("text").alias("g")).collect()}
+    g3 = sig[3]
+    assert g3.word_count == 12
+    assert abs(g3.duplicate_line_fraction - 0.2) < 1e-9  # 1 dup of 5 lines
+    assert abs(g3.bullet_line_fraction - 0.4) < 1e-9  # 2 bullets of 5 lines
+    assert g3.alpha_word_fraction > 0.8
+    # degenerate inputs yield zeros, not nulls/errors
+    for d in (4, 5):
+        assert sig[d].word_count == 0
+        assert sig[d].mean_word_length == 0.0
+
+
+def test_symbol_to_word_ratio(spark):
+    df = spark.createDataFrame([(0, "a b c # … and now...")], "id int, t string")
+    r = df.select(corpus.symbol_to_word_ratio("t").alias("s")).collect()[0].s
+    # 3 symbols (one '#', one '…', one '...') / 7 whitespace tokens
+    assert abs(r - 3 / 7) < 1e-9
+
+
+def test_top_ngram_coverage(spark, docs):
+    cov = {r.id: r for r in corpus.top_ngram_coverage(docs, "doc_id", "text", n=2).collect()}
+    # doc 3: "plain line" bigram occurs twice of 11 bigrams
+    assert cov[3].top_ngram_count == 2
+    assert cov[3].total_ngrams == 11
+    assert abs(cov[3].coverage - 2 / 11) < 1e-9
+    # short/empty docs come back with zero coverage rather than dropping out
+    assert cov[4].total_ngrams == 0 and cov[4].coverage == 0.0
+    assert cov[5].total_ngrams == 0
