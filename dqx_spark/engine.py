@@ -59,6 +59,15 @@ class DQEngine:
         #: checkpoint caches the intermediate rows on executors.
         self.checkpoint_every_n_dataset_checks = checkpoint_every_n_dataset_checks
         self._run_id = self.extra_params.run_id_overwrite or str(uuid.uuid4())
+        # Row-rule result Columns are pure (unresolved) expressions with no
+        # DataFrame dependency, so the fully-wrapped result struct can be
+        # reused verbatim whenever the same rule (by fingerprint) is applied
+        # again under the same rule-set fingerprint — plan construction is
+        # pure py4j round-trip cost (~60 JVM calls per rule), and rule sets
+        # are routinely re-applied (multi-table fan-out, streaming
+        # micro-batches, repeated runs).  Keyed on (rule_fp, set_fp);
+        # engine-level run_id/run_time/user_metadata are fixed per instance.
+        self._row_result_cache: dict[tuple, Column] = {}
 
     # ------------------------------------------------------------------
     # public API
@@ -179,8 +188,16 @@ class DQEngine:
             new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns, original_df)
             return self._result_struct(rule, condition, set_fp), new_df
 
+        # id(check_func) guards same-named custom functions with different
+        # bodies (fingerprints canonicalize by function NAME)
+        cache_key = (rule.fingerprint(), set_fp, id(rule.check_func))
+        cached = self._row_result_cache.get(cache_key)
+        if cached is not None:
+            return cached, current_df
         condition = rule.invoke()
-        return self._result_struct(rule, condition, set_fp), current_df
+        result = self._result_struct(rule, condition, set_fp)
+        self._row_result_cache[cache_key] = result
+        return result, current_df
 
     def _skip_reason(self, rule: DQRule, df: DataFrame) -> str | None:
         """Plan-only validation: unresolvable column/filter => structured skip,

@@ -180,9 +180,14 @@ class DQRule:
 
     def fingerprint(self) -> str:
         """Deterministic SHA-256 over the canonicalized definition
-        (reference ``rule.py:644-681``)."""
-        canonical = json.dumps(self.to_dict(), sort_keys=True, default=str)
-        return hashlib.sha256(canonical.encode()).hexdigest()
+        (reference ``rule.py:644-681``).  Memoized per instance (frozen
+        dataclass => definition cannot change after construction)."""
+        cached = self.__dict__.get("_fp_cache")
+        if cached is None:
+            canonical = json.dumps(self.to_dict(), sort_keys=True, default=str)
+            cached = hashlib.sha256(canonical.encode()).hexdigest()
+            object.__setattr__(self, "_fp_cache", cached)
+        return cached
 
     def with_criticality(self, criticality: str) -> "DQRule":
         return replace(self, criticality=criticality)
