@@ -24,7 +24,7 @@ from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
 from dqx_spark.engine import ExtraParams
 from dqx_spark.functions.iso_codes import LANGUAGE_CODES
 from dqx_spark.functions.row_checks import EMAIL_REGEX
-from dqx_spark.pipeline import corpus, dedup, multimodal, similarity, text
+from dqx_spark.pipeline import corpus, dedup, mixing, multimodal, similarity, text
 from dqx_spark.pipeline.text import LANG_STOPWORDS
 
 RUN_TS = "2024-06-01 00:00:00"
@@ -812,6 +812,30 @@ def q_is_valid_subdivision_code(spark, sf):
     return _apply_one(df, DQRowRule(check_func=C.is_valid_subdivision_code, column="sub"), ["c_custkey"])
 
 
+def q_hash_split(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.select("doc_id", "split")
+
+
+def q_source_mix(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = mixing.source_mix(df, "doc_id", "source", {"src1": 0.2, "src2": 0.5})
+    return out.select("doc_id", "source")
+
+
+def q_ngram_contamination(spark, sf):
+    df = _read(spark, sf, "documents")
+    eval_df = df.where(F.col("doc_id") % 20 == 0)
+    scores = mixing.ngram_contamination(df, eval_df, "doc_id", "text", n=5)
+    return scores.select(
+        F.col("id").alias("doc_id"),
+        "total_ngrams",
+        "hit_ngrams",
+        (F.col("contamination") >= 0.5).alias("contaminated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "is_not_null_and_not_empty": q_is_not_null_and_not_empty,
@@ -896,6 +920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_coverage": q_top_ngram_coverage,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
+        "hash_split": q_hash_split,
+        "source_mix": q_source_mix,
+        "ngram_contamination": q_ngram_contamination,
     }
 
 
@@ -1254,5 +1281,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_metadata": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, sha256(text) AS sha FROM documents"
+        ),
+        "hash_split": (
+            "SELECT doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents)"
+        ),
+        "source_mix": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents) "
+            "WHERE b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
+            "ELSE 1.0 END * 1000000)::BIGINT"
+        ),
+        "ngram_contamination": (
+            r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1), "
+            "i -> array_to_string(toks[i:i+4], ' ')))) s FROM t), "
+            "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), "
+            "agg AS (SELECT sh.doc_id, count(*) total, sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) hits "
+            "FROM sh LEFT JOIN ev ON sh.s = ev.s GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(total, 0)::BIGINT AS total_ngrams, coalesce(hits, 0)::BIGINT AS hit_ngrams, "
+            "coalesce(hits::DOUBLE / total >= 0.5, false) AS contaminated "
+            "FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
     }

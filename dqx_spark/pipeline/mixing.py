@@ -1,0 +1,200 @@
+"""Deterministic dataset splitting, mixture sampling, and benchmark
+decontamination for training-data pipelines.
+
+Three operations every pretraining pipeline needs downstream of cleaning:
+
+* **hash splitting** — assign each record to train/val/test by hashing a
+  stable id, NOT by ``df.sample``: the assignment must survive reruns,
+  repartitioning, and incremental appends (a new batch of documents must not
+  reshuffle old documents between splits).  ``md5`` is the hash on purpose —
+  it is engine-portable (same value in DuckDB/Trino/Snowflake), so split
+  membership is reproducible outside Spark and oracle-checkable.
+
+* **mixture sampling** — downsample each source to a target rate (the
+  "data mixing weights" step).  Same determinism argument; a rate change of
+  one source must not perturb which rows of another source are kept.
+
+* **decontamination** — remove documents whose word n-grams overlap a
+  held-out evaluation set (the standard n-gram-overlap decontamination used
+  for public LLM training corpora).  Scale shape: the eval set is tiny
+  relative to the corpus (benchmarks are MBs, the corpus is TBs), so its
+  distinct n-gram hashes are **broadcast**; the corpus side is one projection
+  (token-hash + slice-hash, no shingle strings materialized) + one explode +
+  one map-side-combinable aggregation.  No full-corpus shuffle joins.
+
+Everything is pure Column expressions — no Python UDFs.
+
+Reference parity: the reference (databrickslabs/dqx) has no
+splitting/mixing/decontamination surface; these extend the engine for
+training-data pipelines per the build brief.  Sampling conventions follow
+the reference's determinism discipline (profiler seeded sampling,
+profiler.py:335-414).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline.text import exploded_shingle_hashes
+from dqx_spark.rule import to_col
+
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "deterministic_sample",
+    "source_mix",
+    "ngram_contamination",
+    "decontaminate",
+]
+
+# One million buckets ≈ 1e-4 % rate granularity while staying far below the
+# 60 bits of entropy the bucket hash carries.
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(column: str | Column, num_buckets: int = _BUCKETS, salt: str = "") -> Column:
+    """Deterministic, engine-portable bucket in ``[0, num_buckets)``.
+
+    ``md5`` of (salt || value), first 15 hex digits (60 bits) as an integer,
+    mod ``num_buckets``.  DuckDB twin:
+    ``('0x' || substr(md5(salt || col::VARCHAR), 1, 15))::UBIGINT % n``.
+    """
+    key = F.concat(F.lit(salt), to_col(column).cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % num_buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label with deterministic hash bucketing.
+
+    ``splits`` maps label -> fraction (must sum to ~1.0); labels are assigned
+    in insertion order over contiguous bucket ranges, so enlarging the last
+    split never moves rows between earlier splits.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = hash_bucket(id_col, _BUCKETS, salt)
+    expr: Column | None = None
+    cumulative = 0.0
+    labels = list(splits.items())
+    for label, frac in labels[:-1]:
+        cumulative += frac
+        cond = bucket < int(round(cumulative * _BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last_label = labels[-1][0]
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed on ``id_col``.
+
+    Unlike ``df.sample`` this is stable across reruns, partitioning, and
+    appends, and — because md5 is engine-portable — reproducible in any other
+    SQL engine for auditability.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_bucket(id_col, _BUCKETS, salt) < int(round(fraction * _BUCKETS)))
+
+
+def source_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-source deterministic downsampling (data mixing weights).
+
+    ``rates`` maps source value -> keep fraction; unlisted sources keep
+    ``default_rate``.  Each row's fate depends only on (salt, its own id and
+    source), so retuning one source's weight never perturbs the sample drawn
+    from any other source.
+    """
+    for src, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {src!r} must be in [0, 1], got {rate}")
+    rate_expr: Column = F.lit(default_rate)
+    for src, rate in rates.items():
+        rate_expr = F.when(to_col(source_col) == src, F.lit(rate)).otherwise(rate_expr)
+    bucket = hash_bucket(id_col, _BUCKETS, salt)
+    return df.where(bucket < F.round(rate_expr * _BUCKETS).cast("bigint"))
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap: ``(id, total_ngrams, hit_ngrams,
+    contamination)`` where ``contamination`` is the fraction of the document's
+    DISTINCT word ``n``-grams that appear anywhere in ``eval_df``.
+
+    The eval n-gram set is deduplicated and **broadcast** (eval benchmarks
+    are tiny vs. a 100 TB corpus); the corpus side never shuffles strings —
+    n-grams are 64-bit hashes of token-hash slices (see
+    ``exploded_shingle_hashes``).  Documents shorter than ``n`` tokens have
+    zero n-grams and contamination 0.0.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    doc_grams = exploded_shingle_hashes(df, id_col, text_col, k=n, lowercase=lowercase)
+    eval_grams = (
+        exploded_shingle_hashes(eval_df, eval_id_col, eval_text_col, k=n, lowercase=lowercase)
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = doc_grams.join(F.broadcast(eval_grams), "h", "left")
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_ngrams"),
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+        F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
+        F.when(
+            F.col("total_ngrams") > 0,
+            F.col("hit_ngrams").cast("double") / F.col("total_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.1,
+    n: int = 8,
+    **kwargs,
+) -> DataFrame:
+    """Drop documents whose eval-set n-gram contamination is ``>= threshold``.
+
+    Returns the surviving rows of ``df`` (original columns).  The
+    contamination join is keyed on ``id_col`` — broadcast-sized per-doc
+    verdicts are NOT assumed, so the join-back shuffles on the id only
+    (slim: 3 numeric columns).
+    """
+    scores = ngram_contamination(df, eval_df, id_col, text_col, n=n, **kwargs)
+    keep = scores.where(F.col("contamination") < threshold).select(F.col("id").alias("__keep_id"))
+    return df.join(keep, df[id_col] == F.col("__keep_id"), "inner").drop("__keep_id")

@@ -1,0 +1,106 @@
+"""Tests for deterministic splitting, mixture sampling, and benchmark
+decontamination (pipeline/mixing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import mixing
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"document number {i} with some distinctive words token{i} alpha beta gamma delta epsilon")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_hash_split_is_deterministic_and_partitioning_invariant(docs):
+    a = mixing.hash_split(docs, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = mixing.hash_split(docs.repartition(7), "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    ma = {r["id"]: r["split"] for r in a.select("id", "split").collect()}
+    mb = {r["id"]: r["split"] for r in b.select("id", "split").collect()}
+    assert ma == mb
+    counts = a.groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in counts}
+    assert set(by) <= {"train", "val", "test"}
+    assert by["train"] > 100  # roughly 80% of 200
+
+
+def test_hash_split_appends_stable(docs):
+    """New rows must not move existing rows between splits."""
+    first = mixing.hash_split(docs.where(F.col("id") < 100), "id")
+    full = mixing.hash_split(docs, "id")
+    m_first = {r["id"]: r["split"] for r in first.collect()}
+    m_full = {r["id"]: r["split"] for r in full.where(F.col("id") < 100).collect()}
+    assert m_first == m_full
+
+
+def test_hash_split_validates_fractions(docs):
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        mixing.hash_split(docs, "id", {"a": 0.5, "b": 0.1})
+
+
+def test_deterministic_sample_subset_monotone(docs):
+    """A smaller fraction's sample is a subset of a larger fraction's."""
+    small = {r["id"] for r in mixing.deterministic_sample(docs, "id", 0.2).select("id").collect()}
+    big = {r["id"] for r in mixing.deterministic_sample(docs, "id", 0.6).select("id").collect()}
+    assert small <= big
+    assert 0 < len(small) < len(big) < 200
+    with pytest.raises(ValueError, match="fraction"):
+        mixing.deterministic_sample(docs, "id", 1.5)
+
+
+def test_source_mix_rates_and_isolation(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    mixed = mixing.source_mix(df, "id", "src", {"a": 0.25})
+    out = mixed.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in out}
+    assert by["b"] == 200  # default rate 1.0 keeps everything
+    assert 20 < by["a"] < 80  # ~25% of 200
+    # retuning source a must not change which b-rows are kept
+    mixed2 = mixing.source_mix(df, "id", "src", {"a": 0.9})
+    b1 = {r["id"] for r in mixed.where(F.col("src") == "b").select("id").collect()}
+    b2 = {r["id"] for r in mixed2.where(F.col("src") == "b").select("id").collect()}
+    assert b1 == b2
+
+
+def test_ngram_contamination_flags_eval_overlap(spark):
+    eval_rows = [(100, "the secret benchmark question about quantum gravity and turtles all the way down")]
+    corpus_rows = [
+        (0, "the secret benchmark question about quantum gravity and turtles all the way down"),  # full copy
+        (1, "completely unrelated text about spark shuffle partitions and broadcast joins here today"),
+        (2, "short text"),  # < n tokens -> zero n-grams
+    ]
+    docs = spark.createDataFrame(corpus_rows, "id long, text string")
+    ev = spark.createDataFrame(eval_rows, "id long, text string")
+    out = {r["id"]: r for r in mixing.ngram_contamination(docs, ev, "id", "text", n=8).collect()}
+    assert out[0]["contamination"] == 1.0
+    assert out[1]["contamination"] == 0.0 and out[1]["total_ngrams"] > 0
+    assert out[2]["total_ngrams"] == 0 and out[2]["contamination"] == 0.0
+
+    kept = mixing.decontaminate(docs, ev, "id", "text", threshold=0.5, n=8)
+    assert {r["id"] for r in kept.select("id").collect()} == {1, 2}
+    assert kept.columns == docs.columns
+
+
+def test_bucket_matches_duckdb():
+    """The Spark bucket expression must agree with the documented DuckDB
+    twin — that is the whole point of using md5."""
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    ids = ["0", "1", "42", "99999", "hello"]
+    sdf = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {
+        r["id"]: r["b"]
+        for r in sdf.select("id", mixing.hash_bucket("id", 1_000_000).alias("b")).collect()
+    }
+    for i in ids:
+        want = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{i}'), 1, 15))::UBIGINT % 1000000"
+        ).fetchone()[0]
+        assert got[i] == want, i
