@@ -812,6 +812,46 @@ def q_is_valid_subdivision_code(spark, sf):
     return _apply_one(df, DQRowRule(check_func=C.is_valid_subdivision_code, column="sub"), ["c_custkey"])
 
 
+def q_is_valid_ipv6(spark, sf):
+    # rows-only: validity comes from a pandas UDF over stdlib `ipaddress`;
+    # DuckDB has no offline inet twin.
+    df = _read(spark, sf, "customer").withColumn(
+        "ip6",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("not-an-ip"))
+        .when(F.col("c_custkey") % 3 == 0, F.lit("2001:db8::1"))
+        .otherwise(
+            F.concat(F.lit("::ffff:10.0."), (F.col("c_custkey") % 256).cast("string"), F.lit(".1"))
+        ),
+    )
+    return _apply_one(df, DQRowRule(check_func=C.is_valid_ipv6_address, column="ip6"), ["c_custkey"])
+
+
+def q_polygons_disjoint(spark, sf):
+    # rows-only: bbox interval-bucket approximation has no DuckDB spatial twin.
+    # nations 20..24 get squares shifted to overlap nations 0..4 (and touch
+    # the next square, so 5 is flagged via edge contact); 6..19 disjoint.
+    key = F.col("n_nationkey")
+    x0 = F.when(key >= 20, (key - 20) * 3 + 1).otherwise(key * 3).cast("double")
+    df = _read(spark, sf, "nation").withColumn(
+        "g",
+        F.format_string(
+            "POLYGON((%s 0, %s 0, %s 2, %s 2, %s 0))",
+            x0.cast("string"),
+            (x0 + 2).cast("string"),
+            (x0 + 2).cast("string"),
+            x0.cast("string"),
+            x0.cast("string"),
+        ),
+    )
+    from dqx_spark.functions import geo_checks
+
+    return _apply_one(
+        df,
+        DQDatasetRule(check_func=geo_checks.are_polygons_mutually_disjoint, column="g"),
+        ["n_nationkey"],
+    )
+
+
 def q_hash_split(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
@@ -923,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "source_mix": q_source_mix,
         "ngram_contamination": q_ngram_contamination,
+        "is_valid_ipv6_address": q_is_valid_ipv6,
+        "are_polygons_mutually_disjoint": q_polygons_disjoint,
     }
 
 

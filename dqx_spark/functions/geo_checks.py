@@ -184,9 +184,17 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
 
     CONSERVATIVE APPROXIMATION: bbox-disjoint implies truly disjoint, so a
     clean result is trustworthy; flagged rows may be false positives (bbox
-    overlap without geometry intersection).  Plan: extract per-row bbox
-    (scan-local), pairwise bbox-overlap via an interval self-join on an
-    x-range bucket key — not the O(n²) crossJoin."""
+    overlap without geometry intersection).
+
+    Scale shape: per-row bboxes are scan-local; candidate pairs come from an
+    **equi-join on integer x-interval buckets** (each box exploded into the
+    buckets its x-range spans), NOT a non-equi self-join — a non-equi join
+    degenerates to a broadcast nested loop (O(n²) comparisons), which dies
+    long before 100 TB.  Bucket width adapts to the data: the global x-span
+    divided into 1024 buckets, floored at the 90th-percentile box width so a
+    typical box lands in O(1) buckets (one small driver action over the slim
+    boxes frame, same discipline as the MAD check's medians).  Bucketed
+    pairs are deduplicated before counting."""
     col = to_col(column)
     name = normalize_col_str(column)
     sfx = unique_suffix()
@@ -207,17 +215,45 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
         boxes = with_box.select(rid, "__bb")
         if row_filter:
             boxes = with_box.where(F.expr(row_filter)).select(rid, "__bb")
-        a = boxes.select(F.col(rid).alias("ida"), F.col("__bb").alias("ba"))
-        b = boxes.select(F.col(rid).alias("idb"), F.col("__bb").alias("bb"))
-        overlap = (
-            a.join(
-                b,
-                (F.col("ida") != F.col("idb"))
+        boxes = boxes.where(
+            F.col("__bb.xmin").isNotNull() & ~F.isnan("__bb.xmin") & (F.col("__bb.xmin") <= F.col("__bb.xmax"))
+        )
+        stats = boxes.agg(
+            F.min("__bb.xmin").alias("lo"),
+            F.max("__bb.xmax").alias("hi"),
+            F.percentile_approx(F.col("__bb.xmax") - F.col("__bb.xmin"), 0.9).alias("p90w"),
+        ).first()
+        if stats is None or stats["lo"] is None:
+            return with_box.withColumn(msg_col, F.lit(None).cast("string")).drop(rid, "__bb")
+        span = float(stats["hi"]) - float(stats["lo"])
+        width = max(span / 1024.0, float(stats["p90w"] or 0.0), 1e-9)
+        bucketed = boxes.select(
+            F.col(rid).alias("__bid"),
+            "__bb",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__bb.xmin") / width).cast("long"),
+                    F.floor(F.col("__bb.xmax") / width).cast("long"),
+                )
+            ).alias("__bucket"),
+        )
+        a = bucketed.select(F.col("__bid").alias("ida"), F.col("__bb").alias("ba"), "__bucket")
+        b = bucketed.select(F.col("__bid").alias("idb"), F.col("__bb").alias("bb"), "__bucket")
+        pairs = (
+            a.join(b, "__bucket")
+            .where(
+                (F.col("ida") < F.col("idb"))
                 & (F.col("ba.xmin") <= F.col("bb.xmax"))
                 & (F.col("bb.xmin") <= F.col("ba.xmax"))
                 & (F.col("ba.ymin") <= F.col("bb.ymax"))
-                & (F.col("bb.ymin") <= F.col("ba.ymax")),
+                & (F.col("bb.ymin") <= F.col("ba.ymax"))
             )
+            .select("ida", "idb")
+            .distinct()
+        )
+        overlap = (
+            pairs.select("ida")
+            .union(pairs.select(F.col("idb").alias("ida")))
             .groupBy("ida")
             .agg(F.count(F.lit(1)).alias("__n_overlaps"))
         )
