@@ -111,3 +111,41 @@ def test_is_unique_single_window_shuffle(spark, lineitem):
     # exactly one exchange of the full row stream (hash partitioning on key);
     # formatted mode lists each operator once in the detail section
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 1
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    from dqx_spark.pipeline import mixing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = mixing.ngram_contamination(docs, ev, "doc_id", "text", n=5)
+    p = plan_of(out)
+    # the eval n-gram set must be the build side of a broadcast join; the
+    # corpus side must never sort-merge on the gram key
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hash_split_and_mix_are_scan_local(spark):
+    from dqx_spark.pipeline import mixing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = mixing.hash_split(docs, "doc_id")
+    mixed = mixing.source_mix(docs, "doc_id", "source", {"src1": 0.5})
+    assert "Exchange" not in plan_of(split)  # pure projection
+    assert "Exchange" not in plan_of(mixed)  # scan-local filter
+
+
+def test_polygons_disjoint_no_nested_loop(spark):
+    from dqx_spark.functions import geo_checks
+
+    rows = [(i, f"POLYGON(({3*i} 0, {3*i+2} 0, {3*i+2} 2, {3*i} 2, {3*i} 0))") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    checked = engine().apply_checks(
+        df, [DQDatasetRule(check_func=geo_checks.are_polygons_mutually_disjoint, column="g")]
+    )
+    p = plan_of(checked)
+    # candidate pairing must ride the bucket equi-join, never degenerate to
+    # an O(n^2) nested-loop or cartesian plan
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
