@@ -812,6 +812,50 @@ def q_is_valid_subdivision_code(spark, sf):
     return _apply_one(df, DQRowRule(check_func=C.is_valid_subdivision_code, column="sub"), ["c_custkey"])
 
 
+def q_has_valid_json_schema(spark, sf):
+    df = _read(spark, sf, "orders").withColumn(
+        "js",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit('{"a": 1'))  # malformed
+        .when(F.col("o_orderkey") % 5 == 0, F.lit('{"b": 2}'))  # NOT NULL field a missing
+        .otherwise(F.format_string('{"a": %s, "b": 4}', F.col("o_orderkey").cast("string"))),
+    )
+    rule = DQRowRule(
+        check_func=C.has_valid_json_schema, column="js", check_func_kwargs={"schema": "a INT NOT NULL, b INT"}
+    )
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
+def q_compare_datasets_missing(spark, sf):
+    df = _read(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ref = (
+        df.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.concat(F.col("o_orderstatus"), F.lit("X")))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .where(F.col("o_orderkey") % 50 != 0)
+        .union(
+            df.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("Z").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    rule = DQDatasetRule(
+        check_func=C.compare_datasets,
+        check_func_kwargs={
+            "columns": ["o_orderkey"],
+            "ref_columns": ["o_orderkey"],
+            "ref_df_name": "ref",
+            "check_missing_records": True,
+        },
+    )
+    return _apply_one(df, rule, ["o_orderkey"], ref_dfs={"ref": ref})
+
+
 def q_is_valid_ipv6(spark, sf):
     # rows-only: validity comes from a pandas UDF over stdlib `ipaddress`;
     # DuckDB has no offline inet twin.
@@ -965,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
+        "has_valid_json_schema": q_has_valid_json_schema,
+        "compare_datasets_missing": q_compare_datasets_missing,
     }
 
 
@@ -1334,6 +1380,23 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents) "
             "WHERE b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
             "ELSE 1.0 END * 1000000)::BIGINT"
+        ),
+        "has_valid_json_schema": (
+            "WITH j AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN '{\"a\": 1' "
+            "WHEN o_orderkey % 5 = 0 THEN '{\"b\": 2}' "
+            "ELSE '{\"a\": ' || o_orderkey || ', \"b\": 4}' END AS js FROM orders) "
+            "SELECT o_orderkey, CASE WHEN NOT json_valid(js) THEN true "
+            "ELSE json_extract(js, '$.a') IS NULL END AS failed FROM j"
+        ),
+        "compare_datasets_missing": (
+            "WITH d AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), "
+            "ref AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN o_orderstatus || 'X' "
+            "ELSE o_orderstatus END AS o_orderstatus, o_totalprice FROM d WHERE o_orderkey % 50 <> 0 "
+            "UNION ALL SELECT o_orderkey + 100000000, 'Z', o_totalprice FROM d WHERE o_orderkey % 97 = 0) "
+            "SELECT d.o_orderkey, (d.o_orderkey IS NULL) OR (r.o_orderkey IS NULL) "
+            "OR (d.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
+            "OR (d.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
+            "FROM d FULL OUTER JOIN ref r ON d.o_orderkey = r.o_orderkey"
         ),
         "ngram_contamination": (
             r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents), "
