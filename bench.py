@@ -88,7 +88,24 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    read = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")  # noqa: E731
+
+    def read(t):
+        # The driver testdata is ONE row group per table, so a raw scan of
+        # it is a single task no matter how many cores exist — that would
+        # benchmark one core, not the engine.  Re-lay each table out once
+        # into CPUS-way parquet under /tmp (cost excluded from timings) and
+        # scan that: full scan parallelism, while keeping real parquet
+        # scans, pushdown, and file-size-based broadcast estimation.  At
+        # real scale the source has thousands of row-group splits and this
+        # step doesn't exist.  (Caching instead would hide file-size stats
+        # and flip small-dim joins from broadcast to sort-merge.)
+        dst = f"/tmp/dqx_bench_layout/sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}/{t}.parquet"
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").repartition(int(CPUS)).write.mode(
+                "overwrite"
+            ).parquet(dst)
+        return spark.read.parquet(dst)
+
     li, orders, part, customer = read("lineitem"), read("orders"), read("part"), read("customer")
     # warm the JVM + page cache so the timings measure plan execution
     materialize(li.select("l_orderkey"))
@@ -146,9 +163,10 @@ def main() -> None:
     cases["dedup_minhash_pairs"] = lambda: _dedup.minhash_lsh_pairs(docs, "doc_id", "text", 64, 16, 5, 0.5)
     cases["dedup_ngram_pairs"] = lambda: _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5)
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
-    def timed(fn, runs: int = 2) -> float:
+    def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
-        (pytest-benchmark); min-of-2 strips first-run codegen compile."""
+        (pytest-benchmark); min-of-3 strips first-run codegen compile and
+        same-JVM GC noise between cases."""
         best = float("inf")
         for _ in range(runs):
             start = time.perf_counter()
