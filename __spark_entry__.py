@@ -896,6 +896,27 @@ def q_polygons_disjoint(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    from dqx_spark.pipeline import sessions
+
+    ev = _read(spark, sf, "events")
+    out = sessions.sessionize(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_idx")
+
+
+def q_session_stats(spark, sf):
+    from dqx_spark.pipeline import sessions
+
+    ev = _read(spark, sf, "events")
+    out = sessions.session_stats(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.round(F.col("duration_secs"), 3).alias("duration_secs"),
+    )
+
+
 def q_hash_split(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
@@ -1011,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
         "compare_datasets_missing": q_compare_datasets_missing,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
     }
 
 
@@ -1397,6 +1420,25 @@ def oracle_sql() -> dict[str, str]:
             "OR (d.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
             "OR (d.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
             "FROM d FULL OUTER JOIN ref r ON d.o_orderkey = r.o_orderkey"
+        ),
+        "sessionize": (
+            "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) pts FROM events), "
+            "n AS (SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 "
+            "THEN 1 ELSE 0 END nb FROM l) "
+            "SELECT event_id, user_id, (sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx FROM n"
+        ),
+        "session_stats": (
+            "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) pts FROM events), "
+            "n AS (SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 "
+            "THEN 1 ELSE 0 END nb FROM l), "
+            "s AS (SELECT event_id, user_id, ts, (sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx FROM n) "
+            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_secs "
+            "FROM s GROUP BY 1, 2"
         ),
         "ngram_contamination": (
             r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents), "
