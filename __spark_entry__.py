@@ -917,6 +917,15 @@ def q_session_stats(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    from dqx_spark.pipeline import joins
+
+    ev = _read(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = joins.asof_join(ev, clicks, on=["user_id"], left_ts="ts", right_cols=["event_id"], suffix="_prev")
+    return out.select("event_id", F.col("event_id_prev").alias("prev_click_id"))
+
+
 def q_hash_split(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
@@ -1034,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_datasets_missing": q_compare_datasets_missing,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1420,6 +1430,11 @@ def oracle_sql() -> dict[str, str]:
             "OR (d.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
             "OR (d.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
             "FROM d FULL OUTER JOIN ref r ON d.o_orderkey = r.o_orderkey"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, r.event_id AS prev_click_id FROM events l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "sessionize": (
             "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "
