@@ -926,6 +926,19 @@ def q_asof_join(spark, sf):
     return out.select("event_id", F.col("event_id_prev").alias("prev_click_id"))
 
 
+def q_range_join(spark, sf):
+    from dqx_spark.pipeline import joins
+
+    ev = _read(spark, sf, "events").select("event_id", "value")
+    ivs = _read(spark, sf, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 30.0).alias("hi"),
+    )
+    out = joins.range_join(ev, ivs, "value", "lo", "hi")
+    return out.select("event_id", "n_nationkey")
+
+
 def q_hash_split(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
@@ -1044,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1430,6 +1444,11 @@ def oracle_sql() -> dict[str, str]:
             "OR (d.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
             "OR (d.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
             "FROM d FULL OUTER JOIN ref r ON d.o_orderkey = r.o_orderkey"
+        ),
+        "range_join": (
+            "SELECT e.event_id, n.n_nationkey FROM events e JOIN "
+            "(SELECT n_nationkey, n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 30.0 AS hi FROM nation) n "
+            "ON e.value >= n.lo AND e.value <= n.hi"
         ),
         "asof_join": (
             "SELECT l.event_id, r.event_id AS prev_click_id FROM events l "

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -98,3 +98,80 @@ def asof_join(
         F.col(f"__fill.{c}").alias(f"{c}{suffix}") for c in right_cols
     ]
     return out.select(*proj)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs where ``right_start <= left_point <=
+    right_end`` (inclusive), optionally under equi-keys ``on`` (same column
+    name on both sides).  Returns left columns + the non-key right columns
+    (those names must not collide with left).
+
+    Spark plans a bare inequality join as a broadcast nested loop — O(|L|·|R|)
+    comparisons per key.  Here intervals explode into integer buckets of
+    adaptive width (the 90th-percentile interval length via one driver
+    action over the slim interval frame, floored so one interval lands in
+    O(1) buckets and capped so a single giant interval can't explode);
+    a point falls in exactly ONE bucket, so the bucket equi-join yields each
+    qualifying pair exactly once — no dedup pass.  ``how='left'`` adds back
+    unmatched left rows with nulls.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    on = on or []
+    clash = [c for c in right.columns if c in left.columns and c not in on]
+    if clash:
+        raise ValueError(f"right column names collide with left: {clash}")
+    right_out = [c for c in right.columns if c not in on]
+
+    point = F.col(left_point).cast("double")
+    lo, hi = F.col(right_start).cast("double"), F.col(right_end).cast("double")
+    stats = right.where(lo <= hi).agg(
+        F.min(lo).alias("lo"),
+        F.max(hi).alias("hi"),
+        F.percentile_approx(hi - lo, 0.9).alias("p90len"),
+    ).first()
+    if stats is None or stats["lo"] is None:
+        empty_right = [F.lit(None).cast(t).alias(c) for c, t in right.dtypes if c not in on]
+        matched = left.select(*left.columns, *empty_right).limit(0)
+        return left.select(*left.columns, *empty_right) if how == "left" else matched
+    span = float(stats["hi"]) - float(stats["lo"])
+    width = max(float(stats["p90len"] or 0.0), span / 4096.0, 1e-9)
+
+    bucketed = right.where(lo <= hi).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(lo / width).cast("long"), F.floor(hi / width).cast("long"))
+        ).alias("__bucket"),
+    )
+    tagged_left = left.withColumn("__bucket", F.floor(point / width).cast("long"))
+    cond = ["__bucket"] + on
+    joined = tagged_left.join(bucketed, on=cond, how="inner").where((point >= lo) & (point <= hi))
+    matched = joined.select(*left.columns, *right_out)
+    if how == "inner":
+        return matched
+    # add back unmatched left rows, preserving duplicate-row multiplicity via
+    # a per-row id that is grouped on and then dropped
+    with_id = tagged_left.withColumn("__rowid", F.monotonically_increasing_id())
+    misses = with_id.join(
+        bucketed.select(*(on + ["__bucket", right_start, right_end])),
+        on=cond,
+        how="left",
+    )
+    miss_rows = (
+        misses.groupBy("__rowid")
+        .agg(
+            *[F.first(c).alias(c) for c in left.columns],
+            F.max(F.when((point >= lo) & (point <= hi), 1).otherwise(0)).alias("__hit"),
+        )
+        .where(F.col("__hit") == 0)
+    )
+    empty_right = [F.lit(None).cast(t).alias(c) for c, t in right.dtypes if c not in on]
+    return matched.unionByName(miss_rows.select(*left.columns, *empty_right))

@@ -87,3 +87,54 @@ def test_asof_validates_args(frames):
         joins.asof_join(trades, quotes, on=["sym"], left_ts="ts", direction="nearest")
     with pytest.raises(ValueError, match="right_cols"):
         joins.asof_join(trades, quotes, on=["sym"], left_ts="ts", right_cols=["nope"])
+
+
+def test_range_join_inner_and_left(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 999.0), (3, 999.0)], "pid long, v double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 4.0, 30.0), (12, 20.0, 28.0)], "iid long, lo double, hi double"
+    )
+    inner = joins.range_join(points, ivs, "v", "lo", "hi")
+    pairs = {(r["pid"], r["iid"]) for r in inner.collect()}
+    assert pairs == {(1, 10), (1, 11), (2, 11), (2, 12)}
+    lj = joins.range_join(points, ivs, "v", "lo", "hi", how="left")
+    rows = lj.collect()
+    assert len(rows) == 6  # 4 matches + both duplicate unmatched rows kept
+    assert sum(1 for r in rows if r["iid"] is None and r["pid"] == 3) == 2
+
+
+def test_range_join_empty_right(spark):
+    points = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    ivs = spark.createDataFrame([], "iid long, lo double, hi double")
+    assert joins.range_join(points, ivs, "v", "lo", "hi").count() == 0
+    left = joins.range_join(points, ivs, "v", "lo", "hi", how="left").collect()
+    assert len(left) == 1 and left[0]["iid"] is None
+
+
+def test_range_join_equi_keys(spark):
+    points = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 2, 5.0)], "k string, pid long, v double"
+    )
+    ivs = spark.createDataFrame([("a", 10, 0.0, 10.0)], "k string, iid long, lo double, hi double")
+    # no equi-key and renamed key column: both points fall in the interval
+    no_key = joins.range_join(points, ivs.withColumnRenamed("k", "k2"), "v", "lo", "hi")
+    assert no_key.count() == 2
+    # with the equi-key only the matching side pairs up
+    keyed = joins.range_join(points, ivs, "v", "lo", "hi", on=["k"])
+    assert [(r["pid"], r["iid"]) for r in keyed.collect()] == [(1, 10)]
+    # non-key name collisions are rejected
+    with pytest.raises(ValueError, match="collide"):
+        joins.range_join(points, ivs.withColumnRenamed("iid", "pid"), "v", "lo", "hi", on=["k"])
+
+
+def test_range_join_no_nested_loop(spark):
+    points = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    ivs = spark.createDataFrame([(10, 0.0, 10.0)], "iid long, lo double, hi double")
+    out = joins.range_join(points, ivs, "v", "lo", "hi")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
