@@ -926,6 +926,22 @@ def q_asof_join(spark, sf):
     return out.select("event_id", F.col("event_id_prev").alias("prev_click_id"))
 
 
+def q_time_rollup(spark, sf):
+    from dqx_spark.pipeline import rollup
+
+    ev = _read(spark, sf, "events")
+    out = rollup.time_rollup(
+        ev, "ts", "value", grains=("hour", "day"), aggs=("count", "sum"), group_by=["event_type"]
+    )
+    return out.select(
+        "grain",
+        "bucket_start",
+        "event_type",
+        "count_value",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def q_range_join(spark, sf):
     from dqx_spark.pipeline import joins
 
@@ -1058,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -1444,6 +1461,13 @@ def oracle_sql() -> dict[str, str]:
             "OR (d.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
             "OR (d.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
             "FROM d FULL OUTER JOIN ref r ON d.o_orderkey = r.o_orderkey"
+        ),
+        "time_rollup": (
+            "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start, event_type, "
+            "count(value) AS count_value, round(sum(value), 2) AS sum_value FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'day', date_trunc('day', ts), event_type, count(value), round(sum(value), 2) "
+            "FROM events GROUP BY 2, 3"
         ),
         "range_join": (
             "SELECT e.event_id, n.n_nationkey FROM events e JOIN "

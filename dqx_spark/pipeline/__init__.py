@@ -7,4 +7,14 @@ JVM-side Column expressions where possible, Arrow-batched pandas UDFs only
 where vector math genuinely needs numpy.
 """
 
-from dqx_spark.pipeline import corpus, dedup, joins, mixing, multimodal, sessions, similarity, text  # noqa: F401
+from dqx_spark.pipeline import (  # noqa: F401
+    corpus,
+    dedup,
+    joins,
+    mixing,
+    multimodal,
+    rollup,
+    sessions,
+    similarity,
+    text,
+)

@@ -1,0 +1,126 @@
+"""Multi-grain time rollups (hypertable-style continuous aggregates).
+
+``time_rollup`` computes the same aggregate at several calendar grains
+(hour/day/month/…) in ONE pass over the raw data: the finest grain
+aggregates from the source (the only full shuffle), and every coarser grain
+**re-aggregates from the finest result** — at 100 TB the finest rollup is
+orders of magnitude smaller than the input, so the coarser grains cost
+almost nothing.  The union branches share lineage prefixes; Spark's
+exchange-reuse rule (on by default, asserted in tests) executes each
+level's aggregate exactly once at runtime.  This beats both N independent scans (N full shuffles) and
+Spark's GROUPING SETS (whose Expand operator multiplies the shuffled rows
+by the number of grains).
+
+Re-aggregation requires algebraic aggregates: ``count``/``sum`` re-add,
+``min``/``max`` re-extremize, and ``avg`` is derived as sum/count at the
+end.  Non-algebraic aggregates (median, count_distinct) are rejected —
+at scale those need sketches (percentile_approx / HLL), which don't
+re-aggregate exactly.
+
+No reference twin (databrickslabs/dqx has no rollup surface); the driver
+oracle mirrors the semantics with per-grain GROUP BYs in DuckDB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["time_rollup", "GRAIN_ORDER"]
+
+# finest -> coarsest; every later grain is a union of whole earlier-grain
+# buckets (weeks and months don't nest in each other, but both are unions
+# of days, and re-aggregation only ever goes finest -> coarser)
+GRAIN_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+
+_ALGEBRAIC = {"count", "sum", "min", "max", "avg"}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grains: list[str] | tuple[str, ...] = ("hour", "day"),
+    aggs: list[str] | tuple[str, ...] = ("count", "sum"),
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Long-format rollup: one row per (grain, bucket_start, *group_by) with
+    one column per aggregate, named ``<agg>_<value_col>``.
+
+    All requested ``grains`` must be in ``GRAIN_ORDER``; aggregates must be
+    algebraic (count/sum/min/max/avg).  The finest grain shuffles the raw
+    rows once; coarser grains re-aggregate the finest result.
+    """
+    bad = [g for g in grains if g not in GRAIN_ORDER]
+    if bad:
+        raise ValueError(f"unsupported grains {bad}; supported: {GRAIN_ORDER}")
+    bad = [a for a in aggs if a not in _ALGEBRAIC]
+    if bad:
+        raise ValueError(f"non-algebraic aggregates {bad}; supported: {sorted(_ALGEBRAIC)}")
+    if not grains:
+        raise ValueError("grains must not be empty")
+    group_by = group_by or []
+    ordered = sorted(set(grains), key=GRAIN_ORDER.index)
+    finest, coarser = ordered[0], ordered[1:]
+
+    need_avg = "avg" in aggs
+    # partials: what must be carried for exact re-aggregation
+    partial_names = {a for a in aggs if a != "avg"} | ({"sum", "count"} if need_avg else set())
+
+    def partial_exprs():
+        v = F.col(value_col)
+        out = []
+        if "count" in partial_names:
+            out.append(F.count(v).alias("__cnt"))
+        if "sum" in partial_names:
+            out.append(F.sum(v).alias("__sum"))
+        if "min" in partial_names:
+            out.append(F.min(v).alias("__min"))
+        if "max" in partial_names:
+            out.append(F.max(v).alias("__max"))
+        return out
+
+    def reagg_exprs():
+        out = []
+        if "count" in partial_names:
+            out.append(F.sum("__cnt").alias("__cnt"))
+        if "sum" in partial_names:
+            out.append(F.sum("__sum").alias("__sum"))
+        if "min" in partial_names:
+            out.append(F.min("__min").alias("__min"))
+        if "max" in partial_names:
+            out.append(F.max("__max").alias("__max"))
+        return out
+
+    base = df.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("__bucket"), *[F.col(c) for c in group_by]
+    ).agg(*partial_exprs())
+
+    levels = {finest: base}
+    prev = base
+    for g in coarser:
+        prev = prev.groupBy(
+            F.date_trunc(g, F.col("__bucket")).alias("__bucket"), *[F.col(c) for c in group_by]
+        ).agg(*reagg_exprs())
+        levels[g] = prev
+
+    def finalize(g: str, frame: DataFrame) -> DataFrame:
+        cols = [F.lit(g).alias("grain"), F.col("__bucket").alias("bucket_start"), *group_by]
+        for a in aggs:
+            if a == "count":
+                cols.append(F.col("__cnt").alias(f"count_{value_col}"))
+            elif a == "sum":
+                cols.append(F.col("__sum").alias(f"sum_{value_col}"))
+            elif a == "min":
+                cols.append(F.col("__min").alias(f"min_{value_col}"))
+            elif a == "max":
+                cols.append(F.col("__max").alias(f"max_{value_col}"))
+            elif a == "avg":
+                cols.append(
+                    (F.col("__sum").cast("double") / F.col("__cnt")).alias(f"avg_{value_col}")
+                )
+        return frame.select(*cols)
+
+    return reduce(DataFrame.unionByName, [finalize(g, levels[g]) for g in ordered])
