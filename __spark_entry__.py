@@ -215,6 +215,17 @@ def q_is_unique(spark, sf):
     return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
 
 
+def q_is_unique_join(spark, sf):
+    # skew-immune strategy: only duplicate keys broadcast back, no window
+    df = _read(spark, sf, "lineitem")
+    rule = DQDatasetRule(
+        check_func=C.is_unique,
+        columns=["l_orderkey", "l_linenumber"],
+        check_func_kwargs={"strategy": "join"},
+    )
+    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
+
+
 def q_foreign_key(spark, sf):
     df = _read(spark, sf, "lineitem")
     ref = _read(spark, sf, "part").where(F.col("p_partkey") >= 100)
@@ -996,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_ipv4_address_in_cidr": q_ipv4_in_cidr,
         "is_valid_language_code": q_is_valid_language_code,
         "is_unique": q_is_unique,
+        "is_unique_join": q_is_unique_join,
         "foreign_key": q_foreign_key,
         "foreign_key_negate": q_foreign_key_negate,
         "sql_query": q_sql_query,
@@ -1171,6 +1183,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, (CASE WHEN doc_id % 11 = 0 THEN 'xq' ELSE lang END) NOT IN ({lang_list}) AS failed FROM documents"
         ),
         "is_unique": (
+            "SELECT l_orderkey, l_linenumber, (count(*) OVER (PARTITION BY l_orderkey, l_linenumber)) > 1 AS failed FROM lineitem"
+        ),
+        "is_unique_join": (
             "SELECT l_orderkey, l_linenumber, (count(*) OVER (PARTITION BY l_orderkey, l_linenumber)) > 1 AS failed FROM lineitem"
         ),
         "foreign_key": (

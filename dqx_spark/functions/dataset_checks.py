@@ -101,32 +101,70 @@ def _resolve_ref(
 # uniqueness
 # ---------------------------------------------------------------------------
 @register_rule("dataset")
-def is_unique(columns: list[str | Column], nulls_distinct: bool = True, row_filter: str | None = None):
+def is_unique(
+    columns: list[str | Column],
+    nulls_distinct: bool = True,
+    row_filter: str | None = None,
+    strategy: str = "window",
+):
     """Duplicate detection on a (composite) key (reference check_funcs.py:1822-1915).
 
-    A window keyed on the composite struct is the single-shuffle strategy:
-    every row must learn its key's multiplicity, so the full row stream
-    shuffles exactly once on the key.  ``nulls_distinct=True`` (ANSI) makes
-    rows with any NULL key component pass.  In streaming, uniqueness is
-    per-micro-batch (reference check_funcs.py:1835).
+    ``strategy='window'`` (default, reference parity): a window keyed on the
+    composite struct — every row must learn its key's multiplicity, so the
+    full row stream shuffles exactly once on the key.  Skew-sensitive: a
+    single hot key becomes a single hot task.
+
+    ``strategy='join'`` (the 100 TB path): aggregate key counts (map-side
+    combine collapses even a pathologically hot key to one row per input
+    partition), keep ONLY keys with count > 1 — normally a tiny set — and
+    **broadcast** them back as a join.  The full row stream never shuffles,
+    and skew cannot concentrate on one task.  Prefer this when duplicates
+    are rare and the input is huge; prefer the window when a large fraction
+    of keys duplicate (the dup set would blow the broadcast).
+
+    ``nulls_distinct=True`` (ANSI) makes rows with any NULL key component
+    pass.  In streaming, uniqueness is per-micro-batch (reference
+    check_funcs.py:1835); the join strategy is also the streaming-safe one
+    (no window over an unbounded stream).
     """
+    if strategy not in ("window", "join"):
+        raise ValueError(f"strategy must be 'window' or 'join', got {strategy!r}")
     names = [normalize_col_str(c) for c in columns]
     alias = f"struct_{'_'.join(names)}_is_not_unique" if len(names) > 1 else f"{names[0]}_is_not_unique"
     cnt_col = f"__dq_unique_cnt_{unique_suffix()}"
     msg_col = f"__dq_unique_msg_{unique_suffix()}"
 
-    def apply(df: DataFrame) -> DataFrame:
+    def _null_key(cols: list[Column]) -> Column | None:
+        has_null = None
+        for c in cols:
+            term = c.isNull()
+            has_null = term if has_null is None else (has_null | term)
+        return has_null
+
+    def apply_window(df: DataFrame) -> DataFrame:
         cols = [to_col(c) for c in columns]
         key = F.struct(*cols)
         w = Window.partitionBy(key)
         counted = F.sum(filtered(F.lit(1), row_filter).cast("int")).over(w)
         if nulls_distinct:
-            has_null = None
-            for c in cols:
-                term = c.isNull()
-                has_null = term if has_null is None else (has_null | term)
-            counted = F.when(~has_null, counted)
-        out = df.withColumn(cnt_col, counted)
+            counted = F.when(~_null_key(cols), counted)
+        return df.withColumn(cnt_col, counted)
+
+    def apply_join(df: DataFrame) -> DataFrame:
+        cols = [to_col(c) for c in columns]
+        src = df.where(~_null_key(cols)) if nulls_distinct else df
+        dups = (
+            src.select(F.struct(*cols).alias("__dq_key"), filtered(F.lit(1), row_filter).cast("int").alias("__dq_one"))
+            .groupBy("__dq_key")
+            .agg(F.sum("__dq_one").alias(cnt_col))
+            .where(F.col(cnt_col) > 1)
+        )
+        return df.join(
+            F.broadcast(dups), F.struct(*[to_col(c) for c in columns]).eqNullSafe(F.col("__dq_key")), "left"
+        ).drop("__dq_key")
+
+    def apply(df: DataFrame) -> DataFrame:
+        out = apply_window(df) if strategy == "window" else apply_join(df)
         message = F.when(
             F.col(cnt_col) > 1,
             F.format_string(

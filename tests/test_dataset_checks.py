@@ -37,6 +37,55 @@ def test_is_unique_nulls_distinct(spark):
     ) == {0, 1}
 
 
+def test_is_unique_join_strategy_parity(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, None), (3, None), (4, "b")], "id int, k string"
+    )
+    for kwargs in ({}, {"nulls_distinct": False}):
+        window = fired_ids(
+            spark, df, DQDatasetRule(check_func=C.is_unique, columns=["k"], check_func_kwargs=kwargs)
+        )
+        join = fired_ids(
+            spark,
+            df,
+            DQDatasetRule(
+                check_func=C.is_unique, columns=["k"], check_func_kwargs={**kwargs, "strategy": "join"}
+            ),
+        )
+        assert window == join, kwargs
+    # filter parity
+    df2 = spark.createDataFrame([(0, 1, "x"), (1, 1, "x"), (2, 1, "y")], "id int, a int, b string")
+    assert fired_ids(
+        spark, df2,
+        DQDatasetRule(check_func=C.is_unique, columns=["a"], filter="b = 'x'",
+                      check_func_kwargs={"strategy": "join"}),
+    ) == {0, 1}
+
+
+def test_is_unique_join_strategy_plan(spark, lineitem):
+    import contextlib
+    import io
+
+    from dqx_spark import DQEngine
+    from dqx_spark.engine import ExtraParams
+
+    e = DQEngine(extra_params=ExtraParams(run_time_overwrite="2024-06-01 00:00:00"))
+    checked = e.apply_checks(
+        lineitem,
+        [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"],
+                       check_func_kwargs={"strategy": "join"})],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        checked.explain()
+    p = buf.getvalue()
+    # dup keys come back as a broadcast; the full row stream never shuffles
+    # and no window partition can hotspot on a skewed key
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_foreign_key_null_semantics(spark):
     df = spark.createDataFrame([(0, 1), (1, 99), (2, None)], "id int, fk int")
     ref = spark.createDataFrame([(1,), (2,), (None,)], "rk int")
