@@ -115,3 +115,68 @@ def test_all_checks_yaml_corpus(spark, lineitem):
     )
     if sample:  # fires only when a filtered row also violates — may be empty
         assert sample[0]["w"]["message"].startswith("qty ")
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=1000),   # ts seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(left=asof_rows, right=asof_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Backward as-of join agrees with pandas.merge_asof for ANY inputs
+    (distinct right timestamps per key — merge_asof's tie behavior for
+    duplicate keys is unspecified, ours is max-payload)."""
+    import pandas as pd
+
+    from dqx_spark.pipeline import joins
+
+    right = list({(k, t) for k, t in right})  # distinct (key, ts)
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 10000 + t)) for k, t in right], "k long, ts long, v double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = {
+        r["lid"]: r["v_right"]
+        for r in joins.asof_join(ldf, rdf, on=["k"], left_ts="ts", right_cols=["v"]).collect()
+    }
+    lp = pd.DataFrame([(i, k, pd.Timestamp(t, unit="s")) for i, (k, t) in enumerate(left)],
+                      columns=["lid", "k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame([(k, pd.Timestamp(t, unit="s"), float(k * 10000 + t)) for k, t in right],
+                      columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {int(r.lid): (None if pd.isna(r.v) else float(r.v)) for r in merged.itertuples()}
+    assert got == want
+
+
+@SETTINGS
+@given(points=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=20),
+       ivs=st.lists(st.tuples(st.integers(min_value=0, max_value=100),
+                              st.integers(min_value=0, max_value=40)), min_size=0, max_size=10))
+def test_range_join_matches_brute_force(spark, points, ivs):
+    """Bucketed range join produces exactly the brute-force pair set."""
+    from dqx_spark.pipeline import joins
+
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, v double"
+    )
+    idf = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(ivs)],
+        "iid long, lo double, hi double",
+    )
+    got = {(r["pid"], r["iid"]) for r in joins.range_join(pdf, idf, "v", "lo", "hi").collect()}
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= p <= lo + ln
+    }
+    assert got == want
