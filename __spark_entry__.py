@@ -978,6 +978,14 @@ def q_source_mix(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q_top_k_per_group(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = mixing.top_k_per_group(
+        df, ["source"], "n_chars", k=3, tiebreak_cols=["doc_id"], rank_col="rank"
+    )
+    return out.select("source", "doc_id", "rank")
+
+
 def q_ngram_contamination(spark, sf):
     df = _read(spark, sf, "documents")
     eval_df = df.where(F.col("doc_id") % 20 == 0)
@@ -1078,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "source_mix": q_source_mix,
         "ngram_contamination": q_ngram_contamination,
+        "top_k_per_group": q_top_k_per_group,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
@@ -1448,6 +1457,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_metadata": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, sha256(text) AS sha FROM documents"
+        ),
+        "top_k_per_group": (
+            "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank "
+            "FROM documents) WHERE rank <= 3"
         ),
         "hash_split": (
             "SELECT doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "

@@ -46,6 +46,7 @@ __all__ = [
     "source_mix",
     "ngram_contamination",
     "decontaminate",
+    "top_k_per_group",
 ]
 
 # One million buckets ≈ 1e-4 % rate granularity while staying far below the
@@ -198,3 +199,36 @@ def decontaminate(
     scores = ngram_contamination(df, eval_df, id_col, text_col, n=n, **kwargs)
     keep = scores.where(F.col("contamination") < threshold).select(F.col("id").alias("__keep_id"))
     return df.join(keep, df[id_col] == F.col("__keep_id"), "inner").drop("__keep_id")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    k: int,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top ``k`` rows of each group by ``order_col`` (curation
+    selection: e.g. the k highest-quality documents per source).
+
+    One shuffle on the group key + an in-partition sort (``row_number``
+    window) — the standard Spark shape; there is no bounded partial top-k
+    aggregate, so a group's rows do co-locate.  A pathologically hot group
+    makes a hot task: pre-filter with a cheap quality threshold first if a
+    group can exceed a task's memory.  ``tiebreak_cols`` make the selection
+    deterministic when ``order_col`` ties; ``rank_col`` optionally keeps the
+    1-based rank in the output.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = to_col(order_col)
+    ordering = [order.desc() if descending else order.asc()]
+    ordering += [F.col(c).asc() for c in (tiebreak_cols or [])]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*ordering)
+    name = rank_col or "__dq_rank"
+    ranked = df.withColumn(name, F.row_number().over(w)).where(F.col(name) <= k)
+    return ranked if rank_col else ranked.drop(name)

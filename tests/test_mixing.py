@@ -104,3 +104,20 @@ def test_bucket_matches_duckdb():
             f"SELECT ('0x' || substr(md5('{i}'), 1, 15))::UBIGINT % 1000000"
         ).fetchone()[0]
         assert got[i] == want, i
+
+
+def test_top_k_per_group(spark):
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+        ("b", 5, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score double")
+    out = mixing.top_k_per_group(df, ["src"], "score", k=2, tiebreak_cols=["id"], rank_col="rank")
+    got = {(r["src"], r["id"]): r["rank"] for r in out.collect()}
+    # ties on score=30 break by id asc: id=2 wins rank 1, id=4 rank 2
+    assert got == {("a", 2): 1, ("a", 4): 2, ("b", 5): 1}
+    no_rank = mixing.top_k_per_group(df, ["src"], "score", k=1, tiebreak_cols=["id"])
+    assert no_rank.columns == df.columns
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        mixing.top_k_per_group(df, ["src"], "score", k=0)
