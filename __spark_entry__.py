@@ -978,6 +978,23 @@ def q_source_mix(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q_clean_corpus(spark, sf):
+    # rows-only: composition of individually oracle-checked stages
+    # (boilerplate removal, Gopher filters, lang-id, exact dedup, split)
+    df = _read(spark, sf, "documents")
+    out = corpus.clean_corpus(
+        df,
+        "doc_id",
+        "text",
+        languages=["en", "de", "fr", "es"],
+        min_words=10,
+        max_symbol_to_word_ratio=0.5,
+        min_alpha_word_fraction=0.3,
+        boilerplate_max_line_doc_freq=3,
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_top_k_per_group(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.top_k_per_group(
@@ -1087,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "ngram_contamination": q_ngram_contamination,
         "top_k_per_group": q_top_k_per_group,
+        "clean_corpus": q_clean_corpus,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,

@@ -40,6 +40,7 @@ __all__ = [
     "alpha_word_fraction",
     "gopher_signals",
     "top_ngram_coverage",
+    "clean_corpus",
 ]
 
 
@@ -239,3 +240,98 @@ def top_ngram_coverage(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
             .alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composed cleaning pipeline
+# ---------------------------------------------------------------------------
+def clean_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    languages: list[str] | None = None,
+    min_words: int = 5,
+    max_words: int = 200_000,
+    max_duplicate_line_fraction: float = 0.3,
+    max_symbol_to_word_ratio: float = 0.1,
+    min_alpha_word_fraction: float = 0.6,
+    boilerplate_max_line_doc_freq: int | None = None,
+    near_dedup: bool = False,
+    near_dedup_threshold: float = 0.8,
+    eval_df: DataFrame | None = None,
+    contamination_threshold: float = 0.1,
+    contamination_n: int = 8,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """The standard pretraining cleaning chain as ONE lazy plan:
+    optional corpus-wide boilerplate removal -> Gopher-style scan-local
+    quality filters -> language filter -> exact dedup (md5 fingerprint,
+    min-id survivor) -> optional MinHash near-dedup -> optional benchmark
+    decontamination -> deterministic split assignment.
+
+    Stage ordering is the cost order for 100 TB: all scan-local filters run
+    FIRST inside one projected scan (shrinking the corpus before anything
+    shuffles), then the dedup/decontamination shuffles run over the
+    survivors only, and split assignment is a scan-local hash at the end.
+
+    Returns the surviving rows of ``df`` plus a ``split`` column (and
+    ``<text_col>_clean`` + ``removed_line_count`` when boilerplate removal
+    is enabled, in which case downstream stages run on the CLEANED text).
+    """
+    from dqx_spark.pipeline import dedup as _dedup
+    from dqx_spark.pipeline import mixing as _mixing
+    from dqx_spark.pipeline import text as _text
+
+    out = df
+    effective_text = text_col
+    if boilerplate_max_line_doc_freq is not None:
+        out = remove_boilerplate_lines(
+            out, id_col, text_col, max_line_doc_freq=boilerplate_max_line_doc_freq
+        )
+        effective_text = f"{text_col}_clean"
+
+    col = F.col(effective_text)
+    n_words = F.size(tokens(col))
+    out = out.where(
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (duplicate_line_fraction(col) <= max_duplicate_line_fraction)
+        & (symbol_to_word_ratio(col) <= max_symbol_to_word_ratio)
+        & (alpha_word_fraction(col) >= min_alpha_word_fraction)
+    )
+    if languages:
+        out = out.where(_text.lang_id(col).isin(*languages))
+
+    # exact dedup on the normalized fingerprint: min id survives
+    fp = out.select(F.col(id_col).alias("__cc_id"), _text.doc_fingerprint(col).alias("__cc_fp"))
+    survivors = fp.groupBy("__cc_fp").agg(F.min("__cc_id").alias("__cc_keep"))
+    out = out.join(
+        survivors.select(F.col("__cc_keep").alias("__cc_id2")),
+        F.col(id_col) == F.col("__cc_id2"),
+        "inner",
+    ).drop("__cc_id2")
+
+    if near_dedup:
+        groups = _dedup.near_duplicate_groups(
+            out, id_col, effective_text, method="minhash", threshold=near_dedup_threshold
+        )
+        keep = groups.groupBy("group_id").agg(F.min("id").alias("__cc_rep"))
+        out = out.join(
+            keep.select(F.col("__cc_rep").alias("__cc_id3")),
+            F.col(id_col) == F.col("__cc_id3"),
+            "inner",
+        ).drop("__cc_id3")
+
+    if eval_df is not None:
+        out = _mixing.decontaminate(
+            out,
+            eval_df,
+            id_col,
+            effective_text,
+            threshold=contamination_threshold,
+            n=contamination_n,
+        )
+
+    return _mixing.hash_split(out, id_col, splits, salt=salt)

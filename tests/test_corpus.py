@@ -80,3 +80,36 @@ def test_top_ngram_coverage(spark, docs):
     # short/empty docs come back with zero coverage rather than dropping out
     assert cov[4].total_ngrams == 0 and cov[4].coverage == 0.0
     assert cov[5].total_ngrams == 0
+
+
+def test_clean_corpus_end_to_end(spark):
+    from dqx_spark.pipeline import corpus as C_
+
+    banner = "SHARED COOKIE BANNER LINE"
+    good = "the quick brown fox jumps over the lazy dog and runs away tonight with style"
+    rows = [
+        (0, f"{banner}\n{good}"),
+        (1, f"{banner}\n{good} extra words here today"),   # near-dup of 0 pre-banner-strip
+        (2, f"{banner}\nshort"),                            # too few words after cleaning
+        (3, f"{banner}\n{good}"),                           # exact dup of 0 after cleaning
+        (4, f"{banner}\n### ### ### ### ### symbols {good}"),  # symbol ratio zero'd by threshold
+        (5, f"{banner}\nder schnelle braune fuchs springt uber den faulen hund und rennt heute weg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C_.clean_corpus(
+        df,
+        "doc_id",
+        "text",
+        languages=["en"],
+        min_words=5,
+        max_symbol_to_word_ratio=0.05,
+        boilerplate_max_line_doc_freq=2,
+        splits={"train": 0.9, "val": 0.1},
+    )
+    rows_out = out.collect()
+    kept = {r["doc_id"] for r in rows_out}
+    # 2 too short, 3 exact-dup of 0, 4 symbol-heavy, 5 German
+    assert kept == {0, 1}
+    assert all(r["split"] in ("train", "val") for r in rows_out)
+    assert all(banner not in r["text_clean"] for r in rows_out)
+    assert all(r["removed_line_count"] == 1 for r in rows_out)
