@@ -675,6 +675,16 @@ def q_gopher_signals(spark, sf):
     )
 
 
+def q_gopher_counts(spark, sf):
+    df = _read(spark, sf, "documents")
+    gc = corpus.gopher_counts("text").alias("gc")
+    out = df.select("doc_id", gc)
+    return out.select(
+        "doc_id",
+        *[F.col(f"gc.{f}").cast("bigint").alias(f) for f in out.schema["gc"].dataType.fieldNames()],
+    )
+
+
 def q_top_ngram_coverage(spark, sf):
     df = _read(spark, sf, "documents")
     out = corpus.top_ngram_coverage(df, "doc_id", "text", n=2)
@@ -1097,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "line_stats": q_line_stats,
         "gopher_signals": q_gopher_signals,
+        "gopher_counts": q_gopher_counts,
         "top_ngram_coverage": q_top_ngram_coverage,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
@@ -1462,6 +1473,26 @@ def oracle_sql() -> dict[str, str]:
             "WITH ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM documents) "
             "SELECT doc_id, len(lines)::BIGINT AS n_lines, len(list_distinct(lines))::BIGINT AS n_uniq_lines, "
             r"len(list_filter(lines, l -> regexp_matches(l, '^([-*]|[0-9]+[.)])\s')))::BIGINT AS n_bullet_lines FROM ls"
+        ),
+        "gopher_counts": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(coalesce(text,''), chr(10)), x -> trim(x)), x -> x <> '') AS lines, "
+            r"CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END AS toks, "
+            "coalesce(text,'') AS s FROM documents) "
+            "SELECT doc_id, "
+            "len(lines)::BIGINT AS line_count, "
+            "len(list_distinct(lines))::BIGINT AS distinct_line_count, "
+            "coalesce(list_sum(list_transform(lines, x -> length(x))), 0)::BIGINT AS line_chars, "
+            "coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)::BIGINT AS distinct_line_chars, "
+            r"len(list_filter(lines, x -> regexp_matches(x, '^([-*•‣◦]|[0-9]+[.)])\s')))::BIGINT AS bullet_lines, "
+            r"len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))::BIGINT AS ellipsis_lines, "
+            "len(toks)::BIGINT AS word_count, "
+            "coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS word_chars, "
+            r"len(list_filter(toks, x -> regexp_matches(x, '\p{L}')))::BIGINT AS alpha_words, "
+            "(length(s) - length(replace(s, '#', '')))::BIGINT AS hash_count, "
+            "(length(s) - length(replace(s, '…', '')))::BIGINT AS unicode_ellipsis_count, "
+            r"len(regexp_extract_all(s, '\.{3}'))::BIGINT AS dots_run_count "
+            "FROM t"
         ),
         "top_ngram_coverage": (
             r"WITH t AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "

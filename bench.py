@@ -143,8 +143,12 @@ def main() -> None:
                                               "ref_df_name": "ref"})],
             ref_dfs={"ref": orders.where(F.col("o_orderkey") % 50 != 0)},
         ),
+        # approx=True mirrors the reference, which derives the MAD band from
+        # two percentile_approx(0.5) actions (profiling_utils.py:54-107);
+        # our exact-median mode stays the default for the correctness gate.
         "mad_outliers": lambda: e.apply_checks(
-            orders, [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice")]
+            orders, [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice",
+                                   check_func_kwargs={"approx": True})]
         ),
     }
 

@@ -39,6 +39,7 @@ __all__ = [
     "symbol_to_word_ratio",
     "alpha_word_fraction",
     "gopher_signals",
+    "gopher_counts",
     "top_ngram_coverage",
     "clean_corpus",
 ]
@@ -197,6 +198,34 @@ def gopher_signals(column: str | Column) -> Column:
         ellipsis_line_fraction(col).alias("ellipsis_line_fraction"),
         symbol_to_word_ratio(col).alias("symbol_to_word_ratio"),
         alpha_word_fraction(col).alias("alpha_word_fraction"),
+    )
+
+
+def gopher_counts(column: str | Column) -> Column:
+    """Integer numerators/denominators behind every :func:`gopher_signals`
+    fraction, in one struct.  Unlike the float signals these are exactly
+    reproducible across engines (pure integer counts), so pipelines that
+    persist quality metadata — or cross-engine conformance tests — should
+    store these and derive the fractions on read."""
+    col = to_col(column)
+    lines = split_lines(col)
+    toks = tokens(col)
+    s = F.coalesce(col, F.lit(""))
+    return F.struct(
+        F.size(lines).alias("line_count"),
+        F.size(F.array_distinct(lines)).alias("distinct_line_count"),
+        F.aggregate(lines, F.lit(0), lambda acc, ln: acc + F.length(ln)).alias("line_chars"),
+        F.aggregate(F.array_distinct(lines), F.lit(0), lambda acc, ln: acc + F.length(ln)).alias(
+            "distinct_line_chars"
+        ),
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*•‣◦]|\d+[.)])\s"))).alias("bullet_lines"),
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))).alias("ellipsis_lines"),
+        F.size(toks).alias("word_count"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("word_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).alias("alpha_words"),
+        (F.length(s) - F.length(F.regexp_replace(s, r"#", ""))).alias("hash_count"),
+        (F.length(s) - F.length(F.regexp_replace(s, r"…", ""))).alias("unicode_ellipsis_count"),
+        F.size(F.regexp_extract_all(s, F.lit(r"(\.{3})"), F.lit(1))).alias("dots_run_count"),
     )
 
 

@@ -82,6 +82,23 @@ def test_top_ngram_coverage(spark, docs):
     assert cov[5].total_ngrams == 0
 
 
+def test_gopher_counts(spark, docs):
+    gc = {r.doc_id: r.g for r in docs.select("doc_id", corpus.gopher_counts("text").alias("g")).collect()}
+    g3 = gc[3]
+    assert g3.line_count == 5 and g3.distinct_line_count == 4
+    assert g3.bullet_lines == 2 and g3.word_count == 12
+    assert g3.line_chars - g3.distinct_line_chars == len("plain line")
+    # empty and null docs yield all-zero counts
+    assert all(v == 0 for v in gc[4].asDict().values())
+    assert all(v == 0 for v in gc[5].asDict().values())
+    ell = spark.createDataFrame(
+        [(0, "wait for it...\nmore… text ## here.....")], "doc_id int, text string"
+    ).select(corpus.gopher_counts("text").alias("g")).collect()[0].g
+    assert ell.ellipsis_lines == 2  # both lines end in a '...' run
+    assert ell.hash_count == 2 and ell.unicode_ellipsis_count == 1
+    assert ell.dots_run_count == 2  # '.....'->1 run of 3 + '...' = 2 non-overlapping
+
+
 def test_clean_corpus_end_to_end(spark):
     from dqx_spark.pipeline import corpus as C_
 
