@@ -556,6 +556,18 @@ def q_text_token_count(spark, sf):
     return df.select("doc_id", text.token_count("text").cast("bigint").alias("tc"))
 
 
+def q_text_profile(spark, sf):
+    # the deterministic slice of the one-pass profile (floats excluded)
+    df = _read(spark, sf, "documents")
+    out = text.text_profile(df, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("token_count").cast("bigint").alias("tc"),
+        F.col("lang").alias("predicted"),
+        F.col("fingerprint").alias("fp"),
+    )
+
+
 def q_text_fingerprint(spark, sf):
     df = _read(spark, sf, "documents")
     return df.select("doc_id", text.doc_fingerprint("text").alias("fp"))
@@ -1094,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1160,6 +1173,21 @@ def _lang_id_oracle() -> str:
         "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > n * 0.2 THEN 'zh' "
         f"WHEN len(toks) > 0 AND gmax > 0 THEN {case_best} "
         "ELSE 'und' END AS predicted FROM g"
+    )
+
+
+def _text_profile_oracle() -> str:
+    """tc + lang + fingerprint mirrors composed over one documents scan."""
+    lang = _lang_id_oracle()
+    idx = lang.rindex("SELECT doc_id, CASE")
+    return (
+        lang[:idx]
+        + ", lang AS ("
+        + lang[idx:]
+        + "), base AS (SELECT doc_id, "
+        r"CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS tc, "
+        r"md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents) "
+        "SELECT b.doc_id, tc, predicted, fp FROM base b JOIN lang USING (doc_id)"
     )
 
 
@@ -1421,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents"
         ),
         "lang_id": _lang_id_oracle(),
+        "text_profile": _text_profile_oracle(),
         "dedup_exact": (
             "WITH base AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0), "

@@ -157,13 +157,9 @@ def main() -> None:
 
     docs = read("documents")
     emb = read("embeddings")
-    cases["text_metrics"] = lambda: docs.select(
-        "doc_id",
-        _text.token_count("text").alias("tc"),
-        _text.lang_id("text").alias("lang"),
-        _text.quality_score("text").alias("q"),
-        _text.doc_fingerprint("text").alias("fp"),
-    )
+    # one-pass profile: superset of token_count+lang_id+quality+fingerprint,
+    # sharing the tokenization across signals (see text.text_profile)
+    cases["text_metrics"] = lambda: _text.text_profile(docs, "doc_id", "text")
     cases["dedup_minhash_pairs"] = lambda: _dedup.minhash_lsh_pairs(docs, "doc_id", "text", 64, 16, 5, 0.5)
     cases["dedup_ngram_pairs"] = lambda: _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5)
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)

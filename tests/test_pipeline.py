@@ -135,6 +135,43 @@ def test_text_metrics(spark):
     assert rows[0]["fp"] == expected
 
 
+def test_text_profile_matches_individual_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox jumps over the lazy dog."),
+            (1, "der die das und ist nicht ein"),
+            (2, "你好世界这是一个测试文档内容"),
+            (3, ""),
+            (4, None),
+            (5, "le chat est sur la table et il ne veut pas descendre"),
+        ],
+        "id long, t string",
+    )
+    prof = {r["id"]: r for r in text.text_profile(df, "id", "t").collect()}
+    ind = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.token_count("t").alias("tc"),
+            text.lang_id("t").alias("lang"),
+            text.quality_score("t").alias("q"),
+            text.stopword_ratio("t").alias("sr"),
+            text.avg_token_length("t").alias("awl"),
+            text.alpha_ratio("t").alias("ar"),
+            text.doc_fingerprint("t").alias("fp"),
+        ).collect()
+    }
+    for i in ind:
+        p, s = prof[i], ind[i]
+        assert p["token_count"] == s["tc"], i
+        assert p["lang"] == s["lang"], i
+        assert p["quality"] == s["q"], i
+        assert round(s["sr"], 6) == p["stopword_ratio"], i
+        assert round(s["awl"], 6) == p["avg_token_length"], i
+        assert round(s["ar"], 6) == p["alpha_ratio"], i
+        assert p["fingerprint"] == s["fp"], i
+
+
 def test_multimodal_plumbing(spark):
     jpeg = bytes.fromhex("FFD8FF") + b"fakejpegdata" * 100
     png = bytes.fromhex("89504E47") + b"fakepngdata" * 200
