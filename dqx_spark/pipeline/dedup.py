@@ -99,8 +99,16 @@ def ngram_jaccard_pairs(
     shuffle's bytes several-fold."""
     # no .distinct() needed: shingle hashes are array_distinct'd per doc
     # before the explode, so (id, shingle) is already unique — one less
-    # full shuffle
-    sh = exploded_shingle_hashes(df, id_col, text_col, k).withColumnRenamed("h", "shingle")
+    # full shuffle.  The exploded set feeds FOUR consumers (sizes, the
+    # skew filter, and both self-join sides); localCheckpoint materializes
+    # the tokenize+shingle scan once instead of re-running it per consumer.
+    # At cluster scale make this persist(DISK_ONLY) or recompute — the
+    # exploded set is the same order of magnitude as the corpus.
+    sh = (
+        exploded_shingle_hashes(df, id_col, text_col, k)
+        .withColumnRenamed("h", "shingle")
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_doc_freq is not None:
         freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).where(F.col("df_") <= max_shingle_doc_freq)
