@@ -1001,8 +1001,9 @@ def q_source_mix(spark, sf):
 
 
 def q_clean_corpus(spark, sf):
-    # rows-only: composition of individually oracle-checked stages
-    # (boilerplate removal, Gopher filters, lang-id, exact dedup, split)
+    # fully oracle-checked: _clean_corpus_oracle composes the SQL mirrors of
+    # every stage (boilerplate removal, Gopher filters, lang-id, exact
+    # dedup, hash split) into one DuckDB query
     df = _read(spark, sf, "documents")
     out = corpus.clean_corpus(
         df,
@@ -1173,6 +1174,52 @@ def _lang_id_oracle() -> str:
         "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > n * 0.2 THEN 'zh' "
         f"WHEN len(toks) > 0 AND gmax > 0 THEN {case_best} "
         "ELSE 'und' END AS predicted FROM g"
+    )
+
+
+def _clean_corpus_oracle() -> str:
+    """Full SQL mirror of q_clean_corpus: boilerplate removal (doc-freq > 3)
+    -> Gopher filters (10 <= words <= 200000, dup-line <= 0.3, symbol <= 0.5,
+    alpha >= 0.3) -> lang in (en, de, fr, es) -> exact dedup (min doc_id per
+    md5 fingerprint) -> 0.98/0.01/0.01 hash split.  Composes the per-stage
+    mirrors already proven by the boilerplate_removal / gopher_counts /
+    lang_id / dedup_exact / hash_split gates."""
+    hit_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_exprs.append(f"len(list_filter(ltk, t -> list_contains({arr}, t))) AS h_{lang}")
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case_best = "CASE " + " ".join(f"WHEN h_{la} = gmax THEN '{la}'" for la in langs) + " END"
+    return (
+        "WITH ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM documents), "
+        "ex AS (SELECT doc_id, unnest(list_distinct(lines)) line FROM ls), "
+        "freq AS (SELECT line, count(*) df FROM ex GROUP BY 1), "
+        "hot AS (SELECT coalesce(list(line), []) hl FROM freq WHERE df > 3), "
+        "clean AS (SELECT doc_id, array_to_string(list_filter(lines, l -> NOT list_contains(hl, l)), chr(10)) AS tc FROM ls CROSS JOIN hot), "
+        r"tk AS (SELECT doc_id, tc, CASE WHEN trim(tc) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(tc), '\s+') END AS toks, "
+        r"CASE WHEN trim(lower(tc)) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(lower(tc)), '\s+') END AS ltk, "
+        "list_filter(list_transform(string_split(tc, chr(10)), x -> trim(x)), x -> x <> '') AS cl FROM clean), "
+        f"h AS (SELECT *, len(toks) AS nw FROM tk), "
+        f"hh AS (SELECT *, {', '.join(hit_exprs)} FROM h), "
+        f"g AS (SELECT *, {greatest} AS gmax FROM hh), "
+        "lng AS (SELECT *, CASE WHEN length(tc) = 0 THEN 'und' "
+        "WHEN length(regexp_replace(tc, '[^぀-ヿ]', '', 'g')) > length(tc) * 0.1 THEN 'ja' "
+        "WHEN length(regexp_replace(tc, '[^가-힯]', '', 'g')) > length(tc) * 0.1 THEN 'ko' "
+        "WHEN length(regexp_replace(tc, '[^一-鿿]', '', 'g')) > length(tc) * 0.2 THEN 'zh' "
+        f"WHEN len(ltk) > 0 AND gmax > 0 THEN {case_best} "
+        "ELSE 'und' END AS lang FROM g), "
+        "filt AS (SELECT doc_id, tc FROM lng WHERE nw >= 10 AND nw <= 200000 "
+        "AND (CASE WHEN len(cl) > 0 THEN (len(cl) - len(list_distinct(cl)))::DOUBLE / len(cl) ELSE 0.0 END) <= 0.3 "
+        "AND (CASE WHEN nw > 0 THEN ((length(tc) - length(replace(tc, '#', ''))) + (length(tc) - length(replace(tc, '…', ''))) "
+        r"+ len(regexp_extract_all(tc, '\.{3}')))::DOUBLE / nw ELSE 0.0 END) <= 0.5 "
+        r"AND (CASE WHEN nw > 0 THEN len(list_filter(toks, t -> regexp_matches(t, '\p{L}')))::DOUBLE / nw ELSE 0.0 END) >= 0.3 "
+        "AND lang IN ('en', 'de', 'fr', 'es')), "
+        r"fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(tc, '\s+', ' ', 'g')))) AS f FROM filt), "
+        "keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY f) "
+        "SELECT doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' ELSE 'test' END AS split "
+        "FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b "
+        "FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid) ORDER BY doc_id"
     )
 
 
@@ -1450,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
+        "clean_corpus": _clean_corpus_oracle(),
         "dedup_exact": (
             "WITH base AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0), "
