@@ -890,8 +890,11 @@ def q_compare_datasets_missing(spark, sf):
 
 
 def q_is_valid_ipv6(spark, sf):
-    # rows-only: validity comes from a pandas UDF over stdlib `ipaddress`;
-    # DuckDB has no offline inet twin.
+    # oracle-checked: the Spark side validates via the stdlib-`ipaddress`
+    # pandas UDF; the DuckDB twin is the RFC 4291 grammar as an RE2 regex
+    # (hex groups, '::' compression, embedded IPv4 tail).  Equivalent on
+    # zone-free addresses (verified against `ipaddress` on adversarial
+    # forms); '%zone' link-locals — absent here — pass the UDF only.
     df = _read(spark, sf, "customer").withColumn(
         "ip6",
         F.when(F.col("c_custkey") % 4 == 0, F.lit("not-an-ip"))
@@ -1175,6 +1178,34 @@ def _lang_id_oracle() -> str:
         f"WHEN len(toks) > 0 AND gmax > 0 THEN {case_best} "
         "ELSE 'und' END AS predicted FROM g"
     )
+
+
+def _ipv6_regex() -> str:
+    """RFC 4291 address grammar as an RE2 regex (no lookahead): 8 hex
+    groups, one optional '::' compression, optional embedded-IPv4 tail
+    (a prefix + b suffix hex groups with a+b <= 5 around the compression).
+    Fuzz-verified equivalent to stdlib ``ipaddress.IPv6Address`` for
+    zone-free addresses ('%zone' link-locals pass the UDF only)."""
+    h = "[0-9a-fA-F]{1,4}"
+    o = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    v4 = rf"({o}\.){{3}}{o}"
+    alts = [
+        f"({h}:){{7}}{h}",          # full 8 groups
+        f"({h}:){{1,7}}:",          # trailing compression
+        f"({h}:){{1,6}}:{h}",       # a + :: + 1
+        f"({h}:){{1,5}}(:{h}){{1,2}}",
+        f"({h}:){{1,4}}(:{h}){{1,3}}",
+        f"({h}:){{1,3}}(:{h}){{1,4}}",
+        f"({h}:){{1,2}}(:{h}){{1,5}}",
+        f"{h}:(:{h}){{1,6}}",
+        f":((:{h}){{1,7}}|:)",      # leading compression / '::'
+        f"({h}:){{6}}{v4}",         # v4 tail, no compression
+        f"::({h}:){{0,5}}{v4}",     # v4 tail, leading compression
+        f"({h}:){{1,5}}:{v4}",      # v4 tail, compression just before v4
+        # v4 tail, compression mid-address: a prefix + b suffix, a+b <= 5
+        *[f"({h}:){{{a}}}:({h}:){{1,{5 - a}}}{v4}" for a in range(1, 5)],
+    ]
+    return "^(" + "|".join(alts) + ")$"
 
 
 def _clean_corpus_oracle() -> str:
@@ -1498,6 +1529,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "is_valid_ipv6_address": (
+            "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 THEN 'not-an-ip' "
+            "WHEN c_custkey % 3 = 0 THEN '2001:db8::1' "
+            "ELSE '::ffff:10.0.' || cast(c_custkey % 256 AS varchar) || '.1' END AS ip6 FROM customer) "
+            f"SELECT c_custkey, NOT regexp_matches(ip6, '{_ipv6_regex()}') AS failed FROM t"
+        ),
         "dedup_exact": (
             "WITH base AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0), "

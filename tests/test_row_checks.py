@@ -248,3 +248,44 @@ def test_result_schema_exact(spark):
     assert fields["_warnings"].elementType == dq_result_schema.elementType
     good, bad = engine.get_valid(checked), engine.get_invalid(checked)
     assert good.count() + bad.count() == df.count()  # no warnings in this set
+
+
+def test_ipv6_oracle_regex_matches_stdlib():
+    """The DuckDB oracle twin of is_valid_ipv6_address is a pure-regex RFC
+    4291 grammar; pin its equivalence to stdlib `ipaddress` (the UDF's
+    authority) on zone-free addresses so regex and UDF can't drift apart."""
+    import ipaddress
+    import random
+    import re
+
+    from __spark_entry__ import _ipv6_regex
+
+    pat = re.compile(_ipv6_regex())
+    cases = [
+        "::", "::1", "1::", "2001:db8::1", "::ffff:10.0.5.1", "::ffff:0:1.2.3.4",
+        "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8:9", "1::2::3", ":::", ":", "",
+        "1:2:3:4:5:6:1.2.3.4", "12345::", "g::1", "1:2:3:4:5:6:7::",
+        "::2:3:4:5:6:7:8", "::1:2:3:4:5:1.2.3.4", "1::256.1.2.3",
+        "::ffff:01.2.3.4", "1:2::1.2.3.4", "not-an-ip", "0:0:0:0:0:0:0:0",
+        "1:2:3:4:5::1.2.3.4", "1:2:3:4:5:6::1.2.3.4", "1:2:3:4:5:6:7:1.2.3.4",
+        "::1.2.3.4", "1.2.3.4", "0:ffff::1:ffff:0:1.2.3.4", "1:0:1::ffff:1.2.3.4",
+    ]
+    rng = random.Random(7)
+    for _ in range(2000):
+        parts = [
+            rng.choice(["1", "0", "ab", "ffff", "12345", "1.2.3.4", "256.1.2.3", ""])
+            for _ in range(rng.randint(1, 9))
+        ]
+        s = ":".join(parts)
+        if rng.random() < 0.3:
+            s = ":" + s
+        if rng.random() < 0.3:
+            s = s + ":"
+        cases.append(s)
+    for c in set(cases):
+        try:
+            ipaddress.IPv6Address(c)
+            expected = True
+        except ValueError:
+            expected = False
+        assert bool(pat.match(c)) == expected, c
