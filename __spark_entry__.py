@@ -907,7 +907,9 @@ def q_is_valid_ipv6(spark, sf):
 
 
 def q_polygons_disjoint(spark, sf):
-    # rows-only: bbox interval-bucket approximation has no DuckDB spatial twin.
+    # oracle-checked: the check's SEMANTIC is pairwise bbox overlap (the
+    # interval-bucket equi-join is only the scale strategy), so the DuckDB
+    # twin parses the same WKT and does a direct O(n^2) bbox self-join.
     # nations 20..24 get squares shifted to overlap nations 0..4 (and touch
     # the next square, so 5 is flagged via edge contact); 6..19 disjoint.
     key = F.col("n_nationkey")
@@ -1529,6 +1531,22 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "are_polygons_mutually_disjoint": (
+            "WITH t AS (SELECT n_nationkey, (CASE WHEN n_nationkey >= 20 THEN (n_nationkey - 20) * 3 + 1 "
+            "ELSE n_nationkey * 3 END)::DOUBLE AS x0 FROM nation), "
+            "g AS (SELECT n_nationkey, 'POLYGON((' || x0 || ' 0, ' || (x0+2) || ' 0, ' || (x0+2) || ' 2, ' "
+            "|| x0 || ' 2, ' || x0 || ' 0))' AS wkt FROM t), "
+            r"nums AS (SELECT n_nationkey, regexp_extract_all(wkt, '-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?') AS ns FROM g), "
+            "box AS (SELECT n_nationkey, "
+            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 1), i -> ns[i]::DOUBLE), 'min') AS xmin, "
+            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 1), i -> ns[i]::DOUBLE), 'max') AS xmax, "
+            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 0), i -> ns[i]::DOUBLE), 'min') AS ymin, "
+            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 0), i -> ns[i]::DOUBLE), 'max') AS ymax FROM nums) "
+            "SELECT a.n_nationkey, count(b.n_nationkey) > 0 AS failed "
+            "FROM box a LEFT JOIN box b ON a.n_nationkey <> b.n_nationkey "
+            "AND a.xmin <= b.xmax AND b.xmin <= a.xmax AND a.ymin <= b.ymax AND b.ymin <= a.ymax "
+            "GROUP BY a.n_nationkey"
+        ),
         "is_valid_ipv6_address": (
             "WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 THEN 'not-an-ip' "
             "WHEN c_custkey % 3 = 0 THEN '2001:db8::1' "
