@@ -1023,6 +1023,26 @@ def q_clean_corpus(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_pack_offsets(spark, sf):
+    from dqx_spark.pipeline import packing
+
+    df = _read(spark, sf, "documents")
+    tok = df.select("doc_id", text.token_count("text").cast("long").alias("tc"))
+    out = packing.pack_offsets(tok, "doc_id", "tc", 1024, num_shards=16)
+    return out.select(
+        F.col("id").alias("doc_id"), "shard", "n_tokens", "offset", "first_seq", "last_seq"
+    )
+
+
+def q_pack_greedy(spark, sf):
+    from dqx_spark.pipeline import packing
+
+    df = _read(spark, sf, "documents")
+    tok = df.select("doc_id", text.token_count("text").cast("long").alias("tc"))
+    out = packing.pack_greedy(tok, "doc_id", "tc", 1024, num_shards=16)
+    return out.select(F.col("id").alias("doc_id"), "shard", "n_tokens", "bin")
+
+
 def q_top_k_per_group(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.top_k_per_group(
@@ -1135,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "top_k_per_group": q_top_k_per_group,
         "clean_corpus": q_clean_corpus,
+        "pack_offsets": q_pack_offsets,
+        "pack_greedy": q_pack_greedy,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
@@ -1531,6 +1553,27 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "pack_offsets": (
+            r"WITH tok AS (SELECT doc_id, (CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tc FROM documents), "
+            "o AS (SELECT doc_id, doc_id % 16 AS shard, tc, "
+            "coalesce(sum(tc) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_ FROM tok) "
+            "SELECT doc_id, shard, tc AS n_tokens, off_ AS offset, "
+            "(off_ // 1024)::BIGINT AS first_seq, "
+            "(greatest(off_ + tc - 1, off_) // 1024)::BIGINT AS last_seq FROM o"
+        ),
+        "pack_greedy": (
+            r"WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 16 AS shard, (CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tc FROM documents), "
+            "t AS (SELECT doc_id, shard, tc, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM tok), "
+            "rec AS (SELECT shard, rn, doc_id, tc, 0::BIGINT AS bin, tc AS used FROM t WHERE rn = 1 "
+            "UNION ALL SELECT t.shard, t.rn, t.doc_id, t.tc, "
+            "CASE WHEN rec.used > 0 AND rec.used + t.tc > 1024 THEN rec.bin + 1 ELSE rec.bin END, "
+            "CASE WHEN rec.used > 0 AND rec.used + t.tc > 1024 THEN t.tc ELSE rec.used + t.tc END "
+            "FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1) "
+            "SELECT doc_id, shard, tc AS n_tokens, bin FROM rec"
+        ),
         "are_polygons_mutually_disjoint": (
             "WITH t AS (SELECT n_nationkey, (CASE WHEN n_nationkey >= 20 THEN (n_nationkey - 20) * 3 + 1 "
             "ELSE n_nationkey * 3 END)::DOUBLE AS x0 FROM nation), "
