@@ -1023,6 +1023,22 @@ def q_clean_corpus(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_trailing_features(spark, sf):
+    from dqx_spark.pipeline import features
+
+    ev = _read(spark, sf, "events")
+    out = features.trailing_window_features(
+        ev, ["user_id"], "ts", "value", windows_minutes=(60, 1440), aggs=("count", "sum")
+    )
+    return out.select(
+        "event_id",
+        F.col("count_60m").cast("bigint").alias("count_60m"),
+        F.round("sum_60m", 3).alias("sum_60m"),
+        F.col("count_1440m").cast("bigint").alias("count_1440m"),
+        F.round("sum_1440m", 3).alias("sum_1440m"),
+    )
+
+
 def q_pack_offsets(spark, sf):
     from dqx_spark.pipeline import packing
 
@@ -1157,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "pack_offsets": q_pack_offsets,
         "pack_greedy": q_pack_greedy,
+        "trailing_features": q_trailing_features,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
@@ -1553,6 +1570,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "trailing_features": (
+            "WITH t AS (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec FROM events) "
+            "SELECT event_id, (count(*) OVER w60)::BIGINT AS count_60m, round(sum(value) OVER w60, 3) AS sum_60m, "
+            "(count(*) OVER w1440)::BIGINT AS count_1440m, round(sum(value) OVER w1440, 3) AS sum_1440m FROM t "
+            "WINDOW w60 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), "
+            "w1440 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
+        ),
         "pack_offsets": (
             r"WITH tok AS (SELECT doc_id, (CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
             r"ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tc FROM documents), "
