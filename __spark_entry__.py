@@ -1023,6 +1023,18 @@ def q_clean_corpus(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_chunk_by_tokens(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = text.chunk_by_tokens(df, "doc_id", "text", chunk_size=64, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        "chunk",
+    )
+
+
 def q_trailing_features(spark, sf):
     from dqx_spark.pipeline import features
 
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "pack_greedy": q_pack_greedy,
         "trailing_features": q_trailing_features,
+        "chunk_by_tokens": q_chunk_by_tokens,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
@@ -1570,6 +1583,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "chunk_by_tokens": (
+            r"WITH tok AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
+            r"ELSE string_split_regex(trim(text), '\s+') END AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM tok), "
+            "c AS (SELECT doc_id, toks, n, unnest(CASE WHEN n > 0 THEN range(0, (n-1)//48 + 1) "
+            "ELSE []::BIGINT[] END) AS chunk_idx FROM n) "
+            "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, (chunk_idx*48)::BIGINT AS start_tok, "
+            "len(toks[chunk_idx*48+1 : least(chunk_idx*48+64, n)])::BIGINT AS n_toks, "
+            "array_to_string(toks[chunk_idx*48+1 : least(chunk_idx*48+64, n)], ' ') AS chunk FROM c"
+        ),
         "trailing_features": (
             "WITH t AS (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec FROM events) "
             "SELECT event_id, (count(*) OVER w60)::BIGINT AS count_60m, round(sum(value) OVER w60, 3) AS sum_60m, "

@@ -28,6 +28,7 @@ __all__ = [
     "doc_fingerprint",
     "bpe_ish_token_count",
     "text_profile",
+    "chunk_by_tokens",
 ]
 
 # Small per-language function-word sets for the n-gram/stopword heuristic.
@@ -313,6 +314,43 @@ def text_profile(df, id_col: str, text_col: str, language: str = "en"):
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha, 6).alias("alpha_ratio"),
         F.md5(F.lower(F.trim(F.regexp_replace(s2, r"\s+", " ")))).alias("fingerprint"),
+    )
+
+
+def chunk_by_tokens(
+    df, id_col: str, text_col: str, chunk_size: int, overlap: int = 0
+):
+    """Split documents into overlapping token windows (RAG-style chunking):
+    (id, chunk_idx, start_tok, n_toks, chunk) where ``chunk`` is the window's
+    tokens rejoined with single spaces (whitespace is normalized, the price
+    of tokenizing once).  Chunk k starts at token ``k * (chunk_size -
+    overlap)``; the last chunk may be short; empty docs produce no chunks.
+
+    Scan-local: tokens materialize once per doc in their own projection, the
+    windows are array slices of that column, and the only data movement is
+    the explode — no shuffle at any corpus size.
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    step = chunk_size - overlap
+    step1 = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    num_chunks = F.when(n > 0, F.floor((n - 1) / step) + 1).otherwise(F.lit(0)).cast("int")
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-doc case explicitly
+    idx_array = F.when(num_chunks > 0, F.sequence(F.lit(0), num_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = step1.select("id", "__toks", F.explode(idx_array).alias("chunk_idx"))
+    start = F.col("chunk_idx") * step + 1
+    window = F.slice(F.col("__toks"), start, chunk_size)
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        (start - 1).alias("start_tok"),
+        F.size(window).alias("n_toks"),
+        F.array_join(window, " ").alias("chunk"),
     )
 
 

@@ -49,3 +49,25 @@ def test_pack_greedy_respects_capacity(spark):
     sums = packed.groupBy("shard", "bin").agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n")).collect()
     for r in sums:
         assert r.s <= 1024 or r.n == 1
+
+
+def test_chunk_by_tokens(spark):
+    from dqx_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = T.chunk_by_tokens(df, "doc_id", "text", chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.id, r.chunk_idx)):
+        by_doc.setdefault(r.id, []).append(r)
+    # doc 0: 10 tokens, step 3 -> starts 0,3,6,9
+    assert [c.start_tok for c in by_doc[0]] == [0, 3, 6, 9]
+    assert by_doc[0][0].chunk == "t0 t1 t2 t3"
+    assert by_doc[0][1].chunk == "t3 t4 t5 t6"  # overlap of 1
+    assert by_doc[0][3].chunk == "t9" and by_doc[0][3].n_toks == 1
+    # short doc: one short chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "a b"
+    # empty / null docs produce no chunks
+    assert 2 not in by_doc and 3 not in by_doc
