@@ -160,6 +160,16 @@ def main() -> None:
     # one-pass profile: superset of token_count+lang_id+quality+fingerprint,
     # sharing the tokenization across signals (see text.text_profile)
     cases["text_metrics"] = lambda: _text.text_profile(docs, "doc_id", "text")
+    # flagship composed pipeline: boilerplate strip -> Gopher filters ->
+    # lang filter -> exact dedup -> split, one lazy plan
+    from dqx_spark.pipeline import corpus as _corpus
+
+    cases["clean_corpus"] = lambda: _corpus.clean_corpus(
+        docs, "doc_id", "text",
+        languages=["en", "de", "fr", "es"], min_words=10,
+        max_symbol_to_word_ratio=0.5, min_alpha_word_fraction=0.3,
+        boilerplate_max_line_doc_freq=3,
+    ).select("doc_id", "split")
     cases["dedup_minhash_pairs"] = lambda: _dedup.minhash_lsh_pairs(docs, "doc_id", "text", 64, 16, 5, 0.5)
     cases["dedup_ngram_pairs"] = lambda: _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5)
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)

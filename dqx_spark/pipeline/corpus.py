@@ -90,10 +90,18 @@ def remove_boilerplate_lines(
     ``removed_line_count``.
     """
     out_col = out_col or f"{text_col}_clean"
+    # slim hot-set aggregation: removal only needs the line HASH, so group
+    # on the 64-bit hash alone (pure HashAggregate, map-side combined) —
+    # carrying the line string via first() forces a SortAggregate over every
+    # exploded line (two extra full sorts; benchmarked ~2x slower at sf0.1).
+    # line_doc_frequency keeps the string-bearing shape for reporting.
+    ex = df.select(F.explode(F.array_distinct(split_lines(text_col))).alias("line"))
     hot = (
-        line_doc_frequency(df, id_col, text_col)
+        ex.select(F.xxhash64("line").alias("line_hash"), F.length("line").alias("__len"))
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("doc_freq"), F.min("__len").alias("__len"))
         .where(F.col("doc_freq") > max_line_doc_freq)
-        .where(F.length("line") >= min_line_chars)
+        .where(F.col("__len") >= min_line_chars)
         .select("line_hash")
     )
     pos = df.select(
@@ -111,14 +119,16 @@ def remove_boilerplate_lines(
             F.count(F.lit(1)).alias("__kept"),
         )
     )
-    total = df.select(F.col(id_col).alias("__id"), F.size(split_lines(text_col)).alias("__total"))
+    # the pre-removal line count is scan-local on df — compute it inline in
+    # the final projection instead of joining a third subplan
     return (
         df.join(kept, df[id_col] == kept["__id"], "left")
-        .join(total, df[id_col] == total["__id"], "left")
         .select(
             *[df[c] for c in df.columns],
             F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias("removed_line_count"),
+            (F.size(split_lines(df[text_col])) - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+                "removed_line_count"
+            ),
         )
     )
 
@@ -309,9 +319,12 @@ def clean_corpus(
     ``<text_col>_clean`` + ``removed_line_count`` when boilerplate removal
     is enabled, in which case downstream stages run on the CLEANED text).
     """
+    from pyspark.sql import Window
+
     from dqx_spark.pipeline import dedup as _dedup
     from dqx_spark.pipeline import mixing as _mixing
     from dqx_spark.pipeline import text as _text
+    from dqx_spark.pipeline.text import LANG_STOPWORDS, _lang_verdict, _pick_lang, _stopword_hits
 
     out = df
     effective_text = text_col
@@ -321,26 +334,65 @@ def clean_corpus(
         )
         effective_text = f"{text_col}_clean"
 
+    # Filter-stage plan shape (same trick as text.text_profile): the token /
+    # line arrays land in their own projection once, every count lands in
+    # its own alias once, and the WHERE + language verdict combine cheap
+    # column refs — naive composition re-tokenizes the text ~8x because
+    # Catalyst cannot CSE subtrees across higher-order-function lambdas.
     col = F.col(effective_text)
-    n_words = F.size(tokens(col))
-    out = out.where(
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (duplicate_line_fraction(col) <= max_duplicate_line_fraction)
-        & (symbol_to_word_ratio(col) <= max_symbol_to_word_ratio)
-        & (alpha_word_fraction(col) >= min_alpha_word_fraction)
+    s = F.coalesce(col, F.lit(""))
+    arrs = out.select(
+        "*",
+        tokens(col).alias("__cc_toks"),
+        tokens(F.lower(col)).alias("__cc_tl"),
+        split_lines(col).alias("__cc_lines"),
+    )
+    scal = arrs.select(
+        *out.columns,
+        F.size("__cc_toks").alias("__cc_nw"),
+        F.size("__cc_tl").alias("__cc_ntl"),
+        F.size("__cc_lines").alias("__cc_nl"),
+        F.size(F.array_distinct("__cc_lines")).alias("__cc_nul"),
+        F.size(F.filter("__cc_toks", lambda t: t.rlike(r"\p{L}"))).alias("__cc_alpha"),
+        (F.length(s) - F.length(F.regexp_replace(s, r"#", ""))).alias("__cc_hash"),
+        (F.length(s) - F.length(F.regexp_replace(s, r"…", ""))).alias("__cc_uni"),
+        F.size(F.regexp_extract_all(s, F.lit(r"(\.{3})"), F.lit(1))).alias("__cc_dots"),
+        *[
+            _stopword_hits(F.col("__cc_tl"), words).alias(f"__cc_h_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+        _text.doc_fingerprint(col).alias("__cc_fp"),
+    )
+    nw, nl, nul = F.col("__cc_nw"), F.col("__cc_nl"), F.col("__cc_nul")
+    dup_frac = F.when(nl > 0, (nl - nul).cast("double") / nl).otherwise(F.lit(0.0))
+    symb = F.when(
+        nw > 0,
+        (F.col("__cc_hash") + F.col("__cc_uni") + F.col("__cc_dots")).cast("double") / nw,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(nw > 0, F.col("__cc_alpha").cast("double") / nw).otherwise(F.lit(0.0))
+    cond = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (dup_frac <= max_duplicate_line_fraction)
+        & (symb <= max_symbol_to_word_ratio)
+        & (alpha_frac >= min_alpha_word_fraction)
     )
     if languages:
-        out = out.where(_text.lang_id(col).isin(*languages))
+        best_hits, best = _pick_lang([F.col(f"__cc_h_{la}") for la in LANG_STOPWORDS])
+        cond = cond & _lang_verdict(col, F.col("__cc_ntl"), best_hits, best).isin(*languages)
+    filtered = scal.where(cond)
 
-    # exact dedup on the normalized fingerprint: min id survives
-    fp = out.select(F.col(id_col).alias("__cc_id"), _text.doc_fingerprint(col).alias("__cc_fp"))
-    survivors = fp.groupBy("__cc_fp").agg(F.min("__cc_id").alias("__cc_keep"))
-    out = out.join(
-        survivors.select(F.col("__cc_keep").alias("__cc_id2")),
-        F.col(id_col) == F.col("__cc_id2"),
-        "inner",
-    ).drop("__cc_id2")
+    # exact dedup on the normalized fingerprint: min id survives.  A window
+    # min instead of groupBy+join-back — the join shape executes the whole
+    # upstream lineage twice (once for the fingerprint branch, once for the
+    # survivors side); the window is one shuffle on the fingerprint and one
+    # pass over the lineage.
+    w = Window.partitionBy("__cc_fp")
+    out = (
+        filtered.withColumn("__cc_keep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__cc_keep"))
+        .select(*out.columns)
+    )
 
     if near_dedup:
         groups = _dedup.near_duplicate_groups(
