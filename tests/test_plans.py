@@ -149,3 +149,46 @@ def test_polygons_disjoint_no_nested_loop(spark):
     # an O(n^2) nested-loop or cartesian plan
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunking_is_scan_local(spark):
+    from dqx_spark.pipeline import text as T
+
+    df = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id long, text string")
+    p = plan_of(T.chunk_by_tokens(df, "doc_id", "text", chunk_size=4, overlap=1))
+    assert "Exchange" not in p  # slice + explode only, no shuffle at any size
+
+
+def test_pack_offsets_single_shuffle(spark):
+    from dqx_spark.pipeline import packing
+
+    df = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id long, tc long")
+    p = plan_of(packing.pack_offsets(df, "doc_id", "tc", 1024, num_shards=4))
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.MULTILINE)) == 1  # shard shuffle only
+
+
+def test_trailing_features_one_shuffle_for_k_windows(spark):
+    from datetime import datetime
+
+    from dqx_spark.pipeline import features
+
+    df = spark.createDataFrame(
+        [(0, 1, datetime(2024, 1, 1), 1.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = features.trailing_window_features(
+        df, ["user_id"], "ts", "value", windows_minutes=(60, 1440, 10080), aggs=("count", "sum")
+    )
+    p = plan_of(out)
+    # all six feature columns share ONE partition-by-entity exchange and sort
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.MULTILINE)) == 1
+    assert len(re.findall(r"^\s*\(\d+\) Sort", p, re.MULTILINE)) == 1
+
+
+def test_boilerplate_hot_set_hash_aggregate(spark):
+    from dqx_spark.pipeline import corpus
+
+    df = spark.createDataFrame([(0, "x\ny"), (1, "x\nz")], "doc_id long, text string")
+    p = plan_of(corpus.remove_boilerplate_lines(df, "doc_id", "text"))
+    # the hot-line aggregation groups on the 64-bit hash: HashAggregate,
+    # never SortAggregate (first(line) used to force two extra sorts)
+    assert "SortAggregate" not in p
