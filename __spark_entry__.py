@@ -1023,6 +1023,19 @@ def q_clean_corpus(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_top_distinctive_terms(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = text.top_distinctive_terms(df, "doc_id", "text", k=5, min_term_len=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_count").cast("bigint").alias("df_count"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_chunk_by_tokens(spark, sf):
     df = _read(spark, sf, "documents")
     out = text.chunk_by_tokens(df, "doc_id", "text", chunk_size=64, overlap=16)
@@ -1187,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "trailing_features": q_trailing_features,
         "chunk_by_tokens": q_chunk_by_tokens,
+        "top_distinctive_terms": q_top_distinctive_terms,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
@@ -1583,6 +1597,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "top_distinctive_terms": (
+            r"WITH tok AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
+            r"ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks FROM documents), "
+            "ex AS (SELECT doc_id, unnest(list_filter(toks, t -> length(t) >= 3)) AS term FROM tok), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ex GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(*)::BIGINT AS df_count FROM tf GROUP BY 1), "
+            "s AS (SELECT doc_id, term, tf, df_count, tf::DOUBLE / df_count::DOUBLE AS score, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY tf::DOUBLE / df_count::DOUBLE DESC, term ASC) AS rank "
+            "FROM tf JOIN dfq USING (term)) "
+            "SELECT doc_id, term, tf, df_count, round(score, 6) AS score, rank FROM s WHERE rank <= 5"
+        ),
         "chunk_by_tokens": (
             r"WITH tok AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
             r"ELSE string_split_regex(trim(text), '\s+') END AS toks FROM documents), "

@@ -5,7 +5,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from dqx_spark.rule import to_col
@@ -29,6 +29,7 @@ __all__ = [
     "bpe_ish_token_count",
     "text_profile",
     "chunk_by_tokens",
+    "top_distinctive_terms",
 ]
 
 # Small per-language function-word sets for the n-gram/stopword heuristic.
@@ -351,6 +352,51 @@ def chunk_by_tokens(
         (start - 1).alias("start_tok"),
         F.size(window).alias("n_toks"),
         F.array_join(window, " ").alias("chunk"),
+    )
+
+
+def top_distinctive_terms(
+    df, id_col: str, text_col: str, k: int = 10, min_term_len: int = 2, idf: str = "linear"
+):
+    """Top-k most distinctive terms per document by TF-IDF: (id, term, tf,
+    df_count, score, rank).
+
+    ``idf='linear'`` (default) scores ``tf / df`` — idf as 1/df instead of
+    the textbook ``ln(N/df)``.  Chosen as the default because one IEEE
+    division of two integers is bit-exact across engines (the ranking is
+    reproducible in DuckDB/Trino for conformance tests), while ``ln`` is
+    libm-dependent to the last ulp.  ``idf='log'`` gives the textbook
+    ``tf * ln(N/df)``.  Ties break by term ascending.
+
+    Scale shape: explode lowercased tokens -> per-(doc, term) counts (one
+    shuffle, map-side combined) -> per-term doc frequency from that result
+    (second shuffle, slim (term, count) rows) -> join back on term -> row
+    top-k per doc (third shuffle, rows already reduced to distinct terms).
+    The doc total N (log mode only) is a 1-row aggregate broadcast via
+    crossJoin, never a driver action.
+    """
+    if idf not in ("linear", "log"):
+        raise ValueError("idf must be 'linear' or 'log'")
+    toks = tokens(F.lower(F.col(text_col)))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(toks, lambda t: F.length(t) >= min_term_len)).alias("term"),
+    )
+    tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    joined = tf.join(docfreq, "term")
+    if idf == "linear":
+        score = F.col("tf").cast("double") / F.col("df_count").cast("double")
+    else:
+        n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+        joined = joined.crossJoin(F.broadcast(n_docs))
+        score = F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df_count"))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "df_count", "score", "rank")
     )
 
 

@@ -196,3 +196,32 @@ def test_multimodal_plumbing(spark):
 
     frames = multimodal.sample_video_frames(df, "content", "id", every_n=1).collect()
     assert {r["id"] for r in frames} == {0, 1}
+
+
+def test_top_distinctive_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple apple shared shared"),
+            (1, "banana banana shared shared"),
+            (2, "cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.top_distinctive_terms(df, "doc_id", "text", k=2, min_term_len=3)
+    rows = {(r.id, r.rank): r for r in out.collect()}
+    # doc-unique terms outrank the corpus-wide one
+    assert rows[(0, 1)].term == "apple" and rows[(0, 1)].tf == 3 and rows[(0, 1)].df_count == 1
+    assert rows[(1, 1)].term == "banana"
+    assert rows[(2, 1)].term == "cherry"
+    # 'shared' appears in all 3 docs -> low score, rank 2
+    assert rows[(0, 2)].term == "shared" and rows[(0, 2)].df_count == 3
+    # linear idf: score is tf/df exactly
+    assert rows[(0, 1)].score == 3.0
+    assert rows[(0, 2)].score == 2 / 3
+    # log mode ranks the same here and uses ln(N/df)
+    import math
+
+    log_out = text.top_distinctive_terms(df, "doc_id", "text", k=1, min_term_len=3, idf="log")
+    r = {r.id: r for r in log_out.collect()}
+    assert r[0].term == "apple"
+    assert abs(r[0].score - 3 * math.log(3 / 1)) < 1e-9
