@@ -1023,6 +1023,18 @@ def q_clean_corpus(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_group_centroids(spark, sf):
+    from dqx_spark.pipeline import similarity
+
+    emb = _read(spark, sf, "embeddings")
+    out = similarity.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
+    return out.select(
+        F.col("group").cast("bigint").alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        *[F.round(F.col("centroid")[i], 6).alias(f"c{i}") for i in range(8)],
+    )
+
+
 def q_top_distinctive_terms(spark, sf):
     df = _read(spark, sf, "documents")
     out = text.top_distinctive_terms(df, "doc_id", "text", k=5, min_term_len=3)
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_features": q_trailing_features,
         "chunk_by_tokens": q_chunk_by_tokens,
         "top_distinctive_terms": q_top_distinctive_terms,
+        "group_centroids": q_group_centroids,
         "is_valid_ipv6_address": q_is_valid_ipv6,
         "are_polygons_mutually_disjoint": q_polygons_disjoint,
         "has_valid_json_schema": q_has_valid_json_schema,
@@ -1597,6 +1610,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "group_centroids": (
+            "WITH nv AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings "
+            "WHERE embedding IS NOT NULL AND len(embedding) = 64), "
+            "n AS (SELECT label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nv), "
+            "u AS (SELECT label, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS v FROM n) "
+            "SELECT label::BIGINT AS label, count(*)::BIGINT AS n, "
+            + ", ".join(f"round(avg(v[{i + 1}]), 6) AS c{i}" for i in range(8))
+            + " FROM u GROUP BY label"
+        ),
         "top_distinctive_terms": (
             r"WITH tok AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
             r"ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks FROM documents), "

@@ -25,6 +25,8 @@ __all__ = [
     "ann_lsh_topk",
     "ivf_build_index",
     "ivf_topk",
+    "l2_normalize",
+    "group_centroids",
 ]
 
 
@@ -158,3 +160,55 @@ def ann_lsh_topk(
     top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select("id", "rank", "score")
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize a vector column (zero vectors pass through unchanged).
+
+    NOTE: as a pure Column expression the norm subtree re-evaluates inside
+    the per-element lambda (Catalyst does not CSE across lambda boundaries)
+    — O(d²) per row.  Fine for small d; for hot paths materialize the norm
+    as its own projection column first (``group_centroids`` does).
+    """
+    v = vec.cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str, dim: int, normalize: bool = False
+) -> DataFrame:
+    """Mean embedding per group: (group, n, centroid array<double>).
+
+    ``normalize=True`` L2-normalizes each vector first (spherical mean
+    direction — the usual choice for cosine-space class centroids); the norm
+    is computed once per row in its own projection, then the division runs
+    element-wise against the materialized column.
+
+    Scale shape: ONE groupBy with ``dim`` scalar avg aggregates (map-side
+    combined, shuffle = one row of 8·dim bytes per group per partition) —
+    never posexplode-by-dimension, which multiplies the shuffle by dim.
+    Rows with null or wrong-dimension vectors are excluded.
+    """
+    v0 = F.col(vec_col).cast("array<double>")
+    base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)).select(
+        F.col(group_col).alias("group"), v0.alias("__v")
+    )
+    if normalize:
+        base = base.select(
+            "group",
+            "__v",
+            F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)).alias("__n"),
+        ).select(
+            "group",
+            F.when(F.col("__n") > 0, F.transform("__v", lambda x: x / F.col("__n")))
+            .otherwise(F.col("__v"))
+            .alias("__v"),
+        )
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.col("__v")[i]).alias(f"__c{i}") for i in range(dim)],
+    )
+    return agg.select(
+        "group", "n", F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid")
+    )

@@ -225,3 +225,29 @@ def test_top_distinctive_terms(spark):
     r = {r.id: r for r in log_out.collect()}
     assert r[0].term == "apple"
     assert abs(r[0].score - 3 * math.log(3 / 1)) < 1e-9
+
+
+def test_group_centroids_and_l2_normalize(spark):
+    import math
+
+    rows = [
+        (0, [3.0, 4.0]),    # norm 5 -> (0.6, 0.8)
+        (0, [0.0, 1.0]),
+        (1, [1.0, 0.0]),
+        (1, None),          # excluded
+        (1, [1.0, 0.0, 0.0]),  # wrong dim, excluded
+        (2, [0.0, 0.0]),    # zero vector passes through unchanged
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r.group: r for r in similarity.group_centroids(df, "label", "embedding", dim=2, normalize=True).collect()}
+    assert out[0].n == 2 and out[1].n == 1 and out[2].n == 1
+    assert abs(out[0].centroid[0] - 0.3) < 1e-12 and abs(out[0].centroid[1] - 0.9) < 1e-12
+    assert out[1].centroid == [1.0, 0.0]
+    assert out[2].centroid == [0.0, 0.0]
+    # un-normalized mean
+    raw = {r.group: r for r in similarity.group_centroids(df, "label", "embedding", dim=2).collect()}
+    assert raw[0].centroid == [1.5, 2.5]
+    # column helper agrees
+    norm = df.where(F.col("label") == 0).select(similarity.l2_normalize(F.col("embedding")).alias("u")).collect()
+    v = norm[0].u
+    assert abs(math.hypot(*v) - 1.0) < 1e-12
