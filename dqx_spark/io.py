@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 #: `catalog.schema.table` / `schema.table` style names vs filesystem paths
@@ -127,3 +128,66 @@ def is_one_time_trigger(trigger: dict[str, Any] | None) -> bool:
     if not trigger:
         return False
     return bool(trigger.get("once") or trigger.get("availableNow"))
+
+
+# ---------------------------------------------------------------------------
+# scale-oriented output layout helpers
+# ---------------------------------------------------------------------------
+def sort_for_skipping(df: DataFrame, columns: list[str], num_partitions: int | None = None) -> DataFrame:
+    """Lay rows out for min/max data skipping on ``columns``: range-partition
+    by the columns, then sort within each partition.  Files written from this
+    layout carry tight per-file min/max statistics on the sort keys, so
+    later scans with predicates on them prune whole files (the poor man's
+    Z-order for a single key prefix; at 100 TB this is the difference
+    between a full scan and touching a few files).
+
+    One range-exchange (sampled boundaries, skew-resistant) + in-partition
+    sort; no global sort barrier.
+    """
+    cols = [F.col(c) for c in columns]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols) if num_partitions else df.repartitionByRange(*cols)
+    )
+    return parted.sortWithinPartitions(*cols)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    max_records_per_file: int | None = None,
+    target_file_mb: int | None = None,
+    sample_rows: int = 1000,
+    mode: str = "overwrite",
+    options: dict[str, Any] | None = None,
+) -> None:
+    """Write with bounded output-file sizes.
+
+    Preferred (zero extra actions): pass ``max_records_per_file`` — Spark's
+    ``maxRecordsPerFile`` splits files at write time without any
+    repartition.  Alternatively pass ``target_file_mb`` and the in-memory
+    row width is estimated from a ``limit(sample_rows)`` sample (one tiny
+    action) to derive the records-per-file cap; parquet encoding typically
+    compresses 2-5x below the estimate, so treat it as an upper bound on
+    file size, not a target to hit exactly.
+    """
+    if (max_records_per_file is None) == (target_file_mb is None):
+        raise ValueError("provide exactly one of max_records_per_file / target_file_mb")
+    if target_file_mb is not None:
+        sample = df.limit(sample_rows)
+        agg = sample.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.to_json(F.struct(*df.columns)))).alias("bytes"),
+        ).first()
+        if not agg or not agg["n"]:
+            max_records_per_file = 1_000_000
+        else:
+            row_bytes = max(float(agg["bytes"]) / float(agg["n"]), 1.0)
+            max_records_per_file = max(int(target_file_mb * 1024 * 1024 / row_bytes), 1)
+    writer = (
+        df.write.format(file_format)
+        .mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .options(**(options or {}))
+    )
+    writer.save(path)
