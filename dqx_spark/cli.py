@@ -103,6 +103,31 @@ def cmd_e2e(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Corpus cleaning pipeline: boilerplate strip -> quality filters ->
+    language filter -> exact dedup -> split, written with bounded file
+    sizes."""
+    from dqx_spark.io import write_sized
+    from dqx_spark.pipeline.corpus import clean_corpus
+
+    spark = _spark("clean")
+    df = spark.read.format(args.format).load(args.input)
+    out = clean_corpus(
+        df,
+        args.id_col,
+        args.text_col,
+        languages=args.languages or None,
+        min_words=args.min_words,
+        boilerplate_max_line_doc_freq=args.boilerplate_doc_freq,
+        near_dedup=args.near_dedup,
+        splits=None,
+    )
+    write_sized(out, args.output, file_format=args.format, max_records_per_file=args.records_per_file)
+    kept = spark.read.format(args.format).load(args.output).count()
+    print(json.dumps({"input_rows": df.count(), "kept_rows": kept}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="dqx_spark", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -142,6 +167,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-fraction", type=float, default=0.3)
     p.add_argument("--limit", type=int, default=1000)
     p.set_defaults(func=cmd_e2e)
+
+    p = sub.add_parser("clean", help="corpus cleaning pipeline (filter/dedup/split)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--languages", nargs="*", default=None)
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument("--boilerplate-doc-freq", type=int, default=None)
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--records-per-file", type=int, default=1_000_000)
+    p.set_defaults(func=cmd_clean)
     return parser
 
 

@@ -1,0 +1,59 @@
+"""CLI surface tests (in-process main() calls against sf0.001 testdata)."""
+
+import json
+
+import pytest
+
+from dqx_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_clean(spark, tmp_path, capsys):
+    out = str(tmp_path / "cleaned")
+    rc = main(
+        [
+            "clean",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out,
+            "--languages", "en", "de", "fr", "es",
+            "--min-words", "10",
+            "--boilerplate-doc-freq", "3",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_rows"] == 500
+    assert 0 < stats["kept_rows"] < 500
+    back = spark.read.parquet(out)
+    assert "split" in back.columns
+    assert back.count() == stats["kept_rows"]
+
+
+def test_cli_validate_checks(tmp_path, capsys):
+    checks = tmp_path / "checks.yaml"
+    checks.write_text(
+        "- criticality: error\n"
+        "  check:\n"
+        "    function: is_not_null\n"
+        "    arguments:\n"
+        "      column: l_orderkey\n"
+    )
+    assert main(["validate-checks", "--checks", str(checks)]) == 0
+    assert "OK: 1 checks valid" in capsys.readouterr().out
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- criticality: error\n  check:\n    function: no_such_check\n")
+    assert main(["validate-checks", "--checks", str(bad)]) == 1
+
+
+def test_cli_profile_and_apply(spark, tmp_path, capsys):
+    checks = str(tmp_path / "checks.yaml")
+    assert (
+        main(["profile", "--input", f"{SF}/orders.parquet", "--output", checks, "--limit", "200"]) == 0
+    )
+    out, quar = str(tmp_path / "good"), str(tmp_path / "bad")
+    rc = main(
+        ["apply", "--input", f"{SF}/orders.parquet", "--checks", checks, "--output", out, "--quarantine", quar]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
