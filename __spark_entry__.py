@@ -993,6 +993,21 @@ def q_range_join(spark, sf):
     return out.select("event_id", "n_nationkey")
 
 
+def q_interval_join(spark, sf):
+    from dqx_spark.pipeline import joins
+
+    ev = _read(spark, sf, "events").select(
+        "event_id", F.col("value").alias("lo1"), (F.col("value") + 5.0).alias("hi1")
+    )
+    ivs = _read(spark, sf, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 20.0).alias("lo2"),
+        (F.col("n_nationkey") * 20.0 + 30.0).alias("hi2"),
+    )
+    out = joins.interval_join(ev, ivs, "lo1", "hi1", "lo2", "hi2")
+    return out.select("event_id", "n_nationkey")
+
+
 def q_hash_split(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
@@ -1222,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
     }
 
@@ -1820,6 +1836,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, n.n_nationkey FROM events e JOIN "
             "(SELECT n_nationkey, n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 30.0 AS hi FROM nation) n "
             "ON e.value >= n.lo AND e.value <= n.hi"
+        ),
+        "interval_join": (
+            "SELECT e.event_id, n.n_nationkey FROM "
+            "(SELECT event_id, value AS lo1, value + 5.0 AS hi1 FROM events) e JOIN "
+            "(SELECT n_nationkey, n_nationkey * 20.0 AS lo2, n_nationkey * 20.0 + 30.0 AS hi2 FROM nation) n "
+            "ON e.lo1 <= n.hi2 AND n.lo2 <= e.hi1"
         ),
         "asof_join": (
             "SELECT l.event_id, r.event_id AS prev_click_id FROM events l "

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "interval_join"]
 
 
 def asof_join(
@@ -175,3 +175,82 @@ def range_join(
     )
     empty_right = [F.lit(None).cast(t).alias(c) for c, t in right.dtypes if c not in on]
     return matched.unionByName(miss_rows.select(*left.columns, *empty_right))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs whose intervals overlap: ``left_start <=
+    right_end AND right_start <= left_end`` (inclusive ends), optionally
+    under equi-keys ``on``.  Returns left columns + non-key right columns.
+
+    Same scale story as :func:`range_join` — a bare inequality join
+    degenerates to a broadcast nested loop — but with BOTH sides exploded
+    into adaptive integer buckets.  A pair overlapping several buckets would
+    normally need a dedup shuffle; instead each pair is emitted only at its
+    CANONICAL bucket, the bucket of ``greatest(left_start, right_start)``
+    (the later start lies inside both intervals, so both sides are
+    guaranteed to have exploded into that bucket) — qualifying pairs appear
+    exactly once with no ``distinct``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    on = on or []
+    clash = [c for c in right.columns if c in left.columns and c not in on]
+    if clash:
+        raise ValueError(f"right column names collide with left: {clash}")
+    right_out = [c for c in right.columns if c not in on]
+
+    llo, lhi = F.col(left_start).cast("double"), F.col(left_end).cast("double")
+    rlo, rhi = F.col(right_start).cast("double"), F.col(right_end).cast("double")
+    slim = left.where(llo <= lhi).select(llo.alias("lo"), lhi.alias("hi")).unionByName(
+        right.where(rlo <= rhi).select(rlo.alias("lo"), rhi.alias("hi"))
+    )
+    stats = slim.agg(
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.percentile_approx(F.col("hi") - F.col("lo"), 0.9).alias("p90len"),
+    ).first()
+    empty_right = [F.lit(None).cast(t).alias(c) for c, t in right.dtypes if c not in on]
+    if stats is None or stats["lo"] is None:
+        matched = left.select(*left.columns, *empty_right).limit(0)
+        return left.select(*left.columns, *empty_right) if how == "left" else matched
+    span = float(stats["hi"]) - float(stats["lo"])
+    width = max(float(stats["p90len"] or 0.0), span / 4096.0, 1e-9)
+
+    def bucketize(df, lo, hi):
+        return df.where(lo <= hi).select(
+            "*",
+            F.explode(
+                F.sequence(F.floor(lo / width).cast("long"), F.floor(hi / width).cast("long"))
+            ).alias("__bucket"),
+        )
+
+    bl = bucketize(left, llo, lhi)
+    br = bucketize(right, rlo, rhi)
+    cond = ["__bucket"] + on
+    canonical = F.col("__bucket") == F.floor(F.greatest(llo, rlo) / width).cast("long")
+    joined = (
+        bl.join(br, on=cond, how="inner")
+        .where((llo <= rhi) & (rlo <= lhi) & canonical)
+    )
+    matched = joined.select(*left.columns, *right_out)
+    if how == "inner":
+        return matched
+    with_id = left.withColumn("__rowid", F.monotonically_increasing_id())
+    hit_ids = (
+        bucketize(with_id, llo, lhi)
+        .join(br.select(*(on + ["__bucket", right_start, right_end])), on=cond, how="inner")
+        .where((llo <= rhi) & (rlo <= lhi))
+        .select("__rowid")
+        .distinct()
+    )
+    misses = with_id.join(hit_ids, "__rowid", "left_anti").drop("__rowid")
+    return matched.unionByName(misses.select(*left.columns, *empty_right))

@@ -138,3 +138,37 @@ def test_range_join_no_nested_loop(spark):
         out.explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_join_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [(i, rng.uniform(0, 100), rng.uniform(0, 10)) for i in range(200)], "lid long, a double, ln double"
+    ).select("lid", F.col("a").alias("l_lo"), (F.col("a") + F.col("ln")).alias("l_hi"))
+    right = spark.createDataFrame(
+        [(j, rng.uniform(0, 100), rng.uniform(0, 25)) for j in range(60)], "rid long, b double, rl double"
+    ).select("rid", F.col("b").alias("r_lo"), (F.col("b") + F.col("rl")).alias("r_hi"))
+    got = {
+        (r.lid, r.rid)
+        for r in joins.interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi").collect()
+    }
+    expect = {
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.l_lo <= r.r_hi and r.r_lo <= l.l_hi
+    }
+    assert got == expect  # exactly once per overlapping pair, none missed
+
+
+def test_interval_join_left_and_empty_right(spark):
+    left = spark.createDataFrame([(0, 0.0, 1.0), (1, 50.0, 51.0)], "lid long, l_lo double, l_hi double")
+    right = spark.createDataFrame([(7, 0.5, 2.0)], "rid long, r_lo double, r_hi double")
+    out = joins.interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", how="left").collect()
+    rows = {r.lid: r.rid for r in out}
+    assert rows == {0: 7, 1: None}
+    empty = right.where("rid < 0")
+    out2 = joins.interval_join(left, empty, "l_lo", "l_hi", "r_lo", "r_hi", how="left").collect()
+    assert {r.lid for r in out2} == {0, 1} and all(r.rid is None for r in out2)
