@@ -1243,7 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NGRAM_PAIRS_SQL = (
-    r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents), "
+    r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "
     "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1), "
     "i -> array_to_string(toks[i:i+4], ' ')))) s FROM t), "
     "sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), "
@@ -1264,7 +1264,7 @@ def _lang_id_oracle() -> str:
     case_best = "CASE " + " ".join(f"WHEN h_{la} = gmax THEN '{la}'" for la in langs) + " END"
     return (
         r"WITH t AS (SELECT doc_id, coalesce(text,'') AS text, "
-        r"string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS toks, "
+        r"list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') AS toks, "
         "length(coalesce(text,'')) AS n FROM documents), "
         f"h AS (SELECT doc_id, text, n, toks, {', '.join(hit_exprs)} FROM t), "
         f"g AS (SELECT *, {greatest} AS gmax FROM h) "
@@ -1325,8 +1325,8 @@ def _clean_corpus_oracle() -> str:
         "freq AS (SELECT line, count(*) df FROM ex GROUP BY 1), "
         "hot AS (SELECT coalesce(list(line), []) hl FROM freq WHERE df > 3), "
         "clean AS (SELECT doc_id, array_to_string(list_filter(lines, l -> NOT list_contains(hl, l)), chr(10)) AS tc FROM ls CROSS JOIN hot), "
-        r"tk AS (SELECT doc_id, tc, CASE WHEN trim(tc) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(tc), '\s+') END AS toks, "
-        r"CASE WHEN trim(lower(tc)) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(lower(tc)), '\s+') END AS ltk, "
+        r"tk AS (SELECT doc_id, tc, list_filter(string_split_regex(tc, '\s+'), __t -> __t <> '') AS toks, "
+        r"list_filter(string_split_regex(lower(tc), '\s+'), __t -> __t <> '') AS ltk, "
         "list_filter(list_transform(string_split(tc, chr(10)), x -> trim(x)), x -> x <> '') AS cl FROM clean), "
         f"h AS (SELECT *, len(toks) AS nw FROM tk), "
         f"hh AS (SELECT *, {', '.join(hit_exprs)} FROM h), "
@@ -1360,7 +1360,7 @@ def _text_profile_oracle() -> str:
         + ", lang AS ("
         + lang[idx:]
         + "), base AS (SELECT doc_id, "
-        r"CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS tc, "
+        r"len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> ''))::BIGINT AS tc, "
         r"md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents) "
         "SELECT b.doc_id, tc, predicted, fp FROM base b JOIN lang USING (doc_id)"
     )
@@ -1617,8 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pipeline extensions
         "text_token_count": (
-            r"SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
-            r"ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS tc FROM documents"
+            r"SELECT doc_id, len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> ''))::BIGINT AS tc FROM documents"
         ),
         "text_fingerprint": (
             r"SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents"
@@ -1636,8 +1635,7 @@ def oracle_sql() -> dict[str, str]:
             + " FROM u GROUP BY label"
         ),
         "top_distinctive_terms": (
-            r"WITH tok AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
-            r"ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks FROM documents), "
+            r"WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') AS toks FROM documents), "
             "ex AS (SELECT doc_id, unnest(list_filter(toks, t -> length(t) >= 3)) AS term FROM tok), "
             "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ex GROUP BY 1, 2), "
             "dfq AS (SELECT term, count(*)::BIGINT AS df_count FROM tf GROUP BY 1), "
@@ -1647,8 +1645,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df_count, round(score, 6) AS score, rank FROM s WHERE rank <= 5"
         ),
         "chunk_by_tokens": (
-            r"WITH tok AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
-            r"ELSE string_split_regex(trim(text), '\s+') END AS toks FROM documents), "
+            r"WITH tok AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '') AS toks FROM documents), "
             "n AS (SELECT doc_id, toks, len(toks) AS n FROM tok), "
             "c AS (SELECT doc_id, toks, n, unnest(CASE WHEN n > 0 THEN range(0, (n-1)//48 + 1) "
             "ELSE []::BIGINT[] END) AS chunk_idx FROM n) "
@@ -1664,8 +1661,7 @@ def oracle_sql() -> dict[str, str]:
             "w1440 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
         ),
         "pack_offsets": (
-            r"WITH tok AS (SELECT doc_id, (CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
-            r"ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tc FROM documents), "
+            r"WITH tok AS (SELECT doc_id, (len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')))::BIGINT AS tc FROM documents), "
             "o AS (SELECT doc_id, doc_id % 16 AS shard, tc, "
             "coalesce(sum(tc) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_ FROM tok) "
@@ -1674,8 +1670,7 @@ def oracle_sql() -> dict[str, str]:
             "(greatest(off_ + tc - 1, off_) // 1024)::BIGINT AS last_seq FROM o"
         ),
         "pack_greedy": (
-            r"WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 16 AS shard, (CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
-            r"ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tc FROM documents), "
+            r"WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 16 AS shard, (len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')))::BIGINT AS tc FROM documents), "
             "t AS (SELECT doc_id, shard, tc, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM tok), "
             "rec AS (SELECT shard, rn, doc_id, tc, 0::BIGINT AS bin, tc AS used FROM t WHERE rn = 1 "
             "UNION ALL SELECT t.shard, t.rn, t.doc_id, t.tc, "
@@ -1762,7 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_counts": (
             "WITH t AS (SELECT doc_id, "
             "list_filter(list_transform(string_split(coalesce(text,''), chr(10)), x -> trim(x)), x -> x <> '') AS lines, "
-            r"CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END AS toks, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '') AS toks, "
             "coalesce(text,'') AS s FROM documents) "
             "SELECT doc_id, "
             "len(lines)::BIGINT AS line_count, "
@@ -1780,8 +1775,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM t"
         ),
         "top_ngram_coverage": (
-            r"WITH t AS (SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[] "
-            r"ELSE string_split_regex(trim(lower(text)), '\s+') END toks FROM documents), "
+            r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE []::VARCHAR[] END grams FROM t), "
             "ex AS (SELECT doc_id, unnest(grams) gr FROM g), "
             "pg AS (SELECT doc_id, gr, count(*) c FROM ex GROUP BY 1, 2), "
@@ -1868,7 +1862,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY 1, 2"
         ),
         "ngram_contamination": (
-            r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents), "
+            r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "
             "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1), "
             "i -> array_to_string(toks[i:i+4], ' ')))) s FROM t), "
             "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), "

@@ -46,10 +46,15 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(column: str | Column) -> Column:
-    """Whitespace tokens; empty/null text -> empty array."""
+    """Whitespace tokens; empty/null text -> empty array.
+
+    Empty fragments are filtered out, so leading/trailing NON-SPACE
+    whitespace (``"a\\n"``) cannot manufacture phantom "" tokens — Spark's
+    ``trim`` strips only spaces, and a bare ``split`` leaves empty strings
+    at the edges (semantics match Python's ``str.split()``)."""
     col = to_col(column)
-    trimmed = F.trim(F.coalesce(col, F.lit("")))
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, r"\s+"))
+    raw = F.split(F.coalesce(col, F.lit("")), r"\s+")
+    return F.filter(raw, lambda t: t != "")
 
 
 def token_count(column: str | Column) -> Column:

@@ -180,3 +180,71 @@ def test_range_join_matches_brute_force(spark, points, ivs):
         if lo <= p <= lo + ln
     }
     assert got == want
+
+
+packing_rows = st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40)
+
+
+@SETTINGS
+@given(toks=packing_rows, max_tokens=st.sampled_from([64, 1024]))
+def test_pack_greedy_matches_python_reference(spark, toks, max_tokens):
+    from dqx_spark.pipeline import packing
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, tc long")
+    got = {
+        r.id: r.bin
+        for r in packing.pack_greedy(df, "doc_id", "tc", max_tokens, num_shards=1).collect()
+    }
+    bins, current, used = {}, 0, 0
+    for i, t in enumerate(toks):
+        if used > 0 and used + t > max_tokens:
+            current += 1
+            used = 0
+        bins[i] = current
+        used += t
+    assert got == bins
+
+
+@SETTINGS
+@given(toks=packing_rows)
+def test_pack_offsets_is_exact_cumsum(spark, toks):
+    from dqx_spark.pipeline import packing
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, tc long")
+    out = sorted(packing.pack_offsets(df, "doc_id", "tc", 128, num_shards=1).collect(), key=lambda r: r.id)
+    run = 0
+    for r, t in zip(out, toks):
+        assert r.offset == run
+        assert r.first_seq == run // 128
+        assert r.last_seq == max(run + t - 1, run) // 128
+        run += t
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abco\n", min_size=0, max_size=60), min_size=1, max_size=10
+    ),
+    chunk=st.sampled_from([(4, 0), (4, 1), (5, 3)]),
+)
+def test_chunking_reconstructs_tokens(spark, texts, chunk):
+    """Concatenating each doc's non-overlapped chunk windows reproduces its
+    exact whitespace-normalized token stream."""
+    from dqx_spark.pipeline import text as T
+
+    size, overlap = chunk
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    chunks = {}
+    for r in T.chunk_by_tokens(df, "doc_id", "text", size, overlap).collect():
+        chunks.setdefault(r.id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in chunks
+            continue
+        got = []
+        for c in sorted(chunks[i], key=lambda r: r.chunk_idx):
+            win = c.chunk.split(" ") if c.chunk else []
+            start = 0 if c.chunk_idx == 0 else overlap
+            got.extend(win[start:])
+        assert got == toks, (t, chunks[i])
