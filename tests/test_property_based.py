@@ -248,3 +248,32 @@ def test_chunking_reconstructs_tokens(spark, texts, chunk):
             start = 0 if c.chunk_idx == 0 else overlap
             got.extend(win[start:])
         assert got == toks, (t, chunks[i])
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(st.tuples(st.floats(0, 100, allow_nan=False), st.floats(0, 30, allow_nan=False)), min_size=1, max_size=25),
+    rights=st.lists(st.tuples(st.floats(0, 100, allow_nan=False), st.floats(0, 30, allow_nan=False)), min_size=0, max_size=25),
+)
+def test_interval_join_property(spark, lefts, rights):
+    """Bucketed interval join == brute-force overlap for ANY interval sets
+    (including degenerate zero-length and inverted-filtered intervals)."""
+    from dqx_spark.pipeline import joins
+
+    left = spark.createDataFrame(
+        [(i, a, a + w) for i, (a, w) in enumerate(lefts)], "lid long, l_lo double, l_hi double"
+    )
+    right = spark.createDataFrame(
+        [(j, b, b + w) for j, (b, w) in enumerate(rights)], "rid long, r_lo double, r_hi double"
+    ) if rights else spark.createDataFrame([], "rid long, r_lo double, r_hi double")
+    got = {
+        (r.lid, r.rid)
+        for r in joins.interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi").collect()
+    }
+    expect = {
+        (i, j)
+        for i, (a, w1) in enumerate(lefts)
+        for j, (b, w2) in enumerate(rights)
+        if a <= b + w2 and b <= a + w1
+    }
+    assert got == expect
