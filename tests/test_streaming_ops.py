@@ -134,3 +134,43 @@ def test_sessionize_stream(spark, tmp_path):
     u1 = sorted(by_user[1])
     assert [s for _, s in u1] == [1, 1, 2]
     assert by_user[2][0][1] == 1
+
+
+def test_corpus_quality_filters_stream(spark, tmp_path):
+    """The scan-local slice of the cleaning pipeline (Gopher filters,
+    lang-id, quality, fingerprint) runs unchanged on a stream — no state,
+    no watermark; streaming output equals the batch result."""
+    from dqx_spark.pipeline import corpus, text
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away tonight"),
+        (1, "short"),
+        (2, "der schnelle braune fuchs springt uber den faulen hund und rennt weg"),
+        (3, "### ### ### ### ### ### ### ### ### ###"),
+    ]
+    src = _write_stream_source(spark, tmp_path, rows, "doc_id long, text string")
+
+    def quality_filter(df):
+        col = F.col("text")
+        return df.where(
+            (text.token_count(col) >= 5)
+            & (corpus.symbol_to_word_ratio(col) <= 0.1)
+            & (corpus.alpha_word_fraction(col) >= 0.6)
+        ).select("doc_id", text.lang_id(col).alias("lang"), text.doc_fingerprint(col).alias("fp"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        quality_filter(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.lang, r.fp) for r in spark.sql("SELECT * FROM corpus_stream").collect()}
+    batch = {
+        r.doc_id: (r.lang, r.fp)
+        for r in quality_filter(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
+    assert set(got) == {0, 2}
