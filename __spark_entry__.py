@@ -1091,6 +1091,12 @@ def q_trailing_features(spark, sf):
     )
 
 
+def q_sample_n_per_group(spark, sf):
+    df = _read(spark, sf, "documents")
+    out = mixing.sample_n_per_group(df, ["source"], "doc_id", n=7, rank_col="rank")
+    return out.select("source", "doc_id", F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_pack_offsets(spark, sf):
     from dqx_spark.pipeline import packing
 
@@ -1226,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "pack_greedy": q_pack_greedy,
         "trailing_features": q_trailing_features,
+        "sample_n_per_group": q_sample_n_per_group,
         "chunk_by_tokens": q_chunk_by_tokens,
         "top_distinctive_terms": q_top_distinctive_terms,
         "group_centroids": q_group_centroids,
@@ -1659,6 +1666,12 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) OVER w1440)::BIGINT AS count_1440m, round(sum(value) OVER w1440, 3) AS sum_1440m FROM t "
             "WINDOW w60 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), "
             "w1440 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
+        ),
+        "sample_n_per_group": (
+            "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 ASC, doc_id ASC) AS rank "
+            "FROM documents) WHERE rank <= 7"
         ),
         "pack_offsets": (
             r"WITH tok AS (SELECT doc_id, (len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')))::BIGINT AS tc FROM documents), "

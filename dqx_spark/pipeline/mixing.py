@@ -47,6 +47,7 @@ __all__ = [
     "ngram_contamination",
     "decontaminate",
     "top_k_per_group",
+    "sample_n_per_group",
 ]
 
 # One million buckets ≈ 1e-4 % rate granularity while staying far below the
@@ -232,3 +233,35 @@ def top_k_per_group(
     name = rank_col or "__dq_rank"
     ranked = df.withColumn(name, F.row_number().over(w)).where(F.col(name) <= k)
     return ranked if rank_col else ranked.drop(name)
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    salt: str = "",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows per group, chosen by the
+    portable-md5 hash order of ``id_col`` (eval-set construction: "hold out
+    1000 docs per source").  Deterministic across runs AND engines — the
+    same (salt, id) always ranks the same — and unlike fraction sampling
+    the per-group count is exact.  Appends shift ranks only at the hash
+    boundary, so re-drawing after growth changes the selection minimally.
+
+    Same shape and caveats as :func:`top_k_per_group`: one shuffle on the
+    group key, row_number over (hash, id).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = hash_bucket(id_col, _BUCKETS, salt)
+    return top_k_per_group(
+        df,
+        group_cols,
+        order,
+        n,
+        descending=False,
+        tiebreak_cols=[id_col],
+        rank_col=rank_col,
+    )

@@ -121,3 +121,23 @@ def test_top_k_per_group(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         mixing.top_k_per_group(df, ["src"], "score", k=0)
+
+
+def test_sample_n_per_group(spark):
+    from dqx_spark.pipeline import mixing
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], "doc_id long, source string"
+    )
+    out = mixing.sample_n_per_group(df, ["source"], "doc_id", n=5)
+    counts = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"a": 5, "b": 5}
+    # deterministic across invocations
+    first = sorted(r.doc_id for r in out.collect())
+    again = sorted(r.doc_id for r in mixing.sample_n_per_group(df, ["source"], "doc_id", n=5).collect())
+    assert first == again
+    # different salt -> (almost surely) different draw; n > group size -> whole group
+    salted = sorted(r.doc_id for r in mixing.sample_n_per_group(df, ["source"], "doc_id", n=5, salt="x").collect())
+    assert salted != first
+    full = mixing.sample_n_per_group(df.where("source = 'b'"), ["source"], "doc_id", n=100)
+    assert full.count() == 20
