@@ -84,6 +84,9 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.codegen.maxFields", "500")
+        # events.parquet carries TIMESTAMP(NANOS); read as long (bench cases
+        # use only event_id/value, but the /tmp re-layout reads all columns)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -173,6 +176,22 @@ def main() -> None:
     cases["dedup_minhash_pairs"] = lambda: _dedup.minhash_lsh_pairs(docs, "doc_id", "text", 64, 16, 5, 0.5)
     cases["dedup_ngram_pairs"] = lambda: _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5)
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
+    cases["group_centroids"] = lambda: _sim.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
+
+    from dqx_spark.pipeline import joins as _joins, packing as _packing
+
+    events = read("events")
+    nation = read("nation")
+    cases["interval_join"] = lambda: _joins.interval_join(
+        events.select("event_id", F.col("value").alias("lo1"), (F.col("value") + 5.0).alias("hi1")),
+        nation.select("n_nationkey", (F.col("n_nationkey") * 20.0).alias("lo2"),
+                      (F.col("n_nationkey") * 20.0 + 30.0).alias("hi2")),
+        "lo1", "hi1", "lo2", "hi2",
+    )
+    cases["pack_offsets"] = lambda: _packing.pack_offsets(
+        docs.select("doc_id", _text.token_count("text").cast("long").alias("tc")),
+        "doc_id", "tc", 2048, num_shards=32,
+    )
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
