@@ -1091,6 +1091,26 @@ def q_trailing_features(spark, sf):
     )
 
 
+def q_url_normalize(spark, sf):
+    from dqx_spark.pipeline import web
+
+    k = F.col("c_custkey")
+    df = _read(spark, sf, "customer").withColumn(
+        "url",
+        F.when(k % 5 == 0, F.concat(F.lit("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q="), k.cast("string")))
+        .when(k % 5 == 1, F.lit("http://sub.shop.example.co.uk/a/b/#frag"))
+        .when(k % 5 == 2, F.lit("not a url"))
+        .when(k % 5 == 3, F.lit("http://example.org:8080/x?ref=abc&keep=1"))
+        .otherwise(F.concat(F.lit("https://cdn-"), (k % 7).cast("string"), F.lit(".media.net/asset/"), k.cast("string"), F.lit("/"))),
+    )
+    return df.select(
+        "c_custkey",
+        web.url_host("url").alias("host"),
+        web.registered_domain("url").alias("domain"),
+        web.url_normalize("url").alias("norm"),
+    )
+
+
 def q_sample_n_per_group(spark, sf):
     df = _read(spark, sf, "documents")
     out = mixing.sample_n_per_group(df, ["source"], "doc_id", n=7, rank_col="rank")
@@ -1233,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "trailing_features": q_trailing_features,
         "sample_n_per_group": q_sample_n_per_group,
+        "url_normalize": q_url_normalize,
         "chunk_by_tokens": q_chunk_by_tokens,
         "top_distinctive_terms": q_top_distinctive_terms,
         "group_centroids": q_group_centroids,
@@ -1666,6 +1687,30 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) OVER w1440)::BIGINT AS count_1440m, round(sum(value) OVER w1440, 3) AS sum_1440m FROM t "
             "WINDOW w60 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), "
             "w1440 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
+        ),
+        "url_normalize": (
+            # same regexes as dqx_spark.pipeline.web; DuckDB dialect notes:
+            # group refs are \1 (Spark: $1) and the 'g' flag replaces all
+            # occurrences (Spark's default)
+            "WITH t AS (SELECT c_custkey, CASE "
+            "WHEN c_custkey % 5 = 0 THEN 'HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=' || c_custkey::VARCHAR "
+            "WHEN c_custkey % 5 = 1 THEN 'http://sub.shop.example.co.uk/a/b/#frag' "
+            "WHEN c_custkey % 5 = 2 THEN 'not a url' "
+            "WHEN c_custkey % 5 = 3 THEN 'http://example.org:8080/x?ref=abc&keep=1' "
+            "ELSE 'https://cdn-' || (c_custkey % 7)::VARCHAR || '.media.net/asset/' || c_custkey::VARCHAR || '/' END AS url FROM customer), "
+            r"h AS (SELECT c_custkey, url, lower(coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '')) AS host, "
+            r"coalesce(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), '') || "
+            r"regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u0 FROM t), "
+            r"n AS (SELECT c_custkey, host, "
+            r"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u0, "
+            r"'^(https?://)www\.', '\1'), "
+            r"'^(https?://[^/?#:]+):(?:80|443)(/|\?|$)', '\1\2'), "
+            r"'#.*$', ''), "
+            r"'(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?', '', 'g'), "
+            r"'[?&]$', ''), "
+            r"'\?&', '?'), "
+            r"'/$', '') AS norm FROM h) "
+            r"SELECT c_custkey, host, coalesce(regexp_extract(host, '([^.]+\.[^.]+)$|^([^.]+)$', 0), '') AS domain, norm FROM n"
         ),
         "sample_n_per_group": (
             "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "

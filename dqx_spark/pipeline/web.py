@@ -1,0 +1,62 @@
+"""URL operators for web-corpus pipelines: host extraction, heuristic
+registered-domain, and normalization into a stable dedup key.
+
+Web-crawl cleaning (CCNet, RefinedWeb) dedups and rate-balances by URL and
+by domain before any content pass — these keys must be deterministic and
+cheap.  Everything here is a regex-only Column expression (no UDF, no
+``parse_url`` — kept regex-only so the exact same patterns run in DuckDB /
+Trino for conformance checks; RE2-compatible: no lookahead/lookbehind).
+
+``registered_domain`` is the last-two-labels heuristic, NOT the Public
+Suffix List — ``foo.co.uk`` yields ``co.uk``.  Wire a PSL lookup (a
+broadcast join against the published list) where that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dqx_spark.rule import to_col
+
+__all__ = ["url_host", "registered_domain", "url_normalize"]
+
+#: scheme://[userinfo@]HOST[:port][/...]
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def url_host(column: str | Column) -> Column:
+    """Lowercased host of an absolute URL ('' when not parseable)."""
+    return F.lower(F.regexp_extract(to_col(column), _HOST_RE, 1))
+
+
+def registered_domain(column: str | Column) -> Column:
+    """Last two dot-labels of the host (heuristic eTLD+1): bare hosts pass
+    through ('localhost' -> 'localhost')."""
+    host = url_host(column)
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$|^([^.]+)$", 0)
+
+
+def url_normalize(column: str | Column) -> Column:
+    """Canonical dedup key for a URL:
+
+    * scheme and host lowercased; ``www.`` prefix and default ports
+      (``:80``/``:443``) dropped,
+    * fragment dropped,
+    * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``) dropped,
+      with a dangling ``?``/``&`` cleaned up,
+    * trailing ``/`` dropped (but a bare host keeps none to drop).
+    """
+    col = F.coalesce(to_col(column), F.lit(""))
+    # lowercase scheme://host prefix only (path/query stay case-sensitive)
+    prefix = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(prefix, rest)
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"^(https?://[^/?#:]+):(?:80|443)(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"/$", "")
+    return u

@@ -251,3 +251,36 @@ def test_group_centroids_and_l2_normalize(spark):
     norm = df.where(F.col("label") == 0).select(similarity.l2_normalize(F.col("embedding")).alias("u")).collect()
     v = norm[0].u
     assert abs(math.hypot(*v) - 1.0) < 1e-12
+
+
+def test_url_ops(spark):
+    from dqx_spark.pipeline import web
+
+    rows = [
+        (0, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1"),
+        (1, "http://sub.shop.example.co.uk/a/b/#frag"),
+        (2, "not a url"),
+        (3, "http://example.org:8080/x?ref=abc&keep=1"),
+        (4, "http://user:pw@host.net/p"),
+        (5, None),
+        (6, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            web.url_host("url").alias("h"),
+            web.registered_domain("url").alias("d"),
+            web.url_normalize("url").alias("n"),
+        ).collect()
+    }
+    assert out[0].h == "www.example.com" and out[0].d == "example.com"
+    assert out[0].n == "https://example.com/Path/?q=1"  # www+port+utm stripped, path case kept
+    assert out[1].h == "sub.shop.example.co.uk" and out[1].d == "co.uk"  # documented heuristic
+    assert out[1].n == "http://sub.shop.example.co.uk/a/b"  # fragment + trailing / gone
+    assert out[2].h == "" and out[2].d == "" and out[2].n == "not a url"
+    assert out[3].n == "http://example.org:8080/x?keep=1"  # non-default port kept, ref dropped
+    assert out[4].h == "host.net"  # userinfo stripped
+    assert out[5].n == ""
+    assert out[6].n == "https://example.com"
