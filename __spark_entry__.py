@@ -687,6 +687,17 @@ def q_gopher_signals(spark, sf):
     )
 
 
+def q_remove_repeated_lines(spark, sf):
+    df = _read(spark, sf, "documents")
+    # inject deterministic within-doc repetition so the op has work to do
+    rep = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    out = df.select("doc_id", corpus.remove_repeated_lines(rep).alias("t"))
+    return out.select("doc_id", F.md5("t").alias("clean_md5"))
+
+
 def q_gopher_counts(spark, sf):
     df = _read(spark, sf, "documents")
     gc = corpus.gopher_counts("text").alias("gc")
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "gopher_signals": q_gopher_signals,
         "gopher_counts": q_gopher_counts,
+        "remove_repeated_lines": q_remove_repeated_lines,
         "top_ngram_coverage": q_top_ngram_coverage,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
@@ -1811,6 +1823,14 @@ def oracle_sql() -> dict[str, str]:
             "WITH ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM documents) "
             "SELECT doc_id, len(lines)::BIGINT AS n_lines, len(list_distinct(lines))::BIGINT AS n_uniq_lines, "
             r"len(list_filter(lines, l -> regexp_matches(l, '^([-*]|[0-9]+[.)])\s')))::BIGINT AS n_bullet_lines FROM ls"
+        ),
+        "remove_repeated_lines": (
+            # DuckDB list_distinct does NOT guarantee first-occurrence order,
+            # so the mirror keeps lines whose first list_position equals
+            # their own 1-based index
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || text ELSE text END AS tx FROM documents), "
+            "ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(tx,''), chr(10)), l -> trim(l)), l -> l <> '') AS lines FROM t) "
+            "SELECT doc_id, md5(array_to_string(list_filter(lines, (l, i) -> list_position(lines, l) = i), chr(10))) AS clean_md5 FROM ls"
         ),
         "gopher_counts": (
             "WITH t AS (SELECT doc_id, "

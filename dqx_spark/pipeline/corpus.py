@@ -40,6 +40,7 @@ __all__ = [
     "alpha_word_fraction",
     "gopher_signals",
     "gopher_counts",
+    "remove_repeated_lines",
     "top_ngram_coverage",
     "clean_corpus",
 ]
@@ -209,6 +210,21 @@ def gopher_signals(column: str | Column) -> Column:
         symbol_to_word_ratio(col).alias("symbol_to_word_ratio"),
         alpha_word_fraction(col).alias("alpha_word_fraction"),
     )
+
+
+def remove_repeated_lines(column: str | Column) -> Column:
+    """WITHIN-document repetition repair: keep only the FIRST occurrence of
+    each (trimmed, non-empty) line, preserving order — the fix-up
+    counterpart to the duplicate-line-fraction filter (repair the doc
+    instead of dropping it) and to :func:`remove_boilerplate_lines` (which
+    removes lines repeated ACROSS documents).
+
+    Pure scan-local Column expression: no shuffle, no corpus pass, single
+    evaluation per row — ``array_distinct`` preserves first-occurrence
+    order (an ``array_position`` filter would re-evaluate the line array
+    inside the lambda, the usual cross-lambda CSE trap).
+    """
+    return F.array_join(F.array_distinct(split_lines(column)), "\n")
 
 
 def gopher_counts(column: str | Column) -> Column:

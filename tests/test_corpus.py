@@ -130,3 +130,19 @@ def test_clean_corpus_end_to_end(spark):
     assert all(r["split"] in ("train", "val") for r in rows_out)
     assert all(banner not in r["text_clean"] for r in rows_out)
     assert all(r["removed_line_count"] == 1 for r in rows_out)
+
+
+def test_remove_repeated_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na\nc\nb\na"),
+            (1, "x\n\n  \nx"),   # blank/whitespace lines dropped by line split
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.t for r in df.select("doc_id", corpus.remove_repeated_lines("text").alias("t")).collect()}
+    assert out[0] == "a\nb\nc"  # first occurrences, original order
+    assert out[1] == "x"
+    assert out[2] == "" and out[3] == ""
