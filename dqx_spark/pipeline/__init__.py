@@ -10,11 +10,14 @@ where vector math genuinely needs numpy.
 from dqx_spark.pipeline import (  # noqa: F401
     corpus,
     dedup,
+    features,
     joins,
     mixing,
     multimodal,
+    packing,
     rollup,
     sessions,
     similarity,
     text,
+    web,
 )
