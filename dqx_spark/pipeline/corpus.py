@@ -77,19 +77,31 @@ def remove_boilerplate_lines(
     max_line_doc_freq: int = 2,
     min_line_chars: int = 0,
     out_col: str | None = None,
+    strategy: str = "scan",
 ) -> DataFrame:
     """Strip lines that occur in more than ``max_line_doc_freq`` distinct
     documents (CCNet-style boilerplate removal), preserving line order.
 
-    The hot-line set (doc_freq > threshold) is aggregated corpus-wide and
-    **broadcast** for the anti-join — at 100 TB the hot set is MBs (nav bars
-    and banners), so the removal pass costs one scan + one agg shuffle, never
-    a full-corpus join shuffle.  Lines shorter than ``min_line_chars`` are
-    always kept (short strings collide naturally: "Yes", "1.", …).
+    The hot-line set (doc_freq > threshold) is aggregated corpus-wide —
+    at 100 TB it is MBs (nav bars and banners) — then applied one of two
+    ways:
 
-    Returns the input plus ``out_col`` (default ``<text_col>_clean``) and
-    ``removed_line_count``.
+    * ``strategy='scan'`` (default): the hot hashes collapse into ONE
+      broadcast array row and each document filters its own lines in place
+      (``array_contains``) — no explode, no regroup, no second shuffle.
+      Per-line cost is linear in the hot-set size, so this wants the hot
+      set in the thousands-to-~100k range (the realistic case).
+    * ``strategy='join'``: posexplode lines -> broadcast anti-join ->
+      re-assemble with collect_list.  Scales to arbitrarily large hot sets
+      (lookup is a hash probe) at the price of an extra full-data shuffle
+      and the reassembly aggregate (~2x slower end-to-end at sf0.1).
+
+    Lines shorter than ``min_line_chars`` are always kept (short strings
+    collide naturally: "Yes", "1.", …).  Returns the input plus ``out_col``
+    (default ``<text_col>_clean``) and ``removed_line_count``.
     """
+    if strategy not in ("scan", "join"):
+        raise ValueError(f"strategy must be 'scan' or 'join', got {strategy!r}")
     out_col = out_col or f"{text_col}_clean"
     # slim hot-set aggregation: removal only needs the line HASH, so group
     # on the 64-bit hash alone (pure HashAggregate, map-side combined) —
@@ -105,6 +117,17 @@ def remove_boilerplate_lines(
         .where(F.col("__len") >= min_line_chars)
         .select("line_hash")
     )
+    if strategy == "scan":
+        hot_arr = hot.agg(F.collect_list("line_hash").alias("__hot"))
+        lines = split_lines(df[text_col])
+        kept_lines = F.filter(
+            lines, lambda ln: ~F.array_contains(F.col("__hot"), F.xxhash64(ln))
+        )
+        return df.crossJoin(F.broadcast(hot_arr)).select(
+            *df.columns,
+            F.array_join(kept_lines, "\n").alias(out_col),
+            (F.size(lines) - F.size(kept_lines)).alias("removed_line_count"),
+        )
     pos = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(split_lines(text_col)).alias("__pos", "__line"),
