@@ -574,7 +574,10 @@ def q_text_fingerprint(spark, sf):
 
 
 def q_text_quality(spark, sf):
-    # rows-only: composite heuristic, not SQL-replicated
+    # oracle-checked: quality_score is IEEE-exact integer-ratio arithmetic
+    # (mirrored op-for-op); the lookaround BPE-ish split is mirrored by
+    # inserting boundary spaces then whitespace-splitting (see
+    # _text_quality_oracle)
     df = _read(spark, sf, "documents")
     return df.select("doc_id", text.quality_score("text").alias("q"), text.bpe_ish_token_count("text").alias("btc"))
 
@@ -1391,6 +1394,39 @@ def _clean_corpus_oracle() -> str:
     )
 
 
+def _text_quality_oracle() -> str:
+    """Mirror text.quality_score + bpe_ish_token_count.
+
+    quality_score is pure IEEE double arithmetic over integer counts in a
+    fixed evaluation order, so the mirror reproduces it bit-for-bit (then
+    both sides round to 6).  The BPE-ish split uses lookaround (not RE2);
+    the mirror instead INSERTS a space at each letter/digit/punct boundary
+    (4 global replaces) and whitespace-splits — piece-count equivalent.
+    """
+    en = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+    toks = r"list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')"
+    ltk = r"list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '')"
+    return (
+        f"WITH t AS (SELECT doc_id, coalesce(text,'') AS s, {toks} AS toks, {ltk} AS ltk FROM documents), "
+        "c AS (SELECT doc_id, s, length(s) AS n, len(toks) AS nw, len(ltk) AS ntl, "
+        r"coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS wchars, "
+        r"length(regexp_replace(s, '[^\p{L}]', '', 'g')) AS alpha_chars, "
+        f"len(list_filter(ltk, x -> list_contains({en}, x))) AS hits, "
+        r"len(list_filter(string_split_regex(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s, "
+        r"'(\p{L})(\p{N})', '\1 \2', 'g'), "
+        r"'(\p{N})(\p{L})', '\1 \2', 'g'), "
+        r"'([\p{L}\p{N}])([\p{P}])', '\1 \2', 'g'), "
+        r"'([\p{P}])([\p{L}\p{N}])', '\1 \2', 'g'), '\s+'), __t -> __t <> ''))::BIGINT AS btc FROM t), "
+        "q AS (SELECT doc_id, btc, "
+        "(CASE WHEN n < 20 THEN n::DOUBLE / 20.0 WHEN n > 100000 THEN 0.5 ELSE 1.0 END) * 0.25 "
+        "+ least((CASE WHEN n > 0 THEN alpha_chars::DOUBLE / n::DOUBLE ELSE 0.0 END) / 0.7, 1.0) * 0.35 "
+        "+ (CASE WHEN (CASE WHEN nw > 0 THEN wchars::DOUBLE / nw::DOUBLE ELSE 0.0 END) >= 2.0 "
+        "AND (CASE WHEN nw > 0 THEN wchars::DOUBLE / nw::DOUBLE ELSE 0.0 END) <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.2 "
+        "+ least((CASE WHEN ntl > 0 THEN hits::DOUBLE / ntl::DOUBLE ELSE 0.0 END) / 0.2, 1.0) * 0.2 AS score FROM c) "
+        "SELECT doc_id, round(score, 6) AS q, btc FROM q"
+    )
+
+
 def _text_profile_oracle() -> str:
     """tc + lang + fingerprint mirrors composed over one documents scan."""
     lang = _lang_id_oracle()
@@ -1663,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents"
         ),
         "lang_id": _lang_id_oracle(),
+        "text_quality": _text_quality_oracle(),
         "text_profile": _text_profile_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
         "group_centroids": (
