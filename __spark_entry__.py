@@ -677,16 +677,18 @@ def q_line_stats(spark, sf):
 
 
 def q_gopher_signals(spark, sf):
-    # rows-only: composite float signals (no stable cross-engine float hash)
+    # oracle-checked: every signal is ONE IEEE division of two integer
+    # counts (bit-exact cross-engine), rounded to 6 on both sides; the
+    # counts themselves are the gopher_counts gate's oracle
     df = _read(spark, sf, "documents")
     return df.select("doc_id", corpus.gopher_signals("text").alias("gs")).select(
         "doc_id",
-        F.col("gs.word_count").alias("word_count"),
-        F.col("gs.mean_word_length").alias("mean_word_length"),
-        F.col("gs.duplicate_line_fraction").alias("duplicate_line_fraction"),
-        F.col("gs.bullet_line_fraction").alias("bullet_line_fraction"),
-        F.col("gs.symbol_to_word_ratio").alias("symbol_to_word_ratio"),
-        F.col("gs.alpha_word_fraction").alias("alpha_word_fraction"),
+        F.col("gs.word_count").cast("bigint").alias("word_count"),
+        F.round("gs.mean_word_length", 6).alias("mean_word_length"),
+        F.round("gs.duplicate_line_fraction", 6).alias("duplicate_line_fraction"),
+        F.round("gs.bullet_line_fraction", 6).alias("bullet_line_fraction"),
+        F.round("gs.symbol_to_word_ratio", 6).alias("symbol_to_word_ratio"),
+        F.round("gs.alpha_word_fraction", 6).alias("alpha_word_fraction"),
     )
 
 
@@ -1860,6 +1862,23 @@ def oracle_sql() -> dict[str, str]:
             "WITH ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM documents) "
             "SELECT doc_id, len(lines)::BIGINT AS n_lines, len(list_distinct(lines))::BIGINT AS n_uniq_lines, "
             r"len(list_filter(lines, l -> regexp_matches(l, '^([-*]|[0-9]+[.)])\s')))::BIGINT AS n_bullet_lines FROM ls"
+        ),
+        "gopher_signals": (
+            "WITH t AS (SELECT doc_id, coalesce(text,'') AS s, "
+            "list_filter(list_transform(string_split(coalesce(text,''), chr(10)), x -> trim(x)), x -> x <> '') AS lines, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '') AS toks FROM documents), "
+            "c AS (SELECT doc_id, s, len(lines) AS nl, len(list_distinct(lines)) AS nul, "
+            r"len(list_filter(lines, x -> regexp_matches(x, '^([-*•‣◦]|[0-9]+[.)])\s')))::BIGINT AS bl, "
+            "len(toks) AS nw, coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS wchars, "
+            r"len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS alpha, "
+            "(length(s) - length(replace(s, '#', ''))) + (length(s) - length(replace(s, '…', ''))) "
+            r"+ len(regexp_extract_all(s, '\.{3}')) AS sym FROM t) "
+            "SELECT doc_id, nw::BIGINT AS word_count, "
+            "round(CASE WHEN nw > 0 THEN wchars::DOUBLE / nw::DOUBLE ELSE 0.0 END, 6) AS mean_word_length, "
+            "round(CASE WHEN nl > 0 THEN (nl - nul)::DOUBLE / nl::DOUBLE ELSE 0.0 END, 6) AS duplicate_line_fraction, "
+            "round(CASE WHEN nl > 0 THEN bl::DOUBLE / nl::DOUBLE ELSE 0.0 END, 6) AS bullet_line_fraction, "
+            "round(CASE WHEN nw > 0 THEN sym::DOUBLE / nw::DOUBLE ELSE 0.0 END, 6) AS symbol_to_word_ratio, "
+            "round(CASE WHEN nw > 0 THEN alpha::DOUBLE / nw::DOUBLE ELSE 0.0 END, 6) AS alpha_word_fraction FROM c"
         ),
         "remove_repeated_lines": (
             # DuckDB list_distinct does NOT guarantee first-occurrence order,
