@@ -1757,9 +1757,9 @@ def oracle_sql() -> dict[str, str]:
             r"'^(https?://)www\.', '\1'), "
             r"'^(https?://[^/?#:]+):(?:80|443)(/|\?|$)', '\1\2'), "
             r"'#.*$', ''), "
-            r"'(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?', '', 'g'), "
-            r"'[?&]$', ''), "
-            r"'\?&', '?'), "
+            r"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\1', 'g'), "
+            r"'([?&])&+', '\1', 'g'), "
+            r"'[?&]+$', ''), "
             r"'/$', '') AS norm FROM h) "
             r"SELECT c_custkey, host, coalesce(regexp_extract(host, '([^.]+\.[^.]+)$|^([^.]+)$', 0), '') AS domain, norm FROM n"
         ),

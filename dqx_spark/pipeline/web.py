@@ -55,8 +55,11 @@ def url_normalize(column: str | Column) -> Column:
     u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
     u = F.regexp_replace(u, r"^(https?://[^/?#:]+):(?:80|443)(/|\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, r"(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?", "")
-    u = F.regexp_replace(u, r"[?&]$", "")
-    u = F.regexp_replace(u, r"\?&", "?")
+    # tracking params must be anchored to a ?/& separator ('?href=x' keeps
+    # its h!); removal leaves the separator, then debris collapses:
+    # '?utm_a=1&utm_b=2&q=3' -> '?&&q=3' -> '?q=3'
+    u = F.regexp_replace(u, r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"([?&])&+", r"$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

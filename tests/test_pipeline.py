@@ -284,3 +284,22 @@ def test_url_ops(spark):
     assert out[4].h == "host.net"  # userinfo stripped
     assert out[5].n == ""
     assert out[6].n == "https://example.com"
+
+
+def test_url_normalize_param_edge_cases(spark):
+    from dqx_spark.pipeline import web
+
+    rows = [
+        (0, "https://a.com/p?href=x&q=1"),            # href is NOT ref
+        (1, "https://a.com/p?utm_a=1&utm_b=2&q=3"),   # consecutive tracked params
+        (2, "https://a.com/p?ref=x"),                 # all params tracked
+        (3, "https://a.com/p?q=1&ref=x"),             # tracked param last
+        (4, "https://a.com/p?q=1&fbclid=z&r=2"),      # tracked param mid
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.id: r.n for r in df.select("id", web.url_normalize("url").alias("n")).collect()}
+    assert out[0] == "https://a.com/p?href=x&q=1"
+    assert out[1] == "https://a.com/p?q=3"
+    assert out[2] == "https://a.com/p"
+    assert out[3] == "https://a.com/p?q=1"
+    assert out[4] == "https://a.com/p?q=1&r=2"
