@@ -1107,6 +1107,12 @@ def q_trailing_features(spark, sf):
     )
 
 
+def q_quantile_bins(spark, sf):
+    df = _read(spark, sf, "orders")
+    out = mixing.quantile_bins(df, "o_totalprice", num_bins=4)
+    return out.select("o_orderkey", F.col("bin").cast("bigint").alias("bin"))
+
+
 def q_url_normalize(spark, sf):
     from dqx_spark.pipeline import web
 
@@ -1271,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_features": q_trailing_features,
         "sample_n_per_group": q_sample_n_per_group,
         "url_normalize": q_url_normalize,
+        "quantile_bins": q_quantile_bins,
         "chunk_by_tokens": q_chunk_by_tokens,
         "top_distinctive_terms": q_top_distinctive_terms,
         "group_centroids": q_group_centroids,
@@ -1738,6 +1745,11 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) OVER w1440)::BIGINT AS count_1440m, round(sum(value) OVER w1440, 3) AS sum_1440m FROM t "
             "WINDOW w60 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), "
             "w1440 AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
+        ),
+        "quantile_bins": (
+            "WITH c AS (SELECT quantile_cont(o_totalprice::DOUBLE, [0.25, 0.5, 0.75]) AS cuts FROM orders) "
+            "SELECT o_orderkey, CASE WHEN o_totalprice IS NOT NULL THEN "
+            "len(list_filter(cuts, x -> x <= o_totalprice::DOUBLE))::BIGINT END AS bin FROM orders, c"
         ),
         "url_normalize": (
             # same regexes as dqx_spark.pipeline.web; DuckDB dialect notes:

@@ -48,6 +48,7 @@ __all__ = [
     "decontaminate",
     "top_k_per_group",
     "sample_n_per_group",
+    "quantile_bins",
 ]
 
 # One million buckets ≈ 1e-4 % rate granularity while staying far below the
@@ -265,3 +266,37 @@ def sample_n_per_group(
         tiebreak_cols=[id_col],
         rank_col=rank_col,
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    num_bins: int = 4,
+    out_col: str = "bin",
+    approx: bool = False,
+) -> DataFrame:
+    """Assign each row a quantile bin in ``[0, num_bins)`` of ``value_col``
+    (quartiles by default) — the stratification primitive for balanced
+    sampling and difficulty bucketing.
+
+    The interior cut points come from ONE 1-row aggregate
+    (exact ``percentile`` by default, ``percentile_approx`` sketch with
+    ``approx=True`` — the 100 TB path), broadcast via crossJoin; the bin is
+    then a scan-local count of cuts <= value.  No global sort, no
+    single-partition window (``ntile`` would funnel every row through one
+    partition).  Null values get bin NULL.
+    """
+    if num_bins < 2:
+        raise ValueError(f"num_bins must be >= 2, got {num_bins}")
+    v = F.col(value_col).cast("double")
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    pct = F.percentile_approx(v, fracs) if approx else F.percentile(v, F.array(*[F.lit(f) for f in fracs]))
+    cuts = df.agg(pct.alias("__cuts"))
+    binned = df.crossJoin(F.broadcast(cuts)).withColumn(
+        out_col,
+        F.when(
+            v.isNotNull(),
+            F.size(F.filter(F.col("__cuts"), lambda c: c <= v)).cast("int"),
+        ),
+    )
+    return binned.drop("__cuts")

@@ -141,3 +141,16 @@ def test_sample_n_per_group(spark):
     assert salted != first
     full = mixing.sample_n_per_group(df.where("source = 'b'"), ["source"], "doc_id", n=100)
     assert full.count() == 20
+
+
+def test_quantile_bins(spark):
+    from dqx_spark.pipeline import mixing
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)] + [(100, None)], "id long, v double")
+    out = {r.id: r.bin for r in mixing.quantile_bins(df, "v", num_bins=4).collect()}
+    assert out[0] == 0 and out[99] == 3 and out[100] is None
+    counts = [sum(1 for b in out.values() if b == k) for k in range(4)]
+    assert all(20 <= c <= 30 for c in counts)  # roughly balanced quartiles
+    # approx mode still bins everything into range
+    approx = {r.id: r.bin for r in mixing.quantile_bins(df, "v", num_bins=4, approx=True).collect()}
+    assert all(b is None or 0 <= b <= 3 for b in approx.values())
