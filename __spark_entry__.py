@@ -36,12 +36,16 @@ def _engine() -> DQEngine:
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively: read nanos as long, integer-divide to micros (double
-        # division would lose precision at ~1.7e18), rebuild the timestamp.
+        # events.ts vintage varies: older testdata stores parquet
+        # TIMESTAMP(NANOS) (read as bigint via nanosAsLong), newer stores
+        # timestamp[us] which Spark reads natively. Read first, then branch
+        # on the observed dtype; integer-divide nanos to micros (double
+        # division would lose precision at ~1.7e18).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dqx_spark.pipeline._timeutil import epoch_seconds
+
 __all__ = ["trailing_window_features"]
 
 
@@ -41,7 +43,7 @@ def trailing_window_features(
     """
     if not windows_minutes:
         raise ValueError("windows_minutes must be non-empty")
-    sec = F.col(ts_col).cast("long")
+    sec = epoch_seconds(F.col(ts_col)).cast("long")
     out_cols = []
     for w in windows_minutes:
         frame = (

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dqx_spark.pipeline._timeutil import numeric_axis
+
 __all__ = ["asof_join", "range_join", "interval_join"]
 
 
@@ -131,8 +133,8 @@ def range_join(
         raise ValueError(f"right column names collide with left: {clash}")
     right_out = [c for c in right.columns if c not in on]
 
-    point = F.col(left_point).cast("double")
-    lo, hi = F.col(right_start).cast("double"), F.col(right_end).cast("double")
+    point = numeric_axis(left, left_point)
+    lo, hi = numeric_axis(right, right_start), numeric_axis(right, right_end)
     stats = right.where(lo <= hi).agg(
         F.min(lo).alias("lo"),
         F.max(hi).alias("hi"),
@@ -208,8 +210,8 @@ def interval_join(
         raise ValueError(f"right column names collide with left: {clash}")
     right_out = [c for c in right.columns if c not in on]
 
-    llo, lhi = F.col(left_start).cast("double"), F.col(left_end).cast("double")
-    rlo, rhi = F.col(right_start).cast("double"), F.col(right_end).cast("double")
+    llo, lhi = numeric_axis(left, left_start), numeric_axis(left, left_end)
+    rlo, rhi = numeric_axis(right, right_start), numeric_axis(right, right_end)
     slim = left.where(llo <= lhi).select(llo.alias("lo"), lhi.alias("hi")).unionByName(
         right.where(rlo <= rhi).select(rlo.alias("lo"), rhi.alias("hi"))
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dqx_spark.pipeline._timeutil import epoch_seconds
+
 __all__ = ["sessionize", "session_stats"]
 
 
@@ -44,7 +46,7 @@ def sessionize(
     order_cols = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_secs = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    gap_secs = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap_secs > gap_minutes * 60.0), F.lit(1)).otherwise(F.lit(0))
     running = F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(out_col, (running - F.lit(1)).cast("long"))
@@ -68,5 +70,5 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias("duration_secs"),
+        (F.max(epoch_seconds(F.col(ts_col))) - F.min(epoch_seconds(F.col(ts_col)))).alias("duration_secs"),
     )
