@@ -23,6 +23,10 @@ from dqx_spark.engine import ExtraParams
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# slope pass: re-time the fixed-overhead-suspect queries on SCALE x data
+# (shifted-key unions of lineitem/orders) to separate constant multi-job
+# overhead from per-row throughput.  0 disables.
+SLOPE_SCALE = int(os.environ.get("SPARK_GRAFT_SLOPE", "10"))
 
 
 def _engine() -> DQEngine:
@@ -84,13 +88,30 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.codegen.maxFields", "500")
-        # events.parquet carries TIMESTAMP(NANOS); read as long (bench cases
-        # use only event_id/value, but the /tmp re-layout reads all columns)
+        # older testdata vintages store events.ts as TIMESTAMP(NANOS); read
+        # those as long (harmless no-op on the timestamp[us] vintage)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the re-layout below produces ~CPUS small files per table; the
+        # default 4 MiB openCostInBytes would pack them all back into one
+        # scan partition (a 600 KB documents table would run (0+1)/1 no
+        # matter how many cores exist).  maxPartitionBytes == openCost =>
+        # one file per scan partition at bench scale, full parallelism.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "4194304")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _relayout(dst, build_df):
+        # stale if missing or older than the source table (the driver
+        # regenerates /root/testdata between rounds)
+        src_mtime = os.path.getmtime(SF_DIR) if os.path.exists(SF_DIR) else 0
+        if not os.path.exists(dst) or os.path.getmtime(dst) < src_mtime:
+            build_df().repartition(int(CPUS)).write.mode("overwrite").parquet(dst)
+        return spark.read.parquet(dst)
+
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     def read(t):
         # The driver testdata is ONE row group per table, so a raw scan of
@@ -102,12 +123,36 @@ def main() -> None:
         # real scale the source has thousands of row-group splits and this
         # step doesn't exist.  (Caching instead would hide file-size stats
         # and flip small-dim joins from broadcast to sort-merge.)
-        dst = f"/tmp/dqx_bench_layout/sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}/{t}.parquet"
-        if not os.path.exists(dst):
-            spark.read.parquet(f"{SF_DIR}/{t}.parquet").repartition(int(CPUS)).write.mode(
-                "overwrite"
-            ).parquet(dst)
-        return spark.read.parquet(dst)
+        return _relayout(
+            f"/tmp/dqx_bench_layout/sf{sf_tag}/{t}.parquet",
+            lambda: spark.read.parquet(f"{SF_DIR}/{t}.parquet"),
+        )
+
+    def read_scaled(t, key_cols, scale):
+        """SCALE x the table via shifted-key union copies: key uniqueness,
+        duplicate rates, and FK consistency (lineitem.l_orderkey ->
+        orders.o_orderkey share the same shift) are all preserved, so the
+        same query does SCALE x the work with the same plan shape."""
+
+        def build():
+            base = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+            copies = []
+            for i in range(scale):
+                shift = i * 1_000_000_000
+                copies.append(
+                    base.select(
+                        *[
+                            (F.col(c) + F.lit(shift)).alias(c) if c in key_cols else F.col(c)
+                            for c in base.columns
+                        ]
+                    )
+                )
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            return out
+
+        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}/{t}.parquet", build)
 
     li, orders, part, customer = read("lineitem"), read("orders"), read("part"), read("customer")
     # warm the JVM + page cache so the timings measure plan execution
@@ -211,7 +256,61 @@ def main() -> None:
     timings["all_row_checks_materialized"] = timed(lambda: materialize_full(full_df))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec", "queries": timings, "sf": float(sf)}))
+    result = {"metric": "headline_total", "value": total, "unit": "sec", "queries": timings, "sf": float(sf)}
+
+    # ------------------------------------------------------------------
+    # slope pass: same queries, SCALE x rows.  slope = t(SCALE x) / t(1x);
+    # slope << SCALE means the 1x time is fixed multi-job overhead (Spark
+    # job launch, two stats actions), NOT per-row cost — the evidence that
+    # the sf0.1 ratios collapse at real scale.
+    # ------------------------------------------------------------------
+    if SLOPE_SCALE > 1:
+        li_b = read_scaled("lineitem", {"l_orderkey"}, SLOPE_SCALE)
+        orders_b = read_scaled("orders", {"o_orderkey", "o_custkey"}, SLOPE_SCALE)
+        materialize(li_b.select("l_orderkey"))  # warm page cache
+        slope_cases = {
+            "all_row_checks": lambda: bench_all_row_checks(spark, li_b, orders_b, part),
+            "is_unique": lambda: e.apply_checks(
+                li_b, [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])]
+            ),
+            "foreign_key": lambda: e.apply_checks(
+                li_b,
+                [DQDatasetRule(check_func=C.foreign_key, columns=["l_orderkey"],
+                               check_func_kwargs={"ref_columns": ["o_orderkey"], "ref_df_name": "orders"})],
+                ref_dfs={"orders": orders_b},
+            ),
+            "aggr_grouped": lambda: e.apply_checks(
+                li_b, [DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                                     check_func_kwargs={"limit": 1e9, "aggr_type": "sum", "group_by": ["l_returnflag"]})]
+            ),
+            "mad_outliers": lambda: e.apply_checks(
+                orders_b, [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice",
+                                         check_func_kwargs={"approx": True})]
+            ),
+        }
+        def materialize_forced(df) -> None:
+            # defeat count-pruning: evaluating _errors forces every join /
+            # window / aggregate the check planned, without serializing rows
+            df.agg(F.sum(F.col("_errors").isNotNull().cast("long"))).collect()
+
+        slope: dict[str, dict[str, float]] = {}
+        for name, build in slope_cases.items():
+            t_big = timed(lambda b=build: materialize(b()))
+            t_small = timings[name]
+            t_f_small = timed(lambda b=build: materialize_forced(cases[name]()))
+            t_f_big = timed(lambda b=build: materialize_forced(b()))
+            slope[name] = {
+                "t_1x": t_small,
+                f"t_{SLOPE_SCALE}x": t_big,
+                "slope": round(t_big / t_small, 2) if t_small > 0 else None,
+                "t_forced_1x": t_f_small,
+                f"t_forced_{SLOPE_SCALE}x": t_f_big,
+                "slope_forced": round(t_f_big / t_f_small, 2) if t_f_small > 0 else None,
+            }
+        result["slope_scale"] = SLOPE_SCALE
+        result["slope"] = slope
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
