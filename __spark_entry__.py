@@ -941,22 +941,34 @@ def q_is_valid_ipv6(spark, sf):
 
 
 def q_polygons_disjoint(spark, sf):
-    # oracle-checked: the check's SEMANTIC is pairwise bbox overlap (the
-    # interval-bucket equi-join is only the scale strategy), so the DuckDB
-    # twin parses the same WKT and does a direct O(n^2) bbox self-join.
-    # nations 20..24 get squares shifted to overlap nations 0..4 (and touch
-    # the next square, so 5 is flagged via edge contact); 6..19 disjoint.
+    # oracle-checked EXACT semantics: each nation gets a unit-radius DIAMOND
+    # (rotated square), so bbox overlap does NOT imply intersection — two
+    # radius-1 diamonds intersect iff the L1 distance of their centers is
+    # < 2, which is the closed-form DuckDB twin.
+    #   keys 0..9   : centers (3k, 0)            — mutually disjoint
+    #   keys 10..14 : centers (3(k-5)+1.2, 1.2)  — bbox overlaps base 5..9
+    #                 but L1 distance 2.4 > 2    -> exactly disjoint (the
+    #                 case a bbox approximation would over-flag)
+    #   keys 15..19 : centers (3(k-15)+1.0, 0.5) — L1 1.5 < 2 -> truly
+    #                 intersect base 0..4
+    #   keys 20..24 : centers (100+3(k-20), 0)   — disjoint
     key = F.col("n_nationkey")
-    x0 = F.when(key >= 20, (key - 20) * 3 + 1).otherwise(key * 3).cast("double")
+    cx = (
+        F.when(key <= 9, key * 3.0)
+        .when(key <= 14, (key - 5) * 3.0 + 1.2)
+        .when(key <= 19, (key - 15) * 3.0 + 1.0)
+        .otherwise(100.0 + (key - 20) * 3.0)
+    )
+    cy = F.when(key <= 9, F.lit(0.0)).when(key <= 14, F.lit(1.2)).when(key <= 19, F.lit(0.5)).otherwise(F.lit(0.0))
     df = _read(spark, sf, "nation").withColumn(
         "g",
         F.format_string(
-            "POLYGON((%s 0, %s 0, %s 2, %s 2, %s 0))",
-            x0.cast("string"),
-            (x0 + 2).cast("string"),
-            (x0 + 2).cast("string"),
-            x0.cast("string"),
-            x0.cast("string"),
+            "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            cx.cast("string"), (cy - 1).cast("string"),
+            (cx + 1).cast("string"), cy.cast("string"),
+            cx.cast("string"), (cy + 1).cast("string"),
+            (cx - 1).cast("string"), cy.cast("string"),
+            cx.cast("string"), (cy - 1).cast("string"),
         ),
     )
     from dqx_spark.functions import geo_checks
@@ -2377,19 +2389,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, tc AS n_tokens, bin FROM rec"
         ),
         "are_polygons_mutually_disjoint": (
-            "WITH t AS (SELECT n_nationkey, (CASE WHEN n_nationkey >= 20 THEN (n_nationkey - 20) * 3 + 1 "
-            "ELSE n_nationkey * 3 END)::DOUBLE AS x0 FROM nation), "
-            "g AS (SELECT n_nationkey, 'POLYGON((' || x0 || ' 0, ' || (x0+2) || ' 0, ' || (x0+2) || ' 2, ' "
-            "|| x0 || ' 2, ' || x0 || ' 0))' AS wkt FROM t), "
-            r"nums AS (SELECT n_nationkey, regexp_extract_all(wkt, '-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?') AS ns FROM g), "
-            "box AS (SELECT n_nationkey, "
-            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 1), i -> ns[i]::DOUBLE), 'min') AS xmin, "
-            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 1), i -> ns[i]::DOUBLE), 'max') AS xmax, "
-            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 0), i -> ns[i]::DOUBLE), 'min') AS ymin, "
-            "list_aggregate(list_transform(list_filter(range(1, len(ns)+1), i -> i % 2 = 0), i -> ns[i]::DOUBLE), 'max') AS ymax FROM nums) "
+            # exact mirror for the diamond fixture: two unit-radius L1 balls
+            # (diamonds) intersect iff |dx| + |dy| < 2 (no touching cases in
+            # the fixture, so the strict inequality is unambiguous)
+            "WITH c AS (SELECT n_nationkey, "
+            "CASE WHEN n_nationkey <= 9 THEN n_nationkey * 3.0 "
+            "WHEN n_nationkey <= 14 THEN (n_nationkey - 5) * 3.0 + 1.2 "
+            "WHEN n_nationkey <= 19 THEN (n_nationkey - 15) * 3.0 + 1.0 "
+            "ELSE 100.0 + (n_nationkey - 20) * 3.0 END AS cx, "
+            "CASE WHEN n_nationkey <= 9 THEN 0.0 WHEN n_nationkey <= 14 THEN 1.2 "
+            "WHEN n_nationkey <= 19 THEN 0.5 ELSE 0.0 END AS cy FROM nation) "
             "SELECT a.n_nationkey, count(b.n_nationkey) > 0 AS failed "
-            "FROM box a LEFT JOIN box b ON a.n_nationkey <> b.n_nationkey "
-            "AND a.xmin <= b.xmax AND b.xmin <= a.xmax AND a.ymin <= b.ymax AND b.ymin <= a.ymax "
+            "FROM c a LEFT JOIN c b ON a.n_nationkey <> b.n_nationkey "
+            "AND abs(a.cx - b.cx) + abs(a.cy - b.cy) < 2 "
             "GROUP BY a.n_nationkey"
         ),
         "is_valid_ipv6_address": (

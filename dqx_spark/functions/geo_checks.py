@@ -16,9 +16,10 @@ backend.  Covered (reference file:line):
 * ``is_not_null_island`` (:420) — POINT(0 0).
 * ``has_x_coordinate_between`` / ``has_y_coordinate_between`` (:487/:520) —
   every coordinate inside the band.
-* ``are_polygons_mutually_disjoint`` (:893) — bounding-box overlap
-  candidates (conservative approximation: bbox-disjoint ⇒ truly disjoint;
-  flagged pairs MAY intersect).  Exact predicates need a spatial backend.
+* ``are_polygons_mutually_disjoint`` (:893) — EXACT by default: bbox
+  bucket-join candidates refined with segment-intersection + ray-cast
+  containment over the outer rings (``exact=False`` keeps the conservative
+  bbox approximation as a scale escape hatch).
 
 Unsupported without ST_: ``is_geography``, ``is_ogc_valid``,
 ``has_dimension``, area/num-points families, exact geofencing.
@@ -177,24 +178,106 @@ def has_y_coordinate_between(column: str | Column, min_value: float, max_value: 
     return _coord_band_check(column, float(min_value), float(max_value), "y")
 
 
+def _ring(col: Column) -> Column:
+    """Outer ring of a WKT POLYGON as array<struct<x,y>> (closed: WKT rings
+    repeat the first vertex last).  Holes are ignored — matching the
+    intersects-over-exteriors semantic of the reference fixture."""
+    body = F.regexp_extract(_wkt_upper(col), r"POLYGON\s*\(\s*\(([^)]*)\)", 1)
+    pairs = F.filter(F.split(body, r"\s*,\s*"), lambda s: F.trim(s) != "")
+    return F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.split(F.trim(p), r"\s+").getItem(0).cast("double").alias("x"),
+            F.split(F.trim(p), r"\s+").getItem(1).cast("double").alias("y"),
+        ),
+    )
+
+
+def _edges(ring: Column) -> Column:
+    """Consecutive vertex pairs of a closed ring as array<struct<p,q>>."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ring) - 1, F.lit(1))),
+        lambda i: F.struct(F.element_at(ring, i).alias("p"), F.element_at(ring, i + 1).alias("q")),
+    )
+
+
+def _cross(o: Column, p: Column, q: Column) -> Column:
+    """2D cross product (p-o) x (q-o): sign = which side of line o->p q lies."""
+    ox, oy = o.getField("x"), o.getField("y")
+    return (p.getField("x") - ox) * (q.getField("y") - oy) - (p.getField("y") - oy) * (q.getField("x") - ox)
+
+
+def _segments_intersect(ea: Column, eb: Column) -> Column:
+    """Inclusive segment intersection (touching counts).  The classic
+    orientation test; the segment-bbox conjunct settles the all-collinear
+    case (d1..d4 all zero) exactly."""
+    a1, a2, b1, b2 = ea.getField("p"), ea.getField("q"), eb.getField("p"), eb.getField("q")
+    d1, d2 = _cross(b1, b2, a1), _cross(b1, b2, a2)
+    d3, d4 = _cross(a1, a2, b1), _cross(a1, a2, b2)
+
+    def lo(p, q, ax):
+        return F.least(p.getField(ax), q.getField(ax))
+
+    def hi(p, q, ax):
+        return F.greatest(p.getField(ax), q.getField(ax))
+
+    bbox = (
+        (lo(a1, a2, "x") <= hi(b1, b2, "x"))
+        & (lo(b1, b2, "x") <= hi(a1, a2, "x"))
+        & (lo(a1, a2, "y") <= hi(b1, b2, "y"))
+        & (lo(b1, b2, "y") <= hi(a1, a2, "y"))
+    )
+    return (d1 * d2 <= 0) & (d3 * d4 <= 0) & bbox
+
+
+def _point_in_ring(pt: Column, ring: Column) -> Column:
+    """Even-odd ray cast: odd number of upward/downward edge crossings to the
+    right of the point.  The division is guarded by the crossing condition
+    (dy != 0 whenever the branch is evaluated), so it is ANSI-safe."""
+    px, py = pt.getField("x"), pt.getField("y")
+
+    def crossing(acc, e):
+        p, q = e.getField("p"), e.getField("q")
+        spans = (p.getField("y") > py) != (q.getField("y") > py)
+        xint = p.getField("x") + (q.getField("x") - p.getField("x")) * (py - p.getField("y")) / (
+            q.getField("y") - p.getField("y")
+        )
+        return acc + F.when(spans & (px < xint), F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(_edges(ring), F.lit(0), crossing) % 2 == 1
+
+
+def _polygons_intersect(ra: Column, rb: Column) -> Column:
+    """Exact polygon-polygon intersection over outer rings: any edge pair
+    intersects, or one polygon contains the other (tested via one vertex,
+    sufficient when no edges cross)."""
+    edge_hit = F.exists(_edges(ra), lambda ea: F.exists(_edges(rb), lambda eb: _segments_intersect(ea, eb)))
+    return edge_hit | _point_in_ring(F.element_at(ra, 1), rb) | _point_in_ring(F.element_at(rb, 1), ra)
+
+
 @register_rule("dataset")
-def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None = None):
-    """Flag rows whose polygon's bounding box overlaps another row's
-    (reference geo/check_funcs.py:893 uses exact st_intersects).
+def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None = None, exact: bool = True):
+    """Flag rows whose polygon intersects another row's polygon (reference
+    geo/check_funcs.py:893, st_intersects semantics — touching counts).
 
-    CONSERVATIVE APPROXIMATION: bbox-disjoint implies truly disjoint, so a
-    clean result is trustworthy; flagged rows may be false positives (bbox
-    overlap without geometry intersection).
+    ``exact=True`` (default): bounding-box candidates are refined with an
+    exact predicate (segment intersection + ray-cast containment) over the
+    outer rings, so disjoint polygons with overlapping bboxes are NOT
+    flagged.  ``exact=False`` keeps the cheaper bbox-only approximation
+    (conservative: clean results are trustworthy; flagged rows may be false
+    positives) as the scale escape hatch when rings are huge.
 
-    Scale shape: per-row bboxes are scan-local; candidate pairs come from an
-    **equi-join on integer x-interval buckets** (each box exploded into the
-    buckets its x-range spans), NOT a non-equi self-join — a non-equi join
-    degenerates to a broadcast nested loop (O(n²) comparisons), which dies
-    long before 100 TB.  Bucket width adapts to the data: the global x-span
-    divided into 1024 buckets, floored at the 90th-percentile box width so a
-    typical box lands in O(1) buckets (one small driver action over the slim
-    boxes frame, same discipline as the MAD check's medians).  Bucketed
-    pairs are deduplicated before counting."""
+    Scale shape: per-row bboxes/rings are scan-local; candidate pairs come
+    from an **equi-join on integer x-interval buckets** (each box exploded
+    into the buckets its x-range spans), NOT a non-equi self-join — a
+    non-equi join degenerates to a broadcast nested loop (O(n²)
+    comparisons), which dies long before 100 TB.  Bucket width adapts to the
+    data: the global x-span divided into 1024 buckets, floored at the
+    90th-percentile box width so a typical box lands in O(1) buckets (one
+    small driver action over the slim boxes frame, same discipline as the
+    MAD check's medians).  The exact predicate runs only on bbox-candidate
+    pairs — O(|ring_a|·|ring_b|) per candidate, the same bound as any exact
+    geometry engine."""
     col = to_col(column)
     name = normalize_col_str(column)
     sfx = unique_suffix()
@@ -203,18 +286,22 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
 
     def apply(df: DataFrame) -> DataFrame:
         coords = _coords(col)
-        with_box = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
-            "__bb",
-            F.struct(
-                F.aggregate(coords, F.lit(float("inf")), lambda a, c: F.least(a, c.getField("x"))).alias("xmin"),
-                F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("x"))).alias("xmax"),
-                F.aggregate(coords, F.lit(float("inf")), lambda a, c: F.least(a, c.getField("y"))).alias("ymin"),
-                F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("y"))).alias("ymax"),
-            ),
+        with_box = (
+            df.withColumn(rid, F.monotonically_increasing_id())
+            .withColumn(
+                "__bb",
+                F.struct(
+                    F.aggregate(coords, F.lit(float("inf")), lambda a, c: F.least(a, c.getField("x"))).alias("xmin"),
+                    F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("x"))).alias("xmax"),
+                    F.aggregate(coords, F.lit(float("inf")), lambda a, c: F.least(a, c.getField("y"))).alias("ymin"),
+                    F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("y"))).alias("ymax"),
+                ),
+            )
+            .withColumn("__ring", _ring(col))
         )
-        boxes = with_box.select(rid, "__bb")
+        boxes = with_box.select(rid, "__bb", "__ring")
         if row_filter:
-            boxes = with_box.where(F.expr(row_filter)).select(rid, "__bb")
+            boxes = with_box.where(F.expr(row_filter)).select(rid, "__bb", "__ring")
         boxes = boxes.where(
             F.col("__bb.xmin").isNotNull() & ~F.isnan("__bb.xmin") & (F.col("__bb.xmin") <= F.col("__bb.xmax"))
         )
@@ -230,6 +317,7 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
         bucketed = boxes.select(
             F.col(rid).alias("__bid"),
             "__bb",
+            "__ring",
             F.explode(
                 F.sequence(
                     F.floor(F.col("__bb.xmin") / width).cast("long"),
@@ -237,9 +325,9 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
                 )
             ).alias("__bucket"),
         )
-        a = bucketed.select(F.col("__bid").alias("ida"), F.col("__bb").alias("ba"), "__bucket")
-        b = bucketed.select(F.col("__bid").alias("idb"), F.col("__bb").alias("bb"), "__bucket")
-        pairs = (
+        a = bucketed.select(F.col("__bid").alias("ida"), F.col("__bb").alias("ba"), F.col("__ring").alias("ra"), "__bucket")
+        b = bucketed.select(F.col("__bid").alias("idb"), F.col("__bb").alias("bb"), F.col("__ring").alias("rb"), "__bucket")
+        candidates = (
             a.join(b, "__bucket")
             .where(
                 (F.col("ida") < F.col("idb"))
@@ -248,9 +336,14 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
                 & (F.col("ba.ymin") <= F.col("bb.ymax"))
                 & (F.col("bb.ymin") <= F.col("ba.ymax"))
             )
-            .select("ida", "idb")
-            .distinct()
         )
+        if exact:
+            candidates = candidates.where(
+                (F.size("ra") >= 4)
+                & (F.size("rb") >= 4)
+                & _polygons_intersect(F.col("ra"), F.col("rb"))
+            )
+        pairs = candidates.select("ida", "idb").distinct()
         overlap = (
             pairs.select("ida")
             .union(pairs.select(F.col("idb").alias("ida")))
@@ -258,14 +351,15 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
             .agg(F.count(F.lit(1)).alias("__n_overlaps"))
         )
         out = with_box.join(overlap, with_box[rid] == overlap["ida"], "left").drop("ida")
+        verb = "intersects" if exact else "overlaps the bounding box of"
         message = F.when(
             F.col("__n_overlaps").isNotNull(),
             F.format_string(
-                f"Polygon in Column '{name}' overlaps the bounding box of %s other polygon(s)",
+                f"Polygon in Column '{name}' {verb} %s other polygon(s)",
                 F.col("__n_overlaps").cast("string"),
             ),
         )
-        return out.withColumn(msg_col, message).drop(rid, "__bb", "__n_overlaps")
+        return out.withColumn(msg_col, message).drop(rid, "__bb", "__ring", "__n_overlaps")
 
     from dqx_spark.functions.dataset_checks import _lift
 

@@ -59,3 +59,32 @@ def test_polygons_mutually_disjoint(spark):
     df = spark.createDataFrame(rows, "id int, g string")
     rule = DQDatasetRule(check_func=C.are_polygons_mutually_disjoint, column="g")
     assert fired_ids(spark, df, rule) == {0, 1}
+
+
+def test_polygons_disjoint_exact_refinement(spark):
+    # two diamonds with OVERLAPPING bounding boxes but disjoint geometry:
+    # the exact predicate must NOT flag them (a bbox approximation would)
+    rows = [
+        (0, "POLYGON ((1 0, 2 1, 1 2, 0 1, 1 0))"),          # diamond at (1,1)
+        (1, "POLYGON ((2.9 1.9, 3.9 2.9, 2.9 3.9, 1.9 2.9, 2.9 1.9))"),  # diamond at (2.9,2.9): bbox overlap, L1 3.8 > 2
+        (2, "POLYGON ((50 50, 52 50, 52 52, 50 52, 50 50))"),  # far away
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    exact = DQDatasetRule(check_func=C.are_polygons_mutually_disjoint, column="g")
+    assert fired_ids(spark, df, exact) == set()
+    approx = DQDatasetRule(
+        check_func=C.are_polygons_mutually_disjoint, column="g", check_func_kwargs={"exact": False}
+    )
+    assert fired_ids(spark, df, approx) == {0, 1}
+
+
+def test_polygons_disjoint_containment(spark):
+    # one polygon strictly inside another: no edge crossings, still intersect
+    rows = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (1, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),   # contained in 0
+        (2, "POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    rule = DQDatasetRule(check_func=C.are_polygons_mutually_disjoint, column="g")
+    assert fired_ids(spark, df, rule) == {0, 1}
