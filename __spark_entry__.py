@@ -758,12 +758,31 @@ def q_aggr_matches_dataset_grouped(spark, sf):
 
 
 def q_multimodal_metadata(spark, sf):
-    df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
-    out = multimodal.attach_media_metadata(df, "content")
-    return out.select(
+    """Constructs REAL image headers (PNG IHDR / GIF LSD / JPEG SOF0) with
+    per-row dimensions, then certifies magic-byte mime sniffing AND the
+    dependency-free header decoder against a closed-form oracle."""
+    df = _read(spark, sf, "documents")
+    k = F.col("doc_id")
+    w = (k % 256 + 100).cast("int")
+    h = (k % 128 + 50).cast("int")
+    w4, h4 = F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0")  # 4-byte BE
+    w2, h2 = F.lpad(F.hex(w), 4, "0"), F.lpad(F.hex(h), 4, "0")  # 2-byte BE
+    wle = F.concat(F.substring(w2, 3, 2), F.substring(w2, 1, 2))  # 2-byte LE
+    hle = F.concat(F.substring(h2, 3, 2), F.substring(h2, 1, 2))
+    png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"), w4, h4, F.lit("0806000000"))
+    gif = F.concat(F.lit("474946383761"), wle, hle, F.lit("000000"))
+    jpg = F.concat(F.lit("FFD8FFC0001108"), h2, w2, F.lit("03"))
+    img = df.select(
+        "doc_id", F.unhex(F.when(k % 3 == 0, png).when(k % 3 == 1, gif).otherwise(jpg)).alias("content")
+    )
+    meta = multimodal.attach_media_metadata(img, "content").select(
         "doc_id",
+        F.col("media_meta.mime").alias("mime"),
         F.col("media_meta.size_bytes").alias("size_bytes"),
-        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+    dec = multimodal.decode_image(img, "content", "doc_id")
+    return meta.join(dec, "doc_id").select(
+        "doc_id", "mime", "size_bytes", "width", "height", "channels", "decode_ok", "decoder"
     )
 
 
@@ -2518,7 +2537,20 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(pd.tt, 0)::BIGINT AS total_ngrams FROM documents d LEFT JOIN pd USING (doc_id)"
         ),
         "multimodal_metadata": (
-            "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, sha256(text) AS sha FROM documents"
+            # closed-form mirror of the constructed image headers: the bytes
+            # are fully determined by doc_id, so mime/size/dims/channels are
+            # pure arithmetic (PNG: 29-byte sig+IHDR, color type 6 -> 4
+            # channels; GIF87a: 13-byte header+LSD, 3; JPEG: 12-byte
+            # SOI+SOF0, 3 components)
+            "SELECT doc_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS mime, "
+            "CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 12 END::BIGINT AS size_bytes, "
+            "(doc_id % 256 + 100)::INT AS width, "
+            "(doc_id % 128 + 50)::INT AS height, "
+            "CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END::INT AS channels, "
+            "true AS decode_ok, "
+            "CASE doc_id % 3 WHEN 0 THEN 'png-ihdr' WHEN 1 THEN 'gif-lsd' ELSE 'jpeg-sof' END AS decoder "
+            "FROM documents"
         ),
         "top_k_per_group": (
             "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "

@@ -3,11 +3,12 @@ columns with typed metadata structs.
 
 The Spark-side machinery — schemas, magic-byte sniffing, Arrow-batched
 ``mapInPandas`` decode/feature pipelines, batch shaping, partition sizing —
-is real and tested.  The actual media decoding is stubbed: the container has
-no image/audio libraries, so ``decode_image``/``extract_audio_features``
-either use PIL/soundfile when importable or fall back to a clearly-marked
-deterministic fake (derived from the content hash) so downstream plumbing
-can be exercised end-to-end.
+is real and tested.  Image DIMENSION decoding is also real: PNG IHDR,
+GIF Logical Screen Descriptor, JPEG SOF markers, and BMP headers are parsed
+directly from the bytes (``parse_image_header``), no media library needed.
+Full pixel decoding (``image_features``) and video frame extraction remain
+stubbed behind deterministic fakes: the container has no image/audio
+libraries; PIL is used when importable.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "sniff_mime",
     "attach_media_metadata",
+    "parse_image_header",
     "decode_image",
     "image_features",
     "sample_video_frames",
@@ -76,39 +78,80 @@ def attach_media_metadata(df: DataFrame, binary_col: str, out_col: str = "media_
 
 _DECODED_IMAGE_SCHEMA = "width int, height int, channels int, decode_ok boolean, decoder string"
 
+#: PNG color type -> sample channels (spec: greyscale, truecolor, palette,
+#: greyscale+alpha, truecolor+alpha)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: JPEG markers that carry frame headers (SOF0..SOF15 minus DHT/JPG/DAC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(b: bytes | None) -> tuple[int, int, int | None, str] | None:
+    """(width, height, channels, decoder) parsed straight from the header
+    bytes — no media library.  Formats: PNG (IHDR chunk), GIF (Logical
+    Screen Descriptor), JPEG (SOF frame marker walk), BMP (BITMAPINFOHEADER).
+    Returns None when the bytes are not a recognizable image."""
+    if b is None:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return (w, h, _PNG_CHANNELS.get(b[25]), "png-ihdr")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"), 3, "gif-lsd")
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+                i += 2
+                continue
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return (w, h, b[i + 9], "jpeg-sof")
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little")
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        return (w, h, None, "bmp-dib")
+    return None
+
 
 def decode_image(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
     """Decode image dimensions via Arrow-batched ``mapInPandas``.
 
-    Uses PIL when available; otherwise a DETERMINISTIC FAKE decoder (dims
-    derived from the content hash) so the batch shape, schema, and
-    partition behavior are exercised without the dependency.  The UDF
-    signature, output schema, and iterator protocol are exactly what a real
-    decoder plugs into."""
+    Header parsing (PNG/GIF/JPEG/BMP, see :func:`parse_image_header`) is
+    dependency-free and runs first; PIL — when importable — covers any
+    remaining formats.  Bytes neither parser understands come back with
+    ``decode_ok=false`` (never fake dimensions)."""
     out_schema = f"{id_col} long, {_DECODED_IMAGE_SCHEMA}"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image  # noqa: PLC0415
             import io  # noqa: PLC0415
 
-            def decode(b: bytes | None):
-                if b is None:
-                    return (None, None, None, False, "pil")
+            from PIL import Image  # noqa: PLC0415
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def decode(b: bytes | None):
+            if b is None:
+                return (None, None, None, False, None)
+            hdr = parse_image_header(b)
+            if hdr is not None:
+                return (hdr[0], hdr[1], hdr[2], True, hdr[3])
+            if have_pil:
                 try:
                     img = Image.open(io.BytesIO(b))
                     return (img.width, img.height, len(img.getbands()), True, "pil")
                 except Exception:  # noqa: BLE001
                     return (None, None, None, False, "pil")
-
-        except ImportError:
-
-            def decode(b: bytes | None):
-                # STUB: deterministic fake dims from content hash
-                if b is None:
-                    return (None, None, None, False, "fake")
-                digest = hashlib.sha1(b).digest()
-                return (64 + digest[0], 64 + digest[1], 3, True, "fake")
+            return (None, None, None, False, "header")
 
         for pdf in batches:
             decoded = [decode(b) for b in pdf[binary_col]]

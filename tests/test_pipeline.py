@@ -172,6 +172,27 @@ def test_text_profile_matches_individual_functions(spark):
         assert p["fingerprint"] == s["fp"], i
 
 
+def test_parse_image_header():
+    # PNG: sig + IHDR(len,type,w,h,depth=8,color=6) -> 4 channels
+    png = bytes.fromhex("89504E470D0A1A0A0000000D49484452") + (320).to_bytes(4, "big") + (
+        200
+    ).to_bytes(4, "big") + bytes.fromhex("0806000000")
+    assert multimodal.parse_image_header(png) == (320, 200, 4, "png-ihdr")
+    # GIF87a: LSD width/height little-endian
+    gif = b"GIF87a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert multimodal.parse_image_header(gif) == (640, 480, 3, "gif-lsd")
+    # JPEG: SOI + APP0 segment skipped, then SOF0 with h/w/components
+    app0 = bytes.fromhex("FFE00010") + b"JFIF\x00" + bytes(9)
+    sof0 = bytes.fromhex("FFC0001108") + (120).to_bytes(2, "big") + (240).to_bytes(2, "big") + b"\x03"
+    assert multimodal.parse_image_header(b"\xff\xd8" + app0 + sof0) == (240, 120, 3, "jpeg-sof")
+    # BMP: BITMAPINFOHEADER dims (height may be negative = top-down)
+    bmp = b"BM" + bytes(16) + (800).to_bytes(4, "little") + (-600).to_bytes(4, "little", signed=True)
+    assert multimodal.parse_image_header(bmp) == (800, 600, None, "bmp-dib")
+    # junk / None -> not an image
+    assert multimodal.parse_image_header(b"not an image") is None
+    assert multimodal.parse_image_header(None) is None
+
+
 def test_multimodal_plumbing(spark):
     jpeg = bytes.fromhex("FFD8FF") + b"fakejpegdata" * 100
     png = bytes.fromhex("89504E47") + b"fakepngdata" * 200
