@@ -1608,6 +1608,24 @@ def q_gopher_profile(spark, sf):
     )
 
 
+def q_anomaly_train_score(spark, sf):
+    """Full anomaly lifecycle in one deterministic pass: fit an isolation
+    forest (numpy, seeded, bounded hash-ordered sample) on orders, score the
+    SAME table distributively via the model-backed has_no_row_anomalies.
+    rows-only: no DuckDB twin for forest traversal."""
+    from dqx_spark import anomaly
+
+    df = _read(spark, sf, "orders")
+    model = anomaly.fit_isolation_forest(
+        df, ["o_totalprice", "o_custkey"], num_trees=32, sample_size=256, max_samples=4096, seed=7
+    )
+    rule = DQDatasetRule(
+        check_func=C.has_no_row_anomalies,
+        check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "model": model},
+    )
+    return _apply_one(df, rule, ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly the driver's 50-query correctness window — every registered
     query gets a gate row each round.
@@ -1703,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
+        "anomaly_train_score": q_anomaly_train_score,
     }
 
 

@@ -1,0 +1,269 @@
+"""ML anomaly lifecycle: isolation-forest training, model registry,
+distributed scoring, and drift detection — no sklearn dependency.
+
+Mirrors the reference's anomaly module surface (anomaly/core.py:45-243:
+sample -> fit -> persist -> score; anomaly/check_funcs.py:119-285: the
+model-backed ``has_no_row_anomalies`` check), re-derived Spark-first:
+
+- **fit** happens on a BOUNDED driver sample (deterministic top-k by hash,
+  which Spark executes as TakeOrdered — no full sort/shuffle at 100 TB),
+  using a pure-numpy isolation forest (random feature, random split in the
+  node's range, depth cap ``ceil(log2(psi))`` — Liu et al. 2008).
+- **models are JSON rows** in a registry table or parquet path: append-only,
+  newest wins, loadable by id.
+- **scoring is distributed**: the fitted trees broadcast inside an
+  Arrow-batched pandas UDF; traversal is vectorized across the batch
+  (max_depth iterations of numpy fancy-indexing per tree, not per-row
+  recursion).
+- **drift** = Population Stability Index per feature against the training
+  sample's quantile histogram, computed with one Spark aggregate; only the
+  per-bin counts (cols x bins scalars) reach the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import uuid
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fit_isolation_forest",
+    "save_model",
+    "load_model",
+    "score_with_model",
+    "feature_drift",
+]
+
+_REGISTRY_SCHEMA = "model_id string, created_at string, columns string, payload string"
+
+
+def _c(n: float) -> float:
+    """Average unsuccessful-search path length in a BST of n nodes."""
+    if n <= 1:
+        return 0.0
+    if n == 2:
+        return 1.0
+    h = math.log(n - 1) + 0.5772156649015329
+    return 2.0 * h - 2.0 * (n - 1) / n
+
+
+def _build_tree(x: np.ndarray, rng: np.random.RandomState, max_depth: int) -> dict:
+    """One isolation tree as flat arrays (feature=-1 marks a leaf; ``size``
+    feeds the c(n) leaf adjustment at scoring time)."""
+    feature: list[int] = []
+    threshold: list[float] = []
+    left: list[int] = []
+    right: list[int] = []
+    size: list[int] = []
+
+    def grow(idx: np.ndarray, depth: int) -> int:
+        node = len(feature)
+        feature.append(-1)
+        threshold.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        size.append(int(idx.size))
+        if depth >= max_depth or idx.size <= 1:
+            return node
+        sub = x[idx]
+        spans = sub.max(axis=0) - sub.min(axis=0)
+        nonconst = np.flatnonzero(spans > 0)
+        if nonconst.size == 0:
+            return node
+        f = int(rng.choice(nonconst))
+        lo, hi = float(sub[:, f].min()), float(sub[:, f].max())
+        t = float(rng.uniform(lo, hi))
+        mask = sub[:, f] < t
+        if not mask.any() or mask.all():
+            return node
+        feature[node] = f
+        threshold[node] = t
+        left[node] = grow(idx[mask], depth + 1)
+        right[node] = grow(idx[~mask], depth + 1)
+        return node
+
+    grow(np.arange(x.shape[0]), 0)
+    return {"feature": feature, "threshold": threshold, "left": left, "right": right, "size": size}
+
+
+def _score_matrix(x: np.ndarray, model: dict) -> np.ndarray:
+    """Vectorized anomaly scores in [0, 1] (higher = more isolated)."""
+    n = x.shape[0]
+    if n == 0:
+        return np.empty(0)
+    total_path = np.zeros(n)
+    max_depth = int(model["max_depth"])
+    for tree in model["trees"]:
+        feature = np.asarray(tree["feature"], dtype=np.int64)
+        threshold = np.asarray(tree["threshold"], dtype=np.float64)
+        left = np.asarray(tree["left"], dtype=np.int64)
+        right = np.asarray(tree["right"], dtype=np.int64)
+        size = np.asarray(tree["size"], dtype=np.float64)
+        node = np.zeros(n, dtype=np.int64)
+        depth = np.zeros(n)
+        for _ in range(max_depth + 1):
+            f = feature[node]
+            active = f >= 0
+            if not active.any():
+                break
+            fa = np.where(active, f, 0)
+            go_left = x[np.arange(n), fa] < threshold[node]
+            nxt = np.where(go_left, left[node], right[node])
+            node = np.where(active, nxt, node)
+            depth += active
+        leaf_sizes = size[node]
+        safe = np.maximum(leaf_sizes, 3.0)
+        big = 2.0 * (np.log(safe - 1.0) + 0.5772156649015329) - 2.0 * (safe - 1.0) / safe
+        adj = np.where(leaf_sizes <= 1, 0.0, np.where(leaf_sizes == 2, 1.0, big))
+        total_path += depth + adj
+    mean_path = total_path / len(model["trees"])
+    return 2.0 ** (-mean_path / _c(float(model["sample_size"])))
+
+
+def _impute(pdf: pd.DataFrame, columns: list[str], medians: list[float]) -> np.ndarray:
+    x = pdf[columns].astype(float)
+    for c, m in zip(columns, medians):
+        x[c] = x[c].fillna(m)
+    return x.to_numpy()
+
+
+def fit_isolation_forest(
+    df: DataFrame,
+    columns: list[str],
+    num_trees: int = 64,
+    sample_size: int = 256,
+    max_samples: int = 65536,
+    contamination: float = 0.01,
+    seed: int = 42,
+    drift_bins: int = 10,
+) -> dict:
+    """Fit on a deterministic bounded sample and return a JSON-able model.
+
+    The sample is the ``max_samples`` rows with the smallest
+    ``xxhash64(columns, seed)`` — Spark plans orderBy+limit as a TakeOrdered
+    (per-partition top-k then merge), so this never full-sorts the input.
+    ``score_threshold`` is calibrated as the (1 - contamination) quantile of
+    the training sample's own scores."""
+    if not columns:
+        raise ValueError("columns must not be empty")
+    cols = [F.col(c).cast("double").alias(c) for c in columns]
+    sample_pdf = (
+        df.select(*cols)
+        .orderBy(F.xxhash64(*[F.col(c) for c in columns], F.lit(seed)))
+        .limit(int(max_samples))
+        .toPandas()
+    )
+    medians = [float(sample_pdf[c].median()) if sample_pdf[c].notna().any() else 0.0 for c in columns]
+    x = _impute(sample_pdf, columns, medians)
+    rng = np.random.RandomState(seed)
+    psi = min(int(sample_size), max(x.shape[0], 2))
+    max_depth = max(1, math.ceil(math.log2(max(psi, 2))))
+    trees = []
+    for _ in range(int(num_trees)):
+        idx = rng.choice(x.shape[0], size=min(psi, x.shape[0]), replace=False)
+        trees.append(_build_tree(x[idx], rng, max_depth))
+    model = {
+        "model_id": uuid.uuid4().hex,
+        "created_at": datetime.now(timezone.utc).isoformat(),
+        "algo": "isolation_forest",
+        "columns": list(columns),
+        "num_trees": int(num_trees),
+        "sample_size": psi,
+        "max_depth": max_depth,
+        "seed": int(seed),
+        "medians": medians,
+        "train_rows": int(x.shape[0]),
+        "trees": trees,
+    }
+    train_scores = _score_matrix(x, model)
+    model["score_threshold"] = float(np.quantile(train_scores, 1.0 - contamination))
+    # quantile histogram of the training sample, for PSI drift at score time
+    hist = {}
+    for i, c in enumerate(columns):
+        edges = np.unique(np.quantile(x[:, i], np.linspace(0, 1, drift_bins + 1)[1:-1]))
+        counts, _ = np.histogram(x[:, i], bins=np.concatenate(([-np.inf], edges, [np.inf])))
+        hist[c] = {"edges": [float(e) for e in edges], "counts": [int(v) for v in counts]}
+    model["hist"] = hist
+    return model
+
+
+def _is_path(registry: str) -> bool:
+    return "/" in registry
+
+
+def save_model(spark: SparkSession, model: dict, registry: str) -> str:
+    """Append the model as one JSON row to the registry (parquet path when
+    the name contains '/', otherwise a saveAsTable target).  Returns the
+    model_id."""
+    row = [
+        (
+            model["model_id"],
+            model["created_at"],
+            json.dumps(model["columns"]),
+            json.dumps(model),
+        )
+    ]
+    out = spark.createDataFrame(row, _REGISTRY_SCHEMA)
+    if _is_path(registry):
+        out.write.mode("append").parquet(registry)
+    else:
+        out.write.mode("append").saveAsTable(registry)
+    return model["model_id"]
+
+
+def load_model(spark: SparkSession, registry: str, model_id: str | None = None) -> dict:
+    """Load a model by id, or the newest one."""
+    reg = spark.read.parquet(registry) if _is_path(registry) else spark.read.table(registry)
+    if model_id is not None:
+        rows = reg.where(F.col("model_id") == model_id).limit(1).collect()
+    else:
+        rows = reg.orderBy(F.col("created_at").desc()).limit(1).collect()
+    if not rows:
+        raise ValueError(f"no model found in registry {registry!r} (model_id={model_id!r})")
+    return json.loads(rows[0]["payload"])
+
+
+def score_with_model(df: DataFrame, model: dict, score_col: str = "anomaly_score") -> DataFrame:
+    """Append the model's anomaly score: Arrow-batched pandas UDF, trees
+    broadcast in the closure, traversal vectorized across each batch."""
+    columns = model["columns"]
+    medians = model["medians"]
+    payload = {k: model[k] for k in ("trees", "max_depth", "sample_size")}
+
+    @F.pandas_udf("double")
+    def score_udf(*series: pd.Series) -> pd.Series:
+        pdf = pd.concat(series, axis=1)
+        pdf.columns = columns
+        x = _impute(pdf, columns, medians)
+        return pd.Series(_score_matrix(x, payload))
+
+    return df.withColumn(score_col, score_udf(*[F.col(c).cast("double") for c in columns]))
+
+
+def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:
+    """PSI per feature vs the training histogram.  One Spark aggregate; the
+    driver sees only cols x bins counts."""
+    aggs = []
+    for c, h in model["hist"].items():
+        edges = h["edges"]
+        bin_expr = F.lit(0)
+        for e in edges:
+            bin_expr = bin_expr + (F.col(c).cast("double") >= F.lit(float(e))).cast("int")
+        for b in range(len(edges) + 1):
+            aggs.append(F.sum((bin_expr == b).cast("long")).alias(f"{c}__{b}"))
+    row = df.agg(*aggs).collect()[0]
+    psi = {}
+    for c, h in model["hist"].items():
+        train = np.asarray(h["counts"], dtype=float)
+        cur = np.asarray([row[f"{c}__{b}"] or 0 for b in range(len(h["edges"]) + 1)], dtype=float)
+        p = np.clip(train / max(train.sum(), 1.0), 1e-6, None)
+        q = np.clip(cur / max(cur.sum(), 1.0), 1e-6, None)
+        psi[c] = float(np.sum((p - q) * np.log(p / q)))
+    return psi

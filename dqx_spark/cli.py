@@ -128,6 +128,50 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_train_anomaly(args) -> int:
+    from dqx_spark import anomaly
+    from dqx_spark.io import InputConfig, read_input_data
+
+    spark = _spark("train_anomaly")
+    df = read_input_data(spark, InputConfig(location=args.input, format=args.format))
+    model = anomaly.fit_isolation_forest(
+        df,
+        args.columns,
+        num_trees=args.trees,
+        sample_size=args.sample_size,
+        max_samples=args.max_samples,
+        contamination=args.contamination,
+        seed=args.seed,
+    )
+    model_id = anomaly.save_model(spark, model, args.registry)
+    print(
+        json.dumps(
+            {
+                "model_id": model_id,
+                "registry": args.registry,
+                "columns": args.columns,
+                "train_rows": model["train_rows"],
+                "score_threshold": round(model["score_threshold"], 6),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_score_anomaly(args) -> int:
+    from dqx_spark import anomaly
+    from dqx_spark.io import InputConfig, read_input_data
+
+    spark = _spark("score_anomaly")
+    df = read_input_data(spark, InputConfig(location=args.input, format=args.format))
+    model = anomaly.load_model(spark, args.registry, model_id=args.model_id)
+    scored = anomaly.score_with_model(df, model)
+    scored.write.mode(args.mode).parquet(args.output)
+    drift = anomaly.feature_drift(df, model)
+    print(json.dumps({"model_id": model["model_id"], "rows": scored.count(), "drift_psi": drift}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="dqx_spark", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -167,6 +211,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-fraction", type=float, default=0.3)
     p.add_argument("--limit", type=int, default=1000)
     p.set_defaults(func=cmd_e2e)
+
+    p = sub.add_parser("train_anomaly", help="fit an isolation forest and register it")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--columns", nargs="+", required=True)
+    p.add_argument("--registry", required=True, help="parquet path or table name")
+    p.add_argument("--trees", type=int, default=64)
+    p.add_argument("--sample-size", type=int, default=256)
+    p.add_argument("--max-samples", type=int, default=65536)
+    p.add_argument("--contamination", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(func=cmd_train_anomaly)
+
+    p = sub.add_parser("score_anomaly", help="score data with a registered model")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--registry", required=True)
+    p.add_argument("--model-id", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default="overwrite")
+    p.set_defaults(func=cmd_score_anomaly)
 
     p = sub.add_parser("clean", help="corpus cleaning pipeline (filter/dedup/split)")
     p.add_argument("--input", required=True)

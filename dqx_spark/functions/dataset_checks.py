@@ -929,18 +929,24 @@ def has_no_row_anomalies(
     threshold: float = 3.5,
     approx: bool = False,
     row_filter: str | None = None,
+    model: dict | None = None,
+    score_threshold: float | None = None,
 ):
-    """Multivariate row anomaly score without an ML dependency: the max
-    robust z-score (0.6745·|x−median|/MAD) across the given numeric columns;
-    rows above ``threshold`` are flagged with the worst column named.
+    """Multivariate row anomaly detection with two engines:
 
-    The reference's anomaly module trains a sklearn IsolationForest on
-    driver-collected pandas (anomaly/core.py:45-243) — unavailable here and
-    driver-bound; this re-derivation keeps the same check surface
-    (dataset-level, per-row verdict + explanation) but stays fully
-    distributed: two lazy aggregate passes (medians, then MADs) broadcast
-    back via crossJoin, then a pure Column score.  ``approx=True`` switches
-    exact medians to percentile_approx for the 100 TB path."""
+    - default: the max robust z-score (0.6745·|x−median|/MAD) across the
+      given numeric columns; rows above ``threshold`` are flagged with the
+      worst column named.  Fully distributed: two lazy aggregate passes
+      (medians, then MADs) broadcast back via crossJoin, then a pure Column
+      score.  ``approx=True`` switches to percentile_approx for 100 TB.
+    - ``model=``: a fitted isolation-forest from
+      :func:`dqx_spark.anomaly.fit_isolation_forest` (or
+      ``anomaly.load_model``); rows whose forest score exceeds
+      ``score_threshold`` (default: the model's calibrated
+      ``(1 - contamination)`` training quantile) are flagged.  Scoring is an
+      Arrow-batched pandas UDF with the trees broadcast in the closure —
+      the train-on-sample / score-distributed lifecycle of the reference's
+      anomaly module (anomaly/core.py:45-243, check_funcs.py:119-285)."""
     if not columns:
         raise ValueError("columns must not be empty")
     names = [normalize_col_str(c) for c in columns]
@@ -949,6 +955,29 @@ def has_no_row_anomalies(
     msg_col = f"__dq_anom_msg_{sfx}"
     med_cols = [f"__dq_anom_med{i}_{sfx}" for i in range(len(columns))]
     mad_cols = [f"__dq_anom_mad{i}_{sfx}" for i in range(len(columns))]
+
+    if model is not None:
+        limit = float(score_threshold if score_threshold is not None else model["score_threshold"])
+        score_col = f"__dq_anom_score_{sfx}"
+
+        def apply_model(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+            from dqx_spark.anomaly import score_with_model
+
+            scored = score_with_model(df, model, score_col=score_col)
+            fired = F.col(score_col) > F.lit(limit)
+            if row_filter:
+                fired = F.expr(row_filter) & fired
+            message = F.when(
+                fired,
+                F.format_string(
+                    f"Isolation-forest score %s exceeds threshold {limit:.4f} "
+                    f"(model {model.get('model_id', '?')[:12]})",
+                    F.round(F.col(score_col), 4).cast("string"),
+                ),
+            )
+            return scored.withColumn(msg_col, message).drop(score_col)
+
+        return _lift(msg_col, alias), apply_model
 
     def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
         base = source_df if source_df is not None else df
