@@ -146,6 +146,63 @@ def test_multi_table_fan_out(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "customer")).count() == results["customer"]["input_row_count"]
 
 
+def test_expand_table_patterns(spark):
+    from dqx_spark.workflow import expand_table_patterns, run_configs_for_patterns
+
+    catalog = {
+        "default": ["sales_2023", "sales_2024", "users", "tmp_scratch"],
+        "staging": ["sales_raw", "events"],
+    }
+
+    assert expand_table_patterns(spark, ["default.sales_*"], catalog_listing=catalog) == [
+        "default.sales_2023",
+        "default.sales_2024",
+    ]
+    # *.glob over every database; exclusion patterns; dedup across patterns
+    assert expand_table_patterns(
+        spark, ["*.sales_*", "staging.*"], exclude_patterns=["*_raw"], catalog_listing=catalog
+    ) == ["default.sales_2023", "default.sales_2024", "staging.events"]
+    # exact names pass through without a catalog listing
+    assert expand_table_patterns(spark, ["any.table_name"], catalog_listing=catalog) == ["any.table_name"]
+    # 3-part reference-style names: spark_catalog accepted, others rejected
+    assert expand_table_patterns(spark, ["spark_catalog.default.users"], catalog_listing=catalog) == [
+        "default.users"
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expand_table_patterns(spark, ["other_catalog.default.users"], catalog_listing=catalog)
+
+    configs = run_configs_for_patterns(
+        spark,
+        ["default.sales_*"],
+        checks_location="/checks/{table}.yaml",
+        quarantine_suffix="_quarantine",
+        catalog_listing=catalog,
+    )
+    assert [c.name for c in configs] == ["default.sales_2023", "default.sales_2024"]
+    assert configs[0].output_config.location == "default.sales_2023_dq_output"
+    assert configs[0].quarantine_config.location == "default.sales_2023_quarantine"
+    assert configs[0].checks_location == "/checks/default.sales_2023.yaml"
+
+
+def test_expand_table_patterns_real_catalog(spark, tmp_path):
+    from dqx_spark.workflow import expand_table_patterns
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS wildtest")
+    try:
+        spark.range(3).write.mode("overwrite").saveAsTable("wildtest.wild_a")
+        spark.range(3).write.mode("overwrite").saveAsTable("wildtest.wild_b")
+        spark.range(3).write.mode("overwrite").saveAsTable("wildtest.other")
+        assert expand_table_patterns(spark, ["wildtest.wild_*"]) == [
+            "wildtest.wild_a",
+            "wildtest.wild_b",
+        ]
+        assert "wildtest.other" in expand_table_patterns(spark, ["wildtest.*"])
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS wildtest CASCADE")
+
+
 def test_write_sized_bounds_file_rows(spark, tmp_path):
     from dqx_spark import io as dio
 
