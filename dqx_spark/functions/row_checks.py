@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import ipaddress
+from collections.abc import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -813,21 +814,51 @@ _PII_PATTERNS = {
 
 
 @register_rule("row")
-def does_not_contain_pii(column: str | Column, entities: list[str] | None = None) -> Column:
+def does_not_contain_pii(
+    column: str | Column,
+    entities: list[str] | None = None,
+    analyzer: Callable | None = None,
+) -> Column:
     """Fail when the text contains PII-looking entities.
 
     The reference wraps Microsoft Presidio in a pandas UDF
-    (pii/pii_detection_funcs.py:33-186); presidio is not available here, so
-    the built-in engine is a JVM-side regex battery over the same entity
-    names — faster, deterministic, and fully codegen'd.  Swap in a presidio
-    pandas UDF when the dependency is present.
+    (pii/pii_detection_funcs.py:33-186).  Two engines here:
+
+    - default: a JVM-side regex battery over the same entity names —
+      faster, deterministic, fully codegen'd; catches structured PII
+      (emails, SSNs, phones, cards, IPs) but not free-text NER entities.
+    - ``analyzer=``: a pluggable NER hook — any
+      ``Callable[[pd.Series], pd.Series]`` mapping a series of strings to
+      a boolean series (True = contains PII).  Wrapped in an Arrow-batched
+      pandas UDF; drop in Presidio's ``AnalyzerEngine`` (or any model) when
+      the dependency exists::
+
+          from presidio_analyzer import AnalyzerEngine
+          eng = AnalyzerEngine()
+          analyzer = lambda s: s.map(
+              lambda v: bool(eng.analyze(v, language="en")) if v else False)
+
+      The callable must be picklable (module-level function or closure over
+      picklable state); it is instantiated per executor, not per row.
     """
+    col = to_col(column)
+    name = normalize_col_str(column)
+    if analyzer is not None:
+
+        @F.pandas_udf(T.BooleanType())
+        def _detect(s):
+            return analyzer(s).astype(bool)
+
+        condition = col.isNotNull() & F.coalesce(_detect(col.cast("string")), F.lit(False))
+        return make_condition(
+            condition,
+            f"Column '{name}' value contains PII (custom analyzer)",
+            f"{name}_contains_pii",
+        )
     chosen = entities or list(_PII_PATTERNS)
     unknown = [e for e in chosen if e not in _PII_PATTERNS]
     if unknown:
         raise ValueError(f"unsupported PII entities: {unknown}; supported: {sorted(_PII_PATTERNS)}")
-    col = to_col(column)
-    name = normalize_col_str(column)
     hit = None
     for e in chosen:
         term = col.rlike(_PII_PATTERNS[e])

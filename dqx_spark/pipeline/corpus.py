@@ -77,7 +77,8 @@ def remove_boilerplate_lines(
     max_line_doc_freq: int = 2,
     min_line_chars: int = 0,
     out_col: str | None = None,
-    strategy: str = "scan",
+    strategy: str = "auto",
+    auto_hot_limit: int = 100_000,
 ) -> DataFrame:
     """Strip lines that occur in more than ``max_line_doc_freq`` distinct
     documents (CCNet-style boilerplate removal), preserving line order.
@@ -86,8 +87,8 @@ def remove_boilerplate_lines(
     at 100 TB it is MBs (nav bars and banners) — then applied one of two
     ways:
 
-    * ``strategy='scan'`` (default): the hot hashes collapse into ONE
-      broadcast array row and each document filters its own lines in place
+    * ``strategy='scan'``: the hot hashes collapse into ONE broadcast array
+      row and each document filters its own lines in place
       (``array_contains``) — no explode, no regroup, no second shuffle.
       Per-line cost is linear in the hot-set size, so this wants the hot
       set in the thousands-to-~100k range (the realistic case).
@@ -95,13 +96,17 @@ def remove_boilerplate_lines(
       re-assemble with collect_list.  Scales to arbitrarily large hot sets
       (lookup is a hash probe) at the price of an extra full-data shuffle
       and the reassembly aggregate (~2x slower end-to-end at sf0.1).
+    * ``strategy='auto'`` (default): counts the (slim, aggregated) hot set
+      with one small action and picks ``scan`` when it is at most
+      ``auto_hot_limit``, else ``join`` — the O(|hot|) per-line probe can
+      no longer degrade silently on a pathological corpus.
 
     Lines shorter than ``min_line_chars`` are always kept (short strings
     collide naturally: "Yes", "1.", …).  Returns the input plus ``out_col``
     (default ``<text_col>_clean``) and ``removed_line_count``.
     """
-    if strategy not in ("scan", "join"):
-        raise ValueError(f"strategy must be 'scan' or 'join', got {strategy!r}")
+    if strategy not in ("scan", "join", "auto"):
+        raise ValueError(f"strategy must be 'scan', 'join' or 'auto', got {strategy!r}")
     out_col = out_col or f"{text_col}_clean"
     # slim hot-set aggregation: removal only needs the line HASH, so group
     # on the 64-bit hash alone (pure HashAggregate, map-side combined) —
@@ -117,6 +122,10 @@ def remove_boilerplate_lines(
         .where(F.col("__len") >= min_line_chars)
         .select("line_hash")
     )
+    if strategy == "auto":
+        # one action over the already-aggregated slim frame (hash + count);
+        # at scale, persist `hot` first if recomputing it twice matters
+        strategy = "scan" if hot.count() <= auto_hot_limit else "join"
     if strategy == "scan":
         hot_arr = hot.agg(F.collect_list("line_hash").alias("__hot"))
         lines = split_lines(df[text_col])
@@ -368,8 +377,10 @@ def clean_corpus(
     out = df
     effective_text = text_col
     if boilerplate_max_line_doc_freq is not None:
+        # explicit 'scan' keeps clean_corpus a single lazy plan (the 'auto'
+        # default adds a plan-build action to size the hot set)
         out = remove_boilerplate_lines(
-            out, id_col, text_col, max_line_doc_freq=boilerplate_max_line_doc_freq
+            out, id_col, text_col, max_line_doc_freq=boilerplate_max_line_doc_freq, strategy="scan"
         )
         effective_text = f"{text_col}_clean"
 

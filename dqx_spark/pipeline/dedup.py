@@ -43,6 +43,34 @@ __all__ = [
     "near_duplicate_groups",
 ]
 
+def _materialize(df: DataFrame, storage: str, eager: bool = False) -> DataFrame:
+    """Materialization strategy for subplans consumed more than once.
+
+    * ``'local'`` (default) — ``localCheckpoint``: fastest, but executor
+      loss forfeits the data (single-node / interactive path).
+    * ``'memory'`` / ``'disk'`` — ``persist`` MEMORY_AND_DISK / DISK_ONLY:
+      recompute-safe on executor loss; the fault-tolerant cluster path.
+    * ``'checkpoint'`` — reliable checkpoint to ``setCheckpointDir`` storage
+      (survives executor AND lineage loss; for very long jobs).
+    * ``'none'`` — no materialization: every consumer recomputes the
+      lineage (correct, sometimes cheapest when the subplan is a scan).
+    """
+    if storage == "none":
+        return df
+    if storage == "local":
+        return df.localCheckpoint(eager=eager)
+    if storage == "checkpoint":
+        return df.checkpoint(eager=eager)
+    if storage in ("memory", "disk"):
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK if storage == "memory" else StorageLevel.DISK_ONLY)
+        if eager:
+            out.count()
+        return out
+    raise ValueError(f"storage must be one of local/memory/disk/checkpoint/none, got {storage!r}")
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -83,6 +111,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     max_shingle_doc_freq: int | None = 1000,
+    storage: str = "local",
 ) -> DataFrame:
     """Exact Jaccard over word k-gram shingle sets: (id_a, id_b, common,
     size_a, size_b, jaccard) for unordered pairs with jaccard >= threshold.
@@ -100,14 +129,14 @@ def ngram_jaccard_pairs(
     # no .distinct() needed: shingle hashes are array_distinct'd per doc
     # before the explode, so (id, shingle) is already unique — one less
     # full shuffle.  The exploded set feeds FOUR consumers (sizes, the
-    # skew filter, and both self-join sides); localCheckpoint materializes
-    # the tokenize+shingle scan once instead of re-running it per consumer.
-    # At cluster scale make this persist(DISK_ONLY) or recompute — the
-    # exploded set is the same order of magnitude as the corpus.
-    sh = (
-        exploded_shingle_hashes(df, id_col, text_col, k)
-        .withColumnRenamed("h", "shingle")
-        .localCheckpoint(eager=False)
+    # skew filter, and both self-join sides); `storage` picks how the
+    # tokenize+shingle scan is materialized once instead of re-running per
+    # consumer — at cluster scale pass storage='disk' (fault-tolerant) or
+    # 'none' (recompute): the exploded set is the same order of magnitude
+    # as the corpus.
+    sh = _materialize(
+        exploded_shingle_hashes(df, id_col, text_col, k).withColumnRenamed("h", "shingle"),
+        storage,
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_doc_freq is not None:
@@ -173,6 +202,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    storage: str = "local",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, scored by estimated
     Jaccard: (id_a, id_b, est_jaccard).
@@ -187,16 +217,15 @@ def minhash_lsh_pairs(
     collision probability, not data size.
 
     The signature subplan is shared by the banding branch and the two
-    score joins; ``localCheckpoint`` materializes it once (at cluster scale
-    this would be a persist/checkpoint of (id, 64 longs) — tiny next to the
-    corpus)."""
+    score joins; ``storage`` picks the materialization (default
+    localCheckpoint — at cluster scale pass 'memory'/'disk' for the
+    fault-tolerant persist of (id, 64 longs), tiny next to the corpus)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sigs = (
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-        .where(F.col("sig").isNotNull())
-        .localCheckpoint(eager=False)
+    sigs = _materialize(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).where(F.col("sig").isNotNull()),
+        storage,
     )
     banded = sigs.select(
         "id",
@@ -348,24 +377,38 @@ def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
 # ---------------------------------------------------------------------------
 # grouping
 # ---------------------------------------------------------------------------
-def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str = "id", max_iterations: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+    storage: str = "local",
+) -> DataFrame:
     """Union duplicate pairs into groups: (id, group_id) where group_id is
     the minimum id reachable through the pair graph.
 
     Iterative label propagation (alternating large-star min-join); each
     iteration is two distributed joins, the driver only checks convergence
     via a count — the standard Spark connected-components shape for dedup
-    graphs (pair sets are sparse)."""
-    edges = (
+    graphs (pair sets are sparse).  ``storage`` picks how edges and the
+    per-iteration labels are materialized (iteration REQUIRES materializing
+    — lineage doubles per pass otherwise): default localCheckpoint; pass
+    'memory'/'disk'/'checkpoint' on a fault-tolerant cluster run."""
+    if storage == "none":
+        raise ValueError("connected_components requires materialization; use local/memory/disk/checkpoint")
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+        .distinct(),
         # materialize once: every iteration joins edges twice, and without
         # this the full (possibly LSH) pair-generation lineage re-executes
         # 2× per iteration
-        .localCheckpoint(eager=True)
+        storage,
+        eager=True,
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("group_id")).localCheckpoint(eager=True)
+    labels = _materialize(
+        ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("group_id")), storage, eager=True
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"], "inner")
@@ -386,7 +429,10 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str = "id", m
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iteration
+        prev = labels
+        labels = _materialize(new_labels, storage, eager=True)  # truncate lineage per iteration
+        if storage in ("memory", "disk"):
+            prev.unpersist()
         if changed == 0:
             break
     return labels

@@ -192,3 +192,45 @@ def test_boilerplate_hot_set_hash_aggregate(spark):
     # the hot-line aggregation groups on the 64-bit hash: HashAggregate,
     # never SortAggregate (first(line) used to force two extra sorts)
     assert "SortAggregate" not in p
+
+
+def test_boilerplate_auto_strategy_switch(spark):
+    from dqx_spark.pipeline import corpus
+
+    df = spark.createDataFrame(
+        [(i, "SHARED\nunique line %d" % i) for i in range(6)], "doc_id long, text string"
+    )
+    # small hot set -> scan: in-place array filter, no posexplode/regroup
+    p_scan = plan_of(corpus.remove_boilerplate_lines(df, "doc_id", "text", max_line_doc_freq=2))
+    assert "array_contains" in p_scan and "posexplode" not in p_scan
+    # hot set above the limit -> join: posexplode + anti-join + reassembly
+    p_join = plan_of(
+        corpus.remove_boilerplate_lines(df, "doc_id", "text", max_line_doc_freq=2, auto_hot_limit=0)
+    )
+    assert "posexplode" in p_join and "collect_list" in p_join
+
+
+def test_dedup_storage_param(spark):
+    from dqx_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+        + [(10, "totally different words here now indeed")],
+        "doc_id long, text string",
+    )
+    base = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.9, storage="local")
+    disk = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.9, storage="disk")
+    none = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.9, storage="none")
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, disk.collect())) == sorted(map(key, none.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", storage="bogus")
+    with _pytest.raises(ValueError):
+        dedup.connected_components(base, df.select(F.col("doc_id").alias("id")), storage="none")
+    groups = dedup.connected_components(
+        base, df.select(F.col("doc_id").alias("id")), storage="disk"
+    ).collect()
+    g = {r["id"]: r["group_id"] for r in groups}
+    assert g[0] == g[1] == g[2] == g[3] == 0 and g[10] == 10

@@ -234,6 +234,28 @@ def test_pii_and_geo_lite(spark):
         C.does_not_contain_pii("t", entities=["NOT_AN_ENTITY"])
 
 
+def test_pii_custom_analyzer_hook(spark):
+    # stand-in for a Presidio AnalyzerEngine: flags free-text PII the regex
+    # battery cannot see.  Defined as a closure so cloudpickle ships it by
+    # value (a module-level test function is not importable on executors).
+    def _fake_ner_analyzer(series):
+        return series.map(lambda v: v is not None and "leaked" in v)
+
+    df = spark.createDataFrame(
+        [
+            (0, "call me at 555-123-4567 ok"),
+            (1, "ssn 123-45-6789 leaked"),
+            (2, "clean text"),
+            (3, None),
+        ],
+        "id int, t string",
+    )
+    rule = DQRowRule(
+        check_func=C.does_not_contain_pii, column="t", check_func_kwargs={"analyzer": _fake_ner_analyzer}
+    )
+    assert fired_ids(spark, df, rule) == {1}
+
+
 def test_result_schema_exact(spark):
     """F5.6: exact result schema + split invariants."""
     from dqx_spark.schema import dq_result_schema
