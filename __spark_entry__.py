@@ -1389,7 +1389,26 @@ def q_row_checks_customer(spark, sf):
 
 
 def q_geo_row_checks(spark, sf):
+    """Geo fixtures: ``g`` (points + junk) for the point-family checks, and
+    ``poly`` for the exact-geometry family —
+      k%5==0           : 2-point open 'polygon'  -> malformed
+      k%7==0 (not %5)  : bowtie (self-intersecting, shoelace area 0)
+      else             : square side s=k%3+1 at x0=(k%10)*5
+    The geofence covers x in [-1, 21], so squares/bowties with x0 <= 20
+    intersect it and the rest do not."""
     k = F.col("c_custkey")
+    x0 = (k % 10 * 5).cast("double")
+    s = (k % 3 + 1).cast("double")
+    sq = F.format_string(
+        "POLYGON((%s 0, %s 0, %s %s, %s %s, %s 0))",
+        x0.cast("string"), (x0 + s).cast("string"), (x0 + s).cast("string"), s.cast("string"),
+        x0.cast("string"), s.cast("string"), x0.cast("string"),
+    )
+    bowtie = F.format_string(
+        "POLYGON((%s 0, %s 2, %s 0, %s 2, %s 0))",
+        x0.cast("string"), (x0 + 2).cast("string"), (x0 + 2).cast("string"), x0.cast("string"), x0.cast("string"),
+    )
+    open_poly = F.format_string("POLYGON((%s 0, %s 1))", x0.cast("string"), (x0 + 1).cast("string"))
     df = (
         _read(spark, sf, "customer")
         .withColumn("g", _wkt_col())
@@ -1401,7 +1420,9 @@ def q_geo_row_checks(spark, sf):
             "lon",
             F.when(k % 11 == 0, F.lit("190.25")).when(k % 13 == 0, F.lit("junk")).otherwise((k % 360 - 180).cast("string")),
         )
+        .withColumn("poly", F.when(k % 5 == 0, open_poly).when(k % 7 == 0, bowtie).otherwise(sq))
     )
+    fence = "POLYGON((-1 -1, 21 -1, 21 3, -1 3, -1 -1))"
     rules = [
         DQRowRule(name="is_geometry", check_func=C.is_geometry, column="g"),
         DQRowRule(name="is_not_null_island", check_func=C.is_not_null_island, column="g"),
@@ -1411,6 +1432,21 @@ def q_geo_row_checks(spark, sf):
         ),
         DQRowRule(name="is_latitude", check_func=C.is_latitude, column="lat"),
         DQRowRule(name="is_longitude", check_func=C.is_longitude, column="lon"),
+        DQRowRule(name="has_dimension", check_func=C.has_dimension, column="g", check_func_kwargs={"dimension": 0}),
+        DQRowRule(name="is_geography", check_func=C.is_geography, column="g"),
+        DQRowRule(
+            name="has_area_between", check_func=C.has_area_between, column="poly",
+            check_func_kwargs={"min_area": 1.5, "max_area": 10.0},
+        ),
+        DQRowRule(
+            name="has_num_points_between", check_func=C.has_num_points_between, column="poly",
+            check_func_kwargs={"min_points": 4, "max_points": 10},
+        ),
+        DQRowRule(name="is_ogc_valid", check_func=C.is_ogc_valid, column="poly"),
+        DQRowRule(
+            name="is_in_geofence", check_func=C.is_in_geofence, column="poly",
+            check_func_kwargs={"geofence_wkt": fence},
+        ),
     ]
     return _apply_batch(df, rules, ["c_custkey"])
 
@@ -2005,7 +2041,17 @@ def oracle_sql() -> dict[str, str]:
             "(g = 'POINT (0 0)') AS is_not_null_island, "
             "coalesce(x < -90 OR x > 90, false) AS has_x_coordinate_between, "
             "(try_cast(lat AS DOUBLE) IS NULL OR try_cast(lat AS DOUBLE) < -90 OR try_cast(lat AS DOUBLE) > 90) AS is_latitude, "
-            "(try_cast(lon AS DOUBLE) IS NULL OR try_cast(lon AS DOUBLE) < -180 OR try_cast(lon AS DOUBLE) > 180) AS is_longitude "
+            "(try_cast(lon AS DOUBLE) IS NULL OR try_cast(lon AS DOUBLE) < -180 OR try_cast(lon AS DOUBLE) > 180) AS is_longitude, "
+            # exact-geometry family, closed-form from the key arithmetic of
+            # the q_geo_row_checks poly fixture (see its docstring):
+            #   inv = open 2-point ring; bow = bowtie (area 0, self-x);
+            #   squares: area s^2 in {1,4,9}; fence covers x0 <= 20
+            "(c_custkey % 13 = 0) AS has_dimension, "
+            "(c_custkey % 13 = 0) AS is_geography, "
+            "(c_custkey % 5 = 0 OR c_custkey % 7 = 0 OR (c_custkey % 3) + 1 = 1) AS has_area_between, "
+            "(c_custkey % 5 = 0) AS has_num_points_between, "
+            "(c_custkey % 5 = 0 OR (c_custkey % 5 <> 0 AND c_custkey % 7 = 0)) AS is_ogc_valid, "
+            "(c_custkey % 5 = 0 OR c_custkey % 10 >= 5) AS is_in_geofence "
             "FROM fx"
         ),
         "row_checks_lineitem": (

@@ -20,9 +20,14 @@ backend.  Covered (reference file:line):
   bucket-join candidates refined with segment-intersection + ray-cast
   containment over the outer rings (``exact=False`` keeps the conservative
   bbox approximation as a scale escape hatch).
+* ``has_area_between`` (shoelace), ``has_num_points_between``,
+  ``has_dimension``, ``is_ogc_valid`` (ring closure + non-adjacent edge
+  self-intersection), ``is_geography`` (globe bounds),
+  ``is_in_geofence`` / ``is_not_in_geofence`` (exact point/polygon vs a
+  constant fence, intersects/within predicates) — the ref :362-1342
+  families re-derived as pure Column expressions.
 
-Unsupported without ST_: ``is_geography``, ``is_ogc_valid``,
-``has_dimension``, area/num-points families, exact geofencing.
+Unsupported without the h3 library: the H3-bucketed geofencing variants.
 """
 
 from __future__ import annotations
@@ -42,6 +47,13 @@ __all__ = [
     "is_not_null_island",
     "has_x_coordinate_between",
     "has_y_coordinate_between",
+    "has_area_between",
+    "has_num_points_between",
+    "has_dimension",
+    "is_ogc_valid",
+    "is_geography",
+    "is_in_geofence",
+    "is_not_in_geofence",
     "are_polygons_mutually_disjoint",
 ]
 
@@ -253,6 +265,243 @@ def _polygons_intersect(ra: Column, rb: Column) -> Column:
     sufficient when no edges cross)."""
     edge_hit = F.exists(_edges(ra), lambda ea: F.exists(_edges(rb), lambda eb: _segments_intersect(ea, eb)))
     return edge_hit | _point_in_ring(F.element_at(ra, 1), rb) | _point_in_ring(F.element_at(rb, 1), ra)
+
+
+def _indexed_edges(ring: Column) -> Column:
+    """Edges with their 1-based position, for adjacency-aware pair tests."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ring) - 1, F.lit(1))),
+        lambda i: F.struct(
+            i.alias("i"), F.element_at(ring, i).alias("p"), F.element_at(ring, i + 1).alias("q")
+        ),
+    )
+
+
+def _shoelace_area(ring: Column) -> Column:
+    """|Σ (x_i·y_{i+1} − x_{i+1}·y_i)| / 2 over the closed outer ring."""
+    total = F.aggregate(
+        _edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e.getField("p").getField("x") * e.getField("q").getField("y")
+        - e.getField("q").getField("x") * e.getField("p").getField("y"),
+    )
+    return F.abs(total) / 2.0
+
+
+def _ring_well_formed(ring: Column) -> Column:
+    """Closed (first == last) with at least 4 points."""
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    return (
+        (F.size(ring) >= 4)
+        & (first.getField("x") == last.getField("x"))
+        & (first.getField("y") == last.getField("y"))
+    )
+
+
+def _ring_self_intersects(ring: Column) -> Column:
+    """Any NON-ADJACENT edge pair intersecting (adjacent edges share a
+    vertex by construction; the first/last pair wraps around)."""
+    ie = _indexed_edges(ring)
+    last_edge = F.size(ring) - 1
+    return F.exists(
+        ie,
+        lambda ea: F.exists(
+            ie,
+            lambda eb: (eb.getField("i") > ea.getField("i") + 1)
+            & ~((ea.getField("i") == 1) & (eb.getField("i") == last_edge))
+            & _segments_intersect(ea, eb),
+        ),
+    )
+
+
+@register_rule("row")
+def has_area_between(column: str | Column, min_area: float, max_area: float) -> Column:
+    """Polygon (outer-ring shoelace) area within [min_area, max_area] in
+    coordinate units² (reference geo/check_funcs.py st_area family, which
+    delegates to ST_Area).  Malformed rings fail."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    ring = _ring(col)
+    area = _shoelace_area(ring)
+    condition = col.isNotNull() & (
+        ~_ring_well_formed(ring) | (area < float(min_area)) | (area > float(max_area))
+    )
+    return make_condition(
+        condition,
+        F.format_string(
+            f"Value '%s' in Column '{name}' has area outside [{min_area}, {max_area}]", str_value(col)
+        ),
+        f"{name}_area_outside_band",
+    )
+
+
+@register_rule("row")
+def has_num_points_between(column: str | Column, min_points: int, max_points: int) -> Column:
+    """Total WKT coordinate-pair count within the band (reference
+    st_numpoints family)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    n = F.size(_coords(col))
+    condition = col.isNotNull() & ((n < int(min_points)) | (n > int(max_points)))
+    return make_condition(
+        condition,
+        F.format_string(
+            f"Value '%s' in Column '{name}' has a point count outside [{min_points}, {max_points}]",
+            str_value(col),
+        ),
+        f"{name}_num_points_outside_band",
+    )
+
+
+_DIMENSION_OF = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
+
+
+@register_rule("row")
+def has_dimension(column: str | Column, dimension: int) -> Column:
+    """Topological dimension of the WKT type tag equals ``dimension``
+    (reference geo/check_funcs.py has_dimension; 0=point 1=line 2=area).
+    Unrecognized/malformed WKT fails."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    tag = F.regexp_extract(_wkt_upper(col), r"^([A-Z]+)", 1)
+    dim = F.lit(None).cast("int")
+    for t, d in _DIMENSION_OF.items():
+        dim = F.when((tag == t) & _wkt_upper(col).rlike(WKT_PATTERNS[t]), F.lit(d)).otherwise(dim)
+    condition = col.isNotNull() & (dim.isNull() | (dim != int(dimension)))
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' does not have dimension {dimension}", str_value(col)),
+        f"{name}_wrong_dimension",
+    )
+
+
+@register_rule("row")
+def is_ogc_valid(column: str | Column) -> Column:
+    """OGC simple-feature validity, dependency-free subset (reference
+    geo/check_funcs.py is_ogc_valid -> ST_IsValid): POLYGON outer rings must
+    be closed, have >= 4 points, and not self-intersect (non-adjacent edge
+    pairs); POINT/LINESTRING/MULTIPOINT validity reduces to WKT
+    well-formedness.  Unrecognized WKT fails."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    up = _wkt_upper(col)
+    ring = _ring(col)
+    poly_ok = _ring_well_formed(ring) & ~_ring_self_intersects(ring)
+    valid = (
+        F.when(up.rlike(WKT_PATTERNS["POLYGON"]), poly_ok)
+        .when(up.rlike(_ANY_WKT), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    condition = col.isNotNull() & ~valid
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not OGC-valid", str_value(col)),
+        f"{name}_not_ogc_valid",
+    )
+
+
+@register_rule("row")
+def is_geography(column: str | Column) -> Column:
+    """Valid WKT whose every coordinate fits on the globe: x in [-180, 180],
+    y in [-90, 90] (reference is_geography -> try_to_geography)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    coords = _coords(col)
+    out_of_globe = F.exists(
+        coords,
+        lambda c: (c.getField("x") < -180)
+        | (c.getField("x") > 180)
+        | (c.getField("y") < -90)
+        | (c.getField("y") > 90),
+    )
+    condition = col.isNotNull() & (~_wkt_upper(col).rlike(_ANY_WKT) | out_of_globe)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid geography", str_value(col)),
+        f"{name}_not_geography",
+    )
+
+
+def _parse_wkt_ring(wkt: str) -> list[tuple[float, float]]:
+    """Driver-side parse of a constant geofence polygon's outer ring."""
+    import re as _re
+
+    body = _re.search(r"\(\s*\(([^)]*)\)", wkt)
+    if not body:
+        raise ValueError(f"geofence must be a WKT POLYGON, got {wkt!r}")
+    pts = []
+    for pair in body.group(1).split(","):
+        xs, ys = pair.split()
+        pts.append((float(xs), float(ys)))
+    if len(pts) < 4 or pts[0] != pts[-1]:
+        raise ValueError(f"geofence outer ring must be closed with >= 4 points: {wkt!r}")
+    return pts
+
+
+def _fence_lit(pts: list[tuple[float, float]]) -> Column:
+    return F.array(
+        *[F.struct(F.lit(x).cast("double").alias("x"), F.lit(y).cast("double").alias("y")) for x, y in pts]
+    )
+
+
+def _geofence_condition(col: Column, geofence_wkt: str, predicate: str) -> Column:
+    """True when the geometry is IN the fence under the predicate.
+    Points: ray-cast containment.  Polygons: 'intersects' = exact
+    polygon-polygon intersection; 'within' = every vertex inside the fence
+    and no edge crossing it.  Malformed geometries are never 'in'."""
+    fence = _fence_lit(_parse_wkt_ring(geofence_wkt))
+    up = _wkt_upper(col)
+    pt = _coords(col)
+    point_in = (F.size(pt) == 1) & _point_in_ring(F.element_at(pt, 1), fence)
+    ring = _ring(col)
+    edge_hit = F.exists(_edges(ring), lambda ea: F.exists(_edges(fence), lambda eb: _segments_intersect(ea, eb)))
+    if predicate == "intersects":
+        poly_in = _ring_well_formed(ring) & (
+            edge_hit | _point_in_ring(F.element_at(ring, 1), fence) | _point_in_ring(F.element_at(fence, 1), ring)
+        )
+    elif predicate == "within":
+        poly_in = (
+            _ring_well_formed(ring)
+            & ~edge_hit
+            & F.forall(ring, lambda c: _point_in_ring(c, fence))
+        )
+    else:
+        raise ValueError(f"predicate must be 'intersects' or 'within', got {predicate!r}")
+    return F.when(up.rlike(WKT_PATTERNS["POINT"]), point_in).when(
+        up.rlike(WKT_PATTERNS["POLYGON"]), poly_in
+    ).otherwise(F.lit(False))
+
+
+@register_rule("row")
+def is_in_geofence(column: str | Column, geofence_wkt: str, predicate: str = "intersects") -> Column:
+    """Geometry lies in a constant geofence polygon (reference
+    geo/check_funcs.py geofencing contains/covers/intersects/within family).
+    The fence parses once on the driver into a literal vertex array; the
+    membership test is a pure Column expression (exact segment intersection
+    + ray-cast containment) — H3-bucketed variants need the h3 library and
+    stay out of scope."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~_geofence_condition(col, geofence_wkt, predicate)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is not in the geofence", str_value(col)),
+        f"{name}_not_in_geofence",
+    )
+
+
+@register_rule("row")
+def is_not_in_geofence(column: str | Column, geofence_wkt: str, predicate: str = "intersects") -> Column:
+    """Negation of :func:`is_in_geofence` (reference geofencing family)."""
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & _geofence_condition(col, geofence_wkt, predicate)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' is inside the geofence", str_value(col)),
+        f"{name}_in_geofence",
+    )
 
 
 @register_rule("dataset")

@@ -78,6 +78,57 @@ def test_polygons_disjoint_exact_refinement(spark):
     assert fired_ids(spark, df, approx) == {0, 1}
 
 
+def test_exact_geometry_family(spark):
+    rows = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),      # square, area 4, valid
+        (1, "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"),      # bowtie: self-intersecting, area 0
+        (2, "POLYGON ((0 0, 1 1))"),                      # open 2-point ring
+        (3, "POINT (5 5)"),
+        (4, "LINESTRING (0 0, 1 1, 2 0)"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    assert fired_ids(
+        spark, df,
+        DQRowRule(check_func=C.has_area_between, column="g", check_func_kwargs={"min_area": 1.0, "max_area": 10.0}),
+    ) == {1, 2, 3, 4}
+    assert fired_ids(
+        spark, df,
+        DQRowRule(check_func=C.has_num_points_between, column="g", check_func_kwargs={"min_points": 3, "max_points": 10}),
+    ) == {2, 3}
+    assert fired_ids(
+        spark, df, DQRowRule(check_func=C.has_dimension, column="g", check_func_kwargs={"dimension": 2})
+    ) == {3, 4}
+    assert fired_ids(spark, df, DQRowRule(check_func=C.is_ogc_valid, column="g")) == {1, 2}
+
+
+def test_geography_and_geofence(spark):
+    rows = [
+        (0, "POINT (10 10)"),
+        (1, "POINT (200 10)"),                            # off-globe longitude
+        (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),       # crosses the fence edge
+        (3, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),       # fully within the fence
+        (4, "POINT (50 50)"),                             # outside the fence
+        (5, "junk"),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    assert fired_ids(spark, df, DQRowRule(check_func=C.is_geography, column="g")) == {1, 5}
+    fence = "POLYGON((0 0, 3 0, 3 3, 0 3, 0 0))"
+    inside = DQRowRule(check_func=C.is_in_geofence, column="g", check_func_kwargs={"geofence_wkt": fence})
+    # intersects-predicate: point 0 outside fence? (10,10) outside -> fails
+    assert fired_ids(spark, df, inside) == {0, 1, 4, 5}
+    within = DQRowRule(
+        check_func=C.is_in_geofence, column="g",
+        check_func_kwargs={"geofence_wkt": fence, "predicate": "within"},
+    )
+    # 'within' additionally rejects the fence-crossing polygon 2
+    assert fired_ids(spark, df, within) == {0, 1, 2, 4, 5}
+    outside = DQRowRule(
+        check_func=C.is_not_in_geofence, column="g", check_func_kwargs={"geofence_wkt": fence}
+    )
+    assert fired_ids(spark, df, outside) == {2, 3}
+
+
 def test_polygons_disjoint_containment(spark):
     # one polygon strictly inside another: no edge crossings, still intersect
     rows = [
