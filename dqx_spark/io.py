@@ -68,18 +68,44 @@ class RunConfig:
     custom_metrics: list[str] = field(default_factory=list)
 
 
+def _translate_cloud_files(fmt: str, options: dict[str, str]) -> tuple[str, dict[str, str]]:
+    """Map Databricks Auto Loader configs onto the OSS streaming file source
+    (reference io.py:48-69 requires format='cloudFiles' for streams).
+
+    ``cloudFiles.format`` becomes the real source format;
+    ``cloudFiles.maxFilesPerTrigger`` / ``maxBytesPerTrigger`` map to the
+    OSS rate-limit options; ``cloudFiles.schemaLocation`` and the other
+    notification/inference knobs are Databricks-runtime services with no
+    OSS twin and are dropped (pass an explicit ``schema`` instead —
+    required by the OSS file source anyway)."""
+    if fmt != "cloudFiles":
+        return fmt, options
+    real_fmt = options.get("cloudFiles.format", "parquet")
+    passthrough = {k: v for k, v in options.items() if not k.startswith("cloudFiles.")}
+    for src, dst in (
+        ("cloudFiles.maxFilesPerTrigger", "maxFilesPerTrigger"),
+        ("cloudFiles.maxBytesPerTrigger", "maxBytesPerTrigger"),
+    ):
+        if src in options:
+            passthrough[dst] = options[src]
+    return real_fmt, passthrough
+
+
 def read_input_data(spark: SparkSession, input_config: InputConfig) -> DataFrame:
-    """Dispatch table-vs-path, batch-vs-streaming (reference io.py:20-85)."""
+    """Dispatch table-vs-path, batch-vs-streaming (reference io.py:20-85).
+    Streaming paths accept ``format='cloudFiles'`` (Auto Loader configs are
+    translated onto the OSS file source, see ``_translate_cloud_files``)."""
     if input_config.is_table:
         if input_config.is_streaming:
             return spark.readStream.options(**input_config.options).table(input_config.location)
         return spark.read.options(**input_config.options).table(input_config.location)
+    fmt, options = _translate_cloud_files(input_config.format, input_config.options)
     if input_config.is_streaming:
-        reader = spark.readStream.options(**input_config.options).format(input_config.format)
+        reader = spark.readStream.options(**options).format(fmt)
         if input_config.schema:
             reader = reader.schema(input_config.schema)
         return reader.load(input_config.location)
-    reader = spark.read.options(**input_config.options).format(input_config.format)
+    reader = spark.read.options(**options).format(fmt)
     if input_config.schema:
         reader = reader.schema(input_config.schema)
     return reader.load(input_config.location)

@@ -46,6 +46,47 @@ def test_table_storage_round_trip(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS dq_checks_test")
 
 
+def test_jdbc_storage_surface(spark):
+    # no JDBC driver ships in this environment, so exercise everything up to
+    # the wire: factory dispatch, URL#table parsing, row serde round-trip
+    import pytest
+
+    from dqx_spark.checks_storage import JdbcChecksStorage, _check_to_row, _row_to_check
+
+    st = checks_storage_factory(spark, "jdbc:postgresql://h:5432/dq#public.dqx_checks", "rc1")
+    assert isinstance(st, JdbcChecksStorage)
+    assert st.url == "jdbc:postgresql://h:5432/dq"
+    assert st.table == "public.dqx_checks"
+    assert st.run_config_name == "rc1"
+    with pytest.raises(ValueError, match="jdbc-url.*#"):
+        JdbcChecksStorage(spark, "jdbc:postgresql://h/dq")  # missing #table
+    for c in CHECKS:
+        row = _check_to_row(c, "rc1")
+        assert row["run_config_name"] == "rc1"
+        restored = _row_to_check(row)
+        expected = {**c}
+        expected.setdefault("criticality", "error")
+        assert restored == expected
+
+
+def test_cloud_files_translation():
+    from dqx_spark.io import _translate_cloud_files
+
+    fmt, opts = _translate_cloud_files(
+        "cloudFiles",
+        {
+            "cloudFiles.format": "json",
+            "cloudFiles.schemaLocation": "/tmp/sl",  # Databricks-only: dropped
+            "cloudFiles.maxFilesPerTrigger": "5",
+            "multiLine": "true",
+        },
+    )
+    assert fmt == "json"
+    assert opts == {"multiLine": "true", "maxFilesPerTrigger": "5"}
+    # non-cloudFiles formats pass through untouched
+    assert _translate_cloud_files("csv", {"header": "true"}) == ("csv", {"header": "true"})
+
+
 def test_message_expr(spark):
     df = spark.createDataFrame([(1, "bad"), (2, "ok")], "id int, status string")
     engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
