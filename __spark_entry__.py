@@ -2718,4 +2718,7 @@ def oracle_sql() -> dict[str, str]:
         "round(CASE WHEN word_count > 0 THEN alpha_words::DOUBLE / word_count::DOUBLE ELSE 0.0 END, 6) AS alpha_word_fraction "
         f"FROM ({out['gopher_counts']})"
     )
-    return out
+    # only keys with an active queries() entry reach the driver; the retired
+    # single-check oracles above stay in source as per-predicate provenance
+    active = set(queries())
+    return {k: v for k, v in out.items() if k in active}
