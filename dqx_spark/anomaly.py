@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "fit_isolation_forest",
+    "fit_segmented_isolation_forest",
     "save_model",
     "load_model",
     "score_with_model",
+    "explain_with_model",
     "feature_drift",
 ]
 
@@ -194,6 +196,50 @@ def fit_isolation_forest(
     return model
 
 
+def fit_segmented_isolation_forest(
+    df: DataFrame,
+    columns: list[str],
+    segment_by: str,
+    max_segments: int = 100,
+    **fit_kwargs,
+) -> dict:
+    """One isolation forest per segment value plus a global fallback
+    (reference anomaly segmentation: per-segment train/score in
+    tests/integration_anomaly).  Distinct segment values are collected
+    (guarded by ``max_segments``); each segment fits on its own bounded
+    sample; rows from unseen segments score against the fallback.
+
+    Driver orchestration is one action per segment + one for the fallback —
+    segmentation is by construction a small-cardinality dimension (region,
+    source, product line), so this is bounded, not data-sized."""
+    vals = [r[0] for r in df.select(segment_by).distinct().limit(max_segments + 1).collect()]
+    if len(vals) > max_segments:
+        raise ValueError(f"segment_by={segment_by!r} has more than {max_segments} distinct values")
+    segments = {}
+    for v in vals:
+        if v is None:
+            continue
+        segments[str(v)] = fit_isolation_forest(
+            df.where(F.col(segment_by) == F.lit(v)), columns, **fit_kwargs
+        )
+    fallback = fit_isolation_forest(df, columns, **fit_kwargs)
+    return {
+        "model_id": uuid.uuid4().hex,
+        "created_at": datetime.now(timezone.utc).isoformat(),
+        "algo": "isolation_forest_segmented",
+        "columns": list(columns),
+        "segment_by": segment_by,
+        "segments": segments,
+        "fallback": fallback,
+        # top-level threshold = fallback's, for callers that want one number
+        "score_threshold": fallback["score_threshold"],
+    }
+
+
+def _is_segmented(model: dict) -> bool:
+    return model.get("algo") == "isolation_forest_segmented"
+
+
 def _is_path(registry: str) -> bool:
     return "/" in registry
 
@@ -230,21 +276,88 @@ def load_model(spark: SparkSession, registry: str, model_id: str | None = None) 
     return json.loads(rows[0]["payload"])
 
 
+def _score_payload(model: dict) -> dict:
+    return {
+        "columns": model["columns"],
+        "medians": model["medians"],
+        "trees": model["trees"],
+        "max_depth": model["max_depth"],
+        "sample_size": model["sample_size"],
+    }
+
+
 def score_with_model(df: DataFrame, model: dict, score_col: str = "anomaly_score") -> DataFrame:
     """Append the model's anomaly score: Arrow-batched pandas UDF, trees
-    broadcast in the closure, traversal vectorized across each batch."""
+    broadcast in the closure, traversal vectorized across each batch.
+    Segmented models route each row to its segment's forest (fallback for
+    unseen segments) inside the same batch."""
     columns = model["columns"]
-    medians = model["medians"]
-    payload = {k: model[k] for k in ("trees", "max_depth", "sample_size")}
+    if _is_segmented(model):
+        seg_payloads = {k: _score_payload(m) for k, m in model["segments"].items()}
+        fb_payload = _score_payload(model["fallback"])
+        segment_by = model["segment_by"]
+
+        @F.pandas_udf("double")
+        def seg_score_udf(seg: pd.Series, *series: pd.Series) -> pd.Series:
+            pdf = pd.concat(series, axis=1)
+            pdf.columns = columns
+            out = pd.Series(np.zeros(len(pdf)), index=pdf.index)
+            keys = seg.astype(str).where(seg.notna(), None)
+            for k, idx in pdf.groupby(keys, dropna=False).groups.items():
+                p = seg_payloads.get(k, fb_payload)
+                x = _impute(pdf.loc[idx], columns, p["medians"])
+                out.loc[idx] = _score_matrix(x, p)
+            return out
+
+        return df.withColumn(
+            score_col,
+            seg_score_udf(F.col(segment_by).cast("string"), *[F.col(c).cast("double") for c in columns]),
+        )
+
+    payload = _score_payload(model)
 
     @F.pandas_udf("double")
     def score_udf(*series: pd.Series) -> pd.Series:
         pdf = pd.concat(series, axis=1)
         pdf.columns = columns
-        x = _impute(pdf, columns, medians)
+        x = _impute(pdf, columns, payload["medians"])
         return pd.Series(_score_matrix(x, payload))
 
     return df.withColumn(score_col, score_udf(*[F.col(c).cast("double") for c in columns]))
+
+
+def explain_with_model(
+    df: DataFrame, model: dict, contrib_col: str = "anomaly_contributions"
+) -> DataFrame:
+    """Append a per-feature contribution map: ``contribution(f) = score(x) -
+    score(x with f ablated to the training median)``.  A positive value
+    means the feature's actual value PUSHED the row toward anomalous —
+    the same explanatory role as the reference's SHAP values
+    (anomaly/check_funcs.py `_dq_info` contributions) computed by
+    median-ablation instead of shap (which needs sklearn models).  Cost is
+    (d+1) vectorized forest evaluations per batch."""
+    if _is_segmented(model):
+        raise ValueError("explain_with_model supports flat models; explain per segment instead")
+    columns = model["columns"]
+    payload = _score_payload(model)
+
+    @F.pandas_udf("map<string,double>")
+    def contrib_udf(*series: pd.Series) -> pd.Series:
+        pdf = pd.concat(series, axis=1)
+        pdf.columns = columns
+        x = _impute(pdf, columns, payload["medians"])
+        base = _score_matrix(x, payload)
+        out = []
+        contribs = {}
+        for i, c in enumerate(columns):
+            ablated = x.copy()
+            ablated[:, i] = payload["medians"][i]
+            contribs[c] = base - _score_matrix(ablated, payload)
+        for j in range(x.shape[0]):
+            out.append({c: float(contribs[c][j]) for c in columns})
+        return pd.Series(out)
+
+    return df.withColumn(contrib_col, contrib_udf(*[F.col(c).cast("double") for c in columns]))
 
 
 def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:

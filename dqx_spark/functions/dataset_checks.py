@@ -957,22 +957,36 @@ def has_no_row_anomalies(
     mad_cols = [f"__dq_anom_mad{i}_{sfx}" for i in range(len(columns))]
 
     if model is not None:
-        limit = float(score_threshold if score_threshold is not None else model["score_threshold"])
+        segmented = model.get("algo") == "isolation_forest_segmented"
         score_col = f"__dq_anom_score_{sfx}"
+
+        def _threshold_col() -> Column:
+            if score_threshold is not None:
+                return F.lit(float(score_threshold))
+            if not segmented:
+                return F.lit(float(model["score_threshold"]))
+            # per-segment calibrated thresholds (bounded when-chain — the
+            # segment dimension is small-cardinality by construction)
+            thr = F.lit(float(model["fallback"]["score_threshold"]))
+            seg = F.col(model["segment_by"]).cast("string")
+            for k, m in model["segments"].items():
+                thr = F.when(seg == k, F.lit(float(m["score_threshold"]))).otherwise(thr)
+            return thr
 
         def apply_model(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
             from dqx_spark.anomaly import score_with_model
 
             scored = score_with_model(df, model, score_col=score_col)
-            fired = F.col(score_col) > F.lit(limit)
+            thr = _threshold_col()
+            fired = F.col(score_col) > thr
             if row_filter:
                 fired = F.expr(row_filter) & fired
             message = F.when(
                 fired,
                 F.format_string(
-                    f"Isolation-forest score %s exceeds threshold {limit:.4f} "
-                    f"(model {model.get('model_id', '?')[:12]})",
+                    f"Isolation-forest score %s exceeds threshold %s (model {model.get('model_id', '?')[:12]})",
                     F.round(F.col(score_col), 4).cast("string"),
+                    F.round(thr, 4).cast("string"),
                 ),
             )
             return scored.withColumn(msg_col, message).drop(score_col)

@@ -63,6 +63,52 @@ def test_registry_round_trip(spark, cluster_df, tmp_path):
     assert anomaly.load_model(spark, registry)["model_id"] == model2["model_id"]
 
 
+def test_explain_contributions(cluster_df):
+    model = anomaly.fit_isolation_forest(cluster_df, ["a", "b"], num_trees=32, seed=3)
+    rows = anomaly.explain_with_model(cluster_df, model).where(F.col("id") >= 900).collect()
+    for r in rows:
+        contrib = r["anomaly_contributions"]
+        # the planted outliers are extreme in BOTH features; each feature's
+        # actual value must push the score up vs its median-ablated twin
+        assert contrib["a"] > 0 and contrib["b"] > 0, r
+    # an inlier's contributions should be near zero
+    inlier = anomaly.explain_with_model(cluster_df, model).where(F.col("id") == 0).collect()[0]
+    assert all(abs(v) < 0.2 for v in inlier["anomaly_contributions"].values())
+
+
+def test_segmented_fit_and_score(spark):
+    rng = np.random.RandomState(1)
+    # segment s0 clusters near 0, s1 near 1000: a value of 500 is anomalous
+    # in BOTH segments but would look ordinary to one global model
+    rows = [(i, "s0", float(rng.randn())) for i in range(300)]
+    rows += [(1000 + i, "s1", float(1000 + rng.randn())) for i in range(300)]
+    rows += [(5000, "s0", 500.0), (5001, "s1", 500.0), (5002, "s2", 1e6)]
+    df = spark.createDataFrame(rows, "id long, seg string, v double")
+    model = anomaly.fit_segmented_isolation_forest(df, ["v"], "seg", num_trees=32, seed=9)
+    assert set(model["segments"]) == {"s0", "s1", "s2"}
+    rule = DQDatasetRule(
+        check_func=C.has_no_row_anomalies, check_func_kwargs={"columns": ["v"], "model": model}
+    )
+    checked = _engine().apply_checks(df, [rule])
+    flagged = {r["id"] for r in checked.where(F.col("_errors").isNotNull()).collect()}
+    assert {5000, 5001} <= flagged
+    assert len(flagged) <= 30
+    # registry round-trip keeps the segmented structure
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        anomaly.save_model(spark, model, f"{td}/reg")
+        loaded = anomaly.load_model(spark, f"{td}/reg")
+        assert loaded["algo"] == "isolation_forest_segmented"
+        assert set(loaded["segments"]) == {"s0", "s1", "s2"}
+
+
+def test_segment_cardinality_guard(spark):
+    df = spark.createDataFrame([(i, str(i), float(i)) for i in range(50)], "id long, seg string, v double")
+    with pytest.raises(ValueError, match="distinct values"):
+        anomaly.fit_segmented_isolation_forest(df, ["v"], "seg", max_segments=10)
+
+
 def test_feature_drift_psi(spark, cluster_df):
     model = anomaly.fit_isolation_forest(cluster_df, ["a", "b"], num_trees=8, seed=5)
     same = anomaly.feature_drift(cluster_df, model)
