@@ -1,0 +1,55 @@
+"""Locks the driver-gate contract of __spark_entry__: the correctness
+window is exactly 50 queries, every oracle key has a query, and the
+rows-only set stays the explicit, justified list.  A future reorder or
+addition that silently pushes a query out of the checked window fails
+here first, not in the round's CORRECTNESS file."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry
+
+EXPECTED_ROWS_ONLY = {
+    # probabilistic / ML constructs with no DuckDB twin:
+    "dedup_minhash_lsh",   # LSH candidate generation
+    "dedup_simhash",       # xxhash64 has no DuckDB equivalent
+    "ann_lsh_topk",        # approximate by construction
+    "ivf_topk",            # KMeans-seeded probe
+    "multimodal_features", # stubbed feature extractor (no media lib)
+    "anomaly_train_score", # isolation-forest traversal
+}
+
+
+def test_window_is_exactly_50():
+    assert len(entry.queries()) == 50
+
+
+def test_every_query_has_oracle_or_is_whitelisted_rows_only():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs), "stale oracle keys would confuse the driver"
+    assert set(qs) - set(oracles) == EXPECTED_ROWS_ONLY
+
+
+def test_oracle_sql_strings_are_nonempty():
+    for k, v in entry.oracle_sql().items():
+        assert isinstance(v, str) and v.strip().upper().startswith(("SELECT", "WITH")), k
+
+
+def test_batch_queries_lead_the_window():
+    # the driver checks keys in order; keep the high-density batches first
+    first = list(entry.queries())[:11]
+    assert first == [
+        "row_checks_documents",
+        "row_checks_events",
+        "row_checks_customer",
+        "geo_row_checks",
+        "row_checks_lineitem",
+        "row_checks_orders",
+        "dataset_checks_lineitem",
+        "dataset_checks_orders",
+        "dataset_checks_part",
+        "compare_datasets_missing",
+        "are_polygons_mutually_disjoint",
+    ]

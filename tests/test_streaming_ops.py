@@ -51,6 +51,41 @@ def test_deduplicate_stream(spark, tmp_path):
     assert {r["k"] for r in result.collect()} == {1, 2, 3}
 
 
+def test_streaming_anomaly_scoring(spark, tmp_path):
+    """The isolation-forest scorer is a stateless pandas UDF, so a trained
+    model applies to a stream unchanged — the train-batch / score-stream
+    lifecycle of the reference's anomaly module."""
+    from dqx_spark import anomaly
+
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    train_rows = [(i, float(10 + rng.randn())) for i in range(200)]
+    train = spark.createDataFrame(train_rows, "id long, v double")
+    model = anomaly.fit_isolation_forest(train, ["v"], num_trees=32, seed=2)
+
+    stream_rows = [(1000, "9.9"), (1001, "10.3"), (1002, "9999.0")]  # last is anomalous
+    src = _write_stream_source(spark, tmp_path, stream_rows, "id long, v string")
+    stream = (
+        spark.readStream.schema("id long, v string").parquet(src)
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    scored = anomaly.score_with_model(stream, model)
+    assert scored.isStreaming
+    out = str(tmp_path / "anom_out")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["anomaly_score"] for r in spark.read.parquet(out).collect()}
+    assert got[1002] > model["score_threshold"]
+    assert got[1000] <= model["score_threshold"] and got[1001] <= model["score_threshold"]
+
+
 def test_windowed_check_metrics(spark, tmp_path):
     rows = [
         (1, "2024-01-01 00:05:00", 10.0),
