@@ -128,6 +128,28 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_llm_generate(args) -> int:
+    """Generate checks with an injected LLM provider, resolved from a
+    'module:attribute' import path (no bundled runtime — see dqx_spark.llm)."""
+    import importlib
+
+    from dqx_spark.io import InputConfig, read_input_data
+    from dqx_spark.llm import generate_rules_with_llm
+    from dqx_spark.serde import save_checks_to_file
+
+    mod_name, sep, attr = args.provider.partition(":")
+    if not sep:
+        raise SystemExit(f"--provider must be 'module:attribute', got {args.provider!r}")
+    provider = getattr(importlib.import_module(mod_name), attr)
+
+    spark = _spark("llm_generate")
+    df = read_input_data(spark, InputConfig(location=args.input, format=args.format))
+    checks = generate_rules_with_llm(df, provider, columns=args.columns, max_attempts=args.max_attempts)
+    save_checks_to_file(checks, args.output)
+    print(f"wrote {len(checks)} LLM-generated checks to {args.output}")
+    return 0
+
+
 def cmd_train_anomaly(args) -> int:
     from dqx_spark import anomaly
     from dqx_spark.io import InputConfig, read_input_data
@@ -211,6 +233,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-fraction", type=float, default=0.3)
     p.add_argument("--limit", type=int, default=1000)
     p.set_defaults(func=cmd_e2e)
+
+    p = sub.add_parser("llm-generate", help="generate checks via an injected LLM provider")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--provider", required=True, help="import path 'module:attribute' of a Callable[[str], str]")
+    p.add_argument("--output", required=True, help="checks YAML/JSON path")
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--max-attempts", type=int, default=3)
+    p.set_defaults(func=cmd_llm_generate)
 
     p = sub.add_parser("train_anomaly", help="fit an isolation forest and register it")
     p.add_argument("--input", required=True)

@@ -46,6 +46,34 @@ def test_cli_validate_checks(tmp_path, capsys):
     assert main(["validate-checks", "--checks", str(bad)]) == 1
 
 
+def test_cli_llm_generate(spark, tmp_path, capsys, monkeypatch):
+    # fake provider importable via 'module:attribute'
+    prov = tmp_path / "fake_llm_provider.py"
+    prov.write_text(
+        "import json\n"
+        "def complete(prompt):\n"
+        "    return json.dumps([\n"
+        "        {'criticality': 'error',\n"
+        "         'check': {'function': 'is_not_null', 'arguments': {'column': 'o_orderkey'}}}\n"
+        "    ]).replace(chr(39), chr(34))\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    out = str(tmp_path / "llm_checks.yaml")
+    rc = main(
+        [
+            "llm-generate",
+            "--input", f"{SF}/orders.parquet",
+            "--provider", "fake_llm_provider:complete",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    assert "wrote 1 LLM-generated checks" in capsys.readouterr().out
+    from dqx_spark.serde import load_checks_from_file
+
+    assert load_checks_from_file(out)[0]["check"]["function"] == "is_not_null"
+
+
 def test_cli_profile_and_apply(spark, tmp_path, capsys):
     checks = str(tmp_path / "checks.yaml")
     assert (
