@@ -30,6 +30,8 @@ __all__ = [
     "text_profile",
     "chunk_by_tokens",
     "top_distinctive_terms",
+    "fix_mojibake",
+    "normalize_text",
 ]
 
 # Small per-language function-word sets for the n-gram/stopword heuristic.
@@ -412,3 +414,104 @@ def doc_fingerprint(column: str | Column) -> Column:
     col = to_col(column)
     normalized = F.lower(F.trim(F.regexp_replace(F.coalesce(col, F.lit("")), r"\s+", " ")))
     return F.md5(normalized)
+
+
+_MOJIBAKE_MARKERS = "ÃÂâ€š‚„…‰‹œž¢£"
+
+
+def _repair_mojibake_str(v: str | None) -> str | None:
+    """Undo UTF-8-read-as-CP1252/Latin-1 double encoding ("Ã©" for "é",
+    "â€™" for "'").  Re-encode through cp1252 (latin-1 fallback for the
+    five cp1252 holes), decode strictly as UTF-8; keep the original unless
+    the round-trip succeeds AND strictly reduces mojibake marker
+    characters — clean text that legitimately contains 'Ã' fails one of
+    the two conditions and is untouched.  (ftfy's dominant repair leg.)"""
+    if v is None or not any(m in v for m in "Ãâ"):
+        return v
+    try:
+        raw = v.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            raw = v.encode("latin-1")
+        except UnicodeEncodeError:
+            return v
+    try:
+        repaired = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return v
+    before = sum(v.count(m) for m in _MOJIBAKE_MARKERS)
+    after = sum(repaired.count(m) for m in _MOJIBAKE_MARKERS)
+    return repaired if repaired != v and after < before else v
+
+
+def fix_mojibake(column: str | Column) -> Column:
+    """Column wrapper for :func:`_repair_mojibake_str` as an Arrow-batched
+    pandas UDF.
+
+    This is a genuine UDF case, not a missed builtin: Spark 4's ANSI
+    charset functions THROW on the exact inputs the repair must probe
+    (``encode(.., 'ISO-8859-1')`` on non-Latin-1 text, ``decode(.., 'UTF-8')``
+    on invalid bytes), and cp1252 — the charset real web mojibake goes
+    through — is not a supported Spark charset at all.  The UDF
+    short-circuits on the 'Ã'/'â' lead characters, so clean batches cost
+    one vectorized scan."""
+    import pandas as pd  # noqa: PLC0415
+
+    @F.pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        return s.map(_repair_mojibake_str)
+
+    return _fix(to_col(column))
+
+
+def normalize_text(
+    column: str | Column,
+    repair_mojibake: bool = False,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    nfc: bool = False,
+) -> Column:
+    """Standard corpus text normalization:
+
+    1. optional mojibake repair (:func:`fix_mojibake`; pandas UDF — see its
+       docstring for why this step cannot be a builtin)
+    2. control-character stripping (C0/C1 minus tab/newline; zero-width
+       chars and BOM) — pure Column
+    3. whitespace collapsing (runs of spaces/tabs to one space, >2 blank
+       lines to one, trimmed) — pure Column
+    4. optional NFC unicode normalization (Spark has no NFC builtin) —
+       folded into the SAME pandas UDF pass as the mojibake repair when
+       both are on, so the Python boundary is crossed at most once.
+
+    Defaults keep the hot path fully JVM-side/codegen'd; the two Python
+    steps are opt-in.  Null input stays null.
+    """
+    raw = to_col(column)
+    col = raw
+    if repair_mojibake or nfc:
+        import pandas as pd  # noqa: PLC0415
+
+        @F.pandas_udf("string")
+        def _py_pass(s: pd.Series) -> pd.Series:
+            import unicodedata  # noqa: PLC0415
+
+            def fix(v):
+                if v is None:
+                    return None
+                if repair_mojibake:
+                    v = _repair_mojibake_str(v)
+                if nfc:
+                    v = unicodedata.normalize("NFC", v)
+                return v
+
+            return s.map(fix)
+
+        col = _py_pass(col)
+    if strip_control:
+        col = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F​‌‍﻿]", "")
+    if collapse_whitespace:
+        col = F.regexp_replace(col, r"[ \t]+", " ")          # horizontal runs
+        col = F.regexp_replace(col, r" ?\n ?", "\n")          # spaces around newlines
+        col = F.regexp_replace(col, r"\n{3,}", "\n\n")       # huge vertical gaps
+        col = F.trim(col)
+    return F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(col)

@@ -324,3 +324,39 @@ def test_url_normalize_param_edge_cases(spark):
     assert out[2] == "https://a.com/p"
     assert out[3] == "https://a.com/p?q=1"
     assert out[4] == "https://a.com/p?q=1&r=2"
+
+
+def test_repair_mojibake_str():
+    fix = text._repair_mojibake_str
+    assert fix("Ã©tÃ© chaud") == "été chaud"
+    assert fix("lâ€™hÃ´tel") == "l’hôtel"          # cp1252 leg (â€™ -> ’)
+    assert fix("price â‚¬5") == "price €5"          # € through cp1252 0x80
+    assert fix("café déjà ok") == "café déjà ok"     # clean text untouched
+    assert fix("naÃ¯ve") == "naïve"
+    assert fix("plain ascii") == "plain ascii"
+    assert fix(None) is None
+    # a legitimate 'Ã' that does not round-trip to fewer markers survives
+    assert fix("Ã is a letter") == "Ã is a letter"
+
+
+def test_normalize_text(spark):
+    rows = [
+        (0, "  hello\tworld  \n\n\n\n\nbye  "),
+        (1, "zero​width­and\x07bell"),
+        (2, "Ã©tÃ©   chaud"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r["n"] for r in df.select("id", text.normalize_text("t").alias("n")).collect()}
+    assert out[0] == "hello world\n\nbye"
+    assert out[1] == "zerowidth\xadandbell"  # zero-width + bell stripped; soft hyphen kept (not control)
+    assert out[3] is None
+    # python pass: mojibake + NFC in one UDF crossing
+    out2 = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", text.normalize_text("t", repair_mojibake=True, nfc=True).alias("n")
+        ).collect()
+    }
+    assert out2[2] == "été chaud"
+    assert out2[3] is None
