@@ -5,6 +5,8 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -455,8 +457,6 @@ def fix_mojibake(column: str | Column) -> Column:
     through — is not a supported Spark charset at all.  The UDF
     short-circuits on the 'Ã'/'â' lead characters, so clean batches cost
     one vectorized scan."""
-    import pandas as pd  # noqa: PLC0415
-
     @F.pandas_udf("string")
     def _fix(s: pd.Series) -> pd.Series:
         return s.map(_repair_mojibake_str)
@@ -489,7 +489,6 @@ def normalize_text(
     raw = to_col(column)
     col = raw
     if repair_mojibake or nfc:
-        import pandas as pd  # noqa: PLC0415
 
         @F.pandas_udf("string")
         def _py_pass(s: pd.Series) -> pd.Series:
