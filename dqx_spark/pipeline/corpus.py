@@ -351,12 +351,14 @@ def clean_corpus(
     contamination_n: int = 8,
     splits: dict[str, float] | None = None,
     salt: str = "",
+    normalize: bool = False,
 ) -> DataFrame:
     """The standard pretraining cleaning chain as ONE lazy plan:
-    optional corpus-wide boilerplate removal -> Gopher-style scan-local
-    quality filters -> language filter -> exact dedup (md5 fingerprint,
-    min-id survivor) -> optional MinHash near-dedup -> optional benchmark
-    decontamination -> deterministic split assignment.
+    optional text normalization (control-char strip + whitespace collapse,
+    scan-local) -> optional corpus-wide boilerplate removal -> Gopher-style
+    scan-local quality filters -> language filter -> exact dedup (md5
+    fingerprint, min-id survivor) -> optional MinHash near-dedup -> optional
+    benchmark decontamination -> deterministic split assignment.
 
     Stage ordering is the cost order for 100 TB: all scan-local filters run
     FIRST inside one projected scan (shrinking the corpus before anything
@@ -376,13 +378,19 @@ def clean_corpus(
 
     out = df
     effective_text = text_col
+    if normalize:
+        # JVM-side stages only (control strip + whitespace collapse), so the
+        # chain stays one codegen'd plan; run fix_mojibake/NFC upstream when
+        # the corpus needs the Python pass
+        effective_text = f"{text_col}_norm"
+        out = out.withColumn(effective_text, _text.normalize_text(text_col))
     if boilerplate_max_line_doc_freq is not None:
         # explicit 'scan' keeps clean_corpus a single lazy plan (the 'auto'
         # default adds a plan-build action to size the hot set)
         out = remove_boilerplate_lines(
-            out, id_col, text_col, max_line_doc_freq=boilerplate_max_line_doc_freq, strategy="scan"
+            out, id_col, effective_text, max_line_doc_freq=boilerplate_max_line_doc_freq, strategy="scan"
         )
-        effective_text = f"{text_col}_clean"
+        effective_text = f"{effective_text}_clean"
 
     # Filter-stage plan shape (same trick as text.text_profile): the token /
     # line arrays land in their own projection once, every count lands in

@@ -447,13 +447,17 @@ def near_duplicate_groups(
     **kwargs,
 ) -> DataFrame:
     """End-to-end: find near-dup pairs by the chosen method, union into
-    groups, return (id, group_id); group representatives are min ids."""
+    groups, return (id, group_id); group representatives are min ids.
+    ``method='embedding'`` treats ``text_col`` as an ``array<float/double>``
+    embedding column (sign-LSH bucketed cosine pairs)."""
     if method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kwargs)
     elif method == "ngram":
         pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold, **kwargs)
     elif method == "simhash":
         pairs = simhash_duplicate_pairs(df, id_col, text_col, **kwargs)
+    elif method == "embedding":
+        pairs = embedding_cosine_pairs(df, id_col, text_col, threshold=threshold, **kwargs)
     else:
         raise ValueError(f"unknown method {method!r}")
     return connected_components(pairs, df.select(F.col(id_col).alias("id")))

@@ -146,3 +146,18 @@ def test_remove_repeated_lines(spark):
     assert out[0] == "a\nb\nc"  # first occurrences, original order
     assert out[1] == "x"
     assert out[2] == "" and out[3] == ""
+
+
+def test_clean_corpus_normalize_stage(spark):
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog runs far tonight num%d  \t extra   spaces" % i)
+        for i in range(20)
+    ]
+    rows.append((100, "the\x07 quick brown fox jumps over the lazy dog runs far tonight num0  \t extra   spaces"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.clean_corpus(df, "doc_id", "text", min_words=5, normalize=True)
+    # after control-strip + whitespace collapse, doc 100 becomes an exact
+    # duplicate of doc 0 and the min-id survivor wins
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 0 in ids and 100 not in ids
+    assert len(ids) == 20
