@@ -277,3 +277,99 @@ def test_interval_join_property(spark, lefts, rights):
         if a <= b + w2 and b <= a + w1
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# exact polygon intersection vs an independent shapely-free reference
+# ---------------------------------------------------------------------------
+def _seg_intersect_ref(a1, a2, b1, b2):
+    """Independent reference: solve the 2x2 linear system for segment
+    parameters (not the orientation test the operator uses)."""
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = a1, a2, b1, b2
+    dx1, dy1 = x2 - x1, y2 - y1
+    dx2, dy2 = x4 - x3, y4 - y3
+    den = dx1 * dy2 - dy1 * dx2
+    if den == 0:
+        # parallel / collinear: check 1-D overlap on the carrying line
+        cross = dx1 * (y3 - y1) - dy1 * (x3 - x1)
+        if cross != 0:
+            return False
+        def within(p, q, r):  # r on segment pq (collinear assumed)
+            return min(p[0], q[0]) <= r[0] <= max(p[0], q[0]) and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        return within(a1, a2, b1) or within(a1, a2, b2) or within(b1, b2, a1) or within(b1, b2, a2)
+    t = ((x3 - x1) * dy2 - (y3 - y1) * dx2) / den
+    u = ((x3 - x1) * dy1 - (y3 - y1) * dx1) / den
+    return 0 <= t <= 1 and 0 <= u <= 1
+
+
+def _point_in_ref(pt, ring):
+    inside = False
+    n = len(ring) - 1
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        if (y1 > pt[1]) != (y2 > pt[1]):
+            xint = x1 + (x2 - x1) * (pt[1] - y1) / (y2 - y1)
+            if pt[0] < xint:
+                inside = not inside
+    return inside
+
+
+def _polys_intersect_ref(ra, rb):
+    for i in range(len(ra) - 1):
+        for j in range(len(rb) - 1):
+            if _seg_intersect_ref(ra[i], ra[i + 1], rb[j], rb[j + 1]):
+                return True
+    return _point_in_ref(ra[0], rb) or _point_in_ref(rb[0], ra)
+
+
+def _quad(cx, cy, w, h):
+    """Convex quadrilateral (axis-aligned rect as a closed ring)."""
+    return [(cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h), (cx, cy)]
+
+
+def _diamond(cx, cy, r):
+    return [(cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
+
+
+def _wkt(ring):
+    return "POLYGON((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+
+
+poly_strategy = st.lists(
+    st.tuples(
+        st.booleans(),  # rect vs diamond
+        st.integers(min_value=-20, max_value=20),
+        st.integers(min_value=-20, max_value=20),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(polys=poly_strategy)
+def test_polygons_disjoint_matches_reference(spark, polys):
+    rings = [
+        _diamond(cx, cy, w) if is_diamond else _quad(cx, cy, w, h)
+        for is_diamond, cx, cy, w, h in polys
+    ]
+    df = spark.createDataFrame(
+        [(i, _wkt(r)) for i, r in enumerate(rings)], "id int, g string"
+    )
+    from dqx_spark import DQDatasetRule, DQEngine
+    from dqx_spark.engine import ExtraParams
+    import dqx_spark.functions as C
+
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite="2024-06-01 00:00:00"))
+    checked = engine.apply_checks(
+        df, [DQDatasetRule(check_func=C.are_polygons_mutually_disjoint, column="g")]
+    )
+    got = {r["id"] for r in checked.where(F.col("_errors").isNotNull()).collect()}
+    expected = {
+        i
+        for i in range(len(rings))
+        if any(j != i and _polys_intersect_ref(rings[i], rings[j]) for j in range(len(rings)))
+    }
+    assert got == expected, f"rings={rings}"
