@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dqx_spark.pipeline.text import doc_fingerprint, exploded_shingle_hashes, tokens
+from dqx_spark.pipeline.text import doc_fingerprint, exploded_shingle_hashes, portable_hash60, tokens
 
 __all__ = [
     "exact_duplicates",
@@ -162,8 +162,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def _seed_hash(h: Column, i: int, hash_name: str) -> Column:
+    """i-th hash function over the base shingle hash.  xxhash64(h, i) on the
+    hot path; the md5 portable path re-hashes the decimal string
+    ``'<h>:<i>'`` with :func:`portable_hash60` (DuckDB twin:
+    ``md5(h::VARCHAR || ':' || i::VARCHAR)``)."""
+    if hash_name == "md5":
+        return portable_hash60(F.concat(h.cast("string"), F.lit(f":{i}")))
+    return F.xxhash64(h, F.lit(i))
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
@@ -178,9 +193,15 @@ def minhash_signatures(
     across lambda boundaries.  The k hash functions are ``xxhash64(h, i)``
     over the 8-byte base hash — text is scanned once, not k times.
     Shuffle = one compact (id, 64 longs) row per document, map-side
-    combined."""
-    ex = exploded_shingle_hashes(df, id_col, text_col, shingle_k)
-    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    combined.
+
+    ``hash_name='md5'`` swaps both the shingle hash and the k seed hashes
+    for the engine-portable 60-bit md5 derivation (see
+    :func:`dqx_spark.pipeline.text.portable_hash60`), making the whole
+    signature — and everything derived from it — reproducible in DuckDB for
+    conformance oracles."""
+    ex = exploded_shingle_hashes(df, id_col, text_col, shingle_k, hash_name=hash_name)
+    aggs = [F.min(_seed_hash(F.col("h"), i, hash_name)).alias(f"m{i}") for i in range(num_hashes)]
     sig = ex.groupBy("id").agg(*aggs).select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
     # docs with no shingles (shorter than k tokens) drop out of the explode;
     # restore them with a null signature
@@ -203,9 +224,12 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     storage: str = "local",
+    hash_name: str = "xxhash64",
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, scored by estimated
-    Jaccard: (id_a, id_b, est_jaccard).
+    Jaccard: (id_a, id_b, est_jaccard), plus exact (common, size_a, size_b,
+    jaccard) columns when ``verify_exact=True``.
 
     Plan: signature per doc (scan-local) -> explode (band_id, band_hash)
     WITHOUT the signature payload -> pair ids within a bucket (docs sharing
@@ -219,12 +243,22 @@ def minhash_lsh_pairs(
     The signature subplan is shared by the banding branch and the two
     score joins; ``storage`` picks the materialization (default
     localCheckpoint — at cluster scale pass 'memory'/'disk' for the
-    fault-tolerant persist of (id, 64 longs), tiny next to the corpus)."""
+    fault-tolerant persist of (id, 64 longs), tiny next to the corpus).
+
+    ``verify_exact=True`` re-joins the candidate pairs against the real
+    shingle-hash sets and filters on EXACT Jaccard >= threshold (the
+    standard LSH candidate-then-verify discipline) instead of the signature
+    estimate.  Cost is bounded by the candidate set, not the corpus: only
+    candidate docs' shingles are rejoined.  Combined with
+    ``hash_name='md5'`` the full output is deterministic given the hash and
+    reproducible in DuckDB — the conformance-oracle configuration."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sigs = _materialize(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).where(F.col("sig").isNotNull()),
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_name=hash_name).where(
+            F.col("sig").isNotNull()
+        ),
         storage,
     )
     banded = sigs.select(
@@ -252,27 +286,61 @@ def minhash_lsh_pairs(
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .withColumn("est_jaccard", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
     )
-    return scored.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+    if not verify_exact:
+        return scored.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+    # exact verification: rejoin only the candidates against the true
+    # shingle-hash sets; threshold applies to the exact Jaccard
+    sh = exploded_shingle_hashes(df, id_col, text_col, shingle_k, hash_name=hash_name).withColumnRenamed(
+        "h", "shingle"
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    est = scored.select("id_a", "id_b", "est_jaccard")
+    common = (
+        est.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        est.join(common, ["id_a", "id_b"], "inner")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "est_jaccard", "common", "size_a", "size_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sh) 64-bit SimHash per document: bit b of the result is the
-    majority vote of bit b across distinct-token xxhash64 values.
+def _sim_bits(hash_name: str) -> int:
+    """SimHash width per hash primitive: 64 for xxhash64; 60 for the
+    portable md5 path (portable_hash60 yields 60 meaningful bits)."""
+    return 60 if hash_name == "md5" else 64
 
-    Shape: explode distinct tokens -> 64 bit-count sum-aggregates per id ->
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, hash_name: str = "xxhash64") -> DataFrame:
+    """(id, sh) SimHash per document: bit b of the result is the majority
+    vote of bit b across distinct-token hash values (64-bit xxhash64 by
+    default; 60-bit engine-portable md5 derivation with
+    ``hash_name='md5'`` — see :func:`~dqx_spark.pipeline.text.portable_hash60`).
+
+    Shape: explode distinct tokens -> per-bit sum-aggregates per id ->
     majority -> assemble (same explode-don't-nest rationale as
     ``minhash_signatures``)."""
+    nbits = _sim_bits(hash_name)
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).withColumn("h", F.xxhash64(F.col("t")))
-    aggs = [F.sum(F.getbit(F.col("h"), F.lit(b)).cast("int")).alias(f"b{b}") for b in range(64)] + [
+    t = F.col("t")
+    token_hash = portable_hash60(t) if hash_name == "md5" else F.xxhash64(t)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).withColumn("h", token_hash)
+    aggs = [F.sum(F.getbit(F.col("h"), F.lit(b)).cast("int")).alias(f"b{b}") for b in range(nbits)] + [
         F.count(F.lit(1)).alias("n")
     ]
     per_doc = ex.groupBy("id").agg(*aggs)
     sh = F.lit(0).cast("long")
-    for b in range(63, -1, -1):
+    for b in range(nbits - 1, -1, -1):
         bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
         sh = F.shiftleft(sh, 1).bitwiseOR(bit)
     sig = per_doc.select("id", sh.alias("sh"))
@@ -280,15 +348,20 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return all_ids.join(sig, "id", "left")
 
 
-def simhash_duplicate_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_duplicate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, hash_name: str = "xxhash64"
+) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming + 1) bands; any pair
-    within the Hamming ball agrees exactly on >= 1 band, so candidates only
-    join within identical band values — no quadratic blowup."""
+    Pigeonhole banding: split the signature bits into (max_hamming + 1)
+    bands; any pair within the Hamming ball agrees exactly on >= 1 band, so
+    candidates only join within identical band values — no quadratic
+    blowup.  ``hash_name='md5'`` makes the whole output DuckDB-reproducible
+    (60-bit signatures, 15-bit bands at the default max_hamming=3)."""
+    nbits = _sim_bits(hash_name)
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    sh = simhash64(df, id_col, text_col).where(F.col("sh").isNotNull())
+    width = nbits // n_bands
+    sh = simhash64(df, id_col, text_col, hash_name=hash_name).where(F.col("sh").isNotNull())
     banded = sh.select(
         "id",
         "sh",

@@ -15,6 +15,7 @@ from dqx_spark.rule import to_col
 __all__ = [
     "tokens",
     "token_count",
+    "portable_hash60",
     "word_shingles",
     "exploded_shingle_hashes",
     "char_ngrams",
@@ -77,6 +78,17 @@ def bpe_ish_token_count(column: str | Column) -> Column:
     return F.size(F.filter(pieces, lambda p: p != ""))
 
 
+def portable_hash60(column: str | Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5, as a
+    non-negative long (< 2^60, so it can never overflow a signed 64-bit on
+    either engine).  DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT`` — bit-identical,
+    which makes hash-seeded operators (MinHash, SimHash) oracle-checkable.
+    xxhash64 stays the default hot-path primitive; this is the conformance/
+    reproducibility path (md5 throughput is ~5× lower)."""
+    return F.conv(F.substring(F.md5(to_col(column)), 1, 15), 16, 10).cast("long")
+
+
 def word_shingles(column: str | Column, k: int = 5, lowercase: bool = True) -> Column:
     """Distinct word k-grams (the MinHash/Jaccard input unit)."""
     col = to_col(column)
@@ -93,11 +105,13 @@ def word_shingles(column: str | Column, k: int = 5, lowercase: bool = True) -> C
     return F.array_distinct(grams)
 
 
-def exploded_shingle_hashes(df, id_col: str, text_col: str, k: int = 5, lowercase: bool = True):
-    """(id, h) DataFrame: one row per distinct word-k-gram 64-bit hash per
-    document, built without ever materializing shingle strings.
+def exploded_shingle_hashes(
+    df, id_col: str, text_col: str, k: int = 5, lowercase: bool = True, hash_name: str = "xxhash64"
+):
+    """(id, h) DataFrame: one row per distinct word-k-gram hash per document.
 
-    Two projections on purpose: tokens are xxhash64'd once into an
+    ``hash_name='xxhash64'`` (default, hot path) never materializes shingle
+    strings: two projections on purpose — tokens are xxhash64'd once into an
     intermediate ``array<long>`` column, and the second projection hashes
     k-long *slices* of that array (``xxhash64(slice(th, i, k))``).  Keeping
     the token-hash array in its own projection stops Catalyst's
@@ -106,8 +120,27 @@ def exploded_shingle_hashes(df, id_col: str, text_col: str, k: int = 5, lowercas
     benchmarked 9× slower at sf0.1).  Equivalent to hashing
     ``word_shingles`` output modulo negligible 64-bit collisions, and the
     dominant shingling cost at 100 TB drops from string-building to long
-    hashing."""
+    hashing.
+
+    ``hash_name='md5'`` is the engine-portable path: the shingle STRING is
+    built (``array_join`` of the token slice) and hashed with
+    :func:`portable_hash60`, so DuckDB/Trino can reproduce every hash value
+    bit-for-bit — the conformance-oracle mode for the MinHash/SimHash
+    family.  Same distinct-then-explode shape, same CSE guard."""
+    if hash_name not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_name must be 'xxhash64' or 'md5', got {hash_name!r}")
     col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    if hash_name == "md5":
+        step1 = df.select(F.col(id_col).alias("id"), tokens(col).alias("__tk"))
+        n = F.size(F.col("__tk"))
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: portable_hash60(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return step1.select("id", F.explode(F.array_distinct(grams)).alias("h"))
     th = F.transform(tokens(col), lambda t: F.xxhash64(t))
     step1 = df.select(F.col(id_col).alias("id"), th.alias("__th"))
     n = F.size(F.col("__th"))

@@ -12,9 +12,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import __spark_entry__ as entry
 
 EXPECTED_ROWS_ONLY = {
-    # probabilistic / ML constructs with no DuckDB twin:
-    "dedup_minhash_lsh",   # LSH candidate generation
-    "dedup_simhash",       # xxhash64 has no DuckDB equivalent
+    # probabilistic / ML constructs with no DuckDB twin
+    # (dedup_minhash_lsh / dedup_simhash left this list in r4: the portable
+    # md5-60bit hash made their full output DuckDB-reproducible):
     "ann_lsh_topk",        # approximate by construction
     "ivf_topk",            # KMeans-seeded probe
     "multimodal_features", # stubbed feature extractor (no media lib)

@@ -58,6 +58,44 @@ def test_simhash(docs, spark):
     assert a == b
 
 
+def test_portable_hash60_matches_md5(docs, spark):
+    """The engine-portable 60-bit hash must equal int(md5_hex[:15], 16) —
+    the contract that lets DuckDB oracles reproduce LSH signatures."""
+    import hashlib
+
+    out = spark.range(1).select(
+        text.portable_hash60(F.lit("hello")).alias("a"),
+        text.portable_hash60(F.lit("the quick brown fox")).alias("b"),
+    ).collect()[0]
+    assert out["a"] == int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert out["b"] == int(hashlib.md5(b"the quick brown fox").hexdigest()[:15], 16)
+
+
+def test_minhash_md5_mode_and_exact_verification(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.5,
+        hash_name="md5", verify_exact=True,
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in pairs.collect()}
+    assert rows[(0, 4)]["est_jaccard"] == 1.0
+    assert rows[(0, 4)]["jaccard"] == 1.0  # exact columns present and correct
+    assert rows[(0, 4)]["common"] == rows[(0, 4)]["size_a"] == rows[(0, 4)]["size_b"]
+    # exact verification bounds every surviving pair by the true jaccard
+    assert all(r["jaccard"] >= 0.5 for r in rows.values())
+    # deterministic across runs (hash-seeded, no RNG)
+    again = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert set(rows) == again
+
+
+def test_simhash_md5_mode(docs):
+    sigs = {r["id"]: r["sh"] for r in dedup.simhash64(docs, "id", "text", hash_name="md5").collect()}
+    assert all(s is None or 0 <= s < 2**60 for s in sigs.values())  # 60-bit portable signatures
+    assert sigs[0] == sigs[4]
+    pairs = dedup.simhash_duplicate_pairs(docs, "id", "text", max_hamming=3, hash_name="md5")
+    pairset = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert pairset[(0, 4)] == 0
+
+
 def test_connected_components(docs):
     groups = dedup.near_duplicate_groups(docs, "id", "text", method="ngram", threshold=0.5, k=3)
     label = {r["id"]: r["group_id"] for r in groups.collect()}
