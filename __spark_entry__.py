@@ -1447,6 +1447,13 @@ def q_geo_row_checks(spark, sf):
             F.when(k % 11 == 0, F.lit("190.25")).when(k % 13 == 0, F.lit("junk")).otherwise((k % 360 - 180).cast("string")),
         )
         .withColumn("poly", F.when(k % 5 == 0, open_poly).when(k % 7 == 0, bowtie).otherwise(sq))
+        .withColumn(
+            "gc",
+            F.when(k % 13 == 0, F.lit("GEOMETRYCOLLECTION (BANANA (1 2))"))
+            .when(k % 4 == 0, F.lit("GEOMETRYCOLLECTION EMPTY"))
+            .when(k % 4 == 1, F.lit("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"))
+            .otherwise(F.lit("GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 1 0, 1 1, 0 0)))")),
+        )
     )
     fence = "POLYGON((-1 -1, 21 -1, 21 3, -1 3, -1 -1))"
     rules = [
@@ -1472,6 +1479,11 @@ def q_geo_row_checks(spark, sf):
         DQRowRule(
             name="is_in_geofence", check_func=C.is_in_geofence, column="poly",
             check_func_kwargs={"geofence_wkt": fence},
+        ),
+        DQRowRule(name="is_geometry_collection", check_func=C.is_geometry, column="gc"),
+        DQRowRule(
+            name="has_dimension_collection", check_func=C.has_dimension, column="gc",
+            check_func_kwargs={"dimension": 2},
         ),
     ]
     return _apply_batch(df, rules, ["c_custkey"])
@@ -2158,7 +2170,11 @@ def oracle_sql() -> dict[str, str]:
             "(c_custkey % 5 = 0 OR c_custkey % 7 = 0 OR (c_custkey % 3) + 1 = 1) AS has_area_between, "
             "(c_custkey % 5 = 0) AS has_num_points_between, "
             "(c_custkey % 5 = 0 OR (c_custkey % 5 <> 0 AND c_custkey % 7 = 0)) AS is_ogc_valid, "
-            "(c_custkey % 5 = 0 OR c_custkey % 10 >= 5) AS is_in_geofence "
+            "(c_custkey % 5 = 0 OR c_custkey % 10 >= 5) AS is_in_geofence, "
+            # gc fixture: %13 -> junk member; %4 in (0,1) -> EMPTY / dim-1;
+            # else dim-2 (contains a POLYGON member)
+            "(c_custkey % 13 = 0) AS is_geometry_collection, "
+            "(c_custkey % 13 = 0 OR c_custkey % 4 IN (0, 1)) AS has_dimension_collection "
             "FROM fx"
         ),
         "row_checks_lineitem": (

@@ -10,7 +10,8 @@ backend.  Covered (reference file:line):
 * ``is_latitude`` / ``is_longitude`` (geo/check_funcs.py:63/:86) — in
   row_checks.py.
 * ``is_geometry`` (:110) — WKT well-formedness for
-  POINT/LINESTRING/POLYGON/MULTIPOINT/MULTILINESTRING/MULTIPOLYGON.
+  POINT/LINESTRING/POLYGON/MULTIPOINT/MULTILINESTRING/MULTIPOLYGON and
+  one-level GEOMETRYCOLLECTION (ref :166-360).
 * ``is_point`` / ``is_linestring`` / ``is_polygon`` (:166-360) — type tag.
 * ``is_non_empty_geometry`` (:391) — ``... EMPTY`` forms fail.
 * ``is_not_null_island`` (:420) — POINT(0 0).
@@ -60,14 +61,22 @@ __all__ = [
 _NUM = r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
 _PAIR = rf"{_NUM}\s+{_NUM}"
 _RING = rf"\(\s*{_PAIR}(?:\s*,\s*{_PAIR})*\s*\)"
-WKT_PATTERNS = {
-    "POINT": rf"^\s*POINT\s*(?:EMPTY|\(\s*{_PAIR}\s*\))\s*$",
-    "LINESTRING": rf"^\s*LINESTRING\s*(?:EMPTY|{_RING})\s*$",
-    "POLYGON": rf"^\s*POLYGON\s*(?:EMPTY|\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))\s*$",
-    "MULTIPOINT": rf"^\s*MULTIPOINT\s*(?:EMPTY|\(\s*(?:{_PAIR}|\(\s*{_PAIR}\s*\))(?:\s*,\s*(?:{_PAIR}|\(\s*{_PAIR}\s*\)))*\s*\))\s*$",
-    "MULTILINESTRING": rf"^\s*MULTILINESTRING\s*(?:EMPTY|\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))\s*$",
-    "MULTIPOLYGON": rf"^\s*MULTIPOLYGON\s*(?:EMPTY|\(\s*\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\)(?:\s*,\s*\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))*\s*\))\s*$",
+#: unanchored WKT bodies per type (anchored below; also reused as the member
+#: grammar inside GEOMETRYCOLLECTION, which nests one level per OGC SF common
+#: practice)
+_WKT_BODY = {
+    "POINT": rf"POINT\s*(?:EMPTY|\(\s*{_PAIR}\s*\))",
+    "LINESTRING": rf"LINESTRING\s*(?:EMPTY|{_RING})",
+    "POLYGON": rf"POLYGON\s*(?:EMPTY|\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))",
+    "MULTIPOINT": rf"MULTIPOINT\s*(?:EMPTY|\(\s*(?:{_PAIR}|\(\s*{_PAIR}\s*\))(?:\s*,\s*(?:{_PAIR}|\(\s*{_PAIR}\s*\)))*\s*\))",
+    "MULTILINESTRING": rf"MULTILINESTRING\s*(?:EMPTY|\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))",
+    "MULTIPOLYGON": rf"MULTIPOLYGON\s*(?:EMPTY|\(\s*\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\)(?:\s*,\s*\(\s*{_RING}(?:\s*,\s*{_RING})*\s*\))*\s*\))",
 }
+_GC_MEMBER = "(?:" + "|".join(f"(?:{b})" for b in _WKT_BODY.values()) + ")"
+_WKT_BODY["GEOMETRYCOLLECTION"] = (
+    rf"GEOMETRYCOLLECTION\s*(?:EMPTY|\(\s*{_GC_MEMBER}(?:\s*,\s*{_GC_MEMBER})*\s*\))"
+)
+WKT_PATTERNS = {t: rf"^\s*{b}\s*$" for t, b in _WKT_BODY.items()}
 _ANY_WKT = "|".join(f"(?:{p})" for p in WKT_PATTERNS.values())
 
 
@@ -205,6 +214,24 @@ def _ring(col: Column) -> Column:
     )
 
 
+def _rings(col: Column) -> Column:
+    """ALL rings of a WKT POLYGON (outer first, then holes) as
+    array<array<struct<x,y>>> — the hole-aware twin of :func:`_ring`."""
+    bodies = F.regexp_extract_all(_wkt_upper(col), F.lit(r"\(([^()]*)\)"), 1)
+
+    def ring_of(body: Column) -> Column:
+        pairs = F.filter(F.split(body, r"\s*,\s*"), lambda s: F.trim(s) != "")
+        return F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.split(F.trim(p), r"\s+").getItem(0).cast("double").alias("x"),
+                F.split(F.trim(p), r"\s+").getItem(1).cast("double").alias("y"),
+            ),
+        )
+
+    return F.transform(bodies, ring_of)
+
+
 def _edges(ring: Column) -> Column:
     """Consecutive vertex pairs of a closed ring as array<struct<p,q>>."""
     return F.transform(
@@ -242,10 +269,13 @@ def _segments_intersect(ea: Column, eb: Column) -> Column:
     return (d1 * d2 <= 0) & (d3 * d4 <= 0) & bbox
 
 
-def _point_in_ring(pt: Column, ring: Column) -> Column:
-    """Even-odd ray cast: odd number of upward/downward edge crossings to the
-    right of the point.  The division is guarded by the crossing condition
-    (dy != 0 whenever the branch is evaluated), so it is ANSI-safe."""
+def _point_in_edges(pt: Column, edges: Column) -> Column:
+    """Even-odd ray cast over an edge set: odd number of upward/downward edge
+    crossings to the right of the point.  The division is guarded by the
+    crossing condition (dy != 0 whenever the branch is evaluated), so it is
+    ANSI-safe.  Passing the union of all ring edge sets gives the OGC
+    interior test for polygons with holes for free: a point inside a hole
+    crosses the outer ring once and the hole ring once — even — outside."""
     px, py = pt.getField("x"), pt.getField("y")
 
     def crossing(acc, e):
@@ -256,7 +286,11 @@ def _point_in_ring(pt: Column, ring: Column) -> Column:
         )
         return acc + F.when(spans & (px < xint), F.lit(1)).otherwise(F.lit(0))
 
-    return F.aggregate(_edges(ring), F.lit(0), crossing) % 2 == 1
+    return F.aggregate(edges, F.lit(0), crossing) % 2 == 1
+
+
+def _point_in_ring(pt: Column, ring: Column) -> Column:
+    return _point_in_edges(pt, _edges(ring))
 
 
 def _polygons_intersect(ra: Column, rb: Column) -> Column:
@@ -265,6 +299,25 @@ def _polygons_intersect(ra: Column, rb: Column) -> Column:
     sufficient when no edges cross)."""
     edge_hit = F.exists(_edges(ra), lambda ea: F.exists(_edges(rb), lambda eb: _segments_intersect(ea, eb)))
     return edge_hit | _point_in_ring(F.element_at(ra, 1), rb) | _point_in_ring(F.element_at(rb, 1), ra)
+
+
+def _polygon_edges(rings: Column) -> Column:
+    """Every boundary edge of a polygon-with-holes (all rings flattened)."""
+    return F.flatten(F.transform(rings, _edges))
+
+
+def _polygons_intersect_rings(rsa: Column, rsb: Column) -> Column:
+    """Hole-aware exact polygon-polygon intersection (OGC ST_Intersects,
+    touching counts): any boundary edge pair of any rings intersects, or one
+    polygon's first outer vertex lies in the other's interior under the
+    even-odd rule over ALL rings — so a polygon sitting entirely inside
+    another's hole is correctly disjoint, and crossing or touching a hole
+    boundary (part of the polygon's boundary per OGC) correctly intersects."""
+    ea, eb = _polygon_edges(rsa), _polygon_edges(rsb)
+    edge_hit = F.exists(ea, lambda x: F.exists(eb, lambda y: _segments_intersect(x, y)))
+    va = F.element_at(F.element_at(rsa, 1), 1)
+    vb = F.element_at(F.element_at(rsb, 1), 1)
+    return edge_hit | _point_in_edges(va, eb) | _point_in_edges(vb, ea)
 
 
 def _indexed_edges(ring: Column) -> Column:
@@ -356,11 +409,31 @@ def has_num_points_between(column: str | Column, min_points: int, max_points: in
 
 _DIMENSION_OF = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
 
+#: longest-first so MULTIPOINT does not tokenize as POINT inside a collection
+_MEMBER_TAG_RE = "(MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|POINT|LINESTRING|POLYGON)"
+
+
+def _member_dim(tag: Column) -> Column:
+    out = F.lit(None).cast("int")
+    for t, d in _DIMENSION_OF.items():
+        out = F.when(tag == t, F.lit(d)).otherwise(out)
+    return out
+
+
+def _collection_dimension(up: Column) -> Column:
+    """Max member dimension of a (valid) GEOMETRYCOLLECTION; 0 when EMPTY —
+    the OGC ST_Dimension convention (PostGIS returns 0 for the empty
+    collection)."""
+    body = F.regexp_replace(up, r"^\s*GEOMETRYCOLLECTION", "")
+    tags = F.regexp_extract_all(body, F.lit(_MEMBER_TAG_RE), 1)
+    return F.coalesce(F.array_max(F.transform(tags, _member_dim)), F.lit(0))
+
 
 @register_rule("row")
 def has_dimension(column: str | Column, dimension: int) -> Column:
     """Topological dimension of the WKT type tag equals ``dimension``
-    (reference geo/check_funcs.py has_dimension; 0=point 1=line 2=area).
+    (reference geo/check_funcs.py has_dimension; 0=point 1=line 2=area;
+    GEOMETRYCOLLECTION = max member dimension, 0 when EMPTY).
     Unrecognized/malformed WKT fails."""
     col = to_col(column)
     name = normalize_col_str(column)
@@ -368,6 +441,10 @@ def has_dimension(column: str | Column, dimension: int) -> Column:
     dim = F.lit(None).cast("int")
     for t, d in _DIMENSION_OF.items():
         dim = F.when((tag == t) & _wkt_upper(col).rlike(WKT_PATTERNS[t]), F.lit(d)).otherwise(dim)
+    dim = F.when(
+        (tag == "GEOMETRYCOLLECTION") & _wkt_upper(col).rlike(WKT_PATTERNS["GEOMETRYCOLLECTION"]),
+        _collection_dimension(_wkt_upper(col)),
+    ).otherwise(dim)
     condition = col.isNotNull() & (dim.isNull() | (dim != int(dimension)))
     return make_condition(
         condition,
@@ -510,9 +587,12 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
     geo/check_funcs.py:893, st_intersects semantics — touching counts).
 
     ``exact=True`` (default): bounding-box candidates are refined with an
-    exact predicate (segment intersection + ray-cast containment) over the
-    outer rings, so disjoint polygons with overlapping bboxes are NOT
-    flagged.  ``exact=False`` keeps the cheaper bbox-only approximation
+    exact predicate (segment intersection + ray-cast containment) over ALL
+    rings — interior rings included, so a polygon lying entirely inside
+    another's hole is correctly disjoint (donut semantics; see
+    :func:`_polygons_intersect_rings`) and disjoint polygons with
+    overlapping bboxes are NOT flagged.  ``exact=False`` keeps the cheaper
+    bbox-only approximation
     (conservative: clean results are trustworthy; flagged rows may be false
     positives) as the scale escape hatch when rings are huge.
 
@@ -526,7 +606,13 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
     small driver action over the slim boxes frame, same discipline as the
     MAD check's medians).  The exact predicate runs only on bbox-candidate
     pairs — O(|ring_a|·|ring_b|) per candidate, the same bound as any exact
-    geometry engine."""
+    geometry engine.
+
+    Row identity uses ``monotonically_increasing_id`` — stable WITHIN one
+    evaluation (candidate join and flag rejoin sit in the same plan), but a
+    re-run may assign different ids, so which row of an intersecting pair is
+    "first" is not reproducible across retries.  Only the symmetric outputs
+    (flag + overlap count) are exposed, both invariant to that ordering."""
     col = to_col(column)
     name = normalize_col_str(column)
     sfx = unique_suffix()
@@ -546,7 +632,7 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
                     F.aggregate(coords, F.lit(float("-inf")), lambda a, c: F.greatest(a, c.getField("y"))).alias("ymax"),
                 ),
             )
-            .withColumn("__ring", _ring(col))
+            .withColumn("__ring", _rings(col))
         )
         boxes = with_box.select(rid, "__bb", "__ring")
         if row_filter:
@@ -588,9 +674,9 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
         )
         if exact:
             candidates = candidates.where(
-                (F.size("ra") >= 4)
-                & (F.size("rb") >= 4)
-                & _polygons_intersect(F.col("ra"), F.col("rb"))
+                (F.size(F.element_at(F.col("ra"), 1)) >= 4)
+                & (F.size(F.element_at(F.col("rb"), 1)) >= 4)
+                & _polygons_intersect_rings(F.col("ra"), F.col("rb"))
             )
         pairs = candidates.select("ida", "idb").distinct()
         overlap = (

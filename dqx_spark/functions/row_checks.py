@@ -63,6 +63,7 @@ __all__ = [
     "is_latitude",
     "is_longitude",
     "does_not_contain_pii",
+    "presidio_analyzer",
 ]
 
 
@@ -812,6 +813,60 @@ _PII_PATTERNS = {
     "IP_ADDRESS": IPV4_REGEX.strip("^$"),
 }
 
+#: per-process AnalyzerEngine cache — Presidio loads an NLP model; build it
+#: once per executor, not once per Arrow batch
+_PRESIDIO_ENGINES: dict = {}
+
+
+def presidio_analyzer(
+    entities: list[str] | None = None,
+    language: str = "en",
+    score_threshold: float = 0.5,
+) -> Callable:
+    """Ready-made ``analyzer=`` hook for :func:`does_not_contain_pii` backed
+    by Microsoft Presidio — the NER engine the reference wraps
+    (pii/pii_detection_funcs.py:118-186)::
+
+        C.does_not_contain_pii, column="notes",
+        check_func_kwargs={"analyzer": C.presidio_analyzer()}
+
+    The ``presidio_analyzer`` package is imported lazily inside the returned
+    callable, so the import cost (and the dependency itself) lives on the
+    executors; where the package is absent the task raises ``ImportError``
+    with an install hint.  The ``AnalyzerEngine`` is cached per process —
+    NLP model load happens once per executor, then Arrow batches stream
+    through it."""
+    ents = tuple(entities) if entities else None
+
+    def analyze(s):
+        import pandas as pd  # noqa: PLC0415  (executor-side)
+
+        key = (ents, language, float(score_threshold))
+        eng = _PRESIDIO_ENGINES.get(key)
+        if eng is None:
+            try:
+                from presidio_analyzer import AnalyzerEngine  # noqa: PLC0415
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "does_not_contain_pii(analyzer=presidio_analyzer()) needs the "
+                    "'presidio-analyzer' package on the executors "
+                    "(pip install presidio-analyzer)"
+                ) from exc
+            eng = AnalyzerEngine()
+            _PRESIDIO_ENGINES[key] = eng
+
+        def hit(v) -> bool:
+            if v is None or v == "":
+                return False
+            results = eng.analyze(
+                text=str(v), language=language, entities=list(ents) if ents else None
+            )
+            return any(r.score >= score_threshold for r in results)
+
+        return pd.Series([hit(v) for v in s], index=s.index)
+
+    return analyze
+
 
 @register_rule("row")
 def does_not_contain_pii(
@@ -830,13 +885,11 @@ def does_not_contain_pii(
     - ``analyzer=``: a pluggable NER hook — any
       ``Callable[[pd.Series], pd.Series]`` mapping a series of strings to
       a boolean series (True = contains PII).  Wrapped in an Arrow-batched
-      pandas UDF; drop in Presidio's ``AnalyzerEngine`` (or any model) when
-      the dependency exists::
+      pandas UDF.  :func:`presidio_analyzer` is the shipped adapter for
+      Microsoft Presidio (lazy executor-side import, per-process engine
+      cache)::
 
-          from presidio_analyzer import AnalyzerEngine
-          eng = AnalyzerEngine()
-          analyzer = lambda s: s.map(
-              lambda v: bool(eng.analyze(v, language="en")) if v else False)
+          analyzer=presidio_analyzer(entities=["PERSON"], score_threshold=0.6)
 
       The callable must be picklable (module-level function or closure over
       picklable state); it is instantiated per executor, not per row.

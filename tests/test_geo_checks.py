@@ -129,6 +129,64 @@ def test_geography_and_geofence(spark):
     assert fired_ids(spark, df, outside) == {2, 3}
 
 
+def test_polygons_disjoint_donut_holes(spark):
+    # interior rings respected: a polygon entirely inside another's HOLE is
+    # disjoint; one overlapping the hole boundary intersects
+    donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    rows = [
+        (0, donut),
+        (1, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),      # inside the hole -> disjoint
+        (2, "POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))"),  # far away
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    rule = DQDatasetRule(check_func=C.are_polygons_mutually_disjoint, column="g")
+    assert fired_ids(spark, df, rule) == set()
+
+    rows2 = [
+        (0, donut),
+        (1, "POLYGON ((4 4, 8 4, 8 8, 4 8, 4 4))"),  # crosses the hole boundary -> intersects
+    ]
+    df2 = spark.createDataFrame(rows2, "id int, g string")
+    assert fired_ids(spark, df2, rule) == {0, 1}
+
+    rows3 = [
+        (0, donut),
+        (1, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),  # in the solid band -> contained
+    ]
+    df3 = spark.createDataFrame(rows3, "id int, g string")
+    assert fired_ids(spark, df3, rule) == {0, 1}
+
+
+def test_geometrycollection_grammar(spark):
+    rows = [
+        (0, "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"),
+        (1, "GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 1 0, 1 1, 0 0)))"),
+        (2, "GEOMETRYCOLLECTION EMPTY"),
+        (3, "GEOMETRYCOLLECTION (BANANA (1 2))"),
+        (4, "POINT (3 4)"),
+        (5, "GEOMETRYCOLLECTION (MULTIPOINT (1 2, 3 4))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    assert fired_ids(spark, df, DQRowRule(check_func=C.is_geometry, column="g")) == {3}
+    assert fired_ids(spark, df, DQRowRule(check_func=C.is_non_empty_geometry, column="g")) == {2}
+    # collection dimension = max member dimension (0 for EMPTY)
+    assert fired_ids(
+        spark, df, DQRowRule(check_func=C.has_dimension, column="g", check_func_kwargs={"dimension": 1})
+    ) == {1, 2, 3, 4, 5}
+    assert fired_ids(
+        spark, df, DQRowRule(check_func=C.has_dimension, column="g", check_func_kwargs={"dimension": 2})
+    ) == {0, 2, 3, 4, 5}
+    assert fired_ids(
+        spark, df, DQRowRule(check_func=C.has_dimension, column="g", check_func_kwargs={"dimension": 0})
+    ) == {0, 1, 3}
+    # every coordinate (members included) on the globe
+    df2 = spark.createDataFrame(
+        [(0, "GEOMETRYCOLLECTION (POINT (200 10))"), (1, "GEOMETRYCOLLECTION (POINT (20 10))")],
+        "id int, g string",
+    )
+    assert fired_ids(spark, df2, DQRowRule(check_func=C.is_geography, column="g")) == {0}
+
+
 def test_polygons_disjoint_containment(spark):
     # one polygon strictly inside another: no edge crossings, still intersect
     rows = [

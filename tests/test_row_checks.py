@@ -256,6 +256,28 @@ def test_pii_custom_analyzer_hook(spark):
     assert fired_ids(spark, df, rule) == {1}
 
 
+def test_presidio_analyzer_adapter():
+    """The shipped Presidio adapter: real NER where the package exists, a
+    clean install-hint ImportError where it doesn't (this container)."""
+    import pandas as pd
+    import pytest
+
+    analyze = C.presidio_analyzer(entities=["US_SSN"])
+    try:
+        import presidio_analyzer  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    series = pd.Series(["my ssn is 078-05-1120", "no pii here", None])
+    if have:
+        out = analyze(series)
+        assert list(out.astype(bool)) == [True, False, False]
+    else:
+        with pytest.raises(ImportError, match="presidio-analyzer"):
+            analyze(series)
+
+
 def test_result_schema_exact(spark):
     """F5.6: exact result schema + split invariants."""
     from dqx_spark.schema import dq_result_schema
