@@ -806,7 +806,7 @@ def q_multimodal_features(spark, sf):
     # rows-only: stubbed decode plumbing — checks batch shape + schema
     df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
     feats = multimodal.image_features(df, "content", "doc_id", dim=16)
-    return feats.select("doc_id", F.size("features").alias("n_features"))
+    return feats.select("doc_id", F.size("features").alias("n_features"), "featurizer")
 
 
 def q_is_latitude(spark, sf):
@@ -1538,8 +1538,41 @@ def q_row_checks_orders(spark, sf):
             name="has_valid_json_schema", check_func=C.has_valid_json_schema, column="js",
             check_func_kwargs={"schema": "a INT NOT NULL, b INT"},
         ),
+        # r4 evidence columns: custom message_expr text, warn-criticality
+        # routing, and get_valid/get_invalid membership (engine surface that
+        # previously had only unit tests)
+        DQRowRule(
+            name="message_expr_probe", check_func=C.is_valid_date, column="ds",
+            message_expr="concat('bad ds at key ', CAST(o_orderkey AS STRING))",
+        ),
+        DQRowRule(
+            name="warn_probe", check_func=C.is_equal_to, column="o_orderstatus",
+            criticality="warn", check_func_kwargs={"value": F.lit("F")},
+        ),
     ]
-    return _apply_batch(df, rules, ["o_orderkey"])
+    eng = _engine()
+    checked = eng.apply_checks(df, rules)
+    err_t = checked.schema["_errors"].dataType
+    errs = F.coalesce(F.col("_errors"), F.array().cast(err_t))
+    warns = F.coalesce(F.col("_warnings"), F.array().cast(err_t))
+    err_rules = [r for r in rules if r.name != "warn_probe"]
+    probe_msg = F.try_element_at(F.filter(errs, lambda e: e["name"] == "message_expr_probe"), F.lit(1))["message"]
+    def _flag(name):
+        return F.exists(errs, lambda e: e["name"] == name).alias(name)
+
+    flagged = checked.select(
+        "o_orderkey",
+        *[_flag(r.name) for r in err_rules],
+        F.exists(warns, lambda e: e["name"] == "warn_probe").alias("warn_probe"),
+        probe_msg.alias("message_expr_text"),
+    )
+    valid_keys = eng.get_valid(checked).select(F.col("o_orderkey").alias("__vk"))
+    invalid_keys = eng.get_invalid(checked).select(F.col("o_orderkey").alias("__ik"))
+    return (
+        flagged.join(valid_keys, flagged["o_orderkey"] == valid_keys["__vk"], "left")
+        .join(invalid_keys, flagged["o_orderkey"] == invalid_keys["__ik"], "left")
+        .select(*flagged.columns, F.col("__vk").isNotNull().alias("in_valid"), F.col("__ik").isNotNull().alias("in_invalid"))
+    )
 
 
 def q_dataset_checks_lineitem(spark, sf):
@@ -2191,14 +2224,25 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN o_orderkey % 8 = 0 THEN '2024-13-45' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ds, "
             "CASE WHEN o_orderkey % 7 = 0 THEN '{\"a\": 1' WHEN o_orderkey % 5 = 0 THEN '{\"b\": 2}' "
             "ELSE '{\"a\": ' || o_orderkey || ', \"b\": 4}' END AS js "
-            "FROM orders) "
-            "SELECT o_orderkey, "
+            "FROM orders), "
+            "fl AS (SELECT o_orderkey, o_orderstatus, ds, "
             "o_orderstatus IS DISTINCT FROM 'O' AS is_equal_to, "
             "date_diff('day', o_orderdate::DATE, DATE '2024-06-01') < 9000 AS is_older_than_n_days, "
             "date_diff('day', o_orderdate::DATE, d2::DATE) < 5 AS is_older_than_col2_for_n_days, "
             "(ds IS NOT NULL AND try_cast(ds AS DATE) IS NULL) AS is_valid_date, "
             "CASE WHEN NOT json_valid(js) THEN true ELSE json_extract(js, '$.a') IS NULL END AS has_valid_json_schema "
-            "FROM fx"
+            "FROM fx) "
+            "SELECT o_orderkey, is_equal_to, is_older_than_n_days, "
+            "is_older_than_col2_for_n_days, is_valid_date, has_valid_json_schema, "
+            "is_valid_date AS message_expr_probe, "
+            "o_orderstatus IS DISTINCT FROM 'F' AS warn_probe, "
+            "CASE WHEN is_valid_date THEN 'bad ds at key ' || o_orderkey END AS message_expr_text, "
+            "NOT (is_equal_to OR is_older_than_n_days OR is_older_than_col2_for_n_days "
+            "OR is_valid_date OR has_valid_json_schema) AS in_valid, "
+            "(is_equal_to OR is_older_than_n_days OR is_older_than_col2_for_n_days "
+            "OR is_valid_date OR has_valid_json_schema "
+            "OR o_orderstatus IS DISTINCT FROM 'F') AS in_invalid "
+            "FROM fl"
         ),
         "dataset_checks_lineitem": (
             "WITH cur AS (SELECT l_returnflag, count(l_quantity) cc FROM lineitem GROUP BY 1), "

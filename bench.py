@@ -154,6 +154,61 @@ def main() -> None:
 
         return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}/{t}.parquet", build)
 
+    # per-copy deterministic perturbation specs for the ORGANIC scale-up:
+    # key shift preserves uniqueness + FK consistency; continuous columns get
+    # hash-seeded multiplicative jitter and dates a +/- 7 day shift, so the
+    # scaled table's value distributions are organically spread rather than
+    # SCALE exact replicas of sf0.1 (verdict r3 item 10).
+    _ORGANIC = {
+        "lineitem": {
+            "keys": {"l_orderkey"},
+            "seed": ["l_orderkey", "l_linenumber"],
+            "jitter": {"l_extendedprice": 0.05, "l_discount": 0.0, "l_tax": 0.0},
+            "int_jitter": {"l_quantity": (1, 50, 2)},  # +/-2 clamped to [1,50]
+            "dates": ["l_shipdate"],
+        },
+        "orders": {
+            "keys": {"o_orderkey", "o_custkey"},
+            "seed": ["o_orderkey"],
+            "jitter": {"o_totalprice": 0.05},
+            "int_jitter": {},
+            "dates": ["o_orderdate"],
+        },
+    }
+
+    def read_organic(t, scale):
+        spec = _ORGANIC[t]
+
+        def build():
+            base = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+            copies = []
+            for i in range(scale):
+                shift = i * 1_000_000_000
+                h = F.xxhash64(*[F.col(c) for c in spec["seed"]], F.lit(i))
+                cols = []
+                for c in base.columns:
+                    col = F.col(c)
+                    if c in spec["keys"]:
+                        col = col + F.lit(shift)
+                    elif c in spec["jitter"] and i > 0:
+                        pct = spec["jitter"][c]
+                        if pct > 0:
+                            # uniform in [1-pct, 1+pct], seeded by (row, copy)
+                            col = col * (1.0 + F.lit(pct) * ((h % 2001 - 1000) / 1000.0))
+                    elif c in spec["int_jitter"] and i > 0:
+                        lo, hi, amp = spec["int_jitter"][c]
+                        col = F.greatest(F.least(col + (h % (2 * amp + 1) - amp), F.lit(hi)), F.lit(lo))
+                    elif c in spec["dates"] and i > 0:
+                        col = F.timestamp_add("DAY", (h % 15 - 7).cast("int"), col)
+                    cols.append(col.alias(c))
+                copies.append(base.select(*cols))
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            return out
+
+        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/{t}.parquet", build)
+
     li, orders, part, customer = read("lineitem"), read("orders"), read("part"), read("customer")
     # warm the JVM + page cache so the timings measure plan execution
     materialize(li.select("l_orderkey"))
@@ -323,6 +378,63 @@ def main() -> None:
                 "r3's 15.68 was a contention artifact: clean-room repro gives 2.4-2.9; "
                 "message-free and slim-struct variants bracket 2.2-3.2 (see git r4 diagnosis)"
             ),
+        }
+
+    # ------------------------------------------------------------------
+    # organic sf1 pass: the 8 BASELINE-comparable relational queries on a
+    # true ~sf1-sized dataset built by ORGANIC scale-up (key-shifted copies
+    # with hash-seeded value jitter + date spread, not exact replicas) so
+    # the headline numbers also come from organically distributed data.
+    # ------------------------------------------------------------------
+    SF1_SCALE = int(os.environ.get("SPARK_GRAFT_SF1_SCALE", "10"))
+    if SF1_SCALE > 1:
+        li_o = read_organic("lineitem", SF1_SCALE)
+        orders_o = read_organic("orders", SF1_SCALE)
+        materialize(li_o.select("l_orderkey"))  # warm page cache
+        sf1_cases = {
+            "all_row_checks": lambda: bench_all_row_checks(spark, li_o, orders_o, part),
+            "is_unique": lambda: e.apply_checks(
+                li_o, [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])]
+            ),
+            "foreign_key": lambda: e.apply_checks(
+                li_o,
+                [DQDatasetRule(check_func=C.foreign_key, columns=["l_orderkey"],
+                               check_func_kwargs={"ref_columns": ["o_orderkey"], "ref_df_name": "orders"})],
+                ref_dfs={"orders": orders_o},
+            ),
+            "aggr_global": lambda: e.apply_checks(
+                li_o, [DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                                     check_func_kwargs={"limit": 1e12, "aggr_type": "avg"})]
+            ),
+            "aggr_grouped": lambda: e.apply_checks(
+                li_o, [DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                                     check_func_kwargs={"limit": 1e9, "aggr_type": "sum", "group_by": ["l_returnflag"]})]
+            ),
+            "sql_query": lambda: e.apply_checks(
+                li_o,
+                [DQDatasetRule(check_func=C.sql_query, check_func_kwargs={
+                    "query": "SELECT l_orderkey, max(l_quantity) > 49 AS condition FROM {{ input }} GROUP BY l_orderkey",
+                    "merge_columns": ["l_orderkey"], "condition_column": "condition"})],
+            ),
+            "compare_datasets": lambda: e.apply_checks(
+                orders_o,
+                [DQDatasetRule(check_func=C.compare_datasets,
+                               check_func_kwargs={"columns": ["o_orderkey"], "ref_columns": ["o_orderkey"],
+                                                  "ref_df_name": "ref"})],
+                ref_dfs={"ref": orders_o.where(F.col("o_orderkey") % 50 != 0)},
+            ),
+            "mad_outliers": lambda: e.apply_checks(
+                orders_o, [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice",
+                                         check_func_kwargs={"approx": True})]
+            ),
+        }
+        sf1_timings = {name: timed(lambda b=build: materialize(b())) for name, build in sf1_cases.items()}
+        result["sf1"] = {
+            "scale": SF1_SCALE,
+            "organic": True,
+            "lineitem_rows": li_o.count(),
+            "queries": sf1_timings,
+            "total": round(sum(sf1_timings.values()), 3),
         }
 
     print(json.dumps(result))

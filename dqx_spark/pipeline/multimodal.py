@@ -6,9 +6,12 @@ The Spark-side machinery — schemas, magic-byte sniffing, Arrow-batched
 is real and tested.  Image DIMENSION decoding is also real: PNG IHDR,
 GIF Logical Screen Descriptor, JPEG SOF markers, and BMP headers are parsed
 directly from the bytes (``parse_image_header``), no media library needed.
-Full pixel decoding (``image_features``) and video frame extraction remain
-stubbed behind deterministic fakes: the container has no image/audio
-libraries; PIL is used when importable.
+``image_features`` selects its encoder by availability — torchvision
+ResNet-18 > PIL thumbnail-luminance perceptual features > a declared sha256
+stub — and stamps every row with which one ran (``featurizer`` column).
+Video frame extraction remains stubbed behind a deterministic fake: the
+container has no video decoder; the partition/explode/schema plumbing is
+real and tested.
 """
 
 from __future__ import annotations
@@ -162,31 +165,130 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 
     return df.select(id_col, binary_col).mapInPandas(decode_batches, out_schema)
 
 
-def image_features(df: DataFrame, binary_col: str, id_col: str, dim: int = 64) -> DataFrame:
-    """Feature-extraction plumbing: (id, features array<float>).  STUB
-    features = normalized bytes of the iterated sha256 of the content — a
-    stand-in with the exact shape/contract of a real vision-model encoder
-    (swap the inner function; batching/schema stay)."""
+def _sha_stub_features(b: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in features: normalized bytes of the iterated
+    sha256 of the content.  Content-identifying, but NOT perceptual."""
+    raw = b""
+    digest = b
+    while len(raw) < dim:
+        digest = hashlib.sha256(digest).digest()
+        raw += digest
+    return [x / 255.0 for x in raw[:dim]]
+
+
+def _select_image_encoder(encoder: str, dim: int):
+    """Executor-side encoder selection: (name, bytes -> list[float] | None).
+
+    ``torch``  — torchvision ResNet-18 penultimate activations (truncated or
+                 cycled to ``dim``); needs torch + torchvision + PIL.
+    ``pixel``  — PIL decode -> grayscale -> sqrt(dim) x sqrt(dim) thumbnail
+                 intensities, mean-centered (the aHash family of perceptual
+                 features); needs PIL only.
+    ``stub``   — sha256 stand-in, always available, never perceptual.
+    ``auto``   — first of the above that imports."""
+    if encoder in ("auto", "torch"):
+        try:
+            import io  # noqa: PLC0415
+
+            import torch  # noqa: PLC0415
+            from PIL import Image  # noqa: PLC0415
+            from torchvision import models, transforms  # noqa: PLC0415
+
+            model = models.resnet18(weights=models.ResNet18_Weights.DEFAULT)
+            model.fc = torch.nn.Identity()
+            model.eval()
+            prep = transforms.Compose(
+                [
+                    transforms.Resize(256),
+                    transforms.CenterCrop(224),
+                    transforms.ToTensor(),
+                    transforms.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+                ]
+            )
+
+            def torch_feats(b: bytes):
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("RGB")
+                except Exception:  # noqa: BLE001 - undecodable bytes
+                    return None
+                with torch.no_grad():
+                    v = model(prep(img).unsqueeze(0)).squeeze(0).tolist()
+                return [float(v[i % len(v)]) for i in range(dim)]
+
+            return "torch-resnet18", torch_feats
+        except ImportError:
+            if encoder == "torch":
+                raise ImportError("image_features(encoder='torch') needs torch + torchvision + PIL")
+    if encoder in ("auto", "torch", "pixel"):
+        try:
+            import io  # noqa: PLC0415
+
+            from PIL import Image  # noqa: PLC0415
+
+            side = max(2, int(dim**0.5))
+
+            def pixel_feats(b: bytes):
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("L").resize((side, side))
+                except Exception:  # noqa: BLE001 - undecodable bytes
+                    return None
+                px = [p / 255.0 for p in img.getdata()]
+                mean = sum(px) / len(px)
+                out = [p - mean for p in px]
+                return [float(out[i % len(out)]) for i in range(dim)]
+
+            return f"pil-luma{side * side}", pixel_feats
+        except ImportError:
+            if encoder == "pixel":
+                raise ImportError("image_features(encoder='pixel') needs PIL")
+    if encoder not in ("auto", "torch", "pixel", "stub"):
+        raise ValueError(f"unknown encoder {encoder!r}: expected auto|torch|pixel|stub")
+    return "sha256-stub", lambda b: _sha_stub_features(b, dim)
+
+
+def image_features(
+    df: DataFrame, binary_col: str, id_col: str, dim: int = 64, encoder: str = "auto"
+) -> DataFrame:
+    """(id, features array<float>, featurizer string) via Arrow-batched
+    ``mapInPandas``.
+
+    The encoder is selected PER EXECUTOR by availability (see
+    :func:`_select_image_encoder`): a real torchvision ResNet-18 when torch
+    is installed, PIL thumbnail-luminance perceptual features when only PIL
+    is, else the declared sha256 stub — and the ``featurizer`` column names
+    which one actually produced each vector, so downstream consumers can
+    tell real embeddings from stand-ins.  Heavy model state loads once per
+    executor process, then batches stream through."""
+    if encoder not in ("auto", "torch", "pixel", "stub"):
+        raise ValueError(f"unknown encoder {encoder!r}: expected auto|torch|pixel|stub")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), True),
             T.StructField("features", T.ArrayType(T.FloatType()), True),
+            T.StructField("featurizer", T.StringType(), True),
         ]
     )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def feats(b: bytes | None):
-            if b is None:
-                return None
-            raw = b""
-            digest = b or b""
-            while len(raw) < dim:
-                digest = hashlib.sha256(digest).digest()
-                raw += digest
-            return [x / 255.0 for x in raw[:dim]]
+        name, enc = _select_image_encoder(encoder, dim)
 
         for pdf in batches:
-            yield pd.DataFrame({id_col: pdf[id_col].values, "features": [feats(b) for b in pdf[binary_col]]})
+            vecs, names = [], []
+            for b in pdf[binary_col]:
+                if b is None:
+                    vecs.append(None)
+                    names.append(None)
+                    continue
+                v = enc(b)
+                if v is None:
+                    # undecodable under a real encoder: fall back to the stub
+                    # (and say so) rather than dropping the row or faking pixels
+                    vecs.append(_sha_stub_features(b, dim))
+                    names.append("sha256-stub")
+                else:
+                    vecs.append(v)
+                    names.append(name)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "features": vecs, "featurizer": names})
 
     return df.select(id_col, binary_col).mapInPandas(featurize, out_schema)
 

@@ -290,8 +290,20 @@ def test_multimodal_plumbing(spark):
 
     feats = multimodal.image_features(df, "content", "id", dim=16).collect()
     f = {r["id"]: r["features"] for r in feats}
-    assert len(f[0]) == 16 and f[2] is None
-    assert all(0 <= v <= 1 for v in f[0])
+    fz = {r["id"]: r["featurizer"] for r in feats}
+    assert len(f[0]) == 16 and f[2] is None and fz[2] is None
+    # encoder is availability-selected; the featurizer column says which ran
+    assert fz[0] in ("torch-resnet18", "pil-luma16", "sha256-stub")
+    if fz[0] == "sha256-stub":
+        assert all(0 <= v <= 1 for v in f[0])
+
+    # explicit stub encoder is always available and says so
+    stub = multimodal.image_features(df, "content", "id", dim=8, encoder="stub").collect()
+    assert {r["featurizer"] for r in stub if r["featurizer"]} == {"sha256-stub"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown encoder"):
+        multimodal.image_features(df, "content", "id", encoder="nope").collect()
 
     frames = multimodal.sample_video_frames(df, "content", "id", every_n=1).collect()
     assert {r["id"] for r in frames} == {0, 1}
