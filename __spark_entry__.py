@@ -606,11 +606,26 @@ def q_lang_id(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
+    """One slot certifying BOTH exact-dedup operators (r4 merge): per input
+    row the exact_duplicates annotation (is_duplicate, dup_count) AND
+    drop_exact_duplicates membership (kept = survived the min-id keep)."""
     base = _read(spark, sf, "documents").select("doc_id", "text")
     # inject exact duplicates: re-add every 25th doc under a shifted id
-    dup = base.where(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    out = dedup.exact_duplicates(base.union(dup), "doc_id", text_col="text")
-    return out.select("doc_id", "is_duplicate").orderBy("doc_id")
+    inp = base.union(
+        base.where(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    ann = dedup.exact_duplicates(inp, "doc_id", text_col="text")
+    kept = dedup.drop_exact_duplicates(inp, "doc_id", text_col="text").select(F.col("doc_id").alias("__kid"))
+    return (
+        ann.join(kept, ann["doc_id"] == kept["__kid"], "left")
+        .select(
+            "doc_id",
+            "is_duplicate",
+            F.col("dup_count").cast("bigint").alias("dup_count"),
+            F.col("__kid").isNotNull().alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -1743,6 +1758,64 @@ def q_anomaly_train_score(spark, sf):
     return _apply_one(df, rule, ["o_orderkey"])
 
 
+def q_profile_summary(spark, sf):
+    """§2.9 profiler, oracle-certified (new r4): full-table (no sampling,
+    no outlier trim) profile of three lineitem columns, emitting the exact
+    summary stats plus the SORTED generated-rule names per column — the
+    null/empty-ratio, is_in_list, and min_max builder decisions all derive
+    from stats DuckDB reproduces (approx_count_distinct only feeds the
+    is_in_list branch, where it is exact at 3 vs a 10 cutoff)."""
+    from dqx_spark.profiler import DQProfiler
+
+    df = _read(spark, sf, "lineitem")
+    prof = DQProfiler(options={"sample_fraction": None, "limit": None, "remove_outliers": False})
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    stats, profiles = prof.profile(df, columns=cols)
+    rows = []
+    for c in cols:
+        s = stats[c]
+        rows.append(
+            (
+                c,
+                int(s["total"]),
+                int(s.get("count") or 0),
+                int(s["null_count"]),
+                int(s["empty"]) if "empty" in s else None,
+                float(s["min"]) if s.get("min") is not None else None,
+                float(s["max"]) if s.get("max") is not None else None,
+                float(s["mean"]) if s.get("mean") is not None else None,
+                ",".join(sorted(p.name for p in profiles if p.column == c)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, total bigint, cnt bigint, null_count bigint, empty bigint, "
+        "minv double, maxv double, meanv double, rules string",
+    )
+
+
+def q_metrics_summary(spark, sf):
+    """§2.10 metrics, oracle-certified (new r4): default_metrics +
+    per_check_metrics over a checked orders frame, emitted through the
+    plan-only compute_summary_metrics_lazy path (long format)."""
+    from dqx_spark import metrics as M
+
+    df = _read(spark, sf, "orders")
+    rules = [
+        DQRowRule(
+            name="status_check", check_func=C.is_equal_to, column="o_orderstatus",
+            check_func_kwargs={"value": F.lit("O")},
+        ),
+        DQRowRule(
+            name="warn_total", criticality="warn", check_func=C.is_not_greater_than,
+            column="o_totalprice", check_func_kwargs={"limit": 200000},
+        ),
+    ]
+    checked = _engine().apply_checks(df, rules)
+    obs = M.DQMetricsObserver(custom_metrics=M.per_check_metrics(["status_check", "warn_total"]))
+    return M.compute_summary_metrics_lazy(checked, obs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly the driver's 50-query correctness window — every registered
     query gets a gate row each round.
@@ -1802,7 +1875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data pipeline surface
         "text_analysis": q_text_analysis,
         "gopher_profile": q_gopher_profile,
-        "dedup_drop_exact": q_dedup_drop_exact,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1831,7 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_by_tokens": q_chunk_by_tokens,
         "top_distinctive_terms": q_top_distinctive_terms,
         "group_centroids": q_group_centroids,
-        "line_stats": q_line_stats,
+        "profile_summary": q_profile_summary,
+        "metrics_summary": q_metrics_summary,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
@@ -2666,8 +2739,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH base AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0), "
             r"k AS (SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) h FROM base), "
-            "c AS (SELECT h, count(*) cnt FROM k GROUP BY h) "
-            "SELECT doc_id, cnt > 1 AS is_duplicate FROM k JOIN c USING (h) ORDER BY doc_id"
+            "c AS (SELECT h, count(*) cnt, min(doc_id) kid FROM k GROUP BY h) "
+            "SELECT doc_id, cnt > 1 AS is_duplicate, cnt::BIGINT AS dup_count, "
+            "doc_id = kid AS kept FROM k JOIN c USING (h) ORDER BY doc_id"
         ),
         "dedup_ngram_jaccard": (
             _NGRAM_PAIRS_SQL
@@ -2711,6 +2785,51 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, lines, list_filter(lines, l -> NOT list_contains(hl, l)) kept FROM ls CROSS JOIN hot) "
             "SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_md5, "
             "(len(lines) - len(kept))::BIGINT AS removed_line_count FROM k"
+        ),
+        "profile_summary": (
+            # mirrors DQProfiler full-table stats + builder decisions.
+            # Exactness: integer-valued sums stay exact in IEEE doubles
+            # (all partial sums < 2^53), so avg matches bit-for-bit; the
+            # rule list re-derives the builder logic (null-ratio <= 0.01,
+            # empty-ratio <= 0.01, distinct <= 10 AND <= 0.05*count,
+            # min/max present) from DuckDB aggregates, assembled in the
+            # same sorted order the Spark side emits.
+            "WITH a AS (SELECT count(*) AS total, "
+            "count(l_orderkey) AS c_ok, min(l_orderkey) AS mn_ok, max(l_orderkey) AS mx_ok, "
+            "sum(l_orderkey)::DOUBLE AS s_ok, count(DISTINCT l_orderkey) AS d_ok, "
+            "count(l_quantity) AS c_q, min(l_quantity) AS mn_q, max(l_quantity) AS mx_q, "
+            "sum(l_quantity)::DOUBLE AS s_q, "
+            "count(l_returnflag) AS c_rf, count(DISTINCT l_returnflag) AS d_rf, "
+            "count(CASE WHEN trim(l_returnflag) = '' THEN 1 END) AS e_rf "
+            "FROM lineitem) "
+            "SELECT 'l_orderkey' AS col_name, total, c_ok AS cnt, total - c_ok AS null_count, "
+            "NULL::BIGINT AS empty, mn_ok::DOUBLE AS minv, mx_ok::DOUBLE AS maxv, s_ok / c_ok AS meanv, "
+            "array_to_string(list_filter(['is_in_list', 'is_not_null', 'min_max'], x -> "
+            "CASE x WHEN 'is_in_list' THEN d_ok <= 10 AND c_ok > 0 AND d_ok <= 0.05 * c_ok "
+            "WHEN 'is_not_null' THEN (total - c_ok)::DOUBLE / total <= 0.01 "
+            "ELSE mn_ok IS NOT NULL AND mx_ok IS NOT NULL END), ',') AS rules FROM a "
+            "UNION ALL "
+            "SELECT 'l_quantity', total, c_q, total - c_q, NULL, mn_q, mx_q, s_q / c_q, "
+            "array_to_string(list_filter(['is_not_null', 'min_max'], x -> "
+            "CASE x WHEN 'is_not_null' THEN (total - c_q)::DOUBLE / total <= 0.01 "
+            "ELSE mn_q IS NOT NULL AND mx_q IS NOT NULL END), ',') FROM a "
+            "UNION ALL "
+            "SELECT 'l_returnflag', total, c_rf, total - c_rf, e_rf, NULL, NULL, NULL, "
+            "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
+            "CASE x WHEN 'is_in_list' THEN d_rf <= 10 AND c_rf > 0 AND d_rf <= 0.05 * c_rf "
+            "WHEN 'is_not_null' THEN (total - c_rf)::DOUBLE / total <= 0.01 "
+            "AND NOT (e_rf::DOUBLE / total <= 0.01) "
+            "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ',') FROM a"
+        ),
+        "metrics_summary": (
+            "WITH b AS (SELECT (o_orderstatus IS DISTINCT FROM 'O') AS err, "
+            "(o_totalprice > 200000) AS wrn FROM orders) "
+            "SELECT 'input_row_count' AS metric_name, count(*)::VARCHAR AS metric_value FROM b "
+            "UNION ALL SELECT 'error_row_count', count(CASE WHEN err THEN 1 END)::VARCHAR FROM b "
+            "UNION ALL SELECT 'warning_row_count', count(CASE WHEN wrn THEN 1 END)::VARCHAR FROM b "
+            "UNION ALL SELECT 'valid_row_count', count(CASE WHEN NOT err AND NOT wrn THEN 1 END)::VARCHAR FROM b "
+            "UNION ALL SELECT 'check_status_check_count', count(CASE WHEN err THEN 1 END)::VARCHAR FROM b "
+            "UNION ALL SELECT 'check_warn_total_count', count(CASE WHEN wrn THEN 1 END)::VARCHAR FROM b"
         ),
         "line_stats": (
             "WITH ls AS (SELECT doc_id, list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l)), l -> l <> '') lines FROM documents) "
