@@ -1495,6 +1495,13 @@ def q_geo_row_checks(spark, sf):
             name="is_in_geofence", check_func=C.is_in_geofence, column="poly",
             check_func_kwargs={"geofence_wkt": fence},
         ),
+        DQRowRule(
+            name="is_in_geofence_grid", check_func=C.is_in_geofence, column="g",
+            check_func_kwargs={
+                "geofence_wkt": "POLYGON((-0.5 -0.5, 20.5 -0.5, 20.5 2.5, -0.5 2.5, -0.5 -0.5))",
+                "method": "grid", "grid_cells": 256,
+            },
+        ),
         DQRowRule(name="is_geometry_collection", check_func=C.is_geometry, column="gc"),
         DQRowRule(
             name="has_dimension_collection", check_func=C.has_dimension, column="gc",
@@ -2256,6 +2263,8 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'POINT (' || (c_custkey % 360 - 180)::VARCHAR || ' ' || (c_custkey % 180 - 90)::VARCHAR || ')' END AS g, "
             "CASE WHEN c_custkey % 13 = 0 THEN NULL WHEN c_custkey % 17 = 0 THEN 0 "
             "ELSE c_custkey % 360 - 180 END AS x, "
+            "CASE WHEN c_custkey % 13 = 0 THEN NULL WHEN c_custkey % 17 = 0 THEN 0 "
+            "ELSE c_custkey % 180 - 90 END AS y, "
             "CASE WHEN c_custkey % 11 = 0 THEN '95.5' WHEN c_custkey % 13 = 0 THEN 'junk' "
             "ELSE (c_custkey % 180 - 90)::VARCHAR END AS lat, "
             "CASE WHEN c_custkey % 11 = 0 THEN '190.25' WHEN c_custkey % 13 = 0 THEN 'junk' "
@@ -2277,6 +2286,9 @@ def oracle_sql() -> dict[str, str]:
             "(c_custkey % 5 = 0) AS has_num_points_between, "
             "(c_custkey % 5 = 0 OR (c_custkey % 5 <> 0 AND c_custkey % 7 = 0)) AS is_ogc_valid, "
             "(c_custkey % 5 = 0 OR c_custkey % 10 >= 5) AS is_in_geofence, "
+            # point fence [-0.5,20.5]x[-0.5,2.5]: integer points are in iff
+            # x in [0,20] and y in [0,2]; junk WKT always fails
+            "(x IS NULL OR NOT (x BETWEEN 0 AND 20 AND y BETWEEN 0 AND 2)) AS is_in_geofence_grid, "
             # gc fixture: %13 -> junk member; %4 in (0,1) -> EMPTY / dim-1;
             # else dim-2 (contains a POLYGON member)
             "(c_custkey % 13 = 0) AS is_geometry_collection, "

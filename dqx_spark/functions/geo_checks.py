@@ -28,7 +28,10 @@ backend.  Covered (reference file:line):
   constant fence, intersects/within predicates) — the ref :362-1342
   families re-derived as pure Column expressions.
 
-Unsupported without the h3 library: the H3-bucketed geofencing variants.
+The reference's H3-bucketed geofencing variants (h3 library) are re-derived
+dependency-free as ``is_in_geofence(..., method='grid')``: a driver-side
+square-grid polyfill (full-interior cells -> O(1) set probe; boundary cells
+-> exact ray cast), exact overall.
 """
 
 from __future__ import annotations
@@ -522,15 +525,105 @@ def _fence_lit(pts: list[tuple[float, float]]) -> Column:
     )
 
 
-def _geofence_condition(col: Column, geofence_wkt: str, predicate: str) -> Column:
+def _pt_in_ring_py(x: float, y: float, pts: list[tuple[float, float]]) -> bool:
+    """Driver-side even-odd ray cast (same rule as :func:`_point_in_edges`)."""
+    inside = False
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+        if (y1 > y) != (y2 > y):
+            xint = x1 + (x2 - x1) * (y - y1) / (y2 - y1)
+            if x < xint:
+                inside = not inside
+    return inside
+
+
+def _segs_intersect_py(a, b, c, d) -> bool:
+    """Driver-side inclusive segment intersection (orientation + bbox)."""
+
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    d1, d2 = cross(c, d, a), cross(c, d, b)
+    d3, d4 = cross(a, b, c), cross(a, b, d)
+    bbox = (
+        min(a[0], b[0]) <= max(c[0], d[0])
+        and min(c[0], d[0]) <= max(a[0], b[0])
+        and min(a[1], b[1]) <= max(c[1], d[1])
+        and min(c[1], d[1]) <= max(a[1], b[1])
+    )
+    return d1 * d2 <= 0 and d3 * d4 <= 0 and bbox
+
+
+def _polyfill_grid(
+    pts: list[tuple[float, float]], max_cells: int
+) -> tuple[set[str], set[str], float]:
+    """Driver-side polyfill of the fence onto a square grid — the
+    dependency-free re-derivation of the reference's H3 coverash3 /
+    polyfillash3 split (geo/check_funcs.py:1027-1092): cells FULLY inside
+    the fence (point membership is O(1), no geometry math) vs BOUNDARY
+    cells (fall back to the exact ray cast).  Returns (full, boundary,
+    cell_size); cell ids are "ix:iy" at floor(coord / cell_size)."""
+    import math as _math
+
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1e-9)
+    side = max(2, int(_math.isqrt(max_cells)))
+    cell = span / side
+    full: set[str] = set()
+    boundary: set[str] = set()
+    edges = list(zip(pts, pts[1:]))
+    ix0, ix1 = _math.floor(min(xs) / cell), _math.floor(max(xs) / cell)
+    iy0, iy1 = _math.floor(min(ys) / cell), _math.floor(max(ys) / cell)
+    for ix in range(ix0, ix1 + 1):
+        for iy in range(iy0, iy1 + 1):
+            x0, y0 = ix * cell, iy * cell
+            x1, y1 = x0 + cell, y0 + cell
+            corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+            cell_edges = list(zip(corners, corners[1:] + corners[:1]))
+            crossed = any(
+                _segs_intersect_py(p, q, c, d) for p, q in edges for c, d in cell_edges
+            )
+            if crossed:
+                boundary.add(f"{ix}:{iy}")
+            elif all(_pt_in_ring_py(cx, cy, pts) for cx, cy in corners):
+                # no fence edge enters the cell and the corners are inside:
+                # the whole cell is interior
+                full.add(f"{ix}:{iy}")
+    return full, boundary, cell
+
+
+def _geofence_condition(
+    col: Column, geofence_wkt: str, predicate: str, method: str = "exact", grid_cells: int = 4096
+) -> Column:
     """True when the geometry is IN the fence under the predicate.
-    Points: ray-cast containment.  Polygons: 'intersects' = exact
-    polygon-polygon intersection; 'within' = every vertex inside the fence
-    and no edge crossing it.  Malformed geometries are never 'in'."""
-    fence = _fence_lit(_parse_wkt_ring(geofence_wkt))
+    Points: ray-cast containment — or, with ``method='grid'``, an O(1)
+    precomputed-cell lookup with the exact test only on fence-boundary
+    cells.  Polygons: 'intersects' = exact polygon-polygon intersection;
+    'within' = every vertex inside the fence and no edge crossing it.
+    Malformed geometries are never 'in'."""
+    fence_pts = _parse_wkt_ring(geofence_wkt)
+    fence = _fence_lit(fence_pts)
     up = _wkt_upper(col)
     pt = _coords(col)
-    point_in = (F.size(pt) == 1) & _point_in_ring(F.element_at(pt, 1), fence)
+    if method == "grid":
+        full, bnd, cell = _polyfill_grid(fence_pts, int(grid_cells))
+        p1 = F.element_at(pt, 1)
+        cid = F.concat_ws(
+            ":",
+            F.floor(p1.getField("x") / cell).cast("string"),
+            F.floor(p1.getField("y") / cell).cast("string"),
+        )
+        # In/InSet over the literal cell ids: hash-set probe per row after
+        # optimization, no geometry math on full-interior cells.  Boundary
+        # cells (fence edge passes through) fall back to the exact ray cast,
+        # so the grid path is EXACT overall — the grid only short-circuits.
+        in_cells = (
+            cid.isin(sorted(full)) if full else F.lit(False)
+        ) | ((cid.isin(sorted(bnd)) if bnd else F.lit(False)) & _point_in_ring(p1, fence))
+        point_in = (F.size(pt) == 1) & in_cells
+    elif method == "exact":
+        point_in = (F.size(pt) == 1) & _point_in_ring(F.element_at(pt, 1), fence)
+    else:
+        raise ValueError(f"method must be 'exact' or 'grid', got {method!r}")
     ring = _ring(col)
     edge_hit = F.exists(_edges(ring), lambda ea: F.exists(_edges(fence), lambda eb: _segments_intersect(ea, eb)))
     if predicate == "intersects":
@@ -551,16 +644,30 @@ def _geofence_condition(col: Column, geofence_wkt: str, predicate: str) -> Colum
 
 
 @register_rule("row")
-def is_in_geofence(column: str | Column, geofence_wkt: str, predicate: str = "intersects") -> Column:
+def is_in_geofence(
+    column: str | Column,
+    geofence_wkt: str,
+    predicate: str = "intersects",
+    method: str = "exact",
+    grid_cells: int = 4096,
+) -> Column:
     """Geometry lies in a constant geofence polygon (reference
     geo/check_funcs.py geofencing contains/covers/intersects/within family).
     The fence parses once on the driver into a literal vertex array; the
     membership test is a pure Column expression (exact segment intersection
-    + ray-cast containment) — H3-bucketed variants need the h3 library and
-    stay out of scope."""
+    + ray-cast containment).
+
+    ``method='grid'`` is the scale path for POINT columns against large
+    fences — the dependency-free analogue of the reference's H3
+    ``coverash3``/``polyfillash3`` variants (geo/check_funcs.py:1027-1092):
+    the fence is polyfilled once on the driver into <= ``grid_cells`` square
+    cells; points in fully-interior cells pass with one hash-set probe and
+    only fence-boundary cells run the O(|ring|) ray cast, so the result is
+    still EXACT.  At a 10k-vertex continental fence this turns ~40k
+    arithmetic ops per row into ~1."""
     col = to_col(column)
     name = normalize_col_str(column)
-    condition = col.isNotNull() & ~_geofence_condition(col, geofence_wkt, predicate)
+    condition = col.isNotNull() & ~_geofence_condition(col, geofence_wkt, predicate, method, grid_cells)
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is not in the geofence", str_value(col)),
@@ -569,11 +676,17 @@ def is_in_geofence(column: str | Column, geofence_wkt: str, predicate: str = "in
 
 
 @register_rule("row")
-def is_not_in_geofence(column: str | Column, geofence_wkt: str, predicate: str = "intersects") -> Column:
+def is_not_in_geofence(
+    column: str | Column,
+    geofence_wkt: str,
+    predicate: str = "intersects",
+    method: str = "exact",
+    grid_cells: int = 4096,
+) -> Column:
     """Negation of :func:`is_in_geofence` (reference geofencing family)."""
     col = to_col(column)
     name = normalize_col_str(column)
-    condition = col.isNotNull() & _geofence_condition(col, geofence_wkt, predicate)
+    condition = col.isNotNull() & _geofence_condition(col, geofence_wkt, predicate, method, grid_cells)
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is inside the geofence", str_value(col)),

@@ -187,6 +187,30 @@ def test_geometrycollection_grammar(spark):
     assert fired_ids(spark, df2, DQRowRule(check_func=C.is_geography, column="g")) == {0}
 
 
+def test_geofence_grid_matches_exact(spark):
+    # the grid method is an exact short-circuit: identical verdicts to the
+    # ray cast on a point cloud spanning interior, exterior, and cells the
+    # fence boundary passes through (L-shaped fence -> non-convex)
+    fence = "POLYGON((0 0, 10 0, 10 4, 6 4, 6 10, 0 10, 0 0))"
+    rows = [(i * 37 % 29, (i * 53 % 31) / 2.3, (i * 71 % 37) / 3.1) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, f"POINT ({x} {y})") for i, (_, x, y) in enumerate(rows)], "id int, g string"
+    )
+    exact = DQRowRule(
+        check_func=C.is_in_geofence, column="g", check_func_kwargs={"geofence_wkt": fence}
+    )
+    grid = DQRowRule(
+        check_func=C.is_in_geofence, column="g",
+        check_func_kwargs={"geofence_wkt": fence, "method": "grid", "grid_cells": 64},
+    )
+    assert fired_ids(spark, df, exact) == fired_ids(spark, df, grid)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        C.is_in_geofence("g", fence, method="h4")
+
+
 def test_polygons_disjoint_containment(spark):
     # one polygon strictly inside another: no edge crossings, still intersect
     rows = [
