@@ -818,10 +818,23 @@ def q_multimodal_metadata(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    # rows-only: stubbed decode plumbing — checks batch shape + schema
+    """Oracle-checked since r4: the encoder is pinned to the deterministic
+    sha256 stub, whose features are byte_i(sha256(content))/255 — DuckDB
+    reproduces the bytes from sha256 hex, so integer byte projections
+    certify the whole Arrow mapInPandas plumbing (batching, schema, null
+    path) end-to-end, not just row counts."""
     df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
-    feats = multimodal.image_features(df, "content", "doc_id", dim=16)
-    return feats.select("doc_id", F.size("features").alias("n_features"), "featurizer")
+    feats = multimodal.image_features(df, "content", "doc_id", dim=16, encoder="stub")
+    byte_of = lambda f: F.round(f.cast("double") * 255).cast("int")  # noqa: E731
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        "featurizer",
+        byte_of(F.element_at("features", 1)).alias("b1"),
+        F.aggregate(
+            F.transform("features", byte_of), F.lit(0), lambda acc, x: acc + x
+        ).alias("bsum"),
+    )
 
 
 def q_is_latitude(spark, sf):
@@ -2832,6 +2845,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'is_not_null' THEN (total - c_rf)::DOUBLE / total <= 0.01 "
             "AND NOT (e_rf::DOUBLE / total <= 0.01) "
             "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ',') FROM a"
+        ),
+        "multimodal_features": (
+            # sha256-stub features: byte_i(sha256(utf8(text)))/255; emit the
+            # recovered integer bytes (first + sum of all 16) — bit-exact
+            "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents) "
+            "SELECT doc_id, 16 AS n_features, 'sha256-stub' AS featurizer, "
+            "('0x' || substr(hx, 1, 2))::INT AS b1, "
+            "list_sum(list_transform(range(1, 17), i -> ('0x' || substr(hx, 2*i - 1, 2))::INT))::INT AS bsum "
+            "FROM h"
         ),
         "metrics_summary": (
             "WITH b AS (SELECT (o_orderstatus IS DISTINCT FROM 'O') AS err, "

@@ -459,15 +459,20 @@ def has_dimension(column: str | Column, dimension: int) -> Column:
 @register_rule("row")
 def is_ogc_valid(column: str | Column) -> Column:
     """OGC simple-feature validity, dependency-free subset (reference
-    geo/check_funcs.py is_ogc_valid -> ST_IsValid): POLYGON outer rings must
-    be closed, have >= 4 points, and not self-intersect (non-adjacent edge
-    pairs); POINT/LINESTRING/MULTIPOINT validity reduces to WKT
-    well-formedness.  Unrecognized WKT fails."""
+    geo/check_funcs.py is_ogc_valid -> ST_IsValid): every POLYGON ring
+    (outer and interior) must be closed, have >= 4 points, and not
+    self-intersect (non-adjacent edge pairs); POINT/LINESTRING/MULTIPOINT
+    validity reduces to WKT well-formedness.  Unrecognized WKT fails."""
     col = to_col(column)
     name = normalize_col_str(column)
     up = _wkt_upper(col)
-    ring = _ring(col)
-    poly_ok = _ring_well_formed(ring) & ~_ring_self_intersects(ring)
+    # every ring (outer AND holes since r4) must be closed, >= 4 points, and
+    # free of non-adjacent edge self-intersections; cross-ring constraints
+    # (holes inside the shell, holes not nested) are not checked — that
+    # subset of ST_IsValid needs a full ring-containment pass per pair
+    poly_ok = F.forall(
+        _rings(col), lambda ring: _ring_well_formed(ring) & ~_ring_self_intersects(ring)
+    )
     valid = (
         F.when(up.rlike(WKT_PATTERNS["POLYGON"]), poly_ok)
         .when(up.rlike(_ANY_WKT), F.lit(True))

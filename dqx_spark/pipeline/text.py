@@ -35,6 +35,7 @@ __all__ = [
     "top_distinctive_terms",
     "fix_mojibake",
     "normalize_text",
+    "redact_pii",
 ]
 
 # Small per-language function-word sets for the n-gram/stopword heuristic.
@@ -547,3 +548,32 @@ def normalize_text(
         col = F.regexp_replace(col, r"\n{3,}", "\n\n")       # huge vertical gaps
         col = F.trim(col)
     return F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(col)
+
+
+# deterministic redaction order: longer/more-specific patterns first so a
+# credit card is not half-eaten by the phone pattern
+_REDACT_ORDER = ["EMAIL_ADDRESS", "CREDIT_CARD", "US_SSN", "IP_ADDRESS", "PHONE_NUMBER"]
+
+
+def redact_pii(
+    column: str | Column,
+    entities: list[str] | None = None,
+    replacement: str = "[{entity}]",
+) -> Column:
+    """Redact structured PII in place — the transform twin of the
+    ``does_not_contain_pii`` check (same `_PII_PATTERNS` battery, reference
+    pii/pii_detection_funcs.py detects but does not rewrite; redaction is a
+    training-pipeline need).  A chain of ``regexp_replace`` Column exprs —
+    JVM-side, codegen'd, no UDF; ``replacement`` may use ``{entity}`` to
+    stamp the entity name (e.g. ``[EMAIL_ADDRESS]``)."""
+    from dqx_spark.functions.row_checks import _PII_PATTERNS
+
+    chosen = entities if entities is not None else _REDACT_ORDER
+    unknown = [e for e in chosen if e not in _PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unsupported PII entities: {unknown}; supported: {sorted(_PII_PATTERNS)}")
+    col = to_col(column)
+    out = col
+    for e in [e for e in _REDACT_ORDER if e in chosen]:
+        out = F.regexp_replace(out, _PII_PATTERNS[e], replacement.format(entity=e))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(out)

@@ -13,11 +13,11 @@ import __spark_entry__ as entry
 
 EXPECTED_ROWS_ONLY = {
     # probabilistic / ML constructs with no DuckDB twin
-    # (dedup_minhash_lsh / dedup_simhash left this list in r4: the portable
-    # md5-60bit hash made their full output DuckDB-reproducible):
+    # (dedup_minhash_lsh / dedup_simhash left this list in r4 via the
+    # portable md5-60bit hash; multimodal_features left it via integer byte
+    # projections of the pinned sha256-stub encoder):
     "ann_lsh_topk",        # approximate by construction
     "ivf_topk",            # KMeans-seeded probe
-    "multimodal_features", # stubbed feature extractor (no media lib)
     "anomaly_train_score", # isolation-forest traversal
 }
 

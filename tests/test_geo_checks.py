@@ -187,6 +187,17 @@ def test_geometrycollection_grammar(spark):
     assert fired_ids(spark, df2, DQRowRule(check_func=C.is_geography, column="g")) == {0}
 
 
+def test_ogc_valid_interior_rings(spark):
+    rows = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"),  # valid donut
+        (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 7, 7 3, 3 7, 3 3))"),  # bowtie hole
+        (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 3, 3 7))"),  # unclosed hole
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    fired = fired_ids(spark, df, DQRowRule(check_func=C.is_ogc_valid, column="g"))
+    assert fired == {1, 2}
+
+
 def test_geofence_grid_matches_exact(spark):
     # the grid method is an exact short-circuit: identical verdicts to the
     # ray cast on a point cloud spanning interior, exterior, and cells the

@@ -450,3 +450,38 @@ def test_normalize_text(spark):
     }
     assert out2[2] == "été chaud"
     assert out2[3] is None
+
+
+def test_redact_pii(spark):
+    from dqx_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at bob@example.com or call 555-123-4567"),
+            (1, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+            (2, "clean text"),
+            (3, None),
+        ],
+        "id int, t string",
+    )
+    out = {r["id"]: r["red"] for r in df.select("id", T.redact_pii("t").alias("red")).collect()}
+    assert "[EMAIL_ADDRESS]" in out[0] and "[PHONE_NUMBER]" in out[0]
+    assert "bob@example.com" not in out[0]
+    assert "[US_SSN]" in out[1] and "[CREDIT_CARD]" in out[1]
+    assert "4111" not in out[1]
+    assert out[2] == "clean text" and out[3] is None
+
+    # entity subset + custom replacement
+    only_ssn = {
+        r["id"]: r["red"]
+        for r in df.select(
+            "id", T.redact_pii("t", entities=["US_SSN"], replacement="XXX").alias("red")
+        ).collect()
+    }
+    assert only_ssn[1].startswith("ssn XXX card 4111")
+    assert only_ssn[0] == "mail me at bob@example.com or call 555-123-4567"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported PII entities"):
+        T.redact_pii("t", entities=["NOPE"])
