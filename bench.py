@@ -209,6 +209,33 @@ def main() -> None:
 
         return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/{t}.parquet", build)
 
+    def read_organic_docs(scale):
+        """SCALE x documents where each copy is a DISJOINT corpus slice:
+        ids shift and every token gets a copy suffix, so cross-copy exact
+        AND near-duplicate structure is zero (like ingesting ten different
+        crawls) — within-copy dup structure is preserved, so dedup work
+        scales linearly in rows, not quadratically in artificial replicas."""
+
+        def build():
+            base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            copies = [base]
+            for i in range(1, scale):
+                copies.append(
+                    base.select(
+                        (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                        F.regexp_replace("text", r"(\S+)", f"$1{i}").alias("text"),
+                        "lang",
+                        "source",
+                        "n_chars",
+                    )
+                )
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            return out
+
+        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/documents.parquet", build)
+
     li, orders, part, customer = read("lineitem"), read("orders"), read("part"), read("customer")
     # warm the JVM + page cache so the timings measure plan execution
     materialize(li.select("l_orderkey"))
@@ -429,11 +456,40 @@ def main() -> None:
             ),
         }
         sf1_timings = {name: timed(lambda b=build: materialize(b())) for name, build in sf1_cases.items()}
+
+        # pipeline ops at organic 10x docs (disjoint corpus slices): the
+        # dedup/corpus data volume scales without manufacturing cross-copy
+        # duplicate pairs, so these numbers measure row throughput, not an
+        # artificial O(scale^2) pair explosion.
+        docs_o = read_organic_docs(SF1_SCALE)
+        materialize(docs_o.select("doc_id"))
+        sf1_pipe = {
+            "text_metrics": timed(lambda: materialize(_text.text_profile(docs_o, "doc_id", "text"))),
+            "clean_corpus": timed(lambda: materialize(
+                _corpus.clean_corpus(
+                    docs_o, "doc_id", "text",
+                    languages=["en", "de", "fr", "es"], min_words=10,
+                    max_symbol_to_word_ratio=0.5, min_alpha_word_fraction=0.3,
+                    boilerplate_max_line_doc_freq=3,
+                ).select("doc_id", "split")
+            )),
+            "dedup_minhash_pairs": timed(lambda: materialize(
+                _dedup.minhash_lsh_pairs(docs_o, "doc_id", "text", 64, 16, 5, 0.5)
+            )),
+            "dedup_ngram_pairs": timed(lambda: materialize(
+                _dedup.ngram_jaccard_pairs(docs_o, "doc_id", "text", 5, 0.5)
+            )),
+        }
         result["sf1"] = {
             "scale": SF1_SCALE,
             "organic": True,
             "lineitem_rows": li_o.count(),
+            "documents_rows": docs_o.count(),
             "queries": sf1_timings,
+            "pipeline_queries": sf1_pipe,
+            "pipeline_slope": {
+                k: round(sf1_pipe[k] / timings[k], 2) if timings.get(k) else None for k in sf1_pipe
+            },
             "total": round(sum(sf1_timings.values()), 3),
         }
 
