@@ -826,14 +826,27 @@ def q_multimodal_features(spark, sf):
     df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
     feats = multimodal.image_features(df, "content", "doc_id", dim=16, encoder="stub")
     byte_of = lambda f: F.round(f.cast("double") * 255).cast("int")  # noqa: E731
-    return feats.select(
-        "doc_id",
-        F.size("features").alias("n_features"),
-        "featurizer",
-        byte_of(F.element_at("features", 1)).alias("b1"),
-        F.aggregate(
-            F.transform("features", byte_of), F.lit(0), lambda acc, x: acc + x
-        ).alias("bsum"),
+    # sample_video_frames plumbing certified through its deterministic byte
+    # partitioning: frame count and total sliced bytes are closed-form in
+    # the content length (1 KiB frames; remainder beyond n*1024 dropped,
+    # whole content when < 1024)
+    frames = multimodal.sample_video_frames(df, "content", "doc_id", every_n=1)
+    fstats = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum(F.length("frame")).cast("bigint").alias("frames_bytes"),
+        F.max("frame_index").cast("int").alias("last_frame_index"),
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.size("features").alias("n_features"),
+            "featurizer",
+            byte_of(F.element_at("features", 1)).alias("b1"),
+            F.aggregate(
+                F.transform("features", byte_of), F.lit(0), lambda acc, x: acc + x
+            ).alias("bsum"),
+        )
+        .join(fstats, "doc_id", "left")
     )
 
 
@@ -2849,10 +2862,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             # sha256-stub features: byte_i(sha256(utf8(text)))/255; emit the
             # recovered integer bytes (first + sum of all 16) — bit-exact
-            "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents) "
+            "WITH h AS (SELECT doc_id, sha256(text) AS hx, "
+            "octet_length(encode(text)) AS blen FROM documents) "
             "SELECT doc_id, 16 AS n_features, 'sha256-stub' AS featurizer, "
             "('0x' || substr(hx, 1, 2))::INT AS b1, "
-            "list_sum(list_transform(range(1, 17), i -> ('0x' || substr(hx, 2*i - 1, 2))::INT))::INT AS bsum "
+            "list_sum(list_transform(range(1, 17), i -> ('0x' || substr(hx, 2*i - 1, 2))::INT))::INT AS bsum, "
+            "greatest(1, blen // 1024)::INT AS n_frames, "
+            "(CASE WHEN blen >= 1024 THEN (blen // 1024) * 1024 ELSE blen END)::BIGINT AS frames_bytes, "
+            "(greatest(1, blen // 1024) - 1)::INT AS last_frame_index "
             "FROM h"
         ),
         "metrics_summary": (
