@@ -373,3 +373,35 @@ def test_polygons_disjoint_matches_reference(spark, polys):
         if any(j != i and _polys_intersect_ref(rings[i], rings[j]) for j in range(len(rings)))
     }
     assert got == expected, f"rings={rings}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    verts=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+    px=st.floats(min_value=-60, max_value=60, allow_nan=False),
+    py=st.floats(min_value=-60, max_value=60, allow_nan=False),
+    cells=st.integers(min_value=4, max_value=512),
+)
+def test_grid_polyfill_agrees_with_ray_cast(verts, px, py, cells):
+    """Driver-side property: for any simple-ish ring, classifying the
+    query point through the polyfill (full cell -> in; boundary cell ->
+    exact ray cast; else out) must equal the direct even-odd ray cast —
+    the grid is a short-circuit, never a semantic change."""
+    from dqx_spark.functions.geo_checks import _polyfill_grid, _pt_in_ring_py
+    import math
+
+    ring = verts + [verts[0]]
+    xs, ys = [v[0] for v in ring], [v[1] for v in ring]
+    if max(xs) - min(xs) < 1e-6 or max(ys) - min(ys) < 1e-6:
+        return  # degenerate sliver: grid width collapses
+    full, boundary, cell = _polyfill_grid(ring, cells)
+    cid = f"{math.floor(px / cell)}:{math.floor(py / cell)}"
+    via_grid = cid in full or (cid in boundary and _pt_in_ring_py(px, py, ring))
+    assert via_grid == _pt_in_ring_py(px, py, ring)
