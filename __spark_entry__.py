@@ -1874,12 +1874,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 is_valid_subdivision_code,
                                 is_not_null_and_not_empty_array
       geo_row_checks         -> is_geometry, is_not_null_island,
-                                has_x_coordinate_between, is_latitude, is_longitude
+                                has_x_coordinate_between, is_latitude,
+                                is_longitude, exact-geometry family,
+                                geofence (exact + grid), GEOMETRYCOLLECTION
       row_checks_lineitem    -> is_in_range, is_not_in_range, sql_expression,
                                 is_not_equal_to
       row_checks_orders      -> is_equal_to, is_older_than_n_days,
                                 is_older_than_col2_for_n_days, is_valid_date,
-                                has_valid_json_schema
+                                has_valid_json_schema, message_expr text,
+                                warn routing, get_valid/get_invalid membership
       dataset_checks_lineitem-> is_unique (window + join strategies),
                                 foreign_key, sql_query, is_aggr_not_greater_than,
                                 is_aggr_equal, is_aggr_not_less_than,

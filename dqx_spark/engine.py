@@ -27,7 +27,8 @@ from dqx_spark.rule import (
     DQRule,
     rule_set_fingerprint,
 )
-from dqx_spark.schema import ERRORS_COLUMN, WARNINGS_COLUMN, dq_result_item_schema
+from dqx_spark.reporting import INFO_COLUMN_PREFIX, merge_info_columns
+from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_result_item_schema
 
 
 @dataclass(frozen=True)
@@ -112,6 +113,14 @@ class DQEngine:
         )
         # temp-column hygiene: restore exactly the original columns + results
         keep = original_columns + [ERRORS_COLUMN, WARNINGS_COLUMN]
+        # merge any staged per-row diagnostics (anomaly scores etc.) into the
+        # _dq_info array and drop the staging columns (reference
+        # engine.py:604, reporting_columns.py:22-52)
+        info_cols = [c for c in current_df.columns if c.startswith(INFO_COLUMN_PREFIX)]
+        if info_cols or INFO_COLUMN in original_columns:
+            result = merge_info_columns(INFO_COLUMN, result, info_cols)
+            if INFO_COLUMN not in keep:
+                keep.append(INFO_COLUMN)
         return result.select(*keep)
 
     def apply_checks_and_split(

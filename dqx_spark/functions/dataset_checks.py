@@ -33,7 +33,22 @@ from dqx_spark.functions._helpers import (
     unique_suffix,
     within_tolerance,
 )
+from dqx_spark.reporting import build_dq_info_struct, register_dq_info_field
 from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
+
+# model-backed anomaly checks stage per-row diagnostics into the wide
+# _dq_info struct (reference schema/dq_info_schema.py registry pattern)
+register_dq_info_field(
+    "anomaly",
+    T.StructType(
+        [
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("threshold", T.DoubleType(), True),
+            T.StructField("is_anomaly", T.BooleanType(), True),
+            T.StructField("model_id", T.StringType(), True),
+        ]
+    ),
+)
 
 __all__ = [
     "is_unique",
@@ -989,7 +1004,21 @@ def has_no_row_anomalies(
                     F.round(thr, 4).cast("string"),
                 ),
             )
-            return scored.withColumn(msg_col, message).drop(score_col)
+            # stage per-row diagnostics; the engine merges every
+            # __dq_info_* column into the _dq_info array and drops these
+            info = build_dq_info_struct(
+                anomaly=F.struct(
+                    F.col(score_col).alias("score"),
+                    thr.alias("threshold"),
+                    F.coalesce(fired, F.lit(False)).alias("is_anomaly"),
+                    F.lit(str(model.get("model_id", ""))).alias("model_id"),
+                )
+            )
+            return (
+                scored.withColumn(msg_col, message)
+                .withColumn(f"__dq_info_{sfx}", info)
+                .drop(score_col)
+            )
 
         return _lift(msg_col, alias), apply_model
 
