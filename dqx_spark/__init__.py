@@ -30,8 +30,9 @@ from dqx_spark.rule import (
     make_condition,
     register_rule,
 )
-from dqx_spark.schema import ERRORS_COLUMN, WARNINGS_COLUMN, dq_result_item_schema, dq_result_schema
+from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_result_item_schema, dq_result_schema
 from dqx_spark.engine import DQEngine
+from dqx_spark.reporting import build_dq_info_struct, dq_info_item_schema, merge_info_columns, register_dq_info_field
 
 __version__ = "0.1.0"
 
@@ -43,7 +44,12 @@ __all__ = [
     "DQRowRule",
     "DQRule",
     "ERRORS_COLUMN",
+    "INFO_COLUMN",
     "WARNINGS_COLUMN",
+    "build_dq_info_struct",
+    "dq_info_item_schema",
+    "merge_info_columns",
+    "register_dq_info_field",
     "dq_result_item_schema",
     "dq_result_schema",
     "make_condition",

@@ -116,7 +116,12 @@ class DQEngine:
         # merge any staged per-row diagnostics (anomaly scores etc.) into the
         # _dq_info array and drop the staging columns (reference
         # engine.py:604, reporting_columns.py:22-52)
-        info_cols = [c for c in current_df.columns if c.startswith(INFO_COLUMN_PREFIX)]
+        # only columns STAGED by this pass's checks — a user column that
+        # happens to carry the prefix passes through untouched
+        info_cols = [
+            c for c in current_df.columns
+            if c.startswith(INFO_COLUMN_PREFIX) and c not in original_columns
+        ]
         if info_cols or INFO_COLUMN in original_columns:
             result = merge_info_columns(INFO_COLUMN, result, info_cols)
             if INFO_COLUMN not in keep:

@@ -96,3 +96,17 @@ def test_engine_merges_anomaly_info(spark):
     # get_valid keeps _dq_info, drops only result arrays (reference parity)
     valid = engine.get_valid(checked)
     assert "_dq_info" in valid.columns and "_errors" not in valid.columns
+
+
+def test_user_prefixed_column_passes_through(spark):
+    # a user column carrying the staging prefix is NOT merged or dropped
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "__dq_info_user", F.lit("mine")
+    )
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    checked = engine.apply_checks(
+        df, [DQDatasetRule(check_func=C.is_unique, columns=["id"])]
+    )
+    assert "__dq_info_user" in checked.columns
+    assert "_dq_info" not in checked.columns
+    assert checked.select("__dq_info_user").first()[0] == "mine"
