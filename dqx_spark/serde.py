@@ -103,7 +103,53 @@ def validate_checks(
             ):
                 if pname not in args and pname not in injected:
                     status.errors.append(f"{where}: missing required argument {pname!r}")
+        # argument TYPE validation against annotations (reference
+        # checks_validator argument-type tests): conservative — only flags
+        # when every union member is a checkable primitive and none accepts
+        # the value, so Column/DataFrame-typed params never false-positive
+        for arg, val in args.items():
+            err = _argument_type_error(func, arg, val)
+            if err:
+                status.errors.append(f"{where}: {err}")
     return status
+
+
+_CHECKABLE_TYPES = (int, float, str, bool, list, dict)
+
+
+def _argument_type_error(func: Callable, arg: str, val) -> str | None:
+    """Non-None when ``val`` provably mismatches the annotation of ``arg``."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(func)
+    except Exception:  # noqa: BLE001 - unresolvable annotations: skip
+        return None
+    t = hints.get(arg)
+    if t is None:
+        return None
+    members = list(typing.get_args(t)) if typing.get_origin(t) is not None else [t]
+    if typing.get_origin(t) not in (None, typing.Union):
+        # a single parameterized generic like list[str]: check the origin
+        members = [typing.get_origin(t)]
+    flat: list = []
+    for m in members:
+        origin = typing.get_origin(m)
+        flat.append(origin if origin is not None else m)
+    if type(None) in flat and val is None:
+        return None
+    concrete = [m for m in flat if m is not type(None)]
+    if not concrete or not all(isinstance(m, type) and issubclass(m, _CHECKABLE_TYPES) for m in concrete):
+        return None  # un-checkable (Column, Callable, Any, ...): skip
+    for m in concrete:
+        if m is float and isinstance(val, (int, float)) and not isinstance(val, bool):
+            return None
+        if m is int and isinstance(val, bool):
+            continue  # bool is not an acceptable int argument
+        if isinstance(val, m):
+            return None
+    names = "/".join(getattr(m, "__name__", str(m)) for m in concrete)
+    return f"argument {arg!r} expects {names}, got {type(val).__name__} ({val!r})"
 
 
 def deserialize_checks(

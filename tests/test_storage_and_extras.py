@@ -154,3 +154,37 @@ def test_contract_rules_generator(spark):
     assert rows[1]["_errors"] is None
     bad_names = {e["function"] for e in rows[2]["_errors"]}
     assert {"is_valid_email", "is_in_range", "is_in_list", "regex_match", "sql_expression"} <= bad_names
+
+
+def test_validate_checks_argument_types():
+    """Type validation mirrors the reference checks_validator's
+    argument-type tests: provably-wrong primitive types are flagged;
+    Column-typed or un-checkable annotations never false-positive."""
+    from dqx_spark.serde import validate_checks
+
+    bad_days = [{"check": {"function": "is_older_than_n_days",
+                           "arguments": {"column": "x", "days": "ten"}}}]
+    errs = validate_checks(bad_days).errors
+    assert len(errs) == 1 and "'days' expects int" in errs[0]
+
+    bad_regex = [{"check": {"function": "regex_match",
+                            "arguments": {"column": "x", "regex": 123}}}]
+    assert "expects str" in validate_checks(bad_regex).errors[0]
+
+    # int into float-annotated param is fine; bool into int is not
+    ok_float = [{"check": {"function": "has_no_outliers",
+                           "arguments": {"column": "x", "k": 3}}}]
+    assert not validate_checks(ok_float).has_errors
+    bad_bool = [{"check": {"function": "is_older_than_n_days",
+                           "arguments": {"column": "x", "days": True}}}]
+    assert validate_checks(bad_bool).has_errors
+
+    # limit params also accept Column / str expressions -> never flagged
+    ok_col_expr = [{"check": {"function": "is_not_greater_than",
+                              "arguments": {"column": "x", "limit": "other_col"}}}]
+    assert not validate_checks(ok_col_expr).has_errors
+
+    # None is accepted only for Optional annotations
+    ok_none = [{"check": {"function": "does_not_contain_pii",
+                          "arguments": {"column": "x", "entities": None}}}]
+    assert not validate_checks(ok_none).has_errors
