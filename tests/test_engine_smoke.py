@@ -98,3 +98,18 @@ def test_metadata_path(spark):
     checked = engine.apply_checks_by_metadata(df, checks)
     bad = checked.where(F.col("_errors").isNotNull()).collect()
     assert len(bad) == 1 and bad[0]["flag"] == "Z"
+
+
+def test_destructive_filter_is_skipped_not_run(spark):
+    """Reference manager semantics: a filter containing a destructive
+    statement cannot parse as an expression, so the check is SKIPPED with a
+    structured entry (never executed, never aborts the rule set);
+    suppress_skipped removes the entry entirely."""
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, t string")
+    rule = DQRowRule(check_func=C.is_not_null, column="t", filter="id = 1 OR DROP TABLE users")
+    checked = make_engine().apply_checks(df, [rule])
+    for row in checked.collect():
+        assert row["_errors"] is not None and row["_errors"][0]["skipped"] is True
+        assert "filter" in row["_errors"][0]["message"]
+    engine2 = DQEngine(suppress_skipped=True, extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    assert all(r["_errors"] is None for r in engine2.apply_checks(df, [rule]).collect())
