@@ -213,10 +213,20 @@ def generate_rules(profiles: list[DQProfile], criticality: str = "error") -> lis
                 continue
             check = {"function": "is_in_list", "arguments": {"column": p.column, "allowed": allowed}}
         elif p.name == "min_max":
-            check = {
-                "function": "is_in_range",
-                "arguments": {"column": p.column, "min_limit": p.parameters["min"], "max_limit": p.parameters["max"]},
-            }
+            lo, hi = p.parameters.get("min"), p.parameters.get("max")
+            # one-sided bounds degrade to the single-ended checks
+            # (reference generator.dq_generate_min_max behavior)
+            if lo is not None and hi is not None:
+                check = {
+                    "function": "is_in_range",
+                    "arguments": {"column": p.column, "min_limit": lo, "max_limit": hi},
+                }
+            elif lo is not None:
+                check = {"function": "is_not_less_than", "arguments": {"column": p.column, "limit": lo}}
+            elif hi is not None:
+                check = {"function": "is_not_greater_than", "arguments": {"column": p.column, "limit": hi}}
+            else:
+                continue
         else:
             continue
         rule = {"criticality": criticality, "check": check}

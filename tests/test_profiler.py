@@ -55,3 +55,18 @@ def test_dlt_expectations(spark, lineitem):
     exprs = generate_dlt_expectations(profiles)
     assert any("l_orderkey_is_not_null" in e for e in exprs)
     assert any("EXPECT" in e for e in exprs)
+
+
+def test_generate_rules_one_sided_bounds():
+    """One-sided min_max profiles degrade to the single-ended checks
+    (reference generator.dq_generate_min_max)."""
+    from dqx_spark.profiler import DQProfile, generate_rules
+
+    lo = generate_rules([DQProfile("min_max", "a", "", {"min": 10, "max": None})])
+    assert lo[0]["check"]["function"] == "is_not_less_than"
+    assert lo[0]["check"]["arguments"]["limit"] == 10
+    hi = generate_rules([DQProfile("min_max", "b", "", {"min": None, "max": 5.5})])
+    assert hi[0]["check"]["function"] == "is_not_greater_than"
+    both = generate_rules([DQProfile("min_max", "c", "", {"min": 1, "max": 2})])
+    assert both[0]["check"]["function"] == "is_in_range"
+    assert generate_rules([DQProfile("min_max", "d", "", {"min": None, "max": None})]) == []
