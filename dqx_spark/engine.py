@@ -33,11 +33,17 @@ from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_res
 
 @dataclass(frozen=True)
 class ExtraParams:
-    """Determinism knobs (reference ``engine.py:98-114``)."""
+    """Determinism knobs (reference ``engine.py:98-114``).
+
+    ``result_column_names`` renames the result columns per engine instance
+    (reference ``_result_column_names`` resolution, engine.py:85-94):
+    keys ``errors`` / ``warnings`` / ``info``, defaulting to ``_errors`` /
+    ``_warnings`` / ``_dq_info``."""
 
     run_time_overwrite: datetime | str | None = None
     run_id_overwrite: str | None = None
     user_metadata: dict[str, str] = field(default_factory=dict)
+    result_column_names: dict[str, str] = field(default_factory=dict)
 
 
 class DQEngine:
@@ -60,6 +66,13 @@ class DQEngine:
         #: checkpoint caches the intermediate rows on executors.
         self.checkpoint_every_n_dataset_checks = checkpoint_every_n_dataset_checks
         self._run_id = self.extra_params.run_id_overwrite or str(uuid.uuid4())
+        rcn = self.extra_params.result_column_names
+        unknown = set(rcn) - {"errors", "warnings", "info"}
+        if unknown:
+            raise ValueError(f"result_column_names keys must be errors/warnings/info, got {sorted(unknown)}")
+        self._errors_col = rcn.get("errors", ERRORS_COLUMN)
+        self._warnings_col = rcn.get("warnings", WARNINGS_COLUMN)
+        self._info_col = rcn.get("info", INFO_COLUMN)
         # Row-rule result Columns are pure (unresolved) expressions with no
         # DataFrame dependency, so the fully-wrapped result struct can be
         # reused verbatim whenever the same rule (by fingerprint) is applied
@@ -108,11 +121,11 @@ class DQEngine:
                 if every and n_dataset % every == 0 and not current_df.isStreaming:
                     current_df = current_df.localCheckpoint(eager=False)
 
-        result = current_df.withColumn(ERRORS_COLUMN, _assemble_results(error_conds)).withColumn(
-            WARNINGS_COLUMN, _assemble_results(warn_conds)
+        result = current_df.withColumn(self._errors_col, _assemble_results(error_conds)).withColumn(
+            self._warnings_col, _assemble_results(warn_conds)
         )
         # temp-column hygiene: restore exactly the original columns + results
-        keep = original_columns + [ERRORS_COLUMN, WARNINGS_COLUMN]
+        keep = original_columns + [self._errors_col, self._warnings_col]
         # merge any staged per-row diagnostics (anomaly scores etc.) into the
         # _dq_info array and drop the staging columns (reference
         # engine.py:604, reporting_columns.py:22-52)
@@ -122,10 +135,10 @@ class DQEngine:
             c for c in current_df.columns
             if c.startswith(INFO_COLUMN_PREFIX) and c not in original_columns
         ]
-        if info_cols or INFO_COLUMN in original_columns:
-            result = merge_info_columns(INFO_COLUMN, result, info_cols)
-            if INFO_COLUMN not in keep:
-                keep.append(INFO_COLUMN)
+        if info_cols or self._info_col in original_columns:
+            result = merge_info_columns(self._info_col, result, info_cols)
+            if self._info_col not in keep:
+                keep.append(self._info_col)
         return result.select(*keep)
 
     def apply_checks_and_split(
@@ -161,16 +174,15 @@ class DQEngine:
         checked = self.apply_checks_by_metadata(df, checks, custom_check_functions, ref_dfs)
         return self.get_valid(checked), self.get_invalid(checked)
 
-    @staticmethod
-    def get_valid(df: DataFrame) -> DataFrame:
-        """Rows with no errors, result columns dropped (reference engine.py:345-357)."""
-        return df.where(F.col(ERRORS_COLUMN).isNull()).drop(ERRORS_COLUMN, WARNINGS_COLUMN)
+    def get_valid(self, df: DataFrame) -> DataFrame:
+        """Rows with no errors, result columns dropped (reference engine.py:345-357).
+        Honors this engine's ``result_column_names``."""
+        return df.where(F.col(self._errors_col).isNull()).drop(self._errors_col, self._warnings_col)
 
-    @staticmethod
-    def get_invalid(df: DataFrame) -> DataFrame:
+    def get_invalid(self, df: DataFrame) -> DataFrame:
         """Rows with any error or warning, result columns kept
         (reference engine.py:359-372)."""
-        return df.where(F.col(ERRORS_COLUMN).isNotNull() | F.col(WARNINGS_COLUMN).isNotNull())
+        return df.where(F.col(self._errors_col).isNotNull() | F.col(self._warnings_col).isNotNull())
 
     # ------------------------------------------------------------------
     # per-rule processing (reference manager.py:195-245, executor.py:53-172)
@@ -278,7 +290,7 @@ class DQEngine:
         return F.when(fired, struct_col).otherwise(F.lit(None).cast(dq_result_item_schema))
 
     def _validate_no_result_column_collision(self, df: DataFrame) -> None:
-        clash = {ERRORS_COLUMN, WARNINGS_COLUMN} & set(df.columns)
+        clash = {self._errors_col, self._warnings_col} & set(df.columns)
         if clash:
             raise ValueError(f"input DataFrame already contains result columns: {sorted(clash)}")
 

@@ -113,3 +113,29 @@ def test_destructive_filter_is_skipped_not_run(spark):
         assert "filter" in row["_errors"][0]["message"]
     engine2 = DQEngine(suppress_skipped=True, extra_params=ExtraParams(run_time_overwrite=RUN_TS))
     assert all(r["_errors"] is None for r in engine2.apply_checks(df, [rule]).collect())
+
+
+def test_custom_result_column_names(spark):
+    """ExtraParams.result_column_names renames _errors/_warnings/_dq_info
+    per engine instance (reference _result_column_names resolution)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, None), (2, "b")], "id int, t string")
+    engine = DQEngine(
+        extra_params=ExtraParams(
+            run_time_overwrite=RUN_TS,
+            result_column_names={"errors": "dq_errs", "warnings": "dq_warns"},
+        )
+    )
+    checked = engine.apply_checks(df, [DQRowRule(check_func=C.is_not_null, column="t")])
+    assert "dq_errs" in checked.columns and "_errors" not in checked.columns
+    bad = {r["id"] for r in checked.where(F.col("dq_errs").isNotNull()).collect()}
+    assert bad == {1}
+    valid = engine.get_valid(checked)
+    assert set(valid.columns) == {"id", "t"}
+    assert {r["id"] for r in valid.collect()} == {2}
+    invalid = engine.get_invalid(checked)
+    assert {r["id"] for r in invalid.collect()} == {1}
+
+    with pytest.raises(ValueError, match="result_column_names"):
+        DQEngine(extra_params=ExtraParams(result_column_names={"bogus": "x"}))
