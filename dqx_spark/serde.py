@@ -128,14 +128,20 @@ def _argument_type_error(func: Callable, arg: str, val) -> str | None:
     t = hints.get(arg)
     if t is None:
         return None
-    members = list(typing.get_args(t)) if typing.get_origin(t) is not None else [t]
-    if typing.get_origin(t) not in (None, typing.Union):
-        # a single parameterized generic like list[str]: check the origin
-        members = [typing.get_origin(t)]
+    import types as _pytypes
+
+    origin = typing.get_origin(t)
+    if origin in (typing.Union, _pytypes.UnionType):
+        # both typing.Optional/Union[...] and PEP-604 `X | Y` unions
+        members = list(typing.get_args(t))
+    elif origin is not None:
+        members = [origin]  # a single parameterized generic like list[str]
+    else:
+        members = [t]
     flat: list = []
     for m in members:
-        origin = typing.get_origin(m)
-        flat.append(origin if origin is not None else m)
+        m_origin = typing.get_origin(m)
+        flat.append(m_origin if m_origin is not None else m)
     if type(None) in flat and val is None:
         return None
     concrete = [m for m in flat if m is not type(None)]

@@ -188,3 +188,15 @@ def test_validate_checks_argument_types():
     ok_none = [{"check": {"function": "does_not_contain_pii",
                           "arguments": {"column": "x", "entities": None}}}]
     assert not validate_checks(ok_none).has_errors
+
+
+def test_validate_checks_pep604_unions():
+    from dqx_spark.serde import validate_checks
+
+    # list[str] | None annotation: int provably wrong, list and None fine
+    bad = [{"check": {"function": "does_not_contain_pii",
+                      "arguments": {"column": "x", "entities": 7}}}]
+    assert "expects list" in validate_checks(bad).errors[0]
+    ok = [{"check": {"function": "does_not_contain_pii",
+                     "arguments": {"column": "x", "entities": ["US_SSN"]}}}]
+    assert not validate_checks(ok).has_errors
