@@ -1638,6 +1638,12 @@ def q_dataset_checks_lineitem(spark, sf):
             name="foreign_key", check_func=C.foreign_key, columns=["l_partkey"],
             check_func_kwargs={"ref_columns": ["p_partkey"], "ref_df_name": "part_subset"},
         ),
+        # composite-key FK path (r4): ref = the same keys minus %3 orders
+        DQDatasetRule(
+            name="foreign_key_composite", check_func=C.foreign_key,
+            columns=["l_orderkey", "l_linenumber"],
+            check_func_kwargs={"ref_columns": ["l_orderkey", "l_linenumber"], "ref_df_name": "fk_comp"},
+        ),
         DQDatasetRule(
             name="sql_query", check_func=C.sql_query,
             check_func_kwargs={
@@ -1674,9 +1680,10 @@ def q_dataset_checks_lineitem(spark, sf):
             },
         ),
     ]
+    fk_comp = df.where(F.col("l_orderkey") % 3 != 0).select("l_orderkey", "l_linenumber")
     return _apply_batch(
         df, rules, ["l_orderkey", "l_linenumber"],
-        ref_dfs={"part_subset": part_ref, "orders": orders, "half": half},
+        ref_dfs={"part_subset": part_ref, "orders": orders, "half": half, "fk_comp": fk_comp},
     )
 
 
@@ -1723,8 +1730,29 @@ def q_dataset_checks_orders(spark, sf):
             name="compare_datasets", check_func=C.compare_datasets,
             check_func_kwargs={"columns": ["o_orderkey"], "ref_columns": ["o_orderkey"], "ref_df_name": "cmp_ref"},
         ),
+        # tolerance path (r4): ref totalprice drifts +0.2 everywhere (inside
+        # abs_tolerance 0.5) and +10.0 on %31 keys (outside) — only the big
+        # drift and the %50 missing-ref rows flag
+        DQDatasetRule(
+            name="compare_datasets_tolerance", check_func=C.compare_datasets,
+            check_func_kwargs={
+                "columns": ["o_orderkey"], "ref_columns": ["o_orderkey"],
+                "ref_df_name": "tol_ref", "abs_tolerance": 0.5,
+            },
+        ),
     ]
-    return _apply_batch(df, rules, ["o_orderkey"], ref_dfs={"cust_subset": cust_ref, "cmp_ref": cmp_ref})
+    tol_ref = df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 31 == 0, F.lit(10.0)).otherwise(F.lit(0.2))
+        ).alias("o_totalprice"),
+    ).where(F.col("o_orderkey") % 50 != 0)
+    return _apply_batch(
+        df, rules, ["o_orderkey"],
+        ref_dfs={"cust_subset": cust_ref, "cmp_ref": cmp_ref, "tol_ref": tol_ref},
+    )
 
 
 def q_dataset_checks_part(spark, sf):
@@ -2365,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) OVER (PARTITION BY l.l_orderkey, l.l_linenumber)) > 1 AS is_unique, "
             "(count(*) OVER (PARTITION BY l.l_orderkey, l.l_linenumber)) > 1 AS is_unique_join, "
             "l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey >= 100) AS foreign_key, "
+            "(l.l_orderkey % 3 = 0) AS foreign_key_composite, "
             "l.l_orderkey IN (SELECT li.l_orderkey FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey "
             "WHERE li.l_shipdate < o.o_orderdate) AS sql_query, "
             "(SELECT count(*) FROM lineitem) > 1000 AS is_aggr_not_greater_than_global, "
@@ -2392,7 +2421,10 @@ def oracle_sql() -> dict[str, str]:
             "true AS has_valid_schema_bad, "
             "(SELECT count(o_orderkey) FROM orders) = 15000 AS is_aggr_not_equal_global, "
             "(r.o_orderkey IS NULL OR o.o_orderstatus IS DISTINCT FROM r.o_orderstatus "
-            "OR o.o_totalprice IS DISTINCT FROM r.o_totalprice) AS compare_datasets "
+            "OR o.o_totalprice IS DISTINCT FROM r.o_totalprice) AS compare_datasets, "
+            # tol_ref drifts +0.2 (inside abs_tolerance 0.5) everywhere and
+            # +10.0 on %31 keys (outside); %50 keys are missing from the ref
+            "(o.o_orderkey % 50 = 0 OR o.o_orderkey % 31 = 0) AS compare_datasets_tolerance "
             "FROM orders o CROSS JOIN s CROSS JOIN rz LEFT JOIN cref r ON o.o_orderkey = r.o_orderkey"
         ),
         "dataset_checks_part": (
