@@ -184,7 +184,9 @@ def main() -> None:
             copies = []
             for i in range(scale):
                 shift = i * 1_000_000_000
-                h = F.xxhash64(*[F.col(c) for c in spec["seed"]], F.lit(i))
+                # pmod: Spark's % preserves the sign of xxhash64, which
+                # would skew every jitter range negative for ~half the rows
+                h = F.pmod(F.xxhash64(*[F.col(c) for c in spec["seed"]], F.lit(i)), F.lit(2**31))
                 cols = []
                 for c in base.columns:
                     col = F.col(c)

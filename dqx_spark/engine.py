@@ -135,7 +135,10 @@ class DQEngine:
             c for c in current_df.columns
             if c.startswith(INFO_COLUMN_PREFIX) and c not in original_columns
         ]
-        if info_cols or self._info_col in original_columns:
+        if info_cols:
+            # multi-pass: a pre-existing _dq_info (array) gets the new
+            # elements appended; with no staged columns the input — info
+            # column or not — passes through untouched
             result = merge_info_columns(self._info_col, result, info_cols)
             if self._info_col not in keep:
                 keep.append(self._info_col)

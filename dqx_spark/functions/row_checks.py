@@ -841,7 +841,10 @@ def presidio_analyzer(
     def analyze(s):
         import pandas as pd  # noqa: PLC0415  (executor-side)
 
-        key = (ents, language, float(score_threshold))
+        # one engine per process: entities and score_threshold are applied
+        # per analyze() call, so differently-configured adapters share the
+        # same (expensive) NLP model
+        key = "analyzer"
         eng = _PRESIDIO_ENGINES.get(key)
         if eng is None:
             try:

@@ -289,12 +289,25 @@ def minhash_lsh_pairs(
     if not verify_exact:
         return scored.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
     # exact verification: rejoin only the candidates against the true
-    # shingle-hash sets; threshold applies to the exact Jaccard
-    sh = exploded_shingle_hashes(df, id_col, text_col, shingle_k, hash_name=hash_name).withColumnRenamed(
-        "h", "shingle"
+    # shingle-hash sets; threshold applies to the exact Jaccard.  The
+    # corpus is first semi-joined down to candidate docs (broadcast-sized:
+    # ids appearing in >=1 candidate pair) and the shingle explode is
+    # materialized ONCE — its three consumers (the size aggregate and both
+    # sides of the common-count join) must not re-tokenize the corpus.
+    est = _materialize(scored.select("id_a", "id_b", "est_jaccard"), storage)
+    cand_ids = est.select(F.col("id_a").alias(id_col)).union(
+        est.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    # no broadcast hint: the candidate set is usually tiny (AQE broadcasts
+    # it from the materialized stats) but CAN be corpus-sized under a
+    # degenerate threshold, where a forced broadcast would kill the driver
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    sh = _materialize(
+        exploded_shingle_hashes(cand_docs, id_col, text_col, shingle_k, hash_name=hash_name)
+        .withColumnRenamed("h", "shingle"),
+        storage,
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    est = scored.select("id_a", "id_b", "est_jaccard")
     common = (
         est.select("id_a", "id_b")
         .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")

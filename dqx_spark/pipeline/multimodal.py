@@ -176,6 +176,13 @@ def _sha_stub_features(b: bytes, dim: int) -> list[float]:
     return [x / 255.0 for x in raw[:dim]]
 
 
+_ENCODERS = ("auto", "torch", "pixel", "stub")
+
+#: per-process cache: torchvision model construction (weights + eval setup)
+#: must happen once per executor, not once per mapInPandas task
+_ENCODER_CACHE: dict = {}
+
+
 def _select_image_encoder(encoder: str, dim: int):
     """Executor-side encoder selection: (name, bytes -> list[float] | None).
 
@@ -185,7 +192,20 @@ def _select_image_encoder(encoder: str, dim: int):
                  intensities, mean-centered (the aHash family of perceptual
                  features); needs PIL only.
     ``stub``   — sha256 stand-in, always available, never perceptual.
-    ``auto``   — first of the above that imports."""
+    ``auto``   — first of the above that imports.
+
+    The selected (name, fn) pair is cached per process keyed on
+    (encoder, dim), so heavy model state really does load once per
+    executor."""
+    key = (encoder, dim)
+    cached = _ENCODER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _ENCODER_CACHE[key] = out = _build_image_encoder(encoder, dim)
+    return out
+
+
+def _build_image_encoder(encoder: str, dim: int):
     if encoder in ("auto", "torch"):
         try:
             import io  # noqa: PLC0415
@@ -219,7 +239,7 @@ def _select_image_encoder(encoder: str, dim: int):
         except ImportError:
             if encoder == "torch":
                 raise ImportError("image_features(encoder='torch') needs torch + torchvision + PIL")
-    if encoder in ("auto", "torch", "pixel"):
+    if encoder in ("auto", "pixel"):
         try:
             import io  # noqa: PLC0415
 
@@ -241,8 +261,6 @@ def _select_image_encoder(encoder: str, dim: int):
         except ImportError:
             if encoder == "pixel":
                 raise ImportError("image_features(encoder='pixel') needs PIL")
-    if encoder not in ("auto", "torch", "pixel", "stub"):
-        raise ValueError(f"unknown encoder {encoder!r}: expected auto|torch|pixel|stub")
     return "sha256-stub", lambda b: _sha_stub_features(b, dim)
 
 
@@ -259,8 +277,8 @@ def image_features(
     which one actually produced each vector, so downstream consumers can
     tell real embeddings from stand-ins.  Heavy model state loads once per
     executor process, then batches stream through."""
-    if encoder not in ("auto", "torch", "pixel", "stub"):
-        raise ValueError(f"unknown encoder {encoder!r}: expected auto|torch|pixel|stub")
+    if encoder not in _ENCODERS:
+        raise ValueError(f"unknown encoder {encoder!r}: expected {'|'.join(_ENCODERS)}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), True),

@@ -48,7 +48,15 @@ def dq_info_item_schema() -> T.StructType:
 
 def build_dq_info_struct(**kwargs: Column) -> Column:
     """One wide struct: ``kwargs[name]`` per registered field, null-cast
-    placeholders for the rest — every producer emits the same type."""
+    placeholders for the rest — every producer emits the same type.
+    Unknown kwarg names fail at plan-build time rather than silently
+    nulling the caller's diagnostics."""
+    unknown = set(kwargs) - set(_DQ_INFO_FIELDS)
+    if unknown:
+        raise ValueError(
+            f"unregistered _dq_info fields: {sorted(unknown)}; "
+            f"registered: {sorted(_DQ_INFO_FIELDS)} (register_dq_info_field at import time)"
+        )
     parts = []
     for name, dtype in _DQ_INFO_FIELDS.items():
         col = kwargs.get(name)

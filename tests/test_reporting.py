@@ -110,3 +110,19 @@ def test_user_prefixed_column_passes_through(spark):
     assert "__dq_info_user" in checked.columns
     assert "_dq_info" not in checked.columns
     assert checked.select("__dq_info_user").first()[0] == "mine"
+
+
+def test_existing_info_named_column_no_crash(spark):
+    # regression (r4 review): an input column named _dq_info (any type) with
+    # no info-producing checks must pass through, not crash the merge
+    df = spark.createDataFrame([(1, "keep")], "id int, _dq_info string")
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    checked = engine.apply_checks(df, [DQDatasetRule(check_func=C.is_unique, columns=["id"])])
+    assert checked.select("_dq_info").first()[0] == "keep"
+
+
+def test_build_dq_info_struct_rejects_unknown_field():
+    import pytest
+
+    with pytest.raises(ValueError, match="unregistered _dq_info fields"):
+        build_dq_info_struct(anomalyy=F.lit(1))
