@@ -109,15 +109,17 @@ class TableChecksStorage(BaseChecksStorage):
             # overwrite ONLY this run config's rows, keep others; collect the
             # (small) other rows first — Spark cannot overwrite a table from
             # a plan that reads the same table
-            try:
+            # table-not-found is the ONLY swallowed error: any other read
+            # failure (permissions, transient metastore/network) must abort
+            # the save, or the overwrite would silently drop every other
+            # run config's rows
+            if self.spark.catalog.tableExists(self.table):
                 others = (
                     self.spark.read.table(self.table)
                     .where(F.col("run_config_name") != self.run_config_name)
                     .collect()
                 )
                 rows = [r.asDict() for r in others] + rows
-            except Exception:  # noqa: BLE001 — table doesn't exist yet
-                pass
             self.spark.createDataFrame(rows, CHECKS_TABLE_SCHEMA).write.mode("overwrite").saveAsTable(self.table)
         else:
             self.spark.createDataFrame(rows, CHECKS_TABLE_SCHEMA).write.mode("append").saveAsTable(self.table)
@@ -182,8 +184,17 @@ class JdbcChecksStorage(BaseChecksStorage):
                     {**r.asDict(), "user_metadata": json.loads(r["user_metadata"]) if r["user_metadata"] else None}
                     for r in others
                 ] + rows
-            except Exception:  # noqa: BLE001 — table doesn't exist yet
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # swallow ONLY missing-relation errors (message text is the
+                # best cross-database signal JDBC gives us); anything else —
+                # auth, network, syntax — must abort, or the overwrite below
+                # would silently drop every other run config's rows
+                msg = str(exc).lower()
+                if not any(
+                    s in msg
+                    for s in ("not exist", "not found", "no such table", "doesn't exist", "undefined")
+                ):
+                    raise
             self._write(rows, "overwrite")
         else:
             self._write(rows, "append")

@@ -67,7 +67,7 @@ def cmd_apply(args) -> int:
         input_config=InputConfig(location=args.input, format=args.format),
         output_config=OutputConfig(location=args.output, mode=args.mode),
         quarantine_config=OutputConfig(location=args.quarantine, mode=args.mode) if args.quarantine else None,
-        metrics_config=OutputConfig(location=args.metrics, mode=args.mode) if args.metrics else None,
+        metrics_config=OutputConfig(location=args.metrics, mode="append") if args.metrics else None,
         checks_location=args.checks,
     )
     metrics = apply_checks_and_save_in_table(spark, rc, engine=DQEngine(spark))
@@ -95,7 +95,7 @@ def cmd_e2e(args) -> int:
         input_config=InputConfig(location=args.input, format=args.format),
         output_config=OutputConfig(location=args.output, mode=args.mode),
         quarantine_config=OutputConfig(location=args.quarantine, mode=args.mode) if args.quarantine else None,
-        metrics_config=OutputConfig(location=args.metrics, mode=args.mode) if args.metrics else None,
+        metrics_config=OutputConfig(location=args.metrics, mode="append") if args.metrics else None,
     )
     metrics = apply_checks_and_save_in_table(spark, rc, checks=rules, engine=DQEngine(spark))
     if metrics:
@@ -110,8 +110,13 @@ def cmd_clean(args) -> int:
     from dqx_spark.io import write_sized
     from dqx_spark.pipeline.corpus import clean_corpus
 
+    from pyspark.sql import Observation, functions as F
+
     spark = _spark("clean")
-    df = spark.read.format(args.format).load(args.input)
+    # observations at the source and output plan nodes both populate during
+    # the single write action — no extra input re-scan or output read-back
+    in_obs, out_obs = Observation("clean_in"), Observation("clean_out")
+    df = spark.read.format(args.format).load(args.input).observe(in_obs, F.count(F.lit(1)).alias("n"))
     out = clean_corpus(
         df,
         args.id_col,
@@ -121,10 +126,9 @@ def cmd_clean(args) -> int:
         boilerplate_max_line_doc_freq=args.boilerplate_doc_freq,
         near_dedup=args.near_dedup,
         splits=None,
-    )
+    ).observe(out_obs, F.count(F.lit(1)).alias("n"))
     write_sized(out, args.output, file_format=args.format, max_records_per_file=args.records_per_file)
-    kept = spark.read.format(args.format).load(args.output).count()
-    print(json.dumps({"input_rows": df.count(), "kept_rows": kept}))
+    print(json.dumps({"input_rows": in_obs.get["n"], "kept_rows": out_obs.get["n"]}))
     return 0
 
 

@@ -126,12 +126,26 @@ def save_dataframe_as_table(df: DataFrame, output_config: OutputConfig) -> Strea
     if df.isStreaming:
         writer = df.writeStream.format(output_config.format).options(**output_config.options)
         if output_config.mode:
-            writer = writer.outputMode("append" if output_config.mode == "append" else output_config.mode)
+            # batch modes don't exist in streaming: 'overwrite' (the batch
+            # default) would throw at query start; everything else
+            # (append/complete/update) passes through for Spark to validate
+            stream_mode = "append" if output_config.mode == "overwrite" else output_config.mode
+            writer = writer.outputMode(stream_mode)
         if output_config.trigger:
             writer = writer.trigger(**output_config.trigger)
         if output_config.partition_by:
             writer = writer.partitionBy(*output_config.partition_by)
         if output_config.is_table:
+            if "checkpointLocation" not in output_config.options and not df.sparkSession.conf.get(
+                "spark.sql.streaming.checkpointLocation", None
+            ):
+                # unlike the path sink below there is no location to derive a
+                # default from — fail NOW with guidance instead of an opaque
+                # AnalysisException at query start
+                raise ValueError(
+                    f"streaming write to table {output_config.location!r} needs options."
+                    "checkpointLocation (or spark.sql.streaming.checkpointLocation)"
+                )
             return writer.toTable(output_config.location)
         # file sink needs a checkpoint location
         if "checkpointLocation" not in output_config.options:

@@ -71,20 +71,24 @@ def windowed_check_metrics(
     event_time_col: str,
     window_duration: str = "10 minutes",
     watermark_delay: str = "10 minutes",
+    errors_col: str = ERRORS_COLUMN,
+    warnings_col: str = WARNINGS_COLUMN,
 ) -> DataFrame:
     """Streaming windowed quality metrics with late-data handling: tumbling
     event-time windows (watermarked) aggregating input/error/warning/valid
-    row counts from the ``_errors``/``_warnings`` columns.  Append-mode
-    safe: windows finalize once the watermark passes."""
+    row counts from the result columns (override ``errors_col`` /
+    ``warnings_col`` for engines configured with custom
+    ``result_column_names``).  Append-mode safe: windows finalize once the
+    watermark passes."""
     return (
         checked_stream.withWatermark(event_time_col, watermark_delay)
         .groupBy(F.window(F.col(event_time_col), window_duration).alias("time_window"))
         .agg(
             F.count(F.lit(1)).alias("input_row_count"),
-            F.count(F.when(F.col(ERRORS_COLUMN).isNotNull(), 1)).alias("error_row_count"),
-            F.count(F.when(F.col(WARNINGS_COLUMN).isNotNull(), 1)).alias("warning_row_count"),
+            F.count(F.when(F.col(errors_col).isNotNull(), 1)).alias("error_row_count"),
+            F.count(F.when(F.col(warnings_col).isNotNull(), 1)).alias("warning_row_count"),
             F.count(
-                F.when(F.col(ERRORS_COLUMN).isNull() & F.col(WARNINGS_COLUMN).isNull(), 1)
+                F.when(F.col(errors_col).isNull() & F.col(warnings_col).isNull(), 1)
             ).alias("valid_row_count"),
         )
         .select(
@@ -121,8 +125,10 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
 
     gap_seconds = int(gap_minutes) * 60
+    # the key column keeps its INPUT type (string keys are the common case)
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     output_schema = (
-        f"{key_col} long, {event_time_col} timestamp, session_id long, session_start timestamp"
+        f"{key_col} {key_type}, {event_time_col} timestamp, session_id long, session_start timestamp"
     )
     state_schema = "last_ts double, session_id long, session_start double"
 

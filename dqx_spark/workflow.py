@@ -26,7 +26,7 @@ from dqx_spark.io import (
     save_dataframe_as_table,
 )
 from dqx_spark.metrics import DQMetricsObserver, metrics_dataframe, observation_rows
-from dqx_spark.serde import deserialize_checks, load_checks_from_file
+from dqx_spark.serde import deserialize_checks
 
 
 def apply_checks_and_save_in_table(
@@ -46,7 +46,13 @@ def apply_checks_and_save_in_table(
     if checks is None:
         if not run_config.checks_location:
             raise ValueError("provide checks inline or via run_config.checks_location")
-        checks = load_checks_from_file(run_config.checks_location)
+        # full storage dispatch: file suffix -> YAML/JSON file, 'jdbc:' ->
+        # JDBC, otherwise table — not just the file path case
+        from dqx_spark.checks_storage import checks_storage_factory
+
+        checks = checks_storage_factory(
+            spark, run_config.checks_location, run_config.name
+        ).load()
     rules = deserialize_checks(checks, custom_check_functions) if checks and isinstance(checks[0], dict) else checks
 
     df = read_input_data(spark, run_config.input_config)
@@ -58,17 +64,21 @@ def apply_checks_and_save_in_table(
     if run_config.metrics_config and not checked.isStreaming:
         checked, observation = observer.attach(checked)
 
+    # (query, its OWN trigger): awaiting must be decided per query — with a
+    # one-shot output trigger but a continuous quarantine trigger, awaiting
+    # the quarantine query would hang forever
     queries = []
     if run_config.quarantine_config:
         good, bad = engine.get_valid(checked), engine.get_invalid(checked)
-        queries.append(save_dataframe_as_table(good, run_config.output_config))
-        queries.append(save_dataframe_as_table(bad, run_config.quarantine_config))
+        queries.append((save_dataframe_as_table(good, run_config.output_config), run_config.output_config.trigger))
+        queries.append(
+            (save_dataframe_as_table(bad, run_config.quarantine_config), run_config.quarantine_config.trigger)
+        )
     else:
-        queries.append(save_dataframe_as_table(checked, run_config.output_config))
+        queries.append((save_dataframe_as_table(checked, run_config.output_config), run_config.output_config.trigger))
 
-    trigger = run_config.output_config.trigger
-    for q in queries:
-        if q is not None and is_one_time_trigger(trigger):
+    for q, trig in queries:
+        if q is not None and is_one_time_trigger(trig):
             q.awaitTermination()
 
     metrics = None
@@ -142,7 +152,12 @@ def expand_table_patterns(
     Catalog listing is scoped by the database part of each pattern (only
     matching databases are enumerated), exclusions run over the expanded
     names, and the result is sorted + de-duplicated."""
-    exclude_patterns = exclude_patterns or []
+    # exclusions get the same catalog-prefix normalization as includes —
+    # a 3-part 'spark_catalog.db.tmp_*' must match the 2-part names below
+    exclude_patterns = [
+        x.split(".", 1)[1] if x.count(".") == 2 and x.split(".")[0] in ("spark_catalog", "*") else x
+        for x in (exclude_patterns or [])
+    ]
     out: set[str] = set()
     for pattern in patterns:
         parts = pattern.split(".")

@@ -164,6 +164,11 @@ def test_expand_table_patterns(spark):
     ) == ["default.sales_2023", "default.sales_2024", "staging.events"]
     # exact names pass through without a catalog listing
     assert expand_table_patterns(spark, ["any.table_name"], catalog_listing=catalog) == ["any.table_name"]
+    # 3-part exclusions are normalized like includes (r4 review fix)
+    assert expand_table_patterns(
+        spark, ["default.sales_*"], exclude_patterns=["spark_catalog.default.sales_2023"],
+        catalog_listing=catalog,
+    ) == ["default.sales_2024"]
     # 3-part reference-style names: spark_catalog accepted, others rejected
     assert expand_table_patterns(spark, ["spark_catalog.default.users"], catalog_listing=catalog) == [
         "default.users"

@@ -209,3 +209,28 @@ def test_corpus_quality_filters_stream(spark, tmp_path):
     }
     assert got == batch
     assert set(got) == {0, 2}
+
+
+def test_sessionize_stream_string_key(spark, tmp_path):
+    """Regression (r4 review): session keys keep their input type — a
+    string key must not be declared long in the output schema."""
+    from dqx_spark.streaming import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    spark.createDataFrame(
+        [("alice", "2024-01-01 00:00:00"), ("alice", "2024-01-01 00:05:00"), ("bob", "2024-01-01 01:00:00")],
+        "user_id string, ts_s string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts").write.parquet(str(src))
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(str(src))
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_str_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_str_test").collect()
+    assert {r["user_id"] for r in rows} == {"alice", "bob"}
+    assert all(isinstance(r["user_id"], str) for r in rows)
