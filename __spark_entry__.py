@@ -1090,8 +1090,10 @@ def q_time_rollup(spark, sf):
     from dqx_spark.pipeline import rollup
 
     ev = _read(spark, sf, "events")
+    # week included deliberately: weeks straddle month boundaries, so this
+    # exercises the non-nesting re-aggregation path (r4 fix)
     out = rollup.time_rollup(
-        ev, "ts", "value", grains=("hour", "day"), aggs=("count", "sum"), group_by=["event_type"]
+        ev, "ts", "value", grains=("hour", "day", "week", "month"), aggs=("count", "sum"), group_by=["event_type"]
     )
     return out.select(
         "grain",
@@ -3030,6 +3032,12 @@ def oracle_sql() -> dict[str, str]:
             "count(value) AS count_value, round(sum(value), 2) AS sum_value FROM events GROUP BY 2, 3 "
             "UNION ALL "
             "SELECT 'day', date_trunc('day', ts), event_type, count(value), round(sum(value), 2) "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'week', date_trunc('week', ts), event_type, count(value), round(sum(value), 2) "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'month', date_trunc('month', ts), event_type, count(value), round(sum(value), 2) "
             "FROM events GROUP BY 2, 3"
         ),
         "range_join": (

@@ -212,14 +212,24 @@ def fit_segmented_isolation_forest(
     Driver orchestration is one action per segment + one for the fallback —
     segmentation is by construction a small-cardinality dimension (region,
     source, product line), so this is bounded, not data-sized."""
-    vals = [r[0] for r in df.select(segment_by).distinct().limit(max_segments + 1).collect()]
+    # keys use SPARK's string rendering (cast), not Python str(): scoring
+    # matches segments against cast("string") values, and the renderings
+    # differ (bool True -> Spark 'true' vs Python 'True') — a Python-keyed
+    # map would silently route every row to the fallback (r4 review)
+    vals = [
+        (r[0], r[1])
+        for r in df.select(F.col(segment_by), F.col(segment_by).cast("string"))
+        .distinct()
+        .limit(max_segments + 1)
+        .collect()
+    ]
     if len(vals) > max_segments:
         raise ValueError(f"segment_by={segment_by!r} has more than {max_segments} distinct values")
     segments = {}
-    for v in vals:
+    for v, v_str in vals:
         if v is None:
             continue
-        segments[str(v)] = fit_isolation_forest(
+        segments[v_str] = fit_isolation_forest(
             df.where(F.col(segment_by) == F.lit(v)), columns, **fit_kwargs
         )
     fallback = fit_isolation_forest(df, columns, **fit_kwargs)
@@ -362,7 +372,11 @@ def explain_with_model(
 
 def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:
     """PSI per feature vs the training histogram.  One Spark aggregate; the
-    driver sees only cols x bins counts."""
+    driver sees only cols x bins counts.  Segmented models carry per-segment
+    histograms on their members — compute drift against the FALLBACK model
+    (whole-population histogram) rather than raising mid-pipeline."""
+    if _is_segmented(model):
+        model = model["fallback"]
     aggs = []
     for c, h in model["hist"].items():
         edges = h["edges"]

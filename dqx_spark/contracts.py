@@ -91,7 +91,7 @@ def generate_rules_from_contract(contract: dict, criticality: str = "error") -> 
 
             if p.get("required"):
                 add("is_not_null")
-            if p.get("unique") and name not in pk:
+            if p.get("unique") and pk != [name]:  # composite PK does not imply single-column uniqueness
                 checks.append(
                     {"criticality": criticality, "check": {"function": "is_unique", "arguments": {"columns": [name]}}}
                 )

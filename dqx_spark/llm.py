@@ -83,7 +83,10 @@ def _extract_json(text: str):
     start = min((i for i in (text.find("["), text.find("{")) if i >= 0), default=-1)
     if start < 0:
         raise ValueError("no JSON found in completion")
-    return json.loads(text[start:])
+    # raw_decode tolerates trailing prose after the JSON value ("Hope this
+    # helps!") — json.loads would reject the whole completion as Extra data
+    value, _end = json.JSONDecoder().raw_decode(text[start:])
+    return value
 
 
 def generate_rules_with_llm(

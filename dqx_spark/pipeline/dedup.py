@@ -447,12 +447,18 @@ def embedding_cosine_pairs(
 def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
     """Sign pattern against deterministic hyperplanes.  Plane p's component d
     is a hash-derived value in [-1, 1) — fully JVM-side, no numpy needed, and
-    reproducible across runs/engines."""
+    reproducible across runs/engines.
+
+    pmod, NOT %: Spark's % keeps xxhash64's sign, which would shift the
+    component range to [-3, 1) (mean -1) — for non-negative embeddings
+    (ReLU/TF-IDF) every plane dot would then be negative and the whole
+    corpus would collapse into one bucket, degenerating the LSH to its
+    O(n²) escape hatch (r4 review finding)."""
     def plane_dot(p: Column) -> Column:
         products = F.zip_with(
             vec,
             F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda v, d: v * ((F.xxhash64(p, d, F.lit(seed)) % 10000).cast("double") / 5000.0 - 1.0),
+            lambda v, d: v * (F.pmod(F.xxhash64(p, d, F.lit(seed)), F.lit(10000)).cast("double") / 5000.0 - 1.0),
         )
         return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -521,6 +527,18 @@ def connected_components(
             prev.unpersist()
         if changed == 0:
             break
+    else:
+        # exhausted without converging: labels are correct but chains longer
+        # than max_iterations are still split into multiple groups — never
+        # return that silently (r4 review)
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} iterations; "
+            "long duplicate chains may be split — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -66,7 +66,11 @@ def asof_join(
     # one row per (keys, ts): max() over the payload struct is a deterministic
     # tie-break and keeps the union slim (no duplicate fill candidates)
     rs = (
-        right.groupBy(*[F.col(c) for c in on], F.col(right_ts).alias("__ts"))
+        # a right row with a null as-of time can never be "at or before"
+        # anything — left in, it sorts FIRST under asc and forward-fills
+        # into left rows that have no true match (r4 review)
+        right.where(F.col(right_ts).isNotNull())
+        .groupBy(*[F.col(c) for c in on], F.col(right_ts).alias("__ts"))
         .agg(F.max(pay).alias("__rpay"))
         .select(*on, F.col("__ts").cast("timestamp").alias("__ts"), "__rpay")
         .withColumn("__tag", F.lit(0))
@@ -93,6 +97,8 @@ def asof_join(
         w = Window.partitionBy(*on).orderBy(F.col("__ts").desc(), F.col("__tag").asc())
     filled = F.last("__rpay", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = unioned.withColumn("__fill", filled).where(F.col("__tag") == 1)
+    # a left row with a null timestamp has no as-of position: always unmatched
+    out = out.withColumn("__fill", F.when(F.col("__ts").isNotNull(), F.col("__fill")))
     if tolerance_seconds is not None:
         dist = F.abs(F.col("__ts").cast("double") - F.col("__fill.__rts").cast("double"))
         out = out.withColumn("__fill", F.when(dist <= float(tolerance_seconds), F.col("__fill")))

@@ -30,10 +30,21 @@ from pyspark.sql import functions as F
 
 __all__ = ["time_rollup", "GRAIN_ORDER"]
 
-# finest -> coarsest; every later grain is a union of whole earlier-grain
-# buckets (weeks and months don't nest in each other, but both are unions
-# of days, and re-aggregation only ever goes finest -> coarser)
+# finest -> coarsest
 GRAIN_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+
+
+def _nests_in(a: str, g: str) -> bool:
+    """True when every ``a``-bucket lies entirely inside one ``g``-bucket —
+    the condition for exact re-aggregation a -> g.  minute/hour/day nest in
+    everything coarser; month nests in quarter/year and quarter in year;
+    WEEK nests in nothing (ISO weeks straddle month, quarter, and year
+    boundaries) and nothing coarser nests through it."""
+    if GRAIN_ORDER.index(a) >= GRAIN_ORDER.index(g):
+        return False
+    if a in ("minute", "hour", "day"):
+        return True
+    return (a, g) in {("month", "quarter"), ("month", "year"), ("quarter", "year")}
 
 _ALGEBRAIC = {"count", "sum", "min", "max", "avg"}
 
@@ -99,12 +110,24 @@ def time_rollup(
     ).agg(*partial_exprs())
 
     levels = {finest: base}
-    prev = base
     for g in coarser:
-        prev = prev.groupBy(
-            F.date_trunc(g, F.col("__bucket")).alias("__bucket"), *[F.col(c) for c in group_by]
-        ).agg(*reagg_exprs())
-        levels[g] = prev
+        # re-aggregate from the COARSEST computed level that exactly nests
+        # into g — never through 'week', whose buckets straddle month/
+        # quarter/year boundaries (chaining month off week shifted every
+        # boundary-straddling week's totals into the earlier month).  When
+        # nothing computed nests (e.g. finest='week'), fall back to a fresh
+        # partial aggregation of the raw data.
+        nesting = [a for a in levels if _nests_in(a, g)]
+        if nesting:
+            src = levels[max(nesting, key=GRAIN_ORDER.index)]
+            lvl = src.groupBy(
+                F.date_trunc(g, F.col("__bucket")).alias("__bucket"), *[F.col(c) for c in group_by]
+            ).agg(*reagg_exprs())
+        else:
+            lvl = df.groupBy(
+                F.date_trunc(g, F.col(ts_col)).alias("__bucket"), *[F.col(c) for c in group_by]
+            ).agg(*partial_exprs())
+        levels[g] = lvl
 
     def finalize(g: str, frame: DataFrame) -> DataFrame:
         cols = [F.lit(g).alias("grain"), F.col("__bucket").alias("bucket_start"), *group_by]

@@ -111,15 +111,23 @@ class DQProfiler:
                 )
             if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
                 aggs.extend([F.min(col).alias(f"{safe}__min"), F.max(col).alias(f"{safe}__max")])
+        # trimmed quantiles need a SECOND action over the sample — pin the
+        # sample first, or the unordered limit()/sample() re-draws different
+        # rows per action and the quantile bands can disagree with the
+        # stats pass (min_max rules outside the reported min/max)
+        numeric = [n for n, t in fields if isinstance(t, _NUMERIC_TYPES)]
+        if self.options["outlier_columns"]:
+            numeric = [n for n in numeric if n in set(self.options["outlier_columns"])]
+        two_actions = bool(numeric) and self.options["remove_outliers"]
+        if two_actions:
+            sample = sample.localCheckpoint(eager=False)
+
         row = sample.agg(*aggs).collect()[0].asDict()
         total = row["__total"]
 
         # trimmed quantiles for numeric outlier bands, one approxQuantile call
-        numeric = [n for n, t in fields if isinstance(t, _NUMERIC_TYPES)]
-        if self.options["outlier_columns"]:
-            numeric = [n for n in numeric if n in set(self.options["outlier_columns"])]
         quantiles: dict[str, list[float]] = {}
-        if numeric and self.options["remove_outliers"]:
+        if two_actions:
             flat = sample.select([F.col(n).cast("double").alias(n.replace(".", "__")) for n in numeric])
             qs = flat.approxQuantile([n.replace(".", "__") for n in numeric], [0.01, 0.25, 0.5, 0.75, 0.99], 0.01)
             quantiles = dict(zip(numeric, qs))
@@ -236,6 +244,18 @@ def generate_rules(profiles: list[DQProfile], criticality: str = "error") -> lis
     return rules
 
 
+def _sql_literal(v) -> str:
+    """SQL literal rendering: quote + escape strings, quote temporal values
+    (an unquoted 2024-01-01 parses as integer subtraction), numbers as-is."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return f"'{v}'"
+    return str(v)
+
+
 def generate_dlt_expectations(profiles: list[DQProfile]) -> list[str]:
     """SQL CONSTRAINT ... EXPECT strings (reference profiler/dlt_generator.py)."""
     out = []
@@ -244,10 +264,9 @@ def generate_dlt_expectations(profiles: list[DQProfile]) -> list[str]:
         if p.name in ("is_not_null", "is_not_null_and_not_empty"):
             out.append(f"CONSTRAINT {c}_is_not_null EXPECT ({c} IS NOT NULL)")
         elif p.name == "is_in_list" and p.parameters.get("allowed"):
-            vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in p.parameters["allowed"])
+            vals = ", ".join(_sql_literal(v) for v in p.parameters["allowed"])
             out.append(f"CONSTRAINT {c}_is_in_list EXPECT ({c} IN ({vals}))")
         elif p.name == "min_max":
-            out.append(
-                f"CONSTRAINT {c}_in_range EXPECT ({c} BETWEEN {p.parameters['min']} AND {p.parameters['max']})"
-            )
+            lo, hi = _sql_literal(p.parameters["min"]), _sql_literal(p.parameters["max"])
+            out.append(f"CONSTRAINT {c}_in_range EXPECT ({c} BETWEEN {lo} AND {hi})")
     return out

@@ -133,8 +133,8 @@ def test_ann_recall_at_10_vs_exact(spark):
     recall@10 against the exact brute-force top-k on the driver embeddings
     table, with a floor.  Deterministic given the testdata (hash-seeded LSH,
     seeded KMeans).  Measured r4 on sf0.001 (500 vecs, 64-dim):
-    LSH (planes=6, multiprobe=1, 8 tables) = 0.88; IVF (8 cells, probe 4)
-    = 0.90; single-table LSH was 0.24 — the num_tables lever is what makes
+    LSH (planes=6, multiprobe=1, 8 tables) = 0.86; IVF (8 cells, probe 4)
+    = 0.90; single-table LSH was 0.30 — the num_tables lever is what makes
     sign-LSH usable on unstructured embeddings."""
     import os
 

@@ -57,3 +57,22 @@ def test_rollup_validates(ev):
         rollup.time_rollup(ev, "ts", "v", grains=("fortnight",))
     with pytest.raises(ValueError, match="non-algebraic"):
         rollup.time_rollup(ev, "ts", "v", aggs=("median",))
+
+
+def test_week_straddles_month_boundary(spark):
+    """Regression (r4 review): chaining month off week shifted every
+    boundary-straddling week's totals into the earlier month.  2025-03-31
+    (Mon) and 2025-04-02 share an ISO week; their month totals must split."""
+    ev = spark.createDataFrame(
+        [("2025-03-31 10:00:00", 1.0), ("2025-04-02 10:00:00", 10.0)],
+        "ts_s string, v double",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    out = rollup.time_rollup(ev, "ts", "v", grains=("day", "week", "month"), aggs=("sum",))
+    months = {str(r["bucket_start"])[:7]: r["sum_v"] for r in out.where("grain = 'month'").collect()}
+    assert months == {"2025-03": 1.0, "2025-04": 10.0}
+    weeks = {str(r["bucket_start"])[:10]: r["sum_v"] for r in out.where("grain = 'week'").collect()}
+    assert weeks == {"2025-03-31": 11.0}
+    # finest = week forces the raw fallback for month
+    out2 = rollup.time_rollup(ev, "ts", "v", grains=("week", "month"), aggs=("sum",))
+    months2 = {str(r["bucket_start"])[:7]: r["sum_v"] for r in out2.where("grain = 'month'").collect()}
+    assert months2 == {"2025-03": 1.0, "2025-04": 10.0}
