@@ -218,7 +218,13 @@ class DQEngine:
             return self._result_struct(rule, condition, set_fp), new_df
 
         # id(check_func) guards same-named custom functions with different
-        # bodies (fingerprints canonicalize by function NAME)
+        # bodies (fingerprints canonicalize by function NAME).  Rules with
+        # Column-object args bypass the cache entirely: fingerprints record
+        # only the NORMALIZED display string of a Column, so two distinct
+        # expressions (F.col('a.b') vs 'a_b') can share a fingerprint and
+        # would silently reuse each other's condition (r4 review).
+        if _has_column_objects(rule):
+            return self._result_struct(rule, rule.invoke(), set_fp), current_df
         cache_key = (rule.fingerprint(), set_fp, id(rule.check_func))
         cached = self._row_result_cache.get(cache_key)
         if cached is not None:
@@ -236,11 +242,21 @@ class DQEngine:
         analyzer probe — each probe is a py4j round trip, and N rules × M
         columns of them dominate plan-build time."""
         existing = set(df.columns)
-        for col_str in rule.columns_as_strings:
-            if col_str in existing:
-                continue
-            if not _is_resolvable(df, col_str):
-                return f"column '{col_str}' is not found in the input"
+        raw_cols = rule.columns if rule.columns is not None else ([rule.column] if rule.column is not None else [])
+        for c in raw_cols:
+            if isinstance(c, str):
+                if c in existing:
+                    continue
+                if not _is_resolvable(df, c):
+                    return f"column '{c}' is not found in the input"
+            elif not _is_resolvable(df, c):
+                # a Column-expression arg: probe the expression ITSELF —
+                # its normalized display name (columns_as_strings) is not a
+                # parseable expression, and probing that would skip every
+                # Column-typed rule (r4 review)
+                from dqx_spark.rule import normalize_col_str  # noqa: PLC0415
+
+                return f"column '{normalize_col_str(c)}' is not found in the input"
         if rule.filter and not _is_resolvable(df, rule.filter):
             return f"filter '{rule.filter}' cannot be resolved on the input"
         if rule.message_expr and not _is_resolvable(df, rule.message_expr):
@@ -339,9 +355,26 @@ def _call_closure(
     return closure(df, **kwargs)
 
 
-def _is_resolvable(df: DataFrame, expr: str) -> bool:
+def _has_column_objects(rule: DQRule) -> bool:
+    """True when any rule argument is a live Column object (vs a string)."""
+
+    def any_col(v) -> bool:
+        if isinstance(v, Column):
+            return True
+        if isinstance(v, (list, tuple)):
+            return any(any_col(x) for x in v)
+        if isinstance(v, dict):
+            return any(any_col(x) for x in v.values())
+        return False
+
+    return any_col(rule.column) or any_col(rule.columns) or any_col(rule.check_func_args) or any_col(
+        rule.check_func_kwargs
+    )
+
+
+def _is_resolvable(df: DataFrame, expr: str | Column) -> bool:
     try:
-        df.select(F.expr(expr)).schema  # plan-only; no action
+        df.select(expr if isinstance(expr, Column) else F.expr(expr)).schema  # plan-only; no action
         return True
     except AnalysisException:
         return False

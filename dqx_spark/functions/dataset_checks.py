@@ -307,8 +307,6 @@ def sql_query(
 
         failure_message = msg or f"Query condition violated: {alias}"
         if merge_columns:
-            cond_val = F.col(condition_column)
-            cond_val = cond_val if negate else cond_val  # raw condition col
             # dedupe to one verdict per merge key (reference :2157-2159)
             verdict = result.groupBy(*[F.col(c) for c in merge_columns]).agg(
                 F.max(F.col(condition_column).cast("boolean")).alias(condition_column)
@@ -388,7 +386,8 @@ def _is_aggr_compare(
       full row stream.
     """
     name = normalize_col_str(column)
-    op = {"gt": ">", "lt": "<", "eq": "!=", "ne": "=="}[compare]
+    if compare not in ("gt", "lt", "eq", "ne"):
+        raise ValueError(f"compare must be one of gt/lt/eq/ne, got {compare!r}")
     alias = f"{name}_{aggr_type}_{compare}_limit"
     sfx = unique_suffix()
     metric_col = f"__dq_aggr_metric_{sfx}"
@@ -554,15 +553,20 @@ def aggr_matches_dataset(
             refstats = ref.groupBy(
                 *[to_col(g).alias(t) for g, t in zip(ref_group_by, rtmp)]
             ).agg(ref_agg)
-            # full outer on group keys so ref-only groups also mismatch
+            # left join: groups missing on the REFERENCE side get a null
+            # ref metric -> mismatch.  Groups present only in the reference
+            # are intentionally NOT surfaced — dataset checks only annotate
+            # rows that exist in the checked DataFrame, and a ref-only
+            # group has no input row to attach a flag to (reference
+            # check_funcs.py:2646-2649 documents the same semantics; a
+            # full_outer here would compute those rows only to drop them in
+            # the annotate join)
             jc = None
             for lt, rt in zip(tmp, rtmp):
                 term = cur[lt].eqNullSafe(refstats[rt])
                 jc = term if jc is None else (jc & term)
-            stats = cur.join(refstats, on=jc, how="full_outer").select(
-                *[F.coalesce(cur[lt], refstats[rt]).alias(lt) for lt, rt in zip(tmp, rtmp)],
-                F.col(metric_col),
-                F.col(ref_metric_col),
+            stats = cur.join(refstats, on=jc, how="left").select(
+                *tmp, F.col(metric_col), F.col(ref_metric_col)
             )
             cond = None
             for g, t in zip(gcols, tmp):

@@ -576,6 +576,14 @@ def _polyfill_grid(
     full: set[str] = set()
     boundary: set[str] = set()
     edges = list(zip(pts, pts[1:]))
+    # any cell holding a fence VERTEX is boundary: a fence edge lying
+    # WHOLLY inside one cell (e.g. a concave notch smaller than a cell)
+    # never crosses a cell border, so the border-intersection test alone
+    # would classify that cell fully-interior and points inside the notch
+    # would wrongly pass (r4 review).  An edge is either wholly inside one
+    # cell (both endpoints -> vertex cells) or crosses a border (caught
+    # below), so together the two tests are exhaustive.
+    vertex_cells = {f"{_math.floor(px / cell)}:{_math.floor(py / cell)}" for px, py in pts}
     ix0, ix1 = _math.floor(min(xs) / cell), _math.floor(max(xs) / cell)
     iy0, iy1 = _math.floor(min(ys) / cell), _math.floor(max(ys) / cell)
     for ix in range(ix0, ix1 + 1):
@@ -584,7 +592,7 @@ def _polyfill_grid(
             x1, y1 = x0 + cell, y0 + cell
             corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
             cell_edges = list(zip(corners, corners[1:] + corners[:1]))
-            crossed = any(
+            crossed = f"{ix}:{iy}" in vertex_cells or any(
                 _segs_intersect_py(p, q, c, d) for p, q in edges for c, d in cell_edges
             )
             if crossed:
@@ -758,16 +766,23 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
         boxes = boxes.where(
             F.col("__bb.xmin").isNotNull() & ~F.isnan("__bb.xmin") & (F.col("__bb.xmin") <= F.col("__bb.xmax"))
         )
+        # bucket width from a broadcast 1-row aggregate — kept LAZY
+        # (crossJoin, no .first()): apply_checks guarantees zero Spark
+        # actions at plan-construction time, and an eager action here would
+        # also scan the input once per rule (r4 review; same discipline as
+        # has_no_outliers' lazy broadcast stats).  With zero valid boxes
+        # the crossJoin's left side is empty -> no candidate pairs -> no
+        # rows flagged, which is the correct verdict (greatest() skips the
+        # null span/percentile and floors the width at 1e-9 regardless).
         stats = boxes.agg(
-            F.min("__bb.xmin").alias("lo"),
-            F.max("__bb.xmax").alias("hi"),
-            F.percentile_approx(F.col("__bb.xmax") - F.col("__bb.xmin"), 0.9).alias("p90w"),
-        ).first()
-        if stats is None or stats["lo"] is None:
-            return with_box.withColumn(msg_col, F.lit(None).cast("string")).drop(rid, "__bb")
-        span = float(stats["hi"]) - float(stats["lo"])
-        width = max(span / 1024.0, float(stats["p90w"] or 0.0), 1e-9)
-        bucketed = boxes.select(
+            F.greatest(
+                (F.max("__bb.xmax") - F.min("__bb.xmin")) / F.lit(1024.0),
+                F.coalesce(F.percentile_approx(F.col("__bb.xmax") - F.col("__bb.xmin"), 0.9), F.lit(0.0)),
+                F.lit(1e-9),
+            ).alias("__dq_geo_width")
+        )
+        width = F.col("__dq_geo_width")
+        bucketed = boxes.crossJoin(F.broadcast(stats)).select(
             F.col(rid).alias("__bid"),
             "__bb",
             "__ring",

@@ -224,9 +224,12 @@ def sql_expression(
     ``negate``) (reference check_funcs.py:521-563).  ``columns`` is
     documentation-only metadata."""
     expr_col = F.expr(expression)
-    condition = expr_col if negate else ~expr_col
-    # NULL result of the user expression means "not satisfied" -> fail
-    condition = F.coalesce(condition, F.lit(True))
+    # NULL result of the user expression means "not satisfied".  Default
+    # branch: not satisfied -> fail (deliberate deviation from the
+    # reference, where a NULL expression silently passes).  Negate branch:
+    # fail only when the expression HOLDS, so NULL -> pass — coalescing to
+    # True here would invert the semantics (r4 review).
+    condition = F.coalesce(expr_col, F.lit(False)) if negate else F.coalesce(~expr_col, F.lit(True))
     default_name = normalize_col_str(expression) + ("_is_true" if negate else "_is_false")
     message = msg or f"Value is {'matching' if negate else 'not matching'} expression: {expression}"
     return make_condition(condition, message, name or default_name)

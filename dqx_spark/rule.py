@@ -236,6 +236,7 @@ class DQForEachColRule:
     check_func_args: tuple = ()
     check_func_kwargs: dict[str, Any] = field(default_factory=dict)
     user_metadata: dict[str, str] | None = None
+    message_expr: str | None = None
 
     def get_rules(self) -> list[DQRule]:
         rules: list[DQRule] = []
@@ -245,10 +246,12 @@ class DQForEachColRule:
             kwargs = dict(
                 check_func=self.check_func,
                 criticality=self.criticality,
+                name=self.name,
                 filter=self.filter,
                 check_func_args=self.check_func_args,
                 check_func_kwargs=self.check_func_kwargs,
                 user_metadata=self.user_metadata,
+                message_expr=self.message_expr,
             )
             if isinstance(col, (list, tuple)):
                 kwargs["columns"] = list(col)

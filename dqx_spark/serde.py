@@ -94,8 +94,15 @@ def validate_checks(
                     status.errors.append(
                         f"{where}: function {block['function']!r} does not accept argument {arg!r}"
                     )
-        # required params (no default) must be present, unless injected
-        injected = {"column", "columns", "row_filter"}
+        # required params (no default) must be present, unless injected.
+        # row_filter is always engine-injected (from the 'filter' key);
+        # column/columns only arrive from outside 'arguments' via
+        # for_each_column fan-out — without it a missing required column
+        # argument is a real authoring error that must be flagged here, not
+        # a TypeError at plan time (r4 review)
+        injected = {"row_filter"}
+        if "for_each_column" in block:
+            injected |= {"column", "columns"}
         for pname, p in sig.parameters.items():
             if p.default is inspect.Parameter.empty and p.kind in (
                 inspect.Parameter.POSITIONAL_OR_KEYWORD,
@@ -189,9 +196,11 @@ def deserialize_checks(
                 check_func=func,
                 columns=for_each,
                 criticality=criticality,
+                name=check.get("name", ""),
                 filter=check.get("filter"),
                 check_func_kwargs=args,
                 user_metadata=check.get("user_metadata"),
+                message_expr=check.get("message_expr"),
             )
             rules.extend(fan.get_rules())
             continue
@@ -218,14 +227,28 @@ def semantic_validate(
     """Detect duplicate and directly conflicting rules; returns warnings,
     not errors (reference checks_semantic_validator.py via engine.py:302-343)."""
     warnings: list[str] = []
-    rules = deserialize_checks(checks, custom_check_functions, validate=False)
-    seen: dict[str, int] = {}
-    for i, rule in enumerate(rules):
-        fp = rule.fingerprint()
-        if fp in seen:
-            warnings.append(f"checks[{i}] duplicates checks[{seen[fp]}] ({rule.name})")
+    # a structurally invalid check (unknown function, bad arguments) must
+    # not crash a warnings-only validator — report it as a warning and
+    # validate the rest (r4 review: check_func=None died in _auto_name)
+    valid: list[tuple[int, dict]] = []
+    for i, check in enumerate(checks):
+        st = validate_checks([check], custom_check_functions)
+        if st.has_errors:
+            warnings.append(f"checks[{i}] not semantically validated: {st}")
         else:
-            seen[fp] = i
+            valid.append((i, check))
+    rules: list[DQRule] = []
+    seen: dict[str, int] = {}
+    for i, check in valid:
+        # per-check deserialization keeps the original index even when
+        # for_each_column fans one check out into several rules
+        for rule in deserialize_checks([check], custom_check_functions, validate=False):
+            rules.append(rule)
+            fp = rule.fingerprint()
+            if fp in seen:
+                warnings.append(f"checks[{i}] duplicates checks[{seen[fp]}] ({rule.name})")
+            else:
+                seen[fp] = i
     by_col: dict[str, set[str]] = {}
     for rule in rules:
         for c in rule.columns_as_strings:
