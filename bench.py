@@ -49,7 +49,7 @@ def materialize_full(df) -> int:
 _SHARED_ENGINE = None
 
 
-def bench_all_row_checks(spark, li, orders, part):
+def bench_all_row_checks(li):
     # one engine across runs: the row-rule result cache makes re-applying an
     # identical rule set (fan-out / micro-batch pattern) nearly free
     global _SHARED_ENGINE
@@ -103,11 +103,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def _relayout(dst, build_df):
+    def _src_mtime(path):
+        # an in-place regeneration rewrites files INSIDE {t}.parquet without
+        # touching SF_DIR's own mtime — stat the table entry and its files
+        if not os.path.exists(path):
+            return 0.0
+        m = os.path.getmtime(path)
+        if os.path.isdir(path):
+            for f in os.listdir(path):
+                m = max(m, os.path.getmtime(os.path.join(path, f)))
+        return m
+
+    def _relayout(dst, build_df, src):
         # stale if missing or older than the source table (the driver
         # regenerates /root/testdata between rounds)
-        src_mtime = os.path.getmtime(SF_DIR) if os.path.exists(SF_DIR) else 0
-        if not os.path.exists(dst) or os.path.getmtime(dst) < src_mtime:
+        if not os.path.exists(dst) or os.path.getmtime(dst) < _src_mtime(src):
             build_df().repartition(int(CPUS)).write.mode("overwrite").parquet(dst)
         return spark.read.parquet(dst)
 
@@ -126,6 +136,7 @@ def main() -> None:
         return _relayout(
             f"/tmp/dqx_bench_layout/sf{sf_tag}/{t}.parquet",
             lambda: spark.read.parquet(f"{SF_DIR}/{t}.parquet"),
+            f"{SF_DIR}/{t}.parquet",
         )
 
     def read_scaled(t, key_cols, scale):
@@ -152,7 +163,7 @@ def main() -> None:
                 out = out.unionByName(c)
             return out
 
-        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}/{t}.parquet", build)
+        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}/{t}.parquet", build, f"{SF_DIR}/{t}.parquet")
 
     # per-copy deterministic perturbation specs for the ORGANIC scale-up:
     # key shift preserves uniqueness + FK consistency; continuous columns get
@@ -209,7 +220,7 @@ def main() -> None:
                 out = out.unionByName(c)
             return out
 
-        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/{t}.parquet", build)
+        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/{t}.parquet", build, f"{SF_DIR}/{t}.parquet")
 
     def read_organic_docs(scale):
         """SCALE x documents where each copy is a DISJOINT corpus slice:
@@ -236,7 +247,7 @@ def main() -> None:
                 out = out.unionByName(c)
             return out
 
-        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/documents.parquet", build)
+        return _relayout(f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}organic/documents.parquet", build, f"{SF_DIR}/documents.parquet")
 
     li, orders, part, customer = read("lineitem"), read("orders"), read("part"), read("customer")
     # warm the JVM + page cache so the timings measure plan execution
@@ -244,7 +255,7 @@ def main() -> None:
 
     e = _engine()
     cases = {
-        "all_row_checks": lambda: bench_all_row_checks(spark, li, orders, part),
+        "all_row_checks": lambda: bench_all_row_checks(li),
         "is_unique": lambda: e.apply_checks(
             li, [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])]
         ),
@@ -353,7 +364,7 @@ def main() -> None:
         orders_b = read_scaled("orders", {"o_orderkey", "o_custkey"}, SLOPE_SCALE)
         materialize(li_b.select("l_orderkey"))  # warm page cache
         slope_cases = {
-            "all_row_checks": lambda: bench_all_row_checks(spark, li_b, orders_b, part),
+            "all_row_checks": lambda: bench_all_row_checks(li_b),
             "is_unique": lambda: e.apply_checks(
                 li_b, [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])]
             ),
@@ -381,7 +392,7 @@ def main() -> None:
         for name, build in slope_cases.items():
             t_big = timed(lambda b=build: materialize(b()))
             t_small = timings[name]
-            t_f_small = timed(lambda b=build: materialize_forced(cases[name]()))
+            t_f_small = timed(lambda n=name: materialize_forced(cases[n]()))
             t_f_big = timed(lambda b=build: materialize_forced(b()))
             slope[name] = {
                 "t_1x": t_small,
@@ -421,7 +432,7 @@ def main() -> None:
         orders_o = read_organic("orders", SF1_SCALE)
         materialize(li_o.select("l_orderkey"))  # warm page cache
         sf1_cases = {
-            "all_row_checks": lambda: bench_all_row_checks(spark, li_o, orders_o, part),
+            "all_row_checks": lambda: bench_all_row_checks(li_o),
             "is_unique": lambda: e.apply_checks(
                 li_o, [DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])]
             ),

@@ -113,11 +113,16 @@ def generate_rules_from_contract(contract: dict, criticality: str = "error") -> 
                     bounds.append(f"length({name}) >= {int(min_len)}")
                 if max_len is not None:
                     bounds.append(f"length({name}) <= {int(max_len)}")
+                # NULL passes length bounds (like every other generated
+                # rule and JSON-Schema/ODCS semantics — nullability is
+                # 'required''s job); sql_expression's default branch treats
+                # a NULL expression as failed, so guard explicitly
+                expr = f"{name} IS NULL OR ({' AND '.join(bounds)})"
                 checks.append(
                     {
                         "criticality": criticality,
                         "name": f"{name}_length",
-                        "check": {"function": "sql_expression", "arguments": {"expression": " AND ".join(bounds)}},
+                        "check": {"function": "sql_expression", "arguments": {"expression": expr}},
                     }
                 )
             fmt = str(p.get("format", "")).lower()

@@ -152,6 +152,15 @@ def detect_primary_keys_with_llm(
                 raise ValueError("expected a JSON array of non-empty column-name arrays")
             known = set(df.columns)
             candidates = [c for c in raw if set(c) <= known]
+            if not candidates:
+                # structurally valid but hallucinated/empty: feed the
+                # unknown names back and RETRY — breaking here would waste
+                # the correction loop that exists for exactly this case
+                bad = sorted({c for cols in raw for c in cols if c not in known})
+                raise ValueError(
+                    f"no candidate uses only existing columns; unknown columns: {bad}; "
+                    f"existing columns: {sorted(known)}"
+                )
             break
         except (ValueError, json.JSONDecodeError) as e:  # noqa: PERF203
             last_err = e

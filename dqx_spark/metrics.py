@@ -35,10 +35,14 @@ def per_check_metrics(check_names: list[str], errors_col: str = ERRORS_COLUMN, w
     (reference metrics_observer.py:109-147)."""
     out = []
     for name in check_names:
-        safe = name.replace("'", "''")
+        # string literal: escape backslashes BEFORE doubling quotes (a raw
+        # backslash would otherwise swallow the char after it — or the
+        # closing quote); alias: backticks double inside backticks
+        safe = name.replace("\\", "\\\\").replace("'", "''")
+        alias = name.replace("`", "``")
         out.append(
             f"count(CASE WHEN exists({errors_col}, x -> x.name = '{safe}') "
-            f"OR exists({warnings_col}, x -> x.name = '{safe}') THEN 1 END) AS `check_{name}_count`"
+            f"OR exists({warnings_col}, x -> x.name = '{safe}') THEN 1 END) AS `check_{alias}_count`"
         )
     return out
 
@@ -50,10 +54,14 @@ class DQMetricsObserver:
     name: str = "dqx"
     custom_metrics: list[str] = field(default_factory=list)
     run_id: str = field(default_factory=lambda: str(uuid.uuid4()))
+    #: result column names — must match the engine's
+    #: ExtraParams.result_column_names when those are customized
+    errors_col: str = ERRORS_COLUMN
+    warnings_col: str = WARNINGS_COLUMN
 
     @property
     def metrics(self) -> list[str]:
-        return default_metrics() + list(self.custom_metrics)
+        return default_metrics(self.errors_col, self.warnings_col) + list(self.custom_metrics)
 
     def attach(self, df: DataFrame) -> tuple[DataFrame, Observation | None]:
         """Batch: attach an Observation; metrics are available after the
@@ -81,7 +89,10 @@ def observation_rows(
 ) -> list[dict]:
     """Long-format rows matching ``observation_table_schema``
     (reference metrics_observer.py:58-107)."""
-    ts = run_time or datetime.now(timezone.utc).replace(tzinfo=None)
+    # keep the tz-aware instant: createDataFrame interprets NAIVE datetimes
+    # in the driver's LOCAL timezone, so stripping tzinfo would shift
+    # run_time by the UTC offset on non-UTC drivers
+    ts = run_time or datetime.now(timezone.utc)
     return [
         {
             "run_id": run_id,
@@ -111,8 +122,13 @@ def compute_summary_metrics_lazy(checked_df: DataFrame, observer: DQMetricsObser
     Use when the caller cannot run an action (e.g. declarative pipelines)."""
     agg = checked_df.selectExpr(*observer.metrics)
     names = [f.name for f in agg.schema.fields]
+    # backtick-quote the column reference: a metric aliased with a dot
+    # ("p.50") would otherwise parse as a nested-field reference
+    def _q(n: str):
+        return F.col("`" + n.replace("`", "``") + "`")
+
     pairs = F.array(
-        *[F.struct(F.lit(n).alias("metric_name"), F.col(n).cast("string").alias("metric_value")) for n in names]
+        *[F.struct(F.lit(n).alias("metric_name"), _q(n).cast("string").alias("metric_value")) for n in names]
     )
     return (
         agg.select(F.explode(pairs).alias("m"))

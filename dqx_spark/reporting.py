@@ -75,11 +75,16 @@ def merge_info_columns(dest_name: str, df: DataFrame, info_col_names: list[str] 
     ``apply_checks`` pass) the new elements are appended via ``concat``.
     ``None``/empty names with no existing dest is a no-op."""
     info_cols = [c for c in (info_col_names or []) if c in df.columns]
-    if not info_cols and dest_name not in df.columns:
+    if not info_cols:
+        # nothing staged: the existing dest (if any) passes through as-is
         return df
     new_structs = F.array(*[F.col(c) for c in info_cols])
     if dest_name in df.columns:
-        result_col = F.concat(F.col(dest_name), new_structs)
+        # coalesce a NULL pre-existing dest to an empty array: concat
+        # propagates NULL, which would silently DROP the newly staged
+        # diagnostics on exactly those rows (r4 review)
+        empty = F.array().cast(df.schema[dest_name].dataType)
+        result_col = F.concat(F.coalesce(F.col(dest_name), empty), new_structs)
     else:
         result_col = new_structs
     return df.withColumn(dest_name, result_col).drop(*info_cols)

@@ -128,3 +128,88 @@ def test_polygon_disjoint_empty_input_and_laziness(spark):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), "apply_checks ran a Spark action during plan construction"
     assert checked.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# batch 2: metrics / reporting / contracts / llm review findings
+# ---------------------------------------------------------------------------
+def test_observer_with_custom_result_columns(spark):
+    from dqx_spark.engine import ExtraParams
+    from dqx_spark.metrics import DQMetricsObserver
+
+    df = spark.createDataFrame([(None,), ("x",)], "a string")
+    engine = DQEngine(spark, extra_params=ExtraParams(result_column_names={"errors": "dq_errs", "warnings": "dq_warns"}))
+    checked = engine.apply_checks(df, [DQRowRule(check_func=is_not_null, column="a")])
+    obs = DQMetricsObserver(errors_col="dq_errs", warnings_col="dq_warns")
+    observed, observation = obs.attach(checked)
+    observed.count()
+    got = observation.get
+    assert got["input_row_count"] == 2 and got["error_row_count"] == 1
+
+
+def test_merge_info_columns_null_dest_keeps_new_elements(spark):
+    from dqx_spark.reporting import build_dq_info_struct, merge_info_columns
+
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    staged = df.withColumn("__dq_info_x", build_dq_info_struct())
+    first = merge_info_columns("_dq_info", staged, ["__dq_info_x"])
+    # simulate a union with unchecked data: _dq_info NULL on one row
+    import pyspark.sql.functions as SF
+
+    with_null = first.withColumn("_dq_info", SF.when(SF.col("id") == 1, SF.col("_dq_info")))
+    restaged = with_null.withColumn("__dq_info_y", build_dq_info_struct())
+    merged = merge_info_columns("_dq_info", restaged, ["__dq_info_y"])
+    sizes = {r["id"]: len(r["_dq_info"]) for r in merged.collect()}
+    assert sizes == {1: 2, 2: 1}  # row 2's NULL dest must not swallow the new element
+
+
+def test_per_check_metrics_hostile_names(spark):
+    from dqx_spark.metrics import per_check_metrics
+
+    names = ["tick`name", "back\\slash", "quo'te"]
+    df = spark.createDataFrame([(None,), ("x",)], "a string")
+    checked = DQEngine(spark).apply_checks(
+        df, [DQRowRule(check_func=is_not_null, column="a", name=n) for n in names]
+    )
+    row = checked.selectExpr(*per_check_metrics(names)).collect()[0]
+    assert list(row.asDict().values()) == [1, 1, 1]
+
+
+def test_summary_metrics_lazy_dotted_alias(spark):
+    from dqx_spark.metrics import DQMetricsObserver, compute_summary_metrics_lazy
+
+    df = spark.createDataFrame([(None,), ("x",)], "a string")
+    checked = DQEngine(spark).apply_checks(df, [DQRowRule(check_func=is_not_null, column="a")])
+    obs = DQMetricsObserver(custom_metrics=["count(1) AS `p.50`"])
+    rows = {r["metric_name"]: r["metric_value"] for r in compute_summary_metrics_lazy(checked, obs).collect()}
+    assert rows["p.50"] == "2"
+
+
+def test_contract_length_checks_pass_nulls(spark):
+    from dqx_spark.contracts import generate_rules_from_contract
+
+    contract = {"schema": [{"name": "t", "properties": [
+        {"name": "nick", "type": "string", "maxLength": 5},
+    ]}]}
+    checks = generate_rules_from_contract(contract)
+    df = spark.createDataFrame([(None,), ("ok",), ("toolongvalue",)], "nick string")
+    out = DQEngine(spark).apply_checks_by_metadata(df, checks).collect()
+    fired = [r["nick"] for r in out if r["_errors"] is not None]
+    assert fired == ["toolongvalue"]  # NULL must pass length bounds
+
+
+def test_pk_detection_retries_on_hallucinated_columns(spark):
+    from dqx_spark.llm import detect_primary_keys_with_llm
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "order_id int, v string")
+    calls = []
+
+    def provider(prompt):
+        calls.append(prompt)
+        if len(calls) == 1:
+            return '[["orderid"]]'  # hallucinated name
+        assert "unknown columns" in prompt  # feedback must reach the retry
+        return '[["order_id"]]'
+
+    assert detect_primary_keys_with_llm(df, provider) == ["order_id"]
+    assert len(calls) == 2
