@@ -37,12 +37,20 @@ def _engine() -> DQEngine:
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.ts vintage varies: older testdata stores parquet
-        # TIMESTAMP(NANOS) (read as bigint via nanosAsLong), newer stores
-        # timestamp[us] which Spark reads natively. Read first, then branch
-        # on the observed dtype; integer-divide nanos to micros (double
-        # division would lose precision at ~1.7e18).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # TIMESTAMP(NANOS), newer stores timestamp[us] which Spark reads
+        # natively.  Try the plain read first — the modern vintage touches
+        # no session conf (a blanket nanosAsLong=true would silently flip
+        # any LATER nanos parquet read in the session to bigint, an
+        # order-dependent side effect).  Only when schema inference rejects
+        # the NANOS type is the conf set, and then it stays set: the scan
+        # consults it at execution time too, so restoring it early would
+        # break the very read it enabled.  Nanos->micros uses integer DIV
+        # (double division loses precision at ~1.7e18).
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
         return df
@@ -101,435 +109,6 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# queries — one per operator
-# ---------------------------------------------------------------------------
-def q_is_not_null_and_not_empty(spark, sf):
-    df = _read(spark, sf, "documents")
-    rule = DQRowRule(check_func=C.is_not_null_and_not_empty, column="text")
-    return _apply_one(df, rule, ["doc_id"])
-
-
-def q_is_in_range(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQRowRule(check_func=C.is_in_range, column="l_quantity", check_func_kwargs={"min_limit": 5, "max_limit": 45})
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_is_in_list(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQRowRule(
-        check_func=C.is_in_list, column="event_type", check_func_kwargs={"allowed": ["click", "view", "purchase"]}
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_regex_match(spark, sf):
-    df = _read(spark, sf, "customer")
-    rule = DQRowRule(
-        check_func=C.regex_match, column="c_name", check_func_kwargs={"regex": "^Customer#000000[0-4][0-9]{2}$"}
-    )
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_sql_expression(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQRowRule(check_func=C.sql_expression, check_func_args=("l_discount <= l_tax",))
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_is_not_in_future(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQRowRule(
-        check_func=C.is_not_in_future, column="ts", check_func_kwargs={"curr_timestamp": "2024-01-15 00:00:00"}
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_is_data_fresh(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQRowRule(
-        check_func=C.is_data_fresh,
-        column="ts",
-        check_func_kwargs={"max_age_minutes": 10080, "base_timestamp": "2024-01-20 00:00:00"},
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_is_valid_timestamp(spark, sf):
-    df = _read(spark, sf, "events").withColumn(
-        "ts_str",
-        F.when(F.col("event_id") % 7 == 0, F.lit("not-a-ts")).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
-    )
-    rule = DQRowRule(check_func=C.is_valid_timestamp, column="ts_str")
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_is_valid_json(spark, sf):
-    df = _read(spark, sf, "events").withColumn(
-        "props2", F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("x"), F.col("props"))).otherwise(F.col("props"))
-    )
-    rule = DQRowRule(check_func=C.is_valid_json, column="props2")
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_has_json_keys(spark, sf):
-    df = _read(spark, sf, "events").withColumn(
-        "props2", F.when(F.col("event_id") % 9 == 0, F.lit("{}")).otherwise(F.col("props"))
-    )
-    rule = DQRowRule(check_func=C.has_json_keys, column="props2", check_func_kwargs={"keys": ["k"]})
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_is_valid_email(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "email",
-        F.when(F.col("c_custkey") % 10 == 0, F.lit("user@"))
-        .otherwise(F.concat(F.lit("user"), F.col("c_custkey").cast("string"), F.lit("@example.com"))),
-    )
-    rule = DQRowRule(check_func=C.is_valid_email, column="email")
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_is_valid_ipv4(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "ip",
-        F.when(F.col("c_custkey") % 13 == 0, F.lit("999.1.2.3"))
-        .otherwise(
-            F.concat(
-                F.lit("10."), (F.col("c_custkey") % 256).cast("string"), F.lit(".0."), (F.col("c_custkey") % 200 + 1).cast("string")
-            )
-        ),
-    )
-    rule = DQRowRule(check_func=C.is_valid_ipv4_address, column="ip")
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_ipv4_in_cidr(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "ip",
-        F.when(F.col("c_custkey") % 13 == 0, F.lit("999.1.2.3"))
-        .otherwise(
-            F.concat(
-                F.lit("10."), (F.col("c_custkey") % 256).cast("string"), F.lit(".0."), (F.col("c_custkey") % 200 + 1).cast("string")
-            )
-        ),
-    )
-    rule = DQRowRule(check_func=C.is_ipv4_address_in_cidr, column="ip", check_func_kwargs={"cidr_block": "10.128.0.0/9"})
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_is_valid_language_code(spark, sf):
-    df = _read(spark, sf, "documents").withColumn(
-        "lang2", F.when(F.col("doc_id") % 11 == 0, F.lit("xq")).otherwise(F.col("lang"))
-    )
-    rule = DQRowRule(check_func=C.is_valid_language_code, column="lang2")
-    return _apply_one(df, rule, ["doc_id"])
-
-
-def q_is_unique(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"])
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_is_unique_join(spark, sf):
-    # skew-immune strategy: only duplicate keys broadcast back, no window
-    df = _read(spark, sf, "lineitem")
-    rule = DQDatasetRule(
-        check_func=C.is_unique,
-        columns=["l_orderkey", "l_linenumber"],
-        check_func_kwargs={"strategy": "join"},
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_foreign_key(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    ref = _read(spark, sf, "part").where(F.col("p_partkey") >= 100)
-    rule = DQDatasetRule(
-        check_func=C.foreign_key,
-        columns=["l_partkey"],
-        check_func_kwargs={"ref_columns": ["p_partkey"], "ref_df_name": "part_subset"},
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"part_subset": ref})
-
-
-def q_foreign_key_negate(spark, sf):
-    df = _read(spark, sf, "orders")
-    ref = _read(spark, sf, "customer").where(F.col("c_custkey") < 50)
-    rule = DQDatasetRule(
-        check_func=C.foreign_key,
-        columns=["o_custkey"],
-        check_func_kwargs={"ref_columns": ["c_custkey"], "ref_df_name": "cust_subset", "negate": True},
-    )
-    return _apply_one(df, rule, ["o_orderkey"], ref_dfs={"cust_subset": ref})
-
-
-def q_sql_query(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    orders = _read(spark, sf, "orders")
-    rule = DQDatasetRule(
-        check_func=C.sql_query,
-        check_func_kwargs={
-            "query": (
-                "SELECT l.l_orderkey, max(CASE WHEN l.l_shipdate < o.o_orderdate THEN true ELSE false END) AS condition "
-                "FROM {{ input }} l JOIN {{ orders }} o ON l.l_orderkey = o.o_orderkey GROUP BY l.l_orderkey"
-            ),
-            "merge_columns": ["l_orderkey"],
-            "condition_column": "condition",
-            "msg": "shipped before order date",
-        },
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"orders": orders})
-
-
-def q_aggr_group_max(spark, sf):
-    df = _read(spark, sf, "part")
-    rule = DQDatasetRule(
-        check_func=C.is_aggr_not_greater_than,
-        column="p_retailprice",
-        check_func_kwargs={"limit": 997.0, "aggr_type": "max", "group_by": ["p_brand"]},
-    )
-    return _apply_one(df, rule, ["p_partkey"])
-
-
-def q_aggr_global_count(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQDatasetRule(
-        check_func=C.is_aggr_not_greater_than,
-        column="*",
-        check_func_kwargs={"limit": 1000, "aggr_type": "count"},
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_aggr_equal_tolerance(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQDatasetRule(
-        check_func=C.is_aggr_equal,
-        column="l_quantity",
-        check_func_kwargs={"limit": 25.5, "aggr_type": "avg", "rel_tolerance": 0.05},
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_aggr_matches_dataset(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    orders = _read(spark, sf, "orders")
-    rule = DQDatasetRule(
-        check_func=C.aggr_matches_dataset,
-        column="l_orderkey",
-        check_func_kwargs={"ref_column": "o_orderkey", "aggr_type": "count_distinct", "ref_df_name": "orders"},
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"orders": orders})
-
-
-def q_compare_datasets(spark, sf):
-    df = _read(spark, sf, "orders")
-    ref = (
-        df.select(
-            "o_orderkey",
-            F.when(F.col("o_orderkey") % 97 == 0, F.concat(F.col("o_orderstatus"), F.lit("X")))
-            .otherwise(F.col("o_orderstatus"))
-            .alias("o_orderstatus"),
-            "o_totalprice",
-        )
-        .where(F.col("o_orderkey") % 50 != 0)
-    )
-    rule = DQDatasetRule(
-        check_func=C.compare_datasets,
-        check_func_kwargs={"columns": ["o_orderkey"], "ref_columns": ["o_orderkey"], "ref_df_name": "ref"},
-    )
-    return _apply_one(df, rule, ["o_orderkey"], ref_dfs={"ref": ref})
-
-
-def q_fresh_per_window(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQDatasetRule(
-        check_func=C.is_data_fresh_per_time_window,
-        column="ts",
-        check_func_kwargs={"window_minutes": 60, "min_records_per_window": 5},
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_gaps_per_window(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQDatasetRule(
-        check_func=C.has_no_gaps_per_time_window,
-        column="ts",
-        check_func_kwargs={"window_minutes": 1440, "group_by": ["user_id"]},
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_aggr_outliers(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQDatasetRule(
-        check_func=C.has_no_aggr_outliers,
-        column="value",
-        check_func_kwargs={
-            "time_column": "ts",
-            "aggr_type": "avg",
-            "sigma": 2.5,
-            "lookback_num_intervals": 7,
-            "warmup_num_intervals": 5,
-            "time_interval": "day",
-        },
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_mad_outliers(spark, sf):
-    df = _read(spark, sf, "orders")
-    rule = DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice", check_func_kwargs={"k": 3.5})
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
-def q_row_anomalies(spark, sf):
-    df = _read(spark, sf, "orders")
-    rule = DQDatasetRule(
-        check_func=C.has_no_row_anomalies,
-        check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "threshold": 1.25},
-    )
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
-def q_has_valid_schema(spark, sf):
-    df = _read(spark, sf, "orders")
-    ddl = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
-    rule = DQDatasetRule(check_func=C.has_valid_schema, check_func_kwargs={"expected_schema": ddl, "strict": True})
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
-def q_is_not_null(spark, sf):
-    df = _read(spark, sf, "events").withColumn(
-        "v2", F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double")).otherwise(F.col("value"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_not_null, column="v2"), ["event_id"])
-
-
-def q_is_null(spark, sf):
-    df = _read(spark, sf, "events").withColumn(
-        "v2", F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double")).otherwise(F.col("value"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_null, column="v2"), ["event_id"])
-
-
-def q_is_null_or_empty(spark, sf):
-    df = _read(spark, sf, "documents").withColumn(
-        "t2", F.when(F.col("doc_id") % 4 == 0, F.lit("")).when(F.col("doc_id") % 4 == 1, F.lit(None)).otherwise(F.col("text"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_null_or_empty, column="t2"), ["doc_id"])
-
-
-def q_is_not_equal_to(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQRowRule(check_func=C.is_not_equal_to, column="l_linestatus", check_func_kwargs={"value": F.lit("O")})
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_is_not_less_than(spark, sf):
-    df = _read(spark, sf, "customer")
-    rule = DQRowRule(check_func=C.is_not_less_than, column="c_acctbal", check_func_kwargs={"limit": 0})
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_is_older_than_n_days(spark, sf):
-    df = _read(spark, sf, "orders")
-    rule = DQRowRule(
-        check_func=C.is_older_than_n_days, column="o_orderdate", check_func_kwargs={"days": 9000, "curr_date": "2024-06-01"}
-    )
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
-def q_is_older_than_col2(spark, sf):
-    df = _read(spark, sf, "orders").withColumn(
-        "d2", F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 10 AS INT))")
-    )
-    rule = DQRowRule(
-        check_func=C.is_older_than_col2_for_n_days, check_func_kwargs={"column1": "o_orderdate", "column2": "d2", "days": 5}
-    )
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
-def q_is_not_in_near_future(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQRowRule(
-        check_func=C.is_not_in_near_future,
-        column="ts",
-        check_func_kwargs={"offset": 7 * 86400, "curr_timestamp": "2024-01-10 00:00:00"},
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_has_valid_string_case(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "seg", F.when(F.col("c_custkey") % 4 == 0, F.lower(F.col("c_mktsegment"))).otherwise(F.col("c_mktsegment"))
-    )
-    rule = DQRowRule(check_func=C.has_valid_string_case, column="seg", check_func_kwargs={"case": "upper"})
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_is_valid_country_code(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "cc", F.when(F.col("c_custkey") % 7 == 0, F.lit("XX")).otherwise(F.lit("US"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_valid_country_code, column="cc"), ["c_custkey"])
-
-
-def q_is_valid_currency_code(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "cur", F.when(F.col("c_custkey") % 9 == 0, F.lit("XYZ")).otherwise(F.lit("EUR"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_valid_currency_code, column="cur"), ["c_custkey"])
-
-
-def q_is_valid_national_id(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "ssn",
-        F.when(F.col("c_custkey") % 6 == 0, F.lit("000-12-3456")).otherwise(F.lit("123-45-6789")),
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_valid_national_id, column="ssn"), ["c_custkey"])
-
-
-def q_not_empty_array(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "arr", F.when(F.col("c_custkey") % 5 == 0, F.array().cast("array<string>")).otherwise(F.array(F.col("c_name")))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_not_null_and_not_empty_array, column="arr"), ["c_custkey"])
-
-
-def q_aggr_grouped_median(spark, sf):
-    df = _read(spark, sf, "part")
-    rule = DQDatasetRule(
-        check_func=C.is_aggr_not_greater_than,
-        column="p_retailprice",
-        check_func_kwargs={"limit": 500.0, "aggr_type": "median", "group_by": ["p_brand"]},
-    )
-    return _apply_one(df, rule, ["p_partkey"])
-
-
-def q_aggr_not_less_than_grouped(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQDatasetRule(
-        check_func=C.is_aggr_not_less_than,
-        column="*",
-        check_func_kwargs={"limit": 15000, "aggr_type": "count", "group_by": ["l_returnflag"]},
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_aggr_not_equal_global(spark, sf):
-    df = _read(spark, sf, "orders")
-    rule = DQDatasetRule(
-        check_func=C.is_aggr_not_equal, column="o_orderkey",
-        check_func_kwargs={"limit": 15000, "aggr_type": "count"},
-    )
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
 def _wkt_col():
     """Deterministic WKT fixture derived from c_custkey."""
     x = (F.col("c_custkey") % 360 - 180).cast("string")
@@ -539,70 +118,6 @@ def _wkt_col():
         .when(F.col("c_custkey") % 17 == 0, F.lit("POINT (0 0)"))
         .otherwise(F.concat(F.lit("POINT ("), x, F.lit(" "), y, F.lit(")")))
     )
-
-
-def q_is_geometry(spark, sf):
-    df = _read(spark, sf, "customer").withColumn("g", _wkt_col())
-    return _apply_one(df, DQRowRule(check_func=C.is_geometry, column="g"), ["c_custkey"])
-
-
-def q_is_not_null_island(spark, sf):
-    df = _read(spark, sf, "customer").withColumn("g", _wkt_col())
-    return _apply_one(df, DQRowRule(check_func=C.is_not_null_island, column="g"), ["c_custkey"])
-
-
-def q_has_x_coordinate_between(spark, sf):
-    df = _read(spark, sf, "customer").withColumn("g", _wkt_col())
-    rule = DQRowRule(
-        check_func=C.has_x_coordinate_between, column="g", check_func_kwargs={"min_value": -90, "max_value": 90}
-    )
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_dedup_drop_exact(spark, sf):
-    base = _read(spark, sf, "documents").select("doc_id", "text")
-    dup = base.where(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    kept = dedup.drop_exact_duplicates(base.union(dup), "doc_id", text_col="text")
-    return kept.select("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# pipeline extension queries (dedup / similarity / text / multimodal)
-# ---------------------------------------------------------------------------
-def q_text_token_count(spark, sf):
-    df = _read(spark, sf, "documents")
-    return df.select("doc_id", text.token_count("text").cast("bigint").alias("tc"))
-
-
-def q_text_profile(spark, sf):
-    # the deterministic slice of the one-pass profile (floats excluded)
-    df = _read(spark, sf, "documents")
-    out = text.text_profile(df, "doc_id", "text")
-    return out.select(
-        F.col("id").alias("doc_id"),
-        F.col("token_count").cast("bigint").alias("tc"),
-        F.col("lang").alias("predicted"),
-        F.col("fingerprint").alias("fp"),
-    )
-
-
-def q_text_fingerprint(spark, sf):
-    df = _read(spark, sf, "documents")
-    return df.select("doc_id", text.doc_fingerprint("text").alias("fp"))
-
-
-def q_text_quality(spark, sf):
-    # oracle-checked: quality_score is IEEE-exact integer-ratio arithmetic
-    # (mirrored op-for-op); the lookaround BPE-ish split is mirrored by
-    # inserting boundary spaces then whitespace-splitting (see
-    # _text_quality_oracle)
-    df = _read(spark, sf, "documents")
-    return df.select("doc_id", text.quality_score("text").alias("q"), text.bpe_ish_token_count("text").alias("btc"))
-
-
-def q_lang_id(spark, sf):
-    df = _read(spark, sf, "documents")
-    return df.select("doc_id", text.lang_id("text").alias("predicted"))
 
 
 def q_dedup_exact(spark, sf):
@@ -712,35 +227,6 @@ def q_boilerplate_removal(spark, sf):
     return out.select("doc_id", F.md5(F.col("t2_clean")).alias("clean_md5"), "removed_line_count")
 
 
-def q_line_stats(spark, sf):
-    # integer-valued corpus line statistics (float signals are rows-only in
-    # gopher_signals below)
-    df = _read(spark, sf, "documents")
-    lines = corpus.split_lines("text")
-    return df.select(
-        "doc_id",
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("bigint").alias("n_uniq_lines"),
-        F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*]|[0-9]+[.)])\s"))).cast("bigint").alias("n_bullet_lines"),
-    )
-
-
-def q_gopher_signals(spark, sf):
-    # oracle-checked: every signal is ONE IEEE division of two integer
-    # counts (bit-exact cross-engine), rounded to 6 on both sides; the
-    # counts themselves are the gopher_counts gate's oracle
-    df = _read(spark, sf, "documents")
-    return df.select("doc_id", corpus.gopher_signals("text").alias("gs")).select(
-        "doc_id",
-        F.col("gs.word_count").cast("bigint").alias("word_count"),
-        F.round("gs.mean_word_length", 6).alias("mean_word_length"),
-        F.round("gs.duplicate_line_fraction", 6).alias("duplicate_line_fraction"),
-        F.round("gs.bullet_line_fraction", 6).alias("bullet_line_fraction"),
-        F.round("gs.symbol_to_word_ratio", 6).alias("symbol_to_word_ratio"),
-        F.round("gs.alpha_word_fraction", 6).alias("alpha_word_fraction"),
-    )
-
-
 def q_remove_repeated_lines(spark, sf):
     df = _read(spark, sf, "documents")
     # inject deterministic within-doc repetition so the op has work to do
@@ -752,16 +238,6 @@ def q_remove_repeated_lines(spark, sf):
     return out.select("doc_id", F.md5("t").alias("clean_md5"))
 
 
-def q_gopher_counts(spark, sf):
-    df = _read(spark, sf, "documents")
-    gc = corpus.gopher_counts("text").alias("gc")
-    out = df.select("doc_id", gc)
-    return out.select(
-        "doc_id",
-        *[F.col(f"gc.{f}").cast("bigint").alias(f) for f in out.schema["gc"].dataType.fieldNames()],
-    )
-
-
 def q_top_ngram_coverage(spark, sf):
     df = _read(spark, sf, "documents")
     out = corpus.top_ngram_coverage(df, "doc_id", "text", n=2)
@@ -770,22 +246,6 @@ def q_top_ngram_coverage(spark, sf):
         F.col("top_ngram_count").cast("bigint").alias("top_ngram_count"),
         F.col("total_ngrams").cast("bigint").alias("total_ngrams"),
     )
-
-
-def q_aggr_matches_dataset_grouped(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    ref = df.where(F.col("l_orderkey") % 2 == 0)
-    rule = DQDatasetRule(
-        check_func=C.aggr_matches_dataset,
-        column="l_quantity",
-        check_func_kwargs={
-            "aggr_type": "count",
-            "group_by": ["l_returnflag"],
-            "ref_group_by": ["l_returnflag"],
-            "ref_df_name": "ref",
-        },
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"], ref_dfs={"ref": ref})
 
 
 def q_multimodal_metadata(spark, sf):
@@ -850,124 +310,6 @@ def q_multimodal_features(spark, sf):
     )
 
 
-def q_is_latitude(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "lat",
-        F.when(F.col("c_custkey") % 11 == 0, F.lit("95.5"))
-        .when(F.col("c_custkey") % 13 == 0, F.lit("junk"))
-        .otherwise((F.col("c_custkey") % 180 - 90).cast("string")),
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_latitude, column="lat"), ["c_custkey"])
-
-
-def q_is_longitude(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "lon",
-        F.when(F.col("c_custkey") % 11 == 0, F.lit("190.25"))
-        .when(F.col("c_custkey") % 13 == 0, F.lit("junk"))
-        .otherwise((F.col("c_custkey") % 360 - 180).cast("string")),
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_longitude, column="lon"), ["c_custkey"])
-
-
-def q_does_not_contain_pii(spark, sf):
-    df = _read(spark, sf, "documents").withColumn(
-        "t2",
-        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" ssn 123-45-6789")))
-        .when(F.col("doc_id") % 11 == 0, F.concat(F.lit("contact user@example.com re: "), F.col("text")))
-        .otherwise(F.col("text")),
-    )
-    rule = DQRowRule(
-        check_func=C.does_not_contain_pii, column="t2", check_func_kwargs={"entities": ["US_SSN", "EMAIL_ADDRESS"]}
-    )
-    return _apply_one(df, rule, ["doc_id"])
-
-
-def q_is_equal_to(spark, sf):
-    df = _read(spark, sf, "orders")
-    rule = DQRowRule(check_func=C.is_equal_to, column="o_orderstatus", check_func_kwargs={"value": F.lit("O")})
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
-def q_is_not_greater_than(spark, sf):
-    df = _read(spark, sf, "customer")
-    rule = DQRowRule(check_func=C.is_not_greater_than, column="c_acctbal", check_func_kwargs={"limit": 9000})
-    return _apply_one(df, rule, ["c_custkey"])
-
-
-def q_is_not_in_range(spark, sf):
-    df = _read(spark, sf, "lineitem")
-    rule = DQRowRule(
-        check_func=C.is_not_in_range, column="l_quantity", check_func_kwargs={"min_limit": 10, "max_limit": 20}
-    )
-    return _apply_one(df, rule, ["l_orderkey", "l_linenumber"])
-
-
-def q_is_not_in_list(spark, sf):
-    df = _read(spark, sf, "events")
-    rule = DQRowRule(
-        check_func=C.is_not_in_list, column="event_type", check_func_kwargs={"forbidden": ["error", "signup"]}
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_is_not_null_and_is_in_list(spark, sf):
-    df = _read(spark, sf, "events").withColumn(
-        "et", F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type"))
-    )
-    rule = DQRowRule(
-        check_func=C.is_not_null_and_is_in_list, column="et", check_func_kwargs={"allowed": ["click", "view"]}
-    )
-    return _apply_one(df, rule, ["event_id"])
-
-
-def q_is_empty(spark, sf):
-    df = _read(spark, sf, "documents").withColumn(
-        "t2", F.when(F.col("doc_id") % 6 == 0, F.lit("")).otherwise(F.col("text"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_empty, column="t2"), ["doc_id"])
-
-
-def q_is_not_empty(spark, sf):
-    df = _read(spark, sf, "documents").withColumn(
-        "t2", F.when(F.col("doc_id") % 6 == 0, F.lit("")).otherwise(F.col("text"))
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_not_empty, column="t2"), ["doc_id"])
-
-
-def q_is_valid_date(spark, sf):
-    df = _read(spark, sf, "orders").withColumn(
-        "ds",
-        F.when(F.col("o_orderkey") % 8 == 0, F.lit("2024-13-45")).otherwise(
-            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
-        ),
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_valid_date, column="ds"), ["o_orderkey"])
-
-
-def q_is_valid_subdivision_code(spark, sf):
-    df = _read(spark, sf, "customer").withColumn(
-        "sub",
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("XX-CA"))
-        .when(F.col("c_custkey") % 5 == 0, F.lit("usca"))
-        .otherwise(F.lit("US-CA")),
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_valid_subdivision_code, column="sub"), ["c_custkey"])
-
-
-def q_has_valid_json_schema(spark, sf):
-    df = _read(spark, sf, "orders").withColumn(
-        "js",
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit('{"a": 1'))  # malformed
-        .when(F.col("o_orderkey") % 5 == 0, F.lit('{"b": 2}'))  # NOT NULL field a missing
-        .otherwise(F.format_string('{"a": %s, "b": 4}', F.col("o_orderkey").cast("string"))),
-    )
-    rule = DQRowRule(
-        check_func=C.has_valid_json_schema, column="js", check_func_kwargs={"schema": "a INT NOT NULL, b INT"}
-    )
-    return _apply_one(df, rule, ["o_orderkey"])
-
-
 def q_compare_datasets_missing(spark, sf):
     df = _read(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     ref = (
@@ -997,23 +339,6 @@ def q_compare_datasets_missing(spark, sf):
         },
     )
     return _apply_one(df, rule, ["o_orderkey"], ref_dfs={"ref": ref})
-
-
-def q_is_valid_ipv6(spark, sf):
-    # oracle-checked: the Spark side validates via the stdlib-`ipaddress`
-    # pandas UDF; the DuckDB twin is the RFC 4291 grammar as an RE2 regex
-    # (hex groups, '::' compression, embedded IPv4 tail).  Equivalent on
-    # zone-free addresses (verified against `ipaddress` on adversarial
-    # forms); '%zone' link-locals — absent here — pass the UDF only.
-    df = _read(spark, sf, "customer").withColumn(
-        "ip6",
-        F.when(F.col("c_custkey") % 4 == 0, F.lit("not-an-ip"))
-        .when(F.col("c_custkey") % 3 == 0, F.lit("2001:db8::1"))
-        .otherwise(
-            F.concat(F.lit("::ffff:10.0."), (F.col("c_custkey") % 256).cast("string"), F.lit(".1"))
-        ),
-    )
-    return _apply_one(df, DQRowRule(check_func=C.is_valid_ipv6_address, column="ip6"), ["c_custkey"])
 
 
 def q_polygons_disjoint(spark, sf):
@@ -1163,8 +488,6 @@ def q_clean_corpus(spark, sf):
 
 
 def q_group_centroids(spark, sf):
-    from dqx_spark.pipeline import similarity
-
     emb = _read(spark, sf, "embeddings")
     out = similarity.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
     return out.select(
