@@ -814,6 +814,12 @@ def q_geo_row_checks(spark, sf):
         )
         .withColumn("poly", F.when(k % 5 == 0, open_poly).when(k % 7 == 0, bowtie).otherwise(sq))
         .withColumn(
+            "mp",
+            F.when(k % 3 == 0, F.lit("MULTIPOINT ((1 1), (2 2))"))
+            .when(k % 3 == 1, F.lit("NOT WKT"))
+            .otherwise(F.lit("POINT (1 1)")),
+        )
+        .withColumn(
             "gc",
             F.when(k % 13 == 0, F.lit("GEOMETRYCOLLECTION (BANANA (1 2))"))
             .when(k % 4 == 0, F.lit("GEOMETRYCOLLECTION EMPTY"))
@@ -857,6 +863,27 @@ def q_geo_row_checks(spark, sf):
         DQRowRule(
             name="has_dimension_collection", check_func=C.has_dimension, column="gc",
             check_func_kwargs={"dimension": 2},
+        ),
+        # r4 parity additions: type tags, area/num-points comparators, and
+        # the topological predicates — all with closed-form key-arithmetic
+        # oracles from the poly fixture (squares area s^2, s=(k%3)+1 at
+        # x0=(k%10)*5; bowtie area 0; open ring malformed)
+        DQRowRule(name="is_multipoint", check_func=C.is_multipoint, column="mp"),
+        DQRowRule(
+            name="is_area_equal_to", check_func=C.is_area_equal_to, column="poly",
+            check_func_kwargs={"value": 4.0},
+        ),
+        DQRowRule(
+            name="is_num_points_not_less_than", check_func=C.is_num_points_not_less_than,
+            column="poly", check_func_kwargs={"value": 5},
+        ),
+        DQRowRule(
+            name="is_geo_within", check_func=C.is_geo_within, column="poly",
+            check_func_kwargs={"reference_geometry": fence},
+        ),
+        DQRowRule(
+            name="is_geo_intersects", check_func=C.is_geo_intersects, column="poly",
+            check_func_kwargs={"reference_geometry": fence},
         ),
     ]
     return _apply_batch(df, rules, ["c_custkey"])
@@ -1674,7 +1701,22 @@ def oracle_sql() -> dict[str, str]:
             # gc fixture: %13 -> junk member; %4 in (0,1) -> EMPTY / dim-1;
             # else dim-2 (contains a POLYGON member)
             "(c_custkey % 13 = 0) AS is_geometry_collection, "
-            "(c_custkey % 13 = 0 OR c_custkey % 4 IN (0, 1)) AS has_dimension_collection "
+            "(c_custkey % 13 = 0 OR c_custkey % 4 IN (0, 1)) AS has_dimension_collection, "
+            # r4 parity additions (closed-form from the fixture arithmetic):
+            # mp: %3=0 multipoint, else point/junk -> fail
+            "(c_custkey % 3 <> 0) AS is_multipoint, "
+            # area 4 iff a square with side 2 (k%3=1); open/bowtie/other fail
+            "NOT (c_custkey % 5 <> 0 AND c_custkey % 7 <> 0 AND c_custkey % 3 = 1) AS is_area_equal_to, "
+            # open ring has 2 coordinate pairs; bowtie/squares have 5
+            "(c_custkey % 5 = 0) AS is_num_points_not_less_than, "
+            # fence [-1,21]x[-1,3]: within iff well-formed and x0+max_dx <= 21
+            # (squares: x0+s, s<=3; bowtie: x0+2).  x0 <= 15 always fits; at
+            # x0=20 only the s=1 square (k%3=0, non-bowtie) lands exactly ON
+            # the fence edge x=21 — boundary contact, still within
+            "NOT (c_custkey % 5 <> 0 AND (c_custkey % 10 <= 3 "
+            "OR (c_custkey % 10 = 4 AND c_custkey % 7 <> 0 AND c_custkey % 3 = 0))) AS is_geo_within, "
+            # intersects iff well-formed and x0 <= 21 -> k%10 <= 4
+            "NOT (c_custkey % 5 <> 0 AND c_custkey % 10 <= 4) AS is_geo_intersects "
             "FROM fx"
         ),
         "row_checks_lineitem": (

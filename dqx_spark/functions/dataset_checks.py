@@ -514,6 +514,7 @@ def aggr_matches_dataset(
     column,
     ref_column=None,
     aggr_type: str = "count",
+    aggr_params: dict | None = None,
     group_by: list | None = None,
     ref_group_by: list | None = None,
     ref_df_name: str | None = None,
@@ -521,9 +522,14 @@ def aggr_matches_dataset(
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
     row_filter: str | None = None,
+    ref_row_filter: str | None = None,
 ):
     """Aggregate on the checked df must equal the same aggregate on an
-    upstream reference, scalar or per-group (reference check_funcs.py:2610-2781)."""
+    upstream reference, scalar or per-group (reference check_funcs.py:2610-2781).
+
+    ``ref_row_filter`` filters the REFERENCE side before aggregation (e.g.
+    align both sides on the same date partition); ``aggr_params`` passes
+    parameters to aggregates that need them (percentile etc.)."""
     if (group_by is None) != (ref_group_by is None):
         raise ValueError("group_by and ref_group_by must be provided together")
     if group_by and len(group_by) != len(ref_group_by):
@@ -542,8 +548,8 @@ def aggr_matches_dataset(
         base = source_df if source_df is not None else df
         ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
         rc = ref_column if ref_column is not None else column
-        agg = _agg_expr(column, aggr_type, row_filter).alias(metric_col)
-        ref_agg = _agg_expr(rc, aggr_type, None).alias(ref_metric_col)
+        agg = _agg_expr(column, aggr_type, row_filter, aggr_params).alias(metric_col)
+        ref_agg = _agg_expr(rc, aggr_type, ref_row_filter, aggr_params).alias(ref_metric_col)
 
         if group_by:
             gcols = [to_col(g) for g in group_by]
@@ -607,6 +613,7 @@ def compare_datasets(
     null_safe_column_value_matching: bool = True,
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
+    row_filter: str | None = None,
 ):
     """Full row/column diff keyed on PK (reference check_funcs.py:2785-2944).
 
@@ -616,6 +623,12 @@ def compare_datasets(
     With ``check_missing_records`` the join is full-outer, so ref-only rows
     ARE ADDED to the output (all input columns null) — the one check that may
     change row count.
+
+    ``row_filter`` (auto-injected from the rule filter) gates the CONDITION
+    only, exactly like the reference (:2908 stamps a filter column; matching
+    still runs over all rows).  When driven through the engine this is
+    equivalent to the generic rule-filter gating — accepting it here keeps
+    direct function calls reference-faithful too.
     """
     if len(columns) != len(ref_columns):
         raise ValueError("columns and ref_columns must have the same length")
@@ -693,6 +706,11 @@ def compare_datasets(
             ).alias("changed"),
         )
         fired = row_missing | row_extra | (F.size(changed) > 0)
+        if row_filter:
+            # NULL (ref-only synthetic rows where the filter can't evaluate)
+            # keeps the condition — only an explicit False suppresses it,
+            # mirroring the reference's filter_col treatment
+            fired = fired & F.coalesce(F.expr(row_filter), F.lit(True))
         message = F.when(fired, F.to_json(diff))
         drop_cols = [f"__dq_ref_{c}_{sfx}" for c in ref.columns] + [
             f"__dq_ref_marker_{sfx}",
@@ -1076,6 +1094,7 @@ def has_no_aggr_outliers(
     time_interval: str = "day",
     group_by: list | None = None,
     row_filter: str | None = None,
+    aggr_params: dict | None = None,
 ):
     """Time-series sigma-band anomaly on an aggregate
     (reference check_funcs.py:2374-2606): bucket by grain, rolling baseline
@@ -1100,7 +1119,7 @@ def has_no_aggr_outliers(
         tmp = [f"__dq_ao_g{i}_{sfx}" for i in range(len(groups))]
         b = f"__dq_ao_bucket_{sfx}"
         m = f"__dq_ao_metric_{sfx}"
-        agg = _agg_expr(column, aggr_type, row_filter).alias(m)
+        agg = _agg_expr(column, aggr_type, row_filter, aggr_params).alias(m)
         per_bucket = base.groupBy(*[g.alias(t) for g, t in zip(groups, tmp)], bucket.alias(b)).agg(agg)
         w = (
             Window.partitionBy(*[F.col(t) for t in tmp])

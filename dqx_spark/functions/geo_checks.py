@@ -12,11 +12,21 @@ backend.  Covered (reference file:line):
 * ``is_geometry`` (:110) — WKT well-formedness for
   POINT/LINESTRING/POLYGON/MULTIPOINT/MULTILINESTRING/MULTIPOLYGON and
   one-level GEOMETRYCOLLECTION (ref :166-360).
-* ``is_point`` / ``is_linestring`` / ``is_polygon`` (:166-360) — type tag.
+* ``is_point`` / ``is_linestring`` / ``is_polygon`` / ``is_multipoint`` /
+  ``is_multilinestring`` / ``is_multipolygon`` / ``is_geometrycollection``
+  (:166-360) — type tag.
 * ``is_non_empty_geometry`` (:391) — ``... EMPTY`` forms fail.
 * ``is_not_null_island`` (:420) — POINT(0 0).
 * ``has_x_coordinate_between`` / ``has_y_coordinate_between`` (:487/:520) —
   every coordinate inside the band.
+* ``is_area_equal_to`` / ``_not_equal_to`` / ``_not_greater_than`` /
+  ``_not_less_than`` and the ``is_num_points_*`` comparators (:553-818) —
+  planar shoelace area / coordinate count vs a literal, column or SQL-expr
+  limit (srid transform + geodesic modes need a spatial backend and raise).
+* ``is_geo_contains`` / ``covers`` / ``intersects`` / ``touches`` /
+  ``within`` (:1094-1342) — exact POINT/POLYGON topological predicates vs
+  a WKT literal or per-row geometry column (strict/inclusive boundary
+  semantics per relation; see each docstring).
 * ``are_polygons_mutually_disjoint`` (:893) — EXACT by default: bbox
   bucket-join candidates refined with segment-intersection + ray-cast
   containment over the outer rings (``exact=False`` keeps the conservative
@@ -47,17 +57,34 @@ __all__ = [
     "is_point",
     "is_linestring",
     "is_polygon",
+    "is_multipoint",
+    "is_multilinestring",
+    "is_multipolygon",
+    "is_geometrycollection",
     "is_non_empty_geometry",
     "is_not_null_island",
     "has_x_coordinate_between",
     "has_y_coordinate_between",
     "has_area_between",
     "has_num_points_between",
+    "is_area_equal_to",
+    "is_area_not_equal_to",
+    "is_area_not_greater_than",
+    "is_area_not_less_than",
+    "is_num_points_equal_to",
+    "is_num_points_not_equal_to",
+    "is_num_points_not_greater_than",
+    "is_num_points_not_less_than",
     "has_dimension",
     "is_ogc_valid",
     "is_geography",
     "is_in_geofence",
     "is_not_in_geofence",
+    "is_geo_contains",
+    "is_geo_covers",
+    "is_geo_intersects",
+    "is_geo_touches",
+    "is_geo_within",
     "are_polygons_mutually_disjoint",
 ]
 
@@ -128,6 +155,30 @@ def is_linestring(column: str | Column) -> Column:
 def is_polygon(column: str | Column) -> Column:
     """reference geo/check_funcs.py:234."""
     return _typed_check(column, "POLYGON")
+
+
+@register_rule("row")
+def is_multipoint(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:250 (st_geometrytype multipoint)."""
+    return _typed_check(column, "MULTIPOINT")
+
+
+@register_rule("row")
+def is_multilinestring(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:278."""
+    return _typed_check(column, "MULTILINESTRING")
+
+
+@register_rule("row")
+def is_multipolygon(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:306."""
+    return _typed_check(column, "MULTIPOLYGON")
+
+
+@register_rule("row")
+def is_geometrycollection(column: str | Column) -> Column:
+    """reference geo/check_funcs.py:334."""
+    return _typed_check(column, "GEOMETRYCOLLECTION")
 
 
 @register_rule("row")
@@ -236,10 +287,19 @@ def _rings(col: Column) -> Column:
 
 
 def _edges(ring: Column) -> Column:
-    """Consecutive vertex pairs of a closed ring as array<struct<p,q>>."""
+    """Consecutive vertex pairs of a closed ring as array<struct<p,q>>.
+
+    try_element_at, not element_at: callers guard malformed rings with
+    short-circuiting predicates, but Spark's subexpression elimination can
+    hoist this transform OUT of the guard and evaluate it eagerly — an
+    empty ring must then yield null-vertex edges (which propagate NULL
+    through every downstream predicate) rather than throw
+    INVALID_ARRAY_INDEX (r4)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ring) - 1, F.lit(1))),
-        lambda i: F.struct(F.element_at(ring, i).alias("p"), F.element_at(ring, i + 1).alias("q")),
+        lambda i: F.struct(
+            F.try_element_at(ring, i).alias("p"), F.try_element_at(ring, i + 1).alias("q")
+        ),
     )
 
 
@@ -324,11 +384,12 @@ def _polygons_intersect_rings(rsa: Column, rsb: Column) -> Column:
 
 
 def _indexed_edges(ring: Column) -> Column:
-    """Edges with their 1-based position, for adjacency-aware pair tests."""
+    """Edges with their 1-based position, for adjacency-aware pair tests
+    (try_element_at for the same CSE-hoist reason as :func:`_edges`)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ring) - 1, F.lit(1))),
         lambda i: F.struct(
-            i.alias("i"), F.element_at(ring, i).alias("p"), F.element_at(ring, i + 1).alias("q")
+            i.alias("i"), F.try_element_at(ring, i).alias("p"), F.try_element_at(ring, i + 1).alias("q")
         ),
     )
 
@@ -346,12 +407,18 @@ def _shoelace_area(ring: Column) -> Column:
 
 
 def _ring_well_formed(ring: Column) -> Column:
-    """Closed (first == last) with at least 4 points."""
-    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
-    return (
+    """Closed (first == last) with at least 4 points.
+
+    try_element_at, not element_at: Spark's common-subexpression
+    elimination can hoist the extraction OUT of a short-circuiting &/|
+    and evaluate it eagerly, so an empty ring (malformed WKT) would throw
+    INVALID_ARRAY_INDEX instead of failing the check (r4)."""
+    first, last = F.try_element_at(ring, F.lit(1)), F.try_element_at(ring, F.lit(-1))
+    return F.coalesce(
         (F.size(ring) >= 4)
         & (first.getField("x") == last.getField("x"))
-        & (first.getField("y") == last.getField("y"))
+        & (first.getField("y") == last.getField("y")),
+        F.lit(False),
     )
 
 
@@ -408,6 +475,104 @@ def has_num_points_between(column: str | Column, min_points: int, max_points: in
         ),
         f"{name}_num_points_outside_band",
     )
+
+
+# ---------------------------------------------------------------------------
+# area / num-points comparator family (reference geo/check_funcs.py:553-818,
+# _compare_spatial_sql_function_result over st_area / st_npoints)
+# ---------------------------------------------------------------------------
+def _spatial_compare(column, value, quantity: str, compare: str, srid=None, geodesic: bool = False) -> Column:
+    """Shared comparator core.  ``compare`` names the FAIL condition
+    (reference passes operator.ne for the equal_to check, etc.).  Planar
+    coordinate-unit measurements only — the reference's srid transform /
+    geodesic modes delegate to a spatial backend we don't ship (documented
+    deviation; default srid=None here vs the reference's 3857)."""
+    if srid is not None or geodesic:
+        raise ValueError(
+            "srid transforms and geodesic measurement require a spatial backend; "
+            "this engine computes planar areas/counts in coordinate units (srid=None)"
+        )
+    from dqx_spark.functions._helpers import get_limit_expr  # noqa: PLC0415
+
+    col = to_col(column)
+    name = normalize_col_str(column)
+    limit = get_limit_expr(value).cast("double")
+    up = _wkt_upper(col)
+    if quantity == "area":
+        ring = _ring(col)
+        valid = up.rlike(WKT_PATTERNS["POLYGON"]) & _ring_well_formed(ring)
+        metric = _shoelace_area(ring)
+        label = "area"
+    else:
+        valid = up.rlike(_ANY_WKT)
+        metric = F.size(_coords(col)).cast("double")
+        label = "number of points"
+    fail = {
+        "ne": metric != limit,
+        "eq": metric.eqNullSafe(limit),
+        "gt": metric > limit,
+        "lt": metric < limit,
+    }[compare]
+    verb = {"ne": "not equal to", "eq": "equal to", "gt": "greater than", "lt": "less than"}[compare]
+    condition = col.isNotNull() & (~valid | F.coalesce(fail, F.lit(True)))
+    message = F.when(
+        ~valid,
+        F.format_string(f"Value '%s' in Column '{name}' is not a valid geometry", str_value(col)),
+    ).otherwise(
+        F.format_string(
+            f"Value '%s' in Column '{name}' has {label} {verb} value '%s'", str_value(col), str_value(limit)
+        )
+    )
+    op_name = {"ne": "not_equal_to", "eq": "equal_to", "gt": "greater_than", "lt": "less_than"}[compare]
+    return make_condition(condition, message, f"{name}_{quantity}_{op_name}_limit")
+
+
+@register_rule("row")
+def is_area_equal_to(column: str | Column, value, srid=None, geodesic: bool = False) -> Column:
+    """Polygon area == value (reference geo/check_funcs.py:553)."""
+    return _spatial_compare(column, value, "area", "ne", srid, geodesic)
+
+
+@register_rule("row")
+def is_area_not_equal_to(column: str | Column, value, srid=None, geodesic: bool = False) -> Column:
+    """Polygon area != value (reference geo/check_funcs.py:591)."""
+    return _spatial_compare(column, value, "area", "eq", srid, geodesic)
+
+
+@register_rule("row")
+def is_area_not_greater_than(column: str | Column, value, srid=None, geodesic: bool = False) -> Column:
+    """Polygon area <= value (reference geo/check_funcs.py:629)."""
+    return _spatial_compare(column, value, "area", "gt", srid, geodesic)
+
+
+@register_rule("row")
+def is_area_not_less_than(column: str | Column, value, srid=None, geodesic: bool = False) -> Column:
+    """Polygon area >= value (reference geo/check_funcs.py:667)."""
+    return _spatial_compare(column, value, "area", "lt", srid, geodesic)
+
+
+@register_rule("row")
+def is_num_points_equal_to(column: str | Column, value) -> Column:
+    """WKT coordinate-pair count == value (reference geo/check_funcs.py:705)."""
+    return _spatial_compare(column, value, "num_points", "ne")
+
+
+@register_rule("row")
+def is_num_points_not_equal_to(column: str | Column, value) -> Column:
+    """Count != value (reference geo/check_funcs.py:733)."""
+    return _spatial_compare(column, value, "num_points", "eq")
+
+
+@register_rule("row")
+def is_num_points_not_greater_than(column: str | Column, value) -> Column:
+    """Count <= value (reference geo/check_funcs.py:761)."""
+    return _spatial_compare(column, value, "num_points", "gt")
+
+
+@register_rule("row")
+def is_num_points_not_less_than(column: str | Column, value) -> Column:
+    """Count >= value (reference geo/check_funcs.py:789)."""
+    return _spatial_compare(column, value, "num_points", "lt")
 
 
 _DIMENSION_OF = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1, "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
@@ -779,9 +944,13 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
                 (F.max("__bb.xmax") - F.min("__bb.xmin")) / F.lit(1024.0),
                 F.coalesce(F.percentile_approx(F.col("__bb.xmax") - F.col("__bb.xmin"), 0.9), F.lit(0.0)),
                 F.lit(1e-9),
-            ).alias("__dq_geo_width")
+            ).alias("__dq_geo_width"),
         )
         width = F.col("__dq_geo_width")
+        # the 1-row broadcast crossJoin plans as a BroadcastNestedLoopJoin
+        # with a single-row build side — the standard O(n) scalar-attach
+        # shape (same as scalar subqueries), NOT an n^2 pairing join; the
+        # candidate pairing below stays on the __bucket equi-join
         bucketed = boxes.crossJoin(F.broadcast(stats)).select(
             F.col(rid).alias("__bid"),
             "__bb",
@@ -832,3 +1001,180 @@ def are_polygons_mutually_disjoint(column: str | Column, row_filter: str | None 
     from dqx_spark.functions.dataset_checks import _lift
 
     return _lift(msg_col, f"{name}_polygons_not_disjoint"), apply
+
+
+# ---------------------------------------------------------------------------
+# topological relationship family (reference geo/check_funcs.py:1094-1342,
+# st_contains / st_covers / st_intersects / st_touches / st_within)
+# ---------------------------------------------------------------------------
+def _segments_cross_strict(ea: Column, eb: Column) -> Column:
+    """PROPER crossing: the segments intersect at a point interior to both
+    (all four orientations strictly nonzero) — touching does not count."""
+    a1, a2, b1, b2 = ea.getField("p"), ea.getField("q"), eb.getField("p"), eb.getField("q")
+    d1, d2 = _cross(b1, b2, a1), _cross(b1, b2, a2)
+    d3, d4 = _cross(a1, a2, b1), _cross(a1, a2, b2)
+    return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+
+def _point_on_edges(pt: Column, edges: Column) -> Column:
+    """Exact point-on-boundary: collinear with some edge and inside its
+    bbox (cross product exactly zero)."""
+    px, py = pt.getField("x"), pt.getField("y")
+
+    def on_edge(e: Column) -> Column:
+        p, q = e.getField("p"), e.getField("q")
+        collinear = _cross(p, q, pt) == 0
+        in_box = (
+            (px >= F.least(p.getField("x"), q.getField("x")))
+            & (px <= F.greatest(p.getField("x"), q.getField("x")))
+            & (py >= F.least(p.getField("y"), q.getField("y")))
+            & (py <= F.greatest(p.getField("y"), q.getField("y")))
+        )
+        return collinear & in_box
+
+    return F.exists(edges, on_edge)
+
+
+def _geo_relation(col_geom: Column, ref_geom: Column, relation: str) -> Column:
+    """True when ``relation`` holds between the column geometry and the
+    reference geometry.  Dependency-free subset: POINT and POLYGON
+    (outer-ring) WKT; boundary tests are exact (collinearity + orientation
+    arithmetic, no epsilon).  For polygons, ``within``/``covers`` assume
+    non-degenerate (positive-area) inputs, where closure containment
+    implies interior overlap."""
+    up_a = _wkt_upper(col_geom)
+    ring_r = _ring(ref_geom)
+    edges_r = _edges(ring_r)
+
+    # try_element_at throughout: CSE can hoist extractions out of the
+    # type-dispatch when(), so empty coordinate arrays must yield NULL
+    # (-> relation false) rather than INVALID_ARRAY_INDEX
+    pt = F.try_element_at(_coords(col_geom), F.lit(1))
+    pt_on = _point_on_edges(pt, edges_r)
+    pt_in = _point_in_ring(pt, ring_r) & ~pt_on
+    point_rel = {
+        "intersects": pt_in | pt_on,
+        "within": pt_in,        # OGC: a boundary point's interior does not intersect the interior
+        "contains": pt_in,      # reference: no boundary contact allowed (:1100-1104)
+        "covers": pt_in | pt_on,
+        "touches": pt_on,
+    }[relation]
+
+    ring_a = _ring(col_geom)
+    edges_a = _edges(ring_a)
+    contact = F.exists(edges_a, lambda ea: F.exists(edges_r, lambda eb: _segments_intersect(ea, eb)))
+    strict_cross = F.exists(edges_a, lambda ea: F.exists(edges_r, lambda eb: _segments_cross_strict(ea, eb)))
+
+    def strictly_in(v: Column) -> Column:
+        return _point_in_ring(v, ring_r) & ~_point_on_edges(v, edges_r)
+
+    all_in_or_on = F.forall(ring_a, lambda v: _point_in_ring(v, ring_r) | _point_on_edges(v, edges_r))
+    all_strict_in = F.forall(ring_a, strictly_in)
+    any_strict_in = F.exists(ring_a, strictly_in)
+    ref_vertex_in_a = _point_in_ring(F.try_element_at(ring_r, F.lit(1)), ring_a)
+    poly_rel = {
+        "intersects": contact | _point_in_ring(F.try_element_at(ring_a, F.lit(1)), ring_r) | ref_vertex_in_a,
+        "covers": all_in_or_on & ~strict_cross,
+        "within": all_in_or_on & ~strict_cross,
+        "contains": all_strict_in & ~contact,
+        "touches": contact & ~any_strict_in & ~strict_cross & ~ref_vertex_in_a,
+    }[relation]
+    poly_rel = _ring_well_formed(ring_a) & poly_rel
+
+    return (
+        F.when(up_a.rlike(WKT_PATTERNS["POINT"]), point_rel)
+        .when(up_a.rlike(WKT_PATTERNS["POLYGON"]), poly_rel)
+        .otherwise(F.lit(False))
+    )
+
+
+def _geo_relation_check(
+    column, reference_geometry, relation: str, label: str
+) -> Column:
+    """Shared wrapper: fail when the relation does NOT hold.  NULL column
+    values pass; malformed/unsupported WKT fails (never silently 'holds').
+    ``reference_geometry``: plain string = literal WKT (never a column
+    name, matching the reference); Column = per-row geometry.  WKB bytes
+    are not supported without a spatial backend."""
+    if isinstance(reference_geometry, bytes):
+        raise ValueError("WKB reference_geometry requires a spatial backend; pass WKT")
+    ref = F.lit(reference_geometry) if isinstance(reference_geometry, str) else reference_geometry
+    col = to_col(column)
+    name = normalize_col_str(column)
+    condition = col.isNotNull() & ~_geo_relation(col, ref, relation)
+    return make_condition(
+        condition,
+        F.format_string(f"Value '%s' in Column '{name}' {label} the reference geometry", str_value(col)),
+        f"{name}_not_{relation}_reference",
+    )
+
+
+@register_rule("row")
+def is_geo_contains(
+    column,
+    reference_geometry,
+    convert_column: bool = False,
+    convert_reference_geometry: bool = False,
+) -> Column:
+    """Reference geometry strictly contains the column geometry — no
+    boundary contact (reference geo/check_funcs.py:1094, st_contains).
+    The convert flags are accepted for signature parity; WKT parsing is
+    inherent to this engine, so they are no-ops."""
+    return _geo_relation_check(column, reference_geometry, "contains", "is not contained by")
+
+
+@register_rule("row")
+def is_geo_covers(
+    column,
+    reference_geometry,
+    precise: bool = False,
+    resolution=None,
+    convert_column: bool = False,
+    convert_reference_geometry: bool = False,
+) -> Column:
+    """Reference geometry covers the column geometry, boundary-inclusive
+    (reference geo/check_funcs.py:1137, st_covers).  Always computed
+    exactly — the reference's H3-approximate mode (``precise=False`` +
+    ``resolution``) needs the h3 library, so both flags are accepted and
+    ignored (documented deviation: exactness is a superset guarantee)."""
+    return _geo_relation_check(column, reference_geometry, "covers", "is not covered by")
+
+
+@register_rule("row")
+def is_geo_intersects(
+    column,
+    reference_geometry,
+    precise: bool = False,
+    resolution=None,
+    convert_column: bool = False,
+    convert_reference_geometry: bool = False,
+) -> Column:
+    """Column geometry shares at least one point with the reference
+    (reference geo/check_funcs.py:1200, st_intersects; exact, see
+    :func:`is_geo_covers` for the flag semantics)."""
+    return _geo_relation_check(column, reference_geometry, "intersects", "does not intersect")
+
+
+@register_rule("row")
+def is_geo_touches(
+    column,
+    reference_geometry,
+    convert_column: bool = False,
+    convert_reference_geometry: bool = False,
+) -> Column:
+    """Boundary contact without interior overlap
+    (reference geo/check_funcs.py:1261, st_touches)."""
+    return _geo_relation_check(column, reference_geometry, "touches", "does not touch")
+
+
+@register_rule("row")
+def is_geo_within(
+    column,
+    reference_geometry,
+    convert_column: bool = False,
+    convert_reference_geometry: bool = False,
+) -> Column:
+    """Column geometry lies within the reference geometry (boundary contact
+    allowed for polygons; a bare boundary POINT is not within)
+    (reference geo/check_funcs.py:1302, st_within)."""
+    return _geo_relation_check(column, reference_geometry, "within", "is not within")

@@ -81,11 +81,12 @@ def is_not_null_and_not_empty(column: str | Column, trim_strings: bool = False) 
 
 
 @register_rule("row")
-def is_not_empty(column: str | Column) -> Column:
+def is_not_empty(column: str | Column, trim_strings: bool = False) -> Column:
     """Fail when empty string; nulls pass (reference check_funcs.py:189)."""
     col = to_col(column)
     name = normalize_col_str(column)
-    return make_condition(col.cast("string") == F.lit(""), f"Column '{name}' value is empty", f"{name}_is_empty")
+    col_str = F.trim(col.cast("string")) if trim_strings else col.cast("string")
+    return make_condition(col_str == F.lit(""), f"Column '{name}' value is empty", f"{name}_is_empty")
 
 
 @register_rule("row")
@@ -105,11 +106,12 @@ def is_null(column: str | Column) -> Column:
 
 
 @register_rule("row")
-def is_empty(column: str | Column) -> Column:
+def is_empty(column: str | Column, trim_strings: bool = False) -> Column:
     """Assert the value IS empty (reference check_funcs.py:237-250)."""
     col = to_col(column)
     name = normalize_col_str(column)
-    return make_condition(col.cast("string") != F.lit(""), f"Column '{name}' value is not empty", f"{name}_is_not_empty")
+    col_str = F.trim(col.cast("string")) if trim_strings else col.cast("string")
+    return make_condition(col_str != F.lit(""), f"Column '{name}' value is not empty", f"{name}_is_not_empty")
 
 
 @register_rule("row")
@@ -384,12 +386,30 @@ def is_data_fresh(
 # comparison family
 # ---------------------------------------------------------------------------
 @register_rule("row")
-def is_equal_to(column: str | Column, value) -> Column:
-    """Fail when col != value (reference check_funcs.py:739)."""
+def _eq_with_tolerance(col: Column, limit: Column, abs_tolerance, rel_tolerance) -> Column:
+    """Null-safe equality, tolerance-banded when either tolerance is set
+    (reference check_funcs.py:764-776 + _match_values_with_tolerance)."""
+    if (abs_tolerance or 0) < 0 or (rel_tolerance or 0) < 0:
+        raise ValueError("abs_tolerance and rel_tolerance must be non-negative")
+    from dqx_spark.functions._helpers import within_tolerance  # noqa: PLC0415
+
+    if abs_tolerance or rel_tolerance:
+        # coalesce: one-side-null compares as NOT equal, matching the
+        # null-safe exact path below
+        return F.coalesce(within_tolerance(col, limit, abs_tolerance, rel_tolerance), F.lit(False))
+    return col.eqNullSafe(limit)
+
+
+@register_rule("row")
+def is_equal_to(
+    column: str | Column, value, abs_tolerance: float | None = None, rel_tolerance: float | None = None
+) -> Column:
+    """Fail when col != value; tolerances band numeric comparisons
+    (reference check_funcs.py:739)."""
     col = to_col(column)
     name = normalize_col_str(column)
     limit = get_limit_expr(value)
-    condition = ~col.eqNullSafe(limit)
+    condition = ~_eq_with_tolerance(col, limit, abs_tolerance, rel_tolerance)
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is not equal to '%s'", str_value(col), str_value(limit)),
@@ -398,12 +418,15 @@ def is_equal_to(column: str | Column, value) -> Column:
 
 
 @register_rule("row")
-def is_not_equal_to(column: str | Column, value) -> Column:
-    """Fail when col == value (reference check_funcs.py:794)."""
+def is_not_equal_to(
+    column: str | Column, value, abs_tolerance: float | None = None, rel_tolerance: float | None = None
+) -> Column:
+    """Fail when col == value (within tolerance, when set)
+    (reference check_funcs.py:794)."""
     col = to_col(column)
     name = normalize_col_str(column)
     limit = get_limit_expr(value)
-    condition = col.eqNullSafe(limit)
+    condition = _eq_with_tolerance(col, limit, abs_tolerance, rel_tolerance)
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is equal to '%s'", str_value(col), str_value(limit)),
@@ -670,32 +693,65 @@ def _iso_check(column, codes: list[str], what: str, case_sensitive: bool) -> Col
 
 
 @register_rule("row")
-def is_valid_country_code(column: str | Column, code_format: str = "alpha2", case_sensitive: bool = True) -> Column:
-    """ISO 3166-1 membership (reference check_funcs.py:1323)."""
-    pools = {"alpha2": iso_codes.COUNTRY_ALPHA2, "alpha3": iso_codes.COUNTRY_ALPHA3}
-    if code_format not in pools:
-        raise ValueError(f"code_format must be alpha2|alpha3, got {code_format!r}")
-    return _iso_check(column, pools[code_format], "country code", case_sensitive)
+def _pick_code_format(code_format: str, pools: dict[str, list[str]], kind: str) -> list[str]:
+    """Resolve a code_format name case-insensitively, accepting both the
+    reference's hyphenated spellings ('alpha-2') and bare ones ('alpha2')."""
+    if not isinstance(code_format, str):
+        raise TypeError(f"code_format must be a string, got {type(code_format)!r}")
+    key = code_format.lower().replace("-", "")
+    if key not in pools:
+        raise ValueError(
+            f"unsupported code_format for {kind}: {code_format!r}; supported: {sorted(pools)}"
+        )
+    return pools[key]
 
 
 @register_rule("row")
-def is_valid_currency_code(column: str | Column, case_sensitive: bool = True) -> Column:
-    """ISO 4217 membership (reference check_funcs.py:1367)."""
-    return _iso_check(column, iso_codes.CURRENCY_CODES, "currency code", case_sensitive)
+def is_valid_country_code(column: str | Column, code_format: str = "alpha-2", case_sensitive: bool = True) -> Column:
+    """ISO 3166-1 membership in the chosen representation: alpha-2 (default),
+    alpha-3 or numeric (reference check_funcs.py:1323)."""
+    pools = {
+        "alpha2": iso_codes.COUNTRY_ALPHA2,
+        "alpha3": iso_codes.COUNTRY_ALPHA3,
+        "numeric": iso_codes.COUNTRY_NUMERIC,
+    }
+    return _iso_check(column, _pick_code_format(code_format, pools, "country code"), "country code", case_sensitive)
 
 
 @register_rule("row")
-def is_valid_subdivision_code(column: str | Column, case_sensitive: bool = True) -> Column:
+def is_valid_currency_code(column: str | Column, code_format: str = "alphabetic", case_sensitive: bool = True) -> Column:
+    """ISO 4217 membership: alphabetic (default) or numeric
+    (reference check_funcs.py:1367)."""
+    pools = {"alphabetic": iso_codes.CURRENCY_CODES, "numeric": iso_codes.CURRENCY_NUMERIC}
+    return _iso_check(column, _pick_code_format(code_format, pools, "currency code"), "currency code", case_sensitive)
+
+
+@register_rule("row")
+def is_valid_subdivision_code(
+    column: str | Column, case_sensitive: bool = True, country_column: str | Column | None = None
+) -> Column:
     """ISO 3166-2 structural validity: 'CC-SSS' with a valid country prefix
-    (reference check_funcs.py:1437 validates against the full table; we
-    validate structure + country — documented deviation)."""
+    (reference check_funcs.py:1437 validates against the full ~5,000-entry
+    table; we validate structure + country — documented deviation).
+
+    ``country_column`` cross-checks the subdivision's country prefix against
+    another column on the same row (reference :1438-1508): ``US-CA`` with
+    ``country='GB'`` is flagged.  A null country value passes (SQL null
+    propagation, matching the reference)."""
     col = to_col(column)
     name = normalize_col_str(column)
     target = col if case_sensitive else F.upper(col)
     pool = iso_codes.COUNTRY_ALPHA2
     shape_ok = target.rlike(r"^[A-Z]{2}-[A-Z0-9]{1,3}$")
     country_ok = F.substring(target, 1, 2).isin(*pool)
-    condition = col.isNotNull() & ~(shape_ok & country_ok)
+    invalid = ~(shape_ok & country_ok)
+    if country_column is not None:
+        cc = to_col(country_column)
+        cc_cmp = cc if case_sensitive else F.upper(cc)
+        prefix = F.split(target, "-").getItem(0)
+        # != is NULL when country is NULL -> row passes (reference :1497)
+        invalid = invalid | F.coalesce(prefix != cc_cmp, F.lit(False))
+    condition = col.isNotNull() & invalid
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is not a valid subdivision code", str_value(col)),
@@ -704,9 +760,12 @@ def is_valid_subdivision_code(column: str | Column, case_sensitive: bool = True)
 
 
 @register_rule("row")
-def is_valid_language_code(column: str | Column, case_sensitive: bool = True) -> Column:
-    """ISO 639-1 membership (reference check_funcs.py:1516)."""
-    return _iso_check(column, iso_codes.LANGUAGE_CODES, "language code", case_sensitive)
+def is_valid_language_code(column: str | Column, code_format: str = "alpha-2", case_sensitive: bool = True) -> Column:
+    """ISO 639 membership: alpha-2 = ISO 639-1 (default); alpha-3 = the
+    ISO 639-2/T terminology codes for those languages — a documented subset
+    of the reference's full ISO 639-3 registry (reference check_funcs.py:1516)."""
+    pools = {"alpha2": iso_codes.LANGUAGE_CODES, "alpha3": iso_codes.LANGUAGE_ALPHA3}
+    return _iso_check(column, _pick_code_format(code_format, pools, "language code"), "language code", case_sensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -825,6 +884,7 @@ def presidio_analyzer(
     entities: list[str] | None = None,
     language: str = "en",
     score_threshold: float = 0.5,
+    nlp_engine_config: dict | None = None,
 ) -> Callable:
     """Ready-made ``analyzer=`` hook for :func:`does_not_contain_pii` backed
     by Microsoft Presidio — the NER engine the reference wraps
@@ -847,7 +907,7 @@ def presidio_analyzer(
         # one engine per process: entities and score_threshold are applied
         # per analyze() call, so differently-configured adapters share the
         # same (expensive) NLP model
-        key = "analyzer"
+        key = "analyzer" if nlp_engine_config is None else f"analyzer:{sorted(nlp_engine_config.items())!r}"
         eng = _PRESIDIO_ENGINES.get(key)
         if eng is None:
             try:
@@ -858,7 +918,15 @@ def presidio_analyzer(
                     "'presidio-analyzer' package on the executors "
                     "(pip install presidio-analyzer)"
                 ) from exc
-            eng = AnalyzerEngine()
+            if nlp_engine_config is not None:
+                # custom NLP engine (reference pii_detection_funcs.py:52 —
+                # e.g. a different spaCy model per language)
+                from presidio_analyzer.nlp_engine import NlpEngineProvider  # noqa: PLC0415
+
+                nlp_engine = NlpEngineProvider(nlp_configuration=dict(nlp_engine_config)).create_engine()
+                eng = AnalyzerEngine(nlp_engine=nlp_engine)
+            else:
+                eng = AnalyzerEngine()
             _PRESIDIO_ENGINES[key] = eng
 
         def hit(v) -> bool:
@@ -879,6 +947,9 @@ def does_not_contain_pii(
     column: str | Column,
     entities: list[str] | None = None,
     analyzer: Callable | None = None,
+    language: str | None = None,
+    threshold: float | None = None,
+    nlp_engine_config: dict | None = None,
 ) -> Column:
     """Fail when the text contains PII-looking entities.
 
@@ -899,9 +970,22 @@ def does_not_contain_pii(
 
       The callable must be picklable (module-level function or closure over
       picklable state); it is instantiated per executor, not per row.
+
+    ``language`` / ``threshold`` / ``nlp_engine_config`` mirror the
+    reference signature (pii/pii_detection_funcs.py:33-52): passing any of
+    them selects the Presidio NER engine with those settings (equivalent to
+    ``analyzer=presidio_analyzer(entities, language, threshold,
+    nlp_engine_config)``) — Presidio must then be installed on executors.
     """
     col = to_col(column)
     name = normalize_col_str(column)
+    if analyzer is None and (language is not None or threshold is not None or nlp_engine_config is not None):
+        analyzer = presidio_analyzer(
+            entities=entities,
+            language=language or "en",
+            score_threshold=0.7 if threshold is None else threshold,
+            nlp_engine_config=nlp_engine_config,
+        )
     if analyzer is not None:
 
         @F.pandas_udf(T.BooleanType())
