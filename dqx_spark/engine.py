@@ -177,6 +177,206 @@ class DQEngine:
         checked = self.apply_checks_by_metadata(df, checks, custom_check_functions, ref_dfs)
         return self.get_valid(checked), self.get_invalid(checked)
 
+    # ------------------------------------------------------------------
+    # reference-parity convenience surface: in the reference these are
+    # DQEngine methods (engine.py:303-1733); the implementations live in
+    # serde/checks_storage/workflow/metrics here, so each method is a thin
+    # delegate — a reference user's `engine.<method>(...)` calls work as-is.
+    # ------------------------------------------------------------------
+    @property
+    def result_column_names(self) -> dict[str, str]:
+        """Resolved result column names (reference engine.py:117)."""
+        return {"errors": self._errors_col, "warnings": self._warnings_col, "info": self._info_col}
+
+    @staticmethod
+    def validate_checks(checks: list[dict], custom_check_functions: dict[str, Callable] | None = None):
+        """Structural + signature validation (reference engine.py:303)."""
+        from dqx_spark.serde import validate_checks  # noqa: PLC0415
+
+        return validate_checks(checks, custom_check_functions)
+
+    @staticmethod
+    def load_checks_from_local_file(filepath: str) -> list[dict]:
+        """reference engine.py:375."""
+        from dqx_spark.serde import load_checks_from_file  # noqa: PLC0415
+
+        return load_checks_from_file(filepath)
+
+    @staticmethod
+    def save_checks_in_local_file(checks: list[dict], filepath: str) -> None:
+        """reference engine.py:396."""
+        from dqx_spark.serde import save_checks_to_file  # noqa: PLC0415
+
+        save_checks_to_file(checks, filepath)
+
+    def load_checks(self, checks_location: str, run_config_name: str = "default") -> list[dict]:
+        """Load from file / table / JDBC storage by location shape
+        (reference engine.py:1420)."""
+        from dqx_spark.checks_storage import checks_storage_factory  # noqa: PLC0415
+
+        return checks_storage_factory(self._require_spark(), checks_location, run_config_name).load()
+
+    def save_checks(
+        self, checks: list[dict], checks_location: str, run_config_name: str = "default", mode: str = "overwrite"
+    ) -> None:
+        """reference engine.py save_checks."""
+        from dqx_spark.checks_storage import checks_storage_factory  # noqa: PLC0415
+
+        checks_storage_factory(self._require_spark(), checks_location, run_config_name).save(checks, mode=mode)
+
+    def apply_checks_and_save_in_table(
+        self,
+        input_config,
+        output_config=None,
+        checks: list | None = None,
+        quarantine_config=None,
+        metrics_config=None,
+        checks_location: str | None = None,
+        run_config_name: str = "default",
+        custom_check_functions: dict[str, Callable] | None = None,
+        ref_dfs: dict[str, DataFrame] | None = None,
+    ):
+        """Managed end-to-end run (reference engine.py:853): read input,
+        apply checks, write output (and quarantine/metrics when configured).
+        Returns the metrics dict for batch metrics runs, else None."""
+        from dqx_spark.io import RunConfig  # noqa: PLC0415
+        from dqx_spark.workflow import apply_checks_and_save_in_table  # noqa: PLC0415
+
+        rc = RunConfig(
+            name=run_config_name,
+            input_config=input_config,
+            output_config=output_config,
+            quarantine_config=quarantine_config,
+            metrics_config=metrics_config,
+            checks_location=checks_location,
+        )
+        return apply_checks_and_save_in_table(
+            self._require_spark(), rc, checks=checks, engine=self,
+            custom_check_functions=custom_check_functions, ref_dfs=ref_dfs,
+        )
+
+    # by-metadata twin: the workflow function accepts dict checks directly
+    apply_checks_by_metadata_and_save_in_table = apply_checks_and_save_in_table
+
+    def apply_checks_and_save_in_tables(self, run_configs: list, max_parallelism: int = 4):
+        """reference engine.py:1114."""
+        from dqx_spark.workflow import apply_checks_and_save_in_tables  # noqa: PLC0415
+
+        return apply_checks_and_save_in_tables(
+            self._require_spark(), run_configs, max_parallelism=max_parallelism, engine=self
+        )
+
+    def apply_checks_and_save_in_tables_for_patterns(
+        self,
+        patterns: list[str],
+        checks_location: str,
+        exclude_patterns: list[str] | None = None,
+        output_table_suffix: str = "_dq_output",
+        quarantine_table_suffix: str | None = None,
+        max_parallelism: int = 4,
+    ):
+        """reference engine.py:1147."""
+        from dqx_spark.workflow import apply_checks_and_save_in_tables_for_patterns  # noqa: PLC0415
+
+        return apply_checks_and_save_in_tables_for_patterns(
+            self._require_spark(),
+            patterns,
+            checks_location,
+            exclude_patterns=exclude_patterns,
+            output_suffix=output_table_suffix,
+            quarantine_suffix=quarantine_table_suffix,
+            max_parallelism=max_parallelism,
+            engine=self,
+        )
+
+    def save_results_in_table(
+        self,
+        output_df: DataFrame | None = None,
+        quarantine_df: DataFrame | None = None,
+        output_config=None,
+        quarantine_config=None,
+    ) -> None:
+        """Write already-checked frames to their configured sinks
+        (reference engine.py:1305); one-shot streaming triggers are awaited."""
+        from dqx_spark.io import is_one_time_trigger, save_dataframe_as_table  # noqa: PLC0415
+
+        for df, cfg in ((output_df, output_config), (quarantine_df, quarantine_config)):
+            if df is None or cfg is None:
+                continue
+            q = save_dataframe_as_table(df, cfg)
+            if q is not None and is_one_time_trigger(cfg.trigger):
+                q.awaitTermination()
+
+    def compute_summary_metrics(self, checked_df: DataFrame, custom_metrics: list[str] | None = None) -> dict:
+        """Eager summary metrics over a checked frame (reference
+        engine.py:1587) honoring this engine's result column names."""
+        from dqx_spark.metrics import DQMetricsObserver  # noqa: PLC0415
+
+        observer = DQMetricsObserver(
+            custom_metrics=custom_metrics or [],
+            errors_col=self._errors_col, warnings_col=self._warnings_col,
+        )
+        observed, observation = observer.attach(checked_df)
+        observed.count()
+        return dict(observation.get)
+
+    def save_summary_metrics(
+        self,
+        observed_metrics: dict,
+        metrics_config,
+        run_name: str = "default",
+        input_location: str | None = None,
+        output_location: str | None = None,
+        quarantine_location: str | None = None,
+        checks_location: str | None = None,
+    ) -> None:
+        """Persist a metrics dict in long format (reference engine.py:1686)."""
+        from dqx_spark.io import save_dataframe_as_table  # noqa: PLC0415
+        from dqx_spark.metrics import metrics_dataframe, observation_rows  # noqa: PLC0415
+
+        rows = observation_rows(
+            observed_metrics,
+            run_id=self._run_id,
+            run_name=run_name,
+            input_location=input_location,
+            output_location=output_location,
+            quarantine_location=quarantine_location,
+            checks_location=checks_location,
+            error_column_name=self._errors_col,
+            warning_column_name=self._warnings_col,
+        )
+        save_dataframe_as_table(metrics_dataframe(self._require_spark(), rows), metrics_config)
+
+    def get_streaming_metrics_listener(self, metrics_config, observer_name: str = "dqx", run_name: str = "default"):
+        """Listener that persists each micro-batch's observed metrics
+        (reference engine.py:1731)."""
+        from dqx_spark.io import save_dataframe_as_table  # noqa: PLC0415
+        from dqx_spark.metrics import (  # noqa: PLC0415
+            StreamingMetricsListener,
+            metrics_dataframe,
+            observation_rows,
+        )
+
+        spark = self._require_spark()
+
+        def sink(metrics: dict) -> None:
+            rows = observation_rows(
+                metrics,
+                run_id=self._run_id,
+                run_name=run_name,
+                error_column_name=self._errors_col,
+                warning_column_name=self._warnings_col,
+            )
+            save_dataframe_as_table(metrics_dataframe(spark, rows), metrics_config)
+
+        return StreamingMetricsListener(observer_name, sink)
+
+    def _require_spark(self) -> SparkSession:
+        spark = self.spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("this method needs a SparkSession: pass one to DQEngine(spark)")
+        return spark
+
     def get_valid(self, df: DataFrame) -> DataFrame:
         """Rows with no errors, result columns dropped (reference engine.py:345-357).
         Honors this engine's ``result_column_names``."""

@@ -13,7 +13,7 @@ import fnmatch
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from dqx_spark.engine import DQEngine
 from dqx_spark.io import (
@@ -35,6 +35,7 @@ def apply_checks_and_save_in_table(
     checks: list | None = None,
     engine: DQEngine | None = None,
     custom_check_functions: dict[str, Callable] | None = None,
+    ref_dfs: dict[str, DataFrame] | None = None,
 ) -> dict[str, object] | None:
     """One managed run.  Returns the metrics dict (batch) or None
     (streaming started).  Quarantine config splits good/bad; otherwise the
@@ -56,7 +57,8 @@ def apply_checks_and_save_in_table(
     rules = deserialize_checks(checks, custom_check_functions) if checks and isinstance(checks[0], dict) else checks
 
     df = read_input_data(spark, run_config.input_config)
-    ref_dfs = get_reference_dataframes(spark, run_config.reference_tables)
+    # configured reference tables, overridable/extendable by direct DataFrames
+    ref_dfs = {**(get_reference_dataframes(spark, run_config.reference_tables) or {}), **(ref_dfs or {})}
     checked = engine.apply_checks(df, rules, ref_dfs=ref_dfs)
 
     observer = DQMetricsObserver(name=f"dqx_{run_config.name}", custom_metrics=run_config.custom_metrics)

@@ -206,3 +206,79 @@ def test_has_no_aggr_outliers_accepts_aggr_params(spark, events):
         },
     )
     engine.apply_checks(events, [rule]).limit(1).collect()  # plan builds and runs
+
+
+# ---------------------------------------------------------------------------
+# engine-level reference-parity method surface (delegates)
+# ---------------------------------------------------------------------------
+def test_engine_method_surface(spark, tmp_path):
+    import json
+
+    engine = DQEngine(spark)
+    checks = [{"criticality": "error", "check": {"function": "is_not_null", "arguments": {"column": "a"}}}]
+    # static validators / local-file round trip
+    assert not DQEngine.validate_checks(checks).has_errors
+    p = str(tmp_path / "checks.json")
+    DQEngine.save_checks_in_local_file(checks, p)
+    assert DQEngine.load_checks_from_local_file(p) == checks
+    # storage round trip through the engine
+    loc = str(tmp_path / "stored.yaml")
+    engine.save_checks(checks, loc)
+    assert engine.load_checks(loc) == checks
+    # result_column_names reflects ExtraParams
+    from dqx_spark.engine import ExtraParams
+
+    e2 = DQEngine(spark, extra_params=ExtraParams(result_column_names={"errors": "e"}))
+    assert e2.result_column_names["errors"] == "e" and e2.result_column_names["warnings"] == "_warnings"
+
+
+def test_engine_apply_and_save_in_table(spark, tmp_path):
+    from dqx_spark.io import InputConfig, OutputConfig
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame([(1, "x"), (2, None)], "id int, v string").write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    metrics_out = str(tmp_path / "metrics.parquet")
+    engine = DQEngine(spark)
+    metrics = engine.apply_checks_and_save_in_table(
+        input_config=InputConfig(src),
+        output_config=OutputConfig(out, mode="overwrite"),
+        metrics_config=OutputConfig(metrics_out, mode="overwrite"),
+        checks=[{"criticality": "error", "check": {"function": "is_not_null", "arguments": {"column": "v"}}}],
+    )
+    assert metrics["input_row_count"] == 2 and metrics["error_row_count"] == 1
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(metrics_out).count() >= 4
+
+
+def test_engine_compute_and_save_summary_metrics(spark, tmp_path):
+    from dqx_spark.io import OutputConfig
+    from dqx_spark.rule import DQRowRule as RR
+    from dqx_spark.functions import is_not_null
+
+    engine = DQEngine(spark)
+    df = spark.createDataFrame([(None,), ("x",)], "a string")
+    checked = engine.apply_checks(df, [RR(check_func=is_not_null, column="a")])
+    metrics = engine.compute_summary_metrics(checked)
+    assert metrics["error_row_count"] == 1
+    dest = str(tmp_path / "m.parquet")
+    engine.save_summary_metrics(metrics, OutputConfig(dest, mode="overwrite"), run_name="t")
+    saved = spark.read.parquet(dest)
+    assert saved.where("metric_name = 'error_row_count'").collect()[0]["metric_value"] == "1"
+
+
+def test_engine_save_results_in_table(spark, tmp_path):
+    from dqx_spark.io import OutputConfig
+    from dqx_spark.rule import DQRowRule as RR
+    from dqx_spark.functions import is_not_null
+
+    engine = DQEngine(spark)
+    df = spark.createDataFrame([(None,), ("x",)], "a string")
+    good, bad = engine.apply_checks_and_split(df, [RR(check_func=is_not_null, column="a")])
+    engine.save_results_in_table(
+        output_df=good, quarantine_df=bad,
+        output_config=OutputConfig(str(tmp_path / "good.parquet"), mode="overwrite"),
+        quarantine_config=OutputConfig(str(tmp_path / "bad.parquet"), mode="overwrite"),
+    )
+    assert spark.read.parquet(str(tmp_path / "good.parquet")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "bad.parquet")).count() == 1
