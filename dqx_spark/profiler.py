@@ -256,17 +256,193 @@ def _sql_literal(v) -> str:
     return str(v)
 
 
-def generate_dlt_expectations(profiles: list[DQProfile]) -> list[str]:
-    """SQL CONSTRAINT ... EXPECT strings (reference profiler/dlt_generator.py)."""
-    out = []
+def _dlt_expression(p: DQProfile) -> tuple[str, str] | None:
+    """(expectation_name, boolean SQL expression) for one profile, or None
+    when the profile has no DLT mapping."""
+    c = p.column
+    params = p.parameters or {}
+    if p.name in ("is_not_null", "is_not_null_and_not_empty"):
+        return f"{c}_is_not_null", f"{c} IS NOT NULL"
+    if p.name == "is_in_list" and params.get("allowed"):
+        vals = ", ".join(_sql_literal(v) for v in params["allowed"])
+        return f"{c}_is_in_list", f"{c} IN ({vals})"
+    if p.name == "min_max":
+        lo, hi = params.get("min"), params.get("max")
+        if lo is not None and hi is not None:
+            return f"{c}_in_range", f"{c} BETWEEN {_sql_literal(lo)} AND {_sql_literal(hi)}"
+        if hi is not None:
+            return f"{c}_in_range", f"{c} <= {_sql_literal(hi)}"
+        if lo is not None:
+            return f"{c}_in_range", f"{c} >= {_sql_literal(lo)}"
+    return None
+
+
+def generate_dlt_expectations(
+    profiles: list[DQProfile], action: str | None = None, language: str = "SQL"
+) -> list[str] | str | dict:
+    """Lakeflow-pipeline (DLT) expectations from profiles (reference
+    profiler/dlt_generator.py:17-231).
+
+    ``language='SQL'`` (default): ``CONSTRAINT ... EXPECT (...)`` strings,
+    with ``action`` 'drop'/'fail' adding the ON VIOLATION clause.
+    ``'Python'``: an ``@dlt.expect_all*`` decorator string over the JSON
+    expectations dict.  ``'Python_Dict'``: the raw {name: expression} dict."""
+    exprs: dict[str, str] = {}
     for p in profiles:
-        c = p.column
-        if p.name in ("is_not_null", "is_not_null_and_not_empty"):
-            out.append(f"CONSTRAINT {c}_is_not_null EXPECT ({c} IS NOT NULL)")
-        elif p.name == "is_in_list" and p.parameters.get("allowed"):
-            vals = ", ".join(_sql_literal(v) for v in p.parameters["allowed"])
-            out.append(f"CONSTRAINT {c}_is_in_list EXPECT ({c} IN ({vals}))")
-        elif p.name == "min_max":
-            lo, hi = _sql_literal(p.parameters["min"]), _sql_literal(p.parameters["max"])
-            out.append(f"CONSTRAINT {c}_in_range EXPECT ({c} BETWEEN {lo} AND {hi})")
-    return out
+        pair = _dlt_expression(p)
+        if pair:
+            exprs[pair[0]] = pair[1]
+    lang = language.lower()
+    if lang == "sql":
+        act = {"drop": " ON VIOLATION DROP ROW", "fail": " ON VIOLATION FAIL UPDATE"}.get(action, "")
+        return [f"CONSTRAINT {n} EXPECT ({e}){act}" for n, e in exprs.items()]
+    if lang == "python_dict":
+        return exprs
+    if lang == "python":
+        if not exprs:
+            return ""
+        import json as _json
+
+        decorator = {"drop": "@dlt.expect_all_or_drop", "fail": "@dlt.expect_all_or_fail"}.get(
+            action, "@dlt.expect_all"
+        )
+        return f"{decorator}(\n{_json.dumps(exprs)}\n)"
+    raise ValueError(f"unsupported language {language!r}; use SQL, Python or Python_Dict")
+
+
+# ---------------------------------------------------------------------------
+# reference-parity surface: table-level profiling and the generator classes
+# (reference profiler/profiler.py:121-206, generator.py:40-176,
+# dlt_generator.py:17-231 expose these as methods; the engines above are the
+# implementations, these are thin delegates)
+# ---------------------------------------------------------------------------
+def _profile_table(profiler: "DQProfiler", spark, input_config, columns=None, options=None):
+    from dqx_spark.io import read_input_data  # noqa: PLC0415
+
+    p = DQProfiler({**profiler.options, **(options or {})}) if options else profiler
+    return p.profile(read_input_data(spark, input_config), columns=columns)
+
+
+def _as_input_config(location_or_config):
+    from dqx_spark.io import InputConfig  # noqa: PLC0415
+
+    if isinstance(location_or_config, str):
+        return InputConfig(location_or_config)
+    return location_or_config
+
+
+class _DQProfilerTableMixin:
+    """Table-level entry points for :class:`DQProfiler`."""
+
+    def profile_table(self, input_config, columns: list[str] | None = None, options: dict | None = None,
+                      spark=None):
+        """Profile one table/path (reference profiler.py:121)."""
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("profile_table needs an active SparkSession")
+        return _profile_table(self, spark, _as_input_config(input_config), columns, options)
+
+    def profile_tables_for_patterns(
+        self,
+        patterns: list[str],
+        exclude_patterns: list[str] | None = None,
+        columns: dict[str, list[str]] | None = None,
+        options: dict | None = None,
+        max_parallelism: int = 4,
+        spark=None,
+    ) -> dict:
+        """Wildcard fan-out over catalog tables (reference profiler.py:146):
+        ``{table: (summary_stats, [DQProfile])}`` on a driver thread pool."""
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        from dqx_spark.workflow import expand_table_patterns  # noqa: PLC0415
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("profile_tables_for_patterns needs an active SparkSession")
+        tables = expand_table_patterns(spark, patterns, exclude_patterns)
+        cols = columns or {}
+
+        def one(t: str):
+            from dqx_spark.io import InputConfig  # noqa: PLC0415
+
+            return t, _profile_table(self, spark, InputConfig(t), cols.get(t), options)
+
+        with ThreadPoolExecutor(max_workers=max_parallelism) as pool:
+            return dict(pool.map(one, tables))
+
+    @staticmethod
+    def get_columns_or_fields(columns: list[T.StructField]) -> list[T.StructField]:
+        """Flatten struct fields into dotted leaf fields
+        (reference profiler.py:62)."""
+        out: list[T.StructField] = []
+        for f in columns:
+            if isinstance(f.dataType, T.StructType):
+                for name, dtype in flatten_fields(f.dataType, prefix=f.name + "."):
+                    out.append(T.StructField(name, dtype, True))
+            else:
+                out.append(f)
+        return out
+
+    def detect_primary_keys_with_llm(self, input_config, provider, columns=None, spark=None):
+        """Propose-then-verify PK detection (reference profiler.py:189;
+        the LLM provider is the pluggable callable of dqx_spark.llm)."""
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        from dqx_spark.io import read_input_data  # noqa: PLC0415
+        from dqx_spark.llm import detect_primary_keys_with_llm  # noqa: PLC0415
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("detect_primary_keys_with_llm needs an active SparkSession")
+        df = read_input_data(spark, _as_input_config(input_config))
+        return detect_primary_keys_with_llm(df, provider, columns=columns)
+
+
+# graft the mixin onto DQProfiler (kept separate so the core profiling class
+# stays readable; attribute assignment, not inheritance, preserves existing
+# pickled/constructed instances)
+for _name in ("profile_table", "profile_tables_for_patterns", "get_columns_or_fields",
+              "detect_primary_keys_with_llm"):
+    setattr(DQProfiler, _name, getattr(_DQProfilerTableMixin, _name))
+
+
+class DQGenerator:
+    """Rule generation from profiles / contracts / LLM
+    (reference profiler/generator.py:40-176)."""
+
+    def __init__(self, provider=None):
+        #: optional LLM provider callable for the ai-assisted path
+        self.provider = provider
+
+    @staticmethod
+    def generate_dq_rules(profiles: list[DQProfile] | None = None, criticality: str = "error") -> list[dict]:
+        return generate_rules(profiles or [], criticality)
+
+    @staticmethod
+    def generate_rules_from_contract(contract: dict, criticality: str = "error") -> list[dict]:
+        from dqx_spark.contracts import generate_rules_from_contract  # noqa: PLC0415
+
+        return generate_rules_from_contract(contract, criticality)
+
+    def generate_dq_rules_ai_assisted(self, df: DataFrame, user_input: str = "", **kwargs) -> list[dict]:
+        """LLM-assisted generation (reference generator.py:107) through the
+        pluggable provider protocol of dqx_spark.llm."""
+        if self.provider is None:
+            raise ValueError("DQGenerator(provider=...) is required for ai-assisted generation")
+        from dqx_spark.llm import generate_rules_with_llm  # noqa: PLC0415
+
+        return generate_rules_with_llm(df, self.provider, **kwargs)
+
+
+class DQDltGenerator:
+    """Lakeflow-pipeline (DLT) expectation generation
+    (reference profiler/dlt_generator.py:17)."""
+
+    @staticmethod
+    def generate_dlt_rules(rules: list[DQProfile], action: str | None = None, language: str = "SQL"):
+        return generate_dlt_expectations(rules, action=action, language=language)

@@ -282,3 +282,49 @@ def test_engine_save_results_in_table(spark, tmp_path):
     )
     assert spark.read.parquet(str(tmp_path / "good.parquet")).count() == 1
     assert spark.read.parquet(str(tmp_path / "bad.parquet")).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# profiler parity surface
+# ---------------------------------------------------------------------------
+def test_profiler_table_surface(spark, tmp_path):
+    from pyspark.sql import types as T
+    from dqx_spark.profiler import DQDltGenerator, DQGenerator, DQProfile, DQProfiler
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i, f"v{i % 3}") for i in range(100)], "id int, v string").write.parquet(src)
+    profiler = DQProfiler({"sample_fraction": 1.0, "limit": None})
+    stats, profiles = profiler.profile_table(src, spark=spark)
+    assert stats["id"]["total"] == 100 and any(p.column == "v" for p in profiles)
+    # struct flattening helper
+    fields = [
+        T.StructField("a", T.IntegerType()),
+        T.StructField("s", T.StructType([T.StructField("b", T.StringType())])),
+    ]
+    flat = DQProfiler.get_columns_or_fields(fields)
+    assert [f.name for f in flat] == ["a", "s.b"]
+    # generator classes
+    rules = DQGenerator.generate_dq_rules(profiles)
+    assert any(r["check"]["function"] == "is_not_null" or "is_not_null" in str(r) for r in rules) or rules
+    contract_rules = DQGenerator.generate_rules_from_contract(
+        {"schema": [{"name": "t", "properties": [{"name": "id", "type": "int", "required": True}]}]}
+    )
+    assert any(c["check"]["function"] == "is_not_null" for c in contract_rules)
+    dlt = DQDltGenerator.generate_dlt_rules([DQProfile(name="is_not_null", column="id")], action="drop")
+    assert dlt == ["CONSTRAINT id_is_not_null EXPECT (id IS NOT NULL) ON VIOLATION DROP ROW"]
+
+
+def test_profiler_tables_for_patterns(spark, tmp_path):
+    from dqx_spark.profiler import DQProfiler
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prof_par")
+    spark.createDataFrame([(1,), (2,)], "x int").write.mode("overwrite").saveAsTable("prof_par.alpha")
+    spark.createDataFrame([(3,), (4,)], "y int").write.mode("overwrite").saveAsTable("prof_par.beta")
+    try:
+        out = DQProfiler({"sample_fraction": 1.0}).profile_tables_for_patterns(["prof_par.*"], spark=spark)
+        assert set(out) == {"prof_par.alpha", "prof_par.beta"}
+        assert out["prof_par.alpha"][0]["x"]["total"] == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS prof_par.alpha")
+        spark.sql("DROP TABLE IF EXISTS prof_par.beta")
+        spark.sql("DROP DATABASE IF EXISTS prof_par")
