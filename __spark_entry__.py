@@ -2387,7 +2387,7 @@ def oracle_sql() -> dict[str, str]:
             "ref AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 THEN o_orderstatus || 'X' "
             "ELSE o_orderstatus END AS o_orderstatus, o_totalprice FROM d WHERE o_orderkey % 50 <> 0 "
             "UNION ALL SELECT o_orderkey + 100000000, 'Z', o_totalprice FROM d WHERE o_orderkey % 97 = 0) "
-            "SELECT d.o_orderkey, (d.o_orderkey IS NULL) OR (r.o_orderkey IS NULL) "
+            "SELECT coalesce(d.o_orderkey, r.o_orderkey) AS o_orderkey, (d.o_orderkey IS NULL) OR (r.o_orderkey IS NULL) "
             "OR (d.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
             "OR (d.o_totalprice IS DISTINCT FROM r.o_totalprice) AS failed "
             "FROM d FULL OUTER JOIN ref r ON d.o_orderkey = r.o_orderkey"

@@ -712,11 +712,19 @@ def compare_datasets(
             # mirroring the reference's filter_col treatment
             fired = fired & F.coalesce(F.expr(row_filter), F.lit(True))
         message = F.when(fired, F.to_json(diff))
+        out = joined.withColumn(msg_col, message)
+        if check_missing_records:
+            # synthetic ref-only rows carry the REFERENCE key in the PK
+            # columns (reference :2924-2927 coalesces them): the caller can
+            # see WHICH key is missing, and PK-based rule filters evaluate
+            # on the real key instead of NULL
+            for lc, rc in zip(columns, ref_columns):
+                out = out.withColumn(lc, F.coalesce(F.col(lc), refc(rc)))
         drop_cols = [f"__dq_ref_{c}_{sfx}" for c in ref.columns] + [
             f"__dq_ref_marker_{sfx}",
             f"__dq_src_marker_{sfx}",
         ]
-        return joined.withColumn(msg_col, message).drop(*drop_cols)
+        return out.drop(*drop_cols)
 
     return _lift(msg_col, alias), apply
 

@@ -1092,16 +1092,34 @@ def _geo_relation_check(
     column, reference_geometry, relation: str, label: str
 ) -> Column:
     """Shared wrapper: fail when the relation does NOT hold.  NULL column
-    values pass; malformed/unsupported WKT fails (never silently 'holds').
-    ``reference_geometry``: plain string = literal WKT (never a column
-    name, matching the reference); Column = per-row geometry.  WKB bytes
-    are not supported without a spatial backend."""
+    values pass; malformed/unsupported WKT — on EITHER side — fails (never
+    silently 'holds': a bad reference would otherwise disable the check,
+    r4 review).  ``reference_geometry``: plain string = literal WKT (never
+    a column name, matching the reference); Column = per-row geometry.
+    WKB bytes are not supported without a spatial backend."""
+    import re as _re  # noqa: PLC0415
+
     if isinstance(reference_geometry, bytes):
         raise ValueError("WKB reference_geometry requires a spatial backend; pass WKT")
-    ref = F.lit(reference_geometry) if isinstance(reference_geometry, str) else reference_geometry
+    if isinstance(reference_geometry, str):
+        # literal: validate eagerly on the driver — a typo'd fence is a
+        # configuration error, not a data-quality verdict
+        if not _re.match(WKT_PATTERNS["POLYGON"], reference_geometry.strip().upper()):
+            raise ValueError(
+                f"reference_geometry must be a well-formed POLYGON WKT literal, got {reference_geometry!r}"
+            )
+        _parse_wkt_ring(reference_geometry)  # closed outer ring with >= 4 points, or ValueError
+        ref = F.lit(reference_geometry)
+        ref_ok = F.lit(True)
+    else:
+        ref = reference_geometry
+        # per-row reference column: a malformed/non-polygon value FAILS the
+        # row (relation cannot be established) instead of silently passing
+        ref_ok = _wkt_upper(ref).rlike(WKT_PATTERNS["POLYGON"]) & _ring_well_formed(_ring(ref))
     col = to_col(column)
     name = normalize_col_str(column)
-    condition = col.isNotNull() & ~_geo_relation(col, ref, relation)
+    holds = F.coalesce(ref_ok, F.lit(False)) & F.coalesce(_geo_relation(col, ref, relation), F.lit(False))
+    condition = col.isNotNull() & ~holds
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' {label} the reference geometry", str_value(col)),

@@ -385,7 +385,6 @@ def is_data_fresh(
 # ---------------------------------------------------------------------------
 # comparison family
 # ---------------------------------------------------------------------------
-@register_rule("row")
 def _eq_with_tolerance(col: Column, limit: Column, abs_tolerance, rel_tolerance) -> Column:
     """Null-safe equality, tolerance-banded when either tolerance is set
     (reference check_funcs.py:764-776 + _match_values_with_tolerance)."""
@@ -692,7 +691,6 @@ def _iso_check(column, codes: list[str], what: str, case_sensitive: bool) -> Col
     )
 
 
-@register_rule("row")
 def _pick_code_format(code_format: str, pools: dict[str, list[str]], kind: str) -> list[str]:
     """Resolve a code_format name case-insensitively, accepting both the
     reference's hyphenated spellings ('alpha-2') and bare ones ('alpha2')."""
@@ -883,7 +881,7 @@ _PRESIDIO_ENGINES: dict = {}
 def presidio_analyzer(
     entities: list[str] | None = None,
     language: str = "en",
-    score_threshold: float = 0.5,
+    score_threshold: float = 0.7,
     nlp_engine_config: dict | None = None,
 ) -> Callable:
     """Ready-made ``analyzer=`` hook for :func:`does_not_contain_pii` backed

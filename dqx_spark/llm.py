@@ -65,14 +65,21 @@ def _profile_evidence(df: DataFrame, columns: list[str] | None, sample_rows: int
     return "\n".join(lines)
 
 
-def build_rules_prompt(df: DataFrame, columns: list[str] | None = None, sample_rows: int = 10) -> str:
+def build_rules_prompt(
+    df: DataFrame, columns: list[str] | None = None, sample_rows: int = 10, user_input: str = ""
+) -> str:
     """The exact prompt ``generate_rules_with_llm`` sends (exposed for
-    audit/debugging, mirroring the reference's prompt-template surface)."""
+    audit/debugging, mirroring the reference's prompt-template surface).
+    ``user_input`` appends the caller's natural-language requirements
+    (reference generator.py:107 user_input steering)."""
     import dqx_spark.functions  # noqa: F401  (populates the check registry)
     from dqx_spark.rule import CHECK_FUNC_REGISTRY
 
     header = _RULES_INSTRUCTIONS % ", ".join(sorted(CHECK_FUNC_REGISTRY))
-    return f"{header}\n\n{_profile_evidence(df, columns, sample_rows)}"
+    prompt = f"{header}\n\n{_profile_evidence(df, columns, sample_rows)}"
+    if user_input:
+        prompt = f"{prompt}\n\nUser requirements (follow these when choosing checks):\n{user_input}"
+    return prompt
 
 
 def _extract_json(text: str):
@@ -95,6 +102,7 @@ def generate_rules_with_llm(
     columns: list[str] | None = None,
     sample_rows: int = 10,
     max_attempts: int = 3,
+    user_input: str = "",
 ) -> list[dict]:
     """Prompt -> completion -> JSON checks -> registry validation, with up
     to ``max_attempts`` retry rounds that feed the validation errors back to
@@ -103,7 +111,7 @@ def generate_rules_with_llm(
     ``serde.deserialize_checks``."""
     from dqx_spark.serde import validate_checks
 
-    prompt = build_rules_prompt(df, columns, sample_rows)
+    prompt = build_rules_prompt(df, columns, sample_rows, user_input=user_input)
     last_err = None
     for _ in range(max_attempts):
         completion = provider(prompt)

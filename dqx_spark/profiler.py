@@ -287,6 +287,11 @@ def generate_dlt_expectations(
     with ``action`` 'drop'/'fail' adding the ON VIOLATION clause.
     ``'Python'``: an ``@dlt.expect_all*`` decorator string over the JSON
     expectations dict.  ``'Python_Dict'``: the raw {name: expression} dict."""
+    if action is not None and str(action).lower() not in ("drop", "fail"):
+        # an unrecognized action must not silently degrade a drop/fail
+        # expectation to a warning (r4 review)
+        raise ValueError(f"unsupported action {action!r}; use 'drop', 'fail' or None")
+    action = str(action).lower() if action is not None else None
     exprs: dict[str, str] = {}
     for p in profiles:
         pair = _dlt_expression(p)
@@ -408,7 +413,10 @@ class _DQProfilerTableMixin:
 # pickled/constructed instances)
 for _name in ("profile_table", "profile_tables_for_patterns", "get_columns_or_fields",
               "detect_primary_keys_with_llm"):
-    setattr(DQProfiler, _name, getattr(_DQProfilerTableMixin, _name))
+    # __dict__ access, not getattr: getattr unwraps @staticmethod into a
+    # plain function, which would re-bind as an instance method and break
+    # DQProfiler().get_columns_or_fields(fields) (r4 review)
+    setattr(DQProfiler, _name, _DQProfilerTableMixin.__dict__[_name])
 
 
 class DQGenerator:
@@ -431,12 +439,13 @@ class DQGenerator:
 
     def generate_dq_rules_ai_assisted(self, df: DataFrame, user_input: str = "", **kwargs) -> list[dict]:
         """LLM-assisted generation (reference generator.py:107) through the
-        pluggable provider protocol of dqx_spark.llm."""
+        pluggable provider protocol of dqx_spark.llm.  ``user_input`` (the
+        natural-language requirements) is appended to the prompt."""
         if self.provider is None:
             raise ValueError("DQGenerator(provider=...) is required for ai-assisted generation")
         from dqx_spark.llm import generate_rules_with_llm  # noqa: PLC0415
 
-        return generate_rules_with_llm(df, self.provider, **kwargs)
+        return generate_rules_with_llm(df, self.provider, user_input=user_input, **kwargs)
 
 
 class DQDltGenerator:

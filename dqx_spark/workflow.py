@@ -61,7 +61,16 @@ def apply_checks_and_save_in_table(
     ref_dfs = {**(get_reference_dataframes(spark, run_config.reference_tables) or {}), **(ref_dfs or {})}
     checked = engine.apply_checks(df, rules, ref_dfs=ref_dfs)
 
-    observer = DQMetricsObserver(name=f"dqx_{run_config.name}", custom_metrics=run_config.custom_metrics)
+    # thread the engine's (possibly customized) result column names into the
+    # metric expressions — the defaults would reference a nonexistent
+    # _errors column on engines with ExtraParams.result_column_names
+    rcn = engine.result_column_names
+    observer = DQMetricsObserver(
+        name=f"dqx_{run_config.name}",
+        custom_metrics=run_config.custom_metrics,
+        errors_col=rcn["errors"],
+        warnings_col=rcn["warnings"],
+    )
     observation = None
     if run_config.metrics_config and not checked.isStreaming:
         checked, observation = observer.attach(checked)

@@ -172,10 +172,11 @@ def test_compare_datasets_details(spark):
     assert msg2["changed"]["s"]["ref"] == "CHANGED"
     msg3 = json.loads(by_pk[3]["_errors"][0]["message"])
     assert msg3["row_extra"] is True
-    # ref-only row 4 appended with null pk + row_missing
-    missing = [r for r in rows if r["pk"] is None]
-    assert len(missing) == 1
-    assert json.loads(missing[0]["_errors"][0]["message"])["row_missing"] is True
+    # ref-only row appended carrying the REFERENCE key (coalesced PK,
+    # matching the upstream :2924-2927 semantics) + row_missing
+    assert 4 in by_pk
+    assert json.loads(by_pk[4]["_errors"][0]["message"])["row_missing"] is True
+    assert all(r["pk"] is not None for r in rows)
     assert checked.count() == 4
 
 

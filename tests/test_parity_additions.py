@@ -328,3 +328,58 @@ def test_profiler_tables_for_patterns(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS prof_par.alpha")
         spark.sql("DROP TABLE IF EXISTS prof_par.beta")
         spark.sql("DROP DATABASE IF EXISTS prof_par")
+
+
+# ---------------------------------------------------------------------------
+# r4 second-pass review regressions
+# ---------------------------------------------------------------------------
+def test_geo_relation_rejects_bad_reference(spark):
+    df = spark.createDataFrame([("POINT (5 5)",)], "g string")
+    with pytest.raises(ValueError):  # literal missing inner parens
+        C.is_geo_intersects("g", "POLYGON (0 0, 10 0, 10 10, 0 10, 0 0)")
+    with pytest.raises(ValueError):  # non-polygon literal
+        C.is_geo_intersects("g", "POINT (1 1)")
+    # per-row reference column: malformed value FAILS the row, never passes
+    df2 = spark.createDataFrame([("POINT (5 5)", "JUNK")], "g string, ref string")
+    out = df2.select(C.is_geo_intersects("g", F.col("ref")).alias("c")).collect()
+    assert out[0]["c"] is not None
+
+
+def test_compare_datasets_missing_record_visible_under_filter(spark):
+    # the coalesced PK makes the engine-level rule filter evaluate on the
+    # real missing key instead of NULL
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    ref = spark.createDataFrame([(1, "a"), (99, "z")], "id int, v string")
+    engine = DQEngine(spark)
+    rule = DQDatasetRule(
+        check_func=C.compare_datasets,
+        columns=["id"],
+        filter="id < 100",
+        check_func_kwargs={"ref_columns": ["id"], "ref_df_name": "r", "check_missing_records": True},
+    )
+    rows = {r["id"]: r["_errors"] for r in engine.apply_checks(df, [rule], ref_dfs={"r": ref}).collect()}
+    assert rows[99] is not None  # missing record surfaced with its real key
+
+
+def test_profiler_staticmethod_instance_call():
+    from pyspark.sql import types as T
+    from dqx_spark.profiler import DQProfiler
+
+    fields = [T.StructField("a", T.IntegerType())]
+    assert [f.name for f in DQProfiler().get_columns_or_fields(fields)] == ["a"]
+
+
+def test_dlt_action_validation():
+    from dqx_spark.profiler import DQProfile, generate_dlt_expectations
+
+    p = DQProfile(name="is_not_null", column="x")
+    assert "DROP ROW" in generate_dlt_expectations([p], action="Drop")[0]  # case-insensitive
+    with pytest.raises(ValueError):
+        generate_dlt_expectations([p], action="faill")
+
+
+def test_llm_user_input_reaches_prompt(spark):
+    from dqx_spark.llm import build_rules_prompt
+
+    df = spark.createDataFrame([(1,)], "a int")
+    assert "only emails" in build_rules_prompt(df, user_input="only emails")
