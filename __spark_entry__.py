@@ -381,25 +381,48 @@ def q_polygons_disjoint(spark, sf):
     )
 
 
-def q_sessionize(spark, sf):
+def q_sessions(spark, sf):
+    """sessionize + session_stats certified in ONE row: the per-event
+    session assignment joined with that session's aggregate stats (merged
+    from two r4 slots to free a gate slot for dedup_paragraphs)."""
     from dqx_spark.pipeline import sessions
 
     ev = _read(spark, sf, "events")
-    out = sessions.sessionize(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
-    return out.select("event_id", "user_id", "session_idx")
-
-
-def q_session_stats(spark, sf):
-    from dqx_spark.pipeline import sessions
-
-    ev = _read(spark, sf, "events")
-    out = sessions.session_stats(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
-    return out.select(
+    assigned = sessions.sessionize(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id").select(
+        "event_id", "user_id", "session_idx"
+    )
+    stats = sessions.session_stats(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
+    return assigned.join(stats, ["user_id", "session_idx"]).select(
+        "event_id",
         "user_id",
         "session_idx",
         "n_events",
         F.round(F.col("duration_secs"), 3).alias("duration_secs"),
     )
+
+
+def q_dedup_paragraphs(spark, sf):
+    """Corpus-wide keep-first paragraph dedup on a synthesized-paragraph
+    fixture (driver documents are single-line, so the fixture builds three
+    paragraphs per doc: two text slices plus — for every 5th doc — a shared
+    boilerplate paragraph that must survive only at its smallest
+    (doc_id, idx) occurrence).  md5 hash mode = bit-exact DuckDB twin."""
+    from dqx_spark.pipeline import dedup
+
+    docs = _read(spark, sf, "documents")
+    fx = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.expr("substring(text, 1, 80)"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("common boilerplate paragraph")).otherwise(
+                F.expr("substring(text, 81, 60)")
+            ),
+            F.expr("substring(text, 141, 1000000)"),
+        ).alias("text"),
+    )
+    out = dedup.dedup_paragraphs(fx, "doc_id", "text", hash_name="md5")
+    return out.select("doc_id", F.md5("text_dedup").alias("dedup_md5"), "removed_paragraph_count")
 
 
 def q_asof_join(spark, sf):
@@ -1321,8 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_centroids": q_group_centroids,
         "profile_summary": q_profile_summary,
         "metrics_summary": q_metrics_summary,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
+        "sessions": q_sessions,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "interval_join": q_interval_join,
@@ -2421,24 +2444,37 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
-        "sessionize": (
-            "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) pts FROM events), "
-            "n AS (SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 "
-            "THEN 1 ELSE 0 END nb FROM l) "
-            "SELECT event_id, user_id, (sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx FROM n"
-        ),
-        "session_stats": (
+        "sessions": (
             "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) pts FROM events), "
             "n AS (SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 "
             "THEN 1 ELSE 0 END nb FROM l), "
             "s AS (SELECT event_id, user_id, ts, (sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx FROM n) "
-            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx FROM n), "
+            "st AS (SELECT user_id, session_idx, count(*) AS n_events, "
             "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_secs "
-            "FROM s GROUP BY 1, 2"
+            "FROM s GROUP BY 1, 2) "
+            "SELECT s.event_id, s.user_id, s.session_idx, st.n_events, st.duration_secs "
+            "FROM s JOIN st USING (user_id, session_idx)"
+        ),
+        # bit-exact mirror of q_dedup_paragraphs: same fixture, same
+        # portable 60-bit md5 paragraph hash, same (doc_id, idx)-min winner
+        "dedup_paragraphs": (
+            "WITH fx AS (SELECT doc_id, concat_ws(chr(10)||chr(10), substr(text, 1, 80), "
+            "CASE WHEN doc_id % 5 = 0 THEN 'common boilerplate paragraph' ELSE substr(text, 81, 60) END, "
+            "substr(text, 141)) AS text FROM documents), "
+            r"t AS (SELECT doc_id, list_filter(list_transform(string_split_regex(coalesce(text,''), '\n\s*\n'), "
+            "p -> trim(p)), p -> p <> '') ps FROM fx), "
+            "ex AS (SELECT doc_id, i - 1 AS idx, ps[i] AS p FROM t, unnest(range(1, len(ps) + 1)) r(i)), "
+            "hh AS (SELECT doc_id, idx, ('0x' || substr(md5(p), 1, 15))::UBIGINT::BIGINT AS h, p FROM ex), "
+            "win AS (SELECT h, min(doc_id * 1000000 + idx) AS k FROM hh GROUP BY h), "
+            "kept AS (SELECT k // 1000000 AS doc_id, k % 1000000 AS idx FROM win), "
+            "kr AS (SELECT e.doc_id, e.idx, e.p FROM ex e JOIN kept k ON e.doc_id = k.doc_id AND e.idx = k.idx), "
+            "rb AS (SELECT doc_id, string_agg(p, chr(10)||chr(10) ORDER BY idx) AS s, count(*) AS kept_n "
+            "FROM kr GROUP BY doc_id) "
+            "SELECT t.doc_id, md5(coalesce(rb.s, '')) AS dedup_md5, "
+            "(len(t.ps) - coalesce(rb.kept_n, 0))::INT AS removed_paragraph_count "
+            "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id"
         ),
         "ngram_contamination": (
             r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "

@@ -33,6 +33,7 @@ from dqx_spark.pipeline.text import doc_fingerprint, exploded_shingle_hashes, po
 __all__ = [
     "exact_duplicates",
     "drop_exact_duplicates",
+    "dedup_paragraphs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -98,6 +99,79 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str | None = Non
         with_key.join(keep, "__dup_key", "inner")
         .where(F.col(id_col) == F.col("__keep_id"))
         .drop("__dup_key", "__keep_id")
+    )
+
+
+def _paragraphs(column: Column, sep_regex: str) -> Column:
+    """Trimmed, non-empty paragraph array (the shared split expression —
+    the explode pass and the rebuild pass MUST use the identical expression
+    so paragraph indexes line up)."""
+    raw = F.split(F.coalesce(column, F.lit("")), sep_regex)
+    return F.filter(F.transform(raw, lambda p: F.trim(p)), lambda p: p != "")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep_regex: str = r"\n\s*\n",
+    join_sep: str = "\n\n",
+    min_chars: int = 1,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """CORPUS-WIDE exact paragraph dedup (the C4 discipline, at paragraph
+    granularity): every paragraph that occurs more than once anywhere in
+    the corpus is kept only at its canonical first occurrence — the
+    smallest ``(id, paragraph_index)`` — and removed everywhere else,
+    including later repeats inside the same document.  Documents are
+    reassembled with surviving paragraphs in their original order.
+
+    Completes the line-repetition family: :func:`corpus.remove_repeated_lines`
+    repairs WITHIN one document, :func:`corpus.remove_boilerplate_lines`
+    removes lines by corpus doc-frequency; this keeps exactly ONE global
+    copy of each duplicated paragraph.
+
+    Returns ``df``'s columns plus ``<text_col>_dedup`` and
+    ``removed_paragraph_count``.
+
+    Scale shape (100 TB): paragraphs never shuffle as strings — the explode
+    emits ``(id, idx, hash)``; winners come from ``groupBy(hash).agg(min(
+    struct(id, idx)))`` (map-side combined, and — unlike a
+    ``row_number`` window over the hash — a paragraph duplicated across a
+    billion documents is partial-aggregated, not collected into one task);
+    the winner set IS the keep set, so no candidate re-join is needed.  The
+    keep indexes fold back per document (one slim shuffle on id) and the
+    rebuild filters the original paragraph array scan-locally.  Paragraphs
+    shorter than ``min_chars`` are exempt (always kept).
+
+    ``hash_name='md5'`` uses the engine-portable 60-bit md5 derivation
+    (:func:`dqx_spark.pipeline.text.portable_hash60`) so the output is
+    bit-reproducible in DuckDB for conformance oracles; ``'xxhash64'`` is
+    the hot path.
+
+    Reference scope note: the reference engine has no corpus-repair
+    operators; this extends its dedup surface (is_unique,
+    check_funcs.py:1822) to training-data curation semantics.
+    """
+    paras = _paragraphs(F.col(text_col), sep_regex)
+    hash_fn = portable_hash60 if hash_name == "md5" else F.xxhash64
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(paras).alias("idx", "p")).where(
+        F.length("p") >= min_chars
+    )
+    ex = ex.select("id", "idx", hash_fn(F.col("p")).alias("h"))
+    winners = ex.groupBy("h").agg(F.min(F.struct("id", "idx")).alias("w"))
+    kept = winners.select(F.col("w.id").alias("id"), F.col("w.idx").alias("idx"))
+    per_doc = kept.groupBy("id").agg(F.collect_set("idx").alias("__keep_idxs"))
+    joined = df.join(per_doc, df[id_col] == per_doc["id"], "left").drop(per_doc["id"])
+    keep_idxs = F.coalesce(F.col("__keep_idxs"), F.array().cast("array<int>"))
+    surviving = F.filter(
+        paras, lambda p, i: (F.length(p) < min_chars) | F.array_contains(keep_idxs, i)
+    )
+    n_eligible = F.size(F.filter(paras, lambda p: F.length(p) >= min_chars))
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.array_join(surviving, join_sep).alias(f"{text_col}_dedup"),
+        (n_eligible - F.size(keep_idxs)).alias("removed_paragraph_count"),
     )
 
 

@@ -143,16 +143,25 @@ def ngram_contamination(
     eval_text_col: str | None = None,
     n: int = 8,
     lowercase: bool = True,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-document benchmark-overlap: ``(id, total_ngrams, hit_ngrams,
     contamination)`` where ``contamination`` is the fraction of the document's
     DISTINCT word ``n``-grams that appear anywhere in ``eval_df``.
 
-    The eval n-gram set is deduplicated and **broadcast** (eval benchmarks
-    are tiny vs. a 100 TB corpus); the corpus side never shuffles strings —
-    n-grams are 64-bit hashes of token-hash slices (see
+    The eval n-gram set is deduplicated and — by default — **broadcast**
+    (eval benchmarks are tiny vs. a 100 TB corpus); the corpus side never
+    shuffles strings — n-grams are 64-bit hashes of token-hash slices (see
     ``exploded_shingle_hashes``).  Documents shorter than ``n`` tokens have
     zero n-grams and contamination 0.0.
+
+    ``broadcast=False`` is the large-reference path: when the "eval" side
+    is itself corpus-sized (decontaminating train against an entire
+    held-out split, or cross-snapshot overlap), the membership join
+    shuffles both sides on the 8-byte n-gram hash instead of building a
+    driver-sized broadcast table.  Identical output, different physical
+    plan — same discipline as the reference's FK join strategies
+    (check_funcs.py:1919).
     """
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
@@ -163,7 +172,7 @@ def ngram_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    marked = doc_grams.join(F.broadcast(eval_grams), "h", "left")
+    marked = doc_grams.join(F.broadcast(eval_grams) if broadcast else eval_grams, "h", "left")
     per_doc = marked.groupBy("id").agg(
         F.count(F.lit(1)).alias("total_ngrams"),
         F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_ngrams"),

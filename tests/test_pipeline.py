@@ -485,3 +485,71 @@ def test_redact_pii(spark):
 
     with _pytest.raises(ValueError, match="unsupported PII entities"):
         T.redact_pii("t", entities=["NOPE"])
+
+
+class TestDedupParagraphs:
+    @pytest.fixture(scope="class")
+    def para_docs(self, spark):
+        rows = [
+            (1, "alpha beta\n\nshared paragraph here\n\nunique one"),
+            (2, "shared paragraph here\n\nanother unique\n\nshared paragraph here"),
+            (3, "totally distinct\n\n\n\nshared paragraph here"),
+            (4, None),
+            (5, "   \n\n  "),
+            (6, "ok\n\nalpha beta"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_keep_first_corpus_occurrence(self, para_docs):
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(para_docs, "doc_id", "text").collect()}
+        # doc 1 owns the canonical copy of both duplicated paragraphs
+        assert out[1].text_dedup == "alpha beta\n\nshared paragraph here\n\nunique one"
+        assert out[1].removed_paragraph_count == 0
+        # doc 2 loses both occurrences (cross-doc AND its own internal repeat)
+        assert out[2].text_dedup == "another unique"
+        assert out[2].removed_paragraph_count == 2
+        assert out[3].text_dedup == "totally distinct"
+        assert out[3].removed_paragraph_count == 1
+        # null / whitespace-only docs come through empty, not crashed
+        assert out[4].text_dedup == "" and out[4].removed_paragraph_count == 0
+        assert out[5].text_dedup == "" and out[5].removed_paragraph_count == 0
+        # doc 6 loses 'alpha beta' to doc 1
+        assert out[6].text_dedup == "ok"
+        # original columns preserved
+        assert set(out[1].asDict()) == {"doc_id", "text", "text_dedup", "removed_paragraph_count"}
+
+    def test_min_chars_exempts_short_paragraphs(self, para_docs):
+        out = {
+            r.doc_id: r
+            for r in dedup.dedup_paragraphs(para_docs, "doc_id", "text", min_chars=15).collect()
+        }
+        # 'alpha beta' (10 chars) is exempt -> doc 6 keeps it; the 21-char
+        # shared paragraph still dedups
+        assert out[6].text_dedup == "ok\n\nalpha beta"
+        assert out[6].removed_paragraph_count == 0
+        assert out[2].text_dedup == "another unique"
+        assert out[2].removed_paragraph_count == 2
+
+    def test_md5_hash_mode_matches_xxhash_mode(self, para_docs):
+        a = dedup.dedup_paragraphs(para_docs, "doc_id", "text").collect()
+        b = dedup.dedup_paragraphs(para_docs, "doc_id", "text", hash_name="md5").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ngram_contamination_shuffle_path_matches_broadcast(spark):
+    from dqx_spark.pipeline import mixing
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "z y x w v u t s r"), (3, "")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    kw = dict(n=8)
+    bc = sorted(map(tuple, mixing.ngram_contamination(docs, ev, "doc_id", "text", **kw).collect()))
+    sh = sorted(
+        map(tuple, mixing.ngram_contamination(docs, ev, "doc_id", "text", broadcast=False, **kw).collect())
+    )
+    assert bc == sh
+    # and the decontaminate wrapper forwards the flag
+    kept = mixing.decontaminate(docs, ev, "doc_id", "text", threshold=0.1, n=8, broadcast=False)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {2, 3}
