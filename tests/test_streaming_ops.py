@@ -234,3 +234,33 @@ def test_sessionize_stream_string_key(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sess_str_test").collect()
     assert {r["user_id"] for r in rows} == {"alice", "bob"}
     assert all(isinstance(r["user_id"], str) for r in rows)
+
+
+def test_apply_checks_directly_on_streaming_df(spark, tmp_path):
+    """The reference's one-code-path claim (engine.py:120-124): row rules are
+    pure Column expressions, so apply_checks composes onto a streaming
+    DataFrame without foreachBatch; results land via writeStream."""
+    rows = [(1, "a"), (2, ""), (3, None)]
+    src = _write_stream_source(spark, tmp_path, rows, "id long, val string")
+    stream = spark.readStream.schema("id long, val string").parquet(src)
+    assert stream.isStreaming
+
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="s1"))
+    checked = engine.apply_checks(
+        stream, [DQRowRule(check_func=C.is_not_null_and_not_empty, column="val")]
+    )
+    assert checked.isStreaming
+    assert "_errors" in checked.columns
+
+    q = (
+        checked.writeStream.format("memory")
+        .queryName("direct_checked")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r._errors for r in spark.sql("SELECT * FROM direct_checked").collect()}
+    assert got[1] is None
+    assert got[2] is not None and got[2][0].name == "val_is_not_null_and_not_empty"
+    assert got[3] is not None
