@@ -315,6 +315,26 @@ def main() -> None:
     ).select("doc_id", "split")
     cases["dedup_minhash_pairs"] = lambda: _dedup.minhash_lsh_pairs(docs, "doc_id", "text", 64, 16, 5, 0.5)
     cases["dedup_ngram_pairs"] = lambda: _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5)
+
+    def _with_paragraphs(d):
+        """Driver documents are single-line; synthesize 3 paragraphs per doc
+        (same fixture shape as the correctness gate) so paragraph dedup has
+        real cross-doc duplicates to remove."""
+        return d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.expr("substring(text, 1, 80)"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("common boilerplate paragraph")).otherwise(
+                    F.expr("substring(text, 81, 60)")
+                ),
+                F.expr("substring(text, 141, 1000000)"),
+            ).alias("text"),
+        )
+
+    cases["dedup_paragraphs"] = lambda: _dedup.dedup_paragraphs(
+        _with_paragraphs(docs), "doc_id", "text"
+    ).select("doc_id", "removed_paragraph_count")
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
     cases["group_centroids"] = lambda: _sim.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
 
@@ -491,6 +511,11 @@ def main() -> None:
             )),
             "dedup_ngram_pairs": timed(lambda: materialize(
                 _dedup.ngram_jaccard_pairs(docs_o, "doc_id", "text", 5, 0.5)
+            )),
+            "dedup_paragraphs": timed(lambda: materialize(
+                _dedup.dedup_paragraphs(_with_paragraphs(docs_o), "doc_id", "text").select(
+                    "doc_id", "removed_paragraph_count"
+                )
             )),
         }
         result["sf1"] = {
