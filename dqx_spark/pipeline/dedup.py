@@ -318,6 +318,10 @@ def minhash_lsh_pairs(
     score joins; ``storage`` picks the materialization (default
     localCheckpoint — at cluster scale pass 'memory'/'disk' for the
     fault-tolerant persist of (id, 64 longs), tiny next to the corpus).
+    For SMALL corpora (≲100k docs) ``storage='none'`` measures fastest —
+    recomputing the cheap signature subplan beats checkpoint I/O — but it
+    re-scans the corpus per consumer, which inverts at scale; the default
+    optimizes for the 100 TB shape, not the benchmark table.
 
     ``verify_exact=True`` re-joins the candidate pairs against the real
     shingle-hash sets and filters on EXACT Jaccard >= threshold (the

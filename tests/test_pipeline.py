@@ -553,3 +553,29 @@ def test_ngram_contamination_shuffle_path_matches_broadcast(spark):
     # and the decontaminate wrapper forwards the flag
     kept = mixing.decontaminate(docs, ev, "doc_id", "text", threshold=0.1, n=8, broadcast=False)
     assert {r.doc_id for r in kept.select("doc_id").collect()} == {2, 3}
+
+
+def test_minhash_lsh_pair_recall_vs_exact_jaccard(spark):
+    """Certify banded MinHash-LSH the way the ANN indexes are certified:
+    pair recall against the EXACT n-gram Jaccard pairs on the driver
+    documents table, with a floor.  With 64 hashes / 16 bands the collision
+    probability at j=0.5 is 1-(1-0.5^4)^16 ≈ 0.65 and rises steeply above
+    the threshold, so high-similarity pairs (j >= 0.7, collision ≥ 0.98)
+    must essentially all be recovered."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
+    truth = {(r.id_a, r.id_b) for r in exact.select("id_a", "id_b").collect()}
+    assert truth, "fixture must contain high-similarity pairs"
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, shingle_k=5, threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"MinHash-LSH pair recall {recall} over {len(truth)} true pairs"

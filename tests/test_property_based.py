@@ -405,3 +405,46 @@ def test_grid_polyfill_agrees_with_ray_cast(verts, px, py, cells):
     cid = f"{math.floor(px / cell)}:{math.floor(py / cell)}"
     via_grid = cid in full or (cid in boundary and _pt_in_ring_py(px, py, ring))
     assert via_grid == _pt_in_ring_py(px, py, ring)
+
+
+# --- dedup_paragraphs invariants ------------------------------------------
+
+para_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha beta", "shared one", "gamma", "dup dup", "x", "  padded  "]),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(doc_paras=para_docs_strategy)
+def test_dedup_paragraphs_global_uniqueness_and_idempotence(spark, doc_paras):
+    """Invariants: (1) after dedup every surviving paragraph is globally
+    unique across the corpus; (2) each distinct input paragraph survives
+    exactly once (nothing is lost outright); (3) a second pass removes
+    nothing (idempotence)."""
+    from dqx_spark.pipeline import dedup
+
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(doc_paras)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dedup_paragraphs(df, "doc_id", "text").collect()
+
+    survivors = []
+    for r in out:
+        survivors.extend(p for p in r.text_dedup.split("\n\n") if p != "")
+    # (1)+(2): surviving multiset == distinct input paragraph set
+    distinct_inputs = {p.strip() for ps in doc_paras for p in ps if p.strip() != ""}
+    assert sorted(survivors) == sorted(distinct_inputs)
+
+    # (3) idempotence on the deduped corpus
+    df2 = spark.createDataFrame(
+        [(r.doc_id, r.text_dedup) for r in out], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in dedup.dedup_paragraphs(df2, "doc_id", "text").collect()}
+    for r in out:
+        assert out2[r.doc_id].removed_paragraph_count == 0
+        assert out2[r.doc_id].text_dedup == r.text_dedup
