@@ -37,6 +37,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "cross_corpus_lsh_pairs",
+    "fuzzy_decontaminate",
     "simhash64",
     "simhash_duplicate_pairs",
     "embedding_cosine_pairs",
@@ -289,6 +291,24 @@ def minhash_estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / F.size(sig_a)
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) banding rows for an (id, sig) signature frame —
+    the slim LSH shuffle unit (~24 bytes/row; the signature array itself
+    never rides the banding shuffle)."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band), j).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -339,18 +359,7 @@ def minhash_lsh_pairs(
         ),
         storage,
     )
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.xxhash64(F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band), j).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(sigs, bands, rows_per_band)
     left = banded.select("band", "bucket", F.col("id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
@@ -401,6 +410,129 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "est_jaccard", "common", "size_a", "size_b", "jaccard")
+
+
+def cross_corpus_lsh_pairs(
+    df: DataFrame,
+    other: DataFrame,
+    id_col: str,
+    text_col: str,
+    other_id_col: str | None = None,
+    other_text_col: str | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    storage: str = "local",
+    hash_name: str = "xxhash64",
+    verify_exact: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the fuzzy-decontamination
+    primitive: ``(id_a, id_b, est_jaccard)`` where ``id_a`` is from ``df``
+    (train) and ``id_b`` from ``other`` (eval/held-out), plus exact
+    ``(common, size_a, size_b, jaccard)`` columns when ``verify_exact=True``.
+
+    Same banding discipline as :func:`minhash_lsh_pairs` (slices of one
+    MinHash signature hashed to band buckets; only bucket collisions become
+    candidates) but the bucket join is ACROSS corpora, so within-corpus
+    duplicates are never paired or scored.  With ``broadcast=True``
+    (default) the other side's banding rows — ``|other| × bands`` ~24-byte
+    rows — broadcast, so a 100 TB train side pays only its own scan-local
+    signature pass plus a map-side hash join: no train-side banding
+    shuffle at all.  Pass ``broadcast=False`` when both corpora are large
+    (e.g. cross-snapshot overlap); the join then shuffles both sides on
+    (band, bucket).
+
+    Complements :func:`dqx_spark.pipeline.mixing.ngram_contamination`
+    (exact n-gram overlap): that catches verbatim inclusion; this catches
+    whole-document near-copies whose edits dodge fixed n-grams.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    other_id_col = other_id_col or id_col
+    other_text_col = other_text_col or text_col
+    rows_per_band = num_hashes // bands
+    sigs_a = _materialize(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_name=hash_name).where(
+            F.col("sig").isNotNull()
+        ),
+        storage,
+    )
+    sigs_b = _materialize(
+        minhash_signatures(
+            other, other_id_col, other_text_col, num_hashes, shingle_k, hash_name=hash_name
+        ).where(F.col("sig").isNotNull()),
+        storage,
+    )
+    ba = _banded(sigs_a, bands, rows_per_band).select("band", "bucket", F.col("id").alias("id_a"))
+    bb = _banded(sigs_b, bands, rows_per_band).select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        ba.join(F.broadcast(bb) if broadcast else bb, ["band", "bucket"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        cand.join(sigs_a.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs_b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+    )
+    if not verify_exact:
+        return scored.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+    # exact verification against the true shingle sets, candidate-bounded
+    # exactly as in minhash_lsh_pairs but with per-side shingle frames
+    est = _materialize(scored.select("id_a", "id_b", "est_jaccard"), storage)
+    docs_a = df.join(est.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi")
+    docs_b = other.join(
+        est.select(F.col("id_b").alias(other_id_col)).distinct(), other_id_col, "left_semi"
+    )
+    sh_a = _materialize(
+        exploded_shingle_hashes(docs_a, id_col, text_col, shingle_k, hash_name=hash_name)
+        .withColumnRenamed("h", "shingle"),
+        storage,
+    )
+    sh_b = _materialize(
+        exploded_shingle_hashes(docs_b, other_id_col, other_text_col, shingle_k, hash_name=hash_name)
+        .withColumnRenamed("h", "shingle"),
+        storage,
+    )
+    sizes_a = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("size_a"))
+    sizes_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("size_b"))
+    common = (
+        est.select("id_a", "id_b")
+        .join(sh_a.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh_b.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        est.join(common, ["id_a", "id_b"], "inner")
+        .join(sizes_a.select(F.col("id").alias("id_a"), "size_a"), "id_a")
+        .join(sizes_b.select(F.col("id").alias("id_b"), "size_b"), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "est_jaccard", "common", "size_a", "size_b", "jaccard")
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Drop training documents that are whole-document near-copies of any
+    eval document (MinHash-LSH candidates, Jaccard >= ``threshold``) —
+    the fuzzy counterpart of :func:`dqx_spark.pipeline.mixing.decontaminate`.
+    Extra kwargs flow to :func:`cross_corpus_lsh_pairs` (``verify_exact=
+    True`` for exact-Jaccard thresholds, ``bands``/``num_hashes`` for the
+    recall/cost trade).  Returns the surviving rows of ``df`` unchanged;
+    the anti-join keys on the (tiny) contaminated-id set."""
+    pairs = cross_corpus_lsh_pairs(df, eval_df, id_col, text_col, threshold=threshold, **kwargs)
+    bad = pairs.select(F.col("id_a").alias("__bad_id")).distinct()
+    return df.join(bad, df[id_col] == F.col("__bad_id"), "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -579,3 +579,60 @@ def test_minhash_lsh_pair_recall_vs_exact_jaccard(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"MinHash-LSH pair recall {recall} over {len(truth)} true pairs"
+
+
+class TestCrossCorpusDecontamination:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        eval_rows = [
+            (100, "the capital of france is paris and the capital of spain is madrid ok"),
+            (101, "water boils at one hundred degrees celsius at standard sea level pressure"),
+        ]
+        train_rows = [
+            # near-copy of eval 100 (one word changed)
+            (1, "the capital of france is paris and the capital of spain is madrid yes"),
+            # verbatim copy of eval 101
+            (2, "water boils at one hundred degrees celsius at standard sea level pressure"),
+            # clean documents
+            (3, "spark dataframes shuffle partitions broadcast joins and adaptive execution"),
+            (4, "completely unrelated text about gardening tomatoes in the summer heat"),
+            # internal train near-dups of each other but NOT of eval: must survive
+            (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+            (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+        ]
+        return (
+            spark.createDataFrame(train_rows, "doc_id long, text string"),
+            spark.createDataFrame(eval_rows, "doc_id long, text string"),
+        )
+
+    def test_cross_pairs_only_across_corpora(self, corpora):
+        train, ev = corpora
+        pairs = dedup.cross_corpus_lsh_pairs(
+            train, ev, "doc_id", "text", shingle_k=3, threshold=0.5, verify_exact=True
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 100) in got and (2, 101) in got
+        # within-train near-dup pair (5,6) must NOT appear
+        assert all(b >= 100 for _, b in got)
+        assert all(a < 100 for a, _ in got)
+        exact = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        assert exact[(2, 101)] == 1.0
+
+    def test_fuzzy_decontaminate_drops_near_copies_only(self, corpora):
+        train, ev = corpora
+        kept = dedup.fuzzy_decontaminate(
+            train, ev, "doc_id", "text", threshold=0.5, shingle_k=3, verify_exact=True
+        )
+        assert {r.doc_id for r in kept.select("doc_id").collect()} == {3, 4, 5, 6}
+
+    def test_broadcast_and_shuffle_paths_agree(self, corpora):
+        train, ev = corpora
+        kw = dict(shingle_k=3, threshold=0.5, verify_exact=True)
+        a = sorted(map(tuple, dedup.cross_corpus_lsh_pairs(train, ev, "doc_id", "text", **kw).collect()))
+        b = sorted(
+            map(
+                tuple,
+                dedup.cross_corpus_lsh_pairs(train, ev, "doc_id", "text", broadcast=False, **kw).collect(),
+            )
+        )
+        assert a == b
