@@ -349,6 +349,7 @@ def clean_corpus(
     eval_df: DataFrame | None = None,
     contamination_threshold: float = 0.1,
     contamination_n: int = 8,
+    fuzzy_contamination_threshold: float | None = None,
     splits: dict[str, float] | None = None,
     salt: str = "",
     normalize: bool = False,
@@ -358,7 +359,9 @@ def clean_corpus(
     scan-local) -> optional corpus-wide boilerplate removal -> Gopher-style
     scan-local quality filters -> language filter -> exact dedup (md5
     fingerprint, min-id survivor) -> optional MinHash near-dedup -> optional
-    benchmark decontamination -> deterministic split assignment.
+    benchmark decontamination (exact n-gram; plus whole-document fuzzy
+    near-copy removal when ``fuzzy_contamination_threshold`` is set) ->
+    deterministic split assignment.
 
     Stage ordering is the cost order for 100 TB: all scan-local filters run
     FIRST inside one projected scan (shrinking the corpus before anything
@@ -472,5 +475,11 @@ def clean_corpus(
             threshold=contamination_threshold,
             n=contamination_n,
         )
+        if fuzzy_contamination_threshold is not None:
+            # whole-document near-copies of eval docs whose edits dodge the
+            # fixed n-grams above; LSH-bounded, eval banding rows broadcast
+            out = _dedup.fuzzy_decontaminate(
+                out, eval_df, id_col, effective_text, threshold=fuzzy_contamination_threshold
+            )
 
     return _mixing.hash_split(out, id_col, splits, salt=salt)

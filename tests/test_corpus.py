@@ -161,3 +161,32 @@ def test_clean_corpus_normalize_stage(spark):
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 0 in ids and 100 not in ids
     assert len(ids) == 20
+
+
+def test_clean_corpus_fuzzy_decontamination_stage(spark):
+    from dqx_spark.pipeline import corpus as C_
+
+    eval_doc = "the capital of france is paris and the capital of spain is madrid ok"
+    rows = [
+        # near-copy of the eval doc: exact 8-gram contamination is below the
+        # 0.5 threshold trip... ensure it survives exact but dies fuzzy
+        (0, eval_doc.replace("ok", "yes")),
+        (1, "spark dataframes shuffle partitions broadcast joins and adaptive execution plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+    base_kw = dict(
+        min_words=3, max_symbol_to_word_ratio=1.0, min_alpha_word_fraction=0.0,
+        eval_df=ev, contamination_threshold=0.99, contamination_n=8,
+    )
+    # without the fuzzy stage the near-copy slips through exact decontamination
+    kept = {r.doc_id for r in C_.clean_corpus(df, "doc_id", "text", **base_kw).select("doc_id").collect()}
+    assert kept == {0, 1}
+    # with it, only the clean doc survives
+    kept = {
+        r.doc_id
+        for r in C_.clean_corpus(df, "doc_id", "text", fuzzy_contamination_threshold=0.5, **base_kw)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == {1}
