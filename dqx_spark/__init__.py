@@ -32,11 +32,27 @@ from dqx_spark.rule import (
 )
 from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_result_item_schema, dq_result_schema
 from dqx_spark.engine import DQEngine
+from dqx_spark.errors import (
+    DQXError,
+    InvalidCheckError,
+    InvalidConfigError,
+    InvalidParameterError,
+    MissingParameterError,
+    ParameterError,
+    UnsafeSqlQueryError,
+)
 from dqx_spark.reporting import build_dq_info_struct, dq_info_item_schema, merge_info_columns, register_dq_info_field
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "DQXError",
+    "InvalidCheckError",
+    "InvalidConfigError",
+    "InvalidParameterError",
+    "MissingParameterError",
+    "ParameterError",
+    "UnsafeSqlQueryError",
     "Criticality",
     "DQDatasetRule",
     "DQEngine",

@@ -21,6 +21,7 @@ model-backed ``has_no_row_anomalies`` check), re-derived Spark-first:
 """
 
 from __future__ import annotations
+from dqx_spark.errors import ModelLoadError
 
 import json
 import math
@@ -282,7 +283,7 @@ def load_model(spark: SparkSession, registry: str, model_id: str | None = None) 
     else:
         rows = reg.orderBy(F.col("created_at").desc()).limit(1).collect()
     if not rows:
-        raise ValueError(f"no model found in registry {registry!r} (model_id={model_id!r})")
+        raise ModelLoadError(f"no model found in registry {registry!r} (model_id={model_id!r})")
     return json.loads(rows[0]["payload"])
 
 

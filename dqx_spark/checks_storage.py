@@ -11,6 +11,7 @@ the JDBC backend needs the database's driver jar on the Spark classpath.
 """
 
 from __future__ import annotations
+from dqx_spark.errors import InvalidCheckError, InvalidConfigError
 
 import json
 from abc import ABC, abstractmethod
@@ -50,7 +51,7 @@ class FileChecksStorage(BaseChecksStorage):
     def load(self) -> list[dict]:
         checks = load_checks_from_file(self.path)
         if not isinstance(checks, list):
-            raise ValueError(f"checks file {self.path!r} must contain a list")
+            raise InvalidCheckError(f"checks file {self.path!r} must contain a list")
         return checks
 
     def save(self, checks: list[dict], mode: str = "overwrite") -> None:
@@ -140,7 +141,7 @@ class JdbcChecksStorage(BaseChecksStorage):
     def __init__(self, spark: SparkSession, location: str, run_config_name: str = "default", options: dict | None = None):
         url, sep, table = location.partition("#")
         if not sep or not table:
-            raise ValueError(f"JDBC checks location must be '<jdbc-url>#<table>', got {location!r}")
+            raise InvalidConfigError(f"JDBC checks location must be '<jdbc-url>#<table>', got {location!r}")
         self.spark = spark
         self.url = url
         self.table = table

@@ -9,6 +9,7 @@ plan construction on the driver: zero Spark actions in ``apply_checks``.
 """
 
 from __future__ import annotations
+from dqx_spark.errors import InvalidParameterError, MissingParameterError
 
 import inspect
 import uuid
@@ -69,7 +70,7 @@ class DQEngine:
         rcn = self.extra_params.result_column_names
         unknown = set(rcn) - {"errors", "warnings", "info"}
         if unknown:
-            raise ValueError(f"result_column_names keys must be errors/warnings/info, got {sorted(unknown)}")
+            raise InvalidParameterError(f"result_column_names keys must be errors/warnings/info, got {sorted(unknown)}")
         self._errors_col = rcn.get("errors", ERRORS_COLUMN)
         self._warnings_col = rcn.get("warnings", WARNINGS_COLUMN)
         self._info_col = rcn.get("info", INFO_COLUMN)
@@ -374,7 +375,7 @@ class DQEngine:
     def _require_spark(self) -> SparkSession:
         spark = self.spark or SparkSession.getActiveSession()
         if spark is None:
-            raise ValueError("this method needs a SparkSession: pass one to DQEngine(spark)")
+            raise MissingParameterError("this method needs a SparkSession: pass one to DQEngine(spark)")
         return spark
 
     def get_valid(self, df: DataFrame) -> DataFrame:
@@ -511,7 +512,7 @@ class DQEngine:
     def _validate_no_result_column_collision(self, df: DataFrame) -> None:
         clash = {self._errors_col, self._warnings_col} & set(df.columns)
         if clash:
-            raise ValueError(f"input DataFrame already contains result columns: {sorted(clash)}")
+            raise InvalidParameterError(f"input DataFrame already contains result columns: {sorted(clash)}")
 
 
 def _assemble_results(conditions: list[Column]) -> Column:

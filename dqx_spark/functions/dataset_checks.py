@@ -34,6 +34,7 @@ from dqx_spark.functions._helpers import (
     within_tolerance,
 )
 from dqx_spark.reporting import build_dq_info_struct, register_dq_info_field
+from dqx_spark.errors import UnsafeSqlQueryError
 from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
 
 # model-backed anomaly checks stage per-row diagnostics into the wide
@@ -88,7 +89,7 @@ _FORBIDDEN_SQL = re.compile(
 def _check_sql_safety(text: str) -> None:
     """Reject DDL/DML in user SQL (reference utils.py:309-362)."""
     if _FORBIDDEN_SQL.search(text):
-        raise ValueError(f"forbidden SQL keyword in: {text!r}")
+        raise UnsafeSqlQueryError(f"forbidden SQL keyword in: {text!r}")
 
 
 def _lift(message_col_name: str, alias: str) -> Column:

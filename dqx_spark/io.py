@@ -8,6 +8,7 @@ delta-if-available, json, csv, table names) are first-class.
 """
 
 from __future__ import annotations
+from dqx_spark.errors import InvalidParameterError
 
 import re
 from dataclasses import dataclass, field
@@ -212,7 +213,7 @@ def write_sized(
     file size, not a target to hit exactly.
     """
     if (max_records_per_file is None) == (target_file_mb is None):
-        raise ValueError("provide exactly one of max_records_per_file / target_file_mb")
+        raise InvalidParameterError("provide exactly one of max_records_per_file / target_file_mb")
     if target_file_mb is not None:
         sample = df.limit(sample_rows)
         agg = sample.select(

@@ -7,6 +7,7 @@ plain frozen dataclasses over Column-producing callables.
 """
 
 from __future__ import annotations
+from dqx_spark.errors import InvalidParameterError
 
 import hashlib
 import inspect
@@ -109,9 +110,9 @@ class DQRule:
 
     def __post_init__(self):
         if self.criticality not in (CRITICALITY_ERROR, CRITICALITY_WARN):
-            raise ValueError(f"invalid criticality: {self.criticality!r}")
+            raise InvalidParameterError(f"invalid criticality: {self.criticality!r}")
         if self.column is not None and self.columns is not None:
-            raise ValueError("provide 'column' or 'columns', not both")
+            raise InvalidParameterError("provide 'column' or 'columns', not both")
         if not self.name:
             object.__setattr__(self, "name", self._auto_name())
 

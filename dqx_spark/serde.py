@@ -6,6 +6,7 @@ Python API converge on the same ``list[DQRule]`` IR.
 """
 
 from __future__ import annotations
+from dqx_spark.errors import InvalidCheckError
 
 import inspect
 import json
@@ -174,7 +175,7 @@ def deserialize_checks(
     if validate:
         status = validate_checks(checks, custom_check_functions)
         if status.has_errors:
-            raise ValueError(f"invalid checks: {status}")
+            raise InvalidCheckError(f"invalid checks: {status}")
     rules: list[DQRule] = []
     for check in checks:
         block = dict(check["check"])

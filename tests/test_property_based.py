@@ -401,6 +401,19 @@ def test_grid_polyfill_agrees_with_ray_cast(verts, px, py, cells):
     xs, ys = [v[0] for v in ring], [v[1] for v in ring]
     if max(xs) - min(xs) < 1e-6 or max(ys) - min(ys) < 1e-6:
         return  # degenerate sliver: grid width collapses
+
+    def _seg_dist2(px_, py_, ax, ay, bx, by):
+        vx, vy = bx - ax, by - ay
+        d2 = vx * vx + vy * vy
+        t = 0.0 if d2 == 0 else max(0.0, min(1.0, ((px_ - ax) * vx + (py_ - ay) * vy) / d2))
+        dx, dy = px_ - (ax + t * vx), py_ - (ay + t * vy)
+        return dx * dx + dy * dy
+
+    if min(_seg_dist2(px, py, *ring[i], *ring[i + 1]) for i in range(len(ring) - 1)) < 1e-12:
+        return  # point on (or within float fuzz of) the boundary: even-odd
+        # containment is ill-defined there, and the grid and direct paths
+        # may legitimately disagree (found by hypothesis via a subnormal
+        # vertex coordinate 2e-311 from the query point)
     full, boundary, cell = _polyfill_grid(ring, cells)
     cid = f"{math.floor(px / cell)}:{math.floor(py / cell)}"
     via_grid = cid in full or (cid in boundary and _pt_in_ring_py(px, py, ring))

@@ -213,3 +213,45 @@ def test_pk_detection_retries_on_hallucinated_columns(spark):
 
     assert detect_primary_keys_with_llm(df, provider) == ["order_id"]
     assert len(calls) == 2
+
+
+class TestTypedErrorHierarchy:
+    """Reference errors.py:1-53 name parity: reference-style except clauses
+    work, and every typed error still satisfies the builtin the package
+    raised historically."""
+
+    def test_hierarchy(self):
+        from dqx_spark import errors as E
+
+        assert issubclass(E.InvalidParameterError, E.ParameterError)
+        assert issubclass(E.ParameterError, E.DQXError)
+        for cls in (E.UnsafeSqlQueryError, E.InvalidCheckError, E.InvalidConfigError,
+                    E.ModelLoadError, E.ODCSContractError, E.MissingResourceError):
+            assert issubclass(cls, E.DQXError) and issubclass(cls, ValueError)
+        assert issubclass(E.ComputationError, RuntimeError)
+
+    def test_unsafe_sql_gate_raises_typed(self, spark):
+        import pytest as _pytest
+
+        from dqx_spark import DQDatasetRule, DQEngine, UnsafeSqlQueryError
+        import dqx_spark.functions as C
+
+        df = spark.createDataFrame([(1,)], "a long")
+        engine = DQEngine()
+        with _pytest.raises(UnsafeSqlQueryError):
+            engine.apply_checks(df, [DQDatasetRule(
+                check_func=C.sql_query,
+                check_func_kwargs={"query": "DROP TABLE x", "merge_columns": ["a"],
+                                   "condition_column": "c"},
+            )])
+
+    def test_invalid_rule_raises_typed_but_still_valueerror(self):
+        import pytest as _pytest
+
+        from dqx_spark import DQRowRule, InvalidParameterError
+        import dqx_spark.functions as C
+
+        with _pytest.raises(InvalidParameterError):
+            DQRowRule(check_func=C.is_not_null, column="a", criticality="fatal")
+        with _pytest.raises(ValueError):
+            DQRowRule(check_func=C.is_not_null, column="a", criticality="fatal")
