@@ -14,6 +14,18 @@ attributes (the non-Databricks subset):
 * ``minLength``/``maxLength`` -> sql_expression on length()
 * ``format``: email / ipv4 / ipv6 / date / timestamp / uuid -> matching check
 * ``primaryKey``      -> composite is_unique across flagged properties
+
+Constraint attributes may live directly on the property OR nested under
+``logicalTypeOptions`` (the ODCS v3 shape, reference
+contract_rules_generator.py:617-668); direct attributes win on conflict.
+
+Explicit quality sections are honored at both property and schema level
+(reference :1183-1259): an entry with ``type: custom, engine: dqx`` and an
+``implementation`` dict containing ``check`` passes through as a rule
+(default criticality applied if unset, provenance recorded in
+``user_metadata``); entries with ``type: text`` route through the optional
+``text_rule_provider`` hook — the same pluggable-provider discipline as
+``dqx_spark.llm`` (no bundled LLM runtime).
 """
 
 from __future__ import annotations
@@ -44,7 +56,52 @@ _TYPE_TO_SPARK = {
 }
 
 
-def generate_rules_from_contract(contract: dict, criticality: str = "error") -> list[dict]:
+def _explicit_quality_rules(
+    quality: list[dict],
+    schema_name: str,
+    prop_name: str | None,
+    criticality: str,
+    text_rule_provider,
+) -> list[dict]:
+    """Rules from an ODCS ``quality`` list: dqx-engine custom entries pass
+    through; ``type: text`` entries route to the provider hook."""
+    out: list[dict] = []
+    for q in quality:
+        if not isinstance(q, dict):
+            continue
+        provenance = {"schema": schema_name}
+        if prop_name:
+            provenance["field"] = prop_name
+        if q.get("type") == "custom" and q.get("engine") == "dqx":
+            impl = q.get("implementation")
+            if isinstance(impl, dict) and "check" in impl:
+                rule = dict(impl)
+                rule.setdefault("criticality", criticality)
+                rule["user_metadata"] = {
+                    **provenance,
+                    **rule.get("user_metadata", {}),
+                    "rule_type": "contract_explicit",
+                }
+                out.append(rule)
+        elif q.get("type") == "text" and q.get("description") and text_rule_provider is not None:
+            for rule in text_rule_provider(q["description"], schema_name, prop_name) or []:
+                rule = dict(rule)
+                rule.setdefault("criticality", criticality)
+                rule["user_metadata"] = {
+                    **provenance,
+                    **rule.get("user_metadata", {}),
+                    "rule_type": "text_llm",
+                    "text_expectation": q["description"],
+                }
+                out.append(rule)
+    return out
+
+
+def generate_rules_from_contract(
+    contract: dict,
+    criticality: str = "error",
+    text_rule_provider=None,
+) -> list[dict]:
     """ODCS-ish contract dict -> check metadata list.
 
     Expected shape::
@@ -53,13 +110,29 @@ def generate_rules_from_contract(contract: dict, criticality: str = "error") -> 
             {"name": "id", "type": "long", "required": True, "unique": True,
              "primaryKey": True},
             {"name": "email", "type": "string", "format": "email"},
-            {"name": "qty", "type": "int", "minimum": 0, "maximum": 100},
+            {"name": "qty", "type": "int",
+             "logicalTypeOptions": {"minimum": 0, "maximum": 100}},
+            {"name": "state", "type": "string",
+             "quality": [{"type": "custom", "engine": "dqx",
+                          "implementation": {"check": {
+                              "function": "is_in_list",
+                              "arguments": {"column": "state",
+                                            "allowed": ["CA", "NY"]}}}}]},
             ...
         ]}]}
+
+    ``text_rule_provider`` (optional): ``Callable[[description, schema_name,
+    property_name|None], list[dict]]`` that turns a ``type: text`` quality
+    expectation into check dicts — plug an LLM here
+    (``dqx_spark.llm.generate_rules_with_llm`` composed with your
+    provider), or a deterministic mapper in tests.
     """
     checks: list[dict] = []
     for obj in contract.get("schema", []):
-        props = obj.get("properties", [])
+        raw_props = obj.get("properties", [])
+        # fold ODCS v3 logicalTypeOptions into a flat constraint view;
+        # direct attributes win on conflict
+        props = [{**(p.get("logicalTypeOptions") or {}), **p} for p in raw_props]
         # schema check from declared types
         ddl_parts = []
         for p in props:
@@ -130,4 +203,16 @@ def generate_rules_from_contract(contract: dict, criticality: str = "error") -> 
                 add(_FORMAT_CHECKS[fmt])
             elif fmt == "uuid":
                 add("regex_match", {"regex": _UUID_PATTERN})
+            if p.get("quality"):
+                checks.extend(
+                    _explicit_quality_rules(
+                        p["quality"], obj.get("name", "dataset"), name, criticality, text_rule_provider
+                    )
+                )
+        if obj.get("quality"):
+            checks.extend(
+                _explicit_quality_rules(
+                    obj["quality"], obj.get("name", "dataset"), None, criticality, text_rule_provider
+                )
+            )
     return checks

@@ -200,3 +200,96 @@ def test_validate_checks_pep604_unions():
     ok = [{"check": {"function": "does_not_contain_pii",
                      "arguments": {"column": "x", "entities": ["US_SSN"]}}}]
     assert not validate_checks(ok).has_errors
+
+
+def test_contract_logical_type_options_and_quality_sections(spark):
+    """ODCS v3 shapes (reference contract_rules_generator.py:617-668,
+    1183-1259): constraints under logicalTypeOptions, explicit dqx-engine
+    quality rules at property and schema level, and text expectations
+    routed through the pluggable provider hook."""
+    from dqx_spark.contracts import generate_rules_from_contract
+    from dqx_spark.serde import validate_checks
+
+    contract = {
+        "schema": [
+            {
+                "name": "users",
+                "properties": [
+                    {
+                        "name": "age",
+                        "type": "int",
+                        "logicalTypeOptions": {"minimum": 0, "maximum": 150},
+                    },
+                    {
+                        # direct attribute wins over the nested one
+                        "name": "qty",
+                        "type": "int",
+                        "minimum": 5,
+                        "logicalTypeOptions": {"minimum": 1, "maxLength": 4},
+                    },
+                    {
+                        "name": "state",
+                        "type": "string",
+                        "quality": [
+                            {
+                                "type": "custom",
+                                "engine": "dqx",
+                                "implementation": {
+                                    "check": {
+                                        "function": "is_in_list",
+                                        "arguments": {"column": "state", "allowed": ["CA", "NY"]},
+                                    }
+                                },
+                            },
+                            # non-dqx engines are ignored, not errors
+                            {"type": "custom", "engine": "soda", "implementation": {"x": 1}},
+                        ],
+                    },
+                ],
+                "quality": [
+                    {
+                        "type": "custom",
+                        "engine": "dqx",
+                        "implementation": {
+                            "criticality": "warn",
+                            "check": {"function": "is_unique", "arguments": {"columns": ["age", "state"]}},
+                        },
+                    },
+                    {"type": "text", "description": "age must be even"},
+                ],
+            }
+        ]
+    }
+
+    def fake_provider(description, schema_name, prop_name):
+        assert description == "age must be even" and schema_name == "users" and prop_name is None
+        return [{"check": {"function": "sql_expression", "arguments": {"expression": "age % 2 = 0"}}}]
+
+    checks = generate_rules_from_contract(contract, text_rule_provider=fake_provider)
+    assert not validate_checks(checks).has_errors
+    funcs = [c["check"]["function"] for c in checks]
+    # logicalTypeOptions range surfaced
+    assert "is_in_range" in funcs
+    # direct minimum=5 beat the nested minimum=1; maxLength folded in from options
+    length_rules = [c for c in checks if c["check"]["function"] == "sql_expression" and "length" in str(c)]
+    assert length_rules and "length(qty) <= 4" in length_rules[0]["check"]["arguments"]["expression"]
+    not_less = [c for c in checks if c["check"]["function"] == "is_not_less_than"]
+    assert not_less and not_less[0]["check"]["arguments"]["limit"] == 5
+    # explicit property + schema rules with provenance
+    explicit = [c for c in checks if c.get("user_metadata", {}).get("rule_type") == "contract_explicit"]
+    assert {c["check"]["function"] for c in explicit} == {"is_in_list", "is_unique"}
+    warn_rule = [c for c in explicit if c["check"]["function"] == "is_unique"][0]
+    assert warn_rule["criticality"] == "warn" and warn_rule["user_metadata"]["schema"] == "users"
+    prop_rule = [c for c in explicit if c["check"]["function"] == "is_in_list"][0]
+    assert prop_rule["user_metadata"]["field"] == "state"
+    # text expectation through the hook
+    text = [c for c in checks if c.get("user_metadata", {}).get("rule_type") == "text_llm"]
+    assert len(text) == 1 and text[0]["user_metadata"]["text_expectation"] == "age must be even"
+    # the composed rule set actually runs
+    df = spark.createDataFrame([(2, 3, "CA"), (151, 4, "TX")], "age int, qty int, state string")
+    engine = DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS))
+    checked = engine.apply_checks_by_metadata(df, checks)
+    rows = {r["age"]: r for r in checked.collect()}
+    assert rows[2]["_errors"] is None or all(e["function"] != "is_in_list" for e in rows[2]["_errors"])
+    bad = {e["function"] for e in rows[151]["_errors"]}
+    assert {"is_in_range", "is_in_list", "sql_expression"} <= bad
