@@ -636,3 +636,26 @@ class TestCrossCorpusDecontamination:
             )
         )
         assert a == b
+
+
+def test_key_skew_diagnostics(spark):
+    from dqx_spark.pipeline import diagnostics
+
+    rows = [("hot", i) for i in range(80)] + [("warm", i) for i in range(16)] + [
+        (f"k{i}", i) for i in range(4)
+    ] + [(None, 99)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    top = diagnostics.key_frequencies(df, ["k"], top_k=3).collect()
+    assert [r.k for r in top] == ["hot", "warm", None] or [r.k for r in top][:2] == ["hot", "warm"]
+    assert top[0].key_count == 80 and abs(top[0].key_fraction - 80 / 101) < 1e-9
+
+    s = diagnostics.key_skew_stats(df, ["k"]).collect()[0]
+    assert s.n_rows == 101 and s.n_keys == 7 and s.max_key_count == 80
+    # skew = 80 / (101/7) ≈ 5.54 -> salt = 2^ceil(log2(5.54/4)) = 2
+    assert abs(s.skew_factor - 80 / (101 / 7)) < 1e-2
+    assert s.suggested_salt == 2
+
+    # uniform key: no salting suggested
+    u = spark.createDataFrame([(i % 4, i) for i in range(40)], "k int, v int")
+    su = diagnostics.key_skew_stats(u, ["k"]).collect()[0]
+    assert su.skew_factor == 1.0 and su.suggested_salt == 1
