@@ -418,7 +418,7 @@ def q_dedup_paragraphs(spark, sf):
             F.when(F.col("doc_id") % 5 == 0, F.lit("common boilerplate paragraph")).otherwise(
                 F.expr("substring(text, 81, 60)")
             ),
-            F.expr("substring(text, 141, 1000000)"),
+            F.expr("substring(text, 141)"),
         ).alias("text"),
     )
     out = dedup.dedup_paragraphs(fx, "doc_id", "text", hash_name="md5")

@@ -328,7 +328,7 @@ def main() -> None:
                 F.when(F.col("doc_id") % 5 == 0, F.lit("common boilerplate paragraph")).otherwise(
                     F.expr("substring(text, 81, 60)")
                 ),
-                F.expr("substring(text, 141, 1000000)"),
+                F.expr("substring(text, 141)"),
             ).alias("text"),
         )
 

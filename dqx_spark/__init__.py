@@ -33,11 +33,17 @@ from dqx_spark.rule import (
 from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_result_item_schema, dq_result_schema
 from dqx_spark.engine import DQEngine
 from dqx_spark.errors import (
+    CheckDownloadError,
+    ComputationError,
     DQXError,
     InvalidCheckError,
     InvalidConfigError,
     InvalidParameterError,
+    InvalidPhysicalTypeError,
     MissingParameterError,
+    MissingResourceError,
+    ModelLoadError,
+    ODCSContractError,
     ParameterError,
     UnsafeSqlQueryError,
 )
@@ -46,8 +52,14 @@ from dqx_spark.reporting import build_dq_info_struct, dq_info_item_schema, merge
 __version__ = "0.1.0"
 
 __all__ = [
+    "CheckDownloadError",
+    "ComputationError",
     "DQXError",
     "InvalidCheckError",
+    "InvalidPhysicalTypeError",
+    "MissingResourceError",
+    "ModelLoadError",
+    "ODCSContractError",
     "InvalidConfigError",
     "InvalidParameterError",
     "MissingParameterError",

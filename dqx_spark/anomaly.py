@@ -21,7 +21,7 @@ model-backed ``has_no_row_anomalies`` check), re-derived Spark-first:
 """
 
 from __future__ import annotations
-from dqx_spark.errors import ModelLoadError
+from dqx_spark.errors import ComputationError, ModelLoadError
 
 import json
 import math
@@ -163,6 +163,8 @@ def fit_isolation_forest(
         .limit(int(max_samples))
         .toPandas()
     )
+    if sample_pdf.empty:
+        raise ComputationError("cannot fit an isolation forest on an empty training sample")
     medians = [float(sample_pdf[c].median()) if sample_pdf[c].notna().any() else 0.0 for c in columns]
     x = _impute(sample_pdf, columns, medians)
     rng = np.random.RandomState(seed)

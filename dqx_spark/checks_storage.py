@@ -11,7 +11,7 @@ the JDBC backend needs the database's driver jar on the Spark classpath.
 """
 
 from __future__ import annotations
-from dqx_spark.errors import InvalidCheckError, InvalidConfigError
+from dqx_spark.errors import InvalidCheckError, InvalidConfigError, MissingResourceError
 
 import json
 from abc import ABC, abstractmethod
@@ -49,7 +49,10 @@ class FileChecksStorage(BaseChecksStorage):
         self.path = path
 
     def load(self) -> list[dict]:
-        checks = load_checks_from_file(self.path)
+        try:
+            checks = load_checks_from_file(self.path)
+        except FileNotFoundError as e:
+            raise MissingResourceError(f"checks file {self.path!r} does not exist") from e
         if not isinstance(checks, list):
             raise InvalidCheckError(f"checks file {self.path!r} must contain a list")
         return checks

@@ -30,6 +30,8 @@ Explicit quality sections are honored at both property and schema level
 
 from __future__ import annotations
 
+from dqx_spark.errors import ODCSContractError
+
 _FORMAT_CHECKS = {
     "email": "is_valid_email",
     "ipv4": "is_valid_ipv4_address",
@@ -127,9 +129,14 @@ def generate_rules_from_contract(
     (``dqx_spark.llm.generate_rules_with_llm`` composed with your
     provider), or a deterministic mapper in tests.
     """
+    if not isinstance(contract, dict) or not isinstance(contract.get("schema", []), list):
+        raise ODCSContractError("contract must be a dict with a 'schema' list")
     checks: list[dict] = []
     for obj in contract.get("schema", []):
-        raw_props = obj.get("properties", [])
+        if not isinstance(obj, dict) or not isinstance(obj.get("properties", []), list):
+            raise ODCSContractError(f"schema entries must be dicts with a 'properties' list, got {obj!r}")
+        # reference :590 logs-and-skips unnamed fields rather than failing
+        raw_props = [p for p in obj.get("properties", []) if isinstance(p, dict) and p.get("name")]
         # fold ODCS v3 logicalTypeOptions into a flat constraint view;
         # direct attributes win on conflict
         props = [{**(p.get("logicalTypeOptions") or {}), **p} for p in raw_props]

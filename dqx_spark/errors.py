@@ -78,6 +78,7 @@ class ModelLoadError(DQXError, ValueError):
     """A persisted anomaly model could not be found or deserialized."""
 
 
-class MissingResourceError(DQXError, ValueError):
+class MissingResourceError(DQXError, FileNotFoundError, ValueError):
     """A referenced external resource (file, table, registry entry) does
-    not exist."""
+    not exist.  Also subclasses ``FileNotFoundError`` so callers that catch
+    the builtin raised historically by file-backed storage keep working."""

@@ -467,6 +467,9 @@ def clean_corpus(
         ).drop("__cc_id3")
 
     if eval_df is not None:
+        # eval_df carries the ORIGINAL column names — the *_norm/*_clean
+        # columns exist only on the corpus side, so pin the eval-side
+        # column names explicitly (r5 review finding)
         out = _mixing.decontaminate(
             out,
             eval_df,
@@ -474,12 +477,20 @@ def clean_corpus(
             effective_text,
             threshold=contamination_threshold,
             n=contamination_n,
+            eval_id_col=id_col,
+            eval_text_col=text_col,
         )
         if fuzzy_contamination_threshold is not None:
             # whole-document near-copies of eval docs whose edits dodge the
             # fixed n-grams above; LSH-bounded, eval banding rows broadcast
             out = _dedup.fuzzy_decontaminate(
-                out, eval_df, id_col, effective_text, threshold=fuzzy_contamination_threshold
+                out,
+                eval_df,
+                id_col,
+                effective_text,
+                threshold=fuzzy_contamination_threshold,
+                other_id_col=id_col,
+                other_text_col=text_col,
             )
 
     return _mixing.hash_split(out, id_col, splits, salt=salt)

@@ -144,7 +144,10 @@ def dedup_paragraphs(
     the winner set IS the keep set, so no candidate re-join is needed.  The
     keep indexes fold back per document (one slim shuffle on id) and the
     rebuild filters the original paragraph array scan-locally.  Paragraphs
-    shorter than ``min_chars`` are exempt (always kept).
+    shorter than ``min_chars`` are exempt (always kept).  Rows with a NULL
+    ``id_col`` are unaddressable by the keep-set join and sit the dedup
+    out: their text passes through unchanged and their paragraphs neither
+    claim nor lose a canonical slot.
 
     ``hash_name='md5'`` uses the engine-portable 60-bit md5 derivation
     (:func:`dqx_spark.pipeline.text.portable_hash60`) so the output is
@@ -157,9 +160,13 @@ def dedup_paragraphs(
     """
     paras = _paragraphs(F.col(text_col), sep_regex)
     hash_fn = portable_hash60 if hash_name == "md5" else F.xxhash64
-    ex = df.select(F.col(id_col).alias("id"), F.posexplode(paras).alias("idx", "p")).where(
-        F.length("p") >= min_chars
-    )
+    # NULL-id rows are unaddressable (the keep-set join-back keys on id, and
+    # NULL never equi-joins), so they sit the dedup out entirely: their
+    # paragraphs neither win nor get removed (r5 review: a NULL-id winner
+    # would silently delete its paragraph from the whole corpus)
+    ex = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.posexplode(paras).alias("idx", "p")
+    ).where(F.length("p") >= min_chars)
     ex = ex.select("id", "idx", hash_fn(F.col("p")).alias("h"))
     winners = ex.groupBy("h").agg(F.min(F.struct("id", "idx")).alias("w"))
     kept = winners.select(F.col("w.id").alias("id"), F.col("w.idx").alias("idx"))
@@ -170,10 +177,15 @@ def dedup_paragraphs(
         paras, lambda p, i: (F.length(p) < min_chars) | F.array_contains(keep_idxs, i)
     )
     n_eligible = F.size(F.filter(paras, lambda p: F.length(p) >= min_chars))
+    null_id = df[id_col].isNull()
     return joined.select(
         *[df[c] for c in df.columns],
-        F.array_join(surviving, join_sep).alias(f"{text_col}_dedup"),
-        (n_eligible - F.size(keep_idxs)).alias("removed_paragraph_count"),
+        F.when(null_id, F.array_join(paras, join_sep))
+        .otherwise(F.array_join(surviving, join_sep))
+        .alias(f"{text_col}_dedup"),
+        F.when(null_id, F.lit(0))
+        .otherwise(n_eligible - F.size(keep_idxs))
+        .alias("removed_paragraph_count"),
     )
 
 

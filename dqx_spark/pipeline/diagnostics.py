@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dqx_spark.errors import InvalidParameterError
+
 __all__ = ["key_frequencies", "key_skew_stats"]
 
 
@@ -27,9 +29,12 @@ def key_frequencies(df: DataFrame, cols: list[str], top_k: int = 100) -> DataFra
     common real-world hot key.
     """
     if not cols:
-        raise ValueError("cols must be non-empty")
+        raise InvalidParameterError("cols must be non-empty")
     counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("key_count"))
-    total = counts.agg(F.sum("key_count").alias("__total"))
+    # total from a plain scan-count of df, NOT by re-aggregating `counts` —
+    # branching the groupBy subplan would re-run its shuffle lineage twice
+    # (r5 review); a bare count is metadata-cheap on columnar sources
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
     top = counts.orderBy(F.col("key_count").desc(), *[F.col(c).asc_nulls_last() for c in cols]).limit(top_k)
     return top.crossJoin(F.broadcast(total)).select(
         *cols,
@@ -50,7 +55,7 @@ def key_skew_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     counts never leave the executors.
     """
     if not cols:
-        raise ValueError("cols must be non-empty")
+        raise InvalidParameterError("cols must be non-empty")
     counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
     stats = counts.agg(
         F.sum("c").alias("n_rows"),

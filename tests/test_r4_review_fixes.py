@@ -255,3 +255,65 @@ class TestTypedErrorHierarchy:
             DQRowRule(check_func=C.is_not_null, column="a", criticality="fatal")
         with _pytest.raises(ValueError):
             DQRowRule(check_func=C.is_not_null, column="a", criticality="fatal")
+
+
+class TestR5ReviewFixes:
+    def test_clean_corpus_decontamination_with_normalize(self, spark):
+        """r5 review: with normalize=True the corpus text column is
+        text_norm, which must NOT be resolved against eval_df."""
+        from dqx_spark.pipeline import corpus as C_
+
+        eval_doc = "the capital of france is paris and the capital of spain is madrid ok"
+        df = spark.createDataFrame(
+            [(0, eval_doc.replace("ok", "yes")), (1, "spark shuffle partitions broadcast joins all day long")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+        out = C_.clean_corpus(
+            df, "doc_id", "text", normalize=True,
+            min_words=3, max_symbol_to_word_ratio=1.0, min_alpha_word_fraction=0.0,
+            eval_df=ev, contamination_threshold=0.2, contamination_n=8,
+            fuzzy_contamination_threshold=0.5,
+        )
+        assert {r.doc_id for r in out.select("doc_id").collect()} == {1}
+
+    def test_dedup_paragraphs_null_id_rows_pass_through(self, spark):
+        """r5 review: a NULL-id row must neither win a canonical slot nor
+        lose its paragraphs."""
+        from dqx_spark.pipeline import dedup
+
+        df = spark.createDataFrame(
+            [(None, "dup para"), (1, "dup para"), (2, "dup para\n\nown text")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(df, "doc_id", "text").collect()}
+        # NULL-id row untouched
+        assert out[None].text_dedup == "dup para" and out[None].removed_paragraph_count == 0
+        # doc 1 is the canonical owner among addressable rows; doc 2 loses it
+        assert out[1].text_dedup == "dup para"
+        assert out[2].text_dedup == "own text" and out[2].removed_paragraph_count == 1
+
+    def test_typed_errors_raised_by_storage_contracts_anomaly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dqx_spark.checks_storage import FileChecksStorage
+        from dqx_spark.contracts import generate_rules_from_contract
+        from dqx_spark.errors import ComputationError, MissingResourceError, ODCSContractError
+
+        with _pytest.raises(MissingResourceError):
+            FileChecksStorage(str(tmp_path / "nope.yaml")).load()
+        # still catchable as the builtin previously raised
+        with _pytest.raises(FileNotFoundError):
+            FileChecksStorage(str(tmp_path / "nope.yaml")).load()
+        with _pytest.raises(ODCSContractError):
+            generate_rules_from_contract({"schema": "not-a-list"})
+        with _pytest.raises(ODCSContractError):
+            generate_rules_from_contract({"schema": [{"properties": "nope"}]})
+        # unnamed properties are skipped, not fatal (reference :590)
+        assert generate_rules_from_contract({"schema": [{"name": "t", "properties": [{"type": "int"}]}]}) == []
+
+        from dqx_spark.anomaly import fit_isolation_forest
+
+        empty = spark.createDataFrame([], "x double, y double")
+        with _pytest.raises(ComputationError):
+            fit_isolation_forest(empty, ["x", "y"])
