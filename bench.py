@@ -293,6 +293,80 @@ def main() -> None:
             orders, [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice",
                                    check_func_kwargs={"approx": True})]
         ),
+        # composite mirror of the reference's 26-dataset-checks-in-one-pass
+        # benchmark (BASELINE.md: test_benchmark_apply_checks_all_dataset_checks,
+        # 45.45 s / 100M rows; same function mix as
+        # tests/resources/all_dataset_checks.yaml)
+        "all_dataset_checks": lambda: e.apply_checks(
+            li,
+            [
+                DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"]),
+                DQDatasetRule(check_func=C.is_unique, columns=["l_comment"]),
+                DQDatasetRule(check_func=C.is_unique, columns=["l_partkey", "l_suppkey", "l_orderkey"],
+                              check_func_kwargs={"nulls_distinct": False}),
+                DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey"], criticality="warn"),
+                DQDatasetRule(check_func=C.foreign_key, columns=["l_orderkey"],
+                              check_func_kwargs={"ref_columns": ["o_orderkey"], "ref_df_name": "orders"}),
+                DQDatasetRule(check_func=C.foreign_key, columns=["l_partkey"],
+                              check_func_kwargs={"ref_columns": ["p_partkey"], "ref_df_name": "part",
+                                                 "negate": True}, criticality="warn"),
+                DQDatasetRule(check_func=C.sql_query, check_func_kwargs={
+                    "query": "SELECT l_orderkey, max(l_quantity) > 49 AS condition FROM {{ input }} GROUP BY l_orderkey",
+                    "merge_columns": ["l_orderkey"], "condition_column": "condition"}),
+                DQDatasetRule(check_func=C.sql_query, check_func_kwargs={
+                    "query": "SELECT l_returnflag, count(*) < 3 AS condition FROM {{ input }} GROUP BY l_returnflag",
+                    "merge_columns": ["l_returnflag"], "condition_column": "condition"}),
+                DQDatasetRule(check_func=C.is_aggr_equal, column="l_linenumber",
+                              check_func_kwargs={"limit": 4.0, "aggr_type": "avg", "abs_tolerance": 10.0}),
+                DQDatasetRule(check_func=C.is_aggr_equal, column="l_quantity",
+                              check_func_kwargs={"limit": 26.0, "aggr_type": "avg", "rel_tolerance": 0.5,
+                                                 "group_by": ["l_returnflag"]}),
+                DQDatasetRule(check_func=C.is_aggr_equal, column="l_orderkey",
+                              check_func_kwargs={"limit": 1e9, "aggr_type": "count_distinct",
+                                                 "abs_tolerance": 1e9}),
+                DQDatasetRule(check_func=C.is_aggr_not_equal, column="l_extendedprice",
+                              check_func_kwargs={"limit": -1.0, "aggr_type": "min"}),
+                DQDatasetRule(check_func=C.is_aggr_not_equal, column="l_tax",
+                              check_func_kwargs={"limit": -1.0, "aggr_type": "max",
+                                                 "group_by": ["l_linestatus"]}),
+                DQDatasetRule(check_func=C.is_aggr_not_equal, column="l_discount",
+                              check_func_kwargs={"limit": 99.0, "aggr_type": "stddev"}),
+                DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                              check_func_kwargs={"limit": 1e12, "aggr_type": "avg"}),
+                DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="l_extendedprice",
+                              check_func_kwargs={"limit": 1e9, "aggr_type": "sum",
+                                                 "group_by": ["l_returnflag"]}),
+                DQDatasetRule(check_func=C.is_aggr_not_less_than, column="l_quantity",
+                              check_func_kwargs={"limit": 0.0, "aggr_type": "min"}),
+                DQDatasetRule(check_func=C.is_aggr_not_less_than, column="l_orderkey",
+                              check_func_kwargs={"limit": 1.0, "aggr_type": "count",
+                                                 "group_by": ["l_linestatus"]}),
+                DQDatasetRule(check_func=C.is_aggr_not_less_than, column="l_extendedprice",
+                              check_func_kwargs={"limit": 0.0, "aggr_type": "median"}),
+                DQDatasetRule(check_func=C.aggr_matches_dataset, column="l_orderkey",
+                              check_func_kwargs={"ref_column": "o_orderkey", "aggr_type": "count_distinct",
+                                                 "ref_df_name": "orders", "abs_tolerance": 1e9}),
+                DQDatasetRule(check_func=C.compare_datasets,
+                              check_func_kwargs={"columns": ["l_orderkey", "l_linenumber"],
+                                                 "ref_columns": ["l_orderkey", "l_linenumber"],
+                                                 "ref_df_name": "li_ref"}),
+                DQDatasetRule(check_func=C.has_no_outliers, column="l_extendedprice",
+                              check_func_kwargs={"approx": True}),
+                DQDatasetRule(check_func=C.has_no_aggr_outliers, column="l_quantity",
+                              check_func_kwargs={"time_column": "l_shipdate", "aggr_type": "avg",
+                                                 "time_interval": "month", "sigma": 6.0}),
+                DQDatasetRule(check_func=C.is_data_fresh_per_time_window,
+                              column="l_shipdate",
+                              check_func_kwargs={"window_minutes": 60 * 24 * 30,
+                                                 "min_records_per_window": 1}),
+                DQDatasetRule(check_func=C.has_no_gaps_per_time_window,
+                              column="l_shipdate",
+                              check_func_kwargs={"window_minutes": 60 * 24 * 365}),
+                DQDatasetRule(check_func=C.has_valid_schema,
+                              check_func_kwargs={"expected_schema": "l_orderkey bigint, l_quantity double"}),
+            ],
+            ref_dfs={"orders": orders, "part": part, "li_ref": li.where(F.col("l_orderkey") % 50 != 0)},
+        ),
     }
 
     # pipeline-operator cases (documents/embeddings tables)
