@@ -615,6 +615,7 @@ def compare_datasets(
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
     row_filter: str | None = None,
+    dedup_ref: bool = False,
 ):
     """Full row/column diff keyed on PK (reference check_funcs.py:2785-2944).
 
@@ -624,6 +625,12 @@ def compare_datasets(
     With ``check_missing_records`` the join is full-outer, so ref-only rows
     ARE ADDED to the output (all input columns null) — the one check that may
     change row count.
+
+    A reference side with DUPLICATE match keys also multiplies joined rows
+    (each df row matches every ref copy — inherent to the reference's join
+    shape too).  ``dedup_ref=True`` (beyond-reference convenience) keeps an
+    arbitrary single ref row per key first, restoring the one-annotated-row-
+    per-input-row invariant when the ref key is not known to be unique.
 
     ``row_filter`` (auto-injected from the rule filter) gates the CONDITION
     only, exactly like the reference (:2908 stamps a filter column; matching
@@ -640,6 +647,8 @@ def compare_datasets(
 
     def apply(df: DataFrame, spark: SparkSession, ref_dfs: dict[str, DataFrame] | None = None) -> DataFrame:
         ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
+        if dedup_ref:
+            ref = ref.dropDuplicates(list(ref_columns))
         ref_renamed = ref.select(
             *[F.col(c).alias(f"__dq_ref_{c}_{sfx}") for c in ref.columns]
         ).withColumn(f"__dq_ref_marker_{sfx}", F.lit(True))

@@ -226,3 +226,25 @@ def test_has_no_aggr_outliers_rolling(spark):
                                          "lookback_num_intervals": 7, "warmup_num_intervals": 5,
                                          "time_interval": "day"}),
     ) == {100}
+
+
+def test_compare_datasets_dedup_ref_preserves_row_count(spark):
+    """A duplicate-key ref side multiplies joined rows (inherent to the PK
+    join shape); dedup_ref=True restores one annotated row per input row."""
+    import dqx_spark.functions as C
+    from dqx_spark import DQDatasetRule, DQEngine
+    from dqx_spark.engine import ExtraParams
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ref = spark.createDataFrame([(1, "a"), (1, "a2"), (2, "b")], "id long, v string")
+    e = DQEngine(extra_params=ExtraParams(run_time_overwrite="2024-06-01 00:00:00"))
+    kw = {"columns": ["id"], "ref_columns": ["id"], "ref_df_name": "r"}
+    multiplied = e.apply_checks(df, [DQDatasetRule(check_func=C.compare_datasets, check_func_kwargs=kw)],
+                                ref_dfs={"r": ref})
+    assert multiplied.count() == 3  # documented join semantics
+    kept = e.apply_checks(
+        df,
+        [DQDatasetRule(check_func=C.compare_datasets, check_func_kwargs={**kw, "dedup_ref": True})],
+        ref_dfs={"r": ref},
+    )
+    assert kept.count() == 2
