@@ -238,3 +238,35 @@ def test_dedup_storage_param(spark):
     ).collect()
     g = {r["id"]: r["group_id"] for r in groups}
     assert g[0] == g[1] == g[2] == g[3] == 0 and g[10] == 10
+
+
+def test_dedup_paragraphs_plan_shape(spark):
+    """Winners come from a partial-aggregated groupBy (skew-immune), never a
+    row_number window; no cartesian product; paragraph strings do not ride
+    the winner shuffle (only id/idx/hash columns do)."""
+    from dqx_spark.pipeline import dedup
+
+    df = spark.createDataFrame([(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string")
+    p = plan_of(dedup.dedup_paragraphs(df, "doc_id", "text"))
+    assert "partial_min" in p          # map-side combine on the winner election
+    assert "row_number" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the winner-election exchange carries hash + packed (id, idx) only
+    # formatted mode puts exchange args on their own "Arguments:" line
+    ex = re.findall(r"hashpartitioning\(h#\d+", p)
+    assert ex, "expected the winner election to shuffle on the paragraph hash"
+
+
+def test_cross_corpus_pairs_broadcast_eval_banding(spark):
+    """The eval side's banding rows broadcast by default, so the train side
+    joins map-side; broadcast=False flips to a shuffle join."""
+    from dqx_spark.pipeline import dedup
+
+    train = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "a b c d e f g")], "doc_id long, text string")
+    p = plan_of(dedup.cross_corpus_lsh_pairs(train, ev, "doc_id", "text", shingle_k=3, storage="none"))
+    assert "BroadcastHashJoin" in p
+    p2 = plan_of(
+        dedup.cross_corpus_lsh_pairs(train, ev, "doc_id", "text", shingle_k=3, storage="none", broadcast=False)
+    )
+    assert "CartesianProduct" not in p2
