@@ -461,3 +461,89 @@ def test_dedup_paragraphs_global_uniqueness_and_idempotence(spark, doc_paras):
     for r in out:
         assert out2[r.doc_id].removed_paragraph_count == 0
         assert out2[r.doc_id].text_dedup == r.text_dedup
+
+
+# --- differential testing: random rule sets vs a pure-pandas evaluator ----
+
+_DIFF_CHECKS = ["is_not_null", "is_in_range", "is_in_list", "regex_match", "is_not_greater_than", "is_not_null_and_not_empty"]
+
+
+def _expected_fail(func: str, val, lo, hi, allowed, regex, limit) -> bool:
+    """Independent Python re-implementation of each check's fail predicate
+    (null always passes except the null checks — the package-wide
+    convention)."""
+    import re as _re
+
+    if func == "is_not_null":
+        return val is None
+    if func == "is_not_null_and_not_empty":
+        # trim_strings defaults False (reference check_funcs.py:169)
+        return val is None or str(val) == ""
+    if val is None:
+        return False
+    if func == "is_in_range":
+        return not (lo <= val <= hi)
+    if func == "is_in_list":
+        return val not in allowed
+    if func == "regex_match":
+        return _re.search(regex, str(val)) is None
+    if func == "is_not_greater_than":
+        return val > limit
+    raise AssertionError(func)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.sampled_from(["", " ", "a", "ab", "xyz", "A1"])),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    picks=st.lists(st.sampled_from(_DIFF_CHECKS), min_size=1, max_size=6),
+    lo=st.integers(-20, 0),
+    hi=st.integers(1, 20),
+    limit=st.integers(-10, 10),
+)
+def test_random_row_rule_sets_match_python_reference(spark, rows, picks, lo, hi, limit):
+    """Differential property: for ANY random combination of row checks and
+    ANY random data, the set of fired check names per row equals an
+    independent pure-Python evaluation — exercising rule assembly,
+    array_compact, criticality routing, and each check's null semantics in
+    one pass."""
+    allowed = ["a", "ab"]
+    regex = "a"
+    # unique row ids via enumerate — the generated first element may repeat
+    rows = [(i, num, s_) for i, (_, num, s_) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "id long, num int, s string")
+    rules, spec = [], []
+    for i, func in enumerate(picks):
+        col = "num" if func in ("is_in_range", "is_not_greater_than", "is_not_null") else "s"
+        kwargs = {}
+        if func == "is_in_range":
+            kwargs = {"min_limit": lo, "max_limit": hi}
+        elif func == "is_in_list":
+            kwargs = {"allowed": allowed}
+        elif func == "regex_match":
+            kwargs = {"regex": regex}
+        elif func == "is_not_greater_than":
+            kwargs = {"limit": limit}
+        name = f"r{i}_{func}"
+        rules.append(
+            DQRowRule(name=name, check_func=getattr(C, func), column=col, check_func_kwargs=kwargs)
+        )
+        spec.append((name, func, col))
+    out = _engine().apply_checks(df, rules)
+    got = {
+        r["id"]: {e["name"] for e in (r["_errors"] or [])} for r in out.collect()
+    }
+    for rid, num, s in rows:
+        expected = set()
+        for name, func, col in spec:
+            val = num if col == "num" else s
+            if _expected_fail(func, val, lo, hi, allowed, regex, limit):
+                expected.add(name)
+        assert got[rid] == expected, f"row {rid} ({num!r},{s!r}): {got[rid]} != {expected}"
