@@ -28,7 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "GRAIN_ORDER"]
+__all__ = ["time_rollup", "sliding_rollup", "GRAIN_ORDER"]
 
 # finest -> coarsest
 GRAIN_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
@@ -147,3 +147,91 @@ def time_rollup(
         return frame.select(*cols)
 
     return reduce(DataFrame.unionByName, [finalize(g, levels[g]) for g in ordered])
+
+
+def sliding_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_minutes: int,
+    slide_minutes: int,
+    aggs: list[str] | tuple[str, ...] = ("count", "sum"),
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window aggregate: one row per (window_start, window_end,
+    *group_by) for every window that contains at least one row — the same
+    output set as ``F.window(ts, window, slide)``, built the scale-correct
+    way.
+
+    A direct ``F.window`` with a slide EXPANDS every raw row into
+    ``window/slide`` copies before the shuffle — at 100 TB with a 24 h
+    window sliding hourly that is a 24× shuffle multiplier.  Here the raw
+    data is first aggregated to TUMBLING ``slide``-grain partials (one
+    ordinary shuffle, map-side combined, no row multiplication); only the
+    resulting buckets — bounded by the time range, not the data — are
+    exploded into the windows they cover and re-aggregated.  Aggregates
+    must therefore be algebraic (count/sum/min/max/avg).
+
+    ``window_minutes`` must be a multiple of ``slide_minutes``.
+    """
+    if window_minutes % slide_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    bad = [a for a in aggs if a not in _ALGEBRAIC]
+    if bad:
+        raise ValueError(f"non-algebraic aggregates {bad}; supported: {sorted(_ALGEBRAIC)}")
+    group_by = group_by or []
+    k = window_minutes // slide_minutes
+    slide_s = slide_minutes * 60
+
+    need_avg = "avg" in aggs
+    partial_names = {a for a in aggs if a != "avg"} | ({"sum", "count"} if need_avg else set())
+    v = F.col(value_col)
+    partials = []
+    if "count" in partial_names:
+        partials.append(F.count(v).alias("__cnt"))
+    if "sum" in partial_names:
+        partials.append(F.sum(v).alias("__sum"))
+    if "min" in partial_names:
+        partials.append(F.min(v).alias("__min"))
+    if "max" in partial_names:
+        partials.append(F.max(v).alias("__max"))
+
+    bucket_epoch = (F.unix_timestamp(F.col(ts_col)) / slide_s).cast("long") * slide_s
+    base = df.groupBy(bucket_epoch.alias("__b"), *[F.col(c) for c in group_by]).agg(*partials)
+
+    # each slide bucket b belongs to the k windows starting at
+    # b, b-slide, ..., b-(k-1)*slide
+    anchored = base.select(
+        "*",
+        F.explode(
+            F.sequence(F.col("__b") - F.lit((k - 1) * slide_s), F.col("__b"), F.lit(slide_s))
+        ).alias("__w"),
+    )
+    reaggs = []
+    if "count" in partial_names:
+        reaggs.append(F.sum("__cnt").alias("__cnt"))
+    if "sum" in partial_names:
+        reaggs.append(F.sum("__sum").alias("__sum"))
+    if "min" in partial_names:
+        reaggs.append(F.min("__min").alias("__min"))
+    if "max" in partial_names:
+        reaggs.append(F.max("__max").alias("__max"))
+    rolled = anchored.groupBy("__w", *[F.col(c) for c in group_by]).agg(*reaggs)
+
+    out_cols = [
+        F.timestamp_seconds(F.col("__w")).alias("window_start"),
+        F.timestamp_seconds(F.col("__w") + F.lit(window_minutes * 60)).alias("window_end"),
+        *group_by,
+    ]
+    for a in aggs:
+        if a == "count":
+            out_cols.append(F.col("__cnt").alias(f"count_{value_col}"))
+        elif a == "sum":
+            out_cols.append(F.col("__sum").alias(f"sum_{value_col}"))
+        elif a == "min":
+            out_cols.append(F.col("__min").alias(f"min_{value_col}"))
+        elif a == "max":
+            out_cols.append(F.col("__max").alias(f"max_{value_col}"))
+        elif a == "avg":
+            out_cols.append((F.col("__sum").cast("double") / F.col("__cnt")).alias(f"avg_{value_col}"))
+    return rolled.select(*out_cols)

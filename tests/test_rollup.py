@@ -76,3 +76,74 @@ def test_week_straddles_month_boundary(spark):
     out2 = rollup.time_rollup(ev, "ts", "v", grains=("week", "month"), aggs=("sum",))
     months2 = {str(r["bucket_start"])[:7]: r["sum_v"] for r in out2.where("grain = 'month'").collect()}
     assert months2 == {"2025-03": 1.0, "2025-04": 10.0}
+
+
+class TestSlidingRollup:
+    def test_matches_f_window_semantics(self, spark):
+        """Same output set as a direct F.window(ts, window, slide) pass —
+        including windows whose anchor bucket is empty but that cover data."""
+        from pyspark.sql import functions as F
+
+        from dqx_spark.pipeline.rollup import sliding_rollup
+
+        rows = [
+            ("2024-01-01 00:05:00", 1.0, "a"),
+            ("2024-01-01 00:35:00", 2.0, "a"),
+            ("2024-01-01 02:10:00", 4.0, "b"),
+            ("2024-01-01 02:59:00", 8.0, "b"),
+        ]
+        df = spark.createDataFrame(rows, "ts string, v double, g string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = {
+            (str(r.window_start), str(r.window_end), r.g): (r.count_v, r.sum_v, r.avg_v)
+            for r in sliding_rollup(df, "ts", "v", 60, 30, aggs=("count", "sum", "avg"), group_by=["g"]).collect()
+        }
+        direct = (
+            df.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"), "g")
+            .agg(F.count("v").alias("c"), F.sum("v").alias("s"), F.avg("v").alias("a"))
+        )
+        want = {
+            (str(r.w.start), str(r.w.end), r.g): (r.c, r.s, r.a) for r in direct.collect()
+        }
+        assert got == want
+        assert len(got) == 6  # 4 rows x 2 windows, minus the two a-rows sharing 00:00-01:00
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from dqx_spark.pipeline.rollup import sliding_rollup
+
+        df = spark.range(1).select(F.current_timestamp().alias("ts"), F.lit(1.0).alias("v"))
+        with _pytest.raises(ValueError):
+            sliding_rollup(df, "ts", "v", 50, 30)
+        with _pytest.raises(ValueError):
+            sliding_rollup(df, "ts", "v", 60, 30, aggs=("median",))
+
+    def test_no_raw_row_expansion_in_plan(self, spark):
+        """The explode must sit ABOVE the first aggregate (bucket level),
+        never on the raw rows."""
+        import io, contextlib
+
+        from dqx_spark.pipeline.rollup import sliding_rollup
+
+        df = spark.range(100).select(
+            F.timestamp_seconds(F.col("id") * 60).alias("ts"), F.col("id").cast("double").alias("v")
+        )
+        out = sliding_rollup(df, "ts", "v", 60, 15)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        import re as _re
+
+        p = buf.getvalue()
+        # exactly one explode node, sitting between the two aggregations
+        # (bucket level), and no F.window-style Expand of the raw rows
+        nodes = _re.findall(r"\(\d+\) (\w+)", p)
+        assert nodes.count("Generate") == 1
+        assert "Expand" not in nodes
+        gen = nodes.index("Generate")
+        aggs_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+        # formatted explain lists root-first: the final window aggregate
+        # precedes Generate, the bucket partials follow it
+        assert aggs_idx[0] < gen < aggs_idx[-1]
