@@ -117,6 +117,7 @@ def cmd_clean(args) -> int:
     # the single write action — no extra input re-scan or output read-back
     in_obs, out_obs = Observation("clean_in"), Observation("clean_out")
     df = spark.read.format(args.format).load(args.input).observe(in_obs, F.count(F.lit(1)).alias("n"))
+    eval_df = spark.read.format(args.format).load(args.eval_input) if args.eval_input else None
     out = clean_corpus(
         df,
         args.id_col,
@@ -125,6 +126,9 @@ def cmd_clean(args) -> int:
         min_words=args.min_words,
         boilerplate_max_line_doc_freq=args.boilerplate_doc_freq,
         near_dedup=args.near_dedup,
+        eval_df=eval_df,
+        contamination_threshold=args.contamination_threshold,
+        fuzzy_contamination_threshold=args.fuzzy_contamination_threshold,
         splits=None,
     ).observe(out_obs, F.count(F.lit(1)).alias("n"))
     write_sized(out, args.output, file_format=args.format, max_records_per_file=args.records_per_file)
@@ -278,6 +282,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-words", type=int, default=5)
     p.add_argument("--boilerplate-doc-freq", type=int, default=None)
     p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--eval-input", default=None,
+                   help="eval/benchmark table to decontaminate against (same format as --input)")
+    p.add_argument("--contamination-threshold", type=float, default=0.1)
+    p.add_argument("--fuzzy-contamination-threshold", type=float, default=None,
+                   help="also drop whole-document near-copies of eval docs (MinHash-LSH Jaccard)")
     p.add_argument("--records-per-file", type=int, default=1_000_000)
     p.set_defaults(func=cmd_clean)
     return parser

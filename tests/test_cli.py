@@ -85,3 +85,28 @@ def test_cli_profile_and_apply(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_clean_with_decontamination(spark, tmp_path, capsys):
+    """--eval-input wires exact + fuzzy decontamination into the CLI chain."""
+    eval_dir = str(tmp_path / "eval")
+    # the eval set = 10 driver documents verbatim -> those docs must drop
+    spark.read.parquet(f"{SF}/documents.parquet").where("doc_id % 50 = 0").write.parquet(eval_dir)
+    out = str(tmp_path / "cleaned_decontam")
+    rc = main(
+        [
+            "clean",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out,
+            "--min-words", "3",
+            "--eval-input", eval_dir,
+            "--contamination-threshold", "0.5",
+            "--fuzzy-contamination-threshold", "0.8",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    back = spark.read.parquet(out)
+    kept_ids = {r.doc_id for r in back.select("doc_id").collect()}
+    assert not any(i % 50 == 0 for i in kept_ids), "verbatim eval copies must be dropped"
+    assert stats["kept_rows"] == len(kept_ids) > 0
