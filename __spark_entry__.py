@@ -154,16 +154,29 @@ def q_dedup_minhash(spark, sf):
     signatures (and hence the band-collision candidate set) bit-reproducible
     in DuckDB, and verify_exact applies the threshold to the EXACT Jaccard
     over real shingle sets — candidate-then-verify, deterministic given the
-    hash.  The xxhash64 default stays the hot path (bench.py)."""
+    hash.  The xxhash64 default stays the hot path (bench.py).
+
+    Since r5 the row also certifies cross_corpus_lsh_pairs (fuzzy
+    decontamination): even doc_ids play the train corpus, odd the eval
+    corpus, same md5 + exact-verify configuration, distinguished by a
+    ``scope`` column."""
     df = _read(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        df, "doc_id", "text", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
-        hash_name="md5", verify_exact=True,
-    )
-    return pairs.select(
+    out_cols = lambda p, scope: p.select(  # noqa: E731
+        F.lit(scope).alias("scope"),
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"),
         "common", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard"),
     )
+    within = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
+        hash_name="md5", verify_exact=True,
+    )
+    cross = dedup.cross_corpus_lsh_pairs(
+        df.where(F.col("doc_id") % 2 == 0),
+        df.where(F.col("doc_id") % 2 == 1),
+        "doc_id", "text", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
+        hash_name="md5", verify_exact=True,
+    )
+    return out_cols(within, "within").unionByName(out_cols(cross, "cross"))
 
 
 def q_dedup_simhash(spark, sf):
@@ -1382,18 +1395,27 @@ def _minhash_oracle() -> str:
         "FROM sh, range(0,64) r(i) GROUP BY doc_id, r.i), "
         "sig AS (SELECT doc_id, list(m ORDER BY i) s FROM mins GROUP BY doc_id), "
         "b AS (SELECT doc_id, r.j AS j, s[r.j*4+1 : r.j*4+4] sl FROM sig, range(0,16) r(j)), "
-        "cand AS (SELECT DISTINCT a.doc_id id_a, b2.doc_id id_b FROM b a JOIN b b2 "
+        # within-corpus candidates (id_a < id_b) plus cross-corpus ones
+        # (even ids = train side, odd ids = eval side) — band collision ⟺
+        # equal signature slices, engine-independently
+        "candw AS (SELECT DISTINCT a.doc_id id_a, b2.doc_id id_b FROM b a JOIN b b2 "
         "ON a.j = b2.j AND a.sl = b2.sl AND a.doc_id < b2.doc_id), "
+        "candx AS (SELECT DISTINCT a.doc_id id_a, b2.doc_id id_b FROM b a JOIN b b2 "
+        "ON a.j = b2.j AND a.sl = b2.sl AND a.doc_id % 2 = 0 AND b2.doc_id % 2 = 1), "
+        "cand AS (SELECT 'within' AS scope, id_a, id_b FROM candw "
+        "UNION ALL SELECT 'cross' AS scope, id_a, id_b FROM candx), "
+        "ap AS (SELECT DISTINCT id_a, id_b FROM cand), "
         "sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id), "
-        "cm AS (SELECT c.id_a, c.id_b, count(*) common FROM cand c "
+        "cm AS (SELECT c.id_a, c.id_b, count(*) common FROM ap c "
         "JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h GROUP BY 1, 2), "
         "est AS (SELECT c.id_a, c.id_b, "
         "list_sum(list_transform(range(1,65), i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END))::DOUBLE / 64 e "
-        "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b) "
-        "SELECT e.id_a, e.id_b, round(e.e, 6) AS est_jaccard, cm.common::BIGINT AS common, "
+        "FROM ap c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b) "
+        "SELECT c.scope, e.id_a, e.id_b, round(e.e, 6) AS est_jaccard, cm.common::BIGINT AS common, "
         "sza.n::BIGINT AS size_a, szb.n::BIGINT AS size_b, "
         "round(cm.common::DOUBLE / (sza.n + szb.n - cm.common), 6) AS jaccard "
-        "FROM est e JOIN cm ON cm.id_a = e.id_a AND cm.id_b = e.id_b "
+        "FROM cand c JOIN est e ON e.id_a = c.id_a AND e.id_b = c.id_b "
+        "JOIN cm ON cm.id_a = e.id_a AND cm.id_b = e.id_b "
         "JOIN sz sza ON sza.doc_id = e.id_a JOIN sz szb ON szb.doc_id = e.id_b "
         "WHERE cm.common::DOUBLE / (sza.n + szb.n - cm.common) >= 0.5"
     )
