@@ -455,14 +455,26 @@ def q_time_rollup(spark, sf):
     # exercises the non-nesting re-aggregation path (r4 fix)
     out = rollup.time_rollup(
         ev, "ts", "value", grains=("hour", "day", "week", "month"), aggs=("count", "sum"), group_by=["event_type"]
-    )
-    return out.select(
+    ).select(
         "grain",
         "bucket_start",
         "event_type",
         "count_value",
         F.round("sum_value", 2).alias("sum_value"),
     )
+    # since r5: the sliding-window rollup rides the same gate row as a
+    # fifth grain (1h window sliding 30m — F.window semantics built the
+    # two-level no-Expand way)
+    sliding = rollup.sliding_rollup(
+        ev, "ts", "value", window_minutes=60, slide_minutes=30, aggs=("count", "sum"), group_by=["event_type"]
+    ).select(
+        F.lit("sliding_1h_30m").alias("grain"),
+        F.col("window_start").alias("bucket_start"),
+        "event_type",
+        "count_value",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+    return out.unionByName(sliding)
 
 
 def q_range_join(spark, sf):
@@ -494,15 +506,45 @@ def q_interval_join(spark, sf):
 
 
 def q_hash_split(spark, sf):
+    """hash_split + source_mix certified in ONE row since r5 (merged to
+    free a gate slot for key-skew diagnostics): per-doc split assignment
+    plus an in_mix flag marking survival of the per-source mixture
+    subsample."""
     df = _read(spark, sf, "documents")
-    out = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
-    return out.select("doc_id", "split")
+    split = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}).select(
+        "doc_id", "split"
+    )
+    mixed = mixing.source_mix(df, "doc_id", "source", {"src1": 0.2, "src2": 0.5}).select(
+        "doc_id", F.lit(True).alias("in_mix")
+    )
+    return split.join(mixed, "doc_id", "left").select(
+        "doc_id", "split", F.coalesce("in_mix", F.lit(False)).alias("in_mix")
+    )
 
 
-def q_source_mix(spark, sf):
-    df = _read(spark, sf, "documents")
-    out = mixing.source_mix(df, "doc_id", "source", {"src1": 0.2, "src2": 0.5})
-    return out.select("doc_id", "source")
+def q_key_skew(spark, sf):
+    """Shuffle-health diagnostics: top-5 heavy-hitter event types with
+    corpus fractions, carrying the one-row skew summary (exact integer
+    counts + deterministic salt suggestion; the approximate p99 column is
+    excluded from the gate projection)."""
+    from dqx_spark.pipeline import diagnostics
+
+    ev = _read(spark, sf, "events")
+    top = diagnostics.key_frequencies(ev, ["event_type"], top_k=5)
+    stats = diagnostics.key_skew_stats(ev, ["event_type"]).select(
+        "n_rows", "n_keys", "max_key_count", "avg_key_count", "skew_factor", "suggested_salt"
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        "key_count",
+        F.round("key_fraction", 6).alias("key_fraction"),
+        "n_rows",
+        "n_keys",
+        "max_key_count",
+        "avg_key_count",
+        "skew_factor",
+        "suggested_salt",
+    )
 
 
 def q_clean_corpus(spark, sf):
@@ -1342,7 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
         "hash_split": q_hash_split,
-        "source_mix": q_source_mix,
+        "key_skew": q_key_skew,
         "ngram_contamination": q_ngram_contamination,
         "top_k_per_group": q_top_k_per_group,
         "clean_corpus": q_clean_corpus,
@@ -2411,14 +2453,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_split": (
             "SELECT doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
-            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "ELSE 'test' END AS split, "
+            "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
+            "ELSE 1.0 END * 1000000)::BIGINT AS in_mix "
+            "FROM (SELECT doc_id, source, "
             "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents)"
         ),
-        "source_mix": (
-            "SELECT doc_id, source FROM (SELECT doc_id, source, "
-            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents) "
-            "WHERE b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
-            "ELSE 1.0 END * 1000000)::BIGINT"
+        "key_skew": (
+            "WITH c AS (SELECT event_type, count(*) AS key_count FROM events GROUP BY 1), "
+            "s AS (SELECT sum(key_count)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys, "
+            "max(key_count)::BIGINT AS max_key_count, "
+            "round(avg(key_count), 3) AS avg_key_count, "
+            "round(max(key_count) / avg(key_count), 3) AS skew_factor, "
+            "CASE WHEN max(key_count) / avg(key_count) <= 4.0 THEN 1 "
+            "ELSE pow(2, ceil(log2(max(key_count) / avg(key_count) / 4.0)))::INT END AS suggested_salt "
+            "FROM c) "
+            "SELECT event_type, key_count::BIGINT AS key_count, "
+            "round(key_count / s.n_rows::DOUBLE, 6) AS key_fraction, "
+            "s.n_rows, s.n_keys, s.max_key_count, s.avg_key_count, s.skew_factor, s.suggested_salt "
+            "FROM c CROSS JOIN s ORDER BY key_count DESC, event_type ASC LIMIT 5"
         ),
         "has_valid_json_schema": (
             "WITH j AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN '{\"a\": 1' "
@@ -2448,7 +2501,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 2, 3 "
             "UNION ALL "
             "SELECT 'month', date_trunc('month', ts), event_type, count(value), round(sum(value), 2) "
-            "FROM events GROUP BY 2, 3"
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'sliding_1h_30m', make_timestamp((((epoch_us(ts) // 1000000) // 1800) * 1800 "
+            "- 1800 * u.k) * 1000000), event_type, count(value), round(sum(value), 2) "
+            "FROM events, unnest([0, 1]) u(k) GROUP BY 2, 3"
         ),
         "range_join": (
             "SELECT e.event_id, n.n_nationkey FROM events e JOIN "
