@@ -112,6 +112,12 @@ def cmd_clean(args) -> int:
 
     from pyspark.sql import Observation, functions as F
 
+    if args.eval_input is None and (
+        args.fuzzy_contamination_threshold is not None or args.contamination_threshold is not None
+    ):
+        print("error: --contamination-threshold / --fuzzy-contamination-threshold require --eval-input",
+              file=sys.stderr)
+        return 2
     spark = _spark("clean")
     # observations at the source and output plan nodes both populate during
     # the single write action — no extra input re-scan or output read-back
@@ -127,7 +133,7 @@ def cmd_clean(args) -> int:
         boilerplate_max_line_doc_freq=args.boilerplate_doc_freq,
         near_dedup=args.near_dedup,
         eval_df=eval_df,
-        contamination_threshold=args.contamination_threshold,
+        contamination_threshold=0.1 if args.contamination_threshold is None else args.contamination_threshold,
         fuzzy_contamination_threshold=args.fuzzy_contamination_threshold,
         splits=None,
     ).observe(out_obs, F.count(F.lit(1)).alias("n"))
@@ -284,7 +290,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dedup", action="store_true")
     p.add_argument("--eval-input", default=None,
                    help="eval/benchmark table to decontaminate against (same format as --input)")
-    p.add_argument("--contamination-threshold", type=float, default=0.1)
+    p.add_argument("--contamination-threshold", type=float, default=None,
+                   help="exact n-gram contamination threshold (default 0.1; requires --eval-input)")
     p.add_argument("--fuzzy-contamination-threshold", type=float, default=None,
                    help="also drop whole-document near-copies of eval docs (MinHash-LSH Jaccard)")
     p.add_argument("--records-per-file", type=int, default=1_000_000)

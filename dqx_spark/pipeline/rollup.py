@@ -49,6 +49,59 @@ def _nests_in(a: str, g: str) -> bool:
 _ALGEBRAIC = {"count", "sum", "min", "max", "avg"}
 
 
+def _validated_partial_names(aggs) -> set[str]:
+    """Which partial aggregates (__cnt/__sum/__min/__max) must be carried
+    for exact re-aggregation of ``aggs`` (avg derives from sum/count)."""
+    bad = [a for a in aggs if a not in _ALGEBRAIC]
+    if bad:
+        raise ValueError(f"non-algebraic aggregates {bad}; supported: {sorted(_ALGEBRAIC)}")
+    need_avg = "avg" in aggs
+    return {a for a in aggs if a != "avg"} | ({"sum", "count"} if need_avg else set())
+
+
+def _partial_exprs(value_col: str, partial_names: set[str]) -> list:
+    v = F.col(value_col)
+    out = []
+    if "count" in partial_names:
+        out.append(F.count(v).alias("__cnt"))
+    if "sum" in partial_names:
+        out.append(F.sum(v).alias("__sum"))
+    if "min" in partial_names:
+        out.append(F.min(v).alias("__min"))
+    if "max" in partial_names:
+        out.append(F.max(v).alias("__max"))
+    return out
+
+
+def _reagg_exprs(partial_names: set[str]) -> list:
+    out = []
+    if "count" in partial_names:
+        out.append(F.sum("__cnt").alias("__cnt"))
+    if "sum" in partial_names:
+        out.append(F.sum("__sum").alias("__sum"))
+    if "min" in partial_names:
+        out.append(F.min("__min").alias("__min"))
+    if "max" in partial_names:
+        out.append(F.max("__max").alias("__max"))
+    return out
+
+
+def _agg_out_cols(aggs, value_col: str) -> list:
+    out = []
+    for a in aggs:
+        if a == "count":
+            out.append(F.col("__cnt").alias(f"count_{value_col}"))
+        elif a == "sum":
+            out.append(F.col("__sum").alias(f"sum_{value_col}"))
+        elif a == "min":
+            out.append(F.col("__min").alias(f"min_{value_col}"))
+        elif a == "max":
+            out.append(F.col("__max").alias(f"max_{value_col}"))
+        elif a == "avg":
+            out.append((F.col("__sum").cast("double") / F.col("__cnt")).alias(f"avg_{value_col}"))
+    return out
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str,
@@ -67,43 +120,18 @@ def time_rollup(
     bad = [g for g in grains if g not in GRAIN_ORDER]
     if bad:
         raise ValueError(f"unsupported grains {bad}; supported: {GRAIN_ORDER}")
-    bad = [a for a in aggs if a not in _ALGEBRAIC]
-    if bad:
-        raise ValueError(f"non-algebraic aggregates {bad}; supported: {sorted(_ALGEBRAIC)}")
     if not grains:
         raise ValueError("grains must not be empty")
+    partial_names = _validated_partial_names(aggs)
     group_by = group_by or []
     ordered = sorted(set(grains), key=GRAIN_ORDER.index)
     finest, coarser = ordered[0], ordered[1:]
 
-    need_avg = "avg" in aggs
-    # partials: what must be carried for exact re-aggregation
-    partial_names = {a for a in aggs if a != "avg"} | ({"sum", "count"} if need_avg else set())
-
     def partial_exprs():
-        v = F.col(value_col)
-        out = []
-        if "count" in partial_names:
-            out.append(F.count(v).alias("__cnt"))
-        if "sum" in partial_names:
-            out.append(F.sum(v).alias("__sum"))
-        if "min" in partial_names:
-            out.append(F.min(v).alias("__min"))
-        if "max" in partial_names:
-            out.append(F.max(v).alias("__max"))
-        return out
+        return _partial_exprs(value_col, partial_names)
 
     def reagg_exprs():
-        out = []
-        if "count" in partial_names:
-            out.append(F.sum("__cnt").alias("__cnt"))
-        if "sum" in partial_names:
-            out.append(F.sum("__sum").alias("__sum"))
-        if "min" in partial_names:
-            out.append(F.min("__min").alias("__min"))
-        if "max" in partial_names:
-            out.append(F.max("__max").alias("__max"))
-        return out
+        return _reagg_exprs(partial_names)
 
     base = df.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("__bucket"), *[F.col(c) for c in group_by]
@@ -131,20 +159,7 @@ def time_rollup(
 
     def finalize(g: str, frame: DataFrame) -> DataFrame:
         cols = [F.lit(g).alias("grain"), F.col("__bucket").alias("bucket_start"), *group_by]
-        for a in aggs:
-            if a == "count":
-                cols.append(F.col("__cnt").alias(f"count_{value_col}"))
-            elif a == "sum":
-                cols.append(F.col("__sum").alias(f"sum_{value_col}"))
-            elif a == "min":
-                cols.append(F.col("__min").alias(f"min_{value_col}"))
-            elif a == "max":
-                cols.append(F.col("__max").alias(f"max_{value_col}"))
-            elif a == "avg":
-                cols.append(
-                    (F.col("__sum").cast("double") / F.col("__cnt")).alias(f"avg_{value_col}")
-                )
-        return frame.select(*cols)
+        return frame.select(*cols, *_agg_out_cols(aggs, value_col))
 
     return reduce(DataFrame.unionByName, [finalize(g, levels[g]) for g in ordered])
 
@@ -174,30 +189,21 @@ def sliding_rollup(
 
     ``window_minutes`` must be a multiple of ``slide_minutes``.
     """
+    if window_minutes <= 0 or slide_minutes <= 0:
+        raise ValueError("window_minutes and slide_minutes must be positive")
     if window_minutes % slide_minutes != 0:
         raise ValueError("window_minutes must be a multiple of slide_minutes")
-    bad = [a for a in aggs if a not in _ALGEBRAIC]
-    if bad:
-        raise ValueError(f"non-algebraic aggregates {bad}; supported: {sorted(_ALGEBRAIC)}")
+    partial_names = _validated_partial_names(aggs)
     group_by = group_by or []
     k = window_minutes // slide_minutes
     slide_s = slide_minutes * 60
 
-    need_avg = "avg" in aggs
-    partial_names = {a for a in aggs if a != "avg"} | ({"sum", "count"} if need_avg else set())
-    v = F.col(value_col)
-    partials = []
-    if "count" in partial_names:
-        partials.append(F.count(v).alias("__cnt"))
-    if "sum" in partial_names:
-        partials.append(F.sum(v).alias("__sum"))
-    if "min" in partial_names:
-        partials.append(F.min(v).alias("__min"))
-    if "max" in partial_names:
-        partials.append(F.max(v).alias("__max"))
-
-    bucket_epoch = (F.unix_timestamp(F.col(ts_col)) / slide_s).cast("long") * slide_s
-    base = df.groupBy(bucket_epoch.alias("__b"), *[F.col(c) for c in group_by]).agg(*partials)
+    # floor division, NOT cast-truncation: pre-1970 epochs are negative,
+    # and truncation toward zero would shift them one bucket late
+    bucket_epoch = F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s).cast("long") * slide_s
+    base = df.groupBy(bucket_epoch.alias("__b"), *[F.col(c) for c in group_by]).agg(
+        *_partial_exprs(value_col, partial_names)
+    )
 
     # each slide bucket b belongs to the k windows starting at
     # b, b-slide, ..., b-(k-1)*slide
@@ -207,31 +213,11 @@ def sliding_rollup(
             F.sequence(F.col("__b") - F.lit((k - 1) * slide_s), F.col("__b"), F.lit(slide_s))
         ).alias("__w"),
     )
-    reaggs = []
-    if "count" in partial_names:
-        reaggs.append(F.sum("__cnt").alias("__cnt"))
-    if "sum" in partial_names:
-        reaggs.append(F.sum("__sum").alias("__sum"))
-    if "min" in partial_names:
-        reaggs.append(F.min("__min").alias("__min"))
-    if "max" in partial_names:
-        reaggs.append(F.max("__max").alias("__max"))
-    rolled = anchored.groupBy("__w", *[F.col(c) for c in group_by]).agg(*reaggs)
+    rolled = anchored.groupBy("__w", *[F.col(c) for c in group_by]).agg(*_reagg_exprs(partial_names))
 
     out_cols = [
         F.timestamp_seconds(F.col("__w")).alias("window_start"),
         F.timestamp_seconds(F.col("__w") + F.lit(window_minutes * 60)).alias("window_end"),
         *group_by,
     ]
-    for a in aggs:
-        if a == "count":
-            out_cols.append(F.col("__cnt").alias(f"count_{value_col}"))
-        elif a == "sum":
-            out_cols.append(F.col("__sum").alias(f"sum_{value_col}"))
-        elif a == "min":
-            out_cols.append(F.col("__min").alias(f"min_{value_col}"))
-        elif a == "max":
-            out_cols.append(F.col("__max").alias(f"max_{value_col}"))
-        elif a == "avg":
-            out_cols.append((F.col("__sum").cast("double") / F.col("__cnt")).alias(f"avg_{value_col}"))
-    return rolled.select(*out_cols)
+    return rolled.select(*out_cols, *_agg_out_cols(aggs, value_col))

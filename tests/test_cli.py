@@ -110,3 +110,12 @@ def test_cli_clean_with_decontamination(spark, tmp_path, capsys):
     kept_ids = {r.doc_id for r in back.select("doc_id").collect()}
     assert not any(i % 50 == 0 for i in kept_ids), "verbatim eval copies must be dropped"
     assert stats["kept_rows"] == len(kept_ids) > 0
+
+
+def test_cli_clean_decontamination_flags_require_eval_input(tmp_path, capsys):
+    rc = main(
+        ["clean", "--input", f"{SF}/documents.parquet", "--output", str(tmp_path / "o"),
+         "--fuzzy-contamination-threshold", "0.8"]
+    )
+    assert rc == 2
+    assert "require --eval-input" in capsys.readouterr().err

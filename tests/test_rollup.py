@@ -147,3 +147,35 @@ class TestSlidingRollup:
         # formatted explain lists root-first: the final window aggregate
         # precedes Generate, the bucket partials follow it
         assert aggs_idx[0] < gen < aggs_idx[-1]
+
+
+def test_sliding_rollup_pre_epoch_timestamps(spark):
+    """Floor-division regression (r5 review): negative epochs must land in
+    the windows that actually contain them, matching F.window exactly."""
+    from pyspark.sql import functions as F
+
+    from dqx_spark.pipeline.rollup import sliding_rollup
+
+    rows = [("1969-12-31 23:00:30", 1.0), ("1969-12-31 22:10:00", 2.0), ("1970-01-01 00:10:00", 4.0)]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (str(r.window_start), str(r.window_end)): (r.count_v, r.sum_v)
+        for r in sliding_rollup(df, "ts", "v", 60, 30).collect()
+    }
+    direct = df.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w")).agg(
+        F.count("v").alias("c"), F.sum("v").alias("s")
+    )
+    want = {(str(r.w.start), str(r.w.end)): (r.c, r.s) for r in direct.collect()}
+    assert got == want
+
+
+def test_sliding_rollup_rejects_nonpositive_params(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dqx_spark.pipeline.rollup import sliding_rollup
+
+    df = spark.range(1).select(F.current_timestamp().alias("ts"), F.lit(1.0).alias("v"))
+    for w, sl in ((60, 0), (60, -30), (0, 30), (-60, -30)):
+        with _pytest.raises(ValueError, match="positive"):
+            sliding_rollup(df, "ts", "v", w, sl)
