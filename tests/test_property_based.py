@@ -12,8 +12,11 @@ from dqx_spark.engine import ExtraParams
 from dqx_spark.serde import deserialize_checks, load_checks_from_file, serialize_checks, validate_checks
 
 RUN_TS = "2024-06-01 00:00:00"
+# DQX_HYPOTHESIS_EXAMPLES=100 for soak runs; 12 keeps CI fast
 SETTINGS = settings(
-    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    max_examples=int(os.environ.get("DQX_HYPOTHESIS_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
 
