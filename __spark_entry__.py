@@ -262,22 +262,44 @@ def q_top_ngram_coverage(spark, sf):
 
 
 def q_multimodal_metadata(spark, sf):
-    """Constructs REAL image headers (PNG IHDR / GIF LSD / JPEG SOF0) with
-    per-row dimensions, then certifies magic-byte mime sniffing AND the
-    dependency-free header decoder against a closed-form oracle."""
+    """Constructs REAL media headers (PNG IHDR / GIF LSD / JPEG SOF0 / WAV
+    RIFF-fmt, since r5) with per-row parameters, then certifies magic-byte
+    mime sniffing AND both dependency-free header decoders (image + audio)
+    against a closed-form oracle."""
     df = _read(spark, sf, "documents")
     k = F.col("doc_id")
     w = (k % 256 + 100).cast("int")
     h = (k % 128 + 50).cast("int")
     w4, h4 = F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0")  # 4-byte BE
     w2, h2 = F.lpad(F.hex(w), 4, "0"), F.lpad(F.hex(h), 4, "0")  # 2-byte BE
-    wle = F.concat(F.substring(w2, 3, 2), F.substring(w2, 1, 2))  # 2-byte LE
-    hle = F.concat(F.substring(h2, 3, 2), F.substring(h2, 1, 2))
+
+    def le(hexcol, nbytes):
+        # byte-swap a zero-padded big-endian hex string to little-endian
+        pairs = [F.substring(hexcol, 2 * i + 1, 2) for i in range(nbytes)]
+        return F.concat(*reversed(pairs))
+
+    wle, hle = le(w2, 2), le(h2, 2)
     png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"), w4, h4, F.lit("0806000000"))
     gif = F.concat(F.lit("474946383761"), wle, hle, F.lit("000000"))
     jpg = F.concat(F.lit("FFD8FFC0001108"), h2, w2, F.lit("03"))
+    # header-only WAV: fmt chunk with per-row rate/channels, data chunk
+    # DECLARING one second of PCM (the parser reads the size field; no
+    # payload needed)
+    sr = (k % 8 * 1000 + 8000).cast("int")
+    ach = (k % 2 + 1).cast("int")
+    data_size = (sr * ach * 2).cast("int")
+    le4 = lambda c: le(F.lpad(F.hex(c), 8, "0"), 4)  # noqa: E731
+    wav = F.concat(
+        F.lit("52494646"), le4(F.lit(36).cast("int") + data_size), F.lit("57415645"),
+        F.lit("666D7420"), le4(F.lit(16).cast("int")), F.lit("0100"), le(F.lpad(F.hex(ach), 4, "0"), 2),
+        le4(sr), le4(sr * ach * 2), le(F.lpad(F.hex(ach * 2), 4, "0"), 2), F.lit("1000"),
+        F.lit("64617461"), le4(data_size),
+    )
     img = df.select(
-        "doc_id", F.unhex(F.when(k % 3 == 0, png).when(k % 3 == 1, gif).otherwise(jpg)).alias("content")
+        "doc_id",
+        F.unhex(
+            F.when(k % 4 == 0, png).when(k % 4 == 1, gif).when(k % 4 == 2, jpg).otherwise(wav)
+        ).alias("content"),
     )
     meta = multimodal.attach_media_metadata(img, "content").select(
         "doc_id",
@@ -285,8 +307,18 @@ def q_multimodal_metadata(spark, sf):
         F.col("media_meta.size_bytes").alias("size_bytes"),
     )
     dec = multimodal.decode_image(img, "content", "doc_id")
-    return meta.join(dec, "doc_id").select(
-        "doc_id", "mime", "size_bytes", "width", "height", "channels", "decode_ok", "decoder"
+    aud = multimodal.decode_audio(img, "content", "doc_id").select(
+        "doc_id",
+        "sample_rate",
+        F.col("channels").alias("audio_channels"),
+        "bits_per_sample",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.col("decode_ok").alias("audio_ok"),
+        F.col("decoder").alias("audio_decoder"),
+    )
+    return meta.join(dec, "doc_id").join(aud, "doc_id").select(
+        "doc_id", "mime", "size_bytes", "width", "height", "channels", "decode_ok", "decoder",
+        "sample_rate", "audio_channels", "bits_per_sample", "duration_s", "audio_ok", "audio_decoder",
     )
 
 
@@ -2431,19 +2463,28 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(pd.tt, 0)::BIGINT AS total_ngrams FROM documents d LEFT JOIN pd USING (doc_id)"
         ),
         "multimodal_metadata": (
-            # closed-form mirror of the constructed image headers: the bytes
-            # are fully determined by doc_id, so mime/size/dims/channels are
-            # pure arithmetic (PNG: 29-byte sig+IHDR, color type 6 -> 4
-            # channels; GIF87a: 13-byte header+LSD, 3; JPEG: 12-byte
-            # SOI+SOF0, 3 components)
+            # closed-form mirror of the constructed media headers: the bytes
+            # are fully determined by doc_id, so mime/size/dims/channels and
+            # the audio stream parameters are pure arithmetic (PNG: 29-byte
+            # sig+IHDR, color type 6 -> 4 channels; GIF87a: 13 bytes, 3;
+            # JPEG: 12-byte SOI+SOF0, 3 components; WAV: 44-byte header
+            # declaring one second of 16-bit PCM)
             "SELECT doc_id, "
-            "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS mime, "
-            "CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 12 END::BIGINT AS size_bytes, "
-            "(doc_id % 256 + 100)::INT AS width, "
-            "(doc_id % 128 + 50)::INT AS height, "
-            "CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END::INT AS channels, "
-            "true AS decode_ok, "
-            "CASE doc_id % 3 WHEN 0 THEN 'png-ihdr' WHEN 1 THEN 'gif-lsd' ELSE 'jpeg-sof' END AS decoder "
+            "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg' "
+            "ELSE 'audio/wav' END AS mime, "
+            "CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 12 ELSE 44 END::BIGINT AS size_bytes, "
+            "CASE WHEN doc_id % 4 < 3 THEN (doc_id % 256 + 100) END::INT AS width, "
+            "CASE WHEN doc_id % 4 < 3 THEN (doc_id % 128 + 50) END::INT AS height, "
+            "CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3 END::INT AS channels, "
+            "(doc_id % 4 < 3) AS decode_ok, "
+            "CASE doc_id % 4 WHEN 0 THEN 'png-ihdr' WHEN 1 THEN 'gif-lsd' WHEN 2 THEN 'jpeg-sof' "
+            "ELSE 'header' END AS decoder, "
+            "CASE WHEN doc_id % 4 = 3 THEN doc_id % 8 * 1000 + 8000 END::INT AS sample_rate, "
+            "CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 END::INT AS audio_channels, "
+            "CASE WHEN doc_id % 4 = 3 THEN 16 END::INT AS bits_per_sample, "
+            "CASE WHEN doc_id % 4 = 3 THEN 1.0 END AS duration_s, "
+            "(doc_id % 4 = 3) AS audio_ok, "
+            "CASE WHEN doc_id % 4 = 3 THEN 'wav-fmt' WHEN doc_id % 4 < 3 THEN 'header' END AS audio_decoder "
             "FROM documents"
         ),
         "top_k_per_group": (

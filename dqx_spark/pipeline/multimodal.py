@@ -30,7 +30,9 @@ __all__ = [
     "sniff_mime",
     "attach_media_metadata",
     "parse_image_header",
+    "parse_audio_header",
     "decode_image",
+    "decode_audio",
     "image_features",
     "sample_video_frames",
 ]
@@ -58,12 +60,22 @@ _MAGIC = [
 
 
 def sniff_mime(binary_col: str | Column) -> Column:
-    """Magic-byte mime sniffing as a pure Column expression over hex()."""
+    """Magic-byte mime sniffing as a pure Column expression over hex().
+    RIFF containers are refined by their form tag at offset 8 (WAVE / WEBP
+    / 'AVI ') instead of being blanket-labelled audio/wav."""
     col = F.col(binary_col) if isinstance(binary_col, str) else binary_col
     head = F.upper(F.hex(F.substring(col, 1, 16)))
+    form = F.upper(F.hex(F.substring(col, 9, 4)))
     out = F.lit("application/octet-stream")
     for prefix, mime in reversed(_MAGIC):
         out = F.when(head.startswith(prefix), F.lit(mime)).otherwise(out)
+    out = F.when(
+        head.startswith("52494646"),  # RIFF
+        F.when(form == "57415645", F.lit("audio/wav"))     # WAVE
+        .when(form == "57454250", F.lit("image/webp"))     # WEBP
+        .when(form == "41564920", F.lit("video/avi"))      # 'AVI '
+        .otherwise(F.lit("application/octet-stream")),
+    ).otherwise(out)
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
@@ -80,6 +92,10 @@ def attach_media_metadata(df: DataFrame, binary_col: str, out_col: str = "media_
 
 
 _DECODED_IMAGE_SCHEMA = "width int, height int, channels int, decode_ok boolean, decoder string"
+_DECODED_AUDIO_SCHEMA = (
+    "sample_rate int, channels int, bits_per_sample int, duration_s double, "
+    "decode_ok boolean, decoder string"
+)
 
 #: PNG color type -> sample channels (spec: greyscale, truecolor, palette,
 #: greyscale+alpha, truecolor+alpha)
@@ -121,6 +137,72 @@ def parse_image_header(b: bytes | None) -> tuple[int, int, int | None, str] | No
         h = abs(int.from_bytes(b[22:26], "little", signed=True))
         return (w, h, None, "bmp-dib")
     return None
+
+
+def parse_audio_header(b: bytes | None) -> tuple[int, int, int, float | None, str] | None:
+    """(sample_rate, channels, bits_per_sample, duration_s, decoder) parsed
+    straight from the header bytes — no media library.  Formats: WAV
+    (RIFF/WAVE fmt + data chunk walk), FLAC (STREAMINFO block).  Duration
+    derives from the data-chunk size (WAV) or total-samples field (FLAC);
+    None when the container omits it.  Returns None for unrecognized
+    bytes."""
+    if b is None:
+        return None
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, sr, ch, bits, data_size = 12, None, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                sr = int.from_bytes(b[i + 12 : i + 16], "little")
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_size = csize
+            # chunks are word-aligned: odd sizes carry a pad byte
+            i += 8 + csize + (csize & 1)
+        if sr and ch and bits:
+            dur = data_size / (sr * ch * (bits // 8)) if data_size and bits >= 8 else None
+            return (sr, ch, bits, dur, "wav-fmt")
+        return None
+    if b[:4] == b"fLaC" and len(b) >= 42 and (b[4] & 0x7F) == 0:
+        # STREAMINFO: after 10 bytes of block sizes/frame sizes comes a
+        # packed 8-byte field: sample rate (20b) | channels-1 (3b) |
+        # bits-1 (5b) | total samples (36b)
+        packed = int.from_bytes(b[18:26], "big")
+        sr = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & ((1 << 36) - 1)
+        if sr:
+            return (sr, ch, bits, total / sr if total else None, "flac-streaminfo")
+    return None
+
+
+def decode_audio(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
+    """Decode audio stream parameters via Arrow-batched ``mapInPandas`` —
+    the audio counterpart of :func:`decode_image`.  WAV/FLAC headers parse
+    dependency-free (:func:`parse_audio_header`); anything else returns
+    ``decode_ok=false`` rather than fake parameters."""
+    out_schema = f"{id_col} long, {_DECODED_AUDIO_SCHEMA}"
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(b: bytes | None):
+            hdr = parse_audio_header(b)
+            if hdr is None:
+                return (None, None, None, None, False, None if b is None else "header")
+            return hdr[:4] + (True, hdr[4])
+
+        for pdf in batches:
+            decoded = [decode(b) for b in pdf[binary_col]]
+            out = pd.DataFrame(
+                decoded,
+                columns=["sample_rate", "channels", "bits_per_sample", "duration_s", "decode_ok", "decoder"],
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
 def decode_image(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:

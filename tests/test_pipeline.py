@@ -659,3 +659,42 @@ def test_key_skew_diagnostics(spark):
     u = spark.createDataFrame([(i % 4, i) for i in range(40)], "k int, v int")
     su = diagnostics.key_skew_stats(u, ["k"]).collect()[0]
     assert su.skew_factor == 1.0 and su.suggested_salt == 1
+
+
+class TestAudioDecoding:
+    def test_wav_and_flac_header_parsing(self, spark):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(b"\x00\x00" * 2 * 44100)  # 1.0 s stereo 16-bit
+        wav = buf.getvalue()
+        assert multimodal.parse_audio_header(wav) == (44100, 2, 16, 1.0, "wav-fmt")
+
+        packed = (48000 << 44) | ((1 - 1) << 41) | ((24 - 1) << 36) | 96000
+        flac = b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        assert multimodal.parse_audio_header(flac) == (48000, 1, 24, 2.0, "flac-streaminfo")
+        assert multimodal.parse_audio_header(b"garbage") is None
+        assert multimodal.parse_audio_header(None) is None
+
+        rows = [(1, bytearray(wav)), (2, bytearray(flac)), (3, bytearray(b"nope")), (4, None)]
+        df = spark.createDataFrame(rows, "id long, data binary")
+        got = {r.id: r for r in multimodal.decode_audio(df, "data", "id").collect()}
+        assert (got[1].sample_rate, got[1].channels, got[1].duration_s) == (44100, 2, 1.0)
+        assert got[2].decoder == "flac-streaminfo" and got[2].bits_per_sample == 24
+        assert not got[3].decode_ok and got[3].decoder == "header"
+        assert not got[4].decode_ok and got[4].decoder is None
+
+    def test_riff_mime_refinement(self, spark):
+        webp = b"RIFF" + (100).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 40
+        avi = b"RIFF" + (100).to_bytes(4, "little") + b"AVI LIST" + b"\x00" * 40
+        wav = b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt " + b"\x00" * 40
+        df = spark.createDataFrame(
+            [(1, bytearray(webp)), (2, bytearray(avi)), (3, bytearray(wav))], "id long, data binary"
+        )
+        got = {r.id: r.m for r in df.select("id", multimodal.sniff_mime("data").alias("m")).collect()}
+        assert got == {1: "image/webp", 2: "video/avi", 3: "audio/wav"}
