@@ -11,7 +11,7 @@ the JDBC backend needs the database's driver jar on the Spark classpath.
 """
 
 from __future__ import annotations
-from dqx_spark.errors import InvalidCheckError, InvalidConfigError, MissingResourceError
+from dqx_spark.errors import CheckDownloadError, InvalidCheckError, InvalidConfigError, MissingResourceError
 
 import json
 from abc import ABC, abstractmethod
@@ -100,11 +100,18 @@ class TableChecksStorage(BaseChecksStorage):
         self.run_config_name = run_config_name
 
     def load(self) -> list[dict]:
-        rows = (
-            self.spark.read.table(self.table)
-            .where(F.col("run_config_name") == self.run_config_name)
-            .collect()
-        )
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        try:
+            rows = (
+                self.spark.read.table(self.table)
+                .where(F.col("run_config_name") == self.run_config_name)
+                .collect()
+            )
+        except AnalysisException as e:
+            raise CheckDownloadError(
+                f"cannot load checks from table {self.table!r}: {e}"
+            ) from e
         return [_row_to_check(r) for r in rows]
 
     def save(self, checks: list[dict], mode: str = "overwrite") -> None:

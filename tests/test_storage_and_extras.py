@@ -293,3 +293,16 @@ def test_contract_logical_type_options_and_quality_sections(spark):
     assert rows[2]["_errors"] is None or all(e["function"] != "is_in_list" for e in rows[2]["_errors"])
     bad = {e["function"] for e in rows[151]["_errors"]}
     assert {"is_in_range", "is_in_list", "sql_expression"} <= bad
+
+
+def test_table_storage_missing_table_raises_check_download_error(spark):
+    import pytest as _pytest
+
+    from dqx_spark.checks_storage import TableChecksStorage
+    from dqx_spark.errors import CheckDownloadError, InvalidCheckError
+
+    with _pytest.raises(CheckDownloadError):
+        TableChecksStorage(spark, "default.no_such_checks_table_xyz").load()
+    # still catchable as its parent (and as ValueError)
+    with _pytest.raises(InvalidCheckError):
+        TableChecksStorage(spark, "default.no_such_checks_table_xyz").load()
