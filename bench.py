@@ -528,6 +528,17 @@ def main() -> None:
                 "clean-room 10x (6M rows): 9.2s warm / 16.6s cold vs 3.6s at 1x "
                 "=> slope ~2.6, strongly sublinear (r5 measurement)"
             ),
+            # r5 decomposition of the aggr_grouped forced cost at 10x
+            # (6M rows, every row failing): 0.25s scan floor + 0.8s raw
+            # groupBy+broadcast-join-back + ~2.2s result-struct/message
+            # materialization — linear per-row, no superlinear shape.
+            # broadcast_stats=False (SMJ join-back on the 3-value group key)
+            # measured 15.6s, which is why broadcast is the default.
+            "aggr_grouped_forced_decomposition": (
+                "10x forced 3.2s = 0.25 scan + 0.8 raw agg+broadcast join + ~2.2 "
+                "message-struct build (all-rows-failing worst case; linear). "
+                "Non-broadcast join-back: 15.6s — broadcast_stats default is load-bearing."
+            ),
         }
 
     # ------------------------------------------------------------------
