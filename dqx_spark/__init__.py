@@ -31,7 +31,11 @@ from dqx_spark.rule import (
     register_rule,
 )
 from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_result_item_schema, dq_result_schema
-from dqx_spark.engine import DQEngine
+from dqx_spark.engine import DQEngine, ExtraParams
+
+#: reference-name alias (the reference splits DQEngine/DQEngineCore;
+#: our engine is one class — engine.py docstring)
+DQEngineCore = DQEngine
 from dqx_spark.errors import (
     CheckDownloadError,
     ComputationError,
@@ -54,7 +58,9 @@ __version__ = "0.1.0"
 __all__ = [
     "CheckDownloadError",
     "ComputationError",
+    "DQEngineCore",
     "DQXError",
+    "ExtraParams",
     "InvalidCheckError",
     "InvalidPhysicalTypeError",
     "MissingResourceError",

@@ -142,6 +142,27 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Managed multi-table fan-out driven entirely by a run-config file —
+    the reference's installed-workflow pattern (e2e_workflow.py) without
+    the workspace coupling."""
+    from dqx_spark.io import load_run_configs
+    from dqx_spark.workflow import apply_checks_and_save_in_tables
+
+    spark = _spark("run")
+    rcs = load_run_configs(args.run_configs)
+    if args.names:
+        wanted = set(args.names)
+        missing = wanted - {rc.name for rc in rcs}
+        if missing:
+            print(f"error: run configs not in {args.run_configs}: {sorted(missing)}", file=sys.stderr)
+            return 2
+        rcs = [rc for rc in rcs if rc.name in wanted]
+    results = apply_checks_and_save_in_tables(spark, rcs, max_parallelism=args.max_parallelism)
+    print(json.dumps({name: (m if isinstance(m, dict) else None) for name, m in results.items()}))
+    return 0
+
+
 def cmd_llm_generate(args) -> int:
     """Generate checks with an injected LLM provider, resolved from a
     'module:attribute' import path (no bundled runtime — see dqx_spark.llm)."""
@@ -296,6 +317,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also drop whole-document near-copies of eval docs (MinHash-LSH Jaccard)")
     p.add_argument("--records-per-file", type=int, default=1_000_000)
     p.set_defaults(func=cmd_clean)
+
+    p = sub.add_parser("run", help="managed multi-table runs from a run-config YAML/JSON file")
+    p.add_argument("--run-configs", required=True, help="file written by save_run_configs (or by hand)")
+    p.add_argument("--names", nargs="*", default=None, help="subset of run-config names to execute")
+    p.add_argument("--max-parallelism", type=int, default=4)
+    p.set_defaults(func=cmd_run)
     return parser
 
 

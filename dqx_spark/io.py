@@ -232,3 +232,109 @@ def write_sized(
         .options(**(options or {}))
     )
     writer.save(path)
+
+
+# ---------------------------------------------------------------------------
+# run-config YAML round-trip (reference config_serializer.py:1-97)
+# ---------------------------------------------------------------------------
+def _cfg_to_dict(obj):
+    from dataclasses import asdict, is_dataclass  # noqa: PLC0415
+
+    if obj is None:
+        return None
+    assert is_dataclass(obj)
+    d = asdict(obj)
+    # drop empty/None fields so saved files stay minimal and re-loadable
+    return {k: v for k, v in d.items() if v not in (None, {}, [])}
+
+
+def run_config_to_dict(rc: RunConfig) -> dict:
+    """RunConfig -> plain dict (nested configs inlined; empties dropped)."""
+    out = {"name": rc.name}
+    for key, sub in (
+        ("input_config", rc.input_config),
+        ("output_config", rc.output_config),
+        ("quarantine_config", rc.quarantine_config),
+        ("metrics_config", rc.metrics_config),
+    ):
+        if sub is not None:
+            out[key] = _cfg_to_dict(sub)
+    if rc.checks_location:
+        out["checks_location"] = rc.checks_location
+    if rc.reference_tables:
+        out["reference_tables"] = {k: _cfg_to_dict(v) for k, v in rc.reference_tables.items()}
+    if rc.custom_metrics:
+        out["custom_metrics"] = list(rc.custom_metrics)
+    return out
+
+
+def run_config_from_dict(d: dict) -> RunConfig:
+    """Inverse of :func:`run_config_to_dict`, with typed-error validation."""
+    from dqx_spark.errors import InvalidConfigError  # noqa: PLC0415
+
+    if not isinstance(d, dict):
+        raise InvalidConfigError(f"run config entry must be a mapping, got {type(d).__name__}")
+
+    def sub(cls, key):
+        v = d.get(key)
+        if v is None:
+            return None
+        if not isinstance(v, dict) or "location" not in v:
+            raise InvalidConfigError(f"{key} must be a mapping with a 'location', got {v!r}")
+        try:
+            return cls(**v)
+        except TypeError as e:
+            raise InvalidConfigError(f"bad {key}: {e}") from e
+
+    refs = {}
+    for name, v in (d.get("reference_tables") or {}).items():
+        if not isinstance(v, dict) or "location" not in v:
+            raise InvalidConfigError(f"reference_tables[{name!r}] must be a mapping with a 'location'")
+        refs[name] = InputConfig(**v)
+    return RunConfig(
+        name=d.get("name", "default"),
+        input_config=sub(InputConfig, "input_config"),
+        output_config=sub(OutputConfig, "output_config"),
+        quarantine_config=sub(OutputConfig, "quarantine_config"),
+        metrics_config=sub(OutputConfig, "metrics_config"),
+        checks_location=d.get("checks_location"),
+        reference_tables=refs,
+        custom_metrics=list(d.get("custom_metrics") or []),
+    )
+
+
+def save_run_configs(run_configs: list[RunConfig], path: str) -> None:
+    """Write run configs to a YAML (or ``.json``) file."""
+    import json as _json  # noqa: PLC0415
+
+    data = [run_config_to_dict(rc) for rc in run_configs]
+    with open(path, "w", encoding="utf-8") as fh:
+        if path.endswith(".json"):
+            _json.dump(data, fh, indent=2)
+        else:
+            import yaml  # noqa: PLC0415
+
+            yaml.safe_dump(data, fh, sort_keys=False)
+
+
+def load_run_configs(path: str) -> list[RunConfig]:
+    """Load run configs from a YAML/JSON file written by
+    :func:`save_run_configs` (or by hand)."""
+    import json as _json  # noqa: PLC0415
+
+    from dqx_spark.errors import InvalidConfigError, MissingResourceError  # noqa: PLC0415
+
+    try:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    except FileNotFoundError as e:
+        raise MissingResourceError(f"run-config file {path!r} does not exist") from e
+    if path.endswith(".json"):
+        data = _json.loads(text)
+    else:
+        import yaml  # noqa: PLC0415
+
+        data = yaml.safe_load(text)
+    if not isinstance(data, list):
+        raise InvalidConfigError(f"run-config file {path!r} must contain a list")
+    return [run_config_from_dict(d) for d in data]

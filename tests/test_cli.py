@@ -119,3 +119,40 @@ def test_cli_clean_decontamination_flags_require_eval_input(tmp_path, capsys):
     )
     assert rc == 2
     assert "require --eval-input" in capsys.readouterr().err
+
+
+def test_cli_run_from_config_file(spark, tmp_path, capsys):
+    """End-to-end 'run' subcommand: config file -> fan-out -> outputs +
+    quarantine + summary metrics."""
+    from dqx_spark.io import InputConfig, OutputConfig, RunConfig, save_run_configs
+
+    checks = tmp_path / "checks.yaml"
+    checks.write_text(
+        "- criticality: error\n"
+        "  check:\n"
+        "    function: is_in_range\n"
+        "    arguments: {column: l_quantity, min_limit: 5, max_limit: 45}\n"
+    )
+    out_dir, bad_dir = str(tmp_path / "good"), str(tmp_path / "bad")
+    rcs = [
+        RunConfig(
+            name="li",
+            input_config=InputConfig(location=f"{SF}/lineitem.parquet"),
+            output_config=OutputConfig(location=out_dir, mode="overwrite"),
+            quarantine_config=OutputConfig(location=bad_dir, mode="overwrite"),
+            checks_location=str(checks),
+        ),
+    ]
+    cfg = str(tmp_path / "runs.yaml")
+    save_run_configs(rcs, cfg)
+    rc = main(["run", "--run-configs", cfg])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "li" in stats
+    good = spark.read.parquet(out_dir)
+    bad = spark.read.parquet(bad_dir)
+    total = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert good.count() + bad.count() == total
+    assert bad.count() > 0 and "_errors" in bad.columns and "_errors" not in good.columns
+    # unknown name -> clean error
+    assert main(["run", "--run-configs", cfg, "--names", "nope"]) == 2

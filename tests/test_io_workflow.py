@@ -248,3 +248,47 @@ def test_sort_for_skipping_layout(spark, tmp_path):
     assert len(spans) >= 2
     total_span = sum(r.hi - r.lo for r in spans)
     assert total_span <= 110  # ranges are disjoint-ish, not each 0..99
+
+
+def test_run_config_yaml_round_trip(tmp_path):
+    """config_serializer parity (reference config_serializer.py:1-97):
+    RunConfig lists round-trip through YAML and JSON; malformed files raise
+    typed errors."""
+    import pytest as _pytest
+
+    from dqx_spark.errors import InvalidConfigError, MissingResourceError
+    from dqx_spark.io import (
+        InputConfig,
+        OutputConfig,
+        RunConfig,
+        load_run_configs,
+        save_run_configs,
+    )
+
+    rcs = [
+        RunConfig(
+            name="t1",
+            input_config=InputConfig(location="/data/in.parquet", options={"mergeSchema": "true"}),
+            output_config=OutputConfig(location="cat.sch.out", mode="overwrite", partition_by=["d"]),
+            quarantine_config=OutputConfig(location="/data/bad"),
+            checks_location="/conf/checks.yaml",
+            reference_tables={"ref": InputConfig(location="cat.sch.ref")},
+            custom_metrics=["count(1) as n"],
+        ),
+        RunConfig(name="t2"),
+    ]
+    for ext in ("yaml", "json"):
+        p = str(tmp_path / f"rc.{ext}")
+        save_run_configs(rcs, p)
+        back = load_run_configs(p)
+        assert back == rcs
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("not-a-list: 1\n")
+    with _pytest.raises(InvalidConfigError):
+        load_run_configs(str(bad))
+    bad.write_text("- input_config: {format: parquet}\n")  # no location
+    with _pytest.raises(InvalidConfigError):
+        load_run_configs(str(bad))
+    with _pytest.raises(MissingResourceError):
+        load_run_configs(str(tmp_path / "nope.yaml"))
