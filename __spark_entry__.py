@@ -202,9 +202,22 @@ def q_embedding_dup_pairs(spark, sf):
 
 
 def q_embedding_topk(spark, sf):
+    """Exact top-10 plus — since r5 — the int8 quantization certification:
+    each returned vector's symmetric-int8 representation is closed-form
+    arithmetic on the stored parquet floats, so q8 checksum + scale have a
+    bit-exact DuckDB twin."""
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=10).select("id", "rank")
+    top = similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=10).select("id", "rank")
+    q = similarity.quantize_embeddings(df, "embedding").select(
+        F.col("vec_id").alias("id"),
+        F.aggregate(F.col("embedding_q8"), F.lit(0), lambda a, x: a + x.cast("int")).alias("q8_sum"),
+        F.aggregate(
+            F.col("embedding_q8"), F.lit(0), lambda a, x: a + F.abs(x.cast("int"))
+        ).alias("q8_abs_sum"),
+        F.round("embedding_scale", 9).alias("q8_scale"),
+    )
+    return top.join(q, "id").select("id", "rank", "q8_sum", "q8_abs_sum", "q8_scale")
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -2326,8 +2339,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_cosine_topk": (
             "WITH qv AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0), "
-            "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) s FROM embeddings) "
-            "SELECT vec_id AS id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank FROM scored ORDER BY s DESC, vec_id LIMIT 10"
+            "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) s FROM embeddings), "
+            "top AS (SELECT vec_id AS id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank "
+            "FROM scored ORDER BY s DESC, vec_id LIMIT 10), "
+            "qq AS (SELECT vec_id AS id, "
+            "list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS sc, "
+            "embedding::DOUBLE[] AS v FROM embeddings), "
+            "qz AS (SELECT id, CASE WHEN sc > 0 THEN list_transform(v, x -> round(x / sc)::INT) "
+            "ELSE list_transform(v, x -> 0) END AS q, sc FROM qq) "
+            "SELECT t.id, t.rank, list_sum(q.q)::INT AS q8_sum, "
+            "list_sum(list_transform(q.q, x -> abs(x)))::INT AS q8_abs_sum, "
+            "round(q.sc, 9) AS q8_scale "
+            "FROM top t JOIN qz q ON q.id = t.id"
         ),
         "aggr_matches_dataset_grouped": (
             "WITH cur AS (SELECT l_returnflag, count(l_quantity) c FROM lineitem GROUP BY 1), "

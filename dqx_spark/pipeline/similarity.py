@@ -27,6 +27,8 @@ __all__ = [
     "ivf_topk",
     "l2_normalize",
     "group_centroids",
+    "quantize_embeddings",
+    "dequantize_embeddings",
 ]
 
 
@@ -234,3 +236,43 @@ def group_centroids(
     return agg.select(
         "group", "n", F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str | None = None,
+    scale_col: str | None = None,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = round(v_i / scale)``
+    with ``scale = max(|v|) / 127`` — the standard 4× memory/IO reduction
+    for embedding storage and ANN candidate scans at corpus scale.
+
+    Adds ``<vec_col>_q8`` (``array<tinyint>``) and ``<vec_col>_scale``
+    (double; 0.0 for all-zero vectors, which quantize to zeros and
+    dequantize exactly).  Pure Column expressions — deterministic, no UDF,
+    and engine-portable arithmetic (closed-form oracle-able).
+
+    Dot products over the int8 arrays recover cosine up to quantization
+    error: ``dot(a, b) ≈ scale_a * scale_b * dot(q_a, q_b)`` — see
+    :func:`dequantize_embeddings` and the recall test pinning the quality
+    floor.
+    """
+    out_col = out_col or f"{vec_col}_q8"
+    scale_col = scale_col or f"{vec_col}_scale"
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (absmax / F.lit(127.0)).alias(scale_col)
+    df = df.withColumn(scale_col, scale)
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(out_col, q)
+
+
+def dequantize_embeddings(q_col: Column | str, scale_col: Column | str) -> Column:
+    """int8 array + scale -> approximate float vector (array<double>)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)

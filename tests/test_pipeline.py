@@ -698,3 +698,36 @@ class TestAudioDecoding:
         )
         got = {r.id: r.m for r in df.select("id", multimodal.sniff_mime("data").alias("m")).collect()}
         assert got == {1: "image/webp", 2: "video/avi", 3: "audio/wav"}
+
+
+def test_embedding_quantization_round_trip_and_recall(spark):
+    """int8 quantization: exact round trips for representable values, zero
+    vectors stay zero, and quantized cosine top-10 recall >= 0.9 against
+    exact on the driver embeddings."""
+    import os
+
+    from dqx_spark.pipeline.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [127.0, -127.0, 0.0, 63.5]), (2, [0.0, 0.0, 0.0, 0.0])], "id long, v array<double>"
+    )
+    q = quantize_embeddings(df, "v")
+    got = {r.id: (list(r.v_q8), r.v_scale) for r in q.collect()}
+    assert got[1] == ([127, -127, 0, 64], 1.0)   # 63.5/1.0 rounds half-up to 64
+    assert got[2] == ([0, 0, 0, 0], 0.0)
+    back = {r.id: list(r.d) for r in q.select("id", dequantize_embeddings("v_q8", "v_scale").alias("d")).collect()}
+    assert back[1] == [127.0, -127.0, 0.0, 64.0] and back[2] == [0.0, 0.0, 0.0, 0.0]
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qemb = quantize_embeddings(emb, "embedding").select(
+        "vec_id", dequantize_embeddings("embedding_q8", "embedding_scale").alias("embedding")
+    )
+    qv = [float(x) for x in emb.where("vec_id = 3").collect()[0]["embedding"]]
+    exact = {r.id for r in cosine_topk(emb, qv, "embedding", "vec_id", 10).collect()}
+    approx = {r.id for r in cosine_topk(qemb, qv, "embedding", "vec_id", 10).collect()}
+    assert len(exact & approx) / 10 >= 0.9
