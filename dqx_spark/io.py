@@ -10,6 +10,7 @@ delta-if-available, json, csv, table names) are first-class.
 from __future__ import annotations
 from dqx_spark.errors import InvalidParameterError
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -338,3 +339,70 @@ def load_run_configs(path: str) -> list[RunConfig]:
     if not isinstance(data, list):
         raise InvalidConfigError(f"run-config file {path!r} must contain a list")
     return [run_config_from_dict(d) for d in data]
+
+
+def parquet_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Physical-layout inspection of a parquet dataset: one row per file
+    with ``(file, size_bytes, num_rows, num_row_groups, serialized_bytes)``
+    — the inputs to every compaction / small-files / row-group-sizing
+    decision (pairs with :func:`write_sized` and
+    ``spark.sql.files.maxPartitionBytes``).
+
+    Footer-only reads: the file list distributes across the cluster and
+    each task opens just the parquet footer via pyarrow (no column data
+    IO), so inspecting a 100 TB dataset costs one metadata round per file.
+    """
+    import pandas as _pd  # noqa: PLC0415
+
+    files = spark.read.parquet(path).inputFiles()
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file"]:
+                local = uri[len("file:"):] if uri.startswith("file:") else uri
+                try:
+                    md = pq.ParquetFile(local).metadata
+                    rows.append(
+                        (
+                            uri,
+                            os.path.getsize(local),
+                            md.num_rows,
+                            md.num_row_groups,
+                            sum(
+                                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                            ),
+                        )
+                    )
+                except (OSError, ValueError):
+                    rows.append((uri, None, None, None, None))
+            yield _pd.DataFrame(
+                rows, columns=["file", "size_bytes", "num_rows", "num_row_groups", "serialized_bytes"]
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    )
+    return fdf.mapInPandas(
+        read_footers,
+        schema="file string, size_bytes long, num_rows long, num_row_groups int, serialized_bytes long",
+    )
+
+
+def sort_for_locality(df: DataFrame, cols: list[str], num_partitions: int | None = None) -> DataFrame:
+    """Range-partition + sort within partitions on ``cols`` before writing —
+    the poor-man's clustering: co-locates key ranges into files so
+    downstream scans with predicates on ``cols`` prune whole files via
+    parquet min/max stats (the OSS analogue of the reference's
+    ``cluster_by`` liquid-clustering passthrough, io.py:190-244).
+
+    One range-exchange shuffle; the sort is partition-local.  Skewed key
+    ranges are handled by Spark's range-partition sampling.
+    """
+    if not cols:
+        raise InvalidParameterError("cols must be non-empty")
+    parts = [F.col(c) for c in cols]
+    rp = df.repartitionByRange(num_partitions, *parts) if num_partitions else df.repartitionByRange(*parts)
+    return rp.sortWithinPartitions(*parts)

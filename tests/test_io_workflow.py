@@ -292,3 +292,36 @@ def test_run_config_yaml_round_trip(tmp_path):
         load_run_configs(str(bad))
     with _pytest.raises(MissingResourceError):
         load_run_configs(str(tmp_path / "nope.yaml"))
+
+
+def test_parquet_layout_and_sort_for_locality(spark, tmp_path):
+    from dqx_spark.io import parquet_layout, sort_for_locality
+
+    src = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(42).alias("v")
+    )
+    out = str(tmp_path / "laid_out")
+    sort_for_locality(src, ["k"], num_partitions=4).write.mode("overwrite").parquet(out)
+
+    layout = parquet_layout(spark, out).collect()
+    assert len(layout) >= 4
+    assert sum(r.num_rows for r in layout) == 10_000
+    assert all(r.num_row_groups >= 1 and r.size_bytes > 0 for r in layout)
+    # locality: each file covers a narrow k-range -> per-file min==max for
+    # most files when 7 keys spread over >=4 range partitions
+    import pyarrow.parquet as pq
+
+    spans = []
+    for r in layout:
+        md = pq.ParquetFile(r.file[len("file:"):]).metadata
+        ks = [md.row_group(i).column(1).statistics for i in range(md.num_row_groups)]
+        spans.append(max(s.max for s in ks) - min(s.min for s in ks))
+    assert sum(1 for s in spans if s <= 2) >= len(spans) - 1, spans
+
+    # plan shape: range exchange, not hash
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sort_for_locality(src, ["k"], num_partitions=4).explain("formatted")
+    assert "rangepartitioning" in buf.getvalue()
