@@ -273,14 +273,17 @@ def sql_query(
     name: str | None = None,
     negate: bool = False,
     condition_column: str = "condition",
-    input_placeholder: str = "input",
+    input_placeholder: str = "input_view",
     row_filter: str | None = None,
 ):
     """Arbitrary SQL over the input (registered as a unique temp view) and
     reference views (reference check_funcs.py:2048-2175).
 
-    ``{{ input }}`` in the query resolves to the input view; ``{{ name }}``
-    to each ref DataFrame.  With ``merge_columns``: row-level — the query's
+    ``{{ input_view }}`` in the query resolves to the input view (the
+    reference's default placeholder, check_funcs.py:2055 — caught by
+    running its own YAML corpus); the legacy ``{{ input }}`` alias keeps
+    working unless a ref DataFrame claims that name.  ``{{ name }}``
+    resolves to each ref DataFrame.  With ``merge_columns``: row-level — the query's
     ``condition_column`` is deduped per merge key (groupBy+max) and joined
     back null-safely.  Without: dataset-level — a single verdict broadcast to
     all rows via crossJoin of the 1-row aggregate.
@@ -297,9 +300,11 @@ def sql_query(
         base = source_df if source_df is not None else df
         view = f"__dq_input_{sfx}"
         base.createOrReplaceTempView(view)
-        text = query.replace("{{ " + input_placeholder + " }}", view).replace(
-            "{{" + input_placeholder + "}}", view
-        )
+        text = query
+        for ph in dict.fromkeys([input_placeholder, "input_view", "input"]):
+            if ph in (ref_dfs or {}):
+                continue
+            text = text.replace("{{ " + ph + " }}", view).replace("{{" + ph + "}}", view)
         for ref_name, ref_df in (ref_dfs or {}).items():
             ref_view = f"__dq_ref_{ref_name}_{sfx}"
             ref_df.createOrReplaceTempView(ref_view)

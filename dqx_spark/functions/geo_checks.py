@@ -46,6 +46,8 @@ square-grid polyfill (full-interior cells -> O(1) set probe; boundary cells
 
 from __future__ import annotations
 
+from dqx_spark.errors import InvalidParameterError
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1088,6 +1090,44 @@ def _geo_relation(col_geom: Column, ref_geom: Column, relation: str) -> Column:
     )
 
 
+def _geo_relation_point_ref(col_geom: Column, px: float, py: float, relation: str) -> Column:
+    """``relation`` between the column geometry and a POINT reference —
+    exact OGC semantics computable with the existing primitives: a point
+    has no boundary (touches between points is false; contains == covers),
+    and a positive-area polygon can only be within/covered-by a point when
+    degenerate (every vertex equal to it)."""
+    up_a = _wkt_upper(col_geom)
+    p = F.struct(F.lit(float(px)).alias("x"), F.lit(float(py)).alias("y"))
+
+    def eq_p(v: Column) -> Column:
+        return (v.getField("x") == p.getField("x")) & (v.getField("y") == p.getField("y"))
+
+    q = F.try_element_at(_coords(col_geom), F.lit(1))
+    eq = F.coalesce(eq_p(q), F.lit(False))
+    point_rel = {
+        "intersects": eq, "within": eq, "contains": eq, "covers": eq, "touches": F.lit(False)
+    }[relation]
+
+    ring_a = _ring(col_geom)
+    edges_a = _edges(ring_a)
+    on_boundary = _point_on_edges(p, edges_a)
+    strict_in = _point_in_ring(p, ring_a) & ~on_boundary
+    degenerate = F.forall(ring_a, eq_p)
+    poly_rel = {
+        "intersects": strict_in | on_boundary,
+        "within": degenerate,
+        "covers": degenerate,
+        "contains": degenerate,
+        "touches": on_boundary & ~strict_in,
+    }[relation]
+    poly_rel = _ring_well_formed(ring_a) & poly_rel
+    return (
+        F.when(up_a.rlike(WKT_PATTERNS["POINT"]), point_rel)
+        .when(up_a.rlike(WKT_PATTERNS["POLYGON"]), poly_rel)
+        .otherwise(F.lit(False))
+    )
+
+
 def _geo_relation_check(
     column, reference_geometry, relation: str, label: str
 ) -> Column:
@@ -1101,14 +1141,21 @@ def _geo_relation_check(
 
     if isinstance(reference_geometry, bytes):
         raise ValueError("WKB reference_geometry requires a spatial backend; pass WKT")
+    point_ref: tuple[float, float] | None = None
     if isinstance(reference_geometry, str):
         # literal: validate eagerly on the driver — a typo'd fence is a
         # configuration error, not a data-quality verdict
-        if not _re.match(WKT_PATTERNS["POLYGON"], reference_geometry.strip().upper()):
-            raise ValueError(
-                f"reference_geometry must be a well-formed POLYGON WKT literal, got {reference_geometry!r}"
+        stripped = reference_geometry.strip().upper()
+        m = _re.match(r"^POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)$", stripped)
+        if m:
+            point_ref = (float(m.group(1)), float(m.group(2)))
+        elif not _re.match(WKT_PATTERNS["POLYGON"], stripped):
+            raise InvalidParameterError(
+                "reference_geometry must be a well-formed POLYGON or POINT WKT literal, "
+                f"got {reference_geometry!r}"
             )
-        _parse_wkt_ring(reference_geometry)  # closed outer ring with >= 4 points, or ValueError
+        else:
+            _parse_wkt_ring(reference_geometry)  # closed outer ring with >= 4 points, or ValueError
         ref = F.lit(reference_geometry)
         ref_ok = F.lit(True)
     else:
@@ -1118,7 +1165,12 @@ def _geo_relation_check(
         ref_ok = _wkt_upper(ref).rlike(WKT_PATTERNS["POLYGON"]) & _ring_well_formed(_ring(ref))
     col = to_col(column)
     name = normalize_col_str(column)
-    holds = F.coalesce(ref_ok, F.lit(False)) & F.coalesce(_geo_relation(col, ref, relation), F.lit(False))
+    rel = (
+        _geo_relation_point_ref(col, point_ref[0], point_ref[1], relation)
+        if point_ref is not None
+        else _geo_relation(col, ref, relation)
+    )
+    holds = F.coalesce(ref_ok, F.lit(False)) & F.coalesce(rel, F.lit(False))
     condition = col.isNotNull() & ~holds
     return make_condition(
         condition,

@@ -232,3 +232,34 @@ def test_polygons_disjoint_containment(spark):
     df = spark.createDataFrame(rows, "id int, g string")
     rule = DQDatasetRule(check_func=C.are_polygons_mutually_disjoint, column="g")
     assert fired_ids(spark, df, rule) == {0, 1}
+
+
+def test_point_reference_geometry_relations(spark):
+    """POINT reference literals (reference corpus usage): exact OGC
+    semantics — a positive-area polygon is never within a point, a point
+    touches a polygon boundary it sits on, equal points relate."""
+    import dqx_spark.functions as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "POINT(2 2)"),
+            (2, "POINT(3 4)"),
+            (3, "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"),   # 2 2 strictly inside
+            (4, "POLYGON((2 2, 5 2, 5 5, 2 5, 2 2))"),   # 2 2 on boundary
+            (5, "POLYGON((10 10, 11 10, 11 11, 10 11, 10 10))"),
+        ],
+        "id long, g string",
+    )
+
+    def fails(check_col):
+        out = df.select("id", check_col.alias("c"))
+        return {r.id for r in out.collect() if r.c is not None}
+
+    # within POINT(2 2): only the identical point holds
+    assert fails(C.is_geo_within("g", "POINT(2 2)")) == {2, 3, 4, 5}
+    # intersects: the point itself, interior hit, boundary hit
+    assert fails(C.is_geo_intersects("g", "POINT(2 2)")) == {2, 5}
+    # touches: boundary contact only
+    assert fails(C.is_geo_touches("g", "POINT(2 2)")) == {1, 2, 3, 5}
+    # covers (ref covers col): nothing but the equal point
+    assert fails(C.is_geo_covers("g", "POINT(2 2)")) == {2, 3, 4, 5}

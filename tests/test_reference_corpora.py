@@ -1,0 +1,130 @@
+"""The strongest switching-user evidence: the REFERENCE repo's own YAML
+check corpora (tests/resources/all_*.yaml — 126 checks covering the whole
+declarative surface) validate, deserialize, and RUN through this engine on
+data shaped like the reference's perf fixtures.
+
+The corpora are loaded read-only from /root/reference at test time (never
+copied into this repo); the whole module skips when the reference checkout
+is absent, so the repo stays standalone.
+"""
+
+import glob
+import os
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from dqx_spark import DQEngine
+from dqx_spark.engine import ExtraParams
+from dqx_spark.serde import validate_checks
+
+REF_RES = "/root/reference/tests/resources"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_RES), reason="reference checkout not available"
+)
+
+RUN_TS = "2024-06-01 00:00:00"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ansi_off(spark):
+    """The reference corpora were authored for ANSI-off Spark 3.x (e.g.
+    comparing an int column to the SQL literal 'unknown'); Spark 4 defaults
+    ANSI on, so mirror the reference runtime for this module only."""
+    before = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", before)
+
+
+def _engine():
+    return DQEngine(extra_params=ExtraParams(run_time_overwrite=RUN_TS, run_id_overwrite="refc"))
+
+
+def _load(name):
+    with open(os.path.join(REF_RES, name), encoding="utf-8") as fh:
+        return yaml.safe_load(fh)
+
+
+def test_all_reference_corpora_validate():
+    total = 0
+    for p in sorted(glob.glob(os.path.join(REF_RES, "all_*checks.yaml"))):
+        checks = yaml.safe_load(open(p, encoding="utf-8"))
+        status = validate_checks(checks)
+        assert not status.has_errors, f"{os.path.basename(p)}: {status}"
+        total += len(checks)
+    assert total >= 120
+
+
+@pytest.fixture(scope="module")
+def ref_shaped_df(spark):
+    """Rows shaped like the reference perf fixture (conftest.py SCHEMA_STR)
+    plus the extra columns the row corpus references."""
+    rows = [
+        (1, 10, 5, [1, 2], "2024-05-30", "2024-05-31 23:00:00", {"key1": 1}, (7,), 3,
+         "192.168.1.10", "2001:db8::1", '{"key1": "a", "key2": "b"}', "POINT(4.90 52.37)",
+         "US", "USD", "a@b.com", "en", "123-45-6789", "US-CA", '{"key1": "x"}',
+         "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", "POINT(1 1)", "LINESTRING(0 0, 1 1)",
+         "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", "MULTIPOINT((0 0), (1 1))",
+         "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))",
+         "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)))",
+         "GEOMETRYCOLLECTION(POINT(1 1), LINESTRING(0 0, 1 1))"),
+        (2, 20, 6, [3], "2024-05-20", "2024-05-25 12:00:00", {"key1": 2}, (8,), 4,
+         "10.0.0.1", "2001:db8::2", '{"key1": "c", "key2": "d"}', "POINT(4.73 52.28)",
+         "DE", "EUR", "c@d.org", "de", "987-65-4321", "DE-BY", '{"key1": "y"}',
+         "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))", "POINT(11 11)",
+         "LINESTRING(10 10, 11 11)", "POLYGON((10 10, 11 10, 11 11, 10 11, 10 10))",
+         "MULTIPOINT((10 10))", "MULTILINESTRING((10 10, 11 11))",
+         "MULTIPOLYGON(((10 10, 11 10, 11 11, 10 11, 10 10)))",
+         "GEOMETRYCOLLECTION(POINT(11 11))"),
+    ]
+    schema = (
+        "col1 int, col2 int, col3 int, col4 array<int>, col5 string, col6 string, "
+        "col7 map<string,int>, col8 struct<field1:int>, col10 int, col_ipv4 string, "
+        "col_ipv6 string, col_json_str string, col_geo_point string, col_country string, "
+        "col_currency string, col_email string, col_language string, col_ssn string, "
+        "col_subdivision string, col_json_str2 string, "
+        "geom string, point_geom string, linestring_geom string, polygon_geom string, "
+        "multipoint_geom string, multilinestring_geom string, multipolygon_geom string, "
+        "geometrycollection_geom string"
+    )
+    return (
+        spark.createDataFrame(rows, schema)
+        .withColumn("col5", F.to_date("col5"))
+        .withColumn("col6", F.to_timestamp("col6"))
+    )
+
+
+def test_reference_row_corpus_runs_end_to_end(spark, ref_shaped_df):
+    checks = _load("all_row_checks.yaml")
+    checked = _engine().apply_checks_by_metadata(ref_shaped_df, checks)
+    rows = checked.collect()
+    assert len(rows) == 2
+    results = [e for r in rows for e in (r["_errors"] or []) + (r["_warnings"] or [])]
+    # nothing was structurally skipped: every check resolved its columns
+    skipped = [e["name"] for e in results if e["skipped"]]
+    assert skipped == [], f"skipped: {skipped}"
+
+
+def test_reference_dataset_corpus_runs_end_to_end(spark, ref_shaped_df):
+    checks = _load("all_dataset_checks.yaml")
+    ref_df = spark.createDataFrame([(1, 10, 5), (2, 20, 6)], "ref_col1 int, ref_col2 int, ref_col3 int")
+    checked = _engine().apply_checks_by_metadata(
+        ref_shaped_df, checks, ref_dfs={"ref_df_key": ref_df}
+    )
+    rows = checked.collect()
+    assert len(rows) == 2
+    results = [e for r in rows for e in (r["_errors"] or []) + (r["_warnings"] or [])]
+    skipped = [e["name"] for e in results if e["skipped"]]
+    assert skipped == [], f"skipped: {skipped}"
+
+
+def test_reference_geo_corpora_run_end_to_end(spark, ref_shaped_df):
+    geo = _load("all_row_geo_checks.yaml") + _load("all_dateset_geo_checks.yaml")
+    checked = _engine().apply_checks_by_metadata(ref_shaped_df, geo)
+    rows = checked.collect()
+    assert len(rows) == 2
+    results = [e for r in rows for e in (r["_errors"] or []) + (r["_warnings"] or [])]
+    skipped = [e["name"] for e in results if e["skipped"]]
+    assert skipped == [], f"skipped: {skipped}"
