@@ -253,6 +253,49 @@ def _is_segmented(model: dict) -> bool:
     return model.get("algo") == "isolation_forest_segmented"
 
 
+def _is_ensemble(model: dict) -> bool:
+    return model.get("algo") == "isolation_forest_ensemble"
+
+
+def fit_isolation_forest_ensemble(
+    df: DataFrame,
+    columns: list[str],
+    n_models: int = 3,
+    num_trees: int = 100,
+    sample_size: int = 256,
+    max_samples: int = 65536,
+    seed: int = 42,
+    contamination: float = 0.01,
+) -> dict:
+    """Ensemble of independently-seeded forests; the ensemble score is the
+    member mean (reference ensemble_training/ensemble_scorer semantics —
+    variance reduction against single-forest seed sensitivity).  Same
+    registry/threshold/scoring lifecycle as a flat model."""
+    if n_models < 1:
+        raise ValueError("n_models must be >= 1")
+    members = [
+        fit_isolation_forest(
+            df, columns, num_trees=num_trees, sample_size=sample_size,
+            max_samples=max_samples, seed=seed + i, contamination=contamination,
+        )
+        for i in range(n_models)
+    ]
+    return {
+        "model_id": uuid.uuid4().hex,
+        "created_at": datetime.now(timezone.utc).isoformat(),
+        "algo": "isolation_forest_ensemble",
+        "columns": list(columns),
+        "seed": int(seed),
+        "n_models": int(n_models),
+        "members": members,
+        # ensemble threshold: mean of member thresholds (each derives from
+        # the same contamination quantile on its own training scores)
+        "score_threshold": float(np.mean([m["score_threshold"] for m in members])),
+        "medians": members[0]["medians"],
+        "train_rows": members[0]["train_rows"],
+    }
+
+
 def _is_path(registry: str) -> bool:
     return "/" in registry
 
@@ -305,6 +348,22 @@ def score_with_model(df: DataFrame, model: dict, score_col: str = "anomaly_score
     Segmented models route each row to its segment's forest (fallback for
     unseen segments) inside the same batch."""
     columns = model["columns"]
+    if _is_ensemble(model):
+        payloads = [_score_payload(m) for m in model["members"]]
+
+        @F.pandas_udf("double")
+        def ens_score_udf(*series: pd.Series) -> pd.Series:
+            pdf = pd.concat(series, axis=1)
+            pdf.columns = columns
+            acc = None
+            for p in payloads:
+                x = _impute(pdf, columns, p["medians"])
+                sc = _score_matrix(x, p)
+                acc = sc if acc is None else acc + sc
+            return pd.Series(acc / len(payloads))
+
+        return df.withColumn(score_col, ens_score_udf(*[F.col(c).cast("double") for c in columns]))
+
     if _is_segmented(model):
         seg_payloads = {k: _score_payload(m) for k, m in model["segments"].items()}
         fb_payload = _score_payload(model["fallback"])

@@ -117,3 +117,37 @@ def test_feature_drift_psi(spark, cluster_df):
     moved = anomaly.feature_drift(shifted, model)
     assert moved["a"] > 1.0, moved
     assert moved["b"] < 0.1, moved
+
+
+def test_isolation_forest_ensemble_lifecycle(spark, tmp_path):
+    """Ensemble fit -> registry round-trip -> scoring = mean of member
+    scores; an obvious outlier scores above the calibrated threshold."""
+    import numpy as np
+
+    from dqx_spark import anomaly
+
+    rows = [(float(i % 10), float((i * 7) % 10)) for i in range(500)] + [(500.0, -500.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    model = anomaly.fit_isolation_forest_ensemble(df, ["x", "y"], n_models=3, num_trees=30, seed=7)
+    assert model["algo"] == "isolation_forest_ensemble" and len(model["members"]) == 3
+    # distinct member seeds -> distinct forests
+    assert len({m["seed"] for m in model["members"]}) == 3
+
+    reg = str(tmp_path / "registry")
+    anomaly.save_model(spark, model, reg)
+    back = anomaly.load_model(spark, reg)
+    assert back["model_id"] == model["model_id"]
+
+    scored = anomaly.score_with_model(df, back).collect()
+    outlier = [r for r in scored if r.x == 500.0][0]
+    inliers = [r.anomaly_score for r in scored if r.x != 500.0]
+    assert outlier.anomaly_score > np.mean(inliers)
+    assert outlier.anomaly_score > back["score_threshold"]
+    # ensemble score == mean of member scores
+    member_scores = [
+        [r.anomaly_score for r in anomaly.score_with_model(df, m).collect()]
+        for m in model["members"]
+    ]
+    ens = [r.anomaly_score for r in anomaly.score_with_model(df, model).collect()]
+    want = np.mean(member_scores, axis=0)
+    assert np.allclose(ens, want)
