@@ -41,6 +41,11 @@ _FORMAT_CHECKS = {
 }
 _UUID_PATTERN = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 
+import re as _re
+
+#: Spark/UC DDL type names incl. parameterized and nested forms
+_PHYSICAL_TYPE_RE = _re.compile(r"^[A-Za-z_]+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?$|^(ARRAY|MAP|STRUCT)\s*<.+>$", _re.IGNORECASE)
+
 _TYPE_TO_SPARK = {
     "string": "string",
     "text": "string",
@@ -140,10 +145,18 @@ def generate_rules_from_contract(
         # fold ODCS v3 logicalTypeOptions into a flat constraint view;
         # direct attributes win on conflict
         props = [{**(p.get("logicalTypeOptions") or {}), **p} for p in raw_props]
-        # schema check from declared types
+        # schema check from declared types: a physicalType is already a
+        # Spark/UC DDL type and passes through verbatim (reference
+        # _schema_object_to_ddl, contract_rules_generator.py:483); otherwise
+        # the logical type name ('type' or ODCS 'logicalType') maps
         ddl_parts = []
         for p in props:
-            spark_type = _TYPE_TO_SPARK.get(str(p.get("type", "string")).lower())
+            phys = p.get("physicalType")
+            if phys and _PHYSICAL_TYPE_RE.match(str(phys).strip()):
+                ddl_parts.append(f"{p['name']} {str(phys).strip()}")
+                continue
+            logical = p.get("type", p.get("logicalType", "string"))
+            spark_type = _TYPE_TO_SPARK.get(str(logical).lower())
             if spark_type:
                 ddl_parts.append(f"{p['name']} {spark_type}")
         if ddl_parts:

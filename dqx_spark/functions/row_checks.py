@@ -70,6 +70,14 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # null / empty family
 # ---------------------------------------------------------------------------
+def _fmt_literal(text) -> str:
+    """Escape ``%`` so user-supplied literals (regexes, datetime formats)
+    can be embedded in ``format_string`` templates — '%Y-%m-%d' previously
+    blew up the message build with UnknownFormatConversionException (found
+    by running the reference's sample data contract)."""
+    return str(text).replace("%", "%%")
+
+
 @register_rule("row")
 def is_not_null_and_not_empty(column: str | Column, trim_strings: bool = False) -> Column:
     """Fail when null or empty string (reference check_funcs.py:169)."""
@@ -336,7 +344,7 @@ def is_valid_date(column: str | Column, date_format: str | None = None) -> Colum
     name = normalize_col_str(column)
     parsed = F.try_to_timestamp(col, F.lit(date_format)) if date_format else col.try_cast("date")
     condition = col.isNotNull() & parsed.isNull()
-    fmt = f" with format '{date_format}'" if date_format else ""
+    fmt = f" with format '{_fmt_literal(date_format)}'" if date_format else ""
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is not a valid date{fmt}", str_value(col)),
@@ -351,7 +359,7 @@ def is_valid_timestamp(column: str | Column, timestamp_format: str | None = None
     name = normalize_col_str(column)
     parsed = F.try_to_timestamp(col, F.lit(timestamp_format)) if timestamp_format else col.try_cast("timestamp")
     condition = col.isNotNull() & parsed.isNull()
-    fmt = f" with format '{timestamp_format}'" if timestamp_format else ""
+    fmt = f" with format '{_fmt_literal(timestamp_format)}'" if timestamp_format else ""
     return make_condition(
         condition,
         F.format_string(f"Value '%s' in Column '{name}' is not a valid timestamp{fmt}", str_value(col)),
@@ -509,7 +517,7 @@ def regex_match(column: str | Column, regex: str, negate: bool = False) -> Colum
     verb = "matching" if negate else "not matching"
     return make_condition(
         condition,
-        F.format_string(f"Value '%s' in Column '{name}' is {verb} regex: {regex}", str_value(col)),
+        F.format_string(f"Value '%s' in Column '{name}' is {verb} regex: {_fmt_literal(regex)}", str_value(col)),
         f"{name}_regex_match",
     )
 

@@ -128,3 +128,66 @@ def test_reference_geo_corpora_run_end_to_end(spark, ref_shaped_df):
     results = [e for r in rows for e in (r["_errors"] or []) + (r["_warnings"] or [])]
     skipped = [e["name"] for e in results if e["skipped"]]
     assert skipped == [], f"skipped: {skipped}"
+
+
+def test_reference_sample_datacontract_generates_and_runs(spark):
+    """The reference's comprehensive ODCS v3 sample contract (two schemas,
+    logicalTypeOptions, physicalType DDL, explicit dqx quality rules incl.
+    for_each_column + filter, text expectations) generates valid rules that
+    run end-to-end."""
+    from dqx_spark.contracts import generate_rules_from_contract
+
+    contract = yaml.safe_load(open(os.path.join(REF_RES, "sample_datacontract.yaml"), encoding="utf-8"))
+    texts = []
+
+    def provider(desc, schema_name, prop_name):
+        texts.append((schema_name, prop_name))
+        return []
+
+    checks = generate_rules_from_contract(contract, text_rule_provider=provider)
+    status = validate_checks(checks)
+    assert not status.has_errors, str(status)
+    assert len(checks) >= 30
+    assert len(texts) == 4  # 3 property-level + 1 schema-level text expectations
+    funcs = {c["check"]["function"] for c in checks}
+    assert {"has_valid_schema", "is_in_range", "regex_match", "is_data_fresh_per_time_window",
+            "is_not_null_and_not_empty", "sql_expression"} <= funcs
+    # physicalType DDL passes through verbatim
+    ddls = [c["check"]["arguments"]["expected_schema"] for c in checks
+            if c["check"]["function"] == "has_valid_schema"]
+    assert any("DECIMAL(5,2)" in d for d in ddls) and any("ARRAY<STRING>" in d for d in ddls)
+
+    # the sensor_readings rules run on data shaped like the contract
+    rows = [
+        ("SENSOR-AB-0001", "MACHINE-A1B2C3", "2024-06-01 00:30:00", "2024-05-01",
+         21.5, 40.0, 1.2, 3, "active", "low", "NYC-FL-001", "AB1234-X",
+         None, "TECH-00001", False, "ops@example.com"),
+        ("bad id", "nope", "2024-06-01 00:45:00", "2024-07-01",
+         500.0, 150.0, 0.0, 99, "broken", "unknown", "x", "nope",
+         "n" * 501, "nope", True, "not-an-email"),
+    ]
+    schema = (
+        "sensor_id string, machine_id string, reading_timestamp string, calibration_date string, "
+        "temperature_celsius double, humidity_percentage double, pressure_bar double, "
+        "vibration_level int, sensor_status string, alert_level string, location string, "
+        "device_model string, notes string, technician_id string, is_anomaly boolean, "
+        "alert_email string"
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("reading_timestamp", F.to_timestamp("reading_timestamp"))
+        .withColumn("calibration_date", F.to_date("calibration_date"))
+    )
+    sensor_checks = [
+        c for c in checks
+        if c.get("name") != "all_data_types_schema" and c["check"]["function"] != "has_valid_schema"
+    ]
+    checked = _engine().apply_checks_by_metadata(df, sensor_checks)
+    got = {r["sensor_id"]: r for r in checked.collect()}
+    # the contract is deliberately self-contradictory on sensor_id (the
+    # pattern admits exactly 14 characters, minLength demands 15), so the
+    # otherwise-clean row fails precisely that one generated rule
+    clean_errors = {e["name"] for e in got["SENSOR-AB-0001"]["_errors"]}
+    assert clean_errors == {"sensor_id_length"}
+    bad = {e["function"] for e in got["bad id"]["_errors"]}
+    assert {"regex_match", "is_in_range", "sql_expression"} <= bad
