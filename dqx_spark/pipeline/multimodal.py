@@ -31,8 +31,10 @@ __all__ = [
     "attach_media_metadata",
     "parse_image_header",
     "parse_audio_header",
+    "parse_video_header",
     "decode_image",
     "decode_audio",
+    "decode_video_metadata",
     "image_features",
     "sample_video_frames",
 ]
@@ -96,6 +98,7 @@ _DECODED_AUDIO_SCHEMA = (
     "sample_rate int, channels int, bits_per_sample int, duration_s double, "
     "decode_ok boolean, decoder string"
 )
+_DECODED_VIDEO_SCHEMA = "duration_s double, width int, height int, decode_ok boolean, decoder string"
 
 #: PNG color type -> sample channels (spec: greyscale, truecolor, palette,
 #: greyscale+alpha, truecolor+alpha)
@@ -179,6 +182,64 @@ def parse_audio_header(b: bytes | None) -> tuple[int, int, int, float | None, st
     return None
 
 
+def parse_video_header(b: bytes | None) -> tuple[float | None, int | None, int | None, str] | None:
+    """(duration_s, width, height, decoder) from an ISO-BMFF (MP4/MOV)
+    box walk — pure bytes, no media library: ``moov/mvhd`` carries
+    timescale + duration, the first video ``trak/tkhd`` carries the
+    presentation width/height (16.16 fixed point).  Returns None for
+    non-ISO-BMFF bytes."""
+    if b is None or len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                yield btype, i + 16, i + size
+            elif size == 0:  # to end of enclosing box
+                yield btype, i + 8, end
+                return
+            else:
+                yield btype, i + 8, i + size
+            if size < 8:
+                return
+            i += size
+
+    duration = width = height = None
+    for btype, s0, s1 in boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ityp, i0, i1 in boxes(b, s0, s1):
+            if ityp == b"mvhd" and i1 <= len(b):
+                ver = b[i0]
+                if ver == 1:
+                    timescale = int.from_bytes(b[i0 + 20 : i0 + 24], "big")
+                    dur = int.from_bytes(b[i0 + 24 : i0 + 32], "big")
+                else:
+                    timescale = int.from_bytes(b[i0 + 12 : i0 + 16], "big")
+                    dur = int.from_bytes(b[i0 + 16 : i0 + 20], "big")
+                if timescale:
+                    duration = dur / timescale
+            elif ityp == b"trak":
+                for ttyp, t0, t1 in boxes(b, i0, i1):
+                    if ttyp == b"tkhd" and t1 <= len(b):
+                        ver = b[t0]
+                        # 16.16 fixed-point width/height at the end of the
+                        # v0 (84-byte) / v1 (96-byte) payload
+                        woff = t0 + (88 if ver == 1 else 76)
+                        w = int.from_bytes(b[woff : woff + 4], "big") >> 16
+                        h = int.from_bytes(b[woff + 4 : woff + 8], "big") >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+        return (duration, width, height, "mp4-moov")
+    return None
+
+
 def decode_audio(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
     """Decode audio stream parameters via Arrow-batched ``mapInPandas`` —
     the audio counterpart of :func:`decode_image`.  WAV/FLAC headers parse
@@ -198,6 +259,33 @@ def decode_audio(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 
             out = pd.DataFrame(
                 decoded,
                 columns=["sample_rate", "channels", "bits_per_sample", "duration_s", "decode_ok", "decoder"],
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
+
+
+def decode_video_metadata(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
+    """Decode container-level video metadata (duration, presentation
+    dimensions) via Arrow-batched ``mapInPandas`` — ISO-BMFF (MP4/MOV)
+    headers parse dependency-free (:func:`parse_video_header`); other
+    containers return ``decode_ok=false``.  Frame DECODING (pixels) still
+    requires a codec and remains behind :func:`sample_video_frames`'s
+    documented stub."""
+    out_schema = f"{id_col} long, {_DECODED_VIDEO_SCHEMA}"
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(b: bytes | None):
+            hdr = parse_video_header(b)
+            if hdr is None:
+                return (None, None, None, False, None if b is None else "header")
+            return hdr[:3] + (True, hdr[3])
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [decode(b) for b in pdf[binary_col]],
+                columns=["duration_s", "width", "height", "decode_ok", "decoder"],
             )
             out.insert(0, id_col, pdf[id_col].values)
             yield out

@@ -731,3 +731,23 @@ def test_embedding_quantization_round_trip_and_recall(spark):
     exact = {r.id for r in cosine_topk(emb, qv, "embedding", "vec_id", 10).collect()}
     approx = {r.id for r in cosine_topk(qemb, qv, "embedding", "vec_id", 10).collect()}
     assert len(exact & approx) / 10 >= 0.9
+
+
+def test_mp4_video_metadata_decoding(spark):
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    mvhd = box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(">II", 1000, 5500) + b"\x00" * 80)
+    tkhd = box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 72 + struct.pack(">II", 1920 << 16, 1080 << 16))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd + box(b"trak", tkhd))
+    assert multimodal.parse_video_header(mp4) == (5.5, 1920, 1080, "mp4-moov")
+    assert multimodal.parse_video_header(b"nope") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"junk")), (3, None)], "id long, data binary"
+    )
+    got = {r.id: r for r in multimodal.decode_video_metadata(df, "data", "id").collect()}
+    assert (got[1].duration_s, got[1].width, got[1].height, got[1].decoder) == (5.5, 1920, 1080, "mp4-moov")
+    assert not got[2].decode_ok and not got[3].decode_ok
