@@ -319,7 +319,13 @@ def q_multimodal_metadata(spark, sf):
         F.col("media_meta.mime").alias("mime"),
         F.col("media_meta.size_bytes").alias("size_bytes"),
     )
-    dec = multimodal.decode_image(img, "content", "doc_id")
+    dec = multimodal.decode_image(img, "content", "doc_id").withColumn(
+        # undecodable rows report the failing decoder that was tried
+        # ('header' here, 'pil' when Pillow is importable) — normalize so
+        # the oracle is environment-independent
+        "decoder",
+        F.when(F.col("decode_ok"), F.col("decoder")).otherwise(F.lit("undecodable")),
+    )
     aud = multimodal.decode_audio(img, "content", "doc_id").select(
         "doc_id",
         "sample_rate",
@@ -327,7 +333,7 @@ def q_multimodal_metadata(spark, sf):
         "bits_per_sample",
         F.round("duration_s", 6).alias("duration_s"),
         F.col("decode_ok").alias("audio_ok"),
-        F.col("decoder").alias("audio_decoder"),
+        F.when(F.col("decode_ok"), F.col("decoder")).otherwise(F.lit("undecodable")).alias("audio_decoder"),
     )
     return meta.join(dec, "doc_id").join(aud, "doc_id").select(
         "doc_id", "mime", "size_bytes", "width", "height", "channels", "decode_ok", "decoder",
@@ -2501,13 +2507,13 @@ def oracle_sql() -> dict[str, str]:
             "CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3 END::INT AS channels, "
             "(doc_id % 4 < 3) AS decode_ok, "
             "CASE doc_id % 4 WHEN 0 THEN 'png-ihdr' WHEN 1 THEN 'gif-lsd' WHEN 2 THEN 'jpeg-sof' "
-            "ELSE 'header' END AS decoder, "
+            "ELSE 'undecodable' END AS decoder, "
             "CASE WHEN doc_id % 4 = 3 THEN doc_id % 8 * 1000 + 8000 END::INT AS sample_rate, "
             "CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 END::INT AS audio_channels, "
             "CASE WHEN doc_id % 4 = 3 THEN 16 END::INT AS bits_per_sample, "
             "CASE WHEN doc_id % 4 = 3 THEN 1.0 END AS duration_s, "
             "(doc_id % 4 = 3) AS audio_ok, "
-            "CASE WHEN doc_id % 4 = 3 THEN 'wav-fmt' WHEN doc_id % 4 < 3 THEN 'header' END AS audio_decoder "
+            "CASE WHEN doc_id % 4 = 3 THEN 'wav-fmt' ELSE 'undecodable' END AS audio_decoder "
             "FROM documents"
         ),
         "top_k_per_group": (

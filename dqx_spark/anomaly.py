@@ -411,21 +411,28 @@ def explain_with_model(
     if _is_segmented(model):
         raise ValueError("explain_with_model supports flat models; explain per segment instead")
     columns = model["columns"]
-    payload = _score_payload(model)
+    # ensemble: the score is the member mean, and ablation is linear in the
+    # score, so contributions are the mean of member contributions
+    payloads = (
+        [_score_payload(m) for m in model["members"]] if _is_ensemble(model) else [_score_payload(model)]
+    )
 
     @F.pandas_udf("map<string,double>")
     def contrib_udf(*series: pd.Series) -> pd.Series:
         pdf = pd.concat(series, axis=1)
         pdf.columns = columns
-        x = _impute(pdf, columns, payload["medians"])
-        base = _score_matrix(x, payload)
+        contribs = {c: 0.0 for c in columns}
+        n = None
+        for payload in payloads:
+            x = _impute(pdf, columns, payload["medians"])
+            base = _score_matrix(x, payload)
+            n = x.shape[0]
+            for i, c in enumerate(columns):
+                ablated = x.copy()
+                ablated[:, i] = payload["medians"][i]
+                contribs[c] = contribs[c] + (base - _score_matrix(ablated, payload)) / len(payloads)
         out = []
-        contribs = {}
-        for i, c in enumerate(columns):
-            ablated = x.copy()
-            ablated[:, i] = payload["medians"][i]
-            contribs[c] = base - _score_matrix(ablated, payload)
-        for j in range(x.shape[0]):
+        for j in range(n):
             out.append({c: float(contribs[c][j]) for c in columns})
         return pd.Series(out)
 
@@ -439,6 +446,11 @@ def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:
     (whole-population histogram) rather than raising mid-pipeline."""
     if _is_segmented(model):
         model = model["fallback"]
+    if _is_ensemble(model):
+        # members train on differently-seeded samples of the same data;
+        # average their per-feature PSI
+        drifts = [feature_drift(df, m) for m in model["members"]]
+        return {c: float(np.mean([d[c] for d in drifts])) for c in drifts[0]}
     aggs = []
     for c, h in model["hist"].items():
         edges = h["edges"]

@@ -43,8 +43,26 @@ _UUID_PATTERN = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[
 
 import re as _re
 
-#: Spark/UC DDL type names incl. parameterized and nested forms
-_PHYSICAL_TYPE_RE = _re.compile(r"^[A-Za-z_]+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?$|^(ARRAY|MAP|STRUCT)\s*<.+>$", _re.IGNORECASE)
+#: Spark/UC DDL simple type names (a non-Spark physicalType like
+#: Postgres 'uuid'/'jsonb' falls back to the logicalType mapping instead
+#: of poisoning the DDL)
+_SPARK_SIMPLE_TYPES = {
+    "string", "char", "varchar", "int", "integer", "bigint", "smallint", "tinyint",
+    "long", "float", "real", "double", "decimal", "numeric", "dec", "boolean",
+    "date", "timestamp", "timestamp_ntz", "binary", "interval", "void", "variant",
+}
+_PHYSICAL_TYPE_RE = _re.compile(
+    r"^([A-Za-z_]+)(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?$|^(ARRAY|MAP|STRUCT)\s*<.+>$", _re.IGNORECASE
+)
+
+
+def _is_spark_ddl_type(text: str) -> bool:
+    m = _PHYSICAL_TYPE_RE.match(text)
+    if not m:
+        return False
+    if m.group(4):  # ARRAY/MAP/STRUCT<...>
+        return True
+    return m.group(1).lower() in _SPARK_SIMPLE_TYPES
 
 _TYPE_TO_SPARK = {
     "string": "string",
@@ -152,7 +170,7 @@ def generate_rules_from_contract(
         ddl_parts = []
         for p in props:
             phys = p.get("physicalType")
-            if phys and _PHYSICAL_TYPE_RE.match(str(phys).strip()):
+            if phys and _is_spark_ddl_type(str(phys).strip()):
                 ddl_parts.append(f"{p['name']} {str(phys).strip()}")
                 continue
             logical = p.get("type", p.get("logicalType", "string"))

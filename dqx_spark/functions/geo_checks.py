@@ -1146,9 +1146,13 @@ def _geo_relation_check(
         # literal: validate eagerly on the driver — a typo'd fence is a
         # configuration error, not a data-quality verdict
         stripped = reference_geometry.strip().upper()
-        m = _re.match(r"^POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)$", stripped)
+        num = r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?"
+        m = _re.match(rf"^POINT\s*\(\s*({num})\s+({num})\s*\)$", stripped)
         if m:
-            point_ref = (float(m.group(1)), float(m.group(2)))
+            try:
+                point_ref = (float(m.group(1)), float(m.group(4)))
+            except ValueError as e:  # pragma: no cover - regex admits only floats
+                raise InvalidParameterError(f"bad POINT coordinates in {reference_geometry!r}") from e
         elif not _re.match(WKT_PATTERNS["POLYGON"], stripped):
             raise InvalidParameterError(
                 "reference_geometry must be a well-formed POLYGON or POINT WKT literal, "

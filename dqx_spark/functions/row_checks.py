@@ -588,7 +588,7 @@ def is_ipv4_address_in_cidr(column: str | Column, cidr_block: str) -> Column:
     condition = col.isNotNull() & (~col.rlike(IPV4_REGEX) | outside)
     return make_condition(
         condition,
-        F.format_string(f"Value '%s' in Column '{name}' is not in the CIDR block {cidr_block}", str_value(col)),
+        F.format_string(f"Value '%s' in Column '{name}' is not in the CIDR block {_fmt_literal(cidr_block)}", str_value(col)),
         f"{name}_is_not_ipv4_in_cidr",
     )
 
@@ -652,7 +652,7 @@ def is_ipv6_address_in_cidr(column: str | Column, cidr_block: str) -> Column:
     condition = col.isNotNull() & ~F.coalesce(_in_cidr(col.cast("string")), F.lit(False))
     return make_condition(
         condition,
-        F.format_string(f"Value '%s' in Column '{name}' is not in the CIDR block {cidr_block}", str_value(col)),
+        F.format_string(f"Value '%s' in Column '{name}' is not in the CIDR block {_fmt_literal(cidr_block)}", str_value(col)),
         f"{name}_is_not_ipv6_in_cidr",
     )
 
@@ -809,7 +809,7 @@ def has_json_keys(column: str | Column, keys: list[str], require_all: bool = Tru
     mode = "all of" if require_all else "any of"
     return make_condition(
         condition,
-        F.format_string(f"Value '%s' in Column '{name}' does not contain {mode} keys: {keys}", str_value(col)),
+        F.format_string(f"Value '%s' in Column '{name}' does not contain {mode} keys: {_fmt_literal(keys)}", str_value(col)),
         f"{name}_does_not_have_json_keys",
     )
 
@@ -834,7 +834,7 @@ def has_valid_json_schema(column: str | Column, schema: str) -> Column:
     condition = col.isNotNull() & bad
     return make_condition(
         condition,
-        F.format_string(f"Value '%s' in Column '{name}' does not conform to schema: {schema}", str_value(col)),
+        F.format_string(f"Value '%s' in Column '{name}' does not conform to schema: {_fmt_literal(schema)}", str_value(col)),
         f"{name}_has_invalid_json_schema",
     )
 

@@ -291,7 +291,10 @@ def run_config_from_dict(d: dict) -> RunConfig:
     for name, v in (d.get("reference_tables") or {}).items():
         if not isinstance(v, dict) or "location" not in v:
             raise InvalidConfigError(f"reference_tables[{name!r}] must be a mapping with a 'location'")
-        refs[name] = InputConfig(**v)
+        try:
+            refs[name] = InputConfig(**v)
+        except TypeError as e:
+            raise InvalidConfigError(f"bad reference_tables[{name!r}]: {e}") from e
     return RunConfig(
         name=d.get("name", "default"),
         input_config=sub(InputConfig, "input_config"),
@@ -306,36 +309,21 @@ def run_config_from_dict(d: dict) -> RunConfig:
 
 def save_run_configs(run_configs: list[RunConfig], path: str) -> None:
     """Write run configs to a YAML (or ``.json``) file."""
-    import json as _json  # noqa: PLC0415
+    from dqx_spark.serde import save_structured_file  # noqa: PLC0415
 
-    data = [run_config_to_dict(rc) for rc in run_configs]
-    with open(path, "w", encoding="utf-8") as fh:
-        if path.endswith(".json"):
-            _json.dump(data, fh, indent=2)
-        else:
-            import yaml  # noqa: PLC0415
-
-            yaml.safe_dump(data, fh, sort_keys=False)
+    save_structured_file([run_config_to_dict(rc) for rc in run_configs], path)
 
 
 def load_run_configs(path: str) -> list[RunConfig]:
     """Load run configs from a YAML/JSON file written by
     :func:`save_run_configs` (or by hand)."""
-    import json as _json  # noqa: PLC0415
-
     from dqx_spark.errors import InvalidConfigError, MissingResourceError  # noqa: PLC0415
+    from dqx_spark.serde import load_structured_file  # noqa: PLC0415
 
     try:
-        with open(path, encoding="utf-8") as fh:
-            text = fh.read()
+        data = load_structured_file(path)
     except FileNotFoundError as e:
         raise MissingResourceError(f"run-config file {path!r} does not exist") from e
-    if path.endswith(".json"):
-        data = _json.loads(text)
-    else:
-        import yaml  # noqa: PLC0415
-
-        data = yaml.safe_load(text)
     if not isinstance(data, list):
         raise InvalidConfigError(f"run-config file {path!r} must contain a list")
     return [run_config_from_dict(d) for d in data]
@@ -351,35 +339,55 @@ def parquet_layout(spark: SparkSession, path: str) -> DataFrame:
     Footer-only reads: the file list distributes across the cluster and
     each task opens just the parquet footer via pyarrow (no column data
     IO), so inspecting a 100 TB dataset costs one metadata round per file.
+    URIs resolve through ``pyarrow.fs.FileSystem.from_uri`` (file://, s3://
+    — s3a:// is translated — hdfs:// and gs:// where the pyarrow build
+    supports them, percent-encoding unquoted); a file that cannot be
+    opened yields a row with null stats and the failure in ``error``
+    rather than being silently dropped.
     """
     import pandas as _pd  # noqa: PLC0415
 
     files = spark.read.parquet(path).inputFiles()
 
     def read_footers(batches):
+        from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
         import pyarrow.parquet as pq  # noqa: PLC0415
+        from pyarrow import fs as pafs  # noqa: PLC0415
+
+        def open_one(uri: str):
+            u = uri.replace("s3a://", "s3://", 1) if uri.startswith("s3a://") else uri
+            parsed = urlparse(u)
+            if parsed.scheme in ("", "file"):
+                local = unquote(parsed.path) if parsed.scheme else u
+                return pq.ParquetFile(local).metadata, os.path.getsize(local)
+            fsys, p = pafs.FileSystem.from_uri(u)
+            info = fsys.get_file_info([p])[0]
+            with fsys.open_input_file(p) as fh:
+                return pq.ParquetFile(fh).metadata, info.size
 
         for pdf in batches:
             rows = []
             for uri in pdf["file"]:
-                local = uri[len("file:"):] if uri.startswith("file:") else uri
                 try:
-                    md = pq.ParquetFile(local).metadata
+                    md, size = open_one(uri)
                     rows.append(
                         (
                             uri,
-                            os.path.getsize(local),
+                            size,
                             md.num_rows,
                             md.num_row_groups,
                             sum(
                                 md.row_group(i).total_byte_size for i in range(md.num_row_groups)
                             ),
+                            None,
                         )
                     )
-                except (OSError, ValueError):
-                    rows.append((uri, None, None, None, None))
+                except Exception as e:  # noqa: BLE001 - per-file diagnostics, never task death
+                    rows.append((uri, None, None, None, None, f"{type(e).__name__}: {e}"))
             yield _pd.DataFrame(
-                rows, columns=["file", "size_bytes", "num_rows", "num_row_groups", "serialized_bytes"]
+                rows,
+                columns=["file", "size_bytes", "num_rows", "num_row_groups", "serialized_bytes", "error"],
             )
 
     fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
@@ -387,7 +395,10 @@ def parquet_layout(spark: SparkSession, path: str) -> DataFrame:
     )
     return fdf.mapInPandas(
         read_footers,
-        schema="file string, size_bytes long, num_rows long, num_row_groups int, serialized_bytes long",
+        schema=(
+            "file string, size_bytes long, num_rows long, num_row_groups int, "
+            "serialized_bytes long, error string"
+        ),
     )
 
 

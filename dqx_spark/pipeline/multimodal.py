@@ -52,7 +52,7 @@ _MAGIC = [
     ("FFD8FF", "image/jpeg"),
     ("89504E47", "image/png"),
     ("47494638", "image/gif"),
-    ("52494646", "audio/wav"),  # RIFF (also webp/avi; refined below)
+    # RIFF ('52494646') handled by the form-tag refinement in sniff_mime
     ("494433", "audio/mpeg"),
     ("664C6143", "audio/flac"),
     ("1A45DFA3", "video/webm"),
@@ -75,7 +75,7 @@ def sniff_mime(binary_col: str | Column) -> Column:
         head.startswith("52494646"),  # RIFF
         F.when(form == "57415645", F.lit("audio/wav"))     # WAVE
         .when(form == "57454250", F.lit("image/webp"))     # WEBP
-        .when(form == "41564920", F.lit("video/avi"))      # 'AVI '
+        .when(form == "41564920", F.lit("video/x-msvideo"))  # 'AVI '
         .otherwise(F.lit("application/octet-stream")),
     ).otherwise(out)
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(out)

@@ -267,8 +267,9 @@ def serialize_checks(rules: list[DQRule]) -> list[dict]:
     return [r.to_dict() for r in rules]
 
 
-def load_checks_from_file(path: str) -> list[dict]:
-    """YAML or JSON checks file (reference checks_storage.py:340+)."""
+def load_structured_file(path: str):
+    """YAML-or-JSON-by-extension read; the one shared dispatch for checks
+    files and run-config files."""
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
     if path.endswith(".json"):
@@ -278,12 +279,22 @@ def load_checks_from_file(path: str) -> list[dict]:
     return yaml.safe_load(text)
 
 
-def save_checks_to_file(checks: list[dict], path: str) -> None:
+def save_structured_file(data, path: str) -> None:
+    """YAML-or-JSON-by-extension write (inverse of load_structured_file)."""
     if path.endswith(".json"):
         with open(path, "w", encoding="utf-8") as fh:
-            json.dump(checks, fh, indent=2)
+            json.dump(data, fh, indent=2)
         return
     import yaml
 
     with open(path, "w", encoding="utf-8") as fh:
-        yaml.safe_dump(checks, fh, sort_keys=False)
+        yaml.safe_dump(data, fh, sort_keys=False)
+
+
+def load_checks_from_file(path: str) -> list[dict]:
+    """YAML or JSON checks file (reference checks_storage.py:340+)."""
+    return load_structured_file(path)
+
+
+def save_checks_to_file(checks: list[dict], path: str) -> None:
+    save_structured_file(checks, path)

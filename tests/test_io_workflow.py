@@ -305,6 +305,7 @@ def test_parquet_layout_and_sort_for_locality(spark, tmp_path):
 
     layout = parquet_layout(spark, out).collect()
     assert len(layout) >= 4
+    assert all(r.error is None for r in layout)
     assert sum(r.num_rows for r in layout) == 10_000
     assert all(r.num_row_groups >= 1 and r.size_bytes > 0 for r in layout)
     # locality: each file covers a narrow k-range -> per-file min==max for

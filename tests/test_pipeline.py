@@ -697,7 +697,7 @@ class TestAudioDecoding:
             [(1, bytearray(webp)), (2, bytearray(avi)), (3, bytearray(wav))], "id long, data binary"
         )
         got = {r.id: r.m for r in df.select("id", multimodal.sniff_mime("data").alias("m")).collect()}
-        assert got == {1: "image/webp", 2: "video/avi", 3: "audio/wav"}
+        assert got == {1: "image/webp", 2: "video/x-msvideo", 3: "audio/wav"}
 
 
 def test_embedding_quantization_round_trip_and_recall(spark):
