@@ -337,8 +337,13 @@ def test_geo_relation_rejects_bad_reference(spark):
     df = spark.createDataFrame([("POINT (5 5)",)], "g string")
     with pytest.raises(ValueError):  # literal missing inner parens
         C.is_geo_intersects("g", "POLYGON (0 0, 10 0, 10 10, 0 10, 0 0)")
-    with pytest.raises(ValueError):  # non-polygon literal
-        C.is_geo_intersects("g", "POINT (1 1)")
+    with pytest.raises(ValueError):  # unsupported literal type
+        C.is_geo_intersects("g", "LINESTRING (0 0, 1 1)")
+    # POINT literals are supported since r5 (reference corpus usage)
+    out = spark.createDataFrame([("POINT (5 5)",), ("POINT (6 6)",)], "g string").select(
+        C.is_geo_intersects("g", "POINT (5 5)").alias("c")
+    ).collect()
+    assert out[0]["c"] is None and out[1]["c"] is not None
     # per-row reference column: malformed value FAILS the row, never passes
     df2 = spark.createDataFrame([("POINT (5 5)", "JUNK")], "g string, ref string")
     out = df2.select(C.is_geo_intersects("g", F.col("ref")).alias("c")).collect()
