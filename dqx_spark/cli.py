@@ -163,6 +163,35 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-files remedy: report the current physical layout, rewrite the
+    dataset with bounded file sizes (optionally range-sorted on keys so
+    parquet min/max stats prune downstream scans), report the new layout."""
+    from pyspark.sql import functions as F
+
+    from dqx_spark.io import parquet_layout, sort_for_locality, write_sized
+
+    spark = _spark("compact")
+
+    def stats(p):
+        r = parquet_layout(spark, p).agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("size_bytes").alias("bytes"),
+            F.sum("num_rows").alias("rows"),
+            F.sum((F.col("error").isNotNull()).cast("int")).alias("errors"),
+        ).collect()[0]
+        return {"files": r["files"], "bytes": r["bytes"], "rows": r["rows"], "errors": r["errors"]}
+
+    before = stats(args.input)
+    df = spark.read.parquet(args.input)
+    if args.sort_by:
+        df = sort_for_locality(df, args.sort_by)
+    write_sized(df, args.output, max_records_per_file=args.records_per_file, mode="overwrite")
+    after = stats(args.output)
+    print(json.dumps({"before": before, "after": after}))
+    return 0 if before["rows"] == after["rows"] else 1
+
+
 def cmd_llm_generate(args) -> int:
     """Generate checks with an injected LLM provider, resolved from a
     'module:attribute' import path (no bundled runtime — see dqx_spark.llm)."""
@@ -317,6 +346,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also drop whole-document near-copies of eval docs (MinHash-LSH Jaccard)")
     p.add_argument("--records-per-file", type=int, default=1_000_000)
     p.set_defaults(func=cmd_clean)
+
+    p = sub.add_parser("compact", help="rewrite a parquet dataset with bounded file sizes")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--records-per-file", type=int, default=1_000_000)
+    p.add_argument("--sort-by", nargs="*", default=None,
+                   help="range-sort on these keys so file-level min/max stats prune scans")
+    p.set_defaults(func=cmd_compact)
 
     p = sub.add_parser("run", help="managed multi-table runs from a run-config YAML/JSON file")
     p.add_argument("--run-configs", required=True, help="file written by save_run_configs (or by hand)")

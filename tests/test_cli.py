@@ -156,3 +156,19 @@ def test_cli_run_from_config_file(spark, tmp_path, capsys):
     assert bad.count() > 0 and "_errors" in bad.columns and "_errors" not in good.columns
     # unknown name -> clean error
     assert main(["run", "--run-configs", cfg, "--names", "nope"]) == 2
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "frag")
+    spark.range(5000).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    ).repartition(20).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    rc = main(["compact", "--input", src, "--output", out, "--records-per-file", "10000", "--sort-by", "k"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["before"]["files"] == 20 and stats["before"]["rows"] == 5000
+    assert stats["after"]["rows"] == 5000 and stats["after"]["files"] < 20
+    assert stats["after"]["errors"] == 0
