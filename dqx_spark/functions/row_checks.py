@@ -873,6 +873,21 @@ def is_longitude(column: str | Column) -> Column:
 # ---------------------------------------------------------------------------
 # PII (lightweight built-in; presidio engine optional)
 # ---------------------------------------------------------------------------
+def _luhn_ok(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a digit string, as a pure Column
+    expression: reverse, double every second digit (subtracting 9 above
+    9), sum mod 10 == 0."""
+    chars = F.filter(F.split(F.reverse(digits), ""), lambda c: c.rlike("[0-9]"))
+    vals = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(c.cast("int") * 2),
+        ).otherwise(c.cast("int")),
+    )
+    return (F.size(chars) >= 13) & ((F.aggregate(vals, F.lit(0), lambda a, v: a + v) % 10) == 0)
+
+
 _PII_PATTERNS = {
     "EMAIL_ADDRESS": EMAIL_REGEX.strip("^$"),
     "US_SSN": r"\d{3}-\d{2}-\d{4}",
@@ -1010,7 +1025,16 @@ def does_not_contain_pii(
         raise ValueError(f"unsupported PII entities: {unknown}; supported: {sorted(_PII_PATTERNS)}")
     hit = None
     for e in chosen:
-        term = col.rlike(_PII_PATTERNS[e])
+        if e == "CREDIT_CARD":
+            # candidates must also pass the Luhn checksum (pure Column
+            # arithmetic) — a bare 16-digit regex flags every order id
+            cands = F.regexp_extract_all(col, F.lit(f"({_PII_PATTERNS[e]})"), F.lit(1))
+            term = F.coalesce(
+                F.exists(cands, lambda c: _luhn_ok(F.regexp_replace(c, "[^0-9]", ""))),
+                F.lit(False),
+            )
+        else:
+            term = col.rlike(_PII_PATTERNS[e])
         hit = term if hit is None else (hit | term)
     condition = col.isNotNull() & hit
     return make_condition(

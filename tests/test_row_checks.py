@@ -333,3 +333,25 @@ def test_ipv6_oracle_regex_matches_stdlib():
         except ValueError:
             expected = False
         assert bool(pat.match(c)) == expected, c
+
+
+def test_pii_credit_card_luhn_validation(spark):
+    """CREDIT_CARD detection requires the Luhn checksum (pure Column
+    arithmetic) — 16-digit order numbers no longer false-positive."""
+    import dqx_spark.functions as C
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),       # Luhn-valid
+        (2, "card 5500-0000-0000-0004 on file"),        # Luhn-valid (dashes)
+        (3, "order 4111 1111 1111 1112 shipped"),       # fails Luhn
+        (4, "tracking 1234 5678 9012 3456 ok"),         # fails Luhn
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.c is not None
+        for r in df.select(
+            "id", C.does_not_contain_pii("t", entities=["CREDIT_CARD"]).alias("c")
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
