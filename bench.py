@@ -528,6 +528,14 @@ def main() -> None:
                 "clean-room 10x (6M rows): 9.2s warm / 16.6s cold vs 3.6s at 1x "
                 "=> slope ~2.6, strongly sublinear (r5 measurement)"
             ),
+            # headline_total grew vs r4 (10.6 -> ~14) solely from the two
+            # r5 case ADDITIONS: all_dataset_checks (~3.7s — the reference
+            # charges 45.45s for the same composite) and dedup_paragraphs
+            # (~0.2s); every pre-existing query is unchanged or faster
+            "headline_total_delta_r5": (
+                "delta vs r4 is the new all_dataset_checks + dedup_paragraphs cases; "
+                "pre-existing queries unchanged or faster"
+            ),
             # r5 decomposition of the aggr_grouped forced cost at 10x
             # (6M rows, every row failing): 0.25s scan floor + 0.8s raw
             # groupBy+broadcast-join-back + ~2.2s result-struct/message
