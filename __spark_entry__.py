@@ -276,9 +276,9 @@ def q_top_ngram_coverage(spark, sf):
 
 def q_multimodal_metadata(spark, sf):
     """Constructs REAL media headers (PNG IHDR / GIF LSD / JPEG SOF0 / WAV
-    RIFF-fmt, since r5) with per-row parameters, then certifies magic-byte
-    mime sniffing AND both dependency-free header decoders (image + audio)
-    against a closed-form oracle."""
+    RIFF-fmt / MP4 moov-mvhd-tkhd, since r5) with per-row parameters, then
+    certifies magic-byte mime sniffing AND all three dependency-free header
+    decoders (image + audio + video) against a closed-form oracle."""
     df = _read(spark, sf, "documents")
     k = F.col("doc_id")
     w = (k % 256 + 100).cast("int")
@@ -308,10 +308,29 @@ def q_multimodal_metadata(spark, sf):
         le4(sr), le4(sr * ach * 2), le(F.lpad(F.hex(ach * 2), 4, "0"), 2), F.lit("1000"),
         F.lit("64617461"), le4(data_size),
     )
+    # header-only MP4: ftyp + moov(mvhd: timescale 1000, per-row duration;
+    # trak/tkhd: per-row 16.16 fixed-point dimensions)
+    dur = ((k % 20 + 1) * 500).cast("int")
+    mvhd = F.concat(
+        F.lit("0000006C6D766864"), F.lit("00000000"), F.lit("0000000000000000"),
+        F.lit("000003E8"), F.lpad(F.hex(dur), 8, "0"), F.lit("00" * 80),
+    )
+    tkhd = F.concat(
+        F.lit("0000005C746B6864"), F.lit("00000000"), F.lit("00" * 72),
+        w2, F.lit("0000"), h2, F.lit("0000"),
+    )
+    mp4 = F.concat(
+        F.lit("0000001866747970"), F.lit("69736F6D0000020069736F6D69736F32"),
+        F.lit("000000D86D6F6F76"), mvhd, F.lit("000000647472616B"), tkhd,
+    )
     img = df.select(
         "doc_id",
         F.unhex(
-            F.when(k % 4 == 0, png).when(k % 4 == 1, gif).when(k % 4 == 2, jpg).otherwise(wav)
+            F.when(k % 5 == 0, png)
+            .when(k % 5 == 1, gif)
+            .when(k % 5 == 2, jpg)
+            .when(k % 5 == 3, wav)
+            .otherwise(mp4)
         ).alias("content"),
     )
     meta = multimodal.attach_media_metadata(img, "content").select(
@@ -335,9 +354,18 @@ def q_multimodal_metadata(spark, sf):
         F.col("decode_ok").alias("audio_ok"),
         F.when(F.col("decode_ok"), F.col("decoder")).otherwise(F.lit("undecodable")).alias("audio_decoder"),
     )
-    return meta.join(dec, "doc_id").join(aud, "doc_id").select(
+    vid = multimodal.decode_video_metadata(img, "content", "doc_id").select(
+        "doc_id",
+        F.round(F.col("duration_s"), 6).alias("video_duration_s"),
+        F.col("width").alias("video_width"),
+        F.col("height").alias("video_height"),
+        F.col("decode_ok").alias("video_ok"),
+        F.when(F.col("decode_ok"), F.col("decoder")).otherwise(F.lit("undecodable")).alias("video_decoder"),
+    )
+    return meta.join(dec, "doc_id").join(aud, "doc_id").join(vid, "doc_id").select(
         "doc_id", "mime", "size_bytes", "width", "height", "channels", "decode_ok", "decoder",
         "sample_rate", "audio_channels", "bits_per_sample", "duration_s", "audio_ok", "audio_decoder",
+        "video_duration_s", "video_width", "video_height", "video_ok", "video_decoder",
     )
 
 
@@ -2499,21 +2527,27 @@ def oracle_sql() -> dict[str, str]:
             # JPEG: 12-byte SOI+SOF0, 3 components; WAV: 44-byte header
             # declaring one second of 16-bit PCM)
             "SELECT doc_id, "
-            "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg' "
-            "ELSE 'audio/wav' END AS mime, "
-            "CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 12 ELSE 44 END::BIGINT AS size_bytes, "
-            "CASE WHEN doc_id % 4 < 3 THEN (doc_id % 256 + 100) END::INT AS width, "
-            "CASE WHEN doc_id % 4 < 3 THEN (doc_id % 128 + 50) END::INT AS height, "
-            "CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3 END::INT AS channels, "
-            "(doc_id % 4 < 3) AS decode_ok, "
-            "CASE doc_id % 4 WHEN 0 THEN 'png-ihdr' WHEN 1 THEN 'gif-lsd' WHEN 2 THEN 'jpeg-sof' "
+            "CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg' "
+            "WHEN 3 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, "
+            "CASE doc_id % 5 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 12 WHEN 3 THEN 44 "
+            "ELSE 240 END::BIGINT AS size_bytes, "
+            "CASE WHEN doc_id % 5 < 3 THEN (doc_id % 256 + 100) END::INT AS width, "
+            "CASE WHEN doc_id % 5 < 3 THEN (doc_id % 128 + 50) END::INT AS height, "
+            "CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3 END::INT AS channels, "
+            "(doc_id % 5 < 3) AS decode_ok, "
+            "CASE doc_id % 5 WHEN 0 THEN 'png-ihdr' WHEN 1 THEN 'gif-lsd' WHEN 2 THEN 'jpeg-sof' "
             "ELSE 'undecodable' END AS decoder, "
-            "CASE WHEN doc_id % 4 = 3 THEN doc_id % 8 * 1000 + 8000 END::INT AS sample_rate, "
-            "CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 END::INT AS audio_channels, "
-            "CASE WHEN doc_id % 4 = 3 THEN 16 END::INT AS bits_per_sample, "
-            "CASE WHEN doc_id % 4 = 3 THEN 1.0 END AS duration_s, "
-            "(doc_id % 4 = 3) AS audio_ok, "
-            "CASE WHEN doc_id % 4 = 3 THEN 'wav-fmt' ELSE 'undecodable' END AS audio_decoder "
+            "CASE WHEN doc_id % 5 = 3 THEN doc_id % 8 * 1000 + 8000 END::INT AS sample_rate, "
+            "CASE WHEN doc_id % 5 = 3 THEN doc_id % 2 + 1 END::INT AS audio_channels, "
+            "CASE WHEN doc_id % 5 = 3 THEN 16 END::INT AS bits_per_sample, "
+            "CASE WHEN doc_id % 5 = 3 THEN 1.0 END AS duration_s, "
+            "(doc_id % 5 = 3) AS audio_ok, "
+            "CASE WHEN doc_id % 5 = 3 THEN 'wav-fmt' ELSE 'undecodable' END AS audio_decoder, "
+            "CASE WHEN doc_id % 5 = 4 THEN round((doc_id % 20 + 1) * 0.5, 6) END AS video_duration_s, "
+            "CASE WHEN doc_id % 5 = 4 THEN (doc_id % 256 + 100) END::INT AS video_width, "
+            "CASE WHEN doc_id % 5 = 4 THEN (doc_id % 128 + 50) END::INT AS video_height, "
+            "(doc_id % 5 = 4) AS video_ok, "
+            "CASE WHEN doc_id % 5 = 4 THEN 'mp4-moov' ELSE 'undecodable' END AS video_decoder "
             "FROM documents"
         ),
         "top_k_per_group": (
