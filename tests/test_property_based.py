@@ -550,3 +550,32 @@ def test_random_row_rule_sets_match_python_reference(spark, rows, picks, lo, hi,
             if _expected_fail(func, val, lo, hi, allowed, regex, limit):
                 expected.add(name)
         assert got[rid] == expected, f"row {rid} ({num!r},{s!r}): {got[rid]} != {expected}"
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_int8_quantization_error_bound(spark, vecs):
+    """For ANY vectors: per-element dequantization error <= scale/2 (the
+    round-off bound), zero vectors round-trip exactly, and scale is the
+    absmax/127 by construction."""
+    from dqx_spark.pipeline.similarity import dequantize_embeddings, quantize_embeddings
+
+    df = spark.createDataFrame(list(enumerate(vecs)), "id long, v array<double>")
+    out = quantize_embeddings(df, "v").select(
+        "id", "v", "v_scale", dequantize_embeddings("v_q8", "v_scale").alias("back")
+    )
+    for r in out.collect():
+        absmax = max(abs(x) for x in r.v)
+        assert abs(r.v_scale - absmax / 127.0) <= 1e-12 * max(absmax, 1.0)
+        for orig, back in zip(r.v, r.back):
+            assert abs(orig - back) <= r.v_scale / 2 + 1e-9, (orig, back, r.v_scale)
