@@ -640,7 +640,61 @@ def main() -> None:
             "total": round(sum(sf1_timings.values()), 3),
         }
 
-    print(json.dumps(result))
+    emit(result)
+
+
+def emit(result: dict) -> None:
+    """Emit the bench record in two forms:
+
+    1. ``bench_details.json`` (repo root) — the FULL record: forced-slope
+       timings, free-text notes, decompositions.  Durable, no size limit.
+    2. stdout — ONE compact, self-contained JSON line holding everything the
+       driver grades (headline queries, slope, sf1).  The r5 record was
+       truncated mid-line by the driver's tail-capture window
+       (BENCH_r05.json ``parsed: null``), so the printed line is kept under
+       ``_LINE_BUDGET`` bytes by construction: long notes live only in the
+       details file, forced-slope timings are summarized to one number, and
+       the line is round-trip ``json.loads``-verified before printing.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_details.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "details": "bench_details.json",
+    }
+    if "slope" in result:
+        compact["slope_scale"] = result["slope_scale"]
+        # t_1x/t_Nx/slope only; forced variants + notes are in the details file
+        compact["slope"] = {
+            name: {k: v for k, v in rec.items() if not k.startswith(("t_forced", "slope_forced"))}
+            for name, rec in result["slope"].items()
+        }
+    if "sf1" in result:
+        sf1 = result["sf1"]
+        compact["sf1"] = {
+            "scale": sf1["scale"],
+            "rows": sf1["lineitem_rows"],
+            "queries": sf1["queries"],
+            "pipeline_queries": sf1["pipeline_queries"],
+            "total": sf1["total"],
+        }
+
+    _LINE_BUDGET = 1600  # observed driver tail window ~2000 bytes; stay well under
+    # drop optional sections (least essential first) until the line fits;
+    # the headline queries dict is never dropped
+    for drop in ((), ("sf1",), ("sf1", "slope")):
+        trimmed = {k: v for k, v in compact.items() if k not in drop}
+        line = json.dumps(trimmed, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            break
+    assert json.loads(line)["queries"] == result["queries"], "bench line failed round-trip"
+    print(line)
 
 
 if __name__ == "__main__":
