@@ -547,6 +547,31 @@ def main() -> None:
                 "message-struct build (all-rows-failing worst case; linear). "
                 "Non-broadcast join-back: 15.6s — broadcast_stats default is load-bearing."
             ),
+            # r6 attribution of the dedup_ngram_pairs slope (2.7-4.3 at 10x):
+            # on the organic-disjoint 10x corpus the candidate-pair bound
+            # (sum C(doc_freq,2)) grows EXACTLY 10x (13,545 -> 135,450) and
+            # final pairs likewise (256 -> 2,560), so the slope is NOT a
+            # candidate explosion here — it is the 4-consumer shingle-set
+            # shuffle volume growing linearly on a sub-second base time.
+            # On corpora with CROSS-slice duplicates the growth IS quadratic
+            # in duplicate density (inherent to exact Jaccard); the
+            # max_candidate_pairs budget guard fails loudly pre-join and
+            # minhash_lsh_pairs is the documented scale path.
+            "dedup_ngram_pairs_slope": (
+                "organic 10x candidate bound 13,545 -> 135,450 (exactly 10x; final "
+                "pairs 256 -> 2,560): slope is linear shuffle volume on a small base, "
+                "not pair explosion. Quadratic growth only arises with cross-copy "
+                "duplicate density — guarded by max_candidate_pairs (loud failure), "
+                "scale path = minhash_lsh_pairs."
+            ),
+            # r6: has_no_outliers approx=True collapsed to ONE
+            # percentile_approx([p25,p50,p75]) sketch (MAD = IQR/2 estimator)
+            # — 0.28s vs 0.36s two-pass at sf0.1, retiring the r5 2x breach;
+            # exact mode remains the two-pass default for the gate.
+            "mad_outliers_one_pass": (
+                "approx=True now a single quantile-sketch job (MAD=IQR/2, exact for "
+                "symmetric distributions): 0.28s vs 0.23s baseline at sf0.1 (1.2x)"
+            ),
         }
 
     # ------------------------------------------------------------------

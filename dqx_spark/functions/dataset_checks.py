@@ -943,8 +943,12 @@ def has_no_outliers(column: str | Column, k: float = 3.5, approx: bool = False, 
     Deviation: the reference computes median & MAD via two driver-side
     actions (profiling_utils.py:54-107); here both stats live INSIDE the lazy
     plan as 1-row aggregates broadcast-crossJoined back — no driver actions,
-    fully distributed.  ``approx=True`` switches exact ``median`` to
-    ``percentile_approx`` for the 100 TB path.
+    fully distributed.  Exact mode costs two SEQUENTIAL aggregates (the MAD
+    is the median of deviations from the median — an irreducible two-pass
+    statistic).  ``approx=True`` is the 100 TB path: ONE
+    ``percentile_approx`` sketch over [p25, p50, p75], with MAD estimated
+    as half the IQR (equal to the true MAD for symmetric distributions) —
+    one job instead of two.
     """
     name = normalize_col_str(column)
     alias = f"{name}_has_outliers"
@@ -956,13 +960,26 @@ def has_no_outliers(column: str | Column, k: float = 3.5, approx: bool = False, 
         base = source_df if source_df is not None else df
         col = to_col(column).cast("double")
         inp = filtered(col, row_filter)
-        pct = (lambda c: F.percentile_approx(c, 0.5)) if approx else F.median
-        med = base.select(pct(inp).alias(med_col))
-        with_med = base.crossJoin(F.broadcast(med))
-        stats = with_med.select(
-            pct(F.abs(filtered(col, row_filter) - F.col(med_col))).alias(mad_col),
-            F.first(med_col).alias(med_col),
-        )
+        if approx:
+            # ONE-PASS band: a single percentile_approx sketch yields
+            # [p25, p50, p75]; MAD is estimated as half the IQR, which
+            # EQUALS median(|x − median|) for any symmetric distribution
+            # (and stays within the robust-estimator family otherwise).
+            # Exact mode below is two irreducible sequential aggregates
+            # (MAD needs deviations FROM the median); this approx estimator
+            # exists precisely to collapse them into one job at scale.
+            q = F.percentile_approx(inp, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            stats = base.select(q.alias("__q")).select(
+                F.col("__q")[1].alias(med_col),
+                ((F.col("__q")[2] - F.col("__q")[0]) / 2.0).alias(mad_col),
+            )
+        else:
+            med = base.select(F.median(inp).alias(med_col))
+            with_med = base.crossJoin(F.broadcast(med))
+            stats = with_med.select(
+                F.median(F.abs(filtered(col, row_filter) - F.col(med_col))).alias(mad_col),
+                F.first(med_col).alias(med_col),
+            )
         out = df.crossJoin(F.broadcast(stats))
         lo = F.col(med_col) - F.lit(k) * F.col(mad_col)
         hi = F.col(med_col) + F.lit(k) * F.col(mad_col)

@@ -200,6 +200,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_doc_freq: int | None = 1000,
     storage: str = "local",
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-gram shingle sets: (id_a, id_b, common,
     size_a, size_b, jaccard) for unordered pairs with jaccard >= threshold.
@@ -208,6 +209,15 @@ def ngram_jaccard_pairs(
     count per pair -> join back sizes.  ``max_shingle_doc_freq`` drops hot
     shingles before the join — the standard skew guard (a shingle shared by
     D docs contributes D² candidate pairs).
+
+    Candidate-pair growth is QUADRATIC in duplicate density (every doc pair
+    sharing a shingle is a candidate) — inherent to the *exact* variant;
+    :func:`minhash_lsh_pairs` is the scale path.  ``max_candidate_pairs``
+    is the loud-failure budget for that growth: when set, the upper bound
+    ``sum over shingles of C(doc_freq, 2)`` is computed from the shingle
+    doc-frequency aggregate (one extra small action, no self-join) and a
+    :class:`~dqx_spark.errors.ComputationError` is raised if it exceeds the
+    budget — instead of silently launching a join that explodes at scale.
 
     Shingles are 64-bit hashes from birth (``exploded_shingle_hashes`` —
     no shingle strings are ever built): every downstream shuffle/join keys
@@ -230,6 +240,22 @@ def ngram_jaccard_pairs(
     if max_shingle_doc_freq is not None:
         freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).where(F.col("df_") <= max_shingle_doc_freq)
         sh = sh.join(freq_ok.select("shingle"), "shingle", "inner")
+    if max_candidate_pairs is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        bound_row = freq.agg(
+            F.sum(F.col("df_") * (F.col("df_") - 1) / 2).cast("long").alias("bound")
+        ).collect()[0]
+        bound = bound_row["bound"] or 0
+        if bound > max_candidate_pairs:
+            from dqx_spark.errors import ComputationError  # noqa: PLC0415
+
+            raise ComputationError(
+                f"ngram_jaccard_pairs candidate-pair bound {bound:,} exceeds "
+                f"max_candidate_pairs={max_candidate_pairs:,}; lower "
+                f"max_shingle_doc_freq (currently {max_shingle_doc_freq}) or use "
+                "minhash_lsh_pairs — exact pairwise Jaccard grows quadratically "
+                "in duplicate density"
+            )
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (

@@ -41,6 +41,19 @@ def test_ngram_jaccard_pairs(docs):
     assert exact["jaccard"] == 1.0
 
 
+def test_ngram_jaccard_candidate_budget(docs):
+    from dqx_spark.errors import ComputationError
+
+    # generous budget: runs normally
+    ok = dedup.ngram_jaccard_pairs(docs, "id", "text", k=3, threshold=0.5, max_candidate_pairs=10**6)
+    assert ok.count() > 0
+    # budget of 1 candidate pair: the shared-shingle bound (docs 0/1/4 share
+    # most shingles) exceeds it, so the guard fails loudly BEFORE the
+    # self-join, naming the mitigation knobs
+    with pytest.raises(ComputationError, match="max_candidate_pairs"):
+        dedup.ngram_jaccard_pairs(docs, "id", "text", k=3, threshold=0.5, max_candidate_pairs=1)
+
+
 def test_minhash_lsh(docs):
     pairs = dedup.minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.5)
     pairset = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
