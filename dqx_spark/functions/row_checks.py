@@ -888,17 +888,76 @@ def _luhn_ok(digits: Column) -> Column:
     return (F.size(chars) >= 13) & ((F.aggregate(vals, F.lit(0), lambda a, v: a + v) % 10) == 0)
 
 
+def _card_in_digit_run(d: Column) -> Column:
+    """True when a digit run contains a credit-card number at ANY offset —
+    pure Column arithmetic, no UDF.
+
+    A bare windowed Luhn scan over every 13-19 digit window would flag
+    ~65% of arbitrary 16+-digit runs (each window passes Luhn with p≈0.1),
+    so windows are constrained to the real card-network grammar first:
+    start at a valid IIN prefix, use only that network's issued lengths,
+    THEN require the Luhn checksum.  Covers Visa 4- (13/16/19), Mastercard
+    51-55 / 2221-2720 (16), Amex 34/37 (15), Discover 6011/65 (16-19) —
+    so a valid card embedded in a longer run (e.g. preceded by a stray
+    digit) is still found, and 13-15 digit formats are no longer missed.
+    """
+    L = F.length(d)
+
+    def luhn_at(s, n: int) -> Column:
+        return (s + F.lit(n - 1) <= L) & _luhn_ok(d.substr(s, F.lit(n)))
+
+    def network_ok(s) -> Column:
+        c1, c2, c4 = d.substr(s, F.lit(1)), d.substr(s, F.lit(2)), d.substr(s, F.lit(4))
+        visa = (c1 == "4") & (luhn_at(s, 13) | luhn_at(s, 16) | luhn_at(s, 19))
+        mastercard = c2.rlike("^(5[1-5]|2[2-7])") & luhn_at(s, 16)
+        amex = c2.isin("34", "37") & luhn_at(s, 15)
+        discover = ((c4 == "6011") | (c2 == "65")) & (
+            luhn_at(s, 16) | luhn_at(s, 17) | luhn_at(s, 18) | luhn_at(s, 19)
+        )
+        return visa | mastercard | amex | discover
+
+    # window starts: any offset where >=13 digits remain
+    return F.when(L >= 13, F.exists(F.sequence(F.lit(1), L - 12), network_ok)).otherwise(F.lit(False))
+
+
+#: CREDIT_CARD candidates: MAXIMAL separated digit runs of >=13 digits
+#: (boundary lookarounds stop a run from being split one digit early —
+#: non-overlapping extraction of a fixed 4x4 shape used to consume a valid
+#: card preceded by a stray digit into a misaligned window)
+_CARD_RUN_REGEX = r"((?<![0-9])[0-9](?:[ \-]?[0-9]){12,})(?![0-9])"
+
 _PII_PATTERNS = {
     "EMAIL_ADDRESS": EMAIL_REGEX.strip("^$"),
     "US_SSN": r"\d{3}-\d{2}-\d{4}",
     "PHONE_NUMBER": r"(\+?\d{1,2}[\s.-]?)?(\(?\d{3}\)?[\s.-]?)\d{3}[\s.-]?\d{4}",
-    "CREDIT_CARD": r"\d{4}[\s-]?\d{4}[\s-]?\d{4}[\s-]?\d{4}",
+    "CREDIT_CARD": _CARD_RUN_REGEX,
     "IP_ADDRESS": IPV4_REGEX.strip("^$"),
 }
 
 #: per-process AnalyzerEngine cache — Presidio loads an NLP model; build it
 #: once per executor, not once per Arrow batch
 _PRESIDIO_ENGINES: dict = {}
+
+#: memoized driver-side availability probe for the engine='auto' ladder
+_PRESIDIO_AVAILABLE: bool | None = None
+
+
+def _presidio_available() -> bool:
+    """Driver-side probe: can the Presidio NER engine be imported?  Used by
+    ``does_not_contain_pii(engine='auto')`` to pick NER when present —
+    the same availability-ladder pattern as
+    :func:`dqx_spark.pipeline.multimodal._select_image_encoder`.  Assumes
+    driver and executors share the environment (true for every supported
+    deployment mode); force ``engine='regex'`` where they don't."""
+    global _PRESIDIO_AVAILABLE
+    if _PRESIDIO_AVAILABLE is None:
+        try:
+            import presidio_analyzer  # noqa: F401, PLC0415
+
+            _PRESIDIO_AVAILABLE = True
+        except ImportError:
+            _PRESIDIO_AVAILABLE = False
+    return _PRESIDIO_AVAILABLE
 
 
 def presidio_analyzer(
@@ -971,15 +1030,26 @@ def does_not_contain_pii(
     language: str | None = None,
     threshold: float | None = None,
     nlp_engine_config: dict | None = None,
+    engine: str = "auto",
 ) -> Column:
     """Fail when the text contains PII-looking entities.
 
     The reference wraps Microsoft Presidio in a pandas UDF
-    (pii/pii_detection_funcs.py:33-186).  Two engines here:
+    (pii/pii_detection_funcs.py:33-186).  Engine selection (``engine=``):
 
-    - default: a JVM-side regex battery over the same entity names —
-      faster, deterministic, fully codegen'd; catches structured PII
-      (emails, SSNs, phones, cards, IPs) but not free-text NER entities.
+    - ``'auto'`` (default): Presidio NER when the ``presidio_analyzer``
+      package is importable, else the regex battery — the same
+      availability ladder as the image-encoder selection
+      (multimodal.py).  With Presidio installed, free-text entities
+      (person names, addresses) are caught by default, matching the
+      reference's default engine; without it, structured PII is still
+      caught and the message names which engine ran.
+    - ``'regex'``: force the JVM-side regex battery over the same entity
+      names — faster, deterministic, fully codegen'd; catches structured
+      PII (emails, SSNs, phones, cards via windowed network-aware Luhn,
+      IPs) but not free-text NER entities.
+    - ``'ner'``: force Presidio — raises at task time if the package is
+      missing from the executors.
     - ``analyzer=``: a pluggable NER hook — any
       ``Callable[[pd.Series], pd.Series]`` mapping a series of strings to
       a boolean series (True = contains PII).  Wrapped in an Arrow-batched
@@ -1000,13 +1070,29 @@ def does_not_contain_pii(
     """
     col = to_col(column)
     name = normalize_col_str(column)
-    if analyzer is None and (language is not None or threshold is not None or nlp_engine_config is not None):
+    if engine not in ("auto", "regex", "ner"):
+        raise ValueError(f"unknown engine {engine!r}: expected auto|regex|ner")
+    if engine == "regex" and (analyzer is not None or language is not None
+                              or threshold is not None or nlp_engine_config is not None):
+        raise ValueError(
+            "engine='regex' conflicts with the NER-only parameters "
+            "(analyzer/language/threshold/nlp_engine_config)"
+        )
+    engine_label = "custom analyzer"
+    if analyzer is None and (
+        engine == "ner"
+        or language is not None
+        or threshold is not None
+        or nlp_engine_config is not None
+        or (engine == "auto" and _presidio_available())
+    ):
         analyzer = presidio_analyzer(
             entities=entities,
             language=language or "en",
             score_threshold=0.7 if threshold is None else threshold,
             nlp_engine_config=nlp_engine_config,
         )
+        engine_label = "presidio"
     if analyzer is not None:
 
         @F.pandas_udf(T.BooleanType())
@@ -1016,7 +1102,7 @@ def does_not_contain_pii(
         condition = col.isNotNull() & F.coalesce(_detect(col.cast("string")), F.lit(False))
         return make_condition(
             condition,
-            f"Column '{name}' value contains PII (custom analyzer)",
+            f"Column '{name}' value contains PII ({engine_label})",
             f"{name}_contains_pii",
         )
     chosen = entities or list(_PII_PATTERNS)
@@ -1026,11 +1112,13 @@ def does_not_contain_pii(
     hit = None
     for e in chosen:
         if e == "CREDIT_CARD":
-            # candidates must also pass the Luhn checksum (pure Column
-            # arithmetic) — a bare 16-digit regex flags every order id
-            cands = F.regexp_extract_all(col, F.lit(f"({_PII_PATTERNS[e]})"), F.lit(1))
+            # candidates are maximal >=13-digit runs; each must contain a
+            # network-valid Luhn window (pure Column arithmetic) — a bare
+            # 16-digit regex flags every order id, and a fixed 4x4 shape
+            # misses cards at odd offsets or 13/15/19-digit formats
+            cands = F.regexp_extract_all(col, F.lit(_PII_PATTERNS[e]), F.lit(1))
             term = F.coalesce(
-                F.exists(cands, lambda c: _luhn_ok(F.regexp_replace(c, "[^0-9]", ""))),
+                F.exists(cands, lambda c: _card_in_digit_run(F.regexp_replace(c, "[^0-9]", ""))),
                 F.lit(False),
             )
         else:

@@ -355,3 +355,60 @@ def test_pii_credit_card_luhn_validation(spark):
         ).collect()
     }
     assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_pii_credit_card_windowed_formats(spark):
+    """Cards are found at ANY offset inside a longer digit run and across
+    the 13/15/16/19-digit network formats — but only windows starting at a
+    valid network IIN prefix are Luhn-tested, so Luhn-valid junk with an
+    unissued prefix does not fire."""
+    import dqx_spark.functions as C
+
+    rows = [
+        (1, "ref 94111 1111 1111 11117 end"),     # valid Visa inside a 17-digit run
+        (2, "visa13 4222222222222 old format"),   # 13-digit Visa
+        (3, "amex 378282246310005 on file"),      # 15-digit Amex
+        (4, "disc 6011111111111117 okay"),        # 16-digit Discover
+        (5, "junk 1890831903000908 here"),        # Luhn-valid, prefix 1: no network
+        (6, "serial 63608377835337406 x"),        # 17 digits, no card inside
+        (7, "clean text"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.c is not None
+        for r in df.select(
+            "id", C.does_not_contain_pii("t", entities=["CREDIT_CARD"]).alias("c")
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: True, 5: False, 6: False, 7: False, 8: False}
+
+
+def test_pii_engine_selection(spark):
+    """engine='auto' ladder: NER when presidio imports, regex fallback
+    otherwise; explicit engines force their path."""
+    import dqx_spark.functions as C
+    from dqx_spark.functions.row_checks import _presidio_available
+
+    df = spark.createDataFrame(
+        [(0, "ssn 123-45-6789 leaked"), (1, "my name is John Smith and I live in Boston"), (2, "clean")],
+        "id int, t string",
+    )
+
+    def fired(cond):
+        return {r.id for r in df.select("id", cond.alias("c")).collect() if r.c is not None}
+
+    # forced regex: structured PII only, deterministic everywhere
+    assert fired(C.does_not_contain_pii("t", engine="regex")) == {0}
+    with pytest.raises(ValueError, match="engine='regex' conflicts"):
+        C.does_not_contain_pii("t", engine="regex", threshold=0.5)
+    with pytest.raises(ValueError, match="unknown engine"):
+        C.does_not_contain_pii("t", engine="nope")
+
+    if _presidio_available():  # pragma: no cover - env-dependent
+        # auto selects NER: free-text person names are caught
+        assert 1 in fired(C.does_not_contain_pii("t"))
+        assert fired(C.does_not_contain_pii("t", engine="ner")) >= {0, 1}
+    else:
+        # auto falls back to the regex battery (this container)
+        assert fired(C.does_not_contain_pii("t")) == {0}
