@@ -402,6 +402,48 @@ def q_multimodal_features(spark, sf):
     )
 
 
+#: four spec-valid MP4 layouts (sample sizes, stss sync list, samples per
+#: chunk) — ragged last chunks, uniform and varied sizes, an absent stss
+#: (=> every sample sync, ISO 14496-12 §8.6.2), exercising the full
+#: stsz/stsc/stco/stss arithmetic
+_VIDEO_VARIANTS = [
+    ([10, 20, 30, 40, 50, 60, 70], [1, 4, 7], 3),
+    ([16, 16, 16, 16, 16, 16], [2, 5], 4),
+    ([9, 18, 27], None, 2),
+    ([33, 44], [1], 3),
+]
+
+
+def q_video_keyframes(spark, sf):
+    """Real ISO-BMFF keyframe extraction certified bit-exactly (r6):
+    synthesized spec-valid MP4s (multimodal.synthesize_mp4) keyed by
+    doc_id % 4; ``sample_video_frames(method='sync')`` must recover exactly
+    the sync samples' byte ranges via the stbl sample-table walk
+    (multimodal.parse_video_sample_table).  Frame bytes are md5'd, so a
+    one-byte offset error in the stsc/stco arithmetic fails the gate.  The
+    oracle derives the expected frames from the construction arithmetic
+    alone (sample i is filled with byte value i), independent of the
+    parser under test."""
+    hexes = [
+        multimodal.synthesize_mp4(sizes, sync, spc).hex() for sizes, sync, spc in _VIDEO_VARIANTS
+    ]
+    df = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.unhex(
+            F.element_at(F.array(*[F.lit(h) for h in hexes]), (F.col("doc_id") % 4 + 1).cast("int"))
+        ).alias("content"),
+    )
+    frames = multimodal.sample_video_frames(df, "content", "doc_id", every_n=1, method="sync")
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "sample_number",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+        "method",
+    )
+
+
 def q_compare_datasets_missing(spark, sf):
     df = _read(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     ref = (
@@ -1464,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_coverage": q_top_ngram_coverage,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
+        "video_keyframes": q_video_keyframes,
         "hash_split": q_hash_split,
         "key_skew": q_key_skew,
         "ngram_contamination": q_ngram_contamination,
@@ -1708,6 +1751,29 @@ def _text_profile_oracle() -> str:
         r"len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> ''))::BIGINT AS tc, "
         r"md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))) AS fp FROM documents) "
         "SELECT b.doc_id, tc, predicted, fp FROM base b JOIN lang USING (doc_id)"
+    )
+
+
+def _video_keyframes_oracle() -> str:
+    """Closed-form twin of q_video_keyframes built from the CONSTRUCTION
+    arithmetic only (sample s is filled with byte value s, size =
+    sizes[s-1], keyframes = the stss list else all samples) — shares the
+    fixture spec with the Spark side but NOT the box parser under test."""
+    import hashlib
+
+    rows = []
+    for variant, (sizes, sync, _spc) in enumerate(_VIDEO_VARIANTS):
+        syncs = sorted(sync) if sync is not None else list(range(1, len(sizes) + 1))
+        for idx, s in enumerate(syncs):
+            content = bytes([s & 0xFF]) * sizes[s - 1]
+            rows.append(
+                f"({variant}, {idx}, {s}, {sizes[s - 1]}, '{hashlib.md5(content).hexdigest()}')"
+            )
+    return (
+        "SELECT d.doc_id, v.fi::INT AS frame_index, v.sn::INT AS sample_number, "
+        "v.fl::BIGINT AS frame_len, v.md AS frame_md5, 'mp4-sync-sample' AS method "
+        "FROM documents d JOIN (VALUES " + ", ".join(rows) + ") AS v(var, fi, sn, fl, md) "
+        "ON d.doc_id % 4 = v.var"
     )
 
 
@@ -2439,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT (e_rf::DOUBLE / total <= 0.01) "
             "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ',') FROM a"
         ),
+        "video_keyframes": _video_keyframes_oracle(),
         "multimodal_features": (
             # sha256-stub features: byte_i(sha256(utf8(text)))/255; emit the
             # recovered integer bytes (first + sum of all 16) — bit-exact

@@ -9,9 +9,12 @@ directly from the bytes (``parse_image_header``), no media library needed.
 ``image_features`` selects its encoder by availability — torchvision
 ResNet-18 > PIL thumbnail-luminance perceptual features > a declared sha256
 stub — and stamps every row with which one ran (``featurizer`` column).
-Video frame extraction remains stubbed behind a deterministic fake: the
-container has no video decoder; the partition/explode/schema plumbing is
-real and tested.
+Video frame extraction is real for ISO-BMFF (MP4/MOV): sync-sample
+(keyframe) byte ranges are computed from the ``stbl`` sample tables
+(``stsz``/``stsc``/``stco``/``stss``) with no codec, and an
+ffmpeg-binary-guarded rung does full pixel decode where ffmpeg exists;
+only unrecognized byte streams fall back to deterministic byte slices
+(stamped ``byte-slice-fallback`` in the ``method`` column).
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ __all__ = [
     "parse_image_header",
     "parse_audio_header",
     "parse_video_header",
+    "parse_video_sample_table",
+    "synthesize_mp4",
     "decode_image",
     "decode_audio",
     "decode_video_metadata",
@@ -182,6 +187,28 @@ def parse_audio_header(b: bytes | None) -> tuple[int, int, int, float | None, st
     return None
 
 
+def _iso_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    buf[start:end] — handles 64-bit largesize and size-0 (to-end) boxes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        btype = buf[i + 4 : i + 8]
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            yield btype, i + 16, i + size
+        elif size == 0:  # to end of enclosing box
+            yield btype, i + 8, end
+            return
+        else:
+            yield btype, i + 8, i + size
+        if size < 8:
+            return
+        i += size
+
+
 def parse_video_header(b: bytes | None) -> tuple[float | None, int | None, int | None, str] | None:
     """(duration_s, width, height, decoder) from an ISO-BMFF (MP4/MOV)
     box walk — pure bytes, no media library: ``moov/mvhd`` carries
@@ -191,25 +218,7 @@ def parse_video_header(b: bytes | None) -> tuple[float | None, int | None, int |
     if b is None or len(b) < 12 or b[4:8] != b"ftyp":
         return None
 
-    def boxes(buf: bytes, start: int, end: int):
-        i = start
-        while i + 8 <= end:
-            size = int.from_bytes(buf[i : i + 4], "big")
-            btype = buf[i + 4 : i + 8]
-            if size == 1:  # 64-bit largesize
-                if i + 16 > end:
-                    return
-                size = int.from_bytes(buf[i + 8 : i + 16], "big")
-                yield btype, i + 16, i + size
-            elif size == 0:  # to end of enclosing box
-                yield btype, i + 8, end
-                return
-            else:
-                yield btype, i + 8, i + size
-            if size < 8:
-                return
-            i += size
-
+    boxes = _iso_boxes
     duration = width = height = None
     for btype, s0, s1 in boxes(b, 0, len(b)):
         if btype != b"moov":
@@ -238,6 +247,180 @@ def parse_video_header(b: bytes | None) -> tuple[float | None, int | None, int |
                             width, height = w, h
         return (duration, width, height, "mp4-moov")
     return None
+
+
+def parse_video_sample_table(b: bytes | None) -> list[tuple[int, int, int, bool]] | None:
+    """Per-sample byte layout of an ISO-BMFF (MP4/MOV) video track:
+    ``[(sample_number_1based, absolute_offset, size, is_sync)]`` — parsed
+    straight from the ``stbl`` sample tables (``stsz`` sizes, ``stsc``
+    sample→chunk runs, ``stco``/``co64`` chunk offsets, ``stss`` sync
+    list), no media library.
+
+    This is what makes codec-free keyframe EXTRACTION possible: sync
+    samples (``stss``; every sample when the box is absent, per ISO/IEC
+    14496-12 §8.6.2) are self-contained coded pictures, and their exact
+    byte ranges inside ``mdat`` fall out of the table arithmetic.  The
+    track is chosen by ``hdlr`` handler type ``vide`` (first track as a
+    fallback).  Returns None for non-ISO-BMFF bytes or a missing/
+    inconsistent sample table."""
+    if b is None or len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+
+    def find(typ: bytes, s: int, e: int) -> tuple[int, int] | None:
+        for t, p0, p1 in _iso_boxes(b, s, e):
+            if t == typ:
+                return p0, min(p1, len(b))
+        return None
+
+    moov = find(b"moov", 0, len(b))
+    if moov is None:
+        return None
+    chosen = fallback = None
+    for t, p0, p1 in _iso_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = find(b"mdia", p0, p1)
+        if mdia is None:
+            continue
+        if fallback is None:
+            fallback = mdia
+        hdlr = find(b"hdlr", *mdia)
+        # hdlr payload: version/flags(4) + pre_defined(4) + handler_type(4)
+        if hdlr is not None and b[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+            chosen = mdia
+            break
+    mdia = chosen or fallback
+    if mdia is None:
+        return None
+    minf = find(b"minf", *mdia)
+    stbl = find(b"stbl", *minf) if minf else None
+    if stbl is None:
+        return None
+
+    def u32(i: int) -> int:
+        return int.from_bytes(b[i : i + 4], "big")
+
+    stsz = find(b"stsz", *stbl)
+    stsc = find(b"stsc", *stbl)
+    stco = find(b"stco", *stbl)
+    co64 = None if stco else find(b"co64", *stbl)
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        return None
+    # stsz: version/flags, uniform_size, count [, per-sample sizes]
+    uniform, n_samples = u32(stsz[0] + 4), u32(stsz[0] + 8)
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        if stsz[0] + 12 + 4 * n_samples > stsz[1]:
+            return None
+        sizes = [u32(stsz[0] + 12 + 4 * i) for i in range(n_samples)]
+    # chunk offsets
+    if stco is not None:
+        n_chunks = u32(stco[0] + 4)
+        if stco[0] + 8 + 4 * n_chunks > stco[1]:
+            return None
+        chunk_offsets = [u32(stco[0] + 8 + 4 * i) for i in range(n_chunks)]
+    else:
+        n_chunks = u32(co64[0] + 4)
+        if co64[0] + 8 + 8 * n_chunks > co64[1]:
+            return None
+        chunk_offsets = [
+            int.from_bytes(b[co64[0] + 8 + 8 * i : co64[0] + 16 + 8 * i], "big") for i in range(n_chunks)
+        ]
+    # stsc runs: (first_chunk, samples_per_chunk, _desc_index)
+    n_runs = u32(stsc[0] + 4)
+    if stsc[0] + 8 + 12 * n_runs > stsc[1]:
+        return None
+    runs = [(u32(stsc[0] + 8 + 12 * i), u32(stsc[0] + 12 + 12 * i)) for i in range(n_runs)]
+    # stss sync list (1-based sample numbers); absent => every sample sync
+    stss = find(b"stss", *stbl)
+    if stss is None:
+        sync = None
+    else:
+        n_sync = u32(stss[0] + 4)
+        if stss[0] + 8 + 4 * n_sync > stss[1]:
+            return None
+        sync = {u32(stss[0] + 8 + 4 * i) for i in range(n_sync)}
+
+    out: list[tuple[int, int, int, bool]] = []
+    sample = 0
+    for ci, chunk_off in enumerate(chunk_offsets):
+        chunk_no = ci + 1
+        per_chunk = next(
+            (spc for first, spc in reversed(runs) if first <= chunk_no), runs[0][1] if runs else 0
+        )
+        off = chunk_off
+        for _ in range(per_chunk):
+            if sample >= n_samples:
+                break
+            sample += 1
+            sz = sizes[sample - 1]
+            out.append((sample, off, sz, sync is None or sample in sync))
+            off += sz
+    return out if len(out) == n_samples else None
+
+
+def synthesize_mp4(
+    sample_sizes: list[int],
+    sync_samples: list[int] | None = None,
+    samples_per_chunk: int = 3,
+    timescale: int = 1000,
+    duration: int = 2000,
+    width: int = 320,
+    height: int = 240,
+    fill: int | None = None,
+) -> bytes:
+    """Build a minimal but SPEC-VALID MP4: ftyp + mdat (deterministic
+    payload) + moov with real sample tables (stsd-free stbl: stsz/stsc/
+    stco/stss) for one ``vide`` track.  Sample *i* (1-based) is filled with
+    byte value ``(fill or i) & 0xFF`` so frame content is closed-form
+    predictable — the fixture generator for keyframe-extraction tests and
+    the correctness gate (the same pattern as the constructed PNG/WAV/MP4
+    headers in the metadata gate row)."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+    def full(typ: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(typ, version.to_bytes(1, "big") + b"\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    payload = b"".join(
+        bytes([(fill if fill is not None else i + 1) & 0xFF]) * sz for i, sz in enumerate(sample_sizes)
+    )
+    mdat = box(b"mdat", payload)
+    n = len(sample_sizes)
+    # chunk layout: fixed samples_per_chunk (last chunk ragged)
+    n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+    base = len(ftyp) + 8  # first sample starts right after the mdat header
+    chunk_offsets, off = [], base
+    for c in range(n_chunks):
+        chunk_offsets.append(off)
+        for s in range(c * samples_per_chunk, min((c + 1) * samples_per_chunk, n)):
+            off += sample_sizes[s]
+    stsz = full(b"stsz", (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+                + b"".join(sz.to_bytes(4, "big") for sz in sample_sizes))
+    last_spc = n - (n_chunks - 1) * samples_per_chunk
+    runs = [(1, samples_per_chunk)] if n_chunks == 1 else (
+        [(1, samples_per_chunk)] + ([(n_chunks, last_spc)] if last_spc != samples_per_chunk else [])
+    )
+    stsc = full(b"stsc", len(runs).to_bytes(4, "big") + b"".join(
+        first.to_bytes(4, "big") + spc.to_bytes(4, "big") + (1).to_bytes(4, "big") for first, spc in runs
+    ))
+    stco = full(b"stco", n_chunks.to_bytes(4, "big") + b"".join(o.to_bytes(4, "big") for o in chunk_offsets))
+    stss = b""
+    if sync_samples is not None:
+        stss = full(b"stss", len(sync_samples).to_bytes(4, "big")
+                    + b"".join(s.to_bytes(4, "big") for s in sorted(sync_samples)))
+    stbl = box(b"stbl", stsz + stsc + stco + stss)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", (0).to_bytes(4, "big") + b"vide" + b"\x00" * 12 + b"v\x00")
+    mdia = box(b"mdia", hdlr + minf)
+    tkhd = full(b"tkhd", b"\x00" * 72 + width.to_bytes(2, "big") + b"\x00\x00"
+                + height.to_bytes(2, "big") + b"\x00\x00")
+    mvhd = full(b"mvhd", b"\x00" * 8 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+                + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
 
 
 def decode_audio(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
@@ -481,30 +664,121 @@ def image_features(
     return df.select(id_col, binary_col).mapInPandas(featurize, out_schema)
 
 
-def sample_video_frames(df: DataFrame, binary_col: str, id_col: str, every_n: int = 30) -> DataFrame:
-    """Frame-sampling plumbing: explode (id, frame_index, frame binary).
-    STUB: without a video decoder, emits deterministic byte slices as
-    'frames' (one per every_n KiB of content) — the partition/explode/schema
-    behavior downstream operators depend on is real."""
+def _ffmpeg_decode_frames(b: bytes, every_n: int) -> list[bytes] | None:
+    """Upper rung: full pixel decode via the ffmpeg BINARY when present on
+    the executor (``shutil.which``-guarded — no Python media package
+    exists in the supported baseline).  Emits every ``every_n``-th decoded
+    frame as JPEG bytes.  Returns None when ffmpeg is absent or fails, so
+    the caller can fall through to sync-sample extraction."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import subprocess  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    if shutil.which("ffmpeg") is None:
+        return None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.bin")
+            with open(src, "wb") as fh:
+                fh.write(b)
+            proc = subprocess.run(
+                [
+                    "ffmpeg", "-v", "error", "-i", src,
+                    "-vf", f"select=not(mod(n\\,{every_n}))", "-vsync", "vfr",
+                    os.path.join(td, "f%06d.jpg"),
+                ],
+                capture_output=True,
+                timeout=120,
+            )
+            if proc.returncode != 0:
+                return None
+            frames = []
+            for name in sorted(os.listdir(td)):
+                if name.startswith("f") and name.endswith(".jpg"):
+                    with open(os.path.join(td, name), "rb") as fh:
+                        frames.append(fh.read())
+            return frames or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+_FRAME_METHODS = ("auto", "ffmpeg", "sync", "slice")
+
+
+def sample_video_frames(
+    df: DataFrame, binary_col: str, id_col: str, every_n: int = 30, method: str = "auto"
+) -> DataFrame:
+    """Explode videos into sampled frames: (id, frame_index, sample_number,
+    frame binary, method string) via Arrow-batched ``mapInPandas``.
+
+    Three rungs, availability-selected per row under ``method='auto'``
+    (the same ladder as :func:`image_features`); the ``method`` column
+    records which one produced each frame:
+
+    - ``ffmpeg`` — full pixel decode (every ``every_n``-th frame as JPEG)
+      when the ffmpeg binary exists on the executor.
+    - ``sync`` (``mp4-sync-sample``) — REAL keyframe extraction for
+      ISO-BMFF (MP4/MOV) without any codec: every ``every_n``-th sync
+      sample's exact byte range, computed from the ``stbl`` sample tables
+      (:func:`parse_video_sample_table`).  ``sample_number`` is the
+      1-based track sample number; the frame bytes are the coded picture
+      as stored in ``mdat``.
+    - ``slice`` (``byte-slice-fallback``) — for byte streams neither rung
+      understands: deterministic ``every_n``-KiB slices, keeping the
+      explode/partition plumbing exercisable on arbitrary binaries.
+    """
+    if method not in _FRAME_METHODS:
+        raise ValueError(f"unknown method {method!r}: expected {'|'.join(_FRAME_METHODS)}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), True),
             T.StructField("frame_index", T.IntegerType(), True),
+            T.StructField("sample_number", T.IntegerType(), True),
             T.StructField("frame", T.BinaryType(), True),
+            T.StructField("method", T.StringType(), True),
         ]
     )
 
+    def frames_for(b: bytes) -> list[tuple[int, int | None, bytes, str]]:
+        if method in ("auto", "ffmpeg"):
+            decoded = _ffmpeg_decode_frames(b, every_n)
+            if decoded is not None:
+                return [(i, None, fb, "ffmpeg") for i, fb in enumerate(decoded)]
+            if method == "ffmpeg":
+                return []
+        if method in ("auto", "sync"):
+            table = parse_video_sample_table(b)
+            if table is not None:
+                keyframes = [(s, off, sz) for s, off, sz, is_sync in table if is_sync]
+                picked = keyframes[:: max(1, every_n)]
+                return [
+                    (i, s, bytes(b[off : off + sz]), "mp4-sync-sample")
+                    for i, (s, off, sz) in enumerate(picked)
+                    if off + sz <= len(b)
+                ]
+            if method == "sync":
+                return []
+        n_frames = max(1, len(b) // (every_n * 1024))
+        return [
+            (i, None, bytes(b[i * every_n * 1024 : (i + 1) * every_n * 1024]), "byte-slice-fallback")
+            for i in range(n_frames)
+        ]
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, samples, frames, methods = [], [], [], [], []
             for rid, b in zip(pdf[id_col], pdf[binary_col]):
                 if b is None:
                     continue
-                n_frames = max(1, len(b) // (every_n * 1024))
-                for i in range(n_frames):
+                for i, s, fb, m in frames_for(b):
                     ids.append(rid)
                     idxs.append(i)
-                    frames.append(bytes(b[i * every_n * 1024 : (i + 1) * every_n * 1024]))
-            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
+                    samples.append(s)
+                    frames.append(fb)
+                    methods.append(m)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_index": idxs, "sample_number": samples, "frame": frames, "method": methods}
+            )
 
     return df.select(id_col, binary_col).mapInPandas(sample, out_schema)

@@ -320,6 +320,54 @@ def test_multimodal_plumbing(spark):
 
     frames = multimodal.sample_video_frames(df, "content", "id", every_n=1).collect()
     assert {r["id"] for r in frames} == {0, 1}
+    # non-video bytes take the declared byte-slice fallback rung
+    assert {r["method"] for r in frames} == {"byte-slice-fallback"}
+
+
+def test_video_keyframe_extraction(spark):
+    """Real ISO-BMFF keyframe extraction: sync-sample byte ranges from the
+    stbl tables — bytes verified against the synthesized mdat payload."""
+    mp4 = multimodal.synthesize_mp4(
+        [10, 20, 30, 40, 50, 60, 70], sync_samples=[1, 4, 7], samples_per_chunk=3
+    )
+    df = spark.createDataFrame([(0, bytearray(mp4)), (1, None)], "id long, content binary")
+    frames = multimodal.sample_video_frames(df, "content", "id", every_n=1).collect()
+    by_idx = {r["frame_index"]: r for r in frames}
+    # exactly the three sync samples, in track order, with exact bytes
+    assert [by_idx[i]["sample_number"] for i in range(3)] == [1, 4, 7]
+    assert bytes(by_idx[0]["frame"]) == bytes([1]) * 10
+    assert bytes(by_idx[1]["frame"]) == bytes([4]) * 40
+    assert bytes(by_idx[2]["frame"]) == bytes([7]) * 70
+    assert {r["method"] for r in frames} == {"mp4-sync-sample"}
+    # every_n strides over the sync-sample list
+    strided = multimodal.sample_video_frames(df, "content", "id", every_n=2).collect()
+    assert [r["sample_number"] for r in strided] == [1, 7]
+    # no stss box => every sample is a keyframe (ISO 14496-12 §8.6.2)
+    all_sync = multimodal.synthesize_mp4([8] * 5, sync_samples=None, samples_per_chunk=2)
+    df2 = spark.createDataFrame([(0, bytearray(all_sync))], "id long, content binary")
+    assert multimodal.sample_video_frames(df2, "content", "id", every_n=1).count() == 5
+    # forced sync method on non-ISO bytes yields nothing (loud absence, not fake)
+    df3 = spark.createDataFrame([(0, bytearray(b"x" * 4096))], "id long, content binary")
+    assert multimodal.sample_video_frames(df3, "content", "id", method="sync").count() == 0
+    with pytest.raises(ValueError, match="unknown method"):
+        multimodal.sample_video_frames(df3, "content", "id", method="nope")
+
+
+def test_video_sample_table_parser():
+    """Table arithmetic against hand-computed layout: ragged last chunk,
+    co64 absent, stss subset."""
+    sizes = [5, 6, 7, 8]
+    mp4 = multimodal.synthesize_mp4(sizes, sync_samples=[2], samples_per_chunk=3)
+    table = multimodal.parse_video_sample_table(mp4)
+    assert [s for s, *_ in table] == [1, 2, 3, 4]
+    assert [sz for _, _, sz, _ in table] == sizes
+    assert [sync for *_, sync in table] == [False, True, False, False]
+    # offsets are contiguous within a chunk and restart at chunk 2
+    assert table[1][1] == table[0][1] + 5 and table[2][1] == table[1][1] + 6
+    for s, off, sz, _ in table:
+        assert mp4[off : off + sz] == bytes([s]) * sz
+    assert multimodal.parse_video_sample_table(None) is None
+    assert multimodal.parse_video_sample_table(b"\x00\x00\x00\x08ftyp") is None
 
 
 def test_top_distinctive_terms(spark):
