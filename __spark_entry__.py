@@ -443,6 +443,66 @@ def q_video_keyframes(spark, sf):
     )
 
 
+def q_streaming_checks_parity(spark, sf):
+    """Batch/stream parity through the REAL Structured Streaming machinery
+    (r6, SURVEY §1.3's one-code-path promise): events is consumed as a file
+    stream (``readStream`` + ``availableNow`` trigger), every micro-batch
+    runs through the SAME ``DQEngine.apply_checks`` via
+    ``streaming.apply_checks_streaming``'s foreachBatch, and the annotated
+    flags land in a parquet sink that is read back as the result.  The
+    oracle is the BATCH twin in SQL — dataset checks are scoped per
+    micro-batch exactly as the reference does, and the single-file source
+    yields one batch spanning the table, so the per-batch and global
+    answers coincide by construction."""
+    import os
+    import tempfile
+
+    from dqx_spark import streaming as dq_streaming
+
+    src = os.path.abspath(f"{sf}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="dqx_stream_src_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanos testdata vintage
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    stream = stream.withColumn(
+        "et", F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type"))
+    ).withColumn("uk", F.pmod(F.col("event_id"), F.lit(9000)))
+    rules = [
+        DQRowRule(name="is_not_null", check_func=C.is_not_null, column="et"),
+        DQRowRule(
+            name="is_in_list", check_func=C.is_in_list, column="event_type",
+            check_func_kwargs={"allowed": ["click", "view", "purchase"]},
+        ),
+        DQRowRule(
+            name="is_not_in_future", check_func=C.is_not_in_future, column="ts",
+            check_func_kwargs={"curr_timestamp": "2024-01-15 00:00:00"},
+        ),
+        DQDatasetRule(name="is_unique", check_func=C.is_unique, columns=["uk"]),
+    ]
+    out_dir = tempfile.mkdtemp(prefix="dqx_stream_out_")
+
+    def sink(checked: DataFrame, batch_id: int) -> None:
+        errs = F.coalesce(F.col("_errors"), F.array().cast(checked.schema["_errors"].dataType))
+
+        def flag(name):
+            return F.exists(errs, lambda e: e["name"] == name).alias(name)
+
+        checked.select("event_id", *[flag(r.name) for r in rules]).write.mode("append").parquet(out_dir)
+
+    query = dq_streaming.apply_checks_streaming(
+        _engine(),
+        stream,
+        rules,
+        batch_sink=sink,
+        trigger={"availableNow": True},
+        checkpoint_location=tempfile.mkdtemp(prefix="dqx_stream_ckpt_"),
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_compare_datasets_missing(spark, sf):
     df = _read(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     ref = (
@@ -1506,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
         "video_keyframes": q_video_keyframes,
+        "streaming_checks_parity": q_streaming_checks_parity,
         "hash_split": q_hash_split,
         "key_skew": q_key_skew,
         "ngram_contamination": q_ngram_contamination,
@@ -2505,6 +2566,20 @@ def oracle_sql() -> dict[str, str]:
             "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ',') FROM a"
         ),
         "video_keyframes": _video_keyframes_oracle(),
+        "streaming_checks_parity": (
+            # batch twin of the streamed checks: the availableNow run covers
+            # the whole table in one micro-batch, so per-batch scoping and
+            # global answers coincide
+            "WITH fx AS (SELECT event_id, ts, event_type, "
+            "CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS et, "
+            "event_id % 9000 AS uk FROM events) "
+            "SELECT event_id, "
+            "et IS NULL AS is_not_null, "
+            "event_type NOT IN ('click','view','purchase') AS is_in_list, "
+            "ts > TIMESTAMP '2024-01-15 00:00:00' AS is_not_in_future, "
+            "(count(*) OVER (PARTITION BY uk)) > 1 AS is_unique "
+            "FROM fx"
+        ),
         "multimodal_features": (
             # sha256-stub features: byte_i(sha256(utf8(text)))/255; emit the
             # recovered integer bytes (first + sum of all 16) — bit-exact
