@@ -193,8 +193,24 @@ def generate_rules_from_contract(
             checks.append(
                 {"criticality": criticality, "check": {"function": "is_unique", "arguments": {"columns": pk}}}
             )
-        for p in props:
-            name = p["name"]
+
+        def walk(raw: list[dict], prefix: str):
+            """Depth-first over nested ODCS properties: yields (dotted_path,
+            folded_prop) for every named node — rules on nested object
+            members address the struct field by its dotted column path,
+            exactly as the reference's generator does
+            (contract_rules_generator.py:569 column_path recursion)."""
+            for rp in raw:
+                if not (isinstance(rp, dict) and rp.get("name")):
+                    continue
+                folded = {**(rp.get("logicalTypeOptions") or {}), **rp}
+                path = f"{prefix}{rp['name']}"
+                yield path, folded
+                nested = rp.get("properties")
+                if isinstance(nested, list) and nested:
+                    yield from walk(nested, f"{path}.")
+
+        for name, p in walk(raw_props, ""):
 
             def add(function: str, arguments: dict | None = None, crit: str = criticality):
                 args = {"column": name, **(arguments or {})}
@@ -236,11 +252,26 @@ def generate_rules_from_contract(
                         "check": {"function": "sql_expression", "arguments": {"expression": expr}},
                     }
                 )
-            fmt = str(p.get("format", "")).lower()
-            if fmt in _FORMAT_CHECKS:
-                add(_FORMAT_CHECKS[fmt])
-            elif fmt == "uuid":
-                add("regex_match", {"regex": _UUID_PATTERN})
+            # format semantics follow the logical type (reference
+            # _generate_format_rules_from_options: date/timestamp formats
+            # are PATTERNS and become is_valid_date/timestamp with the
+            # pattern argument; anything else is ignored there).  The
+            # pattern passes through verbatim — the checks accept both
+            # Java/Spark and Python strftime spellings (row_checks.
+            # _normalize_datetime_format).  Named string formats
+            # (email/ipv4/uuid/...) are honored as an extension.
+            fmt_raw = p.get("format")
+            logical = str(p.get("type", p.get("logicalType", "string"))).lower()
+            if fmt_raw is not None:
+                fmt = str(fmt_raw)
+                if logical == "date":
+                    add("is_valid_date", {"date_format": fmt})
+                elif logical in ("timestamp", "datetime"):
+                    add("is_valid_timestamp", {"timestamp_format": fmt})
+                elif fmt.lower() in _FORMAT_CHECKS:
+                    add(_FORMAT_CHECKS[fmt.lower()])
+                elif fmt.lower() == "uuid":
+                    add("regex_match", {"regex": _UUID_PATTERN})
             if p.get("quality"):
                 checks.extend(
                     _explicit_quality_rules(

@@ -337,12 +337,39 @@ def is_not_in_near_future(
     )
 
 
+#: Python strftime directive -> Spark datetime pattern (both public
+#: conventions appear in the wild: ODCS tooling and the reference's
+#: contract generator emit strftime, Spark checks expect Java-style)
+_STRFTIME_TO_SPARK = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"), ("%p", "a"),
+    ("%j", "DDD"), ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
+]
+
+
+def _normalize_datetime_format(fmt: str | None) -> str | None:
+    """Accept Python strftime patterns ('%Y-%m-%d') alongside Spark/Java
+    ones ('yyyy-MM-dd'): strftime directives are rewritten to the Spark
+    pattern letters ``try_to_timestamp`` understands.  The reference's
+    datacontract generator emits strftime (contract_rules_generator.py:
+    1009) while its own is_valid_date expects Spark patterns
+    (check_funcs.py:1026) — normalizing here makes both spellings work."""
+    if not fmt or "%" not in fmt:
+        return fmt
+    out = fmt.replace("%%", "\x00")
+    for py, spark in _STRFTIME_TO_SPARK:
+        out = out.replace(py, spark)
+    return out.replace("\x00", "%")
+
+
 @register_rule("row")
 def is_valid_date(column: str | Column, date_format: str | None = None) -> Column:
-    """Fail when the string doesn't parse as a date (reference check_funcs.py:1026)."""
+    """Fail when the string doesn't parse as a date (reference check_funcs.py:1026).
+    ``date_format`` accepts Spark/Java patterns or Python strftime."""
     col = to_col(column)
     name = normalize_col_str(column)
-    parsed = F.try_to_timestamp(col, F.lit(date_format)) if date_format else col.try_cast("date")
+    spark_fmt = _normalize_datetime_format(date_format)
+    parsed = F.try_to_timestamp(col, F.lit(spark_fmt)) if date_format else col.try_cast("date")
     condition = col.isNotNull() & parsed.isNull()
     fmt = f" with format '{_fmt_literal(date_format)}'" if date_format else ""
     return make_condition(
@@ -354,10 +381,12 @@ def is_valid_date(column: str | Column, date_format: str | None = None) -> Colum
 
 @register_rule("row")
 def is_valid_timestamp(column: str | Column, timestamp_format: str | None = None) -> Column:
-    """Fail when the string doesn't parse as a timestamp (reference check_funcs.py:1050)."""
+    """Fail when the string doesn't parse as a timestamp (reference check_funcs.py:1050).
+    ``timestamp_format`` accepts Spark/Java patterns or Python strftime."""
     col = to_col(column)
     name = normalize_col_str(column)
-    parsed = F.try_to_timestamp(col, F.lit(timestamp_format)) if timestamp_format else col.try_cast("timestamp")
+    spark_fmt = _normalize_datetime_format(timestamp_format)
+    parsed = F.try_to_timestamp(col, F.lit(spark_fmt)) if timestamp_format else col.try_cast("timestamp")
     condition = col.isNotNull() & parsed.isNull()
     fmt = f" with format '{_fmt_literal(timestamp_format)}'" if timestamp_format else ""
     return make_condition(

@@ -191,3 +191,124 @@ def test_reference_sample_datacontract_generates_and_runs(spark):
     assert clean_errors == {"sensor_id_length"}
     bad = {e["function"] for e in got["bad id"]["_errors"]}
     assert {"regex_match", "is_in_range", "sql_expression"} <= bad
+
+
+def test_second_odcs_contract_covers_remaining_shapes(spark):
+    """Second end-to-end contract (r6): the property shapes the reference
+    sample does NOT exercise, mirrored from the reference generator's own
+    unit-test corpus (test_datacontract_generator.py): nested objects with
+    dotted column paths, date/timestamp logicalTypeOptions.format in BOTH
+    Java and Python strftime spellings, format ignored on string types,
+    single-sided minimum / maximum, minLength-only / maxLength-only, enum,
+    uuid format, the unique flag, and a second schema object.  Generated
+    rules run through the real engine on shaped data with exact expected
+    fire-sets — zero divergence from the reference's documented semantics."""
+    from dqx_spark.contracts import generate_rules_from_contract
+
+    contract = {
+        "schema": [
+            {
+                "name": "shipments",
+                "properties": [
+                    {"name": "shipment_id", "physicalType": "STRING", "logicalType": "string",
+                     "required": True, "unique": True,
+                     "logicalTypeOptions": {"format": "uuid"}},
+                    {"name": "ship_date", "physicalType": "STRING", "logicalType": "date",
+                     "logicalTypeOptions": {"format": "yyyy-MM-dd"}},          # Java pattern
+                    {"name": "delivered_at", "physicalType": "STRING", "logicalType": "timestamp",
+                     "logicalTypeOptions": {"format": "%Y-%m-%d %H:%M:%S"}},   # Python strftime
+                    {"name": "status", "physicalType": "STRING", "logicalType": "string",
+                     "enum": ["pending", "shipped", "delivered"],
+                     # format on a string logical type must be IGNORED
+                     # (reference _generate_format_rules_from_options warns+skips)
+                     "logicalTypeOptions": {"format": "yyyy-MM-dd"}},
+                    {"name": "weight_kg", "physicalType": "DOUBLE", "logicalType": "number",
+                     "logicalTypeOptions": {"minimum": 0}},                    # one-sided min
+                    {"name": "priority", "physicalType": "INT", "logicalType": "integer",
+                     "logicalTypeOptions": {"maximum": 5}},                    # one-sided max
+                    {"name": "carrier_code", "physicalType": "STRING", "logicalType": "string",
+                     "logicalTypeOptions": {"minLength": 2}},                  # minLength only
+                    {"name": "notes", "physicalType": "STRING", "logicalType": "string",
+                     "logicalTypeOptions": {"maxLength": 10}},                 # maxLength only
+                    {"name": "consignee", "physicalType": "BINARY", "logicalType": "object",
+                     "required": True,
+                     "properties": [
+                         {"name": "name", "physicalType": "STRING", "logicalType": "string",
+                          "required": True},
+                         {"name": "address", "physicalType": "BINARY", "logicalType": "object",
+                          "properties": [
+                              {"name": "zipcode", "physicalType": "STRING", "logicalType": "string",
+                               "logicalTypeOptions": {"pattern": "^[0-9]{5}$"}},
+                          ]},
+                     ]},
+                ],
+            },
+            {
+                "name": "carriers",
+                "properties": [
+                    {"name": "code", "physicalType": "STRING", "logicalType": "string",
+                     "required": True, "primaryKey": True},
+                ],
+            },
+        ]
+    }
+    checks = generate_rules_from_contract(contract)
+    status = validate_checks(checks)
+    assert not status.has_errors, str(status)
+
+    by_fn: dict[str, list] = {}
+    for c in checks:
+        by_fn.setdefault(c["check"]["function"], []).append(c["check"]["arguments"])
+    # nested dotted paths reach every level (reference column_path recursion)
+    notnull_cols = {a["column"] for a in by_fn["is_not_null"]}
+    assert {"shipment_id", "consignee", "consignee.name"} <= notnull_cols
+    pattern_cols = {a["column"] for a in by_fn["regex_match"]}
+    assert "consignee.address.zipcode" in pattern_cols
+    assert any("column" in a and a["column"] == "shipment_id" for a in by_fn["regex_match"])  # uuid
+    # format semantics by logical type: patterns pass through verbatim,
+    # string-type format generates NO date rule
+    assert by_fn["is_valid_date"] == [{"column": "ship_date", "date_format": "yyyy-MM-dd"}]
+    assert by_fn["is_valid_timestamp"] == [
+        {"column": "delivered_at", "timestamp_format": "%Y-%m-%d %H:%M:%S"}
+    ]
+    # one-sided bounds pick the single-comparator checks
+    assert by_fn["is_not_less_than"] == [{"column": "weight_kg", "limit": 0}]
+    assert by_fn["is_not_greater_than"] == [{"column": "priority", "limit": 5}]
+    # unique flag and second-schema primaryKey
+    unique_sets = [tuple(a["columns"]) for a in by_fn["is_unique"]]
+    assert ("shipment_id",) in unique_sets and ("code",) in unique_sets
+
+    # end-to-end on shaped rows: one clean, one violating every shape
+    schema = (
+        "shipment_id string, ship_date string, delivered_at string, status string, "
+        "weight_kg double, priority int, carrier_code string, notes string, "
+        "consignee struct<name: string, address: struct<zipcode: string>>"
+    )
+    rows = [
+        ("123e4567-e89b-12d3-a456-426614174000", "2024-06-01", "2024-06-02 10:30:00",
+         "shipped", 12.5, 3, "UP", "ok", {"name": "Ada", "address": {"zipcode": "10001"}}),
+        ("not-a-uuid", "06/01/2024", "yesterday",
+         "lost", -2.0, 9, "U", "waaaaay too long", {"name": None, "address": {"zipcode": "ABCDE"}}),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    # shipments rules only: the carriers-schema rules reference a column the
+    # shipments frame doesn't have and would be recorded as skipped entries
+    runnable = [
+        c for c in checks
+        if c["check"]["function"] != "has_valid_schema" and "code" not in str(c["check"]["arguments"])
+    ]
+    checked = _engine().apply_checks_by_metadata(df, runnable)
+    got = {r["shipment_id"]: r for r in checked.collect()}
+    clean = got["123e4567-e89b-12d3-a456-426614174000"]
+    assert clean["_errors"] is None, [e["name"] for e in clean["_errors"] or []]
+    bad_fns = {e["function"] for e in got["not-a-uuid"]["_errors"]}
+    assert {
+        "regex_match", "is_valid_date", "is_valid_timestamp", "is_in_list",
+        "is_not_less_than", "is_not_greater_than", "sql_expression", "is_not_null",
+    } <= bad_fns
+    # the strftime-format timestamp rule actually PARSES the valid value
+    # (the raw '%Y-…' string would be an invalid Spark pattern) and the
+    # dotted-path rule fired on the nested null
+    bad_names = {e["name"] for e in got["not-a-uuid"]["_errors"]}
+    assert "delivered_at_is_valid_timestamp" in bad_names
+    assert "consignee_name_is_not_null" in bad_names
