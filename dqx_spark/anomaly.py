@@ -291,8 +291,14 @@ def fit_isolation_forest_ensemble(
         # ensemble threshold: mean of member thresholds (each derives from
         # the same contamination quantile on its own training scores)
         "score_threshold": float(np.mean([m["score_threshold"] for m in members])),
-        "medians": members[0]["medians"],
-        "train_rows": members[0]["train_rows"],
+        # top-level imputation stats aggregate ACROSS members (each trains
+        # on a differently-seeded sample, so no single member's medians
+        # represent the ensemble); scoring still uses per-member medians
+        "medians": [
+            float(np.mean([m["medians"][i] for m in members]))
+            for i in range(len(members[0]["medians"]))
+        ],
+        "train_rows": int(np.mean([m["train_rows"] for m in members])),
     }
 
 

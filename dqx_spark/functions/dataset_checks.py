@@ -301,7 +301,12 @@ def sql_query(
         view = f"__dq_input_{sfx}"
         base.createOrReplaceTempView(view)
         text = query
-        for ph in dict.fromkeys([input_placeholder, "input_view", "input"]):
+        # the legacy '{{ input }}' / '{{ input_view }}' aliases are only
+        # honored when the caller kept the DEFAULT placeholder — a custom
+        # input_placeholder signals those tokens may mean something else in
+        # the query and must not be silently rewritten to the temp view
+        aliases = [input_placeholder, "input"] if input_placeholder == "input_view" else [input_placeholder]
+        for ph in dict.fromkeys(aliases):
             if ph in (ref_dfs or {}):
                 continue
             text = text.replace("{{ " + ph + " }}", view).replace("{{" + ph + "}}", view)

@@ -133,6 +133,13 @@ def dedup_paragraphs(
     removes lines by corpus doc-frequency; this keeps exactly ONE global
     copy of each duplicated paragraph.
 
+    PRECONDITION: ``id_col`` values must be unique (as in
+    :func:`drop_exact_duplicates`) — the per-document keep-index sets are
+    keyed on the id, so rows sharing an id would merge their keep sets and
+    keep unrelated paragraphs at coinciding indexes.  Run
+    :func:`drop_exact_duplicates` or assign a surrogate id first when ids
+    can repeat.
+
     Returns ``df``'s columns plus ``<text_col>_dedup`` and
     ``removed_paragraph_count``.
 

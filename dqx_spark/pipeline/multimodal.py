@@ -423,7 +423,7 @@ def synthesize_mp4(
     return ftyp + mdat + moov
 
 
-def decode_audio(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
+def decode_audio(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """Decode audio stream parameters via Arrow-batched ``mapInPandas`` —
     the audio counterpart of :func:`decode_image`.  WAV/FLAC headers parse
     dependency-free (:func:`parse_audio_header`); anything else returns
@@ -449,7 +449,7 @@ def decode_audio(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
-def decode_video_metadata(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
+def decode_video_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """Decode container-level video metadata (duration, presentation
     dimensions) via Arrow-batched ``mapInPandas`` — ISO-BMFF (MP4/MOV)
     headers parse dependency-free (:func:`parse_video_header`); other
@@ -476,7 +476,7 @@ def decode_video_metadata(df: DataFrame, binary_col: str, id_col: str, batch_siz
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
-def decode_image(df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256) -> DataFrame:
+def decode_image(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """Decode image dimensions via Arrow-batched ``mapInPandas``.
 
     Header parsing (PNG/GIF/JPEG/BMP, see :func:`parse_image_header`) is
