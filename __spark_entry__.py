@@ -220,22 +220,22 @@ def q_embedding_topk(spark, sf):
     return top.join(q, "id").select("id", "rank", "q8_sum", "q8_abs_sum", "q8_scale")
 
 
-def q_ann_lsh_topk(spark, sf):
-    # rows-only: approximate by construction.  Library defaults (6 planes,
-    # 16 tables, multiprobe 1); recall@10 vs exact is asserted >= 0.9 in
-    # tests/test_pipeline.py::test_ann_recall_at_10_vs_exact (measured 0.96)
+def q_ann_topk(spark, sf):
+    # rows-only: both approximate indexes in one row (merged r6 for the
+    # 50-query window), tagged by method.  LSH at library defaults
+    # (6 planes, 16 tables, multiprobe 1) and IVF (8 KMeans cells, default
+    # probe 5); recall@10 >= 0.9 for BOTH asserted in
+    # tests/test_pipeline.py::test_ann_recall_at_10_vs_exact (0.96 / 0.94)
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10).select("id", "rank")
-
-
-def q_ivf_topk(spark, sf):
-    # rows-only: approximate by construction (KMeans-seeded IVF probe);
-    # recall@10 >= 0.9 asserted in tests (8 cells, default probe 5: 0.94)
-    df = _read(spark, sf, "embeddings")
+    lsh = similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10).select(
+        F.lit("lsh").alias("method"), "id", "rank"
+    )
     indexed, centroids = similarity.ivf_build_index(df, "embedding", "vec_id", n_centroids=8, seed=42)
-    qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return similarity.ivf_topk(indexed, centroids, qvec, k=10).select("id", "rank")
+    ivf = similarity.ivf_topk(indexed, centroids, qvec, k=10).select(
+        F.lit("ivf").alias("method"), "id", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 def q_boilerplate_removal(spark, sf):
@@ -828,24 +828,25 @@ def q_sample_n_per_group(spark, sf):
     return out.select("source", "doc_id", F.col("rank").cast("bigint").alias("rank"))
 
 
-def q_pack_offsets(spark, sf):
+def q_packing(spark, sf):
+    """Both packing strategies in ONE gate row (merged r6 to keep the
+    50-query driver window after the video/streaming row additions): the
+    sequence-offset layout and the greedy bin-packer are unioned with a
+    ``packer`` tag; the oracle is the UNION ALL of their SQL twins."""
     from dqx_spark.pipeline import packing
 
     df = _read(spark, sf, "documents")
     tok = df.select("doc_id", text.token_count("text").cast("long").alias("tc"))
-    out = packing.pack_offsets(tok, "doc_id", "tc", 1024, num_shards=16)
-    return out.select(
-        F.col("id").alias("doc_id"), "shard", "n_tokens", "offset", "first_seq", "last_seq"
+    off = packing.pack_offsets(tok, "doc_id", "tc", 1024, num_shards=16).select(
+        F.col("id").alias("doc_id"), F.lit("offsets").alias("packer"), "shard", "n_tokens",
+        "offset", "first_seq", "last_seq", F.lit(None).cast("long").alias("bin"),
     )
-
-
-def q_pack_greedy(spark, sf):
-    from dqx_spark.pipeline import packing
-
-    df = _read(spark, sf, "documents")
-    tok = df.select("doc_id", text.token_count("text").cast("long").alias("tc"))
-    out = packing.pack_greedy(tok, "doc_id", "tc", 1024, num_shards=16)
-    return out.select(F.col("id").alias("doc_id"), "shard", "n_tokens", "bin")
+    greedy = packing.pack_greedy(tok, "doc_id", "tc", 1024, num_shards=16).select(
+        F.col("id").alias("doc_id"), F.lit("greedy").alias("packer"), "shard", "n_tokens",
+        F.lit(None).cast("long").alias("offset"), F.lit(None).cast("long").alias("first_seq"),
+        F.lit(None).cast("long").alias("last_seq"), "bin",
+    )
+    return off.unionByName(greedy)
 
 
 def q_top_k_per_group(spark, sf):
@@ -1558,8 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_cosine_topk": q_embedding_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk": q_ivf_topk,
+        "ann_topk": q_ann_topk,
         "boilerplate_removal": q_boilerplate_removal,
         "remove_repeated_lines": q_remove_repeated_lines,
         "top_ngram_coverage": q_top_ngram_coverage,
@@ -1572,8 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "top_k_per_group": q_top_k_per_group,
         "clean_corpus": q_clean_corpus,
-        "pack_offsets": q_pack_offsets,
-        "pack_greedy": q_pack_greedy,
+        "packing": q_packing,
         "trailing_features": q_trailing_features,
         "sample_n_per_group": q_sample_n_per_group,
         "url_normalize": q_url_normalize,
@@ -2428,24 +2427,24 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 ASC, doc_id ASC) AS rank "
             "FROM documents) WHERE rank <= 7"
         ),
-        "pack_offsets": (
-            r"WITH tok AS (SELECT doc_id, (len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')))::BIGINT AS tc FROM documents), "
+        "packing": (
+            # UNION ALL of the two packers' twins, tagged like the Spark side
+            r"WITH RECURSIVE tok0 AS (SELECT doc_id, (len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')))::BIGINT AS tc FROM documents), "
             "o AS (SELECT doc_id, doc_id % 16 AS shard, tc, "
             "coalesce(sum(tc) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_ FROM tok) "
-            "SELECT doc_id, shard, tc AS n_tokens, off_ AS offset, "
-            "(off_ // 1024)::BIGINT AS first_seq, "
-            "(greatest(off_ + tc - 1, off_) // 1024)::BIGINT AS last_seq FROM o"
-        ),
-        "pack_greedy": (
-            r"WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 16 AS shard, (len(list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '')))::BIGINT AS tc FROM documents), "
-            "t AS (SELECT doc_id, shard, tc, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM tok), "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_ FROM tok0), "
+            "t AS (SELECT doc_id, doc_id % 16 AS shard, tc, row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn FROM tok0), "
             "rec AS (SELECT shard, rn, doc_id, tc, 0::BIGINT AS bin, tc AS used FROM t WHERE rn = 1 "
             "UNION ALL SELECT t.shard, t.rn, t.doc_id, t.tc, "
             "CASE WHEN rec.used > 0 AND rec.used + t.tc > 1024 THEN rec.bin + 1 ELSE rec.bin END, "
             "CASE WHEN rec.used > 0 AND rec.used + t.tc > 1024 THEN t.tc ELSE rec.used + t.tc END "
             "FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1) "
-            "SELECT doc_id, shard, tc AS n_tokens, bin FROM rec"
+            "SELECT doc_id, 'offsets' AS packer, shard, tc AS n_tokens, off_ AS offset, "
+            "(off_ // 1024)::BIGINT AS first_seq, "
+            "(greatest(off_ + tc - 1, off_) // 1024)::BIGINT AS last_seq, NULL::BIGINT AS bin FROM o "
+            "UNION ALL "
+            "SELECT doc_id, 'greedy' AS packer, shard, tc AS n_tokens, NULL::BIGINT AS offset, "
+            "NULL::BIGINT AS first_seq, NULL::BIGINT AS last_seq, bin FROM rec"
         ),
         "are_polygons_mutually_disjoint": (
             # exact mirror for the diamond fixture: two unit-radius L1 balls

@@ -16,8 +16,7 @@ EXPECTED_ROWS_ONLY = {
     # (dedup_minhash_lsh / dedup_simhash left this list in r4 via the
     # portable md5-60bit hash; multimodal_features left it via integer byte
     # projections of the pinned sha256-stub encoder):
-    "ann_lsh_topk",        # approximate by construction
-    "ivf_topk",            # KMeans-seeded probe
+    "ann_topk",            # approximate by construction (sign-LSH + KMeans-seeded IVF, merged r6)
     "anomaly_train_score", # isolation-forest traversal
 }
 
