@@ -270,3 +270,26 @@ def test_cross_corpus_pairs_broadcast_eval_banding(spark):
         dedup.cross_corpus_lsh_pairs(train, ev, "doc_id", "text", shingle_k=3, storage="none", broadcast=False)
     )
     assert "CartesianProduct" not in p2
+
+
+def test_mad_outliers_approx_is_one_aggregate_pass(spark):
+    """r6: has_no_outliers(approx=True) derives median AND the MAD estimate
+    from ONE percentile_approx sketch — a single aggregate subtree — while
+    exact mode necessarily chains TWO sequential aggregates (MAD needs the
+    deviations from the median).  Pin both shapes so the one-pass path
+    can't silently regress back to two jobs."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id int, v double")
+
+    def agg_count(p):
+        return len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", p))
+
+    rule_fast = DQDatasetRule(check_func=C.has_no_outliers, column="v", check_func_kwargs={"approx": True})
+    p_fast = plan_of(engine().apply_checks(df, [rule_fast]))
+    assert p_fast.count("percentile_approx") >= 1
+    rule_exact = DQDatasetRule(check_func=C.has_no_outliers, column="v")
+    p_exact = plan_of(engine().apply_checks(df, [rule_exact]))
+    # exact chains a second aggregate over (rows x broadcast median); approx
+    # has strictly fewer aggregate operators in the whole plan
+    assert agg_count(p_fast) < agg_count(p_exact), (agg_count(p_fast), agg_count(p_exact))
+    # both stats sides come back as broadcast 1-row joins, never a shuffle
+    assert "BroadcastNestedLoopJoin" in p_fast or "BroadcastExchange" in p_fast
