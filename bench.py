@@ -668,7 +668,7 @@ def main() -> None:
     emit(result)
 
 
-def emit(result: dict) -> None:
+def emit(result: dict, details_path: str | None = None) -> None:
     """Emit the bench record in two forms:
 
     1. ``bench_details.json`` (repo root) — the FULL record: forced-slope
@@ -681,8 +681,9 @@ def emit(result: dict) -> None:
        details file, forced-slope timings are summarized to one number, and
        the line is round-trip ``json.loads``-verified before printing.
     """
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_details.json"), "w") as fh:
+    if details_path is None:
+        details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json")
+    with open(details_path, "w") as fh:
         json.dump(result, fh, indent=1)
 
     compact = {

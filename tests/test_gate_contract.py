@@ -52,3 +52,40 @@ def test_batch_queries_lead_the_window():
         "compare_datasets_missing",
         "are_polygons_mutually_disjoint",
     ]
+
+
+def test_bench_emit_line_is_parseable_and_bounded(tmp_path, capsys):
+    """r6 regression guard for the r5 evidence defect (BENCH_r05 parsed:
+    null): the printed bench line must stay a single self-contained JSON
+    object under the tail-capture budget no matter how large the notes or
+    slope sections grow — oversized optional sections are dropped, the
+    queries dict never is, and the full record lands in the details file."""
+    import json
+
+    import bench
+
+    queries = {f"query_{i:02d}": round(0.1 * i, 3) for i in range(20)}
+    result = {
+        "metric": "headline_total", "value": 12.3, "unit": "sec",
+        "queries": queries, "sf": 0.1,
+        "slope_scale": 10,
+        "slope": {f"q{i}": {"t_1x": 0.5, "t_10x": 1.0, "slope": 2.0,
+                            "t_forced_1x": 1.0, "t_forced_10x": 3.0, "slope_forced": 3.0}
+                  for i in range(8)},
+        "notes": {"huge": "x" * 5000},  # must never reach stdout
+        "sf1": {"scale": 10, "organic": True, "lineitem_rows": 6000000,
+                "documents_rows": 50000,
+                "queries": {f"q{i}": 0.3 for i in range(8)},
+                "pipeline_queries": {f"p{i}": 0.4 for i in range(5)},
+                "pipeline_slope": {f"p{i}": 1.1 for i in range(5)},
+                "total": 2.4},
+    }
+    details = tmp_path / "details.json"
+    bench.emit(result, details_path=str(details))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1600
+    parsed = json.loads(line)
+    assert parsed["queries"] == queries          # never trimmed
+    assert "notes" not in parsed                  # notes live only in details
+    full = json.loads(details.read_text())
+    assert full["notes"]["huge"].startswith("x") and full["slope"]["q0"]["slope_forced"] == 3.0
