@@ -568,6 +568,11 @@ def main() -> None:
             # percentile_approx([p25,p50,p75]) sketch (MAD = IQR/2 estimator)
             # — 0.28s vs 0.36s two-pass at sf0.1, retiring the r5 2x breach;
             # exact mode remains the two-pass default for the gate.
+            "foreign_key_10x_variance": (
+                "t_10x for foreign_key varies 0.2-0.7s run-to-run (same-JVM "
+                "contention late in the case list); clean-room slope is ~0.7, "
+                "sublinear (r6 adjudication)"
+            ),
             "mad_outliers_one_pass": (
                 "approx=True now a single quantile-sketch job (MAD=IQR/2, exact for "
                 "symmetric distributions): 0.28s vs 0.23s baseline at sf0.1 (1.2x)"
