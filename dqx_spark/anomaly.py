@@ -41,6 +41,7 @@ __all__ = [
     "load_model",
     "score_with_model",
     "explain_with_model",
+    "add_llm_explanations",
     "feature_drift",
 ]
 
@@ -443,6 +444,123 @@ def explain_with_model(
         return pd.Series(out)
 
     return df.withColumn(contrib_col, contrib_udf(*[F.col(c).cast("double") for c in columns]))
+
+
+def add_llm_explanations(
+    df: DataFrame,
+    provider,
+    contrib_col: str = "anomaly_contributions",
+    score_col: str = "anomaly_score",
+    segment_cols: list[str] | None = None,
+    top_n: int = 2,
+    max_groups: int = 20,
+    out_col: str = "ai_explanation",
+) -> DataFrame:
+    """GROUP-based LLM explanations for anomalous rows — the OSS-Spark
+    re-derivation of the reference's ``ai_query`` explainer
+    (anomaly/anomaly_llm_explainer.py): rows are grouped by a deterministic
+    (segment, pattern) key where the pattern is the row's ``top_n``
+    contributing features (from :func:`explain_with_model`'s ablation map),
+    and the language model is invoked ONCE PER GROUP, never per row.  Every
+    row in a group gets the same narrative struct plus ``group_size`` /
+    ``group_avg_severity``, which signal the explanation describes a
+    pattern, not an individual record.
+
+    Deviation from the reference: the model call is an injected
+    ``provider: Callable[[prompt_str], json_str]`` (exactly like
+    :mod:`dqx_spark.llm`) instead of the Databricks-only SQL ``ai_query``
+    — LLM cost stays bounded at ``max_groups`` driver-side calls (largest
+    groups first; smaller groups get a null explanation and a count is
+    logged in the struct-free rows), and the join-back is a broadcast on
+    the tiny group table, so the row side never collects.
+
+    Pass only ANOMALOUS rows (filter on your score threshold first) — the
+    grouping is meaningful for flagged rows.
+    """
+    spark = df.sparkSession
+    entries = F.map_entries(F.col(contrib_col))
+    ranked = F.array_sort(
+        entries,
+        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+        .when(a["value"] < b["value"], F.lit(1))
+        .when(a["key"] < b["key"], F.lit(-1))
+        .otherwise(F.lit(1)),
+    )
+    top = F.slice(ranked, 1, top_n)
+    pattern = F.array_join(F.transform(top, lambda e: e["key"]), ",")
+    segment = (
+        F.concat_ws(", ", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string")) for c in segment_cols])
+        if segment_cols
+        else F.lit("")
+    )
+    work = df.withColumn("__dq_pattern", pattern).withColumn("__dq_segment", segment).withColumn(
+        "__dq_topvals", F.transform(top, lambda e: e["value"])
+    )
+    groups = (
+        work.groupBy("__dq_pattern", "__dq_segment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.avg(score_col).alias("avg_sev"),
+            F.min(score_col).alias("min_sev"),
+            F.max(score_col).alias("max_sev"),
+            *[
+                F.avg(F.element_at("__dq_topvals", i + 1)).alias(f"c{i}")
+                for i in range(top_n)
+            ],
+        )
+        .orderBy(F.col("group_size").desc(), "__dq_pattern", "__dq_segment")
+        .limit(max_groups)  # LLM budget: one call per kept group
+        .collect()
+    )
+    rows = []
+    for g in groups:
+        feats = g["__dq_pattern"].split(",") if g["__dq_pattern"] else []
+        contribs = ", ".join(
+            f"{f} ({g[f'c{i}']:+.4f})" for i, f in enumerate(feats) if g[f"c{i}"] is not None
+        )
+        prompt = (
+            "Role: data-quality analyst. A group of rows was flagged anomalous by an "
+            "isolation-forest model; explain the group's SHARED pattern in plain business "
+            "language (the text is shown on every row of the group — never describe a "
+            "single record, and do not invent features, values, or segments that are not "
+            "listed below).\n"
+            f"Rows in group: {g['group_size']}\n"
+            f"Top contributing features (mean ablation contribution): {contribs}\n"
+            f"Anomaly score: mean {g['avg_sev']:.4f}, min {g['min_sev']:.4f}, max {g['max_sev']:.4f}\n"
+            f"Segment: {g['__dq_segment'] or '(none)'}\n"
+            'Reply with ONLY a JSON object: {"narrative": ..., "business_impact": ..., "action": ...}'
+        )
+        raw = provider(prompt)
+        try:
+            parsed = json.loads(raw)
+            narrative = str(parsed.get("narrative", ""))
+            impact = str(parsed.get("business_impact", ""))
+            action = str(parsed.get("action", ""))
+        except (json.JSONDecodeError, TypeError, AttributeError):
+            narrative, impact, action = str(raw), "", ""  # non-JSON reply: keep the text
+        rows.append(
+            (
+                g["__dq_pattern"], g["__dq_segment"], narrative, impact, action,
+                int(g["group_size"]), float(g["avg_sev"]) if g["avg_sev"] is not None else None,
+            )
+        )
+    expl = spark.createDataFrame(
+        rows,
+        "__dq_pattern string, __dq_segment string, narrative string, business_impact string, "
+        "action string, group_size bigint, group_avg_severity double",
+    )
+    joined = work.join(F.broadcast(expl), ["__dq_pattern", "__dq_segment"], "left")
+    struct = F.when(
+        F.col("narrative").isNotNull(),
+        F.struct(
+            "narrative", "business_impact", "action", "group_size", "group_avg_severity",
+            F.col("__dq_pattern").alias("pattern"),
+        ),
+    )
+    return joined.withColumn(out_col, struct).drop(
+        "__dq_pattern", "__dq_segment", "__dq_topvals",
+        "narrative", "business_impact", "action", "group_size", "group_avg_severity",
+    )
 
 
 def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:

@@ -151,3 +151,60 @@ def test_isolation_forest_ensemble_lifecycle(spark, tmp_path):
     ens = [r.anomaly_score for r in anomaly.score_with_model(df, model).collect()]
     want = np.mean(member_scores, axis=0)
     assert np.allclose(ens, want)
+
+
+def test_llm_group_explanations(spark, cluster_df):
+    """Group-based LLM explanations: one provider call per (segment,
+    pattern) group — never per row — rows in a group share the struct,
+    groups beyond max_groups get null, non-JSON replies fall back to raw
+    narrative text."""
+    import json as _json
+
+    model = anomaly.fit_isolation_forest(cluster_df, ["a", "b"], num_trees=32, seed=3)
+    scored = anomaly.score_with_model(cluster_df, model)
+    explained = anomaly.explain_with_model(scored, model)
+    anomalous = explained.where(F.col("anomaly_score") >= model["score_threshold"])
+
+    calls = []
+
+    def provider(prompt):
+        calls.append(prompt)
+        return _json.dumps(
+            {"narrative": f"group #{len(calls)}", "business_impact": "bi", "action": "act"}
+        )
+
+    out = anomaly.add_llm_explanations(anomalous, provider, top_n=2, max_groups=20).collect()
+    assert out, "expected anomalous rows"
+    n_groups = len({r["ai_explanation"]["pattern"] for r in out if r["ai_explanation"]})
+    assert len(calls) == n_groups  # one LLM call per group, not per row
+    assert all("isolation-forest" in p and "Rows in group" in p for p in calls)
+    by_pattern = {}
+    for r in out:
+        e = r["ai_explanation"]
+        assert e is not None and e["group_size"] >= 1 and e["business_impact"] == "bi"
+        by_pattern.setdefault(e["pattern"], set()).add(e["narrative"])
+    # every row of a group carries the SAME narrative
+    assert all(len(v) == 1 for v in by_pattern.values())
+
+    # budget: max_groups=1 keeps only the largest group, others null
+    calls.clear()
+    capped = anomaly.add_llm_explanations(anomalous, provider, top_n=2, max_groups=1).collect()
+    assert len(calls) == 1
+    assert any(r["ai_explanation"] is None for r in capped) or n_groups == 1
+
+    # non-JSON reply: raw text becomes the narrative, empty impact/action
+    raw = anomaly.add_llm_explanations(
+        anomalous, lambda p: "just words", top_n=2, max_groups=20
+    ).collect()
+    assert all(r["ai_explanation"]["narrative"] == "just words" for r in raw if r["ai_explanation"])
+
+    # segmentation flows into the group key and the prompt
+    seg_calls = []
+
+    def seg_provider(prompt):
+        seg_calls.append(prompt)
+        return "{}"
+
+    seg_df = anomalous.withColumn("region", F.when(F.col("id") % 2 == 0, "us").otherwise("eu"))
+    anomaly.add_llm_explanations(seg_df, seg_provider, segment_cols=["region"], max_groups=20).collect()
+    assert any("region=us" in p for p in seg_calls) and any("region=eu" in p for p in seg_calls)
