@@ -64,6 +64,89 @@ def _is_spark_ddl_type(text: str) -> bool:
         return True
     return m.group(1).lower() in _SPARK_SIMPLE_TYPES
 
+
+_MAX_TYPE_DEPTH = 10
+
+
+def _split_top_level(content: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (MAP<K, V> keeps K and V
+    whole even when K is itself an ARRAY<...>)."""
+    parts, depth, cur = [], 0, []
+    for ch in content:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _validate_physical_type(text: str, depth: int = 0) -> None:
+    """Recursive structural validation of a Spark/UC DDL physicalType —
+    the reference raises on malformed declared types instead of emitting a
+    broken ``has_valid_schema`` DDL (contract_rules_generator.py:443
+    `_validate_unity_physical_type`): DECIMAL precision <= 38 and scale <=
+    precision, ARRAY/MAP/STRUCT inner types valid recursively, nesting
+    bounded.  Simple UNKNOWN names are NOT validated here — they take the
+    documented logical-type fallback (Postgres 'uuid'/'jsonb' etc.)."""
+    from dqx_spark.errors import InvalidPhysicalTypeError  # noqa: PLC0415
+
+    if depth > _MAX_TYPE_DEPTH:
+        raise InvalidPhysicalTypeError(f"physicalType nesting exceeds {_MAX_TYPE_DEPTH}: {text!r}")
+    t = text.strip()
+    upper = t.upper()
+    for comp in ("ARRAY", "MAP", "STRUCT"):
+        if upper.startswith(comp):
+            if not (upper.startswith(comp + "<") and t.endswith(">")):
+                raise InvalidPhysicalTypeError(f"malformed {comp} type: {text!r}")
+            inner = t[len(comp) + 1 : -1]
+            parts = _split_top_level(inner)
+            if comp == "ARRAY":
+                if len(parts) != 1 or not parts[0]:
+                    raise InvalidPhysicalTypeError(f"ARRAY takes exactly one element type: {text!r}")
+                _validate_inner(parts[0], depth + 1)
+            elif comp == "MAP":
+                if len(parts) != 2:
+                    raise InvalidPhysicalTypeError(f"MAP takes exactly key and value types: {text!r}")
+                for p in parts:
+                    _validate_inner(p, depth + 1)
+            else:  # STRUCT
+                if not inner.strip():
+                    raise InvalidPhysicalTypeError(f"empty STRUCT: {text!r}")
+                for field in parts:
+                    if ":" not in field:
+                        raise InvalidPhysicalTypeError(f"STRUCT field needs 'name: type': {field!r} in {text!r}")
+                    _validate_inner(field.split(":", 1)[1], depth + 1)
+            return
+    m = _re.match(r"^([A-Za-z_]+)\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\)$", t)
+    if m:
+        name = m.group(1).lower()
+        if name in ("decimal", "numeric", "dec"):
+            precision, scale = int(m.group(2)), int(m.group(3) or 0)
+            if precision > 38:
+                raise InvalidPhysicalTypeError(f"decimal precision {precision} > 38: {text!r}")
+            if scale > precision:
+                raise InvalidPhysicalTypeError(f"decimal scale {scale} > precision {precision}: {text!r}")
+        elif name not in ("char", "varchar"):
+            raise InvalidPhysicalTypeError(f"type {name!r} takes no parameters: {text!r}")
+
+
+def _validate_inner(text: str, depth: int) -> None:
+    """Inner types inside ARRAY/MAP/STRUCT must be REAL Spark types — the
+    logical-type fallback only exists for top-level simple names, so an
+    unrecognized inner name is an authoring error, not a dialect."""
+    from dqx_spark.errors import InvalidPhysicalTypeError  # noqa: PLC0415
+
+    t = text.strip()
+    if not _is_spark_ddl_type(t):
+        raise InvalidPhysicalTypeError(f"invalid inner type {t!r}")
+    _validate_physical_type(t, depth)
+
 _TYPE_TO_SPARK = {
     "string": "string",
     "text": "string",
@@ -126,6 +209,10 @@ def generate_rules_from_contract(
     contract: dict,
     criticality: str = "error",
     text_rule_provider=None,
+    generate_predefined_rules: bool = True,
+    generate_schema_validation: bool = True,
+    strict_schema_validation: bool = True,
+    process_text_rules: bool = True,
 ) -> list[dict]:
     """ODCS-ish contract dict -> check metadata list.
 
@@ -169,27 +256,37 @@ def generate_rules_from_contract(
         # the logical type name ('type' or ODCS 'logicalType') maps
         ddl_parts = []
         for p in props:
-            phys = p.get("physicalType")
-            if phys and _is_spark_ddl_type(str(phys).strip()):
-                ddl_parts.append(f"{p['name']} {str(phys).strip()}")
+            phys = str(p.get("physicalType") or "").strip()
+            composite_attempt = phys.upper().startswith(("ARRAY", "MAP", "STRUCT"))
+            if phys and (composite_attempt or _is_spark_ddl_type(phys)):
+                # malformed declared types fail LOUDLY (decimal precision >
+                # 38, scale > precision, bad or unterminated ARRAY/MAP/
+                # STRUCT) — the reference raises instead of emitting broken
+                # DDL; anything ARRAY/MAP/STRUCT-prefixed is a composite
+                # ATTEMPT and never falls through to the logical fallback
+                _validate_physical_type(phys)
+                ddl_parts.append(f"{p['name']} {phys}")
                 continue
             logical = p.get("type", p.get("logicalType", "string"))
             spark_type = _TYPE_TO_SPARK.get(str(logical).lower())
             if spark_type:
                 ddl_parts.append(f"{p['name']} {spark_type}")
-        if ddl_parts:
+        if ddl_parts and generate_schema_validation:
             checks.append(
                 {
                     "criticality": criticality,
                     "name": f"{obj.get('name', 'dataset')}_schema",
                     "check": {
                         "function": "has_valid_schema",
-                        "arguments": {"expected_schema": ", ".join(ddl_parts)},
+                        "arguments": {
+                            "expected_schema": ", ".join(ddl_parts),
+                            "strict": strict_schema_validation,
+                        },
                     },
                 }
             )
         pk = [p["name"] for p in props if p.get("primaryKey")]
-        if pk:
+        if pk and generate_predefined_rules:
             checks.append(
                 {"criticality": criticality, "check": {"function": "is_unique", "arguments": {"columns": pk}}}
             )
@@ -213,12 +310,14 @@ def generate_rules_from_contract(
         for name, p in walk(raw_props, ""):
 
             def add(function: str, arguments: dict | None = None, crit: str = criticality):
+                if not generate_predefined_rules:
+                    return
                 args = {"column": name, **(arguments or {})}
                 checks.append({"criticality": crit, "check": {"function": function, "arguments": args}})
 
             if p.get("required"):
                 add("is_not_null")
-            if p.get("unique") and pk != [name]:  # composite PK does not imply single-column uniqueness
+            if generate_predefined_rules and p.get("unique") and pk != [name]:  # composite PK does not imply single-column uniqueness
                 checks.append(
                     {"criticality": criticality, "check": {"function": "is_unique", "arguments": {"columns": [name]}}}
                 )
@@ -234,7 +333,7 @@ def generate_rules_from_contract(
             elif hi is not None:
                 add("is_not_greater_than", {"limit": hi})
             min_len, max_len = p.get("minLength"), p.get("maxLength")
-            if min_len is not None or max_len is not None:
+            if generate_predefined_rules and (min_len is not None or max_len is not None):
                 bounds = []
                 if min_len is not None:
                     bounds.append(f"length({name}) >= {int(min_len)}")
@@ -275,13 +374,15 @@ def generate_rules_from_contract(
             if p.get("quality"):
                 checks.extend(
                     _explicit_quality_rules(
-                        p["quality"], obj.get("name", "dataset"), name, criticality, text_rule_provider
+                        p["quality"], obj.get("name", "dataset"), name, criticality,
+                        text_rule_provider if process_text_rules else None,
                     )
                 )
         if obj.get("quality"):
             checks.extend(
                 _explicit_quality_rules(
-                    obj["quality"], obj.get("name", "dataset"), None, criticality, text_rule_provider
+                    obj["quality"], obj.get("name", "dataset"), None, criticality,
+                    text_rule_provider if process_text_rules else None,
                 )
             )
     return checks

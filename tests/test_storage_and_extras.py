@@ -306,3 +306,78 @@ def test_table_storage_missing_table_raises_check_download_error(spark):
     # still catchable as its parent (and as ValueError)
     with _pytest.raises(InvalidCheckError):
         TableChecksStorage(spark, "default.no_such_checks_table_xyz").load()
+
+
+def test_contract_generator_toggles_and_type_validation():
+    """r6 reference-parity surface: generation toggles
+    (generate_predefined_rules / generate_schema_validation /
+    strict_schema_validation / process_text_rules) and recursive
+    physicalType validation that raises instead of emitting broken DDL."""
+    import pytest
+
+    from dqx_spark.contracts import generate_rules_from_contract
+    from dqx_spark.errors import InvalidPhysicalTypeError
+
+    contract = {
+        "schema": [
+            {
+                "name": "t",
+                "properties": [
+                    {"name": "id", "physicalType": "BIGINT", "required": True},
+                    {"name": "tags", "physicalType": "ARRAY<STRING>"},
+                    {"name": "amount", "physicalType": "DECIMAL(38,10)"},
+                    {"name": "notes", "physicalType": "STRING",
+                     "quality": [
+                         {"type": "custom", "engine": "dqx",
+                          "implementation": {"check": {"function": "is_not_null",
+                                                       "arguments": {"column": "notes"}}}},
+                         {"type": "text", "description": "notes should be english"},
+                     ]},
+                ],
+            }
+        ]
+    }
+    texts = []
+
+    def provider(desc, schema_name, prop_name):
+        texts.append(desc)
+        return []
+
+    # defaults: schema rule present with strict=True (reference default)
+    rules = generate_rules_from_contract(contract, text_rule_provider=provider)
+    schema_rules = [r for r in rules if r["check"]["function"] == "has_valid_schema"]
+    assert len(schema_rules) == 1 and schema_rules[0]["check"]["arguments"]["strict"] is True
+    assert "tags ARRAY<STRING>" in schema_rules[0]["check"]["arguments"]["expected_schema"]
+    assert len(texts) == 1
+
+    # strict passthrough
+    rules = generate_rules_from_contract(contract, strict_schema_validation=False)
+    assert [r for r in rules if r["check"]["function"] == "has_valid_schema"][0][
+        "check"]["arguments"]["strict"] is False
+
+    # schema validation off
+    rules = generate_rules_from_contract(contract, generate_schema_validation=False)
+    assert not [r for r in rules if r["check"]["function"] == "has_valid_schema"]
+
+    # predefined off: explicit quality rules survive, is_not_null(id) does not
+    rules = generate_rules_from_contract(contract, generate_predefined_rules=False)
+    cols = [r["check"]["arguments"].get("column") for r in rules if r["check"]["function"] == "is_not_null"]
+    assert cols == ["notes"]  # only the explicit quality rule
+
+    # text processing off: provider not invoked
+    texts.clear()
+    generate_rules_from_contract(contract, text_rule_provider=provider, process_text_rules=False)
+    assert texts == []
+
+    # malformed physical types fail loudly
+    def with_type(t):
+        return {"schema": [{"name": "t", "properties": [{"name": "x", "physicalType": t}]}]}
+
+    for bad in ["DECIMAL(39,2)", "DECIMAL(10,12)", "ARRAY<banana>", "MAP<INT>",
+                "STRUCT<a INT>", "ARRAY<STRING", "INT(5)"]:
+        with pytest.raises(InvalidPhysicalTypeError):
+            generate_rules_from_contract(with_type(bad))
+    # valid nested types pass
+    for ok in ["ARRAY<ARRAY<INT>>", "MAP<STRING, ARRAY<INT>>", "STRUCT<a: INT, b: ARRAY<STRING>>",
+               "DECIMAL(38,10)", "VARCHAR(20)", "uuid"]:  # 'uuid' -> logical fallback, no raise
+        generate_rules_from_contract(with_type(ok))
