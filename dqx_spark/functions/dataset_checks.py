@@ -203,8 +203,8 @@ def foreign_key(
     ref_df_name: str | None = None,
     ref_table: str | None = None,
     negate: bool = False,
-    null_safe: bool = False,
     row_filter: str | None = None,
+    null_safe: bool = False,
 ):
     """FK must (not) exist in the reference (reference check_funcs.py:1919-2044).
 
@@ -489,9 +489,9 @@ def is_aggr_equal(
     aggr_type: str = "count",
     group_by: list | None = None,
     row_filter: str | None = None,
+    aggr_params: dict | None = None,
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
-    aggr_params: dict | None = None,
     broadcast_stats: bool = True,
 ):
     """Aggregate must equal limit within tolerance (reference check_funcs.py:2275)."""
@@ -508,9 +508,9 @@ def is_aggr_not_equal(
     aggr_type: str = "count",
     group_by: list | None = None,
     row_filter: str | None = None,
+    aggr_params: dict | None = None,
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
-    aggr_params: dict | None = None,
     broadcast_stats: bool = True,
 ):
     """Aggregate must NOT equal limit (reference check_funcs.py:2321)."""
@@ -523,17 +523,17 @@ def is_aggr_not_equal(
 @register_rule("dataset")
 def aggr_matches_dataset(
     column,
+    ref_table: str | None = None,
+    ref_df_name: str | None = None,
     ref_column=None,
     aggr_type: str = "count",
     aggr_params: dict | None = None,
     group_by: list | None = None,
     ref_group_by: list | None = None,
-    ref_df_name: str | None = None,
-    ref_table: str | None = None,
-    abs_tolerance: float | None = None,
-    rel_tolerance: float | None = None,
     row_filter: str | None = None,
     ref_row_filter: str | None = None,
+    abs_tolerance: float | None = None,
+    rel_tolerance: float | None = None,
 ):
     """Aggregate on the checked df must equal the same aggregate on an
     upstream reference, scalar or per-group (reference check_funcs.py:2610-2781).
@@ -622,9 +622,9 @@ def compare_datasets(
     exclude_columns: list[str] | None = None,
     null_safe_row_matching: bool = True,
     null_safe_column_value_matching: bool = True,
+    row_filter: str | None = None,
     abs_tolerance: float | None = None,
     rel_tolerance: float | None = None,
-    row_filter: str | None = None,
     dedup_ref: bool = False,
 ):
     """Full row/column diff keyed on PK (reference check_funcs.py:2785-2944).
@@ -758,8 +758,8 @@ def is_data_fresh_per_time_window(
     window_minutes: int,
     min_records_per_window: int,
     lookback_windows: int | None = None,
-    curr_timestamp: Column | str | datetime.datetime | None = None,
     row_filter: str | None = None,
+    curr_timestamp: Column | str | datetime.datetime | None = None,
 ):
     """Every fixed time window must contain >= N records
     (reference check_funcs.py:2948-3058).  Single shuffle: count over a
@@ -942,7 +942,7 @@ def has_valid_schema(
 # outliers
 # ---------------------------------------------------------------------------
 @register_rule("dataset")
-def has_no_outliers(column: str | Column, k: float = 3.5, approx: bool = False, row_filter: str | None = None):
+def has_no_outliers(column: str | Column, row_filter: str | None = None, k: float = 3.5, approx: bool = False):
     """MAD outlier band: median ± k·MAD (reference check_funcs.py:1743-1818).
 
     Deviation: the reference computes median & MAD via two driver-side

@@ -1054,11 +1054,11 @@ def presidio_analyzer(
 @register_rule("row")
 def does_not_contain_pii(
     column: str | Column,
-    entities: list[str] | None = None,
-    analyzer: Callable | None = None,
     language: str | None = None,
     threshold: float | None = None,
+    entities: list[str] | None = None,
     nlp_engine_config: dict | None = None,
+    analyzer: Callable | None = None,
     engine: str = "auto",
 ) -> Column:
     """Fail when the text contains PII-looking entities.

@@ -312,3 +312,37 @@ def test_second_odcs_contract_covers_remaining_shapes(spark):
     bad_names = {e["name"] for e in got["not-a-uuid"]["_errors"]}
     assert "delivered_at_is_valid_timestamp" in bad_names
     assert "consignee_name_is_not_null" in bad_names
+
+
+def test_check_function_signatures_match_reference_contract():
+    """Positional-call compatibility: the reference repo pins every public
+    check function's parameter order in its signature-contract test
+    (tests/unit/test_check_func_signatures.py EXPECTED_PARAMETER_ORDER).
+    Parse that dict via ast (read-only, no databricks import) and assert
+    each function exists here with the reference's parameters as a PREFIX
+    of ours in the same order — so any reference call site, positional or
+    keyword, runs unchanged; our extensions (strategy=, approx=, engine=,
+    broadcast_stats=, ...) may only append after the shared prefix."""
+    import ast
+    import inspect
+
+    import dqx_spark.functions as C
+
+    src_path = "/root/reference/tests/unit/test_check_func_signatures.py"
+    expected = None
+    for node in ast.walk(ast.parse(open(src_path, encoding="utf-8").read())):
+        if isinstance(node, ast.Assign) and getattr(node.targets[0], "id", "") == "EXPECTED_PARAMETER_ORDER":
+            expected = ast.literal_eval(node.value)
+    assert expected and len(expected) >= 80, "reference contract not found"
+
+    missing, mismatched = [], []
+    for fn_name, params in expected.items():
+        fn = getattr(C, fn_name, None)
+        if fn is None:
+            missing.append(fn_name)
+            continue
+        mine = list(inspect.signature(fn).parameters)
+        if tuple(mine[: len(params)]) != tuple(params):
+            mismatched.append((fn_name, tuple(mine[: len(params)]), tuple(params)))
+    assert not missing, f"reference check functions absent: {missing}"
+    assert not mismatched, "parameter-order drift vs reference:\n" + "\n".join(map(str, mismatched))
