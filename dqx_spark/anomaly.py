@@ -41,6 +41,7 @@ __all__ = [
     "load_model",
     "score_with_model",
     "explain_with_model",
+    "shap_explain",
     "add_llm_explanations",
     "feature_drift",
 ]
@@ -444,6 +445,122 @@ def explain_with_model(
         return pd.Series(out)
 
     return df.withColumn(contrib_col, contrib_udf(*[F.col(c).cast("double") for c in columns]))
+
+
+def _tree_expected_path(tree: dict, x_row, in_s) -> float:
+    """Expected isolation-tree path length for row ``x_row`` when only the
+    features flagged in ``in_s`` are known: at a split on a known feature
+    follow the row's branch; at a split on an unknown feature take the
+    training-distribution mixture of both children (weights = per-node
+    sample counts stored at fit time).  This is the standard tree-
+    conditional expectation ("path-dependent" in the TreeSHAP paper,
+    Lundberg et al. 2018/2020 — public) that makes exact Shapley values
+    computable without any retraining."""
+    feature, threshold = tree["feature"], tree["threshold"]
+    left, right, size = tree["left"], tree["right"], tree["size"]
+
+    def adj(sz: float) -> float:
+        if sz <= 1:
+            return 0.0
+        if sz == 2:
+            return 1.0
+        return 2.0 * (math.log(sz - 1.0) + 0.5772156649015329) - 2.0 * (sz - 1.0) / sz
+
+    def rec(node: int, depth: float) -> float:
+        f = feature[node]
+        if f < 0:
+            return depth + adj(float(size[node]))
+        if in_s[f]:
+            child = left[node] if x_row[f] < threshold[node] else right[node]
+            return rec(child, depth + 1.0)
+        wl = size[left[node]] / float(size[node])
+        return wl * rec(left[node], depth + 1.0) + (1.0 - wl) * rec(right[node], depth + 1.0)
+
+    return rec(0, 0.0)
+
+
+def _exact_shap_row(payload: dict, x_row, d: int) -> list[float]:
+    """EXACT Shapley values of the anomaly score for one row, by full
+    subset enumeration (2^d coalitions — exponential by definition of the
+    Shapley value, hence the ``max_features`` cap on the public API).
+    v(S) = 2^(-mean expected path | S known / c(sample_size)); phi_i sums
+    the weighted marginal contributions over all coalitions.  Satisfies
+    the efficiency axiom by construction: sum(phi) = score(x) - base
+    score (property-tested)."""
+    trees = payload["trees"]
+    c_n = _c(float(payload["sample_size"]))
+    n_masks = 1 << d
+    v = [0.0] * n_masks
+    for mask in range(n_masks):
+        in_s = [(mask >> i) & 1 for i in range(d)]
+        mean_path = sum(_tree_expected_path(t, x_row, in_s) for t in trees) / len(trees)
+        v[mask] = 2.0 ** (-mean_path / c_n)
+    fact = [math.factorial(k) for k in range(d + 1)]
+    denom = fact[d]
+    phis = []
+    for i in range(d):
+        phi = 0.0
+        for mask in range(n_masks):
+            if (mask >> i) & 1:
+                continue
+            s = bin(mask).count("1")
+            w = fact[s] * fact[d - s - 1] / denom
+            phi += w * (v[mask | (1 << i)] - v[mask])
+        phis.append(phi)
+    return phis
+
+
+def shap_explain(
+    df: DataFrame,
+    model: dict,
+    shap_col: str = "anomaly_shap",
+    max_features: int = 10,
+) -> DataFrame:
+    """Append EXACT Shapley values of the anomaly score as a
+    ``map<string,double>`` column — the true-SHAP counterpart of
+    :func:`explain_with_model`'s median-ablation heuristic, computed
+    natively on the numpy forest (the reference gates this surface behind
+    the ``shap``+sklearn packages; here the per-node sample counts stored
+    at fit time give the tree-conditional expectations directly).
+
+    Exactness costs 2^d coalition evaluations PER ROW (the Shapley value
+    is exponential by definition; polynomial TreeSHAP is an algorithmic
+    rearrangement of the same quantity) — so pass only the FLAGGED rows
+    you need explained, and ``max_features`` refuses models wider than 10
+    features by default.  For wide models use :func:`explain_with_model`
+    (linear in d).  sum(shap.values()) == score − base_score
+    (efficiency axiom, property-tested in tests/test_anomaly.py)."""
+    if _is_segmented(model):
+        raise ValueError("shap_explain supports flat models; explain per segment instead")
+    columns = model["columns"]
+    if len(columns) > max_features:
+        raise ComputationError(
+            f"exact Shapley enumerates 2^{len(columns)} coalitions per row; model has "
+            f"{len(columns)} features > max_features={max_features}. Use "
+            "explain_with_model (median ablation, linear cost) or raise max_features "
+            "explicitly if you accept the cost"
+        )
+    payloads = (
+        [_score_payload(m) for m in model["members"]] if _is_ensemble(model) else [_score_payload(model)]
+    )
+    d = len(columns)
+
+    @F.pandas_udf("map<string,double>")
+    def shap_udf(*series: pd.Series) -> pd.Series:
+        pdf = pd.concat(series, axis=1)
+        pdf.columns = columns
+        out = []
+        for payload_rows in [pdf]:
+            for _, row in payload_rows.iterrows():
+                phis = [0.0] * d
+                for payload in payloads:
+                    x = _impute(row.to_frame().T, columns, payload["medians"])[0]
+                    row_phis = _exact_shap_row(payload, x, d)
+                    phis = [a + b / len(payloads) for a, b in zip(phis, row_phis)]
+                out.append({c: float(p) for c, p in zip(columns, phis)})
+        return pd.Series(out)
+
+    return df.withColumn(shap_col, shap_udf(*[F.col(c).cast("double") for c in columns]))
 
 
 def add_llm_explanations(

@@ -208,3 +208,61 @@ def test_llm_group_explanations(spark, cluster_df):
     seg_df = anomalous.withColumn("region", F.when(F.col("id") % 2 == 0, "us").otherwise("eu"))
     anomaly.add_llm_explanations(seg_df, seg_provider, segment_cols=["region"], max_groups=20).collect()
     assert any("region=us" in p for p in seg_calls) and any("region=eu" in p for p in seg_calls)
+
+
+def test_exact_shap_values(spark, cluster_df):
+    """True-SHAP surface computed natively on the numpy forest: the
+    efficiency axiom holds exactly (sum(phi) == score - base score), a
+    never-split (dummy) feature gets phi == 0, planted outliers get
+    positive phi on both extreme features, and the width guard refuses
+    exponential blowups."""
+    import math
+
+    from dqx_spark.anomaly import _c, _exact_shap_row, _score_payload, _tree_expected_path
+    from dqx_spark.errors import ComputationError
+
+    model = anomaly.fit_isolation_forest(cluster_df, ["a", "b"], num_trees=16, seed=5)
+    payload = _score_payload(model)
+    scored = anomaly.score_with_model(cluster_df, model)
+    shapped = anomaly.shap_explain(scored, model).where(F.col("id").isin(0, 900, 904))
+    rows = {r["id"]: r for r in shapped.collect()}
+
+    # efficiency: sum(phi) == v(full) - v(empty), both recomputed here
+    c_n = _c(float(payload["sample_size"]))
+    base_path = sum(
+        _tree_expected_path(t, [0.0, 0.0], [0, 0]) for t in payload["trees"]
+    ) / len(payload["trees"])
+    base_score = 2.0 ** (-base_path / c_n)
+    for rid, r in rows.items():
+        phi = r["anomaly_shap"]
+        assert math.isclose(
+            sum(phi.values()), r["anomaly_score"] - base_score, rel_tol=1e-9, abs_tol=1e-9
+        ), rid
+    # outliers: both extreme features push the score UP
+    assert rows[900]["anomaly_shap"]["a"] > 0 and rows[900]["anomaly_shap"]["b"] > 0
+    # signs agree with the median-ablation heuristic on the outliers
+    abl = {
+        r["id"]: r["anomaly_contributions"]
+        for r in anomaly.explain_with_model(cluster_df, model).where(F.col("id").isin(900, 904)).collect()
+    }
+    for rid in (900, 904):
+        for f in ("a", "b"):
+            assert (rows[rid]["anomaly_shap"][f] > 0) == (abl[rid][f] > 0)
+
+    # dummy axiom: a constant feature is never split on -> phi exactly 0
+    df2 = cluster_df.withColumn("const", F.lit(1.0))
+    m2 = anomaly.fit_isolation_forest(df2, ["a", "const"], num_trees=8, seed=7)
+    out2 = anomaly.shap_explain(df2.limit(20), m2).collect()
+    assert all(r["anomaly_shap"]["const"] == 0.0 for r in out2)
+
+    # direct row check: _exact_shap_row matches the udf path
+    phis = _exact_shap_row(payload, [500.0, -400.0], 2)
+    assert phis[0] > 0 and phis[1] > 0
+
+    # width guard
+    wide = dict(model)
+    wide["columns"] = [f"f{i}" for i in range(11)]
+    import pytest as _pytest
+
+    with _pytest.raises(ComputationError, match="max_features"):
+        anomaly.shap_explain(cluster_df, wide)
