@@ -550,14 +550,13 @@ def shap_explain(
         pdf = pd.concat(series, axis=1)
         pdf.columns = columns
         out = []
-        for payload_rows in [pdf]:
-            for _, row in payload_rows.iterrows():
-                phis = [0.0] * d
-                for payload in payloads:
-                    x = _impute(row.to_frame().T, columns, payload["medians"])[0]
-                    row_phis = _exact_shap_row(payload, x, d)
-                    phis = [a + b / len(payloads) for a, b in zip(phis, row_phis)]
-                out.append({c: float(p) for c, p in zip(columns, phis)})
+        for _, row in pdf.iterrows():
+            phis = [0.0] * d
+            for payload in payloads:
+                x = _impute(row.to_frame().T, columns, payload["medians"])[0]
+                row_phis = _exact_shap_row(payload, x, d)
+                phis = [a + b / len(payloads) for a, b in zip(phis, row_phis)]
+            out.append({c: float(p) for c, p in zip(columns, phis)})
         return pd.Series(out)
 
     return df.withColumn(shap_col, shap_udf(*[F.col(c).cast("double") for c in columns]))
