@@ -1385,7 +1385,10 @@ def q_dataset_checks_part(spark, sf):
 
 def q_text_analysis(spark, sf):
     """One slot certifying token_count, doc_fingerprint, lang_id (via the
-    one-pass text_profile op) plus quality_score and bpe_ish_token_count."""
+    one-pass text_profile op) plus quality_score, bpe_ish_token_count, and
+    (r6) the corpus-trained bigram-LM score — CCNet-style perplexity
+    filtering without KenLM, add-k arithmetic re-derived exactly in the
+    DuckDB twin."""
     df = _read(spark, sf, "documents")
     prof = text.text_profile(df, "doc_id", "text").select(
         F.col("id").alias("doc_id"),
@@ -1394,7 +1397,12 @@ def q_text_analysis(spark, sf):
         F.col("fingerprint").alias("fp"),
     )
     q = df.select("doc_id", text.quality_score("text").alias("q"), text.bpe_ish_token_count("text").alias("btc"))
-    return prof.join(q, "doc_id")
+    lm = corpus.bigram_lm_scores(df, "doc_id", "text", k=0.1).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").alias("lm_bigrams"),
+        F.round("avg_neg_logprob", 6).alias("lm_score"),
+    )
+    return prof.join(q, "doc_id").join(lm, "doc_id")
 
 
 def q_gopher_profile(spark, sf):
@@ -2095,8 +2103,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM part p JOIN m USING (p_brand)"
         ),
         "text_analysis": (
-            f"SELECT p.doc_id, p.tc, p.predicted, p.fp, t.q, t.btc FROM ({_text_profile_oracle()}) p "
-            f"JOIN ({_text_quality_oracle()}) t ON p.doc_id = t.doc_id"
+            f"WITH prof AS ({_text_profile_oracle()}), tq AS ({_text_quality_oracle()}), "
+            # bigram-LM twin: identical add-k arithmetic re-derived from
+            # scratch (counts via unnest, ln, k=0.1)
+            r"tok AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') AS ts FROM documents), "
+            "b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(ts)), i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p "
+            "FROM tok WHERE len(ts) >= 2)), "
+            "cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY 1, 2), "
+            "cp AS (SELECT w1, count(*) AS cp FROM b2 GROUP BY 1), "
+            "vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM (SELECT unnest(ts) AS w FROM tok)), "
+            "sc AS (SELECT b2.doc_id, count(*)::BIGINT AS nb, "
+            "-avg(ln((cb.cb + 0.1) / (cp.cp + 0.1 * vv.v))) AS s "
+            "FROM b2 JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv GROUP BY 1) "
+            "SELECT p.doc_id, p.tc, p.predicted, p.fp, t.q, t.btc, "
+            "coalesce(sc.nb, 0) AS lm_bigrams, round(sc.s, 6) AS lm_score "
+            "FROM prof p JOIN tq t ON p.doc_id = t.doc_id LEFT JOIN sc ON p.doc_id = sc.doc_id"
         ),
         # "gopher_profile" is assembled below from the gopher_counts mirror
         # ------------------------------------------------------------------

@@ -42,6 +42,7 @@ __all__ = [
     "gopher_counts",
     "remove_repeated_lines",
     "top_ngram_coverage",
+    "bigram_lm_scores",
     "clean_corpus",
 ]
 
@@ -325,6 +326,67 @@ def top_ngram_coverage(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
             )
             .otherwise(F.lit(0.0))
             .alias("coverage"),
+        )
+    )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str, k: float = 0.1) -> DataFrame:
+    """(id, n_bigrams, avg_neg_logprob): per-document score under an
+    add-k-smoothed bigram language model TRAINED ON THE CORPUS ITSELF —
+    the CCNet/DataTrove perplexity-filtering primitive without a KenLM
+    dependency.  High scores mark documents whose word transitions are
+    atypical of the corpus (boilerplate, gibberish, wrong language);
+    filter on a quantile of the score.
+
+    ``score = -(1/B) * Σ log((c(w1,w2)+k) / (c(w1·)+k·V))`` over the
+    document's B bigrams, where ``c(w1·)`` counts ``w1`` as a bigram
+    prefix and ``V`` is the corpus vocabulary size.  Documents with < 2
+    tokens get ``n_bigrams = 0`` and a null score.
+
+    Plan (no broadcast assumption — the vocab may itself be huge): lower-
+    cased tokens once; bigram explode; two count aggregations (map-side
+    combined); scoring joins the exploded bigrams back to the count
+    tables keyed on the token strings and sums per doc.  V rides along as
+    a 1-row broadcast crossJoin, so the whole thing is one lazy plan."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("__t"))
+    sz = F.size(F.col("__t"))
+    pairs = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__t"), i).alias("w1"),
+                F.element_at(F.col("__t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = toks.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    prefix_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__cp"))
+    bigram_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    vocab = toks.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("__v")
+    )
+    scored = (
+        bi.join(bigram_counts, ["w1", "w2"])
+        .join(prefix_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log((F.col("__cb") + F.lit(float(k))) / (F.col("__cp") + F.lit(float(k)) * F.col("__v"))),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), (-F.avg("__lp")).alias("avg_neg_logprob")
+    )
+    return (
+        toks.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.col("avg_neg_logprob"),
         )
     )
 

@@ -190,3 +190,45 @@ def test_clean_corpus_fuzzy_decontamination_stage(spark):
         .collect()
     }
     assert kept == {1}
+
+
+def test_bigram_lm_scores(spark):
+    """Corpus-trained bigram LM (CCNet-style perplexity filtering without
+    KenLM): hand-computed add-k probabilities on a 3-doc corpus, plus the
+    ordering property — a document of corpus-typical transitions scores
+    LOWER than one full of unique transitions."""
+    import math
+
+    from dqx_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "zq"),            # 1 token: no bigrams -> null score
+            (3, None),            # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in corpus.bigram_lm_scores(docs, "doc_id", "text", k=0.5).collect()}
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_neg_logprob"] is None
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_neg_logprob"] is None
+    # corpus stats: bigrams = (the,cat)x2, (cat,sat), (cat,ran);
+    # prefixes: the->2, cat->2; vocab = {the,cat,sat,ran,zq} -> V=5, k=0.5
+    V, k = 5.0, 0.5
+    p_the_cat = (2 + k) / (2 + k * V)
+    p_cat_sat = (1 + k) / (2 + k * V)
+    expected0 = -(math.log(p_the_cat) + math.log(p_cat_sat)) / 2
+    assert out[0]["n_bigrams"] == 2
+    assert abs(out[0]["avg_neg_logprob"] - expected0) < 1e-9
+    # doc 0 and doc 1 are symmetric (sat/ran both occur once)
+    assert abs(out[0]["avg_neg_logprob"] - out[1]["avg_neg_logprob"]) < 1e-9
+
+    # ordering: repeated typical text scores lower than unique-word noise
+    big = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)]
+        + [(100, "qq ww ee rr tt yy uu ii")],
+        "doc_id long, text string",
+    )
+    sc = {r["id"]: r["avg_neg_logprob"] for r in corpus.bigram_lm_scores(big, "doc_id", "text").collect()}
+    assert sc[0] < sc[100]
