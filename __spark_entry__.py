@@ -189,10 +189,16 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_groups(spark, sf):
+    """Connected components PLUS — merged r6 — the keeper-selection end of
+    the dedup funnel: per group the highest-n_chars member wins (nulls
+    lose, ties break to the smallest id) and every row carries keeper_id +
+    kept, re-derived in the oracle as a row_number over the recursive-CTE
+    groups."""
     df = _read(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None)
     groups = dedup.connected_components(pairs, df.select(F.col("doc_id").alias("id")))
-    return groups.select(F.col("id").alias("doc_id"), "group_id")
+    flagged = dedup.keep_best_per_group(df, "doc_id", groups, keep_col="n_chars")
+    return flagged.select("doc_id", "group_id", "keeper_id", "kept")
 
 
 def q_embedding_dup_pairs(spark, sf):
@@ -689,7 +695,10 @@ def q_hash_split(spark, sf):
     """hash_split + source_mix certified in ONE row since r5 (merged to
     free a gate slot for key-skew diagnostics): per-doc split assignment
     plus an in_mix flag marking survival of the per-source mixture
-    subsample."""
+    subsample.  r6 adds the token-budget mixture sampler in BOTH modes:
+    tb_exact (per-source hash-ranked prefix cumsum vs budget) and
+    tb_approx (exact totals -> rate -> scan-local hash threshold), each
+    re-derived independently in the DuckDB twin."""
     df = _read(spark, sf, "documents")
     split = mixing.hash_split(df, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}).select(
         "doc_id", "split"
@@ -697,8 +706,23 @@ def q_hash_split(spark, sf):
     mixed = mixing.source_mix(df, "doc_id", "source", {"src1": 0.2, "src2": 0.5}).select(
         "doc_id", F.lit(True).alias("in_mix")
     )
-    return split.join(mixed, "doc_id", "left").select(
-        "doc_id", "split", F.coalesce("in_mix", F.lit(False)).alias("in_mix")
+    te = mixing.sample_to_token_budget(
+        df, "doc_id", "source", "n_chars", {"src1": 5000, "src3": 3000}, default_budget=None
+    ).select("doc_id", F.col("in_budget").alias("tb_exact"))
+    ta = mixing.sample_to_token_budget(
+        df, "doc_id", "source", "n_chars", {"src2": 4000}, default_budget=None, approx=True
+    ).select("doc_id", F.col("in_budget").alias("tb_approx"))
+    return (
+        split.join(mixed, "doc_id", "left")
+        .join(te, "doc_id")
+        .join(ta, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
+            "tb_exact",
+            "tb_approx",
+        )
     )
 
 
@@ -2513,8 +2537,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON id_b = sb.doc_id WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5), "
             "edges AS (SELECT id_a s, id_b d FROM pairs UNION SELECT id_b, id_a FROM pairs), "
             "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
-            "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
-            "SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id"
+            "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id), "
+            "g AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id), "
+            # keeper twin: highest n_chars, nulls lose, ties -> min doc_id
+            "k AS (SELECT g.group_id, g.doc_id AS keeper_id, row_number() OVER ("
+            "PARTITION BY g.group_id ORDER BY (d.n_chars IS NULL), "
+            "CASE WHEN d.n_chars IS NULL THEN 0.0 ELSE -d.n_chars::DOUBLE END, g.doc_id) AS rn "
+            "FROM g JOIN documents d USING (doc_id)) "
+            "SELECT g.doc_id, g.group_id, k.keeper_id, g.doc_id = k.keeper_id AS kept "
+            "FROM g JOIN k ON g.group_id = k.group_id AND k.rn = 1"
         ),
         "embedding_dup_pairs": (
             "SELECT a.vec_id id_a, b.vec_id id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -2720,12 +2751,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rank <= 3"
         ),
         "hash_split": (
-            "SELECT doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
+            "WITH base AS (SELECT doc_id, source, coalesce(n_chars, 0) AS t, "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents), "
+            # exact token budget: hash-ranked prefix sum per source vs budget
+            "te AS (SELECT doc_id, CASE WHEN source NOT IN ('src1', 'src3') THEN true "
+            "ELSE coalesce(sum(t) OVER (PARTITION BY source ORDER BY b, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "< (CASE source WHEN 'src1' THEN 5000 WHEN 'src3' THEN 3000 END) END AS tb_exact FROM base), "
+            # approx token budget: exact totals -> rate -> hash threshold
+            "tot AS (SELECT source, sum(t) AS tt FROM base GROUP BY 1), "
+            "ta AS (SELECT doc_id, CASE WHEN base.source <> 'src2' THEN true "
+            "ELSE b < round(least(1.0, 4000.0 / tt) * 1000000)::BIGINT END AS tb_approx "
+            "FROM base JOIN tot ON base.source = tot.source) "
+            "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
-            "ELSE 1.0 END * 1000000)::BIGINT AS in_mix "
-            "FROM (SELECT doc_id, source, "
-            "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents)"
+            "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx "
+            "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id"
         ),
         "key_skew": (
             "WITH c AS (SELECT event_type, count(*) AS key_count FROM events GROUP BY 1), "

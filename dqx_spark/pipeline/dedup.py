@@ -44,6 +44,8 @@ __all__ = [
     "embedding_cosine_pairs",
     "connected_components",
     "near_duplicate_groups",
+    "keep_best_per_group",
+    "remove_near_duplicates",
 ]
 
 def _materialize(df: DataFrame, storage: str, eager: bool = False) -> DataFrame:
@@ -820,3 +822,78 @@ def near_duplicate_groups(
     else:
         raise ValueError(f"unknown method {method!r}")
     return connected_components(pairs, df.select(F.col(id_col).alias("id")))
+
+
+def keep_best_per_group(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    keep_col: str | None = None,
+    kept_col: str = "kept",
+) -> DataFrame:
+    """Pick one canonical keeper per duplicate group and flag every row.
+
+    ``groups`` is a ``(id, group_id)`` frame as returned by
+    :func:`connected_components` / :func:`near_duplicate_groups`.  Returns
+    ``df``'s columns plus ``group_id``, ``keeper_id`` and a boolean
+    ``kept_col`` (true exactly for the keeper row of each group).
+
+    Keeper policy: with ``keep_col=None`` the keeper is the group
+    representative itself (the minimum id — zero extra work, the label IS
+    the keeper).  With a numeric ``keep_col`` the keeper is the row with
+    the HIGHEST value (nulls lose to any non-null), ties broken by the
+    smallest id — the SemDeDup-style "keep the best document of each
+    semantic cluster" discipline when ``keep_col`` is a quality score.
+
+    Scale shape (100 TB): the keeper choice is ``min(struct(null_flag,
+    -quality, id))`` per group — map-side-combined aggregation over three
+    slim columns, never a window sort over member rows — and the join-back
+    ships only ``(group_id, keeper_id)``.
+
+    Reference scope note: the reference engine stops at ``is_unique``
+    violation reporting (dataset checks); group-keeper selection extends
+    its dedup surface for corpus curation.
+    """
+    joined = df.join(groups.withColumnRenamed("id", id_col), id_col, "inner")
+    if keep_col is None:
+        out = joined.withColumn("keeper_id", F.col("group_id"))
+    else:
+        q = F.col(keep_col).cast("double")
+        pick = F.struct(
+            F.when(q.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("nf"),
+            F.coalesce(-q, F.lit(0.0)).alias("negq"),
+            F.col(id_col).alias("kid"),
+        )
+        keepers = joined.groupBy("group_id").agg(F.min(pick).alias("__k")).select(
+            "group_id", F.col("__k.kid").alias("keeper_id")
+        )
+        out = joined.join(keepers, "group_id")
+    return out.withColumn(kept_col, F.col(id_col) == F.col("keeper_id"))
+
+
+def remove_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    keep_col: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Prune the corpus to one document per near-duplicate group.
+
+    The end of the dedup funnel: pairs (:func:`minhash_lsh_pairs` /
+    ``ngram`` / ``simhash`` / ``embedding`` — same ``method`` contract as
+    :func:`near_duplicate_groups`) -> connected components -> keeper per
+    group (see :func:`keep_best_per_group`; ``keep_col`` keeps the
+    highest-quality member instead of the smallest id) -> surviving rows.
+    With ``method='embedding'`` and a quality ``keep_col`` this is the
+    SemDeDup recipe: cluster semantically-duplicate documents by embedding
+    cosine and keep the best of each cluster.
+
+    Returns ``df``'s columns plus ``group_id`` (singleton documents keep
+    their own id as the group).
+    """
+    groups = near_duplicate_groups(df, id_col, text_col, method=method, threshold=threshold, **kwargs)
+    flagged = keep_best_per_group(df, id_col, groups, keep_col=keep_col)
+    return flagged.where(F.col("kept")).drop("kept", "keeper_id")

@@ -49,6 +49,8 @@ __all__ = [
     "top_k_per_group",
     "sample_n_per_group",
     "quantile_bins",
+    "source_token_stats",
+    "sample_to_token_budget",
 ]
 
 # One million buckets ≈ 1e-4 % rate granularity while staying far below the
@@ -309,3 +311,103 @@ def quantile_bins(
         ),
     )
     return binned.drop("__cuts")
+
+
+def source_token_stats(df: DataFrame, source_col: str, token_col: str) -> DataFrame:
+    """Per-source corpus accounting for mixture planning: ``(source,
+    n_docs, total_tokens, avg_tokens, token_share)``.
+
+    ``token_share`` is each source's fraction of the corpus token total —
+    the number mixture weights are set against.  Null token counts count
+    as 0.  One map-side-combined aggregation; the corpus total rides back
+    as a 1-row broadcast crossJoin, so the whole thing is one lazy plan.
+    """
+    t = F.coalesce(to_col(token_col).cast("bigint"), F.lit(0))
+    per = df.groupBy(to_col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t).alias("total_tokens"),
+        F.avg(t).alias("avg_tokens"),
+    )
+    tot = per.agg(F.sum("total_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        F.when(F.col("__tot") > 0, F.col("total_tokens") / F.col("__tot"))
+        .otherwise(F.lit(0.0))
+        .alias("token_share"),
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str = "",
+    approx: bool = False,
+    out_col: str = "in_budget",
+) -> DataFrame:
+    """Deterministically sample each source down to a token budget — the
+    pretraining-mixture step stated in tokens ("200 B web, 40 B code")
+    rather than keep-rates (:func:`source_mix`).
+
+    Adds boolean ``out_col``: true for the rows that make the cut.
+    Sources absent from ``budgets`` get ``default_budget`` (``None`` =
+    unlimited: all rows kept).  Selection is keyed on ``(salt, id)`` via
+    the engine-portable md5 bucket, so re-budgeting one source never
+    perturbs another source's sample and reruns/appends are stable for
+    the rows already ranked.
+
+    * ``approx=False`` (exact): rows of each source are ranked by
+      ``(hash_bucket, id)`` and kept while the tokens BEFORE them fit the
+      budget — so the budget is overshot by at most one document.  Cost:
+      a window cumsum per source — one shuffle on ``source_col`` and each
+      source's rows sort inside one task.  Exact mode is for curation-
+      scale inputs (eval suites, annealing mixes); for a 100 TB source
+      use ``approx=True``.
+    * ``approx=True`` (scale path): two-pass — aggregate exact per-source
+      token totals, derive ``rate = budget/total`` (capped at 1), then
+      keep rows by hash threshold exactly like :func:`source_mix`.  The
+      rate table is a broadcast join; the filter is scan-local, no sort,
+      no window.  Hits the budget in expectation with per-doc-count
+      concentration, not exactly.
+    """
+    if default_budget is not None and default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+    for src, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {src!r} must be >= 0, got {b}")
+    t = F.coalesce(to_col(token_col).cast("bigint"), F.lit(0))
+    budget_expr: Column = F.lit(default_budget).cast("bigint")
+    for src, b in budgets.items():
+        budget_expr = F.when(to_col(source_col) == src, F.lit(int(b))).otherwise(budget_expr)
+    bucket = hash_bucket(id_col, _BUCKETS, salt)
+    if approx:
+        totals = df.groupBy(to_col(source_col).alias("__src")).agg(F.sum(t).alias("__tot"))
+        rate = (
+            F.when(budget_expr.isNull(), F.lit(1.0))
+            # zero-token source: the budget can't be consumed, so any
+            # positive budget admits everything (matching exact mode,
+            # where prefix 0 < budget) and a zero budget admits nothing
+            .when(F.col("__tot") <= 0, F.when(budget_expr > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+            .otherwise(F.least(F.lit(1.0), budget_expr.cast("double") / F.col("__tot")))
+        )
+        out = (
+            df.join(F.broadcast(totals), to_col(source_col).eqNullSafe(F.col("__src")), "left")
+            .withColumn(out_col, bucket < F.round(rate * _BUCKETS).cast("bigint"))
+            .drop("__src", "__tot")
+        )
+        return out
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy(to_col(source_col))
+        .orderBy(bucket.asc(), to_col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(t).over(w), F.lit(0))
+    return df.withColumn(out_col, budget_expr.isNull() | (prefix < budget_expr))

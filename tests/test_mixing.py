@@ -154,3 +154,68 @@ def test_quantile_bins(spark):
     # approx mode still bins everything into range
     approx = {r.id: r.bin for r in mixing.quantile_bins(df, "v", num_bins=4, approx=True).collect()}
     assert all(b is None or 0 <= b <= 3 for b in approx.values())
+
+
+@pytest.fixture(scope="module")
+def sourced(spark):
+    rows = [(i, "src_a" if i < 60 else "src_b", 100) for i in range(100)]
+    rows.append((100, "src_c", None))  # null tokens count as 0
+    return spark.createDataFrame(rows, "id long, source string, n_tok int")
+
+
+def test_source_token_stats(sourced):
+    stats = {r["source"]: r for r in mixing.source_token_stats(sourced, "source", "n_tok").collect()}
+    assert stats["src_a"]["n_docs"] == 60 and stats["src_a"]["total_tokens"] == 6000
+    assert stats["src_b"]["total_tokens"] == 4000
+    assert stats["src_c"]["total_tokens"] == 0 and stats["src_c"]["token_share"] == 0.0
+    assert abs(stats["src_a"]["token_share"] - 0.6) < 1e-12
+    assert abs(sum(s["token_share"] for s in stats.values()) - 1.0) < 1e-12
+
+
+def test_sample_to_token_budget_exact(sourced):
+    out = mixing.sample_to_token_budget(
+        sourced, "id", "source", "n_tok", {"src_a": 1000}, default_budget=None
+    )
+    rows = {r["id"]: r["in_budget"] for r in out.collect()}
+    kept_a = [i for i in range(60) if rows[i]]
+    # 100 tokens per doc, 1000 budget: exactly 10 docs make the cut
+    assert len(kept_a) == 10
+    # unlimited default: every src_b/src_c row kept
+    assert all(rows[i] for i in range(60, 101))
+    # deterministic + partitioning-invariant + overshoot-by-at-most-one-doc
+    again = {
+        r["id"]: r["in_budget"]
+        for r in mixing.sample_to_token_budget(
+            sourced.repartition(7), "id", "source", "n_tok", {"src_a": 1000}, default_budget=None
+        ).collect()
+    }
+    assert rows == again
+    # budget that lands mid-document: prefix < budget keeps the crossing doc
+    mid = mixing.sample_to_token_budget(sourced, "id", "source", "n_tok", {"src_a": 950}, default_budget=0)
+    kept_mid = [r["id"] for r in mid.collect() if r["in_budget"]]
+    assert len(kept_mid) == 10 and set(kept_mid) <= set(range(60))
+
+
+def test_sample_to_token_budget_approx(sourced):
+    out = mixing.sample_to_token_budget(
+        sourced, "id", "source", "n_tok", {"src_a": 3000}, default_budget=None, approx=True
+    )
+    rows = out.collect()
+    kept_a = [r for r in rows if r["source"] == "src_a" and r["in_budget"]]
+    # rate = 3000/6000 = 0.5 -> hash keeps ~half (md5-uniform; wide tolerance)
+    assert 15 <= len(kept_a) <= 45
+    assert all(r["in_budget"] for r in rows if r["source"] != "src_a")
+    # approx keep-set is a hash threshold: monotone in the budget
+    smaller = {
+        r["id"]
+        for r in mixing.sample_to_token_budget(
+            sourced, "id", "source", "n_tok", {"src_a": 1500}, default_budget=None, approx=True
+        ).collect()
+        if r["in_budget"] and r["source"] == "src_a"
+    }
+    assert smaller <= {r["id"] for r in kept_a}
+    # zero budget keeps nothing; validation rejects negatives
+    zero = mixing.sample_to_token_budget(sourced, "id", "source", "n_tok", {"src_a": 0}, default_budget=0, approx=True)
+    assert not [r for r in zero.collect() if r["in_budget"]]
+    with pytest.raises(ValueError):
+        mixing.sample_to_token_budget(sourced, "id", "source", "n_tok", {"src_a": -1})

@@ -814,3 +814,35 @@ def test_mp4_video_metadata_decoding(spark):
     got = {r.id: r for r in multimodal.decode_video_metadata(df, "data", "id").collect()}
     assert (got[1].duration_s, got[1].width, got[1].height, got[1].decoder) == (5.5, 1920, 1080, "mp4-moov")
     assert not got[2].decode_ok and not got[3].decode_ok
+
+
+def test_keep_best_per_group_and_remove_near_duplicates(spark, docs):
+    """Keeper selection: default keeper is the group representative (min
+    id); with a quality column the highest-quality member wins and ties
+    break to the smallest id; remove_near_duplicates returns the pruned
+    corpus."""
+    # default policy: keeper == group_id
+    groups = dedup.near_duplicate_groups(docs, "id", "text", method="ngram", threshold=0.5, k=3)
+    flagged = dedup.keep_best_per_group(docs, "id", groups)
+    rows = {r["id"]: r for r in flagged.collect()}
+    assert rows[0]["kept"] and rows[0]["keeper_id"] == 0
+    assert not rows[1]["kept"] and rows[1]["keeper_id"] == 0
+    assert not rows[4]["kept"]
+    assert rows[3]["kept"] and rows[3]["keeper_id"] == 3  # singleton keeps itself
+
+    # quality policy: highest quality wins, null quality loses, ties -> min id
+    quality = docs.withColumn(
+        "q",
+        F.when(F.col("id") == 4, F.lit(9.0))
+        .when(F.col("id") == 1, F.lit(None).cast("double"))
+        .otherwise(F.lit(5.0)),
+    )
+    flagged_q = dedup.keep_best_per_group(quality, "id", groups, keep_col="q")
+    rows_q = {r["id"]: r for r in flagged_q.collect()}
+    assert rows_q[4]["kept"] and rows_q[0]["keeper_id"] == 4  # 9.0 beats 5.0
+    assert not rows_q[0]["kept"] and not rows_q[1]["kept"]
+
+    pruned = dedup.remove_near_duplicates(quality, "id", "text", method="ngram", threshold=0.5, k=3, keep_col="q")
+    kept_ids = {r["id"] for r in pruned.select("id").collect()}
+    assert kept_ids == {2, 3, 4, 5}
+    assert "group_id" in pruned.columns and "kept" not in pruned.columns
