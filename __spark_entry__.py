@@ -605,7 +605,13 @@ def q_dedup_paragraphs(spark, sf):
     fixture (driver documents are single-line, so the fixture builds three
     paragraphs per doc: two text slices plus — for every 5th doc — a shared
     boilerplate paragraph that must survive only at its smallest
-    (doc_id, idx) occurrence).  md5 hash mode = bit-exact DuckDB twin."""
+    (doc_id, idx) occurrence).  md5 hash mode = bit-exact DuckDB twin.
+
+    r6 merges the ExactSubstr token-span dedup into the same row: every
+    7th doc gets a shared 10-token trailing sentence, remove_duplicate_
+    spans(k=8) must keep it only at the smallest (doc_id, position), and
+    the rebuilt text + removed-token count are re-derived bit-exactly in
+    the oracle."""
     from dqx_spark.pipeline import dedup
 
     docs = _read(spark, sf, "documents")
@@ -618,10 +624,21 @@ def q_dedup_paragraphs(spark, sf):
                 F.expr("substring(text, 81, 60)")
             ),
             F.expr("substring(text, 141)"),
+            # NULL (not '') for the non-shared case: concat_ws skips NULLs
+            # in both engines, so no trailing separator is manufactured
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("the same shared trailing sentence appears verbatim in several documents here"),
+            ),
         ).alias("text"),
     )
     out = dedup.dedup_paragraphs(fx, "doc_id", "text", hash_name="md5")
-    return out.select("doc_id", F.md5("text_dedup").alias("dedup_md5"), "removed_paragraph_count")
+    spans = dedup.remove_duplicate_spans(fx, "doc_id", "text", k=8, hash_name="md5").select(
+        "doc_id", F.md5("text_dedup").alias("span_md5"), F.col("removed_token_count").alias("removed_tokens")
+    )
+    return out.select(
+        "doc_id", F.md5("text_dedup").alias("dedup_md5"), "removed_paragraph_count"
+    ).join(spans, "doc_id")
 
 
 def q_asof_join(spark, sf):
@@ -2851,7 +2868,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": (
             "WITH fx AS (SELECT doc_id, concat_ws(chr(10)||chr(10), substr(text, 1, 80), "
             "CASE WHEN doc_id % 5 = 0 THEN 'common boilerplate paragraph' ELSE substr(text, 81, 60) END, "
-            "substr(text, 141)) AS text FROM documents), "
+            "substr(text, 141), "
+            "CASE WHEN doc_id % 7 = 0 THEN 'the same shared trailing sentence appears verbatim in several documents here' END"
+            ") AS text FROM documents), "
             r"t AS (SELECT doc_id, list_filter(list_transform(string_split_regex(coalesce(text,''), '\n\s*\n'), "
             "p -> trim(p)), p -> p <> '') ps FROM fx), "
             "ex AS (SELECT doc_id, i - 1 AS idx, ps[i] AS p FROM t, unnest(range(1, len(ps) + 1)) r(i)), "
@@ -2860,10 +2879,30 @@ def oracle_sql() -> dict[str, str]:
             "kept AS (SELECT k // 1000000 AS doc_id, k % 1000000 AS idx FROM win), "
             "kr AS (SELECT e.doc_id, e.idx, e.p FROM ex e JOIN kept k ON e.doc_id = k.doc_id AND e.idx = k.idx), "
             "rb AS (SELECT doc_id, string_agg(p, chr(10)||chr(10) ORDER BY idx) AS s, count(*) AS kept_n "
-            "FROM kr GROUP BY doc_id) "
+            "FROM kr GROUP BY doc_id), "
+            # ExactSubstr twin: k=8 token spans, portable 60-bit md5 span
+            # hash, (doc_id, position)-min winner, losing windows expanded
+            # to positions, rebuild from surviving tokens
+            r"tk AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\s+'), w -> w <> '') ts FROM fx), "
+            "so AS (SELECT doc_id, i - 1 AS p, "
+            "('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::UBIGINT::BIGINT AS sh "
+            "FROM tk, unnest(range(1, greatest(len(ts) - 7, 0) + 1)) r(i)), "
+            "sw AS (SELECT sh, count(*) AS c, min(doc_id * 1000000 + p) AS w FROM so GROUP BY sh), "
+            "ro AS (SELECT so.doc_id, so.p FROM so JOIN sw ON so.sh = sw.sh "
+            "WHERE sw.c > 1 AND so.doc_id * 1000000 + so.p <> sw.w), "
+            "rp AS (SELECT DISTINCT doc_id, p + j AS pos FROM ro, unnest(range(0, 8)) s(j)), "
+            "ra AS (SELECT doc_id, list(pos) AS rl FROM rp GROUP BY doc_id), "
+            "sp AS (SELECT tk.doc_id, "
+            "list_transform(list_filter(range(0, len(ts)), i -> ra.rl IS NULL OR NOT list_contains(ra.rl, i)), "
+            "i -> ts[i + 1]) AS kt, len(ts) AS n FROM tk LEFT JOIN ra ON tk.doc_id = ra.doc_id), "
+            # coalesce: DuckDB array_to_string of an empty list is NULL,
+            # Spark array_join is '' (fully-removed docs)
+            "sf AS (SELECT doc_id, md5(coalesce(array_to_string(kt, ' '), '')) AS span_md5, "
+            "(n - len(kt))::INT AS removed_tokens FROM sp) "
             "SELECT t.doc_id, md5(coalesce(rb.s, '')) AS dedup_md5, "
-            "(len(t.ps) - coalesce(rb.kept_n, 0))::INT AS removed_paragraph_count "
-            "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id"
+            "(len(t.ps) - coalesce(rb.kept_n, 0))::INT AS removed_paragraph_count, "
+            "sf.span_md5, sf.removed_tokens "
+            "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id JOIN sf ON t.doc_id = sf.doc_id"
         ),
         "ngram_contamination": (
             r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "

@@ -419,6 +419,9 @@ def main() -> None:
     cases["dedup_paragraphs"] = lambda: _dedup.dedup_paragraphs(
         _with_paragraphs(docs), "doc_id", "text"
     ).select("doc_id", "removed_paragraph_count")
+    cases["dedup_spans"] = lambda: _dedup.remove_duplicate_spans(
+        _with_paragraphs(docs), "doc_id", "text", k=8
+    ).select("doc_id", "removed_token_count")
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
     cases["group_centroids"] = lambda: _sim.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
 

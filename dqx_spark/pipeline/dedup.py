@@ -46,6 +46,7 @@ __all__ = [
     "near_duplicate_groups",
     "keep_best_per_group",
     "remove_near_duplicates",
+    "remove_duplicate_spans",
 ]
 
 def _materialize(df: DataFrame, storage: str, eager: bool = False) -> DataFrame:
@@ -897,3 +898,114 @@ def remove_near_duplicates(
     groups = near_duplicate_groups(df, id_col, text_col, method=method, threshold=threshold, **kwargs)
     flagged = keep_best_per_group(df, id_col, groups, keep_col=keep_col)
     return flagged.where(F.col("kept")).drop("kept", "keeper_id")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """CORPUS-WIDE exact-substring dedup at token granularity (the
+    ExactSubstr discipline of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every k-token span that occurs more
+    than once anywhere in the corpus survives only at its canonical first
+    occurrence — the smallest ``(id, position)`` — and is cut everywhere
+    else, including later repeats inside the same document.  Finer than
+    :func:`dedup_paragraphs` (no paragraph boundary needed), stricter
+    than MinHash (exact token equality, case-sensitive).
+
+    Returns ``df``'s columns plus ``<text_col>_dedup`` (surviving tokens
+    re-joined with single spaces — token-granular rebuild normalizes
+    whitespace, same convention as :func:`~dqx_spark.pipeline.text.
+    chunk_by_tokens`) and ``removed_token_count``.  Spans shorter than
+    ``k`` tokens are by definition not detected; ``k=50`` is the Lee et
+    al. operating point.
+
+    PRECONDITION: ``id_col`` values must be unique (see
+    :func:`dedup_paragraphs`).  Rows with a NULL id sit the dedup out:
+    their text passes through unchanged and their spans neither claim nor
+    lose a canonical slot.
+
+    Scale shape (100 TB): the one big shuffle is the occurrence stream —
+    ``(id, position, span_hash)`` for every token position, ~16 bytes a
+    token; span strings never shuffle (xxhash64 over token-hash slices,
+    same CSE-guarded two-projection shape as
+    :func:`~dqx_spark.pipeline.text.exploded_shingle_hashes`).  Winners
+    come from one ``groupBy(hash)`` min-struct aggregation (map-side
+    combined, skew-immune); only the LOSING occurrences' start positions
+    shuffle back per document (``collect_set`` — bounded by duplicated
+    positions, not corpus size), and the k-wide cut windows are expanded
+    scan-locally from those starts, so the k× blow-up never crosses the
+    network.  The rebuild filters the original token array in place.
+
+    ``hash_name='md5'`` is the engine-portable conformance mode
+    (:func:`~dqx_spark.pipeline.text.portable_hash60` over the span
+    string) for bit-exact DuckDB oracles; ``'xxhash64'`` is the hot path.
+
+    Reference scope note: the reference engine has no corpus-repair
+    operators (see :func:`dedup_paragraphs`); this completes the dedup
+    granularity ladder: document -> paragraph -> token span.
+    """
+    if hash_name not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_name must be 'xxhash64' or 'md5', got {hash_name!r}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # occurrence stream (id, p, sh), p 0-based.  Two projections on purpose:
+    # the token(-hash) array materializes once per row, the per-position
+    # lambda only slices it (the CollapseProject pitfall documented in
+    # exploded_shingle_hashes would otherwise re-tokenize per position).
+    if hash_name == "md5":
+        step1 = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
+        n1 = F.size(F.col("__tk"))
+        sh_arr = F.when(
+            n1 >= k,
+            F.transform(
+                F.sequence(F.lit(1), n1 - (k - 1)),
+                lambda i: portable_hash60(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    else:
+        th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+        step1 = df.select(F.col(id_col).alias("id"), th.alias("__tk"))
+        n1 = F.size(F.col("__tk"))
+        sh_arr = F.when(
+            n1 >= k,
+            F.transform(
+                F.sequence(F.lit(1), n1 - (k - 1)),
+                lambda i: F.xxhash64(F.slice(F.col("__tk"), i, k)),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    occ = step1.where(F.col("id").isNotNull()).select(
+        "id", F.posexplode(sh_arr).alias("p", "sh")
+    )
+    winners = occ.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col("id").alias("d"), F.col("p").alias("q"))).alias("__w"),
+    ).where(F.col("__c") > 1)
+    losing_starts = (
+        occ.join(winners, "sh")
+        .where(~((F.col("id") == F.col("__w.d")) & (F.col("p") == F.col("__w.q"))))
+        .groupBy("id")
+        .agg(F.collect_set("p").alias("__rs"))
+    )
+    joined = df.join(losing_starts.withColumnRenamed("id", id_col), id_col, "left")
+    rebuilt = joined.withColumn("__toks", tokens(F.col(text_col)))
+    n = F.size(F.col("__toks"))
+    rm_pos = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__rs"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (k - 1)),
+            )
+        )
+    )
+    all_pos = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_sort(F.array_except(all_pos, rm_pos))
+    kept_toks = F.transform(kept_pos, lambda i: F.element_at(F.col("__toks"), i + 1))
+    return (
+        rebuilt.withColumn(f"{text_col}_dedup", F.array_join(kept_toks, " "))
+        .withColumn("removed_token_count", (n - F.size(kept_pos)).cast("int"))
+        .drop("__rs", "__toks")
+    )

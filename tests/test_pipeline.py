@@ -846,3 +846,42 @@ def test_keep_best_per_group_and_remove_near_duplicates(spark, docs):
     kept_ids = {r["id"] for r in pruned.select("id").collect()}
     assert kept_ids == {2, 3, 4, 5}
     assert "group_id" in pruned.columns and "kept" not in pruned.columns
+
+
+def test_remove_duplicate_spans(spark):
+    """ExactSubstr-style token-span dedup: a shared 8-token run survives
+    only at its smallest (id, position); within-doc repeats are cut; short
+    docs and NULL-id rows pass through; md5 and xxhash64 modes agree."""
+    rows = [
+        (0, "a b c d e f g h x y"),
+        (1, "p q a b c d e f g h r"),     # shares span [a..h] with doc 0
+        (2, "m n o p q r s t u m n o p q r s t u"),  # self-repeat
+        (3, "short doc"),
+        (None, "a b c d e f g h x y"),    # null id: sits out
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    for mode in ("md5", "xxhash64"):
+        out = {r["id"]: r for r in dedup.remove_duplicate_spans(docs, "id", "text", k=8, hash_name=mode).collect()}
+        assert out[0]["text_dedup"] == "a b c d e f g h x y" and out[0]["removed_token_count"] == 0
+        assert out[1]["text_dedup"] == "p q r" and out[1]["removed_token_count"] == 8
+        assert out[2]["text_dedup"] == "m n o p q r s t u" and out[2]["removed_token_count"] == 9
+        assert out[3]["text_dedup"] == "short doc" and out[3]["removed_token_count"] == 0
+        nulls = [r for r in dedup.remove_duplicate_spans(docs, "id", "text", k=8, hash_name=mode).collect() if r["id"] is None]
+        assert nulls[0]["text_dedup"] == "a b c d e f g h x y" and nulls[0]["removed_token_count"] == 0
+    with pytest.raises(ValueError):
+        dedup.remove_duplicate_spans(docs, "id", "text", k=1)
+    with pytest.raises(ValueError):
+        dedup.remove_duplicate_spans(docs, "id", "text", hash_name="sha1")
+
+
+def test_remove_duplicate_spans_idempotent(spark):
+    """Running span dedup on its own output removes nothing more (the
+    surviving canonical occurrences are each unique corpus-wide)."""
+    rows = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod " + f"tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    once = dedup.remove_duplicate_spans(docs, "id", "text", k=8).select("id", F.col("text_dedup").alias("text"))
+    twice = dedup.remove_duplicate_spans(once, "id", "text", k=8)
+    assert twice.where(F.col("removed_token_count") > 0).count() == 0
+    a = {r["id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: r["text_dedup"] for r in twice.collect()}
+    assert a == b

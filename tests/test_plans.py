@@ -293,3 +293,20 @@ def test_mad_outliers_approx_is_one_aggregate_pass(spark):
     assert agg_count(p_fast) < agg_count(p_exact), (agg_count(p_fast), agg_count(p_exact))
     # both stats sides come back as broadcast 1-row joins, never a shuffle
     assert "BroadcastNestedLoopJoin" in p_fast or "BroadcastExchange" in p_fast
+
+
+def test_remove_duplicate_spans_plan_shape(spark):
+    """ExactSubstr span dedup: winner election is a partial-aggregated
+    groupBy on the span hash (never a window), no cartesian/BNLJ anywhere,
+    and the k-wide cut windows expand scan-locally (losing START positions
+    shuffle, full position lists do not)."""
+    from dqx_spark.pipeline import dedup
+
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string")
+    p = plan_of(dedup.remove_duplicate_spans(df, "doc_id", "text", k=3))
+    assert "partial_min" in p and "partial_count" in p
+    assert "row_number" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert re.search(r"hashpartitioning\(sh#\d+", p), "winner election must shuffle on the span hash"
+    # the per-doc fold-back aggregates start positions only
+    assert "collect_set(p#" in p
