@@ -1443,7 +1443,16 @@ def q_text_analysis(spark, sf):
         F.col("n_bigrams").alias("lm_bigrams"),
         F.round("avg_neg_logprob", 6).alias("lm_score"),
     )
-    return prof.join(q, "doc_id").join(lm, "doc_id")
+    # r6: self-trained multinomial-NB language classifier (weak labels =
+    # the lang column); integer-count training makes the whole model
+    # re-derivable in SQL, float sums rounded well above reorder noise
+    nb = corpus.nb_classifier_scores(df, "doc_id", "text", "lang", k=1.0).select(
+        F.col("id").alias("doc_id"),
+        F.col("predicted").alias("nb_pred"),
+        F.round("log_posterior", 5).alias("nb_post"),
+        F.round("margin", 6).alias("nb_margin"),
+    )
+    return prof.join(q, "doc_id").join(lm, "doc_id").join(nb, "doc_id")
 
 
 def q_gopher_profile(spark, sf):
@@ -2156,10 +2165,37 @@ def oracle_sql() -> dict[str, str]:
             "vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM (SELECT unnest(ts) AS w FROM tok)), "
             "sc AS (SELECT b2.doc_id, count(*)::BIGINT AS nb, "
             "-avg(ln((cb.cb + 0.1) / (cp.cp + 0.1 * vv.v))) AS s "
-            "FROM b2 JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv GROUP BY 1) "
+            "FROM b2 JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN vv GROUP BY 1), "
+            # NB twin: identical add-1 multinomial arithmetic, self-trained
+            # on the lang labels; argmax = (score DESC, label ASC)
+            "nocc AS (SELECT d.lang AS label, w FROM tok JOIN documents d USING (doc_id), unnest(tok.ts) t(w) "
+            "WHERE d.lang IS NOT NULL), "
+            "ncw AS (SELECT label, w, count(*) AS cw FROM nocc GROUP BY 1, 2), "
+            "nct AS (SELECT label, count(*) AS ct FROM nocc GROUP BY 1), "
+            "nv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM nocc), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM documents WHERE lang IS NOT NULL), "
+            "npr AS (SELECT lang AS label, ln(count(*) / (SELECT n FROM nn)) AS logprior "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY 1), "
+            "ncst AS (SELECT nct.label, npr.logprior, "
+            "ln(nct.ct + 1.0 * (SELECT v FROM nv)) AS logden FROM nct JOIN npr USING (label)), "
+            "docc AS (SELECT doc_id, w FROM tok, unnest(ts) t(w)), "
+            "dsc AS (SELECT docc.doc_id, c.label, ln(coalesce(ncw.cw, 0) + 1.0) AS lognum "
+            "FROM docc CROSS JOIN (SELECT label FROM ncst) c "
+            "LEFT JOIN ncw ON ncw.label = c.label AND ncw.w = docc.w), "
+            "npc AS (SELECT doc_id, label, count(*) AS nw, sum(lognum) AS s FROM dsc GROUP BY 1, 2), "
+            "nsc AS (SELECT npc.doc_id, npc.label, ncst.logprior + npc.s - npc.nw * ncst.logden AS score "
+            "FROM npc JOIN ncst USING (label) "
+            "UNION ALL SELECT tok.doc_id, ncst.label, ncst.logprior FROM tok CROSS JOIN ncst WHERE len(tok.ts) = 0), "
+            "nrk AS (SELECT doc_id, label, score, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn, "
+            "lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS s2 FROM nsc), "
+            "nbp AS (SELECT doc_id, label AS nb_pred, round(score, 5) AS nb_post, "
+            "round(score - s2, 6) AS nb_margin FROM nrk WHERE rn = 1) "
             "SELECT p.doc_id, p.tc, p.predicted, p.fp, t.q, t.btc, "
-            "coalesce(sc.nb, 0) AS lm_bigrams, round(sc.s, 6) AS lm_score "
-            "FROM prof p JOIN tq t ON p.doc_id = t.doc_id LEFT JOIN sc ON p.doc_id = sc.doc_id"
+            "coalesce(sc.nb, 0) AS lm_bigrams, round(sc.s, 6) AS lm_score, "
+            "nbp.nb_pred, nbp.nb_post, nbp.nb_margin "
+            "FROM prof p JOIN tq t ON p.doc_id = t.doc_id LEFT JOIN sc ON p.doc_id = sc.doc_id "
+            "JOIN nbp ON p.doc_id = nbp.doc_id"
         ),
         # "gopher_profile" is assembled below from the gopher_counts mirror
         # ------------------------------------------------------------------

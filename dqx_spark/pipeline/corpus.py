@@ -43,6 +43,7 @@ __all__ = [
     "remove_repeated_lines",
     "top_ngram_coverage",
     "bigram_lm_scores",
+    "nb_classifier_scores",
     "clean_corpus",
 ]
 
@@ -556,3 +557,108 @@ def clean_corpus(
             )
 
     return _mixing.hash_split(out, id_col, splits, salt=salt)
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    k: float = 1.0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """(id, predicted, log_posterior, margin): multinomial naive-Bayes
+    text classification with add-k smoothing — the trainable quality /
+    language / domain filter primitive (the role fastText classifiers
+    play in public corpus pipelines), with pure-Column training AND
+    scoring so the whole thing is one lazy plan and oracle-checkable.
+
+    Trains on ``train`` (or on ``df`` itself when ``train=None`` — e.g.
+    self-training a language model on weak labels), scoring every ``df``
+    row: ``score(c) = ln P(c) + Σ_w ln((count(w,c)+k) / (tokens(c)+k·V))``
+    over the document's token occurrences, ``V`` = training vocabulary
+    size.  ``predicted`` is the argmax (ties break to the smallest
+    label), ``log_posterior`` its unnormalized score, ``margin`` the gap
+    to the runner-up (null with a single class).  Tokens are lowercased;
+    docs with zero tokens get the prior-only score.
+
+    Scale shape (100 TB): training is two integer-count aggregations
+    (map-side combined) — per-(token,label) and per-label — plus a 1-row
+    vocab count; no model ever sits on the driver.  Scoring explodes the
+    corpus tokens once, crosses them with the LABEL SET (labels are few —
+    broadcast), left-joins the count table on (token, label), and
+    sum-aggregates per (id, label); the final argmax folds L rows per doc
+    through one more map-side-combined aggregation.  The count table join
+    is the one real shuffle and it carries only (token, label, count).
+
+    Reference scope note: the reference has no trainable classifier
+    surface; this extends the text-analysis family (SURVEY §2 pipeline
+    additions) alongside the heuristic ``lang_id`` / ``quality_score``.
+    """
+    src = train if train is not None else df
+    toks_train = src.select(
+        F.col(label_col).alias("label"), tokens(F.lower(F.col(text_col))).alias("__t")
+    ).where(F.col("label").isNotNull())
+    occ = toks_train.select("label", F.explode("__t").alias("w"))
+    cw = occ.groupBy("label", "w").agg(F.count(F.lit(1)).alias("__cw"))
+    ct = occ.groupBy("label").agg(F.count(F.lit(1)).alias("__ct"))
+    vocab = occ.select(F.count_distinct("w").cast("double").alias("__v"))
+    n_docs = toks_train.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    priors = (
+        toks_train.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("label", F.log(F.col("__nc") / F.col("__n")).alias("__logprior"))
+    )
+    # label-side scoring constants: ln(denominator) per class
+    consts = (
+        ct.join(priors, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "__logprior",
+            F.log(F.col("__ct") + F.lit(float(k)) * F.col("__v")).alias("__logden"),
+        )
+    )
+    doc_toks = df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("__t"))
+    doc_occ = doc_toks.select("id", F.explode("__t").alias("w"))
+    # every token occurrence scores against every class; unseen (w, label)
+    # pairs fall back to the smoothed floor ln(k) - logden
+    scored = (
+        doc_occ.crossJoin(F.broadcast(consts.select("label")))
+        .join(cw, ["label", "w"], "left")
+        .select(
+            "id",
+            "label",
+            (F.log(F.coalesce(F.col("__cw"), F.lit(0)) + F.lit(float(k)))).alias("__lognum"),
+        )
+    )
+    per_class = (
+        scored.groupBy("id", "label")
+        .agg(F.count(F.lit(1)).alias("__nw"), F.sum("__lognum").alias("__sumnum"))
+        .join(F.broadcast(consts), "label")
+        .select(
+            "id",
+            "label",
+            (F.col("__logprior") + F.col("__sumnum") - F.col("__nw") * F.col("__logden")).alias("__score"),
+        )
+    )
+    # zero-token docs never reach per_class: give them the prior-only score
+    empty = (
+        doc_toks.where(F.size("__t") == 0)
+        .select("id")
+        .crossJoin(F.broadcast(consts))
+        .select("id", "label", F.col("__logprior").alias("__score"))
+    )
+    all_scores = per_class.unionByName(empty)
+    ranked = all_scores.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct((-F.col("__score")).alias("ns"), F.col("label").alias("l")))).alias("__r")
+    )
+    first = F.element_at(F.col("__r"), 1)
+    second = F.when(F.size("__r") >= 2, F.element_at(F.col("__r"), 2))
+    return ranked.select(
+        "id",
+        first["l"].alias("predicted"),
+        (-first["ns"]).alias("log_posterior"),
+        (second["ns"] - first["ns"]).alias("margin"),
+    )

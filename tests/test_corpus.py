@@ -232,3 +232,71 @@ def test_bigram_lm_scores(spark):
     )
     sc = {r["id"]: r["avg_neg_logprob"] for r in corpus.bigram_lm_scores(big, "doc_id", "text").collect()}
     assert sc[0] < sc[100]
+
+
+def test_nb_classifier_scores(spark):
+    """Multinomial NB with add-k smoothing: hand-computed log posteriors
+    on a 2-class corpus, margin/tie semantics, zero-token prior-only
+    scoring, and train/score separation."""
+    import math
+
+    from dqx_spark.pipeline import corpus
+
+    train = spark.createDataFrame(
+        [
+            (0, "good great good", "pos"),
+            (1, "good nice", "pos"),
+            (2, "bad awful bad", "neg"),
+            (3, "terrible", "neg"),
+            (4, "ignored", None),  # null label excluded from training
+        ],
+        "doc_id long, text string, lab string",
+    )
+    score_df = spark.createDataFrame(
+        [(10, "good good"), (11, "awful"), (12, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in corpus.nb_classifier_scores(
+            score_df, "doc_id", "text", "lab", k=1.0, train=train
+        ).collect()
+    }
+    # corpus stats: V=7 (good great nice bad awful terrible -> wait: good,
+    # great, nice, bad, awful, terrible = 6); pos tokens=5, neg tokens=4
+    V = 6.0
+    logprior = math.log(2.0 / 4.0)  # both classes: 2 of 4 labeled docs
+    p_good_pos = math.log((3 + 1) / (5 + V))
+    p_good_neg = math.log((0 + 1) / (4 + V))
+    s_pos = logprior + 2 * p_good_pos
+    s_neg = logprior + 2 * p_good_neg
+    assert out[10]["predicted"] == "pos"
+    assert abs(out[10]["log_posterior"] - s_pos) < 1e-9
+    assert abs(out[10]["margin"] - (s_pos - s_neg)) < 1e-9
+    assert out[11]["predicted"] == "neg" and out[11]["margin"] > 0
+    # zero-token doc: prior-only -> equal scores, tie breaks to smaller label
+    assert out[12]["predicted"] == "neg"
+    assert abs(out[12]["log_posterior"] - logprior) < 1e-9
+    assert abs(out[12]["margin"]) < 1e-9
+
+
+def test_nb_classifier_self_train_language_id(spark):
+    """Self-trained on weak labels, the classifier recovers the labels of
+    held-in docs and generalizes to unseen same-language text."""
+    from dqx_spark.pipeline import corpus
+
+    rows = [(i, "the cat sat on the mat with the dog", "en") for i in range(10)]
+    rows += [(100 + i, "der hund sitzt auf der matte mit der katze", "de") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["id"]: r["predicted"] for r in corpus.nb_classifier_scores(df, "doc_id", "text", "lang").collect()}
+    assert all(out[i] == "en" for i in range(10))
+    assert all(out[100 + i] == "de" for i in range(10))
+    unseen = spark.createDataFrame(
+        [(1, "the dog sat with the cat"), (2, "der katze mit der hund")],
+        "doc_id long, text string",
+    )
+    gen = {
+        r["id"]: r["predicted"]
+        for r in corpus.nb_classifier_scores(unseen, "doc_id", "text", "lang", train=df).collect()
+    }
+    assert gen == {1: "en", 2: "de"}
