@@ -2176,8 +2176,9 @@ def oracle_sql() -> dict[str, str]:
             "nn AS (SELECT count(*)::DOUBLE AS n FROM documents WHERE lang IS NOT NULL), "
             "npr AS (SELECT lang AS label, ln(count(*) / (SELECT n FROM nn)) AS logprior "
             "FROM documents WHERE lang IS NOT NULL GROUP BY 1), "
-            "ncst AS (SELECT nct.label, npr.logprior, "
-            "ln(nct.ct + 1.0 * (SELECT v FROM nv)) AS logden FROM nct JOIN npr USING (label)), "
+            "ncst AS (SELECT npr.label, npr.logprior, "
+            "ln(coalesce(nct.ct, 0) + 1.0 * (SELECT v FROM nv)) AS logden "
+            "FROM npr LEFT JOIN nct USING (label)), "
             "docc AS (SELECT doc_id, w FROM tok, unnest(ts) t(w)), "
             "dsc AS (SELECT docc.doc_id, c.label, ln(coalesce(ncw.cw, 0) + 1.0) AS lognum "
             "FROM docc CROSS JOIN (SELECT label FROM ncst) c "
@@ -2807,15 +2808,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH base AS (SELECT doc_id, source, coalesce(n_chars, 0) AS t, "
             "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000 AS b FROM documents), "
             # exact token budget: hash-ranked prefix sum per source vs budget
-            "te AS (SELECT doc_id, CASE WHEN source NOT IN ('src1', 'src3') THEN true "
+            # IS NULL guards: Spark keeps unbudgeted (incl. NULL) sources
+            "te AS (SELECT doc_id, CASE WHEN source IS NULL OR source NOT IN ('src1', 'src3') THEN true "
             "ELSE coalesce(sum(t) OVER (PARTITION BY source ORDER BY b, doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "< (CASE source WHEN 'src1' THEN 5000 WHEN 'src3' THEN 3000 END) END AS tb_exact FROM base), "
             # approx token budget: exact totals -> rate -> hash threshold
             "tot AS (SELECT source, sum(t) AS tt FROM base GROUP BY 1), "
-            "ta AS (SELECT doc_id, CASE WHEN base.source <> 'src2' THEN true "
+            "ta AS (SELECT doc_id, CASE WHEN base.source IS NULL OR base.source <> 'src2' THEN true "
             "ELSE b < round(least(1.0, 4000.0 / tt) * 1000000)::BIGINT END AS tb_approx "
-            "FROM base JOIN tot ON base.source = tot.source) "
+            "FROM base LEFT JOIN tot ON base.source IS NOT DISTINCT FROM tot.source) "
             "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
@@ -2926,7 +2928,11 @@ def oracle_sql() -> dict[str, str]:
             "sw AS (SELECT sh, count(*) AS c, min(doc_id * 1000000 + p) AS w FROM so GROUP BY sh), "
             "ro AS (SELECT so.doc_id, so.p FROM so JOIN sw ON so.sh = sw.sh "
             "WHERE sw.c > 1 AND so.doc_id * 1000000 + so.p <> sw.w), "
-            "rp AS (SELECT DISTINCT doc_id, p + j AS pos FROM ro, unnest(range(0, 8)) s(j)), "
+            # canonical-occurrence windows are protected from the cut
+            "wo AS (SELECT w // 1000000 AS doc_id, w % 1000000 AS p FROM sw WHERE c > 1), "
+            "wp AS (SELECT DISTINCT doc_id, p + j AS pos FROM wo, unnest(range(0, 8)) s2(j)), "
+            "rp AS (SELECT DISTINCT doc_id, p + j AS pos FROM ro, unnest(range(0, 8)) s(j) "
+            "EXCEPT SELECT doc_id, pos FROM wp), "
             "ra AS (SELECT doc_id, list(pos) AS rl FROM rp GROUP BY doc_id), "
             "sp AS (SELECT tk.doc_id, "
             "list_transform(list_filter(range(0, len(ts)), i -> ra.rl IS NULL OR NOT list_contains(ra.rl, i)), "

@@ -659,6 +659,11 @@ def main() -> None:
                     "doc_id", "removed_paragraph_count"
                 )
             )),
+            "dedup_spans": timed(lambda: materialize(
+                _dedup.remove_duplicate_spans(_with_paragraphs(docs_o), "doc_id", "text", k=8).select(
+                    "doc_id", "removed_token_count"
+                )
+            )),
         }
         result["sf1"] = {
             "scale": SF1_SCALE,

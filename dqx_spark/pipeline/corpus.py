@@ -610,14 +610,17 @@ def nb_classifier_scores(
         .crossJoin(F.broadcast(n_docs))
         .select("label", F.log(F.col("__nc") / F.col("__n")).alias("__logprior"))
     )
-    # label-side scoring constants: ln(denominator) per class
+    # label-side scoring constants: ln(denominator) per class.  priors is
+    # the COMPLETE label set (left join): a class whose training docs have
+    # zero tokens still scores every doc with the smoothed floor instead
+    # of silently dropping out of the prediction space
     consts = (
-        ct.join(priors, "label")
+        priors.join(ct, "label", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "label",
             "__logprior",
-            F.log(F.col("__ct") + F.lit(float(k)) * F.col("__v")).alias("__logden"),
+            F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(k)) * F.col("__v")).alias("__logden"),
         )
     )
     doc_toks = df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("__t"))

@@ -916,6 +916,13 @@ def remove_duplicate_spans(
     :func:`dedup_paragraphs` (no paragraph boundary needed), stricter
     than MinHash (exact token equality, case-sensitive).
 
+    Canonical occurrences are PROTECTED: positions covered by a span's
+    winning occurrence are never cut, even when they also fall inside the
+    cut window of a DIFFERENT span's losing occurrence (overlapping spans
+    in the same document) — so every duplicated span provably survives
+    intact somewhere.  The flip side: a losing occurrence that overlaps a
+    winner in the same document is only partially removed.
+
     Returns ``df``'s columns plus ``<text_col>_dedup`` (surviving tokens
     re-joined with single spaces — token-granular rebuild normalizes
     whitespace, same convention as :func:`~dqx_spark.pipeline.text.
@@ -990,22 +997,36 @@ def remove_duplicate_spans(
         .groupBy("id")
         .agg(F.collect_set("p").alias("__rs"))
     )
-    joined = df.join(losing_starts.withColumnRenamed("id", id_col), id_col, "left")
+    # the winner struct IS the (id, position) of the protected occurrence —
+    # no join back to the occurrence stream needed
+    winning_starts = (
+        winners.select(F.col("__w.d").alias("id"), F.col("__w.q").alias("p"))
+        .groupBy("id")
+        .agg(F.collect_set("p").alias("__ws"))
+    )
+    joined = df.join(losing_starts.withColumnRenamed("id", id_col), id_col, "left").join(
+        winning_starts.withColumnRenamed("id", id_col), id_col, "left"
+    )
     rebuilt = joined.withColumn("__toks", tokens(F.col(text_col)))
     n = F.size(F.col("__toks"))
-    rm_pos = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("__rs"), F.array().cast("array<int>")),
-                lambda s: F.sequence(s, s + (k - 1)),
+
+    def expand(col: str) -> Column:
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col(col), F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + (k - 1)),
+                )
             )
         )
-    )
+
+    # cut = losing windows minus canonical-occurrence windows (protection)
+    rm_pos = F.array_except(expand("__rs"), expand("__ws"))
     all_pos = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
     kept_pos = F.array_sort(F.array_except(all_pos, rm_pos))
     kept_toks = F.transform(kept_pos, lambda i: F.element_at(F.col("__toks"), i + 1))
     return (
         rebuilt.withColumn(f"{text_col}_dedup", F.array_join(kept_toks, " "))
         .withColumn("removed_token_count", (n - F.size(kept_pos)).cast("int"))
-        .drop("__rs", "__toks")
+        .drop("__rs", "__ws", "__toks")
     )

@@ -262,8 +262,8 @@ def test_nb_classifier_scores(spark):
             score_df, "doc_id", "text", "lab", k=1.0, train=train
         ).collect()
     }
-    # corpus stats: V=7 (good great nice bad awful terrible -> wait: good,
-    # great, nice, bad, awful, terrible = 6); pos tokens=5, neg tokens=4
+    # corpus stats: V=6 (good, great, nice, bad, awful, terrible);
+    # pos tokens=5, neg tokens=4
     V = 6.0
     logprior = math.log(2.0 / 4.0)  # both classes: 2 of 4 labeled docs
     p_good_pos = math.log((3 + 1) / (5 + V))
@@ -300,3 +300,35 @@ def test_nb_classifier_self_train_language_id(spark):
         for r in corpus.nb_classifier_scores(unseen, "doc_id", "text", "lang", train=df).collect()
     }
     assert gen == {1: "en", 2: "de"}
+
+
+def test_nb_classifier_tokenless_class_still_scores(spark):
+    """A class trained only on zero-token docs keeps its prior and the
+    smoothed floor instead of silently vanishing from the prediction
+    space (r6 review fix)."""
+    import math
+
+    from dqx_spark.pipeline import corpus
+
+    train = spark.createDataFrame(
+        [(1, "", "spam"), (2, "good text", "ham")],
+        "doc_id long, text string, lab string",
+    )
+    out = {
+        r["id"]: r
+        for r in corpus.nb_classifier_scores(
+            spark.createDataFrame([(10, "novel words"), (11, "")], "doc_id long, text string"),
+            "doc_id", "text", "lab", k=1.0, train=train,
+        ).collect()
+    }
+    # both classes present: margin is non-null for every doc
+    assert out[10]["margin"] is not None and out[11]["margin"] is not None
+    # V=2 (good, text); spam floor per unseen token: ln(1/(0+2)); ham: ln(1/(2+2))
+    logprior = math.log(0.5)
+    s_spam = logprior + 2 * math.log(1.0 / 2.0)
+    s_ham = logprior + 2 * math.log(1.0 / 4.0)
+    assert out[10]["predicted"] == "spam"  # smaller denominator wins on unseen words
+    assert abs(out[10]["log_posterior"] - s_spam) < 1e-9
+    assert abs(out[10]["margin"] - (s_spam - s_ham)) < 1e-9
+    # zero-token doc: prior-only tie, breaks to smaller label
+    assert out[11]["predicted"] == "ham" and abs(out[11]["margin"]) < 1e-9

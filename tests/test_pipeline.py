@@ -885,3 +885,26 @@ def test_remove_duplicate_spans_idempotent(spark):
     a = {r["id"]: r["text"] for r in once.collect()}
     b = {r["id"]: r["text_dedup"] for r in twice.collect()}
     assert a == b
+
+
+def test_remove_duplicate_spans_protects_canonical_overlap(spark):
+    """A span's canonical occurrence survives even when it overlaps a
+    DIFFERENT span's losing occurrence in the same document (r6 review
+    fix: without protection the duplicated content could be destroyed
+    corpus-wide)."""
+    rows = [
+        (0, "a b c d e f g h q r"),
+        (1, "a b c d e f g h i j k l m"),  # loses [a..h] to doc 0; wins [f..m]
+        (2, "z f g h i j k l m"),          # loses [f..m] to doc 1
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in dedup.remove_duplicate_spans(docs, "id", "text", k=8).collect()}
+    assert out[0]["text_dedup"] == "a b c d e f g h q r"
+    # doc 1: positions 0-4 cut (a..e), 5-12 protected as the [f..m] winner
+    assert out[1]["text_dedup"] == "f g h i j k l m"
+    assert out[1]["removed_token_count"] == 5
+    # doc 2's copy of [f..m] is the loser and is fully removed
+    assert out[2]["text_dedup"] == "z"
+    # the duplicated span [f g h i j k l m] survives intact exactly once
+    survivors = sum("f g h i j k l m" in out[i]["text_dedup"] for i in range(3))
+    assert survivors == 1
