@@ -579,3 +579,105 @@ def test_int8_quantization_error_bound(spark, vecs):
         assert abs(r.v_scale - absmax / 127.0) <= 1e-12 * max(absmax, 1.0)
         for orig, back in zip(r.v, r.back):
             assert abs(orig - back) <= r.v_scale / 2 + 1e-9, (orig, back, r.v_scale)
+
+
+# --- span dedup: differential vs a pure-Python reference -------------------
+span_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(doc_toks=span_docs_strategy, k=st.sampled_from([2, 3]))
+def test_remove_duplicate_spans_matches_python_reference(spark, doc_toks, k):
+    """Differential test on tiny alphabets (duplication-dense): the Spark
+    plan reproduces a direct Python implementation of the keep-first +
+    canonical-protection semantics, and every duplicated k-window survives
+    contiguously somewhere."""
+    from dqx_spark.pipeline import dedup
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(doc_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+
+    # python reference: same occurrence/winner/protection arithmetic
+    occ = {}
+    for i, ts in enumerate(doc_toks):
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p : p + k]), []).append((i, p))
+    losing, winning = {}, {}
+    for places in occ.values():
+        if len(places) > 1:
+            win = min(places)
+            winning.setdefault(win[0], set()).add(win[1])
+            for pl in places:
+                if pl != win:
+                    losing.setdefault(pl[0], set()).add(pl[1])
+    for i, ts in enumerate(doc_toks):
+        rm = {q for p in losing.get(i, ()) for q in range(p, p + k)}
+        prot = {q for p in winning.get(i, ()) for q in range(p, p + k)}
+        kept = [t for j, t in enumerate(ts) if j not in (rm - prot)]
+        assert out[i]["text_dedup"] == " ".join(kept)
+        assert out[i]["removed_token_count"] == len(ts) - len(kept)
+
+    # every duplicated window survives contiguously in some output doc
+    for win_toks, places in occ.items():
+        if len(places) > 1:
+            pat = " ".join(win_toks)
+            assert any(pat in out[i]["text_dedup"] for i in range(len(doc_toks)))
+
+
+# --- token-budget sampling: differential vs a pure-Python reference --------
+budget_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),          # id
+        st.sampled_from(["s1", "s2"]),                   # source
+        st.one_of(st.none(), st.integers(min_value=0, max_value=40)),  # tokens
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@SETTINGS
+@given(rows=budget_rows_strategy, budget=st.integers(min_value=0, max_value=120))
+def test_sample_to_token_budget_exact_matches_python_reference(spark, rows, budget):
+    """Differential: exact mode reproduces hash-ranked prefix-cumsum
+    selection computed directly in Python with the same portable md5
+    bucket, and the kept token total never overshoots by more than one
+    document."""
+    import hashlib
+
+    from dqx_spark.pipeline import mixing
+
+    df = spark.createDataFrame(rows, "id long, source string, n_tok int")
+    out = {
+        r["id"]: r["in_budget"]
+        for r in mixing.sample_to_token_budget(
+            df, "id", "source", "n_tok", {"s1": budget}, default_budget=None
+        ).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expected, kept_tokens = {}, 0
+    s1 = sorted((r for r in rows if r[1] == "s1"), key=lambda r: (bucket(r[0]), r[0]))
+    acc = 0
+    for rid, _, t in s1:
+        expected[rid] = acc < budget
+        if expected[rid]:
+            acc += t or 0
+            kept_tokens += t or 0
+    for rid, src, _ in rows:
+        if src != "s1":
+            expected[rid] = True  # unlimited default budget
+    assert out == expected
+    max_doc = max((t or 0 for *_ , t in s1), default=0)
+    assert kept_tokens <= budget + max_doc
