@@ -855,11 +855,15 @@ def q_url_normalize(spark, sf):
         .when(k % 5 == 3, F.lit("http://example.org:8080/x?ref=abc&keep=1"))
         .otherwise(F.concat(F.lit("https://cdn-"), (k % 7).cast("string"), F.lit(".media.net/asset/"), k.cast("string"), F.lit("/"))),
     )
-    return df.select(
+    # r6: URL-level dedup (RefinedWeb first stage) rides the same row —
+    # one keeper per normalized key, non-URLs always kept
+    flagged = web.dedup_by_url(df, "c_custkey", "url")
+    return flagged.select(
         "c_custkey",
         web.url_host("url").alias("host"),
         web.registered_domain("url").alias("domain"),
         web.url_normalize("url").alias("norm"),
+        "kept",
     )
 
 
@@ -2519,7 +2523,9 @@ def oracle_sql() -> dict[str, str]:
             r"'([?&])&+', '\1', 'g'), "
             r"'[?&]+$', ''), "
             r"'/$', '') AS norm FROM h) "
-            r"SELECT c_custkey, host, coalesce(regexp_extract(host, '([^.]+\.[^.]+)$|^([^.]+)$', 0), '') AS domain, norm FROM n"
+            r"SELECT c_custkey, host, coalesce(regexp_extract(host, '([^.]+\.[^.]+)$|^([^.]+)$', 0), '') AS domain, norm, "
+            "(host = '') OR c_custkey = min(CASE WHEN host <> '' THEN c_custkey END) "
+            "OVER (PARTITION BY norm) AS kept FROM n"
         ),
         "sample_n_per_group": (
             "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from dqx_spark.rule import to_col
 
-__all__ = ["url_host", "registered_domain", "url_normalize"]
+__all__ = ["url_host", "registered_domain", "url_normalize", "dedup_by_url"]
 
 #: scheme://[userinfo@]HOST[:port][/...]
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
@@ -63,3 +63,42 @@ def url_normalize(column: str | Column) -> Column:
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u
+
+
+def dedup_by_url(df, id_col: str, url_col: str, keep_col: str | None = None, kept_col: str = "kept"):
+    """Flag one keeper per normalized URL (the RefinedWeb first-stage
+    discipline: URL dedup before any content pass).  Adds boolean
+    ``kept_col``: true for the keeper of each :func:`url_normalize` key
+    and for every row whose URL has no parseable host (non-URLs never
+    merge with each other — a content-hash pass owns those).
+
+    Keeper policy mirrors :func:`~dqx_spark.pipeline.dedup.
+    keep_best_per_group`: smallest id, or with a numeric ``keep_col`` the
+    highest value (nulls lose), ties to the smallest id.
+
+    Scale shape: one map-side-combined min-struct aggregation on the
+    normalized key (the key is a regex projection, computed scan-side)
+    and a slim join-back — the same skew-immune shape as
+    ``drop_exact_duplicates``; no window over member rows.
+    """
+    parseable = url_host(url_col) != ""
+    with_key = df.withColumn("__ukey", F.when(parseable, url_normalize(url_col)))
+    if keep_col is None:
+        pick = F.struct(F.col(id_col).alias("kid"))
+    else:
+        q = F.col(keep_col).cast("double")
+        pick = F.struct(
+            F.when(q.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("nf"),
+            F.coalesce(-q, F.lit(0.0)).alias("negq"),
+            F.col(id_col).alias("kid"),
+        )
+    winners = (
+        with_key.where(F.col("__ukey").isNotNull())
+        .groupBy("__ukey")
+        .agg(F.min(pick).alias("__k"))
+        .select("__ukey", F.col("__k.kid").alias("__keep"))
+    )
+    out = with_key.join(winners, "__ukey", "left")
+    return out.withColumn(
+        kept_col, F.col("__ukey").isNull() | (F.col(id_col) == F.col("__keep"))
+    ).drop("__ukey", "__keep")

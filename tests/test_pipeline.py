@@ -908,3 +908,25 @@ def test_remove_duplicate_spans_protects_canonical_overlap(spark):
     # the duplicated span [f g h i j k l m] survives intact exactly once
     survivors = sum("f g h i j k l m" in out[i]["text_dedup"] for i in range(3))
     assert survivors == 1
+
+
+def test_dedup_by_url(spark):
+    """URL-level dedup: one keeper per normalized key (tracking params /
+    www / fragments collapse), non-URLs always kept, quality keeper
+    policy matches keep_best_per_group semantics."""
+    from dqx_spark.pipeline import web
+
+    rows = [
+        (0, "https://www.example.com/a?utm_source=x", 5.0),
+        (1, "https://example.com/a", 9.0),       # same key as 0
+        (2, "http://example.com/a", 1.0),        # different scheme: distinct key
+        (3, "not a url", 1.0),
+        (4, "not a url", 2.0),                   # non-URLs never merge
+        (5, "https://other.org/b#frag", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    out = {r["id"]: r["kept"] for r in web.dedup_by_url(df, "id", "url").collect()}
+    assert out == {0: True, 1: False, 2: True, 3: True, 4: True, 5: True}
+    byq = {r["id"]: r["kept"] for r in web.dedup_by_url(df, "id", "url", keep_col="q").collect()}
+    assert byq[1] and not byq[0]  # higher quality wins within the key
+    assert byq[2] and byq[3] and byq[4] and byq[5]
