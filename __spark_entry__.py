@@ -144,9 +144,18 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
+    """Exact-Jaccard pairs UNIONed (r6) with winnowing pairs — the MOSS
+    fingerprint family, ~2/(w+1) of the shingles with the >= w+k-1-token
+    detection guarantee — tagged by a method column; the oracle re-derives
+    the window-minimum selection independently."""
     df = _read(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None)
-    return pairs.select("id_a", "id_b", "common", "size_a", "size_b")
+    ng = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None
+    ).select("id_a", "id_b", "common", "size_a", "size_b", F.lit("ngram").alias("method"))
+    wn = dedup.winnowing_pairs(
+        df, "doc_id", "text", k=5, w=4, min_common=1, max_fingerprint_doc_freq=None, hash_name="md5"
+    ).withColumn("method", F.lit("winnow"))
+    return ng.unionByName(wn)
 
 
 def q_dedup_minhash(spark, sf):
@@ -2584,9 +2593,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": (
             _NGRAM_PAIRS_SQL
-            + "SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b "
+            # winnowing twin: per-position 60-bit md5 shingle hashes,
+            # window-of-4 minimum selection, distinct, self-join
+            + ", sharr AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-4,0)+1), "
+            + f"""i -> {_md5long("array_to_string(toks[i:i+4], ' ')")}) sa FROM t), """
+            "wf AS (SELECT doc_id, unnest(list_distinct(CASE "
+            "WHEN len(sa) >= 4 THEN list_transform(range(1, len(sa) - 2), j -> list_min(sa[j:j+3])) "
+            "WHEN len(sa) >= 1 THEN [list_min(sa)] ELSE []::BIGINT[] END)) h FROM sharr), "
+            "wsz AS (SELECT doc_id, count(*) n FROM wf GROUP BY 1), "
+            "wcm AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) common FROM wf a JOIN wf b "
+            "ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b, 'ngram' AS method "
             "FROM cm JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
-            "WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5"
+            "WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5 "
+            "UNION ALL SELECT id_a, id_b, common, sa.n, sb.n, 'winnow' "
+            "FROM wcm JOIN wsz sa ON id_a = sa.doc_id JOIN wsz sb ON id_b = sb.doc_id"
         ),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -422,6 +422,11 @@ def main() -> None:
     cases["dedup_spans"] = lambda: _dedup.remove_duplicate_spans(
         _with_paragraphs(docs), "doc_id", "text", k=8
     ).select("doc_id", "removed_token_count")
+    # trained text models: corpus-trained bigram LM + self-trained NB
+    # classifier in one case (both are count-agg train + join-back score)
+    cases["lm_nb_scores"] = lambda: _corpus.bigram_lm_scores(docs, "doc_id", "text").join(
+        _corpus.nb_classifier_scores(docs, "doc_id", "text", "lang"), "id"
+    )
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
     cases["group_centroids"] = lambda: _sim.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
 
@@ -662,6 +667,11 @@ def main() -> None:
             "dedup_spans": timed(lambda: materialize(
                 _dedup.remove_duplicate_spans(_with_paragraphs(docs_o), "doc_id", "text", k=8).select(
                     "doc_id", "removed_token_count"
+                )
+            )),
+            "lm_nb_scores": timed(lambda: materialize(
+                _corpus.bigram_lm_scores(docs_o, "doc_id", "text").join(
+                    _corpus.nb_classifier_scores(docs_o, "doc_id", "text", "lang"), "id"
                 )
             )),
         }

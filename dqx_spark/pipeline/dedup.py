@@ -47,6 +47,7 @@ __all__ = [
     "keep_best_per_group",
     "remove_near_duplicates",
     "remove_duplicate_spans",
+    "winnowing_pairs",
 ]
 
 def _materialize(df: DataFrame, storage: str, eager: bool = False) -> DataFrame:
@@ -1029,4 +1030,58 @@ def remove_duplicate_spans(
         rebuilt.withColumn(f"{text_col}_dedup", F.array_join(kept_toks, " "))
         .withColumn("removed_token_count", (n - F.size(kept_pos)).cast("int"))
         .drop("__rs", "__ws", "__toks")
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_common: int = 1,
+    max_fingerprint_doc_freq: int | None = 1000,
+    storage: str = "local",
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b, common, size_a, size_b): unordered document pairs
+    sharing at least ``min_common`` winnowing fingerprints (see
+    :func:`~dqx_spark.pipeline.text.winnowing_fingerprints`).
+
+    The sixth pair-detection family, between :func:`ngram_jaccard_pairs`
+    (every shingle shuffles, exact Jaccard) and :func:`minhash_lsh_pairs`
+    (probabilistic banding): winnowing keeps ~``2/(w+1)`` of the shingle
+    hashes yet GUARANTEES any shared token run of >= ``w + k - 1`` tokens
+    produces a common fingerprint — detection of long verbatim overlaps
+    with a provable floor, at a fraction of the shuffle.  ``common``
+    counts shared selected fingerprints (a sparse sample, NOT the exact
+    shingle intersection — use the ngram family when the exact Jaccard
+    matters).  Same hot-fingerprint skew guard as the shingle join
+    (``max_fingerprint_doc_freq``).
+    """
+    from dqx_spark.pipeline.text import winnowing_fingerprints
+
+    fp = _materialize(
+        winnowing_fingerprints(df, id_col, text_col, k=k, w=w, hash_name=hash_name),
+        storage,
+    )
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_fingerprint_doc_freq is not None:
+        ok = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df_")).where(
+            F.col("df_") <= max_fingerprint_doc_freq
+        )
+        fp = fp.join(ok.select("h"), "h", "inner")
+    left = fp.select(F.col("h"), F.col("id").alias("id_a"))
+    right = fp.select(F.col("h"), F.col("id").alias("id_b"))
+    common = (
+        left.join(right, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .select("id_a", "id_b", "common", "size_a", "size_b")
     )

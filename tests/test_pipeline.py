@@ -930,3 +930,52 @@ def test_dedup_by_url(spark):
     byq = {r["id"]: r["kept"] for r in web.dedup_by_url(df, "id", "url", keep_col="q").collect()}
     assert byq[1] and not byq[0]  # higher quality wins within the key
     assert byq[2] and byq[3] and byq[4] and byq[5]
+
+
+def test_winnowing_fingerprints_and_pairs(spark, docs):
+    """Winnowing (MOSS): fingerprint sets shrink vs full shingling but the
+    detection guarantee holds — near-dup docs sharing a long run produce
+    a common fingerprint; unrelated docs do not pair; md5 and xxhash64
+    modes agree on the pair set."""
+    from dqx_spark.pipeline.text import winnowing_fingerprints
+
+    k, w = 3, 3
+    fp = winnowing_fingerprints(docs, "id", "text", k=k, w=w)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add(r["h"])
+    full = {}
+    for r in text.exploded_shingle_hashes(docs, "id", "text", k=k).collect():
+        full.setdefault(r["id"], set()).add(r["h"])
+    for i, sel in by_doc.items():
+        assert sel <= full[i]            # selection, not invention
+        assert len(sel) <= len(full[i])
+    # exact dup docs 0/4 select identical sets
+    assert by_doc[0] == by_doc[4]
+    # empty doc has no fingerprints
+    assert 5 not in by_doc
+
+    for mode in ("xxhash64", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.winnowing_pairs(docs, "id", "text", k=k, w=w, hash_name=mode).collect()
+        }
+        assert (0, 4) in pairs and (0, 1) in pairs  # guarantee: long shared runs detected
+        assert all(3 not in p and 2 not in p for p in pairs)  # unrelated docs never pair
+
+
+def test_winnowing_guarantee_property(spark):
+    """Any shared run of >= w + k - 1 tokens is detected (the paper's
+    floor), even when the run sits at different offsets in each doc."""
+    k, w = 4, 5
+    run = "q w e r t y u i o p a s d f"  # 14 tokens >= w + k - 1 = 8
+    rows = [
+        (0, run + " unique tail zero one two"),
+        (1, "different lead in words " + run),
+        (2, "totally unrelated content about something else entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["common"] for r in
+             dedup.winnowing_pairs(docs, "id", "text", k=k, w=w).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
