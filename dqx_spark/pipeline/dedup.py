@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five families, each with an explicit 100 TB scale story:
+Six pair-detection families, each with an explicit 100 TB scale story:
 
 * **exact** — md5-of-normalized-text (or column-set) hash, groupBy on the
   hash: one shuffle of (hash, id), map-side combine.
@@ -8,6 +8,9 @@ Five families, each with an explicit 100 TB scale story:
   count-based exact Jaccard.  Skew-guarded by dropping shingles that occur
   in more than ``max_shingle_doc_freq`` documents (a hot shingle would
   otherwise quadratically explode the join).
+* **winnowing** — window-minimum fingerprint selection (MOSS): ~2/(w+1)
+  of the shingle hashes with a guaranteed floor (shared runs of
+  >= w+k-1 tokens always collide) — the cheap long-overlap detector.
 * **MinHash + LSH** — signature = array of k independent 64-bit hashes
   (xxhash64(shingle, seed)), built by explode + k min-aggregates (codegen'd,
   no UDF); banding hashes signature slices; candidate pairs only join
@@ -17,6 +20,12 @@ Five families, each with an explicit 100 TB scale story:
   identical).
 * **embedding cosine** — exact threshold join for small/verify paths; random
   hyperplane (sign-LSH) bucketing as the scale path.
+
+Plus corpus REPAIR at every granularity (keep the canonical first
+occurrence, rebuild the survivors): whole-document
+(``drop_exact_duplicates``), paragraph (``dedup_paragraphs``), token span
+(``remove_duplicate_spans`` — ExactSubstr), and group-level pruning with a
+quality keeper (``remove_near_duplicates``).
 
 All operators return DataFrames with deterministic columns; nothing
 collects to the driver except the iteration counter in
