@@ -22,6 +22,8 @@ No Python UDFs anywhere; everything is codegen-able Spark SQL.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -585,11 +587,16 @@ def nb_classifier_scores(
     Scale shape (100 TB): training is two integer-count aggregations
     (map-side combined) — per-(token,label) and per-label — plus a 1-row
     vocab count; no model ever sits on the driver.  Scoring explodes the
-    corpus tokens once, crosses them with the LABEL SET (labels are few —
-    broadcast), left-joins the count table on (token, label), and
-    sum-aggregates per (id, label); the final argmax folds L rows per doc
-    through one more map-side-combined aggregation.  The count table join
-    is the one real shuffle and it carries only (token, label, count).
+    corpus tokens once and INNER-joins the count table on the token alone
+    — each occurrence meets only the classes that contain that token,
+    never all L — because every unseen (token, class) pair contributes
+    the constant ``ln(k)``, folded in arithmetically from the per-doc
+    token count: ``Σ = Σ_seen ln(c+k) + (n_w − n_seen)·ln(k)``.  The
+    L-way fan-out (broadcast of the L-row constants table) happens only
+    at one-row-per-doc granularity, and the final argmax folds those L
+    rows through one more map-side-combined aggregation.  The count-table
+    join is the one real shuffle and it carries only (token, label,
+    count).
 
     Reference scope note: the reference has no trainable classifier
     surface; this extends the text-analysis family (SURVEY §2 pipeline
@@ -625,35 +632,38 @@ def nb_classifier_scores(
     )
     doc_toks = df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("__t"))
     doc_occ = doc_toks.select("id", F.explode("__t").alias("w"))
-    # every token occurrence scores against every class; unseen (w, label)
-    # pairs fall back to the smoothed floor ln(k) - logden
-    scored = (
-        doc_occ.crossJoin(F.broadcast(consts.select("label")))
-        .join(cw, ["label", "w"], "left")
-        .select(
-            "id",
-            "label",
-            (F.log(F.coalesce(F.col("__cw"), F.lit(0)) + F.lit(float(k)))).alias("__lognum"),
+    # unseen (w, label) pairs contribute the CONSTANT ln(k) each, so the
+    # token-level join is INNER against the count table (a token meets only
+    # the classes that contain it — never all L) and the unseen mass folds
+    # in arithmetically: Σ = Σ_seen ln(cw+k) + (nw − nw_seen)·ln(k).  The
+    # L-way fan-out happens only at one-row-per-doc granularity.
+    seen = (
+        doc_occ.join(cw, "w")
+        .groupBy("id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("__nw_seen"),
+            F.sum(F.log(F.col("__cw") + F.lit(float(k)))).alias("__sum_seen"),
         )
     )
+    nw_total = doc_occ.groupBy("id").agg(F.count(F.lit(1)).alias("__nw"))
     per_class = (
-        scored.groupBy("id", "label")
-        .agg(F.count(F.lit(1)).alias("__nw"), F.sum("__lognum").alias("__sumnum"))
-        .join(F.broadcast(consts), "label")
+        doc_toks.select("id")
+        .join(nw_total, "id", "left")
+        .crossJoin(F.broadcast(consts))
+        .join(seen, ["id", "label"], "left")
         .select(
             "id",
             "label",
-            (F.col("__logprior") + F.col("__sumnum") - F.col("__nw") * F.col("__logden")).alias("__score"),
+            (
+                F.col("__logprior")
+                + F.coalesce(F.col("__sum_seen"), F.lit(0.0))
+                + (F.coalesce(F.col("__nw"), F.lit(0)) - F.coalesce(F.col("__nw_seen"), F.lit(0)))
+                * F.lit(math.log(float(k)))
+                - F.coalesce(F.col("__nw"), F.lit(0)) * F.col("__logden")
+            ).alias("__score"),
         )
     )
-    # zero-token docs never reach per_class: give them the prior-only score
-    empty = (
-        doc_toks.where(F.size("__t") == 0)
-        .select("id")
-        .crossJoin(F.broadcast(consts))
-        .select("id", "label", F.col("__logprior").alias("__score"))
-    )
-    all_scores = per_class.unionByName(empty)
+    all_scores = per_class
     ranked = all_scores.groupBy("id").agg(
         F.array_sort(F.collect_list(F.struct((-F.col("__score")).alias("ns"), F.col("label").alias("l")))).alias("__r")
     )
