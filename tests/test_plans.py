@@ -310,3 +310,37 @@ def test_remove_duplicate_spans_plan_shape(spark):
     assert re.search(r"hashpartitioning\(sh#\d+", p), "winner election must shuffle on the span hash"
     # the per-doc fold-back aggregates start positions only
     assert "collect_set(p#" in p
+
+
+def test_winnowing_pairs_plan_shape(spark):
+    """Fingerprint self-join shuffles on the 8-byte hash with partial
+    aggregation on the pair counts; no cartesian/BNLJ; no window."""
+    from dqx_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")], "doc_id long, text string"
+    )
+    p = plan_of(dedup.winnowing_pairs(df, "doc_id", "text", k=3, w=2, storage="none"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "row_number" not in p
+    assert re.search(r"hashpartitioning\(h#\d+", p), "pair join must shuffle on the fingerprint hash"
+    assert "partial_count" in p
+
+
+def test_nb_scoring_no_label_fanout_on_tokens(spark):
+    """The token-level join is INNER against the count table (no label
+    cross on occurrences); the L-row constants table broadcasts; no
+    cartesian product reaches the token stream."""
+    from dqx_spark.pipeline import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "c d e", "y")], "doc_id long, text string, lab string"
+    )
+    p = plan_of(corpus.nb_classifier_scores(df, "doc_id", "text", "lab"))
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins are the bounded broadcast crossJoins
+    # (1-row vocab/doc-count, L-row constants) — always Cross BuildRight
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", p)
+    assert bnlj and all(j == ("Cross", "BuildRight") for j in bnlj)
+    # token join keys on the token alone (w), not (label, w)
+    assert re.search(r"hashpartitioning\(w#\d+", p)
