@@ -645,11 +645,14 @@ def nb_classifier_scores(
             F.sum(F.log(F.col("__cw") + F.lit(float(k)))).alias("__sum_seen"),
         )
     )
-    nw_total = doc_occ.groupBy("id").agg(F.count(F.lit(1)).alias("__nw"))
+    # one row per id — even when ids repeat (duplicate-id rows merge into
+    # one logical doc, matching `seen`'s groupBy, and the argmax sees each
+    # (id, label) once so the margin stays the true runner-up gap) — and
+    # zero-token docs ride along with __nw = 0; the token count is computed
+    # scan-side so only (id, int) shuffles
+    doc_base = doc_toks.groupBy("id").agg(F.sum(F.size("__t")).alias("__nw"))
     per_class = (
-        doc_toks.select("id")
-        .join(nw_total, "id", "left")
-        .crossJoin(F.broadcast(consts))
+        doc_base.crossJoin(F.broadcast(consts))
         .join(seen, ["id", "label"], "left")
         .select(
             "id",
@@ -657,9 +660,9 @@ def nb_classifier_scores(
             (
                 F.col("__logprior")
                 + F.coalesce(F.col("__sum_seen"), F.lit(0.0))
-                + (F.coalesce(F.col("__nw"), F.lit(0)) - F.coalesce(F.col("__nw_seen"), F.lit(0)))
+                + (F.col("__nw") - F.coalesce(F.col("__nw_seen"), F.lit(0)))
                 * F.lit(math.log(float(k)))
-                - F.coalesce(F.col("__nw"), F.lit(0)) * F.col("__logden")
+                - F.col("__nw") * F.col("__logden")
             ).alias("__score"),
         )
     )

@@ -37,7 +37,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dqx_spark.pipeline.text import doc_fingerprint, exploded_shingle_hashes, portable_hash60, tokens
+from dqx_spark.pipeline.text import (
+    doc_fingerprint,
+    exploded_shingle_hashes,
+    portable_hash60,
+    shingle_hash_array,
+    tokens,
+    winnowing_fingerprints,
+)
 
 __all__ = [
     "exact_duplicates",
@@ -835,6 +842,22 @@ def near_duplicate_groups(
     return connected_components(pairs, df.select(F.col(id_col).alias("id")))
 
 
+def keeper_pick(id_col: str, keep_col: str | None) -> Column:
+    """The ``min()``-able struct implementing the shared keeper policy
+    (:func:`keep_best_per_group`, :func:`~dqx_spark.pipeline.web.
+    dedup_by_url`): smallest id, or — with a numeric ``keep_col`` —
+    highest value first (nulls lose), ties to the smallest id.  The
+    keeper id is the struct's ``kid`` field."""
+    if keep_col is None:
+        return F.struct(F.col(id_col).alias("kid"))
+    q = F.col(keep_col).cast("double")
+    return F.struct(
+        F.when(q.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("nf"),
+        F.coalesce(-q, F.lit(0.0)).alias("negq"),
+        F.col(id_col).alias("kid"),
+    )
+
+
 def keep_best_per_group(
     df: DataFrame,
     id_col: str,
@@ -869,14 +892,10 @@ def keep_best_per_group(
     if keep_col is None:
         out = joined.withColumn("keeper_id", F.col("group_id"))
     else:
-        q = F.col(keep_col).cast("double")
-        pick = F.struct(
-            F.when(q.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("nf"),
-            F.coalesce(-q, F.lit(0.0)).alias("negq"),
-            F.col(id_col).alias("kid"),
-        )
-        keepers = joined.groupBy("group_id").agg(F.min(pick).alias("__k")).select(
-            "group_id", F.col("__k.kid").alias("keeper_id")
+        keepers = (
+            joined.groupBy("group_id")
+            .agg(F.min(keeper_pick(id_col, keep_col)).alias("__k"))
+            .select("group_id", F.col("__k.kid").alias("keeper_id"))
         )
         out = joined.join(keepers, "group_id")
     return out.withColumn(kept_col, F.col(id_col) == F.col("keeper_id"))
@@ -965,37 +984,15 @@ def remove_duplicate_spans(
     operators (see :func:`dedup_paragraphs`); this completes the dedup
     granularity ladder: document -> paragraph -> token span.
     """
-    if hash_name not in ("xxhash64", "md5"):
-        raise ValueError(f"hash_name must be 'xxhash64' or 'md5', got {hash_name!r}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # occurrence stream (id, p, sh), p 0-based.  Two projections on purpose:
-    # the token(-hash) array materializes once per row, the per-position
-    # lambda only slices it (the CollapseProject pitfall documented in
-    # exploded_shingle_hashes would otherwise re-tokenize per position).
-    if hash_name == "md5":
-        step1 = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
-        n1 = F.size(F.col("__tk"))
-        sh_arr = F.when(
-            n1 >= k,
-            F.transform(
-                F.sequence(F.lit(1), n1 - (k - 1)),
-                lambda i: portable_hash60(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    else:
-        th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-        step1 = df.select(F.col(id_col).alias("id"), th.alias("__tk"))
-        n1 = F.size(F.col("__tk"))
-        sh_arr = F.when(
-            n1 >= k,
-            F.transform(
-                F.sequence(F.lit(1), n1 - (k - 1)),
-                lambda i: F.xxhash64(F.slice(F.col("__tk"), i, k)),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    occ = step1.where(F.col("id").isNotNull()).select(
-        "id", F.posexplode(sh_arr).alias("p", "sh")
+    # occurrence stream (id, p, sh), p 0-based; the per-position hash array
+    # (and its CollapseProject CSE guard) comes from the one shared builder.
+    # lowercase=False: exact-substring equality is case-sensitive.
+    occ = (
+        shingle_hash_array(df, id_col, text_col, k=k, lowercase=False, hash_name=hash_name)
+        .where(F.col("id").isNotNull())
+        .select("id", F.posexplode(F.col("hs")).alias("p", "sh"))
     )
     winners = occ.groupBy("sh").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -1068,8 +1065,6 @@ def winnowing_pairs(
     matters).  Same hot-fingerprint skew guard as the shingle join
     (``max_fingerprint_doc_freq``).
     """
-    from dqx_spark.pipeline.text import winnowing_fingerprints
-
     fp = _materialize(
         winnowing_fingerprints(df, id_col, text_col, k=k, w=w, hash_name=hash_name),
         storage,

@@ -17,6 +17,7 @@ __all__ = [
     "token_count",
     "portable_hash60",
     "word_shingles",
+    "shingle_hash_array",
     "exploded_shingle_hashes",
     "winnowing_fingerprints",
     "char_ngrams",
@@ -107,10 +108,14 @@ def word_shingles(column: str | Column, k: int = 5, lowercase: bool = True) -> C
     return F.array_distinct(grams)
 
 
-def exploded_shingle_hashes(
+def shingle_hash_array(
     df, id_col: str, text_col: str, k: int = 5, lowercase: bool = True, hash_name: str = "xxhash64"
 ):
-    """(id, h) DataFrame: one row per distinct word-k-gram hash per document.
+    """(id, hs) DataFrame: ``hs[p]`` is the hash of the word k-gram starting
+    at 0-based token position ``p`` — the ONE shared per-position builder
+    behind every shingle consumer (:func:`exploded_shingle_hashes`,
+    :func:`winnowing_fingerprints`, span dedup), so the CSE-guard subtlety
+    below lives in exactly one place.
 
     ``hash_name='xxhash64'`` (default, hot path) never materializes shingle
     strings: two projections on purpose — tokens are xxhash64'd once into an
@@ -119,41 +124,39 @@ def exploded_shingle_hashes(
     the token-hash array in its own projection stops Catalyst's
     CollapseProject from inlining it into the per-position lambda — inlined,
     the tokenizer re-runs for every shingle position (O(tokens²) per doc;
-    benchmarked 9× slower at sf0.1).  Equivalent to hashing
-    ``word_shingles`` output modulo negligible 64-bit collisions, and the
-    dominant shingling cost at 100 TB drops from string-building to long
-    hashing.
+    benchmarked 9× slower at sf0.1).  The dominant shingling cost at 100 TB
+    drops from string-building to long hashing.
 
     ``hash_name='md5'`` is the engine-portable path: the shingle STRING is
     built (``array_join`` of the token slice) and hashed with
     :func:`portable_hash60`, so DuckDB/Trino can reproduce every hash value
-    bit-for-bit — the conformance-oracle mode for the MinHash/SimHash
-    family.  Same distinct-then-explode shape, same CSE guard."""
+    bit-for-bit — the conformance-oracle mode.  Same CSE guard."""
     if hash_name not in ("xxhash64", "md5"):
         raise ValueError(f"hash_name must be 'xxhash64' or 'md5', got {hash_name!r}")
     col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     if hash_name == "md5":
         step1 = df.select(F.col(id_col).alias("id"), tokens(col).alias("__tk"))
-        n = F.size(F.col("__tk"))
-        grams = F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: portable_hash60(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-        return step1.select("id", F.explode(F.array_distinct(grams)).alias("h"))
-    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    step1 = df.select(F.col(id_col).alias("id"), th.alias("__th"))
-    n = F.size(F.col("__th"))
+        per_pos = lambda i: portable_hash60(F.array_join(F.slice(F.col("__tk"), i, k), " "))  # noqa: E731
+    else:
+        th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+        step1 = df.select(F.col(id_col).alias("id"), th.alias("__tk"))
+        per_pos = lambda i: F.xxhash64(F.slice(F.col("__tk"), i, k))  # noqa: E731
+    n = F.size(F.col("__tk"))
     grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.xxhash64(F.slice(F.col("__th"), i, k)),
-        ),
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), per_pos)
     ).otherwise(F.array().cast("array<long>"))
-    return step1.select("id", F.explode(F.array_distinct(grams)).alias("h"))
+    return step1.select("id", grams.alias("hs"))
+
+
+def exploded_shingle_hashes(
+    df, id_col: str, text_col: str, k: int = 5, lowercase: bool = True, hash_name: str = "xxhash64"
+):
+    """(id, h) DataFrame: one row per distinct word-k-gram hash per document
+    — ``array_distinct`` + explode over :func:`shingle_hash_array` (see it
+    for the hash modes and the CollapseProject CSE guard).  Equivalent to
+    hashing ``word_shingles`` output modulo negligible 64-bit collisions."""
+    arr = shingle_hash_array(df, id_col, text_col, k=k, lowercase=lowercase, hash_name=hash_name)
+    return arr.select("id", F.explode(F.array_distinct(F.col("hs"))).alias("h"))
 
 
 def winnowing_fingerprints(
@@ -177,43 +180,19 @@ def winnowing_fingerprints(
     payoff is a ~``(w+1)/2``× smaller fingerprint shuffle for pair
     detection over long documents.
     """
-    if hash_name not in ("xxhash64", "md5"):
-        raise ValueError(f"hash_name must be 'xxhash64' or 'md5', got {hash_name!r}")
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
-    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    if hash_name == "md5":
-        step1 = df.select(F.col(id_col).alias("id"), tokens(col).alias("__tk"))
-        n = F.size(F.col("__tk"))
-        sh = F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: portable_hash60(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    else:
-        th = F.transform(tokens(col), lambda t: F.xxhash64(t))
-        step1 = df.select(F.col(id_col).alias("id"), th.alias("__tk"))
-        n = F.size(F.col("__tk"))
-        sh = F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.xxhash64(F.slice(F.col("__tk"), i, k)),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    step2 = step1.select("id", sh.alias("__sh"))
-    m = F.size(F.col("__sh"))
+    step2 = shingle_hash_array(df, id_col, text_col, k=k, lowercase=lowercase, hash_name=hash_name)
+    m = F.size(F.col("hs"))
     fps = (
         F.when(
             m >= w,
             F.transform(
                 F.sequence(F.lit(1), m - (w - 1)),
-                lambda j: F.array_min(F.slice(F.col("__sh"), j, w)),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
             ),
         )
-        .when(m >= 1, F.array(F.array_min(F.col("__sh"))))
+        .when(m >= 1, F.array(F.array_min(F.col("hs"))))
         .otherwise(F.array().cast("array<long>"))
     )
     return step2.select("id", F.explode(F.array_distinct(fps)).alias("h"))

@@ -81,17 +81,11 @@ def dedup_by_url(df, id_col: str, url_col: str, keep_col: str | None = None, kep
     and a slim join-back — the same skew-immune shape as
     ``drop_exact_duplicates``; no window over member rows.
     """
+    from dqx_spark.pipeline.dedup import keeper_pick  # noqa: PLC0415 (dedup imports text, not web)
+
     parseable = url_host(url_col) != ""
     with_key = df.withColumn("__ukey", F.when(parseable, url_normalize(url_col)))
-    if keep_col is None:
-        pick = F.struct(F.col(id_col).alias("kid"))
-    else:
-        q = F.col(keep_col).cast("double")
-        pick = F.struct(
-            F.when(q.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("nf"),
-            F.coalesce(-q, F.lit(0.0)).alias("negq"),
-            F.col(id_col).alias("kid"),
-        )
+    pick = keeper_pick(id_col, keep_col)
     winners = (
         with_key.where(F.col("__ukey").isNotNull())
         .groupBy("__ukey")

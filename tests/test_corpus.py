@@ -332,3 +332,28 @@ def test_nb_classifier_tokenless_class_still_scores(spark):
     assert abs(out[10]["margin"] - (s_spam - s_ham)) < 1e-9
     # zero-token doc: prior-only tie, breaks to smaller label
     assert out[11]["predicted"] == "ham" and abs(out[11]["margin"]) < 1e-9
+
+
+def test_nb_classifier_duplicate_ids_merge_with_true_margin(spark):
+    """Rows sharing an id merge into one logical doc and the margin stays
+    the true runner-up gap, never a spurious self-tie (r6 review fix)."""
+    from dqx_spark.pipeline import corpus
+
+    train = spark.createDataFrame(
+        [(0, "good great", "pos"), (1, "bad awful", "neg")],
+        "doc_id long, text string, lab string",
+    )
+    dup = spark.createDataFrame(
+        [(7, "good good"), (7, "good great"), (8, "bad")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in corpus.nb_classifier_scores(dup, "doc_id", "text", "lab", train=train).collect()}
+    assert len(out) == 2  # one row per id
+    assert out[7]["predicted"] == "pos" and out[7]["margin"] > 0
+    assert out[8]["predicted"] == "neg" and out[8]["margin"] > 0
+    # merged doc scores over the union of its 4 token occurrences
+    # (3x good + 1x great; c(good,pos)=c(great,pos)=1, ct_pos=2, V=4)
+    import math
+    V, k = 4.0, 1.0
+    s_pos = math.log(0.5) + 4 * math.log((1 + k) / (2 + k * V))
+    assert abs(out[7]["log_posterior"] - s_pos) < 1e-9
