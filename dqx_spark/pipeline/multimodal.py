@@ -40,6 +40,7 @@ __all__ = [
     "decode_image",
     "decode_audio",
     "decode_video_metadata",
+    "resize_images",
     "image_features",
     "sample_video_frames",
 ]
@@ -516,6 +517,62 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             yield out
 
     return df.select(id_col, binary_col).mapInPandas(decode_batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    width: int = 224,
+    height: int = 224,
+    fmt: str = "PNG",
+) -> DataFrame:
+    """Resize image bytes to ``width``x``height`` via Arrow-batched
+    ``mapInPandas`` — the standard vision-pretraining normalization step.
+
+    Availability ladder (same discipline as :func:`image_features`'s
+    encoder selection, per-row ``method`` provenance): PIL when importable
+    (bilinear resize, re-encoded as ``fmt``); otherwise the ORIGINAL bytes
+    pass through unchanged with ``resize_ok=false`` and
+    ``method='passthrough'`` — never fabricated pixels.  Undecodable bytes
+    come back null with ``resize_ok=false``.
+
+    Returns ``(id, image_resized binary, width, height, resize_ok,
+    method)``.  Scale shape: pure per-row Python work behind one
+    ``mapInPandas`` boundary — no shuffle; Arrow batch size is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    out_schema = f"{id_col} long, image_resized binary, width int, height int, resize_ok boolean, method string"
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io  # noqa: PLC0415
+
+            from PIL import Image  # noqa: PLC0415
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def one(b: bytes | None):
+            if b is None:
+                return (None, None, None, False, "null")
+            if not have_pil:
+                return (b, None, None, False, "passthrough")
+            try:
+                img = Image.open(io.BytesIO(b)).convert("RGB").resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=fmt)
+                return (buf.getvalue(), width, height, True, "pil")
+            except Exception:  # noqa: BLE001
+                return (None, None, None, False, "pil")
+
+        for pdf in batches:
+            rows = [one(b) for b in pdf[binary_col]]
+            out = pd.DataFrame(rows, columns=["image_resized", "width", "height", "resize_ok", "method"])
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(resize_batches, out_schema)
 
 
 def _sha_stub_features(b: bytes, dim: int) -> list[float]:

@@ -979,3 +979,37 @@ def test_winnowing_guarantee_property(spark):
              dedup.winnowing_pairs(docs, "id", "text", k=k, w=w).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1
     assert not any(2 in p for p in pairs)
+
+
+def test_resize_images_plumbing(spark):
+    """Resize plumbing: schema, null handling, and the availability ladder
+    — PIL path produces real width x height re-encoded bytes; without PIL
+    the original bytes pass through honestly flagged resize_ok=false."""
+    png = bytes.fromhex("89504E470D0A1A0A0000000D49484452") + (320).to_bytes(4, "big") + (
+        200
+    ).to_bytes(4, "big") + bytes.fromhex("0806000000")
+    df = spark.createDataFrame([(1, png), (2, None)], "id long, img binary")
+    out = {r["id"]: r for r in multimodal.resize_images(df, "img", "id", width=32, height=32).collect()}
+    assert set(out[1].asDict()) == {"id", "image_resized", "width", "height", "resize_ok", "method"}
+    assert out[2]["image_resized"] is None and not out[2]["resize_ok"] and out[2]["method"] == "null"
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # header-only PNG isn't a full decodable image: PIL fails -> ok=false
+        assert out[1]["method"] == "pil"
+        from PIL import Image
+        import io as _io
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (320, 200), (10, 20, 30)).save(buf, format="PNG")
+        real = spark.createDataFrame([(3, buf.getvalue())], "id long, img binary")
+        r = multimodal.resize_images(real, "img", "id", width=32, height=32).collect()[0]
+        assert r["resize_ok"] and (r["width"], r["height"]) == (32, 32)
+        assert Image.open(_io.BytesIO(r["image_resized"])).size == (32, 32)
+    else:
+        assert out[1]["method"] == "passthrough"
+        assert bytes(out[1]["image_resized"]) == png and not out[1]["resize_ok"]
