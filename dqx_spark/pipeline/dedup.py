@@ -998,22 +998,24 @@ def remove_duplicate_spans(
         F.count(F.lit(1)).alias("__c"),
         F.min(F.struct(F.col("id").alias("d"), F.col("p").alias("q"))).alias("__w"),
     ).where(F.col("__c") > 1)
-    losing_starts = (
+    losing = (
         occ.join(winners, "sh")
         .where(~((F.col("id") == F.col("__w.d")) & (F.col("p") == F.col("__w.q"))))
-        .groupBy("id")
-        .agg(F.collect_set("p").alias("__rs"))
+        .select("id", "p", F.lit(False).alias("win"))
     )
     # the winner struct IS the (id, position) of the protected occurrence —
-    # no join back to the occurrence stream needed
-    winning_starts = (
-        winners.select(F.col("__w.d").alias("id"), F.col("__w.q").alias("p"))
+    # no join back to the occurrence stream needed; one union + one
+    # aggregate + ONE join-back of df (not one per start kind)
+    winning = winners.select(F.col("__w.d").alias("id"), F.col("__w.q").alias("p"), F.lit(True).alias("win"))
+    starts = (
+        losing.unionByName(winning)
         .groupBy("id")
-        .agg(F.collect_set("p").alias("__ws"))
+        .agg(
+            F.collect_set(F.when(~F.col("win"), F.col("p"))).alias("__rs"),
+            F.collect_set(F.when(F.col("win"), F.col("p"))).alias("__ws"),
+        )
     )
-    joined = df.join(losing_starts.withColumnRenamed("id", id_col), id_col, "left").join(
-        winning_starts.withColumnRenamed("id", id_col), id_col, "left"
-    )
+    joined = df.join(starts.withColumnRenamed("id", id_col), id_col, "left")
     rebuilt = joined.withColumn("__toks", tokens(F.col(text_col)))
     n = F.size(F.col("__toks"))
 

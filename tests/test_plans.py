@@ -308,8 +308,9 @@ def test_remove_duplicate_spans_plan_shape(spark):
     assert "row_number" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert re.search(r"hashpartitioning\(sh#\d+", p), "winner election must shuffle on the span hash"
-    # the per-doc fold-back aggregates start positions only
-    assert "collect_set(p#" in p
+    # the per-doc fold-back aggregates start positions only (losing and
+    # winning kinds split by a CASE inside one collect_set pair)
+    assert re.search(r"collect_set\(CASE WHEN .*p#\d+", p)
 
 
 def test_winnowing_pairs_plan_shape(spark):
