@@ -477,6 +477,18 @@ def decode_video_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFr
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
+def _load_pil():
+    """(have_pil, Image) — the one executor-side PIL availability probe
+    shared by every image closure (called inside mapInPandas bodies so the
+    import happens on the executor, not at module import)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return True, Image
+    except ImportError:
+        return False, None
+
+
 def decode_image(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     """Decode image dimensions via Arrow-batched ``mapInPandas``.
 
@@ -487,14 +499,9 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     out_schema = f"{id_col} long, {_DECODED_IMAGE_SCHEMA}"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io  # noqa: PLC0415
+        import io  # noqa: PLC0415
 
-            from PIL import Image  # noqa: PLC0415
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
+        have_pil, Image = _load_pil()
 
         def decode(b: bytes | None):
             if b is None:
@@ -541,17 +548,22 @@ def resize_images(
     method)``.  Scale shape: pure per-row Python work behind one
     ``mapInPandas`` boundary — no shuffle; Arrow batch size is governed by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    # fmt is a plan-time constant: validate eagerly so a typo ('JPG')
+    # fails fast instead of silently nulling every row on the executors
+    fmt = {"JPG": "JPEG", "TIF": "TIFF"}.get(fmt.upper(), fmt.upper())
+    allowed = {"PNG", "JPEG", "BMP", "GIF", "WEBP", "TIFF"}
+    if fmt not in allowed:
+        raise ValueError(f"fmt must be one of {sorted(allowed)}, got {fmt!r}")
     out_schema = f"{id_col} long, image_resized binary, width int, height int, resize_ok boolean, method string"
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io  # noqa: PLC0415
+        import io  # noqa: PLC0415
 
-            from PIL import Image  # noqa: PLC0415
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
+        have_pil, Image = _load_pil()
+        if have_pil:
+            # Resampling moved in Pillow 9.1; resize() defaults to BICUBIC,
+            # so BILINEAR must be explicit to match the documented contract
+            resample = getattr(getattr(Image, "Resampling", Image), "BILINEAR")
 
         def one(b: bytes | None):
             if b is None:
@@ -559,7 +571,7 @@ def resize_images(
             if not have_pil:
                 return (b, None, None, False, "passthrough")
             try:
-                img = Image.open(io.BytesIO(b)).convert("RGB").resize((width, height))
+                img = Image.open(io.BytesIO(b)).convert("RGB").resize((width, height), resample)
                 buf = io.BytesIO()
                 img.save(buf, format=fmt)
                 return (buf.getvalue(), width, height, True, "pil")

@@ -1013,3 +1013,13 @@ def test_resize_images_plumbing(spark):
     else:
         assert out[1]["method"] == "passthrough"
         assert bytes(out[1]["image_resized"]) == png and not out[1]["resize_ok"]
+
+
+def test_resize_images_validates_format_eagerly(spark):
+    from dqx_spark.pipeline import multimodal as M
+
+    df = spark.createDataFrame([(1, b"x")], "id long, img binary")
+    with pytest.raises(ValueError):
+        M.resize_images(df, "img", "id", fmt="XCF")
+    # common aliases normalize instead of failing
+    M.resize_images(df, "img", "id", fmt="jpg")
