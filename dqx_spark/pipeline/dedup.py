@@ -828,7 +828,9 @@ def near_duplicate_groups(
     """End-to-end: find near-dup pairs by the chosen method, union into
     groups, return (id, group_id); group representatives are min ids.
     ``method='embedding'`` treats ``text_col`` as an ``array<float/double>``
-    embedding column (sign-LSH bucketed cosine pairs)."""
+    embedding column (sign-LSH bucketed cosine pairs); ``'winnow'`` groups
+    by shared winnowing fingerprints (``threshold`` does not apply — pass
+    ``min_common`` instead)."""
     if method == "minhash":
         pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kwargs)
     elif method == "ngram":
@@ -837,6 +839,8 @@ def near_duplicate_groups(
         pairs = simhash_duplicate_pairs(df, id_col, text_col, **kwargs)
     elif method == "embedding":
         pairs = embedding_cosine_pairs(df, id_col, text_col, threshold=threshold, **kwargs)
+    elif method == "winnow":
+        pairs = winnowing_pairs(df, id_col, text_col, **kwargs)
     else:
         raise ValueError(f"unknown method {method!r}")
     return connected_components(pairs, df.select(F.col(id_col).alias("id")))

@@ -1023,3 +1023,10 @@ def test_resize_images_validates_format_eagerly(spark):
         M.resize_images(df, "img", "id", fmt="XCF")
     # common aliases normalize instead of failing
     M.resize_images(df, "img", "id", fmt="jpg")
+
+
+def test_near_duplicate_groups_winnow_method(spark, docs):
+    groups = dedup.near_duplicate_groups(docs, "id", "text", method="winnow", k=3, w=3, min_common=2)
+    label = {r["id"]: r["group_id"] for r in groups.collect()}
+    assert label[0] == label[1] == label[4] == 0  # long shared runs group
+    assert label[2] == 2 and label[3] == 3        # unrelated stay singletons
