@@ -67,6 +67,11 @@ def _is_spark_ddl_type(text: str) -> bool:
 
 _MAX_TYPE_DEPTH = 10
 
+#: composite ATTEMPT = keyword followed (possibly after whitespace — Spark's
+#: DDL parser accepts 'ARRAY <int>') by '<'; a bare prefix ('structured')
+#: is a simple type name, not a composite.
+_COMPOSITE_TYPE_RE = _re.compile(r"^(ARRAY|MAP|STRUCT)\s*<", _re.IGNORECASE)
+
 
 def _split_top_level(content: str) -> list[str]:
     """Split on commas at angle-bracket depth 0 (MAP<K, V> keeps K and V
@@ -100,29 +105,34 @@ def _validate_physical_type(text: str, depth: int = 0) -> None:
         raise InvalidPhysicalTypeError(f"physicalType nesting exceeds {_MAX_TYPE_DEPTH}: {text!r}")
     t = text.strip()
     upper = t.upper()
-    for comp in ("ARRAY", "MAP", "STRUCT"):
-        if upper.startswith(comp):
-            if not (upper.startswith(comp + "<") and t.endswith(">")):
-                raise InvalidPhysicalTypeError(f"malformed {comp} type: {text!r}")
-            inner = t[len(comp) + 1 : -1]
-            parts = _split_top_level(inner)
-            if comp == "ARRAY":
-                if len(parts) != 1 or not parts[0]:
-                    raise InvalidPhysicalTypeError(f"ARRAY takes exactly one element type: {text!r}")
-                _validate_inner(parts[0], depth + 1)
-            elif comp == "MAP":
-                if len(parts) != 2:
-                    raise InvalidPhysicalTypeError(f"MAP takes exactly key and value types: {text!r}")
-                for p in parts:
-                    _validate_inner(p, depth + 1)
-            else:  # STRUCT
-                if not inner.strip():
-                    raise InvalidPhysicalTypeError(f"empty STRUCT: {text!r}")
-                for field in parts:
-                    if ":" not in field:
-                        raise InvalidPhysicalTypeError(f"STRUCT field needs 'name: type': {field!r} in {text!r}")
-                    _validate_inner(field.split(":", 1)[1], depth + 1)
-            return
+    # Composite only when '<' actually follows the keyword (Spark's DDL
+    # parser accepts 'ARRAY <int>'); names merely PREFIXED with a keyword
+    # ('structured', a dialect 'mapping' type) fall through to the simple-
+    # type path / logical fallback instead of raising.
+    comp_m = _COMPOSITE_TYPE_RE.match(upper)
+    if comp_m:
+        comp = comp_m.group(1)
+        if not t.endswith(">"):
+            raise InvalidPhysicalTypeError(f"malformed {comp} type: {text!r}")
+        inner = t[comp_m.end() : -1]
+        parts = _split_top_level(inner)
+        if comp == "ARRAY":
+            if len(parts) != 1 or not parts[0]:
+                raise InvalidPhysicalTypeError(f"ARRAY takes exactly one element type: {text!r}")
+            _validate_inner(parts[0], depth + 1)
+        elif comp == "MAP":
+            if len(parts) != 2:
+                raise InvalidPhysicalTypeError(f"MAP takes exactly key and value types: {text!r}")
+            for p in parts:
+                _validate_inner(p, depth + 1)
+        else:  # STRUCT
+            if not inner.strip():
+                raise InvalidPhysicalTypeError(f"empty STRUCT: {text!r}")
+            for field in parts:
+                if ":" not in field:
+                    raise InvalidPhysicalTypeError(f"STRUCT field needs 'name: type': {field!r} in {text!r}")
+                _validate_inner(field.split(":", 1)[1], depth + 1)
+        return
     m = _re.match(r"^([A-Za-z_]+)\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\)$", t)
     if m:
         name = m.group(1).lower()
@@ -257,7 +267,7 @@ def generate_rules_from_contract(
         ddl_parts = []
         for p in props:
             phys = str(p.get("physicalType") or "").strip()
-            composite_attempt = phys.upper().startswith(("ARRAY", "MAP", "STRUCT"))
+            composite_attempt = bool(_COMPOSITE_TYPE_RE.match(phys))
             if phys and (composite_attempt or _is_spark_ddl_type(phys)):
                 # malformed declared types fail LOUDLY (decimal precision >
                 # 38, scale > precision, bad or unterminated ARRAY/MAP/

@@ -34,7 +34,7 @@ from dqx_spark.functions._helpers import (
     within_tolerance,
 )
 from dqx_spark.reporting import build_dq_info_struct, register_dq_info_field
-from dqx_spark.errors import UnsafeSqlQueryError
+from dqx_spark.errors import InvalidParameterError, UnsafeSqlQueryError
 from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
 
 # model-backed anomaly checks stage per-row diagnostics into the wide
@@ -942,7 +942,13 @@ def has_valid_schema(
 # outliers
 # ---------------------------------------------------------------------------
 @register_rule("dataset")
-def has_no_outliers(column: str | Column, row_filter: str | None = None, k: float = 3.5, approx: bool = False):
+def has_no_outliers(
+    column: str | Column,
+    row_filter: str | None = None,
+    k: float = 3.5,
+    approx: bool = False,
+    approx_estimator: str = "iqr",
+):
     """MAD outlier band: median ± k·MAD (reference check_funcs.py:1743-1818).
 
     Deviation: the reference computes median & MAD via two driver-side
@@ -950,11 +956,20 @@ def has_no_outliers(column: str | Column, row_filter: str | None = None, k: floa
     plan as 1-row aggregates broadcast-crossJoined back — no driver actions,
     fully distributed.  Exact mode costs two SEQUENTIAL aggregates (the MAD
     is the median of deviations from the median — an irreducible two-pass
-    statistic).  ``approx=True`` is the 100 TB path: ONE
-    ``percentile_approx`` sketch over [p25, p50, p75], with MAD estimated
-    as half the IQR (equal to the true MAD for symmetric distributions) —
-    one job instead of two.
+    statistic).  ``approx=True`` is the 100 TB path, with the estimator
+    chosen by ``approx_estimator``:
+
+    - ``'iqr'`` (default): ONE ``percentile_approx`` sketch over
+      [p25, p50, p75], MAD estimated as half the IQR — one job instead of
+      two.  NOTE this equals the true MAD only for SYMMETRIC distributions;
+      on skewed columns the band differs from exact mode.
+    - ``'mad'``: two sequential ``percentile_approx`` sketches (approx
+      median, then approx median of absolute deviations) — a true MAD
+      estimate at sketch precision, matching exact-mode semantics on skewed
+      data at the cost of a second pass.
     """
+    if approx_estimator not in ("iqr", "mad"):
+        raise InvalidParameterError(f"approx_estimator must be 'iqr' or 'mad', got {approx_estimator!r}")
     name = normalize_col_str(column)
     alias = f"{name}_has_outliers"
     sfx = unique_suffix()
@@ -965,7 +980,7 @@ def has_no_outliers(column: str | Column, row_filter: str | None = None, k: floa
         base = source_df if source_df is not None else df
         col = to_col(column).cast("double")
         inp = filtered(col, row_filter)
-        if approx:
+        if approx and approx_estimator == "iqr":
             # ONE-PASS band: a single percentile_approx sketch yields
             # [p25, p50, p75]; MAD is estimated as half the IQR, which
             # EQUALS median(|x − median|) for any symmetric distribution
@@ -977,6 +992,16 @@ def has_no_outliers(column: str | Column, row_filter: str | None = None, k: floa
             stats = base.select(q.alias("__q")).select(
                 F.col("__q")[1].alias(med_col),
                 ((F.col("__q")[2] - F.col("__q")[0]) / 2.0).alias(mad_col),
+            )
+        elif approx:
+            # approx_estimator='mad': true-MAD semantics at sketch
+            # precision — two sequential sketches instead of two exact
+            # medians, preserving the skew behavior of exact mode.
+            med = base.select(F.percentile_approx(inp, F.lit(0.5)).alias(med_col))
+            with_med = base.crossJoin(F.broadcast(med))
+            stats = with_med.select(
+                F.percentile_approx(F.abs(filtered(col, row_filter) - F.col(med_col)), F.lit(0.5)).alias(mad_col),
+                F.first(med_col).alias(med_col),
             )
         else:
             med = base.select(F.median(inp).alias(med_col))

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqx_spark.errors import InvalidParameterError
 from dqx_spark.functions import iso_codes
 from dqx_spark.functions._helpers import get_limit_expr, str_value
 from dqx_spark.rule import make_condition, normalize_col_str, register_rule, to_col
@@ -340,11 +341,12 @@ def is_not_in_near_future(
 #: Python strftime directive -> Spark datetime pattern (both public
 #: conventions appear in the wild: ODCS tooling and the reference's
 #: contract generator emit strftime, Spark checks expect Java-style)
-_STRFTIME_TO_SPARK = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
-    ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"), ("%p", "a"),
-    ("%j", "DDD"), ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
-]
+_STRFTIME_TO_SPARK = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%p": "a",
+    "%j": "DDD", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%z": "xx", "%Z": "zzz",
+}
 
 
 def _normalize_datetime_format(fmt: str | None) -> str | None:
@@ -353,13 +355,51 @@ def _normalize_datetime_format(fmt: str | None) -> str | None:
     pattern letters ``try_to_timestamp`` understands.  The reference's
     datacontract generator emits strftime (contract_rules_generator.py:
     1009) while its own is_valid_date expects Spark patterns
-    (check_funcs.py:1026) — normalizing here makes both spellings work."""
+    (check_funcs.py:1026) — normalizing here makes both spellings work.
+
+    Literal runs between directives are single-quoted so letters like the
+    ISO 'T' separator ('%Y-%m-%dT%H:%M:%S') survive as literals instead of
+    becoming an invalid pattern that crashes at task time; unmapped
+    directives raise ``InvalidParameterError`` at rule-build time rather
+    than leaving a bare '%' for Spark to reject mid-job."""
     if not fmt or "%" not in fmt:
         return fmt
-    out = fmt.replace("%%", "\x00")
-    for py, spark in _STRFTIME_TO_SPARK:
-        out = out.replace(py, spark)
-    return out.replace("\x00", "%")
+    out: list[str] = []
+    literal: list[str] = []
+
+    def _flush() -> None:
+        if not literal:
+            return
+        run = "".join(literal)
+        # Only letter-bearing (or quote-bearing) runs need quoting: Java
+        # datetime patterns pass non-letters like '-', ':', '/' through.
+        if any(ch.isalpha() for ch in run) or "'" in run:
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            literal.append(ch)
+            i += 1
+            continue
+        tok = fmt[i : i + 2]
+        if tok == "%%":
+            literal.append("%")
+        elif tok in _STRFTIME_TO_SPARK:
+            _flush()
+            out.append(_STRFTIME_TO_SPARK[tok])
+        else:
+            raise InvalidParameterError(
+                f"Unsupported strftime directive {tok!r} in datetime format {fmt!r}; "
+                f"supported: {' '.join(sorted(_STRFTIME_TO_SPARK))} (or pass a Spark/Java pattern)"
+            )
+        i += 2
+    _flush()
+    return "".join(out)
 
 
 @register_rule("row")

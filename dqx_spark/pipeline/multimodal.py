@@ -310,6 +310,11 @@ def parse_video_sample_table(b: bytes | None) -> list[tuple[int, int, int, bool]
     # stsz: version/flags, uniform_size, count [, per-sample sizes]
     uniform, n_samples = u32(stsz[0] + 4), u32(stsz[0] + 8)
     if uniform:
+        # n_samples is an untrusted u32: bound it so a corrupt/hostile file
+        # can't allocate a multi-GB list.  A sample needs >=1 byte and all
+        # samples together must fit inside the file.
+        if n_samples > len(b) or uniform * n_samples > len(b):
+            return None
         sizes = [uniform] * n_samples
     else:
         if stsz[0] + 12 + 4 * n_samples > stsz[1]:
