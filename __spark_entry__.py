@@ -460,30 +460,48 @@ def q_video_keyframes(spark, sf):
 
 def q_streaming_checks_parity(spark, sf):
     """Batch/stream parity through the REAL Structured Streaming machinery
-    (r6, SURVEY §1.3's one-code-path promise): events is consumed as a file
-    stream (``readStream`` + ``availableNow`` trigger), every micro-batch
-    runs through the SAME ``DQEngine.apply_checks`` via
-    ``streaming.apply_checks_streaming``'s foreachBatch, and the annotated
-    flags land in a parquet sink that is read back as the result.  The
-    oracle is the BATCH twin in SQL — dataset checks are scoped per
-    micro-batch exactly as the reference does, and the single-file source
-    yields one batch spanning the table, so the per-batch and global
-    answers coincide by construction."""
+    (SURVEY §1.3's one-code-path promise): events is staged as THREE parquet
+    files keyed by ``event_id % 3`` and consumed as a file stream
+    (``readStream`` + ``availableNow`` + ``maxFilesPerTrigger=1``), so the
+    run is three genuine micro-batches.  Every micro-batch runs through the
+    SAME ``DQEngine.apply_checks`` via ``streaming.apply_checks_streaming``'s
+    foreachBatch, and the annotated flags land in a parquet sink read back
+    as the result.
+
+    The uniqueness key ``uk = event_id DIV 3`` (with a deliberate ``-1``
+    clash class for ``event_id % 30 < 3`` so the firing path is exercised)
+    is duplicated ACROSS micro-batches — ids 3k/3k+1/3k+2 share uk but land
+    in different residue files — yet unique WITHIN each, so the
+    per-micro-batch verdict the reference scopes to (check_funcs.py:1835)
+    and the global-table verdict genuinely DIFFER —
+    the oracle encodes the per-batch answer by partitioning on
+    ``(event_id % 3, uk)``, making batch-scoped semantics falsifiable: if a
+    micro-batch ever spanned more than one staged file (or the whole
+    table), the is_unique flags would hash-mismatch."""
     import os
+    import shutil
     import tempfile
 
     from dqx_spark import streaming as dq_streaming
 
-    src = os.path.abspath(f"{sf}/events.parquet")
+    events = _read(spark, sf, "events")
     stage = tempfile.mkdtemp(prefix="dqx_stream_src_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
-    raw_schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":  # nanos testdata vintage
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
-    stream = stream.withColumn(
-        "et", F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type"))
-    ).withColumn("uk", F.pmod(F.col("event_id"), F.lit(9000)))
+    for b in range(3):
+        part_dir = tempfile.mkdtemp(prefix=f"dqx_stream_part{b}_")
+        events.where(F.col("event_id") % 3 == b).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        shutil.move(os.path.join(part_dir, part), os.path.join(stage, f"batch{b}.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    stream = (
+        stream.withColumn(
+            "et", F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type"))
+        )
+        .withColumn("uk", F.expr("CAST(CASE WHEN event_id % 30 < 3 THEN -1 ELSE event_id DIV 3 END AS LONG)"))
+        .withColumn("src_batch", F.expr("CAST(event_id % 3 AS LONG)"))
+    )
     rules = [
         DQRowRule(name="is_not_null", check_func=C.is_not_null, column="et"),
         DQRowRule(
@@ -504,7 +522,9 @@ def q_streaming_checks_parity(spark, sf):
         def flag(name):
             return F.exists(errs, lambda e: e["name"] == name).alias(name)
 
-        checked.select("event_id", *[flag(r.name) for r in rules]).write.mode("append").parquet(out_dir)
+        checked.select("event_id", "src_batch", *[flag(r.name) for r in rules]).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     query = dq_streaming.apply_checks_streaming(
         _engine(),
@@ -2700,17 +2720,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "video_keyframes": _video_keyframes_oracle(),
         "streaming_checks_parity": (
-            # batch twin of the streamed checks: the availableNow run covers
-            # the whole table in one micro-batch, so per-batch scoping and
-            # global answers coincide
+            # PER-MICRO-BATCH twin of the streamed checks: each staged file
+            # is one residue class of event_id % 3 and maxFilesPerTrigger=1
+            # makes it one micro-batch, so the oracle scopes is_unique to
+            # PARTITION BY (src_batch, uk).  uk repeats across batches but
+            # only sparsely within one, so this answer DIFFERS from the
+            # global-table verdict — a whole-table micro-batch would
+            # hash-mismatch here.
             "WITH fx AS (SELECT event_id, ts, event_type, "
             "CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS et, "
-            "event_id % 9000 AS uk FROM events) "
-            "SELECT event_id, "
+            "CAST(CASE WHEN event_id % 30 < 3 THEN -1 ELSE event_id // 3 END AS BIGINT) AS uk, "
+            "CAST(event_id % 3 AS BIGINT) AS src_batch FROM events) "
+            "SELECT event_id, src_batch, "
             "et IS NULL AS is_not_null, "
             "event_type NOT IN ('click','view','purchase') AS is_in_list, "
             "ts > TIMESTAMP '2024-01-15 00:00:00' AS is_not_in_future, "
-            "(count(*) OVER (PARTITION BY uk)) > 1 AS is_unique "
+            "(count(*) OVER (PARTITION BY src_batch, uk)) > 1 AS is_unique "
             "FROM fx"
         ),
         "multimodal_features": (
