@@ -14,6 +14,7 @@ no floats, no timestamps, no volatile fields in the output.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,21 +237,35 @@ def q_embedding_topk(spark, sf):
 
 
 def q_ann_topk(spark, sf):
-    # rows-only: both approximate indexes in one row (merged r6 for the
-    # 50-query window), tagged by method.  LSH at library defaults
-    # (6 planes, 16 tables, multiprobe 1) and IVF (8 KMeans cells, default
-    # probe 5); recall@10 >= 0.9 for BOTH asserted in
-    # tests/test_pipeline.py::test_ann_recall_at_10_vs_exact (0.96 / 0.94)
+    """Both approximate indexes plus the exact brute-force baseline in one
+    row (50-query window), tagged by method.  LSH at library defaults
+    (6 planes, 16 tables, multiprobe 1); IVF via the FAISS-style
+    sample-trained centroids (``ivf_train_centroids`` + pure-Column
+    ``ivf_assign_buckets``, 8 cells, probe 6); recall@10 >= 0.9 for BOTH
+    asserted in tests/test_pipeline.py::test_ann_recall_at_10_vs_exact.
+
+    Oracle (r7, retiring the rows-only status): the 'exact' method is an
+    independent DuckDB re-derivation; 'lsh'/'ivf' twins come from
+    ``dqx_spark.pipeline.ann_local`` — a driver-local pure-Python replay of
+    the identical IEEE op sequence (Spark-compatible xxhash64 planes,
+    left-fold cosine) — certifying DISTRIBUTED == LOCAL, the strongest
+    oracle a bucketed traversal admits (and pinned twin==Spark by test)."""
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=10).select(
+        F.lit("exact").alias("method"), "id", "rank"
+    )
     lsh = similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10).select(
         F.lit("lsh").alias("method"), "id", "rank"
     )
-    indexed, centroids = similarity.ivf_build_index(df, "embedding", "vec_id", n_centroids=8, seed=42)
-    ivf = similarity.ivf_topk(indexed, centroids, qvec, k=10).select(
+    centroids = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    indexed = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id")
+    ivf = similarity.ivf_topk(indexed, centroids, qvec, k=10, n_probe=6).select(
         F.lit("ivf").alias("method"), "id", "rank"
     )
-    return lsh.unionByName(ivf)
+    return exact.unionByName(lsh).unionByName(ivf)
 
 
 def q_boilerplate_removal(spark, sf):
@@ -1507,20 +1522,41 @@ def q_gopher_profile(spark, sf):
 
 def q_anomaly_train_score(spark, sf):
     """Full anomaly lifecycle in one deterministic pass: fit an isolation
-    forest (numpy, seeded, bounded hash-ordered sample) on orders, score the
-    SAME table distributively via the model-backed has_no_row_anomalies.
-    rows-only: no DuckDB twin for forest traversal."""
+    forest (numpy, seeded, bounded key-ordered sample) on orders, score the
+    SAME table distributively via the model-backed has_no_row_anomalies,
+    ALONGSIDE the deterministic robust-z engine over the same features.
+
+    Oracle (r7, shrinking the former rows-only surface): the robust-z flag
+    is an independent DuckDB re-derivation (median/MAD in SQL); the forest
+    flag's twin is a DRIVER-LOCAL numpy re-fit+re-score from the identical
+    key-ordered sample (``fit_isolation_forest_on_sample``) embedded as a
+    key list — honest distributed-vs-local parity, not an independent SQL
+    derivation of tree traversal (which has no SQL twin)."""
     from dqx_spark import anomaly
 
     df = _read(spark, sf, "orders")
     model = anomaly.fit_isolation_forest(
-        df, ["o_totalprice", "o_custkey"], num_trees=32, sample_size=256, max_samples=4096, seed=7
+        df,
+        ["o_totalprice", "o_custkey"],
+        num_trees=32,
+        sample_size=256,
+        max_samples=4096,
+        seed=7,
+        sample_order_by=["o_orderkey"],
     )
-    rule = DQDatasetRule(
-        check_func=C.has_no_row_anomalies,
-        check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "model": model},
-    )
-    return _apply_one(df, rule, ["o_orderkey"])
+    rules = [
+        DQDatasetRule(
+            name="robz_fired",
+            check_func=C.has_no_row_anomalies,
+            check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "threshold": 1.25},
+        ),
+        DQDatasetRule(
+            name="forest_failed",
+            check_func=C.has_no_row_anomalies,
+            check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "model": model},
+        ),
+    ]
+    return _apply_batch(df, rules, ["o_orderkey"])
 
 
 def q_profile_summary(spark, sf):
@@ -1927,6 +1963,79 @@ def _video_keyframes_oracle() -> str:
     )
 
 
+def _anomaly_forest_oracle_sql() -> str:
+    """Driver-local twin of ``q_anomaly_train_score`` (r7): re-fit the
+    isolation forest from the SAME key-ordered 4096-row sample with
+    ``fit_isolation_forest_on_sample`` (pure numpy — no Spark), re-score
+    the whole table locally, and embed the flagged keys as a literal list.
+    The robust-z column is an independent SQL re-derivation; the forest
+    column certifies DISTRIBUTED (Arrow-batched pandas UDF) == LOCAL numpy
+    scoring, which is the strongest oracle a tree traversal admits."""
+    import duckdb
+
+    from dqx_spark.anomaly import _impute, _score_matrix, fit_isolation_forest_on_sample
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cols = ["o_totalprice", "o_custkey"]
+    con = duckdb.connect()
+    pdf = con.sql(
+        "SELECT o_orderkey, o_totalprice::DOUBLE AS o_totalprice, o_custkey::DOUBLE AS o_custkey "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).df()
+    con.close()
+    model = fit_isolation_forest_on_sample(
+        pdf.head(4096)[cols], cols, num_trees=32, sample_size=256, seed=7
+    )
+    scores = _score_matrix(_impute(pdf, cols, model["medians"]), model)
+    flagged = pdf["o_orderkey"][scores > model["score_threshold"]].tolist()
+    in_list = ", ".join(str(int(k)) for k in flagged) or "-1"
+    return (
+        "WITH s AS (SELECT median(o_totalprice) m1, mad(o_totalprice) d1, "
+        "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders) "
+        "SELECT o_orderkey, greatest("
+        "CASE WHEN d1 > 0 THEN 0.6745 * abs(o_totalprice - m1) / d1 ELSE 0 END, "
+        "CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > 1.25 AS robz_fired, "
+        f"o_orderkey IN ({in_list}) AS forest_failed "
+        "FROM orders, s"
+    )
+
+
+def _ann_topk_oracle_sql() -> str:
+    """Generated twin of ``q_ann_topk`` (r7): the 'exact' method is derived
+    INDEPENDENTLY in DuckDB SQL; 'lsh'/'ivf' rows are the driver-local
+    pure-Python replay from ``dqx_spark.pipeline.ann_local`` embedded as
+    literals (distributed == local parity; see that module's docstring)."""
+    import duckdb
+
+    from dqx_spark.pipeline import ann_local
+    from dqx_spark.pipeline.similarity import _lloyd_centroids
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    rows = [(int(i), list(v)) for i, v in rows]
+    query = next(v for i, v in rows if i == 0)
+    lsh = ann_local.lsh_topk_local(rows, query, k=10, num_planes=6, seed=42, multiprobe=1, num_tables=16)
+    centroids = _lloyd_centroids([v for _, v in rows[:65536]], n_centroids=8, seed=42, max_iter=50, n_init=20)
+    ivf = ann_local.ivf_topk_local(rows, centroids, query, k=10, n_probe=6)
+    lits = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
+        for m, res in (("lsh", lsh), ("ivf", ivf))
+        for i, r in res
+    )
+    return (
+        "WITH qv AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE vec_id = 0), "
+        "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) s FROM embeddings) "
+        "SELECT * FROM ("
+        "SELECT 'exact' AS method, vec_id AS id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank "
+        "FROM scored ORDER BY s DESC, vec_id LIMIT 10"
+        f") UNION ALL {lits}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from dqx_spark.functions.iso_codes import COUNTRY_ALPHA2, CURRENCY_CODES
 
@@ -1941,6 +2050,10 @@ def oracle_sql() -> dict[str, str]:
         "+ cast(split_part(ip,'.',3) AS bigint)*256 + cast(split_part(ip,'.',4) AS bigint))"
     )
     out = {
+        # generated twins: driver-local re-derivations embedded as literals
+        # (see _anomaly_forest_oracle_sql / _ann_topk_oracle_sql docstrings)
+        "anomaly_train_score": _anomaly_forest_oracle_sql(),
+        "ann_topk": _ann_topk_oracle_sql(),
         # ------------------------------------------------------------------
         # batched §2 oracles (one boolean column per check, same fixtures as
         # the retired single-check oracles further down)

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "fit_isolation_forest",
+    "fit_isolation_forest_on_sample",
     "fit_segmented_isolation_forest",
     "save_model",
     "load_model",
@@ -139,32 +140,20 @@ def _impute(pdf: pd.DataFrame, columns: list[str], medians: list[float]) -> np.n
     return x.to_numpy()
 
 
-def fit_isolation_forest(
-    df: DataFrame,
+def fit_isolation_forest_on_sample(
+    sample_pdf: pd.DataFrame,
     columns: list[str],
     num_trees: int = 64,
     sample_size: int = 256,
-    max_samples: int = 65536,
     contamination: float = 0.01,
     seed: int = 42,
     drift_bins: int = 10,
 ) -> dict:
-    """Fit on a deterministic bounded sample and return a JSON-able model.
-
-    The sample is the ``max_samples`` rows with the smallest
-    ``xxhash64(columns, seed)`` — Spark plans orderBy+limit as a TakeOrdered
-    (per-partition top-k then merge), so this never full-sorts the input.
-    ``score_threshold`` is calibrated as the (1 - contamination) quantile of
-    the training sample's own scores."""
-    if not columns:
-        raise ValueError("columns must not be empty")
-    cols = [F.col(c).cast("double").alias(c) for c in columns]
-    sample_pdf = (
-        df.select(*cols)
-        .orderBy(F.xxhash64(*[F.col(c) for c in columns], F.lit(seed)))
-        .limit(int(max_samples))
-        .toPandas()
-    )
+    """Numpy core of :func:`fit_isolation_forest`: fit on an ALREADY
+    MATERIALIZED pandas sample (row order matters — the seeded RNG draws
+    tree subsamples by position).  Public so a driver-local twin can fit
+    the bit-identical model from the same sample for distributed-vs-local
+    parity checks (the gate's ``anomaly_train_score`` oracle)."""
     if sample_pdf.empty:
         raise ComputationError("cannot fit an isolation forest on an empty training sample")
     medians = [float(sample_pdf[c].median()) if sample_pdf[c].notna().any() else 0.0 for c in columns]
@@ -199,6 +188,57 @@ def fit_isolation_forest(
         hist[c] = {"edges": [float(e) for e in edges], "counts": [int(v) for v in counts]}
     model["hist"] = hist
     return model
+
+
+def fit_isolation_forest(
+    df: DataFrame,
+    columns: list[str],
+    num_trees: int = 64,
+    sample_size: int = 256,
+    max_samples: int = 65536,
+    contamination: float = 0.01,
+    seed: int = 42,
+    drift_bins: int = 10,
+    sample_order_by: list[str] | None = None,
+) -> dict:
+    """Fit on a deterministic bounded sample and return a JSON-able model.
+
+    The sample is the ``max_samples`` rows with the smallest
+    ``xxhash64(columns, seed)`` — Spark plans orderBy+limit as a TakeOrdered
+    (per-partition top-k then merge), so this never full-sorts the input.
+    ``sample_order_by`` replaces the hash ordering with named columns (e.g.
+    a unique key) — a PORTABLE total order another engine can reproduce
+    exactly, used by cross-engine parity fixtures; prefer the default hash
+    order in production (a key-ordered prefix biases the sample toward old
+    rows).  ``score_threshold`` is calibrated as the (1 - contamination)
+    quantile of the training sample's own scores."""
+    if not columns:
+        raise ValueError("columns must not be empty")
+    cols = [F.col(c).cast("double").alias(c) for c in columns]
+    if sample_order_by:
+        order_aliases = [f"__dq_ord{i}" for i in range(len(sample_order_by))]
+        sample_pdf = (
+            df.select(*cols, *[F.col(c).alias(a) for c, a in zip(sample_order_by, order_aliases)])
+            .orderBy(*order_aliases)
+            .limit(int(max_samples))
+            .toPandas()[list(columns)]
+        )
+    else:
+        sample_pdf = (
+            df.select(*cols)
+            .orderBy(F.xxhash64(*[F.col(c) for c in columns], F.lit(seed)))
+            .limit(int(max_samples))
+            .toPandas()
+        )
+    return fit_isolation_forest_on_sample(
+        sample_pdf,
+        columns,
+        num_trees=num_trees,
+        sample_size=sample_size,
+        contamination=contamination,
+        seed=seed,
+        drift_bins=drift_bins,
+    )
 
 
 def fit_segmented_isolation_forest(

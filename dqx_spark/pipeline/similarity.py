@@ -24,6 +24,8 @@ __all__ = [
     "cosine_topk_per_query",
     "ann_lsh_topk",
     "ivf_build_index",
+    "ivf_train_centroids",
+    "ivf_assign_buckets",
     "ivf_topk",
     "l2_normalize",
     "group_centroids",
@@ -102,6 +104,116 @@ def ivf_build_index(
     )
     centroids = [c.tolist() for c in model.clusterCenters()]
     return indexed, centroids
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 50,
+    max_samples: int = 65536,
+    sample_order_by: str | None = None,
+    n_init: int = 20,
+) -> list[list[float]]:
+    """Train IVF centroids on a BOUNDED driver-side sample with seeded
+    numpy Lloyd iterations — the FAISS approach (IVF coarse quantizers are
+    trained on a sample, not the corpus; faiss/Clustering.cpp caps training
+    points per centroid), so the 100 TB path collects ``max_samples`` rows,
+    never the table.  Deterministic given (data, seed): the sample is hash-
+    ordered (TakeOrdered, no full sort) or, with ``sample_order_by``, taken
+    in a PORTABLE key order another engine can reproduce exactly — which
+    is what the gate's local-twin oracle uses.  Contrast with
+    :func:`ivf_build_index`, whose distributed pyspark.ml KMeans scales to
+    samples beyond driver memory but is partitioning-dependent."""
+    import numpy as np
+
+    vec = F.col(vec_col).cast("array<double>").alias("vec")
+    if sample_order_by:
+        sample = (
+            df.select(vec, F.col(sample_order_by).alias("__ord"))
+            .orderBy("__ord")
+            .limit(int(max_samples))
+            .toPandas()["vec"]
+        )
+    else:
+        sample = (
+            df.select(vec)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)))
+            .limit(int(max_samples))
+            .toPandas()["vec"]
+        )
+    return _lloyd_centroids(list(sample), n_centroids, seed=seed, max_iter=max_iter, n_init=n_init)
+
+
+def _lloyd_centroids(
+    vectors: list, n_centroids: int, seed: int = 42, max_iter: int = 20, n_init: int = 5
+) -> list[list[float]]:
+    """Seeded numpy Lloyd iterations over a materialized sample — shared by
+    :func:`ivf_train_centroids` (Spark-collected sample) and the gate's
+    driver-local oracle twin (DuckDB-read sample), so identical sample
+    order gives bit-identical centroids.  ``n_init`` k-means++ restarts
+    (Arthur & Vassilvitskii 2007), keep the lowest-inertia run — the
+    sklearn recipe, fully deterministic given the seeded RNG."""
+    import numpy as np
+
+    x = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+    if x.shape[0] < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample vectors, got {x.shape[0]}")
+    rng = np.random.RandomState(seed)
+    best_cent, best_inertia = None, None
+    for _ in range(int(n_init)):
+        chosen = [int(rng.randint(x.shape[0]))]
+        d2min = ((x - x[chosen[0]]) ** 2).sum(axis=1)
+        for _ in range(n_centroids - 1):
+            total = d2min.sum()
+            nxt = int(rng.choice(x.shape[0], p=d2min / total)) if total > 0 else int(rng.randint(x.shape[0]))
+            chosen.append(nxt)
+            d2min = np.minimum(d2min, ((x - x[nxt]) ** 2).sum(axis=1))
+        cent = x[chosen].copy()
+        for _ in range(int(max_iter)):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = cent.copy()
+            for c in range(n_centroids):
+                members = x[assign == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            if np.allclose(new, cent):
+                break
+            cent = new
+        inertia = float(((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum())
+        if best_inertia is None or inertia < best_inertia:
+            best_cent, best_inertia = cent, inertia
+    return [c.tolist() for c in best_cent]
+
+
+def ivf_assign_buckets(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, id_col: str
+) -> DataFrame:
+    """Assign every row to its nearest centroid as a PURE Column expression
+    (no model object, no UDF): per-centroid squared-distance left-folds and
+    a first-wins argmin — the standard add-new-data-to-an-existing-IVF-index
+    operation.  Returns (id, vec, ivf_bucket), the same contract as
+    :func:`ivf_build_index`'s indexed frame, so ``ivf_topk`` works on
+    either.  Centroid count is small by construction; the when-chain stays
+    bounded."""
+    vec = F.col(vec_col).cast("array<double>")
+    dists = [
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    best = F.lit(0)
+    best_d = dists[0]
+    for i in range(1, len(centroids)):
+        is_better = dists[i] < best_d
+        best = F.when(is_better, F.lit(i)).otherwise(best)
+        best_d = F.when(is_better, dists[i]).otherwise(best_d)
+    return df.select(F.col(id_col).alias("id"), vec.alias("vec"), best.alias("ivf_bucket"))
 
 
 def ivf_topk(

@@ -11,14 +11,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entry
 
-EXPECTED_ROWS_ONLY = {
-    # probabilistic / ML constructs with no DuckDB twin
+EXPECTED_ROWS_ONLY: set[str] = set(
+    # EMPTY since r7: the last two rows-only members gained oracles —
+    # ann_topk/anomaly_train_score pair an independent SQL re-derivation of
+    # their deterministic parts (exact top-k, robust-z) with a driver-local
+    # pure-numpy/pure-Python replay of the approximate parts embedded as
+    # literals (distributed == local parity; twin-vs-Spark pinned in
+    # tests/test_pipeline.py::test_ann_local_twin_matches_spark).
     # (dedup_minhash_lsh / dedup_simhash left this list in r4 via the
     # portable md5-60bit hash; multimodal_features left it via integer byte
-    # projections of the pinned sha256-stub encoder):
-    "ann_topk",            # approximate by construction (sign-LSH + KMeans-seeded IVF, merged r6)
-    "anomaly_train_score", # isolation-forest traversal
-}
+    # projections of the pinned sha256-stub encoder.)
+)
 
 
 def test_window_is_exactly_50():

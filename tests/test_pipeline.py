@@ -1030,3 +1030,68 @@ def test_near_duplicate_groups_winnow_method(spark, docs):
     label = {r["id"]: r["group_id"] for r in groups.collect()}
     assert label[0] == label[1] == label[4] == 0  # long shared runs group
     assert label[2] == 2 and label[3] == 3        # unrelated stay singletons
+
+
+def test_ann_local_twin_matches_spark(spark):
+    """r7: the driver-local pure-Python ANN twin (ann_local) must replay the
+    distributed Column expressions bit-exactly — this test pins the parity
+    the ann_topk gate oracle relies on (Spark-compatible xxhash64 planes,
+    left-fold cosine, centroid assignment)."""
+    import os
+
+    from dqx_spark.pipeline import ann_local
+    from dqx_spark.pipeline.similarity import _lloyd_centroids
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in df.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    query = next(v for i, v in rows if i == 0)
+
+    spark_lsh = [
+        (r["id"], r["rank"])
+        for r in similarity.ann_lsh_topk(df, query, "embedding", "vec_id", k=10).orderBy("rank").collect()
+    ]
+    assert ann_local.lsh_topk_local(rows, query, k=10) == spark_lsh
+
+    centroids = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    assert centroids == _lloyd_centroids([v for _, v in rows], 8, seed=42, max_iter=50, n_init=20)
+    indexed = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id")
+    spark_assign = {r["id"]: r["ivf_bucket"] for r in indexed.collect()}
+    for rid, vec in rows:
+        assert ann_local.assign_bucket_local(vec, centroids) == spark_assign[rid]
+    spark_ivf = [
+        (r["id"], r["rank"])
+        for r in similarity.ivf_topk(indexed, centroids, query, k=10).orderBy("rank").collect()
+    ]
+    assert ann_local.ivf_topk_local(rows, centroids, query, k=10) == spark_ivf
+
+
+def test_ivf_centroid_path_recall(spark):
+    """The FAISS-style sample-trained centroid path (ivf_train_centroids +
+    ivf_assign_buckets) must hold the same recall floor as the pyspark.ml
+    KMeans path the gate row previously used."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    centroids = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    indexed = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id").cache()
+    qids = [0, 7, 13, 21, 33]
+    qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in df.where(F.col("vec_id").isin(qids)).collect()}
+    recalls = []
+    for qid, qv in qvecs.items():
+        exact = {r["id"] for r in similarity.cosine_topk(df, qv, "embedding", "vec_id", 10).collect()}
+        got = {r["id"] for r in similarity.ivf_topk(indexed, centroids, qv, k=10, n_probe=6).collect()}
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, f"IVF(sample-centroid) recall@10 {recalls}"
+    df.unpersist()
+    indexed.unpersist()
