@@ -297,9 +297,9 @@ def main() -> None:
         # benchmark (BASELINE.md: test_benchmark_apply_checks_all_dataset_checks,
         # 45.45 s / 100M rows; same function mix as
         # tests/resources/all_dataset_checks.yaml)
-        "all_dataset_checks": lambda: e.apply_checks(
-            li,
-            [
+        "all_dataset_checks": lambda: e.apply_checks(li, adc_rules, ref_dfs=adc_refs),
+    }
+    adc_rules = [
                 DQDatasetRule(check_func=C.is_unique, columns=["l_orderkey", "l_linenumber"]),
                 DQDatasetRule(check_func=C.is_unique, columns=["l_comment"]),
                 DQDatasetRule(check_func=C.is_unique, columns=["l_partkey", "l_suppkey", "l_orderkey"],
@@ -364,18 +364,16 @@ def main() -> None:
                               check_func_kwargs={"window_minutes": 60 * 24 * 365}),
                 DQDatasetRule(check_func=C.has_valid_schema,
                               check_func_kwargs={"expected_schema": "l_orderkey bigint, l_quantity double"}),
-            ],
-            # testdata lineitem deliberately duplicates ~2% of PKs; a
-            # duplicate-key REF side would multiply joined rows (reference-
-            # faithful but annotation-breaking), so the ref is deduped on
-            # the match key — df-side duplicates still annotate one row each
-            ref_dfs={
-                "orders": orders,
-                "part": part,
-                "li_ref": li.dropDuplicates(["l_orderkey", "l_linenumber"]).where(
-                    F.col("l_orderkey") % 50 != 0
-                ),
-            },
+    ]
+    # testdata lineitem deliberately duplicates ~2% of PKs; a
+    # duplicate-key REF side would multiply joined rows (reference-
+    # faithful but annotation-breaking), so the ref is deduped on
+    # the match key — df-side duplicates still annotate one row each
+    adc_refs = {
+        "orders": orders,
+        "part": part,
+        "li_ref": li.dropDuplicates(["l_orderkey", "l_linenumber"]).where(
+            F.col("l_orderkey") % 50 != 0
         ),
     }
 
@@ -461,9 +459,24 @@ def main() -> None:
     # one honest full-materialization number (every result struct serialized)
     full_df = cases["all_row_checks"]()
     timings["all_row_checks_materialized"] = timed(lambda: materialize_full(full_df))
+
+    # per-check decomposition of the composite (r7, VERDICT r6 item 4): one
+    # single-rule apply_checks per member so headline drift is attributable
+    # to a NAMED check next round.  Single-run timings (attribution, not a
+    # headline metric — ±0.1s noise is fine); details-file only.
+    adc_decomposition = {}
+    for i, rule in enumerate(adc_rules):
+        target = ",".join(rule.columns or []) if getattr(rule, "columns", None) else (rule.column or "")
+        label = f"{i:02d}_{rule.check_func.__name__}" + (f"_{target}" if target else "")
+        adc_decomposition[label] = timed(
+            lambda r=rule: materialize(e.apply_checks(li, [r], ref_dfs=adc_refs)), runs=1
+        )
+    adc_decomposition["sum_of_singles"] = round(sum(adc_decomposition.values()), 3)
+    adc_decomposition["composite"] = timings["all_dataset_checks"]
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {"metric": "headline_total", "value": total, "unit": "sec", "queries": timings, "sf": float(sf)}
+    result["all_dataset_checks_decomposition"] = adc_decomposition
 
     # ------------------------------------------------------------------
     # slope pass: same queries, SCALE x rows.  slope = t(SCALE x) / t(1x);
@@ -675,6 +688,24 @@ def main() -> None:
                 )
             )),
         }
+        # r7 (VERDICT r6 item 3): the remaining r6 operators at SCALE x, so
+        # their linear-shuffle claims carry measured slope evidence too.
+        # embeddings/events scale by key-shifted copies (identical vector
+        # copies are fine here: group_centroids is a groupBy-avg and the
+        # interval join's match fan-out grows linearly in the events side).
+        emb_o = read_scaled("embeddings", {"vec_id"}, SF1_SCALE)
+        events_o = read_scaled("events", {"event_id"}, SF1_SCALE)
+        sf1_pipe["group_centroids"] = timed(lambda: materialize(
+            _sim.group_centroids(emb_o, "label", "embedding", dim=64, normalize=True)
+        ))
+        sf1_pipe["interval_join"] = timed(lambda: materialize(
+            _joins.interval_join(
+                events_o.select("event_id", F.col("value").alias("lo1"), (F.col("value") + 5.0).alias("hi1")),
+                nation.select("n_nationkey", (F.col("n_nationkey") * 20.0).alias("lo2"),
+                              (F.col("n_nationkey") * 20.0 + 30.0).alias("hi2")),
+                "lo1", "hi1", "lo2", "hi2",
+            )
+        ))
         result["sf1"] = {
             "scale": SF1_SCALE,
             "organic": True,
