@@ -381,3 +381,28 @@ def test_contract_generator_toggles_and_type_validation():
     for ok in ["ARRAY<ARRAY<INT>>", "MAP<STRING, ARRAY<INT>>", "STRUCT<a: INT, b: ARRAY<STRING>>",
                "DECIMAL(38,10)", "VARCHAR(20)", "uuid"]:  # 'uuid' -> logical fallback, no raise
         generate_rules_from_contract(with_type(ok))
+
+
+def test_wheel_builds_and_contains_package(tmp_path):
+    """r7 packaging (VERDICT r6 item 7): the stdlib wheel builder produces a
+    PEP 427 wheel with every dqx_spark module, metadata from pyproject, and
+    the console entry point — `pip install <wheel>` is what the venv smoke
+    in COVERAGE.md verifies."""
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import build_wheel
+
+    out = build_wheel.build(str(tmp_path))
+    names = zipfile.ZipFile(out).namelist()
+    assert "dqx_spark/__init__.py" in names
+    assert "dqx_spark/functions/row_checks.py" in names
+    assert "dqx_spark/pipeline/ann_local.py" in names
+    assert any(n.endswith(".dist-info/METADATA") for n in names)
+    meta = next(n for n in names if n.endswith(".dist-info/METADATA"))
+    text = zipfile.ZipFile(out).read(meta).decode()
+    assert "Name: dqx-spark" in text and "Requires-Dist: pyspark>=3.5" in text
+    ep = zipfile.ZipFile(out).read(meta.replace("METADATA", "entry_points.txt")).decode()
+    assert "dqx-spark = dqx_spark.cli:main" in ep
