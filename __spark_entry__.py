@@ -902,12 +902,40 @@ def q_url_normalize(spark, sf):
     # r6: URL-level dedup (RefinedWeb first stage) rides the same row —
     # one keeper per normalized key, non-URLs always kept
     flagged = web.dedup_by_url(df, "c_custkey", "url")
-    return flagged.select(
-        "c_custkey",
-        web.url_host("url").alias("host"),
-        web.registered_domain("url").alias("domain"),
-        web.url_normalize("url").alias("norm"),
-        "kept",
+    # r7: PII redaction rides the same row — synthetic contact strings are
+    # injected per key, scrubbed by pipeline.pii.redact_pii (pure Column
+    # chained regexp_replace), and certified by md5(redacted) + per-entity
+    # counts against a DuckDB twin using the same portable patterns
+    from dqx_spark.pipeline import pii
+
+    noted = df.withColumn(
+        "note",
+        F.concat(
+            F.lit("contact user"), k.cast("string"), F.lit("@mail.example.com"),
+            F.when(k % 3 == 0, F.concat(F.lit(" ssn 123-45-"), F.lpad((k % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+            F.when(k % 4 == 0, F.lit(" ip 192.168.1.77")).otherwise(F.lit("")),
+            F.when(k % 7 == 0, F.concat(F.lit(" call (555) 010-"), F.lpad((k % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        ),
+    )
+    red = pii.redact_pii(noted, "c_custkey", "note", entities=list(pii.PORTABLE_PII_ENTITIES))
+    return (
+        flagged.select(
+            "c_custkey",
+            web.url_host("url").alias("host"),
+            web.registered_domain("url").alias("domain"),
+            web.url_normalize("url").alias("norm"),
+            "kept",
+        )
+        .join(red.withColumnRenamed("id", "c_custkey"), "c_custkey")
+        .select(
+            "c_custkey", "host", "domain", "norm", "kept",
+            F.md5("note_redacted").alias("red_md5"),
+            F.col("pii_redaction_count").cast("bigint").alias("pii_n"),
+            F.col("n_email_address").cast("bigint").alias("n_email"),
+            F.col("n_us_ssn").cast("bigint").alias("n_ssn"),
+            F.col("n_phone_number").cast("bigint").alias("n_phone"),
+            F.col("n_ip_address").cast("bigint").alias("n_ip"),
+        )
     )
 
 
@@ -2044,6 +2072,11 @@ def oracle_sql() -> dict[str, str]:
     currency_list = ", ".join(f"'{c}'" for c in CURRENCY_CODES)
     email_q = EMAIL_REGEX.replace(chr(39), chr(39) * 2)
     email_noanchor_q = EMAIL_REGEX.strip("^$").replace(chr(39), chr(39) * 2)
+    # portable PII patterns, quoted for SQL — SAME source dict as
+    # pipeline.pii.redact_pii so the twin cannot drift
+    from dqx_spark.functions.row_checks import _PII_PATTERNS as _PIIP
+
+    pii_pat = {e: _PIIP[e].replace(chr(39), chr(39) * 2) for e in ("EMAIL_ADDRESS", "IP_ADDRESS", "PHONE_NUMBER", "US_SSN")}
     v4_re = r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
     ip_int = (
         "(cast(split_part(ip,'.',1) AS bigint)*16777216 + cast(split_part(ip,'.',2) AS bigint)*65536 "
@@ -2665,9 +2698,31 @@ def oracle_sql() -> dict[str, str]:
             r"'([?&])&+', '\1', 'g'), "
             r"'[?&]+$', ''), "
             r"'/$', '') AS norm FROM h) "
-            r"SELECT c_custkey, host, coalesce(regexp_extract(host, '([^.]+\.[^.]+)$|^([^.]+)$', 0), '') AS domain, norm, "
+            r", u AS (SELECT c_custkey, host, coalesce(regexp_extract(host, '([^.]+\.[^.]+)$|^([^.]+)$', 0), '') AS domain, norm, "
             "(host = '') OR c_custkey = min(CASE WHEN host <> '' THEN c_custkey END) "
-            "OVER (PARTITION BY norm) AS kept FROM n"
+            "OVER (PARTITION BY norm) AS kept FROM n), "
+            # r7 PII redaction twin: same injected fixture, same patterns
+            # (interpolated from functions.row_checks._PII_PATTERNS), same
+            # sorted replacement order as pipeline.pii.redact_pii
+            "note AS (SELECT c_custkey, 'contact user' || c_custkey::VARCHAR || '@mail.example.com' "
+            "|| CASE WHEN c_custkey % 3 = 0 THEN ' ssn 123-45-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0') ELSE '' END "
+            "|| CASE WHEN c_custkey % 4 = 0 THEN ' ip 192.168.1.77' ELSE '' END "
+            "|| CASE WHEN c_custkey % 7 = 0 THEN ' call (555) 010-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0') ELSE '' END AS note FROM customer), "
+            "r AS (SELECT c_custkey, "
+            f"regexp_replace(regexp_replace(regexp_replace(regexp_replace(note, "
+            f"'{pii_pat['EMAIL_ADDRESS']}', '[EMAIL_ADDRESS]', 'g'), "
+            f"'{pii_pat['IP_ADDRESS']}', '[IP_ADDRESS]', 'g'), "
+            f"'{pii_pat['PHONE_NUMBER']}', '[PHONE_NUMBER]', 'g'), "
+            f"'{pii_pat['US_SSN']}', '[US_SSN]', 'g') AS red, "
+            f"len(regexp_extract_all(note, '{pii_pat['EMAIL_ADDRESS']}')) AS n_email, "
+            f"len(regexp_extract_all(note, '{pii_pat['US_SSN']}')) AS n_ssn, "
+            f"len(regexp_extract_all(note, '{pii_pat['PHONE_NUMBER']}')) AS n_phone, "
+            f"len(regexp_extract_all(note, '{pii_pat['IP_ADDRESS']}')) AS n_ip FROM note) "
+            "SELECT u.*, md5(r.red) AS red_md5, "
+            "(r.n_email + r.n_ssn + r.n_phone + r.n_ip)::BIGINT AS pii_n, "
+            "r.n_email::BIGINT AS n_email, r.n_ssn::BIGINT AS n_ssn, "
+            "r.n_phone::BIGINT AS n_phone, r.n_ip::BIGINT AS n_ip "
+            "FROM u JOIN r USING (c_custkey)"
         ),
         "sample_n_per_group": (
             "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "

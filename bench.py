@@ -598,6 +598,18 @@ def main() -> None:
                 "approx=True now a single quantile-sketch job (MAD=IQR/2, exact for "
                 "symmetric distributions): 0.28s vs 0.23s baseline at sf0.1 (1.2x)"
             ),
+            # r7: the four r6 operators joined the sf1 slope pass.
+            # group_centroids/dedup_spans/lm_nb_scores ride row volume
+            # (sub-2 slopes on fixed-overhead-dominated bases).
+            # interval_join's matched-pair OUTPUT grows exactly 10x with the
+            # events side (nation intervals fixed), so its slope tracks
+            # result cardinality, not a plan regression; the canonical-
+            # bucket emit keeps it one equi-join either way.
+            "r6_operator_slopes": (
+                "group_centroids/dedup_spans/lm_nb_scores sub-2 at 10x; interval_join "
+                "~2-2.5 because matched output grows exactly 10x with the scaled side "
+                "(cardinality-driven, same single bucketed equi-join plan)"
+            ),
         }
 
     # ------------------------------------------------------------------

@@ -16,6 +16,7 @@ from dqx_spark.pipeline import (  # noqa: F401
     mixing,
     multimodal,
     packing,
+    pii,
     rollup,
     sessions,
     similarity,

@@ -1095,3 +1095,57 @@ def test_ivf_centroid_path_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.9, f"IVF(sample-centroid) recall@10 {recalls}"
     df.unpersist()
     indexed.unpersist()
+
+
+def test_redact_pii(spark):
+    """r7: transform-side PII scrubbing (pipeline.pii.redact_pii) — typed
+    placeholders, per-entity counts on the original text, deterministic
+    sorted application order, null passthrough, entity validation."""
+    from dqx_spark.pipeline import pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or call 555-123-4567"),
+            (2, "ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.0.1"),
+            (3, "no pii here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in pii.redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["text_redacted"] == "mail [EMAIL_ADDRESS] or call [PHONE_NUMBER]"
+    assert out[1]["pii_redaction_count"] == 2 and out[1]["n_email_address"] == 1
+    assert out[2]["text_redacted"] == "ssn [US_SSN] card [CREDIT_CARD] ip [IP_ADDRESS]"
+    assert out[2]["n_us_ssn"] == 1 and out[2]["n_credit_card"] == 1 and out[2]["n_ip_address"] == 1
+    assert out[3]["text_redacted"] == "no pii here" and out[3]["pii_redaction_count"] == 0
+    assert out[4]["text_redacted"] is None
+
+    # uniform replacement + entity subset + no counts
+    flat = pii.redact_pii(
+        df, "doc_id", "text", entities=["EMAIL_ADDRESS"], replacement="<PII>", count_matches=False
+    )
+    assert flat.columns == ["id", "text_redacted"]
+    got = {r["id"]: r["text_redacted"] for r in flat.collect()}
+    assert got[1] == "mail <PII> or call 555-123-4567"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported PII entities"):
+        pii.redact_pii(df, "doc_id", "text", entities=["NOPE"])
+
+
+def test_redact_pii_plan_is_single_projection(spark):
+    """Redaction must stay one projected scan — no shuffle, no Python."""
+    from dqx_spark.pipeline import pii
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    out = pii.redact_pii(df, "doc_id", "text")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p

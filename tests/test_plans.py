@@ -345,3 +345,22 @@ def test_nb_scoring_no_label_fanout_on_tokens(spark):
     assert bnlj and all(j == ("Cross", "BuildRight") for j in bnlj)
     # token join keys on the token alone (w), not (label, w)
     assert re.search(r"hashpartitioning\(w#\d+", p)
+
+
+def test_ivf_assign_buckets_is_single_scan_no_udf(spark):
+    """r7: centroid assignment must be one projected scan of pure Column
+    arithmetic — no Python boundary, no shuffle, whole-stage codegen."""
+    from dqx_spark.pipeline import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(20)], "id long, vec array<double>"
+    )
+    centroids = [[0.0, 0.0], [2.0, 4.0]]
+    indexed = similarity.ivf_assign_buckets(df, centroids, "vec", "id")
+    p = plan_of(indexed)
+    assert "Exchange" not in p, "assignment must not shuffle"
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert marker not in p, f"assignment must stay JVM-side, found {marker}"
+    # higher-order-function lambdas evaluate interpreted-JVM (no codegen
+    # span), so the plan shape to pin is: exactly one Project over the scan
+    assert re.search(r"^Project", p, re.M) or "Project (" in p

@@ -216,7 +216,10 @@ def test_second_odcs_contract_covers_remaining_shapes(spark):
                     {"name": "ship_date", "physicalType": "STRING", "logicalType": "date",
                      "logicalTypeOptions": {"format": "yyyy-MM-dd"}},          # Java pattern
                     {"name": "delivered_at", "physicalType": "STRING", "logicalType": "timestamp",
-                     "logicalTypeOptions": {"format": "%Y-%m-%d %H:%M:%S"}},   # Python strftime
+                     # Python strftime, ISO 'T' spelling: the unquoted
+                     # literal 'T' used to crash Spark at task time (r6
+                     # ADVICE high) — this pins the end-to-end fix
+                     "logicalTypeOptions": {"format": "%Y-%m-%dT%H:%M:%S"}},
                     {"name": "status", "physicalType": "STRING", "logicalType": "string",
                      "enum": ["pending", "shipped", "delivered"],
                      # format on a string logical type must be IGNORED
@@ -269,7 +272,7 @@ def test_second_odcs_contract_covers_remaining_shapes(spark):
     # string-type format generates NO date rule
     assert by_fn["is_valid_date"] == [{"column": "ship_date", "date_format": "yyyy-MM-dd"}]
     assert by_fn["is_valid_timestamp"] == [
-        {"column": "delivered_at", "timestamp_format": "%Y-%m-%d %H:%M:%S"}
+        {"column": "delivered_at", "timestamp_format": "%Y-%m-%dT%H:%M:%S"}
     ]
     # one-sided bounds pick the single-comparator checks
     assert by_fn["is_not_less_than"] == [{"column": "weight_kg", "limit": 0}]
@@ -285,7 +288,7 @@ def test_second_odcs_contract_covers_remaining_shapes(spark):
         "consignee struct<name: string, address: struct<zipcode: string>>"
     )
     rows = [
-        ("123e4567-e89b-12d3-a456-426614174000", "2024-06-01", "2024-06-02 10:30:00",
+        ("123e4567-e89b-12d3-a456-426614174000", "2024-06-01", "2024-06-02T10:30:00",
          "shipped", 12.5, 3, "UP", "ok", {"name": "Ada", "address": {"zipcode": "10001"}}),
         ("not-a-uuid", "06/01/2024", "yesterday",
          "lost", -2.0, 9, "U", "waaaaay too long", {"name": None, "address": {"zipcode": "ABCDE"}}),
