@@ -14,6 +14,7 @@ no floats, no timestamps, no volatile fields in the output.
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -236,6 +237,17 @@ def q_embedding_topk(spark, sf):
     return top.join(q, "id").select("id", "rank", "q8_sum", "q8_abs_sum", "q8_scale")
 
 
+# Shared hyperparameters for the two generated-twin gate rows: the Spark
+# query AND its driver-local oracle read the SAME dict, so retuning a knob
+# cannot silently desynchronize them into an opaque hash mismatch (the
+# same single-source discipline as the PII twin's _PII_PATTERNS).
+_ANN_PARAMS = dict(
+    k=10, num_planes=6, seed=42, multiprobe=1, num_tables=16,
+    n_centroids=8, max_iter=50, max_samples=65536, n_init=20, n_probe=6,
+)
+_FOREST_PARAMS = dict(num_trees=32, sample_size=256, max_samples=4096, seed=7, threshold=1.25)
+
+
 def q_ann_topk(spark, sf):
     """Both approximate indexes plus the exact brute-force baseline in one
     row (50-query window), tagged by method.  LSH at library defaults
@@ -250,19 +262,23 @@ def q_ann_topk(spark, sf):
     the identical IEEE op sequence (Spark-compatible xxhash64 planes,
     left-fold cosine) — certifying DISTRIBUTED == LOCAL, the strongest
     oracle a bucketed traversal admits (and pinned twin==Spark by test)."""
+    p = _ANN_PARAMS
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    exact = similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=10).select(
+    exact = similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=p["k"]).select(
         F.lit("exact").alias("method"), "id", "rank"
     )
-    lsh = similarity.ann_lsh_topk(df, qvec, "embedding", "vec_id", k=10).select(
-        F.lit("lsh").alias("method"), "id", "rank"
-    )
+    lsh = similarity.ann_lsh_topk(
+        df, qvec, "embedding", "vec_id", k=p["k"], num_planes=p["num_planes"],
+        seed=p["seed"], multiprobe=p["multiprobe"], num_tables=p["num_tables"],
+    ).select(F.lit("lsh").alias("method"), "id", "rank")
     centroids = similarity.ivf_train_centroids(
-        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+        df, "embedding", n_centroids=p["n_centroids"], seed=p["seed"],
+        max_iter=p["max_iter"], max_samples=p["max_samples"], n_init=p["n_init"],
+        sample_order_by="vec_id",
     )
     indexed = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id")
-    ivf = similarity.ivf_topk(indexed, centroids, qvec, k=10, n_probe=6).select(
+    ivf = similarity.ivf_topk(indexed, centroids, qvec, k=p["k"], n_probe=p["n_probe"]).select(
         F.lit("ivf").alias("method"), "id", "rank"
     )
     return exact.unionByName(lsh).unionByName(ivf)
@@ -1206,6 +1222,7 @@ def q_geo_row_checks(spark, sf):
         )
     )
     fence = "POLYGON((-1 -1, 21 -1, 21 3, -1 3, -1 -1))"
+    fence2 = "POLYGON((0 -80, 20 -80, 20 -74, 0 -74, 0 -80))"
     rules = [
         DQRowRule(name="is_geometry", check_func=C.is_geometry, column="g"),
         DQRowRule(name="is_not_null_island", check_func=C.is_not_null_island, column="g"),
@@ -1262,6 +1279,30 @@ def q_geo_row_checks(spark, sf):
         DQRowRule(
             name="is_geo_intersects", check_func=C.is_geo_intersects, column="poly",
             check_func_kwargs={"reference_geometry": fence},
+        ),
+        # r7: the remaining relation family, oracle-certified.  contains is
+        # the STRICT variant (no boundary contact): s=3 squares lie ON the
+        # fence top (y=3) and x0=20 squares ON x=21, so contains and within
+        # diverge exactly there.  covers/within/touches run on the POINT
+        # column against fence2 = [0,20]x[-80,-74]: fixture points satisfy
+        # y = x-90 for x in [0,20], so x=10 and x=16 land exactly ON the
+        # boundary — covers passes them, within fails them, touches passes
+        # ONLY them.  POINT(0 0) (k%17) is outside fence2 entirely.
+        DQRowRule(
+            name="is_geo_contains", check_func=C.is_geo_contains, column="poly",
+            check_func_kwargs={"reference_geometry": fence},
+        ),
+        DQRowRule(
+            name="is_geo_covers_pt", check_func=C.is_geo_covers, column="g",
+            check_func_kwargs={"reference_geometry": fence2},
+        ),
+        DQRowRule(
+            name="is_geo_within_pt", check_func=C.is_geo_within, column="g",
+            check_func_kwargs={"reference_geometry": fence2},
+        ),
+        DQRowRule(
+            name="is_geo_touches_pt", check_func=C.is_geo_touches, column="g",
+            check_func_kwargs={"reference_geometry": fence2},
         ),
     ]
     return _apply_batch(df, rules, ["c_custkey"])
@@ -1562,21 +1603,22 @@ def q_anomaly_train_score(spark, sf):
     derivation of tree traversal (which has no SQL twin)."""
     from dqx_spark import anomaly
 
+    p = _FOREST_PARAMS
     df = _read(spark, sf, "orders")
     model = anomaly.fit_isolation_forest(
         df,
         ["o_totalprice", "o_custkey"],
-        num_trees=32,
-        sample_size=256,
-        max_samples=4096,
-        seed=7,
+        num_trees=p["num_trees"],
+        sample_size=p["sample_size"],
+        max_samples=p["max_samples"],
+        seed=p["seed"],
         sample_order_by=["o_orderkey"],
     )
     rules = [
         DQDatasetRule(
             name="robz_fired",
             check_func=C.has_no_row_anomalies,
-            check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "threshold": 1.25},
+            check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "threshold": p["threshold"]},
         ),
         DQDatasetRule(
             name="forest_failed",
@@ -1594,12 +1636,25 @@ def q_profile_summary(spark, sf):
     null/empty-ratio, is_in_list, and min_max builder decisions all derive
     from stats DuckDB reproduces (approx_count_distinct only feeds the
     is_in_list branch, where it is exact at 3 vs a 10 cutoff)."""
-    from dqx_spark.profiler import DQProfiler
+    from dqx_spark.profiler import (
+        DQProfiler,
+        generate_dlt_expectations,
+        generate_rules,
+        resolve_in_list_values,
+    )
 
     df = _read(spark, sf, "lineitem")
     prof = DQProfiler(options={"sample_fraction": None, "limit": None, "remove_outliers": False})
     cols = ["l_orderkey", "l_quantity", "l_returnflag"]
     stats, profiles = prof.profile(df, columns=cols)
+    # r7: certify the GENERATOR surface too (§2.9 rule generation + DLT
+    # expectations, previously unit-only): resolve the in-list values, then
+    # emit the generated check-function names and the rendered DLT SQL
+    # expressions per column — the oracle re-derives the literal strings
+    # (BETWEEN bounds, quoted IN-lists) from DuckDB aggregates.
+    resolve_in_list_values(df, profiles)
+    gen = generate_rules(profiles)
+    dlt = generate_dlt_expectations(profiles, language="Python_Dict")
     rows = []
     for c in cols:
         s = stats[c]
@@ -1614,12 +1669,14 @@ def q_profile_summary(spark, sf):
                 float(s["max"]) if s.get("max") is not None else None,
                 float(s["mean"]) if s.get("mean") is not None else None,
                 ",".join(sorted(p.name for p in profiles if p.column == c)),
+                ",".join(sorted(r["check"]["function"] for r in gen if r["check"]["arguments"]["column"] == c)),
+                "|".join(sorted(v for k, v in dlt.items() if k.startswith(c + "_"))),
             )
         )
     return spark.createDataFrame(
         rows,
         "col_name string, total bigint, cnt bigint, null_count bigint, empty bigint, "
-        "minv double, maxv double, meanv double, rules string",
+        "minv double, maxv double, meanv double, rules string, gen_funcs string, dlt_exprs string",
     )
 
 
@@ -1991,19 +2048,23 @@ def _video_keyframes_oracle() -> str:
     )
 
 
-def _anomaly_forest_oracle_sql() -> str:
+@functools.lru_cache(maxsize=4)
+def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
     """Driver-local twin of ``q_anomaly_train_score`` (r7): re-fit the
     isolation forest from the SAME key-ordered 4096-row sample with
     ``fit_isolation_forest_on_sample`` (pure numpy — no Spark), re-score
     the whole table locally, and embed the flagged keys as a literal list.
     The robust-z column is an independent SQL re-derivation; the forest
     column certifies DISTRIBUTED (Arrow-batched pandas UDF) == LOCAL numpy
-    scoring, which is the strongest oracle a tree traversal admits."""
+    scoring, which is the strongest oracle a tree traversal admits.
+    Hyperparameters come from the shared ``_FOREST_PARAMS``; cached per
+    sf_dir (the inputs are fixed files, and oracle_sql() is called several
+    times per gate/test run)."""
     import duckdb
 
     from dqx_spark.anomaly import _impute, _score_matrix, fit_isolation_forest_on_sample
 
-    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    p = _FOREST_PARAMS
     cols = ["o_totalprice", "o_custkey"]
     con = duckdb.connect()
     pdf = con.sql(
@@ -2012,7 +2073,8 @@ def _anomaly_forest_oracle_sql() -> str:
     ).df()
     con.close()
     model = fit_isolation_forest_on_sample(
-        pdf.head(4096)[cols], cols, num_trees=32, sample_size=256, seed=7
+        pdf.head(p["max_samples"])[cols], cols,
+        num_trees=p["num_trees"], sample_size=p["sample_size"], seed=p["seed"],
     )
     scores = _score_matrix(_impute(pdf, cols, model["medians"]), model)
     flagged = pdf["o_orderkey"][scores > model["score_threshold"]].tolist()
@@ -2022,23 +2084,26 @@ def _anomaly_forest_oracle_sql() -> str:
         "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders) "
         "SELECT o_orderkey, greatest("
         "CASE WHEN d1 > 0 THEN 0.6745 * abs(o_totalprice - m1) / d1 ELSE 0 END, "
-        "CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > 1.25 AS robz_fired, "
+        f"CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > {p['threshold']} AS robz_fired, "
         f"o_orderkey IN ({in_list}) AS forest_failed "
         "FROM orders, s"
     )
 
 
-def _ann_topk_oracle_sql() -> str:
+@functools.lru_cache(maxsize=4)
+def _ann_topk_oracle_sql(sf_dir: str) -> str:
     """Generated twin of ``q_ann_topk`` (r7): the 'exact' method is derived
     INDEPENDENTLY in DuckDB SQL; 'lsh'/'ivf' rows are the driver-local
     pure-Python replay from ``dqx_spark.pipeline.ann_local`` embedded as
-    literals (distributed == local parity; see that module's docstring)."""
+    literals (distributed == local parity; see that module's docstring).
+    Hyperparameters come from the shared ``_ANN_PARAMS``; cached per
+    sf_dir — regeneration costs a local k-means fit + LSH replay."""
     import duckdb
 
     from dqx_spark.pipeline import ann_local
     from dqx_spark.pipeline.similarity import _lloyd_centroids
 
-    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    p = _ANN_PARAMS
     con = duckdb.connect()
     rows = con.sql(
         f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
@@ -2046,9 +2111,15 @@ def _ann_topk_oracle_sql() -> str:
     con.close()
     rows = [(int(i), list(v)) for i, v in rows]
     query = next(v for i, v in rows if i == 0)
-    lsh = ann_local.lsh_topk_local(rows, query, k=10, num_planes=6, seed=42, multiprobe=1, num_tables=16)
-    centroids = _lloyd_centroids([v for _, v in rows[:65536]], n_centroids=8, seed=42, max_iter=50, n_init=20)
-    ivf = ann_local.ivf_topk_local(rows, centroids, query, k=10, n_probe=6)
+    lsh = ann_local.lsh_topk_local(
+        rows, query, k=p["k"], num_planes=p["num_planes"], seed=p["seed"],
+        multiprobe=p["multiprobe"], num_tables=p["num_tables"],
+    )
+    centroids = _lloyd_centroids(
+        [v for _, v in rows[: p["max_samples"]]], n_centroids=p["n_centroids"],
+        seed=p["seed"], max_iter=p["max_iter"], n_init=p["n_init"],
+    )
+    ivf = ann_local.ivf_topk_local(rows, centroids, query, k=p["k"], n_probe=p["n_probe"])
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
         for m, res in (("lsh", lsh), ("ivf", ivf))
@@ -2059,7 +2130,7 @@ def _ann_topk_oracle_sql() -> str:
         "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) s FROM embeddings) "
         "SELECT * FROM ("
         "SELECT 'exact' AS method, vec_id AS id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank "
-        "FROM scored ORDER BY s DESC, vec_id LIMIT 10"
+        f"FROM scored ORDER BY s DESC, vec_id LIMIT {p['k']}"
         f") UNION ALL {lits}"
     )
 
@@ -2085,8 +2156,12 @@ def oracle_sql() -> dict[str, str]:
     out = {
         # generated twins: driver-local re-derivations embedded as literals
         # (see _anomaly_forest_oracle_sql / _ann_topk_oracle_sql docstrings)
-        "anomaly_train_score": _anomaly_forest_oracle_sql(),
-        "ann_topk": _ann_topk_oracle_sql(),
+        "anomaly_train_score": _anomaly_forest_oracle_sql(
+            os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        ),
+        "ann_topk": _ann_topk_oracle_sql(
+            os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        ),
         # ------------------------------------------------------------------
         # batched §2 oracles (one boolean column per check, same fixtures as
         # the retired single-check oracles further down)
@@ -2246,7 +2321,19 @@ def oracle_sql() -> dict[str, str]:
             "NOT (c_custkey % 5 <> 0 AND (c_custkey % 10 <= 3 "
             "OR (c_custkey % 10 = 4 AND c_custkey % 7 <> 0 AND c_custkey % 3 = 0))) AS is_geo_within, "
             # intersects iff well-formed and x0 <= 21 -> k%10 <= 4
-            "NOT (c_custkey % 5 <> 0 AND c_custkey % 10 <= 4) AS is_geo_intersects "
+            "NOT (c_custkey % 5 <> 0 AND c_custkey % 10 <= 4) AS is_geo_intersects, "
+            # r7 relation family: contains is STRICT — s=3 squares touch the
+            # fence top (y=3) and x0=20 squares its x=21 edge, so only
+            # x0 <= 15 with (bowtie, or square of side 1/2) are contained
+            "NOT (c_custkey % 5 <> 0 AND c_custkey % 10 <= 3 "
+            "AND (c_custkey % 7 = 0 OR c_custkey % 3 <= 1)) AS is_geo_contains, "
+            # point family vs fence2 [0,20]x[-80,-74]: fixture points obey
+            # y = x - 90 on x in [0,20], so the closure is x in [10,16],
+            # the interior x in [11,15], the boundary exactly x in {10,16}
+            "(x IS NULL OR NOT (x BETWEEN 0 AND 20 AND y BETWEEN -80 AND -74)) AS is_geo_covers_pt, "
+            "(x IS NULL OR NOT (x BETWEEN 1 AND 19 AND y BETWEEN -79 AND -75)) AS is_geo_within_pt, "
+            "(x IS NULL OR NOT (x BETWEEN 0 AND 20 AND y BETWEEN -80 AND -74 "
+            "AND (y IN (-80, -74) OR x IN (0, 20)))) AS is_geo_touches_pt "
             "FROM fx"
         ),
         "row_checks_lineitem": (
@@ -2865,26 +2952,55 @@ def oracle_sql() -> dict[str, str]:
             "count(l_quantity) AS c_q, min(l_quantity) AS mn_q, max(l_quantity) AS mx_q, "
             "sum(l_quantity)::DOUBLE AS s_q, "
             "count(l_returnflag) AS c_rf, count(DISTINCT l_returnflag) AS d_rf, "
-            "count(CASE WHEN trim(l_returnflag) = '' THEN 1 END) AS e_rf "
+            "count(CASE WHEN trim(l_returnflag) = '' THEN 1 END) AS e_rf, "
+            "list_sort(list(DISTINCT l_returnflag) FILTER (WHERE l_returnflag IS NOT NULL)) AS vals_rf "
             "FROM lineitem) "
             "SELECT 'l_orderkey' AS col_name, total, c_ok AS cnt, total - c_ok AS null_count, "
             "NULL::BIGINT AS empty, mn_ok::DOUBLE AS minv, mx_ok::DOUBLE AS maxv, s_ok / c_ok AS meanv, "
             "array_to_string(list_filter(['is_in_list', 'is_not_null', 'min_max'], x -> "
             "CASE x WHEN 'is_in_list' THEN d_ok <= 10 AND c_ok > 0 AND d_ok <= 0.05 * c_ok "
             "WHEN 'is_not_null' THEN (total - c_ok)::DOUBLE / total <= 0.01 "
-            "ELSE mn_ok IS NOT NULL AND mx_ok IS NOT NULL END), ',') AS rules FROM a "
+            "ELSE mn_ok IS NOT NULL AND mx_ok IS NOT NULL END), ',') AS rules, "
+            # r7 generator surface: generated check functions + rendered DLT
+            # expectation SQL, re-derived from the same aggregates
+            "array_to_string(list_filter(['is_in_range', 'is_not_null'], x -> "
+            "CASE x WHEN 'is_not_null' THEN (total - c_ok)::DOUBLE / total <= 0.01 "
+            "ELSE mn_ok IS NOT NULL AND mx_ok IS NOT NULL END), ',') AS gen_funcs, "
+            "array_to_string(list_sort(list_filter(["
+            "CASE WHEN mn_ok IS NOT NULL AND mx_ok IS NOT NULL THEN "
+            "'l_orderkey BETWEEN ' || mn_ok::VARCHAR || ' AND ' || mx_ok::VARCHAR END, "
+            "CASE WHEN (total - c_ok)::DOUBLE / total <= 0.01 THEN 'l_orderkey IS NOT NULL' END"
+            "], x -> x IS NOT NULL)), '|') AS dlt_exprs FROM a "
             "UNION ALL "
             "SELECT 'l_quantity', total, c_q, total - c_q, NULL, mn_q, mx_q, s_q / c_q, "
             "array_to_string(list_filter(['is_not_null', 'min_max'], x -> "
             "CASE x WHEN 'is_not_null' THEN (total - c_q)::DOUBLE / total <= 0.01 "
-            "ELSE mn_q IS NOT NULL AND mx_q IS NOT NULL END), ',') FROM a "
+            "ELSE mn_q IS NOT NULL AND mx_q IS NOT NULL END), ','), "
+            "array_to_string(list_filter(['is_in_range', 'is_not_null'], x -> "
+            "CASE x WHEN 'is_not_null' THEN (total - c_q)::DOUBLE / total <= 0.01 "
+            "ELSE mn_q IS NOT NULL AND mx_q IS NOT NULL END), ','), "
+            "array_to_string(list_sort(list_filter(["
+            "CASE WHEN mn_q IS NOT NULL AND mx_q IS NOT NULL THEN "
+            "'l_quantity BETWEEN ' || mn_q::VARCHAR || ' AND ' || mx_q::VARCHAR END, "
+            "CASE WHEN (total - c_q)::DOUBLE / total <= 0.01 THEN 'l_quantity IS NOT NULL' END"
+            "], x -> x IS NOT NULL)), '|') FROM a "
             "UNION ALL "
             "SELECT 'l_returnflag', total, c_rf, total - c_rf, e_rf, NULL, NULL, NULL, "
             "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
             "CASE x WHEN 'is_in_list' THEN d_rf <= 10 AND c_rf > 0 AND d_rf <= 0.05 * c_rf "
             "WHEN 'is_not_null' THEN (total - c_rf)::DOUBLE / total <= 0.01 "
             "AND NOT (e_rf::DOUBLE / total <= 0.01) "
-            "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ',') FROM a"
+            "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ','), "
+            "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
+            "CASE x WHEN 'is_in_list' THEN d_rf <= 10 AND c_rf > 0 AND d_rf <= 0.05 * c_rf "
+            "WHEN 'is_not_null' THEN (total - c_rf)::DOUBLE / total <= 0.01 "
+            "AND NOT (e_rf::DOUBLE / total <= 0.01) "
+            "ELSE (total - c_rf)::DOUBLE / total <= 0.01 AND e_rf::DOUBLE / total <= 0.01 END), ','), "
+            "array_to_string(list_sort(list_filter(["
+            "CASE WHEN d_rf <= 10 AND c_rf > 0 AND d_rf <= 0.05 * c_rf THEN "
+            "'l_returnflag IN (''' || array_to_string(vals_rf, ''', ''') || ''')' END, "
+            "CASE WHEN (total - c_rf)::DOUBLE / total <= 0.01 THEN 'l_returnflag IS NOT NULL' END"
+            "], x -> x IS NOT NULL)), '|') FROM a"
         ),
         "video_keyframes": _video_keyframes_oracle(),
         "streaming_checks_parity": (

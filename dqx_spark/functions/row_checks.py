@@ -361,8 +361,23 @@ def _normalize_datetime_format(fmt: str | None) -> str | None:
     ISO 'T' separator ('%Y-%m-%dT%H:%M:%S') survive as literals instead of
     becoming an invalid pattern that crashes at task time; unmapped
     directives raise ``InvalidParameterError`` at rule-build time rather
-    than leaving a bare '%' for Spark to reject mid-job."""
+    than leaving a bare '%' for Spark to reject mid-job.
+
+    A '%' living entirely inside a single-quoted run is NOT a strftime
+    marker — it's a legal Java literal (``"HH:mm '%'"``) — so such
+    patterns pass through untouched; only an unquoted '%' (invalid in a
+    Java pattern anyway) selects the strftime interpretation."""
     if not fmt or "%" not in fmt:
+        return fmt
+    in_quote = False
+    has_unquoted_percent = False
+    for ch in fmt:
+        if ch == "'":
+            in_quote = not in_quote
+        elif ch == "%" and not in_quote:
+            has_unquoted_percent = True
+            break
+    if not has_unquoted_percent:
         return fmt
     out: list[str] = []
     literal: list[str] = []

@@ -21,6 +21,7 @@ candidate set), never a substitute for the distributed path.
 
 from __future__ import annotations
 
+import functools
 import math
 
 _MASK64 = (1 << 64) - 1
@@ -77,9 +78,15 @@ def _pmod(a: int, n: int) -> int:
     return a % n if a % n >= 0 else a % n + n
 
 
+@functools.lru_cache(maxsize=None)
 def plane_component(plane: int, dim: int, seed: int) -> float:
     """Mirror of ``dedup._hyperplane_bucket``'s hash-derived plane value in
-    [-1, 1): pmod(xxhash64(p, d, seed), 10000) / 5000 - 1."""
+    [-1, 1): pmod(xxhash64(p, d, seed), 10000) / 5000 - 1.
+
+    Cached: the value depends only on (plane, dim, seed) — tables × planes
+    × dims distinct triples — while ``hyperplane_bucket`` is called once
+    per row, so without the cache the oracle twin re-derived each
+    component ~rows× over (measured ~5 s of pure XXH64 at 500 rows)."""
     return _pmod(xxhash64_ints([plane, dim, seed]), 10000) / 5000.0 - 1.0
 
 

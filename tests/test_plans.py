@@ -359,8 +359,13 @@ def test_ivf_assign_buckets_is_single_scan_no_udf(spark):
     indexed = similarity.ivf_assign_buckets(df, centroids, "vec", "id")
     p = plan_of(indexed)
     assert "Exchange" not in p, "assignment must not shuffle"
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        # "InPandas" catches every pandas-UDF node: MapInPandas,
+        # FlatMapGroupsInPandas, FlatMapCoGroupsInPandas, ...
         assert marker not in p, f"assignment must stay JVM-side, found {marker}"
     # higher-order-function lambdas evaluate interpreted-JVM (no codegen
     # span), so the plan shape to pin is: exactly one Project over the scan
-    assert re.search(r"^Project", p, re.M) or "Project (" in p
+    # and nothing else (no Filter/Join/Aggregate/Generate nodes)
+    assert len(re.findall(r"\bProject\b", p)) >= 1
+    for node in ("Join", "Aggregate", "HashAggregate", "Generate", "Expand", "Window"):
+        assert not re.search(rf"\b{node}\b", p), f"unexpected {node} in assignment plan"

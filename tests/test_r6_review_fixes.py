@@ -31,6 +31,11 @@ def test_strftime_literal_runs_are_quoted():
     assert _normalize_datetime_format("%H o'clock") == "HH' o''clock'"
     # timezone directives map instead of crashing
     assert _normalize_datetime_format("%Y-%m-%dT%H:%M:%S%z") == "yyyy-MM-dd'T'HH:mm:ss" + "xx"
+    # a legal Java pattern carrying a QUOTED literal '%' is not strftime —
+    # it must pass through untouched (r7 review: the strftime rewrite must
+    # only trigger on an unquoted '%', which no valid Java pattern has)
+    assert _normalize_datetime_format("HH:mm '%'") == "HH:mm '%'"
+    assert _normalize_datetime_format("'100%' yyyy") == "'100%' yyyy"
 
 
 def test_strftime_unmapped_directive_raises_at_build_time():

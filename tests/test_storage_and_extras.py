@@ -406,3 +406,18 @@ def test_wheel_builds_and_contains_package(tmp_path):
     assert "Name: dqx-spark" in text and "Requires-Dist: pyspark>=3.5" in text
     ep = zipfile.ZipFile(out).read(meta.replace("METADATA", "entry_points.txt")).decode()
     assert "dqx-spark = dqx_spark.cli:main" in ep
+
+
+def test_package_version_matches_pyproject():
+    """pyproject.toml is the single metadata source for the wheel;
+    dqx_spark.__version__ must agree so runtime provenance (CLI, installed
+    metadata, support triage) never disagrees with `pip show dqx-spark`."""
+    import re
+    from pathlib import Path
+
+    import dqx_spark
+
+    toml = (Path(__file__).resolve().parents[1] / "pyproject.toml").read_text()
+    m = re.search(r'^version\s*=\s*"([^"]+)"', toml, re.M)
+    assert m, "pyproject.toml must declare [project].version"
+    assert dqx_spark.__version__ == m.group(1)
