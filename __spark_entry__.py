@@ -991,14 +991,28 @@ def q_top_k_per_group(spark, sf):
 
 
 def q_ngram_contamination(spark, sf):
+    """Exact n-gram decontamination scores PLUS — r7 — the Bloom-filter
+    scale path: ``build_ngram_bloom`` (bit_or bitmap aggregate) probed via
+    a 1-row broadcast, in engine-portable md5 mode with Kirsch–Mitzenmacher
+    double hashing, so DuckDB re-derives the bit POSITIONS and reproduces
+    every membership verdict — false positives included — bit-for-bit.
+    num_bits=2^14 is deliberately small so FPs actually occur at sf0.01
+    and the bloom columns cannot silently alias the exact ones."""
     df = _read(spark, sf, "documents")
     eval_df = df.where(F.col("doc_id") % 20 == 0)
     scores = mixing.ngram_contamination(df, eval_df, "doc_id", "text", n=5)
-    return scores.select(
+    bloom = mixing.build_ngram_bloom(
+        eval_df, "text", n=5, num_bits=1 << 14, num_hashes=3, hash_name="md5"
+    )
+    bl = mixing.bloom_contamination(df, bloom, "doc_id", "text").select(
+        "id", F.col("hit_ngrams").alias("bloom_hits")
+    )
+    return scores.join(bl, "id").select(
         F.col("id").alias("doc_id"),
         "total_ngrams",
         "hit_ngrams",
         (F.col("contamination") >= 0.5).alias("contaminated"),
+        "bloom_hits",
     )
 
 
@@ -3288,10 +3302,21 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(toks[i:i+4], ' ')))) s FROM t), "
             "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), "
             "agg AS (SELECT sh.doc_id, count(*) total, sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) hits "
-            "FROM sh LEFT JOIN ev ON sh.s = ev.s GROUP BY 1) "
+            "FROM sh LEFT JOIN ev ON sh.s = ev.s GROUP BY 1), "
+            # r7 Bloom twin: re-derive the Kirsch–Mitzenmacher bit positions
+            # (pos_j = (h1 + j*h2) mod 2^14, h1 = h mod m, h2 = (h>>30 mod m)|1)
+            # from the md5-60bit shingle hashes; Bloom membership == every
+            # position of a probe hash is in the eval position SET (exactly
+            # the bits the bitmap has set), so FPs reproduce bit-for-bit
+            "bh AS (SELECT doc_id, s, ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT h FROM sh), "
+            "pp AS (SELECT doc_id, s, ((h % 16384) + j * (((h >> 30) % 16384) | 1)) % 16384 AS pos FROM bh, range(3) t(j)), "
+            "evp AS (SELECT DISTINCT pos FROM pp WHERE doc_id % 20 = 0), "
+            "probe AS (SELECT doc_id, s, bool_and(evp.pos IS NOT NULL) hit FROM pp LEFT JOIN evp USING (pos) GROUP BY 1, 2), "
+            "bagg AS (SELECT doc_id, sum(CASE WHEN hit THEN 1 ELSE 0 END) bhits FROM probe GROUP BY 1) "
             "SELECT d.doc_id, coalesce(total, 0)::BIGINT AS total_ngrams, coalesce(hits, 0)::BIGINT AS hit_ngrams, "
-            "coalesce(hits::DOUBLE / total >= 0.5, false) AS contaminated "
-            "FROM documents d LEFT JOIN agg USING (doc_id)"
+            "coalesce(hits::DOUBLE / total >= 0.5, false) AS contaminated, "
+            "coalesce(bhits, 0)::BIGINT AS bloom_hits "
+            "FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN bagg USING (doc_id)"
         ),
     }
     # gopher_profile = the proven gopher_counts mirror + the five signal

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dqx_spark.pipeline.text import exploded_shingle_hashes
+from dqx_spark.pipeline.text import exploded_shingle_hashes, shingle_hash_array
 from dqx_spark.rule import to_col
 
 __all__ = [
@@ -46,6 +46,9 @@ __all__ = [
     "source_mix",
     "ngram_contamination",
     "decontaminate",
+    "build_ngram_bloom",
+    "bloom_contamination",
+    "bloom_decontaminate",
     "top_k_per_group",
     "sample_n_per_group",
     "quantile_bins",
@@ -210,6 +213,150 @@ def decontaminate(
     (slim: 3 numeric columns).
     """
     scores = ngram_contamination(df, eval_df, id_col, text_col, n=n, **kwargs)
+    keep = scores.where(F.col("contamination") < threshold).select(F.col("id").alias("__keep_id"))
+    return df.join(keep, df[id_col] == F.col("__keep_id"), "inner").drop("__keep_id")
+
+
+def _bloom_positions(h: Column, num_bits: int, num_hashes: int) -> Column:
+    """``array<long>`` of the ``num_hashes`` Bloom bit positions for one
+    n-gram hash, via Kirsch–Mitzenmacher double hashing (two derived hashes
+    simulate k independent ones with no asymptotic FP-rate loss; Kirsch &
+    Mitzenmacher 2006): ``pos_j = (h1 + j * h2) mod m`` with ``h2`` forced
+    odd so the stride is coprime with the power-of-two ``m`` and the k
+    positions are distinct.  Every op is engine-portable integer arithmetic
+    (``%``, ``>>``, ``|``), so DuckDB reproduces positions bit-for-bit on
+    md5-hashed shingles — which is what gate-certifies the operator."""
+    hp = F.pmod(h, F.lit(1 << 60))  # md5-60bit is already in [0, 2^60)
+    h1 = hp % num_bits
+    h2 = (F.shiftright(hp, 30) % num_bits).bitwiseOR(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: (h1 + j.cast("long") * h2) % num_bits,
+    )
+
+
+def build_ngram_bloom(
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str | None = None,
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    lowercase: bool = True,
+    hash_name: str = "xxhash64",
+) -> dict:
+    """Build a Bloom filter over the eval set's distinct word n-gram hashes:
+    the 100 TB decontamination path when even the eval side's distinct-hash
+    table is awkward to broadcast as rows (a joined probe costs ~16 bytes
+    per distinct n-gram plus a hash-relation build per task; the bitmap
+    costs ``num_bits / 8`` bytes TOTAL, e.g. 128 KiB at 2^20 bits, shipped
+    once per executor inside a 1-row broadcast).
+
+    Returns ``{"bits": list[int], "num_bits", "num_hashes", "n",
+    "lowercase", "hash_name"}`` for :func:`bloom_contamination` /
+    :func:`bloom_decontaminate`.  The build is one map-side-combinable
+    ``bit_or`` aggregate over at most ``num_bits / 64`` word groups; the
+    driver collects the bounded word list (16 K rows at 2^20 bits), never
+    the n-grams.  False positives only ever INFLATE contamination, so the
+    filter is conservative for decontamination: it never keeps a document
+    the exact :func:`decontaminate` would drop.  Size ``num_bits`` (a power
+    of two) for FP rate ``(1 - exp(-k·n_eval/m))^k``; at the defaults and
+    1 M distinct eval n-grams that is ~0.3 %.
+
+    ``hash_name='md5'`` is the engine-portable conformance mode (see
+    ``text.portable_hash60``); ``xxhash64`` the hot path."""
+    if num_bits <= 0 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a positive power of two, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    id_col = id_col or text_col  # shingle builder only labels rows; any column works
+    grams = exploded_shingle_hashes(
+        eval_df, id_col, text_col, k=n, lowercase=lowercase, hash_name=hash_name
+    ).select("h").distinct()
+    pos = grams.select(
+        F.explode(_bloom_positions(F.col("h"), num_bits, num_hashes)).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).alias("w"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("mask"))
+        .collect()  # bounded: <= num_bits/64 rows regardless of eval size
+    )
+    bits = [0] * (num_bits // 64)
+    for r in words:
+        bits[int(r["w"])] = int(r["mask"])
+    return {
+        "bits": bits,
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "n": n,
+        "lowercase": lowercase,
+        "hash_name": hash_name,
+    }
+
+
+def bloom_contamination(df: DataFrame, bloom: dict, id_col: str, text_col: str) -> DataFrame:
+    """Per-document contamination against a :func:`build_ngram_bloom`
+    filter: ``(id, total_ngrams, hit_ngrams, contamination)`` with the same
+    schema/semantics as :func:`ngram_contamination`, except ``hit_ngrams``
+    counts Bloom MEMBERSHIP — a deterministic superset of the exact hits
+    (false positives only add).
+
+    Scale shape: zero joins and zero shuffles on the corpus side — one
+    projection builds the k-gram hash array, a 1-row broadcast crossJoin
+    attaches the bitmap (the same bounded-literal discipline as the
+    dataset-check join-backs), and the probe is a pure-Column ``forall``
+    over bit tests.  Contrast :func:`ngram_contamination`, whose exact
+    membership join must ship or build the eval hash set per task."""
+    num_bits, num_hashes = bloom["num_bits"], bloom["num_hashes"]
+    arr = shingle_hash_array(
+        df, id_col, text_col, k=bloom["n"],
+        lowercase=bloom["lowercase"], hash_name=bloom["hash_name"],
+    )
+    bloom_df = df.sparkSession.createDataFrame([(bloom["bits"],)], "__bloom_bits array<bigint>")
+    bits_col = F.col("__bloom_bits")
+
+    def _hit(h: Column) -> Column:
+        # bit_get takes the bit position as a Column (shiftleft does not)
+        return F.forall(
+            _bloom_positions(h, num_bits, num_hashes),
+            lambda p: F.bit_get(
+                F.element_at(bits_col, F.shiftright(p, 6).cast("int") + 1),
+                F.pmod(p, F.lit(64)),
+            )
+            == 1,
+        )
+
+    distinct = F.array_distinct(F.col("hs"))
+    return (
+        arr.crossJoin(F.broadcast(bloom_df))
+        .select(
+            "id",
+            F.size(distinct).alias("total_ngrams"),
+            F.size(F.filter(distinct, _hit)).alias("hit_ngrams"),
+        )
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("total_ngrams") > 0,
+                F.col("hit_ngrams").cast("double") / F.col("total_ngrams"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame, bloom: dict, id_col: str, text_col: str, threshold: float = 0.1
+) -> DataFrame:
+    """Drop documents whose Bloom contamination is ``>= threshold`` —
+    :func:`decontaminate`'s broadcast-bitmap counterpart.  Conservative by
+    construction: Bloom contamination >= exact contamination, so every
+    document the exact operator drops is dropped here too (property-pinned
+    in tests); the FP rate bounds the extra loss."""
+    scores = bloom_contamination(df, bloom, id_col, text_col)
     keep = scores.where(F.col("contamination") < threshold).select(F.col("id").alias("__keep_id"))
     return df.join(keep, df[id_col] == F.col("__keep_id"), "inner").drop("__keep_id")
 

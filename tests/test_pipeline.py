@@ -1149,3 +1149,78 @@ def test_redact_pii_plan_is_single_projection(spark):
     assert "Exchange" not in p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p
+
+
+class TestBloomDecontamination:
+    """r7: Bloom-filter decontamination — the broadcast-bitmap scale path
+    next to the exact membership join."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, " ".join(f"w{(i * 17 + j) % 40}" for j in range(12))) for i in range(60)]
+        rows += [(100, "a b c d e f g h i j k l"), (101, "a b c d e f g h zz yy xx"), (102, "")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def eval_set(self, corpus):
+        return corpus.where((F.col("doc_id") % 7 == 0) | (F.col("doc_id") == 100))
+
+    @pytest.mark.parametrize("hash_name", ["xxhash64", "md5"])
+    def test_bloom_hits_superset_of_exact(self, corpus, eval_set, hash_name):
+        from dqx_spark.pipeline import mixing
+
+        exact = {
+            r["id"]: (r["total_ngrams"], r["hit_ngrams"])
+            for r in mixing.ngram_contamination(corpus, eval_set, "doc_id", "text", n=5).collect()
+        }
+        bloom = mixing.build_ngram_bloom(
+            eval_set, "text", n=5, num_bits=1 << 12, num_hashes=3, hash_name=hash_name
+        )
+        bl = {
+            r["id"]: (r["total_ngrams"], r["hit_ngrams"])
+            for r in mixing.bloom_contamination(corpus, bloom, "doc_id", "text").collect()
+        }
+        assert set(bl) == set(exact)
+        for i in exact:
+            assert bl[i][0] == exact[i][0], "total n-grams must agree"
+            assert bl[i][1] >= exact[i][1], "bloom membership is a superset"
+        # every true eval member hits: docs fully inside the eval set score 1.0
+        assert bl[100][1] == bl[100][0] > 0
+        # empty doc: zero n-grams, contamination 0
+        assert bl[102] == (0, 0)
+
+    def test_bloom_decontaminate_never_keeps_what_exact_drops(self, corpus, eval_set):
+        from dqx_spark.pipeline import mixing
+
+        bloom = mixing.build_ngram_bloom(eval_set, "text", n=5, num_bits=1 << 12, num_hashes=3)
+        kept_exact = {
+            r["doc_id"]
+            for r in mixing.decontaminate(corpus, eval_set, "doc_id", "text", threshold=0.3, n=5).collect()
+        }
+        kept_bloom = {
+            r["doc_id"]
+            for r in mixing.bloom_decontaminate(corpus, bloom, "doc_id", "text", threshold=0.3).collect()
+        }
+        assert kept_bloom <= kept_exact
+
+    def test_bloom_parameter_validation(self, corpus):
+        from dqx_spark.pipeline import mixing
+
+        with pytest.raises(ValueError, match="power of two"):
+            mixing.build_ngram_bloom(corpus, "text", num_bits=1000)
+        with pytest.raises(ValueError, match="num_hashes"):
+            mixing.build_ngram_bloom(corpus, "text", num_bits=64, num_hashes=0)
+
+    def test_bloom_positions_distinct_and_bounded(self, spark):
+        """The odd-stride double hash must give num_hashes DISTINCT in-range
+        positions (the FP analysis assumes k distinct probes)."""
+        from dqx_spark.pipeline.mixing import _bloom_positions
+
+        m, k = 1 << 10, 5
+        df = spark.range(2000).select(F.xxhash64("id").alias("h"))
+        out = df.select(
+            F.size(F.array_distinct(_bloom_positions(F.col("h"), m, k))).alias("nd"),
+            F.array_max(_bloom_positions(F.col("h"), m, k)).alias("mx"),
+            F.array_min(_bloom_positions(F.col("h"), m, k)).alias("mn"),
+        ).agg(F.min("nd"), F.max("mx"), F.min("mn")).collect()[0]
+        assert out[0] == k and out[1] < m and out[2] >= 0

@@ -369,3 +369,25 @@ def test_ivf_assign_buckets_is_single_scan_no_udf(spark):
     assert len(re.findall(r"\bProject\b", p)) >= 1
     for node in ("Join", "Aggregate", "HashAggregate", "Generate", "Expand", "Window"):
         assert not re.search(rf"\b{node}\b", p), f"unexpected {node} in assignment plan"
+
+
+def test_bloom_contamination_probe_never_shuffles_corpus(spark):
+    """r7: the Bloom probe must be scan + 1-row broadcast crossJoin + pure
+    Column bit tests — no Exchange before the (single) crossJoin, no
+    Python boundary, no membership join against an eval-side relation."""
+    from dqx_spark.pipeline import mixing
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bloom = mixing.build_ngram_bloom(docs.limit(5), "text", n=3, num_bits=1 << 10, num_hashes=3)
+    p = plan_of(mixing.bloom_contamination(docs, bloom, "doc_id", "text"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p, f"probe must stay JVM-side, found {marker}"
+    # exactly one join: the 1-row bitmap broadcast (Cross BuildRight); the
+    # corpus side reaches it without any Exchange
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", p)
+    assert bnlj == [("BuildRight", "Cross")] or bnlj == [("Cross", "BuildRight")], p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert len(re.findall(r"\bExchange\b", p)) <= 1  # only the broadcast exchange
