@@ -244,6 +244,7 @@ def q_embedding_topk(spark, sf):
 _ANN_PARAMS = dict(
     k=10, num_planes=6, seed=42, multiprobe=1, num_tables=16,
     n_centroids=8, max_iter=50, max_samples=65536, n_init=20, n_probe=6,
+    dim=64, num_subvectors=16, pq_centroids=16, pq_max_iter=25, pq_n_init=4, pq_rerank=50,
 )
 _FOREST_PARAMS = dict(num_trees=32, sample_size=256, max_samples=4096, seed=7, threshold=1.25)
 
@@ -281,7 +282,19 @@ def q_ann_topk(spark, sf):
     ivf = similarity.ivf_topk(indexed, centroids, qvec, k=p["k"], n_probe=p["n_probe"]).select(
         F.lit("ivf").alias("method"), "id", "rank"
     )
-    return exact.unionByName(lsh).unionByName(ivf)
+    # r7: product quantization (FAISS PQ) — codes ranked by asymmetric
+    # distance; twin = driver-local replay (pq_topk_local) off the same
+    # key-ordered sample
+    codebooks = similarity.pq_train_codebooks(
+        df, "embedding", dim=p["dim"], num_subvectors=p["num_subvectors"],
+        num_centroids=p["pq_centroids"], seed=p["seed"], max_iter=p["pq_max_iter"],
+        max_samples=p["max_samples"], n_init=p["pq_n_init"], sample_order_by="vec_id",
+    )
+    encoded = similarity.pq_encode(df, codebooks, "embedding", "vec_id")
+    pq = similarity.pq_topk(encoded, codebooks, qvec, k=p["k"], rerank_r=p["pq_rerank"]).select(
+        F.lit("pq").alias("method"), "id", "rank"
+    )
+    return exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
 
 
 def q_boilerplate_removal(spark, sf):
@@ -2134,9 +2147,21 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
         seed=p["seed"], max_iter=p["max_iter"], n_init=p["n_init"],
     )
     ivf = ann_local.ivf_topk_local(rows, centroids, query, k=p["k"], n_probe=p["n_probe"])
+    # r7: PQ twin — per-subspace codebooks from the same key-ordered sample,
+    # encode + ADC ranking replayed locally (ann_local.pq_topk_local)
+    sub = p["dim"] // p["num_subvectors"]
+    sample_vecs = [v for _, v in rows[: p["max_samples"]]]
+    books = [
+        _lloyd_centroids(
+            [list(v[s * sub : (s + 1) * sub]) for v in sample_vecs],
+            p["pq_centroids"], seed=p["seed"] + s, max_iter=p["pq_max_iter"], n_init=p["pq_n_init"],
+        )
+        for s in range(p["num_subvectors"])
+    ]
+    pq = ann_local.pq_topk_local(rows, books, query, k=p["k"], rerank_r=p["pq_rerank"])
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
-        for m, res in (("lsh", lsh), ("ivf", ivf))
+        for m, res in (("lsh", lsh), ("ivf", ivf), ("pq", pq))
         for i, r in res
     )
     return (

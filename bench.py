@@ -426,6 +426,12 @@ def main() -> None:
         _corpus.nb_classifier_scores(docs, "doc_id", "text", "lang"), "id"
     )
     cases["embedding_topk"] = lambda: _sim.cosine_topk(emb, [0.1] * 64, "embedding", "vec_id", 10)
+    # r7: PQ probe — codebooks trained + corpus encoded ONCE outside the
+    # timing (index-build is amortized); the timed part is the ADC
+    # code-scan + top-R exact rerank, the per-query cost at scale
+    _pq_books = _sim.pq_train_codebooks(emb, "embedding", dim=64, num_subvectors=16, sample_order_by="vec_id")
+    _pq_encoded = _sim.pq_encode(emb, _pq_books, "embedding", "vec_id").localCheckpoint()
+    cases["pq_topk"] = lambda: _sim.pq_topk(_pq_encoded, _pq_books, [0.1] * 64, k=10, rerank_r=50)
     cases["group_centroids"] = lambda: _sim.group_centroids(emb, "label", "embedding", dim=64, normalize=True)
 
     from dqx_spark.pipeline import joins as _joins, packing as _packing
@@ -442,6 +448,18 @@ def main() -> None:
         docs.select("doc_id", _text.token_count("text").cast("long").alias("tc")),
         "doc_id", "tc", 2048, num_shards=32,
     )
+    # r7: exact membership-join decontamination vs the Bloom-bitmap probe,
+    # same eval slice and n — the pair shows what the 128 KiB broadcast
+    # buys once the corpus side dominates.  Bloom build (a one-time cost
+    # amortized over the whole corpus) is timed separately into the notes.
+    from dqx_spark.pipeline import mixing as _mixing
+
+    ev_docs = docs.where(F.col("doc_id") % 20 == 0)
+    cases["decon_exact"] = lambda: _mixing.ngram_contamination(docs, ev_docs, "doc_id", "text", n=5)
+    _t0 = time.perf_counter()
+    _bloom = _mixing.build_ngram_bloom(ev_docs, "text", n=5, num_bits=1 << 20, num_hashes=5)
+    bloom_build_s = round(time.perf_counter() - _t0, 3)
+    cases["decon_bloom"] = lambda: _mixing.bloom_contamination(docs, _bloom, "doc_id", "text")
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
@@ -610,6 +628,28 @@ def main() -> None:
                 "~2-2.5 because matched output grows exactly 10x with the scaled side "
                 "(cardinality-driven, same single bucketed equi-join plan)"
             ),
+            # r7: Bloom decontamination — the probe is scan + 1-row-broadcast
+            # bit tests (no membership join); the bitmap build is one bit_or
+            # aggregate over the eval slice, paid once per filter, not per
+            # corpus scan.
+            "bloom_build_s": (
+                f"build_ngram_bloom (2^20 bits, k=5) one-time cost: {bloom_build_s}s "
+                "at sf0.1 eval slice; amortized over every corpus probe"
+            ),
+            # measured honestly: at sf0.1 the eval hash set is tiny, so the
+            # exact path's codegen'd broadcast hash join BEATS the bloom
+            # probe's interpreted HOF bit tests (~0.4s vs ~0.7s).  The bloom
+            # path's win is MEMORY, not CPU: its per-executor footprint is
+            # num_bits/8 bytes flat (128 KiB) vs ~16B x distinct eval
+            # n-grams for the broadcast relation — the regime where it
+            # matters is eval sides with 10^8-10^9 distinct n-grams (GBs of
+            # broadcast), where the exact join spills or OOMs and the bloom
+            # probe's cost is unchanged.  Both slopes are linear (~0.8/1.2).
+            "decon_exact_vs_bloom": (
+                "exact broadcast join wins on CPU at small eval sets (0.38s vs 0.70s "
+                "at sf0.1); bloom wins on memory (128 KiB flat vs 16B/distinct-ngram "
+                "broadcast) — the 1e8+ eval-ngram regime. Slopes 0.83 / 1.19."
+            ),
         }
 
     # ------------------------------------------------------------------
@@ -700,6 +740,17 @@ def main() -> None:
                 )
             )),
         }
+        # r7: decontamination slope — eval slice scales with the corpus;
+        # the bloom is rebuilt on the scaled eval side OUTSIDE the timing
+        # (the slope claim is about the probe scan, the build is one-time)
+        ev_docs_o = docs_o.where(F.col("doc_id") % 20 == 0)
+        sf1_pipe["decon_exact"] = timed(lambda: materialize(
+            _mixing.ngram_contamination(docs_o, ev_docs_o, "doc_id", "text", n=5)
+        ))
+        _bloom_o = _mixing.build_ngram_bloom(ev_docs_o, "text", n=5, num_bits=1 << 20, num_hashes=5)
+        sf1_pipe["decon_bloom"] = timed(lambda: materialize(
+            _mixing.bloom_contamination(docs_o, _bloom_o, "doc_id", "text")
+        ))
         # r7 (VERDICT r6 item 3): the remaining r6 operators at SCALE x, so
         # their linear-shuffle claims carry measured slope evidence too.
         # embeddings/events scale by key-shifted copies (identical vector

@@ -183,3 +183,55 @@ def ivf_topk_local(
         if assign_bucket_local(vec, centroids) in probe
     ]
     return _topk(scored, k)
+
+
+def pq_encode_local(vec: list[float], codebooks: list[list[list[float]]]) -> list[int]:
+    """Local twin of ``similarity.pq_encode``: per-subspace first-wins
+    strict-< argmin over left-fold squared distances, replaying the Column
+    expression's IEEE op order exactly."""
+    m = len(codebooks[0][0])
+    code = []
+    for s, book in enumerate(codebooks):
+        sub = vec[s * m : (s + 1) * m]
+        best, best_d = 0, None
+        for i, c in enumerate(book):
+            acc = 0.0
+            for x, y in zip(sub, c):
+                acc += (x - y) * (x - y)
+            if best_d is None or acc < best_d:
+                best, best_d = i, acc
+        code.append(best)
+    return code
+
+
+def pq_topk_local(
+    rows: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    rerank_r: int | None = None,
+) -> list[tuple[int, int]]:
+    """Local twin of ``similarity.pq_topk`` over (id, vector) rows: same
+    driver-computed LUT (shared ``_fold_sq_dist`` op order), same ascending
+    fold over subspaces, same (dist asc, id asc) tiebreak; with
+    ``rerank_r`` the ADC top-R are exact-reranked by the identical
+    left-fold squared L2."""
+    from dqx_spark.pipeline.similarity import _fold_sq_dist
+
+    m = len(codebooks[0][0])
+    lut = [[_fold_sq_dist(query[s * m : (s + 1) * m], c) for c in book] for s, book in enumerate(codebooks)]
+    scored = []
+    for rid, vec in rows:
+        code = pq_encode_local(vec, codebooks)
+        adc = 0.0
+        for s, c in enumerate(code):
+            adc += lut[s][c]
+        scored.append((rid, adc))
+    if rerank_r is None:
+        ordered = sorted(scored, key=lambda t: (t[1], t[0]))[:k]
+        return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
+    cand = {i for i, _ in sorted(scored, key=lambda t: (t[1], t[0]))[: int(rerank_r)]}
+    vec_of = dict(rows)
+    reranked = [(i, _fold_sq_dist(vec_of[i], query)) for i in cand]
+    ordered = sorted(reranked, key=lambda t: (t[1], t[0]))[:k]
+    return [(i, r + 1) for r, (i, _) in enumerate(ordered)]

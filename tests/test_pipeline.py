@@ -1224,3 +1224,56 @@ class TestBloomDecontamination:
             F.array_min(_bloom_positions(F.col("h"), m, k)).alias("mn"),
         ).agg(F.min("nd"), F.max("mx"), F.min("mn")).collect()[0]
         assert out[0] == k and out[1] < m and out[2] >= 0
+
+
+def test_pq_local_twin_matches_spark_and_recall(spark):
+    """r7: product quantization — (a) the pure-Python twin replays the
+    distributed encode argmin and ADC ranking bit-exactly (the parity the
+    ann_topk gate oracle's pq rows rely on); (b) ADC recall@10 vs the exact
+    EUCLIDEAN top-k clears a floor (PQ approximates L2, so L2 is the fair
+    exact baseline — for cosine parity l2_normalize first)."""
+    import os
+
+    from dqx_spark.pipeline import ann_local
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in df.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    query = next(v for i, v in rows if i == 0)
+
+    books = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16,
+        seed=42, max_iter=25, n_init=4, sample_order_by="vec_id",
+    )
+    encoded = similarity.pq_encode(df, books, "embedding", "vec_id")
+    spark_codes = {r["id"]: list(r["pq_code"]) for r in encoded.collect()}
+    for rid, vec in rows:
+        assert ann_local.pq_encode_local(vec, books) == spark_codes[rid]
+    spark_pq = [
+        (r["id"], r["rank"])
+        for r in similarity.pq_topk(encoded, books, query, k=10).orderBy("rank").collect()
+    ]
+    assert ann_local.pq_topk_local(rows, books, query, k=10) == spark_pq
+    spark_pq_rr = [
+        (r["id"], r["rank"])
+        for r in similarity.pq_topk(encoded, books, query, k=10, rerank_r=50).orderBy("rank").collect()
+    ]
+    assert ann_local.pq_topk_local(rows, books, query, k=10, rerank_r=50) == spark_pq_rr
+
+    # recall vs exact L2 (driver-side ground truth over the 500 rows)
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    exact = {i for i, _ in sorted(rows, key=lambda t: (l2(t[1], query), t[0]))[:10]}
+    recall_adc = len(exact & {i for i, _ in spark_pq}) / 10
+    recall_rr = len(exact & {i for i, _ in spark_pq_rr}) / 10
+    assert recall_adc >= 0.4, f"PQ ADC recall@10 {recall_adc} below floor"
+    assert recall_rr >= 0.8, f"PQ ADC+rerank recall@10 {recall_rr} below floor"
+
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train_codebooks(df, "embedding", dim=64, num_subvectors=7)

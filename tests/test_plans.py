@@ -391,3 +391,22 @@ def test_bloom_contamination_probe_never_shuffles_corpus(spark):
     assert bnlj == [("BuildRight", "Cross")] or bnlj == [("Cross", "BuildRight")], p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert len(re.findall(r"\bExchange\b", p)) <= 1  # only the broadcast exchange
+
+
+def test_pq_encode_is_broadcast_scan_no_udf(spark):
+    """r7: PQ encode = corpus scan + 1-row codebook broadcast + HOF argmin;
+    no Python boundary, no corpus shuffle, no membership join."""
+    from dqx_spark.pipeline import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), float(i % 7), float(i % 2)]) for i in range(20)],
+        "id long, vec array<double>",
+    )
+    books = [[[0.0, 0.0], [1.0, 2.0]], [[0.0, 1.0], [3.0, 0.0]]]
+    p = plan_of(similarity.pq_encode(df, books, "vec", "id"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p, f"encode must stay JVM-side, found {marker}"
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", p)
+    assert bnlj == [("BuildRight", "Cross")] or bnlj == [("Cross", "BuildRight")], p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert len(re.findall(r"\bExchange\b", p)) <= 1  # only the broadcast exchange
