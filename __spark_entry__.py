@@ -534,7 +534,12 @@ def q_streaming_checks_parity(spark, sf):
         part_dir = tempfile.mkdtemp(prefix=f"dqx_stream_part{b}_")
         events.where(F.col("event_id") % 3 == b).coalesce(1).write.mode("overwrite").parquet(part_dir)
         part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        shutil.move(os.path.join(part_dir, part), os.path.join(stage, f"batch{b}.parquet"))
+        staged = os.path.join(stage, f"batch{b}.parquet")
+        shutil.move(os.path.join(part_dir, part), staged)
+        # pin file -> micro-batch ORDER (FileStreamSource consumes oldest
+        # mtime first): the stateful-dedup column below is deterministic
+        # only under a fixed batch order (first arrival wins)
+        os.utime(staged, (1_700_000_000 + b, 1_700_000_000 + b))
         shutil.rmtree(part_dir, ignore_errors=True)
     stream = (
         spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(stage)
@@ -579,7 +584,38 @@ def q_streaming_checks_parity(spark, sf):
         checkpoint_location=tempfile.mkdtemp(prefix="dqx_stream_ckpt_"),
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir)
+
+    # r7: STATEFUL cross-batch semantics too — deduplicate_stream
+    # (dropDuplicatesWithinWatermark) over the same 3-file source.  The
+    # dedup key event_id DIV 3 is unique WITHIN each staged file and
+    # duplicated ACROSS them, and the watermark delay exceeds the data
+    # span, so keep-first-arrival is exactly "min event_id of the group"
+    # (batch order pinned by mtime above) — state genuinely carries across
+    # micro-batches, the one streaming behavior the foreachBatch row
+    # cannot certify.  A per-batch-scoped (stateless) dedup would keep all
+    # three copies and hash-mismatch.
+    ded_src = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    ).withColumn("duk", F.expr("CAST(event_id DIV 3 AS LONG)"))
+    # the driver parquet may carry TIMESTAMP_NTZ, which watermarks reject
+    ded_src = ded_src.withColumn("ts", F.col("ts").cast("timestamp"))
+    kept_dir = tempfile.mkdtemp(prefix="dqx_stream_dedup_")
+    q2 = (
+        dq_streaming.deduplicate_stream(ded_src, ["duk"], "ts", "3650 days")
+        .select("event_id")
+        .writeStream.format("parquet")
+        .option("path", kept_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dqx_stream_ckpt2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    kept = spark.read.parquet(kept_dir).withColumn("dedup_kept", F.lit(True))
+    return (
+        spark.read.parquet(out_dir)
+        .join(kept, "event_id", "left")
+        .na.fill({"dedup_kept": False})
+    )
 
 
 def q_compare_datasets_missing(spark, sf):
@@ -3058,7 +3094,12 @@ def oracle_sql() -> dict[str, str]:
             "et IS NULL AS is_not_null, "
             "event_type NOT IN ('click','view','purchase') AS is_in_list, "
             "ts > TIMESTAMP '2024-01-15 00:00:00' AS is_not_in_future, "
-            "(count(*) OVER (PARTITION BY src_batch, uk)) > 1 AS is_unique "
+            "(count(*) OVER (PARTITION BY src_batch, uk)) > 1 AS is_unique, "
+            # r7 stateful dedup twin: keep-first-arrival across ORDERED
+            # micro-batches == min event_id of the DIV-3 group (the key is
+            # unique within a batch, so no within-batch tie exists); a
+            # batch-scoped stateless dedup would keep every copy instead
+            "event_id = min(event_id) OVER (PARTITION BY event_id // 3) AS dedup_kept "
             "FROM fx"
         ),
         "multimodal_features": (
