@@ -363,22 +363,29 @@ def _normalize_datetime_format(fmt: str | None) -> str | None:
     directives raise ``InvalidParameterError`` at rule-build time rather
     than leaving a bare '%' for Spark to reject mid-job.
 
-    A '%' living entirely inside a single-quoted run is NOT a strftime
-    marker — it's a legal Java literal (``"HH:mm '%'"``) — so such
-    patterns pass through untouched; only an unquoted '%' (invalid in a
-    Java pattern anyway) selects the strftime interpretation."""
+    Dialect selection: any RECOGNIZED strftime directive (or ``%%``)
+    anywhere in the pattern selects the strftime interpretation — quote
+    tracking cannot decide it, because strftime text may carry unbalanced
+    apostrophes (``"o'clock %H"``) that would misread the directive as
+    quoted.  Without a recognized directive, a pattern whose every '%'
+    sits inside a single-quoted run is a legal Java literal
+    (``"HH:mm '%'"``) and passes through untouched; an unquoted '%' with
+    no known directive is valid in NEITHER convention and falls through
+    to the tokenizer's loud rejection."""
     if not fmt or "%" not in fmt:
         return fmt
-    in_quote = False
-    has_unquoted_percent = False
-    for ch in fmt:
-        if ch == "'":
-            in_quote = not in_quote
-        elif ch == "%" and not in_quote:
-            has_unquoted_percent = True
-            break
-    if not has_unquoted_percent:
-        return fmt
+    has_directive = "%%" in fmt or any(tok in fmt for tok in _STRFTIME_TO_SPARK)
+    if not has_directive:
+        in_quote = False
+        has_unquoted_percent = False
+        for ch in fmt:
+            if ch == "'":
+                in_quote = not in_quote
+            elif ch == "%" and not in_quote:
+                has_unquoted_percent = True
+                break
+        if not has_unquoted_percent:
+            return fmt
     out: list[str] = []
     literal: list[str] = []
 

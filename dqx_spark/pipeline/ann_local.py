@@ -187,18 +187,22 @@ def ivf_topk_local(
 
 def pq_encode_local(vec: list[float], codebooks: list[list[list[float]]]) -> list[int]:
     """Local twin of ``similarity.pq_encode``: per-subspace first-wins
-    strict-< argmin over left-fold squared distances, replaying the Column
-    expression's IEEE op order exactly."""
+    strict-< argmin over left-fold squared distances (shared
+    ``_fold_sq_dist``), replaying the Column expression's IEEE op order
+    exactly — INCLUDING the ``inf`` init: the Spark fold starts at
+    ``lit(inf)``, under which a NaN distance never wins (NaN < inf is
+    false on both engines), so a None-sentinel init would diverge on NaN
+    inputs."""
+    from dqx_spark.pipeline.similarity import _fold_sq_dist
+
     m = len(codebooks[0][0])
     code = []
     for s, book in enumerate(codebooks):
         sub = vec[s * m : (s + 1) * m]
-        best, best_d = 0, None
+        best, best_d = 0, float("inf")
         for i, c in enumerate(book):
-            acc = 0.0
-            for x, y in zip(sub, c):
-                acc += (x - y) * (x - y)
-            if best_d is None or acc < best_d:
+            acc = _fold_sq_dist(sub, c)
+            if acc < best_d:
                 best, best_d = i, acc
         code.append(best)
     return code

@@ -265,8 +265,8 @@ def build_ngram_bloom(
 
     ``hash_name='md5'`` is the engine-portable conformance mode (see
     ``text.portable_hash60``); ``xxhash64`` the hot path."""
-    if num_bits <= 0 or num_bits & (num_bits - 1):
-        raise ValueError(f"num_bits must be a positive power of two, got {num_bits}")
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two >= 64 (one bitmap word), got {num_bits}")
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     id_col = id_col or text_col  # shingle builder only labels rows; any column works

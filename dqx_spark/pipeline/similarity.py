@@ -504,13 +504,24 @@ def pq_encode(
         )
 
     def argmin(s: Column) -> Column:
+        # distances materialize ONCE into an array (transform), then the
+        # argmin folds over that array carrying an index counter — folding
+        # sub_dist directly would evaluate each m-element distance fold
+        # twice per centroid (once in the when-condition, once in the
+        # struct value), doubling the corpus-wide encode work
+        dists = F.transform(F.sequence(F.lit(0), F.lit(num_c - 1)), lambda c: sub_dist(s, c))
         folded = F.aggregate(
-            F.sequence(F.lit(0), F.lit(num_c - 1)),
-            F.struct(F.lit(0).alias("best"), F.lit(float("inf")).alias("bd")),
-            lambda acc, c: F.when(
-                sub_dist(s, c) < acc.getField("bd"),
-                F.struct(c.alias("best"), sub_dist(s, c).alias("bd")),
-            ).otherwise(acc),
+            dists,
+            F.struct(
+                F.lit(0).alias("i"), F.lit(0).alias("best"), F.lit(float("inf")).alias("bd")
+            ),
+            lambda acc, d: F.struct(
+                (acc.getField("i") + 1).alias("i"),
+                F.when(d < acc.getField("bd"), acc.getField("i"))
+                .otherwise(acc.getField("best"))
+                .alias("best"),
+                F.when(d < acc.getField("bd"), d).otherwise(acc.getField("bd")).alias("bd"),
+            ),
         )
         return folded.getField("best")
 

@@ -1208,6 +1208,8 @@ class TestBloomDecontamination:
 
         with pytest.raises(ValueError, match="power of two"):
             mixing.build_ngram_bloom(corpus, "text", num_bits=1000)
+        with pytest.raises(ValueError, match="64"):
+            mixing.build_ngram_bloom(corpus, "text", num_bits=32)  # < one bitmap word
         with pytest.raises(ValueError, match="num_hashes"):
             mixing.build_ngram_bloom(corpus, "text", num_bits=64, num_hashes=0)
 

@@ -390,7 +390,9 @@ def test_bloom_contamination_probe_never_shuffles_corpus(spark):
     bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", p)
     assert bnlj == [("BuildRight", "Cross")] or bnlj == [("Cross", "BuildRight")], p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
-    assert len(re.findall(r"\bExchange\b", p)) <= 1  # only the broadcast exchange
+    # the anchored form counts ONLY shuffle Exchange nodes (the broadcast
+    # prints as "(n) BroadcastExchange", which this does not match)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 0
 
 
 def test_pq_encode_is_broadcast_scan_no_udf(spark):
@@ -409,4 +411,6 @@ def test_pq_encode_is_broadcast_scan_no_udf(spark):
     bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", p)
     assert bnlj == [("BuildRight", "Cross")] or bnlj == [("Cross", "BuildRight")], p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
-    assert len(re.findall(r"\bExchange\b", p)) <= 1  # only the broadcast exchange
+    # the anchored form counts ONLY shuffle Exchange nodes (the broadcast
+    # prints as "(n) BroadcastExchange", which this does not match)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 0

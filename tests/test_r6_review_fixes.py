@@ -36,6 +36,10 @@ def test_strftime_literal_runs_are_quoted():
     # only trigger on an unquoted '%', which no valid Java pattern has)
     assert _normalize_datetime_format("HH:mm '%'") == "HH:mm '%'"
     assert _normalize_datetime_format("'100%' yyyy") == "'100%' yyyy"
+    # ...but a RECOGNIZED directive selects strftime regardless of quote
+    # state — strftime text may carry unbalanced apostrophes, which a
+    # quote-tracking scan would misread as quoting the directive
+    assert _normalize_datetime_format("o'clock %H") == "'o''clock 'HH"
 
 
 def test_strftime_unmapped_directive_raises_at_build_time():
