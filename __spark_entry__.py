@@ -294,7 +294,12 @@ def q_ann_topk(spark, sf):
     pq = similarity.pq_topk(encoded, codebooks, qvec, k=p["k"], rerank_r=p["pq_rerank"]).select(
         F.lit("pq").alias("method"), "id", "rank"
     )
-    return exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
+    # the composed FAISS IVFx,PQy layout: cell pruning x code scan
+    both = indexed.join(encoded.select("id", "pq_code"), "id")
+    ivfpq = similarity.ivfpq_topk(
+        both, centroids, codebooks, qvec, k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"]
+    ).select(F.lit("ivfpq").alias("method"), "id", "rank")
+    return exact.unionByName(lsh).unionByName(ivf).unionByName(pq).unionByName(ivfpq)
 
 
 def q_boilerplate_removal(spark, sf):
@@ -2195,9 +2200,12 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
         for s in range(p["num_subvectors"])
     ]
     pq = ann_local.pq_topk_local(rows, books, query, k=p["k"], rerank_r=p["pq_rerank"])
+    ivfpq = ann_local.ivfpq_topk_local(
+        rows, centroids, books, query, k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"]
+    )
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
-        for m, res in (("lsh", lsh), ("ivf", ivf), ("pq", pq))
+        for m, res in (("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq))
         for i, r in res
     )
     return (

@@ -239,3 +239,24 @@ def pq_topk_local(
     reranked = [(i, _fold_sq_dist(vec_of[i], query)) for i in cand]
     ordered = sorted(reranked, key=lambda t: (t[1], t[0]))[:k]
     return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
+
+
+def ivfpq_topk_local(
+    rows: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 5,
+    rerank_r: int | None = None,
+) -> list[tuple[int, int]]:
+    """Local twin of ``similarity.ivfpq_topk``: same centroid probe ranking
+    as ``ivf_topk_local``, then the PQ ADC path over only the surviving
+    rows."""
+
+    def dist(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
+
+    probe = set(sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe])
+    cand = [(rid, vec) for rid, vec in rows if assign_bucket_local(vec, centroids) in probe]
+    return pq_topk_local(cand, codebooks, query, k=k, rerank_r=rerank_r)

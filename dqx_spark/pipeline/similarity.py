@@ -34,6 +34,7 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -593,3 +594,34 @@ def _fold_sq_dist(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc += (x - y) * (x - y)
     return acc
+
+
+def ivfpq_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 5,
+    code_col: str = "pq_code",
+    rerank_r: int | None = None,
+) -> DataFrame:
+    """The composed FAISS ``IVFx,PQy`` search: prune to the ``n_probe``
+    nearest IVF cells (partition pruning at scale — the index is written
+    partitioned by ``ivf_bucket``), then rank the surviving codes by ADC
+    without touching their float vectors, optionally exact-reranking the
+    top-R.  ``indexed`` must carry both ``ivf_bucket``
+    (:func:`ivf_assign_buckets`) and ``code_col`` (:func:`pq_encode` —
+    join or compose the two, both preserve ``id``/``vec``).
+
+    Scan cost ≈ (n_probe / n_centroids) · S lookups per row — the two
+    pruning levers multiply, which is why this is the standard billion-
+    scale layout."""
+    import math
+
+    def dist(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+    cand = indexed.where(F.col("ivf_bucket").isin(*probe))
+    return pq_topk(cand, codebooks, query, k=k, code_col=code_col, rerank_r=rerank_r)

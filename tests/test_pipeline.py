@@ -1266,6 +1266,22 @@ def test_pq_local_twin_matches_spark_and_recall(spark):
         for r in similarity.pq_topk(encoded, books, query, k=10, rerank_r=50).orderBy("rank").collect()
     ]
     assert ann_local.pq_topk_local(rows, books, query, k=10, rerank_r=50) == spark_pq_rr
+    # composed IVFPQ: cell pruning then code scan, twin replayed end-to-end
+    centroids = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    both = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id").join(
+        encoded.select("id", "pq_code"), "id"
+    )
+    spark_ivfpq = [
+        (r["id"], r["rank"])
+        for r in similarity.ivfpq_topk(
+            both, centroids, books, query, k=10, n_probe=6, rerank_r=50
+        ).orderBy("rank").collect()
+    ]
+    assert ann_local.ivfpq_topk_local(
+        rows, centroids, books, query, k=10, n_probe=6, rerank_r=50
+    ) == spark_ivfpq
 
     # recall vs exact L2 (driver-side ground truth over the 500 rows)
     def l2(a, b):
