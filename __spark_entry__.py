@@ -1694,7 +1694,20 @@ def q_anomaly_train_score(spark, sf):
             check_func_kwargs={"columns": ["o_totalprice", "o_custkey"], "model": model},
         ),
     ]
-    return _apply_batch(df, rules, ["o_orderkey"])
+    # r7: PSI drift certification — feature_drift's bin counts come from a
+    # real Spark aggregate over the full table against the model's training
+    # histogram; the oracle re-derives the same counts in DuckDB SQL and
+    # applies the identical clipped-PSI formula (train-side p values are
+    # literals from the twin's local re-fit).  Scoring the training table
+    # against its own histogram yields small-but-nonzero PSI (the score
+    # pass sees ALL rows, the histogram only the 4096-row sample), so the
+    # columns are not trivially zero.
+    psi = anomaly.feature_drift(df, model)
+    return (
+        _apply_batch(df, rules, ["o_orderkey"])
+        .withColumn("psi_totalprice", F.lit(round(psi["o_totalprice"], 6)))
+        .withColumn("psi_custkey", F.lit(round(psi["o_custkey"], 6)))
+    )
 
 
 def q_profile_summary(spark, sf):
@@ -2147,13 +2160,43 @@ def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
     scores = _score_matrix(_impute(pdf, cols, model["medians"]), model)
     flagged = pdf["o_orderkey"][scores > model["score_threshold"]].tolist()
     in_list = ", ".join(str(int(k)) for k in flagged) or "-1"
+
+    def psi_subquery(col_sql: str, h: dict) -> str:
+        # DuckDB twin of anomaly.feature_drift for one feature: re-derive
+        # the per-bin CURRENT counts in SQL (bin index = how many training
+        # edges the value passes), keep the TRAINING-side clipped p values
+        # as literals from the local re-fit, and apply the identical PSI
+        # formula term-by-term in ascending bin order.
+        edges, train = h["edges"], h["counts"]
+        tsum = max(float(sum(train)), 1.0)
+        ps = [max(t / tsum, 1e-6) for t in train]
+        bin_expr = " + ".join(f"(({col_sql} >= {e!r})::INT)" for e in edges) or "0"
+        qraw = ", ".join(
+            f"sum(CASE WHEN ({bin_expr}) = {b} THEN 1 ELSE 0 END)::DOUBLE AS q{b}"
+            for b in range(len(edges) + 1)
+        )
+        qsum = " + ".join(f"q{b}" for b in range(len(edges) + 1))
+        terms = " + ".join(
+            f"({pb!r} - greatest(q{b} / greatest(t, 1.0), 1e-6)) "
+            f"* ln({pb!r} / greatest(q{b} / greatest(t, 1.0), 1e-6))"
+            for b, pb in enumerate(ps)
+        )
+        return (
+            f"(SELECT round({terms}, 6) FROM "
+            f"(SELECT *, ({qsum}) AS t FROM (SELECT {qraw} FROM orders)))"
+        )
+
+    psi1 = psi_subquery("o_totalprice", model["hist"]["o_totalprice"])
+    psi2 = psi_subquery("o_custkey::DOUBLE", model["hist"]["o_custkey"])
     return (
         "WITH s AS (SELECT median(o_totalprice) m1, mad(o_totalprice) d1, "
         "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders) "
         "SELECT o_orderkey, greatest("
         "CASE WHEN d1 > 0 THEN 0.6745 * abs(o_totalprice - m1) / d1 ELSE 0 END, "
         f"CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > {p['threshold']} AS robz_fired, "
-        f"o_orderkey IN ({in_list}) AS forest_failed "
+        f"o_orderkey IN ({in_list}) AS forest_failed, "
+        f"{psi1} AS psi_totalprice, "
+        f"{psi2} AS psi_custkey "
         "FROM orders, s"
     )
 
