@@ -1696,17 +1696,20 @@ def q_anomaly_train_score(spark, sf):
     ]
     # r7: PSI drift certification — feature_drift's bin counts come from a
     # real Spark aggregate over the full table against the model's training
-    # histogram; the oracle re-derives the same counts in DuckDB SQL and
-    # applies the identical clipped-PSI formula (train-side p values are
-    # literals from the twin's local re-fit).  Scoring the training table
-    # against its own histogram yields small-but-nonzero PSI (the score
-    # pass sees ALL rows, the histogram only the 4096-row sample), so the
-    # columns are not trivially zero.
-    psi = anomaly.feature_drift(df, model)
+    # histogram; the gate compares the EXACT integer counts (the entire
+    # distributed part of the computation) plus a drifted flag whose 0.25
+    # threshold sits far from the ~0.002 values, so a last-ULP difference
+    # between numpy's and DuckDB's log/sum can never flip the hash — a
+    # rounded PSI float column could land on a rounding boundary.  Scoring
+    # the training table against its own histogram yields small-but-nonzero
+    # counts drift (the score pass sees ALL rows, the histogram only the
+    # 4096-row sample), so the columns discriminate.
+    psi, counts = anomaly.feature_drift(df, model, return_counts=True)
     return (
         _apply_batch(df, rules, ["o_orderkey"])
-        .withColumn("psi_totalprice", F.lit(round(psi["o_totalprice"], 6)))
-        .withColumn("psi_custkey", F.lit(round(psi["o_custkey"], 6)))
+        .withColumn("psi_bins_totalprice", F.lit(",".join(map(str, counts["o_totalprice"]))))
+        .withColumn("psi_bins_custkey", F.lit(",".join(map(str, counts["o_custkey"]))))
+        .withColumn("psi_drifted", F.lit(bool(max(psi.values()) > 0.25)))
     )
 
 
@@ -2161,33 +2164,32 @@ def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
     flagged = pdf["o_orderkey"][scores > model["score_threshold"]].tolist()
     in_list = ", ".join(str(int(k)) for k in flagged) or "-1"
 
-    def psi_subquery(col_sql: str, h: dict) -> str:
+    def psi_parts(col_sql: str, h: dict) -> tuple[str, str]:
         # DuckDB twin of anomaly.feature_drift for one feature: re-derive
         # the per-bin CURRENT counts in SQL (bin index = how many training
-        # edges the value passes), keep the TRAINING-side clipped p values
-        # as literals from the local re-fit, and apply the identical PSI
-        # formula term-by-term in ascending bin order.
+        # edges the value passes) — the exact-integer distributed output —
+        # plus the clipped-PSI value (training-side p values are literals
+        # from the local re-fit) used only for the far-from-threshold flag.
         edges, train = h["edges"], h["counts"]
         tsum = max(float(sum(train)), 1.0)
         ps = [max(t / tsum, 1e-6) for t in train]
         bin_expr = " + ".join(f"(({col_sql} >= {e!r})::INT)" for e in edges) or "0"
         qraw = ", ".join(
-            f"sum(CASE WHEN ({bin_expr}) = {b} THEN 1 ELSE 0 END)::DOUBLE AS q{b}"
+            f"sum(CASE WHEN ({bin_expr}) = {b} THEN 1 ELSE 0 END)::BIGINT AS q{b}"
             for b in range(len(edges) + 1)
         )
-        qsum = " + ".join(f"q{b}" for b in range(len(edges) + 1))
+        qsum = " + ".join(f"q{b}::DOUBLE" for b in range(len(edges) + 1))
+        bins_str = " || ',' || ".join(f"q{b}::VARCHAR" for b in range(len(edges) + 1))
         terms = " + ".join(
-            f"({pb!r} - greatest(q{b} / greatest(t, 1.0), 1e-6)) "
-            f"* ln({pb!r} / greatest(q{b} / greatest(t, 1.0), 1e-6))"
+            f"({pb!r} - greatest(q{b}::DOUBLE / greatest(t, 1.0), 1e-6)) "
+            f"* ln({pb!r} / greatest(q{b}::DOUBLE / greatest(t, 1.0), 1e-6))"
             for b, pb in enumerate(ps)
         )
-        return (
-            f"(SELECT round({terms}, 6) FROM "
-            f"(SELECT *, ({qsum}) AS t FROM (SELECT {qraw} FROM orders)))"
-        )
+        inner = f"(SELECT *, ({qsum}) AS t FROM (SELECT {qraw} FROM orders))"
+        return f"(SELECT {bins_str} FROM {inner})", f"(SELECT {terms} FROM {inner})"
 
-    psi1 = psi_subquery("o_totalprice", model["hist"]["o_totalprice"])
-    psi2 = psi_subquery("o_custkey::DOUBLE", model["hist"]["o_custkey"])
+    bins1, psi1 = psi_parts("o_totalprice", model["hist"]["o_totalprice"])
+    bins2, psi2 = psi_parts("o_custkey::DOUBLE", model["hist"]["o_custkey"])
     return (
         "WITH s AS (SELECT median(o_totalprice) m1, mad(o_totalprice) d1, "
         "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders) "
@@ -2195,8 +2197,9 @@ def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
         "CASE WHEN d1 > 0 THEN 0.6745 * abs(o_totalprice - m1) / d1 ELSE 0 END, "
         f"CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > {p['threshold']} AS robz_fired, "
         f"o_orderkey IN ({in_list}) AS forest_failed, "
-        f"{psi1} AS psi_totalprice, "
-        f"{psi2} AS psi_custkey "
+        f"{bins1} AS psi_bins_totalprice, "
+        f"{bins2} AS psi_bins_custkey, "
+        f"greatest({psi1}, {psi2}) > 0.25 AS psi_drifted "
         "FROM orders, s"
     )
 

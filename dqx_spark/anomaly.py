@@ -719,18 +719,28 @@ def add_llm_explanations(
     )
 
 
-def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:
+def feature_drift(
+    df: DataFrame, model: dict, return_counts: bool = False
+) -> dict[str, float] | tuple[dict[str, float], dict[str, list[int]]]:
     """PSI per feature vs the training histogram.  One Spark aggregate; the
     driver sees only cols x bins counts.  Segmented models carry per-segment
     histograms on their members — compute drift against the FALLBACK model
-    (whole-population histogram) rather than raising mid-pipeline."""
+    (whole-population histogram) rather than raising mid-pipeline.
+
+    ``return_counts=True`` additionally returns the CURRENT per-bin counts
+    (the exact-integer output of the distributed aggregate) — the gate's
+    oracle compares those instead of the PSI float, whose last-ULP depends
+    on the log/sum implementation."""
     if _is_segmented(model):
         model = model["fallback"]
     if _is_ensemble(model):
         # members train on differently-seeded samples of the same data;
         # average their per-feature PSI
         drifts = [feature_drift(df, m) for m in model["members"]]
-        return {c: float(np.mean([d[c] for d in drifts])) for c in drifts[0]}
+        avg = {c: float(np.mean([d[c] for d in drifts])) for c in drifts[0]}
+        if return_counts:
+            raise ValueError("return_counts is not defined for ensemble models (counts differ per member)")
+        return avg
     aggs = []
     for c, h in model["hist"].items():
         edges = h["edges"]
@@ -741,10 +751,13 @@ def feature_drift(df: DataFrame, model: dict) -> dict[str, float]:
             aggs.append(F.sum((bin_expr == b).cast("long")).alias(f"{c}__{b}"))
     row = df.agg(*aggs).collect()[0]
     psi = {}
+    counts = {}
     for c, h in model["hist"].items():
+        cur_ints = [int(row[f"{c}__{b}"] or 0) for b in range(len(h["edges"]) + 1)]
+        counts[c] = cur_ints
         train = np.asarray(h["counts"], dtype=float)
-        cur = np.asarray([row[f"{c}__{b}"] or 0 for b in range(len(h["edges"]) + 1)], dtype=float)
+        cur = np.asarray(cur_ints, dtype=float)
         p = np.clip(train / max(train.sum(), 1.0), 1e-6, None)
         q = np.clip(cur / max(cur.sum(), 1.0), 1e-6, None)
         psi[c] = float(np.sum((p - q) * np.log(p / q)))
-    return psi
+    return (psi, counts) if return_counts else psi

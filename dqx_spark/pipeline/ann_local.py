@@ -164,6 +164,21 @@ def assign_bucket_local(vec: list[float], centroids: list[list[float]]) -> int:
     return best
 
 
+def _probe_candidates(
+    rows: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    query: list[float],
+    n_probe: int,
+) -> list[tuple[int, list[float]]]:
+    """Rows whose assigned cell is among the query's ``n_probe`` nearest —
+    mirrors ``similarity._probe_cells`` + the ivf_bucket filter, shared by
+    both local IVF search twins."""
+    from dqx_spark.pipeline.similarity import _probe_cells
+
+    probe = set(_probe_cells(centroids, query, n_probe))
+    return [(rid, vec) for rid, vec in rows if assign_bucket_local(vec, centroids) in probe]
+
+
 def ivf_topk_local(
     rows: list[tuple[int, list[float]]],
     centroids: list[list[float]],
@@ -172,15 +187,9 @@ def ivf_topk_local(
     n_probe: int = 5,
 ) -> list[tuple[int, int]]:
     """Local twin of ``similarity.ivf_topk`` over bucket-assigned rows."""
-
-    def dist(c):
-        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
-
-    probe = set(sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe])
     scored = [
         (rid, cosine(vec, query))
-        for rid, vec in rows
-        if assign_bucket_local(vec, centroids) in probe
+        for rid, vec in _probe_candidates(rows, centroids, query, n_probe)
     ]
     return _topk(scored, k)
 
@@ -253,10 +262,5 @@ def ivfpq_topk_local(
     """Local twin of ``similarity.ivfpq_topk``: same centroid probe ranking
     as ``ivf_topk_local``, then the PQ ADC path over only the surviving
     rows."""
-
-    def dist(c):
-        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
-
-    probe = set(sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe])
-    cand = [(rid, vec) for rid, vec in rows if assign_bucket_local(vec, centroids) in probe]
+    cand = _probe_candidates(rows, centroids, query, n_probe)
     return pq_topk_local(cand, codebooks, query, k=k, rerank_r=rerank_r)

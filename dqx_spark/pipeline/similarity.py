@@ -220,6 +220,18 @@ def ivf_assign_buckets(
     return df.select(F.col(id_col).alias("id"), vec.alias("vec"), best.alias("ivf_bucket"))
 
 
+def _probe_cells(centroids: list[list[float]], query: list[float], n_probe: int) -> list[int]:
+    """The ``n_probe`` centroid indices nearest the query (driver-side
+    arithmetic over n_centroids floats) — the ONE probe-selection used by
+    both IVF search paths here and replayed by the ``ann_local`` twins."""
+    import math
+
+    def dist(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
+
+    return sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: list[list[float]],
@@ -238,12 +250,7 @@ def ivf_topk(
     scales (floor 0.9 pinned in tests).  Size ``n_centroids`` ~ sqrt(n)
     for large corpora and raise ``n_probe`` until the measured recall on a
     held-out query set clears your floor."""
-    import math
-
-    def dist(c):
-        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
-
-    probe = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+    probe = _probe_cells(centroids, query, n_probe)
     cand = indexed.where(F.col("ivf_bucket").isin(*probe))
     scored = cand.withColumn("score", cosine_similarity_col(F.col("vec"), query))
     top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
@@ -607,21 +614,19 @@ def ivfpq_topk(
     rerank_r: int | None = None,
 ) -> DataFrame:
     """The composed FAISS ``IVFx,PQy`` search: prune to the ``n_probe``
-    nearest IVF cells (partition pruning at scale — the index is written
-    partitioned by ``ivf_bucket``), then rank the surviving codes by ADC
-    without touching their float vectors, optionally exact-reranking the
-    top-R.  ``indexed`` must carry both ``ivf_bucket``
-    (:func:`ivf_assign_buckets`) and ``code_col`` (:func:`pq_encode` —
-    join or compose the two, both preserve ``id``/``vec``).
+    nearest IVF cells, then rank the surviving codes by ADC without
+    touching their float vectors, optionally exact-reranking the top-R.
+    ``indexed`` must carry both ``ivf_bucket`` (:func:`ivf_assign_buckets`)
+    and ``code_col`` (:func:`pq_encode` — join or compose the two, both
+    preserve ``id``/``vec``).
 
-    Scan cost ≈ (n_probe / n_centroids) · S lookups per row — the two
-    pruning levers multiply, which is why this is the standard billion-
-    scale layout."""
-    import math
-
-    def dist(c):
-        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query)))
-
-    probe = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+    As shipped the cell prune is a FILTER over the scan (the isin predicate
+    pushes to the source); to get true partition pruning at scale,
+    materialize the index yourself with
+    ``indexed.write.partitionBy("ivf_bucket")...`` and search that — then
+    the per-query cost really is ~(n_probe / n_centroids) · S lookups per
+    surviving row, the two pruning levers multiplying, which is why this
+    is the standard billion-scale layout."""
+    probe = _probe_cells(centroids, query, n_probe)
     cand = indexed.where(F.col("ivf_bucket").isin(*probe))
     return pq_topk(cand, codebooks, query, k=k, code_col=code_col, rerank_r=rerank_r)

@@ -1290,8 +1290,13 @@ def test_pq_local_twin_matches_spark_and_recall(spark):
     exact = {i for i, _ in sorted(rows, key=lambda t: (l2(t[1], query), t[0]))[:10]}
     recall_adc = len(exact & {i for i, _ in spark_pq}) / 10
     recall_rr = len(exact & {i for i, _ in spark_pq_rr}) / 10
+    recall_ivfpq = len(exact & {i for i, _ in spark_ivfpq}) / 10
     assert recall_adc >= 0.4, f"PQ ADC recall@10 {recall_adc} below floor"
     assert recall_rr >= 0.8, f"PQ ADC+rerank recall@10 {recall_rr} below floor"
+    # the composed index loses at most the IVF pruning's recall on top of
+    # PQ+rerank — floor it too so a both-sides-consistent quality
+    # regression (which parity cannot catch) still fails a test
+    assert recall_ivfpq >= 0.7, f"IVFPQ recall@10 {recall_ivfpq} below floor"
 
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_train_codebooks(df, "embedding", dim=64, num_subvectors=7)
