@@ -1637,7 +1637,15 @@ def q_text_analysis(spark, sf):
         F.round("log_posterior", 5).alias("nb_post"),
         F.round("margin", 6).alias("nb_margin"),
     )
-    return prof.join(q, "doc_id").join(lm, "doc_id").join(nb, "doc_id")
+    # r7: readability family — integer sentence/syllable counts compared
+    # exactly; the Flesch float's fixed-order arithmetic rounds at 6
+    rd = df.select(
+        "doc_id",
+        text.sentence_count("text").cast("bigint").alias("r_sentences"),
+        text.syllable_count("text").cast("bigint").alias("r_syllables"),
+        F.round(text.flesch_reading_ease("text"), 6).alias("flesch"),
+    )
+    return prof.join(q, "doc_id").join(lm, "doc_id").join(nb, "doc_id").join(rd, "doc_id")
 
 
 def q_gopher_profile(spark, sf):
@@ -2586,12 +2594,25 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn, "
             "lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS s2 FROM nsc), "
             "nbp AS (SELECT doc_id, label AS nb_pred, round(score, 5) AS nb_post, "
-            "round(score - s2, 6) AS nb_margin FROM nrk WHERE rn = 1) "
+            "round(score - s2, 6) AS nb_margin FROM nrk WHERE rn = 1), "
+            # r7 readability twin: same terminator-run sentences (floor 1
+            # when words exist), vowel-group syllables floored 1/token,
+            # Flesch in the identical fixed operation order
+            "rd AS (SELECT tok.doc_id, "
+            "CASE WHEN len(ts) = 0 THEN 0 ELSE greatest(len(regexp_extract_all(coalesce(d.text,''), '[.!?]+')), 1) END AS r_sentences, "
+            "coalesce(list_sum(list_transform(list_transform(ts, __t -> lower(__t)), "
+            "__t -> greatest(len(regexp_extract_all(__t, '[aeiouy]+')), 1))), 0) AS r_syllables "
+            "FROM tok JOIN documents d USING (doc_id)), "
+            "rd2 AS (SELECT rd.doc_id, r_sentences, r_syllables, "
+            "CASE WHEN len(ts) > 0 THEN round(206.835 - 1.015 * (len(ts)::DOUBLE / greatest(r_sentences::DOUBLE, 1.0)) "
+            "- 84.6 * (r_syllables::DOUBLE / len(ts)::DOUBLE), 6) END AS flesch "
+            "FROM rd JOIN tok USING (doc_id)) "
             "SELECT p.doc_id, p.tc, p.predicted, p.fp, t.q, t.btc, "
             "coalesce(sc.nb, 0) AS lm_bigrams, round(sc.s, 6) AS lm_score, "
-            "nbp.nb_pred, nbp.nb_post, nbp.nb_margin "
+            "nbp.nb_pred, nbp.nb_post, nbp.nb_margin, "
+            "rd2.r_sentences::BIGINT AS r_sentences, rd2.r_syllables::BIGINT AS r_syllables, rd2.flesch "
             "FROM prof p JOIN tq t ON p.doc_id = t.doc_id LEFT JOIN sc ON p.doc_id = sc.doc_id "
-            "JOIN nbp ON p.doc_id = nbp.doc_id"
+            "JOIN nbp ON p.doc_id = nbp.doc_id JOIN rd2 ON p.doc_id = rd2.doc_id"
         ),
         # "gopher_profile" is assembled below from the gopher_counts mirror
         # ------------------------------------------------------------------

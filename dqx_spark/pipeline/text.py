@@ -29,6 +29,9 @@ __all__ = [
     "avg_token_length",
     "stopword_ratio",
     "quality_score",
+    "sentence_count",
+    "syllable_count",
+    "flesch_reading_ease",
     "lang_id",
     "doc_fingerprint",
     "bpe_ish_token_count",
@@ -245,6 +248,41 @@ def avg_token_length(column: str | Column) -> Column:
     toks = tokens(column)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return _ratio(total, F.size(toks))
+
+
+def sentence_count(column: str | Column) -> Column:
+    """Sentences = runs of terminal punctuation (``[.!?]+`` — an ellipsis
+    or ``?!`` ends ONE sentence); text with words but no terminator counts
+    as one.  Both the run-regex and the floor are engine-portable, so the
+    gate's DuckDB twin re-derives the count exactly."""
+    col = F.coalesce(to_col(column), F.lit(""))
+    runs = F.regexp_count(col, F.lit(r"[.!?]+"))
+    return F.when(token_count(col) == 0, F.lit(0)).otherwise(F.greatest(runs, F.lit(1)))
+
+
+def syllable_count(column: str | Column) -> Column:
+    """Heuristic syllables: vowel-group runs (``[aeiouy]+``) per lowercased
+    token, floored at 1 per token — the standard dependency-free
+    approximation used by readability formulas.  One scan, no UDF."""
+    toks = tokens(F.lower(F.coalesce(to_col(column), F.lit(""))))
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.greatest(F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)),
+    )
+
+
+def flesch_reading_ease(column: str | Column) -> Column:
+    """Flesch reading ease (Flesch 1948; public formula):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``, NULL
+    for wordless text.  The arithmetic is written in one fixed order so a
+    SQL twin reproduces it bit-for-bit before rounding."""
+    col = to_col(column)
+    w = token_count(col).cast("double")
+    s = sentence_count(col).cast("double")
+    syl = syllable_count(col).cast("double")
+    score = F.lit(206.835) - F.lit(1.015) * (w / F.greatest(s, F.lit(1.0))) - F.lit(84.6) * (syl / w)
+    return F.when(w > 0, score)
 
 
 def _stopword_hits(toks_lower: Column, words: list[str]) -> Column:

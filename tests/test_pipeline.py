@@ -1300,3 +1300,32 @@ def test_pq_local_twin_matches_spark_and_recall(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_train_codebooks(df, "embedding", dim=64, num_subvectors=7)
+
+
+def test_readability_scores(spark):
+    """r7: sentence/syllable heuristics and the Flesch formula, checked
+    against hand counts."""
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran! Did it?"),   # 3 sentences, 8 words
+            (1, "no terminator here"),                   # words, no [.!?] -> 1 sentence
+            (2, ""),                                     # wordless -> flesch NULL
+            (3, "Wait... what?!"),                       # runs collapse: 2 sentences
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.sentence_count("text").alias("s"),
+            text.syllable_count("text").alias("y"),
+            text.flesch_reading_ease("text").alias("f"),
+        ).collect()
+    }
+    assert out[0]["s"] == 3 and out[1]["s"] == 1 and out[2]["s"] == 0 and out[3]["s"] == 2
+    # "The cat sat." -> 1 syllable each; every word in doc 0 is monosyllabic
+    assert out[0]["y"] == 8
+    w, s, y = 8.0, 3.0, 8.0
+    assert abs(out[0]["f"] - (206.835 - 1.015 * (w / s) - 84.6 * (y / w))) < 1e-9
+    assert out[2]["f"] is None
