@@ -1650,9 +1650,17 @@ def q_text_analysis(spark, sf):
 
 def q_gopher_profile(spark, sf):
     """One slot certifying gopher_counts + gopher_signals (+ line stats,
-    which are the line_count/distinct_line_count/bullet_lines fields)."""
+    which are the line_count/distinct_line_count/bullet_lines fields),
+    plus — r7 — the C4 line-level cleaning signals (terminal-punct /
+    short / javascript line counts and the lorem-ipsum / curly-brace
+    page flags, all exactly reproducible)."""
     df = _read(spark, sf, "documents")
-    out = df.select("doc_id", corpus.gopher_counts("text").alias("gc"), corpus.gopher_signals("text").alias("gs"))
+    out = df.select(
+        "doc_id",
+        corpus.gopher_counts("text").alias("gc"),
+        corpus.gopher_signals("text").alias("gs"),
+        corpus.c4_signals("text").alias("c4"),
+    )
     count_fields = out.schema["gc"].dataType.fieldNames()
     return out.select(
         "doc_id",
@@ -1662,6 +1670,11 @@ def q_gopher_profile(spark, sf):
         F.round("gs.bullet_line_fraction", 6).alias("bullet_line_fraction"),
         F.round("gs.symbol_to_word_ratio", 6).alias("symbol_to_word_ratio"),
         F.round("gs.alpha_word_fraction", 6).alias("alpha_word_fraction"),
+        F.col("c4.terminal_punct_lines").cast("bigint").alias("terminal_punct_lines"),
+        F.col("c4.short_lines").cast("bigint").alias("short_lines"),
+        F.col("c4.javascript_lines").cast("bigint").alias("javascript_lines"),
+        F.col("c4.has_lorem_ipsum").alias("has_lorem_ipsum"),
+        F.col("c4.has_curly_brace").alias("has_curly_brace"),
     )
 
 
@@ -3247,7 +3260,13 @@ def oracle_sql() -> dict[str, str]:
             r"len(list_filter(toks, x -> regexp_matches(x, '\p{L}')))::BIGINT AS alpha_words, "
             "(length(s) - length(replace(s, '#', '')))::BIGINT AS hash_count, "
             "(length(s) - length(replace(s, '…', '')))::BIGINT AS unicode_ellipsis_count, "
-            r"len(regexp_extract_all(s, '\.{3}'))::BIGINT AS dots_run_count "
+            r"len(regexp_extract_all(s, '\.{3}'))::BIGINT AS dots_run_count, "
+            # r7 C4 line-level signals over the same trimmed lines
+            "len(list_filter(lines, x -> regexp_matches(x, '[.!?\"”]$')))::BIGINT AS terminal_punct_lines, "
+            r"len(list_filter(lines, x -> len(list_filter(string_split_regex(x, '\s+'), __t -> __t <> '')) < 5))::BIGINT AS short_lines, "
+            "len(list_filter(lines, x -> contains(lower(x), 'javascript')))::BIGINT AS javascript_lines, "
+            "contains(lower(s), 'lorem ipsum') AS has_lorem_ipsum, "
+            "contains(s, '{') AS has_curly_brace "
             "FROM t"
         ),
         "top_ngram_coverage": (
@@ -3471,7 +3490,8 @@ def oracle_sql() -> dict[str, str]:
         "round(CASE WHEN line_count > 0 THEN (line_count - distinct_line_count)::DOUBLE / line_count::DOUBLE ELSE 0.0 END, 6) AS duplicate_line_fraction, "
         "round(CASE WHEN line_count > 0 THEN bullet_lines::DOUBLE / line_count::DOUBLE ELSE 0.0 END, 6) AS bullet_line_fraction, "
         "round(CASE WHEN word_count > 0 THEN (hash_count + unicode_ellipsis_count + dots_run_count)::DOUBLE / word_count::DOUBLE ELSE 0.0 END, 6) AS symbol_to_word_ratio, "
-        "round(CASE WHEN word_count > 0 THEN alpha_words::DOUBLE / word_count::DOUBLE ELSE 0.0 END, 6) AS alpha_word_fraction "
+        "round(CASE WHEN word_count > 0 THEN alpha_words::DOUBLE / word_count::DOUBLE ELSE 0.0 END, 6) AS alpha_word_fraction, "
+        "terminal_punct_lines, short_lines, javascript_lines, has_lorem_ipsum, has_curly_brace "
         f"FROM ({out['gopher_counts']})"
     )
     # only keys with an active queries() entry reach the driver; the retired

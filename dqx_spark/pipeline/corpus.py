@@ -42,6 +42,7 @@ __all__ = [
     "alpha_word_fraction",
     "gopher_signals",
     "gopher_counts",
+    "c4_signals",
     "remove_repeated_lines",
     "top_ngram_coverage",
     "bigram_lm_scores",
@@ -288,6 +289,39 @@ def gopher_counts(column: str | Column) -> Column:
         (F.length(s) - F.length(F.regexp_replace(s, r"#", ""))).alias("hash_count"),
         (F.length(s) - F.length(F.regexp_replace(s, r"…", ""))).alias("unicode_ellipsis_count"),
         F.size(F.regexp_extract_all(s, F.lit(r"(\.{3})"), F.lit(1))).alias("dots_run_count"),
+    )
+
+
+def c4_signals(column: str | Column) -> Column:
+    """The C4 line-level cleaning signals (Raffel et al. 2020, the public
+    C4 heuristics) as one struct of exactly-reproducible integer counts and
+    flags — pure Column expressions over the same trimmed non-empty lines
+    as :func:`gopher_counts`:
+
+    * ``terminal_punct_lines`` — lines ending in terminal punctuation
+      (C4 keeps only those);
+    * ``short_lines`` — lines with fewer than 5 words (C4 drops them);
+    * ``javascript_lines`` — lines mentioning 'javascript' (dropped);
+    * ``has_lorem_ipsum`` / ``has_curly_brace`` — page-level drop flags
+      (placeholder text; code).
+
+    Apply policy downstream (e.g. drop pages where
+    ``terminal_punct_lines < line_count`` or a flag is set); keeping the
+    counts rather than a verdict makes thresholds tunable without a
+    rescan and the metadata engine-portable."""
+    col = to_col(column)
+    lines = split_lines(col)
+    s = F.coalesce(col, F.lit(""))
+
+    def words_in(ln: Column) -> Column:
+        return F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
+
+    return F.struct(
+        F.size(F.filter(lines, lambda ln: ln.rlike(r'[.!?"”]$'))).alias("terminal_punct_lines"),
+        F.size(F.filter(lines, lambda ln: words_in(ln) < 5)).alias("short_lines"),
+        F.size(F.filter(lines, lambda ln: F.lower(ln).contains("javascript"))).alias("javascript_lines"),
+        F.lower(s).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        s.contains("{").alias("has_curly_brace"),
     )
 
 

@@ -357,3 +357,26 @@ def test_nb_classifier_duplicate_ids_merge_with_true_margin(spark):
     V, k = 4.0, 1.0
     s_pos = math.log(0.5) + 4 * math.log((1 + k) / (2 + k * V))
     assert abs(out[7]["log_posterior"] - s_pos) < 1e-9
+
+
+def test_c4_signals(spark):
+    """r7: the public C4 line-level cleaning heuristics, hand-counted."""
+    from dqx_spark.pipeline import corpus
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, 'Good long sentence line here ok.\nshort one\nEnds with quote."\nuses JavaScript menus\n{ code }'),
+            (1, "Lorem Ipsum dolor sit amet and then some more words here"),
+            (2, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", corpus.c4_signals("text").alias("c")).collect()}
+    c = out[0]
+    assert c["terminal_punct_lines"] == 2  # '.' line and '"' line
+    assert c["short_lines"] == 4  # all but the 6-word first line have < 5 words
+    assert c["javascript_lines"] == 1
+    assert not c["has_lorem_ipsum"] and c["has_curly_brace"]
+    assert out[1]["has_lorem_ipsum"] and not out[1]["has_curly_brace"]
+    assert out[2]["terminal_punct_lines"] == 0 and out[2]["short_lines"] == 0
