@@ -1655,11 +1655,13 @@ def q_gopher_profile(spark, sf):
     short / javascript line counts and the lorem-ipsum / curly-brace
     page flags, all exactly reproducible)."""
     df = _read(spark, sf, "documents")
-    out = df.select(
+    # materialize the line split ONCE and share it — separate HOF chains
+    # inside one projection are not CSE'd by Catalyst
+    out = df.withColumn("__lines", corpus.split_lines(F.col("text"))).select(
         "doc_id",
-        corpus.gopher_counts("text").alias("gc"),
+        corpus.gopher_counts("text", lines=F.col("__lines")).alias("gc"),
         corpus.gopher_signals("text").alias("gs"),
-        corpus.c4_signals("text").alias("c4"),
+        corpus.c4_signals("text", lines=F.col("__lines")).alias("c4"),
     )
     count_fields = out.schema["gc"].dataType.fieldNames()
     return out.select(
@@ -2185,12 +2187,13 @@ def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
     flagged = pdf["o_orderkey"][scores > model["score_threshold"]].tolist()
     in_list = ", ".join(str(int(k)) for k in flagged) or "-1"
 
-    def psi_parts(col_sql: str, h: dict) -> tuple[str, str]:
+    def psi_parts(name: str, col_sql: str, h: dict) -> tuple[str, str, str]:
         # DuckDB twin of anomaly.feature_drift for one feature: re-derive
         # the per-bin CURRENT counts in SQL (bin index = how many training
         # edges the value passes) — the exact-integer distributed output —
         # plus the clipped-PSI value (training-side p values are literals
         # from the local re-fit) used only for the far-from-threshold flag.
+        # One named CTE per feature so bins and PSI share a single scan.
         edges, train = h["edges"], h["counts"]
         tsum = max(float(sum(train)), 1.0)
         ps = [max(t / tsum, 1e-6) for t in train]
@@ -2206,14 +2209,15 @@ def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
             f"* ln({pb!r} / greatest(q{b}::DOUBLE / greatest(t, 1.0), 1e-6))"
             for b, pb in enumerate(ps)
         )
-        inner = f"(SELECT *, ({qsum}) AS t FROM (SELECT {qraw} FROM orders))"
-        return f"(SELECT {bins_str} FROM {inner})", f"(SELECT {terms} FROM {inner})"
+        cte = f"{name} AS (SELECT *, ({qsum}) AS t FROM (SELECT {qraw} FROM orders))"
+        return cte, f"(SELECT {bins_str} FROM {name})", f"(SELECT {terms} FROM {name})"
 
-    bins1, psi1 = psi_parts("o_totalprice", model["hist"]["o_totalprice"])
-    bins2, psi2 = psi_parts("o_custkey::DOUBLE", model["hist"]["o_custkey"])
+    cte1, bins1, psi1 = psi_parts("pb1", "o_totalprice", model["hist"]["o_totalprice"])
+    cte2, bins2, psi2 = psi_parts("pb2", "o_custkey::DOUBLE", model["hist"]["o_custkey"])
     return (
         "WITH s AS (SELECT median(o_totalprice) m1, mad(o_totalprice) d1, "
-        "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders) "
+        "median(o_custkey::DOUBLE) m2, mad(o_custkey::DOUBLE) d2 FROM orders), "
+        f"{cte1}, {cte2} "
         "SELECT o_orderkey, greatest("
         "CASE WHEN d1 > 0 THEN 0.6745 * abs(o_totalprice - m1) / d1 ELSE 0 END, "
         f"CASE WHEN d2 > 0 THEN 0.6745 * abs(o_custkey::DOUBLE - m2) / d2 ELSE 0 END) > {p['threshold']} AS robz_fired, "
@@ -2611,15 +2615,15 @@ def oracle_sql() -> dict[str, str]:
             # r7 readability twin: same terminator-run sentences (floor 1
             # when words exist), vowel-group syllables floored 1/token,
             # Flesch in the identical fixed operation order
-            "rd AS (SELECT tok.doc_id, "
+            "rd AS (SELECT tok.doc_id, len(ts) AS nw, "
             "CASE WHEN len(ts) = 0 THEN 0 ELSE greatest(len(regexp_extract_all(coalesce(d.text,''), '[.!?]+')), 1) END AS r_sentences, "
             "coalesce(list_sum(list_transform(list_transform(ts, __t -> lower(__t)), "
             "__t -> greatest(len(regexp_extract_all(__t, '[aeiouy]+')), 1))), 0) AS r_syllables "
             "FROM tok JOIN documents d USING (doc_id)), "
-            "rd2 AS (SELECT rd.doc_id, r_sentences, r_syllables, "
-            "CASE WHEN len(ts) > 0 THEN round(206.835 - 1.015 * (len(ts)::DOUBLE / greatest(r_sentences::DOUBLE, 1.0)) "
-            "- 84.6 * (r_syllables::DOUBLE / len(ts)::DOUBLE), 6) END AS flesch "
-            "FROM rd JOIN tok USING (doc_id)) "
+            "rd2 AS (SELECT doc_id, r_sentences, r_syllables, "
+            "CASE WHEN nw > 0 THEN round(206.835 - 1.015 * (nw::DOUBLE / greatest(r_sentences::DOUBLE, 1.0)) "
+            "- 84.6 * (r_syllables::DOUBLE / nw::DOUBLE), 6) END AS flesch "
+            "FROM rd) "
             "SELECT p.doc_id, p.tc, p.predicted, p.fp, t.q, t.btc, "
             "coalesce(sc.nb, 0) AS lm_bigrams, round(sc.s, 6) AS lm_score, "
             "nbp.nb_pred, nbp.nb_post, nbp.nb_margin, "

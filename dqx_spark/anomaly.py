@@ -734,13 +734,13 @@ def feature_drift(
     if _is_segmented(model):
         model = model["fallback"]
     if _is_ensemble(model):
+        if return_counts:
+            # raise BEFORE the per-member Spark jobs, not after
+            raise ValueError("return_counts is not defined for ensemble models (counts differ per member)")
         # members train on differently-seeded samples of the same data;
         # average their per-feature PSI
         drifts = [feature_drift(df, m) for m in model["members"]]
-        avg = {c: float(np.mean([d[c] for d in drifts])) for c in drifts[0]}
-        if return_counts:
-            raise ValueError("return_counts is not defined for ensemble models (counts differ per member)")
-        return avg
+        return {c: float(np.mean([d[c] for d in drifts])) for c in drifts[0]}
     aggs = []
     for c, h in model["hist"].items():
         edges = h["edges"]

@@ -203,7 +203,7 @@ def ellipsis_line_fraction(column: str | Column) -> Column:
     """Fraction of lines ending with an ellipsis."""
     lines = split_lines(column)
     n = F.size(lines)
-    ell = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    ell = F.size(F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)\\z")))
     return F.when(n > 0, ell.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -264,14 +264,19 @@ def remove_repeated_lines(column: str | Column) -> Column:
     return F.array_join(F.array_distinct(split_lines(column)), "\n")
 
 
-def gopher_counts(column: str | Column) -> Column:
+def gopher_counts(column: str | Column, lines: Column | None = None) -> Column:
     """Integer numerators/denominators behind every :func:`gopher_signals`
     fraction, in one struct.  Unlike the float signals these are exactly
     reproducible across engines (pure integer counts), so pipelines that
     persist quality metadata — or cross-engine conformance tests — should
-    store these and derive the fractions on read."""
+    store these and derive the fractions on read.
+
+    ``lines`` optionally supplies a pre-materialized :func:`split_lines`
+    array column — when several line-based ops share one projection,
+    materialize the array once (``withColumn``) instead of re-splitting
+    per struct (Catalyst does not CSE across separate HOF chains)."""
     col = to_col(column)
-    lines = split_lines(col)
+    lines = split_lines(col) if lines is None else lines
     toks = tokens(col)
     s = F.coalesce(col, F.lit(""))
     return F.struct(
@@ -282,7 +287,8 @@ def gopher_counts(column: str | Column) -> Column:
             "distinct_line_chars"
         ),
         F.size(F.filter(lines, lambda ln: ln.rlike(r"^([-*•‣◦]|\d+[.)])\s"))).alias("bullet_lines"),
-        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))).alias("ellipsis_lines"),
+        # \z not $: Java $ also matches before a trailing \r (see c4_signals)
+        F.size(F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)\\z"))).alias("ellipsis_lines"),
         F.size(toks).alias("word_count"),
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("word_chars"),
         F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).alias("alpha_words"),
@@ -292,7 +298,7 @@ def gopher_counts(column: str | Column) -> Column:
     )
 
 
-def c4_signals(column: str | Column) -> Column:
+def c4_signals(column: str | Column, lines: Column | None = None) -> Column:
     """The C4 line-level cleaning signals (Raffel et al. 2020, the public
     C4 heuristics) as one struct of exactly-reproducible integer counts and
     flags — pure Column expressions over the same trimmed non-empty lines
@@ -308,16 +314,22 @@ def c4_signals(column: str | Column) -> Column:
     Apply policy downstream (e.g. drop pages where
     ``terminal_punct_lines < line_count`` or a flag is set); keeping the
     counts rather than a verdict makes thresholds tunable without a
-    rescan and the metadata engine-portable."""
+    rescan and the metadata engine-portable.  ``lines`` as in
+    :func:`gopher_counts` (share one materialized split).
+
+    End-of-line anchoring uses ``\\z`` (absolute end), not ``$``: Java's
+    ``$`` also matches before a final line terminator, so a stray ``\\r``
+    on a CRLF line would count as terminal punctuation in Spark while the
+    RE2-based oracle twin (end-of-string ``$``) disagrees."""
     col = to_col(column)
-    lines = split_lines(col)
+    lines = split_lines(col) if lines is None else lines
     s = F.coalesce(col, F.lit(""))
 
     def words_in(ln: Column) -> Column:
         return F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
 
     return F.struct(
-        F.size(F.filter(lines, lambda ln: ln.rlike(r'[.!?"”]$'))).alias("terminal_punct_lines"),
+        F.size(F.filter(lines, lambda ln: ln.rlike("[.!?\"”]\\z"))).alias("terminal_punct_lines"),
         F.size(F.filter(lines, lambda ln: words_in(ln) < 5)).alias("short_lines"),
         F.size(F.filter(lines, lambda ln: F.lower(ln).contains("javascript"))).alias("javascript_lines"),
         F.lower(s).contains("lorem ipsum").alias("has_lorem_ipsum"),

@@ -266,3 +266,25 @@ def test_exact_shap_values(spark, cluster_df):
 
     with _pytest.raises(ComputationError, match="max_features"):
         anomaly.shap_explain(cluster_df, wide)
+
+
+def test_feature_drift_return_counts(spark):
+    """r7: the gate's PSI columns depend on the counts payload — pin its
+    shape (one int list per feature, bins = edges+1, sums = row count) and
+    the loud ensemble rejection BEFORE any per-member Spark work."""
+    import pytest
+
+    from dqx_spark import anomaly
+
+    df = spark.createDataFrame([(i, float(i % 50), float(i)) for i in range(300)], "k long, a double, b double")
+    model = anomaly.fit_isolation_forest(df, ["a", "b"], num_trees=4, sample_size=64, seed=3)
+    psi_only = anomaly.feature_drift(df, model)
+    psi, counts = anomaly.feature_drift(df, model, return_counts=True)
+    assert psi == psi_only
+    for c in ("a", "b"):
+        assert len(counts[c]) == len(model["hist"][c]["edges"]) + 1
+        assert all(isinstance(v, int) for v in counts[c])
+        assert sum(counts[c]) == 300
+    ensemble = anomaly.fit_isolation_forest_ensemble(df, ["a", "b"], n_models=2, num_trees=2, sample_size=32)
+    with pytest.raises(ValueError, match="ensemble"):
+        anomaly.feature_drift(df, ensemble, return_counts=True)
