@@ -761,6 +761,14 @@ def main() -> None:
         sf1_pipe["group_centroids"] = timed(lambda: materialize(
             _sim.group_centroids(emb_o, "label", "embedding", dim=64, normalize=True)
         ))
+        # PQ probe at 10x corpus: index (train + encode) built OUTSIDE the
+        # timing, same as the base case — the slope claim is the ADC code
+        # scan + top-R rerank
+        _pq_books_o = _sim.pq_train_codebooks(emb_o, "embedding", dim=64, num_subvectors=16)
+        _pq_enc_o = _sim.pq_encode(emb_o, _pq_books_o, "embedding", "vec_id").localCheckpoint()
+        sf1_pipe["pq_topk"] = timed(lambda: materialize(
+            _sim.pq_topk(_pq_enc_o, _pq_books_o, [0.1] * 64, k=10, rerank_r=50)
+        ))
         sf1_pipe["interval_join"] = timed(lambda: materialize(
             _joins.interval_join(
                 events_o.select("event_id", F.col("value").alias("lo1"), (F.col("value") + 5.0).alias("hi1")),

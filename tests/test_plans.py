@@ -414,3 +414,20 @@ def test_pq_encode_is_broadcast_scan_no_udf(spark):
     # the anchored form counts ONLY shuffle Exchange nodes (the broadcast
     # prints as "(n) BroadcastExchange", which this does not match)
     assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 0
+
+
+def test_readability_and_c4_are_scan_local(spark):
+    """r7: the readability and C4 signal families must stay one projected
+    scan — pure Column expressions, no shuffle, no Python boundary."""
+    from dqx_spark.pipeline import corpus as Co, text as T
+
+    df = spark.createDataFrame([(0, "One line.\nshort\n")], "doc_id long, text string")
+    p = plan_of(
+        df.withColumn("__lines", Co.split_lines(F.col("text"))).select(
+            T.flesch_reading_ease("text").alias("f"),
+            Co.c4_signals("text", lines=F.col("__lines")).alias("c4"),
+        )
+    )
+    assert "Exchange" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p
