@@ -843,16 +843,25 @@ def q_hash_split(spark, sf):
     ta = mixing.sample_to_token_budget(
         df, "doc_id", "source", "n_chars", {"src2": 4000}, default_budget=None, approx=True
     ).select("doc_id", F.col("in_budget").alias("tb_approx"))
+    # r7: temperature mixing (the XLM-R multilingual recipe) — rates come
+    # from the shared pure-python temperature_rates over the Spark-counted
+    # sources; the oracle feeds the SAME function DuckDB-counted sources,
+    # so the float literals are identical on both sides
+    tmix = mixing.temperature_mix(df, "doc_id", "source", temperature=0.5).select(
+        "doc_id", F.lit(True).alias("in_tmix")
+    )
     return (
         split.join(mixed, "doc_id", "left")
         .join(te, "doc_id")
         .join(ta, "doc_id")
+        .join(tmix, "doc_id", "left")
         .select(
             "doc_id",
             "split",
             F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
             "tb_exact",
             "tb_approx",
+            F.coalesce("in_tmix", F.lit(False)).alias("in_tmix"),
         )
     )
 
@@ -2302,6 +2311,26 @@ def oracle_sql() -> dict[str, str]:
     from dqx_spark.functions.row_checks import _PII_PATTERNS as _PIIP
 
     pii_pat = {e: _PIIP[e].replace(chr(39), chr(39) * 2) for e in ("EMAIL_ADDRESS", "IP_ADDRESS", "PHONE_NUMBER", "US_SSN")}
+    # r7 temperature-mix twin: DuckDB-counted sources through the SAME
+    # pure-python temperature_rates the operator uses, so the rate
+    # literals are bit-identical on both sides (no cross-engine pow/round)
+    import duckdb as _duck
+
+    from dqx_spark.pipeline.mixing import temperature_rates as _trates
+
+    _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _con = _duck.connect()
+    _tm_counts = dict(
+        _con.execute(
+            f"SELECT source, count(*) FROM read_parquet('{_sfd}/documents.parquet') "
+            "WHERE source IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    _con.close()
+    _tm = _trates(_tm_counts, 0.5)
+    tmix_case = (
+        "CASE " + " ".join(f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(_tm.items())) + " ELSE 1.0 END"
+    )
     v4_re = r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
     ip_int = (
         "(cast(split_part(ip,'.',1) AS bigint)*16777216 + cast(split_part(ip,'.',2) AS bigint)*65536 "
@@ -3335,7 +3364,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
-            "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx "
+            "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx, "
+            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix "
             "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id"
         ),
         "key_skew": (

@@ -44,6 +44,8 @@ __all__ = [
     "hash_split",
     "deterministic_sample",
     "source_mix",
+    "temperature_rates",
+    "temperature_mix",
     "ngram_contamination",
     "decontaminate",
     "build_ngram_bloom",
@@ -137,6 +139,45 @@ def source_mix(
         rate_expr = F.when(to_col(source_col) == src, F.lit(rate)).otherwise(rate_expr)
     bucket = hash_bucket(id_col, _BUCKETS, salt)
     return df.where(bucket < F.round(rate_expr * _BUCKETS).cast("bigint"))
+
+
+def temperature_rates(counts: dict, temperature: float) -> dict:
+    """Per-source keep rates for temperature sampling (the multilingual
+    mixing recipe popularized by multilingual-BERT/XLM-R: sample sources
+    with probability ∝ p_s^τ, τ<1 flattening the distribution toward
+    small sources).  Realized as DOWNSAMPLING-only rates:
+    ``rate_s = p_s^(τ−1) / max_t p_t^(τ−1)`` — the relative source
+    proportions after sampling are exactly ∝ p_s^τ, and the most-boosted
+    source keeps everything so no row is ever duplicated.  τ=1 keeps all.
+
+    Pure driver arithmetic shared by the operator and any oracle twin —
+    feeding both the SAME float literals removes pow/round ULP divergence
+    between engines."""
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(f"temperature must be in [0, 1], got {temperature}")
+    total = float(sum(counts.values()))
+    if total <= 0:
+        return {s: 1.0 for s in counts}
+    raw = {s: (c / total) ** (temperature - 1.0) for s, c in counts.items() if c > 0}
+    mx = max(raw.values())
+    return {s: raw[s] / mx for s in raw}
+
+
+def temperature_mix(
+    df: DataFrame, id_col: str, source_col: str, temperature: float = 0.7, salt: str = ""
+) -> DataFrame:
+    """Deterministically downsample sources to temperature-flattened
+    proportions: one bounded aggregate collects the per-source row counts
+    (sources are few by construction — languages, domains, crawls), the
+    rates come from :func:`temperature_rates`, and membership is the same
+    scan-local portable-md5 bucket as :func:`source_mix` — stable under
+    reruns and appends, reproducible in any SQL engine.  NULL-source rows
+    keep rate 1 (no source to rebalance)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.where(to_col(source_col).isNotNull()).groupBy(source_col).count().collect()
+    }
+    return source_mix(df, id_col, source_col, temperature_rates(counts, temperature), salt=salt)
 
 
 def ngram_contamination(

@@ -219,3 +219,32 @@ def test_sample_to_token_budget_approx(sourced):
     assert not [r for r in zero.collect() if r["in_budget"]]
     with pytest.raises(ValueError):
         mixing.sample_to_token_budget(sourced, "id", "source", "n_tok", {"src_a": -1})
+
+
+def test_temperature_mix(spark):
+    """r7: temperature sampling — τ=1 keeps all; τ<1 flattens toward
+    small sources (big sources downsample hardest); rates from the shared
+    pure-python derivation; null sources always kept."""
+    import pytest
+
+    from dqx_spark.pipeline import mixing
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    rows.append((2000, None))
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    rates = mixing.temperature_rates({"big": 900, "small": 100}, 0.5)
+    assert rates["small"] == 1.0  # smallest source keeps everything
+    assert 0 < rates["big"] < 1.0
+    # after sampling, expected proportions ∝ p^τ: big/small = (0.9/0.1)^0.5 = 3
+    assert abs(rates["big"] * 900 / (rates["small"] * 100) - 3.0) < 1e-9
+
+    kept = mixing.temperature_mix(df, "doc_id", "source", temperature=0.5)
+    by_src = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert by_src["small"] == 100  # rate 1.0: deterministic, all kept
+    assert by_src[None] == 1  # null source never dropped
+    assert 0 < by_src["big"] < 900  # downsampled
+    # τ=1 is the identity
+    assert mixing.temperature_mix(df, "doc_id", "source", temperature=1.0).count() == 1001
+    with pytest.raises(ValueError, match="temperature"):
+        mixing.temperature_mix(df, "doc_id", "source", temperature=1.5)
