@@ -2165,6 +2165,24 @@ def _video_keyframes_oracle() -> str:
 
 
 @functools.lru_cache(maxsize=4)
+def _tmix_source_counts(sf_dir: str) -> tuple[tuple[str, int], ...]:
+    """Memoized DuckDB per-source document counts for the temperature-mix
+    twin — oracle_sql() is called several times per gate/test run and this
+    scan is pure I/O, so cache it per sf dir like the generated twins."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    try:
+        rows = con.execute(
+            f"SELECT source, count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE source IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    finally:
+        con.close()
+    return tuple(sorted((s, int(n)) for s, n in rows))
+
+
+@functools.lru_cache(maxsize=4)
 def _anomaly_forest_oracle_sql(sf_dir: str) -> str:
     """Driver-local twin of ``q_anomaly_train_score`` (r7): re-fit the
     isolation forest from the SAME key-ordered 4096-row sample with
@@ -2314,20 +2332,10 @@ def oracle_sql() -> dict[str, str]:
     # r7 temperature-mix twin: DuckDB-counted sources through the SAME
     # pure-python temperature_rates the operator uses, so the rate
     # literals are bit-identical on both sides (no cross-engine pow/round)
-    import duckdb as _duck
-
     from dqx_spark.pipeline.mixing import temperature_rates as _trates
 
     _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    _con = _duck.connect()
-    _tm_counts = dict(
-        _con.execute(
-            f"SELECT source, count(*) FROM read_parquet('{_sfd}/documents.parquet') "
-            "WHERE source IS NOT NULL GROUP BY 1"
-        ).fetchall()
-    )
-    _con.close()
-    _tm = _trates(_tm_counts, 0.5)
+    _tm = _trates(dict(_tmix_source_counts(_sfd)), 0.5)
     tmix_case = (
         "CASE " + " ".join(f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(_tm.items())) + " ELSE 1.0 END"
     )

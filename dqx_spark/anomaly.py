@@ -210,16 +210,21 @@ def fit_isolation_forest(
     a unique key) — a PORTABLE total order another engine can reproduce
     exactly, used by cross-engine parity fixtures; prefer the default hash
     order in production (a key-ordered prefix biases the sample toward old
-    rows).  ``score_threshold`` is calibrated as the (1 - contamination)
-    quantile of the training sample's own scores."""
+    rows).  Because the fit is row-order-dependent by design, a NON-unique
+    order key would make the TakeOrdered boundary nondeterministic, so a
+    hash of the feature columns is appended as a deterministic tiebreaker
+    (rows tying on BOTH the key and every feature are interchangeable in
+    the fitted matrix).  ``score_threshold`` is calibrated as the
+    (1 - contamination) quantile of the training sample's own scores."""
     if not columns:
         raise ValueError("columns must not be empty")
     cols = [F.col(c).cast("double").alias(c) for c in columns]
     if sample_order_by:
         order_aliases = [f"__dq_ord{i}" for i in range(len(sample_order_by))]
+        tiebreak = F.xxhash64(*[F.col(c).cast("double") for c in columns], F.lit(seed))
         sample_pdf = (
             df.select(*cols, *[F.col(c).alias(a) for c, a in zip(sample_order_by, order_aliases)])
-            .orderBy(*order_aliases)
+            .orderBy(*order_aliases, tiebreak)
             .limit(int(max_samples))
             .toPandas()[list(columns)]
         )

@@ -363,29 +363,48 @@ def _normalize_datetime_format(fmt: str | None) -> str | None:
     directives raise ``InvalidParameterError`` at rule-build time rather
     than leaving a bare '%' for Spark to reject mid-job.
 
-    Dialect selection: any RECOGNIZED strftime directive (or ``%%``)
-    anywhere in the pattern selects the strftime interpretation — quote
-    tracking cannot decide it, because strftime text may carry unbalanced
-    apostrophes (``"o'clock %H"``) that would misread the directive as
-    quoted.  Without a recognized directive, a pattern whose every '%'
-    sits inside a single-quoted run is a legal Java literal
-    (``"HH:mm '%'"``) and passes through untouched; an unquoted '%' with
+    Dialect selection: a RECOGNIZED strftime directive (or ``%%``)
+    OUTSIDE single-quoted runs selects the strftime interpretation.  When
+    every recognized directive sits inside BALANCED single-quoted runs,
+    the pattern is a legal Java pattern whose quoted literal merely
+    contains a %X (``"'%H' HH"``) and passes through untouched; with
+    UNBALANCED quotes the quote positions are unreliable (strftime text
+    may carry apostrophes — ``"o'clock %H"``) so the strftime
+    interpretation wins.  Without any recognized directive, a pattern
+    whose every '%' sits inside a single-quoted run is a legal Java
+    literal (``"HH:mm '%'"``) and passes through; an unquoted '%' with
     no known directive is valid in NEITHER convention and falls through
     to the tokenizer's loud rejection."""
     if not fmt or "%" not in fmt:
         return fmt
-    has_directive = "%%" in fmt or any(tok in fmt for tok in _STRFTIME_TO_SPARK)
-    if not has_directive:
-        in_quote = False
-        has_unquoted_percent = False
-        for ch in fmt:
-            if ch == "'":
-                in_quote = not in_quote
-            elif ch == "%" and not in_quote:
+    in_quote = False
+    any_directive = False
+    unquoted_directive = False
+    has_unquoted_percent = False
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":
+            in_quote = not in_quote
+            i += 1
+            continue
+        if ch == "%":
+            tok = fmt[i : i + 2]
+            if tok == "%%" or tok in _STRFTIME_TO_SPARK:
+                any_directive = True
+                if not in_quote:
+                    unquoted_directive = True
+                i += 2
+                continue
+            if not in_quote:
                 has_unquoted_percent = True
-                break
-        if not has_unquoted_percent:
-            return fmt
+        i += 1
+    quotes_balanced = not in_quote
+    if any_directive:
+        if not unquoted_directive and quotes_balanced:
+            return fmt  # Java pattern with a %X inside a quoted literal
+    elif not has_unquoted_percent:
+        return fmt
     out: list[str] = []
     literal: list[str] = []
 

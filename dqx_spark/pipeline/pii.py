@@ -62,7 +62,11 @@ def redact_pii(
         pat = _PII_PATTERNS[e]
         if count_matches:
             counts.append(F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(f"n_{e.lower()}"))
-        redacted = F.regexp_replace(redacted, pat, replacement.format(entity=e))
+        # Java Matcher.replaceAll treats '$' as a group reference and '\'
+        # as an escape in the REPLACEMENT string — escape both so e.g.
+        # '<$redacted>' substitutes literally instead of failing at task time
+        repl = replacement.format(entity=e).replace("\\", "\\\\").replace("$", "\\$")
+        redacted = F.regexp_replace(redacted, pat, repl)
     total = None
     if count_matches:
         total = sum((F.size(F.regexp_extract_all(col, F.lit(_PII_PATTERNS[e]), F.lit(0))) for e in chosen), F.lit(0))

@@ -134,9 +134,12 @@ def ivf_train_centroids(
 
     vec = F.col(vec_col).cast("array<double>").alias("vec")
     if sample_order_by:
+        # vec-hash tiebreaker: a non-unique order key would otherwise make
+        # the TakeOrdered sample boundary nondeterministic (fit is
+        # row-order-dependent); full ties are identical vectors.
         sample = (
             df.select(vec, F.col(sample_order_by).alias("__ord"))
-            .orderBy("__ord")
+            .orderBy("__ord", F.xxhash64(F.col("vec"), F.lit(seed)))
             .limit(int(max_samples))
             .toPandas()["vec"]
         )
@@ -449,9 +452,10 @@ def pq_train_codebooks(
     m = dim // num_subvectors
     vec = F.col(vec_col).cast("array<double>").alias("vec")
     if sample_order_by:
+        # vec-hash tiebreaker — see ivf_train_centroids
         sample = (
             df.select(vec, F.col(sample_order_by).alias("__ord"))
-            .orderBy("__ord")
+            .orderBy("__ord", F.xxhash64(F.col("vec"), F.lit(seed)))
             .limit(int(max_samples))
             .toPandas()["vec"]
         )

@@ -70,7 +70,7 @@ def build(outdir: str) -> str:
             record.append((arcname, _record_hash(data), len(data)))
 
         for dirpath, dirnames, filenames in os.walk(os.path.join(ROOT, "dqx_spark")):
-            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
             for f in sorted(filenames):
                 if f.endswith((".pyc", ".pyo")):
                     continue

@@ -36,10 +36,14 @@ def test_strftime_literal_runs_are_quoted():
     # only trigger on an unquoted '%', which no valid Java pattern has)
     assert _normalize_datetime_format("HH:mm '%'") == "HH:mm '%'"
     assert _normalize_datetime_format("'100%' yyyy") == "'100%' yyyy"
-    # ...but a RECOGNIZED directive selects strftime regardless of quote
-    # state — strftime text may carry unbalanced apostrophes, which a
+    # ...but a RECOGNIZED directive under UNBALANCED quotes selects
+    # strftime — strftime text may carry apostrophes, which a naive
     # quote-tracking scan would misread as quoting the directive
     assert _normalize_datetime_format("o'clock %H") == "'o''clock 'HH"
+    # (r8 ADVICE) a directive found ONLY inside balanced quoted runs is a
+    # Java pattern whose literal happens to contain %X — pass through
+    assert _normalize_datetime_format("'%H' HH") == "'%H' HH"
+    assert _normalize_datetime_format("HH 'at %Hrs'") == "HH 'at %Hrs'"
 
 
 def test_strftime_unmapped_directive_raises_at_build_time():
