@@ -294,10 +294,20 @@ def q_ann_topk(spark, sf):
     pq = similarity.pq_topk(encoded, codebooks, qvec, k=p["k"], rerank_r=p["pq_rerank"]).select(
         F.lit("pq").alias("method"), "id", "rank"
     )
-    # the composed FAISS IVFx,PQy layout: cell pruning x code scan
-    both = indexed.join(encoded.select("id", "pq_code"), "id")
+    # the composed FAISS IVFx,PQy layout (r8: true IVFADC — codebooks
+    # trained on residuals, residual codes, per-cell query-residual LUTs)
+    codebooks_res = similarity.pq_train_codebooks(
+        df, "embedding", dim=p["dim"], num_subvectors=p["num_subvectors"],
+        num_centroids=p["pq_centroids"], seed=p["seed"], max_iter=p["pq_max_iter"],
+        max_samples=p["max_samples"], n_init=p["pq_n_init"], sample_order_by="vec_id",
+        residual_centroids=centroids,
+    )
+    encoded_res = similarity.pq_encode(
+        indexed, codebooks_res, "vec", "id", residual_centroids=centroids
+    )
     ivfpq = similarity.ivfpq_topk(
-        both, centroids, codebooks, qvec, k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"]
+        encoded_res, centroids, codebooks_res, qvec, k=p["k"], n_probe=p["n_probe"],
+        rerank_r=p["pq_rerank"],
     ).select(F.lit("ivfpq").alias("method"), "id", "rank")
     return exact.unionByName(lsh).unionByName(ivf).unionByName(pq).unionByName(ivfpq)
 
@@ -2298,8 +2308,20 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
         for s in range(p["num_subvectors"])
     ]
     pq = ann_local.pq_topk_local(rows, books, query, k=p["k"], rerank_r=p["pq_rerank"])
+    # r8: IVFADC twin — residual codebooks from the SAME residual transform
+    # (similarity.residual_local) over the same key-ordered sample
+    from dqx_spark.pipeline.similarity import residual_local
+
+    resid_vecs = [residual_local(list(v), centroids) for v in sample_vecs]
+    books_res = [
+        _lloyd_centroids(
+            [list(v[s * sub : (s + 1) * sub]) for v in resid_vecs],
+            p["pq_centroids"], seed=p["seed"] + s, max_iter=p["pq_max_iter"], n_init=p["pq_n_init"],
+        )
+        for s in range(p["num_subvectors"])
+    ]
     ivfpq = ann_local.ivfpq_topk_local(
-        rows, centroids, books, query, k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"]
+        rows, centroids, books_res, query, k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"]
     )
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"

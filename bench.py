@@ -471,6 +471,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         return round(best, 3)
 
+    # fixed-overhead CANARY (r8, VERDICT r7 item 2): two no-op cases so
+    # environment drift and plan drift are separable across rounds —
+    # 'scan' is a bare count of the relayed-out orders table (pure
+    # scan-job floor: Spark job launch + 32 file tasks), 'engine' adds an
+    # empty apply_checks pass (driver plan-construction + result-column
+    # floor).  Every recorded query rides on top of these; a round-over-
+    # round shift in the canaries with unchanged plans is box drift, a
+    # shift in (query - canary) is plan drift.  Excluded from
+    # headline_total (no-ops are not workload).
+    canary = {
+        "scan": timed(lambda: orders.count()),
+        "engine": timed(lambda: materialize(e.apply_checks(orders, []))),
+    }
+
     timings: dict[str, float] = {}
     for name, build in cases.items():
         timings[name] = timed(lambda b=build: materialize(b()))
@@ -494,6 +508,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {"metric": "headline_total", "value": total, "unit": "sec", "queries": timings, "sf": float(sf)}
+    result["canary"] = canary
     result["all_dataset_checks_decomposition"] = adc_decomposition
 
     # ------------------------------------------------------------------
@@ -612,9 +627,31 @@ def main() -> None:
                 "contention late in the case list); clean-room slope is ~0.7, "
                 "sublinear (r6 adjudication)"
             ),
+            # r8 attribution of the r7 2x breach (VERDICT r7 item 1): a
+            # clean checkout of the r6 build (c0306d5) re-run on the r8 box
+            # under the exact bench config reproduces the r7-era number
+            # (total 0.52-0.64s, build 0.23-0.29 + count 0.30-0.36) — the
+            # recorded r6->r7 regression was BOX drift, not a code change.
+            # r8 then cut the real cost: plan construction halved (dataset-
+            # rule invoke/result-struct caching, single-projection result
+            # assembly, fused one-Aggregate stats select — build 0.25s ->
+            # ~0.11s warm) on top of the unchanged single-sketch plan.
+            "mad_outliers_attribution": (
+                "r7 0.482s breach = box drift (r6 code reruns at 0.52s on the r8 "
+                "box, bare orders.count floor 0.10-0.19s); r8 halves plan-build "
+                "py4j cost (invoke/struct caching + fused projections) — see "
+                "canary for the per-round floor"
+            ),
             "mad_outliers_one_pass": (
-                "approx=True now a single quantile-sketch job (MAD=IQR/2, exact for "
-                "symmetric distributions): 0.28s vs 0.23s baseline at sf0.1 (1.2x)"
+                "approx=True remains a single quantile-sketch job (MAD=IQR/2, "
+                "exact for symmetric distributions); r8 fused the stats+result "
+                "projections and caches rule expression construction"
+            ),
+            "canary_drift": (
+                f"no-op floors this run: scan {canary['scan']}s, empty-engine "
+                f"{canary['engine']}s. Compare across rounds: canary shift = box "
+                "drift; (query - canary) shift = plan drift. r7's +18% uniform "
+                "inflation had no canary to attribute it; now it does."
             ),
             # r7: the four r6 operators joined the sf1 slope pass.
             # group_centroids/dedup_spans/lm_nb_scores ride row volume
@@ -777,6 +814,100 @@ def main() -> None:
                 "lo1", "hi1", "lo2", "hi2",
             )
         ))
+        # r8 (VERDICT r7 item 7): slope evidence for the remaining ops.
+        # sessions/time_rollup have no headline 1x case, so their 1x base is
+        # measured here into pipe_base (slope = t_10x / t_1x like the rest).
+        # The scaled events keep user_id UNshifted (cached layout), so the
+        # 10x run is 10x rows on the same user partitions — the window/agg
+        # cost under test, not a partition-count change.
+        from dqx_spark.pipeline import rollup as _rollup, sessions as _sessions
+
+        events_1x = read("events")
+        pipe_base = {}
+
+        def _sessions_case(ev):
+            return _sessions.sessionize(
+                ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id"
+            ).select("event_id", "session_idx")
+
+        def _rollup_case(ev):
+            return _rollup.time_rollup(
+                ev, "ts", "value", grains=("hour", "day", "week", "month"),
+                aggs=("count", "sum"), group_by=["event_type"],
+            )
+
+        pipe_base["sessions"] = timed(lambda: materialize(_sessions_case(events_1x)))
+        sf1_pipe["sessions"] = timed(lambda: materialize(_sessions_case(events_o)))
+        pipe_base["time_rollup"] = timed(lambda: materialize(_rollup_case(events_1x)))
+        sf1_pipe["time_rollup"] = timed(lambda: materialize(_rollup_case(events_o)))
+        # bloom BUILD cost slope (the probe slope is decon_bloom above):
+        # one bit_or bitmap aggregate over the eval slice, 1x vs 10x
+        pipe_base["bloom_build"] = bloom_build_s
+        _t0 = time.perf_counter()
+        _mixing.build_ngram_bloom(ev_docs_o, "text", n=5, num_bits=1 << 20, num_hashes=5)
+        sf1_pipe["bloom_build"] = round(time.perf_counter() - _t0, 3)
+
+        # ANN end-to-end at 50k organic vectors (the 500-row embeddings
+        # table caps what the slope section can say about the ANN family):
+        # 100 key-shifted copies with per-element hash-seeded jitter, so the
+        # vectors are distinct and organically spread.  'build' is the
+        # distributed index build (IVF assign + residual PQ encode; centroid
+        # /codebook training is the bounded-sample driver fit, timed within);
+        # 'search' is the per-query IVFADC probe on the materialized index.
+        def _emb_organic(scale):
+            def build():
+                base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+                copies = []
+                for i in range(scale):
+                    h = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i)), F.lit(1000))
+                    jit = (h.cast("double") / 1000.0 - 0.5) * 0.2
+                    emb = F.transform(F.col("embedding").cast("array<double>"), lambda x: x + jit)
+                    copies.append(base.select(
+                        (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                        emb.alias("embedding"), "label",
+                    ))
+                out = copies[0]
+                for c in copies[1:]:
+                    out = out.unionByName(c)
+                return out
+            return _relayout(
+                f"/tmp/dqx_bench_layout/sf{sf_tag}x{scale}ann/embeddings.parquet",
+                build, f"{SF_DIR}/embeddings.parquet",
+            )
+
+        ann_scale = {}
+        for tag, emb_t in (("1x", _emb_organic(1)), ("100x", _emb_organic(100))):
+            def _ann_build(emb_df=emb_t):
+                cents = _sim.ivf_train_centroids(
+                    emb_df, "embedding", n_centroids=16, seed=42, max_samples=4096,
+                    n_init=2, max_iter=15,
+                )
+                books = _sim.pq_train_codebooks(
+                    emb_df, "embedding", dim=64, num_subvectors=16, num_centroids=16,
+                    seed=42, max_iter=15, max_samples=4096, n_init=2,
+                    residual_centroids=cents,
+                )
+                idx = _sim.pq_encode(
+                    _sim.ivf_assign_buckets(emb_df, cents, "embedding", "vec_id"),
+                    books, "vec", "id", residual_centroids=cents,
+                )
+                return cents, books, idx
+            t0 = time.perf_counter()
+            cents, books, idx = _ann_build()
+            materialize(idx)
+            ann_scale[f"build_{tag}"] = round(time.perf_counter() - t0, 3)
+            idx_m = idx.localCheckpoint()
+            qv = [0.1] * 64
+            ann_scale[f"search_{tag}"] = timed(lambda: materialize(
+                _sim.ivfpq_topk(idx_m, cents, books, qv, k=10, n_probe=4, rerank_r=50)
+            ))
+            idx_m.unpersist()
+        ann_scale["rows_1x"], ann_scale["rows_100x"] = 500, 50000
+        ann_scale["slope_build"] = round(ann_scale["build_100x"] / ann_scale["build_1x"], 2)
+        ann_scale["slope_search"] = round(ann_scale["search_100x"] / ann_scale["search_1x"], 2)
+        result["ann_scale"] = ann_scale
+        pipe_base["ann50k_search"] = ann_scale["search_1x"]
+        sf1_pipe["ann50k_search"] = ann_scale["search_100x"]
         result["sf1"] = {
             "scale": SF1_SCALE,
             "organic": True,
@@ -784,8 +915,14 @@ def main() -> None:
             "documents_rows": docs_o.count(),
             "queries": sf1_timings,
             "pipeline_queries": sf1_pipe,
+            "pipeline_base_1x": pipe_base,
             "pipeline_slope": {
-                k: round(sf1_pipe[k] / timings[k], 2) if timings.get(k) else None for k in sf1_pipe
+                k: (
+                    round(sf1_pipe[k] / base, 2)
+                    if (base := timings.get(k) or pipe_base.get(k))
+                    else None
+                )
+                for k in sf1_pipe
             },
             "total": round(sum(sf1_timings.values()), 3),
         }
@@ -819,6 +956,9 @@ def emit(result: dict, details_path: str | None = None) -> None:
         "sf": result["sf"],
         "details": "bench_details.json",
     }
+    if "canary" in result:
+        # tiny and load-bearing for drift attribution — never dropped
+        compact["canary"] = result["canary"]
     if "slope" in result:
         compact["slope_scale"] = result["slope_scale"]
         # t_1x/t_Nx/slope only; forced variants + notes are in the details file
@@ -839,7 +979,7 @@ def emit(result: dict, details_path: str | None = None) -> None:
     _LINE_BUDGET = 1600  # observed driver tail window ~2000 bytes; stay well under
     # drop optional sections (least essential first) until the line fits;
     # the headline queries dict is never dropped
-    for drop in ((), ("sf1",), ("sf1", "slope")):
+    for drop in ((), ("slope",), ("slope", "sf1")):
         trimmed = {k: v for k, v in compact.items() if k not in drop}
         line = json.dumps(trimmed, separators=(",", ":"))
         if len(line) <= _LINE_BUDGET:

@@ -83,6 +83,9 @@ class DQEngine:
         # micro-batches, repeated runs).  Keyed on (rule_fp, set_fp);
         # engine-level run_id/run_time/user_metadata are fixed per instance.
         self._row_result_cache: dict[tuple, Column] = {}
+        # dataset-rule result structs, keyed (id(rule), set_fp) with the
+        # rule object pinned in the value (id stability) — see _process_rule
+        self._dataset_struct_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------
     # public API
@@ -122,11 +125,6 @@ class DQEngine:
                 if every and n_dataset % every == 0 and not current_df.isStreaming:
                     current_df = current_df.localCheckpoint(eager=False)
 
-        result = current_df.withColumn(self._errors_col, _assemble_results(error_conds)).withColumn(
-            self._warnings_col, _assemble_results(warn_conds)
-        )
-        # temp-column hygiene: restore exactly the original columns + results
-        keep = original_columns + [self._errors_col, self._warnings_col]
         # merge any staged per-row diagnostics (anomaly scores etc.) into the
         # _dq_info array and drop the staging columns (reference
         # engine.py:604, reporting_columns.py:22-52)
@@ -136,6 +134,20 @@ class DQEngine:
             c for c in current_df.columns
             if c.startswith(INFO_COLUMN_PREFIX) and c not in original_columns
         ]
+        if not info_cols:
+            # fast path: one projection instead of withColumn+withColumn+
+            # select — each DataFrame op is a JVM analysis round trip, and
+            # plan construction is the fixed driver cost of small batches
+            return current_df.select(
+                *original_columns,
+                _assemble_results(error_conds).alias(self._errors_col),
+                _assemble_results(warn_conds).alias(self._warnings_col),
+            )
+        result = current_df.withColumn(self._errors_col, _assemble_results(error_conds)).withColumn(
+            self._warnings_col, _assemble_results(warn_conds)
+        )
+        # temp-column hygiene: restore exactly the original columns + results
+        keep = original_columns + [self._errors_col, self._warnings_col]
         if info_cols:
             # multi-pass: a pre-existing _dq_info (array) gets the new
             # elements appended; with no staged columns the input — info
@@ -407,7 +419,15 @@ class DQEngine:
             return self._result_struct(rule, F.lit(skip_reason), set_fp, skipped=True), current_df
 
         if rule.rule_type == "dataset":
-            condition, closure = rule.invoke()
+            # (condition, closure) is memoized on the rule and the wrapped
+            # result struct per (rule object, set_fp): repeated apply_checks
+            # with the same rules (streaming micro-batches, fan-out,
+            # re-runs) then pays only the closure APPLICATION, not the
+            # ~100 py4j calls of expression re-construction.  Keyed on
+            # id(rule) with the rule pinned in the value so the id cannot
+            # be recycled; per-object keys sidestep the fingerprint-
+            # collision caveat that gates the row cache below.
+            condition, closure = rule.invoke_cached()
             # checks like has_valid_schema must see only the original
             # (pre-check) column set (reference engine.py:483-513)
             original_columns = (
@@ -416,7 +436,12 @@ class DQEngine:
                 else None
             )
             new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns, original_df)
-            return self._result_struct(rule, condition, set_fp), new_df
+            struct_key = (id(rule), set_fp)
+            pinned = self._dataset_struct_cache.get(struct_key)
+            if pinned is None:
+                pinned = (rule, self._result_struct(rule, condition, set_fp))
+                self._dataset_struct_cache[struct_key] = pinned
+            return pinned[1], new_df
 
         # id(check_func) guards same-named custom functions with different
         # bodies (fingerprints canonicalize by function NAME).  Rules with

@@ -988,10 +988,13 @@ def has_no_outliers(
             # Exact mode below is two irreducible sequential aggregates
             # (MAD needs deviations FROM the median); this approx estimator
             # exists precisely to collapse them into one job at scale.
+            # one Aggregate: the identical percentile_approx expression is
+            # deduplicated by physical aggregation, so indexing it twice
+            # still computes ONE sketch (and saves a projection round trip)
             q = F.percentile_approx(inp, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-            stats = base.select(q.alias("__q")).select(
-                F.col("__q")[1].alias(med_col),
-                ((F.col("__q")[2] - F.col("__q")[0]) / 2.0).alias(mad_col),
+            stats = base.select(
+                q[1].alias(med_col),
+                ((q[2] - q[0]) / 2.0).alias(mad_col),
             )
         elif approx:
             # approx_estimator='mad': true-MAD semantics at sketch
@@ -1025,7 +1028,8 @@ def has_no_outliers(
                 str_value(hi),
             ),
         )
-        return out.withColumn(msg_col, message).drop(med_col, mad_col)
+        # single projection (withColumn+drop would be two analysis rounds)
+        return out.select(*df.columns, message.alias(msg_col))
 
     return _lift(msg_col, alias), apply
 

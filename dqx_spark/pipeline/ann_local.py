@@ -258,9 +258,40 @@ def ivfpq_topk_local(
     k: int = 10,
     n_probe: int = 5,
     rerank_r: int | None = None,
+    residual: bool = True,
 ) -> list[tuple[int, int]]:
     """Local twin of ``similarity.ivfpq_topk``: same centroid probe ranking
     as ``ivf_topk_local``, then the PQ ADC path over only the surviving
-    rows."""
-    cand = _probe_candidates(rows, centroids, query, n_probe)
-    return pq_topk_local(cand, codebooks, query, k=k, rerank_r=rerank_r)
+    rows.  ``residual=True`` (default, IVFADC) replays the r8 residual
+    path: per-row residual against the assigned cell, residual codes, and
+    the per-cell LUTs from the SHARED ``similarity.residual_luts`` — the
+    codebooks must be residual-trained."""
+    from dqx_spark.pipeline.similarity import _fold_sq_dist, _probe_cells, residual_luts
+
+    if not residual:
+        cand = _probe_candidates(rows, centroids, query, n_probe)
+        return pq_topk_local(cand, codebooks, query, k=k, rerank_r=rerank_r)
+
+    probe = _probe_cells(centroids, query, n_probe)
+    probe_set = set(probe)
+    luts = residual_luts(centroids, codebooks, query, probe)
+    scored = []
+    vec_of = {}
+    for rid, vec in rows:
+        b = assign_bucket_local(vec, centroids)
+        if b not in probe_set:
+            continue
+        resid = [a - c for a, c in zip(vec, centroids[b])]
+        code = pq_encode_local(resid, codebooks)
+        adc = 0.0
+        for s, cd in enumerate(code):
+            adc += luts[b][s][cd]
+        scored.append((rid, adc))
+        vec_of[rid] = vec
+    if rerank_r is None:
+        ordered = sorted(scored, key=lambda t: (t[1], t[0]))[:k]
+        return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
+    cand_ids = {i for i, _ in sorted(scored, key=lambda t: (t[1], t[0]))[: int(rerank_r)]}
+    reranked = [(i, _fold_sq_dist(vec_of[i], query)) for i in cand_ids]
+    ordered = sorted(reranked, key=lambda t: (t[1], t[0]))[:k]
+    return [(i, r + 1) for r, (i, _) in enumerate(ordered)]

@@ -440,13 +440,22 @@ def pq_train_codebooks(
     max_samples: int = 65536,
     n_init: int = 4,
     sample_order_by: str | None = None,
+    residual_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train the per-subspace codebooks on a BOUNDED driver-side sample
     (same FAISS discipline and sampling contract as
     :func:`ivf_train_centroids`): ``codebooks[s][c]`` is centroid ``c`` of
     subspace ``s``, each of length ``dim // num_subvectors``.  Deterministic
     given (data, seed); with ``sample_order_by`` the sample is taken in a
-    portable key order the gate's local-twin oracle reproduces exactly."""
+    portable key order the gate's local-twin oracle reproduces exactly.
+
+    ``residual_centroids`` (r8): pass the IVF coarse centroids to train on
+    RESIDUALS ``x - centroid(cell(x))`` instead of raw vectors — canonical
+    FAISS IVFADC (faiss IndexIVFPQ trains its PQ on residuals by default,
+    ``by_residual``), so the 16 codewords per subspace model the
+    within-cell distribution rather than the global one.  Use the
+    resulting codebooks with ``pq_encode(residual_centroids=...)`` and
+    ``ivfpq_topk(residual=True)``."""
     if dim % num_subvectors:
         raise ValueError(f"dim {dim} not divisible by num_subvectors {num_subvectors}")
     m = dim // num_subvectors
@@ -467,6 +476,8 @@ def pq_train_codebooks(
             .toPandas()["vec"]
         )
     vectors = list(sample)
+    if residual_centroids is not None:
+        vectors = [residual_local(list(v), residual_centroids) for v in vectors]
     return [
         _lloyd_centroids(
             [list(v[s * m : (s + 1) * m]) for v in vectors],
@@ -476,12 +487,48 @@ def pq_train_codebooks(
     ]
 
 
+def residual_local(vec: list[float], centroids: list[list[float]]) -> list[float]:
+    """``x - centroid(cell(x))`` with the cell assigned by the SAME
+    first-wins strict-< argmin the Column expression and the local twin
+    use (``ann_local.assign_bucket_local``) — shared by residual codebook
+    training here and the gate's driver-local IVFADC replay, so both
+    sides see bit-identical residual samples."""
+    from dqx_spark.pipeline.ann_local import assign_bucket_local  # noqa: PLC0415 (cycle guard)
+
+    c = centroids[assign_bucket_local(vec, centroids)]
+    return [a - b for a, b in zip(vec, c)]
+
+
+def residual_luts(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    cells: list[int],
+) -> dict[int, list[list[float]]]:
+    """Per-probed-cell ADC lookup tables for residual (IVFADC) search:
+    ``luts[cell][s][c]`` is the squared distance between subvector ``s``
+    of the query's residual against cell ``cell`` and codeword ``c`` —
+    driver-side arithmetic (n_probe × S × C floats), shared op-for-op by
+    :func:`ivfpq_topk` and ``ann_local.ivfpq_topk_local``."""
+    m = len(codebooks[0][0])
+    luts: dict[int, list[list[float]]] = {}
+    for cell in cells:
+        qres = [a - b for a, b in zip(query, centroids[cell])]
+        luts[cell] = [
+            [_fold_sq_dist(qres[s * m : (s + 1) * m], c) for c in book]
+            for s, book in enumerate(codebooks)
+        ]
+    return luts
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str,
     id_col: str,
     code_col: str = "pq_code",
+    residual_centroids: list[list[float]] | None = None,
+    bucket_col: str = "ivf_bucket",
 ) -> DataFrame:
     """Encode every vector as ``array<int>`` of per-subspace nearest-centroid
     ids — pure Column expressions, no UDF, no shuffle of the corpus.
@@ -495,9 +542,21 @@ def pq_encode(
     C nested layers and blows up Catalyst's converter already at S=8, C=16
     (driver OOM, observed).  The fold order (j ascending within a subvector,
     c ascending across centroids, strict-< first-wins) is exactly what
-    ``ann_local.pq_encode_local`` replays float-op-for-float-op."""
+    ``ann_local.pq_encode_local`` replays float-op-for-float-op.
+
+    ``residual_centroids`` (r8, canonical FAISS IVFADC): encode the
+    RESIDUAL ``x - centroid(bucket)`` instead of the raw vector — ``df``
+    must then carry ``bucket_col`` (from :func:`ivf_assign_buckets`, which
+    is passed through to the output).  The residual is materialized ONCE
+    per row in a staging projection (CollapseProject keeps the non-cheap
+    zip_with out of the S·C·m element accesses), so residual encode costs
+    one extra d-element subtraction per row, not per distance term."""
     m = len(codebooks[0][0])
     num_s, num_c = len(codebooks), len(codebooks[0])
+    if residual_centroids is not None and bucket_col not in df.columns:
+        raise ValueError(
+            f"residual encoding needs {bucket_col!r} on the input (run ivf_assign_buckets first)"
+        )
     vec = F.col(vec_col).cast("array<double>")
     cb_df = df.sparkSession.createDataFrame(
         [([[list(map(float, c)) for c in book] for book in codebooks],)],
@@ -505,23 +564,23 @@ def pq_encode(
     )
     cb = F.col("__pq_cb")
 
-    def sub_dist(s: Column, c: Column) -> Column:
+    def sub_dist(src: Column, s: Column, c: Column) -> Column:
         cent = F.element_at(F.element_at(cb, s + 1), c + 1)
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(m)),
             F.lit(0.0),
             lambda acc, j: acc
-            + (F.element_at(vec, s * m + j) - F.element_at(cent, j))
-            * (F.element_at(vec, s * m + j) - F.element_at(cent, j)),
+            + (F.element_at(src, s * m + j) - F.element_at(cent, j))
+            * (F.element_at(src, s * m + j) - F.element_at(cent, j)),
         )
 
-    def argmin(s: Column) -> Column:
+    def argmin(src: Column, s: Column) -> Column:
         # distances materialize ONCE into an array (transform), then the
         # argmin folds over that array carrying an index counter — folding
         # sub_dist directly would evaluate each m-element distance fold
         # twice per centroid (once in the when-condition, once in the
         # struct value), doubling the corpus-wide encode work
-        dists = F.transform(F.sequence(F.lit(0), F.lit(num_c - 1)), lambda c: sub_dist(s, c))
+        dists = F.transform(F.sequence(F.lit(0), F.lit(num_c - 1)), lambda c: sub_dist(src, s, c))
         folded = F.aggregate(
             dists,
             F.struct(
@@ -537,11 +596,19 @@ def pq_encode(
         )
         return folded.getField("best")
 
-    codes = F.transform(F.sequence(F.lit(0), F.lit(num_s - 1)), argmin)
-    return (
-        df.crossJoin(F.broadcast(cb_df))
-        .select(F.col(id_col).alias("id"), vec.alias("vec"), codes.alias(code_col))
+    joined = df.crossJoin(F.broadcast(cb_df))
+    if residual_centroids is None:
+        codes = F.transform(F.sequence(F.lit(0), F.lit(num_s - 1)), lambda s: argmin(vec, s))
+        return joined.select(F.col(id_col).alias("id"), vec.alias("vec"), codes.alias(code_col))
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in residual_centroids])
+    resid = F.zip_with(vec, F.element_at(cent_lit, F.col(bucket_col) + 1), lambda a, b: a - b)
+    staged = joined.select(
+        F.col(id_col).alias("id"), vec.alias("vec"), F.col(bucket_col),
+        resid.alias("__enc_in"), cb,
     )
+    enc = F.col("__enc_in")
+    codes = F.transform(F.sequence(F.lit(0), F.lit(num_s - 1)), lambda s: argmin(enc, s))
+    return staged.select("id", "vec", bucket_col, codes.alias(code_col))
 
 
 def pq_topk(
@@ -616,6 +683,7 @@ def ivfpq_topk(
     n_probe: int = 5,
     code_col: str = "pq_code",
     rerank_r: int | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """The composed FAISS ``IVFx,PQy`` search: prune to the ``n_probe``
     nearest IVF cells, then rank the surviving codes by ADC without
@@ -623,6 +691,18 @@ def ivfpq_topk(
     ``indexed`` must carry both ``ivf_bucket`` (:func:`ivf_assign_buckets`)
     and ``code_col`` (:func:`pq_encode` — join or compose the two, both
     preserve ``id``/``vec``).
+
+    ``residual=True`` (default; r8) is canonical FAISS IVFADC: the codes
+    must be RESIDUAL codes (``pq_encode(residual_centroids=...)`` against
+    codebooks trained with ``pq_train_codebooks(residual_centroids=...)``)
+    and the ADC lookup table is built per probed cell from the QUERY's
+    residual against that cell (:func:`residual_luts` — n_probe × S × C
+    driver floats riding the expression as a map literal keyed by
+    ``ivf_bucket``).  Spending the 16 codewords per subspace on the
+    within-cell residual distribution instead of the global one is the
+    standard billion-scale accuracy win (recall@10 floor 0.85 vs 0.7
+    non-residual on the driver embeddings).  ``residual=False`` scans
+    raw-vector codes with the single global LUT (:func:`pq_topk`).
 
     As shipped the cell prune is a FILTER over the scan (the isin predicate
     pushes to the source); to get true partition pruning at scale,
@@ -633,4 +713,37 @@ def ivfpq_topk(
     is the standard billion-scale layout."""
     probe = _probe_cells(centroids, query, n_probe)
     cand = indexed.where(F.col("ivf_bucket").isin(*probe))
-    return pq_topk(cand, codebooks, query, k=k, code_col=code_col, rerank_r=rerank_r)
+    if not residual:
+        return pq_topk(cand, codebooks, query, k=k, code_col=code_col, rerank_r=rerank_r)
+
+    luts = residual_luts(centroids, codebooks, query, probe)
+    lut_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in probe]),
+        F.array(*[
+            F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts[c]]) for c in probe
+        ]),
+    )
+    lut_col = F.element_at(lut_map, F.col("ivf_bucket"))
+    code = F.col(code_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(lut_col, s + 1), F.element_at(code, s + 1) + 1),
+    )
+
+    def ranked(scored: DataFrame, dist_col: str, limit: int) -> DataFrame:
+        top = scored.orderBy(F.col(dist_col).asc(), F.col("id").asc()).limit(limit)
+        w = Window.orderBy(F.col(dist_col).asc(), F.col("id").asc())
+        return top.withColumn("rank", F.row_number().over(w))
+
+    if rerank_r is None:
+        return ranked(cand.select("id", adc.alias("dist")), "dist", k).select("id", "rank", "dist")
+    rcand = ranked(cand.select("id", "vec", adc.alias("adc")), "adc", int(rerank_r))
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    exact = F.aggregate(
+        F.zip_with(F.col("vec"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return ranked(rcand.select("id", exact.alias("dist")), "dist", k).select("id", "rank", "dist")

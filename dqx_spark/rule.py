@@ -147,6 +147,21 @@ class DQRule:
     def invoke(self):
         return self.check_func(*self.check_func_args, **self.prepare_kwargs())
 
+    def invoke_cached(self):
+        """``invoke()`` memoized per instance (frozen dataclass => the
+        definition cannot change, so the factory output is the rule's
+        expression).  Dataset-check factories mint unique temp-column
+        suffixes per call; memoizing makes the suffix stable per rule
+        object, which is what lets the engine reuse the (condition,
+        closure) pair across repeated ``apply_checks`` calls — the
+        streaming micro-batch and multi-table fan-out hot path, where
+        plan-construction py4j round-trips dominate driver time."""
+        cached = self.__dict__.get("_invoke_cache")
+        if cached is None:
+            cached = self.invoke()
+            object.__setattr__(self, "_invoke_cache", cached)
+        return cached
+
     @property
     def columns_as_strings(self) -> list[str]:
         cols = self.columns if self.columns is not None else ([self.column] if self.column is not None else [])

@@ -1266,22 +1266,46 @@ def test_pq_local_twin_matches_spark_and_recall(spark):
         for r in similarity.pq_topk(encoded, books, query, k=10, rerank_r=50).orderBy("rank").collect()
     ]
     assert ann_local.pq_topk_local(rows, books, query, k=10, rerank_r=50) == spark_pq_rr
-    # composed IVFPQ: cell pruning then code scan, twin replayed end-to-end
+    # composed IVFPQ (r8: canonical IVFADC — residual-trained codebooks,
+    # residual codes, per-cell query-residual LUTs), twin replayed
+    # end-to-end; the legacy raw-code composition stays reachable via
+    # residual=False and keeps its own (weaker) parity assertion
     centroids = similarity.ivf_train_centroids(
         df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
     )
-    both = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id").join(
-        encoded.select("id", "pq_code"), "id"
+    indexed = similarity.ivf_assign_buckets(df, centroids, "embedding", "vec_id")
+    books_res = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16,
+        seed=42, max_iter=25, n_init=4, sample_order_by="vec_id",
+        residual_centroids=centroids,
     )
+    encoded_res = similarity.pq_encode(
+        indexed, books_res, "vec", "id", residual_centroids=centroids
+    )
+    # residual codes themselves replay bit-exactly
+    res_codes = {r["id"]: list(r["pq_code"]) for r in encoded_res.collect()}
+    for rid, vec in rows:
+        resid = similarity.residual_local(vec, centroids)
+        assert ann_local.pq_encode_local(resid, books_res) == res_codes[rid]
     spark_ivfpq = [
         (r["id"], r["rank"])
         for r in similarity.ivfpq_topk(
-            both, centroids, books, query, k=10, n_probe=6, rerank_r=50
+            encoded_res, centroids, books_res, query, k=10, n_probe=6, rerank_r=50
         ).orderBy("rank").collect()
     ]
     assert ann_local.ivfpq_topk_local(
-        rows, centroids, books, query, k=10, n_probe=6, rerank_r=50
+        rows, centroids, books_res, query, k=10, n_probe=6, rerank_r=50
     ) == spark_ivfpq
+    both_raw = indexed.join(encoded.select("id", "pq_code"), "id")
+    spark_ivfpq_raw = [
+        (r["id"], r["rank"])
+        for r in similarity.ivfpq_topk(
+            both_raw, centroids, books, query, k=10, n_probe=6, rerank_r=50, residual=False
+        ).orderBy("rank").collect()
+    ]
+    assert ann_local.ivfpq_topk_local(
+        rows, centroids, books, query, k=10, n_probe=6, rerank_r=50, residual=False
+    ) == spark_ivfpq_raw
 
     # recall vs exact L2 (driver-side ground truth over the 500 rows)
     def l2(a, b):
@@ -1295,8 +1319,10 @@ def test_pq_local_twin_matches_spark_and_recall(spark):
     assert recall_rr >= 0.8, f"PQ ADC+rerank recall@10 {recall_rr} below floor"
     # the composed index loses at most the IVF pruning's recall on top of
     # PQ+rerank — floor it too so a both-sides-consistent quality
-    # regression (which parity cannot catch) still fails a test
-    assert recall_ivfpq >= 0.7, f"IVFPQ recall@10 {recall_ivfpq} below floor"
+    # regression (which parity cannot catch) still fails a test.
+    # r8: residual encoding (IVFADC) raised the floor 0.7 -> 0.85 — the
+    # codewords now model the within-cell distribution (VERDICT r7 item 3)
+    assert recall_ivfpq >= 0.85, f"IVFADC recall@10 {recall_ivfpq} below floor"
 
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_train_codebooks(df, "embedding", dim=64, num_subvectors=7)
