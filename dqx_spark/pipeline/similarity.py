@@ -203,23 +203,46 @@ def ivf_assign_buckets(
     a first-wins argmin — the standard add-new-data-to-an-existing-IVF-index
     operation.  Returns (id, vec, ivf_bucket), the same contract as
     :func:`ivf_build_index`'s indexed frame, so ``ivf_topk`` works on
-    either.  Centroid count is small by construction; the when-chain stays
-    bounded."""
+    either.
+
+    r8: the argmin materializes the distances ONCE into an array and folds
+    a (best, best_d) struct over the INDICES — a LINEAR-size expression
+    tree.  The previous nested when-chain embedded each prior ``best_d``
+    twice per step (condition + else), an expression tree EXPONENTIAL in
+    centroid count: fine at 8 cells, pathological at 16 × dim 64 (observed
+    multi-minute tasks).  Semantics are unchanged bit-for-bit — strict-<
+    first-wins, accumulator seeded from ``dists[0]`` (so a NaN first
+    distance keeps bucket 0, matching ``ann_local.assign_bucket_local``'s
+    None-seeded loop)."""
     vec = F.col(vec_col).cast("array<double>")
-    dists = [
+    dists = F.array(*[
         F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         for c in centroids
-    ]
-    best = F.lit(0)
-    best_d = dists[0]
-    for i in range(1, len(centroids)):
-        is_better = dists[i] < best_d
-        best = F.when(is_better, F.lit(i)).otherwise(best)
-        best_d = F.when(is_better, dists[i]).otherwise(best_d)
+    ])
+    # fold OVER the distance array (aggregate evaluates its input array
+    # once) with an index counter — folding over indices and re-indexing
+    # the array would re-evaluate all n distances per step (O(n²))
+    folded = F.aggregate(
+        dists,
+        F.struct(F.lit(0).alias("i"), F.lit(0).alias("best"), F.lit(0.0).alias("bd")),
+        lambda acc, d: F.when(
+            acc.getField("i") == 0,
+            F.struct(F.lit(1).alias("i"), F.lit(0).alias("best"), d.alias("bd")),
+        ).otherwise(
+            F.struct(
+                (acc.getField("i") + 1).alias("i"),
+                F.when(d < acc.getField("bd"), acc.getField("i"))
+                .otherwise(acc.getField("best"))
+                .alias("best"),
+                F.when(d < acc.getField("bd"), d).otherwise(acc.getField("bd")).alias("bd"),
+            )
+        ),
+    )
+    best = folded.getField("best")
     return df.select(F.col(id_col).alias("id"), vec.alias("vec"), best.alias("ivf_bucket"))
 
 

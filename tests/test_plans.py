@@ -431,3 +431,43 @@ def test_readability_and_c4_are_scan_local(spark):
     assert "Exchange" not in p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in p
+
+
+def test_residual_pq_encode_and_ivfadc_plan_shape(spark):
+    """r8: residual (IVFADC) encode must keep the pq_encode contract —
+    corpus scan + 1-row codebook broadcast + HOF argmin, no Python
+    boundary, no corpus shuffle — with the residual staged as ONE extra
+    projection (not inlined into every distance term); and the residual
+    ivfpq search must stay a filtered scan + per-cell LUT map literal
+    (no join at all for the ADC pass, TakeOrdered for the top-k)."""
+    from dqx_spark.pipeline import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), float(i % 7), float(i % 2)]) for i in range(20)],
+        "id long, vec array<double>",
+    )
+    cents = [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]]
+    books = [[[0.0, 0.0], [1.0, 2.0]], [[0.0, 1.0], [3.0, 0.0]]]
+    indexed = similarity.ivf_assign_buckets(df, cents, "vec", "id")
+    encoded = similarity.pq_encode(indexed, books, "vec", "id", residual_centroids=cents)
+    p = plan_of(encoded)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p, f"residual encode must stay JVM-side, found {marker}"
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) (\w+)", p)
+    assert bnlj == [("BuildRight", "Cross")] or bnlj == [("Cross", "BuildRight")], p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 0
+    # the staged residual survives as its own projection column: zip_with
+    # appears in the plan a bounded number of times (the staging projection
+    # and its pass-through), NOT once per of the S*C distance terms
+    assert 1 <= p.count("zip_with") <= 4, f"residual inlined {p.count('zip_with')} times"
+
+    search = similarity.ivfpq_topk(
+        encoded.localCheckpoint(), cents, books, [0.5, 0.5, 0.5, 0.5],
+        k=3, n_probe=1, rerank_r=None,
+    )
+    ps = plan_of(search)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in ps
+    assert "Join" not in ps, "residual ADC must ride a map literal, not a join"
+    assert "TakeOrderedAndProject" in ps
