@@ -84,8 +84,14 @@ class DQEngine:
         # engine-level run_id/run_time/user_metadata are fixed per instance.
         self._row_result_cache: dict[tuple, Column] = {}
         # dataset-rule result structs, keyed (id(rule), set_fp) with the
-        # rule object pinned in the value (id stability) — see _process_rule
+        # rule object pinned in the value (id stability) — see _process_rule.
+        # Bounded: workloads that mint NEW rule objects per apply (e.g.
+        # apply_checks_by_metadata in a foreachBatch loop deserializes fresh
+        # rules every micro-batch) would otherwise grow this monotonically
+        # with zero hits; on overflow the oldest half is evicted (dict
+        # preserves insertion order), un-pinning those rules for GC.
         self._dataset_struct_cache: dict[tuple, tuple] = {}
+        self._dataset_struct_cache_max = 1024
 
     # ------------------------------------------------------------------
     # public API
@@ -115,8 +121,20 @@ class DQEngine:
         n_dataset = 0
         # Thread current_df through rules so later rules see earlier rules'
         # hidden condition columns (reference engine.py:568-591).
+        # The SAME rule object listed twice contributes its first condition
+        # again without re-running the closure: since r8 the (condition,
+        # closure) pair is memoized per instance, so a second closure
+        # application would re-emit the same temp message column (ambiguous
+        # reference); the duplicate's result is identical by construction.
+        seen_in_pass: dict[int, Column] = {}
         for rule, sink in [(r, error_conds) for r in error_rules] + [(r, warn_conds) for r in warn_rules]:
+            if id(rule) in seen_in_pass:
+                prior = seen_in_pass[id(rule)]
+                if prior is not None:
+                    sink.append(prior)
+                continue
             cond, current_df = self._process_rule(rule, current_df, df, spark, ref_dfs, set_fp)
+            seen_in_pass[id(rule)] = cond
             if cond is not None:
                 sink.append(cond)
             if rule.rule_type == "dataset":
@@ -146,15 +164,14 @@ class DQEngine:
         result = current_df.withColumn(self._errors_col, _assemble_results(error_conds)).withColumn(
             self._warnings_col, _assemble_results(warn_conds)
         )
-        # temp-column hygiene: restore exactly the original columns + results
+        # temp-column hygiene: restore exactly the original columns + results.
+        # Multi-pass: a pre-existing _dq_info (array) gets the new elements
+        # appended (info_cols is non-empty here — the empty case returned
+        # above).
         keep = original_columns + [self._errors_col, self._warnings_col]
-        if info_cols:
-            # multi-pass: a pre-existing _dq_info (array) gets the new
-            # elements appended; with no staged columns the input — info
-            # column or not — passes through untouched
-            result = merge_info_columns(self._info_col, result, info_cols)
-            if self._info_col not in keep:
-                keep.append(self._info_col)
+        result = merge_info_columns(self._info_col, result, info_cols)
+        if self._info_col not in keep:
+            keep.append(self._info_col)
         return result.select(*keep)
 
     def apply_checks_and_split(
@@ -439,6 +456,9 @@ class DQEngine:
             struct_key = (id(rule), set_fp)
             pinned = self._dataset_struct_cache.get(struct_key)
             if pinned is None:
+                if len(self._dataset_struct_cache) >= self._dataset_struct_cache_max:
+                    for stale in list(self._dataset_struct_cache)[: self._dataset_struct_cache_max // 2]:
+                        del self._dataset_struct_cache[stale]
                 pinned = (rule, self._result_struct(rule, condition, set_fp))
                 self._dataset_struct_cache[struct_key] = pinned
             return pinned[1], new_df

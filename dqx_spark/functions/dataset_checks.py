@@ -298,7 +298,13 @@ def sql_query(
         source_df: DataFrame | None = None,
     ) -> DataFrame:
         base = source_df if source_df is not None else df
-        view = f"__dq_input_{sfx}"
+        # view names are minted PER APPLICATION (not per factory call): the
+        # engine memoizes (condition, closure) per rule instance (r8), so a
+        # factory-scoped name would be shared by every apply of this rule —
+        # two concurrent apply_checks over different tables would then race
+        # on createOrReplaceTempView and could validate the wrong table
+        view_sfx = unique_suffix()
+        view = f"__dq_input_{view_sfx}"
         base.createOrReplaceTempView(view)
         text = query
         # the legacy '{{ input }}' / '{{ input_view }}' aliases are only
@@ -311,7 +317,7 @@ def sql_query(
                 continue
             text = text.replace("{{ " + ph + " }}", view).replace("{{" + ph + "}}", view)
         for ref_name, ref_df in (ref_dfs or {}).items():
-            ref_view = f"__dq_ref_{ref_name}_{sfx}"
+            ref_view = f"__dq_ref_{ref_name}_{view_sfx}"
             ref_df.createOrReplaceTempView(ref_view)
             text = text.replace("{{ " + ref_name + " }}", ref_view).replace("{{" + ref_name + "}}", ref_view)
         result = spark.sql(text)

@@ -401,8 +401,12 @@ def _normalize_datetime_format(fmt: str | None) -> str | None:
         i += 1
     quotes_balanced = not in_quote
     if any_directive:
-        if not unquoted_directive and quotes_balanced:
-            return fmt  # Java pattern with a %X inside a quoted literal
+        # pass through ONLY a fully legal Java pattern: directives confined
+        # to balanced quoted runs AND no bare unquoted '%' anywhere (a bare
+        # unquoted '%' is valid in neither convention and must fall through
+        # to the tokenizer's loud build-time rejection)
+        if not unquoted_directive and quotes_balanced and not has_unquoted_percent:
+            return fmt
     elif not has_unquoted_percent:
         return fmt
     out: list[str] = []

@@ -240,11 +240,26 @@ def pq_topk_local(
         for s, c in enumerate(code):
             adc += lut[s][c]
         scored.append((rid, adc))
+    return _rank_and_rerank(scored, dict(rows), query, k, rerank_r)
+
+
+def _rank_and_rerank(
+    scored: list[tuple[int, float]],
+    vec_of: dict[int, list[float]],
+    query: list[float],
+    k: int,
+    rerank_r: int | None,
+) -> list[tuple[int, int]]:
+    """Local twin of ``similarity._adc_rank_and_rerank``: (dist asc, id asc)
+    ordering with optional exact top-R rerank — the ONE rank/tiebreak
+    convention, shared by ``pq_topk_local`` and ``ivfpq_topk_local`` so the
+    parity-critical contract has a single copy."""
+    from dqx_spark.pipeline.similarity import _fold_sq_dist
+
     if rerank_r is None:
         ordered = sorted(scored, key=lambda t: (t[1], t[0]))[:k]
         return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
     cand = {i for i, _ in sorted(scored, key=lambda t: (t[1], t[0]))[: int(rerank_r)]}
-    vec_of = dict(rows)
     reranked = [(i, _fold_sq_dist(vec_of[i], query)) for i in cand]
     ordered = sorted(reranked, key=lambda t: (t[1], t[0]))[:k]
     return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
@@ -266,7 +281,7 @@ def ivfpq_topk_local(
     path: per-row residual against the assigned cell, residual codes, and
     the per-cell LUTs from the SHARED ``similarity.residual_luts`` — the
     codebooks must be residual-trained."""
-    from dqx_spark.pipeline.similarity import _fold_sq_dist, _probe_cells, residual_luts
+    from dqx_spark.pipeline.similarity import _probe_cells, residual_luts
 
     if not residual:
         cand = _probe_candidates(rows, centroids, query, n_probe)
@@ -288,10 +303,4 @@ def ivfpq_topk_local(
             adc += luts[b][s][cd]
         scored.append((rid, adc))
         vec_of[rid] = vec
-    if rerank_r is None:
-        ordered = sorted(scored, key=lambda t: (t[1], t[0]))[:k]
-        return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
-    cand_ids = {i for i, _ in sorted(scored, key=lambda t: (t[1], t[0]))[: int(rerank_r)]}
-    reranked = [(i, _fold_sq_dist(vec_of[i], query)) for i in cand_ids]
-    ordered = sorted(reranked, key=lambda t: (t[1], t[0]))[:k]
-    return [(i, r + 1) for r, (i, _) in enumerate(ordered)]
+    return _rank_and_rerank(scored, vec_of, query, k, rerank_r)

@@ -211,9 +211,13 @@ def ivf_assign_buckets(
     twice per step (condition + else), an expression tree EXPONENTIAL in
     centroid count: fine at 8 cells, pathological at 16 × dim 64 (observed
     multi-minute tasks).  Semantics are unchanged bit-for-bit — strict-<
-    first-wins, accumulator seeded from ``dists[0]`` (so a NaN first
-    distance keeps bucket 0, matching ``ann_local.assign_bucket_local``'s
-    None-seeded loop)."""
+    first-wins, accumulator seeded from ``dists[0]``.  NaN note: all n
+    distances share the same ``vec``, so a NaN component makes EVERY
+    distance NaN (finite centroids) — ``NaN < NaN`` is false on both
+    engines and bucket 0 survives, matching
+    ``ann_local.assign_bucket_local``'s None-seeded loop; a mixed
+    NaN/finite distance vector (where Spark's NaN-is-largest ordering
+    could diverge from Python) cannot arise from this function's inputs."""
     vec = F.col(vec_col).cast("array<double>")
     dists = F.array(*[
         F.aggregate(
@@ -670,22 +674,39 @@ def pq_topk(
         lambda acc, s: acc
         + F.element_at(F.element_at(lut_col, s + 1), F.element_at(code, s + 1) + 1),
     )
+    return _adc_rank_and_rerank(encoded, adc, query, k, rerank_r)
 
-    def ranked(scored: DataFrame, dist_col: str, limit: int) -> DataFrame:
-        top = scored.orderBy(F.col(dist_col).asc(), F.col("id").asc()).limit(limit)
-        w = Window.orderBy(F.col(dist_col).asc(), F.col("id").asc())
-        return top.withColumn("rank", F.row_number().over(w))
 
+def _dist_ranked(scored: DataFrame, dist_col: str, limit: int) -> DataFrame:
+    """(dist asc, id asc) top-``limit`` with a dense 1-based rank — the ONE
+    ranking/tiebreak convention of the PQ family, shared by :func:`pq_topk`
+    and :func:`ivfpq_topk` and replayed by the ``ann_local`` twins."""
+    top = scored.orderBy(F.col(dist_col).asc(), F.col("id").asc()).limit(limit)
+    w = Window.orderBy(F.col(dist_col).asc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _adc_rank_and_rerank(
+    encoded: DataFrame, adc: Column, query: list[float], k: int, rerank_r: int | None
+) -> DataFrame:
+    """Rank by the given ADC expression; with ``rerank_r``, exact-rerank the
+    ADC top-R by left-fold squared L2 on the raw vectors — the shared tail
+    of :func:`pq_topk` (global LUT) and :func:`ivfpq_topk` (per-cell
+    residual LUTs)."""
     if rerank_r is None:
-        return ranked(encoded.select("id", adc.alias("dist")), "dist", k).select("id", "rank", "dist")
-    cand = ranked(encoded.select("id", "vec", adc.alias("adc")), "adc", int(rerank_r))
+        return _dist_ranked(encoded.select("id", adc.alias("dist")), "dist", k).select(
+            "id", "rank", "dist"
+        )
+    cand = _dist_ranked(encoded.select("id", "vec", adc.alias("adc")), "adc", int(rerank_r))
     qlit = F.array(*[F.lit(float(x)) for x in query])
     exact = F.aggregate(
         F.zip_with(F.col("vec"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return ranked(cand.select("id", exact.alias("dist")), "dist", k).select("id", "rank", "dist")
+    return _dist_ranked(cand.select("id", exact.alias("dist")), "dist", k).select(
+        "id", "rank", "dist"
+    )
 
 
 def _fold_sq_dist(a: list[float], b: list[float]) -> float:
@@ -714,6 +735,12 @@ def ivfpq_topk(
     ``indexed`` must carry both ``ivf_bucket`` (:func:`ivf_assign_buckets`)
     and ``code_col`` (:func:`pq_encode` — join or compose the two, both
     preserve ``id``/``vec``).
+
+    BREAKING (0.8.0): ``residual`` defaults to True and changes what the
+    codes/codebooks must be — r7-era callers holding RAW codes must pass
+    ``residual=False`` or re-encode; raw codes under the residual LUTs are
+    shape-compatible but meaningless (recall silently collapses — the
+    mismatch is not mechanically detectable, so it is a versioned contract).
 
     ``residual=True`` (default; r8) is canonical FAISS IVFADC: the codes
     must be RESIDUAL codes (``pq_encode(residual_centroids=...)`` against
@@ -754,19 +781,4 @@ def ivfpq_topk(
         lambda acc, s: acc
         + F.element_at(F.element_at(lut_col, s + 1), F.element_at(code, s + 1) + 1),
     )
-
-    def ranked(scored: DataFrame, dist_col: str, limit: int) -> DataFrame:
-        top = scored.orderBy(F.col(dist_col).asc(), F.col("id").asc()).limit(limit)
-        w = Window.orderBy(F.col(dist_col).asc(), F.col("id").asc())
-        return top.withColumn("rank", F.row_number().over(w))
-
-    if rerank_r is None:
-        return ranked(cand.select("id", adc.alias("dist")), "dist", k).select("id", "rank", "dist")
-    rcand = ranked(cand.select("id", "vec", adc.alias("adc")), "adc", int(rerank_r))
-    qlit = F.array(*[F.lit(float(x)) for x in query])
-    exact = F.aggregate(
-        F.zip_with(F.col("vec"), qlit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return ranked(rcand.select("id", exact.alias("dist")), "dist", k).select("id", "rank", "dist")
+    return _adc_rank_and_rerank(cand, adc, query, k, rerank_r)

@@ -85,3 +85,71 @@ def test_wheel_walk_sorts_dirnames():
     with open(os.path.join(os.path.dirname(__file__), "..", "scripts", "build_wheel.py")) as fh:
         src = fh.read()
     assert "dirnames[:] = sorted(" in src
+
+
+# ---------------------------------------------------------------------------
+# r8 self-review regression tests (second review pass)
+# ---------------------------------------------------------------------------
+def test_bare_unquoted_percent_rejected_even_with_quoted_directive():
+    import pytest as _pytest
+
+    from dqx_spark.errors import InvalidParameterError
+
+    # a quoted directive must not smuggle a bare unquoted '%' past the
+    # build-time rejection
+    with _pytest.raises(InvalidParameterError, match="strftime"):
+        _normalize_datetime_format("'%H' HH 50%")
+
+
+def test_duplicate_rule_object_in_one_list(spark):
+    """The same DQDatasetRule OBJECT listed twice must produce two
+    identical result entries, not an ambiguous-reference crash (the r8
+    invoke memoization shares one temp message column between them)."""
+    from pyspark.sql import functions as F
+
+    import dqx_spark.functions as C
+    from dqx_spark import DQDatasetRule, DQEngine
+    from dqx_spark.engine import ExtraParams
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)] + [(99, 1e9)], "id long, v double")
+    e = DQEngine(extra_params=ExtraParams(run_time_overwrite="2024-06-01 00:00:00"))
+    rule = DQDatasetRule(check_func=C.has_no_outliers, column="v")
+    out = e.apply_checks(df, [rule, rule])
+    bad = out.where(F.col("_errors").isNotNull()).select("id", F.size("_errors").alias("n")).collect()
+    assert {r["id"] for r in bad} == {99}
+    assert all(r["n"] == 2 for r in bad)  # both listings report
+
+
+def test_sql_query_rule_reuse_across_tables(spark):
+    """One sql_query rule object applied to two different tables must
+    validate each table's own data (the temp view is minted per
+    application, not frozen per rule — r8 review finding #1)."""
+    from pyspark.sql import functions as F
+
+    import dqx_spark.functions as C
+    from dqx_spark import DQDatasetRule, DQEngine
+    from dqx_spark.engine import ExtraParams
+
+    e = DQEngine(extra_params=ExtraParams(run_time_overwrite="2024-06-01 00:00:00"))
+    rule = [DQDatasetRule(check_func=C.sql_query, check_func_kwargs={
+        "query": "SELECT id, v > 100 AS condition FROM {{ input }}",
+        "merge_columns": ["id"], "condition_column": "condition"})]
+    a = spark.createDataFrame([(1, 1.0), (2, 200.0)], "id long, v double")
+    b = spark.createDataFrame([(1, 500.0), (2, 5.0)], "id long, v double")
+    bad_a = {r["id"] for r in e.apply_checks(a, rule).where(F.col("_errors").isNotNull()).collect()}
+    bad_b = {r["id"] for r in e.apply_checks(b, rule).where(F.col("_errors").isNotNull()).collect()}
+    assert bad_a == {2} and bad_b == {1}
+
+
+def test_dataset_struct_cache_is_bounded(spark):
+    import dqx_spark.functions as C
+    from dqx_spark import DQDatasetRule, DQEngine
+    from dqx_spark.engine import ExtraParams
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    e = DQEngine(extra_params=ExtraParams(run_time_overwrite="2024-06-01 00:00:00"))
+    e._dataset_struct_cache_max = 8
+    for _ in range(20):  # fresh rule objects each pass, like by-metadata loops
+        e.apply_checks(df, [DQDatasetRule(check_func=C.is_aggr_not_greater_than, column="v",
+                                          check_func_kwargs={"limit": 1e9, "aggr_type": "sum"})])
+    assert len(e._dataset_struct_cache) <= 8
