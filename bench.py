@@ -811,9 +811,11 @@ def main() -> None:
             ev_docs_o, "text", n=5, num_bits=1 << 20, num_hashes=5
         ))
 
-        # ANN end-to-end at 50k organic vectors (the 500-row embeddings
-        # table caps what the slope section can say about the ANN family):
-        # 100 key-shifted copies with per-element hash-seeded jitter, so the
+        # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
+        # table caps what the slope section can say about the ANN family;
+        # row counts are MEASURED — the source size varies by testdata
+        # vintage, 500 at sf0.01 vs 2000 at the current sf0.1): 100
+        # key-shifted copies with per-vector hash-seeded jitter, so the
         # vectors are distinct and organically spread.  'build' is the
         # distributed index build (IVF assign + residual PQ encode; centroid
         # /codebook training is the bounded-sample driver fit, timed within);
@@ -841,6 +843,7 @@ def main() -> None:
 
         ann_scale = {}
         for tag, emb_t in (("1x", _emb_organic(1)), ("100x", _emb_organic(100))):
+            ann_scale[f"rows_{tag}"] = emb_t.count()
             def _ann_build(emb_df=emb_t):
                 cents = _sim.ivf_train_centroids(
                     emb_df, "embedding", n_centroids=16, seed=42, max_samples=4096,
@@ -866,12 +869,11 @@ def main() -> None:
                 _sim.ivfpq_topk(idx_m, cents, books, qv, k=10, n_probe=4, rerank_r=50)
             ))
             idx_m.unpersist()
-        ann_scale["rows_1x"], ann_scale["rows_100x"] = 500, 50000
         ann_scale["slope_build"] = round(ann_scale["build_100x"] / ann_scale["build_1x"], 2)
         ann_scale["slope_search"] = round(ann_scale["search_100x"] / ann_scale["search_1x"], 2)
         result["ann_scale"] = ann_scale
-        pipe_base["ann50k"] = ann_scale["search_1x"]
-        sf1_pipe["ann50k"] = ann_scale["search_100x"]
+        pipe_base["annx100"] = ann_scale["search_1x"]
+        sf1_pipe["annx100"] = ann_scale["search_100x"]
         result["sf1"] = {
             "scale": SF1_SCALE,
             "organic": True,
