@@ -631,6 +631,14 @@ def main() -> None:
                 "exact for symmetric distributions); r8 fused the stats+result "
                 "projections and caches rule expression construction"
             ),
+            # r8 chase of the r7 +0.71s dedup_minhash_pairs drift (VERDICT
+            # r7 item 4): quiet reruns give 1.44-2.12s tracking the scan
+            # canary; no code or plan change since r6 — box drift, with the
+            # canary now recorded so next round can attribute it directly.
+            "dedup_minhash_drift": (
+                "r7's 2.474s did not reproduce: quiet reruns 1.44-2.12s track the "
+                "scan canary; banding-shuffle plan unchanged since r6 — box drift"
+            ),
             "canary_drift": (
                 f"no-op floors this run: scan {canary['scan']}s, empty-engine "
                 f"{canary['engine']}s. Compare across rounds: canary shift = box "

@@ -471,3 +471,25 @@ def test_residual_pq_encode_and_ivfadc_plan_shape(spark):
         assert marker not in ps
     assert "Join" not in ps, "residual ADC must ride a map literal, not a join"
     assert "TakeOrderedAndProject" in ps
+
+
+def test_ivf_assign_argmin_tree_is_linear_in_centroids(spark):
+    """r8: the assign argmin folds over a once-evaluated distance array —
+    the plan must contain exactly one distance subtree per centroid (the
+    old nested when-chain embedded each prior best_d twice per step, an
+    expression tree exponential in centroid count that stalled tasks at
+    16 cells x dim 64)."""
+    from dqx_spark.pipeline import similarity
+
+    dim, nc = 8, 16
+    df = spark.createDataFrame(
+        [(i, [float((i * j) % 5) for j in range(dim)]) for i in range(10)],
+        "id long, vec array<double>",
+    )
+    cents = [[float((c + j) % 3) for j in range(dim)] for c in range(nc)]
+    p = plan_of(similarity.ivf_assign_buckets(df, cents, "vec", "id"))
+    # one zip_with distance per centroid, evaluated once inside the array —
+    # an exponential re-nesting or per-step re-indexing would multiply this
+    assert p.count("zip_with") <= 2 * nc, f"{p.count('zip_with')} zip_with for {nc} centroids"
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p
