@@ -222,7 +222,13 @@ def q_embedding_topk(spark, sf):
     """Exact top-10 plus — since r5 — the int8 quantization certification:
     each returned vector's symmetric-int8 representation is closed-form
     arithmetic on the stored parquet floats, so q8 checksum + scale have a
-    bit-exact DuckDB twin."""
+    bit-exact DuckDB twin.  r8 adds the embedding-decontamination column:
+    ``emb_contaminated`` flags ids within 0.35 cosine of ANY eval vector
+    (eval slice = vec_id % 25 == 0, excluding self) via
+    ``dedup.embedding_cross_pairs`` on its exact broadcast path
+    (num_planes=None — the oracle twin re-derives with an EXISTS over
+    list_cosine_similarity); the sign-LSH scale path is recall-floored in
+    tests/test_pipeline.py."""
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     top = similarity.cosine_topk(df, qvec, "embedding", "vec_id", k=10).select("id", "rank")
@@ -234,7 +240,21 @@ def q_embedding_topk(spark, sf):
         ).alias("q8_abs_sum"),
         F.round("embedding_scale", 9).alias("q8_scale"),
     )
-    return top.join(q, "id").select("id", "rank", "q8_sum", "q8_abs_sum", "q8_scale")
+    ev = df.where(F.col("vec_id") % 25 == 0)
+    hits = (
+        dedup.embedding_cross_pairs(
+            df, ev, "vec_id", "embedding", threshold=0.35, num_planes=None
+        )
+        .where(F.col("corpus_id") != F.col("eval_id"))
+        .select(F.col("corpus_id").alias("id"))
+        .distinct()
+        .withColumn("emb_contaminated", F.lit(True))
+    )
+    out = top.join(q, "id").join(hits, "id", "left")
+    return out.select(
+        "id", "rank", "q8_sum", "q8_abs_sum", "q8_scale",
+        F.coalesce("emb_contaminated", F.lit(False)).alias("emb_contaminated"),
+    )
 
 
 # Shared hyperparameters for the two generated-twin gate rows: the Spark
@@ -3145,7 +3165,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE list_transform(v, x -> 0) END AS q, sc FROM qq) "
             "SELECT t.id, t.rank, list_sum(q.q)::INT AS q8_sum, "
             "list_sum(list_transform(q.q, x -> abs(x)))::INT AS q8_abs_sum, "
-            "round(q.sc, 9) AS q8_scale "
+            "round(q.sc, 9) AS q8_scale, "
+            # r8 embedding-decontamination twin: independent EXISTS
+            # re-derivation of the exact-path cross-corpus cosine flag
+            "EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id % 25 = 0 AND e.vec_id <> t.id "
+            "AND list_cosine_similarity(e.embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings x WHERE x.vec_id = t.id)) >= 0.35"
+            ") AS emb_contaminated "
             "FROM top t JOIN qz q ON q.id = t.id"
         ),
         "aggr_matches_dataset_grouped": (

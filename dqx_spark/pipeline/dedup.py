@@ -58,6 +58,8 @@ __all__ = [
     "simhash64",
     "simhash_duplicate_pairs",
     "embedding_cosine_pairs",
+    "embedding_cross_pairs",
+    "embedding_decontaminate",
     "connected_components",
     "near_duplicate_groups",
     "keep_best_per_group",
@@ -717,6 +719,70 @@ def embedding_cosine_pairs(
         cand = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
     out = cand.withColumn("cosine", _cosine(F.col("vec_a"), F.col("vec_b")))
     return out.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def embedding_cross_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+    num_planes: int | None = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(corpus_id, eval_id, cosine) pairs across two corpora with cosine >=
+    threshold — the SemDeDup-style embedding contamination primitive
+    (:func:`embedding_cosine_pairs`'s cross-corpus counterpart, the same
+    role :func:`cross_corpus_lsh_pairs` plays for MinHash).
+
+    Scale path (default): sign-LSH bucket BOTH sides with the shared
+    deterministic hyperplanes, BROADCAST the (small) eval side, equi-join
+    on bucket, exact-verify cosine within candidates — the corpus is one
+    projected scan, never shuffled.  A true near-pair is missed only when
+    some plane separates it (probability falls with similarity; the recall
+    floor is test-pinned).  ``num_planes=None`` forces the exact broadcast
+    crossJoin — eval sides are benchmark suites (thousands of rows), so
+    even the exact path stays a broadcast, O(|corpus|·|eval|) dot products
+    with no shuffle; it is also the correctness-gate twin path."""
+    ev_id = eval_id_col or id_col
+    ev_vec = eval_vec_col or vec_col
+    left = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("vec_a"))
+    right = eval_df.select(F.col(ev_id).alias("eval_id"), F.col(ev_vec).cast("array<double>").alias("vec_b"))
+    if num_planes:
+        left = left.withColumn("bucket", _hyperplane_bucket(F.col("vec_a"), num_planes, seed))
+        right = right.withColumn("bucket", _hyperplane_bucket(F.col("vec_b"), num_planes, seed))
+        cand = left.join(F.broadcast(right), ["bucket"]).drop("bucket")
+    else:
+        cand = left.crossJoin(F.broadcast(right))
+    out = cand.withColumn("cosine", _cosine(F.col("vec_a"), F.col("vec_b")))
+    return out.where(F.col("cosine") >= threshold).select("corpus_id", "eval_id", "cosine")
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+    num_planes: int | None = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop corpus rows whose embedding is within ``threshold`` cosine of
+    ANY eval row — :func:`mixing.decontaminate`'s semantic counterpart
+    (n-gram overlap catches verbatim leakage; embedding cosine catches
+    paraphrased eval material).  Returns the surviving rows of ``corpus``
+    (original columns); one left-anti broadcast join, no corpus shuffle."""
+    hits = embedding_cross_pairs(
+        corpus, eval_df, id_col, vec_col, eval_id_col, eval_vec_col,
+        threshold=threshold, num_planes=num_planes, seed=seed,
+    ).select(F.col("corpus_id").alias("__hit_id")).distinct()
+    return corpus.join(
+        F.broadcast(hits), corpus[id_col] == F.col("__hit_id"), "left_anti"
+    )
 
 
 def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:

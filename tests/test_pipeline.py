@@ -1355,3 +1355,58 @@ def test_readability_scores(spark):
     w, s, y = 8.0, 3.0, 8.0
     assert abs(out[0]["f"] - (206.835 - 1.015 * (w / s) - 84.6 * (y / w))) < 1e-9
     assert out[2]["f"] is None
+
+
+def test_embedding_cross_pairs_and_decontaminate(spark):
+    """r8: embedding cross-corpus decontamination — exact path equals a
+    brute-force cosine check, the sign-LSH path holds a recall floor on
+    high-similarity pairs, and decontaminate drops exactly the flagged
+    rows."""
+    import math
+    import random
+
+    from dqx_spark.pipeline import dedup
+
+    random.seed(7)
+    dim = 16
+
+    def rnd():
+        return [random.uniform(-1, 1) for _ in range(dim)]
+
+    ev_rows = [(100 + i, rnd()) for i in range(8)]
+    # corpus: 20 random rows + 8 near-copies of eval vectors (tiny jitter)
+    corpus_rows = [(i, rnd()) for i in range(20)]
+    for j, (evid, v) in enumerate(ev_rows):
+        corpus_rows.append((50 + j, [x + random.uniform(-0.01, 0.01) for x in v]))
+    corpus = spark.createDataFrame(corpus_rows, "id long, emb array<double>")
+    ev = spark.createDataFrame(ev_rows, "id long, emb array<double>")
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    truth = {
+        (cid, evid)
+        for cid, cv in corpus_rows
+        for evid, evv in ev_rows
+        if cos(cv, evv) >= 0.9
+    }
+    assert len(truth) >= 8  # the planted near-copies
+    exact = {
+        (r["corpus_id"], r["eval_id"])
+        for r in dedup.embedding_cross_pairs(corpus, ev, "id", "emb", threshold=0.9, num_planes=None).collect()
+    }
+    assert exact == truth
+    lsh = {
+        (r["corpus_id"], r["eval_id"])
+        for r in dedup.embedding_cross_pairs(corpus, ev, "id", "emb", threshold=0.9, num_planes=6).collect()
+    }
+    assert lsh <= exact  # LSH only prunes candidates, never invents pairs
+    assert len(lsh & truth) / len(truth) >= 0.75, f"LSH recall {len(lsh & truth)}/{len(truth)}"
+
+    surv = dedup.embedding_decontaminate(corpus, ev, "id", "emb", threshold=0.9, num_planes=None)
+    kept = {r["id"] for r in surv.collect()}
+    contaminated = {cid for cid, _ in truth}
+    assert kept == {cid for cid, _ in corpus_rows} - contaminated
+    assert surv.columns == corpus.columns

@@ -493,3 +493,25 @@ def test_ivf_assign_argmin_tree_is_linear_in_centroids(spark):
     assert p.count("zip_with") <= 2 * nc, f"{p.count('zip_with')} zip_with for {nc} centroids"
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in p
+
+
+def test_embedding_cross_pairs_broadcasts_eval_no_corpus_shuffle(spark):
+    """r8: the embedding decontamination probe must broadcast the eval side
+    and join on the LSH bucket — the corpus is one projected scan with no
+    shuffle Exchange and no Python boundary."""
+    from dqx_spark.pipeline import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), float(i % 7), 1.0]) for i in range(50)],
+        "id long, emb array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0, 0.5, float(i % 2)]) for i in range(4)],
+        "id long, emb array<double>",
+    )
+    p = plan_of(dedup.embedding_cross_pairs(corpus, ev, "id", "emb", threshold=0.5))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 0
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p
