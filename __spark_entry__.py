@@ -64,12 +64,42 @@ def _apply_one(df: DataFrame, rule, keys: list[str], ref_dfs=None) -> DataFrame:
     return checked.select(*keys, F.col("_errors").isNotNull().alias("failed"))
 
 
-def _apply_batch(df: DataFrame, rules, keys: list[str], ref_dfs=None) -> DataFrame:
+def _apply_batch(df: DataFrame, rules, keys: list[str], ref_dfs=None, via_yaml: bool = False) -> DataFrame:
     """Apply MANY rules in one ``apply_checks`` pass and project one boolean
     column per rule (aliased by the rule's explicit ``name``).  One green gate
     row therefore certifies every check in the batch — this is how the whole
-    SURVEY §2 surface fits the driver's 50-query correctness window."""
-    checked = _engine().apply_checks(df, rules, ref_dfs=ref_dfs)
+    SURVEY §2 surface fits the driver's 50-query correctness window.
+
+    ``via_yaml=True`` routes the SAME rules through the full declarative
+    storage loop first — ``serialize_checks`` → YAML file →
+    ``FileChecksStorage.load`` → ``validate_checks`` →
+    ``apply_checks_by_metadata`` — so one hash-green row also certifies
+    serde + file checks storage + metadata application falsifiably: any
+    lossy round-trip (dropped kwarg, mangled name, type coercion) changes
+    the flag columns and breaks the oracle hash."""
+    if via_yaml:
+        import os
+        import tempfile
+
+        from dqx_spark.checks_storage import FileChecksStorage
+        from dqx_spark.serde import serialize_checks, validate_checks
+
+        fd, path = tempfile.mkstemp(suffix=".yml", prefix="dqx_gate_checks_")
+        os.close(fd)
+        try:
+            storage = FileChecksStorage(path)
+            storage.save(serialize_checks(rules))
+            loaded = storage.load()
+        finally:
+            os.unlink(path)
+        status = validate_checks(loaded)
+        if status.has_errors:
+            raise AssertionError(f"gate YAML round-trip failed validation: {status}")
+        if [c.get("name") for c in loaded] != [r.name for r in rules]:
+            raise AssertionError("gate YAML round-trip changed rule names")
+        checked = _engine().apply_checks_by_metadata(df, loaded, ref_dfs=ref_dfs)
+    else:
+        checked = _engine().apply_checks(df, rules, ref_dfs=ref_dfs)
     errs = F.coalesce(F.col("_errors"), F.array().cast(checked.schema["_errors"].dataType))
 
     def flag(name):
@@ -240,10 +270,11 @@ def q_embedding_topk(spark, sf):
         ).alias("q8_abs_sum"),
         F.round("embedding_scale", 9).alias("q8_scale"),
     )
-    ev = df.where(F.col("vec_id") % 25 == 0)
+    ev = df.where(F.col("vec_id") % _EMB_DECON_PARAMS["eval_mod"] == 0)
     hits = (
         dedup.embedding_cross_pairs(
-            df, ev, "vec_id", "embedding", threshold=0.35, num_planes=None
+            df, ev, "vec_id", "embedding",
+            threshold=_EMB_DECON_PARAMS["threshold"], num_planes=None,
         )
         .where(F.col("corpus_id") != F.col("eval_id"))
         .select(F.col("corpus_id").alias("id"))
@@ -267,6 +298,10 @@ _ANN_PARAMS = dict(
     dim=64, num_subvectors=16, pq_centroids=16, pq_max_iter=25, pq_n_init=4, pq_rerank=50,
 )
 _FOREST_PARAMS = dict(num_trees=32, sample_size=256, max_samples=4096, seed=7, threshold=1.25)
+#: embedding-decontamination twin knobs — same single-source discipline as
+#: _ANN_PARAMS: the Spark query AND the oracle's EXISTS SQL interpolate
+#: from here, so a retune cannot desynchronize them into a hash mismatch
+_EMB_DECON_PARAMS = dict(threshold=0.35, eval_mod=25)
 
 
 def q_ann_topk(spark, sf):
@@ -1145,7 +1180,18 @@ def q_row_checks_documents(spark, sf):
             check_func_kwargs={"entities": ["US_SSN", "EMAIL_ADDRESS"], "engine": "regex"},
         ),
     ]
-    return _apply_batch(df, rules, ["doc_id"])
+    # via_yaml: this row doubles as the gate certification of the
+    # serialize -> YAML -> FileChecksStorage -> validate -> by_metadata loop
+    # (reference engine.py:303 validate / checks_storage.py:340 file IO).
+    # The is_empty/is_not_empty pair on t_e is a deliberate contradiction
+    # fixture: the semantic validator must DETECT it (falsifiable positive,
+    # reference checks_semantic_validator.py) without rejecting the batch.
+    from dqx_spark.serde import semantic_validate, serialize_checks
+
+    warns = semantic_validate(serialize_checks(rules))
+    if not any("contradictory" in w and "t_e" in w for w in warns):
+        raise AssertionError(f"semantic validator missed the planted t_e contradiction: {warns}")
+    return _apply_batch(df, rules, ["doc_id"], via_yaml=True)
 
 
 def q_row_checks_events(spark, sf):
@@ -3168,9 +3214,11 @@ def oracle_sql() -> dict[str, str]:
             "round(q.sc, 9) AS q8_scale, "
             # r8 embedding-decontamination twin: independent EXISTS
             # re-derivation of the exact-path cross-corpus cosine flag
-            "EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id % 25 = 0 AND e.vec_id <> t.id "
-            "AND list_cosine_similarity(e.embedding::DOUBLE[], "
-            "(SELECT embedding::DOUBLE[] FROM embeddings x WHERE x.vec_id = t.id)) >= 0.35"
+            # (knobs interpolated from the shared _EMB_DECON_PARAMS)
+            f"EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id % {_EMB_DECON_PARAMS['eval_mod']} = 0 "
+            "AND e.vec_id <> t.id AND list_cosine_similarity(e.embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings x WHERE x.vec_id = t.id)) "
+            f">= {_EMB_DECON_PARAMS['threshold']}"
             ") AS emb_contaminated "
             "FROM top t JOIN qz q ON q.id = t.id"
         ),

@@ -705,9 +705,11 @@ def embedding_cosine_pairs(
     Scale path (default): sign-LSH — bucket by the sign pattern of dot
     products against ``num_planes`` deterministic pseudo-random hyperplanes,
     then exact-verify within buckets.  ``num_planes=None`` forces the exact
-    O(n²) self-join (verification / oracle path)."""
+    O(n²) self-join (verification / oracle path); 0 is rejected rather than
+    silently degenerating to that path."""
+    _check_num_planes(num_planes)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
-    if num_planes:
+    if num_planes is not None:
         bucket = _hyperplane_bucket(F.col("vec"), num_planes, seed)
         base = base.withColumn("bucket", bucket)
         left = base.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
@@ -746,11 +748,12 @@ def embedding_cross_pairs(
     crossJoin — eval sides are benchmark suites (thousands of rows), so
     even the exact path stays a broadcast, O(|corpus|·|eval|) dot products
     with no shuffle; it is also the correctness-gate twin path."""
+    _check_num_planes(num_planes)
     ev_id = eval_id_col or id_col
     ev_vec = eval_vec_col or vec_col
     left = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("vec_a"))
     right = eval_df.select(F.col(ev_id).alias("eval_id"), F.col(ev_vec).cast("array<double>").alias("vec_b"))
-    if num_planes:
+    if num_planes is not None:
         left = left.withColumn("bucket", _hyperplane_bucket(F.col("vec_a"), num_planes, seed))
         right = right.withColumn("bucket", _hyperplane_bucket(F.col("vec_b"), num_planes, seed))
         cand = left.join(F.broadcast(right), ["bucket"]).drop("bucket")
@@ -783,6 +786,17 @@ def embedding_decontaminate(
     return corpus.join(
         F.broadcast(hits), corpus[id_col] == F.col("__hit_id"), "left_anti"
     )
+
+
+def _check_num_planes(num_planes: int | None) -> None:
+    """None means "exact path" by contract; 0 would silently mean the same
+    under truthiness (and would build a degenerate descending ``sequence(0,
+    -1)`` plane list under ``is not None``), so reject it loudly instead."""
+    if num_planes is not None and num_planes < 1:
+        raise ValueError(
+            "num_planes must be >= 1, or None for the exact (no-LSH) path; "
+            f"got {num_planes!r}"
+        )
 
 
 def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:

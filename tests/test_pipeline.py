@@ -1410,3 +1410,12 @@ def test_embedding_cross_pairs_and_decontaminate(spark):
     contaminated = {cid for cid, _ in truth}
     assert kept == {cid for cid, _ in corpus_rows} - contaminated
     assert surv.columns == corpus.columns
+
+    # num_planes=0 is neither the LSH path nor the documented exact
+    # escape hatch — it must fail loudly, not silently pick one
+    for fn in (
+        lambda: dedup.embedding_cosine_pairs(corpus, "id", "emb", num_planes=0),
+        lambda: dedup.embedding_cross_pairs(corpus, ev, "id", "emb", num_planes=0),
+    ):
+        with pytest.raises(ValueError, match="num_planes"):
+            fn()
