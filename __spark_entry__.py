@@ -915,11 +915,23 @@ def q_hash_split(spark, sf):
     tmix = mixing.temperature_mix(df, "doc_id", "source", temperature=0.5).select(
         "doc_id", F.lit(True).alias("in_tmix")
     )
+    # r8: UniMax (arXiv:2304.09151) — budget = 95% of corpus tokens so the
+    # waterfill discriminates (below-average sources cap, larger ones
+    # truncate); integer 95% arithmetic is shared with the oracle twin,
+    # which feeds DuckDB-counted totals through the same unimax_budgets
+    total_toks = int(
+        df.agg(F.sum(F.coalesce(F.col("n_chars").cast("bigint"), F.lit(0))).alias("t")).collect()[0]["t"]
+        or 0
+    )
+    umax = mixing.unimax_mix(
+        df, "doc_id", "source", "n_chars", total_budget=(total_toks * 95) // 100
+    ).select("doc_id", "in_umax")
     return (
         split.join(mixed, "doc_id", "left")
         .join(te, "doc_id")
         .join(ta, "doc_id")
         .join(tmix, "doc_id", "left")
+        .join(umax, "doc_id")
         .select(
             "doc_id",
             "split",
@@ -927,6 +939,7 @@ def q_hash_split(spark, sf):
             "tb_exact",
             "tb_approx",
             F.coalesce("in_tmix", F.lit(False)).alias("in_tmix"),
+            "in_umax",
         )
     )
 
@@ -2241,6 +2254,24 @@ def _video_keyframes_oracle() -> str:
 
 
 @functools.lru_cache(maxsize=4)
+def _umax_source_token_sums(sf_dir: str) -> tuple[tuple[str, int], ...]:
+    """Memoized DuckDB per-source token (n_chars) totals for the UniMax
+    twin — fed to the SAME pure-python ``unimax_budgets`` the operator
+    uses, so the per-source budget literals are identical on both sides."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    try:
+        rows = con.execute(
+            f"SELECT source, sum(coalesce(n_chars, 0)) FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE source IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    finally:
+        con.close()
+    return tuple(sorted((s, int(n)) for s, n in rows))
+
+
+@functools.lru_cache(maxsize=4)
 def _tmix_source_counts(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """Memoized DuckDB per-source document counts for the temperature-mix
     twin — oracle_sql() is called several times per gate/test run and this
@@ -2426,6 +2457,15 @@ def oracle_sql() -> dict[str, str]:
     _tm = _trates(dict(_tmix_source_counts(_sfd)), 0.5)
     tmix_case = (
         "CASE " + " ".join(f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(_tm.items())) + " ELSE 1.0 END"
+    )
+    # r8 UniMax twin: DuckDB-counted per-source token totals through the
+    # SAME pure-python waterfill as the operator → identical budget ints
+    from dqx_spark.pipeline.mixing import unimax_budgets as _ubudgets
+
+    _usums = dict(_umax_source_token_sums(_sfd))
+    _ub = _ubudgets(_usums, (sum(_usums.values()) * 95) // 100)
+    umax_case = (
+        "CASE " + " ".join(f"WHEN source = '{s}' THEN {int(b)}" for s, b in sorted(_ub.items())) + " ELSE NULL END"
     )
     v4_re = r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
     ip_int = (
@@ -3464,13 +3504,21 @@ def oracle_sql() -> dict[str, str]:
             "tot AS (SELECT source, sum(t) AS tt FROM base GROUP BY 1), "
             "ta AS (SELECT doc_id, CASE WHEN base.source IS NULL OR base.source <> 'src2' THEN true "
             "ELSE b < round(least(1.0, 4000.0 / tt) * 1000000)::BIGINT END AS tb_approx "
-            "FROM base LEFT JOIN tot ON base.source IS NOT DISTINCT FROM tot.source) "
+            "FROM base LEFT JOIN tot ON base.source IS NOT DISTINCT FROM tot.source), "
+            # UniMax: exact-mode selection against the waterfilled per-source
+            # budgets (same literals as the operator); NULL/unbudgeted
+            # sources keep (budget IS NULL -> true), mirroring Spark
+            f"ue AS (SELECT doc_id, CASE WHEN ({umax_case}) IS NULL THEN true "
+            "ELSE coalesce(sum(t) OVER (PARTITION BY source ORDER BY b, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"< ({umax_case}) END AS in_umax FROM base) "
             "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
             "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx, "
-            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix "
-            "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id"
+            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix, ue.in_umax "
+            "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id "
+            "JOIN ue ON base.doc_id = ue.doc_id"
         ),
         "key_skew": (
             "WITH c AS (SELECT event_type, count(*) AS key_count FROM events GROUP BY 1), "

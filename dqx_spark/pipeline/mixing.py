@@ -180,6 +180,77 @@ def temperature_mix(
     return source_mix(df, id_col, source_col, temperature_rates(counts, temperature), salt=salt)
 
 
+def unimax_budgets(token_counts: dict, total_budget: int, max_epochs: float = 1.0) -> dict:
+    """UniMax per-source token budgets (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", arXiv:2304.09151): spread ``total_budget`` tokens
+    UNIFORMLY across sources, capping each source at ``max_epochs`` passes
+    over its ``token_counts[s]`` tokens; the surplus a capped (small)
+    source cannot absorb is redistributed uniformly among the remaining
+    larger ones.  Waterfilling, smallest capacity first — after the loop,
+    every capped source holds its full capacity and every uncapped source
+    holds (almost) the same share.
+
+    Downsampling-realized, like :func:`temperature_rates`: budgets are
+    token-SELECTION targets, so ``max_epochs > 1`` simply lets a small
+    source keep all its tokens once (repeating them is the training
+    loader's job — no row is ever duplicated here).
+
+    Integer arithmetic throughout: each allocation floors, so the summed
+    budgets undershoot ``total_budget`` by fewer than ``len(sources)``
+    tokens (exact-mode selection overshoots by at most one document per
+    source anyway).  Pure driver arithmetic shared by the operator and
+    any oracle twin — both sides see identical literals."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    caps = {s: int(c * max_epochs) for s, c in token_counts.items()}
+    order = sorted(caps, key=lambda s: (caps[s], str(s)))
+    remaining = int(total_budget)
+    out: dict = {}
+    for i, s in enumerate(order):
+        fair = remaining / (len(order) - i)
+        alloc = int(min(caps[s], fair))
+        out[s] = alloc
+        remaining -= alloc
+    return out
+
+
+def unimax_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    total_budget: int,
+    max_epochs: float = 1.0,
+    salt: str = "",
+    approx: bool = False,
+    out_col: str = "in_umax",
+) -> DataFrame:
+    """Deterministically select a UniMax mixture: one bounded aggregate
+    collects per-source token totals (sources are few by construction),
+    :func:`unimax_budgets` waterfills the ``total_budget`` across them,
+    and :func:`sample_to_token_budget` realizes the selection — exact
+    hash-ranked prefix cumsum per source by default, the scan-local
+    rate-threshold path with ``approx=True`` for 100 TB sources.
+    NULL-source rows are kept (no source to rebalance), matching
+    :func:`temperature_mix`."""
+    t = F.coalesce(to_col(token_col).cast("bigint"), F.lit(0))
+    counts = {
+        r[0]: int(r[1])
+        for r in df.where(to_col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.sum(t))
+        .collect()
+    }
+    budgets = unimax_budgets(counts, total_budget, max_epochs)
+    return sample_to_token_budget(
+        df, id_col, source_col, token_col, budgets,
+        default_budget=None, salt=salt, approx=approx, out_col=out_col,
+    )
+
+
 def ngram_contamination(
     df: DataFrame,
     eval_df: DataFrame,

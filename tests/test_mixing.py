@@ -248,3 +248,67 @@ def test_temperature_mix(spark):
     assert mixing.temperature_mix(df, "doc_id", "source", temperature=1.0).count() == 1001
     with pytest.raises(ValueError, match="temperature"):
         mixing.temperature_mix(df, "doc_id", "source", temperature=1.5)
+
+
+def test_unimax_budgets():
+    """r8: UniMax waterfilling — capped sources keep full capacity,
+    surplus spreads uniformly over the rest, sum never exceeds budget."""
+    # capacities 100 / 500 / 1000; budget 900 -> fair 300: tiny capped at
+    # 100, its unused 200 splits between the other two (400 each)
+    b = mixing.unimax_budgets({"tiny": 100, "mid": 500, "big": 1000}, 900)
+    assert b["tiny"] == 100
+    assert b["mid"] == 400 and b["big"] == 400
+    assert sum(b.values()) <= 900
+    # budget above total capacity: everyone capped
+    b2 = mixing.unimax_budgets({"a": 10, "b": 20}, 1000)
+    assert b2 == {"a": 10, "b": 20}
+    # max_epochs scales capacity; epochs<1 tightens the cap
+    b3 = mixing.unimax_budgets({"a": 100, "b": 1000}, 600, max_epochs=0.5)
+    assert b3["a"] == 50 and b3["b"] == 500
+    # uniform split when nothing caps
+    b4 = mixing.unimax_budgets({"a": 1000, "b": 1000, "c": 1000}, 900)
+    assert sorted(b4.values()) == [300, 300, 300]
+    # integer flooring: remainder rolls forward, undershoot < n sources
+    b5 = mixing.unimax_budgets({"a": 1000, "b": 1000, "c": 1000}, 1000)
+    assert sum(b5.values()) in (999, 1000) and max(b5.values()) - min(b5.values()) <= 1
+    with pytest.raises(ValueError, match="total_budget"):
+        mixing.unimax_budgets({"a": 1}, -1)
+    with pytest.raises(ValueError, match="max_epochs"):
+        mixing.unimax_budgets({"a": 1}, 10, max_epochs=0)
+
+
+def test_unimax_mix(spark):
+    """r8: end-to-end UniMax selection — per-source kept token mass lands
+    on the waterfilled budget (±1 doc, exact mode), nulls kept,
+    deterministic under repartition."""
+    rows = (
+        [(i, "big", 10) for i in range(300)]          # 3000 tokens
+        + [(1000 + i, "small", 10) for i in range(50)]  # 500 tokens
+    )
+    rows.append((2000, None, 10))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    budgets = mixing.unimax_budgets({"big": 3000, "small": 500}, 2000)
+    assert budgets == {"small": 500, "big": 1500}
+
+    out = mixing.unimax_mix(df, "doc_id", "source", "n_tok", total_budget=2000)
+    kept = {(r["doc_id"], r["source"]) for r in out.collect() if r["in_umax"]}
+    kept_small = [d for d, s in kept if s == "small"]
+    kept_big = [d for d, s in kept if s == "big"]
+    assert len(kept_small) == 50            # capped source keeps everything
+    assert len(kept_big) == 150             # 1500 budget / 10 tokens per doc
+    assert (2000, None) in kept             # null source never dropped
+    again = {
+        (r["doc_id"], r["source"])
+        for r in mixing.unimax_mix(
+            df.repartition(7), "doc_id", "source", "n_tok", total_budget=2000
+        ).collect()
+        if r["in_umax"]
+    }
+    assert again == kept
+    # approx path: same budgets realized as scan-local rate thresholds
+    ap = mixing.unimax_mix(df, "doc_id", "source", "n_tok", total_budget=2000, approx=True)
+    ap_rows = ap.collect()
+    assert all(r["in_umax"] for r in ap_rows if r["source"] == "small")  # rate 1.0
+    n_big = sum(1 for r in ap_rows if r["source"] == "big" and r["in_umax"])
+    assert 75 <= n_big <= 225  # rate 0.5, md5-uniform with wide tolerance
