@@ -302,6 +302,10 @@ _FOREST_PARAMS = dict(num_trees=32, sample_size=256, max_samples=4096, seed=7, t
 #: _ANN_PARAMS: the Spark query AND the oracle's EXISTS SQL interpolate
 #: from here, so a retune cannot desynchronize them into a hash mismatch
 _EMB_DECON_PARAMS = dict(threshold=0.35, eval_mod=25)
+#: C4 banned-term fixture (one word + one phrase from the synthetic doc
+#: vocabulary, so the count discriminates); the PATTERN is built once by
+#: corpus.blocklist_pattern and interpolated into both engines
+_BLOCKLIST_TERMS = ["vector", "merge batch"]
 
 
 def q_ann_topk(spark, sf):
@@ -1751,8 +1755,13 @@ def q_gopher_profile(spark, sf):
     which are the line_count/distinct_line_count/bullet_lines fields),
     plus — r7 — the C4 line-level cleaning signals (terminal-punct /
     short / javascript line counts and the lorem-ipsum / curly-brace
-    page flags, all exactly reproducible)."""
+    page flags, all exactly reproducible), plus — r8 — the C4
+    banned-term counts (whole-word + phrase, shared portable pattern
+    interpolated into the DuckDB twin)."""
     df = _read(spark, sf, "documents")
+    bl = corpus.blocklist_signals(df, "doc_id", "text", _BLOCKLIST_TERMS).select(
+        F.col("id").alias("doc_id"), "blocklist_hits", "has_blocklisted"
+    )
     # materialize the line split ONCE and share it — separate HOF chains
     # inside one projection are not CSE'd by Catalyst
     out = df.withColumn("__lines", corpus.split_lines(F.col("text"))).select(
@@ -1760,7 +1769,7 @@ def q_gopher_profile(spark, sf):
         corpus.gopher_counts("text", lines=F.col("__lines")).alias("gc"),
         corpus.gopher_signals("text").alias("gs"),
         corpus.c4_signals("text", lines=F.col("__lines")).alias("c4"),
-    )
+    ).join(bl, "doc_id")
     count_fields = out.schema["gc"].dataType.fieldNames()
     return out.select(
         "doc_id",
@@ -1775,6 +1784,8 @@ def q_gopher_profile(spark, sf):
         F.col("c4.javascript_lines").cast("bigint").alias("javascript_lines"),
         F.col("c4.has_lorem_ipsum").alias("has_lorem_ipsum"),
         F.col("c4.has_curly_brace").alias("has_curly_brace"),
+        "blocklist_hits",
+        "has_blocklisted",
     )
 
 
@@ -2467,6 +2478,11 @@ def oracle_sql() -> dict[str, str]:
     umax_case = (
         "CASE " + " ".join(f"WHEN source = '{s}' THEN {int(b)}" for s, b in sorted(_ub.items())) + " ELSE NULL END"
     )
+    # r8 banned-term twin: one shared pattern string (no quotes to escape —
+    # terms are plain vocabulary words/phrases)
+    from dqx_spark.pipeline.corpus import blocklist_pattern as _blpattern
+
+    _bl_pat = _blpattern(_BLOCKLIST_TERMS)
     v4_re = r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
     ip_int = (
         "(cast(split_part(ip,'.',1) AS bigint)*16777216 + cast(split_part(ip,'.',2) AS bigint)*65536 "
@@ -3443,7 +3459,10 @@ def oracle_sql() -> dict[str, str]:
             r"len(list_filter(lines, x -> len(list_filter(string_split_regex(x, '\s+'), __t -> __t <> '')) < 5))::BIGINT AS short_lines, "
             "len(list_filter(lines, x -> contains(lower(x), 'javascript')))::BIGINT AS javascript_lines, "
             "contains(lower(s), 'lorem ipsum') AS has_lorem_ipsum, "
-            "contains(s, '{') AS has_curly_brace "
+            "contains(s, '{') AS has_curly_brace, "
+            # r8 banned-term counts: the SAME portable pattern string the
+            # operator compiles (corpus.blocklist_pattern single source)
+            "len(regexp_extract_all(lower(s), '" + _bl_pat + "'))::BIGINT AS blocklist_hits "
             "FROM t"
         ),
         "top_ngram_coverage": (
@@ -3677,7 +3696,8 @@ def oracle_sql() -> dict[str, str]:
         "round(CASE WHEN line_count > 0 THEN bullet_lines::DOUBLE / line_count::DOUBLE ELSE 0.0 END, 6) AS bullet_line_fraction, "
         "round(CASE WHEN word_count > 0 THEN (hash_count + unicode_ellipsis_count + dots_run_count)::DOUBLE / word_count::DOUBLE ELSE 0.0 END, 6) AS symbol_to_word_ratio, "
         "round(CASE WHEN word_count > 0 THEN alpha_words::DOUBLE / word_count::DOUBLE ELSE 0.0 END, 6) AS alpha_word_fraction, "
-        "terminal_punct_lines, short_lines, javascript_lines, has_lorem_ipsum, has_curly_brace "
+        "terminal_punct_lines, short_lines, javascript_lines, has_lorem_ipsum, has_curly_brace, "
+        "blocklist_hits, blocklist_hits > 0 AS has_blocklisted "
         f"FROM ({out['gopher_counts']})"
     )
     # only keys with an active queries() entry reach the driver; the retired

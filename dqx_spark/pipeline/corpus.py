@@ -337,6 +337,84 @@ def c4_signals(column: str | Column, lines: Column | None = None) -> Column:
     )
 
 
+def _escape_portable_regex(term: str) -> str:
+    """Escape regex metacharacters only — unlike ``re.escape``, spaces are
+    left bare (Java accepts an escaped space, RE2-based oracle engines may
+    reject the unknown escape), so one pattern string runs identically in
+    both."""
+    import re as _re
+
+    return _re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", term)
+
+
+def blocklist_pattern(terms: list[str], lowercase: bool = True) -> str:
+    """Whole-word alternation pattern for ``terms`` (words or
+    space-separated phrases), portable across Java regex and RE2 —
+    the shared single source for the operator and any SQL oracle twin."""
+    if not terms:
+        # an empty list silently disabling the filter is a footgun —
+        # C4-style pipelines treat the list as required configuration
+        raise ValueError("terms must be a non-empty list of words/phrases")
+    cleaned = []
+    for t in terms:
+        t = t.strip().lower() if lowercase else t.strip()
+        if not t:
+            raise ValueError("blocklist terms must be non-empty strings")
+        # \b only exists at a word-char transition, so anchor each term
+        # conditionally: a term starting/ending with a non-word char
+        # (e.g. '$5.99') gets no boundary on that side — RE2 has no
+        # lookarounds, so this per-term placement is the portable form
+        lead = r"\b" if (t[0].isalnum() or t[0] == "_") else ""
+        trail = r"\b" if (t[-1].isalnum() or t[-1] == "_") else ""
+        cleaned.append(lead + _escape_portable_regex(t) + trail)
+    return "(?:" + "|".join(cleaned) + ")"
+
+
+def blocklist_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, blocklist_hits, has_blocklisted): whole-word occurrence count
+    of any of ``terms`` (words or phrases) per document — the C4
+    banned-word page filter (Raffel et al. 2020 §2.2 drops any page
+    containing a listed word; the canonical public list is user-supplied
+    configuration, not shipped here).
+
+    One scan-local ``regexp_count`` against a single alternation with
+    ``\\b`` word boundaries; ``lowercase=True`` (default) normalizes via
+    ``lower()`` on both the text and the terms rather than an inline
+    case-insensitivity flag, so the identical pattern string runs in any
+    RE2-based oracle engine.  Counts, not verdicts: the page-drop policy
+    (``has_blocklisted``) is derived and thresholds stay tunable without
+    a rescan, like :func:`c4_signals`."""
+    pat = blocklist_pattern(terms, lowercase=lowercase)
+    s = F.coalesce(to_col(text_col), F.lit(""))
+    if lowercase:
+        s = F.lower(s)
+    hits = F.regexp_count(s, F.lit(pat))
+    return df.select(
+        F.col(id_col).alias("id"),
+        hits.cast("bigint").alias("blocklist_hits"),
+        (hits > 0).alias("has_blocklisted"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, text_col: str, terms: list[str], lowercase: bool = True
+) -> DataFrame:
+    """Rows of ``df`` whose text contains NONE of ``terms`` (whole-word,
+    C4 page-drop policy) — same pattern as :func:`blocklist_signals`,
+    applied as one scan-local predicate preserving the input schema."""
+    pat = blocklist_pattern(terms, lowercase=lowercase)
+    s = F.coalesce(to_col(text_col), F.lit(""))
+    if lowercase:
+        s = F.lower(s)
+    return df.where(F.regexp_count(s, F.lit(pat)) == 0)
+
+
 # ---------------------------------------------------------------------------
 # repetition: top n-gram coverage
 # ---------------------------------------------------------------------------

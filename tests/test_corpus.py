@@ -380,3 +380,43 @@ def test_c4_signals(spark):
     assert not c["has_lorem_ipsum"] and c["has_curly_brace"]
     assert out[1]["has_lorem_ipsum"] and not out[1]["has_curly_brace"]
     assert out[2]["terminal_punct_lines"] == 0 and out[2]["short_lines"] == 0
+
+
+def test_blocklist_signals_and_filter(spark):
+    """r8: C4 banned-word filter — whole-word + phrase matching, counts
+    not verdicts, null text safe, portable pattern builder validated."""
+    import pytest
+
+    from dqx_spark.pipeline import corpus as cp
+
+    rows = [
+        (0, "the quick brown fox"),              # clean
+        (1, "a BAD word and a bad phrase here"), # 2 hits (case-folded)
+        (2, "badge is not a bad-word hit"),      # \b: 'badge' no, 'bad-word'... 'bad' bounded by '-' DOES hit
+        (3, "multi word phrase spans here"),     # phrase term
+        (4, None),                               # null-safe
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    terms = ["bad", "word phrase spans"]
+    out = {r["id"]: r for r in cp.blocklist_signals(df, "id", "text", terms).collect()}
+    assert out[0]["blocklist_hits"] == 0 and not out[0]["has_blocklisted"]
+    assert out[1]["blocklist_hits"] == 2 and out[1]["has_blocklisted"]
+    # 'badge' does not match; 'bad-word' contains whole word 'bad'
+    assert out[2]["blocklist_hits"] == 1
+    assert out[3]["blocklist_hits"] == 1  # the phrase term
+    assert out[4]["blocklist_hits"] == 0 and not out[4]["has_blocklisted"]
+
+    kept = {r["id"] for r in cp.blocklist_filter(df, "text", terms).collect()}
+    assert kept == {0, 4}
+
+    # regex metacharacters in terms are literal
+    mdf = spark.createDataFrame([(0, "cost is $5.99 total"), (1, "cost is $5X99")], "id long, text string")
+    m = {r["id"]: r["blocklist_hits"] for r in cp.blocklist_signals(mdf, "id", "text", ["$5.99"]).collect()}
+    assert m[0] == 1 and m[1] == 0
+
+    # pattern builder is the shared single source and validates input
+    assert cp.blocklist_pattern(["a b", "c"]) == r"(?:\ba b\b|\bc\b)"
+    with pytest.raises(ValueError, match="non-empty"):
+        cp.blocklist_pattern([])
+    with pytest.raises(ValueError, match="non-empty"):
+        cp.blocklist_pattern(["ok", "  "])
