@@ -306,6 +306,9 @@ _EMB_DECON_PARAMS = dict(threshold=0.35, eval_mod=25)
 #: vocabulary, so the count discriminates); the PATTERN is built once by
 #: corpus.blocklist_pattern and interpolated into both engines
 _BLOCKLIST_TERMS = ["vector", "merge batch"]
+#: BPE trainer knobs shared by the Spark query and the oracle twin —
+#: same single-source discipline as _ANN_PARAMS
+_BPE_PARAMS = dict(num_merges=40, min_freq=1, max_word_types=100_000, min_pair_freq=2)
 
 
 def q_ann_topk(spark, sf):
@@ -1747,7 +1750,25 @@ def q_text_analysis(spark, sf):
         text.syllable_count("text").cast("bigint").alias("r_syllables"),
         F.round(text.flesch_reading_ease("text"), 6).alias("flesch"),
     )
-    return prof.join(q, "doc_id").join(lm, "doc_id").join(nb, "doc_id").join(rd, "doc_id")
+    # r8: trainable BPE — merges learned from THIS corpus's distributed
+    # word counts (one shuffle, bounded TakeOrdered to the driver), counts
+    # applied via the Arrow-batched encode UDF.  The twin re-trains the
+    # identical pure-python merge loop on DuckDB word counts and carries a
+    # word→token-length VALUES table, so distributed == local replay is
+    # hash-checked per document.
+    from dqx_spark.pipeline import bpe as bpe_mod
+
+    merges = bpe_mod.train_bpe(
+        df, "text", _BPE_PARAMS["num_merges"], min_freq=_BPE_PARAMS["min_freq"],
+        max_word_types=_BPE_PARAMS["max_word_types"], min_pair_freq=_BPE_PARAMS["min_pair_freq"],
+    )
+    bp = bpe_mod.bpe_token_counts(df, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "bpe_tokens"
+    )
+    return (
+        prof.join(q, "doc_id").join(lm, "doc_id").join(nb, "doc_id")
+        .join(rd, "doc_id").join(bp, "doc_id")
+    )
 
 
 def q_gopher_profile(spark, sf):
@@ -2265,6 +2286,38 @@ def _video_keyframes_oracle() -> str:
 
 
 @functools.lru_cache(maxsize=4)
+def _bpe_word_token_lens(sf_dir: str) -> tuple[tuple[str, int], ...]:
+    """(word, bpe_token_count) for EVERY distinct corpus word — the BPE
+    twin's lookup table.  DuckDB counts the words, the SAME pure-python
+    trainer (`bpe.train_bpe_local`, identical bounds and ordering as
+    `bpe.word_frequencies`) learns the merges, and each distinct word is
+    encoded locally with `bpe.encode_word_local`.  Tiny by construction
+    (distinct word types, not documents), memoized per sf dir."""
+    import duckdb as _duck
+
+    from dqx_spark.pipeline import bpe as _bpe
+
+    con = _duck.connect()
+    try:
+        rows = con.execute(
+            "SELECT w, count(*) FROM (SELECT unnest(list_filter(string_split_regex("
+            f"lower(coalesce(text,'')), '\\s+'), t -> t <> '')) AS w "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')) GROUP BY 1"
+        ).fetchall()
+    finally:
+        con.close()
+    counts = {w: int(c) for w, c in rows}
+    # min_freq filter BEFORE the type bound — same order as word_frequencies
+    kept = [(w, c) for w, c in counts.items() if c >= _BPE_PARAMS["min_freq"]]
+    bounded = sorted(kept, key=lambda kv: (-kv[1], kv[0]))[: _BPE_PARAMS["max_word_types"]]
+    merges = _bpe.train_bpe_local(
+        dict(bounded), _BPE_PARAMS["num_merges"], _BPE_PARAMS["min_pair_freq"]
+    )
+    ranks = _bpe.merge_ranks(merges)
+    return tuple(sorted((w, len(_bpe.encode_word_local(w, ranks))) for w in counts))
+
+
+@functools.lru_cache(maxsize=4)
 def _umax_source_token_sums(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """Memoized DuckDB per-source token (n_chars) totals for the UniMax
     twin — fed to the SAME pure-python ``unimax_budgets`` the operator
@@ -2483,6 +2536,11 @@ def oracle_sql() -> dict[str, str]:
     from dqx_spark.pipeline.corpus import blocklist_pattern as _blpattern
 
     _bl_pat = _blpattern(_BLOCKLIST_TERMS)
+    # r8 BPE twin VALUES literal: word -> local-replay token length
+    _bpe_values = ", ".join(
+        "('" + w.replace("'", "''") + "', " + str(n) + ")"
+        for w, n in _bpe_word_token_lens(_sfd)
+    )
     v4_re = r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
     ip_int = (
         "(cast(split_part(ip,'.',1) AS bigint)*16777216 + cast(split_part(ip,'.',2) AS bigint)*65536 "
@@ -2804,13 +2862,20 @@ def oracle_sql() -> dict[str, str]:
             "rd2 AS (SELECT doc_id, r_sentences, r_syllables, "
             "CASE WHEN nw > 0 THEN round(206.835 - 1.015 * (nw::DOUBLE / greatest(r_sentences::DOUBLE, 1.0)) "
             "- 84.6 * (r_syllables::DOUBLE / nw::DOUBLE), 6) END AS flesch "
-            "FROM rd) "
+            "FROM rd), "
+            # r8 BPE twin: per-word token lengths from the pure-python
+            # replay (same trainer, same bounds) joined to the word stream
+            f"bwt (w, n) AS (VALUES {_bpe_values}), "
+            "bww AS (SELECT doc_id, w FROM tok, unnest(ts) t(w)), "
+            "bcnt AS (SELECT bww.doc_id, sum(bwt.n)::BIGINT AS bpe FROM bww JOIN bwt USING (w) GROUP BY 1) "
             "SELECT p.doc_id, p.tc, p.predicted, p.fp, t.q, t.btc, "
             "coalesce(sc.nb, 0) AS lm_bigrams, round(sc.s, 6) AS lm_score, "
             "nbp.nb_pred, nbp.nb_post, nbp.nb_margin, "
-            "rd2.r_sentences::BIGINT AS r_sentences, rd2.r_syllables::BIGINT AS r_syllables, rd2.flesch "
+            "rd2.r_sentences::BIGINT AS r_sentences, rd2.r_syllables::BIGINT AS r_syllables, rd2.flesch, "
+            "coalesce(bcnt.bpe, 0) AS bpe_tokens "
             "FROM prof p JOIN tq t ON p.doc_id = t.doc_id LEFT JOIN sc ON p.doc_id = sc.doc_id "
-            "JOIN nbp ON p.doc_id = nbp.doc_id JOIN rd2 ON p.doc_id = rd2.doc_id"
+            "JOIN nbp ON p.doc_id = nbp.doc_id JOIN rd2 ON p.doc_id = rd2.doc_id "
+            "LEFT JOIN bcnt ON p.doc_id = bcnt.doc_id"
         ),
         # "gopher_profile" is assembled below from the gopher_counts mirror
         # ------------------------------------------------------------------

@@ -515,3 +515,29 @@ def test_embedding_cross_pairs_broadcasts_eval_no_corpus_shuffle(spark):
     assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.M)) == 0
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in p
+
+
+def test_blocklist_is_scan_local(spark):
+    """r8: banned-term counting is one projected scan — a single
+    regexp_count, no shuffle, no Python boundary."""
+    from dqx_spark.pipeline import corpus as Co
+
+    df = spark.createDataFrame([(0, "some text")], "doc_id long, text string")
+    p = plan_of(Co.blocklist_signals(df, "doc_id", "text", ["bad", "worse words"]))
+    assert "Exchange" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p
+
+
+def test_bpe_encode_is_scan_local_arrow(spark):
+    """r8: BPE application must be one scan through the Arrow-batched
+    pandas UDF — merges ride the closure, no shuffle, no row-at-a-time
+    BatchEvalPython."""
+    from dqx_spark.pipeline import bpe
+
+    df = spark.createDataFrame([(0, "low lower")], "id long, text string")
+    merges = [("l", "o"), ("lo", "w")]
+    p = plan_of(bpe.bpe_token_counts(df, "id", "text", merges))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
