@@ -922,16 +922,23 @@ def q_hash_split(spark, sf):
     tmix = mixing.temperature_mix(df, "doc_id", "source", temperature=0.5).select(
         "doc_id", F.lit(True).alias("in_tmix")
     )
-    # r8: UniMax (arXiv:2304.09151) — budget = 95% of corpus tokens so the
-    # waterfill discriminates (below-average sources cap, larger ones
-    # truncate); integer 95% arithmetic is shared with the oracle twin,
-    # which feeds DuckDB-counted totals through the same unimax_budgets
-    total_toks = int(
-        df.agg(F.sum(F.coalesce(F.col("n_chars").cast("bigint"), F.lit(0))).alias("t")).collect()[0]["t"]
-        or 0
-    )
-    umax = mixing.unimax_mix(
-        df, "doc_id", "source", "n_chars", total_budget=(total_toks * 95) // 100
+    # r8: UniMax (arXiv:2304.09151) — budget = 95% of NON-NULL-source
+    # corpus tokens so the waterfill discriminates (below-average sources
+    # cap, larger ones truncate).  ONE bounded aggregate feeds both the
+    # budget total and the per-source waterfill — the identical
+    # (non-NULL-source, integer-95%) arithmetic the oracle twin applies
+    # to DuckDB-counted totals, so a NULL-source row can never skew one
+    # side's budget literals (review r8)
+    src_toks = {
+        r[0]: int(r[1])
+        for r in df.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.coalesce(F.col("n_chars").cast("bigint"), F.lit(0))))
+        .collect()
+    }
+    ubudgets = mixing.unimax_budgets(src_toks, (sum(src_toks.values()) * 95) // 100)
+    umax = mixing.sample_to_token_budget(
+        df, "doc_id", "source", "n_chars", ubudgets, default_budget=None, out_col="in_umax"
     ).select("doc_id", "in_umax")
     return (
         split.join(mixed, "doc_id", "left")
@@ -1780,17 +1787,18 @@ def q_gopher_profile(spark, sf):
     banned-term counts (whole-word + phrase, shared portable pattern
     interpolated into the DuckDB twin)."""
     df = _read(spark, sf, "documents")
-    bl = corpus.blocklist_signals(df, "doc_id", "text", _BLOCKLIST_TERMS).select(
-        F.col("id").alias("doc_id"), "blocklist_hits", "has_blocklisted"
-    )
     # materialize the line split ONCE and share it — separate HOF chains
-    # inside one projection are not CSE'd by Catalyst
+    # inside one projection are not CSE'd by Catalyst.  blocklist_count is
+    # a Column, projected INLINE so the whole row stays one scan (r8
+    # review: the DataFrame-returning wrapper would cost a second scan
+    # plus a join here)
     out = df.withColumn("__lines", corpus.split_lines(F.col("text"))).select(
         "doc_id",
         corpus.gopher_counts("text", lines=F.col("__lines")).alias("gc"),
         corpus.gopher_signals("text").alias("gs"),
         corpus.c4_signals("text", lines=F.col("__lines")).alias("c4"),
-    ).join(bl, "doc_id")
+        corpus.blocklist_count("text", _BLOCKLIST_TERMS).cast("bigint").alias("blocklist_hits"),
+    )
     count_fields = out.schema["gc"].dataType.fieldNames()
     return out.select(
         "doc_id",
@@ -1806,7 +1814,7 @@ def q_gopher_profile(spark, sf):
         F.col("c4.has_lorem_ipsum").alias("has_lorem_ipsum"),
         F.col("c4.has_curly_brace").alias("has_curly_brace"),
         "blocklist_hits",
-        "has_blocklisted",
+        (F.col("blocklist_hits") > 0).alias("has_blocklisted"),
     )
 
 

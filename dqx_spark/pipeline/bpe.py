@@ -28,6 +28,8 @@ falsifiable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,11 +147,21 @@ def encode_word_local(word: str, ranks: dict) -> list[str]:
     return syms
 
 
+#: Java regex \s (default flags) = [ \t\n\x0B\f\r] — ASCII only.  The
+#: encode path must split EXACTLY like the training path's F.split(r"\s+")
+#: or a word containing e.g. U+00A0 would train as one type but encode as
+#: two never-seen ones (r8 review; Python's str.split() is Unicode-aware
+#: and would do exactly that)
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
 def _encode_text_local(text: str | None, ranks: dict, cache: dict) -> list[str]:
     if not text:
         return []
     out: list[str] = []
-    for w in text.split():
+    for w in _JAVA_WS.split(text):
+        if not w:
+            continue
         toks = cache.get(w)
         if toks is None:
             toks = encode_word_local(w, ranks)
@@ -177,9 +189,9 @@ def word_frequencies(
     shuffle (explode + groupBy word, map-side combined), then the top
     ``max_word_types`` types by (count desc, word asc) — a TakeOrdered
     heap, so the driver holds at most ``max_word_types`` rows no matter
-    the corpus size.  Whitespace pre-tokenization matches
-    ``text.tokens`` (and Python's ``str.split``, which the encode UDF
-    uses)."""
+    the corpus size.  Whitespace pre-tokenization matches ``text.tokens``
+    (Java ``\\s+``); the encode UDF splits with the same ASCII class so a
+    word can never train as one type and encode as another."""
     if max_word_types < 1:
         raise ValueError(f"max_word_types must be >= 1, got {max_word_types}")
     toks = F.filter(F.split(_norm_text(text_col, lowercase), r"\s+"), lambda t: t != "")

@@ -43,6 +43,10 @@ __all__ = [
     "gopher_signals",
     "gopher_counts",
     "c4_signals",
+    "blocklist_pattern",
+    "blocklist_count",
+    "blocklist_signals",
+    "blocklist_filter",
     "remove_repeated_lines",
     "top_ngram_coverage",
     "bigram_lm_scores",
@@ -347,10 +351,26 @@ def _escape_portable_regex(term: str) -> str:
     return _re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", term)
 
 
+def _is_ascii_word_char(ch: str) -> bool:
+    # \b in Java regex (default flags) AND RE2 is defined against the
+    # ASCII \w = [A-Za-z0-9_]; Python's Unicode isalnum() would anchor
+    # 'éclair' with a \b that neither engine can ever satisfy
+    return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9") or ch == "_"
+
+
 def blocklist_pattern(terms: list[str], lowercase: bool = True) -> str:
     """Whole-word alternation pattern for ``terms`` (words or
     space-separated phrases), portable across Java regex and RE2 —
-    the shared single source for the operator and any SQL oracle twin."""
+    the shared single source for the operator and any SQL oracle twin.
+
+    Internal spaces match ANY whitespace run (``[ \\t\\r\\n]+``), so a
+    phrase still hits across a line wrap or doubled space.  Terms whose
+    first/last char is outside ASCII ``\\w`` get no ``\\b`` on that side
+    (both engines define ``\\b`` against ASCII word chars and neither has
+    lookarounds) — i.e. a non-ASCII-edged term matches unanchored on
+    that side."""
+    import re as _re
+
     if not terms:
         # an empty list silently disabling the filter is a footgun —
         # C4-style pipelines treat the list as required configuration
@@ -360,14 +380,27 @@ def blocklist_pattern(terms: list[str], lowercase: bool = True) -> str:
         t = t.strip().lower() if lowercase else t.strip()
         if not t:
             raise ValueError("blocklist terms must be non-empty strings")
-        # \b only exists at a word-char transition, so anchor each term
-        # conditionally: a term starting/ending with a non-word char
-        # (e.g. '$5.99') gets no boundary on that side — RE2 has no
-        # lookarounds, so this per-term placement is the portable form
-        lead = r"\b" if (t[0].isalnum() or t[0] == "_") else ""
-        trail = r"\b" if (t[-1].isalnum() or t[-1] == "_") else ""
-        cleaned.append(lead + _escape_portable_regex(t) + trail)
+        lead = r"\b" if _is_ascii_word_char(t[0]) else ""
+        trail = r"\b" if _is_ascii_word_char(t[-1]) else ""
+        # lambda replacement: re.sub would turn a literal \t in a string
+        # template into a real TAB character
+        body = _re.sub(r" +", lambda _m: r"[ \t\r\n]+", _escape_portable_regex(t))
+        cleaned.append(lead + body + trail)
     return "(?:" + "|".join(cleaned) + ")"
+
+
+def blocklist_count(
+    column: str | Column, terms: list[str], lowercase: bool = True
+) -> Column:
+    """Whole-word occurrence count of any of ``terms`` as ONE Column
+    expression — composable into an existing projection (like
+    :func:`c4_signals`) so callers never pay a second scan or a join for
+    it.  Null text counts 0."""
+    pat = blocklist_pattern(terms, lowercase=lowercase)
+    s = F.coalesce(to_col(column), F.lit(""))
+    if lowercase:
+        s = F.lower(s)
+    return F.regexp_count(s, F.lit(pat))
 
 
 def blocklist_signals(
@@ -390,11 +423,7 @@ def blocklist_signals(
     RE2-based oracle engine.  Counts, not verdicts: the page-drop policy
     (``has_blocklisted``) is derived and thresholds stay tunable without
     a rescan, like :func:`c4_signals`."""
-    pat = blocklist_pattern(terms, lowercase=lowercase)
-    s = F.coalesce(to_col(text_col), F.lit(""))
-    if lowercase:
-        s = F.lower(s)
-    hits = F.regexp_count(s, F.lit(pat))
+    hits = blocklist_count(text_col, terms, lowercase=lowercase)
     return df.select(
         F.col(id_col).alias("id"),
         hits.cast("bigint").alias("blocklist_hits"),
@@ -408,11 +437,7 @@ def blocklist_filter(
     """Rows of ``df`` whose text contains NONE of ``terms`` (whole-word,
     C4 page-drop policy) — same pattern as :func:`blocklist_signals`,
     applied as one scan-local predicate preserving the input schema."""
-    pat = blocklist_pattern(terms, lowercase=lowercase)
-    s = F.coalesce(to_col(text_col), F.lit(""))
-    if lowercase:
-        s = F.lower(s)
-    return df.where(F.regexp_count(s, F.lit(pat)) == 0)
+    return df.where(blocklist_count(text_col, terms, lowercase=lowercase) == 0)
 
 
 # ---------------------------------------------------------------------------

@@ -205,13 +205,20 @@ def unimax_budgets(token_counts: dict, total_budget: int, max_epochs: float = 1.
         raise ValueError(f"total_budget must be >= 0, got {total_budget}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
-    caps = {s: int(c * max_epochs) for s, c in token_counts.items()}
+    # exact-by-construction: caps stay pure ints whenever max_epochs is
+    # integral (the common case), and the fair share is floor division —
+    # no float round-trip, so the <= total_budget invariant holds at any
+    # token scale (2^53-adjacent corpora included)
+    caps = {
+        s: int(c) * int(max_epochs) if float(max_epochs).is_integer() else int(c * max_epochs)
+        for s, c in token_counts.items()
+    }
     order = sorted(caps, key=lambda s: (caps[s], str(s)))
     remaining = int(total_budget)
     out: dict = {}
     for i, s in enumerate(order):
-        fair = remaining / (len(order) - i)
-        alloc = int(min(caps[s], fair))
+        fair = remaining // (len(order) - i)
+        alloc = min(caps[s], fair)
         out[s] = alloc
         remaining -= alloc
     return out

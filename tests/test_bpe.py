@@ -77,3 +77,16 @@ def test_bpe_counts_and_encode_spark(spark):
     assert enc[0] == ["low", "</w>", "low", "est</w>"]
     assert enc[1] == ["n", "e", "w", "est</w>", "x", "y", "z", "</w>"]
     assert enc[2] == [] and enc[3] == []
+
+
+def test_bpe_unicode_whitespace_train_encode_parity(spark):
+    """r8 review: Java \\s+ (training) is ASCII-only — the encode path
+    must treat a NBSP-joined pair as ONE word exactly like training does,
+    not split it the Python str.split() way."""
+    word = "foo\u00a0bar"  # NBSP: Unicode whitespace, NOT Java \\s
+    df = spark.createDataFrame([(0, word)], "id long, text string")
+    assert dict(bpe.word_frequencies(df, "text")) == {word: 1}
+    merges = bpe.train_bpe(df, "text", 3, min_pair_freq=1)
+    ranks = bpe.merge_ranks(merges)
+    counts = {r["id"]: r["bpe_tokens"] for r in bpe.bpe_token_counts(df, "id", "text", merges).collect()}
+    assert counts[0] == len(bpe.encode_word_local(word, ranks))

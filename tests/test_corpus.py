@@ -414,8 +414,19 @@ def test_blocklist_signals_and_filter(spark):
     m = {r["id"]: r["blocklist_hits"] for r in cp.blocklist_signals(mdf, "id", "text", ["$5.99"]).collect()}
     assert m[0] == 1 and m[1] == 0
 
+    # phrases match across any whitespace run (line wrap, doubled space)
+    pdf = spark.createDataFrame(
+        [(0, "word phrase\nspans lines"), (1, "word  phrase  spans twice")],
+        "id long, text string",
+    )
+    ph = {r["id"]: r["blocklist_hits"] for r in cp.blocklist_signals(pdf, "id", "text", ["phrase spans"]).collect()}
+    assert ph[0] == 1 and ph[1] == 1
+
     # pattern builder is the shared single source and validates input
-    assert cp.blocklist_pattern(["a b", "c"]) == r"(?:\ba b\b|\bc\b)"
+    assert cp.blocklist_pattern(["a b", "c"]) == r"(?:\ba[ \t\r\n]+b\b|\bc\b)"
+    # \b anchors only on ASCII word chars — both engines define \b that
+    # way, so a non-ASCII-edged term goes unanchored on that side
+    assert cp.blocklist_pattern(["éclair"]) == "(?:éclair\\b)"  # é edge unanchored, r edge anchored
     with pytest.raises(ValueError, match="non-empty"):
         cp.blocklist_pattern([])
     with pytest.raises(ValueError, match="non-empty"):
