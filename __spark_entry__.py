@@ -509,9 +509,37 @@ def q_multimodal_features(spark, sf):
     sha256 stub, whose features are byte_i(sha256(content))/255 — DuckDB
     reproduces the bytes from sha256 hex, so integer byte projections
     certify the whole Arrow mapInPandas plumbing (batching, schema, null
-    path) end-to-end, not just row counts."""
+    path) end-to-end, not just row counts.
+
+    r8: also carries the perceptual average hash of a REAL 8x8 24-bit BMP
+    raster built per row — the pixel bytes are a closed-form function of
+    doc_id, so the oracle re-derives decode + downsample + threshold +
+    bit-packing INDEPENDENTLY in SQL (no replay twin needed)."""
     df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
     feats = multimodal.image_features(df, "content", "doc_id", dim=16, encoder="stub")
+    # 8x8 24bpp BMP: constant 54-byte header, rows stored bottom-up (so
+    # top-down y runs 7..0 in storage order), gray pixel value
+    # (doc_id*31 + y*16 + x*7) % 256 repeated across B=G=R
+    k = F.col("doc_id")
+    _BMP_HDR_HEX = (
+        "424D" "F6000000" "00000000" "36000000"  # BM, size 246, reserved, offset 54
+        "28000000" "08000000" "08000000" "0100" "1800"  # DIB 40, w8, h8, planes, 24bpp
+        "00000000" "C0000000" + "00000000" * 4  # BI_RGB, image size 192, ppm/colors
+    )
+
+    def _bmp_row_hex(y: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda x: F.repeat(F.lpad(F.hex((k * 31 + F.lit(y * 16) + x * 7) % 256), 2, "0"), 3),
+            ),
+            "",
+        )
+
+    bmp = F.unhex(F.concat(F.lit(_BMP_HDR_HEX), *[_bmp_row_hex(y) for y in range(7, -1, -1)]))
+    ah = multimodal.image_ahash(df.withColumn("bmp", bmp), "bmp", "doc_id").select(
+        F.col("id").alias("doc_id"), "ahash"
+    )
     byte_of = lambda f: F.round(f.cast("double") * 255).cast("int")  # noqa: E731
     # sample_video_frames plumbing certified through its deterministic byte
     # partitioning: frame count and total sliced bytes are closed-form in
@@ -534,6 +562,7 @@ def q_multimodal_features(spark, sf):
             ).alias("bsum"),
         )
         .join(fstats, "doc_id", "left")
+        .join(ah, "doc_id")
     )
 
 
@@ -3460,14 +3489,28 @@ def oracle_sql() -> dict[str, str]:
             # sha256-stub features: byte_i(sha256(utf8(text)))/255; emit the
             # recovered integer bytes (first + sum of all 16) — bit-exact
             "WITH h AS (SELECT doc_id, sha256(text) AS hx, "
-            "octet_length(encode(text)) AS blen FROM documents) "
-            "SELECT doc_id, 16 AS n_features, 'sha256-stub' AS featurizer, "
+            "octet_length(encode(text)) AS blen FROM documents), "
+            # r8 aHash: fully INDEPENDENT re-derivation — same closed-form
+            # pixel function, downsample(8x8->identity), mean threshold,
+            # MSB-first pack, two's-complement to signed 64 via HUGEINT
+            "am AS (SELECT doc_id, list_transform(range(0, 64), "
+            "i -> (doc_id*31 + (i//8)*16 + (i%8)*7) % 256) AS px FROM documents), "
+            "ahm AS (SELECT doc_id, px, list_avg(px) AS m FROM am), "
+            "abt AS (SELECT doc_id, list_transform(range(0, 64), "
+            "i -> CASE WHEN px[i+1] >= m THEN 1 ELSE 0 END) AS bits FROM ahm), "
+            "ahv AS (SELECT doc_id, ((list_sum(list_transform(range(0, 32), "
+            "i -> bits[i+1]::HUGEINT * (1::HUGEINT << (31 - i))))::HUGEINT * 4294967296 "
+            "+ list_sum(list_transform(range(32, 64), i -> bits[i+1]::HUGEINT * (1::HUGEINT << (63 - i)))) "
+            "- CASE WHEN bits[1] = 1 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END"
+            "))::BIGINT AS ahash FROM abt) "
+            "SELECT h.doc_id, 16 AS n_features, 'sha256-stub' AS featurizer, "
             "('0x' || substr(hx, 1, 2))::INT AS b1, "
             "list_sum(list_transform(range(1, 17), i -> ('0x' || substr(hx, 2*i - 1, 2))::INT))::INT AS bsum, "
             "greatest(1, blen // 1024)::INT AS n_frames, "
             "(CASE WHEN blen >= 1024 THEN (blen // 1024) * 1024 ELSE blen END)::BIGINT AS frames_bytes, "
-            "(greatest(1, blen // 1024) - 1)::INT AS last_frame_index "
-            "FROM h"
+            "(greatest(1, blen // 1024) - 1)::INT AS last_frame_index, "
+            "ahv.ahash "
+            "FROM h JOIN ahv ON h.doc_id = ahv.doc_id"
         ),
         "metrics_summary": (
             "WITH b AS (SELECT (o_orderstatus IS DISTINCT FROM 'O') AS err, "

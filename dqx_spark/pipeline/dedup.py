@@ -57,6 +57,7 @@ __all__ = [
     "fuzzy_decontaminate",
     "simhash64",
     "simhash_duplicate_pairs",
+    "hamming_pairs",
     "embedding_cosine_pairs",
     "embedding_cross_pairs",
     "embedding_decontaminate",
@@ -643,15 +644,34 @@ def simhash_duplicate_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
 
+    Pigeonhole banding via :func:`hamming_pairs` over :func:`simhash64`
+    signatures.  ``hash_name='md5'`` makes the whole output
+    DuckDB-reproducible (60-bit signatures, 15-bit bands at the default
+    max_hamming=3)."""
+    sh = simhash64(df, id_col, text_col, hash_name=hash_name)
+    return hamming_pairs(sh, "id", "sh", max_hamming=max_hamming, nbits=_sim_bits(hash_name))
+
+
+def hamming_pairs(
+    df: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3, nbits: int = 64
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of PRE-COMPUTED ``nbits``-wide integer
+    signatures within ``max_hamming`` — the banding core shared by
+    :func:`simhash_duplicate_pairs` (text) and perceptual image hashes
+    (``multimodal.image_ahash``), or any other fingerprint that measures
+    similarity in Hamming space.
+
     Pigeonhole banding: split the signature bits into (max_hamming + 1)
     bands; any pair within the Hamming ball agrees exactly on >= 1 band, so
     candidates only join within identical band values — no quadratic
-    blowup.  ``hash_name='md5'`` makes the whole output DuckDB-reproducible
-    (60-bit signatures, 15-bit bands at the default max_hamming=3)."""
-    nbits = _sim_bits(hash_name)
+    blowup.  Null signatures are excluded."""
     n_bands = max_hamming + 1
     width = nbits // n_bands
-    sh = simhash64(df, id_col, text_col, hash_name=hash_name).where(F.col("sh").isNotNull())
+    if width < 1:
+        raise ValueError(f"max_hamming={max_hamming} needs more than {nbits} signature bits")
+    sh = df.select(F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sh")).where(
+        F.col("sh").isNotNull()
+    )
     banded = sh.select(
         "id",
         "sh",

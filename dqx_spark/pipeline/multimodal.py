@@ -43,6 +43,9 @@ __all__ = [
     "resize_images",
     "image_features",
     "sample_video_frames",
+    "decode_bmp_gray_local",
+    "ahash_local",
+    "image_ahash",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -480,6 +483,111 @@ def decode_video_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFr
             yield out
 
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
+
+
+def decode_bmp_gray_local(b: bytes | None):
+    """Pure-numpy grayscale decode of an UNCOMPRESSED 24/32-bit
+    BITMAPINFOHEADER BMP — the one raster format whose pixels are readable
+    without any media library, which makes the perceptual-hash path below
+    REAL in a dependency-free environment (PIL handles everything else
+    when importable).  Returns a top-down HxW float array, or None for
+    anything unsupported (palette BMPs, RLE compression, truncated
+    files)."""
+    import numpy as np  # noqa: PLC0415
+
+    if b is None or len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    step = bpp // 8
+    stride = ((w * step + 3) // 4) * 4
+    if len(b) < offset + stride * h:
+        return None
+    rows = []
+    for r in range(h):
+        line = b[offset + r * stride : offset + r * stride + w * step]
+        px = np.frombuffer(line, dtype=np.uint8).reshape(w, step)
+        rows.append(px[:, :3].mean(axis=1))  # BGR (alpha ignored)
+    g = np.stack(rows)
+    return g if top_down else g[::-1]
+
+
+def ahash_local(b: bytes | None, hash_size: int = 8) -> int | None:
+    """Average hash (aHash, the classic perceptual image fingerprint:
+    downsample to hash_size x hash_size, threshold each block against the
+    downsampled mean, pack MSB-first) as a SIGNED 64-bit int — two's
+    complement wrapped so the value round-trips a Spark/DuckDB BIGINT and
+    Hamming distance works via xor + bit_count.
+
+    Decode ladder: dependency-free BMP raster first
+    (:func:`decode_bmp_gray_local`), PIL for other formats when
+    importable, else None.  Pure Python/numpy — shared verbatim by the
+    correctness-gate twin."""
+    import numpy as np  # noqa: PLC0415
+
+    if not 1 <= hash_size * hash_size <= 64:
+        raise ValueError(f"hash_size^2 must fit 64 bits, got {hash_size}")
+    g = decode_bmp_gray_local(b)
+    if g is None and b is not None:
+        have_pil, Image = _load_pil()
+        if have_pil:
+            import io  # noqa: PLC0415
+
+            try:
+                img = Image.open(io.BytesIO(b)).convert("L")
+                g = np.asarray(img, dtype=np.float64)
+            except Exception:  # noqa: BLE001
+                g = None
+    if g is None:
+        return None
+    hh, ww = g.shape
+    if hh < hash_size or ww < hash_size:
+        return None
+    ys = [hh * i // hash_size for i in range(hash_size + 1)]
+    xs = [ww * i // hash_size for i in range(hash_size + 1)]
+    blocks = np.array(
+        [
+            [g[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean() for c in range(hash_size)]
+            for r in range(hash_size)
+        ]
+    )
+    mean = blocks.mean()
+    h = 0
+    for v in blocks.flatten():  # row-major, MSB-first
+        h = (h << 1) | int(v >= mean)
+    nbits = hash_size * hash_size
+    if h >= 1 << (nbits - 1) and nbits == 64:
+        h -= 1 << 64
+    return h
+
+
+def image_ahash(
+    df: DataFrame, binary_col: str, id_col: str, hash_size: int = 8
+) -> DataFrame:
+    """(id, ahash): perceptual average-hash per image — the multimodal
+    counterpart of ``dedup.simhash64``.  Near-duplicate IMAGES are then
+    one call away: ``dedup.hamming_pairs(image_ahash(df, ...), "id",
+    "ahash", max_hamming=k)`` reuses the same pigeonhole banding as text
+    SimHash, so the pair search is bucketed, never quadratic.
+
+    Arrow-batched pandas UDF (one scan, no shuffle); undecodable bytes
+    yield null, which :func:`~dqx_spark.pipeline.dedup.hamming_pairs`
+    excludes."""
+    if not 1 <= hash_size * hash_size <= 64:
+        raise ValueError(f"hash_size^2 must fit 64 bits, got {hash_size}")
+
+    @F.pandas_udf("long")
+    def ah(s):
+        return s.map(lambda b: ahash_local(bytes(b) if b is not None else None, hash_size))
+
+    return df.select(F.col(id_col).alias("id"), ah(F.col(binary_col)).alias("ahash"))
 
 
 def _load_pil():

@@ -1419,3 +1419,90 @@ def test_embedding_cross_pairs_and_decontaminate(spark):
     ):
         with pytest.raises(ValueError, match="num_planes"):
             fn()
+
+
+def _make_bmp(pixels, bpp=24, top_down=False):
+    """Build a real uncompressed BMP from a top-down 2D list of gray
+    values (each pixel stored as equal B=G=R[, A=0])."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    step = bpp // 8
+    stride = ((w * step + 3) // 4) * 4
+    rows = pixels if top_down else pixels[::-1]
+    body = b""
+    for row in rows:
+        line = b"".join(bytes([v] * 3) + (b"\x00" if step == 4 else b"") for v in row)
+        body += line + b"\x00" * (stride - len(line))
+    height_field = -h if top_down else h
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, bpp, 0, len(body), 0, 0, 0, 0)
+    return hdr + dib + body
+
+
+def test_ahash_local_bmp_decode():
+    """r8: dependency-free BMP raster decode + average hash — bottom-up /
+    top-down / 32bpp / row padding all converge on identical grayscale,
+    hence identical hashes."""
+    import numpy as np
+
+    px = [[(r * 16 + c * 7) % 256 for c in range(8)] for r in range(8)]
+    base = multimodal.ahash_local(_make_bmp(px))
+    assert base is not None
+    assert base == multimodal.ahash_local(_make_bmp(px, top_down=True))
+    assert base == multimodal.ahash_local(_make_bmp(px, bpp=32))
+    # 10-wide image exercises the 2-byte row padding (10*3=30 -> stride 32)
+    px10 = [[(r * 16 + c * 7) % 256 for c in range(10)] for r in range(8)]
+    assert multimodal.ahash_local(_make_bmp(px10)) is not None
+    g = multimodal.decode_bmp_gray_local(_make_bmp(px10))
+    assert g.shape == (8, 10) and g[0][0] == px10[0][0] and g[7][9] == px10[7][9]
+    # hand-check the hash definition on the 8x8: block==pixel, MSB-first
+    flat = np.array(px, dtype=float).flatten()
+    mean = flat.mean()
+    expect = 0
+    for v in flat:
+        expect = (expect << 1) | int(v >= mean)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert base == expect
+    # unsupported inputs are None, not garbage
+    assert multimodal.ahash_local(None) is None
+    assert multimodal.ahash_local(b"not an image") is None
+    assert multimodal.ahash_local(_make_bmp(px)[:40]) is None
+    with pytest.raises(ValueError, match="hash_size"):
+        multimodal.ahash_local(_make_bmp(px), hash_size=9)
+
+
+def test_image_ahash_and_hamming_pairs(spark):
+    """r8: distributed ahash == local replay, and near-duplicate images
+    surface through the SAME pigeonhole banding as text SimHash."""
+    import random
+
+    random.seed(11)
+    base_px = [[random.randrange(256) for _ in range(16)] for _ in range(16)]
+    # near-dup: tweak one pixel slightly; far: independent random image
+    near_px = [row[:] for row in base_px]
+    near_px[3][3] = (near_px[3][3] + 4) % 256
+    far_px = [[random.randrange(256) for _ in range(16)] for _ in range(16)]
+    rows = [
+        (0, bytearray(_make_bmp(base_px))),
+        (1, bytearray(_make_bmp(near_px))),
+        (2, bytearray(_make_bmp(far_px))),
+        (3, None),
+        (4, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["id"]: r["ahash"] for r in multimodal.image_ahash(df, "content", "doc_id").collect()}
+    for i, b in rows:
+        expect = multimodal.ahash_local(bytes(b) if b is not None else None)
+        assert out[i] == expect, f"row {i}"
+    assert out[3] is None and out[4] is None
+    # composition: hamming_pairs over the signatures buckets the near-dup
+    sigs = multimodal.image_ahash(df, "content", "doc_id")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_pairs(sigs, "id", "ahash", max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -541,3 +541,15 @@ def test_bpe_encode_is_scan_local_arrow(spark):
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_image_ahash_is_scan_local_arrow(spark):
+    """r8: perceptual hashing is one scan through the Arrow-batched UDF —
+    no shuffle, no row-at-a-time Python."""
+    from dqx_spark.pipeline import multimodal as MM
+
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "id long, content binary")
+    p = plan_of(MM.image_ahash(df, "content", "id"))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
