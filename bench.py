@@ -456,6 +456,37 @@ def main() -> None:
     _bloom = _mixing.build_ngram_bloom(ev_docs, "text", n=5, num_bits=1 << 20, num_hashes=5)
     bloom_build_s = round(time.perf_counter() - _t0, 3)
     cases["decon_bloom"] = lambda: _mixing.bloom_contamination(docs, _bloom, "doc_id", "text")
+
+    # r8: trainable BPE — merges trained ONCE outside the timing (index
+    # build amortized, like pq_topk); the timed case is the Arrow-batched
+    # encode scan, the recurring per-corpus-pass cost.  Train cost (one
+    # word-count shuffle + driver merge loop) recorded into the notes.
+    from dqx_spark.pipeline import bpe as _bpe
+    from dqx_spark.pipeline import multimodal as _mm
+
+    _t0 = time.perf_counter()
+    _bpe_merges = _bpe.train_bpe(docs, "text", num_merges=200)
+    bpe_train_s = round(time.perf_counter() - _t0, 3)
+    cases["bpe_counts"] = lambda: _bpe.bpe_token_counts(docs, "doc_id", "text", _bpe_merges)
+
+    # r8: perceptual aHash over REAL 8x8 24-bit BMP rasters built per row
+    # (the gate's closed-form fixture) — times BMP byte construction +
+    # numpy decode + hash through the Arrow UDF, one scan
+    def _bmp_col():
+        k = F.col("doc_id")
+        hdr = "424DF60000000000000036000000280000000800000008000000010018000000" \
+              "0000C0000000" + "00000000" * 4
+        def row_hex(y):
+            return F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(7)),
+                            lambda x: F.repeat(F.lpad(F.hex((k * 31 + F.lit(y * 16) + x * 7) % 256), 2, "0"), 3)),
+                "",
+            )
+        return F.unhex(F.concat(F.lit(hdr), *[row_hex(y) for y in range(7, -1, -1)]))
+
+    cases["image_ahash"] = lambda: _mm.image_ahash(
+        docs.withColumn("bmp", _bmp_col()), "bmp", "doc_id"
+    )
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
@@ -664,6 +695,14 @@ def main() -> None:
             "bloom_build_s": (
                 f"build_ngram_bloom (2^20 bits, k=5) one-time cost: {bloom_build_s}s "
                 "at sf0.1 eval slice; amortized over every corpus probe"
+            ),
+            # r8: BPE — training is one word-count shuffle (bounded
+            # TakeOrdered to the driver) + a driver-local merge loop over
+            # word TYPES; paid once per tokenizer, amortized over every
+            # encode pass, so the headline case times only the encode scan
+            "bpe_train_s": (
+                f"train_bpe (200 merges, full vocab) one-time cost: {bpe_train_s}s "
+                "at sf0.1; scales with distinct word types, not corpus rows"
             ),
             # measured honestly: at sf0.1 the eval hash set is tiny, so the
             # exact path's codegen'd broadcast hash join BEATS the bloom
@@ -955,7 +994,7 @@ def emit(result: dict, details_path: str | None = None) -> None:
     _LINE_BUDGET = 1600  # observed driver tail window ~2000 bytes; stay well under
     # drop optional sections (least essential first) until the line fits;
     # the headline queries dict is never dropped
-    for drop in ((), ("slope",), ("slope", "sf1")):
+    for drop in ((), ("slope", "slope_scale"), ("slope", "slope_scale", "sf1")):
         trimmed = {k: v for k, v in compact.items() if k not in drop}
         line = json.dumps(trimmed, separators=(",", ":"))
         if len(line) <= _LINE_BUDGET:
