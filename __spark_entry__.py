@@ -540,6 +540,28 @@ def q_multimodal_features(spark, sf):
     ah = multimodal.image_ahash(df.withColumn("bmp", bmp), "bmp", "doc_id").select(
         F.col("id").alias("doc_id"), "ahash"
     )
+    # r8: REAL 16-bit PCM WAV per row (constant 44-byte header, 512 mono
+    # samples closed-form in doc_id) — certifies waveform decode +
+    # windowed-energy hashing the same independent-SQL way
+    _WAV_HDR_HEX = (
+        "52494646" "24040000" "57415645" "666D7420" "10000000"  # RIFF 1060, fmt 16
+        "0100" "0100" "401F0000" "803E0000" "0200" "1000"  # PCM mono 8kHz 16-bit
+        "64617461" "00040000"  # data 1024
+    )
+    def _sample_hex(i):
+        v16 = F.pmod(((k * 7 + i * 13) % 256 - 128) * 256, F.lit(65536))
+        be = F.lpad(F.hex(v16), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))  # little-endian
+
+    wav = F.unhex(
+        F.concat(
+            F.lit(_WAV_HDR_HEX),
+            F.array_join(F.transform(F.sequence(F.lit(0), F.lit(511)), _sample_hex), ""),
+        )
+    )
+    au = multimodal.audio_energy_hash(df.withColumn("wav", wav), "wav", "doc_id").select(
+        F.col("id").alias("doc_id"), "audio_hash"
+    )
     byte_of = lambda f: F.round(f.cast("double") * 255).cast("int")  # noqa: E731
     # sample_video_frames plumbing certified through its deterministic byte
     # partitioning: frame count and total sliced bytes are closed-form in
@@ -563,6 +585,7 @@ def q_multimodal_features(spark, sf):
         )
         .join(fstats, "doc_id", "left")
         .join(ah, "doc_id")
+        .join(au, "doc_id")
     )
 
 
@@ -2322,6 +2345,18 @@ def _video_keyframes_oracle() -> str:
     )
 
 
+def _hamming_pack_sql(bits: str) -> str:
+    """DuckDB SQL assembling a 64-wide MSB-first bit list column named
+    ``bits`` into the same signed 64-bit value `_pack_bits_signed64`
+    produces — HUGEINT intermediate, two's-complement subtract.  Shared
+    by the image-aHash and audio-energy-hash twins."""
+    return (
+        f"((list_sum(list_transform(range(0, 32), i -> {bits}[i+1]::HUGEINT * (1::HUGEINT << (31 - i))))::HUGEINT * 4294967296 "
+        f"+ list_sum(list_transform(range(32, 64), i -> {bits}[i+1]::HUGEINT * (1::HUGEINT << (63 - i)))) "
+        f"- CASE WHEN {bits}[1] = 1 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END))::BIGINT"
+    )
+
+
 @functools.lru_cache(maxsize=4)
 def _bpe_word_token_lens(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """(word, bpe_token_count) for EVERY distinct corpus word — the BPE
@@ -3498,19 +3533,24 @@ def oracle_sql() -> dict[str, str]:
             "ahm AS (SELECT doc_id, px, list_avg(px) AS m FROM am), "
             "abt AS (SELECT doc_id, list_transform(range(0, 64), "
             "i -> CASE WHEN px[i+1] >= m THEN 1 ELSE 0 END) AS bits FROM ahm), "
-            "ahv AS (SELECT doc_id, ((list_sum(list_transform(range(0, 32), "
-            "i -> bits[i+1]::HUGEINT * (1::HUGEINT << (31 - i))))::HUGEINT * 4294967296 "
-            "+ list_sum(list_transform(range(32, 64), i -> bits[i+1]::HUGEINT * (1::HUGEINT << (63 - i)))) "
-            "- CASE WHEN bits[1] = 1 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END"
-            "))::BIGINT AS ahash FROM abt) "
+            f"ahv AS (SELECT doc_id, {_hamming_pack_sql('bits')} AS ahash FROM abt), "
+            # r8 audio twin: same closed-form PCM samples (16-bit amplitude
+            # = (byte-128)*256), 64 windows x 8 samples, mean-|amplitude|
+            # threshold, identical signed-64 pack
+            "aw AS (SELECT doc_id, list_transform(range(0, 512), "
+            "i -> abs(((doc_id*7 + i*13) % 256 - 128) * 256)) AS aa FROM documents), "
+            "ae AS (SELECT doc_id, list_transform(range(0, 64), w -> list_avg(aa[w*8+1 : w*8+8])) AS es FROM aw), "
+            "aeb AS (SELECT doc_id, list_transform(range(0, 64), "
+            "w -> CASE WHEN es[w+1] >= list_avg(es) THEN 1 ELSE 0 END) AS bits FROM ae), "
+            f"auv AS (SELECT doc_id, {_hamming_pack_sql('bits')} AS audio_hash FROM aeb) "
             "SELECT h.doc_id, 16 AS n_features, 'sha256-stub' AS featurizer, "
             "('0x' || substr(hx, 1, 2))::INT AS b1, "
             "list_sum(list_transform(range(1, 17), i -> ('0x' || substr(hx, 2*i - 1, 2))::INT))::INT AS bsum, "
             "greatest(1, blen // 1024)::INT AS n_frames, "
             "(CASE WHEN blen >= 1024 THEN (blen // 1024) * 1024 ELSE blen END)::BIGINT AS frames_bytes, "
             "(greatest(1, blen // 1024) - 1)::INT AS last_frame_index, "
-            "ahv.ahash "
-            "FROM h JOIN ahv ON h.doc_id = ahv.doc_id"
+            "ahv.ahash, auv.audio_hash "
+            "FROM h JOIN ahv ON h.doc_id = ahv.doc_id JOIN auv ON h.doc_id = auv.doc_id"
         ),
         "metrics_summary": (
             "WITH b AS (SELECT (o_orderstatus IS DISTINCT FROM 'O') AS err, "

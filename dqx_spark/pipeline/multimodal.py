@@ -46,6 +46,9 @@ __all__ = [
     "decode_bmp_gray_local",
     "ahash_local",
     "image_ahash",
+    "decode_wav_pcm_local",
+    "audio_energy_hash_local",
+    "audio_energy_hash",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -559,13 +562,87 @@ def ahash_local(b: bytes | None, hash_size: int = 8) -> int | None:
         ]
     )
     mean = blocks.mean()
+    return _pack_bits_signed64([v >= mean for v in blocks.flatten()])  # row-major, MSB-first
+
+
+def _pack_bits_signed64(bits) -> int:
+    """MSB-first bit list -> int, two's-complement wrapped to signed 64
+    when the list is 64 wide — shared by the image and audio perceptual
+    hashes so both round-trip a Spark/DuckDB BIGINT."""
     h = 0
-    for v in blocks.flatten():  # row-major, MSB-first
-        h = (h << 1) | int(v >= mean)
-    nbits = hash_size * hash_size
-    if h >= 1 << (nbits - 1) and nbits == 64:
+    for b in bits:
+        h = (h << 1) | int(b)
+    if len(bits) == 64 and h >= 1 << 63:
         h -= 1 << 64
     return h
+
+
+def decode_wav_pcm_local(b: bytes | None):
+    """Pure-numpy sample decode of a 16-bit PCM WAV — the audio analogue
+    of :func:`decode_bmp_gray_local`: real waveform access with no media
+    library.  Channels are averaged to mono; returns a float array or
+    None for anything unsupported (compressed formats, other bit
+    depths, truncated data chunks)."""
+    import numpy as np  # noqa: PLC0415
+
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, ch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt = int.from_bytes(b[i + 8 : i + 10], "little")
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + csize]
+            if len(data) < csize:
+                return None
+        i += 8 + csize + (csize & 1)
+    if fmt != 1 or bits != 16 or not ch or data is None or len(data) < 2 * ch:
+        return None
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * ch)], dtype="<i2")
+    return samples.reshape(-1, ch).mean(axis=1)
+
+
+def audio_energy_hash_local(b: bytes | None, num_windows: int = 64) -> int | None:
+    """Windowed-energy fingerprint: split the mono waveform into
+    ``num_windows`` equal windows, mean-|amplitude| per window, threshold
+    each against the overall window mean, pack MSB-first — the audio
+    member of the perceptual-hash family (robust to gain-preserving
+    re-encodes the way aHash is robust to resizes).  Signed-64 packed;
+    pure Python/numpy, shared verbatim by the correctness-gate twin."""
+    import numpy as np  # noqa: PLC0415
+
+    if not 1 <= num_windows <= 64:
+        raise ValueError(f"num_windows must be in [1, 64], got {num_windows}")
+    s = decode_wav_pcm_local(b)
+    if s is None or len(s) < num_windows:
+        return None
+    a = np.abs(s)
+    edges = [len(a) * i // num_windows for i in range(num_windows + 1)]
+    energies = np.array([a[edges[i] : edges[i + 1]].mean() for i in range(num_windows)])
+    mean = energies.mean()
+    return _pack_bits_signed64([v >= mean for v in energies])
+
+
+def audio_energy_hash(
+    df: DataFrame, binary_col: str, id_col: str, num_windows: int = 64
+) -> DataFrame:
+    """(id, audio_hash): perceptual energy hash per audio blob — pairs
+    with ``dedup.hamming_pairs`` exactly like :func:`image_ahash` (same
+    banding, same null handling).  Arrow-batched pandas UDF, one scan."""
+    if not 1 <= num_windows <= 64:
+        raise ValueError(f"num_windows must be in [1, 64], got {num_windows}")
+
+    @F.pandas_udf("long")
+    def ah(s):
+        return s.map(
+            lambda b: audio_energy_hash_local(bytes(b) if b is not None else None, num_windows)
+        )
+
+    return df.select(F.col(id_col).alias("id"), ah(F.col(binary_col)).alias("audio_hash"))
 
 
 def image_ahash(

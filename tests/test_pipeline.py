@@ -1506,3 +1506,73 @@ def test_image_ahash_and_hamming_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def _make_wav(samples, channels=1, bits=16, sr=8000, fmt=1):
+    """Real RIFF/WAVE with 16-bit PCM payload from a list of ints (mono)
+    or per-channel tuples."""
+    import struct
+
+    frames = b""
+    for s in samples:
+        vals = s if isinstance(s, tuple) else (s,) * channels
+        frames += b"".join(struct.pack("<h", v) for v in vals)
+    fmt_chunk = struct.pack("<HHIIHH", fmt, channels, sr, sr * channels * bits // 8, channels * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_audio_energy_hash_local():
+    """r8: pure-numpy PCM decode + windowed-energy hash — loud/quiet
+    alternation produces the expected bit pattern; stereo averages to
+    mono; unsupported formats are None."""
+    import numpy as np
+
+    # 8 windows x 8 samples: windows alternate loud (1000) / quiet (10)
+    samples = []
+    for w in range(8):
+        samples += [1000 if w % 2 == 0 else 10] * 8
+    wav = _make_wav(samples)
+    h = multimodal.audio_energy_hash_local(wav, num_windows=8)
+    # bits MSB-first: 10101010 -> 0xAA
+    assert h == 0b10101010
+    # stereo: (L+R)/2 equals the mono signal -> identical hash
+    stereo = _make_wav([(s + 2, s - 2) for s in samples], channels=2)
+    assert multimodal.audio_energy_hash_local(stereo, num_windows=8) == h
+    mono = multimodal.decode_wav_pcm_local(wav)
+    assert len(mono) == 64 and mono[0] == 1000.0
+    # non-PCM format tag, truncated data, junk: all None
+    assert multimodal.audio_energy_hash_local(_make_wav(samples, fmt=3)) is None
+    assert multimodal.audio_energy_hash_local(wav[:50], num_windows=8) is None
+    assert multimodal.audio_energy_hash_local(b"junk") is None
+    assert multimodal.audio_energy_hash_local(None) is None
+    with pytest.raises(ValueError, match="num_windows"):
+        multimodal.audio_energy_hash_local(wav, num_windows=65)
+
+
+def test_audio_energy_hash_spark_and_pairs(spark):
+    """r8: distributed == local, and near-dup audio rides hamming_pairs."""
+    import random
+
+    random.seed(3)
+    base = [random.randrange(-3000, 3000) for _ in range(256)]
+    near = base[:]
+    near[10] += 40  # tiny amplitude nudge
+    far = [random.randrange(-3000, 3000) for _ in range(256)]
+    rows = [
+        (0, bytearray(_make_wav(base))),
+        (1, bytearray(_make_wav(near))),
+        (2, bytearray(_make_wav(far))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["id"]: r["audio_hash"] for r in multimodal.audio_energy_hash(df, "content", "doc_id").collect()}
+    for i, b in rows:
+        assert out[i] == multimodal.audio_energy_hash_local(bytes(b) if b is not None else None)
+    sigs = multimodal.audio_energy_hash(df, "content", "doc_id")
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in dedup.hamming_pairs(sigs, "id", "audio_hash", max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs

@@ -553,3 +553,15 @@ def test_image_ahash_is_scan_local_arrow(spark):
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_audio_energy_hash_is_scan_local_arrow(spark):
+    """r8: audio fingerprinting is one Arrow-batched scan, like image
+    aHash."""
+    from dqx_spark.pipeline import multimodal as MM
+
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "id long, content binary")
+    p = plan_of(MM.audio_energy_hash(df, "content", "id"))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
