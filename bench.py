@@ -857,6 +857,16 @@ def main() -> None:
         sf1_pipe["bloom_build"] = timed(lambda: _mixing.build_ngram_bloom(
             ev_docs_o, "text", n=5, num_bits=1 << 20, num_hashes=5
         ))
+        # r8: BPE encode + perceptual hashes at organic 10x docs — all
+        # scan-local Arrow UDF plans, so the slope claim is pure row
+        # throughput.  Merges are the 1x-trained tokenizer (the realistic
+        # shape: one vocabulary, many corpus passes).
+        sf1_pipe["bpe_counts"] = timed(lambda: materialize(
+            _bpe.bpe_token_counts(docs_o, "doc_id", "text", _bpe_merges)
+        ))
+        sf1_pipe["image_ahash"] = timed(lambda: materialize(
+            _mm.image_ahash(docs_o.withColumn("bmp", _bmp_col()), "bmp", "doc_id")
+        ))
 
         # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
         # table caps what the slope section can say about the ANN family;
