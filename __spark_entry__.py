@@ -1141,6 +1141,18 @@ def q_url_normalize(spark, sf):
         ),
     )
     red = pii.redact_pii(noted, "c_custkey", "note", entities=list(pii.PORTABLE_PII_ENTITIES))
+    # r8: HTML extraction rides the same web-flavored row — a synthetic
+    # page wrapping customer fields runs through text.strip_html (pure
+    # Column regexp chain, RE2-portable patterns) and the md5 of the
+    # extracted text is compared against a DuckDB twin running the
+    # IDENTICAL pattern sequence
+    html_fx = F.concat(
+        F.lit("<html><head><style>p{color:red}</style><script>var a='<p>no</p>';</script></head><body><h1>"),
+        F.col("c_name"),
+        F.lit("</h1><p>Cust &amp; no. "), k.cast("string"),
+        F.lit("</p><!-- hidden --><ul><li>acct</li><li>"), (k % 97).cast("string"),
+        F.lit("</li></ul></body></html>"),
+    )
     return (
         flagged.select(
             "c_custkey",
@@ -1150,6 +1162,12 @@ def q_url_normalize(spark, sf):
             "kept",
         )
         .join(red.withColumnRenamed("id", "c_custkey"), "c_custkey")
+        .join(
+            _read(spark, sf, "customer").select(
+                "c_custkey", F.md5(text.strip_html(html_fx)).alias("html_md5")
+            ),
+            "c_custkey",
+        )
         .select(
             "c_custkey", "host", "domain", "norm", "kept",
             F.md5("note_redacted").alias("red_md5"),
@@ -1158,6 +1176,7 @@ def q_url_normalize(spark, sf):
             F.col("n_us_ssn").cast("bigint").alias("n_ssn"),
             F.col("n_phone_number").cast("bigint").alias("n_phone"),
             F.col("n_ip_address").cast("bigint").alias("n_ip"),
+            "html_md5",
         )
     )
 
@@ -3289,12 +3308,35 @@ def oracle_sql() -> dict[str, str]:
             f"len(regexp_extract_all(note, '{pii_pat['EMAIL_ADDRESS']}')) AS n_email, "
             f"len(regexp_extract_all(note, '{pii_pat['US_SSN']}')) AS n_ssn, "
             f"len(regexp_extract_all(note, '{pii_pat['PHONE_NUMBER']}')) AS n_phone, "
-            f"len(regexp_extract_all(note, '{pii_pat['IP_ADDRESS']}')) AS n_ip FROM note) "
+            f"len(regexp_extract_all(note, '{pii_pat['IP_ADDRESS']}')) AS n_ip FROM note), "
+            # r8 strip_html twin: identical RE2-portable pattern sequence
+            # as text.strip_html (script/style/comment kill, block tags ->
+            # newline, untag, entity decode with &amp; LAST, whitespace
+            # collapse); md5 of the extracted text
+            "hx AS (SELECT c_custkey, '<html><head><style>p{color:red}</style>"
+            "<script>var a=''<p>no</p>'';</script></head><body><h1>' || c_name || "
+            "'</h1><p>Cust &amp; no. ' || c_custkey::VARCHAR || "
+            "'</p><!-- hidden --><ul><li>acct</li><li>' || (c_custkey % 97)::VARCHAR || "
+            "'</li></ul></body></html>' AS html FROM customer), "
+            "hs AS (SELECT c_custkey, trim(regexp_replace(regexp_replace(regexp_replace("
+            "replace(replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, "
+            r"'(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'), "
+            r"'(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'), "
+            r"'(?s)<!--.*?-->', ' ', 'g'), "
+            r"'(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|article)\b[^>]*>', chr(10), 'g'), "
+            r"'(?s)<[^>]*>', ' ', 'g'), "
+            "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
+            "'&apos;', chr(39)), '&amp;', '&'), "
+            r"'[ \t]+', ' ', 'g'), "
+            r"' ?\n ?', chr(10), 'g'), "
+            r"'\n{3,}', chr(10) || chr(10), 'g')) AS clean FROM hx) "
             "SELECT u.*, md5(r.red) AS red_md5, "
             "(r.n_email + r.n_ssn + r.n_phone + r.n_ip)::BIGINT AS pii_n, "
             "r.n_email::BIGINT AS n_email, r.n_ssn::BIGINT AS n_ssn, "
-            "r.n_phone::BIGINT AS n_phone, r.n_ip::BIGINT AS n_ip "
-            "FROM u JOIN r USING (c_custkey)"
+            "r.n_phone::BIGINT AS n_phone, r.n_ip::BIGINT AS n_ip, "
+            "md5(hs.clean) AS html_md5 "
+            "FROM u JOIN r USING (c_custkey) JOIN hs USING (c_custkey)"
         ),
         "sample_n_per_group": (
             "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "

@@ -39,6 +39,7 @@ __all__ = [
     "chunk_by_tokens",
     "top_distinctive_terms",
     "fix_mojibake",
+    "strip_html",
     "normalize_text",
     "redact_pii",
 ]
@@ -577,6 +578,63 @@ def fix_mojibake(column: str | Column) -> Column:
         return s.map(_repair_mojibake_str)
 
     return _fix(to_col(column))
+
+
+#: the HTML entities worth decoding without an entity table — the ones
+#: that actually appear at scale in web text; numeric references are
+#: handled separately.  Order matters: &amp; decodes LAST so that
+#: "&amp;lt;" round-trips to the literal "&lt;" (not "<").
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(column: str | Column, decode_entities: bool = True) -> Column:
+    """Plain text from an HTML fragment — the extraction step every web
+    corpus runs before the quality/dedup filters:
+
+    1. drop ``<script>``/``<style>``/``<!-- -->`` blocks wholesale
+       (content included — it's code, not text);
+    2. turn block-level closers/openers (``</p>``, ``<br>``, ``</div>``,
+       headings, list items, table rows) into newlines so visual line
+       structure survives for the line-based cleaners
+       (:func:`~dqx_spark.pipeline.corpus.split_lines` consumers);
+    3. strip all remaining tags;
+    4. decode the common entities (``&amp;`` last, so double-escaped
+       text stays escaped) and collapse leftover space runs.
+
+    Pure Column ``regexp_replace`` chain — scan-local, codegen'd, and
+    every pattern is RE2-portable (non-greedy + ``(?is)`` flags; no
+    backreferences, no lookarounds), so an oracle twin can run the
+    IDENTICAL patterns.  This is the regex tier of extraction: good for
+    filtering-grade text; a DOM-fidelity extractor (trafilatura-class)
+    is a library dependency by nature and out of scope.  Null stays
+    null."""
+    col = to_col(column)
+    # RE2 has no backreferences, so script/style are two explicit rules
+    # rather than one <(script|style)>...</\1> pair — the twin runs the
+    # IDENTICAL patterns
+    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(
+        out, r"(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|article)\b[^>]*>", "\n"
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    if decode_entities:
+        # unknown/numeric references beyond the common set stay literal
+        # (deterministic text beats a lossy blank for dedup purposes)
+        for ent, rep in _HTML_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    return F.trim(F.regexp_replace(out, r"\n{3,}", "\n\n"))
 
 
 def normalize_text(

@@ -1576,3 +1576,34 @@ def test_audio_energy_hash_spark_and_pairs(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_strip_html(spark):
+    """r8: regex-tier HTML extraction — script/style/comment blocks die
+    wholesale, block tags become line breaks, entities decode with
+    double-escapes preserved, null stays null."""
+    html = (
+        "<html><head><style>p {color: red}</style>"
+        "<script type='text/js'>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Title</h1><p>First &amp; second &lt;para&gt;.</p>"
+        "<!-- hidden comment --><div>Item&nbsp;one</div>"
+        "<ul><li>a</li><li>b</li></ul>"
+        "<span class='x'>inline &amp;lt; stays escaped</span></body></html>"
+    )
+    df = spark.createDataFrame([(0, html), (1, "plain, no markup"), (2, None)], "id long, t string")
+    out = {r["id"]: r["s"] for r in df.select("id", text.strip_html("t").alias("s")).collect()}
+    got = out[0]
+    assert "Title" in got and "First & second <para>." in got
+    assert "color" not in got and "var x" not in got and "hidden comment" not in got
+    assert "Item one" in got
+    # block tags introduced real line structure
+    lines = [ln for ln in got.split("\n") if ln.strip()]
+    assert "Title" in lines[0]
+    assert any(ln.strip() == "a" for ln in lines) and any(ln.strip() == "b" for ln in lines)
+    # double-escaped text stays escaped (&amp; decodes LAST)
+    assert "inline &lt; stays escaped" in got
+    assert out[1] == "plain, no markup"
+    assert out[2] is None
+    # decode_entities=False leaves entities literal but still untags
+    raw = df.where("id = 0").select(text.strip_html("t", decode_entities=False).alias("s")).collect()[0]["s"]
+    assert "&amp;" in raw and "<p>" not in raw
