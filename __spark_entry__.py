@@ -1151,7 +1151,10 @@ def q_url_normalize(spark, sf):
         F.col("c_name"),
         F.lit("</h1><p>Cust &amp; no. "), k.cast("string"),
         F.lit("</p><!-- hidden --><ul><li>acct</li><li>"), (k % 97).cast("string"),
-        F.lit("</li></ul></body></html>"),
+        F.lit("</li></ul><a href=\"https://out"), (k % 13).cast("string"),
+        F.lit(".example.net/page/"), k.cast("string"),
+        F.lit("\">see</a><img src='/img/"), k.cast("string"),
+        F.lit(".png'><a href=\"#frag\">top</a></body></html>"),
     )
     return (
         flagged.select(
@@ -1164,7 +1167,12 @@ def q_url_normalize(spark, sf):
         .join(red.withColumnRenamed("id", "c_custkey"), "c_custkey")
         .join(
             _read(spark, sf, "customer").select(
-                "c_custkey", F.md5(text.strip_html(html_fx)).alias("html_md5")
+                "c_custkey",
+                F.md5(text.strip_html(html_fx)).alias("html_md5"),
+                # r8: outlink extraction over the same page — count +
+                # md5 of the ordered link list (fragment link excluded)
+                F.size(web.extract_links(html_fx)).cast("bigint").alias("n_links"),
+                F.md5(F.array_join(web.extract_links(html_fx), "|")).alias("links_md5"),
             ),
             "c_custkey",
         )
@@ -1176,7 +1184,7 @@ def q_url_normalize(spark, sf):
             F.col("n_us_ssn").cast("bigint").alias("n_ssn"),
             F.col("n_phone_number").cast("bigint").alias("n_phone"),
             F.col("n_ip_address").cast("bigint").alias("n_ip"),
-            "html_md5",
+            "html_md5", "n_links", "links_md5",
         )
     )
 
@@ -2627,6 +2635,10 @@ def oracle_sql() -> dict[str, str]:
     from dqx_spark.pipeline.corpus import blocklist_pattern as _blpattern
 
     _bl_pat = _blpattern(_BLOCKLIST_TERMS)
+    # r8 link-extraction twin pattern (single quotes doubled for SQL)
+    from dqx_spark.pipeline.web import link_pattern as _wlink
+
+    _link_pat_sql = _wlink().replace("'", "''")
     # r8 BPE twin VALUES literal: word -> local-replay token length
     _bpe_values = ", ".join(
         "('" + w.replace("'", "''") + "', " + str(n) + ")"
@@ -3317,7 +3329,15 @@ def oracle_sql() -> dict[str, str]:
             "<script>var a=''<p>no</p>'';</script></head><body><h1>' || c_name || "
             "'</h1><p>Cust &amp; no. ' || c_custkey::VARCHAR || "
             "'</p><!-- hidden --><ul><li>acct</li><li>' || (c_custkey % 97)::VARCHAR || "
-            "'</li></ul></body></html>' AS html FROM customer), "
+            "'</li></ul><a href=\"https://out' || (c_custkey % 13)::VARCHAR || "
+            "'.example.net/page/' || c_custkey::VARCHAR || "
+            "'\">see</a><img src=''/img/' || c_custkey::VARCHAR || "
+            "'.png''><a href=\"#frag\">top</a></body></html>' AS html FROM customer), "
+            # r8 link-extraction twin: identical pattern string from
+            # web.link_pattern, same strip/filter steps
+            f"lv AS (SELECT c_custkey, list_filter(list_transform(regexp_extract_all(html, '{_link_pat_sql}', 1), "
+            "m -> regexp_replace(m, '^[\"'']|[\"'']$', '', 'g')), "
+            "v -> v <> '' AND NOT starts_with(v, '#')) AS links FROM hx), "
             "hs AS (SELECT c_custkey, trim(regexp_replace(regexp_replace(regexp_replace("
             "replace(replace(replace(replace(replace(replace(replace("
             "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, "
@@ -3335,8 +3355,9 @@ def oracle_sql() -> dict[str, str]:
             "(r.n_email + r.n_ssn + r.n_phone + r.n_ip)::BIGINT AS pii_n, "
             "r.n_email::BIGINT AS n_email, r.n_ssn::BIGINT AS n_ssn, "
             "r.n_phone::BIGINT AS n_phone, r.n_ip::BIGINT AS n_ip, "
-            "md5(hs.clean) AS html_md5 "
-            "FROM u JOIN r USING (c_custkey) JOIN hs USING (c_custkey)"
+            "md5(hs.clean) AS html_md5, "
+            "len(lv.links)::BIGINT AS n_links, md5(array_to_string(lv.links, '|')) AS links_md5 "
+            "FROM u JOIN r USING (c_custkey) JOIN hs USING (c_custkey) JOIN lv USING (c_custkey)"
         ),
         "sample_n_per_group": (
             "SELECT source, doc_id, rank FROM (SELECT source, doc_id, "

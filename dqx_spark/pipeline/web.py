@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from dqx_spark.rule import to_col
 
-__all__ = ["url_host", "registered_domain", "url_normalize", "dedup_by_url"]
+__all__ = ["url_host", "registered_domain", "url_normalize", "dedup_by_url", "link_pattern", "extract_links"]
 
 #: scheme://[userinfo@]HOST[:port][/...]
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
@@ -96,3 +96,35 @@ def dedup_by_url(df, id_col: str, url_col: str, keep_col: str | None = None, kep
     return out.withColumn(
         kept_col, F.col("__ukey").isNull() | (F.col(id_col) == F.col("__keep"))
     ).drop("__ukey", "__keep")
+
+
+def link_pattern(attrs: tuple = ("href", "src")) -> str:
+    """The shared attribute-value regex used by :func:`extract_links` —
+    exposed so oracle twins interpolate the IDENTICAL string."""
+    for a in attrs:
+        if not a or not all(c.isalnum() or c in "-_" for c in a):
+            raise ValueError(f"invalid attribute name {a!r}")
+    alts = "|".join(attrs)
+    return "(?i)\\b(?:" + alts + ")\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+
+
+def extract_links(column: str | Column, attrs: tuple = ("href", "src")) -> Column:
+    """Array of link targets from raw HTML — the URL values of ``href`` /
+    ``src`` attributes (double-, single-, or un-quoted), in document
+    order.  Feeds :func:`dedup_by_url` / :func:`registered_domain` for
+    outlink-graph and domain-balance passes over a crawl.
+
+    Regex-only like the rest of this module (RE2-compatible, so oracle
+    engines run the identical pattern).  One capture group holds the
+    value WITH its quotes (alternatives inside the group — extract_all
+    returns a single group, and RE2 has no backreferences to pair the
+    quote styles), stripped per element afterwards.  Fragment-only links
+    (``#...``) and empty values are excluded.  Null HTML -> empty
+    array."""
+    pat = link_pattern(attrs)
+    col = F.coalesce(to_col(column), F.lit(""))
+    vals = F.transform(
+        F.regexp_extract_all(col, F.lit(pat), 1),
+        lambda m: F.regexp_replace(m, "^[\"']|[\"']$", ""),
+    )
+    return F.filter(vals, lambda v: (v != "") & ~v.startswith("#"))

@@ -1607,3 +1607,35 @@ def test_strip_html(spark):
     # decode_entities=False leaves entities literal but still untags
     raw = df.where("id = 0").select(text.strip_html("t", decode_entities=False).alias("s")).collect()[0]["s"]
     assert "&amp;" in raw and "<p>" not in raw
+
+
+def test_extract_links(spark):
+    """r8: href/src extraction across quote styles; fragments and empties
+    excluded; null-safe; composes with url_host for outlink domains."""
+    from dqx_spark.pipeline import web
+
+    html = (
+        '<a href="https://a.example.com/x?q=1">x</a> '
+        "<img SRC='/img/y.png'/> <a href=bare.html>b</a> "
+        '<a href="#top">top</a> <a href="">e</a> <link HREF="https://b.org/c.css">'
+    )
+    df = spark.createDataFrame([(0, html), (1, "no links here"), (2, None)], "id long, t string")
+    out = {r["id"]: r["links"] for r in df.select("id", web.extract_links("t").alias("links")).collect()}
+    assert out[0] == ["https://a.example.com/x?q=1", "/img/y.png", "bare.html", "https://b.org/c.css"]
+    assert out[1] == [] and out[2] == []
+    # attr subset: href only drops the img src
+    hrefs = df.where("id = 0").select(web.extract_links("t", attrs=("href",)).alias("l")).collect()[0]["l"]
+    assert "/img/y.png" not in hrefs and "bare.html" in hrefs
+    # outlink hosts via the existing url_host composition
+    hosts = (
+        df.select(F.explode(web.extract_links("t")).alias("u"))
+        .select(web.url_host("u").alias("h"))
+        .where("h <> ''")
+        .distinct()
+        .collect()
+    )
+    assert {r["h"] for r in hosts} == {"a.example.com", "b.org"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="attribute"):
+        df.select(web.extract_links("t", attrs=("href", "bad attr")))
