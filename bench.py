@@ -467,7 +467,12 @@ def main() -> None:
     _t0 = time.perf_counter()
     _bpe_merges = _bpe.train_bpe(docs, "text", num_merges=200)
     bpe_train_s = round(time.perf_counter() - _t0, 3)
-    cases["bpe_counts"] = lambda: _bpe.bpe_token_counts(docs, "doc_id", "text", _bpe_merges)
+    # the UDF output must be AGGREGATED, not counted: count() lets Spark
+    # prune the Arrow UDF column entirely and times a bare scan (measured:
+    # 0.18s pruned vs 0.44s real at sf0.1)
+    cases["bpe_counts"] = lambda: _bpe.bpe_token_counts(docs, "doc_id", "text", _bpe_merges).agg(
+        F.sum("bpe_tokens").alias("s")
+    )
 
     # r8: perceptual aHash over REAL 8x8 24-bit BMP rasters built per row
     # (the gate's closed-form fixture) — times BMP byte construction +
@@ -486,7 +491,7 @@ def main() -> None:
 
     cases["image_ahash"] = lambda: _mm.image_ahash(
         docs.withColumn("bmp", _bmp_col()), "bmp", "doc_id"
-    )
+    ).agg(F.count("ahash").alias("n"), F.sum(F.bit_count("ahash")).alias("bits"))
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
@@ -861,11 +866,17 @@ def main() -> None:
         # scan-local Arrow UDF plans, so the slope claim is pure row
         # throughput.  Merges are the 1x-trained tokenizer (the realistic
         # shape: one vocabulary, many corpus passes).
+        # aggregated outputs (NOT bare counts) so the Arrow UDFs cannot be
+        # column-pruned out of the timed plan — same shape as the 1x cases
         sf1_pipe["bpe_counts"] = timed(lambda: materialize(
-            _bpe.bpe_token_counts(docs_o, "doc_id", "text", _bpe_merges)
+            _bpe.bpe_token_counts(docs_o, "doc_id", "text", _bpe_merges).agg(
+                F.sum("bpe_tokens").alias("s")
+            )
         ))
         sf1_pipe["image_ahash"] = timed(lambda: materialize(
-            _mm.image_ahash(docs_o.withColumn("bmp", _bmp_col()), "bmp", "doc_id")
+            _mm.image_ahash(docs_o.withColumn("bmp", _bmp_col()), "bmp", "doc_id").agg(
+                F.count("ahash").alias("n"), F.sum(F.bit_count("ahash")).alias("bits")
+            )
         ))
 
         # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
