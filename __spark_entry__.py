@@ -517,26 +517,11 @@ def q_multimodal_features(spark, sf):
     bit-packing INDEPENDENTLY in SQL (no replay twin needed)."""
     df = _read(spark, sf, "documents").withColumn("content", F.encode(F.col("text"), "UTF-8"))
     feats = multimodal.image_features(df, "content", "doc_id", dim=16, encoder="stub")
-    # 8x8 24bpp BMP: constant 54-byte header, rows stored bottom-up (so
-    # top-down y runs 7..0 in storage order), gray pixel value
+    # 8x8 24bpp BMP via the SHARED builder (multimodal.synthesize_bmp —
+    # bench times the same payload this gate certifies); gray pixel value
     # (doc_id*31 + y*16 + x*7) % 256 repeated across B=G=R
     k = F.col("doc_id")
-    _BMP_HDR_HEX = (
-        "424D" "F6000000" "00000000" "36000000"  # BM, size 246, reserved, offset 54
-        "28000000" "08000000" "08000000" "0100" "1800"  # DIB 40, w8, h8, planes, 24bpp
-        "00000000" "C0000000" + "00000000" * 4  # BI_RGB, image size 192, ppm/colors
-    )
-
-    def _bmp_row_hex(y: int):
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda x: F.repeat(F.lpad(F.hex((k * 31 + F.lit(y * 16) + x * 7) % 256), 2, "0"), 3),
-            ),
-            "",
-        )
-
-    bmp = F.unhex(F.concat(F.lit(_BMP_HDR_HEX), *[_bmp_row_hex(y) for y in range(7, -1, -1)]))
+    bmp = multimodal.synthesize_bmp(lambda y, x: (k * 31 + y * 16 + x * 7) % 256)
     ah = multimodal.image_ahash(df.withColumn("bmp", bmp), "bmp", "doc_id").select(
         F.col("id").alias("doc_id"), "ahash"
     )

@@ -475,19 +475,12 @@ def main() -> None:
     )
 
     # r8: perceptual aHash over REAL 8x8 24-bit BMP rasters built per row
-    # (the gate's closed-form fixture) — times BMP byte construction +
-    # numpy decode + hash through the Arrow UDF, one scan
+    # via the SHARED builder (multimodal.synthesize_bmp — the exact
+    # payload the gate certifies) — times BMP byte construction + numpy
+    # decode + hash through the Arrow UDF, one scan
     def _bmp_col():
         k = F.col("doc_id")
-        hdr = "424DF60000000000000036000000280000000800000008000000010018000000" \
-              "0000C0000000" + "00000000" * 4
-        def row_hex(y):
-            return F.array_join(
-                F.transform(F.sequence(F.lit(0), F.lit(7)),
-                            lambda x: F.repeat(F.lpad(F.hex((k * 31 + F.lit(y * 16) + x * 7) % 256), 2, "0"), 3)),
-                "",
-            )
-        return F.unhex(F.concat(F.lit(hdr), *[row_hex(y) for y in range(7, -1, -1)]))
+        return _mm.synthesize_bmp(lambda y, x: (k * 31 + y * 16 + x * 7) % 256)
 
     cases["image_ahash"] = lambda: _mm.image_ahash(
         docs.withColumn("bmp", _bmp_col()), "bmp", "doc_id"

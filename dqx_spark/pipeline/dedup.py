@@ -664,11 +664,19 @@ def hamming_pairs(
     Pigeonhole banding: split the signature bits into (max_hamming + 1)
     bands; any pair within the Hamming ball agrees exactly on >= 1 band, so
     candidates only join within identical band values — no quadratic
-    blowup.  Null signatures are excluded."""
+    blowup.  ``max_hamming=0`` degenerates to exact-signature grouping
+    (one full-width band).  Null signatures are excluded."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if not 1 <= nbits <= 64:
+        raise ValueError(f"nbits must be in [1, 64], got {nbits}")
     n_bands = max_hamming + 1
     width = nbits // n_bands
     if width < 1:
         raise ValueError(f"max_hamming={max_hamming} needs more than {nbits} signature bits")
+    # (1 << 64) - 1 overflows a Java long; a full-width band needs no mask
+    # (all-ones == -1 in two's complement works too, but skip the AND)
+    full_band = width >= 64
     sh = df.select(F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sh")).where(
         F.col("sh").isNotNull()
     )
@@ -680,9 +688,13 @@ def hamming_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.shiftrightunsigned(F.col("sh"), j * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bucket"),
+                        (
+                            F.col("sh")
+                            if full_band
+                            else F.shiftrightunsigned(F.col("sh"), j * width).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                        ).alias("bucket"),
                     )
                     for j in range(n_bands)
                 ]

@@ -36,6 +36,7 @@ __all__ = [
     "parse_audio_header",
     "parse_video_header",
     "parse_video_sample_table",
+    "synthesize_bmp",
     "synthesize_mp4",
     "decode_image",
     "decode_audio",
@@ -372,6 +373,43 @@ def parse_video_sample_table(b: bytes | None) -> list[tuple[int, int, int, bool]
     return out if len(out) == n_samples else None
 
 
+def synthesize_bmp(value_of, width: int = 8, height: int = 8) -> Column:
+    """Binary Column holding a REAL uncompressed 24-bit BMP whose gray
+    pixel values come from ``value_of(y, x) -> Column`` (top-down
+    coordinates, values taken mod nothing — callers keep them in 0-255).
+    One builder shared by the correctness-gate fixture and the benchmark
+    so the certified payload and the timed payload cannot drift apart.
+
+    Rows are emitted bottom-up (positive-height BMP); each gray value is
+    repeated across B=G=R; rows are zero-padded to the 4-byte stride."""
+    step = 3
+    stride = ((width * step + 3) // 4) * 4
+    body_len = stride * height
+    file_len = 54 + body_len
+
+    def le4(v: int) -> str:
+        return v.to_bytes(4, "little").hex().upper()
+
+    hdr = (
+        "424D" + le4(file_len) + "00000000" + "36000000"
+        + "28000000" + le4(width) + le4(height) + "0100" + "1800"
+        + "00000000" + le4(body_len) + "00000000" * 4
+    )
+    pad = "00" * (stride - width * step)
+
+    def row_hex(y: int) -> Column:
+        px = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(width - 1)),
+                lambda x: F.repeat(F.lpad(F.hex(value_of(F.lit(y), x)), 2, "0"), step),
+            ),
+            "",
+        )
+        return F.concat(px, F.lit(pad)) if pad else px
+
+    return F.unhex(F.concat(F.lit(hdr), *[row_hex(y) for y in range(height - 1, -1, -1)]))
+
+
 def synthesize_mp4(
     sample_sizes: list[int],
     sync_samples: list[int] | None = None,
@@ -513,12 +551,12 @@ def decode_bmp_gray_local(b: bytes | None):
     stride = ((w * step + 3) // 4) * 4
     if len(b) < offset + stride * h:
         return None
-    rows = []
-    for r in range(h):
-        line = b[offset + r * stride : offset + r * stride + w * step]
-        px = np.frombuffer(line, dtype=np.uint8).reshape(w, step)
-        rows.append(px[:, :3].mean(axis=1))  # BGR (alpha ignored)
-    g = np.stack(rows)
+    # one vectorized pass over the whole pixel block (a per-scanline
+    # Python loop costs thousands of numpy calls per large image inside
+    # the Arrow UDF): rows x stride, padding sliced off, BGR averaged
+    # (alpha ignored)
+    block = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset).reshape(h, stride)
+    g = block[:, : w * step].reshape(h, w, step)[:, :, :3].mean(axis=2)
     return g if top_down else g[::-1]
 
 
@@ -535,8 +573,8 @@ def ahash_local(b: bytes | None, hash_size: int = 8) -> int | None:
     correctness-gate twin."""
     import numpy as np  # noqa: PLC0415
 
-    if not 1 <= hash_size * hash_size <= 64:
-        raise ValueError(f"hash_size^2 must fit 64 bits, got {hash_size}")
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(f"hash_size must be >= 1 with hash_size^2 <= 64, got {hash_size}")
     g = decode_bmp_gray_local(b)
     if g is None and b is not None:
         have_pil, Image = _load_pil()
@@ -657,8 +695,8 @@ def image_ahash(
     Arrow-batched pandas UDF (one scan, no shuffle); undecodable bytes
     yield null, which :func:`~dqx_spark.pipeline.dedup.hamming_pairs`
     excludes."""
-    if not 1 <= hash_size * hash_size <= 64:
-        raise ValueError(f"hash_size^2 must fit 64 bits, got {hash_size}")
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(f"hash_size must be >= 1 with hash_size^2 <= 64, got {hash_size}")
 
     @F.pandas_udf("long")
     def ah(s):

@@ -100,12 +100,19 @@ def dedup_by_url(df, id_col: str, url_col: str, keep_col: str | None = None, kep
 
 def link_pattern(attrs: tuple = ("href", "src")) -> str:
     """The shared attribute-value regex used by :func:`extract_links` —
-    exposed so oracle twins interpolate the IDENTICAL string."""
+    exposed so oracle twins interpolate the IDENTICAL string.
+
+    The attribute name must follow start-of-string or a char that is
+    neither a word char nor ``-`` — a bare ``\\b`` would also fire after
+    a hyphen, swallowing ``data-src=``/``data-href=`` lazy-loading
+    attributes as if they were the real ones (r8 review).  Prose like
+    ``set href=x`` still matches: that ambiguity is inherent to
+    regex-tier extraction (no lookbehinds in RE2) and documented."""
     for a in attrs:
         if not a or not all(c.isalnum() or c in "-_" for c in a):
             raise ValueError(f"invalid attribute name {a!r}")
     alts = "|".join(attrs)
-    return "(?i)\\b(?:" + alts + ")\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+    return "(?i)(?:^|[^\\w-])(?:" + alts + ")\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
 
 
 def extract_links(column: str | Column, attrs: tuple = ("href", "src")) -> Column:

@@ -1639,3 +1639,55 @@ def test_extract_links(spark):
 
     with _pt.raises(ValueError, match="attribute"):
         df.select(web.extract_links("t", attrs=("href", "bad attr")))
+
+
+def test_hamming_pairs_edges_and_synthesize_bmp(spark):
+    """r8 review fixes: max_hamming=0 is exact-signature grouping (the
+    (1<<64)-1 mask overflowed a Java long before); negative args raise;
+    hash_size validation rejects negatives; the shared synthesize_bmp
+    builder emits byte-identical files to the local reference builder,
+    including padded widths."""
+    sigs = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 7), (3, None)], "id long, sh long"
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_pairs(sigs, "id", "sh", max_hamming=0).collect()
+    }
+    assert exact == {(0, 1): 0}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_hamming"):
+        dedup.hamming_pairs(sigs, "id", "sh", max_hamming=-1)
+    with _pt.raises(ValueError, match="nbits"):
+        dedup.hamming_pairs(sigs, "id", "sh", nbits=65)
+    with _pt.raises(ValueError, match="hash_size"):
+        multimodal.ahash_local(b"x", hash_size=-8)
+    with _pt.raises(ValueError, match="hash_size"):
+        multimodal.image_ahash(sigs, "sh", "id", hash_size=-8)
+
+    # shared builder == local reference builder, byte for byte
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    k = F.col("doc_id")
+    built = df.select(
+        multimodal.synthesize_bmp(lambda y, x: (k * 31 + y * 16 + x * 7) % 256).alias("b")
+    ).collect()[0]["b"]
+    px = [[(3 * 31 + y * 16 + x * 7) % 256 for x in range(8)] for y in range(8)]
+    assert bytes(built) == _make_bmp(px)
+    # padded width (10*3=30 -> stride 32) still decodes to the same grays
+    built10 = df.select(
+        multimodal.synthesize_bmp(lambda y, x: (k + y * 10 + x) % 256, width=10, height=4).alias("b")
+    ).collect()[0]["b"]
+    g = multimodal.decode_bmp_gray_local(bytes(built10))
+    assert g.shape == (4, 10) and g[0][0] == 3 % 256 and g[3][9] == (3 + 39) % 256
+
+
+def test_extract_links_skips_data_attributes(spark):
+    """r8 review fix: data-src/data-href lazy-loading attributes are NOT
+    the real link attributes and must not match."""
+    from dqx_spark.pipeline import web
+
+    html = '<img src="placeholder.gif" data-src="real.jpg"> <a data-href="x.html" href="y.html">'
+    df = spark.createDataFrame([(0, html)], "id long, t string")
+    links = df.select(web.extract_links("t").alias("l")).collect()[0]["l"]
+    assert links == ["placeholder.gif", "y.html"]
