@@ -525,6 +525,12 @@ def q_multimodal_features(spark, sf):
     ah = multimodal.image_ahash(df.withColumn("bmp", bmp), "bmp", "doc_id").select(
         F.col("id").alias("doc_id"), "ahash"
     )
+    # dHash needs hash_size+1 horizontal blocks — a 9-wide variant of the
+    # same closed-form raster (stride padding exercised: 27 -> 28 bytes)
+    bmp9 = multimodal.synthesize_bmp(lambda y, x: (k * 31 + y * 16 + x * 7) % 256, width=9)
+    dh = multimodal.image_dhash(df.withColumn("bmp9", bmp9), "bmp9", "doc_id").select(
+        F.col("id").alias("doc_id"), "dhash"
+    )
     # r8: REAL 16-bit PCM WAV per row (constant 44-byte header, 512 mono
     # samples closed-form in doc_id) — certifies waveform decode +
     # windowed-energy hashing the same independent-SQL way
@@ -570,6 +576,7 @@ def q_multimodal_features(spark, sf):
         )
         .join(fstats, "doc_id", "left")
         .join(ah, "doc_id")
+        .join(dh, "doc_id")
         .join(au, "doc_id")
     )
 
@@ -3582,6 +3589,13 @@ def oracle_sql() -> dict[str, str]:
             "abt AS (SELECT doc_id, list_transform(range(0, 64), "
             "i -> CASE WHEN px[i+1] >= m THEN 1 ELSE 0 END) AS bits FROM ahm), "
             f"ahv AS (SELECT doc_id, {_hamming_pack_sql('bits')} AS ahash FROM abt), "
+            # r8 dHash twin: 9-wide raster (x runs 0..8), bit (r, c) is the
+            # horizontal gradient sign px[r][c] < px[r][c+1]
+            "dm AS (SELECT doc_id, list_transform(range(0, 72), "
+            "i -> (doc_id*31 + (i//9)*16 + (i%9)*7) % 256) AS px FROM documents), "
+            "dbt AS (SELECT doc_id, list_transform(range(0, 64), "
+            "i -> CASE WHEN px[(i//8)*9 + (i%8) + 1] < px[(i//8)*9 + (i%8) + 2] THEN 1 ELSE 0 END) AS bits FROM dm), "
+            f"dhv AS (SELECT doc_id, {_hamming_pack_sql('bits')} AS dhash FROM dbt), "
             # r8 audio twin: same closed-form PCM samples (16-bit amplitude
             # = (byte-128)*256), 64 windows x 8 samples, mean-|amplitude|
             # threshold, identical signed-64 pack
@@ -3597,8 +3611,9 @@ def oracle_sql() -> dict[str, str]:
             "greatest(1, blen // 1024)::INT AS n_frames, "
             "(CASE WHEN blen >= 1024 THEN (blen // 1024) * 1024 ELSE blen END)::BIGINT AS frames_bytes, "
             "(greatest(1, blen // 1024) - 1)::INT AS last_frame_index, "
-            "ahv.ahash, auv.audio_hash "
-            "FROM h JOIN ahv ON h.doc_id = ahv.doc_id JOIN auv ON h.doc_id = auv.doc_id"
+            "ahv.ahash, dhv.dhash, auv.audio_hash "
+            "FROM h JOIN ahv ON h.doc_id = ahv.doc_id JOIN dhv ON h.doc_id = dhv.doc_id "
+            "JOIN auv ON h.doc_id = auv.doc_id"
         ),
         "metrics_summary": (
             "WITH b AS (SELECT (o_orderstatus IS DISTINCT FROM 'O') AS err, "

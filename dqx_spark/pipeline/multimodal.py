@@ -47,6 +47,8 @@ __all__ = [
     "decode_bmp_gray_local",
     "ahash_local",
     "image_ahash",
+    "dhash_local",
+    "image_dhash",
     "decode_wav_pcm_local",
     "audio_energy_hash_local",
     "audio_energy_hash",
@@ -560,21 +562,13 @@ def decode_bmp_gray_local(b: bytes | None):
     return g if top_down else g[::-1]
 
 
-def ahash_local(b: bytes | None, hash_size: int = 8) -> int | None:
-    """Average hash (aHash, the classic perceptual image fingerprint:
-    downsample to hash_size x hash_size, threshold each block against the
-    downsampled mean, pack MSB-first) as a SIGNED 64-bit int — two's
-    complement wrapped so the value round-trips a Spark/DuckDB BIGINT and
-    Hamming distance works via xor + bit_count.
-
-    Decode ladder: dependency-free BMP raster first
-    (:func:`decode_bmp_gray_local`), PIL for other formats when
-    importable, else None.  Pure Python/numpy — shared verbatim by the
-    correctness-gate twin."""
+def _gray_blocks(b: bytes | None, rows: int, cols: int):
+    """Decode (BMP native, then PIL when importable) and block-average
+    the grayscale image down to a rows x cols matrix — the shared
+    downsample step of the aHash/dHash family.  None when undecodable or
+    smaller than the block grid."""
     import numpy as np  # noqa: PLC0415
 
-    if hash_size < 1 or hash_size * hash_size > 64:
-        raise ValueError(f"hash_size must be >= 1 with hash_size^2 <= 64, got {hash_size}")
     g = decode_bmp_gray_local(b)
     if g is None and b is not None:
         have_pil, Image = _load_pil()
@@ -589,18 +583,52 @@ def ahash_local(b: bytes | None, hash_size: int = 8) -> int | None:
     if g is None:
         return None
     hh, ww = g.shape
-    if hh < hash_size or ww < hash_size:
+    if hh < rows or ww < cols:
         return None
-    ys = [hh * i // hash_size for i in range(hash_size + 1)]
-    xs = [ww * i // hash_size for i in range(hash_size + 1)]
-    blocks = np.array(
-        [
-            [g[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean() for c in range(hash_size)]
-            for r in range(hash_size)
-        ]
+    ys = [hh * i // rows for i in range(rows + 1)]
+    xs = [ww * i // cols for i in range(cols + 1)]
+    return np.array(
+        [[g[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean() for c in range(cols)] for r in range(rows)]
     )
+
+
+def ahash_local(b: bytes | None, hash_size: int = 8) -> int | None:
+    """Average hash (aHash, the classic perceptual image fingerprint:
+    downsample to hash_size x hash_size, threshold each block against the
+    downsampled mean, pack MSB-first) as a SIGNED 64-bit int — two's
+    complement wrapped so the value round-trips a Spark/DuckDB BIGINT and
+    Hamming distance works via xor + bit_count.
+
+    Decode ladder: dependency-free BMP raster first
+    (:func:`decode_bmp_gray_local`), PIL for other formats when
+    importable, else None.  Pure Python/numpy — shared verbatim by the
+    correctness-gate twin."""
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(f"hash_size must be >= 1 with hash_size^2 <= 64, got {hash_size}")
+    blocks = _gray_blocks(b, hash_size, hash_size)
+    if blocks is None:
+        return None
     mean = blocks.mean()
     return _pack_bits_signed64([v >= mean for v in blocks.flatten()])  # row-major, MSB-first
+
+
+def dhash_local(b: bytes | None, hash_size: int = 8) -> int | None:
+    """Difference hash (dHash): downsample to hash_size x (hash_size+1)
+    blocks and emit the horizontal gradient sign — bit (r, c) is
+    block[r][c] < block[r][c+1].  Invariant to global brightness and
+    contrast changes (which flip aHash bits near the mean), the standard
+    companion fingerprint.  Same decode ladder, packing, and null
+    behavior as :func:`ahash_local`; note the image must be at least
+    hash_size+1 pixels wide."""
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(f"hash_size must be >= 1 with hash_size^2 <= 64, got {hash_size}")
+    blocks = _gray_blocks(b, hash_size, hash_size + 1)
+    if blocks is None:
+        return None
+    bits = [
+        blocks[r][c] < blocks[r][c + 1] for r in range(hash_size) for c in range(hash_size)
+    ]
+    return _pack_bits_signed64(bits)
 
 
 def _pack_bits_signed64(bits) -> int:
@@ -703,6 +731,25 @@ def image_ahash(
         return s.map(lambda b: ahash_local(bytes(b) if b is not None else None, hash_size))
 
     return df.select(F.col(id_col).alias("id"), ah(F.col(binary_col)).alias("ahash"))
+
+
+def image_dhash(
+    df: DataFrame, binary_col: str, id_col: str, hash_size: int = 8
+) -> DataFrame:
+    """(id, dhash): horizontal-gradient perceptual hash
+    (:func:`dhash_local`) — same Arrow-batched shape and
+    ``dedup.hamming_pairs`` composition as :func:`image_ahash`; the two
+    are complementary (aHash keys on absolute level, dHash on local
+    gradient, so brightness-shifted re-encodes that break one usually
+    survive the other)."""
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(f"hash_size must be >= 1 with hash_size^2 <= 64, got {hash_size}")
+
+    @F.pandas_udf("long")
+    def dh(s):
+        return s.map(lambda b: dhash_local(bytes(b) if b is not None else None, hash_size))
+
+    return df.select(F.col(id_col).alias("id"), dh(F.col(binary_col)).alias("dhash"))
 
 
 def _load_pil():

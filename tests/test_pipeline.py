@@ -1691,3 +1691,30 @@ def test_extract_links_skips_data_attributes(spark):
     df = spark.createDataFrame([(0, html)], "id long, t string")
     links = df.select(web.extract_links("t").alias("l")).collect()[0]["l"]
     assert links == ["placeholder.gif", "y.html"]
+
+
+def test_dhash_local_and_spark(spark):
+    """r8: difference hash — gradient-sign semantics (monotone ramps
+    saturate the bits), width guard, Spark parity, brightness-shift
+    invariance shared with aHash."""
+    # 8x9 left-to-right increasing ramp: every horizontal gradient is
+    # positive -> all 64 bits set -> signed -1
+    ramp = [[c * 10 for c in range(9)] for _ in range(8)]
+    assert multimodal.dhash_local(_make_bmp(ramp)) == -1
+    # decreasing ramp -> no bit set
+    fall = [[240 - c * 10 for c in range(9)] for _ in range(8)]
+    assert multimodal.dhash_local(_make_bmp(fall)) == 0
+    # gradients survive a global brightness shift (the dHash property)
+    shifted = [[min(255, v + 15) for v in row] for row in ramp]
+    assert multimodal.dhash_local(_make_bmp(shifted)) == -1
+    # an 8-wide image cannot host 9 horizontal blocks
+    assert multimodal.dhash_local(_make_bmp([[0] * 8] * 8)) is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hash_size"):
+        multimodal.dhash_local(b"x", hash_size=0)
+
+    rows = [(0, bytearray(_make_bmp(ramp))), (1, bytearray(_make_bmp(fall))), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["id"]: r["dhash"] for r in multimodal.image_dhash(df, "content", "doc_id").collect()}
+    assert out == {0: -1, 1: 0, 2: None}
