@@ -531,6 +531,16 @@ def q_multimodal_features(spark, sf):
     dh = multimodal.image_dhash(df.withColumn("bmp9", bmp9), "bmp9", "doc_id").select(
         F.col("id").alias("doc_id"), "dhash"
     )
+    # pHash fixture: a mod-32 raster domain (32 DISTINCT 32x32 images),
+    # so the twin is a 32-entry literal map of local phash_local replays
+    # over byte-identical synthesize_bmp_local payloads — DCT is not
+    # SQL-closed-form, so this is the distributed == local-replay oracle
+    bmp32 = multimodal.synthesize_bmp(
+        lambda y, x: ((k % 32) * 37 + y * 11 + x * 5) % 256, width=32, height=32
+    )
+    ph = multimodal.image_phash(df.withColumn("bmp32", bmp32), "bmp32", "doc_id").select(
+        F.col("id").alias("doc_id"), "phash"
+    )
     # r8: REAL 16-bit PCM WAV per row (constant 44-byte header, 512 mono
     # samples closed-form in doc_id) — certifies waveform decode +
     # windowed-energy hashing the same independent-SQL way
@@ -577,6 +587,7 @@ def q_multimodal_features(spark, sf):
         .join(fstats, "doc_id", "left")
         .join(ah, "doc_id")
         .join(dh, "doc_id")
+        .join(ph, "doc_id")
         .join(au, "doc_id")
     )
 
@@ -2364,6 +2375,22 @@ def _video_keyframes_oracle() -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _phash_mod32_values() -> str:
+    """32-entry (m, phash) VALUES literal for the pHash twin: local
+    ``phash_local`` replays over byte-identical ``synthesize_bmp_local``
+    payloads of the mod-32 fixture domain — the DCT is not
+    SQL-expressible, so this row certifies distributed == local replay
+    (documented honestly, same class as the ann/anomaly twins)."""
+    from dqx_spark.pipeline.multimodal import phash_local, synthesize_bmp_local
+
+    vals = []
+    for m in range(32):
+        px = [[(m * 37 + y * 11 + x * 5) % 256 for x in range(32)] for y in range(32)]
+        vals.append(f"({m}, {phash_local(synthesize_bmp_local(px))})")
+    return ", ".join(vals)
+
+
 def _hamming_pack_sql(bits: str) -> str:
     """DuckDB SQL assembling a 64-wide MSB-first bit list column named
     ``bits`` into the same signed 64-bit value `_pack_bits_signed64`
@@ -3596,6 +3623,9 @@ def oracle_sql() -> dict[str, str]:
             "dbt AS (SELECT doc_id, list_transform(range(0, 64), "
             "i -> CASE WHEN px[(i//8)*9 + (i%8) + 1] < px[(i//8)*9 + (i%8) + 2] THEN 1 ELSE 0 END) AS bits FROM dm), "
             f"dhv AS (SELECT doc_id, {_hamming_pack_sql('bits')} AS dhash FROM dbt), "
+            # r8 pHash twin: local replay over the 32-image fixture domain
+            f"pv (m, phv) AS (VALUES {_phash_mod32_values()}), "
+            "phj AS (SELECT doc_id, pv.phv AS phash FROM documents JOIN pv ON documents.doc_id % 32 = pv.m), "
             # r8 audio twin: same closed-form PCM samples (16-bit amplitude
             # = (byte-128)*256), 64 windows x 8 samples, mean-|amplitude|
             # threshold, identical signed-64 pack
@@ -3611,9 +3641,9 @@ def oracle_sql() -> dict[str, str]:
             "greatest(1, blen // 1024)::INT AS n_frames, "
             "(CASE WHEN blen >= 1024 THEN (blen // 1024) * 1024 ELSE blen END)::BIGINT AS frames_bytes, "
             "(greatest(1, blen // 1024) - 1)::INT AS last_frame_index, "
-            "ahv.ahash, dhv.dhash, auv.audio_hash "
+            "ahv.ahash, dhv.dhash, phj.phash, auv.audio_hash "
             "FROM h JOIN ahv ON h.doc_id = ahv.doc_id JOIN dhv ON h.doc_id = dhv.doc_id "
-            "JOIN auv ON h.doc_id = auv.doc_id"
+            "JOIN phj ON h.doc_id = phj.doc_id JOIN auv ON h.doc_id = auv.doc_id"
         ),
         "metrics_summary": (
             "WITH b AS (SELECT (o_orderstatus IS DISTINCT FROM 'O') AS err, "

@@ -49,6 +49,9 @@ __all__ = [
     "image_ahash",
     "dhash_local",
     "image_dhash",
+    "phash_local",
+    "image_phash",
+    "synthesize_bmp_local",
     "decode_wav_pcm_local",
     "audio_energy_hash_local",
     "audio_energy_hash",
@@ -412,6 +415,36 @@ def synthesize_bmp(value_of, width: int = 8, height: int = 8) -> Column:
     return F.unhex(F.concat(F.lit(hdr), *[row_hex(y) for y in range(height - 1, -1, -1)]))
 
 
+def synthesize_bmp_local(pixels) -> bytes:
+    """Driver-local byte twin of :func:`synthesize_bmp`: the same real
+    uncompressed 24-bit BMP from a top-down 2D list of gray values —
+    used by oracle twins to rebuild the exact fixture payload without a
+    Spark session (test-pinned byte-identical to the Column builder)."""
+    h = len(pixels)
+    w = len(pixels[0])
+    step = 3
+    stride = ((w * step + 3) // 4) * 4
+    body = b"".join(
+        b"".join(bytes([int(v)]) * step for v in row) + b"\x00" * (stride - w * step)
+        for row in pixels[::-1]
+    )
+    hdr = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + body
+
+
 def synthesize_mp4(
     sample_sizes: list[int],
     sync_samples: list[int] | None = None,
@@ -731,6 +764,60 @@ def image_ahash(
         return s.map(lambda b: ahash_local(bytes(b) if b is not None else None, hash_size))
 
     return df.select(F.col(id_col).alias("id"), ah(F.col(binary_col)).alias("ahash"))
+
+
+def phash_local(b: bytes | None, hash_size: int = 8, dct_size: int = 32) -> int | None:
+    """Perceptual hash (pHash): block-average to dct_size x dct_size,
+    orthonormal 2-D DCT-II (exact matrix form — numpy only, no scipy),
+    keep the top-left hash_size x hash_size low-frequency coefficients,
+    drop the DC term, and threshold the remaining hash_size^2 - 1
+    coefficients against their median.  The frequency-domain member of
+    the family: robust to blur/resize/compression that perturb many
+    pixels a little (every pixel feeds every kept coefficient).  Packing
+    and nulls as :func:`ahash_local`; hash_size^2 - 1 bits (63 at the
+    default), so values are always non-negative."""
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if hash_size < 2 or hash_size * hash_size - 1 > 64:
+        raise ValueError(f"hash_size must be in [2, 8], got {hash_size}")
+    if dct_size < hash_size:
+        raise ValueError(f"dct_size must be >= hash_size, got {dct_size}")
+    g = _gray_blocks(b, dct_size, dct_size)
+    if g is None:
+        return None
+    n = dct_size
+    # orthonormal DCT-II matrix: D[k, i] = s(k) * cos(pi * (2i+1) * k / 2n)
+    i = np.arange(n)
+    D = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    D[0, :] *= 1.0 / math.sqrt(2)
+    D *= math.sqrt(2.0 / n)
+    T = D @ g @ D.T
+    # round away sub-1e-6 float debris: a degenerate (constant) image's
+    # non-DC coefficients are ~1e-14 noise that would otherwise decide
+    # bits arbitrarily; real image energy is orders of magnitude above
+    coeffs = np.round(T[:hash_size, :hash_size].flatten()[1:], 6)  # drop DC
+    med = float(np.median(coeffs))
+    return _pack_bits_signed64([c > med for c in coeffs])
+
+
+def image_phash(
+    df: DataFrame, binary_col: str, id_col: str, hash_size: int = 8, dct_size: int = 32
+) -> DataFrame:
+    """(id, phash): DCT perceptual hash (:func:`phash_local`) — same
+    Arrow-batched shape and ``dedup.hamming_pairs`` composition as
+    :func:`image_ahash` / :func:`image_dhash`."""
+    if hash_size < 2 or hash_size * hash_size - 1 > 64:
+        raise ValueError(f"hash_size must be in [2, 8], got {hash_size}")
+
+    @F.pandas_udf("long")
+    def ph(s):
+        return s.map(
+            lambda b: phash_local(bytes(b) if b is not None else None, hash_size, dct_size)
+        )
+
+    return df.select(F.col(id_col).alias("id"), ph(F.col(binary_col)).alias("phash"))
 
 
 def image_dhash(

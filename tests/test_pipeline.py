@@ -1718,3 +1718,60 @@ def test_dhash_local_and_spark(spark):
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     out = {r["id"]: r["dhash"] for r in multimodal.image_dhash(df, "content", "doc_id").collect()}
     assert out == {0: -1, 1: 0, 2: None}
+
+
+def test_phash_local_and_spark(spark):
+    """r8: DCT perceptual hash — constant images hash to 0 (no non-DC
+    energy), a pure horizontal cosine lights exactly its own frequency
+    bit, small pixel noise stays within a small Hamming radius, and the
+    local byte builder twin matches both the test builder and the Column
+    builder."""
+    import math
+    import random
+
+    # constant image: every non-DC coefficient is 0 -> median 0 -> no
+    # strict > -> hash 0
+    flat = [[128] * 32 for _ in range(32)]
+    assert multimodal.phash_local(_make_bmp(flat)) == 0
+
+    # horizontal cosine at frequency 3: dominant coefficient at (0, 3) ->
+    # among the 63 kept coefficients only index (0,3) clears the median
+    cosy = [
+        [int(round(128 + 100 * math.cos(math.pi * (2 * x + 1) * 3 / 64))) for x in range(32)]
+        for _ in range(32)
+    ]
+    h = multimodal.phash_local(_make_bmp(cosy))
+    # coefficient order after dropping DC: (0,1),(0,2),(0,3),... -> the
+    # dominant frequency is bit index 2; integer pixel rounding leaks a
+    # little energy elsewhere, so allow a few minor bits alongside it
+    assert (h >> (62 - 2)) & 1 == 1  # 63 bits packed: element i -> position 62-i
+    assert bin(h).count("1") <= 5
+
+    # noise robustness: +-2 jitter moves few bits; a different random
+    # image moves many
+    random.seed(5)
+    base = [[random.randrange(256) for _ in range(32)] for _ in range(32)]
+    noisy = [[min(255, max(0, v + random.randrange(-2, 3))) for v in row] for row in base]
+    other = [[random.randrange(256) for _ in range(32)] for _ in range(32)]
+    hb = multimodal.phash_local(_make_bmp(base))
+    d_noise = bin(hb ^ multimodal.phash_local(_make_bmp(noisy))).count("1")
+    d_other = bin(hb ^ multimodal.phash_local(_make_bmp(other))).count("1")
+    assert d_noise <= 8 and d_other > d_noise
+
+    assert multimodal.phash_local(None) is None
+    assert multimodal.phash_local(b"junk") is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hash_size"):
+        multimodal.phash_local(_make_bmp(flat), hash_size=9)
+    with _pt.raises(ValueError, match="dct_size"):
+        multimodal.phash_local(_make_bmp(flat), dct_size=4)
+
+    # byte-builder twin: local == test helper == Column builder
+    px = [[(y * 7 + x * 3) % 256 for x in range(10)] for y in range(4)]
+    assert multimodal.synthesize_bmp_local(px) == _make_bmp(px)
+
+    rows = [(0, bytearray(_make_bmp(base))), (1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["id"]: r["phash"] for r in multimodal.image_phash(df, "content", "doc_id").collect()}
+    assert out[0] == hb and out[1] is None
