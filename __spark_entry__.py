@@ -1069,6 +1069,19 @@ def q_group_centroids(spark, sf):
 def q_top_distinctive_terms(spark, sf):
     df = _read(spark, sf, "documents")
     out = text.top_distinctive_terms(df, "doc_id", "text", k=5, min_term_len=3)
+    # r8: corpus-shift report rides this term-grain row as a broadcast
+    # 1-row crossJoin — JS divergence between the even- and odd-doc_id
+    # halves of the corpus, re-derived in full by the DuckDB twin
+    div = corpus.token_distribution_divergence(
+        df.where(F.col("doc_id") % 2 == 0), df.where(F.col("doc_id") % 2 == 1), "text"
+    ).select(
+        F.col("n_tokens_a").cast("bigint").alias("div_tok_a"),
+        F.col("n_tokens_b").cast("bigint").alias("div_tok_b"),
+        F.col("vocab_union").cast("bigint").alias("div_vocab"),
+        F.round("kl_a_m", 6).alias("div_kl_a"),
+        F.round("kl_b_m", 6).alias("div_kl_b"),
+        F.round("js_divergence", 6).alias("js_div"),
+    )
     return out.select(
         F.col("id").alias("doc_id"),
         "term",
@@ -1076,7 +1089,7 @@ def q_top_distinctive_terms(spark, sf):
         F.col("df_count").cast("bigint").alias("df_count"),
         F.round("score", 6).alias("score"),
         F.col("rank").cast("bigint").alias("rank"),
-    )
+    ).crossJoin(F.broadcast(div))
 
 
 def q_chunk_by_tokens(spark, sf):
@@ -3274,8 +3287,25 @@ def oracle_sql() -> dict[str, str]:
             "dfq AS (SELECT term, count(*)::BIGINT AS df_count FROM tf GROUP BY 1), "
             "s AS (SELECT doc_id, term, tf, df_count, tf::DOUBLE / df_count::DOUBLE AS score, "
             "row_number() OVER (PARTITION BY doc_id ORDER BY tf::DOUBLE / df_count::DOUBLE DESC, term ASC) AS rank "
-            "FROM tf JOIN dfq USING (term)) "
-            "SELECT doc_id, term, tf, df_count, round(score, 6) AS score, rank FROM s WHERE rank <= 5"
+            "FROM tf JOIN dfq USING (term)), "
+            # r8 corpus-shift twin: full JS re-derivation over the same
+            # even/odd doc_id halves (token split shared with tok CTE)
+            "exa AS (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0), "
+            "exb AS (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 1), "
+            "cta AS (SELECT t, count(*)::BIGINT AS ca FROM exa GROUP BY 1), "
+            "ctb AS (SELECT t, count(*)::BIGINT AS cb FROM exb GROUP BY 1), "
+            "bo AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
+            "FROM cta FULL OUTER JOIN ctb USING (t)), "
+            "tt AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb, count(*)::BIGINT AS vu FROM bo), "
+            "dv AS (SELECT ta AS div_tok_a, tb AS div_tok_b, vu AS div_vocab, "
+            "round(sum(CASE WHEN ca > 0 THEN (ca::DOUBLE/ta) * ln((ca::DOUBLE/ta) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END), 6) AS div_kl_a, "
+            "round(sum(CASE WHEN cb > 0 THEN (cb::DOUBLE/tb) * ln((cb::DOUBLE/tb) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END), 6) AS div_kl_b, "
+            "round((sum(CASE WHEN ca > 0 THEN (ca::DOUBLE/ta) * ln((ca::DOUBLE/ta) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END) "
+            "+ sum(CASE WHEN cb > 0 THEN (cb::DOUBLE/tb) * ln((cb::DOUBLE/tb) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END)) / 2, 6) AS js_div "
+            "FROM bo, tt GROUP BY 1, 2, 3) "
+            "SELECT doc_id, term, tf, df_count, round(score, 6) AS score, rank, "
+            "dv.div_tok_a, dv.div_tok_b, dv.div_vocab, dv.div_kl_a, dv.div_kl_b, dv.js_div "
+            "FROM s CROSS JOIN dv WHERE rank <= 5"
         ),
         "chunk_by_tokens": (
             r"WITH tok AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\s+'), __t -> __t <> '') AS toks FROM documents), "

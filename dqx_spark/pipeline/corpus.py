@@ -47,6 +47,7 @@ __all__ = [
     "blocklist_count",
     "blocklist_signals",
     "blocklist_filter",
+    "token_distribution_divergence",
     "remove_repeated_lines",
     "top_ngram_coverage",
     "bigram_lm_scores",
@@ -438,6 +439,70 @@ def blocklist_filter(
     C4 page-drop policy) — same pattern as :func:`blocklist_signals`,
     applied as one scan-local predicate preserving the input schema."""
     return df.where(blocklist_count(text_col, terms, lowercase=lowercase) == 0)
+
+
+def token_distribution_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    text_col_b: str | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """One-row corpus-shift report between two corpora: Jensen-Shannon
+    divergence of their unigram distributions plus the KL halves and
+    vocabulary accounting — ``(n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    vocab_union, kl_a_m, kl_b_m, js_divergence)``.
+
+    The curation question this answers: "does the new crawl / source look
+    like the corpus we trained the filters on?"  JS (natural log, so the
+    value is in [0, ln 2]) is symmetric and finite without smoothing —
+    a token absent from one side contributes only through the mixture
+    ``m = (p_a + p_b) / 2``, and zero-probability terms are exactly 0.
+
+    Scale shape: one token-count aggregation per side (explode +
+    map-side-combined groupBy — slim (token, count) rows), a full-outer
+    join on the 8-byte-hashable token, totals as 1-row broadcast
+    crossJoins, and one final global aggregate.  No driver actions, no
+    full-row shuffles."""
+    tb = text_col_b or text_col
+
+    def counts(df: DataFrame, col: str) -> DataFrame:
+        t = to_col(col)
+        toks = tokens(F.lower(t) if lowercase else t)
+        return df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    ca = counts(df_a, text_col).withColumnRenamed("c", "ca")
+    cb = counts(df_b, tb).withColumnRenamed("c", "cb")
+    both = ca.join(cb, "tok", "full_outer").select(
+        "tok", F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
+    )
+    tot = both.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("va"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("vb"),
+        F.count(F.lit(1)).alias("vu"),
+    )
+    w = both.crossJoin(F.broadcast(tot))
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = (pa + pb) / F.lit(2.0)
+    term_a = F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("cb") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    return w.groupBy("ta", "tb", "va", "vb", "vu").agg(
+        F.sum(term_a).alias("kl_a_m"), F.sum(term_b).alias("kl_b_m")
+    ).select(
+        F.col("ta").alias("n_tokens_a"),
+        F.col("tb").alias("n_tokens_b"),
+        F.col("va").alias("vocab_a"),
+        F.col("vb").alias("vocab_b"),
+        F.col("vu").alias("vocab_union"),
+        "kl_a_m",
+        "kl_b_m",
+        ((F.col("kl_a_m") + F.col("kl_b_m")) / F.lit(2.0)).alias("js_divergence"),
+    )
 
 
 # ---------------------------------------------------------------------------

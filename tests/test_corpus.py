@@ -431,3 +431,30 @@ def test_blocklist_signals_and_filter(spark):
         cp.blocklist_pattern([])
     with pytest.raises(ValueError, match="non-empty"):
         cp.blocklist_pattern(["ok", "  "])
+
+
+def test_token_distribution_divergence(spark):
+    """r8: Jensen-Shannon corpus shift — identical corpora give exactly
+    0, disjoint vocabularies give exactly ln 2, and a hand-computable
+    asymmetric case matches the closed form."""
+    import math
+
+    a = spark.createDataFrame([(0, "x x y")], "id long, t string")
+    same = corpus.token_distribution_divergence(a, a, "t").collect()[0]
+    assert same["js_divergence"] == 0.0
+    assert same["n_tokens_a"] == 3 and same["vocab_a"] == 2 and same["vocab_union"] == 2
+
+    b = spark.createDataFrame([(0, "p q r")], "id long, t string")
+    disj = corpus.token_distribution_divergence(a, b, "t").collect()[0]
+    assert abs(disj["js_divergence"] - math.log(2)) < 1e-12
+    assert disj["vocab_union"] == 5
+
+    # hand case: A = {x:1}, B = {x:1, y:1} -> p_a(x)=1, p_b=.5/.5
+    c = spark.createDataFrame([(0, "X")], "id long, t string")  # lowercased
+    d = spark.createDataFrame([(0, "x y")], "id long, t string")
+    r = corpus.token_distribution_divergence(c, d, "t").collect()[0]
+    kl_a = 1.0 * math.log(1.0 / 0.75)
+    kl_b = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    assert abs(r["kl_a_m"] - kl_a) < 1e-12
+    assert abs(r["kl_b_m"] - kl_b) < 1e-12
+    assert abs(r["js_divergence"] - (kl_a + kl_b) / 2) < 1e-12

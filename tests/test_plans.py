@@ -565,3 +565,15 @@ def test_audio_energy_hash_is_scan_local_arrow(spark):
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_dhash_phash_scan_local_arrow(spark):
+    """r8: the dHash/pHash siblings keep image_ahash's plan contract."""
+    from dqx_spark.pipeline import multimodal as MM
+
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "id long, content binary")
+    for fn in (MM.image_dhash, MM.image_phash):
+        p = plan_of(fn(df, "content", "id"))
+        assert "Exchange" not in p
+        assert "ArrowEvalPython" in p
+        assert "BatchEvalPython" not in p
