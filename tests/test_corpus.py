@@ -458,3 +458,19 @@ def test_token_distribution_divergence(spark):
     assert abs(r["kl_a_m"] - kl_a) < 1e-12
     assert abs(r["kl_b_m"] - kl_b) < 1e-12
     assert abs(r["js_divergence"] - (kl_a + kl_b) / 2) < 1e-12
+
+
+def test_token_distribution_divergence_degenerate(spark):
+    """r8 review: an empty side is the zero measure -> its KL half is an
+    empty sum (0), the populated side contributes its full ln 2, and
+    js = ln(2)/2 — a defined value far above any same-corpus js, never a
+    NULL cascade."""
+    import math
+
+    a = spark.createDataFrame([(0, "x x y")], "id long, t string")
+    empty = spark.createDataFrame([(0, ""), (1, None)], "id long, t string")
+    r = corpus.token_distribution_divergence(empty, a, "t").collect()[0]
+    assert r["n_tokens_a"] == 0 and r["vocab_a"] == 0 and r["vocab_union"] == 2
+    assert r["kl_a_m"] == 0.0
+    assert abs(r["kl_b_m"] - math.log(2)) < 1e-12
+    assert abs(r["js_divergence"] - math.log(2) / 2) < 1e-12
