@@ -485,6 +485,13 @@ def main() -> None:
     cases["image_ahash"] = lambda: _mm.image_ahash(
         docs.withColumn("bmp", _bmp_col()), "bmp", "doc_id"
     ).agg(F.count("ahash").alias("n"), F.sum(F.bit_count("ahash")).alias("bits"))
+
+    # r8: corpus-shift JS between the even/odd doc halves — two slim
+    # token-count aggregations + full-outer token join + global aggregate
+    # (output is already 1 row, so count() cannot prune anything)
+    cases["js_divergence"] = lambda: _corpus.token_distribution_divergence(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1), "text"
+    )
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and

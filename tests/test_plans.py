@@ -577,3 +577,18 @@ def test_dhash_phash_scan_local_arrow(spark):
         assert "Exchange" not in p
         assert "ArrowEvalPython" in p
         assert "BatchEvalPython" not in p
+
+
+def test_js_divergence_plan_no_cartesian_no_python(spark):
+    """r8: the corpus-shift report is pure aggregates + one token join +
+    a 1-row broadcast — no Python boundary, no unbounded cartesian (the
+    only crossJoin input is the 1-row totals aggregate)."""
+    from dqx_spark.pipeline import corpus as Co
+
+    a = spark.createDataFrame([(0, "x y")], "id long, t string")
+    b = spark.createDataFrame([(1, "y z")], "id long, t string")
+    p = plan_of(Co.token_distribution_divergence(a, b, "t"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in p
+    # the totals ride a broadcast; no raw CartesianProduct node
+    assert "CartesianProduct" not in p
