@@ -743,10 +743,45 @@ def q_streaming_checks_parity(spark, sf):
     )
     q2.awaitTermination()
     kept = spark.read.parquet(kept_dir).withColumn("dedup_kept", F.lit(True))
+    # r8: STATEFUL sessionization too — sessionize_stream
+    # (applyInPandasWithState) over the same pinned 3-file source.  The
+    # per-user session COUNT certifies per-key state carrying across
+    # micro-batches: the twin replays the exact arrival order (staged
+    # batch, then ts) with a gaps-and-islands window, so a sessionizer
+    # that reset its counter per batch — or processed files out of the
+    # pinned order — would hash-mismatch.  Watermark delay exceeds the
+    # data span (same trick as the dedup column): nothing is ever late,
+    # streaming state == the ordered replay exactly.  Gap 120 min gives
+    # 40-92 sessions/user on the driver data; the closest inter-event gap
+    # to the 7200 s boundary is > 1 s, so the float epoch arithmetic can
+    # never flip a break decision between engines.
+    ses_src = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ses_dir = tempfile.mkdtemp(prefix="dqx_stream_sess_")
+    q3 = (
+        dq_streaming.sessionize_stream(
+            ses_src, "user_id", "ts", gap_minutes=120, watermark_delay="3650 days"
+        )
+        .writeStream.format("parquet")
+        .option("path", ses_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dqx_stream_ckpt3_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination()
+    nsess = (
+        spark.read.parquet(ses_dir)
+        .groupBy("user_id")
+        .agg(F.max("session_id").cast("bigint").alias("n_user_sessions"))
+    )
     return (
         spark.read.parquet(out_dir)
         .join(kept, "event_id", "left")
         .na.fill({"dedup_kept": False})
+        .join(events.select("event_id", "user_id"), "event_id")
+        .join(nsess, "user_id")
+        .drop("user_id")
     )
 
 
@@ -3624,10 +3659,19 @@ def oracle_sql() -> dict[str, str]:
             # only sparsely within one, so this answer DIFFERS from the
             # global-table verdict — a whole-table micro-batch would
             # hash-mismatch here.
-            "WITH fx AS (SELECT event_id, ts, event_type, "
+            "WITH fx AS (SELECT event_id, user_id, ts, event_type, "
             "CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS et, "
             "CAST(CASE WHEN event_id % 30 < 3 THEN -1 ELSE event_id // 3 END AS BIGINT) AS uk, "
-            "CAST(event_id % 3 AS BIGINT) AS src_batch FROM events) "
+            "CAST(event_id % 3 AS BIGINT) AS src_batch FROM events), "
+            # r8 stateful-sessionizer twin: replay the EXACT streaming
+            # arrival order (staged micro-batch, then event time) per user
+            # with a gaps-and-islands break at 7200 s; the per-user session
+            # count equals the streaming max(session_id) only when state
+            # carries across micro-batches in the pinned order
+            "slg AS (SELECT user_id, CASE WHEN lag(epoch(ts)) OVER w IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER w > 7200.0 THEN 1 ELSE 0 END AS brk "
+            "FROM fx WINDOW w AS (PARTITION BY user_id ORDER BY src_batch, ts)), "
+            "sns AS (SELECT user_id, sum(brk)::BIGINT AS n_user_sessions FROM slg GROUP BY 1) "
             "SELECT event_id, src_batch, "
             "et IS NULL AS is_not_null, "
             "event_type NOT IN ('click','view','purchase') AS is_in_list, "
@@ -3637,8 +3681,9 @@ def oracle_sql() -> dict[str, str]:
             # micro-batches == min event_id of the DIV-3 group (the key is
             # unique within a batch, so no within-batch tie exists); a
             # batch-scoped stateless dedup would keep every copy instead
-            "event_id = min(event_id) OVER (PARTITION BY event_id // 3) AS dedup_kept "
-            "FROM fx"
+            "event_id = min(event_id) OVER (PARTITION BY event_id // 3) AS dedup_kept, "
+            "sns.n_user_sessions "
+            "FROM fx JOIN sns USING (user_id)"
         ),
         "multimodal_features": (
             # sha256-stub features: byte_i(sha256(utf8(text)))/255; emit the

@@ -124,37 +124,42 @@ def sessionize_stream(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
 
-    gap_seconds = int(gap_minutes) * 60
+    # EXACT integer-microsecond arithmetic end to end: routing epochs
+    # through float seconds produced ns-datetimes with sub-microsecond
+    # float debris, and Arrow's safe ts[ns] -> ts[us] cast then aborts the
+    # task on any real microsecond-precision data (caught by the r8 gate;
+    # the original unit fixture used whole-second timestamps)
+    gap_us = int(gap_minutes) * 60 * 1_000_000
     # the key column keeps its INPUT type (string keys are the common case)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     output_schema = (
         f"{key_col} {key_type}, {event_time_col} timestamp, session_id long, session_start timestamp"
     )
-    state_schema = "last_ts double, session_id long, session_start double"
+    state_schema = "last_ts long, session_id long, session_start long"
 
     def assign(key, pdf_iter, state: GroupState):
         batch = pd.concat(list(pdf_iter)).sort_values(event_time_col)
         ts = batch[event_time_col]
-        epochs = ts.astype("int64") / 1e9
+        epochs = ts.astype("int64") // 1000  # microseconds, exact
         if state.exists:
             last_ts, session_id, session_start = state.get
         else:
             last_ts, session_id, session_start = None, 0, None
         ids, starts = [], []
         for t in epochs:
-            if last_ts is None or t - last_ts > gap_seconds:
+            if last_ts is None or t - last_ts > gap_us:
                 session_id += 1
                 session_start = t
             last_ts = t
             ids.append(session_id)
             starts.append(session_start)
-        state.update((float(last_ts), int(session_id), float(session_start)))
+        state.update((int(last_ts), int(session_id), int(session_start)))
         out = pd.DataFrame(
             {
                 key_col: batch[key_col].values,
                 event_time_col: ts.values,
                 "session_id": ids,
-                "session_start": pd.to_datetime(pd.Series(starts), unit="s"),
+                "session_start": pd.to_datetime(pd.Series(starts, dtype="int64"), unit="us"),
             }
         )
         yield out
