@@ -46,6 +46,9 @@ __all__ = [
     "source_mix",
     "temperature_rates",
     "temperature_mix",
+    "unimax_budgets",
+    "unimax_mix",
+    "deterministic_shuffle",
     "ngram_contamination",
     "decontaminate",
     "build_ngram_bloom",
@@ -222,6 +225,20 @@ def unimax_budgets(token_counts: dict, total_budget: int, max_epochs: float = 1.
         out[s] = alloc
         remaining -= alloc
     return out
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
+    """Reproducible global shuffle for training-order assignment: rows
+    ordered by ``(md5(salt || id), id)`` — the same engine-portable bucket
+    every split/mix decision here uses, so the order is stable across
+    reruns, appends (existing rows keep their relative order), engines,
+    and partition counts; change ``salt`` for a fresh epoch permutation.
+
+    Scale shape: ONE range-partitioned sort shuffle (what any total
+    order costs).  When only locality — not a global order — matters,
+    prefer sorting within shards (``io.sort_for_locality`` /
+    ``packing``'s per-shard discipline) and skip the global exchange."""
+    return df.orderBy(hash_bucket(id_col, _BUCKETS, salt).asc(), to_col(id_col).asc())
 
 
 def unimax_mix(

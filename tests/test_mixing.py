@@ -312,3 +312,21 @@ def test_unimax_mix(spark):
     assert all(r["in_umax"] for r in ap_rows if r["source"] == "small")  # rate 1.0
     n_big = sum(1 for r in ap_rows if r["source"] == "big" and r["in_umax"])
     assert 75 <= n_big <= 225  # rate 0.5, md5-uniform with wide tolerance
+
+
+def test_deterministic_shuffle(spark):
+    """r8: reproducible global training order — stable across reruns and
+    partitionings, permuted by salt, append-stable (old rows keep their
+    relative order when new rows arrive)."""
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    order1 = [r["id"] for r in mixing.deterministic_shuffle(df, "id").collect()]
+    order2 = [r["id"] for r in mixing.deterministic_shuffle(df.repartition(7), "id").collect()]
+    assert order1 == order2
+    assert sorted(order1) == list(range(200))
+    assert order1 != list(range(200))  # actually shuffled
+    salted = [r["id"] for r in mixing.deterministic_shuffle(df, "id", salt="ep2").collect()]
+    assert salted != order1 and sorted(salted) == list(range(200))
+    # append stability: the original rows keep their relative order
+    bigger = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    order3 = [r["id"] for r in mixing.deterministic_shuffle(bigger, "id").collect()]
+    assert [i for i in order3 if i < 200] == order1
