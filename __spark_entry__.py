@@ -1030,12 +1030,20 @@ def q_hash_split(spark, sf):
     umax = mixing.sample_to_token_budget(
         df, "doc_id", "source", "n_chars", ubudgets, default_budget=None, out_col="in_umax"
     ).select("doc_id", "in_umax")
+    # r9: deterministic-shuffle POSITIONS (VERDICT: row ORDER is not
+    # certifiable under the driver's sorted-row hash, but the assigned
+    # position VALUES are — and the position column is what a training
+    # pipeline consumes anyway, since bare orderBy order doesn't survive
+    # downstream transforms).  Twin: row_number() over the same
+    # (md5(doc_id), doc_id) full-width key order.
+    spos = mixing.shuffle_positions(df, "doc_id").select("doc_id", "shuffle_pos")
     return (
         split.join(mixed, "doc_id", "left")
         .join(te, "doc_id")
         .join(ta, "doc_id")
         .join(tmix, "doc_id", "left")
         .join(umax, "doc_id")
+        .join(spos, "doc_id")
         .select(
             "doc_id",
             "split",
@@ -1044,6 +1052,7 @@ def q_hash_split(spark, sf):
             "tb_approx",
             F.coalesce("in_tmix", F.lit(False)).alias("in_tmix"),
             "in_umax",
+            "shuffle_pos",
         )
     )
 
@@ -3862,14 +3871,19 @@ def oracle_sql() -> dict[str, str]:
             f"ue AS (SELECT doc_id, CASE WHEN ({umax_case}) IS NULL THEN true "
             "ELSE coalesce(sum(t) OVER (PARTITION BY source ORDER BY b, doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-            f"< ({umax_case}) END AS in_umax FROM base) "
+            f"< ({umax_case}) END AS in_umax FROM base), "
+            # r9: deterministic-shuffle positions — row_number over the
+            # full-width (md5(doc_id), doc_id) key, same order as
+            # mixing.shuffle_positions' two-level assignment
+            "sp AS (SELECT doc_id, row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 "
+            "AS shuffle_pos FROM documents) "
             "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
             "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx, "
-            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix, ue.in_umax "
+            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix, ue.in_umax, sp.shuffle_pos "
             "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id "
-            "JOIN ue ON base.doc_id = ue.doc_id"
+            "JOIN ue ON base.doc_id = ue.doc_id JOIN sp ON base.doc_id = sp.doc_id"
         ),
         "key_skew": (
             "WITH c AS (SELECT event_type, count(*) AS key_count FROM events GROUP BY 1), "

@@ -305,6 +305,7 @@ def sql_query(
         # on createOrReplaceTempView and could validate the wrong table
         view_sfx = unique_suffix()
         view = f"__dq_input_{view_sfx}"
+        created_views = [view]
         base.createOrReplaceTempView(view)
         text = query
         # the legacy '{{ input }}' / '{{ input_view }}' aliases are only
@@ -312,15 +313,25 @@ def sql_query(
         # input_placeholder signals those tokens may mean something else in
         # the query and must not be silently rewritten to the temp view
         aliases = [input_placeholder, "input"] if input_placeholder == "input_view" else [input_placeholder]
-        for ph in dict.fromkeys(aliases):
-            if ph in (ref_dfs or {}):
-                continue
-            text = text.replace("{{ " + ph + " }}", view).replace("{{" + ph + "}}", view)
-        for ref_name, ref_df in (ref_dfs or {}).items():
-            ref_view = f"__dq_ref_{ref_name}_{view_sfx}"
-            ref_df.createOrReplaceTempView(ref_view)
-            text = text.replace("{{ " + ref_name + " }}", ref_view).replace("{{" + ref_name + "}}", ref_view)
-        result = spark.sql(text)
+        try:
+            for ph in dict.fromkeys(aliases):
+                if ph in (ref_dfs or {}):
+                    continue
+                text = text.replace("{{ " + ph + " }}", view).replace("{{" + ph + "}}", view)
+            for ref_name, ref_df in (ref_dfs or {}).items():
+                ref_view = f"__dq_ref_{ref_name}_{view_sfx}"
+                created_views.append(ref_view)
+                ref_df.createOrReplaceTempView(ref_view)
+                text = text.replace("{{ " + ref_name + " }}", ref_view).replace("{{" + ref_name + "}}", ref_view)
+            result = spark.sql(text)
+        finally:
+            # spark.sql analysis is eager — the resolved plan holds the view
+            # definitions by value, so the catalog entries can go immediately.
+            # Without this, repeated applies (streaming foreachBatch, bench
+            # min-of-N loops) grow the session catalog unboundedly, each view
+            # pinning a DataFrame plan on the driver.
+            for v in created_views:
+                spark.catalog.dropTempView(v)
 
         failure_message = msg or f"Query condition violated: {alias}"
         if merge_columns:

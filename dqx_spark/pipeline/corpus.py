@@ -470,8 +470,13 @@ def token_distribution_divergence(
     Scale shape: one token-count aggregation per side (explode +
     map-side-combined groupBy — slim (token, count) rows), a full-outer
     join on the 8-byte-hashable token, totals as 1-row broadcast
-    crossJoins, and one final global aggregate.  No driver actions, no
-    full-row shuffles."""
+    crossJoins, and one final global aggregate.  No full-row shuffles.
+    The joined (tok, ca, cb) table feeds BOTH the totals row and the
+    per-token terms, so it is **eagerly localCheckpoint-ed** — each
+    side's explode+groupBy runs exactly once by construction instead of
+    relying on Spark's optional exchange reuse, at the cost of this
+    report function materializing its token join at call time (it is a
+    1-row report; callers always consume it)."""
     tb = text_col_b or text_col
 
     def counts(df: DataFrame, col: str) -> DataFrame:
@@ -485,7 +490,7 @@ def token_distribution_divergence(
     cb = counts(df_b, tb).withColumnRenamed("c", "cb")
     both = ca.join(cb, "tok", "full_outer").select(
         "tok", F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
-    )
+    ).localCheckpoint(eager=True)
     tot = both.agg(
         F.sum("ca").alias("ta"),
         F.sum("cb").alias("tb"),

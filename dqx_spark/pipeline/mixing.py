@@ -33,7 +33,7 @@ profiler.py:335-414).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dqx_spark.pipeline.text import exploded_shingle_hashes, shingle_hash_array
@@ -49,6 +49,8 @@ __all__ = [
     "unimax_budgets",
     "unimax_mix",
     "deterministic_shuffle",
+    "shuffle_key",
+    "shuffle_positions",
     "ngram_contamination",
     "decontaminate",
     "build_ngram_bloom",
@@ -227,18 +229,90 @@ def unimax_budgets(token_counts: dict, total_budget: int, max_epochs: float = 1.
     return out
 
 
+def shuffle_key(id_col: str | Column, salt: str = "") -> Column:
+    """Full-width (128-bit) engine-portable shuffle key: the md5 hex digest
+    of ``salt || id``.  Lexicographic order on the hex string IS numeric
+    order on the 128-bit value (fixed 32 lowercase hex chars), identical in
+    Spark and DuckDB — and, unlike the 1M-bucket projection
+    (:func:`hash_bucket`), collision-free in practice at ANY corpus size,
+    so the permutation stays uniform beyond 1M rows (r8 ADVICE: bucket-mod
+    keys left >1M-row corpora ascending-id — i.e. ingestion-ordered —
+    within each bucket)."""
+    return F.md5(F.concat(F.lit(salt), to_col(id_col).cast("string")))
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
     """Reproducible global shuffle for training-order assignment: rows
-    ordered by ``(md5(salt || id), id)`` — the same engine-portable bucket
-    every split/mix decision here uses, so the order is stable across
+    ordered by ``(md5(salt || id), id)`` — the FULL 128-bit digest
+    (:func:`shuffle_key`), not the 1M-bucket projection, so the
+    permutation is uniform at any scale; the order is stable across
     reruns, appends (existing rows keep their relative order), engines,
     and partition counts; change ``salt`` for a fresh epoch permutation.
+
+    **Consume positions, not row order**: bare ``orderBy`` order does not
+    survive downstream transformations (a later join or repartition
+    re-orders rows) — a training pipeline should take
+    :func:`shuffle_positions`'s explicit position column and sort at the
+    final write instead.
 
     Scale shape: ONE range-partitioned sort shuffle (what any total
     order costs).  When only locality — not a global order — matters,
     prefer sorting within shards (``io.sort_for_locality`` /
     ``packing``'s per-shard discipline) and skip the global exchange."""
-    return df.orderBy(hash_bucket(id_col, _BUCKETS, salt).asc(), to_col(id_col).asc())
+    return df.orderBy(shuffle_key(id_col, salt).asc(), to_col(id_col).asc())
+
+
+def shuffle_positions(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    out_col: str = "shuffle_pos",
+    prefix_chars: int = 4,
+) -> DataFrame:
+    """Assign every row its 0-based position in the deterministic global
+    shuffle order (``(md5(salt || id), id)`` — :func:`deterministic_shuffle`)
+    as an explicit column — the form a training pipeline actually consumes,
+    because position VALUES survive any downstream join/filter/repartition
+    while bare row order does not.
+
+    Scale shape — a global ``row_number()`` window would collapse to ONE
+    partition (the classic total-order scale-killer), so positions are
+    assigned two-level instead:
+
+    1. coarse bucket = first ``prefix_chars`` hex digits of the md5 key
+       (a PREFIX, so bucket order is monotone in key order — unlike a mod);
+    2. per-bucket rank via a window PARTITIONED by bucket (parallel across
+       ≤16^prefix_chars buckets);
+    3. bucket offsets from one bounded aggregate (≤65536 rows at the
+       default) cumsum'd on a single tiny partition and broadcast back.
+
+    ``position = offset(bucket) + rank − 1`` reproduces the global order
+    exactly: one slim shuffle on the bucket key, no single-partition pass
+    over data-sized input.  Appends change positions (they interleave);
+    rerunning on the same rows is bit-stable.  ``id_col`` must be unique —
+    duplicate ids get adjacent but arbitrarily-ordered positions."""
+    if not 1 <= int(prefix_chars) <= 8:
+        raise ValueError(f"prefix_chars must be in [1, 8], got {prefix_chars}")
+    key = shuffle_key(id_col, salt)
+    keyed = df.withColumn("__shuf_key", key).withColumn(
+        "__shuf_b", F.conv(F.substring(F.col("__shuf_key"), 1, int(prefix_chars)), 16, 10).cast("bigint")
+    )
+    counts = keyed.groupBy("__shuf_b").agg(F.count(F.lit(1)).alias("__shuf_n"))
+    off_w = (
+        Window.orderBy(F.col("__shuf_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__shuf_b", F.coalesce(F.sum("__shuf_n").over(off_w), F.lit(0)).alias("__shuf_off")
+    )
+    rank_w = Window.partitionBy("__shuf_b").orderBy(
+        F.col("__shuf_key").asc(), to_col(id_col).asc()
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__shuf_b")
+        .withColumn(out_col, F.col("__shuf_off") + F.row_number().over(rank_w) - 1)
+        .drop("__shuf_key", "__shuf_b", "__shuf_off")
+    )
 
 
 def unimax_mix(

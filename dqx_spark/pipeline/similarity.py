@@ -456,6 +456,37 @@ def dequantize_embeddings(q_col: Column | str, scale_col: Column | str) -> Colum
 # lookup-table sum instead of touching the floats — the memory-bound path
 # for corpora whose raw vectors no longer fit hot storage.
 # ---------------------------------------------------------------------------
+class PQCodebooks(list):
+    """``list[list[list[float]]]`` codebooks tagged with HOW they were
+    trained (``residual_trained``).  A raw-code + residual-LUT mismatch is
+    shape-compatible but meaningless — ADC distances come out finite and
+    recall silently collapses, undetectable at runtime from the numbers
+    alone (r8 ADVICE).  Tagging the training mode on the returned object
+    lets :func:`pq_encode` / :func:`pq_topk` / :func:`ivfpq_topk` raise on
+    a mismatch instead.  Plain (untagged) lists — hand-built or
+    deserialized — skip the check; behaves as a list everywhere else
+    (iteration, pickling for broadcast, len)."""
+
+    residual_trained: bool = False
+
+
+def _check_codebook_mode(codebooks, residual: bool, where: str) -> None:
+    """Raise when a tagged codebook's training mode contradicts how the
+    caller is about to use it; silently pass untagged plain lists."""
+    tag = getattr(codebooks, "residual_trained", None)
+    if tag is None or tag == bool(residual):
+        return
+    want = "residual" if residual else "raw-vector"
+    got = "residual" if tag else "raw-vector"
+    raise ValueError(
+        f"{where}: codebooks were trained on {got} vectors but are being "
+        f"used in {want} mode — ADC distances would be shape-compatible "
+        f"but meaningless (recall silently collapses). Re-train with "
+        f"pq_train_codebooks(residual_centroids={'...' if residual else 'None'}) "
+        f"or flip the residual flag."
+    )
+
+
 def pq_train_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -505,13 +536,15 @@ def pq_train_codebooks(
     vectors = list(sample)
     if residual_centroids is not None:
         vectors = [residual_local(list(v), residual_centroids) for v in vectors]
-    return [
+    books = PQCodebooks(
         _lloyd_centroids(
             [list(v[s * m : (s + 1) * m]) for v in vectors],
             num_centroids, seed=seed + s, max_iter=max_iter, n_init=n_init,
         )
         for s in range(num_subvectors)
-    ]
+    )
+    books.residual_trained = residual_centroids is not None
+    return books
 
 
 def residual_local(vec: list[float], centroids: list[list[float]]) -> list[float]:
@@ -578,6 +611,7 @@ def pq_encode(
     per row in a staging projection (CollapseProject keeps the non-cheap
     zip_with out of the S·C·m element accesses), so residual encode costs
     one extra d-element subtraction per row, not per distance term."""
+    _check_codebook_mode(codebooks, residual_centroids is not None, "pq_encode")
     m = len(codebooks[0][0])
     num_s, num_c = len(codebooks), len(codebooks[0])
     if residual_centroids is not None and bucket_col not in df.columns:
@@ -658,6 +692,7 @@ def pq_topk(
     ADC top-50 + exact rerank = 0.9 (floor pinned in tests).  Returns
     (id, rank, dist) — dist is the ranking distance (ADC, or exact squared
     L2 after rerank), asc with id-asc tiebreak."""
+    _check_codebook_mode(codebooks, False, "pq_topk")
     m = len(codebooks[0][0])
     lut = [
         [
@@ -739,8 +774,11 @@ def ivfpq_topk(
     BREAKING (0.8.0): ``residual`` defaults to True and changes what the
     codes/codebooks must be — r7-era callers holding RAW codes must pass
     ``residual=False`` or re-encode; raw codes under the residual LUTs are
-    shape-compatible but meaningless (recall silently collapses — the
-    mismatch is not mechanically detectable, so it is a versioned contract).
+    shape-compatible but meaningless (recall silently collapses).  Since
+    0.10 codebooks returned by :func:`pq_train_codebooks` carry a
+    ``residual_trained`` tag (:class:`PQCodebooks`) and a tagged mismatch
+    RAISES here instead of silently degrading; only untagged plain-list
+    codebooks (hand-built / deserialized) remain a versioned contract.
 
     ``residual=True`` (default; r8) is canonical FAISS IVFADC: the codes
     must be RESIDUAL codes (``pq_encode(residual_centroids=...)`` against
@@ -761,6 +799,7 @@ def ivfpq_topk(
     the per-query cost really is ~(n_probe / n_centroids) · S lookups per
     surviving row, the two pruning levers multiplying, which is why this
     is the standard billion-scale layout."""
+    _check_codebook_mode(codebooks, residual, "ivfpq_topk")
     probe = _probe_cells(centroids, query, n_probe)
     cand = indexed.where(F.col("ivf_bucket").isin(*probe))
     if not residual:

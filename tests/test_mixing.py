@@ -330,3 +330,36 @@ def test_deterministic_shuffle(spark):
     bigger = spark.createDataFrame([(i,) for i in range(300)], "id long")
     order3 = [r["id"] for r in mixing.deterministic_shuffle(bigger, "id").collect()]
     assert [i for i in order3 if i < 200] == order1
+
+
+def test_shuffle_positions_match_brute_force(spark):
+    """r9: the two-level (prefix-bucket + per-bucket rank + offsets)
+    assignment reproduces the exact global (md5(salt||id), id) order —
+    and matches deterministic_shuffle's row order."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    got = {
+        r["id"]: r["shuffle_pos"]
+        for r in mixing.shuffle_positions(df, "id", salt="s", prefix_chars=2).collect()
+    }
+    exp_order = sorted(range(500), key=lambda i: (hashlib.md5(f"s{i}".encode()).hexdigest(), i))
+    assert got == {doc: p for p, doc in enumerate(exp_order)}
+    assert sorted(got.values()) == list(range(500))  # a permutation
+    # agrees with deterministic_shuffle's row order under the same salt
+    order = [r["id"] for r in mixing.deterministic_shuffle(df, "id", salt="s").collect()]
+    assert order == exp_order
+    # partitioning-invariant
+    again = {
+        r["id"]: r["shuffle_pos"]
+        for r in mixing.shuffle_positions(df.repartition(7), "id", salt="s").collect()
+    }
+    assert again == got
+
+
+def test_shuffle_positions_validates_prefix(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        mixing.shuffle_positions(df, "id", prefix_chars=0)
+    with pytest.raises(ValueError):
+        mixing.shuffle_positions(df, "id", prefix_chars=9)

@@ -592,3 +592,25 @@ def test_js_divergence_plan_no_cartesian_no_python(spark):
         assert marker not in p
     # the totals ride a broadcast; no raw CartesianProduct node
     assert "CartesianProduct" not in p
+    # r9 (ADVICE): the (tok, ca, cb) join is localCheckpoint-ed, so the
+    # downstream plan scans the materialized rows — each side's
+    # explode+groupBy ran exactly once by construction, not twice (once
+    # under the totals branch, once under the per-token branch)
+    assert "ExistingRDD" in p
+    assert "Generate" not in p  # no inline (duplicated) explode remains
+
+
+def test_shuffle_positions_plan_no_global_window(spark):
+    """r9: global shuffle-position assignment must NOT ride a global
+    row_number window (single-partition over the DATA).  The rank window
+    is hash-partitioned on the key prefix bucket; the only SinglePartition
+    exchange feeds the bucket-offsets cumsum, whose input is the bounded
+    (≤16^prefix_chars rows) per-bucket count aggregate; the offsets join
+    back is a broadcast."""
+    from dqx_spark.pipeline import mixing as Mx
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    p = plan_of(Mx.shuffle_positions(df, "doc_id"))
+    assert "BroadcastHashJoin" in p          # offsets rejoin never shuffles data
+    assert "hashpartitioning(__shuf_b" in p  # the rank window is parallel
+    assert p.count("SinglePartition") == 1   # only the tiny offsets cumsum
