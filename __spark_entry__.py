@@ -297,6 +297,9 @@ _ANN_PARAMS = dict(
     n_centroids=8, max_iter=50, max_samples=65536, n_init=20, n_probe=6,
     dim=64, num_subvectors=16, pq_centroids=16, pq_max_iter=25, pq_n_init=4, pq_rerank=50,
 )
+#: query vec_ids for the batch ANN join rows in ann_topk — one plan, three
+#: queries (r9); the oracle replays each through ivfpq_topk_local
+_ANN_JOIN_QIDS = (0, 1, 2)
 _FOREST_PARAMS = dict(num_trees=32, sample_size=256, max_samples=4096, seed=7, threshold=1.25)
 #: embedding-decontamination twin knobs — same single-source discipline as
 #: _ANN_PARAMS: the Spark query AND the oracle's EXISTS SQL interpolate
@@ -371,7 +374,25 @@ def q_ann_topk(spark, sf):
         encoded_res, centroids, codebooks_res, qvec, k=p["k"], n_probe=p["n_probe"],
         rerank_r=p["pq_rerank"],
     ).select(F.lit("ivfpq").alias("method"), "id", "rank")
-    return exact.unionByName(lsh).unionByName(ivf).unionByName(pq).unionByName(ivfpq)
+    # r9: the distributed BATCH form — three query vectors served by ONE
+    # plan (queries as a DataFrame bucketed through the IVF cells, ADC
+    # from a broadcast codebook table, per-query window top-k).  Pinned
+    # bit-for-bit equal to per-query ivfpq_topk in tests; the twin below
+    # replays each query through ann_local.ivfpq_topk_local.
+    queries_df = df.where(F.col("vec_id").isin(*_ANN_JOIN_QIDS)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    ivfpq_join = similarity.ivfpq_topk_join(
+        queries_df, encoded_res, centroids, codebooks_res, "embedding", "qid",
+        k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"],
+    ).select(
+        F.concat(F.lit("ivfpq_join_q"), F.col("query_id").cast("string")).alias("method"),
+        "id", "rank",
+    )
+    return (
+        exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
+        .unionByName(ivfpq).unionByName(ivfpq_join)
+    )
 
 
 def q_boilerplate_removal(spark, sf):
@@ -2665,9 +2686,22 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
     ivfpq = ann_local.ivfpq_topk_local(
         rows, centroids, books_res, query, k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"]
     )
+    # r9: batch-join twin — the distributed ivfpq_topk_join is pinned
+    # bit-equal to per-query ivfpq_topk (test), whose local replay this is;
+    # one replay per _ANN_JOIN_QIDS query vector
+    methods = [("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq)]
+    for qid in _ANN_JOIN_QIDS:
+        qv = next(v for i, v in rows if i == qid)
+        methods.append((
+            f"ivfpq_join_q{qid}",
+            ann_local.ivfpq_topk_local(
+                rows, centroids, books_res, qv, k=p["k"], n_probe=p["n_probe"],
+                rerank_r=p["pq_rerank"],
+            ),
+        ))
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
-        for m, res in (("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq))
+        for m, res in methods
         for i, r in res
     )
     return (

@@ -1775,3 +1775,88 @@ def test_phash_local_and_spark(spark):
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     out = {r["id"]: r["phash"] for r in multimodal.image_phash(df, "content", "doc_id").collect()}
     assert out[0] == hb and out[1] is None
+
+
+def test_ivfpq_topk_join_parity_and_recall(spark):
+    """r9: the distributed BATCH IVFADC join — (a) bit-for-bit equal to
+    running single-query ivfpq_topk per query (same probe/LUT/ADC/rerank
+    IEEE op order, now computed as Columns instead of driver literals),
+    in BOTH residual and raw modes; (b) mean recall@10 vs the exact L2
+    top-k clears the ivfpq floor (0.85); (c) NULL query vectors drop."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    cents = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, max_iter=50, n_init=20,
+        sample_order_by="vec_id",
+    )
+    indexed = similarity.ivf_assign_buckets(df, cents, "embedding", "vec_id")
+    books = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16, seed=42,
+        max_iter=25, n_init=4, sample_order_by="vec_id", residual_centroids=cents,
+    )
+    enc = similarity.pq_encode(indexed, books, "vec", "id", residual_centroids=cents)
+    enc = enc.localCheckpoint()
+
+    qids = [0, 7, 13, 21, 33]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.where(F.col("vec_id").isin(qids)).collect()
+    }
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = similarity.ivfpq_topk_join(
+        queries, enc, cents, books, "embedding", "qid", k=10, n_probe=6, rerank_r=50
+    )
+    jr = {(r["query_id"], r["rank"]): (r["id"], r["dist"]) for r in got.collect()}
+    recalls = []
+    for qid, qv in qvecs.items():
+        single = similarity.ivfpq_topk(
+            enc, cents, books, qv, k=10, n_probe=6, rerank_r=50
+        ).collect()
+        for r in single:
+            assert jr[(qid, r["rank"])] == (r["id"], r["dist"])  # bit-exact
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        l2 = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        exact = {
+            r["vec_id"]
+            for r in df.select("vec_id", l2.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+        }
+        recalls.append(len(exact & {i for (q, _), (i, _) in jr.items() if q == qid}) / 10)
+    assert sum(recalls) / len(recalls) >= 0.85, f"batch-join recall@10 {recalls}"
+
+    # raw (non-residual) mode parity on the same index layout
+    books_raw = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16, seed=42,
+        max_iter=25, n_init=4, sample_order_by="vec_id",
+    )
+    enc_raw = (
+        similarity.pq_encode(df, books_raw, "embedding", "vec_id")
+        .join(indexed.select("id", "ivf_bucket"), "id")
+        .localCheckpoint()
+    )
+    j2 = {
+        (r["query_id"], r["rank"]): (r["id"], r["dist"])
+        for r in similarity.ivfpq_topk_join(
+            queries, enc_raw, cents, books_raw, "embedding", "qid",
+            k=10, n_probe=6, rerank_r=50, residual=False,
+        ).collect()
+    }
+    for qid, qv in list(qvecs.items())[:2]:
+        single = similarity.ivfpq_topk(
+            enc_raw, cents, books_raw, qv, k=10, n_probe=6, rerank_r=50, residual=False
+        ).collect()
+        for r in single:
+            assert j2[(qid, r["rank"])] == (r["id"], r["dist"])
+
+    # NULL query vectors are dropped, not propagated
+    qnull = spark.createDataFrame([(99, None)], "qid long, embedding array<float>")
+    assert similarity.ivfpq_topk_join(
+        qnull, enc, cents, books, "embedding", "qid", k=5, n_probe=2
+    ).count() == 0
+    df.unpersist()

@@ -614,3 +614,41 @@ def test_shuffle_positions_plan_no_global_window(spark):
     assert "BroadcastHashJoin" in p          # offsets rejoin never shuffles data
     assert "hashpartitioning(__shuf_b" in p  # the rank window is parallel
     assert p.count("SinglePartition") == 1   # only the tiny offsets cumsum
+
+
+def test_ivfpq_topk_join_plan_one_bucket_equijoin(spark):
+    """r9: the batch ANN join pairs queries×corpus through ONE hash
+    equi-join on ivf_bucket — never a cartesian, never a per-query plan.
+    The only nested-loop is the standard 1-row broadcast attach of the
+    centroid/codebook table to the QUERY side; per-query ranking windows
+    are partitioned by query_id (parallel), not global."""
+    from dqx_spark.pipeline import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0], 0, [0, 0]) for i in range(8)],
+        "id long, vec array<double>, ivf_bucket int, pq_code array<int>",
+    )
+    queries = spark.createDataFrame([(1, [0.5, 0.5])], "qid long, qv array<double>")
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    books = [[[0.0], [1.0]], [[0.0], [1.0]]]
+    p = plan_of(
+        S.ivfpq_topk_join(queries, corpus, cents, books, "qv", "qid", k=3, n_probe=2, rerank_r=4)
+    )
+    assert "CartesianProduct" not in p
+    # the corpus join is a hash equi-join keyed on ivf_bucket (formatted
+    # mode prints the keys as 'Left keys [1]: [ivf_bucket#N]' detail lines)
+    assert "BroadcastHashJoin" in p
+    assert re.search(r"Left keys \[1\]: \[ivf_bucket", p), "bucket equi-join missing"
+    # ranking windows ride query_id partitions, never a global window
+    assert "windowspecdefinition(query_id" in p
+    # the only BNLJ build side is the 1-row constants table (formatted
+    # mode prints each operator in the tree AND the detail section —
+    # count the numbered detail entries)
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, re.MULTILINE)) <= 1
+    # non-broadcast query side still an equi-join (shuffle hash / SMJ)
+    p2 = plan_of(
+        S.ivfpq_topk_join(
+            queries, corpus, cents, books, "qv", "qid", k=3, n_probe=2, broadcast_queries=False
+        )
+    )
+    assert "CartesianProduct" not in p2
