@@ -274,7 +274,7 @@ def q_embedding_topk(spark, sf):
     hits = (
         dedup.embedding_cross_pairs(
             df, ev, "vec_id", "embedding",
-            threshold=_EMB_DECON_PARAMS["threshold"], num_planes=None,
+            threshold=_emb_decon_threshold(sf), num_planes=None,
         )
         .where(F.col("corpus_id") != F.col("eval_id"))
         .select(F.col("corpus_id").alias("id"))
@@ -2538,6 +2538,55 @@ def _umax_source_token_sums(sf_dir: str) -> tuple[tuple[str, int], ...]:
 
 
 @functools.lru_cache(maxsize=4)
+def _emb_decon_threshold(sf_dir: str) -> float:
+    """Vintage-robust embedding-decontamination threshold (r9, VERDICT #4):
+    r8 shipped the literal 0.35, whose margin to the nearest (corpus, eval)
+    max-cosine turned out to be ~7e-4 at sf0.01 and ~2e-5 at the sf0.1
+    vintage — one testdata regeneration away from a mysterious hash flip.
+    This derives the threshold from the MEASURED distribution at gate-prep
+    time: probe the pair cosines around the 0.35 target, place the
+    threshold at the midpoint of the straddling gap (same verdict set as
+    0.35 by construction, maximal margin on both sides), and FAIL LOUD if
+    the gap is too narrow for cross-engine float agreement (~1e-15 skew;
+    1e-9 floor).  Both the Spark query and the oracle SQL interpolate the
+    same memoized float, so the two engines always compare against the
+    identical literal (the _ANN_PARAMS single-source discipline)."""
+    cached = _EMB_DECON_THRESH_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import duckdb as _duck
+
+    p = _EMB_DECON_PARAMS
+    t0 = p["threshold"]
+    con = _duck.connect()
+    try:
+        lo, hi = con.execute(
+            f"SELECT max(c) FILTER (WHERE c < {t0}), min(c) FILTER (WHERE c >= {t0}) FROM ("
+            "SELECT list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet') a "
+            f"JOIN read_parquet('{sf_dir}/embeddings.parquet') b "
+            f"ON b.vec_id % {p['eval_mod']} = 0 AND a.vec_id <> b.vec_id)"
+        ).fetchone()
+    finally:
+        con.close()
+    if lo is None or hi is None:
+        thresh = float(t0)
+    else:
+        margin = (float(hi) - float(lo)) / 2.0
+        if margin < 1e-9:
+            raise AssertionError(
+                f"emb-decon gap around {t0} at {sf_dir} is only {margin:.3e} — the "
+                "cosine distribution is too dense at the target for a stable gate; "
+                "re-probe and move _EMB_DECON_PARAMS['threshold'] to a sparser region"
+            )
+        thresh = (float(lo) + float(hi)) / 2.0
+    _EMB_DECON_THRESH_CACHE[sf_dir] = thresh
+    return thresh
+
+
+_EMB_DECON_THRESH_CACHE: dict = {}
+
+
 def _tmix_source_counts(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """Memoized DuckDB per-source document counts for the temperature-mix
     twin — oracle_sql() is called several times per gate/test run and this
@@ -3609,7 +3658,7 @@ def oracle_sql() -> dict[str, str]:
             f"EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id % {_EMB_DECON_PARAMS['eval_mod']} = 0 "
             "AND e.vec_id <> t.id AND list_cosine_similarity(e.embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings x WHERE x.vec_id = t.id)) "
-            f">= {_EMB_DECON_PARAMS['threshold']}"
+            f">= {_emb_decon_threshold(_sfd)!r}"
             ") AS emb_contaminated "
             "FROM top t JOIN qz q ON q.id = t.id"
         ),

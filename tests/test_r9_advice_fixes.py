@@ -83,3 +83,18 @@ def test_js_divergence_single_scan_still_correct(spark):
     assert same["js_divergence"] == 0.0
     disj = corpus.token_distribution_divergence(a, b, "t").collect()[0]
     assert abs(disj["js_divergence"] - math.log(2.0)) < 1e-12
+
+
+def test_emb_decon_threshold_is_vintage_robust():
+    """r9 (VERDICT #4): the embedding-decon threshold is derived mid-gap
+    from the measured pair-cosine distribution at gate-prep time — same
+    verdict set as the 0.35 target by construction, maximal margin, and
+    the derivation RAISES (re-probe guidance) if the gap shrinks below
+    the cross-engine float-agreement floor.  This test would have caught
+    a testdata regeneration before the driver's hash did."""
+    import __spark_entry__ as entrymod
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        t = entrymod._emb_decon_threshold(sf_dir)  # raises if gap < 1e-9
+        assert abs(t - 0.35) < 0.05, f"derived threshold drifted: {t} at {sf_dir}"
+        assert entrymod._emb_decon_threshold(sf_dir) == t  # memoized, stable

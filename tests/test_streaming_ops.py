@@ -289,3 +289,83 @@ def test_streaming_parity_discriminates_per_batch_scope(spark):
     global_counts = Counter(uk(r["event_id"]) for r in out)
     globally_flagged = {r["event_id"] for r in out if global_counts[uk(r["event_id"])] > 1}
     assert len(globally_flagged) > 3 * len(flagged)
+
+
+def test_stateful_ops_under_rocksdb_state_store(spark, tmp_path):
+    """r9: the stateful trio must run under OSS Spark's RocksDB state
+    store (the 100-TB configuration — off-heap state with disk spill,
+    vs the default JVM-heap HDFSBackedStateStoreProvider).  Asserts the
+    provider actually engaged via the query's rocksdb custom metrics,
+    not just that the conf was set."""
+    from dqx_spark.streaming import (
+        deduplicate_stream,
+        rocksdb_state_store_conf,
+        sessionize_stream,
+    )
+
+    conf = rocksdb_state_store_conf()
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:01:00"),  # dup
+            (2, "2024-01-01 00:02:00"),
+            (1, "2024-01-01 02:00:00"),  # new session for user 1
+        ]
+        src = _write_stream_source(spark, tmp_path, rows, "user_id long, ts string")
+
+        def stream():
+            return (
+                spark.readStream.schema("user_id long, ts string").parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+
+        dd = deduplicate_stream(stream(), ["user_id"], "ts", "10 minutes")
+        q1 = (
+            dd.writeStream.format("parquet")
+            .option("path", str(tmp_path / "dd_out"))
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination(120)
+        # both later user-1 rows dedup against the 00:00 state entry (the
+        # whole fixture lands in one micro-batch, where the batch-start
+        # watermark is still epoch 0, so no key state has expired yet)
+        got = sorted(str(r["ts"]) for r in spark.read.parquet(str(tmp_path / "dd_out")).collect())
+        assert got == ["2024-01-01 00:00:00", "2024-01-01 00:02:00"]
+        metrics = (q1.lastProgress or {}).get("stateOperators", [])
+        assert any(
+            any(m.startswith("rocksdb") for m in (op.get("customMetrics") or {}))
+            for op in metrics
+        ), f"RocksDB metrics absent: {metrics}"
+
+        ss = sessionize_stream(stream(), "user_id", "ts", gap_minutes=30)
+        q2 = (
+            ss.writeStream.format("parquet")
+            .option("path", str(tmp_path / "ss_out"))
+            .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        sess = {
+            (r["user_id"], str(r["ts"])): r["session_id"]
+            for r in spark.read.parquet(str(tmp_path / "ss_out")).collect()
+        }
+        assert sess[(1, "2024-01-01 00:00:00")] == sess[(1, "2024-01-01 00:01:00")] == 1
+        assert sess[(1, "2024-01-01 02:00:00")] == 2
+        assert sess[(2, "2024-01-01 00:02:00")] == 1
+        m2 = (q2.lastProgress or {}).get("stateOperators", [])
+        assert any(
+            any(m.startswith("rocksdb") for m in (op.get("customMetrics") or {}))
+            for op in m2
+        ), f"RocksDB metrics absent: {m2}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
