@@ -878,6 +878,18 @@ def main() -> None:
                 F.count("ahash").alias("n"), F.sum(F.bit_count("ahash")).alias("bits")
             )
         ))
+        # r9 (VERDICT r8 item 5): js_divergence at 10x docs — the headline
+        # list's 4th most expensive case was the only one without slope
+        # evidence.  Expect ~linear in token count: two token-count aggs +
+        # the token full-outer join (vocab grows sublinearly, so the join
+        # key space grows slower than the counts feeding it).
+        sf1_pipe["js_divergence"] = timed(lambda: materialize(
+            _corpus.token_distribution_divergence(
+                docs_o.where(F.col("doc_id") % 2 == 0),
+                docs_o.where(F.col("doc_id") % 2 == 1),
+                "text",
+            )
+        ))
 
         # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
         # table caps what the slope section can say about the ANN family;
@@ -936,12 +948,35 @@ def main() -> None:
             ann_scale[f"search_{tag}"] = timed(lambda: materialize(
                 _sim.ivfpq_topk(idx_m, cents, books, qv, k=10, n_probe=4, rerank_r=50)
             ))
+            # r9: the distributed BATCH join form — 16 query vectors served
+            # by ONE plan (vs 16 single-query plans).  Same index, same
+            # probe/rerank knobs; the per-query amortization is the point.
+            qdf = (
+                emb_t.orderBy("vec_id").limit(16)
+                .select(F.col("vec_id").alias("qid"), "embedding")
+                .localCheckpoint()
+            )
+            ann_scale[f"join16_{tag}"] = timed(lambda: materialize(
+                _sim.ivfpq_topk_join(
+                    qdf, idx_m, cents, books, "embedding", "qid",
+                    k=10, n_probe=4, rerank_r=50,
+                )
+            ))
+            qdf.unpersist()
             idx_m.unpersist()
         ann_scale["slope_build"] = round(ann_scale["build_100x"] / ann_scale["build_1x"], 2)
         ann_scale["slope_search"] = round(ann_scale["search_100x"] / ann_scale["search_1x"], 2)
+        ann_scale["slope_join16"] = round(ann_scale["join16_100x"] / ann_scale["join16_1x"], 2)
+        # per-query amortization of the batch form at 100x: one 16-query
+        # plan vs 16 sequential single-query plans
+        ann_scale["join16_amortization_100x"] = round(
+            ann_scale["join16_100x"] / (16 * ann_scale["search_100x"]), 3
+        )
         result["ann_scale"] = ann_scale
         pipe_base["annx100"] = ann_scale["search_1x"]
         sf1_pipe["annx100"] = ann_scale["search_100x"]
+        pipe_base["ann_join16"] = ann_scale["join16_1x"]
+        sf1_pipe["ann_join16"] = ann_scale["join16_100x"]
         result["sf1"] = {
             "scale": SF1_SCALE,
             "organic": True,
@@ -1013,11 +1048,30 @@ def emit(result: dict, details_path: str | None = None) -> None:
         }
 
     _LINE_BUDGET = 1600  # observed driver tail window ~2000 bytes; stay well under
-    # drop optional sections (least essential first) until the line fits;
-    # the headline queries dict is never dropped
-    for drop in ((), ("slope", "slope_scale"), ("slope", "slope_scale", "sf1")):
-        trimmed = {k: v for k, v in compact.items() if k not in drop}
-        line = json.dumps(trimmed, separators=(",", ":"))
+    # fit ladder: first COMPRESS (r9 — slope entries to their ratio alone,
+    # sf1 pipeline timings to their slope ratios; raw timings stay in the
+    # details file), then drop whole sections (least essential first).
+    # The headline queries dict is never dropped.
+    def _compressed() -> dict:
+        c = dict(compact)
+        if "slope" in c:
+            c["slope"] = {
+                n: (rec.get("slope") if isinstance(rec, dict) else rec)
+                for n, rec in c["slope"].items()
+            }
+        if "sf1" in c and "sf1" in result and "pipeline_slope" in result["sf1"]:
+            c["sf1"] = dict(c["sf1"])
+            c["sf1"].pop("pipeline_queries", None)
+            c["sf1"]["pipeline_slope"] = result["sf1"]["pipeline_slope"]
+        return c
+
+    candidates = [compact, _compressed()]
+    candidates += [
+        {k: v for k, v in candidates[-1].items() if k not in drop}
+        for drop in (("slope", "slope_scale"), ("slope", "slope_scale", "sf1"))
+    ]
+    for cand in candidates:
+        line = json.dumps(cand, separators=(",", ":"))
         if len(line) <= _LINE_BUDGET:
             break
     assert json.loads(line)["queries"] == result["queries"], "bench line failed round-trip"
