@@ -35,6 +35,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "ivf_topk_join",
     "ivfpq_topk_join",
 ]
 
@@ -824,6 +825,91 @@ def ivfpq_topk(
     return _adc_rank_and_rerank(cand, adc, query, k, rerank_r)
 
 
+def _probe_cells_col(qvec: Column, cents: Column, nc: int, n_probe: int) -> Column:
+    """Column form of :func:`_probe_cells` — the ``n_probe`` nearest cell
+    indices for a query VECTOR COLUMN against a broadcast centroid-table
+    column, as an ``array<int>``.  Ordering replays the driver helper
+    exactly: sqrt of the left-fold squared distance (so an equal-sqrt TIE
+    resolves by ascending cell index, like Python's stable sort over
+    ``math.sqrt`` values), sorted as (dist, cell) structs and sliced."""
+    d = F.size(qvec)
+    cell_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(nc - 1)),
+        lambda c: F.struct(
+            F.sqrt(
+                F.aggregate(
+                    F.sequence(F.lit(1), d),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + (F.element_at(F.element_at(cents, c + 1), j) - F.element_at(qvec, j))
+                    * (F.element_at(F.element_at(cents, c + 1), j) - F.element_at(qvec, j)),
+                )
+            ).alias("d"),
+            c.alias("i"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(cell_structs), 1, int(n_probe)), lambda s: s.getField("i")
+    )
+
+
+def ivf_topk_join(
+    queries: DataFrame,
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_probe: int = 5,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Distributed BATCH IVF search — the join form of :func:`ivf_topk`
+    for a query DataFrame: ``(query_id, id, rank, score)`` with each
+    query's cosine top-``k`` over only its ``n_probe`` probed cells,
+    bit-for-bit equal to per-query :func:`ivf_topk` (pinned by test).
+
+    The no-PQ member of the batch family (see :func:`ivfpq_topk_join`
+    for the full scale rationale): queries ride the same Column probe
+    assignment (:func:`_probe_cells_col` against the broadcast centroid
+    table), explode to (query, cell) rows, ONE equi-join on
+    ``ivf_bucket`` pairs them with corpus vectors, the exact cosine is
+    computed per pair, and ranking is a query_id-partitioned window with
+    :func:`ivf_topk`'s (score desc, id asc) tiebreak.  Use this when the
+    probed slice is small enough to score exactly (no codes needed);
+    reach for the IVFADC join when even the probed cells are too big to
+    touch floats.  ``indexed`` carries (id, vec, ivf_bucket); queries
+    with NULL vectors are dropped."""
+    nc = len(centroids)
+    if not 1 <= n_probe <= nc:
+        raise ValueError(f"n_probe must be in [1, {nc}], got {n_probe}")
+    spark = queries.sparkSession
+    const_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "__ivf_cents array<array<double>>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__qvec"),
+    ).where(F.col("__qvec").isNotNull())
+    q = q.crossJoin(F.broadcast(const_df))
+    qvec = F.col("__qvec")
+    probe = _probe_cells_col(qvec, F.col("__ivf_cents"), nc, n_probe)
+    qside = q.select("query_id", qvec, F.explode(probe).alias("ivf_bucket"))
+
+    corpus = indexed.select(F.col("id"), F.col("vec"), F.col("ivf_bucket"))
+    build = F.broadcast(qside) if broadcast_queries else qside
+    joined = corpus.join(build, "ivf_bucket")
+    scored = joined.select(
+        "query_id", "id", _cosine(F.col("vec"), qvec).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "id", "rank", "score")
+    )
+
+
 def ivfpq_topk_join(
     queries: DataFrame,
     indexed: DataFrame,
@@ -914,27 +1000,7 @@ def ivfpq_topk_join(
             * (F.element_at(a, (off_a + j) if off_a is not None else j) - F.element_at(b, j)),
         )
 
-    d = F.size(qvec)
-    # probe selection: sqrt(L2²) so equal-sqrt ties order by cell index,
-    # replaying _probe_cells' stable sort over math.sqrt distances
-    cell_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(nc - 1)),
-        lambda c: F.struct(
-            F.sqrt(
-                F.aggregate(
-                    F.sequence(F.lit(1), d),
-                    F.lit(0.0),
-                    lambda acc, j: acc
-                    + (F.element_at(F.element_at(cents, c + 1), j) - F.element_at(qvec, j))
-                    * (F.element_at(F.element_at(cents, c + 1), j) - F.element_at(qvec, j)),
-                )
-            ).alias("d"),
-            c.alias("i"),
-        ),
-    )
-    probe = F.transform(
-        F.slice(F.array_sort(cell_structs), 1, int(n_probe)), lambda s: s.getField("i")
-    )
+    probe = _probe_cells_col(qvec, cents, nc, n_probe)
 
     def lut_from(src: Column) -> Column:
         return F.transform(

@@ -1860,3 +1860,35 @@ def test_ivfpq_topk_join_parity_and_recall(spark):
         qnull, enc, cents, books, "embedding", "qid", k=5, n_probe=2
     ).count() == 0
     df.unpersist()
+
+
+def test_ivf_topk_join_parity(spark):
+    """r9: the no-PQ batch member — ivf_topk_join bit-equals per-query
+    ivf_topk (same Column probe assignment as the IVFADC join, exact
+    cosine within probed cells, same (score desc, id asc) tiebreak)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    indexed = similarity.ivf_assign_buckets(df, cents, "embedding", "vec_id").localCheckpoint()
+    qids = [0, 7, 13]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.where(F.col("vec_id").isin(qids)).collect()
+    }
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    jr = {
+        (r["query_id"], r["rank"]): (r["id"], r["score"])
+        for r in similarity.ivf_topk_join(
+            queries, indexed, cents, "embedding", "qid", k=10, n_probe=5
+        ).collect()
+    }
+    assert len(jr) == 30
+    for qid, qv in qvecs.items():
+        for r in similarity.ivf_topk(indexed, cents, qv, k=10, n_probe=5).collect():
+            assert jr[(qid, r["rank"])] == (r["id"], r["score"])
