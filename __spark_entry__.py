@@ -2537,7 +2537,6 @@ def _umax_source_token_sums(sf_dir: str) -> tuple[tuple[str, int], ...]:
     return tuple(sorted((s, int(n)) for s, n in rows))
 
 
-@functools.lru_cache(maxsize=4)
 def _emb_decon_threshold(sf_dir: str) -> float:
     """Vintage-robust embedding-decontamination threshold (r9, VERDICT #4):
     r8 shipped the literal 0.35, whose margin to the nearest (corpus, eval)
@@ -2587,6 +2586,7 @@ def _emb_decon_threshold(sf_dir: str) -> float:
 _EMB_DECON_THRESH_CACHE: dict = {}
 
 
+@functools.lru_cache(maxsize=4)
 def _tmix_source_counts(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """Memoized DuckDB per-source document counts for the temperature-mix
     twin — oracle_sql() is called several times per gate/test run and this

@@ -964,13 +964,18 @@ def main() -> None:
             ))
             qdf.unpersist()
             idx_m.unpersist()
-        ann_scale["slope_build"] = round(ann_scale["build_100x"] / ann_scale["build_1x"], 2)
-        ann_scale["slope_search"] = round(ann_scale["search_100x"] / ann_scale["search_1x"], 2)
-        ann_scale["slope_join16"] = round(ann_scale["join16_100x"] / ann_scale["join16_1x"], 2)
+        def _ratio(num: float, den: float, digits: int = 2):
+            # a 0.0 denominator (sub-ms timed() rounding) yields null rather
+            # than killing the run after the expensive 100x build
+            return round(num / den, digits) if den else None
+
+        ann_scale["slope_build"] = _ratio(ann_scale["build_100x"], ann_scale["build_1x"])
+        ann_scale["slope_search"] = _ratio(ann_scale["search_100x"], ann_scale["search_1x"])
+        ann_scale["slope_join16"] = _ratio(ann_scale["join16_100x"], ann_scale["join16_1x"])
         # per-query amortization of the batch form at 100x: one 16-query
         # plan vs 16 sequential single-query plans
-        ann_scale["join16_amortization_100x"] = round(
-            ann_scale["join16_100x"] / (16 * ann_scale["search_100x"]), 3
+        ann_scale["join16_amortization_100x"] = _ratio(
+            ann_scale["join16_100x"], 16 * ann_scale["search_100x"], 3
         )
         result["ann_scale"] = ann_scale
         pipe_base["annx100"] = ann_scale["search_1x"]

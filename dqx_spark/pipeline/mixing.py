@@ -237,8 +237,16 @@ def shuffle_key(id_col: str | Column, salt: str = "") -> Column:
     (:func:`hash_bucket`), collision-free in practice at ANY corpus size,
     so the permutation stays uniform beyond 1M rows (r8 ADVICE: bucket-mod
     keys left >1M-row corpora ascending-id — i.e. ingestion-ordered —
-    within each bucket)."""
-    return F.md5(F.concat(F.lit(salt), to_col(id_col).cast("string")))
+    within each bucket).
+
+    NULL ids coalesce to the empty string (r9 review: a NULL key would
+    otherwise drop the row in :func:`shuffle_positions`' offsets equi-join
+    while still counting in the offsets, corrupting every position after
+    it); NULL-id rows therefore share one key and land adjacently in
+    arbitrary relative order — ids should be unique and non-null for a
+    meaningful shuffle.  DuckDB twin: ``md5(salt || coalesce(id::VARCHAR,
+    ''))``."""
+    return F.md5(F.concat(F.lit(salt), F.coalesce(to_col(id_col).cast("string"), F.lit(""))))
 
 
 def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
@@ -290,7 +298,9 @@ def shuffle_positions(
     exactly: one slim shuffle on the bucket key, no single-partition pass
     over data-sized input.  Appends change positions (they interleave);
     rerunning on the same rows is bit-stable.  ``id_col`` must be unique —
-    duplicate ids get adjacent but arbitrarily-ordered positions."""
+    duplicate (or NULL, which :func:`shuffle_key` coalesces) ids get
+    adjacent but arbitrarily-ordered positions; every input row is always
+    present in the output exactly once."""
     if not 1 <= int(prefix_chars) <= 8:
         raise ValueError(f"prefix_chars must be in [1, 8], got {prefix_chars}")
     key = shuffle_key(id_col, salt)

@@ -194,31 +194,14 @@ def sessionize_stream(
     state_schema = "last_ts long, session_id long, session_start long"
 
     def assign(key, pdf_iter, state: GroupState):
-        batch = pd.concat(list(pdf_iter)).sort_values(event_time_col)
-        ts = batch[event_time_col]
-        epochs = ts.astype("int64") // 1000  # microseconds, exact
-        if state.exists:
-            last_ts, session_id, session_start = state.get
-        else:
-            last_ts, session_id, session_start = None, 0, None
-        ids, starts = [], []
-        for t in epochs:
-            if last_ts is None or t - last_ts > gap_us:
-                session_id += 1
-                session_start = t
-            last_ts = t
-            ids.append(session_id)
-            starts.append(session_start)
-        state.update((int(last_ts), int(session_id), int(session_start)))
-        out = pd.DataFrame(
-            {
-                key_col: batch[key_col].values,
-                event_time_col: ts.values,
-                "session_id": ids,
-                "session_start": pd.to_datetime(pd.Series(starts, dtype="int64"), unit="us"),
-            }
+        prev = tuple(state.get) if state.exists else None
+        batch, ts, ids, starts, new_state = _assign_session_batch(
+            pd.concat(list(pdf_iter)), event_time_col, gap_us, prev
         )
-        yield out
+        state.update(new_state)
+        yield _session_output_frame(
+            key_col, batch[key_col].values, event_time_col, ts, ids, starts
+        )
 
     return (
         stream_df.withWatermark(event_time_col, watermark_delay)
@@ -229,6 +212,156 @@ def sessionize_stream(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _assign_session_batch(batch, time_col: str, gap_us: int, state):
+    """The ONE exact-integer-microsecond gap-session assignment, shared by
+    :func:`sessionize_stream` (applyInPandasWithState closure) and
+    :class:`_SessionizeProcessor` (transformWithStateInPandas) so the two
+    API rungs cannot drift.  ``state`` is (last_ts, session_id,
+    session_start) or None; returns (sorted_batch, ts_series, session_ids,
+    session_start_epochs, new_state)."""
+    batch = batch.sort_values(time_col)
+    ts = batch[time_col]
+    epochs = ts.astype("int64") // 1000  # exact integer microseconds
+    last_ts, session_id, session_start = state if state is not None else (None, 0, None)
+    ids, starts = [], []
+    for t in epochs:
+        if last_ts is None or t - last_ts > gap_us:
+            session_id += 1
+            session_start = t
+        last_ts = t
+        ids.append(session_id)
+        starts.append(session_start)
+    return batch, ts, ids, starts, (int(last_ts), int(session_id), int(session_start))
+
+
+def _session_output_frame(key_col: str, key_values, time_col: str, ts, ids, starts):
+    """Shared output-frame assembly for both sessionize rungs."""
+    import pandas as pd  # noqa: PLC0415
+
+    return pd.DataFrame(
+        {
+            key_col: key_values,
+            time_col: ts.values,
+            "session_id": ids,
+            "session_start": pd.to_datetime(pd.Series(starts, dtype="int64"), unit="us"),
+        }
+    )
+
+
+class _SessionizeProcessor:
+    """StatefulProcessor for :func:`sessionize_stream_v2` — defined at
+    module level (and duck-typed against
+    ``pyspark.sql.streaming.stateful_processor.StatefulProcessor``) so the
+    instance pickles cleanly to executors.  Session arithmetic is the
+    SHARED :func:`_assign_session_batch` — one copy for both API rungs."""
+
+    def __init__(self, key_col: str, event_time_col: str, gap_minutes: int, ttl_ms: int | None):
+        self._key_col = key_col
+        self._time_col = event_time_col
+        self._gap_us = int(gap_minutes) * 60 * 1_000_000
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "session", "last_ts long, session_id long, session_start long", self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd  # noqa: PLC0415
+
+        prev = tuple(self._state.get()) if self._state.exists() else None
+        batch, ts, ids, starts, new_state = _assign_session_batch(
+            pd.concat(list(rows)), self._time_col, self._gap_us, prev
+        )
+        self._state.update(new_state)
+        yield _session_output_frame(
+            self._key_col, [key[0]] * len(batch), self._time_col, ts, ids, starts
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:  # pragma: no cover
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # pragma: no cover
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_v2(
+    stream_df: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    gap_minutes: int = 30,
+    watermark_delay: str = "30 minutes",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based streaming sessionization on Spark 4's arbitrary-state v2
+    API (``transformWithStateInPandas``) — same semantics and output
+    schema as :func:`sessionize_stream` (parity-tested on a shared
+    fixture), with the v2 capabilities the v1 API lacks:
+
+    * **state TTL** (``state_ttl_ms``): idle keys are evicted by the state
+      store itself — bounded state WITHOUT shortening the watermark, the
+      knob a 100-TB key-cardinality stream actually needs (v1's only
+      eviction is processing/event-time timeouts you manage by hand).
+      Spark only permits TTL state under ``timeMode="ProcessingTime"``
+      (``StatefulProcessorCannotAssignTTLInTimeMode`` otherwise — TTL is a
+      wall-clock contract), so passing ``state_ttl_ms`` switches the
+      operator's timeMode from EventTime to ProcessingTime; the event-time
+      WATERMARK on the input still governs late-row dropping either way;
+    * typed, named state variables (value/list/map) and timers, so richer
+      session payloads can be added without re-plumbing;
+    * native initial-state handoff for batch-bootstrap.
+
+    REQUIRES the RocksDB state store (the v2 operator needs column
+    families, which only RocksDB provides) and the ``protobuf`` package
+    (Spark's TWS state-server protocol; an optional pyspark dependency) —
+    both checked UP FRONT with actionable errors instead of Spark's
+    opaque mid-query failures.  ``watermark_delay`` has the same
+    late-data-vs-state tradeoff as v1.  Where protobuf is unavailable,
+    :func:`sessionize_stream` (applyInPandasWithState) is the
+    dependency-free rung with identical output."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    provider = stream_df.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise ValueError(
+            "sessionize_stream_v2 (transformWithStateInPandas) requires the "
+            "RocksDB state store; set rocksdb_state_store_conf() on the "
+            "session before starting the query"
+        )
+    try:  # pyspark's TWS runner imports this lazily and CRASHES the
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+    except ImportError as exc:  # query worker without it — fail here instead
+        raise ImportError(
+            "sessionize_stream_v2 needs the 'protobuf' package (Spark's "
+            "transformWithState python runner protocol); install protobuf "
+            "or use sessionize_stream (applyInPandasWithState, identical "
+            "output, no extra dependency)"
+        ) from exc
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    output_schema = (
+        f"{key_col} {key_type}, {event_time_col} timestamp, session_id long, session_start timestamp"
+    )
+    return (
+        stream_df.withWatermark(event_time_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionizeProcessor(
+                key_col, event_time_col, gap_minutes, state_ttl_ms
+            ),
+            outputStructType=output_schema,
+            outputMode="Append",
+            # TTL state is only assignable under ProcessingTime (wall-clock
+            # contract); without TTL keep EventTime
+            timeMode="ProcessingTime" if state_ttl_ms is not None else "EventTime",
         )
     )
 

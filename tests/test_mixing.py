@@ -363,3 +363,17 @@ def test_shuffle_positions_validates_prefix(spark):
         mixing.shuffle_positions(df, "id", prefix_chars=0)
     with pytest.raises(ValueError):
         mixing.shuffle_positions(df, "id", prefix_chars=9)
+
+
+def test_shuffle_positions_null_ids_survive(spark):
+    """r9 review: NULL ids coalesce into the key instead of silently
+    vanishing in the offsets equi-join — output is always row-complete
+    and a 0-based permutation."""
+    df = spark.createDataFrame([(None,), (1,), (2,), (3,)], "id string")
+    got = mixing.shuffle_positions(df, "id")
+    rows = [(r["id"], r["shuffle_pos"]) for r in got.collect()]
+    assert len(rows) == 4
+    assert sorted(p for _, p in rows) == [0, 1, 2, 3]
+    assert any(i is None for i, _ in rows)  # the NULL row is still here
+    # deterministic_shuffle keeps the same count too
+    assert mixing.deterministic_shuffle(df, "id").count() == 4

@@ -369,3 +369,76 @@ def test_stateful_ops_under_rocksdb_state_store(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_stream_v2_guards_and_dormant_rung(spark, tmp_path):
+    """r9: the Spark-4 arbitrary-state (transformWithStateInPandas) rung.
+    Its runtime deps are checked UP FRONT with actionable errors: no
+    RocksDB provider -> ValueError naming rocksdb_state_store_conf;
+    RocksDB set but no protobuf -> ImportError steering to the v1 rung.
+    Where protobuf IS available the full parity leg runs (dormant in this
+    sandbox — protobuf absent, adjudicated in COVERAGE.md)."""
+    import pytest as _pytest
+
+    from dqx_spark.streaming import (
+        rocksdb_state_store_conf,
+        sessionize_stream,
+        sessionize_stream_v2,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 02:00:00"),
+        (2, "2024-01-01 00:05:00"),
+    ]
+    src = _write_stream_source(spark, tmp_path, rows, "user_id long, ts string")
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, ts string").parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    # guard 1: default (heap) provider refused before query start
+    with _pytest.raises(ValueError, match="RocksDB"):
+        sessionize_stream_v2(stream(), "user_id", "ts")
+
+    conf = rocksdb_state_store_conf()
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+            have_protobuf = True
+        except ImportError:
+            have_protobuf = False
+        if not have_protobuf:
+            # guard 2: missing optional dep fails fast with guidance
+            with _pytest.raises(ImportError, match="protobuf"):
+                sessionize_stream_v2(stream(), "user_id", "ts")
+            return
+        # full parity leg (runs where protobuf exists): v2 output == v1
+        def run(df, name):
+            out = str(tmp_path / name)
+            q = (
+                df.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            return sorted(
+                (r["user_id"], str(r["ts"]), r["session_id"], str(r["session_start"]))
+                for r in spark.read.parquet(out).collect()
+            )
+
+        v2 = run(sessionize_stream_v2(stream(), "user_id", "ts", gap_minutes=30), "v2")
+        v1 = run(sessionize_stream(stream(), "user_id", "ts", gap_minutes=30), "v1")
+        assert v2 == v1 and len(v2) == 4
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
