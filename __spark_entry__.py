@@ -389,9 +389,18 @@ def q_ann_topk(spark, sf):
         F.concat(F.lit("ivfpq_join_q"), F.col("query_id").cast("string")).alias("method"),
         "id", "rank",
     )
+    # r9: the no-PQ batch member on the same query set — exact cosine
+    # within probed cells, twinned per query via ivf_topk_local
+    ivf_join = similarity.ivf_topk_join(
+        queries_df, indexed, centroids, "embedding", "qid",
+        k=p["k"], n_probe=p["n_probe"],
+    ).select(
+        F.concat(F.lit("ivf_join_q"), F.col("query_id").cast("string")).alias("method"),
+        "id", "rank",
+    )
     return (
         exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
-        .unionByName(ivfpq).unionByName(ivfpq_join)
+        .unionByName(ivfpq).unionByName(ivfpq_join).unionByName(ivf_join)
     )
 
 
@@ -2747,6 +2756,10 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
                 rows, centroids, books_res, qv, k=p["k"], n_probe=p["n_probe"],
                 rerank_r=p["pq_rerank"],
             ),
+        ))
+        methods.append((
+            f"ivf_join_q{qid}",
+            ann_local.ivf_topk_local(rows, centroids, qv, k=p["k"], n_probe=p["n_probe"]),
         ))
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
