@@ -757,3 +757,26 @@ def test_js_divergence_python_reference(a, b):
     assert -1e-15 <= v <= math.log(2) + 1e-15
     assert abs(v - js(b, a)) < 1e-12
     assert js(a, a) == 0.0
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40, unique=True),
+    salt=st.text(alphabet="xyz", max_size=3),
+)
+def test_shuffle_positions_match_python_reference(spark, ids, salt):
+    """r9: for ANY unique id set and salt, shuffle_positions is the exact
+    0-based rank under the (md5(salt||id), id) order a pure-python
+    reference computes — and a permutation of 0..n-1."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    from dqx_spark.pipeline import mixing
+
+    got = {
+        r["id"]: r["shuffle_pos"]
+        for r in mixing.shuffle_positions(df, "id", salt=salt, prefix_chars=2).collect()
+    }
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"{salt}{i}".encode()).hexdigest(), i))
+    assert got == {i: p for p, i in enumerate(order)}
+    assert sorted(got.values()) == list(range(len(ids)))
