@@ -489,6 +489,11 @@ def main() -> None:
     # r8: corpus-shift JS between the even/odd doc halves — two slim
     # token-count aggregations + full-outer token join + global aggregate
     # (output is already 1 row, so count() cannot prune anything)
+    # r9: training-order positions — the (md5, id) rank via prefix-bucketed
+    # windows; the sum forces the rank window (count() could prune it)
+    cases["shuffle_positions"] = lambda: _mixing.shuffle_positions(
+        docs.select("doc_id"), "doc_id"
+    ).agg(F.sum("shuffle_pos").alias("s"), F.count(F.lit(1)).alias("n"))
     cases["js_divergence"] = lambda: _corpus.token_distribution_divergence(
         docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1), "text"
     )
@@ -680,6 +685,18 @@ def main() -> None:
                 f"{canary['engine']}s. Compare across rounds: canary shift = box "
                 "drift; (query - canary) shift = plan drift. r7's +18% uniform "
                 "inflation had no canary to attribute it; now it does."
+            ),
+            "r9_drift_attribution": (
+                "r9 quiet runs read ~+10% over the RECORDED r8 27-case subset "
+                "(16.78 -> 18.5) with a FLAT canary. Attributed by rerunning the "
+                "r8 checkout (a5c16ef) on the same box same day: r8's own code "
+                "now measures 18.11 (+8% vs its recording) - box drift in "
+                "multi-stage JVM cases the scan canary doesn't capture (the r7 "
+                "pattern). Same-day r8-code vs r9-code on the 27 shared cases: "
+                "18.11 vs 18.51 (+2%), within per-case scatter that runs +-16-44% "
+                "BOTH directions on sub-0.5s cases (untouched all_row_checks +34% "
+                "while untouched dedup_ngram_pairs -16%). The r9 code is "
+                "plan-equivalent on every unchanged query; sum is the statistic."
             ),
             # r7: the four r6 operators joined the sf1 slope pass.
             # group_centroids/dedup_spans/lm_nb_scores ride row volume
@@ -876,6 +893,13 @@ def main() -> None:
         sf1_pipe["image_ahash"] = timed(lambda: materialize(
             _mm.image_ahash(docs_o.withColumn("bmp", _bmp_col()), "bmp", "doc_id").agg(
                 F.count("ahash").alias("n"), F.sum(F.bit_count("ahash")).alias("bits")
+            )
+        ))
+        # r9: positions at 10x docs — one slim bucket shuffle + partitioned
+        # windows; the claim is ~linear row throughput
+        sf1_pipe["shuffle_positions"] = timed(lambda: materialize(
+            _mixing.shuffle_positions(docs_o.select("doc_id"), "doc_id").agg(
+                F.sum("shuffle_pos").alias("s"), F.count(F.lit(1)).alias("n")
             )
         ))
         # r9 (VERDICT r8 item 5): js_divergence at 10x docs — the headline

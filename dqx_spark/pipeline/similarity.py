@@ -8,6 +8,10 @@
 * ``ann_lsh_topk`` — the 100 TB path: sign-LSH bucket the corpus once,
   probe only the query's bucket (plus optional multi-probe neighbors),
   exact-rerank inside the bucket.
+* ``ivf_topk_join`` / ``ivfpq_topk_join`` — the BATCH path (r9): a query
+  DataFrame rides the IVF index in ONE plan — Column probe assignment,
+  one bucket equi-join, per-query window top-k — instead of one
+  driver-literal plan per query; bit-equal to the single-query forms.
 """
 
 from __future__ import annotations
