@@ -41,6 +41,8 @@ __all__ = [
     "ivfpq_topk",
     "ivf_topk_join",
     "ivfpq_topk_join",
+    "save_ann_index",
+    "load_ann_index",
 ]
 
 
@@ -798,13 +800,14 @@ def ivfpq_topk(
     non-residual on the driver embeddings).  ``residual=False`` scans
     raw-vector codes with the single global LUT (:func:`pq_topk`).
 
-    As shipped the cell prune is a FILTER over the scan (the isin predicate
-    pushes to the source); to get true partition pruning at scale,
-    materialize the index yourself with
-    ``indexed.write.partitionBy("ivf_bucket")...`` and search that — then
-    the per-query cost really is ~(n_probe / n_centroids) · S lookups per
-    surviving row, the two pruning levers multiplying, which is why this
-    is the standard billion-scale layout."""
+    On an in-memory frame the cell prune is a FILTER over the scan (the
+    isin predicate pushes to the source); for true partition pruning at
+    scale, materialize the index with :func:`save_ann_index` and search
+    the :func:`load_ann_index` frame — the probe filter then prunes at
+    the parquet partition level (``PartitionFilters``, pinned by plan
+    test), so the per-query cost really is ~(n_probe / n_centroids) · S
+    lookups per surviving row, the two pruning levers multiplying, which
+    is why this is the standard billion-scale layout."""
     _check_codebook_mode(codebooks, residual, "ivfpq_topk")
     probe = _probe_cells(centroids, query, n_probe)
     cand = indexed.where(F.col("ivf_bucket").isin(*probe))
@@ -1070,3 +1073,67 @@ def ivfpq_topk_join(
     )
     out = ranked(cand.select("query_id", "id", exact.alias("dist")), "dist", int(k))
     return out.select("query_id", "id", "rank", "dist")
+
+
+def save_ann_index(
+    indexed: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an ANN index in the billion-scale layout every search
+    docstring here recommends: the corpus **partitioned by ``ivf_bucket``**
+    (so a probed search prunes to ~n_probe/n_centroids of the FILES via
+    Spark's partition pruning — not just a post-scan filter) plus a JSON
+    sidecar (``_ann_meta.json``) holding the centroids, the codebooks, and
+    their ``residual_trained`` tag so :func:`load_ann_index` can restore
+    the :class:`PQCodebooks` mode guard.
+
+    ``indexed`` is the usual (id, vec, ivf_bucket[, pq_code]) frame from
+    :func:`ivf_assign_buckets` (+ optional :func:`pq_encode`).  The
+    sidecar is driver-tiny (n_centroids x d + S x C x m floats); the data
+    write is one partitioned parquet write — the standard one-time build
+    cost that :func:`ivf_topk`/:func:`ivfpq_topk` and the batch joins
+    then amortize across every query."""
+    import json as _json
+    import os as _os
+
+    indexed.write.partitionBy("ivf_bucket").mode(mode).parquet(path)
+    meta = {
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "codebooks": (
+            [[[float(x) for x in cw] for cw in book] for book in codebooks]
+            if codebooks is not None
+            else None
+        ),
+        "residual_trained": bool(getattr(codebooks, "residual_trained", False)),
+    }
+    # the parquet dir exists after the write; the sidecar rides inside it
+    with open(_os.path.join(path, "_ann_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+
+def load_ann_index(spark, path: str):
+    """Load an index written by :func:`save_ann_index`:
+    ``(indexed_df, centroids, codebooks)`` — codebooks come back as a
+    tagged :class:`PQCodebooks` (or None for a pure-IVF index), so the
+    residual/raw mode guard survives the round trip.
+
+    The returned DataFrame's ``ivf_bucket`` is a parquet PARTITION
+    column: `ivf_topk` / `ivfpq_topk`'s ``isin`` probe filter and the
+    batch joins' bucket equi-join now prune at the file listing
+    (``PartitionFilters`` in the scan, pinned by plan test) — the
+    pruning lever the in-memory path can only approximate with a
+    post-scan filter."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ann_meta.json")) as fh:
+        meta = _json.load(fh)
+    df = spark.read.parquet(path)
+    books = None
+    if meta["codebooks"] is not None:
+        books = PQCodebooks(meta["codebooks"])
+        books.residual_trained = bool(meta["residual_trained"])
+    return df, meta["centroids"], books

@@ -1892,3 +1892,50 @@ def test_ivf_topk_join_parity(spark):
     for qid, qv in qvecs.items():
         for r in similarity.ivf_topk(indexed, cents, qv, k=10, n_probe=5).collect():
             assert jr[(qid, r["rank"])] == (r["id"], r["score"])
+
+
+def test_ann_index_save_load_partition_pruning(spark, tmp_path):
+    """r9: save_ann_index writes the billion-scale layout (corpus
+    partitioned by ivf_bucket + sidecar metadata) and load_ann_index
+    restores it with the codebook mode tag intact.  The probed search on
+    the LOADED index must match the in-memory search result AND prune at
+    the parquet partition level (PartitionFilters in the scan) — the
+    pruning lever the in-memory path only approximates post-scan."""
+    import contextlib
+    import io
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    indexed = similarity.ivf_assign_buckets(df, cents, "embedding", "vec_id")
+    books = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16, seed=42,
+        max_iter=25, n_init=4, sample_order_by="vec_id", residual_centroids=cents,
+    )
+    enc = similarity.pq_encode(indexed, books, "vec", "id", residual_centroids=cents)
+
+    path = str(tmp_path / "ann_index")
+    similarity.save_ann_index(enc, path, cents, books)
+    loaded, cents2, books2 = similarity.load_ann_index(spark, path)
+    assert cents2 == cents
+    assert books2 == list(books) and books2.residual_trained is True
+
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    mem = [
+        (r["id"], r["rank"], r["dist"])
+        for r in similarity.ivfpq_topk(enc, cents, books, qv, k=10, n_probe=6, rerank_r=50).collect()
+    ]
+    disk_df = similarity.ivfpq_topk(loaded, cents2, books2, qv, k=10, n_probe=6, rerank_r=50)
+    assert [(r["id"], r["rank"], r["dist"]) for r in disk_df.collect()] == mem
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk_df.explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", p)
+    assert m and "ivf_bucket" in m.group(1), f"partition pruning missing: {m}"
