@@ -489,14 +489,14 @@ def main() -> None:
     # r8: corpus-shift JS between the even/odd doc halves — two slim
     # token-count aggregations + full-outer token join + global aggregate
     # (output is already 1 row, so count() cannot prune anything)
+    cases["js_divergence"] = lambda: _corpus.token_distribution_divergence(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1), "text"
+    )
     # r9: training-order positions — the (md5, id) rank via prefix-bucketed
     # windows; the sum forces the rank window (count() could prune it)
     cases["shuffle_positions"] = lambda: _mixing.shuffle_positions(
         docs.select("doc_id"), "doc_id"
     ).agg(F.sum("shuffle_pos").alias("s"), F.count(F.lit(1)).alias("n"))
-    cases["js_divergence"] = lambda: _corpus.token_distribution_divergence(
-        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1), "text"
-    )
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and

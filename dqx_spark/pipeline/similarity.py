@@ -1092,14 +1092,28 @@ def save_ann_index(
 
     ``indexed`` is the usual (id, vec, ivf_bucket[, pq_code]) frame from
     :func:`ivf_assign_buckets` (+ optional :func:`pq_encode`).  The
-    sidecar is driver-tiny (n_centroids x d + S x C x m floats); the data
-    write is one partitioned parquet write — the standard one-time build
-    cost that :func:`ivf_topk`/:func:`ivfpq_topk` and the batch joins
-    then amortize across every query."""
+    sidecar is driver-tiny (n_centroids x d + S x C x m floats) and is
+    written THROUGH SPARK (a 1-row text write into the underscore-hidden
+    ``_ann_meta`` subdir parquet scans skip), so the whole index lands on
+    whatever filesystem ``path`` names — local, HDFS, s3a — not just the
+    driver's local disk (r9 review).  Only ``mode`` ``"overwrite"`` /
+    ``"errorifexists"``/``"error"`` are accepted: ``append``/``ignore``
+    could skip or mix the DATA write while the sidecar still records the
+    NEW centroids — probing new cells over old bucket assignments returns
+    plausible wrong neighbors with no error (r9 review).  The
+    ``residual_trained`` tag round-trips exactly, INCLUDING the untagged
+    plain-list case (persisted as null, restored untagged — fabricating
+    False would make a working residual search hard-fail after reload)."""
     import json as _json
-    import os as _os
 
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"save_ann_index supports mode='overwrite' or 'errorifexists', got {mode!r}: "
+            "append/ignore can desynchronize the data partitions from the sidecar's "
+            "centroids (probes over stale bucket assignments fail silently)"
+        )
     indexed.write.partitionBy("ivf_bucket").mode(mode).parquet(path)
+    tag = getattr(codebooks, "residual_trained", None)
     meta = {
         "centroids": [[float(x) for x in c] for c in centroids],
         "codebooks": (
@@ -1107,18 +1121,20 @@ def save_ann_index(
             if codebooks is not None
             else None
         ),
-        "residual_trained": bool(getattr(codebooks, "residual_trained", False)),
+        "residual_trained": None if tag is None else bool(tag),
     }
-    # the parquet dir exists after the write; the sidecar rides inside it
-    with open(_os.path.join(path, "_ann_meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    spark = indexed.sparkSession
+    spark.createDataFrame([(_json.dumps(meta),)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path.rstrip("/") + "/_ann_meta")
 
 
 def load_ann_index(spark, path: str):
     """Load an index written by :func:`save_ann_index`:
-    ``(indexed_df, centroids, codebooks)`` — codebooks come back as a
-    tagged :class:`PQCodebooks` (or None for a pure-IVF index), so the
-    residual/raw mode guard survives the round trip.
+    ``(indexed_df, centroids, codebooks)`` — codebooks come back exactly
+    as saved: a tagged :class:`PQCodebooks` when the saved books carried a
+    mode tag, a plain untagged list when they didn't (the deliberate
+    escape hatch for hand-built books), or None for a pure-IVF index.
 
     The returned DataFrame's ``ivf_bucket`` is a parquet PARTITION
     column: `ivf_topk` / `ivfpq_topk`'s ``isin`` probe filter and the
@@ -1127,13 +1143,16 @@ def load_ann_index(spark, path: str):
     pruning lever the in-memory path can only approximate with a
     post-scan filter."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, "_ann_meta.json")) as fh:
-        meta = _json.load(fh)
+    meta = _json.loads(
+        spark.read.text(path.rstrip("/") + "/_ann_meta").collect()[0]["value"]
+    )
     df = spark.read.parquet(path)
     books = None
     if meta["codebooks"] is not None:
-        books = PQCodebooks(meta["codebooks"])
-        books.residual_trained = bool(meta["residual_trained"])
+        if meta["residual_trained"] is None:
+            books = [list(b) for b in meta["codebooks"]]  # untagged, as saved
+        else:
+            books = PQCodebooks(meta["codebooks"])
+            books.residual_trained = bool(meta["residual_trained"])
     return df, meta["centroids"], books

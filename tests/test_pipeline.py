@@ -1939,3 +1939,17 @@ def test_ann_index_save_load_partition_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]+)\]", p)
     assert m and "ivf_bucket" in m.group(1), f"partition pruning missing: {m}"
+
+    # r9 review: append/ignore could pair stale bucket assignments with a
+    # fresh sidecar - rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="desynchronize"):
+        similarity.save_ann_index(enc, path, cents, books, mode="append")
+    # untagged plain-list books round-trip UNtagged (fabricating False
+    # would hard-fail a working residual search after reload)
+    plain = [list(b) for b in books]
+    path2 = str(tmp_path / "ann_index_plain")
+    similarity.save_ann_index(enc, path2, cents, plain)
+    _, _, books3 = similarity.load_ann_index(spark, path2)
+    assert books3 == plain and not isinstance(books3, similarity.PQCodebooks)
