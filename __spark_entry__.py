@@ -398,9 +398,20 @@ def q_ann_topk(spark, sf):
         F.concat(F.lit("ivf_join_q"), F.col("query_id").cast("string")).alias("method"),
         "id", "rank",
     )
+    # r9: the LSH batch member — slim (table, bucket) melt join + exact
+    # candidate rerank, twinned per query via lsh_topk_local
+    lsh_join = similarity.ann_lsh_topk_join(
+        queries_df, df, "embedding", "vec_id", "embedding", "qid",
+        k=p["k"], num_planes=p["num_planes"], seed=p["seed"],
+        multiprobe=p["multiprobe"], num_tables=p["num_tables"],
+    ).select(
+        F.concat(F.lit("lsh_join_q"), F.col("query_id").cast("string")).alias("method"),
+        "id", "rank",
+    )
     return (
         exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
         .unionByName(ivfpq).unionByName(ivfpq_join).unionByName(ivf_join)
+        .unionByName(lsh_join)
     )
 
 
@@ -2760,6 +2771,13 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
         methods.append((
             f"ivf_join_q{qid}",
             ann_local.ivf_topk_local(rows, centroids, qv, k=p["k"], n_probe=p["n_probe"]),
+        ))
+        methods.append((
+            f"lsh_join_q{qid}",
+            ann_local.lsh_topk_local(
+                rows, qv, k=p["k"], num_planes=p["num_planes"], seed=p["seed"],
+                multiprobe=p["multiprobe"], num_tables=p["num_tables"],
+            ),
         ))
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"

@@ -8,10 +8,12 @@
 * ``ann_lsh_topk`` — the 100 TB path: sign-LSH bucket the corpus once,
   probe only the query's bucket (plus optional multi-probe neighbors),
   exact-rerank inside the bucket.
-* ``ivf_topk_join`` / ``ivfpq_topk_join`` — the BATCH path (r9): a query
-  DataFrame rides the IVF index in ONE plan — Column probe assignment,
-  one bucket equi-join, per-query window top-k — instead of one
-  driver-literal plan per query; bit-equal to the single-query forms.
+* ``ivf_topk_join`` / ``ivfpq_topk_join`` / ``ann_lsh_topk_join`` — the
+  BATCH path (r9): a query DataFrame rides the index in ONE plan —
+  Column probe assignment, one bucket equi-join, per-query window top-k
+  — instead of one driver-literal plan per query; each bit-equal to its
+  single-query form.  ``save_ann_index``/``load_ann_index`` persist the
+  partitioned layout so probes prune parquet partitions.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_per_query",
     "ann_lsh_topk",
+    "ann_lsh_topk_join",
     "ivf_build_index",
     "ivf_train_centroids",
     "ivf_assign_buckets",
@@ -830,6 +833,91 @@ def ivfpq_topk(
         + F.element_at(F.element_at(lut_col, s + 1), F.element_at(code, s + 1) + 1),
     )
     return _adc_rank_and_rerank(cand, adc, query, k, rerank_r)
+
+
+def ann_lsh_topk_join(
+    queries: DataFrame,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    num_planes: int = 6,
+    seed: int = 42,
+    multiprobe: int = 1,
+    num_tables: int = 16,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Distributed BATCH sign-LSH search — the join form of
+    :func:`ann_lsh_topk` for a query DataFrame: ``(query_id, id, rank,
+    score)``, bit-for-bit equal to the single-query path per query
+    (pinned by test), completing the batch family (exact /
+    IVF / IVFADC / LSH).
+
+    Shape — everything slim until the exact rerank:
+
+    1. the corpus's per-table buckets MELT to (id, table, bucket) rows
+       (num_tables × rows but ~3 small ints each; the float vectors do
+       NOT ride the melt);
+    2. each query row's probe buckets per table (its bucket plus the
+       single-bit flips when ``multiprobe > 0`` — the same enumeration
+       the single-query path uses) melt to (query_id, table, bucket);
+    3. ONE equi-join on (table, bucket) pairs them; ``distinct`` on
+       (query_id, id) collapses multi-table co-hits;
+    4. candidates — and only candidates — rejoin the corpus floats by id
+       and the query vectors by query_id for the exact cosine rerank,
+       ranked per query_id window with the family's (score desc, id asc)
+       tiebreak.
+
+    The corpus melt can be precomputed/persisted once and reused across
+    query batches (buckets are deterministic in (vec, seed)).  Queries
+    with NULL vectors are dropped."""
+    if num_tables < 1:
+        raise ValueError("num_tables must be >= 1")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__qvec"),
+    ).where(F.col("__qvec").isNotNull())
+    corpus = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+
+    def melt(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                _hyperplane_bucket(F.col(vcol), num_planes, seed + 1000 * t).alias("b"),
+            )
+            for t in range(num_tables)
+        ])
+        return frame.select(*keep, F.explode(pairs).alias("tb")).select(
+            *keep, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+        )
+
+    corpus_tb = melt(corpus, "vec", ["id"])
+    q_tb = melt(q, "__qvec", ["query_id"])
+    if multiprobe > 0:
+        flips = F.array(
+            F.col("b"), *[F.col("b").bitwiseXOR(1 << bit) for bit in range(num_planes)]
+        )
+    else:
+        flips = F.array(F.col("b"))
+    q_probes = q_tb.select("query_id", "t", F.explode(flips).alias("b"))
+
+    build = F.broadcast(q_probes) if broadcast_queries else q_probes
+    cand = corpus_tb.join(build, ["t", "b"]).select("query_id", "id").distinct()
+    scored = (
+        cand.join(corpus, "id")
+        .join(F.broadcast(q) if broadcast_queries else q, "query_id")
+        .select("query_id", "id", _cosine(F.col("vec"), F.col("__qvec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "id", "rank", "score")
+    )
 
 
 def _probe_cells_col(qvec: Column, cents: Column, nc: int, n_probe: int) -> Column:

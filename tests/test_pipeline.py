@@ -1953,3 +1953,41 @@ def test_ann_index_save_load_partition_pruning(spark, tmp_path):
     similarity.save_ann_index(enc, path2, cents, plain)
     _, _, books3 = similarity.load_ann_index(spark, path2)
     assert books3 == plain and not isinstance(books3, similarity.PQCodebooks)
+
+
+def test_ann_lsh_topk_join_parity(spark):
+    """r9: the LSH batch member — ann_lsh_topk_join bit-equals per-query
+    ann_lsh_topk (same bucket expressions, same single-bit-flip probe
+    enumeration, same exact-cosine rerank and tiebreak)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 7, 13]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.where(F.col("vec_id").isin(qids)).collect()
+    }
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    jr = {
+        (r["query_id"], r["rank"]): (r["id"], r["score"])
+        for r in similarity.ann_lsh_topk_join(
+            queries, df, "embedding", "vec_id", "embedding", "qid", k=10
+        ).collect()
+    }
+    assert len(jr) == 30
+    for qid, qv in qvecs.items():
+        for r in similarity.ann_lsh_topk(df, qv, "embedding", "vec_id", k=10).collect():
+            assert jr[(qid, r["rank"])] == (r["id"], r["score"])
+    # multiprobe=0: exact-bucket-only probes, still parity
+    j0 = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in similarity.ann_lsh_topk_join(
+            queries, df, "embedding", "vec_id", "embedding", "qid", k=5, multiprobe=0
+        ).collect()
+    }
+    for qid, qv in list(qvecs.items())[:1]:
+        for r in similarity.ann_lsh_topk(df, qv, "embedding", "vec_id", k=5, multiprobe=0).collect():
+            assert j0[(qid, r["rank"])] == r["id"]

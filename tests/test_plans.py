@@ -652,3 +652,22 @@ def test_ivfpq_topk_join_plan_one_bucket_equijoin(spark):
         )
     )
     assert "CartesianProduct" not in p2
+
+
+def test_ann_lsh_topk_join_plan_slim_melt(spark):
+    """r9: the LSH batch join pairs queries×corpus through ONE (table,
+    bucket) hash equi-join over SLIM melts (the float vectors do not ride
+    the melt — they rejoin only for the candidate rerank); no cartesian,
+    per-query windows partitioned."""
+    from dqx_spark.pipeline import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "id long, vec array<double>"
+    )
+    queries = spark.createDataFrame([(1, [0.5, 0.5])], "qid long, qv array<double>")
+    p = plan_of(
+        S.ann_lsh_topk_join(queries, corpus, "vec", "id", "qv", "qid", k=3, num_planes=4, num_tables=2)
+    )
+    assert "CartesianProduct" not in p
+    assert re.search(r"Left keys \[2\]: \[t#", p), "(table, bucket) equi-join missing"
+    assert "windowspecdefinition(query_id" in p
