@@ -327,7 +327,14 @@ def q_ann_topk(spark, sf):
     ``dqx_spark.pipeline.ann_local`` — a driver-local pure-Python replay of
     the identical IEEE op sequence (Spark-compatible xxhash64 planes,
     left-fold cosine) — certifying DISTRIBUTED == LOCAL, the strongest
-    oracle a bucketed traversal admits (and pinned twin==Spark by test)."""
+    oracle a bucketed traversal admits (and pinned twin==Spark by test).
+
+    r9: the BATCH join family joins the row — ``ivfpq_join_q*`` /
+    ``ivf_join_q*`` / ``lsh_join_q*`` method rows run the three query
+    vectors in ``_ANN_JOIN_QIDS`` through ONE plan each
+    (``ivfpq_topk_join`` / ``ivf_topk_join`` / ``ann_lsh_topk_join``),
+    twinned by the same per-query local replays — certifying the batch
+    forms bit-equal the single-query forms the twins already cover."""
     p = _ANN_PARAMS
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
