@@ -68,6 +68,20 @@ def cosine_topk(df: DataFrame, query: list[float], vec_col: str, id_col: str, k:
     return top.withColumn("rank", F.row_number().over(w)).select("id", "rank", "score")
 
 
+def _score_ranked_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """The ONE per-query ranking tail of the cosine-scored batch family
+    ((score desc, id asc) row_number per query_id, top-``k``) — shared by
+    :func:`cosine_topk_per_query`, :func:`ivf_topk_join`, and
+    :func:`ann_lsh_topk_join`, the similarity-score twin of the PQ
+    family's ``_dist_ranked``."""
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "id", "rank", "score")
+    )
+
+
 def cosine_topk_per_query(
     df: DataFrame,
     queries: DataFrame,
@@ -83,13 +97,12 @@ def cosine_topk_per_query(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).cast("array<double>").alias("qvec")
     )
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
-    scored = corpus.join(F.broadcast(q)).withColumn("score", _cosine(F.col("vec"), F.col("qvec")))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "id", "rank", "score")
+    scored = (
+        corpus.join(F.broadcast(q))
+        .withColumn("score", _cosine(F.col("vec"), F.col("qvec")))
+        .select("query_id", "id", "score")
     )
+    return _score_ranked_per_query(scored, k)
 
 
 def ivf_build_index(
@@ -323,7 +336,7 @@ def ann_lsh_topk(
     Defaults are recall-first: planes=6 / tables=16 / multiprobe=1
     measures recall@10 = 0.96 on the driver embeddings (floor 0.9 pinned
     in tests) vs 0.30 for a single table.  The scanned fraction is bounded
-    by ``num_tables * (1 + num_planes * multiprobe) / 2^num_planes`` ON
+    by ``num_tables * (1 + num_planes) / 2^num_planes`` with probing ON
     UNSTRUCTURED data (real embedding corpora overlap heavily across
     tables and scan far less); at larger corpus scale raise ``num_planes``
     (bucket count 2^planes) to hold the candidate fraction down and keep
@@ -331,6 +344,12 @@ def ann_lsh_topk(
     exponentially in tables."""
     if num_tables < 1:
         raise ValueError("num_tables must be >= 1")
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"multiprobe={multiprobe!r}: only 0 (exact bucket) and 1 (single-bit"
+            " flips) are implemented - larger Hamming radii were previously"
+            " accepted but silently behaved as radius 1 (r9 review)"
+        )
     corpus = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -875,6 +894,12 @@ def ann_lsh_topk_join(
     with NULL vectors are dropped."""
     if num_tables < 1:
         raise ValueError("num_tables must be >= 1")
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"multiprobe={multiprobe!r}: only 0 (exact bucket) and 1 (single-bit"
+            " flips) are implemented - larger Hamming radii were previously"
+            " accepted but silently behaved as radius 1 (r9 review)"
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("__qvec"),
@@ -907,17 +932,17 @@ def ann_lsh_topk_join(
 
     build = F.broadcast(q_probes) if broadcast_queries else q_probes
     cand = corpus_tb.join(build, ["t", "b"]).select("query_id", "id").distinct()
+    # broadcast the slim candidate set into the float rejoin (r9 review):
+    # unhinted, the rerank would shuffle the ENTIRE corpus (id + vec) by
+    # id — the float-shuffle the melt design exists to avoid.  The corpus
+    # stays one streamed scan; candidates are queries x bucket-size rows.
+    cand_side = F.broadcast(cand) if broadcast_queries else cand
     scored = (
-        cand.join(corpus, "id")
+        corpus.join(cand_side, "id")
         .join(F.broadcast(q) if broadcast_queries else q, "query_id")
         .select("query_id", "id", _cosine(F.col("vec"), F.col("__qvec")).alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select("query_id", "id", "rank", "score")
-    )
+    return _score_ranked_per_query(scored, k)
 
 
 def _probe_cells_col(qvec: Column, cents: Column, nc: int, n_probe: int) -> Column:
@@ -997,12 +1022,7 @@ def ivf_topk_join(
     scored = joined.select(
         "query_id", "id", _cosine(F.col("vec"), qvec).alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select("query_id", "id", "rank", "score")
-    )
+    return _score_ranked_per_query(scored, k)
 
 
 def ivfpq_topk_join(
@@ -1200,7 +1220,14 @@ def save_ann_index(
             "append/ignore can desynchronize the data partitions from the sidecar's "
             "centroids (probes over stale bucket assignments fail silently)"
         )
-    indexed.write.partitionBy("ivf_bucket").mode(mode).parquet(path)
+    # partitionOverwriteMode is pinned STATIC (r9 review): under a session
+    # default of 'dynamic', overwrite only replaces partitions present in
+    # the NEW frame, so buckets the retrained assignment leaves empty
+    # would survive with OLD rows under the NEW sidecar centroids - the
+    # same silent data/sidecar desync the mode guard above rejects.
+    indexed.write.option("partitionOverwriteMode", "static").partitionBy(
+        "ivf_bucket"
+    ).mode(mode).parquet(path)
     tag = getattr(codebooks, "residual_trained", None)
     meta = {
         "centroids": [[float(x) for x in c] for c in centroids],

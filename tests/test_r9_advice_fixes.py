@@ -98,3 +98,15 @@ def test_emb_decon_threshold_is_vintage_robust():
         t = entrymod._emb_decon_threshold(sf_dir)  # raises if gap < 1e-9
         assert abs(t - 0.35) < 0.05, f"derived threshold drifted: {t} at {sf_dir}"
         assert entrymod._emb_decon_threshold(sf_dir) == t  # memoized, stable
+
+
+def test_lsh_multiprobe_radius_validated(spark):
+    """r9 review: multiprobe values > 1 were silently treated as radius 1
+    (single-bit flips only) while the docstring promised a radius — both
+    LSH entry points now reject unimplemented radii."""
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "id long, vec array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "qid long, qv array<double>")
+    with pytest.raises(ValueError, match="multiprobe"):
+        similarity.ann_lsh_topk(df, [1.0, 0.0], "vec", "id", multiprobe=3)
+    with pytest.raises(ValueError, match="multiprobe"):
+        similarity.ann_lsh_topk_join(q, df, "vec", "id", "qv", "qid", multiprobe=2)
