@@ -671,3 +671,7 @@ def test_ann_lsh_topk_join_plan_slim_melt(spark):
     assert "CartesianProduct" not in p
     assert re.search(r"Left keys \[2\]: \[t#", p), "(table, bucket) equi-join missing"
     assert "windowspecdefinition(query_id" in p
+    # r9 review: the candidate float rejoin must BROADCAST the slim
+    # (query_id, id) side — an unhinted rejoin would sort-merge-shuffle
+    # the entire corpus (id + float vectors) by id
+    assert "SortMergeJoin" not in p
