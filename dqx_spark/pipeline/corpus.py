@@ -472,11 +472,16 @@ def token_distribution_divergence(
     join on the 8-byte-hashable token, totals as 1-row broadcast
     crossJoins, and one final global aggregate.  No full-row shuffles.
     The joined (tok, ca, cb) table feeds BOTH the totals row and the
-    per-token terms, so it is **eagerly localCheckpoint-ed** — each
+    per-token terms, so it is **persisted (MEMORY_AND_DISK)** — each
     side's explode+groupBy runs exactly once by construction instead of
-    relying on Spark's optional exchange reuse, at the cost of this
-    report function materializing its token join at call time (it is a
-    1-row report; callers always consume it)."""
+    relying on Spark's optional exchange reuse.  Because this is a 1-row
+    report that callers always consume, the result is computed EAGERLY at
+    call time and the pinned storage explicitly unpersisted before
+    returning (r10 ADVICE: the previous eager ``localCheckpoint`` pinned
+    executor-local non-replayable blocks — an executor loss would have
+    failed later actions unrecoverably — and never released them; a
+    replayable persist with a deterministic unpersist has neither flaw).
+    The returned frame is a LOCAL 1-row DataFrame of the same schema."""
     tb = text_col_b or text_col
 
     def counts(df: DataFrame, col: str) -> DataFrame:
@@ -488,9 +493,11 @@ def token_distribution_divergence(
 
     ca = counts(df_a, text_col).withColumnRenamed("c", "ca")
     cb = counts(df_b, tb).withColumnRenamed("c", "cb")
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     both = ca.join(cb, "tok", "full_outer").select(
         "tok", F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = both.agg(
         F.sum("ca").alias("ta"),
         F.sum("cb").alias("tb"),
@@ -505,7 +512,7 @@ def token_distribution_divergence(
     m = (pa + pb) / F.lit(2.0)
     term_a = F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
     term_b = F.when(F.col("cb") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
-    return w.groupBy("ta", "tb", "va", "vb", "vu").agg(
+    res = w.groupBy("ta", "tb", "va", "vb", "vu").agg(
         F.sum(term_a).alias("kl_a_m"), F.sum(term_b).alias("kl_b_m")
     ).select(
         F.col("ta").alias("n_tokens_a"),
@@ -517,6 +524,11 @@ def token_distribution_divergence(
         "kl_b_m",
         ((F.col("kl_a_m") + F.col("kl_b_m")) / F.lit(2.0)).alias("js_divergence"),
     )
+    try:
+        rows = res.collect()
+    finally:
+        both.unpersist()
+    return df_a.sparkSession.createDataFrame(rows, res.schema)
 
 
 # ---------------------------------------------------------------------------

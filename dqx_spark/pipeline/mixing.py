@@ -300,9 +300,24 @@ def shuffle_positions(
     rerunning on the same rows is bit-stable.  ``id_col`` must be unique —
     duplicate (or NULL, which :func:`shuffle_key` coalesces) ids get
     adjacent but arbitrarily-ordered positions; every input row is always
-    present in the output exactly once."""
-    if not 1 <= int(prefix_chars) <= 8:
-        raise ValueError(f"prefix_chars must be in [1, 8], got {prefix_chars}")
+    present in the output exactly once.
+
+    The whole safety argument rests on the offsets table being BOUNDED:
+    it holds min(distinct ids, 16^prefix_chars) slim rows, cumsum'd on one
+    partition and broadcast — each extra prefix char multiplies that bound
+    by 16, so ``prefix_chars`` is capped at 6 (≤16.7M rows, tens of MB; 8
+    would allow ~4.3B — a data-scale single-partition window plus a giant
+    forced broadcast, exactly what this design exists to avoid; r10
+    ADVICE).  The default 4 (≤65,536 buckets) is right for any realistic
+    cluster parallelism; raise it only when per-bucket row counts must
+    shrink (e.g. >10^10 rows AND a skew-sensitive sink)."""
+    if not 1 <= int(prefix_chars) <= 6:
+        raise ValueError(
+            f"prefix_chars must be in [1, 6], got {prefix_chars}: the bucket-offsets"
+            " table holds up to 16^prefix_chars rows on a single partition and is"
+            " broadcast back - beyond 6 (~16.7M) that reintroduces the data-scale"
+            " single-partition pass this two-level design exists to avoid"
+        )
     key = shuffle_key(id_col, salt)
     keyed = df.withColumn("__shuf_key", key).withColumn(
         "__shuf_b", F.conv(F.substring(F.col("__shuf_key"), 1, int(prefix_chars)), 16, 10).cast("bigint")

@@ -867,12 +867,25 @@ def ann_lsh_topk_join(
     multiprobe: int = 1,
     num_tables: int = 16,
     broadcast_queries: bool = True,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Distributed BATCH sign-LSH search — the join form of
     :func:`ann_lsh_topk` for a query DataFrame: ``(query_id, id, rank,
     score)``, bit-for-bit equal to the single-query path per query
     (pinned by test), completing the batch family (exact /
     IVF / IVFADC / LSH).
+
+    ``broadcast_queries`` governs the two sides that genuinely scale
+    with query count (the probe melt and the query-vector rejoin).
+    ``broadcast_candidates`` governs the (query_id, id) candidate set
+    feeding the float rerank, whose size scales with corpus ×
+    scanned-fraction × n_queries instead — at the default knobs the
+    scanned-fraction bound ``num_tables·(1+num_planes)/2^num_planes``
+    is ≈1.75 (vacuous), so candidates can approach corpus size even for
+    one query.  ``None`` (default) leaves the rejoin unhinted and lets
+    AQE choose from the measured size at runtime; ``True`` forces a
+    broadcast hint (only when you KNOW buckets are tight, e.g. large
+    ``num_planes`` with ``multiprobe=0``); ``False`` forces shuffle.
 
     Shape — everything slim until the exact rerank:
 
@@ -932,11 +945,20 @@ def ann_lsh_topk_join(
 
     build = F.broadcast(q_probes) if broadcast_queries else q_probes
     cand = corpus_tb.join(build, ["t", "b"]).select("query_id", "id").distinct()
-    # broadcast the slim candidate set into the float rejoin (r9 review):
-    # unhinted, the rerank would shuffle the ENTIRE corpus (id + vec) by
-    # id — the float-shuffle the melt design exists to avoid.  The corpus
-    # stays one streamed scan; candidates are queries x bucket-size rows.
-    cand_side = F.broadcast(cand) if broadcast_queries else cand
+    # Candidate-rejoin strategy is DECOUPLED from broadcast_queries (r9
+    # ADVICE): candidate cardinality scales with corpus × scanned-fraction
+    # × n_queries, NOT query count — at the default knobs the per-table
+    # union bound num_tables·(1+num_planes)/2^num_planes = 16·7/64 ≈ 1.75
+    # is vacuous, so even a small query batch can hit near-corpus-sized
+    # candidates, and a forced broadcast hint (which bypasses
+    # autoBroadcastJoinThreshold) would OOM the driver.  Default None
+    # leaves the join unhinted and lets AQE pick from the MEASURED
+    # candidate size at runtime: small sets still become a runtime
+    # broadcast join (pinned by test), huge ones sort-merge safely.
+    if broadcast_candidates is None:
+        cand_side = cand
+    else:
+        cand_side = F.broadcast(cand) if broadcast_candidates else cand
     scored = (
         corpus.join(cand_side, "id")
         .join(F.broadcast(q) if broadcast_queries else q, "query_id")

@@ -252,12 +252,24 @@ def _session_output_frame(key_col: str, key_values, time_col: str, ts, ids, star
     )
 
 
-class _SessionizeProcessor:
+try:  # r10 (ADVICE): REAL subclass when the ABC is importable, so the
+    # runner's isinstance/abstractmethod expectations are satisfied by
+    # construction across pyspark 4.x minors; duck-typing only as the
+    # fallback on builds where the module itself is absent
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessorBase,
+    )
+except ImportError:  # pragma: no cover - pyspark<4 / stripped builds
+    _StatefulProcessorBase = object
+
+
+class _SessionizeProcessor(_StatefulProcessorBase):
     """StatefulProcessor for :func:`sessionize_stream_v2` — defined at
-    module level (and duck-typed against
-    ``pyspark.sql.streaming.stateful_processor.StatefulProcessor``) so the
-    instance pickles cleanly to executors.  Session arithmetic is the
-    SHARED :func:`_assign_session_batch` — one copy for both API rungs."""
+    module level (subclassing the real
+    ``pyspark.sql.streaming.stateful_processor.StatefulProcessor`` ABC
+    when importable, duck-typing otherwise) so the instance pickles
+    cleanly to executors.  Session arithmetic is the SHARED
+    :func:`_assign_session_batch` — one copy for both API rungs."""
 
     def __init__(self, key_col: str, event_time_col: str, gap_minutes: int, ttl_ms: int | None):
         self._key_col = key_col
@@ -270,7 +282,7 @@ class _SessionizeProcessor:
             "session", "last_ts long, session_id long, session_start long", self._ttl_ms
         )
 
-    def handleInputRows(self, key, rows, timer_values):
+    def handleInputRows(self, key, rows, timerValues):
         import pandas as pd  # noqa: PLC0415
 
         prev = tuple(self._state.get()) if self._state.exists() else None

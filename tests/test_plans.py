@@ -587,17 +587,20 @@ def test_js_divergence_plan_no_cartesian_no_python(spark):
 
     a = spark.createDataFrame([(0, "x y")], "id long, t string")
     b = spark.createDataFrame([(1, "y z")], "id long, t string")
-    p = plan_of(Co.token_distribution_divergence(a, b, "t"))
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = Co.token_distribution_divergence(a, b, "t")
+    p = plan_of(out)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in p
-    # the totals ride a broadcast; no raw CartesianProduct node
     assert "CartesianProduct" not in p
-    # r9 (ADVICE): the (tok, ca, cb) join is localCheckpoint-ed, so the
-    # downstream plan scans the materialized rows — each side's
-    # explode+groupBy ran exactly once by construction, not twice (once
-    # under the totals branch, once under the per-token branch)
-    assert "ExistingRDD" in p
-    assert "Generate" not in p  # no inline (duplicated) explode remains
+    # r10 (ADVICE): the (tok, ca, cb) join is persisted (replayable, unlike
+    # the r9 localCheckpoint), the 1-row report computed eagerly, and the
+    # pinned storage RELEASED before return — the returned frame is local
+    # (no Generate: each side's explode+groupBy ran once, under the
+    # persist, not inline twice) and no persisted RDD lingers
+    assert "Generate" not in p
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == persisted_before
+    assert out.count() == 1
 
 
 def test_shuffle_positions_plan_no_global_window(spark):
@@ -666,12 +669,50 @@ def test_ann_lsh_topk_join_plan_slim_melt(spark):
     )
     queries = spark.createDataFrame([(1, [0.5, 0.5])], "qid long, qv array<double>")
     p = plan_of(
-        S.ann_lsh_topk_join(queries, corpus, "vec", "id", "qv", "qid", k=3, num_planes=4, num_tables=2)
+        S.ann_lsh_topk_join(
+            queries, corpus, "vec", "id", "qv", "qid", k=3, num_planes=4, num_tables=2,
+            broadcast_candidates=True,
+        )
     )
     assert "CartesianProduct" not in p
     assert re.search(r"Left keys \[2\]: \[t#", p), "(table, bucket) equi-join missing"
     assert "windowspecdefinition(query_id" in p
-    # r9 review: the candidate float rejoin must BROADCAST the slim
-    # (query_id, id) side — an unhinted rejoin would sort-merge-shuffle
-    # the entire corpus (id + float vectors) by id
+    # r9 review: with broadcast_candidates=True the candidate float rejoin
+    # BROADCASTS the slim (query_id, id) side — no corpus-wide sort-merge
     assert "SortMergeJoin" not in p
+
+
+def test_ann_lsh_topk_join_default_candidates_aqe(spark):
+    """r10 (ADVICE): the DEFAULT candidate-rejoin strategy must NOT force a
+    broadcast hint — candidate cardinality scales with corpus ×
+    scanned-fraction × n_queries (bound ≈1.75 at default knobs), so a
+    forced hint could OOM the driver on exactly the large corpora this
+    path targets.  Unhinted, AQE picks from the MEASURED size: the static
+    plan may sort-merge, but the executed adaptive plan converts the small
+    candidate rejoin to a runtime broadcast join here."""
+    from dqx_spark.pipeline import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.1]), (2, [2.0, 1.0, 0.0])], "qid long, qv array<double>"
+    )
+    out = S.ann_lsh_topk_join(
+        queries, corpus, "vec", "id", "qv", "qid", k=3, num_planes=4, num_tables=2
+    )
+    # static plan carries NO broadcast hint on the candidate side: no
+    # assertion on SortMergeJoin here (pre-AQE it may appear) — the
+    # contract is the EXECUTED plan (collect() on the frame itself, so
+    # THIS queryExecution's adaptive plan finalizes; count() would spawn
+    # a separate execution and leave isFinalPlan=false here)
+    assert len(out.collect()) > 0
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    # the toString prints BOTH the final and the pre-AQE initial plan (the
+    # initial one legitimately shows the unhinted SortMergeJoin) — the
+    # contract is the Final Plan section only
+    final = executed.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin [id#" in final, final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
