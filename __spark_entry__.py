@@ -26,7 +26,7 @@ from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
 from dqx_spark.engine import ExtraParams
 from dqx_spark.functions.iso_codes import LANGUAGE_CODES
 from dqx_spark.functions.row_checks import EMAIL_REGEX
-from dqx_spark.pipeline import corpus, dedup, mixing, multimodal, similarity, text
+from dqx_spark.pipeline import corpus, dedup, dedup_index, mixing, multimodal, similarity, text
 from dqx_spark.pipeline.text import LANG_STOPWORDS
 
 RUN_TS = "2024-06-01 00:00:00"
@@ -200,7 +200,23 @@ def q_dedup_minhash(spark, sf):
     Since r5 the row also certifies cross_corpus_lsh_pairs (fuzzy
     decontamination): even doc_ids play the train corpus, odd the eval
     corpus, same md5 + exact-verify configuration, distinguished by a
-    ``scope`` column."""
+    ``scope`` column.
+
+    Since r10 the row ALSO certifies INCREMENTAL dedup against persisted
+    state (dqx_spark/pipeline/dedup_index.py): even docs are saved as an
+    accepted-corpus index (a REAL disk round trip under /tmp), odd docs
+    onboard via dedup_pairs_against_index + append_to_index, and
+
+    * scope='incr' lists the post-append pair LEDGER (est-Jaccard pairs,
+      exact-verify columns null — the slim index stores signatures, not
+      shingle sets), which must equal the FULL-corpus est-pair set the
+      DuckDB twin derives from scratch;
+    * scope='incr_kept' lists index_kept_ids' kept set (components over
+      the ledger, min-id keeper), which must equal the full-rerun
+      kept-set the twin derives via a recursive CTE.
+
+    Both equalities are the incremental == corpus-at-once guarantee: the
+    onboarding path only ever shuffles the new batch."""
     df = _read(spark, sf, "documents")
     out_cols = lambda p, scope: p.select(  # noqa: E731
         F.lit(scope).alias("scope"),
@@ -217,7 +233,35 @@ def q_dedup_minhash(spark, sf):
         "doc_id", "text", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
         hash_name="md5", verify_exact=True,
     )
-    return out_cols(within, "within").unionByName(out_cols(cross, "cross"))
+    idx_path = "/tmp/dqx_gate_dedup_idx_" + os.path.basename(os.path.normpath(sf))
+    # save(overwrite) wipes bands/sigs/pairs, so the append below cannot
+    # double-accumulate across gate reruns
+    dedup_index.save_dedup_index(
+        df.where(F.col("doc_id") % 2 == 0), idx_path, "doc_id", "text",
+        method="minhash", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
+        hash_name="md5", partitions=16,
+    )
+    idx = dedup_index.load_dedup_index(spark, idx_path)
+    dedup_index.append_to_index(df.where(F.col("doc_id") % 2 == 1), idx, "doc_id", "text")
+    nl = lambda t: F.lit(None).cast(t)  # noqa: E731
+    incr = dedup_index.load_dedup_index(spark, idx_path).pairs.select(
+        F.lit("incr").alias("scope"), "id_a", "id_b",
+        F.round("score", 6).alias("est_jaccard"),
+        nl("long").alias("common"), nl("long").alias("size_a"),
+        nl("long").alias("size_b"), nl("double").alias("jaccard"),
+    )
+    incr_kept = dedup_index.index_kept_ids(idx).where("kept").select(
+        F.lit("incr_kept").alias("scope"), F.col("id").alias("id_a"),
+        nl("long").alias("id_b"), nl("double").alias("est_jaccard"),
+        nl("long").alias("common"), nl("long").alias("size_a"),
+        nl("long").alias("size_b"), nl("double").alias("jaccard"),
+    )
+    return (
+        out_cols(within, "within")
+        .unionByName(out_cols(cross, "cross"))
+        .unionByName(incr)
+        .unionByName(incr_kept)
+    )
 
 
 def q_dedup_simhash(spark, sf):
@@ -2261,9 +2305,16 @@ def _minhash_oracle() -> str:
     """Bit-exact mirror of q_dedup_minhash (hash_name='md5',
     verify_exact=True): portable 60-bit shingle hashes -> 64 min-aggregate
     seed hashes -> 16 bands of 4 -> candidates join on equal signature
-    slices -> exact Jaccard over the shingle-hash sets, threshold 0.5."""
+    slices -> exact Jaccard over the shingle-hash sets, threshold 0.5.
+
+    r10 adds the incremental-dedup twins: scope='incr' is the FULL-corpus
+    est-Jaccard pair set (what the Spark side assembles incrementally
+    through the persisted index's pair ledger), scope='incr_kept' the
+    full-rerun kept-set (recursive-CTE connected components over those
+    pairs, min-id keeper) — both derived corpus-at-once from scratch, so
+    a hash match certifies incremental == full rerun."""
     return (
-        r"WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "
+        r"WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "
         "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1), "
         f"""i -> {_md5long("array_to_string(toks[i:i+4], ' ')")}))) h FROM t), """
         f"""mins AS (SELECT doc_id, r.i AS i, min({_md5long("h::VARCHAR || ':' || r.i::VARCHAR")}) m """
@@ -2285,14 +2336,26 @@ def _minhash_oracle() -> str:
         "JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h GROUP BY 1, 2), "
         "est AS (SELECT c.id_a, c.id_b, "
         "list_sum(list_transform(range(1,65), i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END))::DOUBLE / 64 e "
-        "FROM ap c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b) "
+        "FROM ap c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b), "
+        # incremental twins: est-thresholded full-corpus pairs + the
+        # recursive-components kept-set over exactly those pairs
+        "esti AS (SELECT w.id_a, w.id_b, e.e FROM candw w "
+        "JOIN est e ON e.id_a = w.id_a AND e.id_b = w.id_b WHERE e.e >= 0.5), "
+        "edgesi AS (SELECT id_a s, id_b d FROM esti UNION SELECT id_b, id_a FROM esti), "
+        "reachi(id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT eg.s, reachi.r FROM edgesi eg JOIN reachi ON eg.d = reachi.id), "
+        "gi AS (SELECT id, min(r) AS group_id FROM reachi GROUP BY id) "
         "SELECT c.scope, e.id_a, e.id_b, round(e.e, 6) AS est_jaccard, cm.common::BIGINT AS common, "
         "sza.n::BIGINT AS size_a, szb.n::BIGINT AS size_b, "
         "round(cm.common::DOUBLE / (sza.n + szb.n - cm.common), 6) AS jaccard "
         "FROM cand c JOIN est e ON e.id_a = c.id_a AND e.id_b = c.id_b "
         "JOIN cm ON cm.id_a = e.id_a AND cm.id_b = e.id_b "
         "JOIN sz sza ON sza.doc_id = e.id_a JOIN sz szb ON szb.doc_id = e.id_b "
-        "WHERE cm.common::DOUBLE / (sza.n + szb.n - cm.common) >= 0.5"
+        "WHERE cm.common::DOUBLE / (sza.n + szb.n - cm.common) >= 0.5 "
+        "UNION ALL SELECT 'incr', id_a, id_b, round(e, 6), NULL::BIGINT, NULL::BIGINT, "
+        "NULL::BIGINT, NULL::DOUBLE FROM esti "
+        "UNION ALL SELECT 'incr_kept', id, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, "
+        "NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE FROM gi WHERE id = group_id"
     )
 
 

@@ -10,6 +10,7 @@ where vector math genuinely needs numpy.
 from dqx_spark.pipeline import (  # noqa: F401
     corpus,
     dedup,
+    dedup_index,
     diagnostics,
     features,
     joins,

@@ -652,20 +652,15 @@ def simhash_duplicate_pairs(
     return hamming_pairs(sh, "id", "sh", max_hamming=max_hamming, nbits=_sim_bits(hash_name))
 
 
-def hamming_pairs(
-    df: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3, nbits: int = 64
+def _hamming_banded(
+    df: DataFrame, id_col: str, sig_col: str, max_hamming: int, nbits: int
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs of PRE-COMPUTED ``nbits``-wide integer
-    signatures within ``max_hamming`` — the banding core shared by
-    :func:`simhash_duplicate_pairs` (text) and perceptual image hashes
-    (``multimodal.image_ahash``), or any other fingerprint that measures
-    similarity in Hamming space.
-
-    Pigeonhole banding: split the signature bits into (max_hamming + 1)
-    bands; any pair within the Hamming ball agrees exactly on >= 1 band, so
-    candidates only join within identical band values — no quadratic
-    blowup.  ``max_hamming=0`` degenerates to exact-signature grouping
-    (one full-width band).  Null signatures are excluded."""
+    """(id, sh, band, bucket) pigeonhole-band rows for an integer-signature
+    frame — the ONE copy of the band-slice expressions, shared by
+    :func:`hamming_pairs` and the persisted simhash state in
+    :mod:`~dqx_spark.pipeline.dedup_index` (the stored buckets and the
+    probe-time buckets must be the same function or incremental candidate
+    discovery silently diverges from the full-corpus run)."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if not 1 <= nbits <= 64:
@@ -680,7 +675,7 @@ def hamming_pairs(
     sh = df.select(F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sh")).where(
         F.col("sh").isNotNull()
     )
-    banded = sh.select(
+    return sh.select(
         "id",
         "sh",
         F.explode(
@@ -701,6 +696,23 @@ def hamming_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def hamming_pairs(
+    df: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3, nbits: int = 64
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of PRE-COMPUTED ``nbits``-wide integer
+    signatures within ``max_hamming`` — the banding core shared by
+    :func:`simhash_duplicate_pairs` (text) and perceptual image hashes
+    (``multimodal.image_ahash``), or any other fingerprint that measures
+    similarity in Hamming space.
+
+    Pigeonhole banding: split the signature bits into (max_hamming + 1)
+    bands; any pair within the Hamming ball agrees exactly on >= 1 band, so
+    candidates only join within identical band values — no quadratic
+    blowup.  ``max_hamming=0`` degenerates to exact-signature grouping
+    (one full-width band).  Null signatures are excluded."""
+    banded = _hamming_banded(df, id_col, sig_col, max_hamming, nbits)
     left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = (

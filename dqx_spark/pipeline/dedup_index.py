@@ -1,0 +1,648 @@
+"""Incremental dedup against PERSISTED state — onboarding batch N+1 against
+100 TB of already-accepted data without re-shuffling the corpus.
+
+Every dedup pass in :mod:`~dqx_spark.pipeline.dedup` is corpus-at-once: fine
+for a one-time curation run, wrong for a crawl pipeline that ingests a new
+batch every hour.  This module persists the SLIM per-document dedup state —
+never the text — in the same layout discipline as
+``similarity.save_ann_index`` (bucket-partitioned parquet + an
+underscore-hidden sidecar), so that onboarding a new batch costs:
+
+* a scan-local signature pass over the NEW batch only;
+* ONE broadcast hash join of the new batch's (band, bucket) probes against
+  the state melt — the state side is never shuffled, and its scan is
+  partition-PRUNED to the probed ``pb`` partitions (an explicit bounded
+  ``isin`` pushdown: the distinct ``pb`` set is collected from the new
+  batch and is ≤ ``partitions`` values by construction);
+* a candidate-bounded signature fetch (minhash only; simhash scores ride
+  the melt) — also partition-pruned by the candidates' ``pb`` values.
+
+The batch-sized shuffles (the new batch's signature groupBy) are the only
+shuffles; nothing state-sized ever moves.
+
+**State per method** (all under ``path/``, plus a ``_dedup_meta`` sidecar
+holding the exact parameters so probe-time hashing cannot drift from the
+stored buckets):
+
+========= ============================================================
+exact     ``keys/`` — (dup_key, id) for EVERY onboarded doc, partitioned
+          by ``pb = pmod(xxhash64(dup_key), partitions)``.  ~25 B/doc.
+minhash   ``bands/`` — (id, band, bucket) banding melt partitioned by
+          ``pb = pmod(xxhash64(band, bucket), partitions)`` (~24 B × bands
+          per doc); ``sigs/`` — (id, sig array<long>) partitioned by
+          ``pb = pmod(xxhash64(id), partitions)`` (~8·num_hashes B/doc).
+simhash   ``bands/`` — (id, sh, band, bucket) pigeonhole melt (the 8-byte
+          signature rides the melt, so scoring needs no fetch join);
+          ``sigs/`` — (id, sh).
+========= ============================================================
+
+plus an optional ``pairs/`` LEDGER — every (id_a, id_b, score) duplicate
+pair discovered so far, id_a < id_b.  The ledger is what makes incremental
+dedup provably equal to a full rerun: per-document state (signatures,
+band buckets) is a pure function of the document, so
+
+    pairs(old ∪ new) = pairs(old, old) ∪ pairs(old, new) ∪ pairs(new, new)
+
+holds EXACTLY — the left side is the full rerun, the right side is the
+ledger after :func:`append_to_index`.  Connected components + min-id keeper
+over the ledger (:func:`index_kept_ids`) therefore reproduce the full-rerun
+kept-set bit-for-bit, which is gate-certified in the ``dedup_minhash_lsh``
+row (``incr`` / ``incr_kept`` scopes: the corpus is split by a parity
+predicate, the second half onboarded incrementally through a real
+disk round trip, and the result hashed against a DuckDB full-rerun twin).
+
+The index deliberately tracks ALL onboarded documents — accepted and
+rejected alike (the rejected doc's state is what catches its NEXT copy) —
+and keeps kept/dropped as a DERIVED view over the ledger, which is why
+old decisions can be recomputed without touching the corpus.  The
+accept-only convenience view (:func:`dedup_against_index`) flags each new
+row against the index greedily; its docstring spells out the one case
+where greedy differs from the full-rerun keeper (bridge documents).
+
+Reference: databrickslabs/dqx stops at within-run uniqueness checks
+(src/databricks/labs/dqx/check_funcs.py `is_unique`); persisted incremental
+dedup state extends the surface for continual-ingestion pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline.dedup import (
+    _banded,
+    _hamming_banded,
+    _materialize,
+    _sim_bits,
+    connected_components,
+    minhash_estimated_jaccard,
+    minhash_signatures,
+    simhash64,
+)
+from dqx_spark.pipeline.text import doc_fingerprint
+
+__all__ = [
+    "DedupIndex",
+    "save_dedup_index",
+    "load_dedup_index",
+    "dedup_pairs_against_index",
+    "append_to_index",
+    "index_kept_ids",
+    "dedup_against_index",
+]
+
+_META_SUBDIR = "_dedup_meta"
+_PAIR_SCHEMA = "id_a long, id_b long, score double"  # only for the empty-probe short-circuit
+
+
+def _pb(cols: list, partitions: int):
+    """The ONE partition-bucket expression: probe-time pruning recomputes
+    exactly what save-time wrote."""
+    return F.pmod(F.xxhash64(*cols), F.lit(int(partitions))).cast("int")
+
+
+def _exact_key(text_col: str | None, columns: list[str] | None):
+    if (text_col is None) == (columns is None):
+        raise ValueError("provide exactly one of text_col / columns")
+    if text_col is not None:
+        return doc_fingerprint(text_col)
+    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
+
+
+class DedupIndex:
+    """Handle over a persisted dedup index: lazy DataFrames over the state
+    tables plus the sidecar ``meta`` dict.  Construct via
+    :func:`load_dedup_index`."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.meta = meta
+
+    @property
+    def method(self) -> str:
+        return self.meta["method"]
+
+    @property
+    def partitions(self) -> int:
+        return int(self.meta["partitions"])
+
+    @property
+    def keys(self) -> DataFrame:
+        """exact: (dup_key, id, pb) — pb is the parquet partition column."""
+        return self.spark.read.parquet(self.path + "/keys")
+
+    @property
+    def bands(self) -> DataFrame:
+        """minhash: (id, band, bucket, pb); simhash: (id, sh, band, bucket, pb)."""
+        return self.spark.read.parquet(self.path + "/bands")
+
+    @property
+    def sigs(self) -> DataFrame:
+        """minhash: (id, sig, pb) — null sig for docs shorter than the
+        shingle width (they stay singleton but remain in the id universe);
+        simhash: (id, sh, pb)."""
+        return self.spark.read.parquet(self.path + "/sigs")
+
+    @property
+    def pairs(self) -> DataFrame:
+        """The (id_a, id_b, score) duplicate-pair ledger (id_a < id_b)."""
+        if not self.meta.get("include_pairs"):
+            raise ValueError(
+                "this index was saved with include_pairs=False - no pair ledger; "
+                "kept-set derivation needs one (re-save with include_pairs=True)"
+            )
+        return self.spark.read.parquet(self.path + "/pairs")
+
+    def all_ids(self) -> DataFrame:
+        """(id) — every document ever onboarded (accepted or not)."""
+        if self.method == "exact":
+            return self.keys.select("id")
+        return self.sigs.select("id")
+
+
+def _write_meta(spark, path: str, meta: dict) -> None:
+    # same discipline as similarity.save_ann_index: a 1-row Spark TEXT write
+    # into an underscore-hidden subdir, so the sidecar lands on whatever
+    # filesystem `path` names (local/HDFS/s3a) and parquet scans skip it
+    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path.rstrip("/") + "/" + _META_SUBDIR)
+
+
+def _id_long(df: DataFrame, id_col: str) -> DataFrame:
+    return df.withColumn(id_col, F.col(id_col).cast("long"))
+
+
+def save_dedup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    method: str = "minhash",
+    mode: str = "overwrite",
+    partitions: int = 64,
+    include_pairs: bool = True,
+    storage: str = "local",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    hash_name: str = "xxhash64",
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> None:
+    """Build and persist the dedup index for an initial accepted corpus.
+
+    ``id_col`` must be unique across the corpus AND every future batch
+    (it is cast to ``long``).  Only ``mode='overwrite'`` /
+    ``'errorifexists'`` are accepted, with ``partitionOverwriteMode``
+    pinned static — exactly the :func:`~dqx_spark.pipeline.similarity.
+    save_ann_index` guard: an ``append``/``ignore`` data write under a
+    fresh sidecar (or a dynamic overwrite leaving stale partitions) would
+    desynchronize stored buckets from the recorded parameters and return
+    plausible wrong candidates with no error.  Growing an index is
+    :func:`append_to_index`'s job, which never rewrites the sidecar.
+
+    ``include_pairs=True`` (default) also runs one within-corpus pair pass
+    and seeds the ``pairs/`` ledger — required for
+    :func:`index_kept_ids`'s full-rerun-exact kept-set.  ``threshold``
+    (minhash est-Jaccard floor) and ``max_hamming`` are FROZEN into the
+    sidecar: probe-time scoring must match ledger scoring or incremental ∪
+    ledger would diverge from a full rerun.
+
+    Scale shape: one signature pass over the corpus (scan-local), one
+    banding melt write partitioned by ``pb`` (slim rows), and — with the
+    ledger — one LSH pair pass.  Partition files are written sorted within
+    partitions by the probe key so parquet row-group min/max stats prune
+    WITHIN a partition too."""
+    if method not in ("exact", "minhash", "simhash"):
+        raise ValueError(f"method must be exact/minhash/simhash, got {method!r}")
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"save_dedup_index supports mode='overwrite' or 'errorifexists', got {mode!r}: "
+            "append/ignore can desynchronize the state tables from the sidecar parameters "
+            "(use append_to_index to grow an index)"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    df = _id_long(df, id_col)
+    p = path.rstrip("/")
+    meta = {
+        "version": 1,
+        "method": method,
+        "partitions": int(partitions),
+        "include_pairs": bool(include_pairs),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_k": int(shingle_k),
+        "hash_name": hash_name,
+        "threshold": float(threshold),
+        "max_hamming": int(max_hamming),
+        "text_mode": text_col is not None,
+    }
+
+    def write(frame: DataFrame, sub: str, sort_cols: list[str] | None = None) -> None:
+        w = frame
+        if sort_cols:
+            w = w.sortWithinPartitions(*sort_cols)
+        w.write.option("partitionOverwriteMode", "static").partitionBy("pb").mode(mode).parquet(
+            p + "/" + sub
+        )
+
+    pairs = None
+    if method == "exact":
+        keys = df.select(
+            _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
+        ).withColumn("pb", _pb([F.col("dup_key")], partitions))
+        write(keys, "keys", ["dup_key"])
+        if include_pairs:
+            pairs = _exact_star_pairs(keys)
+    elif method == "minhash":
+        sigs = _materialize(
+            minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_name=hash_name),
+            storage,
+        )
+        write(sigs.withColumn("pb", _pb([F.col("id")], partitions)), "sigs")
+        banded = _banded(sigs.where(F.col("sig").isNotNull()), bands, num_hashes // bands)
+        write(
+            banded.withColumn("pb", _pb([F.col("band"), F.col("bucket")], partitions)),
+            "bands",
+            ["band", "bucket"],
+        )
+        if include_pairs:
+            pairs = _minhash_self_pairs(sigs, banded, threshold)
+    else:  # simhash
+        sigs = _materialize(simhash64(df, id_col, text_col, hash_name=hash_name), storage)
+        write(sigs.withColumn("pb", _pb([F.col("id")], partitions)), "sigs")
+        banded = _hamming_banded(sigs, "id", "sh", max_hamming, _sim_bits(hash_name))
+        write(
+            banded.withColumn("pb", _pb([F.col("band"), F.col("bucket")], partitions)),
+            "bands",
+            ["band", "bucket"],
+        )
+        if include_pairs:
+            pairs = _hamming_self_pairs(banded, max_hamming)
+    if include_pairs:
+        pairs.write.mode(mode).parquet(p + "/pairs")
+    # sidecar LAST: a crashed save leaves no readable index rather than a
+    # sidecar pointing at missing/partial tables
+    _write_meta(df.sparkSession, p, meta)
+
+
+def _exact_star_pairs(keys: DataFrame) -> DataFrame:
+    """Star edges (min id per key ↔ other members): same components as the
+    quadratic all-pairs expansion, |dups| edges instead of |dups|²."""
+    reps = keys.groupBy("dup_key").agg(F.min("id").alias("id_a"))
+    return (
+        keys.join(reps, "dup_key")
+        .where(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"), F.lit(1.0).alias("score"))
+    )
+
+
+def _minhash_self_pairs(sigs: DataFrame, banded: DataFrame, threshold: float) -> DataFrame:
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    s = sigs.where(F.col("sig").isNotNull())
+    return (
+        cand.join(s.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(s.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("score", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def _hamming_self_pairs(banded: DataFrame, max_hamming: int) -> DataFrame:
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("double"))
+        .where(F.col("score") <= max_hamming)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def load_dedup_index(spark, path: str) -> DedupIndex:
+    """Load an index written by :func:`save_dedup_index` — the state tables
+    stay lazy parquet scans; only the 1-row sidecar is read eagerly."""
+    meta = json.loads(
+        spark.read.text(path.rstrip("/") + "/" + _META_SUBDIR).collect()[0]["value"]
+    )
+    return DedupIndex(spark, path, meta)
+
+
+def _pruned(state: DataFrame, pb_values: list[int], partitions: int) -> DataFrame:
+    """Explicit bounded isin pushdown on the partition column: the distinct
+    pb set is ≤ ``partitions`` values by construction, so collecting it is
+    always driver-safe; Spark turns the literal filter into
+    ``PartitionFilters`` (directory-level pruning — pinned by plan test)."""
+    if len(pb_values) >= partitions:
+        return state  # every partition probed - the filter would be a no-op
+    return state.where(F.col("pb").isin(pb_values))
+
+
+def _collect_pbs(frame: DataFrame, cols: list, partitions: int) -> list[int]:
+    rows = frame.select(_pb(cols, partitions).alias("pb")).distinct().collect()
+    return sorted(r["pb"] for r in rows)
+
+
+def dedup_pairs_against_index(
+    new_df: DataFrame,
+    index: DedupIndex,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    include_batch_pairs: bool = True,
+    storage: str = "local",
+) -> DataFrame:
+    """Duplicate pairs introduced by a NEW batch against an index — the
+    incremental pair-discovery primitive: ``(id_a, id_b, score)`` with
+    ``id_a < id_b``, covering (old ↔ new) and — with
+    ``include_batch_pairs=True`` — (new ↔ new).  Unioned with the index's
+    existing ledger this equals a FULL rerun's pair set exactly (per-doc
+    state is a pure function of the document; gate-certified against a
+    DuckDB full-rerun twin in the ``dedup_minhash_lsh`` row).
+
+    Scale shape (the point of the module): the new batch pays its own
+    signature pass; its (band, bucket) probe melt BROADCASTS into one hash
+    join against the state melt, whose scan is partition-pruned via the
+    collected ``pb`` set (≤ ``partitions`` values — bounded regardless of
+    batch size, though pruning only bites while the batch probes fewer
+    partitions than exist; a huge batch degrades to one full scan of the
+    SLIM melt, never a shuffle of it).  Minhash candidate scoring fetches
+    old signatures candidate-bounded and pb-pruned the same way; simhash
+    scores ride the melt (the 8-byte signature is stored on the band row).
+    Plan: no state-side Exchange, no SortMergeJoin (pinned by plan test).
+
+    New ids must be disjoint from every previously onboarded id.  Must be
+    followed by :func:`append_to_index` (which also persists these pairs
+    into the ledger) for the index to know about this batch."""
+    meta = index.meta
+    P = index.partitions
+    method = index.method
+    new_df = _id_long(new_df, id_col)
+    spark = new_df.sparkSession
+    if method == "exact":
+        keys_new = _materialize(
+            new_df.select(
+                _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
+            ),
+            storage,
+        )
+        pbs = _collect_pbs(keys_new, [F.col("dup_key")], P)
+        if not pbs:
+            return spark.createDataFrame([], _PAIR_SCHEMA)
+        # one representative old id per matched key: enough for connectivity
+        # (old members of the key group are already chained via the ledger)
+        matched = (
+            _pruned(index.keys, pbs, P)
+            .join(F.broadcast(keys_new.select("dup_key").distinct()), "dup_key")
+            .groupBy("dup_key")
+            .agg(F.min("id").alias("old_id"))
+        )
+        cross = matched.join(F.broadcast(keys_new), "dup_key").select(
+            F.least("old_id", "id").alias("id_a"),
+            F.greatest("old_id", "id").alias("id_b"),
+            F.lit(1.0).alias("score"),
+        )
+        out = cross
+        if include_batch_pairs:
+            nn = _exact_star_pairs(keys_new)
+            out = out.unionByName(nn)
+        return out.dropDuplicates(["id_a", "id_b"])
+    if method == "minhash":
+        sigs_new = _materialize(
+            minhash_signatures(
+                new_df, id_col, text_col, meta["num_hashes"], meta["shingle_k"],
+                hash_name=meta["hash_name"],
+            ).where(F.col("sig").isNotNull()),
+            storage,
+        )
+        probes = _materialize(
+            _banded(sigs_new, meta["bands"], meta["num_hashes"] // meta["bands"]), storage
+        )
+        pbs = _collect_pbs(probes, [F.col("band"), F.col("bucket")], P)
+        if not pbs:
+            return spark.createDataFrame([], _PAIR_SCHEMA)
+        cand = _materialize(
+            _pruned(index.bands, pbs, P)
+            .join(
+                F.broadcast(probes.select("band", "bucket", F.col("id").alias("new_id"))),
+                ["band", "bucket"],
+            )
+            .select(F.col("id").alias("old_id"), "new_id")
+            .dropDuplicates(["old_id", "new_id"]),
+            storage,
+        )
+        sig_pbs = _collect_pbs(cand, [F.col("old_id")], P)
+        old_sigs = _pruned(index.sigs, sig_pbs, P).select(
+            F.col("id").alias("old_id"), F.col("sig").alias("sig_a")
+        )
+        cross = (
+            old_sigs.join(F.broadcast(cand), "old_id")
+            .join(
+                F.broadcast(sigs_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_b"))),
+                "new_id",
+            )
+            .withColumn("score", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+            .where(F.col("score") >= meta["threshold"])
+            .select(
+                F.least("old_id", "new_id").alias("id_a"),
+                F.greatest("old_id", "new_id").alias("id_b"),
+                "score",
+            )
+        )
+        out = cross
+        if include_batch_pairs:
+            out = out.unionByName(_minhash_self_pairs(sigs_new, probes, meta["threshold"]))
+        return out
+    # simhash
+    sigs_new = _materialize(
+        simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"]), storage
+    )
+    probes = _materialize(
+        _hamming_banded(sigs_new, "id", "sh", meta["max_hamming"], _sim_bits(meta["hash_name"])),
+        storage,
+    )
+    pbs = _collect_pbs(probes, [F.col("band"), F.col("bucket")], P)
+    if not pbs:
+        return spark.createDataFrame([], _PAIR_SCHEMA)
+    cross = (
+        _pruned(index.bands, pbs, P)
+        .join(
+            F.broadcast(
+                probes.select("band", "bucket", F.col("id").alias("new_id"), F.col("sh").alias("sh_b"))
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col("id").alias("old_id"), "new_id", "sh", "sh_b")
+        .dropDuplicates(["old_id", "new_id"])
+        .withColumn("score", F.bit_count(F.col("sh").bitwiseXOR(F.col("sh_b"))).cast("double"))
+        .where(F.col("score") <= meta["max_hamming"])
+        .select(
+            F.least("old_id", "new_id").alias("id_a"),
+            F.greatest("old_id", "new_id").alias("id_b"),
+            "score",
+        )
+    )
+    out = cross
+    if include_batch_pairs:
+        out = out.unionByName(_hamming_self_pairs(probes, meta["max_hamming"]))
+    return out
+
+
+def append_to_index(
+    new_df: DataFrame,
+    index: DedupIndex,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    new_pairs: DataFrame | None = None,
+    storage: str = "local",
+) -> None:
+    """Onboard a batch into the index: append its per-document state rows
+    (keys / bands / sigs, into the SAME ``pb`` partition layout) and —
+    when the index carries a ledger — append its newly discovered pairs.
+
+    ``new_pairs`` should be the frame returned by
+    :func:`dedup_pairs_against_index` for this batch (pass it to avoid
+    recomputing; omitted, it is computed here).  The pairs are written
+    FIRST: their plan scans the PRE-append state tables, and parquet writes
+    are actions, so materializing them before the band/sig appends is what
+    keeps lazy evaluation from double-counting the batch against itself.
+    The sidecar is never rewritten (parameters are immutable per index).
+    Appending the same ids twice corrupts the state — ids are the caller's
+    uniqueness contract, exactly as in :func:`save_dedup_index`."""
+    meta = index.meta
+    P = index.partitions
+    p = index.path
+    new_df = _id_long(new_df, id_col)
+    if meta.get("include_pairs"):
+        if new_pairs is None:
+            new_pairs = dedup_pairs_against_index(
+                new_df, index, id_col, text_col, columns=columns, storage=storage
+            )
+        new_pairs.write.mode("append").parquet(p + "/pairs")
+    if index.method == "exact":
+        keys = new_df.select(
+            _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
+        ).withColumn("pb", _pb([F.col("dup_key")], P))
+        keys.sortWithinPartitions("dup_key").write.partitionBy("pb").mode("append").parquet(
+            p + "/keys"
+        )
+        return
+    if index.method == "minhash":
+        sigs = _materialize(
+            minhash_signatures(
+                new_df, id_col, text_col, meta["num_hashes"], meta["shingle_k"],
+                hash_name=meta["hash_name"],
+            ),
+            storage,
+        )
+        banded = _banded(
+            sigs.where(F.col("sig").isNotNull()), meta["bands"], meta["num_hashes"] // meta["bands"]
+        )
+    else:
+        sigs = _materialize(simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"]), storage)
+        banded = _hamming_banded(sigs, "id", "sh", meta["max_hamming"], _sim_bits(meta["hash_name"]))
+    sigs.withColumn("pb", _pb([F.col("id")], P)).write.partitionBy("pb").mode("append").parquet(
+        p + "/sigs"
+    )
+    banded.withColumn("pb", _pb([F.col("band"), F.col("bucket")], P)).sortWithinPartitions(
+        "band", "bucket"
+    ).write.partitionBy("pb").mode("append").parquet(p + "/bands")
+
+
+def index_kept_ids(index: DedupIndex, max_iterations: int = 20, storage: str = "local") -> DataFrame:
+    """The kept/dropped verdict over everything onboarded so far:
+    ``(id, group_id, kept)`` — connected components over the pair LEDGER
+    (slim: pairs only, never corpus-sized) with the min-id keeper, i.e.
+    ``kept ⟺ id == group_id``.  Because the ledger equals the full-rerun
+    pair set (see module docstring), this kept-set is bit-for-bit what
+    ``remove_near_duplicates`` would produce on the full union — the
+    incremental == full-rerun certification runs through this function."""
+    labels = connected_components(
+        index.pairs, index.all_ids(), id_col="id", max_iterations=max_iterations, storage=storage
+    )
+    return labels.withColumn("kept", F.col("id") == F.col("group_id"))
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DedupIndex,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    storage: str = "local",
+) -> DataFrame:
+    """Greedy accept-only view of a batch against the index: ``new_df``'s
+    columns plus ``matched_index`` (this row duplicates something already
+    onboarded) and ``kept`` (unmatched AND the min-id member among the
+    unmatched part of its within-batch duplicate group).
+
+    This is the convenience most ingestion pipelines want — old data is
+    immutable, each new row gets an accept/reject verdict in one pass.
+    It is NOT always identical to the full-rerun keeper: a *bridge*
+    document (new doc B near-dup of old docs A1 and A2 that are not
+    near-dups of each other) is rejected here, while a full rerun would
+    merge A1/A2's groups and re-elect one keeper.  When full-rerun
+    equivalence matters, use the certified path instead:
+    :func:`dedup_pairs_against_index` → :func:`append_to_index` →
+    :func:`index_kept_ids`."""
+    new_df = _id_long(new_df, id_col)
+    pairs = _materialize(
+        dedup_pairs_against_index(
+            new_df, index, id_col, text_col, columns=columns, storage=storage
+        ),
+        storage,
+        eager=True,
+    )
+    new_ids = new_df.select(F.col(id_col).alias("id"))
+    # a pair touching an id NOT in this batch is an old<->new match
+    matched = (
+        pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("other"))
+        .unionByName(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("other")))
+        .join(new_ids, "id", "left_semi")
+        .join(new_ids.select(F.col("id").alias("other")), "other", "left_anti")
+        .select("id")
+        .distinct()
+        .withColumn("matched_index", F.lit(True))
+    )
+    batch_pairs = (
+        pairs.join(new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+    )
+    groups = connected_components(batch_pairs, new_ids, id_col="id", storage=storage)
+    flags = (
+        groups.join(matched, "id", "left")
+        .withColumn("matched_index", F.coalesce("matched_index", F.lit(False)))
+    )
+    keepers = (
+        flags.where(~F.col("matched_index"))
+        .groupBy("group_id")
+        .agg(F.min("id").alias("__keep_id"))
+    )
+    verdict = flags.join(keepers, "group_id", "left").select(
+        "id",
+        "matched_index",
+        (~F.col("matched_index") & (F.col("id") == F.col("__keep_id"))).alias("kept"),
+    )
+    return new_df.join(verdict.withColumnRenamed("id", id_col), id_col, "inner")

@@ -1101,8 +1101,13 @@ def ivfpq_topk_join(
     contract as :func:`ivfpq_topk`; codes and codebooks must be
     residual-trained for ``residual=True`` (tagged mismatches raise).
     Queries with NULL vectors are dropped.  At 100 TB the same
-    ``partitionBy("ivf_bucket")`` materialized-index recipe applies — the
-    join then prunes to probed-cell partitions on the corpus side."""
+    ``partitionBy("ivf_bucket")`` materialized-index recipe applies — over
+    a :func:`load_ann_index` corpus, Spark's dynamic partition pruning
+    plants the broadcast query side as a runtime subquery inside the
+    corpus scan's ``PartitionFilters``, so the file LISTING shrinks to the
+    probed cells (pinned by plan test
+    ``test_batch_join_loaded_index_dynamic_partition_pruning`` — r10,
+    closing the r9 documentation-vs-proof gap)."""
     _check_codebook_mode(codebooks, residual, "ivfpq_topk_join")
     num_s, num_c = len(codebooks), len(codebooks[0])
     m = len(codebooks[0][0])

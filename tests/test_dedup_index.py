@@ -1,0 +1,146 @@
+"""Incremental dedup against persisted state (r10): for each method the
+ledger after save → probe → append equals a full corpus-at-once rerun on
+the union, through a REAL disk round trip; plus the greedy view, the mode
+guards, and the append-order safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import dedup, dedup_index as di
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the plain in spain"
+    rows = []
+    for i in range(12):
+        if i % 4 == 1:
+            # near-dup of the previous doc: one token changed
+            rows.append((i, rows[-1][1].replace("fox", "cat")))
+        elif i % 4 == 2:
+            # exact dup of doc i-2
+            rows.append((i, rows[-2][1]))
+        else:
+            rows.append((i, f"{base} unique tail {i} with extra words number {i * 7}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairset(df, round_score=6):
+    return sorted(
+        (r["id_a"], r["id_b"], round(float(r["score"]), round_score)) for r in df.collect()
+    )
+
+
+def _split(df):
+    return df.where(F.col("doc_id") % 2 == 0), df.where(F.col("doc_id") % 2 == 1)
+
+
+def test_minhash_incremental_equals_full(spark, tmp_path):
+    df = _docs(spark)
+    old, new = _split(df)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(
+        old, path, "doc_id", "text", method="minhash",
+        num_hashes=32, bands=8, shingle_k=3, threshold=0.5, partitions=16,
+    )
+    idx = di.load_dedup_index(spark, path)
+    new_pairs = di.dedup_pairs_against_index(new, idx, "doc_id", "text")
+    di.append_to_index(new, idx, "doc_id", "text", new_pairs=new_pairs)
+    ledger = di.load_dedup_index(spark, path).pairs
+
+    full = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, threshold=0.5
+    ).withColumnRenamed("est_jaccard", "score")
+    assert _pairset(ledger) == _pairset(full)
+    assert len(_pairset(ledger)) > 0  # the fixture really has cross-split near-dups
+
+    # kept-set == full-rerun components + min-id keeper
+    kept = sorted(r["id"] for r in di.index_kept_ids(idx).where("kept").collect())
+    groups = dedup.connected_components(full, df.select(F.col("doc_id").alias("id")))
+    full_kept = sorted(
+        r["id"] for r in groups.where(F.col("id") == F.col("group_id")).collect()
+    )
+    assert kept == full_kept
+
+
+def test_exact_incremental_equals_full(spark, tmp_path):
+    df = _docs(spark)
+    old, new = _split(df)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(old, path, "doc_id", "text", method="exact", partitions=16)
+    idx = di.load_dedup_index(spark, path)
+    di.append_to_index(new, idx, "doc_id", "text")
+    kept = sorted(r["id"] for r in di.index_kept_ids(idx).where("kept").collect())
+    full_kept = sorted(
+        r["doc_id"] for r in dedup.drop_exact_duplicates(df, "doc_id", "text").collect()
+    )
+    assert kept == full_kept
+    # the id universe covers every onboarded doc, accepted or not
+    assert idx.all_ids().count() == df.count()
+
+
+def test_simhash_incremental_equals_full(spark, tmp_path):
+    df = _docs(spark)
+    old, new = _split(df)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(old, path, "doc_id", "text", method="simhash", max_hamming=3, partitions=16)
+    idx = di.load_dedup_index(spark, path)
+    di.append_to_index(new, idx, "doc_id", "text")
+    ledger = di.load_dedup_index(spark, path).pairs
+    full = dedup.simhash_duplicate_pairs(df, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("double").alias("score")
+    )
+    assert _pairset(ledger) == _pairset(full)
+    assert len(_pairset(ledger)) > 0
+
+
+def test_greedy_view_flags(spark, tmp_path):
+    df = _docs(spark)
+    old, new = _split(df)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(old, path, "doc_id", "text", method="exact", partitions=8)
+    idx = di.load_dedup_index(spark, path)
+    out = di.dedup_against_index(new, idx, "doc_id", "text")
+    rows = {r["doc_id"]: (r["matched_index"], r["kept"]) for r in out.collect()}
+    assert set(rows) == {r["doc_id"] for r in new.collect()}  # every new row verdicted
+    # a new exact copy of an old doc is matched and not kept
+    old_texts = {r["text"] for r in old.collect()}
+    for r in new.collect():
+        if r["text"] in old_texts:
+            assert rows[r["doc_id"]] == (True, False)
+    # at least one genuinely new doc is kept
+    assert any(kept for (_, kept) in rows.values())
+
+
+def test_append_lazy_pairs_not_double_counted(spark, tmp_path):
+    """Passing the LAZY pairs frame into append_to_index must score the
+    batch against the PRE-append state: the write happens before the
+    band/sig appends, so the plan cannot see the batch's own rows as
+    'old' and re-discover within-batch pairs as cross pairs."""
+    df = _docs(spark)
+    old, new = _split(df)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(old, path, "doc_id", "text", method="minhash",
+                        num_hashes=32, bands=8, shingle_k=3, partitions=16)
+    idx = di.load_dedup_index(spark, path)
+    lazy_pairs = di.dedup_pairs_against_index(new, idx, "doc_id", "text")  # NOT materialized
+    di.append_to_index(new, idx, "doc_id", "text", new_pairs=lazy_pairs)
+    ledger = di.load_dedup_index(spark, path).pairs.select("id_a", "id_b")
+    assert ledger.count() == ledger.distinct().count()
+
+
+def test_save_mode_guards(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="append_to_index"):
+        di.save_dedup_index(df, path, "doc_id", "text", mode="append")
+    di.save_dedup_index(df, path, "doc_id", "text", method="exact", partitions=8)
+    with pytest.raises(Exception):  # noqa: B017 - Spark raises AnalysisException
+        di.save_dedup_index(df, path, "doc_id", "text", method="exact",
+                            partitions=8, mode="errorifexists")
+    # no-ledger index refuses kept-set derivation with a pointed message
+    p2 = str(tmp_path / "idx2")
+    di.save_dedup_index(df, p2, "doc_id", "text", method="exact", partitions=8,
+                        include_pairs=False)
+    idx2 = di.load_dedup_index(spark, p2)
+    with pytest.raises(ValueError, match="include_pairs"):
+        _ = idx2.pairs

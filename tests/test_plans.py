@@ -716,3 +716,96 @@ def test_ann_lsh_topk_join_default_candidates_aqe(spark):
     final = executed.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin [id#" in final, final[:2000]
     assert "SortMergeJoin" not in final, final[:2000]
+
+
+def test_dedup_index_probe_plan_pruned_and_broadcast(spark, tmp_path):
+    """r10: onboarding a batch against a persisted dedup index must cost
+    new-batch-sized shuffles ONLY — the state melt scan is partition-pruned
+    via the bounded collected pb set (PartitionFilters, directory-level)
+    and consumed by a broadcast hash join (probe side broadcast); the
+    state side is never shuffled or sort-merged.  Same for the
+    candidate-bounded signature fetch."""
+    from dqx_spark.pipeline import dedup_index as di
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i} tail {i * 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(docs, path, "doc_id", "text", method="minhash",
+                        num_hashes=32, bands=8, shingle_k=3, partitions=64)
+    idx = di.load_dedup_index(spark, path)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta doc 5 tail 15")],
+        "doc_id long, text string",
+    )
+    # storage='none' keeps the whole lineage in ONE plan (the default
+    # localCheckpoint would hide the bands scan behind an ExistingRDD);
+    # include_batch_pairs=False isolates the STATE path — the batch
+    # self-join is new-batch-sized by construction and may sort-merge
+    p = plan_of(
+        di.dedup_pairs_against_index(
+            batch, idx, "doc_id", "text", include_batch_pairs=False, storage="none"
+        )
+    )
+    # one doc probes <= 8 (band, bucket) pairs -> <= 8 pb values << 64
+    # partitions: BOTH state scans (bands melt + signature fetch) must
+    # carry a PartitionFilters IN pushdown at the file listing
+    assert len(re.findall(r"PartitionFilters: \[pb#\d+ IN \(", p)) >= 2, p[-3000:]
+    # every STATE parquet scan must stream (left/probe side) into a
+    # BroadcastHashJoin — never be shuffled or sort-merged.  (SortMergeJoin
+    # does appear elsewhere in this plan: the batch's own signature
+    # assembly joins batch-sized sides, which is fine and AQE-converted.)
+    tree = p.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    lines = tree.splitlines()
+    scan_lines = [i for i, ln in enumerate(lines) if "Scan parquet" in ln]
+    assert len(scan_lines) == 2, tree
+    for i in scan_lines:
+        ctx = "\n".join(lines[max(0, i - 3): i])
+        assert "BroadcastHashJoin Inner BuildRight" in ctx, tree
+    assert "CartesianProduct" not in p
+
+
+def test_batch_join_loaded_index_dynamic_partition_pruning(spark, tmp_path):
+    """r10 (VERDICT r9 #2): the ivfpq_topk_join docstring promises that
+    over a save_ann_index/load_ann_index corpus the bucket equi-join
+    prunes to probed-cell PARTITIONS on the corpus side.  Pin it: with the
+    query side broadcast, Spark's dynamic partition pruning plants a
+    SubqueryBroadcast subquery inside the corpus scan's PartitionFilters —
+    the file listing itself shrinks to the probed ivf_bucket dirs at
+    runtime (the batch analogue of the single-query isin pushdown pinned
+    in test_ann_index_save_load_partition_pruning)."""
+    import os
+
+    from dqx_spark.pipeline import similarity as S
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.ivf_train_centroids(df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id")
+    indexed = S.ivf_assign_buckets(df, cents, "embedding", "vec_id")
+    books = S.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16, seed=42,
+        max_iter=25, n_init=4, sample_order_by="vec_id", residual_centroids=cents,
+    )
+    enc = S.pq_encode(indexed, books, "vec", "id", residual_centroids=cents)
+    path = str(tmp_path / "annidx")
+    S.save_ann_index(enc, path, cents, books)
+    loaded, c2, b2 = S.load_ann_index(spark, path)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = S.ivfpq_topk_join(queries, loaded, c2, b2, "qv", "qid", k=5, n_probe=2)
+    assert len(out.collect()) == 15
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan's PartitionFilters must carry the runtime pruning
+    # subquery fed by the broadcast query side
+    m = re.search(r"FileScan parquet \[[^\]]*ivf_bucket[^\]]*\][^\n]*PartitionFilters: \[([^\n]*)", executed)
+    assert m and "dynamicpruning" in m.group(1), executed[:3000]
+    assert "SubqueryBroadcast" in executed or "SubqueryAdaptiveBroadcast" in executed
+
+    # the no-PQ member shares the join shape - same pruning applies
+    out2 = S.ivf_topk_join(queries, loaded, c2, "qv", "qid", k=5, n_probe=2)
+    assert len(out2.collect()) == 15
+    executed2 = out2._jdf.queryExecution().executedPlan().toString()
+    m2 = re.search(r"FileScan parquet \[[^\]]*ivf_bucket[^\]]*\][^\n]*PartitionFilters: \[([^\n]*)", executed2)
+    assert m2 and "dynamicpruning" in m2.group(1), executed2[:3000]
