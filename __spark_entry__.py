@@ -378,7 +378,14 @@ def q_ann_topk(spark, sf):
     vectors in ``_ANN_JOIN_QIDS`` through ONE plan each
     (``ivfpq_topk_join`` / ``ivf_topk_join`` / ``ann_lsh_topk_join``),
     twinned by the same per-query local replays — certifying the batch
-    forms bit-equal the single-query forms the twins already cover."""
+    forms bit-equal the single-query forms the twins already cover.
+
+    r10: ``lsh_disk_q*`` rows serve the same three queries from a
+    PERSISTED melt (``save_lsh_index``/``load_lsh_index`` under /tmp —
+    a real disk round trip; the corpus hashing pass is skipped and the
+    (t, b)-partitioned melt scan dynamic-partition-prunes, pinned by plan
+    test).  Twin = the same per-query local replay as ``lsh_join_q*`` —
+    disk must be bit-equal to memory."""
     p = _ANN_PARAMS
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -459,10 +466,25 @@ def q_ann_topk(spark, sf):
         F.concat(F.lit("lsh_join_q"), F.col("query_id").cast("string")).alias("method"),
         "id", "rank",
     )
+    # r10: the persisted-melt form — same queries, corpus hashing pass
+    # replaced by a save_lsh_index/load_lsh_index disk round trip
+    lsh_idx_path = "/tmp/dqx_gate_lsh_idx_" + os.path.basename(os.path.normpath(sf))
+    similarity.save_lsh_index(
+        df, lsh_idx_path, "embedding", "vec_id",
+        num_planes=p["num_planes"], num_tables=p["num_tables"], seed=p["seed"],
+    )
+    lsh_disk = similarity.ann_lsh_topk_join(
+        queries_df, None, "", "", "embedding", "qid",
+        k=p["k"], multiprobe=p["multiprobe"],
+        corpus_index=similarity.load_lsh_index(spark, lsh_idx_path),
+    ).select(
+        F.concat(F.lit("lsh_disk_q"), F.col("query_id").cast("string")).alias("method"),
+        "id", "rank",
+    )
     return (
         exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
         .unionByName(ivfpq).unionByName(ivfpq_join).unionByName(ivf_join)
-        .unionByName(lsh_join)
+        .unionByName(lsh_join).unionByName(lsh_disk)
     )
 
 
@@ -2842,13 +2864,14 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
             f"ivf_join_q{qid}",
             ann_local.ivf_topk_local(rows, centroids, qv, k=p["k"], n_probe=p["n_probe"]),
         ))
-        methods.append((
-            f"lsh_join_q{qid}",
-            ann_local.lsh_topk_local(
-                rows, qv, k=p["k"], num_planes=p["num_planes"], seed=p["seed"],
-                multiprobe=p["multiprobe"], num_tables=p["num_tables"],
-            ),
-        ))
+        lsh_replay = ann_local.lsh_topk_local(
+            rows, qv, k=p["k"], num_planes=p["num_planes"], seed=p["seed"],
+            multiprobe=p["multiprobe"], num_tables=p["num_tables"],
+        )
+        methods.append((f"lsh_join_q{qid}", lsh_replay))
+        # r10: the persisted-melt rows must be bit-equal to the in-memory
+        # join (melt deterministic in (vec, seed)) - same replay twin
+        methods.append((f"lsh_disk_q{qid}", lsh_replay))
     lits = " UNION ALL ".join(
         f"SELECT '{m}' AS method, {i}::BIGINT AS id, {r} AS rank"
         for m, res in methods

@@ -854,9 +854,28 @@ def ivfpq_topk(
     return _adc_rank_and_rerank(cand, adc, query, k, rerank_r)
 
 
+def _lsh_melt(
+    frame: DataFrame, vcol: str, keep: list[str], num_planes: int, num_tables: int, seed: int
+) -> DataFrame:
+    """(keep…, t, b) sign-LSH bucket melt — one row per (row, table), ~3
+    small ints each; the ONE copy shared by the in-memory join path, the
+    persisted index (:func:`save_lsh_index`), and the query probes, so
+    stored and probe-time buckets cannot drift."""
+    pairs = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            _hyperplane_bucket(F.col(vcol), num_planes, seed + 1000 * t).alias("b"),
+        )
+        for t in range(num_tables)
+    ])
+    return frame.select(*keep, F.explode(pairs).alias("tb")).select(
+        *keep, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+
+
 def ann_lsh_topk_join(
     queries: DataFrame,
-    df: DataFrame,
+    df: DataFrame | None,
     vec_col: str,
     id_col: str,
     query_vec_col: str,
@@ -868,6 +887,7 @@ def ann_lsh_topk_join(
     num_tables: int = 16,
     broadcast_queries: bool = True,
     broadcast_candidates: bool | None = None,
+    corpus_index: "LshIndex | None" = None,
 ) -> DataFrame:
     """Distributed BATCH sign-LSH search — the join form of
     :func:`ann_lsh_topk` for a query DataFrame: ``(query_id, id, rank,
@@ -902,9 +922,16 @@ def ann_lsh_topk_join(
        ranked per query_id window with the family's (score desc, id asc)
        tiebreak.
 
-    The corpus melt can be precomputed/persisted once and reused across
-    query batches (buckets are deterministic in (vec, seed)).  Queries
-    with NULL vectors are dropped."""
+    The corpus melt is deterministic in (vec, seed), so it can be
+    persisted ONCE and reused across query batches: pass
+    ``corpus_index=load_lsh_index(spark, path)`` (r10 — making the r9
+    "reusable" claim real) and the call skips the corpus hashing pass
+    entirely; the stored melt is partitioned by (t, b), so the probe join
+    dynamic-partition-prunes the melt scan to probed buckets (pinned by
+    plan test).  With an index, the sidecar's (num_planes, num_tables,
+    seed) override the keyword arguments — probes must hash exactly like
+    the stored melt.  ``df``/``vec_col``/``id_col`` are ignored (pass
+    ``df=None``).  Queries with NULL vectors are dropped."""
     if num_tables < 1:
         raise ValueError("num_tables must be >= 1")
     if multiprobe not in (0, 1):
@@ -913,28 +940,28 @@ def ann_lsh_topk_join(
             " flips) are implemented - larger Hamming radii were previously"
             " accepted but silently behaved as radius 1 (r9 review)"
         )
+    if corpus_index is not None:
+        # the sidecar's hashing knobs are AUTHORITATIVE: the stored melt
+        # was built with them, and the query probes must hash identically
+        # or candidate discovery silently degrades to near-zero recall
+        num_planes = corpus_index.num_planes
+        num_tables = corpus_index.num_tables
+        seed = corpus_index.seed
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("__qvec"),
     ).where(F.col("__qvec").isNotNull())
-    corpus = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-    )
-
-    def melt(frame: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
-        pairs = F.array(*[
-            F.struct(
-                F.lit(t).alias("t"),
-                _hyperplane_bucket(F.col(vcol), num_planes, seed + 1000 * t).alias("b"),
-            )
-            for t in range(num_tables)
-        ])
-        return frame.select(*keep, F.explode(pairs).alias("tb")).select(
-            *keep, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    if corpus_index is not None:
+        corpus = corpus_index.vecs
+        corpus_tb = corpus_index.melt
+    else:
+        if df is None:
+            raise ValueError("provide a corpus DataFrame or corpus_index")
+        corpus = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
         )
-
-    corpus_tb = melt(corpus, "vec", ["id"])
-    q_tb = melt(q, "__qvec", ["query_id"])
+        corpus_tb = _lsh_melt(corpus, "vec", ["id"], num_planes, num_tables, seed)
+    q_tb = _lsh_melt(q, "__qvec", ["query_id"], num_planes, num_tables, seed)
     if multiprobe > 0:
         flips = F.array(
             F.col("b"), *[F.col("b").bitwiseXOR(1 << bit) for bit in range(num_planes)]
@@ -1257,6 +1284,7 @@ def save_ann_index(
     ).mode(mode).parquet(path)
     tag = getattr(codebooks, "residual_trained", None)
     meta = {
+        "method": "ivf",  # r10: family tag so load_lsh_index rejects it
         "centroids": [[float(x) for x in c] for c in centroids],
         "codebooks": (
             [[[float(x) for x in cw] for cw in book] for book in codebooks]
@@ -1289,6 +1317,12 @@ def load_ann_index(spark, path: str):
     meta = _json.loads(
         spark.read.text(path.rstrip("/") + "/_ann_meta").collect()[0]["value"]
     )
+    # r9 indexes predate the family tag - absent means ivf
+    if meta.get("method", "ivf") != "ivf":
+        raise ValueError(
+            f"{path!r} holds a {meta['method']!r} index - use load_lsh_index "
+            "(an IVF loader would misread the melt layout as bucketed vectors)"
+        )
     df = spark.read.parquet(path)
     books = None
     if meta["codebooks"] is not None:
@@ -1298,3 +1332,103 @@ def load_ann_index(spark, path: str):
             books = PQCodebooks(meta["codebooks"])
             books.residual_trained = bool(meta["residual_trained"])
     return df, meta["centroids"], books
+
+
+class LshIndex:
+    """Handle over a persisted sign-LSH index (:func:`save_lsh_index`):
+    the (id, t, b) bucket MELT as a lazy parquet scan partitioned by
+    (t, b), the (id, vec) float table for the exact rerank, and the
+    hashing knobs from the sidecar (authoritative — see
+    :func:`ann_lsh_topk_join`)."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.meta = meta
+        self.num_planes = int(meta["num_planes"])
+        self.num_tables = int(meta["num_tables"])
+        self.seed = int(meta["seed"])
+
+    @property
+    def melt(self):
+        return self.spark.read.parquet(self.path + "/melt")
+
+    @property
+    def vecs(self):
+        return self.spark.read.parquet(self.path + "/vecs")
+
+
+def save_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 6,
+    num_tables: int = 16,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the sign-LSH search state :func:`ann_lsh_topk_join` builds
+    per call — the (id, t, b) bucket melt plus the (id, vec) float table —
+    so repeated query batches skip the corpus hashing pass entirely (r10,
+    VERDICT r9 #3; the melt is deterministic in (vec, seed)).
+
+    Layout follows the :func:`save_ann_index` family: ``melt/`` parquet
+    partitioned by **(t, b)** — ``num_tables × 2^num_planes`` directories
+    (1,024 at the defaults; capped at 65,536 because beyond that the file
+    listing itself becomes the bottleneck), which the probe equi-join
+    dynamic-partition-prunes at the file listing; ``vecs/`` for the exact
+    rerank (candidate-bounded reads); and a ``method='lsh'``-tagged
+    ``_ann_meta`` sidecar written through Spark, holding the hashing knobs
+    (``load_ann_index`` rejects it, and :func:`load_lsh_index` rejects IVF
+    indexes).  Same mode guard as the IVF family: only ``overwrite`` /
+    ``errorifexists``, with ``partitionOverwriteMode`` pinned static —
+    stale melt partitions under a fresh sidecar would silently corrupt
+    candidate discovery."""
+    import json as _json
+
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"save_lsh_index supports mode='overwrite' or 'errorifexists', got {mode!r}: "
+            "append/ignore can desynchronize the melt partitions from the sidecar knobs"
+        )
+    n_dirs = num_tables * (1 << num_planes)
+    if n_dirs > 65536:
+        raise ValueError(
+            f"num_tables * 2^num_planes = {n_dirs} partition directories: beyond 65536 "
+            "the file listing dominates - lower num_planes (buckets can share a "
+            "directory only by lowering the partition granularity, not supported yet)"
+        )
+    corpus = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    melt = _lsh_melt(corpus, "vec", ["id"], num_planes, num_tables, seed)
+    melt.write.option("partitionOverwriteMode", "static").partitionBy("t", "b").mode(
+        mode
+    ).parquet(path.rstrip("/") + "/melt")
+    corpus.write.mode(mode).parquet(path.rstrip("/") + "/vecs")
+    meta = {
+        "method": "lsh",
+        "num_planes": int(num_planes),
+        "num_tables": int(num_tables),
+        "seed": int(seed),
+    }
+    df.sparkSession.createDataFrame([(_json.dumps(meta),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(path.rstrip("/") + "/_ann_meta")
+
+
+def load_lsh_index(spark, path: str) -> LshIndex:
+    """Load an index written by :func:`save_lsh_index`; pass the result as
+    ``corpus_index=`` to :func:`ann_lsh_topk_join`.  Rejects IVF-family
+    sidecars (and r9 sidecars without a method tag) up front."""
+    import json as _json
+
+    meta = _json.loads(
+        spark.read.text(path.rstrip("/") + "/_ann_meta").collect()[0]["value"]
+    )
+    if meta.get("method", "ivf") != "lsh":
+        raise ValueError(
+            f"{path!r} holds a {meta.get('method', 'ivf')!r} index - use load_ann_index"
+        )
+    return LshIndex(spark, path, meta)

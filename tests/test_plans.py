@@ -809,3 +809,27 @@ def test_batch_join_loaded_index_dynamic_partition_pruning(spark, tmp_path):
     executed2 = out2._jdf.queryExecution().executedPlan().toString()
     m2 = re.search(r"FileScan parquet \[[^\]]*ivf_bucket[^\]]*\][^\n]*PartitionFilters: \[([^\n]*)", executed2)
     assert m2 and "dynamicpruning" in m2.group(1), executed2[:3000]
+
+
+def test_lsh_join_loaded_melt_partition_pruning(spark, tmp_path):
+    """r10 (VERDICT r9 #3): over a save_lsh_index/load_lsh_index corpus the
+    (t, b) probe equi-join must prune the MELT scan at the file listing —
+    the stored melt is partitioned by (t, b), the broadcast probe side
+    plants a dynamic-pruning subquery in the scan's PartitionFilters."""
+    import os
+
+    from dqx_spark.pipeline import similarity as S
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    S.save_lsh_index(df, path, "embedding", "vec_id", num_planes=6, num_tables=4, seed=7)
+    idx = S.load_lsh_index(spark, path)
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = S.ann_lsh_topk_join(queries, None, "", "", "qv", "qid", k=5, corpus_index=idx)
+    assert len(out.collect()) == 10
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"FileScan parquet \[id#\d+L?,t#[^\]]*\][^\n]*PartitionFilters: \[([^\n]*)", executed)
+    assert m and "dynamicpruning" in m.group(1), executed[:3000]
