@@ -497,6 +497,25 @@ def main() -> None:
     cases["shuffle_positions"] = lambda: _mixing.shuffle_positions(
         docs.select("doc_id"), "doc_id"
     ).agg(F.sum("shuffle_pos").alias("s"), F.count(F.lit(1)).alias("n"))
+    # r10: incremental dedup — the accepted corpus's minhash state persists
+    # ONCE (build amortized, recorded in the notes) and a 2% batch onboards
+    # against it; the timed case is the probe join (batch signature pass +
+    # pb-pruned broadcast join + candidate-bounded sig fetch), the
+    # recurring per-batch cost of a crawl pipeline
+    from dqx_spark.pipeline import dedup_index as _didx
+
+    _didx_path = "/tmp/dqx_bench_dedup_idx"
+    _t0 = time.perf_counter()
+    _didx.save_dedup_index(
+        docs.where(F.col("doc_id") % 50 != 0), _didx_path, "doc_id", "text",
+        method="minhash", include_pairs=False,
+    )
+    dedup_index_build_s = round(time.perf_counter() - _t0, 3)
+    _didx_loaded = _didx.load_dedup_index(spark, _didx_path)
+    _didx_batch = docs.where(F.col("doc_id") % 50 == 0)
+    cases["dedup_incr"] = lambda: _didx.dedup_pairs_against_index(
+        _didx_batch, _didx_loaded, "doc_id", "text"
+    ).agg(F.count(F.lit(1)).alias("n"))
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
@@ -542,6 +561,25 @@ def main() -> None:
         )
     adc_decomposition["sum_of_singles"] = round(sum(adc_decomposition.values()), 3)
     adc_decomposition["composite"] = timings["all_dataset_checks"]
+
+    # r10: quantify the persisted-LSH-melt reuse (VERDICT r9 #3) — the same
+    # 16-query batch joined against the in-memory melt (corpus hashing pass
+    # per call) vs the loaded (t, b)-partitioned melt (hashing pass paid
+    # once at save).  Details-file numbers, not headline cases.
+    _lsh_idx_path = "/tmp/dqx_bench_lsh_idx"
+    _t0 = time.perf_counter()
+    _sim.save_lsh_index(emb, _lsh_idx_path, "embedding", "vec_id")
+    lsh_index_build_s = round(time.perf_counter() - _t0, 3)
+    _lsh_idx = _sim.load_lsh_index(spark, _lsh_idx_path)
+    _lsh_q = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    lsh_join_mem_s = timed(lambda: materialize(_sim.ann_lsh_topk_join(
+        _lsh_q, emb, "embedding", "vec_id", "qv", "qid", k=10
+    )))
+    lsh_join_disk_s = timed(lambda: materialize(_sim.ann_lsh_topk_join(
+        _lsh_q, None, "", "", "qv", "qid", k=10, corpus_index=_lsh_idx
+    )))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {"metric": "headline_total", "value": total, "unit": "sec", "queries": timings, "sf": float(sf)}
@@ -725,6 +763,30 @@ def main() -> None:
             "bpe_train_s": (
                 f"train_bpe (200 merges, full vocab) one-time cost: {bpe_train_s}s "
                 "at sf0.1; scales with distinct word types, not corpus rows"
+            ),
+            # r10: incremental dedup — the build (signature pass + melt
+            # write over the 98% accepted slice) is paid once; dedup_incr
+            # times the recurring per-batch probe
+            "dedup_index_build_s": (
+                f"save_dedup_index (minhash, 98% of docs, no ledger) one-time cost: "
+                f"{dedup_index_build_s}s; dedup_incr times the 2%-batch probe "
+                "(batch-sized shuffles only, state pb-pruned + broadcast-joined)"
+            ),
+            # r10: persisted-LSH-melt reuse — corpus hashing pass paid once
+            # at save instead of per query batch
+            "lsh_melt_reuse": (
+                f"16-query ann_lsh_topk_join: in-memory melt {lsh_join_mem_s}s vs "
+                f"loaded (t,b)-partitioned melt {lsh_join_disk_s}s (build "
+                f"{lsh_index_build_s}s, amortized); the reuse win grows with corpus "
+                "size - the melt hashing pass is the corpus-sized term"
+            ),
+            # r10 (VERDICT r9 #5): pq_topk watch - +33% r/r in r9 on an
+            # unchanged plan; threshold for a same-day checkout A/B is
+            # ~1.2x the r9 recording (0.442s -> 0.53s)
+            "pq_topk_drift_watch": (
+                f"this run: {timings['pq_topk']}s vs r9 recorded 0.442s"
+                + (" - ABOVE the 0.53 watch threshold, same-day A/B recorded separately"
+                   if timings["pq_topk"] > 0.53 else " - within the watch threshold")
             ),
             # measured honestly: at sf0.1 the eval hash set is tiny, so the
             # exact path's codegen'd broadcast hash join BEATS the bloom

@@ -246,7 +246,10 @@ def save_dedup_index(
     }
 
     def write(frame: DataFrame, sub: str, sort_cols: list[str] | None = None) -> None:
-        w = frame
+        # repartition on pb first: otherwise every write task sprays a tiny
+        # file into every pb directory it touches (tasks × partitions
+        # files), taxing both the write and every pruned probe read
+        w = frame.repartition("pb")
         if sort_cols:
             w = w.sortWithinPartitions(*sort_cols)
         w.write.option("partitionOverwriteMode", "static").partitionBy("pb").mode(mode).parquet(
@@ -351,6 +354,10 @@ def _pruned(state: DataFrame, pb_values: list[int], partitions: int) -> DataFram
     pb set is ≤ ``partitions`` values by construction, so collecting it is
     always driver-safe; Spark turns the literal filter into
     ``PartitionFilters`` (directory-level pruning — pinned by plan test)."""
+    if not pb_values:
+        # no candidates at all (e.g. a batch with zero state collisions):
+        # an empty isin() is not a valid In expression - prune everything
+        return state.where(F.lit(False))
     if len(pb_values) >= partitions:
         return state  # every partition probed - the filter would be a no-op
     return state.where(F.col("pb").isin(pb_values))
@@ -544,9 +551,9 @@ def append_to_index(
         keys = new_df.select(
             _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
         ).withColumn("pb", _pb([F.col("dup_key")], P))
-        keys.sortWithinPartitions("dup_key").write.partitionBy("pb").mode("append").parquet(
-            p + "/keys"
-        )
+        keys.repartition("pb").sortWithinPartitions("dup_key").write.partitionBy("pb").mode(
+            "append"
+        ).parquet(p + "/keys")
         return
     if index.method == "minhash":
         sigs = _materialize(
@@ -562,12 +569,14 @@ def append_to_index(
     else:
         sigs = _materialize(simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"]), storage)
         banded = _hamming_banded(sigs, "id", "sh", meta["max_hamming"], _sim_bits(meta["hash_name"]))
-    sigs.withColumn("pb", _pb([F.col("id")], P)).write.partitionBy("pb").mode("append").parquet(
-        p + "/sigs"
+    sigs.withColumn("pb", _pb([F.col("id")], P)).repartition("pb").write.partitionBy(
+        "pb"
+    ).mode("append").parquet(p + "/sigs")
+    banded.withColumn("pb", _pb([F.col("band"), F.col("bucket")], P)).repartition(
+        "pb"
+    ).sortWithinPartitions("band", "bucket").write.partitionBy("pb").mode("append").parquet(
+        p + "/bands"
     )
-    banded.withColumn("pb", _pb([F.col("band"), F.col("bucket")], P)).sortWithinPartitions(
-        "band", "bucket"
-    ).write.partitionBy("pb").mode("append").parquet(p + "/bands")
 
 
 def index_kept_ids(index: DedupIndex, max_iterations: int = 20, storage: str = "local") -> DataFrame:

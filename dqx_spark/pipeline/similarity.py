@@ -1289,7 +1289,10 @@ def save_ann_index(
     # the NEW frame, so buckets the retrained assignment leaves empty
     # would survive with OLD rows under the NEW sidecar centroids - the
     # same silent data/sidecar desync the mode guard above rejects.
-    indexed.write.option("partitionOverwriteMode", "static").partitionBy(
+    # repartition on the partition key first (r10): without it every write
+    # task emits a file into every bucket directory it touches — tasks ×
+    # n_centroids small files, taxing the write and every pruned read
+    indexed.repartition("ivf_bucket").write.option("partitionOverwriteMode", "static").partitionBy(
         "ivf_bucket"
     ).mode(mode).parquet(path)
     tag = getattr(codebooks, "residual_trained", None)
@@ -1377,19 +1380,26 @@ def save_lsh_index(
     num_tables: int = 16,
     seed: int = 42,
     mode: str = "overwrite",
+    layout: str = "bucketed",
 ) -> None:
     """Persist the sign-LSH search state :func:`ann_lsh_topk_join` builds
     per call — the (id, t, b) bucket melt plus the (id, vec) float table —
     so repeated query batches skip the corpus hashing pass entirely (r10,
     VERDICT r9 #3; the melt is deterministic in (vec, seed)).
 
-    Layout follows the :func:`save_ann_index` family: ``melt/`` parquet
-    partitioned by **(t, b)** — ``num_tables × 2^num_planes`` directories
-    (1,024 at the defaults; capped at 65,536 because beyond that the file
-    listing itself becomes the bottleneck), which the probe equi-join
-    dynamic-partition-prunes at the file listing; ``vecs/`` for the exact
-    rerank (candidate-bounded reads); and a ``method='lsh'``-tagged
-    ``_ann_meta`` sidecar written through Spark, holding the hashing knobs
+    ``layout='bucketed'`` (default) follows the :func:`save_ann_index`
+    family: ``melt/`` parquet partitioned by **(t, b)** —
+    ``num_tables × 2^num_planes`` directories (1,024 at the defaults;
+    capped at 65,536 because beyond that the file listing itself becomes
+    the bottleneck), which the probe equi-join dynamic-partition-prunes at
+    the file listing.  That layout is for corpora where each directory
+    holds MBs+ (billions of melt rows); below roughly a million melt rows
+    the per-directory file overhead costs more than the hashing pass it
+    saves (measured in bench notes) — pass ``layout='flat'`` there for an
+    unpartitioned melt (reuse win without pruning; the melt is slim, so a
+    full scan of it is cheap at that scale anyway).  Also written:
+    ``vecs/`` for the exact rerank (candidate-bounded reads) and a
+    ``method='lsh'``-tagged ``_ann_meta`` sidecar through Spark
     (``load_ann_index`` rejects it, and :func:`load_lsh_index` rejects IVF
     indexes).  Same mode guard as the IVF family: only ``overwrite`` /
     ``errorifexists``, with ``partitionOverwriteMode`` pinned static —
@@ -1402,23 +1412,33 @@ def save_lsh_index(
             f"save_lsh_index supports mode='overwrite' or 'errorifexists', got {mode!r}: "
             "append/ignore can desynchronize the melt partitions from the sidecar knobs"
         )
+    if layout not in ("bucketed", "flat"):
+        raise ValueError(f"layout must be 'bucketed' or 'flat', got {layout!r}")
     n_dirs = num_tables * (1 << num_planes)
-    if n_dirs > 65536:
+    if layout == "bucketed" and n_dirs > 65536:
         raise ValueError(
             f"num_tables * 2^num_planes = {n_dirs} partition directories: beyond 65536 "
-            "the file listing dominates - lower num_planes (buckets can share a "
-            "directory only by lowering the partition granularity, not supported yet)"
+            "the file listing dominates - lower num_planes or use layout='flat'"
         )
     corpus = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     melt = _lsh_melt(corpus, "vec", ["id"], num_planes, num_tables, seed)
-    melt.write.option("partitionOverwriteMode", "static").partitionBy("t", "b").mode(
-        mode
-    ).parquet(path.rstrip("/") + "/melt")
+    if layout == "bucketed":
+        # repartition on the partition keys before the write: without it
+        # every write task sprays a tiny file into every (t, b) directory
+        # it touches (tasks x dirs files — measured 59 s to write a 32k-row
+        # melt and a comparable tax on every read); with it each directory
+        # holds exactly the files of the task owning that key (r10 bench)
+        melt.repartition("t", "b").write.option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("t", "b").mode(mode).parquet(path.rstrip("/") + "/melt")
+    else:
+        melt.write.mode(mode).parquet(path.rstrip("/") + "/melt")
     corpus.write.mode(mode).parquet(path.rstrip("/") + "/vecs")
     meta = {
         "method": "lsh",
+        "layout": layout,
         "num_planes": int(num_planes),
         "num_tables": int(num_tables),
         "seed": int(seed),

@@ -144,3 +144,29 @@ def test_save_mode_guards(spark, tmp_path):
     idx2 = di.load_dedup_index(spark, p2)
     with pytest.raises(ValueError, match="include_pairs"):
         _ = idx2.pairs
+
+
+def test_disjoint_batch_zero_collisions(spark, tmp_path):
+    """A batch with band probes but ZERO state collisions must return an
+    empty pair frame (r10 review: the candidate-id pb list is empty there,
+    and an empty isin() is not a valid In expression — _pruned prunes
+    everything instead of crashing)."""
+    old = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta tail {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"omicron sigma lambda kappa phi chi psi omega tail {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(old, path, "doc_id", "text", method="minhash",
+                        num_hashes=32, bands=4, shingle_k=3, partitions=16)
+    idx = di.load_dedup_index(spark, path)
+    pairs = di.dedup_pairs_against_index(new, idx, "doc_id", "text")
+    # within-batch pairs may exist in principle but these texts differ per
+    # row too; the load-bearing assertion is "no crash + no cross pairs"
+    old_ids = {r["doc_id"] for r in old.collect()}
+    assert not any(
+        r["id_a"] in old_ids or r["id_b"] in old_ids for r in pairs.collect()
+    )
