@@ -385,7 +385,14 @@ def q_ann_topk(spark, sf):
     a real disk round trip; the corpus hashing pass is skipped and the
     (t, b)-partitioned melt scan dynamic-partition-prunes, pinned by plan
     test).  Twin = the same per-query local replay as ``lsh_join_q*`` —
-    disk must be bit-equal to memory."""
+    disk must be bit-equal to memory.
+
+    r10 (cont.): ``ivfpq_disk_q*`` rows serve the same queries from a
+    saved-then-APPENDED IVFADC layout — ``save_ann_index`` over 80% of the
+    corpus, ``append_to_ann_index`` onboarding the rest against the
+    sidecar's own centroids/books, ``load_ann_index``, one
+    ``ivfpq_topk_join``.  Twin = the ``ivfpq_join_q*`` replay: incremental
+    ingestion must be bit-equal to the one-shot build."""
     p = _ANN_PARAMS
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -481,10 +488,32 @@ def q_ann_topk(spark, sf):
         F.concat(F.lit("lsh_disk_q"), F.col("query_id").cast("string")).alias("method"),
         "id", "rank",
     )
+    # r10 (this session): the persisted+APPENDED IVFADC index — 80% of the
+    # corpus saved via save_ann_index, the rest onboarded with
+    # append_to_ann_index (batch assigned/encoded against the SIDECAR's own
+    # centroids/books — the per-batch continual-ingestion op), the batch
+    # join served from the loaded partitioned layout.  Must be bit-equal to
+    # ivfpq_join_q* (append == one-shot build over the union), so one green
+    # row certifies save + append + load + DPP-pruned join together.
+    ann_idx_path = "/tmp/dqx_gate_ann_idx_" + os.path.basename(os.path.normpath(sf))
+    similarity.save_ann_index(
+        encoded_res.where(F.col("id") % 5 != 0), ann_idx_path, centroids, codebooks_res
+    )
+    similarity.append_to_ann_index(
+        df.where(F.col("vec_id") % 5 == 0), ann_idx_path, "embedding", "vec_id"
+    )
+    loaded_idx, cents_l, books_l = similarity.load_ann_index(spark, ann_idx_path)
+    ivfpq_disk = similarity.ivfpq_topk_join(
+        queries_df, loaded_idx, cents_l, books_l, "embedding", "qid",
+        k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"],
+    ).select(
+        F.concat(F.lit("ivfpq_disk_q"), F.col("query_id").cast("string")).alias("method"),
+        "id", "rank",
+    )
     return (
         exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
         .unionByName(ivfpq).unionByName(ivfpq_join).unionByName(ivf_join)
-        .unionByName(lsh_join).unionByName(lsh_disk)
+        .unionByName(lsh_join).unionByName(lsh_disk).unionByName(ivfpq_disk)
     )
 
 
@@ -2853,13 +2882,15 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
     methods = [("lsh", lsh), ("ivf", ivf), ("pq", pq), ("ivfpq", ivfpq)]
     for qid in _ANN_JOIN_QIDS:
         qv = next(v for i, v in rows if i == qid)
-        methods.append((
-            f"ivfpq_join_q{qid}",
-            ann_local.ivfpq_topk_local(
-                rows, centroids, books_res, qv, k=p["k"], n_probe=p["n_probe"],
-                rerank_r=p["pq_rerank"],
-            ),
-        ))
+        ivfpq_replay = ann_local.ivfpq_topk_local(
+            rows, centroids, books_res, qv, k=p["k"], n_probe=p["n_probe"],
+            rerank_r=p["pq_rerank"],
+        )
+        methods.append((f"ivfpq_join_q{qid}", ivfpq_replay))
+        # r10: the saved+appended index rows must be bit-equal to the
+        # in-memory join (append against the sidecar's own centroids/books
+        # == one-shot build over the union) - same replay twin
+        methods.append((f"ivfpq_disk_q{qid}", ivfpq_replay))
         methods.append((
             f"ivf_join_q{qid}",
             ann_local.ivf_topk_local(rows, centroids, qv, k=p["k"], n_probe=p["n_probe"]),

@@ -690,7 +690,15 @@ def pq_encode(
     joined = df.crossJoin(F.broadcast(cb_df))
     if residual_centroids is None:
         codes = F.transform(F.sequence(F.lit(0), F.lit(num_s - 1)), lambda s: argmin(vec, s))
-        return joined.select(F.col(id_col).alias("id"), vec.alias("vec"), codes.alias(code_col))
+        # r10: pass an ivf_bucket through raw-mode encodes too (when the
+        # input carries one) so raw-tagged IVFPQ frames — and
+        # append_to_ann_index onto a raw-mode index — don't need a
+        # batch-sized code join-back; frames without the column (standalone
+        # PQ, every pre-r10 caller) are byte-identical to before
+        keep = [F.col(bucket_col)] if bucket_col in df.columns else []
+        return joined.select(
+            F.col(id_col).alias("id"), vec.alias("vec"), codes.alias(code_col), *keep
+        )
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in residual_centroids])
     resid = F.zip_with(vec, F.element_at(cent_lit, F.col(bucket_col) + 1), lambda a, b: a - b)
     staged = joined.select(
@@ -1462,3 +1470,137 @@ def load_lsh_index(spark, path: str) -> LshIndex:
             f"{path!r} holds a {meta.get('method', 'ivf')!r} index - use load_ann_index"
         )
     return LshIndex(spark, path, meta)
+
+
+def append_to_ann_index(
+    new_df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    encode_residual: bool | None = None,
+    skip_existing_ids: bool = False,
+) -> None:
+    """Onboard a NEW vector batch into an existing :func:`save_ann_index`
+    layout without rebuilding it — the continual-ingestion operation a
+    crawl pipeline runs per batch: assign the batch to the index's OWN
+    centroids (read from the sidecar, so the data/sidecar desync that made
+    ``save_ann_index`` reject ``mode='append'`` cannot arise here), PQ-encode
+    with the index's own codebooks in the mode the sidecar tag records, and
+    append batch-sized parquet files into the existing ``ivf_bucket``
+    partition directories.  Cost scales with the BATCH, not the index:
+    the only index-side reads are the sidecar and a parquet-footer schema
+    probe (plus a column-pruned id scan iff ``skip_existing_ids``).
+
+    The result is bit-equal to having built the index over the union in
+    one shot (same centroids/books ⇒ same assignments/codes ⇒ searches
+    identical), gate-certified by the ``ivfpq_disk_q*`` rows.  After many
+    batches each bucket directory accumulates one file per batch-writer —
+    rewrite with :func:`compact_ann_index` on whatever cadence the file
+    counts warrant.
+
+    ``encode_residual`` is only for UNTAGGED plain-list codebooks (the
+    hand-built escape hatch), whose encode mode the sidecar cannot know:
+    required there, and must match the tag when one exists.  Appending the
+    same ids twice is NOT detected by default (parquet append cannot
+    check); ``skip_existing_ids=True`` anti-joins the batch against the
+    index's id column first.  Not safe under concurrent writers to the
+    same ``path`` (no commit protocol at this layer) — serialize batches
+    or stage per-writer paths and compact."""
+    spark = new_df.sparkSession
+    existing, centroids, books = load_ann_index(spark, path)
+    indexed = ivf_assign_buckets(new_df, centroids, vec_col, id_col)
+    if skip_existing_ids:
+        indexed = indexed.join(existing.select("id"), on="id", how="left_anti")
+    if books is None:
+        if encode_residual is not None:
+            raise ValueError(
+                "encode_residual was passed but the index at "
+                f"{path!r} has no codebooks (pure IVF)"
+            )
+        rows = indexed
+    else:
+        tag = getattr(books, "residual_trained", None)
+        if tag is None:
+            if encode_residual is None:
+                raise ValueError(
+                    f"the codebooks saved at {path!r} carry no residual_trained tag "
+                    "(hand-built plain lists), so the append cannot know whether to "
+                    "encode residuals or raw vectors - pass encode_residual explicitly "
+                    "(a wrong guess would silently append garbage codes)"
+                )
+            residual = bool(encode_residual)
+        else:
+            if encode_residual is not None and bool(encode_residual) != bool(tag):
+                raise ValueError(
+                    f"encode_residual={encode_residual!r} contradicts the sidecar's "
+                    f"residual_trained={bool(tag)!r} tag - the index's own mode wins; "
+                    "drop the argument"
+                )
+            residual = bool(tag)
+        rows = pq_encode(
+            indexed, books, "vec", "id",
+            residual_centroids=centroids if residual else None,
+        )
+    # column order + types must match the files already in the layout -
+    # parquet resolves by name so order is cosmetic, but a TYPE mismatch
+    # (say a string id batch onto a long-id index) writes files the next
+    # read fails on (or worse, silently widens); fail loudly now instead
+    want = {f.name: f.dataType.simpleString() for f in existing.schema.fields}
+    have = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+    if set(want) != set(have):
+        raise ValueError(
+            f"appended batch columns {sorted(have)} != index columns {sorted(want)}"
+        )
+    bad = {n: (have[n], want[n]) for n in want if have[n] != want[n]}
+    if bad:
+        raise ValueError(
+            "appended batch column types disagree with the index at "
+            f"{path!r}: " + ", ".join(
+                f"{n}: batch {h} vs index {w}" for n, (h, w) in sorted(bad.items())
+            )
+        )
+    # same small-files discipline as save_ann_index: one writer per bucket,
+    # so each batch adds ~1 file per touched bucket directory
+    rows.select(*[f.name for f in existing.schema.fields]).repartition(
+        "ivf_bucket"
+    ).write.partitionBy("ivf_bucket").mode("append").parquet(path)
+
+
+def compact_ann_index(
+    spark,
+    src: str,
+    dst: str,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "errorifexists",
+) -> None:
+    """Rewrite an ANN index layout with one bounded-size file run per
+    bucket — the maintenance pass after N :func:`append_to_ann_index`
+    batches have left ~N files per partition directory (each probed read
+    then pays N footer opens per pruned bucket).
+
+    Compaction writes to a NEW path (``dst``) rather than in place:
+    Spark cannot atomically overwrite a directory it is reading, and a
+    crashed in-place rewrite would destroy the only copy.  The intended
+    deployment is the standard versioned-index pointer flip — compact into
+    ``.../index_v{N+1}``, swap the reader config, delete the old version
+    once drained.  The sidecar is copied verbatim (same centroids/books:
+    compaction must not change a single search result — pinned by test).
+    ``mode='overwrite'`` is accepted for re-running a failed compaction
+    onto the same ``dst``; ``src`` itself is never touched."""
+    import json as _json
+
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(f"compact_ann_index supports overwrite/errorifexists, got {mode!r}")
+    raw = spark.read.text(src.rstrip("/") + "/_ann_meta").collect()[0]["value"]
+    if _json.loads(raw).get("method", "ivf") != "ivf":
+        raise ValueError(f"{src!r} is not an IVF-family index")
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("compact_ann_index writes to a NEW path (versioned pointer flip); src == dst")
+    spark.read.parquet(src).repartition("ivf_bucket").write.option(
+        "maxRecordsPerFile", max_records_per_file
+    ).option("partitionOverwriteMode", "static").partitionBy("ivf_bucket").mode(
+        mode
+    ).parquet(dst)
+    spark.createDataFrame([(raw,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(dst.rstrip("/") + "/_ann_meta")

@@ -1,0 +1,205 @@
+"""Incremental ANN index maintenance (r10): append_to_ann_index must be
+bit-equal to a one-shot build over the union (same sidecar centroids/books
+⇒ same assignments/codes ⇒ identical searches), and compact_ann_index must
+shrink per-bucket file counts without changing a single result."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import similarity
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+
+
+def _bucket_files(path: str) -> dict[str, int]:
+    out = {}
+    for name in os.listdir(path):
+        if name.startswith("ivf_bucket="):
+            out[name] = sum(
+                1 for f in os.listdir(os.path.join(path, name)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def _build(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    indexed = similarity.ivf_assign_buckets(df, cents, "embedding", "vec_id")
+    books = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16, seed=42,
+        max_iter=25, n_init=4, sample_order_by="vec_id", residual_centroids=cents,
+    )
+    enc = similarity.pq_encode(indexed, books, "vec", "id", residual_centroids=cents)
+    return df, cents, books, enc
+
+
+def _search(frame, cents, books, qv):
+    return [
+        (r["id"], r["rank"], r["dist"])
+        for r in similarity.ivfpq_topk(
+            frame, cents, books, qv, k=10, n_probe=6, rerank_r=50
+        ).collect()
+    ]
+
+
+def test_append_bit_equal_to_one_shot_build_then_compact(spark, tmp_path):
+    """Save 80% of the corpus, onboard the other 20% via append: loaded rows
+    == one-shot encode of the whole corpus, and every search is bit-equal.
+    Then compact into a new path: fewer files per bucket, same results."""
+    df, cents, books, enc = _build(spark)
+    path = str(tmp_path / "idx")
+    old = df.where(F.col("vec_id") % 5 != 0)
+    new = df.where(F.col("vec_id") % 5 == 0)
+    old_indexed = similarity.ivf_assign_buckets(old, cents, "embedding", "vec_id")
+    old_enc = similarity.pq_encode(old_indexed, books, "vec", "id", residual_centroids=cents)
+    similarity.save_ann_index(old_enc, path, cents, books)
+    before = _bucket_files(path)
+
+    similarity.append_to_ann_index(new, path, "embedding", "vec_id")
+    after = _bucket_files(path)
+    # append adds files; it must not rewrite the 80% slice
+    assert sum(after.values()) > sum(before.values())
+    for b, n in before.items():
+        assert after[b] >= n
+
+    loaded, cents2, books2 = similarity.load_ann_index(spark, path)
+    key = lambda r: r["id"]
+    whole = sorted(
+        ((r["id"], list(r["vec"]), list(r["pq_code"]), r["ivf_bucket"]) for r in enc.collect()),
+    )
+    got = sorted(
+        ((r["id"], list(r["vec"]), list(r["pq_code"]), r["ivf_bucket"]) for r in loaded.collect()),
+    )
+    assert got == whole
+
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    assert _search(loaded, cents2, books2, qv) == _search(enc, cents, books, qv)
+
+    dst = str(tmp_path / "idx_v2")
+    similarity.compact_ann_index(spark, path, dst)
+    compacted, cents3, books3 = similarity.load_ann_index(spark, dst)
+    assert _search(compacted, cents3, books3, qv) == _search(enc, cents, books, qv)
+    cfiles = _bucket_files(dst)
+    assert set(cfiles) == set(after)
+    assert sum(cfiles.values()) <= sum(after.values())
+    assert all(n == 1 for n in cfiles.values())  # tiny buckets -> one run each
+    # re-running onto the same dst needs explicit overwrite; in-place rejected
+    with pytest.raises(Exception):
+        similarity.compact_ann_index(spark, path, dst)
+    with pytest.raises(ValueError, match="src == dst"):
+        similarity.compact_ann_index(spark, path, path)
+    similarity.compact_ann_index(spark, path, dst, mode="overwrite")
+
+
+def test_append_raw_mode_and_pure_ivf(spark, tmp_path):
+    """A raw-tagged (residual_trained=False) index appends through the raw
+    encode leg — exercising the r10 pq_encode bucket pass-through — and a
+    pure-IVF index (no codebooks) appends assignment-only."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=8, seed=42, sample_order_by="vec_id"
+    )
+    books_raw = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=16, num_centroids=16, seed=42,
+        max_iter=25, n_init=4, sample_order_by="vec_id",
+    )
+    assert books_raw.residual_trained is False
+    indexed = similarity.ivf_assign_buckets(df, cents, "embedding", "vec_id")
+    enc_raw = similarity.pq_encode(indexed, books_raw, "vec", "id")
+    assert "ivf_bucket" in enc_raw.columns  # r10 pass-through
+
+    old, new = df.where(F.col("vec_id") % 4 != 0), df.where(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "raw_idx")
+    old_idx = similarity.ivf_assign_buckets(old, cents, "embedding", "vec_id")
+    similarity.save_ann_index(
+        similarity.pq_encode(old_idx, books_raw, "vec", "id"), path, cents, books_raw
+    )
+    similarity.append_to_ann_index(new, path, "embedding", "vec_id")
+    loaded, c2, b2 = similarity.load_ann_index(spark, path)
+    assert b2.residual_trained is False
+    qv = [float(x) for x in df.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    mem = similarity.ivfpq_topk(
+        enc_raw, cents, books_raw, qv, k=10, n_probe=6, rerank_r=50, residual=False
+    ).collect()
+    disk = similarity.ivfpq_topk(
+        loaded, c2, b2, qv, k=10, n_probe=6, rerank_r=50, residual=False
+    ).collect()
+    assert [(r["id"], r["rank"], r["dist"]) for r in disk] == [
+        (r["id"], r["rank"], r["dist"]) for r in mem
+    ]
+
+    # pure IVF: no codebooks in the sidecar, append is assignment-only
+    path2 = str(tmp_path / "ivf_idx")
+    similarity.save_ann_index(old_idx, path2, cents, None)
+    similarity.append_to_ann_index(new, path2, "embedding", "vec_id")
+    loaded2, c3, b3 = similarity.load_ann_index(spark, path2)
+    assert b3 is None
+    mem2 = similarity.ivf_topk(indexed, cents, qv, k=10, n_probe=6).collect()
+    disk2 = similarity.ivf_topk(loaded2, c3, qv, k=10, n_probe=6).collect()
+    assert [(r["id"], r["rank"]) for r in disk2] == [(r["id"], r["rank"]) for r in mem2]
+
+
+def test_append_guards(spark, tmp_path):
+    """encode_residual: required for untagged books, rejected when it
+    contradicts the tag or the index has no books; type-mismatched batches
+    fail loudly BEFORE writing; skip_existing_ids drops already-indexed
+    ids so a replayed batch is a no-op."""
+    df, cents, books, enc = _build(spark)
+    path = str(tmp_path / "idx")
+    similarity.save_ann_index(enc, path, cents, books)
+    batch = df.where(F.col("vec_id") < 8)
+
+    with pytest.raises(ValueError, match="contradicts the sidecar"):
+        similarity.append_to_ann_index(batch, path, "embedding", "vec_id", encode_residual=False)
+    # matching flag is tolerated (harmless restatement)
+    similarity.append_to_ann_index(
+        batch.where(F.lit(False)), path, "embedding", "vec_id", encode_residual=True
+    )
+
+    # untagged plain-list books: ambiguous without the flag
+    plain_path = str(tmp_path / "plain_idx")
+    similarity.save_ann_index(enc, plain_path, cents, [list(b) for b in books])
+    with pytest.raises(ValueError, match="encode_residual explicitly"):
+        similarity.append_to_ann_index(batch, plain_path, "embedding", "vec_id")
+    similarity.append_to_ann_index(
+        batch.where(F.lit(False)), plain_path, "embedding", "vec_id", encode_residual=True
+    )
+
+    # pure IVF index: the flag is meaningless
+    ivf_path = str(tmp_path / "ivf_idx")
+    similarity.save_ann_index(
+        similarity.ivf_assign_buckets(df, cents, "embedding", "vec_id"), ivf_path, cents, None
+    )
+    with pytest.raises(ValueError, match="no codebooks"):
+        similarity.append_to_ann_index(batch, ivf_path, "embedding", "vec_id", encode_residual=True)
+
+    # a string-id batch onto a long-id index must fail before the write
+    bad = batch.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="types disagree"):
+        similarity.append_to_ann_index(bad, path, "embedding", "vec_id")
+
+    # replayed batch with skip_existing_ids: nothing appended
+    before = _bucket_files(path)
+    similarity.append_to_ann_index(
+        batch, path, "embedding", "vec_id", skip_existing_ids=True
+    )
+    loaded, _, _ = similarity.load_ann_index(spark, path)
+    n_all = df.count()
+    assert loaded.count() == n_all
+    assert loaded.select("id").distinct().count() == n_all
+
+
+def test_pq_encode_without_bucket_unchanged(spark):
+    """The r10 pass-through only fires when the input carries ivf_bucket:
+    standalone-PQ callers see the exact pre-r10 schema."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(32)
+    books = similarity.pq_train_codebooks(
+        df, "embedding", dim=64, num_subvectors=8, num_centroids=8, seed=1,
+        max_iter=5, n_init=1, sample_order_by="vec_id",
+    )
+    enc = similarity.pq_encode(df, books, "embedding", "vec_id")
+    assert enc.columns == ["id", "vec", "pq_code"]

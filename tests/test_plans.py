@@ -587,7 +587,7 @@ def test_js_divergence_plan_no_cartesian_no_python(spark):
 
     a = spark.createDataFrame([(0, "x y")], "id long, t string")
     b = spark.createDataFrame([(1, "y z")], "id long, t string")
-    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ids_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     out = Co.token_distribution_divergence(a, b, "t")
     p = plan_of(out)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
@@ -597,9 +597,13 @@ def test_js_divergence_plan_no_cartesian_no_python(spark):
     # the r9 localCheckpoint), the 1-row report computed eagerly, and the
     # pinned storage RELEASED before return — the returned frame is local
     # (no Generate: each side's explode+groupBy ran once, under the
-    # persist, not inline twice) and no persisted RDD lingers
+    # persist, not inline twice) and no NEW persisted RDD lingers.  Set
+    # difference, not size equality: the ContextCleaner may async-unpersist
+    # an EARLIER test's GC'd RDD mid-test, shrinking the map under us
+    # (observed full-suite flake).
     assert "Generate" not in p
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == persisted_before
+    ids_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert ids_after - ids_before == set()
     assert out.count() == 1
 
 
