@@ -2168,7 +2168,18 @@ def q_profile_summary(spark, sf):
     summary stats plus the SORTED generated-rule names per column — the
     null/empty-ratio, is_in_list, and min_max builder decisions all derive
     from stats DuckDB reproduces (approx_count_distinct only feeds the
-    is_in_list branch, where it is exact at 3 vs a 10 cutoff)."""
+    is_in_list branch, where it is exact at 3 vs a 10 cutoff).
+
+    r10: six mergeable-sketch columns (pipeline.sketches, md5 conformance
+    mode) certify the profiler's incremental face — the Spark side builds
+    HLL/CMS/moments over TWO batch halves and MERGES them while the twin
+    re-derives registers/counters from the raw table in one pass, so a
+    green row proves merge == whole: hll_regs / hll_sum_rho exact ints,
+    hll_est_ok the p=12 estimator within 10% of exact distinct (both
+    raw-HLL and linear-counting branches exercised across the three
+    columns), cms_checksum / cms_est_a exact counter ints on returnflag
+    (probe of 'A' through cms_probe), mom_merge_ok the Chan-merged
+    variance vs a direct pass (far-threshold boolean per engine)."""
     from dqx_spark.profiler import (
         DQProfiler,
         generate_dlt_expectations,
@@ -2188,6 +2199,50 @@ def q_profile_summary(spark, sf):
     resolve_in_list_values(df, profiles)
     gen = generate_rules(profiles)
     dlt = generate_dlt_expectations(profiles, language="Python_Dict")
+    # r10: the profiler's 100-TB incremental face — mergeable sketches
+    # (pipeline.sketches) built over TWO batch halves and MERGED, so a
+    # green row certifies merge == whole-corpus: the DuckDB twin derives
+    # every HLL register and CMS counter from the raw table in one pass
+    # while the Spark side only ever sees per-half sketches.  Register/
+    # counter aggregates are exact ints; the estimate/variance checks are
+    # FAR-threshold booleans each engine derives from its OWN float stack
+    # (HLL p=12 error ~1.6% vs a 10% gate; Chan-merge drift ~1e-12 vs
+    # 1e-6) — libm floats never hash-compared, the PSI discipline.
+    from dqx_spark.pipeline import sketches as SK
+
+    halves = [
+        df.where(F.coalesce(F.pmod(F.col("l_orderkey"), F.lit(2)), F.lit(0)) == i)
+        for i in (0, 1)
+    ]
+    extra = {}
+    for c in cols:
+        merged = SK.hll_merge(*[SK.hll_sketch(h, c, p=12, hash_name="md5") for h in halves])
+        regs = {int(r["reg"]): int(r["rho"]) for r in merged.collect()}  # bounded <= 4096
+        est = SK.hll_estimate_local(regs, 12)
+        exact = df.select(SK._key_col([c]).alias("k")).distinct().count()
+        extra[c] = [len(regs), sum(regs.values()), abs(est / exact - 1.0) < 0.1]
+    cms = SK.cms_merge(
+        *[SK.cms_sketch(h, "l_returnflag", depth=4, width=1024, hash_name="md5") for h in halves]
+    )
+    counters = {(int(r["d"]), int(r["bucket"])): int(r["cnt"]) for r in cms.collect()}
+    cms_checksum = sum(cnt * (d * 1024 + b + 1) for (d, b), cnt in counters.items())
+    probe = spark.createDataFrame([("A",)], "l_returnflag string")
+    cms_est_a = int(
+        SK.cms_probe(cms, probe, "l_returnflag", depth=4, width=1024, hash_name="md5")
+        .collect()[0]["est_count"]
+    )
+    # every row carries a real Chan-merge check on its own numeric column
+    # (the returnflag row borrows l_extendedprice — a nullable boolean
+    # would hit the None-vs-NaN dtype seam in the driver's comparator)
+    mom_ok = {}
+    for c, mc in (
+        ("l_orderkey", "l_orderkey"),
+        ("l_quantity", "l_quantity"),
+        ("l_returnflag", "l_extendedprice"),
+    ):
+        m = SK.moments_merge(*[SK.moments_sketch(h, mc) for h in halves]).collect()[0]
+        direct = df.agg(F.var_pop(F.col(mc).cast("double"))).first()[0]
+        mom_ok[c] = abs(m["var_pop"] / direct - 1.0) < 1e-6
     rows = []
     for c in cols:
         s = stats[c]
@@ -2204,12 +2259,20 @@ def q_profile_summary(spark, sf):
                 ",".join(sorted(p.name for p in profiles if p.column == c)),
                 ",".join(sorted(r["check"]["function"] for r in gen if r["check"]["arguments"]["column"] == c)),
                 "|".join(sorted(v for k, v in dlt.items() if k.startswith(c + "_"))),
+                extra[c][0],
+                extra[c][1],
+                extra[c][2],
+                cms_checksum if c == "l_returnflag" else None,
+                cms_est_a if c == "l_returnflag" else None,
+                mom_ok[c],
             )
         )
     return spark.createDataFrame(
         rows,
         "col_name string, total bigint, cnt bigint, null_count bigint, empty bigint, "
-        "minv double, maxv double, meanv double, rules string, gen_funcs string, dlt_exprs string",
+        "minv double, maxv double, meanv double, rules string, gen_funcs string, dlt_exprs string, "
+        "hll_regs bigint, hll_sum_rho bigint, hll_est_ok boolean, "
+        "cms_checksum bigint, cms_est_a bigint, mom_merge_ok boolean",
     )
 
 
@@ -2350,6 +2413,76 @@ _NGRAM_PAIRS_SQL = (
 # DuckDB twin of dqx_spark.pipeline.text.portable_hash60
 def _md5long(x: str) -> str:
     return f"('0x' || substr(md5({x}),1,15))::UBIGINT::BIGINT"
+
+
+# --- r10 sketch twins (pipeline.sketches, md5 mode) -----------------------
+# The Spark side only ever builds PER-HALF sketches and merges them; these
+# re-derive registers/counters from the raw table in one pass, so row
+# equality certifies merge == whole.
+def _sketch_key(col: str) -> str:
+    # twin of sketches._key_col: NULL -> chr(0), stringified otherwise
+    return f"coalesce({col}::VARCHAR, chr(0))"
+
+
+def _hll_reg_cte(name: str, col: str) -> str:
+    """Register CTE: reg = top 12 of the 60-bit md5 hash, rho = leading
+    zeros of the low 48 bits + 1 via exact integer bit-length
+    (length(bin(w)) — bin() is unpadded on both engines, w=0 explicit)."""
+    h = _md5long(_sketch_key(col))
+    tail, mask = 48, (1 << 48) - 1
+    return (
+        f"{name} AS (SELECT reg, max(rho) AS rho FROM ("
+        f"SELECT (h >> {tail}) AS reg, CASE WHEN (h & {mask}) = 0 THEN {tail + 1} "
+        f"ELSE {tail} - length(bin(h & {mask})) + 1 END AS rho "
+        f"FROM (SELECT {h} AS h FROM lineitem)) GROUP BY reg)"
+    )
+
+
+def _hll_est_ok(regs_cte: str, col: str) -> str:
+    """FAR-threshold estimator check (HLL p=12 error ~1.6% vs a 10% gate):
+    alpha_m*m^2 / (empty registers at 2^0 + sum 2^-rho), linear counting
+    when E <= 2.5m with zeros left — sketches.hll_estimate_local in SQL."""
+    return (
+        f"(SELECT CASE WHEN e.est <= 2.5*4096 AND e.zeros > 0 "
+        f"THEN abs(4096*ln(4096.0/e.zeros)/x.exact - 1) < 0.1 "
+        f"ELSE abs(e.est/x.exact - 1) < 0.1 END FROM "
+        f"(SELECT (0.7213/(1+1.079/4096))*4096*4096 / "
+        f"((4096 - count(*)) + sum(power(2.0, -rho))) AS est, "
+        f"4096 - count(*) AS zeros FROM {regs_cte}) e, "
+        f"(SELECT count(DISTINCT {_sketch_key(col)}) AS exact FROM lineitem) x)"
+    )
+
+
+def _cms_ctes() -> str:
+    """Count-min counters over l_returnflag (depth 4, width 1024,
+    Kirsch–Mitzenmacher buckets), their order-free checksum, and the
+    min-over-rows probe of the literal 'A'."""
+    h = _md5long(_sketch_key("l_returnflag"))
+    ha = _md5long("'A'")
+    return (
+        f"cmsrf AS (SELECT d, ((h1 + d*h2) % 1024) AS bucket, count(*) AS cnt FROM "
+        f"(SELECT (h % 1024) AS h1, (((h >> 30) % 1024) | 1) AS h2 FROM "
+        f"(SELECT {h} AS h FROM lineitem)), "
+        f"(SELECT unnest([0,1,2,3]) AS d) GROUP BY 1, 2), "
+        f"cmsagg AS (SELECT sum(cnt * (d*1024 + bucket + 1)) AS checksum FROM cmsrf), "
+        f"cmsprobe AS (SELECT min(coalesce(c.cnt, 0)) AS est FROM "
+        f"(SELECT d, ((h1 + d*h2) % 1024) AS bucket FROM "
+        f"(SELECT (h % 1024) AS h1, (((h >> 30) % 1024) | 1) AS h2 FROM (SELECT {ha} AS h)), "
+        f"(SELECT unnest([0,1,2,3]) AS d)) p LEFT JOIN cmsrf c USING (d, bucket))"
+    )
+
+
+def _mom_merge_ok(col: str) -> str:
+    """Chan–Golub–LeVeque merge of the two half-states vs a direct
+    var_pop, each on DuckDB's own float stack, 1e-6 relative gate
+    (drift measures ~1e-12) — sketches.moments_merge in SQL."""
+    return (
+        f"(SELECT abs(((sum(m2) + sum(s*s/n) - sum(s)*sum(s)/sum(n)) / sum(n)) / "
+        f"(SELECT var_pop({col}::DOUBLE) FROM lineitem) - 1) < 1e-6 FROM "
+        f"(SELECT coalesce(l_orderkey % 2, 0) AS half, count({col}) AS n, "
+        f"sum({col}::DOUBLE) AS s, var_pop({col}::DOUBLE) * count({col}) AS m2 "
+        f"FROM lineitem GROUP BY 1))"
+    )
 
 
 def _minhash_oracle() -> str:
@@ -3841,7 +3974,14 @@ def oracle_sql() -> dict[str, str]:
             # empty-ratio <= 0.01, distinct <= 10 AND <= 0.05*count,
             # min/max present) from DuckDB aggregates, assembled in the
             # same sorted order the Spark side emits.
-            "WITH a AS (SELECT count(*) AS total, "
+            # r10 sketch columns: HLL registers / CMS counters re-derived
+            # from the raw table (the Spark side merged per-half sketches),
+            # estimator and Chan-merge checks as far-threshold booleans.
+            "WITH " + _hll_reg_cte("regs_ok", "l_orderkey") + ", "
+            + _hll_reg_cte("regs_q", "l_quantity") + ", "
+            + _hll_reg_cte("regs_rf", "l_returnflag") + ", "
+            + _cms_ctes() + ", "
+            "a AS (SELECT count(*) AS total, "
             "count(l_orderkey) AS c_ok, min(l_orderkey) AS mn_ok, max(l_orderkey) AS mx_ok, "
             "sum(l_orderkey)::DOUBLE AS s_ok, count(DISTINCT l_orderkey) AS d_ok, "
             "count(l_quantity) AS c_q, min(l_quantity) AS mn_q, max(l_quantity) AS mx_q, "
@@ -3865,7 +4005,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN mn_ok IS NOT NULL AND mx_ok IS NOT NULL THEN "
             "'l_orderkey BETWEEN ' || mn_ok::VARCHAR || ' AND ' || mx_ok::VARCHAR END, "
             "CASE WHEN (total - c_ok)::DOUBLE / total <= 0.01 THEN 'l_orderkey IS NOT NULL' END"
-            "], x -> x IS NOT NULL)), '|') AS dlt_exprs FROM a "
+            "], x -> x IS NOT NULL)), '|') AS dlt_exprs, "
+            "(SELECT count(*) FROM regs_ok) AS hll_regs, "
+            "(SELECT sum(rho)::BIGINT FROM regs_ok) AS hll_sum_rho, "
+            + _hll_est_ok("regs_ok", "l_orderkey") + " AS hll_est_ok, "
+            "NULL::BIGINT AS cms_checksum, NULL::BIGINT AS cms_est_a, "
+            + _mom_merge_ok("l_orderkey") + " AS mom_merge_ok FROM a "
             "UNION ALL "
             "SELECT 'l_quantity', total, c_q, total - c_q, NULL, mn_q, mx_q, s_q / c_q, "
             "array_to_string(list_filter(['is_not_null', 'min_max'], x -> "
@@ -3878,7 +4023,10 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN mn_q IS NOT NULL AND mx_q IS NOT NULL THEN "
             "'l_quantity BETWEEN ' || mn_q::VARCHAR || ' AND ' || mx_q::VARCHAR END, "
             "CASE WHEN (total - c_q)::DOUBLE / total <= 0.01 THEN 'l_quantity IS NOT NULL' END"
-            "], x -> x IS NOT NULL)), '|') FROM a "
+            "], x -> x IS NOT NULL)), '|'), "
+            "(SELECT count(*) FROM regs_q), (SELECT sum(rho)::BIGINT FROM regs_q), "
+            + _hll_est_ok("regs_q", "l_quantity") + ", "
+            "NULL::BIGINT, NULL::BIGINT, " + _mom_merge_ok("l_quantity") + " FROM a "
             "UNION ALL "
             "SELECT 'l_returnflag', total, c_rf, total - c_rf, e_rf, NULL, NULL, NULL, "
             "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
@@ -3895,7 +4043,11 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN d_rf <= 10 AND c_rf > 0 AND d_rf <= 0.05 * c_rf THEN "
             "'l_returnflag IN (''' || array_to_string(vals_rf, ''', ''') || ''')' END, "
             "CASE WHEN (total - c_rf)::DOUBLE / total <= 0.01 THEN 'l_returnflag IS NOT NULL' END"
-            "], x -> x IS NOT NULL)), '|') FROM a"
+            "], x -> x IS NOT NULL)), '|'), "
+            "(SELECT count(*) FROM regs_rf), (SELECT sum(rho)::BIGINT FROM regs_rf), "
+            + _hll_est_ok("regs_rf", "l_returnflag") + ", "
+            "(SELECT checksum FROM cmsagg), (SELECT est FROM cmsprobe), "
+            + _mom_merge_ok("l_extendedprice") + " FROM a"
         ),
         "video_keyframes": _video_keyframes_oracle(),
         "streaming_checks_parity": (

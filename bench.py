@@ -516,6 +516,26 @@ def main() -> None:
     cases["dedup_incr"] = lambda: _didx.dedup_pairs_against_index(
         _didx_batch, _didx_loaded, "doc_id", "text"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # r10: mergeable sketches — the per-batch incremental-stats pass a
+    # 100 TB dashboard runs instead of a rescan: one HLL register table +
+    # one CMS counter table + one moments state over lineitem, built as a
+    # merge of two half-batch sketches (the production shape).  xxhash64
+    # hot path; the shuffle carries sketch rows, never data rows.
+    from dqx_spark.pipeline import sketches as _sk
+
+    _sk_halves = [li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == i) for i in (0, 1)]
+    def _sketch_case():
+        hll = _sk.hll_merge(*[_sk.hll_sketch(h, "l_orderkey", p=12) for h in _sk_halves])
+        cms = _sk.cms_merge(
+            *[_sk.cms_sketch(h, "l_returnflag", depth=4, width=1024) for h in _sk_halves]
+        )
+        mom = _sk.moments_merge(*[_sk.moments_sketch(h, "l_extendedprice") for h in _sk_halves])
+        return (
+            hll.agg(F.count(F.lit(1)).alias("a"), F.sum("rho").alias("b"))
+            .crossJoin(cms.agg(F.sum("cnt").alias("c")))
+            .crossJoin(mom.select("n", "var_pop"))
+        )
+    cases["sketch_incr_stats"] = _sketch_case
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and

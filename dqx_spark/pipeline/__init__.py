@@ -21,6 +21,7 @@ from dqx_spark.pipeline import (  # noqa: F401
     rollup,
     sessions,
     similarity,
+    sketches,
     text,
     web,
 )

@@ -91,6 +91,7 @@ __all__ = [
     "append_to_index",
     "index_kept_ids",
     "dedup_against_index",
+    "compact_dedup_index",
 ]
 
 _META_SUBDIR = "_dedup_meta"
@@ -655,3 +656,53 @@ def dedup_against_index(
         (~F.col("matched_index") & (F.col("id") == F.col("__keep_id"))).alias("kept"),
     )
     return new_df.join(verdict.withColumnRenamed("id", id_col), id_col, "inner")
+
+
+def compact_dedup_index(
+    spark,
+    src: str,
+    dst: str,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "errorifexists",
+) -> None:
+    """Rewrite an index grown by N :func:`append_to_index` batches into a
+    fresh versioned path: one bounded file run per ``pb`` partition
+    instead of ~N per-batch files, and the within-partition probe-key sort
+    RESTORED (each append sorts only its own files, so parquet row-group
+    min/max pruning degrades to per-file as batches accumulate; compaction
+    re-sorts the union).  The sidecar is copied verbatim and written LAST
+    (same crash discipline as :func:`save_dedup_index`): compaction must
+    not change a single probe result or the kept-set — pinned by test.
+
+    Like :func:`~dqx_spark.pipeline.similarity.compact_ann_index`, this
+    writes to a NEW path for the standard versioned pointer flip — Spark
+    cannot atomically overwrite a directory it is reading, and a crashed
+    in-place rewrite would destroy the only copy.  ``mode='overwrite'`` is
+    for re-running a failed compaction onto the same ``dst``."""
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(f"compact_dedup_index supports overwrite/errorifexists, got {mode!r}")
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError(
+            "compact_dedup_index writes to a NEW path (versioned pointer flip); src == dst"
+        )
+    idx = load_dedup_index(spark, src)
+    d = dst.rstrip("/")
+
+    def rewrite(frame: DataFrame, sub: str, sort_cols: list[str] | None = None) -> None:
+        w = frame.repartition("pb")
+        if sort_cols:
+            w = w.sortWithinPartitions(*sort_cols)
+        w.write.option("maxRecordsPerFile", max_records_per_file).option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("pb").mode(mode).parquet(d + "/" + sub)
+
+    if idx.method == "exact":
+        rewrite(idx.keys, "keys", ["dup_key"])
+    else:
+        rewrite(idx.sigs, "sigs")
+        rewrite(idx.bands, "bands", ["band", "bucket"])
+    if idx.meta.get("include_pairs"):
+        idx.pairs.write.option("maxRecordsPerFile", max_records_per_file).mode(mode).parquet(
+            d + "/pairs"
+        )
+    _write_meta(spark, d, idx.meta)

@@ -46,6 +46,11 @@ __all__ = [
     "ivfpq_topk_join",
     "save_ann_index",
     "load_ann_index",
+    "save_lsh_index",
+    "load_lsh_index",
+    "LshIndex",
+    "append_to_ann_index",
+    "compact_ann_index",
 ]
 
 
@@ -1503,9 +1508,14 @@ def append_to_ann_index(
     required there, and must match the tag when one exists.  Appending the
     same ids twice is NOT detected by default (parquet append cannot
     check); ``skip_existing_ids=True`` anti-joins the batch against the
-    index's id column first.  Not safe under concurrent writers to the
-    same ``path`` (no commit protocol at this layer) — serialize batches
-    or stage per-writer paths and compact."""
+    index's id column — a REPLAY guard, not an upsert (an id re-appearing
+    with a different vector is skipped, not moved), and the one index-
+    sized cost in this function: the anti-join shuffles the full id column
+    (the batch side is far under the broadcast threshold, but Spark builds
+    broadcast-anti joins from the RIGHT side, which here is the index).
+    Prefer exactly-once batch delivery where you can.  Not safe under
+    concurrent writers to the same ``path`` (no commit protocol at this
+    layer) — serialize batches or stage per-writer paths and compact."""
     spark = new_df.sparkSession
     existing, centroids, books = load_ann_index(spark, path)
     indexed = ivf_assign_buckets(new_df, centroids, vec_col, id_col)

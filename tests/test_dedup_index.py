@@ -170,3 +170,62 @@ def test_disjoint_batch_zero_collisions(spark, tmp_path):
     assert not any(
         r["id_a"] in old_ids or r["id_b"] in old_ids for r in pairs.collect()
     )
+
+
+def test_compact_dedup_index_invariant_and_fewer_files(spark, tmp_path):
+    """r10: compaction into a new path changes neither the probe results
+    nor the kept-set, restores one file run per pb partition, and copies
+    the sidecar verbatim; in-place and silent-overwrite are rejected."""
+    import os
+
+    df = _docs(spark)
+    old, new = _split(df)
+    src = str(tmp_path / "idx")
+    di.save_dedup_index(
+        old, src, "doc_id", "text", method="minhash",
+        num_hashes=32, bands=8, shingle_k=3, threshold=0.5, partitions=8,
+    )
+    idx = di.load_dedup_index(spark, src)
+    di.append_to_index(new, idx, "doc_id", "text")
+
+    def n_files(sub):
+        total = 0
+        for root, _, files in os.walk(os.path.join(src if sub is None else dst, sub or "")):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    dst = str(tmp_path / "idx_v2")
+    di.compact_dedup_index(spark, src, dst)
+    cidx = di.load_dedup_index(spark, dst)
+    assert cidx.meta == idx.meta
+
+    kept_src = sorted(r["id"] for r in di.index_kept_ids(idx).where("kept").collect())
+    kept_dst = sorted(r["id"] for r in di.index_kept_ids(cidx).where("kept").collect())
+    assert kept_dst == kept_src
+
+    probe = spark.createDataFrame([(100, old.collect()[0]["text"])], "doc_id long, text string")
+    p_src = _pairset(di.dedup_pairs_against_index(probe, idx, "doc_id", "text"))
+    p_dst = _pairset(di.dedup_pairs_against_index(probe, cidx, "doc_id", "text"))
+    assert p_dst == p_src and len(p_dst) > 0
+
+    # appended src holds >= 2 file runs per touched partition; compacted
+    # dst collapses to at most one per partition
+    def files_per_pb(base, sub):
+        out = {}
+        subdir = os.path.join(base, sub)
+        for name in os.listdir(subdir):
+            if name.startswith("pb="):
+                out[name] = sum(
+                    1 for f in os.listdir(os.path.join(subdir, name)) if f.endswith(".parquet")
+                )
+        return out
+    src_files = files_per_pb(src, "bands")
+    dst_files = files_per_pb(dst, "bands")
+    assert sum(dst_files.values()) < sum(src_files.values())
+    assert all(n == 1 for n in dst_files.values())
+
+    with pytest.raises(Exception):
+        di.compact_dedup_index(spark, src, dst)  # dst exists, no overwrite
+    with pytest.raises(ValueError, match="src == dst"):
+        di.compact_dedup_index(spark, src, src)
+    di.compact_dedup_index(spark, src, dst, mode="overwrite")

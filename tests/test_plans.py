@@ -890,3 +890,29 @@ def test_batch_join_hot_cell_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sketches_plan_partial_agg_no_python_broadcast_probe(spark):
+    """r10: the mergeable sketches keep the 100-TB shape — HLL/CMS builds
+    are ONE aggregation with map-side partial combine (the shuffle carries
+    at most register/counter-table rows per partition, never data rows),
+    everything stays JVM-side, and the CMS probe broadcasts the SKETCH so
+    a watchlist probe never shuffles or rescans the corpus."""
+    from dqx_spark.pipeline import sketches as SK
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    for build in (
+        SK.hll_sketch(df, "k", p=12),
+        SK.cms_sketch(df, "k", depth=4, width=1024),
+    ):
+        p = plan_of(build)
+        assert len(re.findall(r"^\s*\(\d+\) Exchange", p, re.MULTILINE)) == 1
+        assert "partial_max" in p or "partial_count" in p  # map-side combine
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+            assert marker not in p
+
+    sk = SK.cms_sketch(df, "k", depth=4, width=1024)
+    items = spark.createDataFrame([("5",), ("7",)], "k string")
+    pp = plan_of(SK.cms_probe(sk, items, "k", depth=4, width=1024))
+    assert "BroadcastHashJoin" in pp
+    assert "SortMergeJoin" not in pp

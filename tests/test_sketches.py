@@ -1,0 +1,183 @@
+"""Mergeable sketches (r10): HLL registers / CMS counters re-derived by a
+pure-Python md5 twin, merge == whole proven exactly, moments merge vs a
+direct pass, and the knob-carrying persistence layout."""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import sketches as SK
+
+P = 8  # 256 registers — small enough to eyeball, error ~6.5%
+
+
+def _md5h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _local_hll(values, p):
+    regs = {}
+    tail = 60 - p
+    for v in values:
+        h = _md5h60(v)
+        reg = h >> tail
+        w = h & ((1 << tail) - 1)
+        rho = tail + 1 if w == 0 else tail - w.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_pure_python_twin(spark):
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    got = {r["reg"]: r["rho"] for r in SK.hll_sketch(df, "k", p=P, hash_name="md5").collect()}
+    want = _local_hll([str(i) for i in range(1000)], P)
+    assert got == want
+
+
+def test_hll_estimate_accuracy_and_linear_counting(spark):
+    for n, mode in ((5000, "md5"), (5000, "xxhash64")):
+        df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+        est = SK.hll_estimate(SK.hll_sketch(df, "k", p=12, hash_name=mode), p=12)
+        assert abs(est / n - 1.0) < 0.1, (mode, est)
+    # tiny cardinality -> the linear-counting branch, near-exact
+    small = spark.range(20).select(F.col("id").cast("string").alias("k"))
+    est = SK.hll_estimate(SK.hll_sketch(small, "k", p=12), p=12)
+    assert abs(est - 20) < 2
+
+
+def test_hll_merge_equals_whole_and_is_idempotent(spark):
+    df = spark.range(3000).select(F.col("id").cast("string").alias("k"))
+    a = SK.hll_sketch(df.where(F.col("k").cast("long") % 2 == 0), "k", p=P, hash_name="md5")
+    b = SK.hll_sketch(df.where(F.col("k").cast("long") % 2 == 1), "k", p=P, hash_name="md5")
+    whole = {r["reg"]: r["rho"] for r in SK.hll_sketch(df, "k", p=P, hash_name="md5").collect()}
+    merged = {r["reg"]: r["rho"] for r in SK.hll_merge(a, b).collect()}
+    assert merged == whole
+    twice = {r["reg"]: r["rho"] for r in SK.hll_merge(a, a, a).collect()}
+    assert twice == {r["reg"]: r["rho"] for r in a.collect()}
+    # duplicate values don't move registers: distinct-ness is the point
+    dup = SK.hll_sketch(df.unionByName(df), "k", p=P, hash_name="md5")
+    assert {r["reg"]: r["rho"] for r in dup.collect()} == whole
+
+
+def test_hll_null_and_multicolumn_keys(spark):
+    df = spark.createDataFrame(
+        [(None, "x"), ("null", "x"), ("", "x"), ("a", None), ("a", "b")], "c1 string, c2 string"
+    )
+    est = SK.hll_estimate(SK.hll_sketch(df, ["c1", "c2"], p=12, hash_name="md5"), p=12)
+    assert abs(est - 5) < 1  # NULL, 'null', and '' are three distinct keys
+
+
+def _local_cms(values, depth, width):
+    cnt = {}
+    for v in values:
+        h = _md5h60(v)
+        h1, h2 = h % width, ((h >> 30) % width) | 1
+        for d in range(depth):
+            key = (d, (h1 + d * h2) % width)
+            cnt[key] = cnt.get(key, 0) + 1
+    return cnt
+
+
+def test_cms_counters_exact_probe_and_merge(spark):
+    vals = [str(i % 50) for i in range(2000)]  # value i appears 40x
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    sk = SK.cms_sketch(df, "k", depth=4, width=1024, hash_name="md5")
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got == _local_cms(vals, 4, 1024)
+
+    items = spark.createDataFrame([(str(i),) for i in range(50)] + [("absent",)], "k string")
+    probed = {r["k"]: r["est_count"] for r in
+              SK.cms_probe(sk, items, "k", depth=4, width=1024, hash_name="md5").collect()}
+    # 50 distinct into 1024 buckets: no full-row collision chain -> exact
+    assert all(probed[str(i)] == 40 for i in range(50))
+    assert probed["absent"] == 0
+
+    halves = [df.where(F.col("k").cast("long") % 2 == i) for i in (0, 1)]
+    merged = SK.cms_merge(*[SK.cms_sketch(h, "k", depth=4, width=1024, hash_name="md5") for h in halves])
+    assert {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()} == got
+
+
+def test_cms_overestimates_never_under(spark):
+    # cram 500 distinct into width=16: collisions guaranteed, estimates
+    # must still upper-bound the true counts
+    vals = [str(i % 500) for i in range(1500)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    sk = SK.cms_sketch(df, "k", depth=3, width=16, hash_name="md5")
+    items = spark.createDataFrame([(str(i),) for i in range(500)], "k string")
+    probed = SK.cms_probe(sk, items, "k", depth=3, width=16, hash_name="md5")
+    assert probed.where(F.col("est_count") < 3).count() == 0
+
+
+def test_moments_merge_matches_direct_pass(spark):
+    rng = random.Random(7)
+    rows = [(i % 3, rng.gauss(100.0, 15.0)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    states = [
+        SK.moments_sketch(df.where(F.col("x") < 90), "x"),
+        SK.moments_sketch(df.where((F.col("x") >= 90) & (F.col("x") < 110)), "x"),
+        SK.moments_sketch(df.where(F.col("x") >= 110), "x"),
+    ]
+    m = SK.moments_merge(*states).collect()[0]
+    d = df.agg(
+        F.count("x").alias("n"), F.sum("x").alias("s"), F.min("x").alias("mn"),
+        F.max("x").alias("mx"), F.var_pop("x").alias("v"), F.avg("x").alias("mean"),
+    ).collect()[0]
+    assert m["n"] == d["n"] and m["mn"] == d["mn"] and m["mx"] == d["mx"]
+    assert abs(m["s"] / d["s"] - 1.0) < 1e-12
+    assert abs(m["mean"] / d["mean"] - 1.0) < 1e-12
+    assert abs(m["var_pop"] / d["v"] - 1.0) < 1e-9
+
+    # grouped: per-g state merged across the same three splits
+    gstates = [
+        SK.moments_sketch(df.where(F.col("x") < 90), "x", by=["g"]),
+        SK.moments_sketch(df.where((F.col("x") >= 90) & (F.col("x") < 110)), "x", by=["g"]),
+        SK.moments_sketch(df.where(F.col("x") >= 110), "x", by=["g"]),
+    ]
+    gm = {r["g"]: r for r in SK.moments_merge(*gstates, by=["g"]).collect()}
+    gd = {r["g"]: r for r in df.groupBy("g").agg(
+        F.count("x").alias("n"), F.var_pop("x").alias("v")).collect()}
+    for g in (0, 1, 2):
+        assert gm[g]["n"] == gd[g]["n"]
+        assert abs(gm[g]["var_pop"] / gd[g]["v"] - 1.0) < 1e-9
+
+
+def test_save_load_sketch_knobs_and_guards(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    sk = SK.hll_sketch(df, "k", p=12, hash_name="md5")
+    path = str(tmp_path / "hll")
+    SK.save_sketch(sk, path, "hll", {"p": 12, "hash_name": "md5"})
+    loaded, meta = SK.load_sketch(spark, path)
+    assert meta == {"kind": "hll", "hash_name": "md5", "p": 12}
+    assert {r["reg"]: r["rho"] for r in loaded.collect()} == {
+        r["reg"]: r["rho"] for r in sk.collect()
+    }
+    # per-batch append: the loaded union re-merges to the whole-corpus table
+    df2 = spark.range(100, 200).select(F.col("id").cast("string").alias("k"))
+    SK.save_sketch(SK.hll_sketch(df2, "k", p=12, hash_name="md5"), path, "hll",
+                   {"p": 12, "hash_name": "md5"}, mode="append")
+    loaded2, _ = SK.load_sketch(spark, path)
+    whole = SK.hll_sketch(df.unionByName(df2), "k", p=12, hash_name="md5")
+    assert {r["reg"]: r["rho"] for r in SK.hll_merge(loaded2).collect()} == {
+        r["reg"]: r["rho"] for r in whole.collect()
+    }
+
+    with pytest.raises(ValueError, match="needs knobs"):
+        SK.save_sketch(sk, str(tmp_path / "x"), "hll", {"p": 12})
+    with pytest.raises(ValueError, match="kind must be"):
+        SK.save_sketch(sk, str(tmp_path / "x"), "hyperloglog", {})
+    mo = SK.moments_sketch(spark.range(10).select(F.col("id").cast("double").alias("x")), "x")
+    with pytest.raises(ValueError, match="double-counts"):
+        SK.save_sketch(mo, str(tmp_path / "m"), "moments", {"col": "x"}, mode="append")
+
+
+def test_hll_param_and_hash_guards(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="p must be"):
+        SK.hll_sketch(df, "k", p=3)
+    with pytest.raises(ValueError, match="hash_name"):
+        SK.hll_sketch(df, "k", hash_name="sha1")
+    with pytest.raises(ValueError, match="depth"):
+        SK.cms_sketch(df, "k", depth=0)
