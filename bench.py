@@ -744,6 +744,30 @@ def main() -> None:
                 "drift; (query - canary) shift = plan drift. r7's +18% uniform "
                 "inflation had no canary to attribute it; now it does."
             ),
+            "r10_drift_attribution": (
+                "pq_topk watch (VERDICT r9 #5) CLOSED: quiet r10-session run "
+                "measures 0.340 vs the r9 driver's 0.442 (0.77x) with an "
+                "unchanged plan - the r9 +33% was box scatter, as the drift "
+                "note predicted. js_divergence's r10 quiet reading of 1.39 vs "
+                "r9's 0.64 was NOT all box: same-session A/B of the r9 "
+                "localCheckpoint body vs the r10 persist body measured 0.67 vs "
+                "0.98 - caching pins the raw 32-partition shuffle layout (AQE "
+                "cannot coalesce through a cache boundary, unlike through "
+                "localCheckpoint, which stores post-coalesce blocks), so both "
+                "consuming aggregates re-paid 32 near-empty tasks. Fixed by "
+                "repartition(report_partitions=1) before the persist "
+                "(same-session: 0.61 vs checkpoint's 0.55; the replayability "
+                "win keeps ~0.06s of principled cost). Remaining r/r movement "
+                "is the usual sub-0.5s scatter; median shared-case ratio vs "
+                "the r9 driver recording was 1.18 on this box state even with "
+                "the canary BELOW r9's floor (0.130 vs 0.170 scan) - i.e. "
+                "multi-stage contention the 1-task canary doesn't see, the "
+                "r8/r9 pattern. all_dataset_checks (engine untouched since "
+                "r9, plan-identical) read 3.88 and 4.25 across two quiet "
+                "same-code runs an hour apart - that 10% self-spread bounds "
+                "what r/r deltas on this case can mean; its baseline ratio "
+                "is 0.09, nowhere near the 2x bar."
+            ),
             "r9_drift_attribution": (
                 "r9 quiet runs read ~+10% over the RECORDED r8 27-case subset "
                 "(16.78 -> 18.5) with a FLAT canary. Attributed by rerunning the "

@@ -447,6 +447,7 @@ def token_distribution_divergence(
     text_col: str,
     text_col_b: str | None = None,
     lowercase: bool = True,
+    report_partitions: int = 1,
 ) -> DataFrame:
     """One-row corpus-shift report between two corpora: Jensen-Shannon
     divergence of their unigram distributions plus the KL halves and
@@ -481,7 +482,16 @@ def token_distribution_divergence(
     executor-local non-replayable blocks — an executor loss would have
     failed later actions unrecoverably — and never released them; a
     replayable persist with a deterministic unpersist has neither flaw).
-    The returned frame is a LOCAL 1-row DataFrame of the same schema."""
+    The vocab table is ``repartition(report_partitions)``-ed (default 1)
+    before the persist: caching pins the plan's raw shuffle partitioning
+    (AQE cannot coalesce through a cache boundary, unlike through
+    ``localCheckpoint``, which stores post-coalesce blocks), so without
+    it both consuming aggregates re-pay shuffle-partition-count empty
+    tasks per run — measured +30% on the bench case.  One partition is
+    right up to ~10M token types; raise it for giant multilingual
+    vocabularies where single-task aggregation of the vocab table would
+    dominate.  The returned frame is a LOCAL 1-row DataFrame of the same
+    schema."""
     tb = text_col_b or text_col
 
     def counts(df: DataFrame, col: str) -> DataFrame:
@@ -495,9 +505,14 @@ def token_distribution_divergence(
     cb = counts(df_b, tb).withColumnRenamed("c", "cb")
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    both = ca.join(cb, "tok", "full_outer").select(
-        "tok", F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    both = (
+        ca.join(cb, "tok", "full_outer")
+        .select(
+            "tok", F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
+        )
+        .repartition(report_partitions)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = both.agg(
         F.sum("ca").alias("ta"),
         F.sum("cb").alias("tb"),

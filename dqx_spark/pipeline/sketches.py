@@ -224,6 +224,12 @@ def cms_probe(
     (an item no batch ever saw).  ``depth``/``width``/``hash_name`` must
     be the sketch's own (from the :func:`load_sketch` sidecar)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
+    reserved = {"d", "bucket", "cnt", "est_count"} & set(cols)
+    if reserved:
+        raise ValueError(
+            f"item columns {sorted(reserved)} collide with the sketch-internal "
+            "names (d/bucket/cnt/est_count) - alias them first"
+        )
     h = _hash60(_key_col(cols), hash_name)
     pairs = F.array(*[
         F.struct(F.lit(d).alias("d"), _cms_bucket(h, d, width).cast("int").alias("bucket"))
@@ -268,6 +274,14 @@ def moments_merge(*states: DataFrame, by: list[str] | None = None) -> DataFrame:
     (asserted far-threshold in tests and the gate — never compared
     bit-for-bit, the PSI discipline)."""
     keys = by or []
+    state_cols = {"n", "s", "mn", "mx", "m2"}
+    for st in states:
+        extra = set(st.columns) - state_cols - set(keys)
+        if extra:
+            raise ValueError(
+                f"state carries group columns {sorted(extra)} not named in by= - "
+                "merging would silently collapse the groups into one state"
+            )
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)

@@ -181,3 +181,19 @@ def test_hll_param_and_hash_guards(spark):
         SK.hll_sketch(df, "k", hash_name="sha1")
     with pytest.raises(ValueError, match="depth"):
         SK.cms_sketch(df, "k", depth=0)
+
+
+def test_probe_reserved_names_and_grouped_merge_guard(spark):
+    """r10 review: probing with item columns that collide with the
+    sketch-internal names is rejected, and moments_merge refuses to
+    silently collapse grouped states whose group column isn't in by=."""
+    df = spark.range(10).select(F.col("id").cast("string").alias("d"))
+    sk = SK.cms_sketch(df, "d", depth=2, width=64, hash_name="md5")
+    with pytest.raises(ValueError, match="collide"):
+        SK.cms_probe(sk, df, "d", depth=2, width=64, hash_name="md5")
+
+    g = spark.createDataFrame([(0, 1.0), (1, 2.0)], "g int, x double")
+    st = SK.moments_sketch(g, "x", by=["g"])
+    with pytest.raises(ValueError, match="group columns"):
+        SK.moments_merge(st, st)
+    assert SK.moments_merge(st, st, by=["g"]).count() == 2
