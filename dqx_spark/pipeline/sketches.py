@@ -28,6 +28,12 @@ a plain parquet write (:func:`save_sketch` / :func:`load_sketch` add the
 sidecar that records the hashing knobs, which must match at merge/probe
 time — the ``save_ann_index`` family discipline).
 
+Streaming ingestion composes directly: ``foreachBatch`` sketches each
+micro-batch and :func:`save_sketch`-appends its rows; the read side
+re-merges the accumulated layout, bit-equal to a whole-corpus sketch
+(register max is associative and batch-partitioning-independent —
+pinned by tests/test_streaming_ops.py over three real micro-batches).
+
 Hashing: ``hash_name='xxhash64'`` (JVM, fast) is the default;
 ``'md5'`` routes through :func:`dqx_spark.pipeline.text.portable_hash60`
 so DuckDB re-derives every register and counter bit-for-bit — the

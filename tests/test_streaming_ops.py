@@ -442,3 +442,50 @@ def test_sessionize_stream_v2_guards_and_dormant_rung(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_sketch_ingestion_foreachbatch(spark, tmp_path):
+    """r10: the mergeable-sketch ingestion pattern a continual pipeline
+    runs — each micro-batch appends its OWN register rows via
+    save_sketch(mode='append') inside foreachBatch, and the read-side
+    hll_merge of the accumulated layout equals the whole-corpus sketch
+    bit-for-bit (register max is associative and batch-partitioning-
+    independent).  Three real micro-batches via maxFilesPerTrigger=1."""
+    from dqx_spark.pipeline import sketches as SK
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        spark.createDataFrame(
+            [(str(v),) for v in range(i * 100, (i + 1) * 100)], "k string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    stream = spark.readStream.schema("k string").option("maxFilesPerTrigger", 1).parquet(src)
+    path = str(tmp_path / "hll")
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(batch_id)
+        SK.save_sketch(
+            SK.hll_sketch(batch_df, "k", p=8, hash_name="md5"),
+            path, "hll", {"p": 8, "hash_name": "md5"},
+            mode="append" if batch_id > 0 else "overwrite",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) == 3  # really incremental, not one batch
+
+    loaded, meta = SK.load_sketch(spark, path)
+    assert meta["p"] == 8
+    merged = {r["reg"]: r["rho"] for r in SK.hll_merge(loaded).collect()}
+    whole_df = spark.createDataFrame([(str(v),) for v in range(300)], "k string")
+    whole = {r["reg"]: r["rho"] for r in SK.hll_sketch(whole_df, "k", p=8, hash_name="md5").collect()}
+    assert merged == whole
+    est = SK.hll_estimate_local(merged, 8)
+    assert abs(est - 300) / 300 < 0.15  # p=8 ~6.5% expected error
