@@ -192,6 +192,43 @@ def cmd_compact(args) -> int:
     return 0 if before["rows"] == after["rows"] else 1
 
 
+def cmd_index_compact(args) -> int:
+    """Maintenance pass for the persisted index families: rewrite an ANN
+    (IVF/IVFADC) or dedup index grown by per-batch appends into a fresh
+    versioned path with bounded file runs per partition, sidecar copied
+    verbatim (results unchanged by construction — see the library
+    functions' tests).  Always a NEW path: deploy by pointer flip."""
+    spark = _spark("index_compact")
+    if args.kind == "ann":
+        from dqx_spark.pipeline.similarity import compact_ann_index
+
+        compact_ann_index(
+            spark, args.input, args.output,
+            max_records_per_file=args.records_per_file,
+            mode="overwrite" if args.overwrite else "errorifexists",
+        )
+    else:
+        from dqx_spark.pipeline.dedup_index import compact_dedup_index
+
+        compact_dedup_index(
+            spark, args.input, args.output,
+            max_records_per_file=args.records_per_file,
+            mode="overwrite" if args.overwrite else "errorifexists",
+        )
+    # integrity report: row parity between src and dst
+    if args.kind == "ann":
+        n_src = spark.read.parquet(args.input).count()
+        n_dst = spark.read.parquet(args.output).count()
+    else:
+        from dqx_spark.pipeline.dedup_index import load_dedup_index
+
+        n_src = load_dedup_index(spark, args.input).all_ids().count()
+        n_dst = load_dedup_index(spark, args.output).all_ids().count()
+    print(json.dumps({"kind": args.kind, "src": args.input, "dst": args.output,
+                      "rows_src": n_src, "rows_dst": n_dst}))
+    return 0 if n_src == n_dst else 1
+
+
 def cmd_llm_generate(args) -> int:
     """Generate checks with an injected LLM provider, resolved from a
     'module:attribute' import path (no bundled runtime — see dqx_spark.llm)."""
@@ -354,6 +391,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sort-by", nargs="*", default=None,
                    help="range-sort on these keys so file-level min/max stats prune scans")
     p.set_defaults(func=cmd_compact)
+
+    p = sub.add_parser(
+        "index-compact",
+        help="rewrite a persisted ANN or dedup index into a fresh versioned path "
+             "with bounded file runs per partition (deploy by pointer flip)",
+    )
+    p.add_argument("--kind", required=True, choices=["ann", "dedup"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--records-per-file", type=int, default=1_000_000)
+    p.add_argument("--overwrite", action="store_true",
+                   help="allow re-running a failed compaction onto the same output")
+    p.set_defaults(func=cmd_index_compact)
 
     p = sub.add_parser("run", help="managed multi-table runs from a run-config YAML/JSON file")
     p.add_argument("--run-configs", required=True, help="file written by save_run_configs (or by hand)")

@@ -340,6 +340,23 @@ def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "o
             "append on a moments sketch double-counts on the next moments_merge "
             "read - write each batch state to its own path and merge explicitly"
         )
+    if mode == "append":
+        # appending rows hashed with DIFFERENT knobs under a rewritten
+        # sidecar is exactly the silent-corruption this family guards
+        # against - verify against the existing sidecar (when one exists)
+        # BEFORE touching the data
+        try:
+            _, existing = load_sketch(df.sparkSession, path)
+        except Exception:  # noqa: BLE001 - first batch, nothing there yet
+            existing = None
+        if existing is not None:
+            incoming = {"kind": kind, **{k: knobs[k] for k in sorted(knobs)}}
+            if existing != incoming:
+                raise ValueError(
+                    f"append knobs {incoming} disagree with the sidecar already at "
+                    f"{path!r} ({existing}) - rows hashed with different knobs can "
+                    "never merge; use a new path"
+                )
     df.write.mode(mode).parquet(path.rstrip("/") + "/data")
     meta = {"kind": kind, **{k: knobs[k] for k in sorted(knobs)}}
     df.sparkSession.createDataFrame([(json.dumps(meta),)], "value string").coalesce(

@@ -172,3 +172,37 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert stats["before"]["files"] == 20 and stats["before"]["rows"] == 5000
     assert stats["after"]["rows"] == 5000 and stats["after"]["files"] < 20
     assert stats["after"]["errors"] == 0
+
+
+def test_cli_index_compact(spark, tmp_path, capsys):
+    """r10: the index-compact subcommand rewrites both index families into
+    a fresh path with row parity reported; reruns need --overwrite."""
+    from pyspark.sql import functions as F
+
+    from dqx_spark.pipeline import dedup_index as di, similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sim.ivf_train_centroids(emb, "embedding", n_centroids=4, seed=1,
+                                    max_iter=5, n_init=1, sample_order_by="vec_id")
+    idx = sim.ivf_assign_buckets(emb, cents, "embedding", "vec_id")
+    src = str(tmp_path / "ann")
+    sim.save_ann_index(idx.where(F.col("id") % 3 != 0), src, cents, None)
+    sim.append_to_ann_index(emb.where(F.col("vec_id") % 3 == 0), src, "embedding", "vec_id")
+    dst = str(tmp_path / "ann_v2")
+    rc = main(["index-compact", "--kind", "ann", "--input", src, "--output", dst])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_src"] == rep["rows_dst"] == emb.count()
+    rc2 = main(["index-compact", "--kind", "ann", "--input", src, "--output", dst,
+                "--overwrite"])
+    assert rc2 == 0
+    capsys.readouterr()
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    dsrc = str(tmp_path / "dd")
+    di.save_dedup_index(docs, dsrc, "doc_id", "text", method="exact", partitions=8)
+    ddst = str(tmp_path / "dd_v2")
+    rc3 = main(["index-compact", "--kind", "dedup", "--input", dsrc, "--output", ddst])
+    assert rc3 == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["rows_src"] == rep3["rows_dst"] == 60

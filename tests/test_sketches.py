@@ -197,3 +197,19 @@ def test_probe_reserved_names_and_grouped_merge_guard(spark):
     with pytest.raises(ValueError, match="group columns"):
         SK.moments_merge(st, st)
     assert SK.moments_merge(st, st, by=["g"]).count() == 2
+
+
+def test_save_sketch_append_knob_mismatch_rejected(spark, tmp_path):
+    """r10 review: appending rows hashed with different knobs under a
+    rewritten sidecar is the silent-corruption case — rejected before the
+    data write; the data already in the layout is untouched."""
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    path = str(tmp_path / "hll")
+    SK.save_sketch(SK.hll_sketch(df, "k", p=12, hash_name="md5"), path, "hll",
+                   {"p": 12, "hash_name": "md5"})
+    before = SK.load_sketch(spark, path)[0].count()
+    with pytest.raises(ValueError, match="disagree with the sidecar"):
+        SK.save_sketch(SK.hll_sketch(df, "k", p=8, hash_name="md5"), path, "hll",
+                       {"p": 8, "hash_name": "md5"}, mode="append")
+    loaded, meta = SK.load_sketch(spark, path)
+    assert meta["p"] == 12 and loaded.count() == before
