@@ -1020,6 +1020,24 @@ def main() -> None:
                 "text",
             )
         ))
+        # r10: mergeable sketches at organic 10x lineitem — three bounded
+        # aggregations whose shuffles carry register/counter rows only, so
+        # the slope claim is pure scan throughput (the sketch sizes are
+        # scale-INDEPENDENT: 4096 HLL registers / 4096 CMS counters / one
+        # moments row at any corpus size)
+        _sk_halves_o = [li_o.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == i) for i in (0, 1)]
+        def _sketch_case_o():
+            hll = _sk.hll_merge(*[_sk.hll_sketch(h, "l_orderkey", p=12) for h in _sk_halves_o])
+            cms = _sk.cms_merge(
+                *[_sk.cms_sketch(h, "l_returnflag", depth=4, width=1024) for h in _sk_halves_o]
+            )
+            mom = _sk.moments_merge(*[_sk.moments_sketch(h, "l_extendedprice") for h in _sk_halves_o])
+            return (
+                hll.agg(F.count(F.lit(1)).alias("a"), F.sum("rho").alias("b"))
+                .crossJoin(cms.agg(F.sum("cnt").alias("c")))
+                .crossJoin(mom.select("n", "var_pop"))
+            )
+        sf1_pipe["sketch_incr_stats"] = timed(lambda: materialize(_sketch_case_o()))
 
         # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
         # table caps what the slope section can say about the ANN family;

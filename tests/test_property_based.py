@@ -780,3 +780,66 @@ def test_shuffle_positions_match_python_reference(spark, ids, salt):
     order = sorted(ids, key=lambda i: (hashlib.md5(f"{salt}{i}".encode()).hexdigest(), i))
     assert got == {i: p for p, i in enumerate(order)}
     assert sorted(got.values()) == list(range(len(ids)))
+
+
+# r10: sketch twins — for ARBITRARY strings (unicode, empties, nulls) the
+# Spark md5-mode HLL registers and CMS counters must equal a pure-python
+# replay of the documented hash math, and HLL must be insensitive to both
+# duplication and batch partitioning (merge == whole).
+sketch_strings = st.lists(
+    st.one_of(st.none(), st.text(max_size=12)), min_size=1, max_size=25
+)
+
+
+@SETTINGS
+@given(vals=sketch_strings, salt=st.integers(min_value=0, max_value=3))
+def test_sketch_md5_twin_and_merge_invariants(spark, vals, salt):
+    import hashlib
+
+    from dqx_spark.pipeline import sketches as SK
+
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+
+    def h60(v):
+        key = "\x00" if v is None else v
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    p, tail = 6, 54
+    want = {}
+    for v in vals:
+        h = h60(v)
+        w = h & ((1 << tail) - 1)
+        rho = tail + 1 if w == 0 else tail - w.bit_length() + 1
+        r = h >> tail
+        want[r] = max(want.get(r, 0), rho)
+    got = {r["reg"]: r["rho"] for r in SK.hll_sketch(df, "k", p=p, hash_name="md5").collect()}
+    assert got == want
+
+    # partition-independence: split by an arbitrary hash salt, merge == whole
+    halves = [
+        df.where(F.pmod(F.xxhash64("k", F.lit(salt)), F.lit(2)) == i).unionByName(
+            df.where(F.col("k").isNull()) if i == 0 else df.where(F.lit(False))
+        )
+        for i in (0, 1)
+    ]
+    merged = {
+        r["reg"]: r["rho"]
+        for r in SK.hll_merge(
+            *[SK.hll_sketch(h, "k", p=p, hash_name="md5") for h in halves]
+        ).collect()
+    }
+    assert merged == got
+
+    d, wdt = 2, 32
+    cnt = {}
+    for v in vals:
+        h = h60(v)
+        h1, h2 = h % wdt, ((h >> 30) % wdt) | 1
+        for j in range(d):
+            key = (j, (h1 + j * h2) % wdt)
+            cnt[key] = cnt.get(key, 0) + 1
+    got_cms = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_sketch(df, "k", depth=d, width=wdt, hash_name="md5").collect()
+    }
+    assert got_cms == cnt
