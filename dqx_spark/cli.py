@@ -199,26 +199,33 @@ def cmd_index_compact(args) -> int:
     verbatim (results unchanged by construction — see the library
     functions' tests).  Always a NEW path: deploy by pointer flip."""
     spark = _spark("index_compact")
+    mode = "overwrite" if args.overwrite else "errorifexists"
     if args.kind == "ann":
         from dqx_spark.pipeline.similarity import compact_ann_index
 
-        compact_ann_index(
-            spark, args.input, args.output,
-            max_records_per_file=args.records_per_file,
-            mode="overwrite" if args.overwrite else "errorifexists",
-        )
+        compact_ann_index(spark, args.input, args.output,
+                          max_records_per_file=args.records_per_file, mode=mode)
+    elif args.kind == "lsh":
+        from dqx_spark.pipeline.similarity import compact_lsh_index
+
+        compact_lsh_index(spark, args.input, args.output,
+                          max_records_per_file=args.records_per_file, mode=mode)
     else:
         from dqx_spark.pipeline.dedup_index import compact_dedup_index
 
-        compact_dedup_index(
-            spark, args.input, args.output,
-            max_records_per_file=args.records_per_file,
-            mode="overwrite" if args.overwrite else "errorifexists",
-        )
-    # integrity report: row parity between src and dst
+        compact_dedup_index(spark, args.input, args.output,
+                            max_records_per_file=args.records_per_file, mode=mode)
+    # integrity report: row parity between src and dst (for lsh, the vecs
+    # table - the melt may legitimately SHRINK: compaction dedups the
+    # harmless duplicate rows crash-recovery re-runs leave)
     if args.kind == "ann":
         n_src = spark.read.parquet(args.input).count()
         n_dst = spark.read.parquet(args.output).count()
+    elif args.kind == "lsh":
+        from dqx_spark.pipeline.similarity import load_lsh_index
+
+        n_src = load_lsh_index(spark, args.input).vecs.count()
+        n_dst = load_lsh_index(spark, args.output).vecs.count()
     else:
         from dqx_spark.pipeline.dedup_index import load_dedup_index
 
@@ -397,7 +404,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="rewrite a persisted ANN or dedup index into a fresh versioned path "
              "with bounded file runs per partition (deploy by pointer flip)",
     )
-    p.add_argument("--kind", required=True, choices=["ann", "dedup"])
+    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup"])
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--records-per-file", type=int, default=1_000_000)

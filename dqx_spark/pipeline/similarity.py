@@ -51,6 +51,8 @@ __all__ = [
     "LshIndex",
     "append_to_ann_index",
     "compact_ann_index",
+    "append_to_lsh_index",
+    "compact_lsh_index",
 ]
 
 
@@ -1477,6 +1479,56 @@ def load_lsh_index(spark, path: str) -> LshIndex:
     return LshIndex(spark, path, meta)
 
 
+def append_to_lsh_index(
+    new_df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    skip_existing_ids: bool = False,
+) -> None:
+    """Onboard a NEW vector batch into a :func:`save_lsh_index` layout —
+    the sign-LSH member of the per-batch ingestion family
+    (:func:`append_to_ann_index` / ``dedup_index.append_to_index``): the
+    batch is hashed with the SIDECAR's own planes/tables/seed (no caller
+    knob can desync stored from probe-time buckets), its (id, t, b) melt
+    rows appended into the existing layout, its floats appended to
+    ``vecs/``.  Bit-equal to re-saving the union (the melt is
+    deterministic in (vec, seed)); batch-sized cost, same
+    ``skip_existing_ids`` replay guard and anti-join cost note as the IVF
+    family.
+
+    Crash semantics (no commit protocol at this layer): the melt is
+    written FIRST, so the only partial state a crash can leave is melt
+    rows without floats — those candidates drop at the rerank join,
+    degrading to "batch not yet onboarded", never to wrong neighbors.
+    Recovery is re-running the batch with ``skip_existing_ids=True``
+    (which checks ``vecs/``, so a half-onboarded batch is REPROCESSED);
+    the duplicate melt rows that leaves are harmless — candidate
+    discovery applies ``distinct`` before the rerank."""
+    spark = new_df.sparkSession
+    idx = load_lsh_index(spark, path)
+    corpus = new_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if skip_existing_ids:
+        corpus = corpus.join(idx.vecs.select("id"), on="id", how="left_anti")
+    want = {f.name: f.dataType.simpleString() for f in idx.vecs.schema.fields}
+    have = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    if want != have:
+        raise ValueError(
+            f"appended batch schema {have} disagrees with the index's vecs table "
+            f"{want} at {path!r} (id types must match exactly)"
+        )
+    melt = _lsh_melt(corpus, "vec", ["id"], idx.num_planes, idx.num_tables, idx.seed)
+    if idx.meta.get("layout", "bucketed") == "bucketed":
+        melt.repartition("t", "b").write.partitionBy("t", "b").mode("append").parquet(
+            idx.path + "/melt"
+        )
+    else:
+        melt.write.mode("append").parquet(idx.path + "/melt")
+    corpus.write.mode("append").parquet(idx.path + "/vecs")
+
+
 def append_to_ann_index(
     new_df: DataFrame,
     path: str,
@@ -1614,3 +1666,42 @@ def compact_ann_index(
     spark.createDataFrame([(raw,)], "value string").coalesce(1).write.mode(
         "overwrite"
     ).text(dst.rstrip("/") + "/_ann_meta")
+
+
+def compact_lsh_index(
+    spark,
+    src: str,
+    dst: str,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "errorifexists",
+) -> None:
+    """The :func:`compact_ann_index` counterpart for sign-LSH layouts:
+    rewrite the melt (preserving the sidecar's recorded layout — (t, b)
+    partition dirs or flat) and the vecs table with bounded file runs,
+    sidecar copied verbatim, always into a NEW versioned path.  Duplicate
+    melt rows left by crash-recovery re-runs (see
+    :func:`append_to_lsh_index`) are dropped here — the one maintenance
+    moment that can safely distinct the melt, since search results never
+    depended on them."""
+    import json as _json
+
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(f"compact_lsh_index supports overwrite/errorifexists, got {mode!r}")
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("compact_lsh_index writes to a NEW path (versioned pointer flip); src == dst")
+    idx = load_lsh_index(spark, src)
+    d = dst.rstrip("/")
+    melt = idx.melt.distinct()
+    writer = melt.repartition("t", "b").write.option(
+        "maxRecordsPerFile", max_records_per_file
+    ).option("partitionOverwriteMode", "static")
+    if idx.meta.get("layout", "bucketed") == "bucketed":
+        writer.partitionBy("t", "b").mode(mode).parquet(d + "/melt")
+    else:
+        writer.mode(mode).parquet(d + "/melt")
+    idx.vecs.write.option("maxRecordsPerFile", max_records_per_file).mode(mode).parquet(
+        d + "/vecs"
+    )
+    spark.createDataFrame([(_json.dumps(idx.meta),)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(d + "/_ann_meta")

@@ -203,3 +203,77 @@ def test_pq_encode_without_bucket_unchanged(spark):
     )
     enc = similarity.pq_encode(df, books, "embedding", "vec_id")
     assert enc.columns == ["id", "vec", "pq_code"]
+
+
+def test_append_to_lsh_index_parity_recovery_and_compact(spark, tmp_path):
+    """r10: the sign-LSH append member — save 75%, append 25%: joins over
+    the loaded melt are bit-equal to the in-memory join over the whole
+    corpus.  A crash-recovery replay (skip_existing_ids after a simulated
+    half-onboard) leaves only duplicate melt rows, which change nothing
+    (candidate distinct) and are dropped by compact_lsh_index."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "lsh")
+    old = df.where(F.col("vec_id") % 4 != 0)
+    new = df.where(F.col("vec_id") % 4 == 0)
+    similarity.save_lsh_index(old, path, "embedding", "vec_id")
+    similarity.append_to_lsh_index(new, path, "embedding", "vec_id")
+
+    queries = df.where(F.col("vec_id").isin(0, 7, 13)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    mem = similarity.ann_lsh_topk_join(
+        queries, df, "embedding", "vec_id", "embedding", "qid", k=10
+    ).collect()
+    want = sorted((r["query_id"], r["id"], r["rank"]) for r in mem)
+
+    def got(p):
+        disk = similarity.ann_lsh_topk_join(
+            queries, None, "", "", "embedding", "qid", k=10,
+            corpus_index=similarity.load_lsh_index(spark, p),
+        ).collect()
+        return sorted((r["query_id"], r["id"], r["rank"]) for r in disk)
+
+    assert got(path) == want
+
+    # replayed batch with the guard: nothing new lands in vecs
+    idx = similarity.load_lsh_index(spark, path)
+    n_vecs = idx.vecs.count()
+    n_melt = idx.melt.count()
+    similarity.append_to_lsh_index(new, path, "embedding", "vec_id", skip_existing_ids=True)
+    idx2 = similarity.load_lsh_index(spark, path)
+    assert idx2.vecs.count() == n_vecs
+    assert idx2.melt.count() == n_melt
+
+    # simulated crash: melt rows landed, floats didn't.  Searches degrade
+    # to 'batch absent', never to wrong neighbors; the skip_existing
+    # re-run reprocesses the batch (duplicating melt rows harmlessly)
+    crash_batch = spark.createDataFrame(
+        [(990001, [float(x) for x in range(64)])], "vec_id long, embedding array<double>"
+    )
+    melt_only = similarity._lsh_melt(
+        crash_batch.select(F.col("vec_id").alias("id"),
+                           F.col("embedding").cast("array<double>").alias("vec")),
+        "vec", ["id"], idx2.num_planes, idx2.num_tables, idx2.seed,
+    )
+    melt_only.repartition("t", "b").write.partitionBy("t", "b").mode("append").parquet(
+        path + "/melt"
+    )
+    assert got(path) == want  # orphan melt rows change nothing
+    similarity.append_to_lsh_index(crash_batch, path, "embedding", "vec_id",
+                                   skip_existing_ids=True)
+    idx3 = similarity.load_lsh_index(spark, path)
+    dup = idx3.melt.groupBy("id", "t", "b").count().where("count > 1")
+    assert dup.count() > 0  # recovery really left duplicates
+    base = got(path)
+
+    dst = str(tmp_path / "lsh_v2")
+    similarity.compact_lsh_index(spark, path, dst)
+    idx4 = similarity.load_lsh_index(spark, dst)
+    assert idx4.melt.groupBy("id", "t", "b").count().where("count > 1").count() == 0
+    assert got(dst) == base  # compaction changes nothing
+    assert idx4.meta == idx3.meta
+
+    # schema guard: string ids onto a long-id index fail before writing
+    bad = new.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="disagrees"):
+        similarity.append_to_lsh_index(bad, path, "embedding", "vec_id")

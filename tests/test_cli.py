@@ -206,3 +206,13 @@ def test_cli_index_compact(spark, tmp_path, capsys):
     assert rc3 == 0
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["rows_src"] == rep3["rows_dst"] == 60
+
+    lsrc = str(tmp_path / "lsh")
+    sim.save_lsh_index(emb.where(F.col("vec_id") % 3 != 0), lsrc, "embedding", "vec_id",
+                       num_planes=4, num_tables=4)
+    sim.append_to_lsh_index(emb.where(F.col("vec_id") % 3 == 0), lsrc, "embedding", "vec_id")
+    ldst = str(tmp_path / "lsh_v2")
+    rc4 = main(["index-compact", "--kind", "lsh", "--input", lsrc, "--output", ldst])
+    assert rc4 == 0
+    rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep4["rows_src"] == rep4["rows_dst"] == emb.count()
