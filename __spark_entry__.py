@@ -2179,7 +2179,11 @@ def q_profile_summary(spark, sf):
     raw-HLL and linear-counting branches exercised across the three
     columns), cms_checksum / cms_est_a exact counter ints on returnflag
     (probe of 'A' through cms_probe), mom_merge_ok the Chan-merged
-    variance vs a direct pass (far-threshold boolean per engine)."""
+    variance vs a direct pass (far-threshold boolean per engine), and
+    hist_checksum / hist_med_ok the fixed-edge histogram sketch — bins
+    re-derived bit-for-bit from one shared IEEE edge expression (edges at
+    the column's exact min/max), median interpolation within 2 bin widths
+    of each engine's own exact percentile."""
     from dqx_spark.profiler import (
         DQProfiler,
         generate_dlt_expectations,
@@ -2235,6 +2239,7 @@ def q_profile_summary(spark, sf):
     # (the returnflag row borrows l_extendedprice — a nullable boolean
     # would hit the None-vs-NaN dtype seam in the driver's comparator)
     mom_ok = {}
+    hist_info = {}
     for c, mc in (
         ("l_orderkey", "l_orderkey"),
         ("l_quantity", "l_quantity"),
@@ -2243,6 +2248,21 @@ def q_profile_summary(spark, sf):
         m = SK.moments_merge(*[SK.moments_sketch(h, mc) for h in halves]).collect()[0]
         direct = df.agg(F.var_pop(F.col(mc).cast("double"))).first()[0]
         mom_ok[c] = abs(m["var_pop"] / direct - 1.0) < 1e-6
+        # histogram sketch (quantile leg): edges frozen at the column's
+        # exact min/max (both engines agree bit-for-bit on min/max, and
+        # the bin arithmetic is one identical IEEE expression), counts
+        # certified via an order-free checksum, the interpolated median
+        # within 2 bin widths of each engine's own exact percentile
+        lo = float(m["mn"])
+        hi = float(m["mx"])
+        hsk = SK.histogram_merge(
+            *[SK.histogram_sketch(h, mc, lo, hi, bins=64) for h in halves]
+        )
+        counts = {int(r["bin"]): int(r["cnt"]) for r in hsk.collect()}  # <= 66 rows
+        checksum = sum(cnt * (bn + 2) for bn, cnt in counts.items())
+        est_med = SK.histogram_quantile_local(counts, lo, hi, 64, 0.5)
+        exact_med = float(df.selectExpr(f"percentile({mc}, 0.5) AS m").first()["m"])
+        hist_info[c] = [checksum, abs(est_med - exact_med) <= 2 * (hi - lo) / 64 + 1e-9]
     rows = []
     for c in cols:
         s = stats[c]
@@ -2265,6 +2285,8 @@ def q_profile_summary(spark, sf):
                 cms_checksum if c == "l_returnflag" else None,
                 cms_est_a if c == "l_returnflag" else None,
                 mom_ok[c],
+                hist_info[c][0],
+                hist_info[c][1],
             )
         )
     return spark.createDataFrame(
@@ -2272,7 +2294,8 @@ def q_profile_summary(spark, sf):
         "col_name string, total bigint, cnt bigint, null_count bigint, empty bigint, "
         "minv double, maxv double, meanv double, rules string, gen_funcs string, dlt_exprs string, "
         "hll_regs bigint, hll_sum_rho bigint, hll_est_ok boolean, "
-        "cms_checksum bigint, cms_est_a bigint, mom_merge_ok boolean",
+        "cms_checksum bigint, cms_est_a bigint, mom_merge_ok boolean, "
+        "hist_checksum bigint, hist_med_ok boolean",
     )
 
 
@@ -2469,6 +2492,41 @@ def _cms_ctes() -> str:
         f"(SELECT d, ((h1 + d*h2) % 1024) AS bucket FROM "
         f"(SELECT (h % 1024) AS h1, (((h >> 30) % 1024) | 1) AS h2 FROM (SELECT {ha} AS h)), "
         f"(SELECT unnest([0,1,2,3]) AS d)) p LEFT JOIN cmsrf c USING (d, bucket))"
+    )
+
+
+def _hist_cte(name: str, col: str) -> str:
+    """Binned-count CTE with edges at the column's exact min/max — ONE
+    IEEE expression shared with sketches.histogram_sketch (left-assoc
+    (x-lo)/(hi-lo)*64), under/overflow clamped to -1/64."""
+    x = f"{col}::DOUBLE"
+    lo = f"(SELECT min({x}) FROM lineitem)"
+    hi = f"(SELECT max({x}) FROM lineitem)"
+    raw = f"floor((({x}) - {lo}) / ({hi} - {lo}) * 64)"
+    return (
+        f"{name} AS (SELECT CASE WHEN {raw} < 0 THEN -1 WHEN {raw} >= 64 THEN 64 "
+        f"ELSE {raw}::INT END AS bin, count(*) AS cnt FROM lineitem "
+        f"WHERE {x} IS NOT NULL GROUP BY 1)"
+    )
+
+
+def _hist_med_ok(name: str, col: str) -> str:
+    """sketches.histogram_quantile_local(q=0.5) in SQL (first ascending
+    bin whose cumulative count covers the target, linear interpolation,
+    under/overflow clamp) vs DuckDB's own exact interpolated percentile,
+    within 2 bin widths — each engine derives the boolean from its own
+    float stack."""
+    x = f"{col}::DOUBLE"
+    lo = f"(SELECT min({x}) FROM lineitem)"
+    hi = f"(SELECT max({x}) FROM lineitem)"
+    w = f"(({hi} - {lo}) / 64)"
+    tgt = f"0.5*(SELECT sum(cnt) FROM {name})"
+    return (
+        f"(SELECT abs(est - (SELECT quantile_cont({x}, 0.5) FROM lineitem)) <= 2*{w} + 1e-9 FROM "
+        f"(SELECT CASE WHEN bin < 0 THEN {lo} WHEN bin >= 64 THEN {hi} "
+        f"ELSE {lo} + (bin + ({tgt} - prior) / cnt) * {w} END AS est FROM "
+        f"(SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) - cnt AS prior FROM {name}) "
+        f"WHERE prior + cnt >= {tgt} ORDER BY bin LIMIT 1))"
     )
 
 
@@ -3981,6 +4039,9 @@ def oracle_sql() -> dict[str, str]:
             + _hll_reg_cte("regs_q", "l_quantity") + ", "
             + _hll_reg_cte("regs_rf", "l_returnflag") + ", "
             + _cms_ctes() + ", "
+            + _hist_cte("hist_ok", "l_orderkey") + ", "
+            + _hist_cte("hist_q", "l_quantity") + ", "
+            + _hist_cte("hist_ep", "l_extendedprice") + ", "
             "a AS (SELECT count(*) AS total, "
             "count(l_orderkey) AS c_ok, min(l_orderkey) AS mn_ok, max(l_orderkey) AS mx_ok, "
             "sum(l_orderkey)::DOUBLE AS s_ok, count(DISTINCT l_orderkey) AS d_ok, "
@@ -4010,7 +4071,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sum(rho)::BIGINT FROM regs_ok) AS hll_sum_rho, "
             + _hll_est_ok("regs_ok", "l_orderkey") + " AS hll_est_ok, "
             "NULL::BIGINT AS cms_checksum, NULL::BIGINT AS cms_est_a, "
-            + _mom_merge_ok("l_orderkey") + " AS mom_merge_ok FROM a "
+            + _mom_merge_ok("l_orderkey") + " AS mom_merge_ok, "
+            "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_ok) AS hist_checksum, "
+            + _hist_med_ok("hist_ok", "l_orderkey") + " AS hist_med_ok FROM a "
             "UNION ALL "
             "SELECT 'l_quantity', total, c_q, total - c_q, NULL, mn_q, mx_q, s_q / c_q, "
             "array_to_string(list_filter(['is_not_null', 'min_max'], x -> "
@@ -4026,7 +4089,9 @@ def oracle_sql() -> dict[str, str]:
             "], x -> x IS NOT NULL)), '|'), "
             "(SELECT count(*) FROM regs_q), (SELECT sum(rho)::BIGINT FROM regs_q), "
             + _hll_est_ok("regs_q", "l_quantity") + ", "
-            "NULL::BIGINT, NULL::BIGINT, " + _mom_merge_ok("l_quantity") + " FROM a "
+            "NULL::BIGINT, NULL::BIGINT, " + _mom_merge_ok("l_quantity") + ", "
+            "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_q), "
+            + _hist_med_ok("hist_q", "l_quantity") + " FROM a "
             "UNION ALL "
             "SELECT 'l_returnflag', total, c_rf, total - c_rf, e_rf, NULL, NULL, NULL, "
             "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
@@ -4047,7 +4112,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM regs_rf), (SELECT sum(rho)::BIGINT FROM regs_rf), "
             + _hll_est_ok("regs_rf", "l_returnflag") + ", "
             "(SELECT checksum FROM cmsagg), (SELECT est FROM cmsprobe), "
-            + _mom_merge_ok("l_extendedprice") + " FROM a"
+            + _mom_merge_ok("l_extendedprice") + ", "
+            "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_ep), "
+            + _hist_med_ok("hist_ep", "l_extendedprice") + " FROM a"
         ),
         "video_keyframes": _video_keyframes_oracle(),
         "streaming_checks_parity": (

@@ -65,6 +65,10 @@ __all__ = [
     "cms_probe",
     "moments_sketch",
     "moments_merge",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_quantile",
+    "histogram_quantile_local",
     "save_sketch",
     "load_sketch",
 ]
@@ -311,12 +315,104 @@ def moments_merge(*states: DataFrame, by: list[str] | None = None) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# histogram (quantiles)
+# ---------------------------------------------------------------------------
+def histogram_sketch(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 128
+) -> DataFrame:
+    """Fixed-edge binned counts ``(bin int, cnt long)`` — the mergeable
+    quantile leg of incremental profiling (moments give mean/variance,
+    this gives percentiles).  ``bin = floor((x - lo) / (hi - lo) * bins)``
+    clamped into ``-1`` (underflow) and ``bins`` (overflow), so no value
+    is ever silently dropped; counts are exact ints, merge = element-wise
+    sum, and ONE identical arithmetic expression defines the edges on
+    every engine (both IEEE doubles — the DuckDB twin reproduces every
+    bin bit-for-bit).  ``lo``/``hi`` are EXPLICIT because merging only
+    works across identical edges: derive them once (e.g. from a moments
+    state, or domain knowledge) and freeze them in the
+    :func:`save_sketch` sidecar.  Unlike ``percentile_approx`` — whose
+    one-shot sketch blob can't be inspected, persisted as rows, or
+    re-derived by an oracle — this trades adaptivity for a fixed
+    ``(hi - lo) / bins`` resolution, the right trade when the domain is
+    known (scores, ratios, prices) and batches arrive forever."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got lo={lo}, hi={hi}")
+    if bins < 1:
+        raise ValueError(f"need bins >= 1, got {bins}")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * F.lit(bins))
+    b = (
+        F.when(raw < 0, F.lit(-1))
+        .when(raw >= bins, F.lit(bins))
+        .otherwise(raw)
+        .cast("int")
+    )
+    return (
+        df.where(x.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise count sum — NOT idempotent (the :func:`cms_merge`
+    caveat); all inputs must share (lo, hi, bins), which the sidecar
+    records."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile_local(
+    counts: dict[int, int], lo: float, hi: float, bins: int, q: float
+) -> float:
+    """Quantile from a binned-count dict by linear interpolation within
+    the covering bin — pure Python, shared by tests/twins.  Underflow/
+    overflow bins clamp to ``lo``/``hi`` (their true spread is unknown);
+    exact answers need edges that cover the data.  Max error for covered
+    data: one bin width."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    width = (hi - lo) / bins
+    target = q * total
+    seen = 0.0
+    for b in sorted(counts):
+        c = counts[b]
+        if seen + c >= target:
+            if b < 0:
+                return lo
+            if b >= bins:
+                return hi
+            frac = (target - seen) / c if c else 0.0
+            return lo + (b + frac) * width
+        seen += c
+    return hi
+
+
+def histogram_quantile(
+    sketch: DataFrame, lo: float, hi: float, bins: int, qs: list[float] | float
+) -> list[float] | float:
+    """Driver-side quantiles from a histogram table (bounded collect:
+    ≤ bins + 2 rows)."""
+    counts = {int(r["bin"]): int(r["cnt"]) for r in sketch.collect()}
+    if isinstance(qs, (int, float)):
+        return histogram_quantile_local(counts, lo, hi, bins, float(qs))
+    return [histogram_quantile_local(counts, lo, hi, bins, float(q)) for q in qs]
+
+
+# ---------------------------------------------------------------------------
 # persistence
 # ---------------------------------------------------------------------------
 _KINDS = {
     "hll": {"p", "hash_name"},
     "cms": {"depth", "width", "hash_name"},
     "moments": {"col"},
+    "hist": {"col", "lo", "hi", "bins"},
 }
 
 

@@ -213,3 +213,49 @@ def test_save_sketch_append_knob_mismatch_rejected(spark, tmp_path):
                        {"p": 8, "hash_name": "md5"}, mode="append")
     loaded, meta = SK.load_sketch(spark, path)
     assert meta["p"] == 12 and loaded.count() == before
+
+
+def test_histogram_sketch_counts_merge_and_quantiles(spark):
+    """Binned counts match a pure-python replay (identical IEEE edge
+    arithmetic), merge == whole, under/overflow clamp, and quantiles land
+    within one bin width of exact."""
+    import math
+
+    vals = [(i * 0.17) % 100.0 for i in range(4000)] + [-5.0, 150.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, bins = 0.0, 100.0, 50
+    sk = SK.histogram_sketch(df, "x", lo, hi, bins)
+    got = {r["bin"]: r["cnt"] for r in sk.collect()}
+
+    want = {}
+    for v in vals:
+        raw = math.floor((v - lo) / (hi - lo) * bins)
+        b = -1 if raw < 0 else bins if raw >= bins else raw
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert got[-1] == 1 and got[bins] == 1  # clamped, not dropped
+
+    halves = [df.where(F.col("x") < 50), df.where(F.col("x") >= 50)]
+    merged = SK.histogram_merge(*[SK.histogram_sketch(h, "x", lo, hi, bins) for h in halves])
+    assert {r["bin"]: r["cnt"] for r in merged.collect()} == got
+
+    exact = sorted(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = SK.histogram_quantile(sk, lo, hi, bins, q)
+        true = exact[int(q * len(exact))]
+        assert abs(est - true) <= (hi - lo) / bins + 1e-9, (q, est, true)
+    assert SK.histogram_quantile(sk, lo, hi, bins, [0.0, 1.0]) == [lo, hi]
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        SK.histogram_sketch(df, "x", 5.0, 5.0)
+    with pytest.raises(ValueError, match="empty"):
+        SK.histogram_quantile_local({}, 0, 1, 4, 0.5)
+    with pytest.raises(ValueError, match="q must be"):
+        SK.histogram_quantile_local({0: 1}, 0, 1, 4, 1.5)
+    # persistence knobs
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        SK.save_sketch(sk, td + "/h", "hist", {"col": "x", "lo": lo, "hi": hi, "bins": bins})
+        loaded, meta = SK.load_sketch(spark, td + "/h")
+        assert meta["bins"] == bins and meta["lo"] == lo
+        assert {r["bin"]: r["cnt"] for r in loaded.collect()} == got
