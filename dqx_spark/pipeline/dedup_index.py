@@ -92,6 +92,7 @@ __all__ = [
     "index_kept_ids",
     "dedup_against_index",
     "compact_dedup_index",
+    "remove_from_index",
 ]
 
 _META_SUBDIR = "_dedup_meta"
@@ -131,31 +132,52 @@ class DedupIndex:
         return int(self.meta["partitions"])
 
     @property
+    def tombstones(self) -> DataFrame | None:
+        """(id) removed via :func:`remove_from_index`; None when none ever
+        were.  Every state accessor below anti-joins these out, so probes,
+        the kept-set, and compaction all see the post-removal corpus
+        without any caller coordination."""
+        return _load_tombstones(self.spark, self.path)
+
+    def _alive(self, frame: DataFrame, id_cols: tuple[str, ...] = ("id",)) -> DataFrame:
+        ts = self.tombstones
+        if ts is None:
+            return frame
+        for c in id_cols:
+            frame = frame.join(ts.select(F.col("id").alias(c)), on=c, how="left_anti")
+        return frame
+
+    @property
     def keys(self) -> DataFrame:
         """exact: (dup_key, id, pb) — pb is the parquet partition column."""
-        return self.spark.read.parquet(self.path + "/keys")
+        return self._alive(self.spark.read.parquet(self.path + "/keys"))
 
     @property
     def bands(self) -> DataFrame:
         """minhash: (id, band, bucket, pb); simhash: (id, sh, band, bucket, pb)."""
-        return self.spark.read.parquet(self.path + "/bands")
+        return self._alive(self.spark.read.parquet(self.path + "/bands"))
 
     @property
     def sigs(self) -> DataFrame:
         """minhash: (id, sig, pb) — null sig for docs shorter than the
         shingle width (they stay singleton but remain in the id universe);
         simhash: (id, sh, pb)."""
-        return self.spark.read.parquet(self.path + "/sigs")
+        return self._alive(self.spark.read.parquet(self.path + "/sigs"))
 
     @property
     def pairs(self) -> DataFrame:
-        """The (id_a, id_b, score) duplicate-pair ledger (id_a < id_b)."""
+        """The (id_a, id_b, score) duplicate-pair ledger (id_a < id_b) —
+        pairs with a removed endpoint are excluded, so the kept-set over
+        the ledger equals a full rerun on the SURVIVING corpus (a removed
+        keeper's group re-elects the min surviving id)."""
         if not self.meta.get("include_pairs"):
             raise ValueError(
                 "this index was saved with include_pairs=False - no pair ledger; "
                 "kept-set derivation needs one (re-save with include_pairs=True)"
             )
-        return self.spark.read.parquet(self.path + "/pairs")
+        return self._alive(
+            self.spark.read.parquet(self.path + "/pairs"), id_cols=("id_a", "id_b")
+        )
 
     def all_ids(self) -> DataFrame:
         """(id) — every document ever onboarded (accepted or not)."""
@@ -339,6 +361,48 @@ def _hamming_self_pairs(banded: DataFrame, max_hamming: int) -> DataFrame:
         .where(F.col("score") <= max_hamming)
         .select("id_a", "id_b", "score")
     )
+
+
+def _load_tombstones(spark, path: str) -> DataFrame | None:
+    """The (id) tombstone table at ``path/_tombstones``, or None when the
+    directory was never created.  Only the missing-path error is treated
+    as 'no tombstones' — a CORRUPT tombstone dir must raise, never
+    silently resurrect removed documents."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path.rstrip("/") + "/_tombstones")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def remove_from_index(index: DedupIndex, ids) -> None:
+    """Tombstone documents out of the index — the takedown / retention /
+    right-to-be-forgotten operation a long-lived crawl corpus needs:
+    parquet cannot delete rows, so removal appends the ids to an
+    ``_tombstones`` table (the underscore prefix keeps it out of every
+    data scan) that all state accessors anti-join away.  Effects are
+    immediate and consistent: probes no longer surface the removed docs
+    as duplicate partners, ``index_kept_ids`` drops them from the id
+    universe AND re-elects keepers in groups whose keeper was removed
+    (certified against a full rerun on the surviving corpus in tests).
+
+    The logical delete costs one anti-join per state read until
+    :func:`compact_dedup_index` applies it PHYSICALLY (the compacted copy
+    contains neither the rows nor the tombstones).  Removal wins over any
+    past — or FUTURE — append of the same id: re-onboarding a tombstoned
+    document requires compacting first (the tombstone table has no
+    timestamps to arbitrate, and silent resurrection would be the worse
+    failure).  ``ids``: a DataFrame whose first column holds the ids, or
+    a plain iterable; cast to long like every index id."""
+    spark = index.spark
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+    else:
+        df = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    df.write.mode("append").parquet(index.path + "/_tombstones")
 
 
 def load_dedup_index(spark, path: str) -> DedupIndex:

@@ -53,6 +53,7 @@ __all__ = [
     "compact_ann_index",
     "append_to_lsh_index",
     "compact_lsh_index",
+    "remove_from_ann_index",
 ]
 
 
@@ -1327,6 +1328,56 @@ def save_ann_index(
     ).text(path.rstrip("/") + "/_ann_meta")
 
 
+def _load_tombstones(spark, path: str):
+    """(id) tombstones at ``path/_tombstones`` (underscore dir — skipped
+    by the data scans), or None when none were ever written.  Only the
+    missing-path error means 'no tombstones'; a corrupt dir raises rather
+    than silently resurrecting removed vectors."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path.rstrip("/") + "/_tombstones")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def remove_from_ann_index(spark, path: str, ids) -> None:
+    """Tombstone vectors out of a persisted index — works on BOTH families
+    (IVF/IVFADC ``save_ann_index`` layouts and sign-LSH ``save_lsh_index``
+    layouts; the sidecar is validated, anything else rejected).  Parquet
+    cannot delete rows, so the ids land in an ``_tombstones`` table that
+    :func:`load_ann_index` / :class:`LshIndex` anti-join away — searches
+    immediately stop returning the removed vectors, exactly as if the
+    index had been rebuilt without them.  ``compact_ann_index`` /
+    ``compact_lsh_index`` apply the removal physically (the compacted
+    copy has neither the rows nor the tombstones).  Removal wins over any
+    past or future append of the same id until a compaction — re-onboard
+    by compacting first.  ``ids``: a DataFrame whose first column holds
+    the ids (typed like the index id column), or a plain iterable (types
+    inferred — must match the index id column or the anti-join silently
+    misses)."""
+    import json as _json
+
+    meta = _json.loads(
+        spark.read.text(path.rstrip("/") + "/_ann_meta").collect()[0]["value"]
+    )
+    if meta.get("method", "ivf") not in ("ivf", "lsh"):
+        raise ValueError(f"{path!r} is not an ANN index layout")
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias("id"))
+    else:
+        df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    df.write.mode("append").parquet(path.rstrip("/") + "/_tombstones")
+
+
+def _alive(df: DataFrame, tombstones) -> DataFrame:
+    if tombstones is None:
+        return df
+    return df.join(tombstones.select("id"), on="id", how="left_anti")
+
+
 def load_ann_index(spark, path: str):
     """Load an index written by :func:`save_ann_index`:
     ``(indexed_df, centroids, codebooks)`` — codebooks come back exactly
@@ -1339,7 +1390,12 @@ def load_ann_index(spark, path: str):
     batch joins' bucket equi-join now prune at the file listing
     (``PartitionFilters`` in the scan, pinned by plan test) — the
     pruning lever the in-memory path can only approximate with a
-    post-scan filter."""
+    post-scan filter.
+
+    r10: ids tombstoned by :func:`remove_from_ann_index` are anti-joined
+    out here, so every downstream search behaves as if the index had been
+    rebuilt without them (bucket partition pruning still applies — the
+    anti-join sits above the pruned scan)."""
     import json as _json
 
     meta = _json.loads(
@@ -1351,7 +1407,7 @@ def load_ann_index(spark, path: str):
             f"{path!r} holds a {meta['method']!r} index - use load_lsh_index "
             "(an IVF loader would misread the melt layout as bucketed vectors)"
         )
-    df = spark.read.parquet(path)
+    df = _alive(spark.read.parquet(path), _load_tombstones(spark, path))
     books = None
     if meta["codebooks"] is not None:
         if meta["residual_trained"] is None:
@@ -1379,11 +1435,17 @@ class LshIndex:
 
     @property
     def melt(self):
-        return self.spark.read.parquet(self.path + "/melt")
+        return _alive(
+            self.spark.read.parquet(self.path + "/melt"),
+            _load_tombstones(self.spark, self.path),
+        )
 
     @property
     def vecs(self):
-        return self.spark.read.parquet(self.path + "/vecs")
+        return _alive(
+            self.spark.read.parquet(self.path + "/vecs"),
+            _load_tombstones(self.spark, self.path),
+        )
 
 
 def save_lsh_index(
@@ -1658,7 +1720,8 @@ def compact_ann_index(
         raise ValueError(f"{src!r} is not an IVF-family index")
     if src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("compact_ann_index writes to a NEW path (versioned pointer flip); src == dst")
-    spark.read.parquet(src).repartition("ivf_bucket").write.option(
+    # tombstoned rows are dropped HERE (physical delete); dst starts clean
+    _alive(spark.read.parquet(src), _load_tombstones(spark, src)).repartition("ivf_bucket").write.option(
         "maxRecordsPerFile", max_records_per_file
     ).option("partitionOverwriteMode", "static").partitionBy("ivf_bucket").mode(
         mode

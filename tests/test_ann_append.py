@@ -277,3 +277,73 @@ def test_append_to_lsh_index_parity_recovery_and_compact(spark, tmp_path):
     bad = new.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
     with pytest.raises(ValueError, match="disagrees"):
         similarity.append_to_lsh_index(bad, path, "embedding", "vec_id")
+
+
+def test_remove_from_ann_index_tombstones(spark, tmp_path):
+    """r10: tombstone deletion — removed vectors vanish from searches
+    immediately (bit-equal to an index built without them), compaction
+    applies the delete physically and clears the tombstones, and a
+    re-append after compaction genuinely re-onboards."""
+    df, cents, books, enc = _build(spark)
+    path = str(tmp_path / "idx")
+    similarity.save_ann_index(enc, path, cents, books)
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    loaded0, c0, b0 = similarity.load_ann_index(spark, path)
+    base = _search(loaded0, c0, b0, qv)
+    victims = [r[0] for r in base[:3]]  # remove three of the top hits
+
+    similarity.remove_from_ann_index(spark, path, victims)
+    loaded1, c1, b1 = similarity.load_ann_index(spark, path)
+    got = _search(loaded1, c1, b1, qv)
+    want = _search(enc.where(~F.col("id").isin(victims)), cents, books, qv)
+    assert got == want
+    assert not {v for v in victims} & {r[0] for r in got}
+
+    # physical apply: compacted copy is smaller, has no tombstones, same results
+    import os
+    dst = str(tmp_path / "idx_v2")
+    similarity.compact_ann_index(spark, path, dst)
+    assert not os.path.exists(os.path.join(dst, "_tombstones"))
+    loaded2, c2, b2 = similarity.load_ann_index(spark, dst)
+    assert loaded2.count() == df.count() - 3
+    assert _search(loaded2, c2, b2, qv) == want
+
+    # removal wins over a post-removal append of the same id...
+    similarity.append_to_ann_index(
+        df.where(F.col("vec_id") == victims[0]), path, "embedding", "vec_id"
+    )
+    loaded3, c3, b3 = similarity.load_ann_index(spark, path)
+    assert _search(loaded3, c3, b3, qv) == want
+    # ...but re-onboarding works on the compacted copy
+    similarity.append_to_ann_index(
+        df.where(F.col("vec_id") == victims[0]), dst, "embedding", "vec_id"
+    )
+    loaded4, c4, b4 = similarity.load_ann_index(spark, dst)
+    partial = _search(
+        enc.where(~F.col("id").isin(victims[1:])), cents, books, qv
+    )
+    assert _search(loaded4, c4, b4, qv) == partial
+
+    # LSH family through the same entry point
+    lpath = str(tmp_path / "lsh")
+    similarity.save_lsh_index(df, lpath, "embedding", "vec_id")
+    queries = df.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("qid"), "embedding")
+    similarity.remove_from_ann_index(spark, lpath, victims)
+    got_l = sorted(
+        (r["id"], r["rank"]) for r in similarity.ann_lsh_topk_join(
+            queries, None, "", "", "embedding", "qid", k=10,
+            corpus_index=similarity.load_lsh_index(spark, lpath),
+        ).collect()
+    )
+    want_l = sorted(
+        (r["id"], r["rank"]) for r in similarity.ann_lsh_topk_join(
+            queries, df.where(~F.col("vec_id").isin(victims)), "embedding", "vec_id",
+            "embedding", "qid", k=10,
+        ).collect()
+    )
+    assert got_l == want_l
+    ldst = str(tmp_path / "lsh_v2")
+    similarity.compact_lsh_index(spark, lpath, ldst)
+    assert not os.path.exists(os.path.join(ldst, "_tombstones"))
+    lidx = similarity.load_lsh_index(spark, ldst)
+    assert lidx.vecs.count() == df.count() - 3

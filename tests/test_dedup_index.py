@@ -229,3 +229,50 @@ def test_compact_dedup_index_invariant_and_fewer_files(spark, tmp_path):
     with pytest.raises(ValueError, match="src == dst"):
         di.compact_dedup_index(spark, src, src)
     di.compact_dedup_index(spark, src, dst, mode="overwrite")
+
+
+def test_remove_from_index_reelects_keeper_and_compacts(spark, tmp_path):
+    """r10: tombstoning a group KEEPER re-elects the min surviving id, the
+    kept-set equals a full rerun on the surviving corpus, probes stop
+    pairing against removed docs, and compaction applies the delete
+    physically (no _tombstones in the compacted copy)."""
+    import os
+
+    df = _docs(spark)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(
+        df, path, "doc_id", "text", method="minhash",
+        num_hashes=32, bands=8, shingle_k=3, threshold=0.5, partitions=8,
+    )
+    idx = di.load_dedup_index(spark, path)
+    kept0 = {r["id"] for r in di.index_kept_ids(idx).where("kept").collect()}
+    # doc 0's group {0,1,2}: keeper is 0 — remove it
+    assert 0 in kept0 and 1 not in kept0
+    di.remove_from_index(idx, [0])
+
+    survivors = df.where(F.col("doc_id") != 0)
+    kept1 = {r["id"] for r in di.index_kept_ids(idx).where("kept").collect()}
+    full = dedup.minhash_lsh_pairs(
+        survivors, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, threshold=0.5
+    ).withColumnRenamed("est_jaccard", "score")
+    groups = dedup.connected_components(full, survivors.select(F.col("doc_id").alias("id")))
+    want = {r["id"] for r in groups.where(F.col("id") == F.col("group_id")).collect()}
+    assert kept1 == want
+    assert 0 not in kept1
+    assert idx.all_ids().count() == df.count() - 1
+
+    # probing with a near-copy of doc 0's text no longer pairs against 0
+    probe = spark.createDataFrame(
+        [(500, df.where(F.col("doc_id") == 0).collect()[0]["text"])], "doc_id long, text string"
+    )
+    pairs = di.dedup_pairs_against_index(probe, idx, "doc_id", "text")
+    partners = {r["id_a"] for r in pairs.collect()} | {r["id_b"] for r in pairs.collect()}
+    assert 0 not in partners and len(partners) > 0  # still finds 1 and 2
+
+    dst = str(tmp_path / "idx_v2")
+    di.compact_dedup_index(spark, path, dst)
+    assert not os.path.exists(os.path.join(dst, "_tombstones"))
+    cidx = di.load_dedup_index(spark, dst)
+    assert cidx.tombstones is None
+    assert cidx.all_ids().count() == df.count() - 1
+    assert {r["id"] for r in di.index_kept_ids(cidx).where("kept").collect()} == want
