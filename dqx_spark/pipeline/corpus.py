@@ -48,6 +48,9 @@ __all__ = [
     "blocklist_signals",
     "blocklist_filter",
     "token_distribution_divergence",
+    "token_count_state",
+    "merge_token_counts",
+    "token_distribution_divergence_from_states",
     "remove_repeated_lines",
     "top_ngram_coverage",
     "bigram_lm_scores",
@@ -493,16 +496,50 @@ def token_distribution_divergence(
     dominate.  The returned frame is a LOCAL 1-row DataFrame of the same
     schema."""
     tb = text_col_b or text_col
+    return token_distribution_divergence_from_states(
+        token_count_state(df_a, text_col, lowercase=lowercase),
+        token_count_state(df_b, tb, lowercase=lowercase),
+        report_partitions=report_partitions,
+    )
 
-    def counts(df: DataFrame, col: str) -> DataFrame:
-        t = to_col(col)
-        toks = tokens(F.lower(t) if lowercase else t)
-        return df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
-            F.count(F.lit(1)).alias("c")
-        )
 
-    ca = counts(df_a, text_col).withColumnRenamed("c", "ca")
-    cb = counts(df_b, tb).withColumnRenamed("c", "cb")
+def token_count_state(df: DataFrame, text_col: str, lowercase: bool = True) -> DataFrame:
+    """The slim (tok, c) unigram-count state — one map-side-combined
+    aggregation, the mergeable unit behind
+    :func:`token_distribution_divergence`.  In a continual pipeline,
+    compute this ONCE per ingested batch (batch-sized cost) and persist it
+    (``sketches.save_sketch(kind='tokens')``); the accumulated reference
+    corpus's distribution is then :func:`merge_token_counts` over the
+    batch states — so batch-vs-corpus divergence monitoring never rescans
+    the corpus text."""
+    t = to_col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    return df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def merge_token_counts(*states: DataFrame) -> DataFrame:
+    """Token-wise count sum — associative, NOT idempotent (the
+    ``cms_merge`` caveat: keep batch lineage in the layout).  All inputs
+    must share the ``lowercase`` knob (the sidecar records it)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("tok").agg(F.sum("c").alias("c"))
+
+
+def token_distribution_divergence_from_states(
+    state_a: DataFrame, state_b: DataFrame, report_partitions: int = 1
+) -> DataFrame:
+    """:func:`token_distribution_divergence` from two (tok, c) states
+    (:func:`token_count_state`) instead of raw text — the incremental
+    form: states persist per batch, merge per corpus, and the report here
+    costs one vocab-sized join however big the corpora were.  Same plan,
+    eagerness, and persist/unpersist discipline as the composed form
+    (which delegates here)."""
+    ca = state_a.select("tok", F.col("c").alias("ca"))
+    cb = state_b.select("tok", F.col("c").alias("cb"))
     from pyspark import StorageLevel  # noqa: PLC0415
 
     both = (
@@ -543,7 +580,7 @@ def token_distribution_divergence(
         rows = res.collect()
     finally:
         both.unpersist()
-    return df_a.sparkSession.createDataFrame(rows, res.schema)
+    return state_a.sparkSession.createDataFrame(rows, res.schema)
 
 
 # ---------------------------------------------------------------------------

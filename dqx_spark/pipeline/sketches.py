@@ -413,6 +413,9 @@ _KINDS = {
     "cms": {"depth", "width", "hash_name"},
     "moments": {"col"},
     "hist": {"col", "lo", "hi", "bins"},
+    # (tok, c) unigram states from corpus.token_count_state — count-summed
+    # like cms (append accumulates, re-merge at read; NOT idempotent)
+    "tokens": {"lowercase"},
 }
 
 

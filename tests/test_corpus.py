@@ -474,3 +474,39 @@ def test_token_distribution_divergence_degenerate(spark):
     assert r["kl_a_m"] == 0.0
     assert abs(r["kl_b_m"] - math.log(2)) < 1e-12
     assert abs(r["js_divergence"] - math.log(2) / 2) < 1e-12
+
+
+def test_token_divergence_from_merged_states(spark, tmp_path):
+    """r10: the incremental form — per-batch (tok, c) states persisted and
+    merged reproduce the composed report exactly (ints bit-equal, JS to
+    float-sum-order tolerance), so batch-vs-corpus divergence monitoring
+    never rescans corpus text."""
+    from dqx_spark.pipeline import sketches as SK
+    from dqx_spark.pipeline.corpus import (
+        merge_token_counts,
+        token_count_state,
+        token_distribution_divergence,
+        token_distribution_divergence_from_states,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    composed = token_distribution_divergence(a, b, "text").collect()[0]
+
+    # corpus A arrives as three batches whose states persist individually
+    path = str(tmp_path / "tok_a")
+    for i in range(3):
+        SK.save_sketch(
+            token_count_state(a.where(F.col("doc_id") % 3 == i), "text"),
+            path, "tokens", {"lowercase": True}, mode="append" if i else "overwrite",
+        )
+    loaded, meta = SK.load_sketch(spark, path)
+    assert meta == {"kind": "tokens", "lowercase": True}
+    state_a = merge_token_counts(loaded)
+    state_b = token_count_state(b, "text")
+    incr = token_distribution_divergence_from_states(state_a, state_b).collect()[0]
+
+    for c in ("n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b", "vocab_union"):
+        assert incr[c] == composed[c], c
+    assert abs(incr["js_divergence"] - composed["js_divergence"]) < 1e-12
