@@ -217,10 +217,14 @@ def cmd_index_compact(args) -> int:
                             max_records_per_file=args.records_per_file, mode=mode)
     # integrity report: row parity between src and dst (for lsh, the vecs
     # table - the melt may legitimately SHRINK: compaction dedups the
-    # harmless duplicate rows crash-recovery re-runs leave)
+    # harmless duplicate rows crash-recovery re-runs leave).  The src side
+    # counts through the loaders so tombstoned rows - which compaction
+    # correctly DROPS - don't read as a parity failure.
     if args.kind == "ann":
-        n_src = spark.read.parquet(args.input).count()
-        n_dst = spark.read.parquet(args.output).count()
+        from dqx_spark.pipeline.similarity import load_ann_index
+
+        n_src = load_ann_index(spark, args.input)[0].count()
+        n_dst = load_ann_index(spark, args.output)[0].count()
     elif args.kind == "lsh":
         from dqx_spark.pipeline.similarity import load_lsh_index
 

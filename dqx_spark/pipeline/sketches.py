@@ -446,8 +446,16 @@ def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "o
         # BEFORE touching the data
         try:
             _, existing = load_sketch(df.sparkSession, path)
-        except Exception:  # noqa: BLE001 - first batch, nothing there yet
-            existing = None
+        except Exception as e:  # noqa: BLE001
+            # ONLY a missing path means 'first batch'.  A present layout
+            # with an unreadable/absent sidecar (e.g. a crashed half-save)
+            # must raise: appending would adopt orphan rows whose hashing
+            # knobs are unknown — the exact corruption this guard exists
+            # to prevent.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                existing = None
+            else:
+                raise
         if existing is not None:
             incoming = {"kind": kind, **{k: knobs[k] for k in sorted(knobs)}}
             if existing != incoming:
