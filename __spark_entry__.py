@@ -392,7 +392,14 @@ def q_ann_topk(spark, sf):
     corpus, ``append_to_ann_index`` onboarding the rest against the
     sidecar's own centroids/books, ``load_ann_index``, one
     ``ivfpq_topk_join``.  Twin = the ``ivfpq_join_q*`` replay: incremental
-    ingestion must be bit-equal to the one-shot build."""
+    ingestion must be bit-equal to the one-shot build.
+
+    ``ivfpq_tomb_q*`` rows then REMOVE the three query vectors from that
+    index (``remove_from_ann_index`` — each ranks #1 for itself, so the
+    rows discriminate at any vintage) and re-serve the queries; twin =
+    the replay over the surviving rows with the unchanged frozen
+    centroids/books.  Green == logical deletion bit-equal to an index
+    built without the removed vectors."""
     p = _ANN_PARAMS
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -510,10 +517,28 @@ def q_ann_topk(spark, sf):
         F.concat(F.lit("ivfpq_disk_q"), F.col("query_id").cast("string")).alias("method"),
         "id", "rank",
     )
+    # r10 (cont.): TOMBSTONE rows — remove the three query vectors
+    # themselves from the disk index (each ranks #1 for itself with
+    # cosine 1.0, so removal is maximally discriminating and tie-free at
+    # any data vintage) and re-serve the same queries.  Twin = the local
+    # replay over the SURVIVING rows; green == logical deletion is
+    # bit-equal to an index built without the removed vectors.  Lazy-safe
+    # w.r.t. ivfpq_disk above: its load predates the tombstones (no
+    # anti-join in its plan) and removal appends no data files.
+    similarity.remove_from_ann_index(spark, ann_idx_path, list(_ANN_JOIN_QIDS))
+    loaded_t, cents_t, books_t = similarity.load_ann_index(spark, ann_idx_path)
+    ivfpq_tomb = similarity.ivfpq_topk_join(
+        queries_df, loaded_t, cents_t, books_t, "embedding", "qid",
+        k=p["k"], n_probe=p["n_probe"], rerank_r=p["pq_rerank"],
+    ).select(
+        F.concat(F.lit("ivfpq_tomb_q"), F.col("query_id").cast("string")).alias("method"),
+        "id", "rank",
+    )
     return (
         exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
         .unionByName(ivfpq).unionByName(ivfpq_join).unionByName(ivf_join)
         .unionByName(lsh_join).unionByName(lsh_disk).unionByName(ivfpq_disk)
+        .unionByName(ivfpq_tomb)
     )
 
 
@@ -3082,6 +3107,18 @@ def _ann_topk_oracle_sql(sf_dir: str) -> str:
         # in-memory join (append against the sidecar's own centroids/books
         # == one-shot build over the union) - same replay twin
         methods.append((f"ivfpq_disk_q{qid}", ivfpq_replay))
+        # r10 (cont.): tombstone rows - the three query vectors removed
+        # from the index; replay over the SURVIVING rows with the SAME
+        # (full-corpus-trained) centroids/books, since removal does not
+        # retrain the frozen index parameters
+        rows_minus = [(i, v) for i, v in rows if i not in _ANN_JOIN_QIDS]
+        methods.append((
+            f"ivfpq_tomb_q{qid}",
+            ann_local.ivfpq_topk_local(
+                rows_minus, centroids, books_res, qv, k=p["k"], n_probe=p["n_probe"],
+                rerank_r=p["pq_rerank"],
+            ),
+        ))
         methods.append((
             f"ivf_join_q{qid}",
             ann_local.ivf_topk_local(rows, centroids, qv, k=p["k"], n_probe=p["n_probe"]),
