@@ -916,3 +916,27 @@ def test_sketches_plan_partial_agg_no_python_broadcast_probe(spark):
     pp = plan_of(SK.cms_probe(sk, items, "k", depth=4, width=1024))
     assert "BroadcastHashJoin" in pp
     assert "SortMergeJoin" not in pp
+
+
+def test_tombstoned_index_keeps_pruning_and_broadcasts_antijoin(spark, tmp_path):
+    """r10: a loaded index with tombstones must still partition-prune the
+    probed search (the isin filter pushes through the anti-join to the
+    scan) and the tombstone anti-join must broadcast the tiny tombstone
+    side — if removal cost a full sort-merge or killed PartitionFilters,
+    takedowns would make every search corpus-priced."""
+    from dqx_spark.pipeline import similarity as S
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_train_centroids(df, "embedding", n_centroids=8, seed=42,
+                                  sample_order_by="vec_id")
+    indexed = S.ivf_assign_buckets(df, cents, "embedding", "vec_id")
+    path = str(tmp_path / "idx")
+    S.save_ann_index(indexed, path, cents, None)
+    S.remove_from_ann_index(spark, path, [1, 2])
+    loaded, c2, _ = S.load_ann_index(spark, path)
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    p = plan_of(S.ivf_topk(loaded, c2, qv, k=5, n_probe=3))
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", p)
+    assert m and "ivf_bucket" in m.group(1), "pruning lost under the tombstone anti-join"
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
