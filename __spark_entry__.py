@@ -235,7 +235,14 @@ def q_dedup_minhash(spark, sf):
     )
     idx_path = "/tmp/dqx_gate_dedup_idx_" + os.path.basename(os.path.normpath(sf))
     # save(overwrite) wipes bands/sigs/pairs, so the append below cannot
-    # double-accumulate across gate reruns
+    # double-accumulate across gate reruns — but it does NOT touch
+    # _tombstones (save only overwrites its own subdirs), and a stale
+    # tombstone table from a prior run's tomb_kept leg would leak into the
+    # PRE-removal incr rows via the accessors' anti-join.  Wipe the whole
+    # index dir (always local /tmp here) before rebuilding.
+    import shutil
+
+    shutil.rmtree(idx_path, ignore_errors=True)
     dedup_index.save_dedup_index(
         df.where(F.col("doc_id") % 2 == 0), idx_path, "doc_id", "text",
         method="minhash", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
@@ -256,11 +263,28 @@ def q_dedup_minhash(spark, sf):
         nl("long").alias("common"), nl("long").alias("size_a"),
         nl("long").alias("size_b"), nl("double").alias("jaccard"),
     )
+    # r10 (cont.): scope='tomb_kept' — remove every doc_id ≡ 0 (mod 10)
+    # via the tombstone table and emit the kept-set again; the twin
+    # re-derives it from scratch over the SURVIVING corpus, so green ==
+    # takedowns re-elect keepers exactly like a full rerun without the
+    # removed docs.  Lazy-safe: the incr/incr_kept frames above were
+    # constructed BEFORE the removal (their accessor plans carry no
+    # anti-join) and removal appends only to _tombstones.
+    dedup_index.remove_from_index(idx, df.where(F.col("doc_id") % 10 == 0).select("doc_id"))
+    tomb_kept = dedup_index.index_kept_ids(
+        dedup_index.load_dedup_index(spark, idx_path)
+    ).where("kept").select(
+        F.lit("tomb_kept").alias("scope"), F.col("id").alias("id_a"),
+        nl("long").alias("id_b"), nl("double").alias("est_jaccard"),
+        nl("long").alias("common"), nl("long").alias("size_a"),
+        nl("long").alias("size_b"), nl("double").alias("jaccard"),
+    )
     return (
         out_cols(within, "within")
         .unionByName(out_cols(cross, "cross"))
         .unionByName(incr)
         .unionByName(incr_kept)
+        .unionByName(tomb_kept)
     )
 
 
@@ -2611,7 +2635,15 @@ def _minhash_oracle() -> str:
         "edgesi AS (SELECT id_a s, id_b d FROM esti UNION SELECT id_b, id_a FROM esti), "
         "reachi(id, r) AS (SELECT doc_id, doc_id FROM documents "
         "UNION SELECT eg.s, reachi.r FROM edgesi eg JOIN reachi ON eg.d = reachi.id), "
-        "gi AS (SELECT id, min(r) AS group_id FROM reachi GROUP BY id) "
+        "gi AS (SELECT id, min(r) AS group_id FROM reachi GROUP BY id), "
+        # tombstone twin (r10 cont.): the kept-set over the SURVIVING
+        # corpus (doc_id % 10 != 0) derived from scratch - pairs filtered
+        # to surviving endpoints, components re-run, min SURVIVING id wins
+        "estt AS (SELECT id_a, id_b FROM esti WHERE id_a % 10 != 0 AND id_b % 10 != 0), "
+        "edgest AS (SELECT id_a s, id_b d FROM estt UNION SELECT id_b, id_a FROM estt), "
+        "reacht(id, r) AS (SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 != 0 "
+        "UNION SELECT eg.s, reacht.r FROM edgest eg JOIN reacht ON eg.d = reacht.id), "
+        "gt AS (SELECT id, min(r) AS group_id FROM reacht GROUP BY id) "
         "SELECT c.scope, e.id_a, e.id_b, round(e.e, 6) AS est_jaccard, cm.common::BIGINT AS common, "
         "sza.n::BIGINT AS size_a, szb.n::BIGINT AS size_b, "
         "round(cm.common::DOUBLE / (sza.n + szb.n - cm.common), 6) AS jaccard "
@@ -2622,7 +2654,9 @@ def _minhash_oracle() -> str:
         "UNION ALL SELECT 'incr', id_a, id_b, round(e, 6), NULL::BIGINT, NULL::BIGINT, "
         "NULL::BIGINT, NULL::DOUBLE FROM esti "
         "UNION ALL SELECT 'incr_kept', id, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, "
-        "NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE FROM gi WHERE id = group_id"
+        "NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE FROM gi WHERE id = group_id "
+        "UNION ALL SELECT 'tomb_kept', id, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, "
+        "NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE FROM gt WHERE id = group_id"
     )
 
 
