@@ -93,6 +93,7 @@ __all__ = [
     "dedup_against_index",
     "compact_dedup_index",
     "remove_from_index",
+    "index_stats",
 ]
 
 _META_SUBDIR = "_dedup_meta"
@@ -770,3 +771,35 @@ def compact_dedup_index(
             d + "/pairs"
         )
     _write_meta(spark, d, idx.meta)
+
+
+def index_stats(index: DedupIndex) -> dict:
+    """Health report for a dedup index — the compaction-cadence numbers
+    (:func:`~dqx_spark.pipeline.similarity.ann_index_stats`'s dedup
+    sibling): live per-``pb``-partition state rows (largest table: bands
+    for minhash/simhash, keys for exact), per-batch file accumulation,
+    pair-ledger size, and tombstone debt.  Driver-bounded: the per-pb
+    aggregate is ≤ ``partitions`` rows, files come from the driver's
+    listing."""
+    spark = index.spark
+    state = index.keys if index.method == "exact" else index.bands
+    per = {int(r["pb"]): int(r["count"]) for r in state.groupBy("pb").count().collect()}
+    counts = sorted(per.values())
+    n = len(counts)
+    total = sum(counts)
+    files = state.inputFiles()
+    ts = index.tombstones
+    out = {
+        "method": index.method,
+        "partitions_configured": index.partitions,
+        "partitions_live": n,
+        "state_rows": total,
+        "rows_max_pb": counts[-1] if counts else 0,
+        "pb_skew": round(counts[-1] / (total / n), 2) if total else None,
+        "data_files": len(files),
+        "files_per_partition": round(len(files) / n, 2) if n else None,
+        "tombstoned": int(ts.count()) if ts is not None else 0,
+    }
+    if index.meta.get("include_pairs"):
+        out["ledger_pairs"] = int(index.pairs.count())
+    return out

@@ -54,6 +54,7 @@ __all__ = [
     "append_to_lsh_index",
     "compact_lsh_index",
     "remove_from_ann_index",
+    "ann_index_stats",
 ]
 
 
@@ -1768,3 +1769,56 @@ def compact_lsh_index(
     spark.createDataFrame([(_json.dumps(idx.meta),)], "value string").coalesce(1).write.mode(
         "overwrite"
     ).text(d + "/_ann_meta")
+
+
+def ann_index_stats(spark, path: str) -> dict:
+    """Health report for a persisted index — the numbers that drive the
+    two maintenance decisions this module leaves to the operator:
+
+    * **compact when** ``files_per_partition`` creeps up (each appended
+      batch adds ~1 file per touched partition; every pruned read then
+      pays that many footer opens) or ``tombstoned`` grows (each logical
+      delete costs an anti-join until applied physically);
+    * **retrain when** ``bucket_skew`` drifts far above 1 (the largest
+      cell vs the mean — AQE splits skewed JOINS at runtime, but a probed
+      single-query search still scans the whole hot cell; re-fitting
+      centroids on current data rebalances).
+
+    Works on both families (IVF: rows per ``ivf_bucket``; LSH: melt rows
+    per ``(t, b)``).  Driver-bounded: the per-bucket counts aggregate is
+    at most the bucket count (≤ centroids, or tables × 2^planes, capped
+    65536 at save), file counts come from the driver's file listing, and
+    nothing corpus-sized is collected.  Counts are of LIVE rows
+    (tombstones excluded) — ``tombstoned`` reports the debt separately."""
+    import json as _json
+
+    meta = _json.loads(
+        spark.read.text(path.rstrip("/") + "/_ann_meta").collect()[0]["value"]
+    )
+    method = meta.get("method", "ivf")
+    if method == "ivf":
+        df, _, _ = load_ann_index(spark, path)
+        per = df.groupBy("ivf_bucket").count().collect()
+        data_files = df.inputFiles()
+    elif method == "lsh":
+        idx = load_lsh_index(spark, path)
+        per = idx.melt.groupBy("t", "b").count().collect()
+        data_files = idx.melt.inputFiles()
+    else:  # pragma: no cover - sidecar guard
+        raise ValueError(f"{path!r} is not an ANN index layout")
+    counts = sorted(int(r["count"]) for r in per)
+    n_parts = len(counts)
+    total = sum(counts)
+    ts = _load_tombstones(spark, path)
+    return {
+        "method": method,
+        "partitions": n_parts,
+        "rows": total,
+        "rows_min": counts[0] if counts else 0,
+        "rows_median": counts[n_parts // 2] if counts else 0,
+        "rows_max": counts[-1] if counts else 0,
+        "bucket_skew": round(counts[-1] / (total / n_parts), 2) if total else None,
+        "data_files": len(data_files),
+        "files_per_partition": round(len(data_files) / n_parts, 2) if n_parts else None,
+        "tombstoned": int(ts.count()) if ts is not None else 0,
+    }

@@ -347,3 +347,60 @@ def test_remove_from_ann_index_tombstones(spark, tmp_path):
     assert not os.path.exists(os.path.join(ldst, "_tombstones"))
     lidx = similarity.load_lsh_index(spark, ldst)
     assert lidx.vecs.count() == df.count() - 3
+
+
+def test_index_stats_reports_health(spark, tmp_path):
+    """r10: the maintenance-decision numbers — live rows (tombstones
+    excluded, debt reported separately), per-partition file accumulation
+    growing with appends and collapsing after compaction, bucket skew."""
+    from dqx_spark.pipeline import dedup_index as di
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(
+        df, "embedding", n_centroids=4, seed=1, max_iter=5, n_init=1,
+        sample_order_by="vec_id",
+    )
+    path = str(tmp_path / "idx")
+    similarity.save_ann_index(
+        similarity.ivf_assign_buckets(df.where(F.col("vec_id") % 2 == 0), cents,
+                                      "embedding", "vec_id"),
+        path, cents, None,
+    )
+    s0 = similarity.ann_index_stats(spark, path)
+    similarity.append_to_ann_index(df.where(F.col("vec_id") % 2 == 1), path,
+                                   "embedding", "vec_id")
+    s1 = similarity.ann_index_stats(spark, path)
+    assert s1["rows"] == df.count()
+    assert s1["data_files"] > s0["data_files"]
+    assert s1["files_per_partition"] > s0["files_per_partition"]
+    assert s1["method"] == "ivf" and s1["tombstoned"] == 0
+    assert s1["rows_max"] >= s1["rows_median"] >= s1["rows_min"]
+    assert s1["bucket_skew"] >= 1.0
+
+    similarity.remove_from_ann_index(spark, path, [0, 1])
+    s2 = similarity.ann_index_stats(spark, path)
+    assert s2["tombstoned"] == 2 and s2["rows"] == df.count() - 2
+
+    dst = str(tmp_path / "idx_v2")
+    similarity.compact_ann_index(spark, path, dst)
+    s3 = similarity.ann_index_stats(spark, dst)
+    assert s3["tombstoned"] == 0 and s3["rows"] == df.count() - 2
+    assert s3["files_per_partition"] <= s1["files_per_partition"]
+
+    # lsh family
+    lpath = str(tmp_path / "lsh")
+    similarity.save_lsh_index(df, lpath, "embedding", "vec_id", num_planes=4, num_tables=4)
+    sl = similarity.ann_index_stats(spark, lpath)
+    assert sl["method"] == "lsh" and sl["rows"] == df.count() * 4  # one melt row per table
+
+    # dedup sibling
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    dpath = str(tmp_path / "dd")
+    di.save_dedup_index(docs, dpath, "doc_id", "text", method="minhash",
+                        num_hashes=32, bands=8, shingle_k=3, partitions=8)
+    ds = di.index_stats(di.load_dedup_index(spark, dpath))
+    assert ds["method"] == "minhash" and ds["state_rows"] > 0
+    assert ds["partitions_configured"] == 8 and "ledger_pairs" in ds
+    di.remove_from_index(di.load_dedup_index(spark, dpath), [docs.collect()[0]["doc_id"]])
+    ds2 = di.index_stats(di.load_dedup_index(spark, dpath))
+    assert ds2["tombstoned"] == 1 and ds2["state_rows"] < ds["state_rows"]
