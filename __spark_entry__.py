@@ -408,8 +408,11 @@ def q_ann_topk(spark, sf):
     PERSISTED melt (``save_lsh_index``/``load_lsh_index`` under /tmp —
     a real disk round trip; the corpus hashing pass is skipped and the
     (t, b)-partitioned melt scan dynamic-partition-prunes, pinned by plan
-    test).  Twin = the same per-query local replay as ``lsh_join_q*`` —
-    disk must be bit-equal to memory.
+    test) — built INCREMENTALLY since the r10 continuation: 75% saved,
+    25% onboarded via ``append_to_lsh_index``, so the rows also certify
+    the sign-LSH append leg.  Twin = the same per-query local replay as
+    ``lsh_join_q*`` — the incrementally-built disk index must be
+    bit-equal to memory over the whole corpus.
 
     r10 (cont.): ``ivfpq_disk_q*`` rows serve the same queries from a
     saved-then-APPENDED IVFADC layout — ``save_ann_index`` over 80% of the
@@ -507,9 +510,17 @@ def q_ann_topk(spark, sf):
     # r10: the persisted-melt form — same queries, corpus hashing pass
     # replaced by a save_lsh_index/load_lsh_index disk round trip
     lsh_idx_path = "/tmp/dqx_gate_lsh_idx_" + os.path.basename(os.path.normpath(sf))
+    # r10 (cont.): the persisted melt is now built INCREMENTALLY — 75% of
+    # the corpus saved, the rest onboarded via append_to_lsh_index against
+    # the sidecar's own hashing knobs — so the same lsh_disk_q* rows also
+    # certify the sign-LSH append leg (melt deterministic in (vec, seed)
+    # ⇒ append == re-save of the union, same twin)
     similarity.save_lsh_index(
-        df, lsh_idx_path, "embedding", "vec_id",
+        df.where(F.col("vec_id") % 4 != 0), lsh_idx_path, "embedding", "vec_id",
         num_planes=p["num_planes"], num_tables=p["num_tables"], seed=p["seed"],
+    )
+    similarity.append_to_lsh_index(
+        df.where(F.col("vec_id") % 4 == 0), lsh_idx_path, "embedding", "vec_id"
     )
     lsh_disk = similarity.ann_lsh_topk_join(
         queries_df, None, "", "", "embedding", "qid",
