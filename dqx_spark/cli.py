@@ -240,6 +240,84 @@ def cmd_index_compact(args) -> int:
     return 0 if n_src == n_dst else 1
 
 
+def cmd_sketch_build(args) -> int:
+    """Build (or --append) one mergeable sketch over a parquet input —
+    the per-batch cron step of incremental corpus statistics: each batch
+    appends its register/counter rows, sketch-report re-merges at read.
+    Knobs are frozen into the sidecar; appends with different knobs are
+    rejected by save_sketch."""
+    from dqx_spark.pipeline import corpus as CO
+    from dqx_spark.pipeline import sketches as SK
+
+    spark = _spark("sketch_build")
+    df = spark.read.parquet(args.input)
+    mode = "append" if args.append else "overwrite"
+    if args.kind == "hll":
+        sk = SK.hll_sketch(df, args.cols, p=args.p, hash_name=args.hash_name)
+        knobs = {"p": args.p, "hash_name": args.hash_name}
+    elif args.kind == "cms":
+        sk = SK.cms_sketch(df, args.cols, depth=args.depth, width=args.width,
+                           hash_name=args.hash_name)
+        knobs = {"depth": args.depth, "width": args.width, "hash_name": args.hash_name}
+    elif args.kind == "moments":
+        sk = SK.moments_sketch(df, args.cols[0])
+        knobs = {"col": args.cols[0]}
+    elif args.kind == "hist":
+        if args.lo is None or args.hi is None:
+            print("error: hist needs --lo and --hi (frozen edges)", file=sys.stderr)
+            return 2
+        sk = SK.histogram_sketch(df, args.cols[0], args.lo, args.hi, bins=args.bins)
+        knobs = {"col": args.cols[0], "lo": args.lo, "hi": args.hi, "bins": args.bins}
+    else:  # tokens
+        sk = CO.token_count_state(df, args.cols[0], lowercase=not args.no_lowercase)
+        knobs = {"lowercase": not args.no_lowercase}
+    SK.save_sketch(sk, args.output, args.kind, knobs, mode=mode)
+    print(json.dumps({"kind": args.kind, "output": args.output, "mode": mode, **knobs}))
+    return 0
+
+
+def cmd_sketch_report(args) -> int:
+    """Read a sketch layout, re-merge any appended batches, and print the
+    estimate it exists for: hll → distinct estimate; cms → per---probe
+    counts; moments → merged summary stats; hist → --quantiles; tokens →
+    token/vocab totals (pairs of token layouts compare via
+    token_distribution_divergence_from_states in code)."""
+    from dqx_spark.pipeline import corpus as CO
+    from dqx_spark.pipeline import sketches as SK
+    from pyspark.sql import functions as F
+
+    spark = _spark("sketch_report")
+    df, meta = SK.load_sketch(spark, args.input)
+    kind = meta["kind"]
+    out = {"kind": kind, **{k: v for k, v in meta.items() if k != "kind"}}
+    if kind == "hll":
+        out["distinct_estimate"] = round(SK.hll_estimate(SK.hll_merge(df), meta["p"]), 1)
+    elif kind == "cms":
+        if not args.probe:
+            print("error: cms report needs --probe VALUE [VALUE...]", file=sys.stderr)
+            return 2
+        items = spark.createDataFrame([(v,) for v in args.probe], "item string")
+        merged = SK.cms_merge(df)
+        probed = SK.cms_probe(merged, items, "item", depth=meta["depth"],
+                              width=meta["width"], hash_name=meta["hash_name"])
+        out["counts"] = {r["item"]: int(r["est_count"]) for r in probed.collect()}
+    elif kind == "moments":
+        row = SK.moments_merge(df).collect()[0]
+        out.update({k: row[k] for k in ("n", "mn", "mx", "mean", "var_pop", "stddev_pop")})
+    elif kind == "hist":
+        qs = args.quantiles or [0.5]
+        merged = SK.histogram_merge(df)
+        vals = SK.histogram_quantile(merged, meta["lo"], meta["hi"], meta["bins"], qs)
+        out["quantiles"] = dict(zip([str(q) for q in qs], [round(v, 6) for v in vals]))
+    else:  # tokens
+        row = CO.merge_token_counts(df).agg(
+            F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+        ).collect()[0]
+        out.update({"total_tokens": int(row["t"]), "vocab": int(row["v"])})
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_llm_generate(args) -> int:
     """Generate checks with an injected LLM provider, resolved from a
     'module:attribute' import path (no bundled runtime — see dqx_spark.llm)."""
@@ -415,6 +493,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite", action="store_true",
                    help="allow re-running a failed compaction onto the same output")
     p.set_defaults(func=cmd_index_compact)
+
+    p = sub.add_parser(
+        "sketch-build",
+        help="build or --append one mergeable sketch (hll/cms/moments/hist/tokens) "
+             "over a parquet input - the per-batch step of incremental corpus stats",
+    )
+    p.add_argument("--kind", required=True, choices=["hll", "cms", "moments", "hist", "tokens"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True, help="sketch layout path (data/ + _sketch_meta)")
+    p.add_argument("--cols", nargs="+", required=True,
+                   help="key columns (hll/cms may take several; moments/hist/tokens take one)")
+    p.add_argument("--append", action="store_true",
+                   help="accumulate this batch's rows (knob mismatch vs the sidecar is rejected)")
+    p.add_argument("--p", type=int, default=12)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--hash-name", default="xxhash64", choices=["xxhash64", "md5"])
+    p.add_argument("--lo", type=float, default=None)
+    p.add_argument("--hi", type=float, default=None)
+    p.add_argument("--bins", type=int, default=128)
+    p.add_argument("--no-lowercase", action="store_true")
+    p.set_defaults(func=cmd_sketch_build)
+
+    p = sub.add_parser(
+        "sketch-report",
+        help="re-merge a sketch layout's accumulated batches and print its estimate "
+             "(hll: distinct; cms: --probe counts; moments: stats; hist: --quantiles; "
+             "tokens: totals)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--probe", nargs="*", default=None,
+                   help="cms: string form of the values to count")
+    p.add_argument("--quantiles", nargs="*", type=float, default=None)
+    p.set_defaults(func=cmd_sketch_report)
 
     p = sub.add_parser("run", help="managed multi-table runs from a run-config YAML/JSON file")
     p.add_argument("--run-configs", required=True, help="file written by save_run_configs (or by hand)")

@@ -216,3 +216,66 @@ def test_cli_index_compact(spark, tmp_path, capsys):
     assert rc4 == 0
     rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep4["rows_src"] == rep4["rows_dst"] == emb.count()
+
+
+def test_cli_sketch_build_and_report(spark, tmp_path, capsys):
+    """r10: the per-batch incremental-stats loop from the command line -
+    two appended batches re-merge to the whole-corpus estimate; knob
+    mismatch on append fails; every kind reports."""
+    out = str(tmp_path / "hll")
+    rc = main(["sketch-build", "--kind", "hll", "--input", f"{SF}/lineitem.parquet",
+               "--output", out, "--cols", "l_orderkey", "--hash-name", "md5"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["sketch-report", "--input", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    assert abs(rep["distinct_estimate"] / exact - 1.0) < 0.1
+
+    # append a second batch; knob mismatch rejected via save_sketch
+    rc = main(["sketch-build", "--kind", "hll", "--input", f"{SF}/orders.parquet",
+               "--output", out, "--cols", "o_orderkey", "--hash-name", "md5", "--append"])
+    assert rc == 0
+    capsys.readouterr()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="disagree with the sidecar"):
+        main(["sketch-build", "--kind", "hll", "--input", f"{SF}/orders.parquet",
+              "--output", out, "--cols", "o_orderkey", "--p", "8", "--hash-name", "md5",
+              "--append"])
+
+    mout = str(tmp_path / "mom")
+    assert main(["sketch-build", "--kind", "moments", "--input", f"{SF}/lineitem.parquet",
+                 "--output", mout, "--cols", "l_quantity"]) == 0
+    capsys.readouterr()
+    assert main(["sketch-report", "--input", mout]) == 0
+    mrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mrep["n"] == li.count()
+
+    hout = str(tmp_path / "hist")
+    assert main(["sketch-build", "--kind", "hist", "--input", f"{SF}/lineitem.parquet",
+                 "--output", hout, "--cols", "l_quantity", "--lo", "1", "--hi", "51",
+                 "--bins", "50"]) == 0
+    capsys.readouterr()
+    assert main(["sketch-report", "--input", hout, "--quantiles", "0.5", "0.9"]) == 0
+    hrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(hrep["quantiles"]) == {"0.5", "0.9"}
+    assert 1 <= hrep["quantiles"]["0.5"] <= 51
+
+    cout = str(tmp_path / "cms")
+    assert main(["sketch-build", "--kind", "cms", "--input", f"{SF}/lineitem.parquet",
+                 "--output", cout, "--cols", "l_returnflag", "--hash-name", "md5"]) == 0
+    capsys.readouterr()
+    assert main(["sketch-report", "--input", cout, "--probe", "A", "N"]) == 0
+    crep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exact_a = li.where("l_returnflag = 'A'").count()
+    assert crep["counts"]["A"] == exact_a  # 3 values in 1024 buckets: exact
+
+    tout = str(tmp_path / "tok")
+    assert main(["sketch-build", "--kind", "tokens", "--input", f"{SF}/documents.parquet",
+                 "--output", tout, "--cols", "text"]) == 0
+    capsys.readouterr()
+    assert main(["sketch-report", "--input", tout]) == 0
+    trep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trep["total_tokens"] > trep["vocab"] > 0
