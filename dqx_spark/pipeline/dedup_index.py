@@ -168,9 +168,12 @@ class DedupIndex:
     @property
     def pairs(self) -> DataFrame:
         """The (id_a, id_b, score) duplicate-pair ledger (id_a < id_b) —
-        pairs with a removed endpoint are excluded, so the kept-set over
-        the ledger equals a full rerun on the SURVIVING corpus (a removed
-        keeper's group re-elects the min surviving id)."""
+        pairs with a removed endpoint are excluded, so for minhash/simhash
+        (whose ledger stores EVERY qualifying pair) the kept-set over the
+        ledger equals a full rerun on the SURVIVING corpus (a removed
+        keeper's group re-elects the min surviving id).  The exact ledger
+        is star-shaped and NOT removal-robust; :func:`index_kept_ids`
+        derives exact groups from the keys table instead."""
         if not self.meta.get("include_pairs"):
             raise ValueError(
                 "this index was saved with include_pairs=False - no pair ledger; "
@@ -647,12 +650,37 @@ def append_to_index(
 
 def index_kept_ids(index: DedupIndex, max_iterations: int = 20, storage: str = "local") -> DataFrame:
     """The kept/dropped verdict over everything onboarded so far:
-    ``(id, group_id, kept)`` — connected components over the pair LEDGER
-    (slim: pairs only, never corpus-sized) with the min-id keeper, i.e.
-    ``kept ⟺ id == group_id``.  Because the ledger equals the full-rerun
-    pair set (see module docstring), this kept-set is bit-for-bit what
-    ``remove_near_duplicates`` would produce on the full union — the
-    incremental == full-rerun certification runs through this function."""
+    ``(id, group_id, kept)`` with the min-id keeper, i.e.
+    ``kept ⟺ id == group_id``, bit-for-bit what ``remove_near_duplicates``
+    would produce on a full rerun over the SURVIVING corpus.
+
+    minhash/simhash: connected components over the pair LEDGER (slim:
+    pairs only, never corpus-sized).  The ledger equals the full-rerun
+    pair set (see module docstring) and stores EVERY qualifying pair, so
+    anti-joining tombstoned endpoints leaves exactly the surviving
+    corpus's pair set — removal-robust by construction.
+
+    exact: groups are re-derived from the KEYS table (``dup_key`` groupBy
+    + min-id), NOT the ledger.  The exact ledger is deliberately
+    star-shaped (|dups| edges, not |dups|²: :func:`_exact_star_pairs`
+    links only the min-id hub to members; incremental appends chain via
+    one representative old id), which is the right ledger SIZE but the
+    wrong group source once tombstones exist — removing a hub would strip
+    every edge of its group and turn all surviving duplicates into
+    singleton keepers (r10 ADVICE).  No sparse edge set survives
+    arbitrary node deletion (a chain splits when a middle node goes), so
+    instead of densifying to quadratic edges we read groups from the key
+    table itself: equality groups ARE the dup_key partition, the
+    tombstone anti-join in :attr:`DedupIndex.keys` already yields the
+    surviving membership, and a groupBy-min beats iterating components.
+    The exact ledger stays as written — probe connectivity and
+    observability (``index_stats``), not kept-set derivation."""
+    if index.method == "exact":
+        keys = index.keys
+        reps = keys.groupBy("dup_key").agg(F.min("id").alias("group_id"))
+        return keys.join(reps, "dup_key").select(
+            "id", "group_id", (F.col("id") == F.col("group_id")).alias("kept")
+        )
     labels = connected_components(
         index.pairs, index.all_ids(), id_col="id", max_iterations=max_iterations, storage=storage
     )

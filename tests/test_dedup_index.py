@@ -276,3 +276,38 @@ def test_remove_from_index_reelects_keeper_and_compacts(spark, tmp_path):
     assert cidx.tombstones is None
     assert cidx.all_ids().count() == df.count() - 1
     assert {r["id"] for r in di.index_kept_ids(cidx).where("kept").collect()} == want
+
+
+def test_remove_exact_keeper_reelects_min_survivor(spark, tmp_path):
+    """r11 (r10 ADVICE high): on an EXACT index the pair ledger is
+    star-shaped, so kept-set derivation must come from the keys table —
+    tombstoning a group's keeper (the star hub) must re-elect the min
+    SURVIVING member, not promote every surviving duplicate to a
+    singleton keeper."""
+    df = _docs(spark)  # doc 0's exact-dup group under _docs is {0, 2} via i%4==2
+    # build a 3-member exact group explicitly: 0, 2 share text; add 20 as a copy
+    extra = spark.createDataFrame(
+        [(20, df.where(F.col("doc_id") == 0).collect()[0]["text"])], "doc_id long, text string"
+    )
+    corpus = df.unionByName(extra)
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(corpus, path, "doc_id", "text", method="exact", partitions=8)
+    idx = di.load_dedup_index(spark, path)
+    kept0 = {r["id"] for r in di.index_kept_ids(idx).where("kept").collect()}
+    assert 0 in kept0 and 2 not in kept0 and 20 not in kept0
+
+    di.remove_from_index(idx, [0])
+    kept1 = {r["id"] for r in di.index_kept_ids(idx).where("kept").collect()}
+    survivors = corpus.where(F.col("doc_id") != 0)
+    want = {
+        r["doc_id"]
+        for r in dedup.drop_exact_duplicates(survivors, "doc_id", "text").collect()
+    }
+    assert kept1 == want
+    # exactly one of the surviving copies {2, 20} is kept — the min
+    assert 2 in kept1 and 20 not in kept1
+
+    # removing a NON-keeper member leaves the keeper and drops the member
+    di.remove_from_index(idx, [2])
+    kept2 = {r["id"] for r in di.index_kept_ids(idx).where("kept").collect()}
+    assert 20 in kept2 and 2 not in kept2 and 0 not in kept2
