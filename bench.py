@@ -547,7 +547,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         return round(best, 3)
 
-    # fixed-overhead CANARY (r8, VERDICT r7 item 2): two no-op cases so
+    # fixed-overhead CANARY (r8, VERDICT r7 item 2): no-op cases so
     # environment drift and plan drift are separable across rounds —
     # 'scan' is a bare count of the relayed-out orders table (pure
     # scan-job floor: Spark job launch + 32 file tasks), 'engine' adds an
@@ -556,9 +556,22 @@ def main() -> None:
     # round shift in the canaries with unchanged plans is box drift, a
     # shift in (query - canary) is plan drift.  Excluded from
     # headline_total (no-ops are not workload).
+    # r11 (VERDICT r10 #2): a MULTI-STAGE canary so sub-0.5s cases whose
+    # cost is stage-chaining latency (shuffle + broadcast exchange + final
+    # join, the mad_outliers shape) have a falsifiable floor the 1-task
+    # scan canary can't provide — fixed tiny data (spark.range, no table
+    # dependency), fixed plan (groupBy shuffle -> 1-row global aggregate
+    # broadcast -> crossJoin -> count: 3 stages + a broadcast, ~0 bytes),
+    # so any reading IS pure multi-stage scheduling overhead on this box.
+    def _stage_noop():
+        tiny = spark.range(1024).select((F.col("id") % 7).alias("k"))
+        g = tiny.groupBy("k").count()
+        return g.crossJoin(F.broadcast(g.groupBy().sum("count"))).count()
+
     canary = {
         "scan": timed(lambda: orders.count()),
         "engine": timed(lambda: materialize(e.apply_checks(orders, []))),
+        "stages": timed(_stage_noop),
     }
 
     timings: dict[str, float] = {}
@@ -740,9 +753,30 @@ def main() -> None:
             ),
             "canary_drift": (
                 f"no-op floors this run: scan {canary['scan']}s, empty-engine "
-                f"{canary['engine']}s. Compare across rounds: canary shift = box "
-                "drift; (query - canary) shift = plan drift. r7's +18% uniform "
+                f"{canary['engine']}s, multi-stage {canary['stages']}s (r11: "
+                "fixed 3-stage shuffle+broadcast+join no-op over spark.range "
+                "- the floor for stage-chaining-bound cases like mad_outliers, "
+                "so 'multi-stage contention' is a measured number, not a "
+                "note). Compare across rounds: canary shift = box drift; "
+                "(query - canary) shift = plan drift. r7's +18% uniform "
                 "inflation had no canary to attribute it; now it does."
+            ),
+            "r11_js_divergence_adjudication": (
+                "VERDICT r10 #1 confirmed and fixed: the r10 persist body was a "
+                "real in-suite regression (driver 1.392s; judge quiet A/B 1.456 "
+                "vs the r9 checkpoint body's 0.958; this box's r11 opening "
+                "bench at the r10 HEAD read 1.172 in-suite). The committed "
+                "four-way A/B (scripts/ab_js_divergence.py: localCheckpoint / "
+                "repartition(1)+persist / persist bare / persist-states+literal-"
+                "totals single-join-pass, interleaved, 5 reps, fresh session) "
+                "measured medians 0.687 / 0.563 / 0.670 / 0.810 STANDALONE - "
+                "i.e. the persist body only loses in-suite, where storage "
+                "memory is contended; the r10 claim of 0.61 was a standalone "
+                "number wrongly generalized. r11 ships the r9 localCheckpoint "
+                "body PLUS a deterministic block release after the collect "
+                "(the leak the r10 ADVICE rightly flagged), with the "
+                "executor-loss retry caveat documented in the docstring as "
+                "the original ADVICE offered."
             ),
             "r10_drift_attribution": (
                 "pq_topk watch (VERDICT r9 #5) CLOSED: quiet r10-session run "

@@ -254,11 +254,12 @@ def cmd_sketch_build(args) -> int:
     mode = "append" if args.append else "overwrite"
     if args.kind == "hll":
         sk = SK.hll_sketch(df, args.cols, p=args.p, hash_name=args.hash_name)
-        knobs = {"p": args.p, "hash_name": args.hash_name}
+        knobs = {"cols": list(args.cols), "p": args.p, "hash_name": args.hash_name}
     elif args.kind == "cms":
         sk = SK.cms_sketch(df, args.cols, depth=args.depth, width=args.width,
                            hash_name=args.hash_name)
-        knobs = {"depth": args.depth, "width": args.width, "hash_name": args.hash_name}
+        knobs = {"cols": list(args.cols), "depth": args.depth, "width": args.width,
+                 "hash_name": args.hash_name}
     elif args.kind == "moments":
         sk = SK.moments_sketch(df, args.cols[0])
         knobs = {"col": args.cols[0]}
@@ -270,7 +271,7 @@ def cmd_sketch_build(args) -> int:
         knobs = {"col": args.cols[0], "lo": args.lo, "hi": args.hi, "bins": args.bins}
     else:  # tokens
         sk = CO.token_count_state(df, args.cols[0], lowercase=not args.no_lowercase)
-        knobs = {"lowercase": not args.no_lowercase}
+        knobs = {"col": args.cols[0], "lowercase": not args.no_lowercase}
     SK.save_sketch(sk, args.output, args.kind, knobs, mode=mode)
     print(json.dumps({"kind": args.kind, "output": args.output, "mode": mode, **knobs}))
     return 0

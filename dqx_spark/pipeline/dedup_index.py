@@ -445,6 +445,7 @@ def dedup_pairs_against_index(
     *,
     columns: list[str] | None = None,
     include_batch_pairs: bool = True,
+    broadcast_probes: bool | None = None,
     storage: str = "local",
 ) -> DataFrame:
     """Duplicate pairs introduced by a NEW batch against an index — the
@@ -456,15 +457,29 @@ def dedup_pairs_against_index(
     DuckDB full-rerun twin in the ``dedup_minhash_lsh`` row).
 
     Scale shape (the point of the module): the new batch pays its own
-    signature pass; its (band, bucket) probe melt BROADCASTS into one hash
-    join against the state melt, whose scan is partition-pruned via the
-    collected ``pb`` set (≤ ``partitions`` values — bounded regardless of
-    batch size, though pruning only bites while the batch probes fewer
+    signature pass; its (band, bucket) probe melt hash-joins ONCE against
+    the state melt, whose scan is partition-pruned via the collected
+    ``pb`` set (≤ ``partitions`` values — bounded regardless of batch
+    size, though pruning only bites while the batch probes fewer
     partitions than exist; a huge batch degrades to one full scan of the
     SLIM melt, never a shuffle of it).  Minhash candidate scoring fetches
     old signatures candidate-bounded and pb-pruned the same way; simhash
     scores ride the melt (the 8-byte signature is stored on the band row).
-    Plan: no state-side Exchange, no SortMergeJoin (pinned by plan test).
+
+    ``broadcast_probes`` governs the build side of every probe/candidate
+    rejoin (r10 VERDICT: these sides scale with batch_rows × bands, and a
+    FORCED broadcast hint bypasses ``autoBroadcastJoinThreshold`` — on the
+    huge batch the docstring promises degrades to a melt scan, the hint
+    would instead OOM the driver, the exact hazard
+    :func:`~dqx_spark.pipeline.similarity.ann_lsh_topk_join` fixed for
+    candidates).  Default ``None`` leaves the joins UNHINTED: AQE sizes
+    the build side at runtime, so a normal batch still executes as a
+    broadcast hash join with no state-side Exchange (pinned by executed-
+    plan test) while an oversized batch sort-merges safely instead of
+    OOMing.  ``True`` forces the hint (static-plan-guaranteed broadcast
+    for callers with a known-small batch, e.g. minute-cadence
+    micro-batches where AQE's extra stage-stats hop matters);
+    ``False`` never hints.
 
     New ids must be disjoint from every previously onboarded id.  Must be
     followed by :func:`append_to_index` (which also persists these pairs
@@ -474,6 +489,10 @@ def dedup_pairs_against_index(
     method = index.method
     new_df = _id_long(new_df, id_col)
     spark = new_df.sparkSession
+
+    def hinted(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if broadcast_probes else frame
+
     if method == "exact":
         keys_new = _materialize(
             new_df.select(
@@ -488,11 +507,11 @@ def dedup_pairs_against_index(
         # (old members of the key group are already chained via the ledger)
         matched = (
             _pruned(index.keys, pbs, P)
-            .join(F.broadcast(keys_new.select("dup_key").distinct()), "dup_key")
+            .join(hinted(keys_new.select("dup_key").distinct()), "dup_key")
             .groupBy("dup_key")
             .agg(F.min("id").alias("old_id"))
         )
-        cross = matched.join(F.broadcast(keys_new), "dup_key").select(
+        cross = matched.join(hinted(keys_new), "dup_key").select(
             F.least("old_id", "id").alias("id_a"),
             F.greatest("old_id", "id").alias("id_b"),
             F.lit(1.0).alias("score"),
@@ -519,7 +538,7 @@ def dedup_pairs_against_index(
         cand = _materialize(
             _pruned(index.bands, pbs, P)
             .join(
-                F.broadcast(probes.select("band", "bucket", F.col("id").alias("new_id"))),
+                hinted(probes.select("band", "bucket", F.col("id").alias("new_id"))),
                 ["band", "bucket"],
             )
             .select(F.col("id").alias("old_id"), "new_id")
@@ -531,9 +550,9 @@ def dedup_pairs_against_index(
             F.col("id").alias("old_id"), F.col("sig").alias("sig_a")
         )
         cross = (
-            old_sigs.join(F.broadcast(cand), "old_id")
+            old_sigs.join(hinted(cand), "old_id")
             .join(
-                F.broadcast(sigs_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_b"))),
+                hinted(sigs_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_b"))),
                 "new_id",
             )
             .withColumn("score", minhash_estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
@@ -562,7 +581,7 @@ def dedup_pairs_against_index(
     cross = (
         _pruned(index.bands, pbs, P)
         .join(
-            F.broadcast(
+            hinted(
                 probes.select("band", "bucket", F.col("id").alias("new_id"), F.col("sh").alias("sh_b"))
             ),
             ["band", "bucket"],

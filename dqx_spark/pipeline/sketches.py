@@ -409,14 +409,22 @@ def histogram_quantile(
 # persistence
 # ---------------------------------------------------------------------------
 _KINDS = {
-    "hll": {"p", "hash_name"},
-    "cms": {"depth", "width", "hash_name"},
+    # r11 (r10 ADVICE): hll/cms/tokens record the sketched COLUMN(S) too —
+    # appending a batch sketched over a different column with matching
+    # hashing knobs would otherwise pass the mismatch guard and silently
+    # corrupt merged estimates, the exact failure the guard exists for
+    "hll": {"cols", "p", "hash_name"},
+    "cms": {"cols", "depth", "width", "hash_name"},
     "moments": {"col"},
     "hist": {"col", "lo", "hi", "bins"},
     # (tok, c) unigram states from corpus.token_count_state — count-summed
     # like cms (append accumulates, re-merge at read; NOT idempotent)
-    "tokens": {"lowercase"},
+    "tokens": {"col", "lowercase"},
 }
+
+
+def _path_missing(e: Exception) -> bool:
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
 
 def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "overwrite") -> None:
@@ -447,17 +455,33 @@ def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "o
         try:
             _, existing = load_sketch(df.sparkSession, path)
         except Exception as e:  # noqa: BLE001
-            # ONLY a missing path means 'first batch'.  A present layout
-            # with an unreadable/absent sidecar (e.g. a crashed half-save)
-            # must raise: appending would adopt orphan rows whose hashing
-            # knobs are unknown — the exact corruption this guard exists
-            # to prevent.
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                existing = None
-            else:
+            if not _path_missing(e):
                 raise
+            # The sidecar is missing — but load_sketch reads the sidecar
+            # FIRST, so this alone cannot distinguish 'nothing here yet'
+            # from 'data present, sidecar lost' (r10 ADVICE: a crashed
+            # half-save — data is written before the sidecar — was being
+            # adopted as first batch with unknown hashing knobs).  Probe
+            # the data dir separately: only when NEITHER exists is this
+            # the first batch.
+            try:
+                df.sparkSession.read.parquet(path.rstrip("/") + "/data")
+            except Exception as e2:  # noqa: BLE001
+                if _path_missing(e2):
+                    existing = None  # genuinely empty path: first batch
+                else:
+                    raise  # data dir present but unreadable: not ours to adopt
+            else:
+                raise ValueError(
+                    f"{path!r} has sketch data but no readable _sketch_meta "
+                    "sidecar (crashed half-save?) - appending would adopt rows "
+                    "with unknown hashing knobs; rebuild at a fresh path or "
+                    "delete the orphan data"
+                ) from e
         if existing is not None:
-            incoming = {"kind": kind, **{k: knobs[k] for k in sorted(knobs)}}
+            incoming = json.loads(
+                json.dumps({"kind": kind, **{k: knobs[k] for k in sorted(knobs)}})
+            )
             if existing != incoming:
                 raise ValueError(
                     f"append knobs {incoming} disagree with the sidecar already at "

@@ -235,14 +235,21 @@ def test_cli_sketch_build_and_report(spark, tmp_path, capsys):
     assert abs(rep["distinct_estimate"] / exact - 1.0) < 0.1
 
     # append a second batch; knob mismatch rejected via save_sketch
-    rc = main(["sketch-build", "--kind", "hll", "--input", f"{SF}/orders.parquet",
-               "--output", out, "--cols", "o_orderkey", "--hash-name", "md5", "--append"])
+    rc = main(["sketch-build", "--kind", "hll", "--input", f"{SF}/lineitem.parquet",
+               "--output", out, "--cols", "l_orderkey", "--hash-name", "md5", "--append"])
     assert rc == 0
     capsys.readouterr()
     import pytest as _pytest
     with _pytest.raises(ValueError, match="disagree with the sidecar"):
+        main(["sketch-build", "--kind", "hll", "--input", f"{SF}/lineitem.parquet",
+              "--output", out, "--cols", "l_orderkey", "--p", "8", "--hash-name", "md5",
+              "--append"])
+    # r11 (r10 ADVICE): the sidecar records the sketched COLUMNS, so an
+    # append over a DIFFERENT column with identical hashing knobs is now
+    # caught too (it would silently corrupt the merged estimate)
+    with _pytest.raises(ValueError, match="disagree with the sidecar"):
         main(["sketch-build", "--kind", "hll", "--input", f"{SF}/orders.parquet",
-              "--output", out, "--cols", "o_orderkey", "--p", "8", "--hash-name", "md5",
+              "--output", out, "--cols", "o_orderkey", "--hash-name", "md5",
               "--append"])
 
     mout = str(tmp_path / "mom")

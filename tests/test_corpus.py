@@ -499,10 +499,11 @@ def test_token_divergence_from_merged_states(spark, tmp_path):
     for i in range(3):
         SK.save_sketch(
             token_count_state(a.where(F.col("doc_id") % 3 == i), "text"),
-            path, "tokens", {"lowercase": True}, mode="append" if i else "overwrite",
+            path, "tokens", {"col": "text", "lowercase": True},
+            mode="append" if i else "overwrite",
         )
     loaded, meta = SK.load_sketch(spark, path)
-    assert meta == {"kind": "tokens", "lowercase": True}
+    assert meta == {"kind": "tokens", "col": "text", "lowercase": True}
     state_a = merge_token_counts(loaded)
     state_b = token_count_state(b, "text")
     incr = token_distribution_divergence_from_states(state_a, state_b).collect()[0]

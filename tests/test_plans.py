@@ -593,11 +593,13 @@ def test_js_divergence_plan_no_cartesian_no_python(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in p
     assert "CartesianProduct" not in p
-    # r10 (ADVICE): the (tok, ca, cb) join is persisted (replayable, unlike
-    # the r9 localCheckpoint), the 1-row report computed eagerly, and the
-    # pinned storage RELEASED before return — the returned frame is local
-    # (no Generate: each side's explode+groupBy ran once, under the
-    # persist, not inline twice) and no NEW persisted RDD lingers.  Set
+    # r11: the (tok, ca, cb) join is materialized once via eager
+    # localCheckpoint (the r10 persist body was a measured ~1.5-2x in-suite
+    # regression — scripts/ab_js_divergence.py), the 1-row report computed
+    # eagerly, and the checkpoint blocks RELEASED before return — the
+    # returned frame is local (no Generate: each side's explode+groupBy ran
+    # once, under the checkpoint, not inline twice) and no NEW persisted
+    # RDD lingers.  Set
     # difference, not size equality: the ContextCleaner may async-unpersist
     # an EARLIER test's GC'd RDD mid-test, shrinking the map under us
     # (observed full-suite flake).
@@ -746,10 +748,13 @@ def test_dedup_index_probe_plan_pruned_and_broadcast(spark, tmp_path):
     # storage='none' keeps the whole lineage in ONE plan (the default
     # localCheckpoint would hide the bands scan behind an ExistingRDD);
     # include_batch_pairs=False isolates the STATE path — the batch
-    # self-join is new-batch-sized by construction and may sort-merge
+    # self-join is new-batch-sized by construction and may sort-merge.
+    # broadcast_probes=True pins the FORCED-hint mode statically (the r11
+    # default None is AQE-sized; its own test is below)
     p = plan_of(
         di.dedup_pairs_against_index(
-            batch, idx, "doc_id", "text", include_batch_pairs=False, storage="none"
+            batch, idx, "doc_id", "text", include_batch_pairs=False,
+            broadcast_probes=True, storage="none"
         )
     )
     # one doc probes <= 8 (band, bucket) pairs -> <= 8 pb values << 64
@@ -768,6 +773,67 @@ def test_dedup_index_probe_plan_pruned_and_broadcast(spark, tmp_path):
         ctx = "\n".join(lines[max(0, i - 3): i])
         assert "BroadcastHashJoin Inner BuildRight" in ctx, tree
     assert "CartesianProduct" not in p
+
+
+def test_dedup_index_probe_default_is_size_aware(spark, tmp_path):
+    """r11 (VERDICT r10 #3): the DEFAULT probe/candidate join strategy must
+    not force a broadcast hint — the probe melt is batch_rows × bands and
+    a forced hint bypasses autoBroadcastJoinThreshold, so the huge batch
+    the docstring promises 'degrades to one melt scan' would OOM the
+    driver instead.  Contract mirrored from ann_lsh_topk_join's
+    broadcast_candidates=None: with broadcast thresholds disabled (the
+    proxy for an over-threshold batch), the default takes the
+    non-broadcast plan; broadcast_probes=True still forces the hint; and
+    at normal sizes the default's EXECUTED plan still runtime-broadcasts
+    (AQE), so the fast path costs nothing."""
+    from dqx_spark.pipeline import dedup_index as di
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i} tail {i * 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    di.save_dedup_index(docs, path, "doc_id", "text", method="minhash",
+                        num_hashes=32, bands=8, shingle_k=3, partitions=64)
+    idx = di.load_dedup_index(spark, path)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta doc 5 tail 15")],
+        "doc_id long, text string",
+    )
+
+    def pairs(**kw):
+        return di.dedup_pairs_against_index(
+            batch, idx, "doc_id", "text", include_batch_pairs=False,
+            storage="none", **kw
+        )
+
+    tuned = {
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # default (None): no hint — the planner respects the disabled
+        # threshold and the state joins do NOT broadcast (would OOM-proof
+        # a genuinely huge batch the same way)
+        assert "BroadcastHashJoin" not in plan_of(pairs())
+        # True: the forced hint bypasses the threshold, as documented
+        forced = plan_of(pairs(broadcast_probes=True))
+        assert "BroadcastHashJoin" in forced
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # normal thresholds: the default's EXECUTED adaptive plan converts the
+    # small probe side to a runtime broadcast — no state-side sort-merge
+    out = pairs()
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:2000]
 
 
 def test_batch_join_loaded_index_dynamic_partition_pruning(spark, tmp_path):

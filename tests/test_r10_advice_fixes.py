@@ -71,9 +71,11 @@ def test_sessionize_processor_real_subclass():
 
 
 def test_js_divergence_result_is_local_and_released(spark):
-    """The 1-row report is computed eagerly under a persist that is
-    RELEASED before return; the returned local frame is re-collectable
-    without re-running the token join (no persisted RDD lingers)."""
+    """The 1-row report is computed eagerly under a materialization
+    (r11: eager localCheckpoint; r10 shipped a persist that measured
+    ~1.5-2x slower in-suite) whose blocks are RELEASED before return;
+    the returned local frame is re-collectable without re-running the
+    token join (no persisted RDD lingers)."""
     from dqx_spark.pipeline import corpus
 
     a = spark.createDataFrame([(0, "x y y")], "id long, t string")

@@ -148,16 +148,16 @@ def test_save_load_sketch_knobs_and_guards(spark, tmp_path):
     df = spark.range(100).select(F.col("id").cast("string").alias("k"))
     sk = SK.hll_sketch(df, "k", p=12, hash_name="md5")
     path = str(tmp_path / "hll")
-    SK.save_sketch(sk, path, "hll", {"p": 12, "hash_name": "md5"})
+    SK.save_sketch(sk, path, "hll", {"cols": ["k"], "p": 12, "hash_name": "md5"})
     loaded, meta = SK.load_sketch(spark, path)
-    assert meta == {"kind": "hll", "hash_name": "md5", "p": 12}
+    assert meta == {"kind": "hll", "cols": ["k"], "hash_name": "md5", "p": 12}
     assert {r["reg"]: r["rho"] for r in loaded.collect()} == {
         r["reg"]: r["rho"] for r in sk.collect()
     }
     # per-batch append: the loaded union re-merges to the whole-corpus table
     df2 = spark.range(100, 200).select(F.col("id").cast("string").alias("k"))
     SK.save_sketch(SK.hll_sketch(df2, "k", p=12, hash_name="md5"), path, "hll",
-                   {"p": 12, "hash_name": "md5"}, mode="append")
+                   {"cols": ["k"], "p": 12, "hash_name": "md5"}, mode="append")
     loaded2, _ = SK.load_sketch(spark, path)
     whole = SK.hll_sketch(df.unionByName(df2), "k", p=12, hash_name="md5")
     assert {r["reg"]: r["rho"] for r in SK.hll_merge(loaded2).collect()} == {
@@ -165,7 +165,7 @@ def test_save_load_sketch_knobs_and_guards(spark, tmp_path):
     }
 
     with pytest.raises(ValueError, match="needs knobs"):
-        SK.save_sketch(sk, str(tmp_path / "x"), "hll", {"p": 12})
+        SK.save_sketch(sk, str(tmp_path / "x"), "hll", {"cols": ["k"], "p": 12})
     with pytest.raises(ValueError, match="kind must be"):
         SK.save_sketch(sk, str(tmp_path / "x"), "hyperloglog", {})
     mo = SK.moments_sketch(spark.range(10).select(F.col("id").cast("double").alias("x")), "x")
@@ -206,13 +206,55 @@ def test_save_sketch_append_knob_mismatch_rejected(spark, tmp_path):
     df = spark.range(50).select(F.col("id").cast("string").alias("k"))
     path = str(tmp_path / "hll")
     SK.save_sketch(SK.hll_sketch(df, "k", p=12, hash_name="md5"), path, "hll",
-                   {"p": 12, "hash_name": "md5"})
+                   {"cols": ["k"], "p": 12, "hash_name": "md5"})
     before = SK.load_sketch(spark, path)[0].count()
     with pytest.raises(ValueError, match="disagree with the sidecar"):
         SK.save_sketch(SK.hll_sketch(df, "k", p=8, hash_name="md5"), path, "hll",
-                       {"p": 8, "hash_name": "md5"}, mode="append")
+                       {"cols": ["k"], "p": 8, "hash_name": "md5"}, mode="append")
     loaded, meta = SK.load_sketch(spark, path)
     assert meta["p"] == 12 and loaded.count() == before
+
+
+def test_save_sketch_append_refuses_orphan_data(spark, tmp_path):
+    """r11 (r10 ADVICE): a crashed half-save leaves data without a sidecar
+    (save_sketch writes data first, sidecar last).  An append onto that
+    layout must RAISE — adopting orphan rows with unknown hashing knobs is
+    the silent corruption the guard exists for — while an append onto a
+    genuinely empty path is still accepted as the first batch."""
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    sk = SK.hll_sketch(df, "k", p=12, hash_name="md5")
+    knobs = {"cols": ["k"], "p": 12, "hash_name": "md5"}
+
+    # first batch onto an empty path via append: accepted
+    fresh = str(tmp_path / "fresh")
+    SK.save_sketch(sk, fresh, "hll", knobs, mode="append")
+    assert SK.load_sketch(spark, fresh)[1]["p"] == 12
+
+    # simulate the crash: data present, sidecar gone
+    half = str(tmp_path / "half")
+    SK.save_sketch(sk, half, "hll", knobs)
+    import shutil
+
+    shutil.rmtree(half + "/_sketch_meta")
+    with pytest.raises(ValueError, match="no readable _sketch_meta"):
+        SK.save_sketch(sk, half, "hll", knobs, mode="append")
+    # the orphan data was not touched by the refused append
+    assert spark.read.parquet(half + "/data").count() > 0
+
+
+def test_save_sketch_append_different_column_rejected(spark, tmp_path):
+    """r11 (r10 ADVICE): hll/cms sidecars record the sketched column list,
+    so appending a batch sketched over another column with the same
+    hashing knobs is rejected instead of corrupting merged estimates."""
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).cast("string").alias("j")
+    )
+    path = str(tmp_path / "hll")
+    SK.save_sketch(SK.hll_sketch(df, "k", p=12, hash_name="md5"), path, "hll",
+                   {"cols": ["k"], "p": 12, "hash_name": "md5"})
+    with pytest.raises(ValueError, match="disagree with the sidecar"):
+        SK.save_sketch(SK.hll_sketch(df, "j", p=12, hash_name="md5"), path, "hll",
+                       {"cols": ["j"], "p": 12, "hash_name": "md5"}, mode="append")
 
 
 def test_histogram_sketch_counts_merge_and_quantiles(spark):
