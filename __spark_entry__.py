@@ -249,7 +249,20 @@ def q_dedup_minhash(spark, sf):
         hash_name="md5", partitions=16,
     )
     idx = dedup_index.load_dedup_index(spark, idx_path)
-    dedup_index.append_to_index(df.where(F.col("doc_id") % 2 == 1), idx, "doc_id", "text")
+    # r11: the onboarding flow shares ONE materialized batch_state frame
+    # (the signature pass paid once across probe + append) and probes with
+    # prune='join' (pb rides the equi-join keys, no pb-collect driver
+    # jobs) — so the gate rows certify the state-reuse AND join-prune
+    # paths' values against the DuckDB full-rerun twin (VERDICT r10 #6;
+    # static==join parity is additionally unit-pinned)
+    batch = df.where(F.col("doc_id") % 2 == 1)
+    bstate = dedup_index.batch_state(batch, idx, "doc_id", "text")
+    bpairs = dedup_index.dedup_pairs_against_index(
+        batch, idx, "doc_id", "text", state=bstate, prune="join"
+    )
+    dedup_index.append_to_index(
+        batch, idx, "doc_id", "text", new_pairs=bpairs, state=bstate
+    )
     nl = lambda t: F.lit(None).cast(t)  # noqa: E731
     incr = dedup_index.load_dedup_index(spark, idx_path).pairs.select(
         F.lit("incr").alias("scope"), "id_a", "id_b",

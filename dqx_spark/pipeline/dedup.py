@@ -323,6 +323,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
     hash_name: str = "xxhash64",
+    keep_missing: bool = True,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
@@ -347,6 +348,12 @@ def minhash_signatures(
     ex = exploded_shingle_hashes(df, id_col, text_col, shingle_k, hash_name=hash_name)
     aggs = [F.min(_seed_hash(F.col("h"), i, hash_name)).alias(f"m{i}") for i in range(num_hashes)]
     sig = ex.groupBy("id").agg(*aggs).select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    if not keep_missing:
+        # consumers that immediately drop null signatures (the incremental
+        # probe path) skip the restore join below — it costs a full extra
+        # broadcast-join stage chain (~0.4s of the sf0.1 probe, measured
+        # r11) for rows they would filter right back out
+        return sig
     # docs with no shingles (shorter than k tokens) drop out of the explode;
     # restore them with a null signature
     all_ids = df.select(F.col(id_col).alias("id"))

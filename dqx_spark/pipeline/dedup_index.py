@@ -87,6 +87,7 @@ __all__ = [
     "DedupIndex",
     "save_dedup_index",
     "load_dedup_index",
+    "batch_state",
     "dedup_pairs_against_index",
     "append_to_index",
     "index_kept_ids",
@@ -117,12 +118,33 @@ def _exact_key(text_col: str | None, columns: list[str] | None):
 class DedupIndex:
     """Handle over a persisted dedup index: lazy DataFrames over the state
     tables plus the sidecar ``meta`` dict.  Construct via
-    :func:`load_dedup_index`."""
+    :func:`load_dedup_index`.
+
+    The raw parquet reads are cached per handle (r11): each fresh
+    ``spark.read.parquet`` pays a schema/partition-discovery SQL execution
+    on the driver, which dominated repeated micro-batch probes against an
+    unchanged index.  A handle therefore reflects the files present at its
+    FIRST access; the module's own mutation points (:func:`append_to_index`,
+    :func:`remove_from_index`) call :meth:`invalidate`, so within-process
+    probe→append cycles always see fresh state.  Writers in OTHER processes
+    are invisible until :meth:`invalidate` / reload — the same visibility
+    contract as any cached Spark file index."""
 
     def __init__(self, spark, path: str, meta: dict):
         self.spark = spark
         self.path = path.rstrip("/")
         self.meta = meta
+        self._reads: dict = {}
+
+    def invalidate(self) -> None:
+        """Drop cached file reads so the next accessor re-lists the
+        layout (needed after an out-of-band write to ``path``)."""
+        self._reads.clear()
+
+    def _read(self, sub: str) -> DataFrame:
+        if sub not in self._reads:
+            self._reads[sub] = self.spark.read.parquet(self.path + "/" + sub)
+        return self._reads[sub]
 
     @property
     def method(self) -> str:
@@ -138,7 +160,9 @@ class DedupIndex:
         were.  Every state accessor below anti-joins these out, so probes,
         the kept-set, and compaction all see the post-removal corpus
         without any caller coordination."""
-        return _load_tombstones(self.spark, self.path)
+        if "_tombstones" not in self._reads:
+            self._reads["_tombstones"] = _load_tombstones(self.spark, self.path)
+        return self._reads["_tombstones"]
 
     def _alive(self, frame: DataFrame, id_cols: tuple[str, ...] = ("id",)) -> DataFrame:
         ts = self.tombstones
@@ -151,19 +175,19 @@ class DedupIndex:
     @property
     def keys(self) -> DataFrame:
         """exact: (dup_key, id, pb) — pb is the parquet partition column."""
-        return self._alive(self.spark.read.parquet(self.path + "/keys"))
+        return self._alive(self._read("keys"))
 
     @property
     def bands(self) -> DataFrame:
         """minhash: (id, band, bucket, pb); simhash: (id, sh, band, bucket, pb)."""
-        return self._alive(self.spark.read.parquet(self.path + "/bands"))
+        return self._alive(self._read("bands"))
 
     @property
     def sigs(self) -> DataFrame:
         """minhash: (id, sig, pb) — null sig for docs shorter than the
         shingle width (they stay singleton but remain in the id universe);
         simhash: (id, sh, pb)."""
-        return self._alive(self.spark.read.parquet(self.path + "/sigs"))
+        return self._alive(self._read("sigs"))
 
     @property
     def pairs(self) -> DataFrame:
@@ -179,9 +203,7 @@ class DedupIndex:
                 "this index was saved with include_pairs=False - no pair ledger; "
                 "kept-set derivation needs one (re-save with include_pairs=True)"
             )
-        return self._alive(
-            self.spark.read.parquet(self.path + "/pairs"), id_cols=("id_a", "id_b")
-        )
+        return self._alive(self._read("pairs"), id_cols=("id_a", "id_b"))
 
     def all_ids(self) -> DataFrame:
         """(id) — every document ever onboarded (accepted or not)."""
@@ -407,6 +429,7 @@ def remove_from_index(index: DedupIndex, ids) -> None:
     else:
         df = spark.createDataFrame([(int(i),) for i in ids], "id long")
     df.write.mode("append").parquet(index.path + "/_tombstones")
+    index.invalidate()  # the handle's cached reads predate the tombstones
 
 
 def load_dedup_index(spark, path: str) -> DedupIndex:
@@ -437,6 +460,42 @@ def _collect_pbs(frame: DataFrame, cols: list, partitions: int) -> list[int]:
     return sorted(r["pb"] for r in rows)
 
 
+def batch_state(
+    new_df: DataFrame,
+    index: DedupIndex,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    storage: str = "local",
+) -> DataFrame:
+    """Materialize the per-document dedup state for a batch ONCE, for
+    handing to both :func:`dedup_pairs_against_index` and
+    :func:`append_to_index` via their ``state=`` parameter (r11, VERDICT
+    r10 #6: the probe → append flow was paying the batch signature pass
+    twice — once per call — plus the duplicate checkpoint job; per-doc
+    state is a pure function of the document, so sharing it is exact).
+
+    Shape per method: exact → ``(dup_key, id)``; minhash → ``(id, sig)``
+    UNFILTERED (null-sig docs ride along — append persists them so a
+    later copy of a too-short doc still has its id onboarded); simhash →
+    ``(id, sh)``."""
+    meta = index.meta
+    new_df = _id_long(new_df, id_col)
+    if index.method == "exact":
+        frame = new_df.select(
+            _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
+        )
+    elif index.method == "minhash":
+        frame = minhash_signatures(
+            new_df, id_col, text_col, meta["num_hashes"], meta["shingle_k"],
+            hash_name=meta["hash_name"],
+        )
+    else:
+        frame = simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"])
+    return _materialize(frame, storage)
+
+
 def dedup_pairs_against_index(
     new_df: DataFrame,
     index: DedupIndex,
@@ -447,6 +506,8 @@ def dedup_pairs_against_index(
     include_batch_pairs: bool = True,
     broadcast_probes: bool | None = None,
     storage: str = "local",
+    state: DataFrame | None = None,
+    prune: str = "static",
 ) -> DataFrame:
     """Duplicate pairs introduced by a NEW batch against an index — the
     incremental pair-discovery primitive: ``(id_a, id_b, score)`` with
@@ -481,12 +542,35 @@ def dedup_pairs_against_index(
     micro-batches where AQE's extra stage-stats hop matters);
     ``False`` never hints.
 
+    ``prune`` picks how the state scans are limited to the probed ``pb``
+    partitions (r11, VERDICT r10 #6 — the probe was a fixed chain of
+    sequential driver jobs):
+
+    - ``'static'`` (default): collect the batch's distinct ``pb`` set
+      (bounded ≤ ``partitions``) and push it as a literal ``isin`` —
+      GUARANTEED ``PartitionFilters`` on every state scan (plan-pinned),
+      at the cost of one extra driver job per pruning level (two for
+      minhash).  The right trade when the state is genuinely huge: file
+      pruning must not depend on optimizer heuristics.
+    - ``'join'``: no driver collects at all — ``pb`` (a pure function of
+      the join keys) rides the equi-join keys, so Catalyst may plant a
+      dynamic-partition-pruning subquery in the state scan when the probe
+      side broadcasts, and the whole probe collapses into ONE job (the
+      lazy ``state`` checkpoint materializes inside it).  When DPP
+      declines, the scan degrades to one full pass of the SLIM state —
+      the same degradation a huge batch hits under 'static'.  The
+      latency-optimized mode for minute-cadence micro-batches.
+
     New ids must be disjoint from every previously onboarded id.  Must be
     followed by :func:`append_to_index` (which also persists these pairs
-    into the ledger) for the index to know about this batch."""
+    into the ledger) for the index to know about this batch.  Pass the
+    same :func:`batch_state` frame as ``state=`` to both calls to pay the
+    batch signature pass once instead of twice (r11)."""
     meta = index.meta
     P = index.partitions
     method = index.method
+    if prune not in ("static", "join"):
+        raise ValueError(f"prune must be 'static' or 'join', got {prune!r}")
     new_df = _id_long(new_df, id_col)
     spark = new_df.sparkSession
 
@@ -494,23 +578,33 @@ def dedup_pairs_against_index(
         return F.broadcast(frame) if broadcast_probes else frame
 
     if method == "exact":
-        keys_new = _materialize(
+        keys_new = state if state is not None else _materialize(
             new_df.select(
                 _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
             ),
             storage,
         )
-        pbs = _collect_pbs(keys_new, [F.col("dup_key")], P)
-        if not pbs:
-            return spark.createDataFrame([], _PAIR_SCHEMA)
         # one representative old id per matched key: enough for connectivity
         # (old members of the key group are already chained via the ledger)
-        matched = (
-            _pruned(index.keys, pbs, P)
-            .join(hinted(keys_new.select("dup_key").distinct()), "dup_key")
-            .groupBy("dup_key")
-            .agg(F.min("id").alias("old_id"))
-        )
+        if prune == "static":
+            pbs = _collect_pbs(keys_new, [F.col("dup_key")], P)
+            if not pbs:
+                return spark.createDataFrame([], _PAIR_SCHEMA)
+            matched = (
+                _pruned(index.keys, pbs, P)
+                .join(hinted(keys_new.select("dup_key").distinct()), "dup_key")
+                .groupBy("dup_key")
+                .agg(F.min("id").alias("old_id"))
+            )
+        else:
+            probe_keys = keys_new.select("dup_key").distinct().withColumn(
+                "pb", _pb([F.col("dup_key")], P)
+            )
+            matched = (
+                index.keys.join(hinted(probe_keys), ["pb", "dup_key"])
+                .groupBy("dup_key")
+                .agg(F.min("id").alias("old_id"))
+            )
         cross = matched.join(hinted(keys_new), "dup_key").select(
             F.least("old_id", "id").alias("id_a"),
             F.greatest("old_id", "id").alias("id_b"),
@@ -522,35 +616,61 @@ def dedup_pairs_against_index(
             out = out.unionByName(nn)
         return out.dropDuplicates(["id_a", "id_b"])
     if method == "minhash":
-        sigs_new = _materialize(
-            minhash_signatures(
-                new_df, id_col, text_col, meta["num_hashes"], meta["shingle_k"],
-                hash_name=meta["hash_name"],
-            ).where(F.col("sig").isNotNull()),
-            storage,
-        )
-        probes = _materialize(
-            _banded(sigs_new, meta["bands"], meta["num_hashes"] // meta["bands"]), storage
-        )
-        pbs = _collect_pbs(probes, [F.col("band"), F.col("bucket")], P)
-        if not pbs:
-            return spark.createDataFrame([], _PAIR_SCHEMA)
-        cand = _materialize(
-            _pruned(index.bands, pbs, P)
-            .join(
-                hinted(probes.select("band", "bucket", F.col("id").alias("new_id"))),
-                ["band", "bucket"],
+        # keep_missing=False: the probe drops null signatures immediately,
+        # so the null-restore join inside minhash_signatures would be pure
+        # waste here (batch_state keeps it — append needs every id)
+        sigs_new = (
+            state if state is not None else _materialize(
+                minhash_signatures(
+                    new_df, id_col, text_col, meta["num_hashes"], meta["shingle_k"],
+                    hash_name=meta["hash_name"], keep_missing=False,
+                ),
+                storage,
             )
-            .select(F.col("id").alias("old_id"), "new_id")
-            .dropDuplicates(["old_id", "new_id"]),
-            storage,
-        )
-        sig_pbs = _collect_pbs(cand, [F.col("old_id")], P)
-        old_sigs = _pruned(index.sigs, sig_pbs, P).select(
-            F.col("id").alias("old_id"), F.col("sig").alias("sig_a")
-        )
+        ).where(F.col("sig").isNotNull())
+        banded_new = _banded(sigs_new, meta["bands"], meta["num_hashes"] // meta["bands"])
+        if prune == "static":
+            probes = _materialize(banded_new, storage)
+            pbs = _collect_pbs(probes, [F.col("band"), F.col("bucket")], P)
+            if not pbs:
+                return spark.createDataFrame([], _PAIR_SCHEMA)
+            cand = _materialize(
+                _pruned(index.bands, pbs, P)
+                .join(
+                    hinted(probes.select("band", "bucket", F.col("id").alias("new_id"))),
+                    ["band", "bucket"],
+                )
+                .select(F.col("id").alias("old_id"), "new_id")
+                .dropDuplicates(["old_id", "new_id"]),
+                storage,
+            )
+            sig_pbs = _collect_pbs(cand, [F.col("old_id")], P)
+            old_sigs = _pruned(index.sigs, sig_pbs, P).select(
+                F.col("id").alias("old_id"), F.col("sig").alias("sig_a")
+            )
+            scored = old_sigs.join(hinted(cand), "old_id")
+        else:
+            # banding is a scan-local projection of the materialized state
+            # frame, so recomputing it per consumer is cheaper than another
+            # checkpoint; pb rides both join keys for DPP
+            probes = banded_new
+            probe_b = probes.select(
+                "band", "bucket", F.col("id").alias("new_id")
+            ).withColumn("pb", _pb([F.col("band"), F.col("bucket")], P))
+            cand = (
+                index.bands.join(hinted(probe_b), ["pb", "band", "bucket"])
+                .select(F.col("id").alias("old_id"), "new_id")
+                .dropDuplicates(["old_id", "new_id"])
+            )
+            old_sigs = index.sigs.select(
+                "pb", F.col("id").alias("old_id"), F.col("sig").alias("sig_a")
+            )
+            scored = old_sigs.join(
+                hinted(cand.withColumn("pb", _pb([F.col("old_id")], P))),
+                ["pb", "old_id"],
+            ).drop("pb")
         cross = (
-            old_sigs.join(hinted(cand), "old_id")
+            scored
             .join(
                 hinted(sigs_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_b"))),
                 "new_id",
@@ -568,24 +688,29 @@ def dedup_pairs_against_index(
             out = out.unionByName(_minhash_self_pairs(sigs_new, probes, meta["threshold"]))
         return out
     # simhash
-    sigs_new = _materialize(
+    sigs_new = state if state is not None else _materialize(
         simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"]), storage
     )
-    probes = _materialize(
-        _hamming_banded(sigs_new, "id", "sh", meta["max_hamming"], _sim_bits(meta["hash_name"])),
-        storage,
-    )
-    pbs = _collect_pbs(probes, [F.col("band"), F.col("bucket")], P)
-    if not pbs:
-        return spark.createDataFrame([], _PAIR_SCHEMA)
-    cross = (
-        _pruned(index.bands, pbs, P)
-        .join(
+    banded_new = _hamming_banded(sigs_new, "id", "sh", meta["max_hamming"], _sim_bits(meta["hash_name"]))
+    if prune == "static":
+        probes = _materialize(banded_new, storage)
+        pbs = _collect_pbs(probes, [F.col("band"), F.col("bucket")], P)
+        if not pbs:
+            return spark.createDataFrame([], _PAIR_SCHEMA)
+        matched = _pruned(index.bands, pbs, P).join(
             hinted(
                 probes.select("band", "bucket", F.col("id").alias("new_id"), F.col("sh").alias("sh_b"))
             ),
             ["band", "bucket"],
         )
+    else:
+        probes = banded_new
+        probe_b = probes.select(
+            "band", "bucket", F.col("id").alias("new_id"), F.col("sh").alias("sh_b")
+        ).withColumn("pb", _pb([F.col("band"), F.col("bucket")], P))
+        matched = index.bands.join(hinted(probe_b), ["pb", "band", "bucket"])
+    cross = (
+        matched
         .select(F.col("id").alias("old_id"), "new_id", "sh", "sh_b")
         .dropDuplicates(["old_id", "new_id"])
         .withColumn("score", F.bit_count(F.col("sh").bitwiseXOR(F.col("sh_b"))).cast("double"))
@@ -611,14 +736,16 @@ def append_to_index(
     columns: list[str] | None = None,
     new_pairs: DataFrame | None = None,
     storage: str = "local",
+    state: DataFrame | None = None,
 ) -> None:
     """Onboard a batch into the index: append its per-document state rows
     (keys / bands / sigs, into the SAME ``pb`` partition layout) and —
     when the index carries a ledger — append its newly discovered pairs.
 
     ``new_pairs`` should be the frame returned by
-    :func:`dedup_pairs_against_index` for this batch (pass it to avoid
-    recomputing; omitted, it is computed here).  The pairs are written
+    :func:`dedup_pairs_against_index` for this batch and ``state`` the
+    :func:`batch_state` frame both calls shared (pass them to avoid
+    recomputing; omitted, they are computed here).  The pairs are written
     FIRST: their plan scans the PRE-append state tables, and parquet writes
     are actions, so materializing them before the band/sig appends is what
     keeps lazy evaluation from double-counting the batch against itself.
@@ -632,19 +759,23 @@ def append_to_index(
     if meta.get("include_pairs"):
         if new_pairs is None:
             new_pairs = dedup_pairs_against_index(
-                new_df, index, id_col, text_col, columns=columns, storage=storage
+                new_df, index, id_col, text_col, columns=columns, storage=storage,
+                state=state,
             )
         new_pairs.write.mode("append").parquet(p + "/pairs")
     if index.method == "exact":
-        keys = new_df.select(
-            _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
+        keys = (
+            state if state is not None else new_df.select(
+                _exact_key(text_col, columns).alias("dup_key"), F.col(id_col).alias("id")
+            )
         ).withColumn("pb", _pb([F.col("dup_key")], P))
         keys.repartition("pb").sortWithinPartitions("dup_key").write.partitionBy("pb").mode(
             "append"
         ).parquet(p + "/keys")
+        index.invalidate()  # the handle's cached reads predate this batch
         return
     if index.method == "minhash":
-        sigs = _materialize(
+        sigs = state if state is not None else _materialize(
             minhash_signatures(
                 new_df, id_col, text_col, meta["num_hashes"], meta["shingle_k"],
                 hash_name=meta["hash_name"],
@@ -655,7 +786,9 @@ def append_to_index(
             sigs.where(F.col("sig").isNotNull()), meta["bands"], meta["num_hashes"] // meta["bands"]
         )
     else:
-        sigs = _materialize(simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"]), storage)
+        sigs = state if state is not None else _materialize(
+            simhash64(new_df, id_col, text_col, hash_name=meta["hash_name"]), storage
+        )
         banded = _hamming_banded(sigs, "id", "sh", meta["max_hamming"], _sim_bits(meta["hash_name"]))
     sigs.withColumn("pb", _pb([F.col("id")], P)).repartition("pb").write.partitionBy(
         "pb"
@@ -665,6 +798,7 @@ def append_to_index(
     ).sortWithinPartitions("band", "bucket").write.partitionBy("pb").mode("append").parquet(
         p + "/bands"
     )
+    index.invalidate()  # the handle's cached reads predate this batch
 
 
 def index_kept_ids(index: DedupIndex, max_iterations: int = 20, storage: str = "local") -> DataFrame:
@@ -714,6 +848,7 @@ def dedup_against_index(
     *,
     columns: list[str] | None = None,
     storage: str = "local",
+    prune: str = "static",
 ) -> DataFrame:
     """Greedy accept-only view of a batch against the index: ``new_df``'s
     columns plus ``matched_index`` (this row duplicates something already
@@ -732,7 +867,8 @@ def dedup_against_index(
     new_df = _id_long(new_df, id_col)
     pairs = _materialize(
         dedup_pairs_against_index(
-            new_df, index, id_col, text_col, columns=columns, storage=storage
+            new_df, index, id_col, text_col, columns=columns, storage=storage,
+            prune=prune,
         ),
         storage,
         eager=True,

@@ -1449,6 +1449,14 @@ class LshIndex:
         )
 
 
+# layout=None auto-select threshold: below this many melt rows the (t, b)
+# directory tree costs more in file listing + tiny files than the hashing
+# pass it saves (r10 bench: 4.3x slower joins at ~0.5M melt rows), so the
+# auto default writes a flat melt.  At >= ~1M rows per the docstring's
+# arithmetic each directory starts holding real data and pruning wins.
+_LSH_FLAT_MELT_ROWS = 1_000_000
+
+
 def save_lsh_index(
     df: DataFrame,
     path: str,
@@ -1458,24 +1466,34 @@ def save_lsh_index(
     num_tables: int = 16,
     seed: int = 42,
     mode: str = "overwrite",
-    layout: str = "bucketed",
+    layout: str | None = None,
 ) -> None:
     """Persist the sign-LSH search state :func:`ann_lsh_topk_join` builds
     per call — the (id, t, b) bucket melt plus the (id, vec) float table —
     so repeated query batches skip the corpus hashing pass entirely (r10,
     VERDICT r9 #3; the melt is deterministic in (vec, seed)).
 
-    ``layout='bucketed'`` (default) follows the :func:`save_ann_index`
-    family: ``melt/`` parquet partitioned by **(t, b)** —
+    ``layout='bucketed'`` follows the :func:`save_ann_index` family:
+    ``melt/`` parquet partitioned by **(t, b)** —
     ``num_tables × 2^num_planes`` directories (1,024 at the defaults;
     capped at 65,536 because beyond that the file listing itself becomes
     the bottleneck), which the probe equi-join dynamic-partition-prunes at
     the file listing.  That layout is for corpora where each directory
     holds MBs+ (billions of melt rows); below roughly a million melt rows
     the per-directory file overhead costs more than the hashing pass it
-    saves (measured in bench notes) — pass ``layout='flat'`` there for an
-    unpartitioned melt (reuse win without pruning; the melt is slim, so a
-    full scan of it is cheap at that scale anyway).  Also written:
+    saves (measured in bench notes: at sf0.1 the loaded bucketed melt was
+    4.3× slower to join than in-memory) — ``layout='flat'`` writes an
+    unpartitioned melt there (reuse win without pruning; the melt is slim,
+    so a full scan of it is cheap at that scale anyway).  ``layout=None``
+    (default, r11 — VERDICT r10 #5) self-selects: the save path counts the
+    corpus once (one slim extra job on a path already paying two writes)
+    and picks ``flat`` below ``_LSH_FLAT_MELT_ROWS`` melt rows — or when
+    the knobs imply more than 65,536 directories — else ``bucketed``; the
+    choice lands in the sidecar, so :func:`append_to_lsh_index`,
+    :func:`compact_lsh_index` and the probe join follow it without the
+    caller having to know.  Explicit values skip the count (and explicit
+    ``bucketed`` past the directory cap raises rather than silently
+    degrading).  Also written:
     ``vecs/`` for the exact rerank (candidate-bounded reads) and a
     ``method='lsh'``-tagged ``_ann_meta`` sidecar through Spark
     (``load_ann_index`` rejects it, and :func:`load_lsh_index` rejects IVF
@@ -1490,8 +1508,8 @@ def save_lsh_index(
             f"save_lsh_index supports mode='overwrite' or 'errorifexists', got {mode!r}: "
             "append/ignore can desynchronize the melt partitions from the sidecar knobs"
         )
-    if layout not in ("bucketed", "flat"):
-        raise ValueError(f"layout must be 'bucketed' or 'flat', got {layout!r}")
+    if layout not in (None, "bucketed", "flat"):
+        raise ValueError(f"layout must be 'bucketed', 'flat' or None (auto), got {layout!r}")
     n_dirs = num_tables * (1 << num_planes)
     if layout == "bucketed" and n_dirs > 65536:
         raise ValueError(
@@ -1501,6 +1519,11 @@ def save_lsh_index(
     corpus = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    if layout is None:
+        melt_rows = corpus.count() * num_tables
+        layout = (
+            "flat" if (melt_rows < _LSH_FLAT_MELT_ROWS or n_dirs > 65536) else "bucketed"
+        )
     melt = _lsh_melt(corpus, "vec", ["id"], num_planes, num_tables, seed)
     if layout == "bucketed":
         # repartition on the partition keys before the write: without it

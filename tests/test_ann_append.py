@@ -215,7 +215,10 @@ def test_append_to_lsh_index_parity_recovery_and_compact(spark, tmp_path):
     path = str(tmp_path / "lsh")
     old = df.where(F.col("vec_id") % 4 != 0)
     new = df.where(F.col("vec_id") % 4 == 0)
-    similarity.save_lsh_index(old, path, "embedding", "vec_id")
+    # layout pinned: the crash simulation below hand-writes a PARTITIONED
+    # melt fragment, and auto (r11) would pick flat at this scale — the
+    # flat append leg is gate-certified via the entry's lsh_disk_q* rows
+    similarity.save_lsh_index(old, path, "embedding", "vec_id", layout="bucketed")
     similarity.append_to_lsh_index(new, path, "embedding", "vec_id")
 
     queries = df.where(F.col("vec_id").isin(0, 7, 13)).select(

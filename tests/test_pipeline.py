@@ -2030,4 +2030,15 @@ def test_lsh_index_save_load_join_parity(spark, tmp_path):
         similarity.save_lsh_index(df, path, "embedding", "vec_id", mode="append")
     with pytest.raises(ValueError, match="65536"):
         similarity.save_lsh_index(df, str(tmp_path / "x"), "embedding", "vec_id",
-                                  num_planes=16, num_tables=2)
+                                  num_planes=16, num_tables=2, layout="bucketed")
+
+    # r11 (VERDICT r10 #5): layout=None self-selects — flat at this scale
+    # (melt rows far below the 1M threshold), recorded in the sidecar so
+    # append/compact/probe follow it; explicit 'bucketed' still honored
+    # (the plan test pins its pruning); auto past the 65536-dir cap falls
+    # back to flat instead of raising.
+    assert idx.meta["layout"] == "flat"
+    auto_big = str(tmp_path / "auto_big")
+    similarity.save_lsh_index(df.limit(5), auto_big, "embedding", "vec_id",
+                              num_planes=16, num_tables=2)
+    assert similarity.load_lsh_index(spark, auto_big).meta["layout"] == "flat"

@@ -468,7 +468,7 @@ def test_streaming_sketch_ingestion_foreachbatch(spark, tmp_path):
         batches.append(batch_id)
         SK.save_sketch(
             SK.hll_sketch(batch_df, "k", p=8, hash_name="md5"),
-            path, "hll", {"p": 8, "hash_name": "md5"},
+            path, "hll", {"cols": ["k"], "p": 8, "hash_name": "md5"},
             mode="append" if batch_id > 0 else "overwrite",
         )
 
