@@ -789,6 +789,17 @@ def main() -> None:
                 "executor-loss retry caveat documented in the docstring as "
                 "the original ADVICE offered."
             ),
+            "r11_aggr_grouped_adjudication": (
+                "VERDICT r10 #4 CLOSED as box drift: the committed clean-room "
+                "A/B (scripts/ab_aggr_grouped.py - the 10x shifted-key case "
+                "through a git worktree of the r9 checkout 5e92477 vs HEAD, "
+                "fresh subprocess per leg, interleaved 2x3, 2026-08-16) "
+                "measured HEAD median 0.962s / best 0.815 vs r9-body median "
+                "1.094 / best 0.971 - HEAD is FASTER than the r9 body on the "
+                "same box, so the recorded 1.25 -> 2.68 slope jump was not a "
+                "code change. The engine path of aggr_grouped is untouched "
+                "since r9 (plan test pins the broadcast-stats join-back)."
+            ),
             "r10_drift_attribution": (
                 "pq_topk watch (VERDICT r9 #5) CLOSED: quiet r10-session run "
                 "measures 0.340 vs the r9 driver's 0.442 (0.77x) with an "

@@ -1433,20 +1433,33 @@ class LshIndex:
         self.num_planes = int(meta["num_planes"])
         self.num_tables = int(meta["num_tables"])
         self.seed = int(meta["seed"])
+        self._reads: dict = {}
+
+    def invalidate(self) -> None:
+        """Drop cached reads so the next accessor re-lists the layout —
+        call after appending/removing through a PATH-based API while
+        holding this handle (those load their own handle and cannot see
+        yours)."""
+        self._reads.clear()
+
+    def _read(self, sub: str):
+        # fresh spark.read.parquet per access costs a schema/partition
+        # discovery execution each probe (r11, same fix as DedupIndex);
+        # a handle reflects the files at first access
+        if sub not in self._reads:
+            if sub == "_tombstones":
+                self._reads[sub] = _load_tombstones(self.spark, self.path)
+            else:
+                self._reads[sub] = self.spark.read.parquet(self.path + "/" + sub)
+        return self._reads[sub]
 
     @property
     def melt(self):
-        return _alive(
-            self.spark.read.parquet(self.path + "/melt"),
-            _load_tombstones(self.spark, self.path),
-        )
+        return _alive(self._read("melt"), self._read("_tombstones"))
 
     @property
     def vecs(self):
-        return _alive(
-            self.spark.read.parquet(self.path + "/vecs"),
-            _load_tombstones(self.spark, self.path),
-        )
+        return _alive(self._read("vecs"), self._read("_tombstones"))
 
 
 # layout=None auto-select threshold: below this many melt rows the (t, b)
