@@ -2292,12 +2292,29 @@ def q_profile_summary(spark, sf):
         for i in (0, 1)
     ]
     extra = {}
+    exacts = {}
     for c in cols:
         merged = SK.hll_merge(*[SK.hll_sketch(h, c, p=12, hash_name="md5") for h in halves])
         regs = {int(r["reg"]): int(r["rho"]) for r in merged.collect()}  # bounded <= 4096
         est = SK.hll_estimate_local(regs, 12)
-        exact = df.select(SK._key_col([c]).alias("k")).distinct().count()
-        extra[c] = [len(regs), sum(regs.values()), abs(est / exact - 1.0) < 0.1]
+        exacts[c] = df.select(SK._key_col([c]).alias("k")).distinct().count()
+        extra[c] = [len(regs), sum(regs.values()), abs(est / exacts[c] - 1.0) < 0.1]
+    # r11: the KMV bottom-k leg — per-half sketches MERGED must equal the
+    # whole-corpus bottom-k (the twin re-derives it from the raw table:
+    # every retained hash bit-for-bit via the mod-checksum), the (k-1)/U_k
+    # estimator within a 20% FAR threshold (k=256 error ~6%; the
+    # l_returnflag row exercises the exact n<k branch), and the two
+    # halves' overlap count within the union's bottom-k (kmv_overlap's
+    # n_both — exact set algebra both engines derive independently)
+    KMV_K = 256
+    kmv_info = {}
+    for c in cols:
+        sa = SK.kmv_sketch(halves[0], c, k=KMV_K, hash_name="md5")
+        sb = SK.kmv_sketch(halves[1], c, k=KMV_K, hash_name="md5")
+        hs = [int(r["h"]) for r in SK.kmv_merge(sa, sb, k=KMV_K).collect()]  # bounded <= k
+        est_ok = abs(SK.kmv_estimate_local(hs, KMV_K) / exacts[c] - 1.0) < 0.2
+        n_both = int(SK.kmv_overlap(sa, sb, k=KMV_K).collect()[0]["n_both"])
+        kmv_info[c] = [len(hs), sum(h % 1000000007 for h in hs), est_ok, n_both]
     cms = SK.cms_merge(
         *[SK.cms_sketch(h, "l_returnflag", depth=4, width=1024, hash_name="md5") for h in halves]
     )
@@ -2360,6 +2377,10 @@ def q_profile_summary(spark, sf):
                 mom_ok[c],
                 hist_info[c][0],
                 hist_info[c][1],
+                kmv_info[c][0],
+                kmv_info[c][1],
+                kmv_info[c][2],
+                kmv_info[c][3],
             )
         )
     return spark.createDataFrame(
@@ -2368,7 +2389,8 @@ def q_profile_summary(spark, sf):
         "minv double, maxv double, meanv double, rules string, gen_funcs string, dlt_exprs string, "
         "hll_regs bigint, hll_sum_rho bigint, hll_est_ok boolean, "
         "cms_checksum bigint, cms_est_a bigint, mom_merge_ok boolean, "
-        "hist_checksum bigint, hist_med_ok boolean",
+        "hist_checksum bigint, hist_med_ok boolean, "
+        "kmv_n bigint, kmv_checksum bigint, kmv_est_ok boolean, kmv_both bigint",
     )
 
 
@@ -2600,6 +2622,40 @@ def _hist_med_ok(name: str, col: str) -> str:
         f"ELSE {lo} + (bin + ({tgt} - prior) / cnt) * {w} END AS est FROM "
         f"(SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) - cnt AS prior FROM {name}) "
         f"WHERE prior + cnt >= {tgt} ORDER BY bin LIMIT 1))"
+    )
+
+
+def _kmv_ctes(tag: str, col: str) -> str:
+    """r11 KMV twin CTEs: the whole-corpus bottom-256 distinct md5-60
+    hashes (what the Spark side's per-half merge must equal) plus each
+    parity half's own bottom-256 (for the overlap count)."""
+    h = _md5long(_sketch_key(col))
+    half = "COALESCE(l_orderkey % 2, 0)"
+    return (
+        f"kmv_u_{tag} AS (SELECT h FROM (SELECT DISTINCT {h} AS h FROM lineitem) ORDER BY h LIMIT 256), "
+        f"kmv_a_{tag} AS (SELECT h FROM (SELECT DISTINCT {h} AS h FROM lineitem WHERE {half} = 0) ORDER BY h LIMIT 256), "
+        f"kmv_b_{tag} AS (SELECT h FROM (SELECT DISTINCT {h} AS h FROM lineitem WHERE {half} = 1) ORDER BY h LIMIT 256)"
+    )
+
+
+def _kmv_cols(tag: str, col: str, alias: bool = False) -> str:
+    """The four KMV gate columns for one profile row: retained-hash count +
+    mod-checksum (exact ints — bit-for-bit certification of every retained
+    hash), the (k-1)/U_k estimator vs exact distinct as a 20% FAR-threshold
+    boolean (n<k branch is the exact count), and the halves' overlap count
+    within the union's bottom-k (exact set algebra)."""
+    est = "CASE WHEN s.n < 256 THEN s.n::DOUBLE ELSE 255.0 * 1152921504606846976.0 / s.mx END"
+    a = ["", "", "", ""]
+    if alias:
+        a = [" AS kmv_n", " AS kmv_checksum", " AS kmv_est_ok", " AS kmv_both"]
+    return (
+        f"(SELECT count(*) FROM kmv_u_{tag})::BIGINT{a[0]}, "
+        f"(SELECT sum(h % 1000000007)::BIGINT FROM kmv_u_{tag}){a[1]}, "
+        f"(SELECT abs(({est}) / x.exact - 1) < 0.2 FROM "
+        f"(SELECT count(*) AS n, max(h)::DOUBLE AS mx FROM kmv_u_{tag}) s, "
+        f"(SELECT count(DISTINCT {_sketch_key(col)})::DOUBLE AS exact FROM lineitem) x){a[2]}, "
+        f"(SELECT count(*)::BIGINT FROM kmv_u_{tag} u "
+        f"JOIN kmv_a_{tag} a USING (h) JOIN kmv_b_{tag} b USING (h)){a[3]}"
     )
 
 
@@ -4137,6 +4193,9 @@ def oracle_sql() -> dict[str, str]:
             + _hist_cte("hist_ok", "l_orderkey") + ", "
             + _hist_cte("hist_q", "l_quantity") + ", "
             + _hist_cte("hist_ep", "l_extendedprice") + ", "
+            + _kmv_ctes("ok", "l_orderkey") + ", "
+            + _kmv_ctes("q", "l_quantity") + ", "
+            + _kmv_ctes("rf", "l_returnflag") + ", "
             "a AS (SELECT count(*) AS total, "
             "count(l_orderkey) AS c_ok, min(l_orderkey) AS mn_ok, max(l_orderkey) AS mx_ok, "
             "sum(l_orderkey)::DOUBLE AS s_ok, count(DISTINCT l_orderkey) AS d_ok, "
@@ -4168,7 +4227,8 @@ def oracle_sql() -> dict[str, str]:
             "NULL::BIGINT AS cms_checksum, NULL::BIGINT AS cms_est_a, "
             + _mom_merge_ok("l_orderkey") + " AS mom_merge_ok, "
             "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_ok) AS hist_checksum, "
-            + _hist_med_ok("hist_ok", "l_orderkey") + " AS hist_med_ok FROM a "
+            + _hist_med_ok("hist_ok", "l_orderkey") + " AS hist_med_ok, "
+            + _kmv_cols("ok", "l_orderkey", alias=True) + " FROM a "
             "UNION ALL "
             "SELECT 'l_quantity', total, c_q, total - c_q, NULL, mn_q, mx_q, s_q / c_q, "
             "array_to_string(list_filter(['is_not_null', 'min_max'], x -> "
@@ -4186,7 +4246,8 @@ def oracle_sql() -> dict[str, str]:
             + _hll_est_ok("regs_q", "l_quantity") + ", "
             "NULL::BIGINT, NULL::BIGINT, " + _mom_merge_ok("l_quantity") + ", "
             "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_q), "
-            + _hist_med_ok("hist_q", "l_quantity") + " FROM a "
+            + _hist_med_ok("hist_q", "l_quantity") + ", "
+            + _kmv_cols("q", "l_quantity") + " FROM a "
             "UNION ALL "
             "SELECT 'l_returnflag', total, c_rf, total - c_rf, e_rf, NULL, NULL, NULL, "
             "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
@@ -4209,7 +4270,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT checksum FROM cmsagg), (SELECT est FROM cmsprobe), "
             + _mom_merge_ok("l_extendedprice") + ", "
             "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_ep), "
-            + _hist_med_ok("hist_ep", "l_extendedprice") + " FROM a"
+            + _hist_med_ok("hist_ep", "l_extendedprice") + ", "
+            + _kmv_cols("rf", "l_returnflag") + " FROM a"
         ),
         "video_keyframes": _video_keyframes_oracle(),
         "streaming_checks_parity": (

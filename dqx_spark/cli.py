@@ -260,6 +260,9 @@ def cmd_sketch_build(args) -> int:
                            hash_name=args.hash_name)
         knobs = {"cols": list(args.cols), "depth": args.depth, "width": args.width,
                  "hash_name": args.hash_name}
+    elif args.kind == "kmv":
+        sk = SK.kmv_sketch(df, args.cols, k=args.k, hash_name=args.hash_name)
+        knobs = {"cols": list(args.cols), "k": args.k, "hash_name": args.hash_name}
     elif args.kind == "moments":
         sk = SK.moments_sketch(df, args.cols[0])
         knobs = {"col": args.cols[0]}
@@ -302,6 +305,9 @@ def cmd_sketch_report(args) -> int:
         probed = SK.cms_probe(merged, items, "item", depth=meta["depth"],
                               width=meta["width"], hash_name=meta["hash_name"])
         out["counts"] = {r["item"]: int(r["est_count"]) for r in probed.collect()}
+    elif kind == "kmv":
+        merged = SK.kmv_merge(df, k=meta["k"])
+        out["distinct_estimate"] = round(SK.kmv_estimate(merged, meta["k"]), 1)
     elif kind == "moments":
         row = SK.moments_merge(df).collect()[0]
         out.update({k: row[k] for k in ("n", "mn", "mx", "mean", "var_pop", "stddev_pop")})
@@ -497,10 +503,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "sketch-build",
-        help="build or --append one mergeable sketch (hll/cms/moments/hist/tokens) "
+        help="build or --append one mergeable sketch (hll/cms/kmv/moments/hist/tokens) "
              "over a parquet input - the per-batch step of incremental corpus stats",
     )
-    p.add_argument("--kind", required=True, choices=["hll", "cms", "moments", "hist", "tokens"])
+    p.add_argument("--kind", required=True, choices=["hll", "cms", "kmv", "moments", "hist", "tokens"])
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="sketch layout path (data/ + _sketch_meta)")
     p.add_argument("--cols", nargs="+", required=True,
@@ -508,6 +514,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--append", action="store_true",
                    help="accumulate this batch's rows (knob mismatch vs the sidecar is rejected)")
     p.add_argument("--p", type=int, default=12)
+    p.add_argument("--k", type=int, default=1024, help="kmv bottom-k size")
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--hash-name", default="xxhash64", choices=["xxhash64", "md5"])

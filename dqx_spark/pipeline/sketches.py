@@ -69,6 +69,11 @@ __all__ = [
     "histogram_merge",
     "histogram_quantile",
     "histogram_quantile_local",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_estimate_local",
+    "kmv_overlap",
     "save_sketch",
     "load_sketch",
 ]
@@ -406,6 +411,107 @@ def histogram_quantile(
 
 
 # ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values)
+# ---------------------------------------------------------------------------
+def kmv_sketch(df: DataFrame, cols: list[str] | str, k: int = 1024, hash_name: str = "xxhash64") -> DataFrame:
+    """Bottom-k sketch ``(h long)``: the ``k`` smallest DISTINCT 60-bit
+    hashes of ``cols`` (Bar-Yossef et al. 2002; the unbiased ``(k−1)/U_k``
+    estimator and bottom-k set operations follow Beyer et al. 2007).  The
+    sketch IS a uniform sample of the distinct-value space, which is what
+    HLL cannot give you: two corpora's sketches support overlap / Jaccard /
+    union estimation (:func:`kmv_overlap`) because membership below both
+    k-th minima is EXACT — the corpus-diff question ("how much of today's
+    crawl is yesterday's?") answered from two ≤ k-row tables.
+
+    Plan shape: project the hash → map-side partial DISTINCT → shuffle of
+    per-partition distinct 8-byte hashes → ``TakeOrdered(k)``.  The
+    distinct shuffle is the honest cost (same class as an exact
+    count-distinct, far cheaper than shuffling rows); when only a
+    cardinality is needed, :func:`hll_sketch` is the cheaper tool — KMV
+    earns the shuffle when the SAMPLE itself is the product.  Merge =
+    union → distinct → re-bottom-k (:func:`kmv_merge`): associative and
+    idempotent, so per-batch sketches compose in any order and re-merging
+    a batch is a no-op."""
+    if k < 16:
+        raise ValueError(f"k must be >= 16 for a usable estimator, got {k}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    h = _hash60(_key_col(cols), hash_name)
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Bottom-k of the union of bottom-k sketches — exact, because any
+    hash in the union's true bottom-k is in its own corpus's bottom-k.
+    ``k`` must be the SAVE-time k (the sidecar records it); merging with a
+    larger k silently under-fills and over-estimates."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_local(hashes: list[int], k: int) -> float:
+    """Distinct-count estimate from a sketch's hash list — pure Python,
+    shared verbatim by tests and twins.  Fewer than ``k`` hashes means the
+    sketch holds EVERY distinct hash (exact count); at ``k`` the unbiased
+    estimator is ``(k−1) · 2^60 / h_(k)`` with ``h_(k)`` the largest
+    retained hash (Beyer et al. 2007)."""
+    n = len(hashes)
+    if n < k:
+        return float(n)
+    return (k - 1) * float(1 << _HASH_BITS) / float(max(hashes))
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> float:
+    """Driver-side estimate — a BOUNDED collect of ≤ ``k`` longs."""
+    return kmv_estimate_local([int(r["h"]) for r in sketch.collect()], k)
+
+
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """One-row corpus-overlap report from two bottom-k sketches: exact
+    sketch sizes + intersection count within the union's bottom-k, and the
+    derived estimates — ``est_distinct_a/b``, ``est_jaccard`` (fraction of
+    the union's bottom-k present in BOTH sketches — exact membership below
+    both k-th minima makes this the standard bottom-k Jaccard estimator),
+    ``est_union``, ``est_intersection`` (= jaccard × union).  One lazy
+    plan over ≤ 3k rows — every aggregate is 1-row broadcast-crossJoined,
+    nothing corpus-sized is touched."""
+    merged = kmv_merge(sketch_a, sketch_b, k=k)
+    flagged = (
+        merged.join(sketch_a.select("h", F.lit(1).alias("in_a")), "h", "left")
+        .join(sketch_b.select("h", F.lit(1).alias("in_b")), "h", "left")
+    )
+    space = float(1 << _HASH_BITS)
+
+    def est(n_col, kth_col):
+        return F.when(n_col < k, n_col.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(space) / kth_col.cast("double")
+        )
+
+    m = flagged.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.max("h").alias("kth_union"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)).alias("n_both"),
+    )
+    a = sketch_a.agg(F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a"))
+    b = sketch_b.agg(F.count(F.lit(1)).alias("n_b"), F.max("h").alias("kth_b"))
+    est_union = est(F.col("n_union"), F.col("kth_union"))
+    jac = F.col("n_both").cast("double") / F.col("n_union").cast("double")
+    return (
+        m.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n_a", "n_b", "n_union", "n_both",
+            est(F.col("n_a"), F.col("kth_a")).alias("est_distinct_a"),
+            est(F.col("n_b"), F.col("kth_b")).alias("est_distinct_b"),
+            jac.alias("est_jaccard"),
+            est_union.alias("est_union"),
+            (jac * est_union).alias("est_intersection"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # persistence
 # ---------------------------------------------------------------------------
 _KINDS = {
@@ -415,6 +521,9 @@ _KINDS = {
     # corrupt merged estimates, the exact failure the guard exists for
     "hll": {"cols", "p", "hash_name"},
     "cms": {"cols", "depth", "width", "hash_name"},
+    # bottom-k rows accumulate per batch; reads re-derive via kmv_merge
+    # (distinct + re-bottom-k), so append is idempotent like hll
+    "kmv": {"cols", "k", "hash_name"},
     "moments": {"col"},
     "hist": {"col", "lo", "hi", "bins"},
     # (tok, c) unigram states from corpus.token_count_state — count-summed

@@ -301,3 +301,84 @@ def test_histogram_sketch_counts_merge_and_quantiles(spark):
         loaded, meta = SK.load_sketch(spark, td + "/h")
         assert meta["bins"] == bins and meta["lo"] == lo
         assert {r["bin"]: r["cnt"] for r in loaded.collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k (r11)
+# ---------------------------------------------------------------------------
+def test_kmv_hashes_match_pure_python_twin(spark):
+    """The sketch must hold EXACTLY the k smallest distinct md5-60 hashes —
+    bit-for-bit re-derivable by sorting locally (the DuckDB-twin class)."""
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    # duplicate every value: distinct-ness must hold
+    df = df.unionByName(df)
+    got = sorted(r["h"] for r in SK.kmv_sketch(df, "k", k=64, hash_name="md5").collect())
+    want = sorted({_md5h60(str(i)) for i in range(500)})[:64]
+    assert got == want
+
+
+def test_kmv_estimate_and_exact_small(spark):
+    for mode in ("md5", "xxhash64"):
+        df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+        est = SK.kmv_estimate(SK.kmv_sketch(df, "k", k=512, hash_name=mode), k=512)
+        assert abs(est / 20000 - 1.0) < 0.15, (mode, est)
+    # fewer distincts than k -> the sketch is the whole space, exact count
+    small = spark.range(30).select(F.col("id").cast("string").alias("k"))
+    assert SK.kmv_estimate(SK.kmv_sketch(small, "k", k=64), k=64) == 30.0
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_sketch(small, "k", k=4)
+
+
+def test_kmv_merge_equals_whole_and_is_idempotent(spark):
+    df = spark.range(3000).select(F.col("id").cast("string").alias("k"))
+    a = SK.kmv_sketch(df.where(F.col("k").cast("long") % 2 == 0), "k", k=128, hash_name="md5")
+    b = SK.kmv_sketch(df.where(F.col("k").cast("long") % 2 == 1), "k", k=128, hash_name="md5")
+    whole = sorted(r["h"] for r in SK.kmv_sketch(df, "k", k=128, hash_name="md5").collect())
+    merged = sorted(r["h"] for r in SK.kmv_merge(a, b, k=128).collect())
+    assert merged == whole
+    twice = sorted(r["h"] for r in SK.kmv_merge(a, a, a, k=128).collect())
+    assert twice == sorted(r["h"] for r in a.collect())
+
+
+def test_kmv_overlap_report(spark):
+    """Two corpora with known 50% overlap: exact columns verified against a
+    local bottom-k replay, estimates within tolerance of the true values."""
+    # A = [0, 2000), B = [1000, 3000): |A|=|B|=2000, inter=1000, union=3000
+    a_df = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    b_df = spark.range(1000, 3000).select(F.col("id").cast("string").alias("k"))
+    k = 256
+    sa = SK.kmv_sketch(a_df, "k", k=k, hash_name="md5")
+    sb = SK.kmv_sketch(b_df, "k", k=k, hash_name="md5")
+    row = SK.kmv_overlap(sa, sb, k=k).collect()[0]
+    # exact columns replayed locally
+    ha = sorted({_md5h60(str(i)) for i in range(0, 2000)})[:k]
+    hb = sorted({_md5h60(str(i)) for i in range(1000, 3000)})[:k]
+    hu = sorted(set(ha) | set(hb))[:k]
+    n_both = sum(1 for h in hu if h in set(ha) and h in set(hb))
+    assert row["n_a"] == k and row["n_b"] == k and row["n_union"] == k
+    assert row["n_both"] == n_both
+    # estimator sanity vs ground truth
+    assert abs(row["est_distinct_a"] / 2000 - 1) < 0.2
+    assert abs(row["est_union"] / 3000 - 1) < 0.2
+    assert abs(row["est_jaccard"] - 1000 / 3000) < 0.12
+    assert abs(row["est_intersection"] / 1000 - 1) < 0.45
+    # est matches the shared pure-python estimator exactly on the same rows
+    assert row["est_distinct_a"] == pytest.approx(SK.kmv_estimate_local(ha, k))
+
+
+def test_kmv_persistence_append_and_guards(spark, tmp_path):
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    halves = [df.where(F.col("k").cast("long") % 2 == i) for i in (0, 1)]
+    path = str(tmp_path / "kmv")
+    knobs = {"cols": ["k"], "k": 128, "hash_name": "md5"}
+    SK.save_sketch(SK.kmv_sketch(halves[0], "k", k=128, hash_name="md5"), path, "kmv", knobs)
+    SK.save_sketch(SK.kmv_sketch(halves[1], "k", k=128, hash_name="md5"), path, "kmv", knobs,
+                   mode="append")
+    loaded, meta = SK.load_sketch(spark, path)
+    assert meta == {"kind": "kmv", **knobs}
+    merged = sorted(r["h"] for r in SK.kmv_merge(loaded, k=128).collect())
+    whole = sorted(r["h"] for r in SK.kmv_sketch(df, "k", k=128, hash_name="md5").collect())
+    assert merged == whole
+    with pytest.raises(ValueError, match="knobs"):
+        SK.save_sketch(SK.kmv_sketch(df, "k", k=64, hash_name="md5"), path, "kmv",
+                       {"cols": ["k"], "k": 64, "hash_name": "md5"}, mode="append")
