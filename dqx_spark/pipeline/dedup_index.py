@@ -8,14 +8,19 @@ never the text — in the same layout discipline as
 ``similarity.save_ann_index`` (bucket-partitioned parquet + an
 underscore-hidden sidecar), so that onboarding a new batch costs:
 
-* a scan-local signature pass over the NEW batch only;
+* a scan-local signature pass over the NEW batch only (materialize it ONCE
+  with :func:`batch_state` and share it across probe + append — r11);
 * ONE broadcast hash join of the new batch's (band, bucket) probes against
   the state melt — the state side is never shuffled, and its scan is
-  partition-PRUNED to the probed ``pb`` partitions (an explicit bounded
-  ``isin`` pushdown: the distinct ``pb`` set is collected from the new
-  batch and is ≤ ``partitions`` values by construction);
+  partition-pruned per ``prune=``: ``'static'`` collects the batch's
+  distinct ``pb`` set (≤ ``partitions`` values by construction) and pushes
+  a literal ``isin`` (GUARANTEED ``PartitionFilters``), ``'join'`` rides
+  ``pb`` on the equi-join keys instead (no driver collects — the whole
+  probe is ONE SQL execution; pruning via dynamic partition pruning when
+  the optimizer takes it, full slim-melt scan otherwise — the
+  micro-batch-latency trade, r11);
 * a candidate-bounded signature fetch (minhash only; simhash scores ride
-  the melt) — also partition-pruned by the candidates' ``pb`` values.
+  the melt) — partition-pruned the same way.
 
 The batch-sized shuffles (the new batch's signature groupBy) are the only
 shuffles; nothing state-sized ever moves.
@@ -141,9 +146,38 @@ class DedupIndex:
         layout (needed after an out-of-band write to ``path``)."""
         self._reads.clear()
 
+    # exact column types each writer produces, for the empty-layout
+    # fallback below (md5 dup_key = string; xxhash64-derived sig members,
+    # buckets and simhash = long; band from an int sequence; pb cast int)
+    _SCHEMAS = {
+        "exact": {"keys": "dup_key string, id long, pb int"},
+        "minhash": {
+            "sigs": "id long, sig array<long>, pb int",
+            "bands": "id long, band int, bucket long, pb int",
+        },
+        "simhash": {
+            "sigs": "id long, sh long, pb int",
+            "bands": "id long, sh long, band int, bucket long, pb int",
+        },
+    }
+
     def _read(self, sub: str) -> DataFrame:
         if sub not in self._reads:
-            self._reads[sub] = self.spark.read.parquet(self.path + "/" + sub)
+            try:
+                self._reads[sub] = self.spark.read.parquet(self.path + "/" + sub)
+            except Exception as e:  # noqa: BLE001
+                # an EMPTY seed corpus writes no parquet files (partitionBy
+                # of zero rows leaves only _SUCCESS), so schema inference
+                # fails — starting a crawl from an empty index is a real
+                # use case (streaming.dedup_index_sink), so fall back to a
+                # typed empty frame matching what append will write
+                msg = str(e)
+                if "UNABLE_TO_INFER_SCHEMA" not in msg and "Path does not exist" not in msg:
+                    raise
+                ddl = dict(self._SCHEMAS[self.method], pairs=_PAIR_SCHEMA).get(sub)
+                if ddl is None:
+                    raise
+                self._reads[sub] = self.spark.createDataFrame([], ddl)
         return self._reads[sub]
 
     @property
@@ -849,6 +883,7 @@ def dedup_against_index(
     columns: list[str] | None = None,
     storage: str = "local",
     prune: str = "static",
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy accept-only view of a batch against the index: ``new_df``'s
     columns plus ``matched_index`` (this row duplicates something already
@@ -868,7 +903,7 @@ def dedup_against_index(
     pairs = _materialize(
         dedup_pairs_against_index(
             new_df, index, id_col, text_col, columns=columns, storage=storage,
-            prune=prune,
+            prune=prune, state=state,
         ),
         storage,
         eager=True,

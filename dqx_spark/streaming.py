@@ -402,3 +402,70 @@ def split_and_write_streaming(
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
     return writer.start()
+
+
+def dedup_index_sink(
+    index_path: str,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    prune: str = "join",
+    accepted_sink: Callable[[DataFrame, int], None] | None = None,
+    storage: str = "local",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink that onboards every micro-batch into a persisted
+    dedup index (r11) — the streaming face of ``pipeline.dedup_index``,
+    composing the crawl-ingestion loop its module docstring describes:
+    per batch, ONE :func:`~dqx_spark.pipeline.dedup_index.batch_state`
+    signature pass shared by probe and append, the probe in ``prune='join'``
+    mode (single SQL execution — the micro-batch latency trade; pass
+    ``prune='static'`` for guaranteed partition pruning against a huge
+    index), pairs appended to the ledger, state rows appended to the
+    layout.  The ledger algebra makes the RESULT exactly order-insensitive:
+    after any sequence of micro-batches, ``index_kept_ids`` equals a
+    corpus-at-once rerun over everything ingested (pinned by test against
+    3 real micro-batches).
+
+    ``accepted_sink(kept_df, batch_id)``, when given, receives the batch's
+    greedy accept-only view (:func:`dedup_against_index`'s semantics —
+    rows that matched nothing already onboarded, one keeper per
+    within-batch group) BEFORE the batch is appended — the
+    dedup-then-train tap most ingestion pipelines want.  Exactly-once
+    caveat: appends are not transactional with the checkpoint — a crash
+    between the pairs write and the state writes can leave a half-onboarded
+    batch, and a replayed batch double-appends its ids (the module's
+    documented id-uniqueness contract).  Route replays away with
+    ``skip_existing_ids``-style filtering upstream, or compact + rebuild
+    on crash; Delta-backed state would close this gap and is the
+    production hardening path.
+
+    Use: ``stream.writeStream.foreachBatch(dedup_index_sink(...)).start()``.
+
+    Reference: databrickslabs/dqx has no persisted-dedup surface
+    (is_unique in check_funcs.py is within-run); this extends the
+    streaming + dedup_index families it motivated."""
+    from dqx_spark.pipeline import dedup_index as _di
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = _di.load_dedup_index(spark, index_path)
+        state = _di.batch_state(
+            batch_df, idx, id_col, text_col, columns=columns, storage=storage
+        )
+        pairs = _di.dedup_pairs_against_index(
+            batch_df, idx, id_col, text_col, columns=columns,
+            state=state, prune=prune, storage=storage,
+        )
+        if accepted_sink is not None:
+            accepted = _di.dedup_against_index(
+                batch_df, idx, id_col, text_col, columns=columns, storage=storage,
+                prune=prune, state=state,
+            )
+            accepted_sink(accepted.where(F.col("kept")), batch_id)
+        _di.append_to_index(
+            batch_df, idx, id_col, text_col, columns=columns,
+            new_pairs=pairs, state=state, storage=storage,
+        )
+
+    return sink

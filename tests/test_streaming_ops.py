@@ -489,3 +489,76 @@ def test_streaming_sketch_ingestion_foreachbatch(spark, tmp_path):
     assert merged == whole
     est = SK.hll_estimate_local(merged, 8)
     assert abs(est - 300) / 300 < 0.15  # p=8 ~6.5% expected error
+
+
+def test_streaming_dedup_index_sink_equals_full_rerun(spark, tmp_path):
+    """r11: the crawl-ingestion loop as a stream — dedup_index_sink onboards
+    three REAL micro-batches (maxFilesPerTrigger=1) into a persisted dedup
+    index, and the final kept-set equals a corpus-at-once rerun over
+    everything ingested (the ledger algebra is batch-order-insensitive).
+    The accepted_sink tap must reject within- and cross-batch duplicates
+    greedily as each batch lands."""
+    from dqx_spark.pipeline import dedup, dedup_index as di
+    from dqx_spark.streaming import dedup_index_sink
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def doc(i):
+        if i % 5 == 2:
+            return base  # exact dup family across batches
+        # genuinely distinct docs (no shared prefix — a shared base would
+        # put everything over the 0.5 jaccard threshold in one cluster)
+        return (
+            f"document {i} covers topic {i * 13} using terms {i * 7} "
+            f"and {i * 29} plus filler {i * 31} ending {i * 37}"
+        )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for b in range(3):
+        spark.createDataFrame(
+            [(i, doc(i)) for i in range(b * 10, (b + 1) * 10)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    idx_path = str(tmp_path / "idx")
+    # seed index: EMPTY corpus of the right shape (the stream is the corpus)
+    di.save_dedup_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx_path,
+        "doc_id", "text", method="minhash", num_hashes=32, bands=8, shingle_k=3,
+        threshold=0.5, partitions=16,
+    )
+    accepted: list = []
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_index_sink(
+                idx_path, "doc_id", "text",
+                accepted_sink=lambda df, bid: accepted.append(
+                    (bid, sorted(r["doc_id"] for r in df.collect()))
+                ),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(accepted) == 3  # really incremental
+
+    # final kept-set == corpus-at-once rerun over all 30 docs
+    whole = spark.createDataFrame([(i, doc(i)) for i in range(30)], "doc_id long, text string")
+    full = dedup.minhash_lsh_pairs(
+        whole, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, threshold=0.5
+    ).withColumnRenamed("est_jaccard", "score")
+    groups = dedup.connected_components(full, whole.select(F.col("doc_id").alias("id")))
+    want_kept = sorted(
+        r["id"] for r in groups.where(F.col("id") == F.col("group_id")).collect()
+    )
+    idx = di.load_dedup_index(spark, idx_path)
+    got_kept = sorted(r["id"] for r in di.index_kept_ids(idx).where("kept").collect())
+    assert got_kept == want_kept
+    # the dup family (2, 7, 12, ...) was rejected greedily after its first
+    # appearance: batch 0 accepted doc 2's family keeper, later batches none
+    flat_accepted = {i for _, ids in accepted for i in ids}
+    dup_ids = {i for i in range(30) if i % 5 == 2}
+    assert len(flat_accepted & dup_ids) == 1
