@@ -879,9 +879,11 @@ def main() -> None:
             # at save instead of per query batch
             "lsh_melt_reuse": (
                 f"16-query ann_lsh_topk_join: in-memory melt {lsh_join_mem_s}s vs "
-                f"loaded (t,b)-partitioned melt {lsh_join_disk_s}s (build "
-                f"{lsh_index_build_s}s, amortized); the reuse win grows with corpus "
-                "size - the melt hashing pass is the corpus-sized term"
+                f"loaded melt {lsh_join_disk_s}s (build {lsh_index_build_s}s, "
+                "amortized; r11: save_lsh_index layout=None self-selects - flat "
+                "at this scale, closing VERDICT r10 #5's 4.3x bucketed-layout "
+                "penalty); the reuse win grows with corpus size - the melt "
+                "hashing pass is the corpus-sized term"
             ),
             # r10 (VERDICT r9 #5): pq_topk watch - +33% r/r in r9 on an
             # unchanged plan; threshold for a same-day checkout A/B is
