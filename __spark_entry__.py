@@ -1253,6 +1253,25 @@ def q_hash_split(spark, sf):
     # downstream transforms).  Twin: row_number() over the same
     # (md5(doc_id), doc_id) full-width key order.
     spos = mixing.shuffle_positions(df, "doc_id").select("doc_id", "shuffle_pos")
+    # r11: DSIR importance weights (arXiv:2302.03169) — hashed-ngram bucket
+    # counts over a target slice (doc_id % 3 == 0) vs the whole corpus feed
+    # the shared pure-python dsir_log_ratios, and each doc's weight is a
+    # SORTED left-fold of its per-feature ratios, so the double is
+    # bit-identical to the DuckDB twin's list_reduce over the same
+    # interpolated literals (round(6) in the projection is the gate's
+    # standard float normalization, not a tolerance crutch)
+    B = 64
+    tc = {
+        r["b"]: r["c"]
+        for r in mixing.dsir_bucket_counts(
+            df.where(F.col("doc_id") % 3 == 0), "text", B, hash_name="md5"
+        ).collect()
+    }
+    rc = {r["b"]: r["c"] for r in mixing.dsir_bucket_counts(df, "text", B, hash_name="md5").collect()}
+    dsir = mixing.dsir_weights(
+        df.select("doc_id", "text"), "doc_id", "text",
+        mixing.dsir_log_ratios(tc, rc, B), B, hash_name="md5",
+    ).select("doc_id", "dsir_n_features", F.round("dsir_logw", 6).alias("dsir_lw"))
     return (
         split.join(mixed, "doc_id", "left")
         .join(te, "doc_id")
@@ -1260,6 +1279,7 @@ def q_hash_split(spark, sf):
         .join(tmix, "doc_id", "left")
         .join(umax, "doc_id")
         .join(spos, "doc_id")
+        .join(dsir, "doc_id")
         .select(
             "doc_id",
             "split",
@@ -1269,6 +1289,8 @@ def q_hash_split(spark, sf):
             F.coalesce("in_tmix", F.lit(False)).alias("in_tmix"),
             "in_umax",
             "shuffle_pos",
+            "dsir_n_features",
+            "dsir_lw",
         )
     )
 
@@ -3057,6 +3079,54 @@ def _emb_decon_threshold(sf_dir: str) -> float:
 _EMB_DECON_THRESH_CACHE: dict = {}
 
 
+#: DSIR gate knobs (r11): 64 buckets keeps the interpolated ratio-list
+#: literal small while exercising real collisions; target = doc_id % 3 == 0
+_DSIR_B = 64
+
+# DuckDB feature derivation shared by the count helper and the per-doc
+# twin: word unigrams + bigrams (chr(31)-joined) hashed md5-60 mod B —
+# the exact dsir_feature_hashes(hash_name='md5') arithmetic
+_DSIR_FEATS_SQL = (
+    "list_transform(tk, t -> ('0x'||substr(md5(t),1,15))::UBIGINT::BIGINT % {B}) || "
+    "list_transform(generate_series(1, len(tk)-1), i -> "
+    "('0x'||substr(md5(tk[i] || chr(31) || tk[i+1]),1,15))::UBIGINT::BIGINT % {B})"
+)
+_DSIR_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), t -> t <> '')"
+)
+
+
+@functools.lru_cache(maxsize=4)
+def _dsir_lr_list(sf_dir: str) -> str:
+    """The DSIR bucket log-ratio table as a DuckDB DOUBLE[] literal (index
+    b+1 — DuckDB lists are 1-based): counts re-derived in DuckDB from the
+    raw documents table (target = doc_id % 3 == 0, raw = all), then fed to
+    the SAME pure-python dsir_log_ratios the Spark operator uses, so both
+    engines carry identical float literals (the temperature_rates
+    discipline) and the per-doc sorted-fold sum is bit-identical."""
+    import duckdb as _duck
+
+    from dqx_spark.pipeline.mixing import dsir_log_ratios as _dlr
+
+    feats = _DSIR_FEATS_SQL.format(B=_DSIR_B)
+    con = _duck.connect()
+    try:
+        def counts(where: str) -> dict:
+            rows = con.execute(
+                f"WITH toks AS (SELECT {_DSIR_TOKS_SQL} AS tk "
+                f"FROM read_parquet('{sf_dir}/documents.parquet') {where}) "
+                f"SELECT b, count(*) FROM (SELECT unnest({feats}) AS b FROM toks) GROUP BY b"
+            ).fetchall()
+            return {int(b): int(c) for b, c in rows}
+
+        tc = counts("WHERE doc_id % 3 = 0")
+        rc = counts("")
+    finally:
+        con.close()
+    lr = _dlr(tc, rc, _DSIR_B)
+    return "[" + ", ".join(repr(lr[b]) for b in range(_DSIR_B)) + "]::DOUBLE[]"
+
+
 @functools.lru_cache(maxsize=4)
 def _tmix_source_counts(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """Memoized DuckDB per-source document counts for the temperature-mix
@@ -3289,6 +3359,10 @@ def oracle_sql() -> dict[str, str]:
 
     _usums = dict(_umax_source_token_sums(_sfd))
     _ub = _ubudgets(_usums, (sum(_usums.values()) * 95) // 100)
+    # r11 DSIR twin: counts DuckDB-derived, ratios from the shared pure-
+    # python dsir_log_ratios, folded per doc in sorted order on both sides
+    _dsir_lr = _dsir_lr_list(_sfd)
+    _dsir_feats = _DSIR_FEATS_SQL.format(B=_DSIR_B)
     umax_case = (
         "CASE " + " ".join(f"WHEN source = '{s}' THEN {int(b)}" for s, b in sorted(_ub.items())) + " ELSE NULL END"
     )
@@ -4490,14 +4564,26 @@ def oracle_sql() -> dict[str, str]:
             # full-width (md5(doc_id), doc_id) key, same order as
             # mixing.shuffle_positions' two-level assignment
             "sp AS (SELECT doc_id, row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 "
-            "AS shuffle_pos FROM documents) "
+            "AS shuffle_pos FROM documents), "
+            # r11 DSIR: per-doc hashed-ngram features looked up in the
+            # interpolated ratio list (1-based index), summed as a
+            # sorted-order left-fold — bit-identical to Spark's
+            # F.aggregate(array_sort(...)) fold over the same literals
+            f"lrs AS (SELECT {_dsir_lr} AS l), "
+            f"ds AS (SELECT doc_id, len(fs)::BIGINT AS dsir_n_features, "
+            "round(CASE WHEN len(fs) = 0 THEN 0.0 "
+            "ELSE list_reduce(list_sort(list_transform(fs, x -> l[x+1])), (a, v) -> a + v) END, 6) "
+            f"AS dsir_lw FROM (SELECT doc_id, {_dsir_feats} AS fs "
+            f"FROM (SELECT doc_id, {_DSIR_TOKS_SQL} AS tk FROM documents)) CROSS JOIN lrs) "
             "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
             "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx, "
-            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix, ue.in_umax, sp.shuffle_pos "
+            f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix, ue.in_umax, sp.shuffle_pos, "
+            "ds.dsir_n_features, ds.dsir_lw "
             "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id "
-            "JOIN ue ON base.doc_id = ue.doc_id JOIN sp ON base.doc_id = sp.doc_id"
+            "JOIN ue ON base.doc_id = ue.doc_id JOIN sp ON base.doc_id = sp.doc_id "
+            "JOIN ds ON base.doc_id = ds.doc_id"
         ),
         "key_skew": (
             "WITH c AS (SELECT event_type, count(*) AS key_count FROM events GROUP BY 1), "

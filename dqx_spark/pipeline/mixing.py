@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dqx_spark.pipeline.text import exploded_shingle_hashes, shingle_hash_array
+from dqx_spark.pipeline.text import exploded_shingle_hashes, shingle_hash_array, tokens
 from dqx_spark.rule import to_col
 
 __all__ = [
@@ -61,6 +61,11 @@ __all__ = [
     "quantile_bins",
     "source_token_stats",
     "sample_to_token_budget",
+    "dsir_feature_hashes",
+    "dsir_bucket_counts",
+    "dsir_log_ratios",
+    "dsir_weights",
+    "dsir_resample",
 ]
 
 # One million buckets ≈ 1e-4 % rate granularity while staying far below the
@@ -793,3 +798,190 @@ def sample_to_token_budget(
     )
     prefix = F.coalesce(F.sum(t).over(w), F.lit(0))
     return df.withColumn(out_col, budget_expr.isNull() | (prefix < budget_expr))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-corpus documents that look like a target
+# corpus, with importance weights over HASHED n-gram bucket distributions.
+# Everything below is deterministic (hash-seeded), engine-portable in md5
+# mode, and — deliberately — EXACT-float reproducible: per-document weights
+# are a left-fold over the SORTED per-feature ratios, so any engine (or a
+# pure-python replay) folding the same literals in the same order produces
+# bit-identical doubles.  No libm call happens per-row: the only log() is
+# in the bucket ratio table, computed ONCE in shared pure python
+# (the temperature_rates discipline).
+# ---------------------------------------------------------------------------
+def dsir_feature_hashes(
+    column: str | Column,
+    buckets: int = 1024,
+    *,
+    bigrams: bool = True,
+    lowercase: bool = True,
+    hash_name: str = "xxhash64",
+) -> Column:
+    """Array of hashed n-gram feature bucket ids for one document — word
+    unigrams plus (default) word bigrams, each hashed into ``buckets``
+    (the DSIR paper's hashed n-gram featurization; multiplicity kept).
+    Scan-local Column expression; ``hash_name='md5'`` swaps in the
+    engine-portable 60-bit hash for oracle conformance."""
+    col = to_col(column)
+    toks = tokens(F.lower(col) if lowercase else col)
+
+    def bucket(t: Column) -> Column:
+        if hash_name == "md5":
+            from dqx_spark.pipeline.text import portable_hash60
+
+            return F.pmod(portable_hash60(t), F.lit(buckets))
+        if hash_name == "xxhash64":
+            return F.pmod(F.xxhash64(t), F.lit(buckets))
+        raise ValueError(f"hash_name must be 'xxhash64' or 'md5', got {hash_name!r}")
+
+    unis = F.transform(toks, bucket)
+    if not bigrams:
+        return unis
+    n = F.size(toks)
+    bis = F.when(n >= 2, F.transform(
+        F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("\x1f"), b),
+        ),
+        bucket,
+    )).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(unis, bis)
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    buckets: int = 1024,
+    *,
+    bigrams: bool = True,
+    lowercase: bool = True,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """``(b, c)`` hashed-feature bucket counts over a corpus — ≤ ``buckets``
+    rows whatever the corpus size (one map-side-combined aggregation; the
+    sketch-table shape, mergeable by summing).  Run once over the TARGET
+    corpus and once over (a sample of) the RAW corpus; feed both to
+    :func:`dsir_log_ratios`."""
+    feats = dsir_feature_hashes(
+        text_col, buckets, bigrams=bigrams, lowercase=lowercase, hash_name=hash_name
+    )
+    return df.select(F.explode(feats).alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def dsir_log_ratios(
+    target_counts: dict, raw_counts: dict, buckets: int
+) -> dict[int, float]:
+    """Per-bucket importance log-ratio ``log p_target(b) − log p_raw(b)``
+    with Laplace smoothing ``(c_b + 1) / (total + buckets)`` on both sides
+    — pure driver arithmetic over the two bounded count tables, shared
+    verbatim by the operator and any oracle twin so both carry IDENTICAL
+    float literals (no per-engine libm divergence).  Complete over all
+    ``buckets`` ids: unseen buckets get the smoothed floor."""
+    import math
+
+    tt = float(sum(target_counts.values()) + buckets)
+    tr = float(sum(raw_counts.values()) + buckets)
+    return {
+        b: math.log((target_counts.get(b, 0) + 1) / tt)
+        - math.log((raw_counts.get(b, 0) + 1) / tr)
+        for b in range(buckets)
+    }
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    log_ratios: dict[int, float],
+    buckets: int = 1024,
+    *,
+    bigrams: bool = True,
+    lowercase: bool = True,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """Per-document importance weight: ``df``'s columns plus
+    ``dsir_n_features`` (int) and ``dsir_logw`` — the sum of the document's
+    per-feature log-ratios, computed as a left-fold over the ARRAY-SORTED
+    ratio list so the double is bit-identical across engines and replays
+    (float addition is not associative; pinning the order makes it exact —
+    the property the gate twin relies on).  Featureless docs get logw 0.
+
+    Plan shape: scan-local feature melt → ONE broadcast join against the
+    ≤ ``buckets``-row ratio table → per-doc collect_list (bounded by the
+    document's own token count) → sorted fold.  Nothing corpus-sized is
+    shuffled beyond the per-doc aggregation."""
+    spark = df.sparkSession
+    ratio_df = spark.createDataFrame(
+        [(int(b), float(v)) for b, v in log_ratios.items()], "b long, lr double"
+    )
+    melt = df.select(
+        to_col(id_col).alias("__did"),
+        F.explode_outer(
+            dsir_feature_hashes(
+                text_col, buckets, bigrams=bigrams, lowercase=lowercase, hash_name=hash_name
+            )
+        ).alias("b"),
+    )
+    per_doc = (
+        melt.join(F.broadcast(ratio_df), "b", "left")
+        .groupBy("__did")
+        .agg(
+            F.count("lr").alias("dsir_n_features"),
+            F.coalesce(
+                F.aggregate(
+                    F.array_sort(F.collect_list("lr")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0.0),
+            ).alias("dsir_logw"),
+        )
+    )
+    return df.join(
+        per_doc.withColumnRenamed("__did", id_col), id_col, "left"
+    ).fillna({"dsir_n_features": 0, "dsir_logw": 0.0})
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    log_ratios: dict[int, float],
+    k: int,
+    *,
+    buckets: int = 1024,
+    salt: str = "",
+    bigrams: bool = True,
+    lowercase: bool = True,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """The R in DSIR — sample ``k`` documents WITHOUT replacement with
+    probability ∝ softmax(importance weight), via the Gumbel-top-k trick:
+    key = logw + Gumbel(hash(id, salt)) and take the k largest
+    (deterministic in (corpus, salt); ``TakeOrdered`` keeps the driver
+    cost at k rows).  ``salt`` is the epoch/draw selector.  For the
+    deterministic hard-threshold variant just rank :func:`dsir_weights`'s
+    ``dsir_logw`` directly (top_k_per_group or orderBy/limit)."""
+    weighted = dsir_weights(
+        df, id_col, text_col, log_ratios, buckets,
+        bigrams=bigrams, lowercase=lowercase, hash_name=hash_name,
+    )
+    # u in (0, 1): (h + 0.5) / 2^60 from the portable 60-bit id hash —
+    # never exactly 0 or 1, so the double log is always finite
+    from dqx_spark.pipeline.text import portable_hash60
+
+    u = (portable_hash60(F.concat(to_col(id_col).cast("string"), F.lit(salt))) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        weighted.withColumn("__dsir_key", F.col("dsir_logw") + gumbel)
+        .orderBy(F.col("__dsir_key").desc(), to_col(id_col).asc())
+        .limit(k)
+        .drop("__dsir_key")
+    )

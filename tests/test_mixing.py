@@ -377,3 +377,96 @@ def test_shuffle_positions_null_ids_survive(spark):
     assert any(i is None for i, _ in rows)  # the NULL row is still here
     # deterministic_shuffle keeps the same count too
     assert mixing.deterministic_shuffle(df, "id").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# DSIR (r11)
+# ---------------------------------------------------------------------------
+def _dsir_replay(text, ratios, buckets, bigrams=True):
+    """Pure-python replay of dsir_feature_hashes + the sorted-fold weight —
+    must match Spark's doubles BIT-FOR-BIT (md5 mode, same fold order)."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = text.lower().split()
+    feats = [h60(t) % buckets for t in toks]
+    if bigrams and len(toks) >= 2:
+        feats += [h60(a + "\x1f" + b) % buckets for a, b in zip(toks, toks[1:])]
+    acc = 0.0
+    for v in sorted(ratios[b] for b in feats):
+        acc += v
+    return len(feats), acc
+
+
+def test_dsir_weights_match_pure_python_replay(spark):
+    from dqx_spark.pipeline import mixing as mx
+
+    B = 64
+    target = spark.createDataFrame(
+        [(i, "science papers discuss experiments and results today") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw_rows = [
+        (0, "science papers discuss experiments carefully"),
+        (1, "cats chase mice around the old barn"),
+        (2, "experiments and results matter in science"),
+        (3, ""),  # featureless -> logw 0, n 0
+        (4, "mice avoid cats near the barn door"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(target, "text", B, hash_name="md5").collect()}
+    rc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(raw, "text", B, hash_name="md5").collect()}
+    ratios = mx.dsir_log_ratios(tc, rc, B)
+    got = {
+        r["doc_id"]: (r["dsir_n_features"], r["dsir_logw"])
+        for r in mx.dsir_weights(raw, "doc_id", "text", ratios, B, hash_name="md5").collect()
+    }
+    for i, text in raw_rows:
+        n, lw = _dsir_replay(text, ratios, B)
+        assert got[i][0] == n
+        assert got[i][1] == lw, (i, got[i][1], lw)  # EXACT double equality
+    # target-like docs outscore off-target docs
+    assert min(got[0][1], got[2][1]) > max(got[1][1], got[4][1])
+
+
+def test_dsir_resample_deterministic_and_target_biased(spark):
+    from dqx_spark.pipeline import mixing as mx
+
+    B = 128
+    target = spark.createDataFrame(
+        [(i, "neural networks learn representations from large data") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, f"neural networks learn data representations case {i}"))
+        else:
+            rows.append((i, f"gardening tips for tomatoes and roses plot {i}"))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(target, "text", B, hash_name="md5").collect()}
+    rc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(raw, "text", B, hash_name="md5").collect()}
+    ratios = mx.dsir_log_ratios(tc, rc, B)
+    pick = lambda salt: sorted(  # noqa: E731
+        r["doc_id"] for r in mx.dsir_resample(
+            raw, "doc_id", "text", ratios, k=10, buckets=B, salt=salt, hash_name="md5"
+        ).collect()
+    )
+    a, b_ = pick("e0"), pick("e0")
+    assert a == b_ and len(a) == 10  # deterministic in (corpus, salt)
+    assert pick("e1") != a  # the salt is the draw selector
+    # importance resampling biases hard toward target-like (even ids)
+    assert sum(1 for i in a if i % 2 == 0) >= 8
+    # unigram-only path + xxhash64 hot path smoke
+    uni = mx.dsir_weights(
+        raw, "doc_id", "text",
+        mx.dsir_log_ratios(
+            {r["b"]: r["c"] for r in mx.dsir_bucket_counts(target, "text", B, bigrams=False).collect()},
+            {r["b"]: r["c"] for r in mx.dsir_bucket_counts(raw, "text", B, bigrams=False).collect()},
+            B,
+        ),
+        B, bigrams=False,
+    )
+    assert uni.where(F.col("dsir_logw").isNull()).count() == 0
