@@ -2352,11 +2352,36 @@ def q_profile_summary(spark, sf):
     # would hit the None-vs-NaN dtype seam in the driver's comparator)
     mom_ok = {}
     hist_info = {}
+    smp_info = {}
+    # unique row id for the sample sketch: (orderkey, linenumber) is NOT
+    # unique in this testdata (the planted is_unique violations differ in
+    # other columns), but the 4-int composite is (verified 60000/60000 at
+    # sf0.01); all-integer rendering is engine-identical
+    rid = F.concat_ws(
+        "_", *[F.col(c).cast("string")
+               for c in ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")]
+    )
     for c, mc in (
         ("l_orderkey", "l_orderkey"),
         ("l_quantity", "l_quantity"),
         ("l_returnflag", "l_extendedprice"),
     ):
+        # r11: uniform row-sample sketch — per-half bottom-256 samples
+        # MERGED must equal the whole-corpus sample (exact hash set via
+        # mod-checksum), and the nearest-rank sample median is an ACTUAL
+        # row value both engines pick identically (twin: quantile_disc
+        # over ITS OWN re-derived sample)
+        parts = [
+            SK.sample_sketch(h.withColumn("__rid", rid), "__rid", mc, k=256, hash_name="md5")
+            for h in halves
+        ]
+        srows = SK.sample_merge(*parts, k=256).collect()  # bounded <= 256
+        smp_info[c] = [
+            sum(int(r["h"]) % 1000000007 for r in srows),
+            float(SK.sample_quantile_local(
+                [float(r[mc]) for r in srows if r[mc] is not None], 0.5
+            )),
+        ]
         m = SK.moments_merge(*[SK.moments_sketch(h, mc) for h in halves]).collect()[0]
         direct = df.agg(F.var_pop(F.col(mc).cast("double"))).first()[0]
         mom_ok[c] = abs(m["var_pop"] / direct - 1.0) < 1e-6
@@ -2403,6 +2428,8 @@ def q_profile_summary(spark, sf):
                 kmv_info[c][1],
                 kmv_info[c][2],
                 kmv_info[c][3],
+                smp_info[c][0],
+                round(smp_info[c][1], 6),
             )
         )
     return spark.createDataFrame(
@@ -2412,7 +2439,8 @@ def q_profile_summary(spark, sf):
         "hll_regs bigint, hll_sum_rho bigint, hll_est_ok boolean, "
         "cms_checksum bigint, cms_est_a bigint, mom_merge_ok boolean, "
         "hist_checksum bigint, hist_med_ok boolean, "
-        "kmv_n bigint, kmv_checksum bigint, kmv_est_ok boolean, kmv_both bigint",
+        "kmv_n bigint, kmv_checksum bigint, kmv_est_ok boolean, kmv_both bigint, "
+        "smp_checksum bigint, smp_med double",
     )
 
 
@@ -2678,6 +2706,33 @@ def _kmv_cols(tag: str, col: str, alias: bool = False) -> str:
         f"(SELECT count(DISTINCT {_sketch_key(col)})::DOUBLE AS exact FROM lineitem) x){a[2]}, "
         f"(SELECT count(*)::BIGINT FROM kmv_u_{tag} u "
         f"JOIN kmv_a_{tag} a USING (h) JOIN kmv_b_{tag} b USING (h)){a[3]}"
+    )
+
+
+def _smp_cte(tag: str, col: str) -> str:
+    """r11 row-sample twin: the whole-corpus bottom-256 rows by the salted
+    row-id md5-60 hash (identical to sketches.sample_sketch md5 mode over
+    the l_orderkey*10+l_linenumber row id), carrying the value column."""
+    rid = (
+        "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' || "
+        "l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR"
+    )
+    return (
+        f"smp_{tag} AS (SELECT h, v FROM (SELECT "
+        f"('0x'||substr(md5({rid}),1,15))::UBIGINT::BIGINT AS h, "
+        f"{col} AS v FROM lineitem) ORDER BY h LIMIT 256)"
+    )
+
+
+def _smp_cols(tag: str, alias: bool = False) -> str:
+    """Exact-int hash checksum (pins the whole sample row set — merge ==
+    whole) + the nearest-rank sample median: an ACTUAL data value, so
+    quantile_disc over the twin's own re-derived sample equals Spark's
+    sample_quantile_local exactly (verified equivalent in unit test)."""
+    a = [" AS smp_checksum", " AS smp_med"] if alias else ["", ""]
+    return (
+        f"(SELECT sum(h % 1000000007)::BIGINT FROM smp_{tag}){a[0]}, "
+        f"(SELECT round(quantile_disc(v, 0.5)::DOUBLE, 6) FROM smp_{tag} WHERE v IS NOT NULL){a[1]}"
     )
 
 
@@ -4270,6 +4325,9 @@ def oracle_sql() -> dict[str, str]:
             + _kmv_ctes("ok", "l_orderkey") + ", "
             + _kmv_ctes("q", "l_quantity") + ", "
             + _kmv_ctes("rf", "l_returnflag") + ", "
+            + _smp_cte("ok", "l_orderkey") + ", "
+            + _smp_cte("q", "l_quantity") + ", "
+            + _smp_cte("ep", "l_extendedprice") + ", "
             "a AS (SELECT count(*) AS total, "
             "count(l_orderkey) AS c_ok, min(l_orderkey) AS mn_ok, max(l_orderkey) AS mx_ok, "
             "sum(l_orderkey)::DOUBLE AS s_ok, count(DISTINCT l_orderkey) AS d_ok, "
@@ -4302,7 +4360,8 @@ def oracle_sql() -> dict[str, str]:
             + _mom_merge_ok("l_orderkey") + " AS mom_merge_ok, "
             "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_ok) AS hist_checksum, "
             + _hist_med_ok("hist_ok", "l_orderkey") + " AS hist_med_ok, "
-            + _kmv_cols("ok", "l_orderkey", alias=True) + " FROM a "
+            + _kmv_cols("ok", "l_orderkey", alias=True) + ", "
+            + _smp_cols("ok", alias=True) + " FROM a "
             "UNION ALL "
             "SELECT 'l_quantity', total, c_q, total - c_q, NULL, mn_q, mx_q, s_q / c_q, "
             "array_to_string(list_filter(['is_not_null', 'min_max'], x -> "
@@ -4321,7 +4380,8 @@ def oracle_sql() -> dict[str, str]:
             "NULL::BIGINT, NULL::BIGINT, " + _mom_merge_ok("l_quantity") + ", "
             "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_q), "
             + _hist_med_ok("hist_q", "l_quantity") + ", "
-            + _kmv_cols("q", "l_quantity") + " FROM a "
+            + _kmv_cols("q", "l_quantity") + ", "
+            + _smp_cols("q") + " FROM a "
             "UNION ALL "
             "SELECT 'l_returnflag', total, c_rf, total - c_rf, e_rf, NULL, NULL, NULL, "
             "array_to_string(list_filter(['is_in_list', 'is_not_null', 'is_not_null_and_not_empty'], x -> "
@@ -4345,7 +4405,8 @@ def oracle_sql() -> dict[str, str]:
             + _mom_merge_ok("l_extendedprice") + ", "
             "(SELECT sum(cnt*(bin+2))::BIGINT FROM hist_ep), "
             + _hist_med_ok("hist_ep", "l_extendedprice") + ", "
-            + _kmv_cols("rf", "l_returnflag") + " FROM a"
+            + _kmv_cols("rf", "l_returnflag") + ", "
+            + _smp_cols("ep") + " FROM a"
         ),
         "video_keyframes": _video_keyframes_oracle(),
         "streaming_checks_parity": (

@@ -263,6 +263,14 @@ def cmd_sketch_build(args) -> int:
     elif args.kind == "kmv":
         sk = SK.kmv_sketch(df, args.cols, k=args.k, hash_name=args.hash_name)
         knobs = {"cols": list(args.cols), "k": args.k, "hash_name": args.hash_name}
+    elif args.kind == "sample":
+        if not args.id_col:
+            print("error: sample needs --id-col (the uniqueness contract)", file=sys.stderr)
+            return 2
+        sk = SK.sample_sketch(df, args.id_col, args.cols, k=args.k,
+                              salt=args.salt, hash_name=args.hash_name)
+        knobs = {"id_col": args.id_col, "cols": list(args.cols), "k": args.k,
+                 "salt": args.salt, "hash_name": args.hash_name}
     elif args.kind == "moments":
         sk = SK.moments_sketch(df, args.cols[0])
         knobs = {"col": args.cols[0]}
@@ -308,6 +316,12 @@ def cmd_sketch_report(args) -> int:
     elif kind == "kmv":
         merged = SK.kmv_merge(df, k=meta["k"])
         out["distinct_estimate"] = round(SK.kmv_estimate(merged, meta["k"]), 1)
+    elif kind == "sample":
+        merged = SK.sample_merge(df, k=meta["k"])
+        qs = args.quantiles or [0.5]
+        out["quantiles"] = {
+            str(q): SK.sample_quantile(merged, meta["cols"][0], float(q)) for q in qs
+        }
     elif kind == "moments":
         row = SK.moments_merge(df).collect()[0]
         out.update({k: row[k] for k in ("n", "mn", "mx", "mean", "var_pop", "stddev_pop")})
@@ -503,10 +517,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "sketch-build",
-        help="build or --append one mergeable sketch (hll/cms/kmv/moments/hist/tokens) "
+        help="build or --append one mergeable sketch (hll/cms/kmv/sample/moments/hist/tokens) "
              "over a parquet input - the per-batch step of incremental corpus stats",
     )
-    p.add_argument("--kind", required=True, choices=["hll", "cms", "kmv", "moments", "hist", "tokens"])
+    p.add_argument("--kind", required=True, choices=["hll", "cms", "kmv", "sample", "moments", "hist", "tokens"])
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="sketch layout path (data/ + _sketch_meta)")
     p.add_argument("--cols", nargs="+", required=True,
@@ -514,7 +528,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--append", action="store_true",
                    help="accumulate this batch's rows (knob mismatch vs the sidecar is rejected)")
     p.add_argument("--p", type=int, default=12)
-    p.add_argument("--k", type=int, default=1024, help="kmv bottom-k size")
+    p.add_argument("--k", type=int, default=1024, help="kmv/sample bottom-k size")
+    p.add_argument("--id-col", default=None, help="sample: unique row id column")
+    p.add_argument("--salt", default="", help="sample: draw selector")
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--hash-name", default="xxhash64", choices=["xxhash64", "md5"])

@@ -74,6 +74,10 @@ __all__ = [
     "kmv_estimate",
     "kmv_estimate_local",
     "kmv_overlap",
+    "sample_sketch",
+    "sample_merge",
+    "sample_quantile",
+    "sample_quantile_local",
     "save_sketch",
     "load_sketch",
 ]
@@ -512,6 +516,74 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic uniform row sample (mergeable bottom-k by row-id hash)
+# ---------------------------------------------------------------------------
+def sample_sketch(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str] | str,
+    k: int = 1024,
+    salt: str = "",
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """``(h, *cols)`` — a UNIFORM row sample: the ``k`` rows whose salted
+    row-id hash is smallest, carrying the requested value columns.  The
+    KMV idea applied to ROWS instead of distinct values: because ``h`` is
+    uniform per id, the retained rows are a uniform sample of the corpus,
+    mergeable exactly (union → re-bottom-k; any row in the union's true
+    bottom-k survives in its own batch's bottom-k) and idempotent
+    (re-merging a batch re-keeps the same rows).  This is the quantile leg
+    WITHOUT :func:`histogram_sketch`'s frozen-edges requirement — order
+    statistics of the sample estimate any quantile at ~1/sqrt(k) error —
+    and doubles as "show me an unbiased peek at the corpus", rerun- and
+    partitioning-stable via ``salt``.  Plan: hash projection →
+    ``TakeOrdered(k)`` (no distinct shuffle — ids are the caller's
+    uniqueness contract, as everywhere in this module's family)."""
+    if k < 16:
+        raise ValueError(f"k must be >= 16 for usable order statistics, got {k}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    h = _hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)) if salt
+        else F.col(id_col).cast("string"),
+        hash_name,
+    )
+    return df.select(h.alias("h"), *cols).orderBy("h").limit(k)
+
+
+def sample_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Bottom-k of the union — ``dropDuplicates('h')`` first so re-merging
+    a batch is a no-op (ids are unique, so equal hashes are replays, not
+    distinct rows, modulo a 2^-60 collision)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates(["h"]).orderBy("h").limit(k)
+
+
+def sample_quantile_local(values: list, q: float):
+    """Nearest-rank-lower order statistic of the sample — pure Python,
+    shared by tests and twins; returns an ACTUAL data value (no
+    interpolation), so two engines deriving the same sample return the
+    identical value (DuckDB twin: ``quantile_disc``)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if not values:
+        raise ValueError("empty sample")
+    vs = sorted(values)
+    idx = max(0, min(len(vs) - 1, int(math.ceil(q * len(vs))) - 1))
+    return vs[idx]
+
+
+def sample_quantile(sketch: DataFrame, col: str, qs: list[float] | float):
+    """Driver-side quantiles from a sample sketch — bounded collect of
+    ≤ k rows."""
+    vals = [r[col] for r in sketch.select(col).collect() if r[col] is not None]
+    if isinstance(qs, (int, float)):
+        return sample_quantile_local(vals, float(qs))
+    return [sample_quantile_local(vals, float(q)) for q in qs]
+
+
+# ---------------------------------------------------------------------------
 # persistence
 # ---------------------------------------------------------------------------
 _KINDS = {
@@ -524,6 +596,9 @@ _KINDS = {
     # bottom-k rows accumulate per batch; reads re-derive via kmv_merge
     # (distinct + re-bottom-k), so append is idempotent like hll
     "kmv": {"cols", "k", "hash_name"},
+    # uniform row sample: accumulated batch bottom-ks re-merge at read
+    # via sample_merge (dropDuplicates(h) makes replays no-ops)
+    "sample": {"id_col", "cols", "k", "salt", "hash_name"},
     "moments": {"col"},
     "hist": {"col", "lo", "hi", "bins"},
     # (tok, c) unigram states from corpus.token_count_state — count-summed

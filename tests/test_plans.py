@@ -869,9 +869,13 @@ def test_dedup_index_probe_prune_join_is_one_job(spark, tmp_path):
 
     def executions() -> int:
         # the SQL status store is fed by the ASYNC listener bus — drain it
-        # so counts reflect everything up to now, not a lagged prefix
+        # so counts reflect everything up to now, not a lagged prefix.
+        # Use the LAST (monotonic) execution id, not executionsCount():
+        # the store evicts past spark.sql.ui.retainedExecutions, so the
+        # count saturates mid-suite and deltas read 0.
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
-        return store.executionsCount()
+        lst = store.executionsList()
+        return lst.apply(lst.size() - 1).executionId() if lst.size() > 0 else -1
 
     before = executions()
     rows = di.dedup_pairs_against_index(

@@ -382,3 +382,61 @@ def test_kmv_persistence_append_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="knobs"):
         SK.save_sketch(SK.kmv_sketch(df, "k", k=64, hash_name="md5"), path, "kmv",
                        {"cols": ["k"], "k": 64, "hash_name": "md5"}, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# uniform row-sample sketch (r11)
+# ---------------------------------------------------------------------------
+def test_sample_sketch_matches_pure_python_twin_and_merges(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("rid"), (F.col("id") * 3 % 1000).cast("double").alias("v")
+    )
+    got = {r["h"]: r["v"] for r in SK.sample_sketch(df, "rid", "v", k=128, hash_name="md5").collect()}
+    want_h = sorted(_md5h60(str(i)) for i in range(2000))[:128]
+    assert sorted(got) == want_h
+    # carried values belong to the right rows
+    by_h = {_md5h60(str(i)): float(i * 3 % 1000) for i in range(2000)}
+    assert all(got[h] == by_h[h] for h in got)
+    # merge == whole, idempotent under replays
+    halves = [df.where(F.col("rid") % 2 == i) for i in (0, 1)]
+    parts = [SK.sample_sketch(h, "rid", "v", k=128, hash_name="md5") for h in halves]
+    merged = {r["h"] for r in SK.sample_merge(*parts, parts[0], k=128).collect()}
+    assert sorted(merged) == want_h
+    # salt changes the sample; k<16 rejected
+    salted = {r["h"] for r in SK.sample_sketch(df, "rid", "v", k=128, salt="e1", hash_name="md5").collect()}
+    assert salted != set(want_h)
+    with pytest.raises(ValueError, match="k must be"):
+        SK.sample_sketch(df, "rid", "v", k=4)
+
+
+def test_sample_quantile_accuracy_and_exactness(spark):
+    import duckdb
+
+    # v uniform on [0, 10000): sample median ~ 5000 at 1/sqrt(512) error
+    df = spark.range(10000).select(F.col("id").alias("rid"), F.col("id").cast("double").alias("v"))
+    sk = SK.sample_sketch(df, "rid", "v", k=512, hash_name="md5")
+    med = SK.sample_quantile(sk, "v", 0.5)
+    assert abs(med / 5000 - 1.0) < 0.15
+    # nearest-rank == DuckDB quantile_disc over the SAME sample (exactness:
+    # the estimate is an actual data value both engines pick identically)
+    vals = [r["v"] for r in sk.collect()]
+    for q in (0.1, 0.5, 0.9):
+        want = duckdb.sql(
+            f"SELECT quantile_disc(v, {q}) FROM (SELECT unnest({vals!r}) AS v)"
+        ).fetchone()[0]
+        assert SK.sample_quantile_local(vals, q) == want, q
+
+
+def test_sample_sketch_persistence(spark, tmp_path):
+    df = spark.range(1000).select(F.col("id").alias("rid"), F.col("id").cast("double").alias("v"))
+    halves = [df.where(F.col("rid") % 2 == i) for i in (0, 1)]
+    path = str(tmp_path / "smp")
+    knobs = {"id_col": "rid", "cols": ["v"], "k": 64, "salt": "", "hash_name": "md5"}
+    for i, h in enumerate(halves):
+        SK.save_sketch(SK.sample_sketch(h, "rid", "v", k=64, hash_name="md5"), path, "sample",
+                       knobs, mode="append" if i else "overwrite")
+    loaded, meta = SK.load_sketch(spark, path)
+    assert meta == {"kind": "sample", **knobs}
+    merged = sorted(r["h"] for r in SK.sample_merge(loaded, k=64).collect())
+    whole = sorted(r["h"] for r in SK.sample_sketch(df, "rid", "v", k=64, hash_name="md5").collect())
+    assert merged == whole
