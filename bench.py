@@ -541,6 +541,20 @@ def main() -> None:
             .crossJoin(mom.select("n", "var_pop"))
         )
     cases["sketch_incr_stats"] = _sketch_case
+    # r11: DSIR importance weights — the data-selection scoring pass
+    # (hashed-ngram bucket counts are one-time and cheap: two <=1024-row
+    # sketch aggregates + the shared pure-python ratio table, built
+    # outside the timed case like every other model/index build; the
+    # recurring cost is the per-doc weight pass itself)
+    from dqx_spark.pipeline import mixing as _mx
+
+    _dsir_tc = {r["b"]: r["c"] for r in _mx.dsir_bucket_counts(
+        docs.where(F.col("doc_id") % 3 == 0), "text", 1024).collect()}
+    _dsir_rc = {r["b"]: r["c"] for r in _mx.dsir_bucket_counts(docs, "text", 1024).collect()}
+    _dsir_lr = _mx.dsir_log_ratios(_dsir_tc, _dsir_rc, 1024)
+    cases["dsir_weights"] = lambda: _mx.dsir_weights(
+        docs.select("doc_id", "text"), "doc_id", "text", _dsir_lr, 1024
+    ).agg(F.sum("dsir_logw").alias("s"), F.count(F.lit(1)).alias("n"))
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and

@@ -51,6 +51,7 @@ __all__ = [
     "token_count_state",
     "merge_token_counts",
     "token_distribution_divergence_from_states",
+    "corpus_drift_report",
     "remove_repeated_lines",
     "top_ngram_coverage",
     "bigram_lm_scores",
@@ -977,4 +978,68 @@ def nb_classifier_scores(
         first["l"].alias("predicted"),
         (-first["ns"]).alias("log_posterior"),
         (second["ns"] - first["ns"]).alias("margin"),
+    )
+
+
+def corpus_drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    *,
+    k: int = 4096,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """One-row nightly drift dashboard between two corpus snapshots
+    (r11) — the three certified drift primitives composed side by side,
+    so "did the crawl change under us?" is ONE call instead of three:
+
+    * **token distribution**: the full
+      :func:`token_distribution_divergence` report (JS divergence, KL
+      halves, token/vocab accounting);
+    * **content overlap**: :func:`~dqx_spark.pipeline.sketches.kmv_overlap`
+      over the documents' content fingerprints
+      (:func:`~dqx_spark.pipeline.text.doc_fingerprint`), prefixed
+      ``doc_`` — estimated distinct docs per side, estimated Jaccard /
+      union / intersection, from two ≤ ``k``-row bottom-k sketches (how
+      much of snapshot B is literally snapshot A's documents);
+    * **length drift**: mean/stddev document token counts per side from
+      two 1-row :func:`~dqx_spark.pipeline.sketches.moments_sketch`
+      states (``len_mean_a/b``, ``len_std_a/b``).
+
+    Cost: each corpus is scanned a bounded number of times by its
+    primitives (token aggs, fingerprint bottom-k, one moments agg) —
+    nothing corpus-sized is collected or shuffled beyond the slim
+    token/count tables the primitives already bound.  All three legs are
+    deterministic; ``hash_name='md5'`` makes the overlap leg
+    engine-portable like everything else in the family."""
+    from dqx_spark.pipeline import sketches as SK
+    from dqx_spark.pipeline.text import doc_fingerprint, token_count
+
+    js = token_distribution_divergence(df_a, df_b, text_col)
+    fp = lambda d: d.select(doc_fingerprint(text_col).alias("fp"))  # noqa: E731
+    overlap = SK.kmv_overlap(
+        SK.kmv_sketch(fp(df_a), "fp", k=k, hash_name=hash_name),
+        SK.kmv_sketch(fp(df_b), "fp", k=k, hash_name=hash_name),
+        k=k,
+    ).select(
+        F.col("est_distinct_a").alias("doc_est_a"),
+        F.col("est_distinct_b").alias("doc_est_b"),
+        F.col("est_jaccard").alias("doc_jaccard"),
+        F.col("est_union").alias("doc_union"),
+        F.col("est_intersection").alias("doc_intersection"),
+    )
+    def mom(d: DataFrame, tag: str) -> DataFrame:
+        # moments_sketch emits the raw mergeable state; moments_merge of
+        # the single state derives the mean/stddev columns
+        st = SK.moments_merge(
+            SK.moments_sketch(d.select(token_count(text_col).alias("n_tok")), "n_tok")
+        )
+        return st.select(
+            F.col("mean").alias(f"len_mean_{tag}"),
+            F.col("stddev_pop").alias(f"len_std_{tag}"),
+        )
+    return (
+        js.crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(mom(df_a, "a")))
+        .crossJoin(F.broadcast(mom(df_b, "b")))
     )

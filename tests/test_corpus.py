@@ -511,3 +511,29 @@ def test_token_divergence_from_merged_states(spark, tmp_path):
     for c in ("n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b", "vocab_union"):
         assert incr[c] == composed[c], c
     assert abs(incr["js_divergence"] - composed["js_divergence"]) < 1e-12
+
+
+def test_corpus_drift_report(spark):
+    """r11: the composed drift dashboard — same-corpus run is the fixed
+    point (JS 0, doc Jaccard 1, identical length moments); a disjoint
+    snapshot shows positive divergence and zero content overlap."""
+    from dqx_spark.pipeline.corpus import corpus_drift_report
+
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} tail words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    same = corpus_drift_report(a, a, "text", k=64, hash_name="md5").collect()[0]
+    assert same["js_divergence"] == 0.0
+    assert same["doc_jaccard"] == 1.0 and same["doc_intersection"] == same["doc_union"]
+    assert same["len_mean_a"] == same["len_mean_b"]
+    b = spark.createDataFrame(
+        [(i, f"omega psi chi document {i} completely different register") for i in range(40)],
+        "doc_id long, text string",
+    )
+    diff = corpus_drift_report(a, b, "text", k=64, hash_name="md5").collect()[0]
+    assert diff["js_divergence"] > 0.05
+    assert diff["doc_jaccard"] == 0.0
+    # <k docs per side -> the KMV exact branch: estimates are exact counts
+    assert diff["doc_est_a"] == 30.0 and diff["doc_est_b"] == 40.0
+    assert diff["n_tokens_a"] == 30 * 8 and diff["vocab_b"] > 0
