@@ -843,3 +843,86 @@ def test_sketch_md5_twin_and_merge_invariants(spark, vals, salt):
         for r in SK.cms_sketch(df, "k", depth=d, width=wdt, hash_name="md5").collect()
     }
     assert got_cms == cnt
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=6)), min_size=1, max_size=40
+    ),
+    salt=st.integers(min_value=0, max_value=9),
+    k=st.sampled_from([16, 24]),
+)
+def test_kmv_and_sample_merge_invariants(spark, vals, salt, k):
+    """r11: for ANY value multiset and ANY partition split — the KMV
+    sketch is exactly the k smallest distinct md5-60 hashes (pure-python
+    twin), per-part sketches merge to the whole, and the row-sample sketch
+    does the same over unique row ids."""
+    import hashlib
+
+    from dqx_spark.pipeline import sketches as SK
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    df = spark.createDataFrame(list(enumerate(vals)), "rid long, k string")
+    kv = df.select("k")
+    got = sorted(r["h"] for r in SK.kmv_sketch(kv, "k", k=k, hash_name="md5").collect())
+    want = sorted({h60("\x00" if v is None else v) for v in vals})[:k]
+    assert got == want
+    halves = [df.where(F.pmod(F.xxhash64("rid", F.lit(salt)), F.lit(2)) == i) for i in (0, 1)]
+    merged = sorted(
+        r["h"]
+        for r in SK.kmv_merge(
+            *[SK.kmv_sketch(h.select("k"), "k", k=k, hash_name="md5") for h in halves], k=k
+        ).collect()
+    )
+    assert merged == want
+    # row sample: bottom-k by ROW id hash, merge == whole, values carried
+    s_whole = {r["h"]: r["k"] for r in SK.sample_sketch(df, "rid", "k", k=k, hash_name="md5").collect()}
+    assert sorted(s_whole) == sorted(h60(str(i)) for i in range(len(vals)))[:k]
+    s_merged = {
+        r["h"]: r["k"]
+        for r in SK.sample_merge(
+            *[SK.sample_sketch(h, "rid", "k", k=k, hash_name="md5") for h in halves], k=k
+        ).collect()
+    }
+    assert s_merged == s_whole
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcdef", min_size=0, max_size=24), min_size=1, max_size=12
+    ),
+    tsel=st.integers(min_value=2, max_value=4),
+)
+def test_dsir_weight_exactness_property(spark, texts, tsel):
+    """r11: the DSIR sorted-fold weight equals the pure-python replay
+    BIT-FOR-BIT for arbitrary text — the exactness contract the gate twin
+    relies on (float addition pinned to sorted order)."""
+    from dqx_spark.pipeline import mixing as mx
+
+    B = 32
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    target = df.where(F.col("doc_id") % tsel == 0)
+    tc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(target, "text", B, hash_name="md5").collect()}
+    rc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(df, "text", B, hash_name="md5").collect()}
+    ratios = mx.dsir_log_ratios(tc, rc, B)
+    got = {
+        r["doc_id"]: (r["dsir_n_features"], r["dsir_logw"])
+        for r in mx.dsir_weights(df, "doc_id", "text", ratios, B, hash_name="md5").collect()
+    }
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        feats = [h60(t) % B for t in toks]
+        feats += [h60(a + "\x1f" + b) % B for a, b in zip(toks, toks[1:])]
+        acc = 0.0
+        for v in sorted(ratios[b] for b in feats):
+            acc += v
+        assert got[i] == (len(feats), acc), (i, text, got[i], (len(feats), acc))
