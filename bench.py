@@ -803,6 +803,15 @@ def main() -> None:
                 "executor-loss retry caveat documented in the docstring as "
                 "the original ADVICE offered."
             ),
+            "r11_same_code_spread": (
+                "three clean EXCLUSIVE same-code r11 runs on this box: "
+                "mad_outliers 0.381 / 0.418 / 0.711 at stages-canary 0.463 / "
+                "0.371 / 0.513 (scan 0.196 / 0.154 / 0.202), js_divergence "
+                "1.129 / 1.607 / 1.357 - sub-1s multi-stage cases carry "
+                "roughly +/-40% box spread that tracks the stages canary; "
+                "judge the RATIO to the recorded stages floor, not raw "
+                "seconds (the canary exists for exactly this comparison)"
+            ),
             "r11_aggr_grouped_adjudication": (
                 "VERDICT r10 #4 CLOSED as box drift: the committed clean-room "
                 "A/B (scripts/ab_aggr_grouped.py - the 10x shifted-key case "
@@ -1113,6 +1122,29 @@ def main() -> None:
                 .crossJoin(mom.select("n", "var_pop"))
             )
         sf1_pipe["sketch_incr_stats"] = timed(lambda: materialize(_sketch_case_o()))
+
+        # r11: slope evidence for the new cases — the DSIR scoring pass at
+        # 10x docs (ratio table rebuilt on the scaled corpus OUTSIDE the
+        # timing, like every other model build: the slope claim is the
+        # per-doc weight pass) and the incremental dedup probe with a 10x
+        # batch against a 10x index (index build outside).
+        _dsir_tc_o = {r["b"]: r["c"] for r in _mx.dsir_bucket_counts(
+            docs_o.where(F.col("doc_id") % 3 == 0), "text", 1024).collect()}
+        _dsir_rc_o = {r["b"]: r["c"] for r in _mx.dsir_bucket_counts(docs_o, "text", 1024).collect()}
+        _dsir_lr_o = _mx.dsir_log_ratios(_dsir_tc_o, _dsir_rc_o, 1024)
+        sf1_pipe["dsir_weights"] = timed(lambda: materialize(_mx.dsir_weights(
+            docs_o.select("doc_id", "text"), "doc_id", "text", _dsir_lr_o, 1024
+        ).agg(F.sum("dsir_logw").alias("s"), F.count(F.lit(1)).alias("n"))))
+        _didx_path_o = "/tmp/dqx_bench_dedup_idx_10x"
+        _didx.save_dedup_index(
+            docs_o.where(F.col("doc_id") % 50 != 0), _didx_path_o, "doc_id", "text",
+            method="minhash", include_pairs=False,
+        )
+        _didx_loaded_o = _didx.load_dedup_index(spark, _didx_path_o)
+        _didx_batch_o = docs_o.where(F.col("doc_id") % 50 == 0)
+        sf1_pipe["dedup_incr"] = timed(lambda: materialize(_didx.dedup_pairs_against_index(
+            _didx_batch_o, _didx_loaded_o, "doc_id", "text", prune="join"
+        ).agg(F.count(F.lit(1)).alias("n"))))
 
         # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
         # table caps what the slope section can say about the ANN family;
