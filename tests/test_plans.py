@@ -1064,3 +1064,31 @@ def test_tombstoned_index_keeps_pruning_and_broadcasts_antijoin(spark, tmp_path)
     assert m and "ivf_bucket" in m.group(1), "pruning lost under the tombstone anti-join"
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dsir_weights_plan_broadcast_ratio_one_doc_agg(spark):
+    """r11: the DSIR scoring pass must be scan-shaped — the ≤buckets-row
+    ratio table BROADCASTS into the feature melt (never shuffles the
+    corpus side on the join key), and the only corpus-sized movement is
+    the per-doc aggregation shuffle.  A sort-merge join on the feature
+    bucket would shuffle the melt twice at 100 TB."""
+    from dqx_spark.pipeline import mixing as mx
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} words {i * 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    B = 64
+    tc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(docs.where(F.col("doc_id") % 3 == 0), "text", B).collect()}
+    rc = {r["b"]: r["c"] for r in mx.dsir_bucket_counts(docs, "text", B).collect()}
+    out = mx.dsir_weights(docs, "doc_id", "text", mx.dsir_log_ratios(tc, rc, B), B)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # the ratio lookup is a broadcast hash join; no sort-merge anywhere in
+    # the executed plan (the per-doc groupBy and the row-restore join are
+    # AQE-broadcast at this size; at scale the groupBy shuffles per doc,
+    # which is the declared cost)
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
