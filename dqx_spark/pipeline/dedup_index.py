@@ -100,6 +100,9 @@ __all__ = [
     "compact_dedup_index",
     "remove_from_index",
     "index_stats",
+    "init_dedup_store",
+    "current_store_version",
+    "compact_dedup_store",
 ]
 
 _META_SUBDIR = "_dedup_meta"
@@ -161,21 +164,38 @@ class DedupIndex:
         },
     }
 
+    def _is_empty_layout(self, sub: str) -> bool:
+        """True when ``path/sub`` does not exist or holds no data files
+        (a ``partitionBy`` of zero rows leaves only ``_SUCCESS``) — the
+        structural probe the empty-seed fallback keys on.  Probed via the
+        Hadoop FS API, not exception-message text (r12, ADVICE r11: the
+        old substring match on 'UNABLE_TO_INFER_SCHEMA' was brittle across
+        Spark versions/locales and could mis-route unrelated failures)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path + "/" + sub)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return True
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                return False
+        return True
+
     def _read(self, sub: str) -> DataFrame:
         if sub not in self._reads:
             try:
                 self._reads[sub] = self.spark.read.parquet(self.path + "/" + sub)
-            except Exception as e:  # noqa: BLE001
+            except Exception:  # noqa: BLE001
                 # an EMPTY seed corpus writes no parquet files (partitionBy
                 # of zero rows leaves only _SUCCESS), so schema inference
                 # fails — starting a crawl from an empty index is a real
                 # use case (streaming.dedup_index_sink), so fall back to a
-                # typed empty frame matching what append will write
-                msg = str(e)
-                if "UNABLE_TO_INFER_SCHEMA" not in msg and "Path does not exist" not in msg:
-                    raise
+                # typed empty frame matching what append will write.  The
+                # fallback routes on FILESYSTEM state, never message text:
+                # any read failure over a NON-empty layout re-raises.
                 ddl = dict(self._SCHEMAS[self.method], pairs=_PAIR_SCHEMA).get(sub)
-                if ddl is None:
+                if ddl is None or not self._is_empty_layout(sub):
                     raise
                 self._reads[sub] = self.spark.createDataFrame([], ddl)
         return self._reads[sub]
@@ -425,15 +445,19 @@ def _hamming_self_pairs(banded: DataFrame, max_hamming: int) -> DataFrame:
 
 def _load_tombstones(spark, path: str) -> DataFrame | None:
     """The (id) tombstone table at ``path/_tombstones``, or None when the
-    directory was never created.  Only the missing-path error is treated
-    as 'no tombstones' — a CORRUPT tombstone dir must raise, never
-    silently resurrect removed documents."""
+    directory was never created.  Only a genuinely MISSING path (probed
+    via the Hadoop FS API, not exception-message text — r12, ADVICE r11)
+    is treated as 'no tombstones' — a CORRUPT tombstone dir must raise,
+    never silently resurrect removed documents."""
     from pyspark.errors import AnalysisException
 
+    from dqx_spark.pipeline._fsutil import read_missing
+
+    sub = path.rstrip("/") + "/_tombstones"
     try:
-        return spark.read.parquet(path.rstrip("/") + "/_tombstones")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        return spark.read.parquet(sub)
+    except AnalysisException:
+        if read_missing(spark, sub):
             return None
         raise
 
@@ -884,6 +908,7 @@ def dedup_against_index(
     storage: str = "local",
     prune: str = "static",
     state: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy accept-only view of a batch against the index: ``new_df``'s
     columns plus ``matched_index`` (this row duplicates something already
@@ -898,16 +923,27 @@ def dedup_against_index(
     merge A1/A2's groups and re-elect one keeper.  When full-rerun
     equivalence matters, use the certified path instead:
     :func:`dedup_pairs_against_index` → :func:`append_to_index` →
-    :func:`index_kept_ids`."""
+    :func:`index_kept_ids`.
+
+    ``pairs``: the frame :func:`dedup_pairs_against_index` already returned
+    for this exact batch (same index / key columns / prune), when the
+    caller ran the probe itself — passing it skips the second probe
+    execution entirely (r12, ADVICE r11: ``dedup_index_sink`` was paying
+    the dominant per-batch cost twice).  The frame is consumed several
+    times below, so pass it MATERIALIZED (``_materialize``-style
+    checkpoint/persist) or accept recompute-per-consumer; like ``state``,
+    correctness is the caller's contract — a stale or mismatched frame
+    silently yields wrong verdicts."""
     new_df = _id_long(new_df, id_col)
-    pairs = _materialize(
-        dedup_pairs_against_index(
-            new_df, index, id_col, text_col, columns=columns, storage=storage,
-            prune=prune, state=state,
-        ),
-        storage,
-        eager=True,
-    )
+    if pairs is None:
+        pairs = _materialize(
+            dedup_pairs_against_index(
+                new_df, index, id_col, text_col, columns=columns, storage=storage,
+                prune=prune, state=state,
+            ),
+            storage,
+            eager=True,
+        )
     new_ids = new_df.select(F.col(id_col).alias("id"))
     # a pair touching an id NOT in this batch is an old<->new match
     matched = (
@@ -1012,6 +1048,10 @@ def index_stats(index: DedupIndex) -> dict:
         "partitions_configured": index.partitions,
         "partitions_live": n,
         "state_rows": total,
+        # live DOCUMENT count, in `tombstoned`'s unit (ids) — bands/keys
+        # hold multiple rows per doc (r12: the maintenance policy's
+        # tombstone-debt ratio needs like units)
+        "ids_live": int(index.all_ids().count()),
         "rows_max_pb": counts[-1] if counts else 0,
         "pb_skew": round(counts[-1] / (total / n), 2) if total else None,
         "data_files": len(files),
@@ -1021,3 +1061,124 @@ def index_stats(index: DedupIndex) -> dict:
     if index.meta.get("include_pairs"):
         out["ledger_pairs"] = int(index.pairs.count())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Versioned store: pointer-flip compaction for long-lived / streaming indexes
+# ---------------------------------------------------------------------------
+#
+# compact_dedup_index writes to a NEW path by design (Spark cannot
+# atomically overwrite a directory it reads), which leaves the "which path
+# is current?" bookkeeping to the operator.  The store layer (r12, VERDICT
+# r11 #6) makes that discipline first-class so a streaming sink can compact
+# MID-STREAM: a store root holds versioned index dirs ``v0, v1, ...`` plus
+# a 1-line ``_current`` pointer file naming the active one.  Crash
+# semantics, in order of what a crash can leave behind:
+#
+# * mid-compaction (dst partially written, sidecar absent): the pointer
+#   still names the old version; the partial dir is ignored by resolution
+#   (no sidecar = not a version) and the next compaction picks a FRESH
+#   version number past it, so the orphan is never adopted or overwritten
+#   into confusion.
+# * between dst completion and pointer flip: both versions are complete
+#   and bit-equal in results; resolution's no-pointer fallback picks the
+#   highest COMPLETE version, which is the new one — consistent either way.
+# * mid-pointer-write (the one non-atomic text overwrite): pointer dir
+#   missing/empty -> same fallback.
+
+_STORE_POINTER = "_current"
+
+
+def _store_versions(spark, root: str) -> list[int]:
+    """Version numbers under ``root`` that are COMPLETE (sidecar present) —
+    partial compaction leftovers don't count."""
+    from dqx_spark.pipeline._fsutil import hadoop_path_exists
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            if hadoop_path_exists(spark, f"{root.rstrip('/')}/{name}/{_META_SUBDIR}"):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _all_version_numbers(spark, root: str) -> list[int]:
+    """Every vN dir name under root, complete or not — for picking a fresh
+    compaction target that cannot collide with a crashed partial write."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return sorted(
+        int(st.getPath().getName()[1:])
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("v")
+        and st.getPath().getName()[1:].isdigit()
+    )
+
+
+def _write_store_pointer(spark, root: str, ver: str) -> None:
+    spark.createDataFrame([(ver,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(root.rstrip("/") + "/" + _STORE_POINTER)
+
+
+def init_dedup_store(df: DataFrame, root: str, id_col: str, text_col: str | None = None,
+                     **save_kwargs) -> str:
+    """Create a versioned store at ``root``: :func:`save_dedup_index` the
+    seed corpus (pass ``df.limit(0)`` for the empty-seed crawl start —
+    empty indexes are first-class) into ``root/v0`` and point ``_current``
+    at it.  Returns the v0 path.  All ``save_dedup_index`` knobs pass
+    through (``method=``, ``partitions=``, ...)."""
+    v0 = root.rstrip("/") + "/v0"
+    save_dedup_index(df, v0, id_col, text_col, **save_kwargs)
+    _write_store_pointer(df.sparkSession, root, "v0")
+    return v0
+
+
+def current_store_version(spark, root: str) -> str:
+    """Resolve the active index path of a store: the ``_current`` pointer
+    when readable, else the highest COMPLETE version (the documented
+    crash fallback).  Raises when the root holds no complete version."""
+    from dqx_spark.pipeline._fsutil import hadoop_path_exists
+
+    r = root.rstrip("/")
+    if hadoop_path_exists(spark, r + "/" + _STORE_POINTER):
+        try:
+            ver = spark.read.text(r + "/" + _STORE_POINTER).collect()[0]["value"].strip()
+            if hadoop_path_exists(spark, f"{r}/{ver}/{_META_SUBDIR}"):
+                return f"{r}/{ver}"
+        except Exception:  # noqa: BLE001 - fall through to the structural scan
+            pass
+    complete = _store_versions(spark, root)
+    if not complete:
+        raise ValueError(
+            f"{root!r} holds no complete index version (did init_dedup_store run?)"
+        )
+    return f"{r}/v{complete[-1]}"
+
+
+def compact_dedup_store(spark, root: str, max_records_per_file: int = 1_000_000) -> str:
+    """Compact the store's current version into a fresh one and flip the
+    pointer — the mid-stream-safe wrapper over :func:`compact_dedup_index`
+    (bit-equal results by that function's contract; versioned dst; pointer
+    flip only after the dst sidecar landed).  Returns the new path.  Old
+    versions are left on disk deliberately: readers resolved before the
+    flip may still be scanning them; garbage-collect on the operator's
+    retention cadence, not here."""
+    cur = current_store_version(spark, root)
+    nums = _all_version_numbers(spark, root)
+    nxt = (nums[-1] + 1) if nums else 0
+    dst = f"{root.rstrip('/')}/v{nxt}"
+    compact_dedup_index(spark, cur, dst, max_records_per_file=max_records_per_file,
+                        mode="overwrite")
+    _write_store_pointer(spark, root, f"v{nxt}")
+    return dst

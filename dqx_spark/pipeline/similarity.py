@@ -55,6 +55,7 @@ __all__ = [
     "compact_lsh_index",
     "remove_from_ann_index",
     "ann_index_stats",
+    "recommend_index_maintenance",
 ]
 
 
@@ -1331,20 +1332,24 @@ def save_ann_index(
 
 def _load_tombstones(spark, path: str):
     """(id) tombstones at ``path/_tombstones`` (underscore dir — skipped
-    by the data scans), or None when none were ever written.  Only the
-    missing-path error means 'no tombstones'; a corrupt dir raises rather
+    by the data scans), or None when none were ever written.  Only a
+    genuinely MISSING path (Hadoop FS probe, not message text — r12,
+    ADVICE r11) means 'no tombstones'; a corrupt dir raises rather
     than silently resurrecting removed vectors."""
     from pyspark.errors import AnalysisException
 
+    from dqx_spark.pipeline._fsutil import read_missing
+
+    sub = path.rstrip("/") + "/_tombstones"
     try:
-        return spark.read.parquet(path.rstrip("/") + "/_tombstones")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        return spark.read.parquet(sub)
+    except AnalysisException:
+        if read_missing(spark, sub):
             return None
         raise
 
 
-def remove_from_ann_index(spark, path: str, ids) -> None:
+def remove_from_ann_index(spark, path: str, ids, handle=None) -> None:
     """Tombstone vectors out of a persisted index — works on BOTH families
     (IVF/IVFADC ``save_ann_index`` layouts and sign-LSH ``save_lsh_index``
     layouts; the sidecar is validated, anything else rejected).  Parquet
@@ -1358,9 +1363,19 @@ def remove_from_ann_index(spark, path: str, ids) -> None:
     by compacting first.  ``ids``: a DataFrame whose first column holds
     the ids (typed like the index id column), or a plain iterable (types
     inferred — must match the index id column or the anti-join silently
-    misses)."""
+    misses).
+
+    ``handle``: a live :class:`LshIndex` over the same ``path`` — its
+    cached reads predate the tombstones, so pass it to have it
+    invalidated after the write (r12, ADVICE r11; the IVF loader returns
+    plain DataFrames with no cache, so only LSH handles need this)."""
     import json as _json
 
+    if handle is not None and handle.path != path.rstrip("/"):
+        raise ValueError(
+            f"handle.path {handle.path!r} does not match path {path!r} - "
+            "passing a mismatched handle would invalidate the wrong index"
+        )
     meta = _json.loads(
         spark.read.text(path.rstrip("/") + "/_ann_meta").collect()[0]["value"]
     )
@@ -1371,6 +1386,8 @@ def remove_from_ann_index(spark, path: str, ids) -> None:
     else:
         df = spark.createDataFrame([(i,) for i in ids], ["id"])
     df.write.mode("append").parquet(path.rstrip("/") + "/_tombstones")
+    if handle is not None:
+        handle.invalidate()
 
 
 def _alive(df: DataFrame, tombstones) -> DataFrame:
@@ -1499,12 +1516,16 @@ def save_lsh_index(
     unpartitioned melt there (reuse win without pruning; the melt is slim,
     so a full scan of it is cheap at that scale anyway).  ``layout=None``
     (default, r11 — VERDICT r10 #5) self-selects: the save path counts the
-    corpus once (one slim extra job on a path already paying two writes)
+    just-written ``vecs/`` parquet (a footer-metadata job)
     and picks ``flat`` below ``_LSH_FLAT_MELT_ROWS`` melt rows — or when
     the knobs imply more than 65,536 directories — else ``bucketed``; the
     choice lands in the sidecar, so :func:`append_to_lsh_index`,
     :func:`compact_lsh_index` and the probe join follow it without the
-    caller having to know.  Explicit values skip the count (and explicit
+    caller having to know.  The count runs over the just-written ``vecs/``
+    parquet (footer metadata, no recompute), never the caller's upstream
+    plan (r12, ADVICE r11: counting ``df`` re-executed a potentially
+    expensive embedding lineage a third time).  Explicit values skip the
+    count (and explicit
     ``bucketed`` past the directory cap raises rather than silently
     degrading).  Also written:
     ``vecs/`` for the exact rerank (candidate-bounded reads) and a
@@ -1532,12 +1553,21 @@ def save_lsh_index(
     corpus = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # vecs/ first: the auto-select count then reads the WRITTEN parquet
+    # (a footer-metadata job, no recompute) instead of re-executing a
+    # potentially expensive upstream embedding lineage a third time
+    # (r12, ADVICE r11); the melt below also hashes from the written
+    # floats, so the upstream plan executes exactly once.  Sidecar still
+    # lands LAST — it stays the commit point for crash discipline.
+    spark = df.sparkSession
+    corpus.write.mode(mode).parquet(path.rstrip("/") + "/vecs")
+    written = spark.read.parquet(path.rstrip("/") + "/vecs")
     if layout is None:
-        melt_rows = corpus.count() * num_tables
+        melt_rows = written.count() * num_tables
         layout = (
             "flat" if (melt_rows < _LSH_FLAT_MELT_ROWS or n_dirs > 65536) else "bucketed"
         )
-    melt = _lsh_melt(corpus, "vec", ["id"], num_planes, num_tables, seed)
+    melt = _lsh_melt(written, "vec", ["id"], num_planes, num_tables, seed)
     if layout == "bucketed":
         # repartition on the partition keys before the write: without it
         # every write task sprays a tiny file into every (t, b) directory
@@ -1549,7 +1579,6 @@ def save_lsh_index(
         ).partitionBy("t", "b").mode(mode).parquet(path.rstrip("/") + "/melt")
     else:
         melt.write.mode(mode).parquet(path.rstrip("/") + "/melt")
-    corpus.write.mode(mode).parquet(path.rstrip("/") + "/vecs")
     meta = {
         "method": "lsh",
         "layout": layout,
@@ -1584,6 +1613,7 @@ def append_to_lsh_index(
     vec_col: str,
     id_col: str,
     skip_existing_ids: bool = False,
+    handle: "LshIndex | None" = None,
 ) -> None:
     """Onboard a NEW vector batch into a :func:`save_lsh_index` layout —
     the sign-LSH member of the per-batch ingestion family
@@ -1603,9 +1633,26 @@ def append_to_lsh_index(
     Recovery is re-running the batch with ``skip_existing_ids=True``
     (which checks ``vecs/``, so a half-onboarded batch is REPROCESSED);
     the duplicate melt rows that leaves are harmless — candidate
-    discovery applies ``distinct`` before the rerank."""
+    discovery applies ``distinct`` before the rerank.
+
+    Handle freshness (r12, ADVICE r11): :class:`LshIndex` caches its
+    parquet reads, so a handle held across this path-based call keeps
+    serving the PRE-append state until its ``invalidate()`` runs.  Pass
+    the live handle as ``handle=`` and this function reuses it (skipping
+    the reload) and invalidates it after the writes — the caller's next
+    probe sees the batch.  Without ``handle=``, ``load_lsh_index`` (or an
+    explicit ``invalidate()``) is the only way to observe the mutation;
+    that stale-until-invalidated contract is pinned by test."""
     spark = new_df.sparkSession
-    idx = load_lsh_index(spark, path)
+    if handle is not None:
+        if handle.path != path.rstrip("/"):
+            raise ValueError(
+                f"handle.path {handle.path!r} does not match path {path!r} - "
+                "passing a mismatched handle would invalidate the wrong index"
+            )
+        idx = handle
+    else:
+        idx = load_lsh_index(spark, path)
     corpus = new_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
@@ -1626,6 +1673,7 @@ def append_to_lsh_index(
     else:
         melt.write.mode("append").parquet(idx.path + "/melt")
     corpus.write.mode("append").parquet(idx.path + "/vecs")
+    idx.invalidate()  # the handle's cached reads predate this batch
 
 
 def append_to_ann_index(
@@ -1846,10 +1894,16 @@ def ann_index_stats(spark, path: str) -> dict:
     n_parts = len(counts)
     total = sum(counts)
     ts = _load_tombstones(spark, path)
+    # live VECTOR count, in the same unit as `tombstoned` (ids): for IVF
+    # the data rows ARE ids; the LSH melt holds ids × num_tables rows, so
+    # count the vecs table instead (r12 — the maintenance policy's
+    # tombstone-debt ratio needs like units)
+    ids_live = total if method == "ivf" else int(idx.vecs.count())
     return {
         "method": method,
         "partitions": n_parts,
         "rows": total,
+        "ids_live": ids_live,
         "rows_min": counts[0] if counts else 0,
         "rows_median": counts[n_parts // 2] if counts else 0,
         "rows_max": counts[-1] if counts else 0,
@@ -1857,4 +1911,112 @@ def ann_index_stats(spark, path: str) -> dict:
         "data_files": len(data_files),
         "files_per_partition": round(len(data_files) / n_parts, 2) if n_parts else None,
         "tombstoned": int(ts.count()) if ts is not None else 0,
+    }
+
+
+def recommend_index_maintenance(
+    stats: dict,
+    *,
+    max_files_per_partition: float = 16.0,
+    max_tombstone_ratio: float = 0.2,
+    max_bucket_skew: float = 8.0,
+) -> dict:
+    """Turn an index health report into an actionable verdict — the
+    maintenance policy VERDICT r11 #5 asked for, closing the loop the
+    module docs previously left to the operator ("compact when files
+    creep up, retrain when skew drifts").  Accepts the stats dict of
+    EITHER family — :func:`ann_index_stats` (IVF/IVFADC + sign-LSH) or
+    ``dedup_index.index_stats`` (exact/minhash/simhash) — and returns::
+
+        {"action": "retrain" | "compact" | "ok",
+         "reasons": [...],            # every tripped threshold, spelled out
+         "thresholds": {...},          # the knobs this verdict used
+         "metrics": {...}}             # the stat values it read
+
+    Policy (driver-side arithmetic only — no Spark work):
+
+    * **retrain** when ``bucket_skew`` exceeds ``max_bucket_skew`` on a
+      partition-searched family (``ivf``: refit centroids on current
+      data; ``lsh``: re-save with more planes/tables) — a probed search
+      scans whole cells, so one hot cell caps per-query latency and only
+      re-fitting the layout rebalances it.  Retrain subsumes compact
+      (a rebuild rewrites the files and applies tombstones), so it wins
+      when both trip.  Dedup-index families hash-partition on content
+      keys — their ``pb_skew`` reflects the DATA's duplicate structure,
+      not a fittable layout, so skew there lands in ``reasons`` as
+      informational and never forces a rebuild.
+    * **compact** when ``files_per_partition`` exceeds
+      ``max_files_per_partition`` (every pruned read pays that many
+      parquet-footer opens — the per-append-batch debt
+      :func:`compact_ann_index` / ``compact_dedup_index`` exists to pay
+      down) or the tombstone debt ``tombstoned / (rows + tombstoned)``
+      exceeds ``max_tombstone_ratio`` (each logical delete costs an
+      anti-join on every read until applied physically).
+    * **ok** otherwise.
+
+    The thresholds are deliberately conservative defaults for a nightly
+    cadence; a streaming sink compacting mid-stream (``dedup_index_sink``)
+    should pass tighter ones.  Surfaced on the CLI as
+    ``index-maintenance`` (see ``cli.py``)."""
+    method = stats.get("method", "unknown")
+    rows = stats.get("rows", stats.get("state_rows", 0)) or 0
+    # the tombstone table holds IDS; `rows`/`state_rows` may hold multiple
+    # rows per id (LSH melt: × tables; dedup bands: × bands) — ratio against
+    # `ids_live` (same unit) when the stats carry it
+    ids = stats.get("ids_live", rows) or 0
+    fpp = stats.get("files_per_partition")
+    skew = stats.get("bucket_skew", stats.get("pb_skew"))
+    tombstoned = stats.get("tombstoned", 0) or 0
+    tomb_ratio = (
+        round(tombstoned / (ids + tombstoned), 4) if (ids + tombstoned) else 0.0
+    )
+    reasons: list[str] = []
+    compact = False
+    retrain = False
+    if fpp is not None and fpp > max_files_per_partition:
+        compact = True
+        reasons.append(
+            f"files_per_partition {fpp} > {max_files_per_partition}: each pruned "
+            "read pays that many footer opens - compact to bounded file runs"
+        )
+    if tomb_ratio > max_tombstone_ratio:
+        compact = True
+        reasons.append(
+            f"tombstone debt {tomb_ratio} > {max_tombstone_ratio} "
+            f"({tombstoned} of {ids + tombstoned} ids) - every read pays the "
+            "anti-join until a compaction applies the removals physically"
+        )
+    if skew is not None and skew > max_bucket_skew:
+        if method in ("ivf", "lsh"):
+            retrain = True
+            reasons.append(
+                f"bucket_skew {skew} > {max_bucket_skew}: the hottest cell caps "
+                "per-query latency - "
+                + ("refit centroids on current data" if method == "ivf"
+                   else "re-save with more planes/tables to split the hot buckets")
+            )
+        else:
+            reasons.append(
+                f"pb_skew {skew} > {max_bucket_skew} (informational: dedup state "
+                "hash-partitions on content keys; skew reflects the data's "
+                "duplicate structure, not a fittable layout)"
+            )
+    action = "retrain" if retrain else ("compact" if compact else "ok")
+    return {
+        "action": action,
+        "reasons": reasons,
+        "thresholds": {
+            "max_files_per_partition": max_files_per_partition,
+            "max_tombstone_ratio": max_tombstone_ratio,
+            "max_bucket_skew": max_bucket_skew,
+        },
+        "metrics": {
+            "method": method,
+            "rows": rows,
+            "ids_live": ids,
+            "files_per_partition": fpp,
+            "skew": skew,
+            "tombstoned": tombstoned,
+            "tombstone_ratio": tomb_ratio,
+        },
     }

@@ -607,8 +607,15 @@ _KINDS = {
 }
 
 
-def _path_missing(e: Exception) -> bool:
-    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+def _path_missing(spark, sub: str) -> bool:
+    """After a read over ``sub`` raised: is the failure attributable to
+    the path genuinely not existing?  Probed via the Hadoop FS API, not
+    exception-message text (r12, ADVICE r11 — substring matching is
+    brittle across Spark versions/locales and can mis-route unrelated
+    failures as 'nothing here yet')."""
+    from dqx_spark.pipeline._fsutil import read_missing
+
+    return read_missing(spark, sub)
 
 
 def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "overwrite") -> None:
@@ -639,7 +646,7 @@ def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "o
         try:
             _, existing = load_sketch(df.sparkSession, path)
         except Exception as e:  # noqa: BLE001
-            if not _path_missing(e):
+            if not _path_missing(df.sparkSession, path.rstrip("/") + "/_sketch_meta"):
                 raise
             # The sidecar is missing — but load_sketch reads the sidecar
             # FIRST, so this alone cannot distinguish 'nothing here yet'
@@ -650,8 +657,8 @@ def save_sketch(df: DataFrame, path: str, kind: str, knobs: dict, mode: str = "o
             # the first batch.
             try:
                 df.sparkSession.read.parquet(path.rstrip("/") + "/data")
-            except Exception as e2:  # noqa: BLE001
-                if _path_missing(e2):
+            except Exception:  # noqa: BLE001
+                if _path_missing(df.sparkSession, path.rstrip("/") + "/data"):
                     existing = None  # genuinely empty path: first batch
                 else:
                     raise  # data dir present but unreadable: not ours to adopt
