@@ -240,6 +240,34 @@ def cmd_index_compact(args) -> int:
     return 0 if n_src == n_dst else 1
 
 
+def cmd_index_maintenance(args) -> int:
+    """Health-check a persisted index and print the maintenance verdict
+    (r12, VERDICT r11 #5): stats via ``ann_index_stats`` /
+    ``index_stats``, policy via ``recommend_index_maintenance``.  Exit
+    code 0 = ok, 2 = compact recommended, 3 = retrain recommended —
+    scriptable as a nightly cron gate in front of ``index-compact``."""
+    spark = _spark("index_maintenance")
+    if args.kind in ("ann", "lsh"):
+        from dqx_spark.pipeline.similarity import ann_index_stats
+
+        stats = ann_index_stats(spark, args.input)
+    else:
+        from dqx_spark.pipeline.dedup_index import index_stats, load_dedup_index
+
+        stats = index_stats(load_dedup_index(spark, args.input))
+    from dqx_spark.pipeline.similarity import recommend_index_maintenance
+
+    verdict = recommend_index_maintenance(
+        stats,
+        max_files_per_partition=args.max_files_per_partition,
+        max_tombstone_ratio=args.max_tombstone_ratio,
+        max_bucket_skew=args.max_bucket_skew,
+    )
+    print(json.dumps({"kind": args.kind, "path": args.input,
+                      "stats": stats, **verdict}))
+    return {"ok": 0, "compact": 2, "retrain": 3}[verdict["action"]]
+
+
 def cmd_sketch_build(args) -> int:
     """Build (or --append) one mergeable sketch over a parquet input —
     the per-batch cron step of incremental corpus statistics: each batch
@@ -514,6 +542,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite", action="store_true",
                    help="allow re-running a failed compaction onto the same output")
     p.set_defaults(func=cmd_index_compact)
+
+    p = sub.add_parser(
+        "index-maintenance",
+        help="health-check a persisted ANN or dedup index and print the "
+             "maintenance verdict (ok/compact/retrain); exit 0/2/3 so a "
+             "nightly cron can gate index-compact on it",
+    )
+    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--max-files-per-partition", type=float, default=16.0)
+    p.add_argument("--max-tombstone-ratio", type=float, default=0.2)
+    p.add_argument("--max-bucket-skew", type=float, default=8.0)
+    p.set_defaults(func=cmd_index_maintenance)
 
     p = sub.add_parser(
         "sketch-build",

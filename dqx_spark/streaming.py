@@ -413,6 +413,8 @@ def dedup_index_sink(
     prune: str = "join",
     accepted_sink: Callable[[DataFrame, int], None] | None = None,
     storage: str = "local",
+    compact_every: int | None = None,
+    maintenance_thresholds: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink that onboards every micro-batch into a persisted
     dedup index (r11) — the streaming face of ``pipeline.dedup_index``,
@@ -442,14 +444,41 @@ def dedup_index_sink(
 
     Use: ``stream.writeStream.foreachBatch(dedup_index_sink(...)).start()``.
 
+    **Mid-stream compaction (r12, VERDICT r11 #6).**  Without it the sink
+    appends forever — each batch adds ~1 file per touched ``pb``
+    partition and every probe pays the accumulated footer opens.  Pass
+    ``compact_every=N`` (compact after every N batches this process has
+    appended) and/or ``maintenance_thresholds={...}`` (kwargs for
+    :func:`~dqx_spark.pipeline.similarity.recommend_index_maintenance`,
+    checked over :func:`~dqx_spark.pipeline.dedup_index.index_stats`
+    after each append; ``{}`` uses the policy defaults) and the sink
+    compacts via the versioned STORE discipline: ``index_path`` must
+    then be a store root created by
+    :func:`~dqx_spark.pipeline.dedup_index.init_dedup_store` (versions at
+    ``v0, v1, ...``, a ``_current`` pointer, pointer flipped only after
+    the compacted copy's sidecar landed).  Compaction is bit-neutral to
+    results by ``compact_dedup_index``'s contract, and a crash
+    mid-compaction leaves the pointer on the old version with the partial
+    dir ignored — both pinned by tests.  The ``compact_every`` counter is
+    per-process (restart resets it); the stats trigger is the
+    restart-robust cadence.  Without either knob, ``index_path`` is a
+    plain index path and behavior is unchanged (no store required).
+
     Reference: databrickslabs/dqx has no persisted-dedup surface
     (is_unique in check_funcs.py is within-run); this extends the
     streaming + dedup_index families it motivated."""
+    from dqx_spark.pipeline import dedup as _dd
     from dqx_spark.pipeline import dedup_index as _di
+
+    store_mode = compact_every is not None or maintenance_thresholds is not None
+    appended = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx = _di.load_dedup_index(spark, index_path)
+        active_path = (
+            _di.current_store_version(spark, index_path) if store_mode else index_path
+        )
+        idx = _di.load_dedup_index(spark, active_path)
         state = _di.batch_state(
             batch_df, idx, id_col, text_col, columns=columns, storage=storage
         )
@@ -458,14 +487,32 @@ def dedup_index_sink(
             state=state, prune=prune, storage=storage,
         )
         if accepted_sink is not None:
+            # one probe per batch: materialize the pairs once and share
+            # them between the accept view and the ledger append (r12,
+            # ADVICE r11 — the sink was executing the dominant per-batch
+            # cost twice through dedup_against_index's internal probe)
+            pairs = _dd._materialize(pairs, storage, eager=True)
             accepted = _di.dedup_against_index(
                 batch_df, idx, id_col, text_col, columns=columns, storage=storage,
-                prune=prune, state=state,
+                prune=prune, state=state, pairs=pairs,
             )
             accepted_sink(accepted.where(F.col("kept")), batch_id)
         _di.append_to_index(
             batch_df, idx, id_col, text_col, columns=columns,
             new_pairs=pairs, state=state, storage=storage,
         )
+        if not store_mode:
+            return
+        appended["n"] += 1
+        due = compact_every is not None and appended["n"] % compact_every == 0
+        if not due and maintenance_thresholds is not None:
+            from dqx_spark.pipeline.similarity import recommend_index_maintenance
+
+            verdict = recommend_index_maintenance(
+                _di.index_stats(idx), **maintenance_thresholds
+            )
+            due = verdict["action"] != "ok"  # compact covers both for dedup state
+        if due:
+            _di.compact_dedup_store(spark, index_path)
 
     return sink
