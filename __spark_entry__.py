@@ -301,6 +301,81 @@ def q_dedup_minhash(spark, sf):
     )
 
 
+def q_crawl_day(spark, sf):
+    """r12 (VERDICT r11 #7): ONE crawl-day loop, certified end-to-end —
+    three micro-batches (doc_id % 3) flow through the STREAMING sink body
+    (``streaming.dedup_index_sink`` over a versioned store with
+    ``compact_every=2``, so a pointer-flip compaction fires MID-INGESTION
+    between batches) WHILE per-batch KMV sketch states append to a sketch
+    store.  The certified outputs are the loop's two products:
+
+    * scope='kept' — the final kept-set (``index_kept_ids`` over the
+      store's CURRENT version, i.e. read through the post-compaction
+      pointer), which must equal the DuckDB full-rerun kept-set over the
+      whole corpus (recursive-CTE components, min-id keeper — same twin
+      machinery as ``dedup_minhash_lsh``'s incr_kept leg);
+    * scope='sketch' — the merged KMV state's size and exact hash
+      checksum, which must equal a whole-corpus bottom-k in DuckDB
+      (merge == whole, the r11 property, here exercised through the
+      on-disk append path inside a live ingestion loop);
+    * scope='store_version' — the store version the pointer names at the
+      end (deterministically 1: three batches, compact_every=2, one
+      compaction), pinning that the mid-stream compaction actually fired
+      AND the kept-set above was read through it.
+
+    This is the r11 story — continual ingestion + incremental stats — as
+    one loop instead of two separate rows."""
+    import shutil
+
+    from dqx_spark import streaming as _streaming
+    from dqx_spark.pipeline import sketches as SK
+
+    df = _read(spark, sf, "documents")
+    tag = os.path.basename(os.path.normpath(sf))
+    root = f"/tmp/dqx_gate_crawlday_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    store, skpath = root + "/store", root + "/kmv"
+    K = 256
+    dedup_index.init_dedup_store(
+        df.select("doc_id", "text").limit(0), store, "doc_id", "text",
+        method="minhash", num_hashes=64, bands=16, shingle_k=5, threshold=0.5,
+        hash_name="md5", partitions=16,
+    )
+    sink = _streaming.dedup_index_sink(store, "doc_id", "text", compact_every=2)
+    for b in range(3):
+        batch = df.where(F.col("doc_id") % 3 == b)
+        sink(batch.select("doc_id", "text"), b)  # the foreachBatch body
+        SK.save_sketch(
+            SK.kmv_sketch(
+                batch.select(text.doc_fingerprint("text").alias("fp")),
+                "fp", k=K, hash_name="md5",
+            ),
+            skpath, "kmv", {"cols": ["fp"], "k": K, "hash_name": "md5"},
+            mode="overwrite" if b == 0 else "append",
+        )
+    cur = dedup_index.current_store_version(spark, store)
+    ver = int(cur.rsplit("/v", 1)[1])
+    kept = dedup_index.index_kept_ids(
+        dedup_index.load_dedup_index(spark, cur)
+    ).where("kept")
+    merged = SK.kmv_merge(SK.load_sketch(spark, skpath)[0], k=K)
+    nl = lambda: F.lit(None).cast("long")  # noqa: E731
+    return (
+        kept.select(
+            F.lit("kept").alias("scope"), F.col("id").cast("long").alias("id"),
+            nl().alias("kmv_n"), nl().alias("kmv_checksum"),
+        )
+        .unionByName(merged.agg(
+            F.count("h").cast("long").alias("kmv_n"),
+            F.sum(F.col("h") % F.lit(1000000007)).cast("long").alias("kmv_checksum"),
+        ).select(F.lit("sketch").alias("scope"), nl().alias("id"), "kmv_n", "kmv_checksum"))
+        .unionByName(spark.createDataFrame(
+            [("store_version", ver, None, None)],
+            "scope string, id long, kmv_n long, kmv_checksum long",
+        ))
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """Oracle-checked since r4 via the portable md5-60bit token hash (60-bit
     signatures, 4×15-bit pigeonhole bands at max_hamming=3)."""
@@ -1272,6 +1347,20 @@ def q_hash_split(spark, sf):
         df.select("doc_id", "text"), "doc_id", "text",
         mixing.dsir_log_ratios(tc, rc, B), B, hash_name="md5",
     ).select("doc_id", "dsir_n_features", F.round("dsir_logw", 6).alias("dsir_lw"))
+    # r12 (VERDICT r11 #4): the R in DSIR — Gumbel-top-k resample kept-set
+    # as a boolean column.  key = UNROUNDED sorted-fold logw + Gumbel from
+    # the md5-60 hash of (doc_id || salt); the twin re-derives the same
+    # key from the same md5 arithmetic and the same float literals, takes
+    # the same (key DESC, doc_id) top-25
+    samp = (
+        mixing.dsir_resample(
+            df.select("doc_id", "text"), "doc_id", "text",
+            mixing.dsir_log_ratios(tc, rc, B), 25, buckets=B,
+            salt="r12", hash_name="md5",
+        )
+        .select("doc_id")
+        .withColumn("in_dsir_sample", F.lit(True))
+    )
     return (
         split.join(mixed, "doc_id", "left")
         .join(te, "doc_id")
@@ -1280,6 +1369,7 @@ def q_hash_split(spark, sf):
         .join(umax, "doc_id")
         .join(spos, "doc_id")
         .join(dsir, "doc_id")
+        .join(samp, "doc_id", "left")
         .select(
             "doc_id",
             "split",
@@ -1291,6 +1381,7 @@ def q_hash_split(spark, sf):
             "shuffle_pos",
             "dsir_n_features",
             "dsir_lw",
+            F.coalesce("in_dsir_sample", F.lit(False)).alias("in_dsir_sample"),
         )
     )
 
@@ -2531,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "crawl_day": q_crawl_day,
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2712,7 +2804,9 @@ def _kmv_cols(tag: str, col: str, alias: bool = False) -> str:
 def _smp_cte(tag: str, col: str) -> str:
     """r11 row-sample twin: the whole-corpus bottom-256 rows by the salted
     row-id md5-60 hash (identical to sketches.sample_sketch md5 mode over
-    the l_orderkey*10+l_linenumber row id), carrying the value column."""
+    the 4-int composite 'orderkey_linenumber_partkey_suppkey' row id — the
+    same rid the Spark side builds in q_profile_summary), carrying the
+    value column."""
     rid = (
         "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' || "
         "l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR"
@@ -2814,6 +2908,44 @@ def _minhash_oracle() -> str:
         "NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE FROM gi WHERE id = group_id "
         "UNION ALL SELECT 'tomb_kept', id, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, "
         "NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE FROM gt WHERE id = group_id"
+    )
+
+
+def _crawl_day_oracle() -> str:
+    """Twin of q_crawl_day: the streaming-ingested store's kept-set must
+    equal the corpus-at-once full rerun (same minhash knobs and
+    recursive-CTE components as ``_minhash_oracle``'s incr_kept leg), the
+    appended-and-merged KMV state must equal a whole-corpus bottom-256
+    (merge == whole), and the store version is the deterministic literal 1
+    (three batches, compact_every=2 ⇒ exactly one mid-stream compaction)."""
+    fp = r"md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))))"
+    return (
+        r"WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') toks FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4,0)+1), "
+        f"""i -> {_md5long("array_to_string(toks[i:i+4], ' ')")}))) h FROM t), """
+        f"""mins AS (SELECT doc_id, r.i AS i, min({_md5long("h::VARCHAR || ':' || r.i::VARCHAR")}) m """
+        "FROM sh, range(0,64) r(i) GROUP BY doc_id, r.i), "
+        "sig AS (SELECT doc_id, list(m ORDER BY i) s FROM mins GROUP BY doc_id), "
+        "b AS (SELECT doc_id, r.j AS j, s[r.j*4+1 : r.j*4+4] sl FROM sig, range(0,16) r(j)), "
+        "candw AS (SELECT DISTINCT a.doc_id id_a, b2.doc_id id_b FROM b a JOIN b b2 "
+        "ON a.j = b2.j AND a.sl = b2.sl AND a.doc_id < b2.doc_id), "
+        "est AS (SELECT c.id_a, c.id_b, "
+        "list_sum(list_transform(range(1,65), i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END))::DOUBLE / 64 e "
+        "FROM candw c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b), "
+        "esti AS (SELECT id_a, id_b FROM est WHERE e >= 0.5), "
+        "edgesi AS (SELECT id_a s, id_b d FROM esti UNION SELECT id_b, id_a FROM esti), "
+        "reachi(id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT eg.s, reachi.r FROM edgesi eg JOIN reachi ON eg.d = reachi.id), "
+        "gi AS (SELECT id, min(r) AS group_id FROM reachi GROUP BY id), "
+        # whole-corpus bottom-256 KMV over the content fingerprints —
+        # identical to the three per-batch appends merged at read
+        f"kmv AS (SELECT h FROM (SELECT DISTINCT {_md5long(f'coalesce(({fp})::VARCHAR, chr(0))')} AS h "
+        "FROM documents) ORDER BY h LIMIT 256) "
+        "SELECT 'kept' AS scope, id::BIGINT AS id, NULL::BIGINT AS kmv_n, "
+        "NULL::BIGINT AS kmv_checksum FROM gi WHERE id = group_id "
+        "UNION ALL SELECT 'sketch', NULL::BIGINT, "
+        "(SELECT count(*)::BIGINT FROM kmv), (SELECT sum(h % 1000000007)::BIGINT FROM kmv) "
+        "UNION ALL SELECT 'store_version', 1::BIGINT, NULL::BIGINT, NULL::BIGINT"
     )
 
 
@@ -4243,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM wcm JOIN wsz sa ON id_a = sa.doc_id JOIN wsz sb ON id_b = sb.doc_id"
         ),
         "dedup_minhash_lsh": _minhash_oracle(),
+        "crawl_day": _crawl_day_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_groups": (
             "WITH RECURSIVE "
@@ -4631,17 +4764,27 @@ def oracle_sql() -> dict[str, str]:
             # sorted-order left-fold — bit-identical to Spark's
             # F.aggregate(array_sort(...)) fold over the same literals
             f"lrs AS (SELECT {_dsir_lr} AS l), "
-            f"ds AS (SELECT doc_id, len(fs)::BIGINT AS dsir_n_features, "
-            "round(CASE WHEN len(fs) = 0 THEN 0.0 "
-            "ELSE list_reduce(list_sort(list_transform(fs, x -> l[x+1])), (a, v) -> a + v) END, 6) "
-            f"AS dsir_lw FROM (SELECT doc_id, {_dsir_feats} AS fs "
-            f"FROM (SELECT doc_id, {_DSIR_TOKS_SQL} AS tk FROM documents)) CROSS JOIN lrs) "
+            f"dsraw AS (SELECT doc_id, len(fs)::BIGINT AS dsir_n_features, "
+            "CASE WHEN len(fs) = 0 THEN 0.0 "
+            "ELSE list_reduce(list_sort(list_transform(fs, x -> l[x+1])), (a, v) -> a + v) END "
+            f"AS lwraw FROM (SELECT doc_id, {_dsir_feats} AS fs "
+            f"FROM (SELECT doc_id, {_DSIR_TOKS_SQL} AS tk FROM documents)) CROSS JOIN lrs), "
+            "ds AS (SELECT doc_id, dsir_n_features, round(lwraw, 6) AS dsir_lw FROM dsraw), "
+            # r12 DSIR resample twin: Gumbel-top-k over the UNROUNDED fold —
+            # key = lwraw + -ln(-ln((md5_60(doc_id || 'r12') + 0.5) / 2^60)),
+            # top 25 by (key DESC, doc_id), same tiebreak as the Spark
+            # orderBy/limit
+            "gk AS (SELECT doc_id, lwraw + -ln(-ln(("
+            "('0x'||substr(md5(doc_id::VARCHAR || 'r12'),1,15))::UBIGINT::BIGINT + 0.5"
+            ") / 1152921504606846976.0)) AS gkey FROM dsraw), "
+            "samp AS (SELECT doc_id FROM gk ORDER BY gkey DESC, doc_id LIMIT 25) "
             "SELECT base.doc_id, CASE WHEN b < 980000 THEN 'train' WHEN b < 990000 THEN 'val' "
             "ELSE 'test' END AS split, "
             "b < round(CASE WHEN source = 'src1' THEN 0.2 WHEN source = 'src2' THEN 0.5 "
             "ELSE 1.0 END * 1000000)::BIGINT AS in_mix, te.tb_exact, ta.tb_approx, "
             f"b < round(({tmix_case}) * 1000000)::BIGINT AS in_tmix, ue.in_umax, sp.shuffle_pos, "
-            "ds.dsir_n_features, ds.dsir_lw "
+            "ds.dsir_n_features, ds.dsir_lw, "
+            "base.doc_id IN (SELECT doc_id FROM samp) AS in_dsir_sample "
             "FROM base JOIN te ON base.doc_id = te.doc_id JOIN ta ON base.doc_id = ta.doc_id "
             "JOIN ue ON base.doc_id = ue.doc_id JOIN sp ON base.doc_id = sp.doc_id "
             "JOIN ds ON base.doc_id = ds.doc_id"
