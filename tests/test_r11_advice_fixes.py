@@ -241,3 +241,44 @@ def test_maintenance_cli_exit_codes(spark, tmp_path, capsys):
 
     rep = json.loads(out)
     assert rep["action"] == "compact" and rep["kind"] == "lsh"
+
+
+# ---------------------------------------------------------------------------
+# has_no_outliers stats_via='driver' (VERDICT r11 #3)
+# ---------------------------------------------------------------------------
+
+def test_r12_mad_modes_driver_equals_plan(spark, orders):
+    """The literal-band fast path must flag exactly the rows the lazy
+    broadcast path flags, in every (approx, estimator) mode, and behave
+    like the null-band crossJoin on empty input."""
+    import dqx_spark.functions as C
+    from dqx_spark import DQDatasetRule, DQEngine
+
+    e = DQEngine()
+    flagged = lambda kw: sorted(  # noqa: E731
+        r["o_orderkey"]
+        for r in e.apply_checks(
+            orders,
+            [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice",
+                           check_func_kwargs=kw)],
+        ).where(F.col("_errors").isNotNull()).select("o_orderkey").collect()
+    )
+    for mode in ({}, {"approx": True}, {"approx": True, "approx_estimator": "mad"}):
+        plan = flagged({**mode, "k": 1.0, "stats_via": "plan"})
+        driver = flagged({**mode, "k": 1.0, "stats_via": "driver"})
+        assert plan == driver and len(plan) > 0, mode
+
+    empty = orders.limit(0)
+    out = e.apply_checks(
+        empty,
+        [DQDatasetRule(check_func=C.has_no_outliers, column="o_totalprice",
+                       check_func_kwargs={"stats_via": "driver"})],
+    )
+    assert out.count() == 0
+
+    import pytest as _pytest
+
+    from dqx_spark.errors import InvalidParameterError
+
+    with _pytest.raises(InvalidParameterError):
+        C.has_no_outliers("o_totalprice", stats_via="collect")
