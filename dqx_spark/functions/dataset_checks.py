@@ -995,17 +995,20 @@ def has_no_outliers(
     - ``'driver'``: the stats are collected at RULE-BIND time (a bounded
       1-row action — the reference's own strategy at
       profiling_utils.py:54-107) and the band lands in the verdict
-      projection as LITERALS, cutting the broadcast-exchange build and its
-      scheduled stage from every downstream action.  Measured at sf0.1:
-      the check's recurring cost drops from ~1 stage above the multi-stage
-      scheduling floor to the scan floor.  The trades: the plan is no
-      longer fully lazy (stats reflect the input when the check binds, and
-      ``apply_checks`` triggers the stats job immediately), and identical
-      values can differ in the last float ulp vs 'plan' mode because the
-      band arithmetic happens in Python doubles rather than Catalyst
-      (same IEEE operations, so in practice they agree — the correctness
-      gate certifies 'plan'; 'driver' is certified equal on the test
-      corpus by unit test).
+      projection as LITERALS, removing the broadcast-exchange build and
+      its scheduled stage.  NOT a latency win in practice: a 10-rep
+      interleaved A/B at sf0.1 measured plan 0.563 s median vs driver
+      0.629 s — Spark overlaps the broadcast build with the main job, so
+      the exchange costs ~nothing (the r12 bench note records the runs).
+      The mode earns its keep when rule-BIND-time stats are the wanted
+      semantics (freeze the band once, apply to many frames / batches),
+      not as an optimization.  The trades: the plan is no longer fully
+      lazy (``apply_checks`` triggers the stats job immediately), and
+      identical values can differ in the last float ulp vs 'plan' mode
+      because the band arithmetic happens in Python doubles rather than
+      Catalyst (same IEEE operations, so in practice they agree — the
+      correctness gate certifies 'plan'; 'driver' is certified equal on
+      the test corpus by unit test).
     """
     if approx_estimator not in ("iqr", "mad"):
         raise InvalidParameterError(f"approx_estimator must be 'iqr' or 'mad', got {approx_estimator!r}")

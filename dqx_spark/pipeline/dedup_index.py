@@ -1067,68 +1067,9 @@ def index_stats(index: DedupIndex) -> dict:
 # Versioned store: pointer-flip compaction for long-lived / streaming indexes
 # ---------------------------------------------------------------------------
 #
-# compact_dedup_index writes to a NEW path by design (Spark cannot
-# atomically overwrite a directory it reads), which leaves the "which path
-# is current?" bookkeeping to the operator.  The store layer (r12, VERDICT
-# r11 #6) makes that discipline first-class so a streaming sink can compact
-# MID-STREAM: a store root holds versioned index dirs ``v0, v1, ...`` plus
-# a 1-line ``_current`` pointer file naming the active one.  Crash
-# semantics, in order of what a crash can leave behind:
-#
-# * mid-compaction (dst partially written, sidecar absent): the pointer
-#   still names the old version; the partial dir is ignored by resolution
-#   (no sidecar = not a version) and the next compaction picks a FRESH
-#   version number past it, so the orphan is never adopted or overwritten
-#   into confusion.
-# * between dst completion and pointer flip: both versions are complete
-#   and bit-equal in results; resolution's no-pointer fallback picks the
-#   highest COMPLETE version, which is the new one — consistent either way.
-# * mid-pointer-write (the one non-atomic text overwrite): pointer dir
-#   missing/empty -> same fallback.
-
-_STORE_POINTER = "_current"
-
-
-def _store_versions(spark, root: str) -> list[int]:
-    """Version numbers under ``root`` that are COMPLETE (sidecar present) —
-    partial compaction leftovers don't count."""
-    from dqx_spark.pipeline._fsutil import hadoop_path_exists
-
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(root)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return []
-    out = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
-            if hadoop_path_exists(spark, f"{root.rstrip('/')}/{name}/{_META_SUBDIR}"):
-                out.append(int(name[1:]))
-    return sorted(out)
-
-
-def _all_version_numbers(spark, root: str) -> list[int]:
-    """Every vN dir name under root, complete or not — for picking a fresh
-    compaction target that cannot collide with a crashed partial write."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(root)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return []
-    return sorted(
-        int(st.getPath().getName()[1:])
-        for st in fs.listStatus(p)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("v")
-        and st.getPath().getName()[1:].isdigit()
-    )
-
-
-def _write_store_pointer(spark, root: str, ver: str) -> None:
-    spark.createDataFrame([(ver,)], "value string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(root.rstrip("/") + "/" + _STORE_POINTER)
+# Generic machinery lives in ``pipeline._store`` (shared with the ANN/LSH
+# families since r12); these are the dedup-family faces of it (sidecar =
+# ``_dedup_meta``).  Crash semantics are documented on the shared module.
 
 
 def init_dedup_store(df: DataFrame, root: str, id_col: str, text_col: str | None = None,
@@ -1138,9 +1079,11 @@ def init_dedup_store(df: DataFrame, root: str, id_col: str, text_col: str | None
     empty indexes are first-class) into ``root/v0`` and point ``_current``
     at it.  Returns the v0 path.  All ``save_dedup_index`` knobs pass
     through (``method=``, ``partitions=``, ...)."""
+    from dqx_spark.pipeline import _store
+
     v0 = root.rstrip("/") + "/v0"
     save_dedup_index(df, v0, id_col, text_col, **save_kwargs)
-    _write_store_pointer(df.sparkSession, root, "v0")
+    _store.write_pointer(df.sparkSession, root, "v0")
     return v0
 
 
@@ -1148,22 +1091,14 @@ def current_store_version(spark, root: str) -> str:
     """Resolve the active index path of a store: the ``_current`` pointer
     when readable, else the highest COMPLETE version (the documented
     crash fallback).  Raises when the root holds no complete version."""
-    from dqx_spark.pipeline._fsutil import hadoop_path_exists
+    from dqx_spark.pipeline import _store
 
-    r = root.rstrip("/")
-    if hadoop_path_exists(spark, r + "/" + _STORE_POINTER):
-        try:
-            ver = spark.read.text(r + "/" + _STORE_POINTER).collect()[0]["value"].strip()
-            if hadoop_path_exists(spark, f"{r}/{ver}/{_META_SUBDIR}"):
-                return f"{r}/{ver}"
-        except Exception:  # noqa: BLE001 - fall through to the structural scan
-            pass
-    complete = _store_versions(spark, root)
-    if not complete:
+    try:
+        return _store.current_version(spark, root, _META_SUBDIR)
+    except ValueError:
         raise ValueError(
             f"{root!r} holds no complete index version (did init_dedup_store run?)"
-        )
-    return f"{r}/v{complete[-1]}"
+        ) from None
 
 
 def compact_dedup_store(spark, root: str, max_records_per_file: int = 1_000_000) -> str:
@@ -1174,11 +1109,11 @@ def compact_dedup_store(spark, root: str, max_records_per_file: int = 1_000_000)
     versions are left on disk deliberately: readers resolved before the
     flip may still be scanning them; garbage-collect on the operator's
     retention cadence, not here."""
+    from dqx_spark.pipeline import _store
+
     cur = current_store_version(spark, root)
-    nums = _all_version_numbers(spark, root)
-    nxt = (nums[-1] + 1) if nums else 0
-    dst = f"{root.rstrip('/')}/v{nxt}"
+    dst = _store.next_version_path(spark, root)
     compact_dedup_index(spark, cur, dst, max_records_per_file=max_records_per_file,
                         mode="overwrite")
-    _write_store_pointer(spark, root, f"v{nxt}")
+    _store.write_pointer(spark, root, dst.rsplit("/", 1)[1])
     return dst

@@ -56,6 +56,10 @@ __all__ = [
     "remove_from_ann_index",
     "ann_index_stats",
     "recommend_index_maintenance",
+    "init_ann_store",
+    "init_lsh_store",
+    "current_ann_store_version",
+    "compact_ann_store",
 ]
 
 
@@ -2020,3 +2024,96 @@ def recommend_index_maintenance(
             "tombstone_ratio": tomb_ratio,
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# Versioned ANN store: pointer-flip compaction for long-lived indexes (r12)
+# ---------------------------------------------------------------------------
+# The ANN faces of the shared ``pipeline._store`` discipline (sidecar =
+# ``_ann_meta``); crash semantics are documented on that module.  The
+# dedup family's store lives in ``dedup_index``; together they give the
+# streaming sinks (``streaming.dedup_index_sink`` / ``ann_index_sink``)
+# a path that stays current across mid-stream compactions.
+
+_ANN_SIDECAR = "_ann_meta"
+
+
+def init_ann_store(
+    indexed: DataFrame,
+    root: str,
+    centroids: list[list[float]],
+    codebooks=None,
+) -> str:
+    """Create a versioned IVF/IVFADC store at ``root``:
+    :func:`save_ann_index` the seed (the usual ``ivf_assign_buckets`` [+
+    ``pq_encode``] frame — an EMPTY frame with the right columns starts a
+    crawl from nothing, the centroids/codebooks having been trained on
+    whatever sample exists) into ``root/v0`` and point ``_current`` at
+    it.  Returns the v0 path."""
+    from dqx_spark.pipeline import _store
+
+    v0 = root.rstrip("/") + "/v0"
+    save_ann_index(indexed, v0, centroids, codebooks)
+    _store.write_pointer(indexed.sparkSession, root, "v0")
+    return v0
+
+
+def init_lsh_store(
+    df: DataFrame,
+    root: str,
+    vec_col: str,
+    id_col: str,
+    **save_kwargs,
+) -> str:
+    """Create a versioned sign-LSH store at ``root``:
+    :func:`save_lsh_index` the seed corpus (``df.limit(0)`` for the
+    empty-seed start) into ``root/v0`` and point ``_current`` at it.
+    Returns the v0 path.  All ``save_lsh_index`` knobs pass through."""
+    from dqx_spark.pipeline import _store
+
+    v0 = root.rstrip("/") + "/v0"
+    save_lsh_index(df, v0, vec_col, id_col, **save_kwargs)
+    _store.write_pointer(df.sparkSession, root, "v0")
+    return v0
+
+
+def current_ann_store_version(spark, root: str) -> str:
+    """Resolve the active index path of an ANN store (either family): the
+    ``_current`` pointer when readable, else the highest COMPLETE version
+    (the crash fallback).  Raises when the root holds none."""
+    from dqx_spark.pipeline import _store
+
+    try:
+        return _store.current_version(spark, root, _ANN_SIDECAR)
+    except ValueError:
+        raise ValueError(
+            f"{root!r} holds no complete index version (did init_ann_store / "
+            "init_lsh_store run?)"
+        ) from None
+
+
+def compact_ann_store(spark, root: str, max_records_per_file: int = 1_000_000) -> str:
+    """Compact the store's current version into a fresh one and flip the
+    pointer — dispatching on the sidecar's family tag
+    (:func:`compact_ann_index` for IVF/IVFADC, :func:`compact_lsh_index`
+    for sign-LSH; both bit-neutral to search results by contract, both
+    applying tombstones physically).  Returns the new path; old versions
+    are the operator's retention problem, as everywhere in the store
+    discipline."""
+    import json as _json
+
+    from dqx_spark.pipeline import _store
+
+    cur = current_ann_store_version(spark, root)
+    meta = _json.loads(
+        spark.read.text(cur + "/" + _ANN_SIDECAR).collect()[0]["value"]
+    )
+    dst = _store.next_version_path(spark, root)
+    if meta.get("method", "ivf") == "lsh":
+        compact_lsh_index(spark, cur, dst, max_records_per_file=max_records_per_file,
+                          mode="overwrite")
+    else:
+        compact_ann_index(spark, cur, dst, max_records_per_file=max_records_per_file,
+                          mode="overwrite")
+    _store.write_pointer(spark, root, dst.rsplit("/", 1)[1])
+    return dst

@@ -516,3 +516,105 @@ def dedup_index_sink(
             _di.compact_dedup_store(spark, index_path)
 
     return sink
+
+
+def ann_index_sink(
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    *,
+    skip_existing_ids: bool = False,
+    compact_every: int | None = None,
+    maintenance_thresholds: dict | None = None,
+    verdict_sink: Callable[[dict, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink that onboards every embedding micro-batch into a
+    persisted ANN index (r12) — the similarity-family sibling of
+    :func:`dedup_index_sink`, completing the crawl loop's search side:
+    per batch, the vectors are appended through the family's own
+    continual-ingestion op (:func:`~dqx_spark.pipeline.similarity.
+    append_to_lsh_index` for sign-LSH layouts — hashed with the SIDECAR's
+    planes/tables/seed; :func:`~dqx_spark.pipeline.similarity.
+    append_to_ann_index` for IVF/IVFADC — assigned/encoded against the
+    sidecar's own centroids/codebooks), each bit-equal to a one-shot
+    rebuild over the union by those functions' gate-certified contracts.
+
+    ``index_path`` may be a plain index path (fixed location, no
+    compaction) or a versioned STORE root
+    (:func:`~dqx_spark.pipeline.similarity.init_ann_store` /
+    ``init_lsh_store``) — detected structurally; the maintenance knobs
+    require the store form.  With ``compact_every=N`` and/or
+    ``maintenance_thresholds={...}`` (kwargs for
+    :func:`~dqx_spark.pipeline.similarity.recommend_index_maintenance`
+    over :func:`~dqx_spark.pipeline.similarity.ann_index_stats`; ``{}``
+    uses the defaults), the sink compacts mid-stream through the
+    pointer-flip discipline whenever the counter lands or the policy says
+    anything but 'ok'.  Compaction is the automatable maintenance action;
+    a 'retrain' verdict (hot-cell skew — re-fitting is an offline
+    decision) is surfaced through ``verdict_sink(verdict, batch_id)``
+    along with every non-'ok' policy verdict, so the operator sees the
+    recommendation the sink cannot execute.
+
+    Empty-seed starts: sign-LSH stores seed from ``df.limit(0)`` (the
+    flat layout reads back empty); the IVF family needs centroids, so
+    seed it with whatever sample trained them.  Exactly-once caveat and
+    replay guidance are as on :func:`dedup_index_sink` — parquet appends
+    are not transactional with the checkpoint; route replays away
+    upstream or pass ``skip_existing_ids=True`` (an index-sized anti-join
+    per batch — the cost note on the append functions).
+
+    Use: ``stream.writeStream.foreachBatch(ann_index_sink(...)).start()``.
+
+    Reference: databrickslabs/dqx has no vector-search surface at all;
+    this composes the similarity family it motivated into the streaming
+    loop."""
+    import json as _json
+
+    from dqx_spark.pipeline import _store
+    from dqx_spark.pipeline import similarity as _sim
+    from dqx_spark.pipeline._fsutil import hadoop_path_exists
+
+    maintenance = compact_every is not None or maintenance_thresholds is not None
+    appended = {"n": 0}
+
+    def _resolve(spark) -> tuple[str, bool]:
+        r = index_path.rstrip("/")
+        if hadoop_path_exists(spark, r + "/" + _sim._ANN_SIDECAR):
+            if maintenance:
+                raise ValueError(
+                    f"{index_path!r} is a plain index path - mid-stream compaction "
+                    "needs the versioned store form (init_ann_store / init_lsh_store)"
+                )
+            return r, False
+        return _sim.current_ann_store_version(spark, index_path), True
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        active, is_store = _resolve(spark)
+        meta = _json.loads(
+            spark.read.text(active + "/" + _sim._ANN_SIDECAR).collect()[0]["value"]
+        )
+        if meta.get("method", "ivf") == "lsh":
+            _sim.append_to_lsh_index(
+                batch_df, active, vec_col, id_col, skip_existing_ids=skip_existing_ids
+            )
+        else:
+            _sim.append_to_ann_index(
+                batch_df, active, vec_col, id_col, skip_existing_ids=skip_existing_ids
+            )
+        if not (maintenance and is_store):
+            return
+        appended["n"] += 1
+        due = compact_every is not None and appended["n"] % compact_every == 0
+        if maintenance_thresholds is not None:
+            verdict = _sim.recommend_index_maintenance(
+                _sim.ann_index_stats(spark, active), **maintenance_thresholds
+            )
+            if verdict["action"] != "ok":
+                due = True
+                if verdict_sink is not None:
+                    verdict_sink(verdict, batch_id)
+        if due:
+            _sim.compact_ann_store(spark, index_path)
+
+    return sink
