@@ -197,8 +197,37 @@ def cmd_index_compact(args) -> int:
     (IVF/IVFADC) or dedup index grown by per-batch appends into a fresh
     versioned path with bounded file runs per partition, sidecar copied
     verbatim (results unchanged by construction — see the library
-    functions' tests).  Always a NEW path: deploy by pointer flip."""
+    functions' tests).  Always a NEW path: deploy by pointer flip.
+
+    ``--store`` (r12) treats ``--input`` as a versioned STORE root
+    (``init_dedup_store`` / ``init_ann_store`` / ``init_lsh_store``):
+    compact the current version into the next and flip the pointer —
+    no ``--output`` needed, and the ``index-maintenance`` exit codes
+    gate it cleanly in a cron:
+
+        dqx-spark index-maintenance --kind dedup --input ROOT \\
+          || dqx-spark index-compact --store --kind dedup --input ROOT"""
     spark = _spark("index_compact")
+    if args.store:
+        if args.output:
+            print("--store compacts in place (versioned pointer flip); drop --output",
+                  file=sys.stderr)
+            return 2
+        if args.kind == "dedup":
+            from dqx_spark.pipeline.dedup_index import compact_dedup_store
+
+            dst = compact_dedup_store(spark, args.input,
+                                      max_records_per_file=args.records_per_file)
+        else:
+            from dqx_spark.pipeline.similarity import compact_ann_store
+
+            dst = compact_ann_store(spark, args.input,
+                                    max_records_per_file=args.records_per_file)
+        print(json.dumps({"kind": args.kind, "store": args.input, "new_version": dst}))
+        return 0
+    if not args.output:
+        print("--output is required without --store", file=sys.stderr)
+        return 2
     mode = "overwrite" if args.overwrite else "errorifexists"
     if args.kind == "ann":
         from dqx_spark.pipeline.similarity import compact_ann_index
@@ -537,10 +566,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup"])
     p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
+    p.add_argument("--output", default=None,
+                   help="destination path (omit with --store)")
     p.add_argument("--records-per-file", type=int, default=1_000_000)
     p.add_argument("--overwrite", action="store_true",
                    help="allow re-running a failed compaction onto the same output")
+    p.add_argument("--store", action="store_true",
+                   help="treat --input as a versioned store root: compact the "
+                        "current version into the next and flip the pointer")
     p.set_defaults(func=cmd_index_compact)
 
     p = sub.add_parser(

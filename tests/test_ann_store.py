@@ -156,3 +156,22 @@ def test_ann_sink_ivf_family_and_verdict_surface(spark, tmp_path):
         F.col("vec_id") % 4 == 1
     ).count()
     assert loaded.count() == want
+
+
+def test_cli_index_compact_store_mode(spark, tmp_path, capsys):
+    from dqx_spark import cli
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(80)
+    root = str(tmp_path / "store")
+    similarity.init_lsh_store(df, root, "embedding", "vec_id", layout="flat")
+    rc = cli.main(["index-compact", "--store", "--kind", "lsh", "--input", root])
+    assert rc == 0
+    import json
+
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["new_version"] == root + "/v1"
+    assert similarity.current_ann_store_version(spark, root) == root + "/v1"
+    # --store with --output refuses; no --store without --output refuses
+    assert cli.main(["index-compact", "--store", "--kind", "lsh",
+                     "--input", root, "--output", "/tmp/x"]) == 2
+    assert cli.main(["index-compact", "--kind", "lsh", "--input", root]) == 2
