@@ -26,7 +26,17 @@ from dqx_spark import DQEngine, DQDatasetRule, DQRowRule
 from dqx_spark.engine import ExtraParams
 from dqx_spark.functions.iso_codes import LANGUAGE_CODES
 from dqx_spark.functions.row_checks import EMAIL_REGEX
-from dqx_spark.pipeline import corpus, dedup, dedup_index, mixing, multimodal, similarity, text
+from dqx_spark.pipeline import (
+    corpus,
+    dedup,
+    dedup_index,
+    mixing,
+    multimodal,
+    retrieval,
+    similarity,
+    text,
+    text_index,
+)
 from dqx_spark.pipeline.text import LANG_STOPWORDS
 
 RUN_TS = "2024-06-01 00:00:00"
@@ -179,7 +189,14 @@ def q_dedup_ngram_jaccard(spark, sf):
     """Exact-Jaccard pairs UNIONed (r6) with winnowing pairs — the MOSS
     fingerprint family, ~2/(w+1) of the shingles with the >= w+k-1-token
     detection guarantee — tagged by a method column; the oracle re-derives
-    the window-minimum selection independently."""
+    the window-minimum selection independently.
+
+    Since r12 the row ALSO certifies ``prefix_jaccard_pairs`` (AllPairs /
+    PPJoin prefix filtering, dedup.py) — the exact-join scale path that
+    indexes only each doc's ``|x| - ceil(t·|x|) + 1`` rarest shingles:
+    the method='prefix' leg must equal the method='ngram' leg pair-for-
+    pair against the SAME from-scratch DuckDB twin, certifying that the
+    candidate-pruned algorithm changes the plan, never the answer."""
     df = _read(spark, sf, "documents")
     ng = dedup.ngram_jaccard_pairs(
         df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None
@@ -187,7 +204,72 @@ def q_dedup_ngram_jaccard(spark, sf):
     wn = dedup.winnowing_pairs(
         df, "doc_id", "text", k=5, w=4, min_common=1, max_fingerprint_doc_freq=None, hash_name="md5"
     ).withColumn("method", F.lit("winnow"))
-    return ng.unionByName(wn)
+    pf = dedup.prefix_jaccard_pairs(
+        df, "doc_id", "text", k=5, threshold=0.5, max_shingle_doc_freq=None
+    ).select("id_a", "id_b", "common", "size_a", "size_b", F.lit("prefix").alias("method"))
+    return ng.unionByName(wn).unionByName(pf)
+
+
+# fixed literal query set for the BM25 gate row — vocabulary words from the
+# synthetic documents table; tokenization is trivially identical in SQL
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "fast scan Table part"),  # mixed case exercises lowercase folding
+    (3, "customer order query"),
+    (4, "slow vector stream join"),
+]
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 retrieval (r12, pipeline/retrieval.py + pipeline/text_index.py).
+
+    * scope='scan' — corpus-at-once :func:`retrieval.bm25_topk` (Lucene
+      idf, k1=1.2 b=0.75, distinct query terms, two-stage salted top-k);
+      the float score is a SORTED left-fold of per-term contributions and
+      avgdl is the exact-long sum/count, so the DuckDB twin (same fold via
+      ``list_reduce`` over a term-ordered list) reproduces the doubles to
+      the last ulp and round(6) certifies them.
+    * scope='index' — the SAME answers through a PERSISTED inverted index
+      (a REAL disk round trip under /tmp): empty-seed versioned store,
+      three appends, a mid-story pointer-flip compaction between them
+      (``compact_text_store``), then ``bm25_topk_index`` with
+      ``prune='static'`` (partition-pruned postings/terms scans).  Equality
+      with the twin certifies the store's exact-integer-merge contract —
+      incremental == corpus-at-once — through a live pointer flip.
+
+    Rank ties break on ``(round(score,6) DESC, doc_id ASC)`` in BOTH
+    engines (tie_rounding=6), so a last-ulp libm divergence cannot flip
+    the ordering the hash sees.
+
+    Reference: databrickslabs/dqx has no retrieval surface; public
+    knowledge is Robertson & Zaragoza 2009 (BM25) and the Lucene idf."""
+    import shutil
+
+    docs = _read(spark, sf, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "qid int, qtext string")
+    shape = lambda d, scope: d.select(  # noqa: E731
+        F.lit(scope).alias("scope"),
+        F.col("qid").cast("int").alias("qid"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("score", 6).alias("score"),
+    )
+    scan = retrieval.bm25_topk(docs, qdf, "doc_id", "text", k=10, tie_rounding=6)
+
+    tag = os.path.basename(os.path.normpath(sf))
+    root = f"/tmp/dqx_gate_bm25_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    slim = docs.select("doc_id", "text")
+    text_index.init_text_store(slim.limit(0), root, "doc_id", "text", partitions=16)
+    cur = text_index.current_text_store_version(spark, root)
+    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 0))
+    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 1))
+    cur = text_index.compact_text_store(spark, root)  # pointer flip mid-story
+    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 2))
+    idx = text_index.load_text_index(spark, cur)
+    via_index = text_index.bm25_topk_index(idx, qdf, k=10, tie_rounding=6)
+    return shape(scan, "scan").unionByName(shape(via_index, "index"))
 
 
 def q_dedup_minhash(spark, sf):
@@ -2621,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_profile": q_gopher_profile,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "bm25_topk": q_bm25_topk,
         "dedup_minhash_lsh": q_dedup_minhash,
         "crawl_day": q_crawl_day,
         "dedup_simhash": q_dedup_simhash,
@@ -2841,6 +2924,39 @@ def _mom_merge_ok(col: str) -> str:
         f"sum({col}::DOUBLE) AS s, var_pop({col}::DOUBLE) * count({col}) AS m2 "
         f"FROM lineitem GROUP BY 1))"
     )
+
+
+def _bm25_oracle() -> str:
+    """From-scratch BM25 twin: same tokenization, same Lucene idf, same
+    distinct-query-terms rule, avgdl as exact-long sum/count, the score a
+    LEFT FOLD over term-ordered contributions (``list_reduce`` with a
+    prepended 0.0 == Spark's ``F.aggregate`` zero + left fold — identical
+    summation order, so the doubles agree to the ulp and round(6) is
+    deterministic), rank ties on (round(score,6) DESC, doc_id).  Both the
+    'scan' and 'index' scopes must equal THIS one derivation — the index
+    scope's equality is what certifies the store's exact merge."""
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    one = (
+        f"WITH q(qid, qtext) AS (VALUES {vals}), "
+        r"tok AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') AS toks FROM documents), "
+        "dlx AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok), "
+        "tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM dlx GROUP BY 1, 2, 3), "
+        "dfc AS (SELECT term, count(*)::BIGINT AS dfc FROM tf GROUP BY 1), "
+        "st AS (SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE / count(*)::DOUBLE AS avgdl FROM tok), "
+        r"qt AS (SELECT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), __t -> __t <> ''))) AS term FROM q), "
+        "c AS (SELECT qt.qid, tf.doc_id, tf.term, "
+        "ln(1 + (st.n - dfc.dfc + 0.5) / (dfc.dfc + 0.5)) * "
+        "(tf.tf::DOUBLE * (1.2 + 1) / (tf.tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * tf.dl::DOUBLE / st.avgdl))) AS contrib "
+        "FROM tf JOIN qt USING (term) JOIN dfc USING (term) CROSS JOIN st), "
+        "s AS (SELECT qid, doc_id, count(*)::BIGINT AS n_matched, "
+        "list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)), (a, x) -> a + x) AS score "
+        "FROM c GROUP BY 1, 2), "
+        "r AS (SELECT qid, doc_id, n_matched, score, "
+        "row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM s), "
+        "topk AS (SELECT qid::INT AS qid, rank::INT AS rank, doc_id, n_matched, round(score, 6) AS score FROM r WHERE rank <= 10) "
+        "SELECT 'scan' AS scope, * FROM topk UNION ALL SELECT 'index', * FROM topk"
+    )
+    return one
 
 
 def _minhash_oracle() -> str:
@@ -4372,8 +4488,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM cm JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
             "WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5 "
             "UNION ALL SELECT id_a, id_b, common, sa.n, sb.n, 'winnow' "
-            "FROM wcm JOIN wsz sa ON id_a = sa.doc_id JOIN wsz sb ON id_b = sb.doc_id"
+            "FROM wcm JOIN wsz sa ON id_a = sa.doc_id JOIN wsz sb ON id_b = sb.doc_id "
+            # r12 prefix-filtering leg: SAME from-scratch exact pairs, so the
+            # candidate-pruned AllPairs algorithm must reproduce them exactly
+            "UNION ALL SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b, 'prefix' AS method "
+            "FROM cm JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+            "WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5"
         ),
+        "bm25_topk": _bm25_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "crawl_day": _crawl_day_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -591,6 +591,35 @@ def main() -> None:
     cases["dsir_weights"] = lambda: _mx.dsir_weights(
         docs.select("doc_id", "text"), "doc_id", "text", _dsir_lr, 1024
     ).agg(F.sum("dsir_logw").alias("s"), F.count(F.lit(1)).alias("n"))
+    # r12: BM25 retrieval — the corpus-at-once scoring pass (one postings
+    # shuffle + broadcast query terms + salted two-stage top-k), and the
+    # recurring per-query probe against a PERSISTED inverted index (build
+    # amortized outside the timing like pq_topk/dedup_incr; prune='static'
+    # partition-prunes the postings/terms scans to the query terms' pb
+    # buckets — the crawl-scale query cost, independent of corpus size)
+    from dqx_spark.pipeline import retrieval as _ret
+    from dqx_spark.pipeline import text_index as _ti
+
+    _bm25_q = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "fast scan table part"),
+         (3, "customer order query"), (4, "slow vector stream join")],
+        "qid int, qtext string",
+    )
+    cases["bm25_topk"] = lambda: _ret.bm25_topk(docs, _bm25_q, "doc_id", "text", k=10)
+    _tidx_path = "/tmp/dqx_bench_text_idx"
+    _t0 = time.perf_counter()
+    _ti.save_text_index(docs.select("doc_id", "text"), _tidx_path, "doc_id", "text")
+    text_index_build_s = round(time.perf_counter() - _t0, 3)
+    _tidx = _ti.load_text_index(spark, _tidx_path)
+    cases["bm25_index_probe"] = lambda: _ti.bm25_topk_index(_tidx, _bm25_q, k=10)
+    # r12: prefix-filtered exact Jaccard (AllPairs/PPJoin) vs the naive
+    # inverted-index self-join (dedup_ngram_pairs above) — same answer
+    # (gate-certified leg of dedup_ngram_jaccard), candidate pairs bounded
+    # by rare-prefix collisions instead of every shared shingle
+    cases["dedup_prefix_pairs"] = lambda: _dedup.prefix_jaccard_pairs(
+        docs, "doc_id", "text", 5, 0.5
+    )
+
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
@@ -959,6 +988,15 @@ def main() -> None:
                 f"r11: headline case now prune='join' (one job, pb rides the join "
                 f"keys) + the probe skips the null-restore join; the r10 static "
                 f"body timed this run: {dedup_incr_static_s}s (VERDICT r10 #6)"
+            ),
+            # r12: persisted inverted index — tokenize+postings paid once
+            # at save; bm25_index_probe times the recurring per-query cost
+            "text_index_build_s": (
+                f"save_text_index (full corpus postings + df partials) one-time "
+                f"cost: {text_index_build_s}s; bm25_index_probe times the "
+                "partition-pruned probe (prune='static': only the query terms' "
+                "pb buckets are scanned), vs bm25_topk re-deriving everything "
+                "from the raw table — the probe cost is corpus-size-independent"
             ),
             # r10: persisted-LSH-melt reuse — corpus hashing pass paid once
             # at save instead of per query batch

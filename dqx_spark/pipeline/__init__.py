@@ -18,10 +18,12 @@ from dqx_spark.pipeline import (  # noqa: F401
     multimodal,
     packing,
     pii,
+    retrieval,
     rollup,
     sessions,
     similarity,
     sketches,
     text,
+    text_index,
     web,
 )

@@ -1,0 +1,233 @@
+"""BM25 text retrieval over a document corpus — the inverted-index shape,
+expressed as DataFrame ops so Catalyst keeps every stage shuffled exactly
+once and the query side rides a broadcast.
+
+Scale shape (the reason this is not a naive score-everything join):
+
+* the corpus-sized work is TWO aggregations — ``(id, term)`` term
+  frequencies and ``(term)`` document frequencies — both map-side
+  combinable, both independent of the query set;
+* the query set (a handful of rows) is broadcast end-to-end: query terms
+  join document-frequency rows first (tiny result), and only THAT tiny
+  frame touches the corpus-sized postings, so the big side shuffles on
+  ``term`` once and never sees unmatched terms;
+* per-(query, doc) scores fold a BOUNDED array (≤ #query terms) in a
+  deterministic sorted order — bit-reproducible across engines, which is
+  what lets the DuckDB gate twin hash-match the floats;
+* top-k per query is two-stage (salted partial top-k, then global) so a
+  single hot query id never funnels the whole corpus through one task.
+
+Formula: Robertson/Sparck-Jones BM25 as used by Lucene —
+``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``,
+``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+over the distinct query terms (public knowledge: Robertson & Zaragoza,
+"The Probabilistic Relevance Framework: BM25 and Beyond", 2009).
+
+The reference (databrickslabs/dqx) has no retrieval surface — this module
+extends the engine for training-data curation: query-based corpus audits,
+leaked-benchmark probes phrased as queries, and relevance-boosted sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline.text import tokens
+
+__all__ = [
+    "doc_term_frequencies",
+    "query_terms",
+    "bm25_idf",
+    "bm25_scores",
+    "bm25_topk",
+]
+
+
+def _toks(text_col: str, lowercase: bool) -> Column:
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return tokens(col)
+
+
+def doc_term_frequencies(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """``(id, dl, term, tf)`` — the postings grain every BM25 stage reads.
+
+    ``dl`` (document token length) is computed BEFORE the explode and
+    carried through the groupBy key, so the whole thing is one scan and
+    one map-side-combinable shuffle; no second pass or window re-derives
+    lengths."""
+    toks = _toks(text_col, lowercase)
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def query_terms(
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """``(qid, term)`` — DISTINCT terms per query (the standard short-query
+    BM25 simplification: query-side tf is ignored)."""
+    toks = _toks(query_text_col, lowercase)
+    return queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+
+
+def bm25_idf(df_count: Column, n_docs: Column) -> Column:
+    """Lucene's non-negative BM25 idf: ``ln(1 + (N - df + .5)/(df + .5))``."""
+    return F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - df_count + F.lit(0.5)) / (df_count + F.lit(0.5))
+    )
+
+
+def _contrib(tf: Column, dl: Column, idf: Column, avgdl: Column, k1: float, b: float) -> Column:
+    tfd = tf.cast("double")
+    norm = tfd * F.lit(k1 + 1.0) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl)
+    )
+    return idf * norm
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "qid",
+    query_text_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    df_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Score every document that matches ≥1 term of each query:
+    ``(qid, id, n_matched, score)``.
+
+    ``postings``/``stats``/``df_counts`` let a caller substitute PERSISTED
+    index frames (see :mod:`dqx_spark.pipeline.text_index`) for the
+    from-scratch corpus aggregations — the query plan below is identical
+    either way, except that stored ``df_counts`` spare the corpus-sized
+    term aggregation entirely (the point of persisting the index).
+
+    Plan: corpus → postings (1 shuffle) → df counts (1 smaller shuffle);
+    query terms broadcast into df counts (tiny ``(qid, term, idf)``),
+    broadcast THAT into postings, then one ``(qid, id)`` aggregation whose
+    score is a sorted left-fold over ≤ |query| contributions —
+    deterministic summation order, so two engines computing the same
+    doubles produce the same bits."""
+    tf = postings if postings is not None else doc_term_frequencies(docs, id_col, text_col, lowercase)
+    if stats is not None:
+        st = stats.select(
+            F.col("n_docs").cast("double").alias("__n"),
+            F.col("avgdl").cast("double").alias("__avgdl"),
+        )
+    else:
+        # avgdl as exact-long sum / count, NOT F.avg: integer sums are
+        # order-independent, so the double is bit-identical however the
+        # corpus is partitioned — and identical to the persisted-index
+        # path, which derives it from stored (n_docs, sum_dl) partials
+        toks = _toks(text_col, lowercase)
+        st = docs.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.coalesce(  # empty corpus: avgdl 0.0, not 0/0 (ANSI-safe)
+                F.try_divide(
+                    F.sum(F.size(toks)).cast("double"), F.count(F.lit(1)).cast("double")
+                ),
+                F.lit(0.0),
+            ).alias("__avgdl"),
+        )
+    if df_counts is not None:
+        dfc = df_counts.select("term", F.col("df_count").cast("bigint").alias("df_count"))
+    else:
+        dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    qt = query_terms(queries, query_id_col, query_text_col, lowercase)
+    # tiny-side first: (qid, term, idf) — |queries|·|terms| rows at most
+    qidf = (
+        dfc.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "qid",
+            "term",
+            bm25_idf(F.col("df_count"), F.col("__n")).alias("__idf"),
+            "__avgdl",
+        )
+    )
+    contrib = tf.join(F.broadcast(qidf), "term").select(
+        "qid",
+        "id",
+        "term",
+        _contrib(F.col("tf"), F.col("dl"), F.col("__idf"), F.col("__avgdl"), k1, b).alias("__c"),
+    )
+    # sorted fold: bounded array (≤ #query terms), deterministic order
+    return (
+        contrib.groupBy("qid", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "__c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__c"],
+            ).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    query_id_col: str = "qid",
+    query_text_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+    tie_rounding: int | None = None,
+    num_salts: int = 32,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+    df_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents per query by BM25: ``(qid, rank, id, n_matched,
+    score)``, rank 1-based by ``(score DESC, id ASC)``.
+
+    ``tie_rounding`` ranks on ``round(score, n)`` instead of the raw
+    double — the cross-engine-reproducible configuration (two engines'
+    libm ``ln`` can differ in the last ulp; ranking on the rounded value
+    with the id tiebreak makes the ORDER identical whenever the rounded
+    values are, which is what the DuckDB gate twin pins).
+
+    Top-k is two-stage: a salted partial top-k bounds any single query
+    id's funnel to ``num_salts`` tasks of local-k each (the scored frame
+    is corpus-sized; one window partition per qid would serialize it),
+    then the global window ranks ``num_salts · k`` survivors per query."""
+    scored = bm25_scores(
+        docs, queries, id_col, text_col, query_id_col, query_text_col,
+        k1, b, lowercase, postings=postings, stats=stats, df_counts=df_counts,
+    )
+    rank_score = F.round(F.col("score"), tie_rounding) if tie_rounding is not None else F.col("score")
+    order = [rank_score.desc(), F.col("id").asc()]
+    salted = Window.partitionBy("qid", F.pmod(F.xxhash64(F.col("id")), F.lit(num_salts))).orderBy(*order)
+    survivors = scored.withColumn("__r", F.row_number().over(salted)).where(F.col("__r") <= k).drop("__r")
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "id", "n_matched", "score")
+    )

@@ -618,3 +618,74 @@ def ann_index_sink(
             _sim.compact_ann_store(spark, index_path)
 
     return sink
+
+
+def text_index_sink(
+    index_path: str,
+    *,
+    compact_every: int | None = None,
+    compact_partial_rows: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink that onboards every text micro-batch into a
+    persisted inverted index (r12) — the retrieval-family sibling of
+    :func:`dedup_index_sink` / :func:`ann_index_sink`, closing the crawl
+    loop's QUERY side: per batch, ONE batch-sized term aggregation
+    (:func:`~dqx_spark.pipeline.text_index.append_to_text_index`) appends
+    postings plus one df-count partial and one stats row — nothing
+    index-sized ever moves, and incremental == corpus-at-once is exact by
+    the store's integer-merge contract (long sums are order-independent),
+    so BM25 answers through the index are bit-equal to a one-shot build
+    after ANY batch arrival order.
+
+    ``index_path`` may be a plain index path (fixed location, no
+    compaction) or a versioned STORE root
+    (:func:`~dqx_spark.pipeline.text_index.init_text_store`) — detected
+    structurally; the maintenance knobs require the store form.  Each
+    append adds a terms partial and a stats row that every probe must
+    re-sum, so partial debt IS this family's maintenance pressure: pass
+    ``compact_every=N`` (per-process batch counter) and/or
+    ``compact_partial_rows=M`` (compact when the stored stats rows exceed
+    M — the restart-robust cadence, read from the index itself) and the
+    sink compacts mid-stream through the pointer-flip discipline
+    (bit-neutral to query results by ``compact_text_index``'s contract).
+
+    Exactly-once caveat as on the sibling sinks: parquet appends are not
+    transactional with the checkpoint — route replays away upstream (the
+    module's id-uniqueness contract).
+
+    Use: ``stream.writeStream.foreachBatch(text_index_sink(...)).start()``.
+
+    Reference: databrickslabs/dqx has no retrieval surface; this composes
+    the text-index family into the streaming crawl loop."""
+    from dqx_spark.pipeline import text_index as _ti
+    from dqx_spark.pipeline._fsutil import hadoop_path_exists
+
+    maintenance = compact_every is not None or compact_partial_rows is not None
+    appended = {"n": 0}
+
+    def _resolve(spark) -> tuple[str, bool]:
+        r = index_path.rstrip("/")
+        if hadoop_path_exists(spark, r + "/" + _ti._META_SUBDIR):
+            if maintenance:
+                raise ValueError(
+                    f"{index_path!r} is a plain index path - mid-stream compaction "
+                    "needs the versioned store form (init_text_store)"
+                )
+            return r, False
+        return _ti.current_text_store_version(spark, index_path), True
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        active, is_store = _resolve(spark)
+        _ti.append_to_text_index(active, batch_df)
+        if not (maintenance and is_store):
+            return
+        appended["n"] += 1
+        due = compact_every is not None and appended["n"] % compact_every == 0
+        if compact_partial_rows is not None and not due:
+            n_partials = _ti.load_text_index(spark, active).stats_rows.count()
+            due = n_partials > compact_partial_rows
+        if due:
+            _ti.compact_text_store(spark, index_path)
+
+    return sink

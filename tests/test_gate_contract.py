@@ -1,5 +1,5 @@
 """Locks the driver-gate contract of __spark_entry__: the correctness
-window is exactly 51 queries, every oracle key has a query, and the
+window is exactly 52 queries, every oracle key has a query, and the
 rows-only set stays the explicit, justified list.  A future reorder or
 addition that silently pushes a query out of the checked window fails
 here first, not in the round's CORRECTNESS file."""
@@ -24,10 +24,12 @@ EXPECTED_ROWS_ONLY: set[str] = set(
 )
 
 
-def test_window_is_exactly_51():
+def test_window_is_exactly_52():
     # 50 through r11; +1 in r12: crawl_day (VERDICT r11 #7 — the streaming
-    # ingestion + incremental sketches loop certified as ONE gate row)
-    assert len(entry.queries()) == 51
+    # ingestion + incremental sketches loop certified as ONE gate row);
+    # +1 later in r12: bm25_topk (retrieval + persisted inverted index,
+    # scan and through-the-store scopes against one from-scratch twin)
+    assert len(entry.queries()) == 52
 
 
 def test_every_query_has_oracle_or_is_whitelisted_rows_only():

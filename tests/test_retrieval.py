@@ -1,0 +1,293 @@
+"""BM25 retrieval + persisted inverted index (r12).
+
+* formula correctness against a pure-Python BM25 twin (same Lucene idf,
+  same sorted-fold summation order);
+* persisted index: incremental (empty seed + N appends) == corpus-at-once
+  BIT-EQUAL, across a mid-story store compaction;
+* handle freshness + structural empty-layout fallbacks (the family
+  contracts shared with the dedup/LSH indexes);
+* streaming sink: real micro-batches, mid-stream compaction, plain-path
+  guard;
+* prefix-filtered exact Jaccard join == naive inverted-index join.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqx_spark.pipeline import dedup, retrieval, text_index as ti
+
+DOCS = [
+    (0, "spark shuffles data between stages"),
+    (1, "spark broadcasts small tables to every executor"),
+    (2, "the optimizer prunes partitions before the scan"),
+    (3, "data data data everywhere and not a row to keep"),
+    (4, "executor memory pressure spills the shuffle to disk"),
+    (5, "Spark SPARK spark"),  # lowercase folding
+    (6, ""),  # empty doc: dl 0, matches nothing
+    (7, None),  # null text
+]
+QUERIES = [(1, "spark data"), (2, "partition scan optimizer"), (3, "zebra")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Pure-Python twin: same formula, same distinct-query-terms rule,
+    same sorted-fold order."""
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    dls = {i: len(ws) for i, ws in toks.items()}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    dfc = {}
+    tfs = {}
+    for i, ws in toks.items():
+        for w in set(ws):
+            dfc[w] = dfc.get(w, 0) + 1
+        for w in ws:
+            tfs[(i, w)] = tfs.get((i, w), 0) + 1
+    out = {}
+    for qid, qt in queries:
+        terms = sorted(set(qt.lower().split()))
+        for i in toks:
+            contribs = []
+            for w in terms:
+                tf = tfs.get((i, w))
+                if tf is None:
+                    continue
+                idf = math.log(1 + (n - dfc[w] + 0.5) / (dfc[w] + 0.5))
+                contribs.append((w, idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))))
+            if contribs:
+                acc = 0.0
+                for _, c in sorted(contribs):
+                    acc += c
+                out[(qid, i)] = (len(contribs), acc)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    return spark.createDataFrame(QUERIES, "qid int, qtext string")
+
+
+def test_bm25_scores_match_python_twin(spark, docs_df, queries_df):
+    got = {
+        (r["qid"], r["id"]): (r["n_matched"], r["score"])
+        for r in retrieval.bm25_scores(docs_df, queries_df, "doc_id", "text").collect()
+    }
+    want = _py_bm25(DOCS, QUERIES)
+    assert set(got) == set(want)
+    for key, (nm, sc) in want.items():
+        assert got[key][0] == nm
+        # same fold order; only libm-vs-JVM ln ulps can differ
+        assert got[key][1] == pytest.approx(sc, rel=1e-12)
+    # the zebra query matches nothing; empty/null docs match nothing
+    assert not any(q == 3 for q, _ in got)
+    assert not any(i in (6, 7) for _, i in got)
+
+
+def test_bm25_topk_rank_contract(spark, docs_df, queries_df):
+    out = retrieval.bm25_topk(docs_df, queries_df, "doc_id", "text", k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # score descending, id ascending on ties
+        for a, b in zip(rows, rows[1:]):
+            assert (a["score"], -a["id"]) >= (b["score"], -b["id"])
+    # doc 3 ("data data data") dominates 'spark data' for the data term but
+    # doc 0/1/5 carry spark; top-1 for query 1 must be a real argmax
+    scores = {
+        (r["qid"], r["id"]): r["score"]
+        for r in retrieval.bm25_scores(docs_df, queries_df, "doc_id", "text").collect()
+    }
+    top1 = by_q[1][0]
+    assert top1["score"] == max(v for (q, _), v in scores.items() if q == 1)
+
+
+def test_index_incremental_equals_at_once_across_compaction(spark, tmp_path, docs_df, queries_df):
+    root = str(tmp_path / "store")
+    ti.init_text_store(docs_df.limit(0), root, "doc_id", "text", partitions=8)
+    cur = ti.current_text_store_version(spark, root)
+    # 3 appends, compact after the second (partials merged mid-story)
+    ti.append_to_text_index(cur, docs_df.where(F.col("doc_id") % 3 == 0))
+    ti.append_to_text_index(cur, docs_df.where(F.col("doc_id") % 3 == 1))
+    cur = ti.compact_text_store(spark, root)
+    assert cur.endswith("/v1")
+    ti.append_to_text_index(cur, docs_df.where(F.col("doc_id") % 3 == 2))
+
+    idx = ti.load_text_index(spark, cur)
+    got = sorted(
+        tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=5, tie_rounding=6).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs_df, queries_df, "doc_id", "text", k=5, tie_rounding=6
+        ).collect()
+    )
+    assert got == want, "incremental index must be BIT-equal to corpus-at-once"
+    # exact-integer merge: stats partials sum to the corpus truth
+    st = ti.text_index_stats(idx)
+    assert st["n_docs"] == len(DOCS)
+    assert st["appends_since_compact"] == 1  # compaction folded the first two
+
+
+def test_index_prune_static_partition_filters(spark, tmp_path, docs_df, queries_df):
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs_df, path, "doc_id", "text", partitions=8)
+    idx = ti.load_text_index(spark, path)
+    plan = (
+        ti.bm25_topk_index(idx, queries_df, k=3, prune="static")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    hits = re.findall(r"PartitionFilters: \[[^\]]*\bpb\b", plan)
+    assert len(hits) >= 2, "postings AND terms scans must be partition-pruned"
+    # prune='none' answers identically (one SQL execution, full melt scan)
+    a = sorted(tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=3, prune="none").collect())
+    b = sorted(tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=3, prune="static").collect())
+    assert a == b
+    with pytest.raises(ValueError, match="prune"):
+        ti.bm25_topk_index(idx, queries_df, prune="bogus")
+
+
+def test_index_handle_freshness_and_guards(spark, tmp_path, docs_df, queries_df):
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs_df.where("doc_id < 4"), path, "doc_id", "text", partitions=4)
+    idx = ti.load_text_index(spark, path)
+    assert not idx._stale
+    ti.append_to_text_index(path, docs_df.where("doc_id >= 4"), handle=idx)
+    assert idx._stale, "append through a handle must mark it stale"
+    with pytest.raises(ValueError, match="handle is for"):
+        ti.append_to_text_index(str(tmp_path / "other"), docs_df, handle=idx)
+    # fresh load observes the append
+    idx2 = ti.load_text_index(spark, path)
+    assert ti.text_index_stats(idx2)["n_docs"] == len(DOCS)
+    # not-an-index path refuses loudly
+    with pytest.raises(ValueError, match="not a text index"):
+        ti.load_text_index(spark, str(tmp_path / "nothing"))
+
+
+def test_empty_seed_index_is_first_class(spark, tmp_path, docs_df, queries_df):
+    path = str(tmp_path / "empty")
+    ti.save_text_index(docs_df.limit(0), path, "doc_id", "text", partitions=4)
+    idx = ti.load_text_index(spark, path)
+    assert ti.bm25_topk_index(idx, queries_df, k=3).count() == 0
+    st = ti.text_index_stats(idx)
+    assert st["n_docs"] == 0 and st["n_postings"] == 0
+
+
+def test_text_index_sink_micro_batches_and_mid_stream_compaction(spark, tmp_path, docs_df, queries_df):
+    from dqx_spark.streaming import text_index_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for b in range(3):
+        docs_df.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "store")
+    ti.init_text_store(
+        spark.createDataFrame([], "doc_id long, text string"), root, "doc_id", "text",
+        partitions=8,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(text_index_sink(root, compact_every=2))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    cur = ti.current_text_store_version(spark, root)
+    assert cur == root + "/v1", "compaction fired mid-stream after batch 2"
+    idx = ti.load_text_index(spark, cur)
+    got = sorted(
+        tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=5, tie_rounding=6).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs_df, queries_df, "doc_id", "text", k=5, tie_rounding=6
+        ).collect()
+    )
+    assert got == want, "streamed index must answer bit-equal to corpus-at-once"
+
+    # plain index path + maintenance knobs refuses loudly
+    plain = str(tmp_path / "plain")
+    ti.save_text_index(docs_df.limit(0), plain, "doc_id", "text", partitions=4)
+    sink = text_index_sink(plain, compact_every=1)
+    with pytest.raises(ValueError, match="versioned store"):
+        sink(docs_df, 0)
+
+
+def test_prefix_jaccard_equals_naive(spark):
+    # handcrafted corpus with a HOT shingle family (shared boilerplate) so
+    # the prefix index and the doc-freq cap both have something to bite on
+    boiler = "all rights reserved contact us terms of service apply"
+    rows = []
+    for i in range(30):
+        if i % 6 == 0:
+            rows.append((i, boiler + f" page {i // 6}"))
+        elif i % 6 == 1:
+            rows.append((i, boiler + f" page {i // 6} extra"))
+        else:
+            rows.append((i, f"unique document {i} about topic {i * 13} term {i * 7} filler {i * 29} more {i * 31} end {i * 37}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.3, 0.5, 0.8):
+        for cap in (None, 5):
+            a = sorted(
+                tuple(r)
+                for r in dedup.ngram_jaccard_pairs(
+                    df, "doc_id", "text", k=3, threshold=thr, max_shingle_doc_freq=cap
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in dedup.prefix_jaccard_pairs(
+                    df, "doc_id", "text", k=3, threshold=thr, max_shingle_doc_freq=cap
+                ).collect()
+            )
+            assert a == b, f"thr={thr} cap={cap}: prefix filtering changed the answer"
+            if cap is None:
+                assert len(a) > 0, f"thr={thr}: fixture must produce duplicate pairs"
+
+
+def test_prefix_index_is_smaller_than_full_postings(spark):
+    """The scale claim: at t=0.8 the prefix index holds ~20-25% of the
+    postings (p = |x| - ceil(0.8|x|) + 1)."""
+    from dqx_spark.pipeline.text import exploded_shingle_hashes
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = exploded_shingle_hashes(df, "doc_id", "text", 5).count()
+    # re-derive the prefix size the operator indexes
+    from pyspark.sql import Window as W
+
+    sh = exploded_shingle_hashes(df, "doc_id", "text", 5).withColumnRenamed("h", "shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = W.partitionBy("id").orderBy(F.col("df_").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("id")))
+    )
+    thr = 0.8
+    plen = F.col("sz") - F.ceil(F.lit(thr) * F.col("sz") - F.lit(1e-9)) + F.lit(1)
+    prefix = ranked.where(F.col("pos") <= plen).count()
+    assert prefix < 0.3 * full, (prefix, full)
