@@ -218,6 +218,11 @@ def cmd_index_compact(args) -> int:
 
             dst = compact_dedup_store(spark, args.input,
                                       max_records_per_file=args.records_per_file)
+        elif args.kind == "text":
+            from dqx_spark.pipeline.text_index import compact_text_store
+
+            dst = compact_text_store(spark, args.input,
+                                     max_records_per_file=args.records_per_file)
         else:
             from dqx_spark.pipeline.similarity import compact_ann_store
 
@@ -239,6 +244,13 @@ def cmd_index_compact(args) -> int:
 
         compact_lsh_index(spark, args.input, args.output,
                           max_records_per_file=args.records_per_file, mode=mode)
+    elif args.kind == "text":
+        # text compaction always writes a fresh full layout (postings
+        # verbatim, partials merged); mode is moot - refuse reuse loudly
+        from dqx_spark.pipeline.text_index import compact_text_index
+
+        compact_text_index(spark, args.input, args.output,
+                           max_records_per_file=args.records_per_file)
     else:
         from dqx_spark.pipeline.dedup_index import compact_dedup_index
 
@@ -259,6 +271,11 @@ def cmd_index_compact(args) -> int:
 
         n_src = load_lsh_index(spark, args.input).vecs.count()
         n_dst = load_lsh_index(spark, args.output).vecs.count()
+    elif args.kind == "text":
+        from dqx_spark.pipeline.text_index import load_text_index
+
+        n_src = load_text_index(spark, args.input).postings.count()
+        n_dst = load_text_index(spark, args.output).postings.count()
     else:
         from dqx_spark.pipeline.dedup_index import load_dedup_index
 
@@ -280,6 +297,17 @@ def cmd_index_maintenance(args) -> int:
         from dqx_spark.pipeline.similarity import ann_index_stats
 
         stats = ann_index_stats(spark, args.input)
+    elif args.kind == "text":
+        # accept a plain index path or a versioned store root (resolved
+        # structurally, like the streaming sinks do)
+        from dqx_spark.pipeline import text_index as _ti
+
+        path = args.input
+        from dqx_spark.pipeline._fsutil import hadoop_path_exists
+
+        if not hadoop_path_exists(spark, path.rstrip("/") + "/" + _ti._META_SUBDIR):
+            path = _ti.current_text_store_version(spark, path)
+        stats = _ti.text_index_stats(_ti.load_text_index(spark, path))
     else:
         from dqx_spark.pipeline.dedup_index import index_stats, load_dedup_index
 
@@ -561,10 +589,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "index-compact",
-        help="rewrite a persisted ANN or dedup index into a fresh versioned path "
+        help="rewrite a persisted ANN, dedup, or text index into a fresh versioned path "
              "with bounded file runs per partition (deploy by pointer flip)",
     )
-    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup"])
+    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup", "text"])
     p.add_argument("--input", required=True)
     p.add_argument("--output", default=None,
                    help="destination path (omit with --store)")
@@ -578,11 +606,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "index-maintenance",
-        help="health-check a persisted ANN or dedup index and print the "
+        help="health-check a persisted ANN, dedup, or text index and print the "
              "maintenance verdict (ok/compact/retrain); exit 0/2/3 so a "
              "nightly cron can gate index-compact on it",
     )
-    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup"])
+    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup", "text"])
     p.add_argument("--input", required=True)
     p.add_argument("--max-files-per-partition", type=float, default=16.0)
     p.add_argument("--max-tombstone-ratio", type=float, default=0.2)

@@ -295,10 +295,49 @@ def bm25_topk_index(
     )
 
 
+def _files_per_partition(spark, sub: str) -> float | None:
+    """Mean data files per ``pb=N`` partition dir — the footer-open cost a
+    pruned probe pays per bucket; the metric
+    ``similarity.recommend_index_maintenance`` keys 'compact' on."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(sub)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    n_parts = 0
+    n_files = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("pb="):
+            continue
+        n_parts += 1
+        n_files += sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if not f.getPath().getName().startswith(("_", "."))
+        )
+    if n_parts == 0:
+        return None
+    return round(n_files / n_parts, 2)
+
+
 def text_index_stats(index: TextIndex) -> dict:
     """Maintenance-facing shape: partial-file debt is what compaction pays
     down (every append adds a terms partial and a stats row; readers sum
-    them, so probe latency grows with append count until a compact)."""
+    them, so probe latency grows with append count until a compact).
+    ``files_per_partition`` (the worse of postings/terms) feeds the shared
+    :func:`~dqx_spark.pipeline.similarity.recommend_index_maintenance`
+    policy directly — text has no tombstones and no fittable bucket
+    layout, so 'compact' is the only actionable verdict here."""
+    spark = index.postings.sparkSession
+    fpp = [
+        v
+        for v in (
+            _files_per_partition(spark, index.path + "/postings"),
+            _files_per_partition(spark, index.path + "/terms"),
+        )
+        if v is not None
+    ]
     n_stats_rows = index.stats_rows.count()
     agg = index.stats_rows.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
@@ -308,13 +347,15 @@ def text_index_stats(index: TextIndex) -> dict:
     n_terms = index.terms.select("term").distinct().count()
     return {
         "family": "text",
+        "method": "text",
         "n_docs": int(agg["nd"]),
         "sum_dl": int(agg["sd"]),
-        "n_postings": index.postings.count(),
+        "rows": index.postings.count(),
         "n_terms": int(n_terms),
         "term_partial_rows": int(n_term_partials),
         "stats_rows": int(n_stats_rows),
         "appends_since_compact": max(0, int(n_stats_rows) - 1),
+        "files_per_partition": max(fpp) if fpp else None,
         "partitions": index.meta["partitions"],
         "path": index.path,
     }

@@ -286,3 +286,46 @@ def test_cli_sketch_build_and_report(spark, tmp_path, capsys):
     assert main(["sketch-report", "--input", tout]) == 0
     trep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert trep["total_tokens"] > trep["vocab"] > 0
+
+
+def test_cli_text_index_compact_and_maintenance(spark, tmp_path, capsys):
+    """r12: the text (inverted-index) family joins the CLI maintenance
+    loop — index-maintenance exits 2 when append debt trips the shared
+    files-per-partition policy, index-compact --store pays it down and
+    flips the pointer, and the verdict returns to ok (exit 0)."""
+    from pyspark.sql import functions as F
+
+    from dqx_spark.pipeline import text_index as ti
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    root = str(tmp_path / "tstore")
+    ti.init_text_store(docs.limit(0), root, "doc_id", "text", partitions=8)
+    cur = ti.current_text_store_version(spark, root)
+    for m in range(4):
+        ti.append_to_text_index(cur, docs.where(F.col("doc_id") % 4 == m))
+
+    # 4 appended partials per pb bucket > threshold 2 -> compact (exit 2);
+    # a store ROOT resolves structurally, no version path needed
+    rc = main(["index-maintenance", "--kind", "text", "--input", root,
+               "--max-files-per-partition", "2"])
+    assert rc == 2
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["action"] == "compact" and rep["stats"]["family"] == "text"
+
+    rc2 = main(["index-compact", "--store", "--kind", "text", "--input", root])
+    assert rc2 == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["new_version"] == root + "/v1"
+
+    rc3 = main(["index-maintenance", "--kind", "text", "--input", root,
+                "--max-files-per-partition", "2"])
+    assert rc3 == 0
+    capsys.readouterr()
+
+    # plain-path compaction reports postings row parity
+    dst = str(tmp_path / "t_v2")
+    rc4 = main(["index-compact", "--kind", "text", "--input", root + "/v1",
+                "--output", dst])
+    assert rc4 == 0
+    rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep4["rows_src"] == rep4["rows_dst"] > 0

@@ -1092,3 +1092,64 @@ def test_dsir_weights_plan_broadcast_ratio_one_doc_agg(spark):
     assert "SortMergeJoin" not in final, final[:2000]
     p = plan_of(out)
     assert "CartesianProduct" not in p
+
+
+def test_bm25_plan_broadcast_query_side_no_cartesian(spark):
+    """BM25's corpus-sized postings frame must join the query terms via a
+    BROADCAST hash join (the tiny (qid, term, idf) side), never shuffle on
+    the query side or degenerate to a nested loop; the 1-row corpus-stats
+    attach is the standard broadcast scalar crossJoin."""
+    from dqx_spark.pipeline import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} filler{i} word{i % 3} common text") for i in range(200)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "term1 common"), (2, "word2")], "qid int, qtext string")
+    p = plan_of(retrieval.bm25_topk(docs, q, "doc_id", "text", k=5))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, "query-terms side must broadcast into postings"
+    # two-stage top-k: the global per-qid window only ever sees the salted
+    # survivors, so BOTH window specs appear
+    assert p.count("Window") >= 2
+
+
+def test_bm25_index_probe_partition_pruned_no_corpus_agg(spark, tmp_path):
+    """Through the persisted index with prune='static': postings and terms
+    scans carry pb PartitionFilters (literal isin — guaranteed pruning),
+    and df counts come from the stored partials, so NO term-grain
+    aggregation over the full postings appears anywhere in the plan."""
+    from dqx_spark.pipeline import text_index as ti
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 5} beta{i % 11} gamma common") for i in range(100)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs, path, "doc_id", "text", partitions=8)
+    idx = ti.load_text_index(spark, path)
+    q = spark.createDataFrame([(1, "alpha1 common")], "qid int, qtext string")
+    p = plan_of(ti.bm25_topk_index(idx, q, k=5, prune="static"))
+    assert len(re.findall(r"PartitionFilters: \[[^\]]*\bpb\b", p)) >= 2, (
+        "postings AND terms scans must be pb-pruned"
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_prefix_jaccard_plan_prefix_join_not_full_selfjoin(spark):
+    """The candidate self-join must consume the row_number-filtered PREFIX
+    projection on both sides (pos <= |x| - ceil(t|x|) + 1), not the full
+    exploded shingle set — the filter is what bounds candidates at scale."""
+    from dqx_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} shared tail tokens here every doc") for i in range(60)],
+        "doc_id long, text string",
+    )
+    p = plan_of(dedup.prefix_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8))
+    assert "CartesianProduct" not in p
+    # the prefix filter (pos <= |x| - CEIL(t|x|) + 1) must gate the join
+    # inputs: look for a Condition line comparing pos against a CEIL bound
+    assert re.search(r"pos#\d+[^\n]*<=[^\n]*CEIL", p), (
+        "prefix-length filter missing — the join would be the full self-join"
+    )

@@ -185,7 +185,7 @@ def test_empty_seed_index_is_first_class(spark, tmp_path, docs_df, queries_df):
     idx = ti.load_text_index(spark, path)
     assert ti.bm25_topk_index(idx, queries_df, k=3).count() == 0
     st = ti.text_index_stats(idx)
-    assert st["n_docs"] == 0 and st["n_postings"] == 0
+    assert st["n_docs"] == 0 and st["rows"] == 0
 
 
 def test_text_index_sink_micro_batches_and_mid_stream_compaction(spark, tmp_path, docs_df, queries_df):
