@@ -1266,6 +1266,28 @@ def main() -> None:
             _didx_batch_o, _didx_loaded_o, "doc_id", "text", prune="join"
         ).agg(F.count(F.lit(1)).alias("n"))))
 
+        # r12: retrieval-family slopes — the PAIR is the scale claim:
+        # bm25_topk re-derives everything from the raw corpus (expect
+        # ~linear in postings volume), while the persisted-index probe
+        # (index built OUTSIDE the timing, like pq_topk/dedup_incr) scans
+        # only the query terms' pb buckets, so its cost tracks the MATCHED
+        # postings, not the corpus.  Query set fixed; the corpus scales.
+        sf1_pipe["bm25_topk"] = timed(lambda: materialize(
+            _ret.bm25_topk(docs_o, _bm25_q, "doc_id", "text", k=10)
+        ))
+        _tidx_path_o = "/tmp/dqx_bench_text_idx_10x"
+        _ti.save_text_index(docs_o.select("doc_id", "text"), _tidx_path_o, "doc_id", "text")
+        _tidx_o = _ti.load_text_index(spark, _tidx_path_o)
+        sf1_pipe["bm25_index_probe"] = timed(lambda: materialize(
+            _ti.bm25_topk_index(_tidx_o, _bm25_q, k=10)
+        ))
+        # prefix-filtered exact Jaccard at 10x docs — same duplicate-density
+        # caveat as dedup_ngram_pairs (output pairs grow with the dup
+        # families), but candidates are bounded by rare-prefix collisions
+        sf1_pipe["dedup_prefix_pairs"] = timed(lambda: materialize(
+            _dedup.prefix_jaccard_pairs(docs_o, "doc_id", "text", 5, 0.5)
+        ))
+
         # ANN end-to-end at 100x organic vectors (the tiny driver embeddings
         # table caps what the slope section can say about the ANN family;
         # row counts are MEASURED — the source size varies by testdata

@@ -926,3 +926,81 @@ def test_dsir_weight_exactness_property(spark, texts, tsel):
         for v in sorted(ratios[b] for b in feats):
             acc += v
         assert got[i] == (len(feats), acc), (i, text, got[i], (len(feats), acc))
+
+
+# ---------------------------------------------------------------------------
+# r12: BM25 + prefix-filtered Jaccard properties
+# ---------------------------------------------------------------------------
+_doc_text = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0, max_size=12,
+).map(" ".join)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(_doc_text, min_size=1, max_size=20),
+    cut1=st.integers(min_value=0, max_value=20),
+    cut2=st.integers(min_value=0, max_value=20),
+)
+def test_bm25_index_merge_equals_at_once_any_split(spark, tmp_path_factory, docs, cut1, cut2):
+    """Incremental == corpus-at-once over ARBITRARY batch splits: the
+    store's df/stats partials are exact integer sums, so any 3-way split
+    of the corpus (including empty batches) must answer BIT-equal to the
+    one-shot scan path."""
+    from dqx_spark.pipeline import retrieval, text_index as ti
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([(1, "alpha beta"), (2, "theta")], "qid int, qtext string")
+    lo, hi = sorted((min(cut1, len(rows)), min(cut2, len(rows))))
+    path = str(tmp_path_factory.mktemp("bm25prop") / "idx")
+    ti.save_text_index(df.limit(0), path, "doc_id", "text", partitions=4)
+    for batch in (rows[:lo], rows[lo:hi], rows[hi:]):
+        bdf = (
+            spark.createDataFrame(batch, "doc_id long, text string")
+            if batch
+            else df.limit(0)
+        )
+        ti.append_to_text_index(path, bdf)
+    idx = ti.load_text_index(spark, path)
+    got = sorted(tuple(r) for r in ti.bm25_topk_index(idx, q, k=5, tie_rounding=6).collect())
+    want = sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk(df, q, "doc_id", "text", k=5, tie_rounding=6).collect()
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=16,
+    ),
+    thr=st.sampled_from([0.3, 0.5, 0.75, 0.9]),
+)
+def test_prefix_jaccard_equals_naive_property(spark, docs, thr):
+    """Prefix filtering is an OPTIMIZATION, never a semantics change:
+    over arbitrary small-vocab corpora (maximal shingle sharing — the
+    adversarial case for candidate pruning) the pair set, counts, sizes
+    and jaccard values match the naive inverted-index join exactly."""
+    from dqx_spark.pipeline import dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    a = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=thr, max_shingle_doc_freq=None
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.prefix_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=thr, max_shingle_doc_freq=None
+        ).collect()
+    )
+    assert a == b
