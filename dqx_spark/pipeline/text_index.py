@@ -1,13 +1,14 @@
 """Persisted inverted index for BM25 retrieval — query 100 TB of already-
-indexed text without ever re-scanning the corpus.
+indexed text without ever re-scanning the corpus, with ATOMIC,
+exactly-once appends.
 
 :mod:`~dqx_spark.pipeline.retrieval` is corpus-at-once: right for a
 one-time audit, wrong for a crawl pipeline that wants to probe the corpus
 hourly.  This module persists the three frames a BM25 query needs —
 postings, per-term document frequencies, and corpus length stats — in the
-same layout discipline as the dedup/ANN index families
-(bucket-partitioned parquet + an underscore-hidden sidecar + the versioned
-store wrapper), so a query costs:
+family layout discipline (bucket-partitioned parquet + an
+underscore-hidden sidecar + the versioned store wrapper), so a query
+costs:
 
 * a PARTITION-PRUNED postings scan: postings are laid out by
   ``pb = pmod(xxhash64(term), partitions)``; ``prune='static'`` collects
@@ -26,22 +27,42 @@ are order-independent, so a query through an index built from N appends
 is bit-identical to one built corpus-at-once (pinned by test), the same
 incremental == at-once guarantee the dedup ledger gives.
 
+**Atomic appends (commit-marker layout).**  The sibling index families
+document a caveat: parquet appends are not transactional, so a crash
+mid-append leaves a half-onboarded batch and a replayed micro-batch
+double-appends.  This family closes both, with the mechanism the table
+formats use (a manifest/commit point — Iceberg/Hudi's core idea, public
+knowledge), folded into Spark's own partition machinery:
+
+* every save/append writes under a transaction partition ``c=<txn>``
+  (so one append = one directory subtree per subdir), and creates an
+  EMPTY marker file ``_commits/<txn>`` only after ALL THREE subdir
+  writes landed;
+* readers list ``_commits/`` and filter every frame on
+  ``c IN (committed)`` — partition pruning makes uncommitted subtrees
+  invisible at FILE-LISTING time (their files are never opened), so a
+  crash mid-append is simply not observable;
+* an append whose marker already exists is SKIPPED (idempotent), and a
+  retry of a crashed append first deletes its own uncommitted ``c=``
+  leftovers — so ``text_index_sink`` passing ``txn_id=f"b{batch_id}"``
+  is EXACTLY-ONCE under foreachBatch replays, no upstream routing
+  needed.
+
 **Layout** (all under ``path/``):
 
-========== ===========================================================
-postings/  (id, dl, term, tf) partitioned by ``pb``; append adds files
-terms/     (term, df_count) PARTIALS, partitioned by ``pb``; reader
-           sums per term — never rewritten by append
-stats/     (n_docs, sum_dl) one row per save/append; reader sums
-_text_meta sidecar: lowercase / partitions / family tag — the commit
-           point (written LAST on save; compaction's pointer gate)
-========== ===========================================================
+=========== ==========================================================
+postings/   (id, dl, term, tf) under ``c=<txn>/pb=<bucket>/``
+terms/      (term, df_count) partials under ``c=<txn>/pb=<bucket>/``
+stats/      one (n_docs, sum_dl) row per commit under ``c=<txn>/``
+_commits/   one empty marker file per committed txn — THE commit point
+_text_meta  sidecar: lowercase / partitions / family tag (written last
+            on save; the versioned store's completeness probe)
+=========== ==========================================================
 
-Appends are not transactional across the three subdirs (parquet append
-semantics) — a crash mid-append can leave postings without their terms
-partial.  Run appends through the versioned store + streaming sink
-cadence (:func:`init_text_store`, ``streaming.text_index_sink``) for the
-pointer-flip crash discipline, exactly as the sibling families do.
+Commit-count debt (each commit adds ≤ ``partitions`` dirs per subdir and
+one In-list literal per read) is the same footer/listing pressure the
+sibling families carry, paid down by the same compaction policy:
+``compact_text_index`` folds all commits into one.
 
 Reference: databrickslabs/dqx has no retrieval or index surface; this
 extends the engine for training-data curation at crawl scale.
@@ -50,6 +71,8 @@ extends the engine for training-data curation at crawl scale.
 from __future__ import annotations
 
 import json
+import re as _re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -72,16 +95,59 @@ __all__ = [
 ]
 
 _META_SUBDIR = "_text_meta"
+_COMMITS_SUBDIR = "_commits"
+_SUBS = ("postings", "terms", "stats")
+_TXN_RE = _re.compile(r"^[A-Za-z0-9_\-]{1,64}$")
+
+_POSTINGS_DDL = "id long, dl int, term string, tf long, c string, pb int"
+_TERMS_DDL = "term string, df_count long, c string, pb int"
+_STATS_DDL = "n_docs long, sum_dl long, c string"
 
 
 def _pb(col, partitions: int):
     return F.pmod(F.xxhash64(col), F.lit(partitions)).cast("int")
 
 
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
 def _write_meta(spark, path: str, meta: dict) -> None:
     spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
         "overwrite"
     ).text(path.rstrip("/") + "/" + _META_SUBDIR)
+
+
+def _committed(spark, root: str) -> list[str]:
+    """Transaction ids with a commit marker — the ONLY state readers see."""
+    fs, p = _fs(spark, root.rstrip("/") + "/" + _COMMITS_SUBDIR)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(p) if not st.isDirectory()
+    )
+
+
+def _mark_committed(spark, root: str, txn: str) -> None:
+    """Create the empty marker file — a single-file create, the one
+    operation the underlying filesystems make atomic."""
+    fs, p = _fs(spark, root.rstrip("/") + "/" + _COMMITS_SUBDIR + "/" + txn)
+    fs.mkdirs(p.getParent())
+    out = fs.create(p, True)
+    out.close()
+
+
+def _txn_cleanup(spark, root: str, txn: str) -> None:
+    """Delete an UNCOMMITTED txn's leftovers (crashed earlier attempt)
+    so a retry cannot double-write under the same ``c=`` subtree.
+    Committed txns are never touched — callers check the marker first."""
+    r = root.rstrip("/")
+    for sub in _SUBS:
+        fs, p = _fs(spark, f"{r}/{sub}/c={txn}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 @dataclass
@@ -97,6 +163,7 @@ class TextIndex:
     postings: DataFrame
     terms: DataFrame  # partials, NOT yet aggregated
     stats_rows: DataFrame
+    commits: list[str]
     _stale: bool = field(default=False, repr=False)
 
     def df_counts(self) -> DataFrame:
@@ -116,21 +183,37 @@ class TextIndex:
 
 
 def _frames(
-    df: DataFrame, id_col: str, text_col: str, lowercase: bool, partitions: int
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool, partitions: int, txn: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     tf = retrieval.doc_term_frequencies(df, id_col, text_col, lowercase)
-    postings = tf.withColumn("pb", _pb(F.col("term"), partitions))
+    postings = tf.withColumn("c", F.lit(txn)).withColumn("pb", _pb(F.col("term"), partitions))
     terms = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_count"))
+        .withColumn("c", F.lit(txn))
         .withColumn("pb", _pb(F.col("term"), partitions))
     )
     toks = retrieval._toks(text_col, lowercase)
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("sum_dl"),
-    )
+    ).withColumn("c", F.lit(txn))
     return postings, terms, stats
+
+
+def _write_txn(spark, root: str, frames, txn: str, max_records_per_file: int | None = None) -> None:
+    """Write one transaction's three subtrees, then its marker — the
+    marker create is the commit point; everything before it is invisible
+    to readers."""
+    r = root.rstrip("/")
+    postings, terms, stats = frames
+    w = postings.write.mode("append")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("c", "pb").parquet(r + "/postings")
+    terms.write.mode("append").partitionBy("c", "pb").parquet(r + "/terms")
+    stats.write.mode("append").partitionBy("c").parquet(r + "/stats")
+    _mark_committed(spark, r, txn)
 
 
 def save_text_index(
@@ -141,20 +224,25 @@ def save_text_index(
     *,
     lowercase: bool = True,
     partitions: int = 64,
-    mode: str = "overwrite",
 ) -> None:
-    """Build and persist the inverted index for ``df``.  ``df.limit(0)``
-    seeds an EMPTY index (crawl start) — empty layouts are first-class.
+    """Build and persist the inverted index for ``df`` as the store's
+    initial transaction.  ``df.limit(0)`` seeds an EMPTY index (crawl
+    start) — empty layouts are first-class (txn committed, zero files).
 
-    The sidecar is written LAST: its presence is the save's commit point
-    (and the versioned store's completeness probe)."""
+    Write order is data → commit marker → sidecar: the sidecar is the
+    versioned store's completeness probe, the marker is what makes the
+    initial data visible to readers.  An existing layout at ``path`` is
+    removed first (overwrite semantics — a re-save is a new index, not a
+    second 'init' transaction)."""
     r = path.rstrip("/")
-    postings, terms, stats = _frames(df, id_col, text_col, lowercase, partitions)
-    postings.write.mode(mode).partitionBy("pb").parquet(r + "/postings")
-    terms.write.mode(mode).partitionBy("pb").parquet(r + "/terms")
-    stats.write.mode(mode).parquet(r + "/stats")
+    spark = df.sparkSession
+    fs, p = _fs(spark, r)
+    if fs.exists(p):
+        fs.delete(p, True)
+    frames = _frames(df, id_col, text_col, lowercase, partitions, "init")
+    _write_txn(spark, r, frames, "init")
     _write_meta(
-        df.sparkSession,
+        spark,
         r,
         {"family": "text", "lowercase": lowercase, "partitions": partitions,
          "id_col": id_col, "text_col": text_col},
@@ -162,13 +250,11 @@ def save_text_index(
 
 
 def _empty_layout(spark, path: str) -> bool:
-    """True when ``path`` is absent or holds no data files (a
+    """True when ``path`` is absent or holds no data entries (a
     ``partitionBy`` of zero rows leaves only ``_SUCCESS``) — the
     structural probe the empty-seed fallback keys on; routed on the
     Hadoop FS API, never on exception-message text."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p = _fs(spark, path)
     if not fs.exists(p):
         return True
     for st in fs.listStatus(p):
@@ -178,16 +264,20 @@ def _empty_layout(spark, path: str) -> bool:
     return True
 
 
-def _read_sub(spark, path: str, schema_ddl: str) -> DataFrame:
-    """Read a subdir; an EMPTY layout (empty-seed saves write zero data
-    files under a partitioned dir) reads as a typed empty frame.  Any
+def _read_sub(spark, path: str, schema_ddl: str, committed: list[str]) -> DataFrame:
+    """Read a subdir restricted to COMMITTED transactions.  The explicit
+    schema skips footer sampling at plan time (an uncommitted partial
+    file must never be opened, not even for inference), and the ``c``
+    filter is a partition filter, so uncommitted subtrees are pruned at
+    file-listing time.  An EMPTY layout reads as a typed empty frame; any
     failure over a non-empty layout re-raises — corrupt is not empty."""
     try:
-        return spark.read.parquet(path)
+        df = spark.read.schema(schema_ddl).parquet(path)
     except Exception:
         if _empty_layout(spark, path):
-            return spark.createDataFrame([], schema_ddl)
+            return spark.createDataFrame([], schema_ddl).drop("c")
         raise
+    return df.where(F.col("c").isin(committed)).drop("c")
 
 
 def load_text_index(spark, path: str) -> TextIndex:
@@ -195,27 +285,39 @@ def load_text_index(spark, path: str) -> TextIndex:
     if not hadoop_path_exists(spark, r + "/" + _META_SUBDIR):
         raise ValueError(f"{path!r} is not a text index (no {_META_SUBDIR} sidecar)")
     meta = json.loads(spark.read.text(r + "/" + _META_SUBDIR).collect()[0]["value"])
-    postings = _read_sub(spark, r + "/postings", "id long, dl int, term string, tf long, pb int")
-    terms = _read_sub(spark, r + "/terms", "term string, df_count long, pb int")
-    stats = _read_sub(spark, r + "/stats", "n_docs long, sum_dl long")
-    return TextIndex(path=r, meta=meta, postings=postings, terms=terms, stats_rows=stats)
+    commits = _committed(spark, r)
+    postings = _read_sub(spark, r + "/postings", _POSTINGS_DDL, commits)
+    terms = _read_sub(spark, r + "/terms", _TERMS_DDL, commits)
+    stats = _read_sub(spark, r + "/stats", _STATS_DDL, commits)
+    return TextIndex(
+        path=r, meta=meta, postings=postings, terms=terms, stats_rows=stats, commits=commits
+    )
 
 
 def append_to_text_index(
     path: str,
     new_docs: DataFrame,
     *,
+    txn_id: str | None = None,
     handle: TextIndex | None = None,
-) -> None:
-    """Onboard a new batch: append its postings, ONE new df-count partial,
-    and ONE new stats row — nothing existing is rewritten, and the only
-    shuffles are batch-sized (the batch's own term aggregation).
+) -> bool:
+    """Onboard a new batch ATOMICALLY: the batch's postings, ONE df-count
+    partial, and ONE stats row land under a fresh ``c=<txn>`` subtree,
+    made visible by a single marker-file create.  Returns True when the
+    batch was applied, False when ``txn_id`` was already committed (the
+    idempotent-replay skip).  The only shuffles are batch-sized.
 
-    Caller contract: ids must be NEW (appends are blind; route replays
-    away upstream or dedup ids before the append — same contract as the
-    sibling index appends).  ``handle=`` reuses a loaded handle's meta and
-    marks it stale afterwards (the freshness discipline from the LSH
-    family); a mismatched handle path refuses loudly."""
+    Crash semantics: before the marker lands the append is invisible; a
+    retry under the SAME ``txn_id`` first deletes the crashed attempt's
+    uncommitted leftovers, so no sequence of crashes and retries can
+    double-count a batch.  With an auto-generated ``txn_id`` (default)
+    every call is a new transaction — pass a deterministic id (the
+    streaming sink passes ``b<batch_id>``) to get exactly-once under
+    replays.
+
+    ``handle=`` reuses a loaded handle's meta and marks it stale
+    afterwards (the freshness discipline from the LSH family); a
+    mismatched handle path refuses loudly."""
     spark = new_docs.sparkSession
     r = path.rstrip("/")
     if handle is not None:
@@ -224,14 +326,19 @@ def append_to_text_index(
         meta = handle.meta
     else:
         meta = json.loads(spark.read.text(r + "/" + _META_SUBDIR).collect()[0]["value"])
-    postings, terms, stats = _frames(
-        new_docs, meta["id_col"], meta["text_col"], meta["lowercase"], meta["partitions"]
+    txn = txn_id if txn_id is not None else "t" + uuid.uuid4().hex[:16]
+    if not _TXN_RE.match(txn):
+        raise ValueError(f"txn_id must match {_TXN_RE.pattern}, got {txn!r}")
+    if txn in _committed(spark, r):
+        return False  # already applied — replay skip
+    _txn_cleanup(spark, r, txn)  # crashed earlier attempt, if any
+    frames = _frames(
+        new_docs, meta["id_col"], meta["text_col"], meta["lowercase"], meta["partitions"], txn
     )
-    postings.write.mode("append").partitionBy("pb").parquet(r + "/postings")
-    terms.write.mode("append").partitionBy("pb").parquet(r + "/terms")
-    stats.write.mode("append").parquet(r + "/stats")
+    _write_txn(spark, r, frames, txn)
     if handle is not None:
         handle._stale = True
+    return True
 
 
 def _pruned(frame: DataFrame, pbs: list[int] | None) -> DataFrame:
@@ -257,8 +364,10 @@ def bm25_topk_index(
     re-tokenized and, with ``prune='static'`` (default), never fully
     scanned: the query terms' ``pb`` buckets are collected (one tiny job
     over the query frame) and pushed as literal ``PartitionFilters`` into
-    both the postings and terms scans.  ``prune='none'`` skips the
-    driver-side collect (full melt scan; one SQL execution end-to-end).
+    both the postings and terms scans (stacking on the commit filter, so
+    only committed files in matching buckets are ever listed).
+    ``prune='none'`` skips the driver-side collect (full committed-melt
+    scan; one SQL execution end-to-end).
 
     Same formula, same deterministic sorted-fold score, same two-stage
     top-k as :func:`~dqx_spark.pipeline.retrieval.bm25_topk` — bit-equal
@@ -296,35 +405,38 @@ def bm25_topk_index(
 
 
 def _files_per_partition(spark, sub: str) -> float | None:
-    """Mean data files per ``pb=N`` partition dir — the footer-open cost a
-    pruned probe pays per bucket; the metric
-    ``similarity.recommend_index_maintenance`` keys 'compact' on."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(sub)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    """Mean data files per ``pb`` bucket ACROSS commits — the footer-open
+    cost a pruned probe pays per bucket; the metric
+    ``similarity.recommend_index_maintenance`` keys 'compact' on.  Only
+    committed debt matters to probes, but uncommitted leftovers still
+    occupy listings, so every ``c=*/pb=*`` leaf counts."""
+    fs, p = _fs(spark, sub)
     if not fs.exists(p):
         return None
-    n_parts = 0
-    n_files = 0
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if not st.isDirectory() or not name.startswith("pb="):
+    per_pb: dict[str, int] = {}
+    for cdir in fs.listStatus(p):
+        if not cdir.isDirectory() or not cdir.getPath().getName().startswith("c="):
             continue
-        n_parts += 1
-        n_files += sum(
-            1
-            for f in fs.listStatus(st.getPath())
-            if not f.getPath().getName().startswith(("_", "."))
-        )
-    if n_parts == 0:
+        for pbdir in fs.listStatus(cdir.getPath()):
+            name = pbdir.getPath().getName()
+            if not pbdir.isDirectory() or not name.startswith("pb="):
+                continue
+            n = sum(
+                1
+                for f in fs.listStatus(pbdir.getPath())
+                if not f.getPath().getName().startswith(("_", "."))
+            )
+            per_pb[name] = per_pb.get(name, 0) + n
+    if not per_pb:
         return None
-    return round(n_files / n_parts, 2)
+    return round(sum(per_pb.values()) / len(per_pb), 2)
 
 
 def text_index_stats(index: TextIndex) -> dict:
-    """Maintenance-facing shape: partial-file debt is what compaction pays
-    down (every append adds a terms partial and a stats row; readers sum
-    them, so probe latency grows with append count until a compact).
+    """Maintenance-facing shape: commit debt is what compaction pays down
+    (every append adds a ``c=`` subtree per subdir, a terms partial, and
+    a stats row; readers sum the partials and carry the commit In-list,
+    so probe latency grows with append count until a compact).
     ``files_per_partition`` (the worse of postings/terms) feeds the shared
     :func:`~dqx_spark.pipeline.similarity.recommend_index_maintenance`
     policy directly — text has no tombstones and no fittable bucket
@@ -354,6 +466,9 @@ def text_index_stats(index: TextIndex) -> dict:
         "n_terms": int(n_terms),
         "term_partial_rows": int(n_term_partials),
         "stats_rows": int(n_stats_rows),
+        # ledger size counts carried-forward markers; DATA-bearing commits
+        # are the stats rows (one per save/append, folded to 1 by compact)
+        "commits": len(index.commits),
         "appends_since_compact": max(0, int(n_stats_rows) - 1),
         "files_per_partition": max(fpp) if fpp else None,
         "partitions": index.meta["partitions"],
@@ -362,22 +477,34 @@ def text_index_stats(index: TextIndex) -> dict:
 
 
 def compact_text_index(spark, src: str, dst: str, *, max_records_per_file: int = 1_000_000) -> None:
-    """Rewrite ``src`` into ``dst`` with the partials MERGED (one df-count
-    row per term, one stats row) and postings re-laid-out — bit-equal
-    query results by the exact-integer-merge contract.  Writes to a NEW
-    path by design (Spark cannot atomically overwrite a dir it reads);
-    the versioned store wrapper handles 'which is current'."""
+    """Rewrite ``src`` into ``dst`` as ONE transaction with the partials
+    MERGED (one df-count row per term, one stats row) — bit-equal query
+    results by the exact-integer-merge contract; uncommitted leftovers in
+    ``src`` are dropped by construction (the reader never saw them).
+    Writes to a NEW path by design (Spark cannot atomically overwrite a
+    dir it reads); the versioned store wrapper handles 'which is
+    current'.
+
+    The source's commit MARKERS are carried forward (tiny empty files,
+    no data subtrees): they are the idempotence ledger, so a micro-batch
+    replayed AFTER a mid-stream compaction still finds its marker in the
+    new version and skips — exactly-once survives pointer flips."""
     idx = load_text_index(spark, src)
     r = dst.rstrip("/")
-    w = idx.postings.repartition("pb").write.mode("overwrite")
-    w.option("maxRecordsPerFile", max_records_per_file).partitionBy("pb").parquet(r + "/postings")
-    idx.df_counts().withColumn("pb", _pb(F.col("term"), idx.meta["partitions"])).write.mode(
-        "overwrite"
-    ).partitionBy("pb").parquet(r + "/terms")
-    idx.stats_rows.agg(
+    txn = "compacted"
+    postings = idx.postings.withColumn("c", F.lit(txn)).repartition("pb")
+    terms = (
+        idx.df_counts()
+        .withColumn("c", F.lit(txn))
+        .withColumn("pb", _pb(F.col("term"), idx.meta["partitions"]))
+    )
+    stats = idx.stats_rows.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    ).write.mode("overwrite").parquet(r + "/stats")
+    ).withColumn("c", F.lit(txn))
+    _write_txn(spark, r, (postings, terms, stats), txn, max_records_per_file=max_records_per_file)
+    for old_txn in idx.commits:  # idempotence ledger survives compaction
+        _mark_committed(spark, r, old_txn)
     _write_meta(spark, r, idx.meta)
 
 

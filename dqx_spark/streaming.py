@@ -649,9 +649,14 @@ def text_index_sink(
     sink compacts mid-stream through the pointer-flip discipline
     (bit-neutral to query results by ``compact_text_index``'s contract).
 
-    Exactly-once caveat as on the sibling sinks: parquet appends are not
-    transactional with the checkpoint — route replays away upstream (the
-    module's id-uniqueness contract).
+    **Exactly-once, no upstream routing needed** — unlike the sibling
+    sinks' documented caveat: the text family's appends are ATOMIC
+    (commit-marker layout — data lands under ``c=<txn>``, made visible by
+    one marker-file create) and this sink passes ``txn_id=f"b{batch_id}"``,
+    so a foreachBatch replay of an already-committed batch is SKIPPED, a
+    crash mid-append leaves nothing visible and the retry first clears its
+    own leftovers, and compaction carries the marker ledger forward so the
+    skip survives mid-stream pointer flips.  All three pinned by test.
 
     Use: ``stream.writeStream.foreachBatch(text_index_sink(...)).start()``.
 
@@ -677,7 +682,9 @@ def text_index_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         active, is_store = _resolve(spark)
-        _ti.append_to_text_index(active, batch_df)
+        applied = _ti.append_to_text_index(active, batch_df, txn_id=f"b{batch_id}")
+        if not applied:
+            return  # replayed batch: already committed, nothing to maintain
         if not (maintenance and is_store):
             return
         appended["n"] += 1

@@ -291,3 +291,106 @@ def test_prefix_index_is_smaller_than_full_postings(spark):
     plen = F.col("sz") - F.ceil(F.lit(thr) * F.col("sz") - F.lit(1e-9)) + F.lit(1)
     prefix = ranked.where(F.col("pos") <= plen).count()
     assert prefix < 0.3 * full, (prefix, full)
+
+
+def test_atomic_append_crash_and_replay_semantics(spark, tmp_path, docs_df, queries_df, monkeypatch):
+    """The commit-marker contract (r12): a crash BEFORE the marker leaves
+    nothing visible; a retry under the same txn_id clears its own
+    leftovers and applies ONCE; a replay of a committed txn is skipped;
+    and the skip survives a compaction (marker ledger carried forward)."""
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs_df.where("doc_id < 4"), path, "doc_id", "text", partitions=4)
+    before = sorted(
+        tuple(r)
+        for r in ti.bm25_topk_index(
+            ti.load_text_index(spark, path), queries_df, k=5, tie_rounding=6
+        ).collect()
+    )
+
+    batch = docs_df.where("doc_id >= 4")
+    # crash mid-append: marker create blows up AFTER the data writes
+    real_mark = ti._mark_committed
+
+    def boom(spark_, root, txn):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ti, "_mark_committed", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ti.append_to_text_index(path, batch, txn_id="b7")
+    monkeypatch.setattr(ti, "_mark_committed", real_mark)
+
+    # the crashed append is INVISIBLE: same answers, same stats
+    idx = ti.load_text_index(spark, path)
+    assert (
+        sorted(tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=5, tie_rounding=6).collect())
+        == before
+    )
+    assert ti.text_index_stats(idx)["n_docs"] == 4
+
+    # retry under the SAME txn applies exactly once (leftovers cleared)
+    assert ti.append_to_text_index(path, batch, txn_id="b7") is True
+    idx = ti.load_text_index(spark, path)
+    assert ti.text_index_stats(idx)["n_docs"] == len(DOCS)
+    after = sorted(
+        tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=5, tie_rounding=6).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs_df, queries_df, "doc_id", "text", k=5, tie_rounding=6
+        ).collect()
+    )
+    assert after == want, "retry must not double-count the crashed attempt's rows"
+
+    # replay of a committed txn: skipped, state unchanged
+    assert ti.append_to_text_index(path, batch, txn_id="b7") is False
+    assert ti.text_index_stats(ti.load_text_index(spark, path))["n_docs"] == len(DOCS)
+
+    # the skip survives compaction: marker ledger carried forward
+    dst = str(tmp_path / "idx_v2")
+    ti.compact_text_index(spark, path, dst)
+    assert "b7" in ti.load_text_index(spark, dst).commits
+    assert ti.append_to_text_index(dst, batch, txn_id="b7") is False
+    got = sorted(
+        tuple(r)
+        for r in ti.bm25_topk_index(
+            ti.load_text_index(spark, dst), queries_df, k=5, tie_rounding=6
+        ).collect()
+    )
+    assert got == want
+
+    # malformed txn ids refuse loudly (they become directory names)
+    with pytest.raises(ValueError, match="txn_id"):
+        ti.append_to_text_index(path, batch, txn_id="../escape")
+
+
+def test_sink_replay_is_exactly_once(spark, tmp_path, docs_df, queries_df):
+    """Calling the sink body twice with the SAME batch_id (the foreachBatch
+    replay shape) applies the batch once — including across a mid-stream
+    compaction between original and replay."""
+    from dqx_spark.streaming import text_index_sink
+
+    root = str(tmp_path / "store")
+    ti.init_text_store(docs_df.limit(0), root, "doc_id", "text", partitions=4)
+    sink = text_index_sink(root, compact_every=2)
+    b0 = docs_df.where(F.col("doc_id") % 3 == 0)
+    b1 = docs_df.where(F.col("doc_id") % 3 == 1)
+    b2 = docs_df.where(F.col("doc_id") % 3 == 2)
+    sink(b0, 0)
+    sink(b1, 1)  # compact_every=2 -> pointer flips to v1 here
+    assert ti.current_text_store_version(spark, root) == root + "/v1"
+    sink(b0, 0)  # replay AFTER the compaction: marker carried into v1
+    sink(b2, 2)
+    sink(b2, 2)  # immediate replay
+    idx = ti.load_text_index(spark, ti.current_text_store_version(spark, root))
+    got = sorted(
+        tuple(r) for r in ti.bm25_topk_index(idx, queries_df, k=5, tie_rounding=6).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs_df, queries_df, "doc_id", "text", k=5, tie_rounding=6
+        ).collect()
+    )
+    assert got == want
+    assert ti.text_index_stats(idx)["n_docs"] == len(DOCS)
