@@ -231,11 +231,16 @@ def q_bm25_topk(spark, sf):
       the last ulp and round(6) certifies them.
     * scope='index' — the SAME answers through a PERSISTED inverted index
       (a REAL disk round trip under /tmp): empty-seed versioned store,
-      three appends, a mid-story pointer-flip compaction between them
-      (``compact_text_store``), then ``bm25_topk_index`` with
-      ``prune='static'`` (partition-pruned postings/terms scans).  Equality
-      with the twin certifies the store's exact-integer-merge contract —
-      incremental == corpus-at-once — through a live pointer flip.
+      three appends under deterministic txn ids, a mid-story pointer-flip
+      compaction between them (``compact_text_store``), then
+      ``bm25_topk_index`` with ``prune='static'`` (partition-pruned
+      postings/terms scans).  The exactly-once ledger is exercised
+      IN-GATE: batch b0 is re-appended under its original txn id AFTER
+      the compaction (the foreachBatch replay-across-pointer-flip shape)
+      — the twin computes the corpus ONCE, so a double-count would
+      hash-mismatch.  Equality with the twin certifies the store's
+      exact-integer-merge contract AND the commit-marker skip through a
+      live pointer flip.
 
     Rank ties break on ``(round(score,6) DESC, doc_id ASC)`` in BOTH
     engines (tie_rounding=6), so a last-ulp libm divergence cannot flip
@@ -263,10 +268,14 @@ def q_bm25_topk(spark, sf):
     slim = docs.select("doc_id", "text")
     text_index.init_text_store(slim.limit(0), root, "doc_id", "text", partitions=16)
     cur = text_index.current_text_store_version(spark, root)
-    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 0))
-    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 1))
+    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 0), txn_id="b0")
+    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 1), txn_id="b1")
     cur = text_index.compact_text_store(spark, root)  # pointer flip mid-story
-    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 2))
+    # exactly-once under replay, certified by the hash: re-append b0 AFTER
+    # the flip — the marker ledger was carried forward, so this must SKIP
+    # (a double-count would diverge from the twin's one-pass corpus)
+    assert text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 0), txn_id="b0") is False
+    text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 2), txn_id="b2")
     idx = text_index.load_text_index(spark, cur)
     via_index = text_index.bm25_topk_index(idx, qdf, k=10, tie_rounding=6)
     return shape(scan, "scan").unionByName(shape(via_index, "index"))
