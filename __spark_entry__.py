@@ -219,6 +219,16 @@ _BM25_QUERIES = [
     (4, "slow vector stream join"),
 ]
 
+# fixed phrase set for the positional legs — 'table table' exercises the
+# repeated-term chain, the zebra phrase the no-match path
+_BM25_PHRASES = [
+    (1, "fast scan"),
+    (2, "table table"),
+    (3, "key agg row"),
+    (4, "order data column"),
+    (5, "zebra unicorn"),
+]
+
 
 def q_bm25_topk(spark, sf):
     """BM25 retrieval (r12, pipeline/retrieval.py + pipeline/text_index.py).
@@ -242,12 +252,22 @@ def q_bm25_topk(spark, sf):
       exact-integer-merge contract AND the commit-marker skip through a
       live pointer flip.
 
+    * scope='phrase_scan' / 'phrase_index' — EXACT phrase matching
+      (token-sequence containment), the same answer derived two ways:
+      canonical-join ``contains`` over the raw text (scan), and the
+      Lucene positional-chain intersection over the index's positional
+      postings (``save_text_index(positions=True)`` →
+      ``phrase_match_index``) — no text touched.  The 'table table'
+      phrase exercises the repeated-term chain; the twin is a plain
+      substring containment over the canonical token join.
+
     Rank ties break on ``(round(score,6) DESC, doc_id ASC)`` in BOTH
     engines (tie_rounding=6), so a last-ulp libm divergence cannot flip
     the ordering the hash sees.
 
     Reference: databrickslabs/dqx has no retrieval surface; public
-    knowledge is Robertson & Zaragoza 2009 (BM25) and the Lucene idf."""
+    knowledge is Robertson & Zaragoza 2009 (BM25), the Lucene idf and
+    positional-postings design."""
     import shutil
 
     docs = _read(spark, sf, "documents")
@@ -266,7 +286,8 @@ def q_bm25_topk(spark, sf):
     root = f"/tmp/dqx_gate_bm25_{tag}"
     shutil.rmtree(root, ignore_errors=True)
     slim = docs.select("doc_id", "text")
-    text_index.init_text_store(slim.limit(0), root, "doc_id", "text", partitions=16)
+    text_index.init_text_store(slim.limit(0), root, "doc_id", "text", partitions=16,
+                               positions=True)
     cur = text_index.current_text_store_version(spark, root)
     text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 0), txn_id="b0")
     text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 1), txn_id="b1")
@@ -278,7 +299,24 @@ def q_bm25_topk(spark, sf):
     text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 2), txn_id="b2")
     idx = text_index.load_text_index(spark, cur)
     via_index = text_index.bm25_topk_index(idx, qdf, k=10, tie_rounding=6)
-    return shape(scan, "scan").unionByName(shape(via_index, "index"))
+
+    pdf = spark.createDataFrame(_BM25_PHRASES, "pid int, phrase string")
+    pshape = lambda d, scope: d.select(  # noqa: E731
+        F.lit(scope).alias("scope"),
+        F.col("pid").cast("int").alias("qid"),
+        F.lit(None).cast("int").alias("rank"),
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_matched"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    ph_scan = retrieval.phrase_match(docs, pdf, "doc_id", "text")
+    ph_index = text_index.phrase_match_index(idx, pdf)
+    return (
+        shape(scan, "scan")
+        .unionByName(shape(via_index, "index"))
+        .unionByName(pshape(ph_scan, "phrase_scan"))
+        .unionByName(pshape(ph_index, "phrase_index"))
+    )
 
 
 def q_dedup_minhash(spark, sf):
@@ -2943,8 +2981,11 @@ def _bm25_oracle() -> str:
     summation order, so the doubles agree to the ulp and round(6) is
     deterministic), rank ties on (round(score,6) DESC, doc_id).  Both the
     'scan' and 'index' scopes must equal THIS one derivation — the index
-    scope's equality is what certifies the store's exact merge."""
+    scope's equality is what certifies the store's exact merge.  The
+    phrase scopes' twin is token-sequence containment == substring
+    containment of the sentinel-wrapped canonical token join."""
     vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    pvals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_PHRASES)
     one = (
         f"WITH q(qid, qtext) AS (VALUES {vals}), "
         r"tok AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), __t -> __t <> '') AS toks FROM documents), "
@@ -2962,8 +3003,13 @@ def _bm25_oracle() -> str:
         "FROM c GROUP BY 1, 2), "
         "r AS (SELECT qid, doc_id, n_matched, score, "
         "row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM s), "
-        "topk AS (SELECT qid::INT AS qid, rank::INT AS rank, doc_id, n_matched, round(score, 6) AS score FROM r WHERE rank <= 10) "
-        "SELECT 'scan' AS scope, * FROM topk UNION ALL SELECT 'index', * FROM topk"
+        "topk AS (SELECT qid::INT AS qid, rank::INT AS rank, doc_id, n_matched, round(score, 6) AS score FROM r WHERE rank <= 10), "
+        f"pv(pid, ph) AS (VALUES {pvals}), "
+        "pm AS (SELECT pid::INT AS qid, NULL::INT AS rank, doc_id, NULL::BIGINT AS n_matched, NULL::DOUBLE AS score "
+        "FROM tok, pv WHERE length(ph) > 0 "
+        "AND contains(' ' || array_to_string(toks, ' ') || ' ', ' ' || ph || ' ')) "
+        "SELECT 'scan' AS scope, * FROM topk UNION ALL SELECT 'index', * FROM topk "
+        "UNION ALL SELECT 'phrase_scan', * FROM pm UNION ALL SELECT 'phrase_index', * FROM pm"
     )
     return one
 

@@ -608,10 +608,20 @@ def main() -> None:
     cases["bm25_topk"] = lambda: _ret.bm25_topk(docs, _bm25_q, "doc_id", "text", k=10)
     _tidx_path = "/tmp/dqx_bench_text_idx"
     _t0 = time.perf_counter()
-    _ti.save_text_index(docs.select("doc_id", "text"), _tidx_path, "doc_id", "text")
+    _ti.save_text_index(docs.select("doc_id", "text"), _tidx_path, "doc_id", "text",
+                        positions=True)
     text_index_build_s = round(time.perf_counter() - _t0, 3)
     _tidx = _ti.load_text_index(spark, _tidx_path)
     cases["bm25_index_probe"] = lambda: _ti.bm25_topk_index(_tidx, _bm25_q, k=10)
+    # r12: exact-phrase probe from the SAME positional index (one build
+    # amortizes both probe kinds) — the "did this eval sentence appear
+    # anywhere in the corpus?" decontamination question, no text scanned
+    _bm25_ph = spark.createDataFrame(
+        [(1, "fast scan"), (2, "table table"), (3, "key agg row"),
+         (4, "order data column")],
+        "pid int, phrase string",
+    )
+    cases["phrase_index_probe"] = lambda: _ti.phrase_match_index(_tidx, _bm25_ph)
     # r12: prefix-filtered exact Jaccard (AllPairs/PPJoin) vs the naive
     # inverted-index self-join (dedup_ngram_pairs above) — same answer
     # (gate-certified leg of dedup_ngram_jaccard), candidate pairs bounded

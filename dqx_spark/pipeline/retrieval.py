@@ -41,6 +41,7 @@ __all__ = [
     "bm25_idf",
     "bm25_scores",
     "bm25_topk",
+    "phrase_match",
 ]
 
 
@@ -54,20 +55,68 @@ def doc_term_frequencies(
     id_col: str,
     text_col: str,
     lowercase: bool = True,
+    positions: bool = False,
 ) -> DataFrame:
-    """``(id, dl, term, tf)`` — the postings grain every BM25 stage reads.
+    """``(id, dl, term, tf[, pos])`` — the postings grain every BM25 stage
+    reads.
 
     ``dl`` (document token length) is computed BEFORE the explode and
     carried through the groupBy key, so the whole thing is one scan and
     one map-side-combinable shuffle; no second pass or window re-derives
-    lengths."""
+    lengths.  ``positions=True`` adds the sorted 0-based token positions
+    per (doc, term) — the Lucene-style positional posting that lets
+    :func:`phrase_match` answer exact phrase queries without the text."""
     toks = _toks(text_col, lowercase)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    if positions:
+        return (
+            base.select(
+                "id", F.size("__toks").alias("dl"), F.posexplode("__toks").alias("p", "term")
+            )
+            .groupBy("id", "dl", "term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("p")).alias("pos"),
+            )
+        )
     return (
-        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-        .select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+        base.select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase_id_col: str = "pid",
+    phrase_col: str = "phrase",
+    lowercase: bool = True,
+) -> DataFrame:
+    """``(pid, id)`` — documents containing each phrase as an EXACT token
+    sequence (same tokenization as BM25; punctuation/casing folded per
+    ``lowercase``).
+
+    Scan path: both sides are canonicalized to a single-space token join
+    wrapped in sentinels (``' t1 t2 ... '``) and matched with
+    ``contains`` — token-sequence containment is exactly substring
+    containment of the canonical forms.  The (small) phrase side is
+    broadcast, so the corpus is one projected scan.  Empty phrases match
+    nothing (a bare sentinel would match everything).
+
+    The index path (:func:`~dqx_spark.pipeline.text_index.
+    phrase_match_index`) answers the same question from positional
+    postings without touching the text."""
+    dt = _toks(text_col, lowercase)
+    pt = _toks(phrase_col, lowercase)
+    canon = lambda t: F.concat(F.lit(" "), F.array_join(t, " "), F.lit(" "))  # noqa: E731
+    d = docs.select(F.col(id_col).alias("id"), canon(dt).alias("__c"))
+    p = phrases.select(
+        F.col(phrase_id_col).alias("pid"), canon(pt).alias("__p"), F.size(pt).alias("__n")
+    ).where(F.col("__n") > 0)
+    return d.join(F.broadcast(p), F.contains(F.col("__c"), F.col("__p"))).select("pid", "id")
 
 
 def query_terms(

@@ -87,6 +87,7 @@ __all__ = [
     "load_text_index",
     "append_to_text_index",
     "bm25_topk_index",
+    "phrase_match_index",
     "text_index_stats",
     "compact_text_index",
     "init_text_store",
@@ -100,6 +101,7 @@ _SUBS = ("postings", "terms", "stats")
 _TXN_RE = _re.compile(r"^[A-Za-z0-9_\-]{1,64}$")
 
 _POSTINGS_DDL = "id long, dl int, term string, tf long, c string, pb int"
+_POSTINGS_POS_DDL = "id long, dl int, term string, tf long, pos array<int>, c string, pb int"
 _TERMS_DDL = "term string, df_count long, c string, pb int"
 _STATS_DDL = "n_docs long, sum_dl long, c string"
 
@@ -183,9 +185,10 @@ class TextIndex:
 
 
 def _frames(
-    df: DataFrame, id_col: str, text_col: str, lowercase: bool, partitions: int, txn: str
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool, partitions: int, txn: str,
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    tf = retrieval.doc_term_frequencies(df, id_col, text_col, lowercase)
+    tf = retrieval.doc_term_frequencies(df, id_col, text_col, lowercase, positions=positions)
     postings = tf.withColumn("c", F.lit(txn)).withColumn("pb", _pb(F.col("term"), partitions))
     terms = (
         tf.groupBy("term")
@@ -224,6 +227,7 @@ def save_text_index(
     *,
     lowercase: bool = True,
     partitions: int = 64,
+    positions: bool = False,
 ) -> None:
     """Build and persist the inverted index for ``df`` as the store's
     initial transaction.  ``df.limit(0)`` seeds an EMPTY index (crawl
@@ -239,13 +243,13 @@ def save_text_index(
     fs, p = _fs(spark, r)
     if fs.exists(p):
         fs.delete(p, True)
-    frames = _frames(df, id_col, text_col, lowercase, partitions, "init")
+    frames = _frames(df, id_col, text_col, lowercase, partitions, "init", positions)
     _write_txn(spark, r, frames, "init")
     _write_meta(
         spark,
         r,
         {"family": "text", "lowercase": lowercase, "partitions": partitions,
-         "id_col": id_col, "text_col": text_col},
+         "id_col": id_col, "text_col": text_col, "positions": positions},
     )
 
 
@@ -286,7 +290,8 @@ def load_text_index(spark, path: str) -> TextIndex:
         raise ValueError(f"{path!r} is not a text index (no {_META_SUBDIR} sidecar)")
     meta = json.loads(spark.read.text(r + "/" + _META_SUBDIR).collect()[0]["value"])
     commits = _committed(spark, r)
-    postings = _read_sub(spark, r + "/postings", _POSTINGS_DDL, commits)
+    pddl = _POSTINGS_POS_DDL if meta.get("positions") else _POSTINGS_DDL
+    postings = _read_sub(spark, r + "/postings", pddl, commits)
     terms = _read_sub(spark, r + "/terms", _TERMS_DDL, commits)
     stats = _read_sub(spark, r + "/stats", _STATS_DDL, commits)
     return TextIndex(
@@ -333,7 +338,8 @@ def append_to_text_index(
         return False  # already applied — replay skip
     _txn_cleanup(spark, r, txn)  # crashed earlier attempt, if any
     frames = _frames(
-        new_docs, meta["id_col"], meta["text_col"], meta["lowercase"], meta["partitions"], txn
+        new_docs, meta["id_col"], meta["text_col"], meta["lowercase"], meta["partitions"], txn,
+        meta.get("positions", False),
     )
     _write_txn(spark, r, frames, txn)
     if handle is not None:
@@ -402,6 +408,69 @@ def bm25_topk_index(
         .groupBy("term")
         .agg(F.sum("df_count").alias("df_count")),
     )
+
+
+def phrase_match_index(
+    index: TextIndex,
+    phrases: DataFrame,
+    *,
+    phrase_id_col: str = "pid",
+    phrase_col: str = "phrase",
+    prune: str = "static",
+) -> DataFrame:
+    """``(pid, id)`` — documents containing each phrase as an EXACT token
+    sequence, answered from POSITIONAL postings without ever touching the
+    text (requires ``save_text_index(positions=True)``): the crawl-scale
+    "did this eval sentence appear anywhere in the corpus?" probe.
+
+    Plan: the phrase terms (pid, i, term) broadcast into the
+    partition-pruned postings slice; one (pid, id) aggregation collects
+    the per-phrase-position posting lists, a doc survives when it holds
+    ALL phrase terms and some start position ``p`` satisfies the Lucene
+    positional-chain check ``p + i ∈ positions(term_i)`` for every i —
+    pure higher-order Column expressions, no Python in the hot path.
+    Repeated phrase terms ("table table") are handled naturally: each
+    phrase position i joins its own copy of the posting row."""
+    if prune not in ("static", "none"):
+        raise ValueError(f"prune must be 'static' or 'none', got {prune!r}")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "phrase_match_index needs positional postings - rebuild with "
+            "save_text_index(..., positions=True)"
+        )
+    lowercase = index.meta["lowercase"]
+    partitions = index.meta["partitions"]
+    ptoks = retrieval._toks(phrase_col, lowercase)
+    pt = phrases.select(
+        F.col(phrase_id_col).alias("pid"), ptoks.alias("__t")
+    ).select(
+        "pid", F.size("__t").alias("n_terms"), F.posexplode("__t").alias("i", "term")
+    )
+    pbs: list[int] | None = None
+    if prune == "static":
+        pbs = [
+            row["pb"]
+            for row in pt.select(_pb(F.col("term"), partitions).alias("pb")).distinct().collect()
+        ]
+    joined = (
+        _pruned(index.postings, pbs)
+        .select("id", "term", "pos")
+        .join(F.broadcast(pt), "term")
+        .select("pid", "n_terms", "i", "id", "pos")
+    )
+    g = (
+        joined.groupBy("pid", "id", "n_terms")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "pos"))).alias("parts"))
+        .where(F.size("parts") == F.col("n_terms"))  # every phrase position matched
+    )
+    starts = F.element_at("parts", 1)["pos"]  # positions of phrase term 0
+    chain_ok = F.exists(
+        starts,
+        lambda p: F.forall(
+            F.col("parts"), lambda s: F.array_contains(s["pos"], p + s["i"])
+        ),
+    )
+    return g.where(chain_ok).select("pid", "id")
 
 
 def _files_per_partition(spark, sub: str) -> float | None:

@@ -394,3 +394,61 @@ def test_sink_replay_is_exactly_once(spark, tmp_path, docs_df, queries_df):
     )
     assert got == want
     assert ti.text_index_stats(idx)["n_docs"] == len(DOCS)
+
+
+PHRASE_DOCS = [
+    (0, "the quick brown fox jumps"),
+    (1, "quick brown"),  # phrase == whole doc
+    (2, "a quick brown brown fox"),  # repeated token inside
+    (3, "brown quick"),  # reversed: must NOT match "quick brown"
+    (4, "table table table"),  # overlapping repeated-term matches
+    (5, "table x table"),  # has both tokens but NOT adjacent
+    (6, "Quick BROWN"),  # case folding
+    (7, ""),
+    (8, None),
+]
+PHRASES = [
+    (1, "quick brown"),
+    (2, "table table"),
+    (3, "brown fox jumps"),
+    (4, ""),  # empty phrase matches NOTHING
+    (5, "quick brown fox jumps extra"),  # longer than any match
+]
+PHRASE_WANT = sorted(
+    [(1, 0), (1, 1), (1, 2), (1, 6), (2, 4), (3, 0)]
+)
+
+
+def test_phrase_match_scan_semantics(spark):
+    docs = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    ph = spark.createDataFrame(PHRASES, "pid int, phrase string")
+    got = sorted((r["pid"], r["id"]) for r in retrieval.phrase_match(docs, ph, "doc_id", "text").collect())
+    assert got == PHRASE_WANT
+
+
+def test_phrase_match_index_equals_scan(spark, tmp_path):
+    docs = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    ph = spark.createDataFrame(PHRASES, "pid int, phrase string")
+    path = str(tmp_path / "pidx")
+    ti.save_text_index(docs, path, "doc_id", "text", partitions=4, positions=True)
+    idx = ti.load_text_index(spark, path)
+    got = sorted((r["pid"], r["id"]) for r in ti.phrase_match_index(idx, ph).collect())
+    assert got == PHRASE_WANT
+    # prune='none' answers identically
+    got2 = sorted(
+        (r["pid"], r["id"]) for r in ti.phrase_match_index(idx, ph, prune="none").collect()
+    )
+    assert got2 == PHRASE_WANT
+    # positional postings don't perturb BM25 through the same index
+    q = spark.createDataFrame([(1, "quick brown"), (2, "table")], "qid int, qtext string")
+    a = sorted(tuple(r) for r in ti.bm25_topk_index(idx, q, k=5, tie_rounding=6).collect())
+    b = sorted(
+        tuple(r)
+        for r in retrieval.bm25_topk(docs, q, "doc_id", "text", k=5, tie_rounding=6).collect()
+    )
+    assert a == b
+    # non-positional index refuses the phrase probe loudly
+    np = str(tmp_path / "np")
+    ti.save_text_index(docs, np, "doc_id", "text", partitions=4)
+    with pytest.raises(ValueError, match="positions=True"):
+        ti.phrase_match_index(ti.load_text_index(spark, np), ph)
