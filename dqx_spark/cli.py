@@ -325,6 +325,25 @@ def cmd_index_maintenance(args) -> int:
     return {"ok": 0, "compact": 2, "retrain": 3}[verdict["action"]]
 
 
+def cmd_store_gc(args) -> int:
+    """Delete superseded versions of a versioned index store (r12) —
+    the retention pass the pointer-flip stores defer to the operator.
+    Keeps the current version plus ``--keep - 1`` rollback targets;
+    never touches versions newer than the pointer.  Run AFTER in-flight
+    readers of old versions drained (the documented race)."""
+    spark = _spark("store_gc")
+    if args.kind in ("ann", "lsh"):
+        from dqx_spark.pipeline.similarity import gc_ann_store as _gc
+    elif args.kind == "text":
+        from dqx_spark.pipeline.text_index import gc_text_store as _gc
+    else:
+        from dqx_spark.pipeline.dedup_index import gc_dedup_store as _gc
+    deleted = _gc(spark, args.input, keep=args.keep)
+    print(json.dumps({"kind": args.kind, "store": args.input,
+                      "deleted": deleted, "kept": args.keep}))
+    return 0
+
+
 def cmd_sketch_build(args) -> int:
     """Build (or --append) one mergeable sketch over a parquet input —
     the per-batch cron step of incremental corpus statistics: each batch
@@ -616,6 +635,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tombstone-ratio", type=float, default=0.2)
     p.add_argument("--max-bucket-skew", type=float, default=8.0)
     p.set_defaults(func=cmd_index_maintenance)
+
+    p = sub.add_parser(
+        "store-gc",
+        help="delete superseded versions of a versioned index store "
+             "(keeps the current version plus --keep - 1 rollback targets)",
+    )
+    p.add_argument("--kind", required=True, choices=["ann", "lsh", "dedup", "text"])
+    p.add_argument("--input", required=True, help="store root")
+    p.add_argument("--keep", type=int, default=2)
+    p.set_defaults(func=cmd_store_gc)
 
     p = sub.add_parser(
         "sketch-build",

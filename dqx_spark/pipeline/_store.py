@@ -91,3 +91,43 @@ def current_version(spark, root: str, sidecar: str) -> str:
 def next_version_path(spark, root: str) -> str:
     nums = all_version_numbers(spark, root)
     return f"{root.rstrip('/')}/v{(nums[-1] + 1) if nums else 0}"
+
+
+def gc_versions(spark, root: str, sidecar: str, keep: int = 2) -> list[str]:
+    """Delete superseded store versions — the retention pass the store
+    docstrings defer to the operator ("old versions are left on disk
+    deliberately"), now first-class.
+
+    Retention policy, conservative by construction:
+
+    * the CURRENT version (pointer, or highest-complete fallback) is
+      always kept;
+    * among complete versions numbered AT OR BELOW current, the newest
+      ``keep`` survive (``keep=2`` = current + one rollback target);
+    * anything numbered ABOVE current is never touched — it is either an
+      in-flight compaction's partial dir or a complete-but-unflipped
+      crash survivor, and both belong to the resolution rules;
+    * incomplete partials numbered below current (crashed compactions
+      whose numbers were skipped past) are deleted with the old versions.
+
+    Run it on the same cadence as compaction, AFTER in-flight readers of
+    old versions have drained — a reader that resolved before a pointer
+    flip may still be scanning the version this deletes (the documented
+    race; the pointer discipline guarantees nothing about it).  Returns
+    the deleted paths."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    r = root.rstrip("/")
+    cur_n = int(current_version(spark, root, sidecar).rsplit("/v", 1)[1])
+    complete = [n for n in complete_versions(spark, root, sidecar) if n <= cur_n]
+    keep_set = set(sorted(complete)[-keep:]) | {cur_n}
+    deleted: list[str] = []
+    fs, _ = _fs(spark, r)
+    jvm = spark._jvm
+    for n in all_version_numbers(spark, root):
+        if n in keep_set or n > cur_n:
+            continue
+        path = f"{r}/v{n}"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        deleted.append(path)
+    return deleted

@@ -163,9 +163,13 @@ def bm25_scores(
     postings: DataFrame | None = None,
     stats: DataFrame | None = None,
     df_counts: DataFrame | None = None,
+    require_all_terms: bool = False,
 ) -> DataFrame:
-    """Score every document that matches ≥1 term of each query:
-    ``(qid, id, n_matched, score)``.
+    """Score every document that matches ≥1 term of each query (or ALL
+    its distinct terms with ``require_all_terms=True`` — conjunctive/AND
+    retrieval, applied as a post-aggregation filter on ``n_matched``
+    against the broadcast per-query term count, so the plan shape is
+    unchanged): ``(qid, id, n_matched, score)``.
 
     ``postings``/``stats``/``df_counts`` let a caller substitute PERSISTED
     index frames (see :mod:`dqx_spark.pipeline.text_index`) for the
@@ -223,17 +227,22 @@ def bm25_scores(
         _contrib(F.col("tf"), F.col("dl"), F.col("__idf"), F.col("__avgdl"), k1, b).alias("__c"),
     )
     # sorted fold: bounded array (≤ #query terms), deterministic order
-    return (
-        contrib.groupBy("qid", "id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matched"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "__c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["__c"],
-            ).alias("score"),
-        )
+    scored = contrib.groupBy("qid", "id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "__c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__c"],
+        ).alias("score"),
     )
+    if require_all_terms:
+        qn = qt.groupBy("qid").agg(F.count(F.lit(1)).alias("__qn"))
+        scored = (
+            scored.join(F.broadcast(qn), "qid")
+            .where(F.col("n_matched") == F.col("__qn"))
+            .drop("__qn")
+        )
+    return scored
 
 
 def bm25_topk(
@@ -252,6 +261,7 @@ def bm25_topk(
     postings: DataFrame | None = None,
     stats: DataFrame | None = None,
     df_counts: DataFrame | None = None,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Top-k documents per query by BM25: ``(qid, rank, id, n_matched,
     score)``, rank 1-based by ``(score DESC, id ASC)``.
@@ -269,6 +279,7 @@ def bm25_topk(
     scored = bm25_scores(
         docs, queries, id_col, text_col, query_id_col, query_text_col,
         k1, b, lowercase, postings=postings, stats=stats, df_counts=df_counts,
+        require_all_terms=require_all_terms,
     )
     rank_score = F.round(F.col("score"), tie_rounding) if tie_rounding is not None else F.col("score")
     order = [rank_score.desc(), F.col("id").asc()]

@@ -2117,3 +2117,11 @@ def compact_ann_store(spark, root: str, max_records_per_file: int = 1_000_000) -
                           mode="overwrite")
     _store.write_pointer(spark, root, dst.rsplit("/", 1)[1])
     return dst
+
+
+def gc_ann_store(spark, root: str, keep: int = 2) -> list[str]:
+    """Delete superseded versions of an ANN/LSH store — see
+    ``_store.gc_versions`` for the policy and the reader-drain caveat."""
+    from dqx_spark.pipeline import _store
+
+    return _store.gc_versions(spark, root, _ANN_SIDECAR, keep=keep)

@@ -93,6 +93,7 @@ __all__ = [
     "init_text_store",
     "current_text_store_version",
     "compact_text_store",
+    "gc_text_store",
 ]
 
 _META_SUBDIR = "_text_meta"
@@ -365,6 +366,7 @@ def bm25_topk_index(
     tie_rounding: int | None = None,
     num_salts: int = 32,
     prune: str = "static",
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over the PERSISTED index — the corpus is never
     re-tokenized and, with ``prune='static'`` (default), never fully
@@ -407,6 +409,7 @@ def bm25_topk_index(
         df_counts=_pruned(index.terms, pbs)
         .groupBy("term")
         .agg(F.sum("df_count").alias("df_count")),
+        require_all_terms=require_all_terms,
     )
 
 
@@ -610,3 +613,12 @@ def compact_text_store(spark, root: str, *, max_records_per_file: int = 1_000_00
     compact_text_index(spark, cur, dst, max_records_per_file=max_records_per_file)
     _store.write_pointer(spark, root, dst.rsplit("/", 1)[1])
     return dst
+
+
+def gc_text_store(spark, root: str, keep: int = 2) -> list[str]:
+    """Delete superseded versions of a text-index store (the retention
+    pass the pointer-flip docs defer to the operator) — see
+    ``_store.gc_versions`` for the policy and the reader-drain caveat."""
+    from dqx_spark.pipeline import _store
+
+    return _store.gc_versions(spark, root, _META_SUBDIR, keep=keep)

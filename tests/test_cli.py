@@ -329,3 +329,22 @@ def test_cli_text_index_compact_and_maintenance(spark, tmp_path, capsys):
     assert rc4 == 0
     rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep4["rows_src"] == rep4["rows_dst"] > 0
+
+
+def test_cli_store_gc(spark, tmp_path, capsys):
+    """r12: store-gc deletes superseded versions, keeping current plus
+    rollback targets — one retention pass for every store family."""
+    from pyspark.sql import functions as F
+
+    from dqx_spark.pipeline import text_index as ti
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(40)
+    root = str(tmp_path / "tstore")
+    ti.init_text_store(docs, root, "doc_id", "text", partitions=4)
+    ti.compact_text_store(spark, root)
+    ti.compact_text_store(spark, root)  # v0, v1, v2
+    rc = main(["store-gc", "--kind", "text", "--input", root, "--keep", "2"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["deleted"] == [root + "/v0"]
+    assert ti.current_text_store_version(spark, root) == root + "/v2"

@@ -452,3 +452,57 @@ def test_phrase_match_index_equals_scan(spark, tmp_path):
     ti.save_text_index(docs, np, "doc_id", "text", partitions=4)
     with pytest.raises(ValueError, match="positions=True"):
         ti.phrase_match_index(ti.load_text_index(spark, np), ph)
+
+
+def test_bm25_require_all_terms(spark, docs_df, queries_df):
+    """Conjunctive mode keeps exactly the docs whose n_matched equals the
+    query's distinct term count, across scan and index paths."""
+    scored = retrieval.bm25_scores(docs_df, queries_df, "doc_id", "text").collect()
+    want = sorted(
+        (r["qid"], r["id"])
+        for r in scored
+        if r["n_matched"] == {1: 2, 2: 3, 3: 1}[r["qid"]]
+    )
+    got = sorted(
+        (r["qid"], r["id"])
+        for r in retrieval.bm25_scores(
+            docs_df, queries_df, "doc_id", "text", require_all_terms=True
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    topk = retrieval.bm25_topk(
+        docs_df, queries_df, "doc_id", "text", k=5, require_all_terms=True
+    ).collect()
+    assert sorted((r["qid"], r["id"]) for r in topk) == want
+
+
+def test_store_gc_retention_policy(spark, tmp_path, docs_df):
+    """gc keeps current + keep-1 rollback targets, deletes older versions
+    AND crashed partials below current, never touches anything above."""
+    import os
+
+    from dqx_spark.pipeline import _store
+
+    root = str(tmp_path / "store")
+    ti.init_text_store(docs_df, root, "doc_id", "text", partitions=4)
+    for _ in range(3):  # v1, v2, v3
+        ti.compact_text_store(spark, root)
+    # crashed partial BELOW current (skipped number lands between versions)
+    os.makedirs(root + "/v2_junk", exist_ok=True)  # not vN-shaped: ignored
+    cur = ti.current_text_store_version(spark, root)
+    assert cur == root + "/v3"
+    # a partial ABOVE current (in-flight compaction): must survive
+    os.makedirs(root + "/v9/postings", exist_ok=True)
+
+    deleted = ti.gc_text_store(spark, root, keep=2)
+    assert sorted(deleted) == [root + "/v0", root + "/v1"]
+    assert os.path.isdir(root + "/v2") and os.path.isdir(root + "/v3")
+    assert os.path.isdir(root + "/v9"), "in-flight partial above current survives"
+    # store still answers after gc
+    idx = ti.load_text_index(spark, ti.current_text_store_version(spark, root))
+    assert ti.text_index_stats(idx)["n_docs"] == len(DOCS)
+    # keep=1 leaves only current
+    deleted2 = ti.gc_text_store(spark, root, keep=1)
+    assert deleted2 == [root + "/v2"]
+    with pytest.raises(ValueError, match="keep"):
+        _store.gc_versions(spark, root, "_text_meta", keep=0)
