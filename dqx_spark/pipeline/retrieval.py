@@ -42,6 +42,7 @@ __all__ = [
     "bm25_scores",
     "bm25_topk",
     "phrase_match",
+    "phrase_decontaminate",
 ]
 
 
@@ -291,3 +292,37 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "id", "n_matched", "score")
     )
+
+
+def phrase_decontaminate(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase_id_col: str = "pid",
+    phrase_col: str = "phrase",
+    lowercase: bool = True,
+    index=None,
+) -> DataFrame:
+    """Drop documents containing ANY eval phrase as an exact token
+    sequence — the sentence-level decontamination pass (remove every
+    training doc that quotes a benchmark item verbatim), complementing
+    :func:`~dqx_spark.pipeline.mixing.decontaminate`'s n-gram-overlap
+    fraction.  Returns the surviving rows of ``docs`` (original columns).
+
+    Pass ``index=`` (a positional :class:`~dqx_spark.pipeline.text_index.
+    TextIndex`) to answer the matches from postings instead of scanning
+    the text — then only the anti-join touches the corpus.  The matched
+    ids are slim (one column), so the anti-join shuffles ids only."""
+    if index is not None:
+        from dqx_spark.pipeline.text_index import phrase_match_index
+
+        hits = phrase_match_index(
+            index, phrases, phrase_id_col=phrase_id_col, phrase_col=phrase_col
+        )
+    else:
+        hits = phrase_match(
+            docs, phrases, id_col, text_col, phrase_id_col, phrase_col, lowercase
+        )
+    bad = hits.select(F.col("id").alias("__bad_id")).distinct()
+    return docs.join(bad, docs[id_col] == F.col("__bad_id"), "left_anti")

@@ -506,3 +506,25 @@ def test_store_gc_retention_policy(spark, tmp_path, docs_df):
     assert deleted2 == [root + "/v2"]
     with pytest.raises(ValueError, match="keep"):
         _store.gc_versions(spark, root, "_text_meta", keep=0)
+
+
+def test_phrase_decontaminate_scan_and_index_paths(spark, tmp_path):
+    docs = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    ph = spark.createDataFrame(PHRASES, "pid int, phrase string")
+    matched_ids = {i for _, i in PHRASE_WANT}
+    want = sorted(i for i, _ in PHRASE_DOCS if i not in matched_ids)
+    got = sorted(
+        r["doc_id"]
+        for r in retrieval.phrase_decontaminate(docs, ph, "doc_id", "text").collect()
+    )
+    assert got == want
+    path = str(tmp_path / "pidx")
+    ti.save_text_index(docs, path, "doc_id", "text", partitions=4, positions=True)
+    idx = ti.load_text_index(spark, path)
+    got2 = sorted(
+        r["doc_id"]
+        for r in retrieval.phrase_decontaminate(
+            docs, ph, "doc_id", "text", index=idx
+        ).collect()
+    )
+    assert got2 == want
