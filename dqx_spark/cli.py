@@ -245,12 +245,10 @@ def cmd_index_compact(args) -> int:
         compact_lsh_index(spark, args.input, args.output,
                           max_records_per_file=args.records_per_file, mode=mode)
     elif args.kind == "text":
-        # text compaction always writes a fresh full layout (postings
-        # verbatim, partials merged); mode is moot - refuse reuse loudly
         from dqx_spark.pipeline.text_index import compact_text_index
 
         compact_text_index(spark, args.input, args.output,
-                           max_records_per_file=args.records_per_file)
+                           max_records_per_file=args.records_per_file, mode=mode)
     else:
         from dqx_spark.pipeline.dedup_index import compact_dedup_index
 

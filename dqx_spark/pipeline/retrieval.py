@@ -64,7 +64,13 @@ def doc_term_frequencies(
     ``dl`` (document token length) is computed BEFORE the explode and
     carried through the groupBy key, so the whole thing is one scan and
     one map-side-combinable shuffle; no second pass or window re-derives
-    lengths.  ``positions=True`` adds the sorted 0-based token positions
+    lengths.  Known cost (measured via accumulator, r12): Catalyst
+    collapses the projection, so the tokenize expression is evaluated
+    twice per row — once for ``size(toks)``, once as the ``explode``
+    input (Generate and Project don't share subexpressions).  The
+    alternatives are worse at scale: deriving dl from the postings needs
+    a postings-grain join-back shuffle, and a cache barrier materializes
+    the raw corpus — 2× scan-local tokenize CPU is the cheapest shape.  ``positions=True`` adds the sorted 0-based token positions
     per (doc, term) — the Lucene-style positional posting that lets
     :func:`phrase_match` answer exact phrase queries without the text."""
     toks = _toks(text_col, lowercase)
@@ -317,6 +323,13 @@ def phrase_decontaminate(
     if index is not None:
         from dqx_spark.pipeline.text_index import phrase_match_index
 
+        if bool(index.meta.get("lowercase", True)) != bool(lowercase):
+            raise ValueError(
+                "lowercase mismatch: the index was built with "
+                f"lowercase={index.meta.get('lowercase', True)} but the call asks for "
+                f"lowercase={lowercase} - the index path would silently answer with "
+                "the index's folding; rebuild the index or drop index="
+            )
         hits = phrase_match_index(
             index, phrases, phrase_id_col=phrase_id_col, phrase_col=phrase_col
         )

@@ -100,6 +100,8 @@ _META_SUBDIR = "_text_meta"
 _COMMITS_SUBDIR = "_commits"
 _SUBS = ("postings", "terms", "stats")
 _TXN_RE = _re.compile(r"^[A-Za-z0-9_\-]{1,64}$")
+_RESERVED_TXNS = ("init", "compacted")  # internal markers; an append using
+# them would read as an already-applied replay and be silently dropped
 
 _POSTINGS_DDL = "id long, dl int, term string, tf long, c string, pb int"
 _POSTINGS_POS_DDL = "id long, dl int, term string, tf long, pos array<int>, c string, pb int"
@@ -112,9 +114,9 @@ def _pb(col, partitions: int):
 
 
 def _fs(spark, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+    from dqx_spark.pipeline import _store
+
+    return _store._fs(spark, path)
 
 
 def _write_meta(spark, path: str, meta: dict) -> None:
@@ -188,8 +190,21 @@ class TextIndex:
 def _frames(
     df: DataFrame, id_col: str, text_col: str, lowercase: bool, partitions: int, txn: str,
     positions: bool = False,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    tf = retrieval.doc_term_frequencies(df, id_col, text_col, lowercase, positions=positions)
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Returns (postings, terms, stats, tf) — ``tf`` is the PERSISTED
+    shared tokenize+explode+groupBy subplan both postings and terms
+    derive from (one tokenization pass per transaction, not one per
+    consumer); the writer unpersists it after the writes."""
+    from pyspark import StorageLevel
+
+    # ids are normalized to long BEFORE the write (the sibling families'
+    # _id_long invariant): the read schemas hardcode `id long`, and a
+    # raw int32/string id would make the index unreadable at query time
+    tf = (
+        retrieval.doc_term_frequencies(df, id_col, text_col, lowercase, positions=positions)
+        .withColumn("id", F.col("id").cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     postings = tf.withColumn("c", F.lit(txn)).withColumn("pb", _pb(F.col("term"), partitions))
     terms = (
         tf.groupBy("term")
@@ -202,21 +217,33 @@ def _frames(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("sum_dl"),
     ).withColumn("c", F.lit(txn))
-    return postings, terms, stats
+    return postings, terms, stats, tf
 
 
 def _write_txn(spark, root: str, frames, txn: str, max_records_per_file: int | None = None) -> None:
     """Write one transaction's three subtrees, then its marker — the
     marker create is the commit point; everything before it is invisible
-    to readers."""
+    to readers.
+
+    ``frames`` is ``_frames``' 4-tuple; the shared persisted ``tf``
+    subplan (4th element, feeding both the postings write and the terms
+    aggregation) is unpersisted after the writes.  The stats row scans
+    the SOURCE once more by necessity: docs with zero tokens have no
+    postings rows, so n_docs cannot be derived from the postings grain.
+    Compaction passes ``tf=None`` (its frames read the stored index, one
+    consumer each — nothing to share)."""
     r = root.rstrip("/")
-    postings, terms, stats = frames
-    w = postings.write.mode("append")
-    if max_records_per_file is not None:
-        w = w.option("maxRecordsPerFile", max_records_per_file)
-    w.partitionBy("c", "pb").parquet(r + "/postings")
-    terms.write.mode("append").partitionBy("c", "pb").parquet(r + "/terms")
-    stats.write.mode("append").partitionBy("c").parquet(r + "/stats")
+    postings, terms, stats, tf = frames
+    try:
+        w = postings.write.mode("append")
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.partitionBy("c", "pb").parquet(r + "/postings")
+        terms.write.mode("append").partitionBy("c", "pb").parquet(r + "/terms")
+        stats.write.mode("append").partitionBy("c").parquet(r + "/stats")
+    finally:
+        if tf is not None:
+            tf.unpersist()
     _mark_committed(spark, r, txn)
 
 
@@ -335,6 +362,10 @@ def append_to_text_index(
     txn = txn_id if txn_id is not None else "t" + uuid.uuid4().hex[:16]
     if not _TXN_RE.match(txn):
         raise ValueError(f"txn_id must match {_TXN_RE.pattern}, got {txn!r}")
+    if txn in _RESERVED_TXNS:
+        raise ValueError(
+            f"txn_id {txn!r} is reserved for internal commits (save/compaction)"
+        )
     if txn in _committed(spark, r):
         return False  # already applied — replay skip
     _txn_cleanup(spark, r, txn)  # crashed earlier attempt, if any
@@ -548,7 +579,8 @@ def text_index_stats(index: TextIndex) -> dict:
     }
 
 
-def compact_text_index(spark, src: str, dst: str, *, max_records_per_file: int = 1_000_000) -> None:
+def compact_text_index(spark, src: str, dst: str, *, max_records_per_file: int = 1_000_000,
+                       mode: str = "errorifexists") -> None:
     """Rewrite ``src`` into ``dst`` as ONE transaction with the partials
     MERGED (one df-count row per term, one stats row) — bit-equal query
     results by the exact-integer-merge contract; uncommitted leftovers in
@@ -560,9 +592,25 @@ def compact_text_index(spark, src: str, dst: str, *, max_records_per_file: int =
     The source's commit MARKERS are carried forward (tiny empty files,
     no data subtrees): they are the idempotence ledger, so a micro-batch
     replayed AFTER a mid-stream compaction still finds its marker in the
-    new version and skips — exactly-once survives pointer flips."""
-    idx = load_text_index(spark, src)
+    new version and skips — exactly-once survives pointer flips.
+
+    A non-empty ``dst`` REFUSES by default (``mode='errorifexists'``): the
+    writes are appends, so re-running onto a half-written destination
+    would double every stored count.  ``mode='overwrite'`` deletes the
+    destination first — the retry-after-partial-failure path."""
+    if mode not in ("errorifexists", "overwrite"):
+        raise ValueError(f"mode must be 'errorifexists' or 'overwrite', got {mode!r}")
     r = dst.rstrip("/")
+    fs, pdst = _fs(spark, r)
+    if fs.exists(pdst):
+        if mode == "errorifexists":
+            raise ValueError(
+                f"compaction destination {dst!r} already exists - the writes are "
+                "appends, so a re-run would double every stored count; pass "
+                "mode='overwrite' to replace it"
+            )
+        fs.delete(pdst, True)
+    idx = load_text_index(spark, src)
     txn = "compacted"
     postings = idx.postings.withColumn("c", F.lit(txn)).repartition("pb")
     terms = (
@@ -574,7 +622,8 @@ def compact_text_index(spark, src: str, dst: str, *, max_records_per_file: int =
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias("sum_dl"),
     ).withColumn("c", F.lit(txn))
-    _write_txn(spark, r, (postings, terms, stats), txn, max_records_per_file=max_records_per_file)
+    _write_txn(spark, r, (postings, terms, stats, None), txn,
+               max_records_per_file=max_records_per_file)
     for old_txn in idx.commits:  # idempotence ledger survives compaction
         _mark_committed(spark, r, old_txn)
     _write_meta(spark, r, idx.meta)

@@ -528,3 +528,69 @@ def test_phrase_decontaminate_scan_and_index_paths(spark, tmp_path):
         ).collect()
     )
     assert got2 == want
+
+
+def test_review_fixes_guards_and_single_tokenization(spark, tmp_path):
+    """r12 self-review regressions: reserved txn ids refuse; compaction
+    onto a non-empty destination refuses (appends would double counts)
+    unless mode='overwrite'; non-long doc ids are normalized before the
+    write (the read schema hardcodes id long); the per-transaction
+    tokenize+groupBy subplan executes ONCE for its two consumers
+    (postings write + terms aggregation), counted via an accumulator."""
+    from pyspark.sql.types import StringType
+
+    docs = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs, path, "doc_id", "text", partitions=4)
+
+    for bad in ("init", "compacted"):
+        with pytest.raises(ValueError, match="reserved"):
+            ti.append_to_text_index(path, docs, txn_id=bad)
+
+    dst = str(tmp_path / "dst")
+    ti.compact_text_index(spark, path, dst)
+    with pytest.raises(ValueError, match="already exists"):
+        ti.compact_text_index(spark, path, dst)
+    ti.compact_text_index(spark, path, dst, mode="overwrite")  # retry path
+    assert ti.text_index_stats(ti.load_text_index(spark, dst))["n_docs"] == len(PHRASE_DOCS)
+
+    # int32 ids: readable after the long normalization
+    docs32 = spark.createDataFrame([(i, t) for i, t in PHRASE_DOCS], "doc_id int, text string")
+    p32 = str(tmp_path / "i32")
+    ti.save_text_index(docs32, p32, "doc_id", "text", partitions=4)
+    q = spark.createDataFrame([(1, "quick brown")], "qid int, qtext string")
+    out = ti.bm25_topk_index(ti.load_text_index(spark, p32), q, k=3).collect()
+    assert len(out) > 0 and all(isinstance(r["id"], int) for r in out)
+
+    # one tokenization per transaction: accumulator on the upstream text
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(t):
+        acc.add(1)
+        return t
+
+    bump_udf = F.udf(bump, StringType())
+    upstream = docs.select("doc_id", bump_udf("text").alias("text"))
+    ponce = str(tmp_path / "once")
+    ti.save_text_index(upstream, ponce, "doc_id", "text", partitions=4)
+    n = docs.count()
+    # budget 3n: the cache-filling postings pass evaluates the tokenize
+    # expression TWICE per row (size(toks) in the Project + explode input
+    # in the Generate — documented in doc_term_frequencies), plus the
+    # stats agg over the SOURCE (zero-token docs have no postings rows).
+    # WITHOUT the shared persisted tf the terms agg re-runs the double
+    # tokenization too (measured 5n) — that is the regression this pins.
+    assert acc.value <= 3 * n, (
+        f"upstream executed {acc.value / n:.1f}x per save - the tf subplan "
+        "must be shared by the postings write and the terms aggregation"
+    )
+
+
+def test_phrase_decontaminate_lowercase_mismatch_refuses(spark, tmp_path):
+    docs = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    ph = spark.createDataFrame(PHRASES, "pid int, phrase string")
+    path = str(tmp_path / "pidx")
+    ti.save_text_index(docs, path, "doc_id", "text", partitions=4, positions=True)
+    idx = ti.load_text_index(spark, path)
+    with pytest.raises(ValueError, match="lowercase mismatch"):
+        retrieval.phrase_decontaminate(docs, ph, "doc_id", "text", lowercase=False, index=idx)
