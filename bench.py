@@ -612,7 +612,12 @@ def main() -> None:
                         positions=True)
     text_index_build_s = round(time.perf_counter() - _t0, 3)
     _tidx = _ti.load_text_index(spark, _tidx_path)
-    cases["bm25_index_probe"] = lambda: _ti.bm25_topk_index(_tidx, _bm25_q, k=10)
+    # prune='none' = ONE SQL execution (the micro-latency trade the dedup
+    # family took with prune='join' in r11): at bench scale the static
+    # mode's qt-collect driver job costs more than the full-melt scan it
+    # saves; the static mode (guaranteed PartitionFilters — the 100TB
+    # configuration) is timed into the notes for the comparison
+    cases["bm25_index_probe"] = lambda: _ti.bm25_topk_index(_tidx, _bm25_q, k=10, prune="none")
     # r12: exact-phrase probe from the SAME positional index (one build
     # amortizes both probe kinds) — the "did this eval sentence appear
     # anywhere in the corpus?" decontamination question, no text scanned
@@ -621,7 +626,7 @@ def main() -> None:
          (4, "order data column")],
         "pid int, phrase string",
     )
-    cases["phrase_index_probe"] = lambda: _ti.phrase_match_index(_tidx, _bm25_ph)
+    cases["phrase_index_probe"] = lambda: _ti.phrase_match_index(_tidx, _bm25_ph, prune="none")
     # r12: prefix-filtered exact Jaccard (AllPairs/PPJoin) vs the naive
     # inverted-index self-join (dedup_ngram_pairs above) — same answer
     # (gate-certified leg of dedup_ngram_jaccard), candidate pairs bounded
@@ -680,6 +685,12 @@ def main() -> None:
     dedup_incr_static_s = timed(lambda: _didx.dedup_pairs_against_index(
         _didx_batch, _didx_loaded, "doc_id", "text", prune="static"
     ).agg(F.count(F.lit(1)).alias("n")).collect())
+    # r12: the static-prune text probes (guaranteed PartitionFilters — the
+    # huge-index configuration, +1 qt-collect driver job) — notes-only
+    bm25_static_probe_s = timed(lambda: materialize(
+        _ti.bm25_topk_index(_tidx, _bm25_q, k=10, prune="static")))
+    phrase_static_probe_s = timed(lambda: materialize(
+        _ti.phrase_match_index(_tidx, _bm25_ph, prune="static")))
 
     # r12 (VERDICT r11 #3): the driver-literal body timed alongside the
     # plan-mode headline — notes-only, the same-run record of the mode A/B
@@ -1015,11 +1026,15 @@ def main() -> None:
             # r12: persisted inverted index — tokenize+postings paid once
             # at save; bm25_index_probe times the recurring per-query cost
             "text_index_build_s": (
-                f"save_text_index (full corpus postings + df partials) one-time "
-                f"cost: {text_index_build_s}s; bm25_index_probe times the "
-                "partition-pruned probe (prune='static': only the query terms' "
-                "pb buckets are scanned), vs bm25_topk re-deriving everything "
-                "from the raw table — the probe cost is corpus-size-independent"
+                f"save_text_index (full corpus positional postings + df partials) "
+                f"one-time cost: {text_index_build_s}s; bm25_index_probe / "
+                "phrase_index_probe time the prune='none' probes (ONE SQL "
+                "execution - the micro-latency trade, same as dedup_incr's "
+                "prune='join'); the static mode (guaranteed PartitionFilters, "
+                "the huge-index configuration, +1 qt-collect driver job) timed "
+                f"this run: bm25 {bm25_static_probe_s}s / phrase "
+                f"{phrase_static_probe_s}s. Probe cost is corpus-size-"
+                "independent either way (slope ~1.0 in the sf1 block)"
             ),
             # r10: persisted-LSH-melt reuse — corpus hashing pass paid once
             # at save instead of per query batch
@@ -1299,10 +1314,14 @@ def main() -> None:
             _ret.bm25_topk(docs_o, _bm25_q, "doc_id", "text", k=10)
         ))
         _tidx_path_o = "/tmp/dqx_bench_text_idx_10x"
-        _ti.save_text_index(docs_o.select("doc_id", "text"), _tidx_path_o, "doc_id", "text")
+        _ti.save_text_index(docs_o.select("doc_id", "text"), _tidx_path_o, "doc_id", "text",
+                            positions=True)
         _tidx_o = _ti.load_text_index(spark, _tidx_path_o)
         sf1_pipe["bm25_index_probe"] = timed(lambda: materialize(
-            _ti.bm25_topk_index(_tidx_o, _bm25_q, k=10)
+            _ti.bm25_topk_index(_tidx_o, _bm25_q, k=10, prune="none")
+        ))
+        sf1_pipe["phrase_index_probe"] = timed(lambda: materialize(
+            _ti.phrase_match_index(_tidx_o, _bm25_ph, prune="none")
         ))
         # prefix-filtered exact Jaccard at 10x docs — same duplicate-density
         # caveat as dedup_ngram_pairs (output pairs grow with the dup
