@@ -295,7 +295,11 @@ def q_bm25_topk(spark, sf):
     # exactly-once under replay, certified by the hash: re-append b0 AFTER
     # the flip — the marker ledger was carried forward, so this must SKIP
     # (a double-count would diverge from the twin's one-pass corpus)
-    assert text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 0), txn_id="b0") is False
+    replayed = text_index.append_to_text_index(
+        cur, slim.where(F.col("doc_id") % 3 == 0), txn_id="b0"
+    )
+    if replayed is not False:  # not an assert: must survive python -O
+        raise RuntimeError("replayed b0 was APPLIED - the commit-marker skip is broken")
     text_index.append_to_text_index(cur, slim.where(F.col("doc_id") % 3 == 2), txn_id="b2")
     idx = text_index.load_text_index(spark, cur)
     via_index = text_index.bm25_topk_index(idx, qdf, k=10, tie_rounding=6)

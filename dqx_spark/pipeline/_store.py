@@ -122,12 +122,11 @@ def gc_versions(spark, root: str, sidecar: str, keep: int = 2) -> list[str]:
     complete = [n for n in complete_versions(spark, root, sidecar) if n <= cur_n]
     keep_set = set(sorted(complete)[-keep:]) | {cur_n}
     deleted: list[str] = []
-    fs, _ = _fs(spark, r)
-    jvm = spark._jvm
     for n in all_version_numbers(spark, root):
         if n in keep_set or n > cur_n:
             continue
         path = f"{r}/v{n}"
-        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        fs, p = _fs(spark, path)
+        fs.delete(p, True)
         deleted.append(path)
     return deleted

@@ -123,7 +123,14 @@ def phrase_match(
     p = phrases.select(
         F.col(phrase_id_col).alias("pid"), canon(pt).alias("__p"), F.size(pt).alias("__n")
     ).where(F.col("__n") > 0)
-    return d.join(F.broadcast(p), F.contains(F.col("__c"), F.col("__p"))).select("pid", "id")
+    # distinct: duplicate phrase rows, or a pid carrying several phrases
+    # matching the same doc, yield one row per (pid, id) — the same
+    # contract the index path keeps
+    return (
+        d.join(F.broadcast(p), F.contains(F.col("__c"), F.col("__p")))
+        .select("pid", "id")
+        .distinct()
+    )
 
 
 def query_terms(

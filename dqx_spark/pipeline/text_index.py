@@ -474,11 +474,20 @@ def phrase_match_index(
         )
     lowercase = index.meta["lowercase"]
     partitions = index.meta["partitions"]
-    ptoks = retrieval._toks(phrase_col, lowercase)
-    pt = phrases.select(
-        F.col(phrase_id_col).alias("pid"), ptoks.alias("__t")
-    ).select(
-        "pid", F.size("__t").alias("n_terms"), F.posexplode("__t").alias("i", "term")
+    # one group per (pid, phrase INSTANCE): duplicate rows collapse first,
+    # and a pid carrying several distinct phrases matches each phrase
+    # independently (the scan path's semantics) instead of conflating
+    # their term sets into one bogus chain
+    pt = (
+        phrases.select(
+            F.col(phrase_id_col).alias("pid"), F.col(phrase_col).alias("__ph")
+        )
+        .distinct()
+        .select("pid", "__ph", retrieval._toks("__ph", lowercase).alias("__t"))
+        .select(
+            "pid", "__ph", F.size("__t").alias("n_terms"),
+            F.posexplode("__t").alias("i", "term"),
+        )
     )
     pbs: list[int] | None = None
     if prune == "static":
@@ -490,10 +499,10 @@ def phrase_match_index(
         _pruned(index.postings, pbs)
         .select("id", "term", "pos")
         .join(F.broadcast(pt), "term")
-        .select("pid", "n_terms", "i", "id", "pos")
+        .select("pid", "__ph", "n_terms", "i", "id", "pos")
     )
     g = (
-        joined.groupBy("pid", "id", "n_terms")
+        joined.groupBy("pid", "__ph", "id", "n_terms")
         .agg(F.sort_array(F.collect_list(F.struct("i", "pos"))).alias("parts"))
         .where(F.size("parts") == F.col("n_terms"))  # every phrase position matched
     )
@@ -504,7 +513,9 @@ def phrase_match_index(
             F.col("parts"), lambda s: F.array_contains(s["pos"], p + s["i"])
         ),
     )
-    return g.where(chain_ok).select("pid", "id")
+    # distinct: a pid with several phrases can match a doc through more
+    # than one of them — one row per (pid, id), same as the scan path
+    return g.where(chain_ok).select("pid", "id").distinct()
 
 
 def _files_per_partition(spark, sub: str) -> float | None:
@@ -600,6 +611,11 @@ def compact_text_index(spark, src: str, dst: str, *, max_records_per_file: int =
     destination first — the retry-after-partial-failure path."""
     if mode not in ("errorifexists", "overwrite"):
         raise ValueError(f"mode must be 'errorifexists' or 'overwrite', got {mode!r}")
+    if src.rstrip("/") == dst.rstrip("/"):
+        # the sibling compactors' guard: overwrite deletes dst BEFORE
+        # reading src, so src==dst would destroy the only copy
+        raise ValueError("compaction src and dst must differ (Spark cannot "
+                         "atomically overwrite a directory it reads)")
     r = dst.rstrip("/")
     fs, pdst = _fs(spark, r)
     if fs.exists(pdst):

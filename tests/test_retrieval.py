@@ -594,3 +594,39 @@ def test_phrase_decontaminate_lowercase_mismatch_refuses(spark, tmp_path):
     idx = ti.load_text_index(spark, path)
     with pytest.raises(ValueError, match="lowercase mismatch"):
         retrieval.phrase_decontaminate(docs, ph, "doc_id", "text", lowercase=False, index=idx)
+
+
+def test_phrase_duplicate_pid_rows_match_scan_semantics(spark, tmp_path):
+    """A pid carrying SEVERAL phrases matches each phrase independently
+    (no cross-phrase term conflation), duplicated rows collapse, and both
+    paths return one row per (pid, id) — r12 second-review regression."""
+    docs = spark.createDataFrame(
+        [(0, "quick fox"), (1, "brown dog"), (2, "quick dog"), (3, "quick fox and brown dog")],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [(1, "quick fox"), (1, "brown dog"), (1, "brown dog"), (2, "quick dog")],
+        "pid int, phrase string",
+    )
+    # doc 2 'quick dog' holds quick (i=0 of phrase A) and dog (i=1 of
+    # phrase B): conflated term sets would emit a bogus (1, 2)
+    want = sorted([(1, 0), (1, 1), (1, 3), (2, 2)])
+    got_scan = sorted(
+        (r["pid"], r["id"]) for r in retrieval.phrase_match(docs, ph, "doc_id", "text").collect()
+    )
+    assert got_scan == want
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs, path, "doc_id", "text", partitions=4, positions=True)
+    got_idx = sorted(
+        (r["pid"], r["id"])
+        for r in ti.phrase_match_index(ti.load_text_index(spark, path), ph).collect()
+    )
+    assert got_idx == want
+
+
+def test_compact_src_eq_dst_refuses(spark, tmp_path, docs_df):
+    path = str(tmp_path / "idx")
+    ti.save_text_index(docs_df, path, "doc_id", "text", partitions=4)
+    with pytest.raises(ValueError, match="must differ"):
+        ti.compact_text_index(spark, path, path, mode="overwrite")
+    assert ti.load_text_index(spark, path).commits, "the guard must fire BEFORE any delete"
