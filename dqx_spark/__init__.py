@@ -55,7 +55,7 @@ from dqx_spark.reporting import build_dq_info_struct, dq_info_item_schema, merge
 
 # Kept in sync with pyproject.toml [project].version (the single metadata
 # source for the wheel); tests/test_storage_and_extras.py pins the match.
-__version__ = "0.12.0"
+__version__ = "0.13.0"
 
 __all__ = [
     "CheckDownloadError",
