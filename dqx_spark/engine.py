@@ -119,6 +119,39 @@ class DQEngine:
         error_conds: list[Column] = []
         warn_conds: list[Column] = []
         n_dataset = 0
+
+        # r12 fused stats pass: dataset rules whose stats subplan is a plain
+        # aggregate over the ORIGINAL input advertise an _AggFusionSpec on
+        # their closure; compatible specs within THIS rule list are batched
+        # so ONE stats subplan (one input scan + one broadcast join-back)
+        # serves the whole batch — N global-aggregate rules cost 1 full
+        # input scan instead of N.  Values are identical either way (each
+        # member's aggregate expression and verdict projection are exactly
+        # its single-rule ones); single-member batches keep the unfused
+        # single-rule plan shape.
+        from dqx_spark.functions.dataset_checks import apply_fused_agg_rules  # noqa: PLC0415
+
+        fusion_batches: dict[tuple, list[int]] = {}
+        fusion_specs: dict[int, tuple] = {}
+        for r in error_rules + warn_rules:
+            if r.rule_type != "dataset" or id(r) in fusion_specs:
+                continue
+            if self._skip_reason(r, df) is not None:
+                continue
+            try:
+                _c, closure = r.invoke_cached()
+            except Exception:  # noqa: BLE001 — the main loop raises identically
+                continue
+            spec = getattr(closure, "_dq_fusion", None)
+            if spec is None:
+                continue
+            key = spec.key()
+            fusion_batches.setdefault(key, []).append(id(r))
+            fusion_specs[id(r)] = (key, spec)
+        fusion_batches = {k: v for k, v in fusion_batches.items() if len(v) >= 2}
+        fusion_specs = {rid: ks for rid, ks in fusion_specs.items() if ks[0] in fusion_batches}
+        fused_done: set[tuple] = set()
+
         # Thread current_df through rules so later rules see earlier rules'
         # hidden condition columns (reference engine.py:568-591).
         # The SAME rule object listed twice contributes its first condition
@@ -133,7 +166,16 @@ class DQEngine:
                 if prior is not None:
                     sink.append(prior)
                 continue
-            cond, current_df = self._process_rule(rule, current_df, df, spark, ref_dfs, set_fp)
+            ks = fusion_specs.get(id(rule))
+            if ks is not None and ks[0] not in fused_done:
+                batch_specs = [fusion_specs[rid][1] for rid in fusion_batches[ks[0]]]
+                current_df = apply_fused_agg_rules(
+                    current_df, df, batch_specs, spark=spark, ref_dfs=ref_dfs
+                )
+                fused_done.add(ks[0])
+            cond, current_df = self._process_rule(
+                rule, current_df, df, spark, ref_dfs, set_fp, closure_applied=ks is not None
+            )
             seen_in_pass[id(rule)] = cond
             if cond is not None:
                 sink.append(cond)
@@ -428,6 +470,7 @@ class DQEngine:
         spark: SparkSession,
         ref_dfs: dict[str, DataFrame] | None,
         set_fp: str,
+        closure_applied: bool = False,
     ) -> tuple[Column | None, DataFrame]:
         skip_reason = self._skip_reason(rule, original_df)
         if skip_reason is not None:
@@ -445,14 +488,19 @@ class DQEngine:
             # be recycled; per-object keys sidestep the fingerprint-
             # collision caveat that gates the row cache below.
             condition, closure = rule.invoke_cached()
-            # checks like has_valid_schema must see only the original
-            # (pre-check) column set (reference engine.py:483-513)
-            original_columns = (
-                list(original_df.columns)
-                if rule.check_func.__name__ in PRESELECT_ORIGINAL_COLUMNS_REGISTRY
-                else None
-            )
-            new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns, original_df)
+            if closure_applied:
+                # the engine's fused stats pass already appended this rule's
+                # hidden message column to current_df — only wrap the result
+                new_df = current_df
+            else:
+                # checks like has_valid_schema must see only the original
+                # (pre-check) column set (reference engine.py:483-513)
+                original_columns = (
+                    list(original_df.columns)
+                    if rule.check_func.__name__ in PRESELECT_ORIGINAL_COLUMNS_REGISTRY
+                    else None
+                )
+                new_df = _call_closure(closure, current_df, spark, ref_dfs, original_columns, original_df)
             struct_key = (id(rule), set_fp)
             pinned = self._dataset_struct_cache.get(struct_key)
             if pinned is None:

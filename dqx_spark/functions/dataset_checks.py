@@ -390,6 +390,84 @@ def _agg_expr(column, aggr_type: str, row_filter: str | None, aggr_params: dict 
     return getattr(F, aggr_type)(inp)
 
 
+class _AggFusionSpec:
+    """Fusion contract (r12 optimization) for dataset checks whose stats
+    pass is a plain aggregate over the ORIGINAL input.  The engine batches
+    compatible specs from one ``apply_checks`` call and computes every
+    member's aggregate expressions in ONE stats subplan — one input scan +
+    one broadcast join-back — instead of one per rule, so N global-aggregate
+    rules cost 1 full input scan at 100 TB rather than N.  Results are
+    bit-identical to the unfused path: each member's aggregate expression
+    and verdict projection are exactly the ones its single-rule ``apply``
+    builds; only the number of Aggregate subtrees in the plan changes.
+
+    ``stats_exprs()`` returns the member's aliased aggregate Columns (fresh
+    objects per call); ``finish(out, spark, ref_dfs)`` appends the member's
+    hidden message column from those aliases and drops them.  ``group_by``
+    is ``None`` for global aggregates; grouped members fuse only when their
+    normalized group key AND broadcast_stats flag match.  ``distinct_agg``
+    members (count_distinct) batch separately from plain aggregates: a
+    DISTINCT aggregate rewrites the fused Aggregate through an Expand,
+    which changes the accumulation ORDER of any float sum/avg sharing the
+    node (measured: last-ulp drift in avg) — distinct metrics themselves
+    are exact integers, so distinct-only batches stay value-identical."""
+
+    __slots__ = ("group_by", "broadcast_stats", "stats_exprs", "finish", "distinct_agg")
+
+    def __init__(self, group_by, broadcast_stats, stats_exprs, finish, distinct_agg=False):
+        self.group_by = group_by
+        self.broadcast_stats = broadcast_stats
+        self.stats_exprs = stats_exprs
+        self.finish = finish
+        self.distinct_agg = distinct_agg
+
+    def key(self) -> tuple:
+        if not self.group_by:
+            return ("global", bool(self.distinct_agg))
+        return (
+            "grouped",
+            tuple(normalize_col_str(g) for g in self.group_by),
+            bool(self.broadcast_stats),
+            bool(self.distinct_agg),
+        )
+
+
+def apply_fused_agg_rules(
+    df: DataFrame,
+    source_df: DataFrame | None,
+    specs: list[_AggFusionSpec],
+    spark: SparkSession | None = None,
+    ref_dfs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Engine hook: one stats subplan for every spec in the batch.
+
+    Global batch: ``base.select(all agg exprs).limit(1)`` + one broadcast
+    crossJoin (the exact single-rule shape, widened to N metric columns).
+    Grouped batch: one ``groupBy(keys).agg(all exprs)`` + one null-safe
+    join-back.  Each member's ``finish`` then builds its verdict from its
+    own metric aliases, so fused output values equal the unfused ones."""
+    base = source_df if source_df is not None else df
+    exprs = [e for spec in specs for e in spec.stats_exprs()]
+    first = specs[0]
+    if not first.group_by:
+        stats = base.select(*exprs).limit(1)
+        out = df.crossJoin(F.broadcast(stats))
+    else:
+        gcols = [to_col(g) for g in first.group_by]
+        sfx = unique_suffix()
+        tmp = [f"__dq_aggr_g{i}_{sfx}" for i in range(len(gcols))]
+        stats = base.groupBy(*[g.alias(t) for g, t in zip(gcols, tmp)]).agg(*exprs)
+        cond = None
+        for g, t in zip(gcols, tmp):
+            term = g.eqNullSafe(stats[t])
+            cond = term if cond is None else (cond & term)
+        stats_side = F.broadcast(stats) if first.broadcast_stats else stats
+        out = df.join(stats_side, on=cond, how="left").drop(*tmp)
+    for spec in specs:
+        out = spec.finish(out, spark, ref_dfs)
+    return out
+
+
 def _is_aggr_compare(
     column,
     limit,
@@ -421,27 +499,10 @@ def _is_aggr_compare(
     metric_col = f"__dq_aggr_metric_{sfx}"
     msg_col = f"__dq_aggr_msg_{sfx}"
 
-    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
-        base = source_df if source_df is not None else df
-        agg = _agg_expr(column, aggr_type, row_filter, aggr_params).alias(metric_col)
-        if group_by:
-            group_cols = [to_col(g) for g in group_by]
-            tmp = [f"__dq_aggr_g{i}_{sfx}" for i in range(len(group_cols))]
-            stats = base.groupBy(*[g.alias(t) for g, t in zip(group_cols, tmp)]).agg(agg)
-            cond = None
-            for g, t in zip(group_cols, tmp):
-                term = g.eqNullSafe(stats[t])
-                cond = term if cond is None else (cond & term)
-            # the aggregated side is one row per group — broadcast it
-            # explicitly: AQE converts SMJ->BHJ only after shuffling the big
-            # side (measured 2x slower at 20M rows).  Callers with extreme
-            # group cardinality pass broadcast_stats=False.
-            stats_side = F.broadcast(stats) if broadcast_stats else stats
-            out = df.join(stats_side, on=cond, how="left").drop(*tmp)
-        else:
-            stats = base.select(agg).limit(1)
-            out = df.crossJoin(F.broadcast(stats))
+    def _stats_exprs() -> list[Column]:
+        return [_agg_expr(column, aggr_type, row_filter, aggr_params).alias(metric_col)]
 
+    def _finish(out: DataFrame, spark=None, ref_dfs=None) -> DataFrame:
         metric = F.col(metric_col)
         limit_expr = get_limit_expr(limit)
         if compare == "gt":
@@ -466,6 +527,31 @@ def _is_aggr_compare(
         )
         return out.withColumn(msg_col, message).drop(metric_col)
 
+    def apply(df: DataFrame, source_df: DataFrame | None = None) -> DataFrame:
+        base = source_df if source_df is not None else df
+        if group_by:
+            group_cols = [to_col(g) for g in group_by]
+            tmp = [f"__dq_aggr_g{i}_{sfx}" for i in range(len(group_cols))]
+            stats = base.groupBy(*[g.alias(t) for g, t in zip(group_cols, tmp)]).agg(*_stats_exprs())
+            cond = None
+            for g, t in zip(group_cols, tmp):
+                term = g.eqNullSafe(stats[t])
+                cond = term if cond is None else (cond & term)
+            # the aggregated side is one row per group — broadcast it
+            # explicitly: AQE converts SMJ->BHJ only after shuffling the big
+            # side (measured 2x slower at 20M rows).  Callers with extreme
+            # group cardinality pass broadcast_stats=False.
+            stats_side = F.broadcast(stats) if broadcast_stats else stats
+            out = df.join(stats_side, on=cond, how="left").drop(*tmp)
+        else:
+            stats = base.select(*_stats_exprs()).limit(1)
+            out = df.crossJoin(F.broadcast(stats))
+        return _finish(out)
+
+    apply._dq_fusion = _AggFusionSpec(
+        list(group_by) if group_by else None, broadcast_stats, _stats_exprs, _finish,
+        distinct_agg=(aggr_type == "count_distinct"),
+    )
     return _lift(msg_col, alias), apply
 
 
@@ -623,6 +709,36 @@ def aggr_matches_dataset(
         )
         return out.withColumn(msg_col, message).drop(metric_col, ref_metric_col)
 
+    if not group_by:
+        # r12 fusion: the checked-side aggregate joins the engine's fused
+        # global stats pass; the (small) reference-side aggregate stays a
+        # per-rule 1-row broadcast crossJoin inside finish.
+        def _stats_exprs() -> list[Column]:
+            return [_agg_expr(column, aggr_type, row_filter, aggr_params).alias(metric_col)]
+
+        def _fused_finish(out: DataFrame, spark=None, ref_dfs=None) -> DataFrame:
+            ref = _resolve_ref(ref_df_name, ref_table, spark, ref_dfs)
+            rc = ref_column if ref_column is not None else column
+            ref_agg = _agg_expr(rc, aggr_type, ref_row_filter, aggr_params).alias(ref_metric_col)
+            refstats = ref.select(ref_agg).limit(1)
+            out = out.crossJoin(F.broadcast(refstats))
+            matches = within_tolerance(
+                F.col(metric_col), F.col(ref_metric_col), abs_tolerance, rel_tolerance
+            )
+            message = F.when(
+                ~F.coalesce(matches, F.lit(False)),
+                F.format_string(
+                    f"{aggr_type}({name}) value '%s' does not match reference value '%s'",
+                    str_value(F.col(metric_col)),
+                    str_value(F.col(ref_metric_col)),
+                ),
+            )
+            return out.withColumn(msg_col, message).drop(metric_col, ref_metric_col)
+
+        apply._dq_fusion = _AggFusionSpec(
+            None, True, _stats_exprs, _fused_finish,
+            distinct_agg=(aggr_type == "count_distinct"),
+        )
     return _lift(msg_col, alias), apply
 
 
@@ -1092,6 +1208,36 @@ def has_no_outliers(
         # single projection (withColumn+drop would be two analysis rounds)
         return out.select(*df.columns, message.alias(msg_col))
 
+    if approx and approx_estimator == "iqr" and stats_via == "plan":
+        # r12 fusion: the one-pass IQR band is a plain global aggregate, so
+        # it can ride the engine's fused stats pass alongside is_aggr_*
+        # rules (exact and approx-'mad' modes are two sequential aggregates
+        # and stay per-rule).
+        def _stats_exprs() -> list[Column]:
+            col = to_col(column).cast("double")
+            inp = filtered(col, row_filter)
+            q = F.percentile_approx(inp, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            return [q[1].alias(med_col), ((q[2] - q[0]) / 2.0).alias(mad_col)]
+
+        def _fused_finish(out: DataFrame, spark=None, ref_dfs=None) -> DataFrame:
+            col = to_col(column).cast("double")
+            lo = F.col(med_col) - F.lit(k) * F.col(mad_col)
+            hi = F.col(med_col) + F.lit(k) * F.col(mad_col)
+            fired = (col < lo) | (col > hi)
+            if row_filter:
+                fired = F.expr(row_filter) & fired
+            message = F.when(
+                F.coalesce(fired, F.lit(False)),
+                F.format_string(
+                    f"Value '%s' in Column '{name}' is outside the MAD band [%s, %s]",
+                    str_value(col),
+                    str_value(lo),
+                    str_value(hi),
+                ),
+            )
+            return out.withColumn(msg_col, message).drop(med_col, mad_col)
+
+        apply._dq_fusion = _AggFusionSpec(None, True, _stats_exprs, _fused_finish)
     return _lift(msg_col, alias), apply
 
 
