@@ -235,11 +235,20 @@ def _write_txn(spark, root: str, frames, txn: str, max_records_per_file: int | N
     r = root.rstrip("/")
     postings, terms, stats, tf = frames
     try:
-        w = postings.write.mode("append")
+        # r12 (guide §6, small files): repartition by the bucket key before
+        # the partitioned write so each (c, pb) subdir gets ONE file instead
+        # of one per upstream shuffle partition that touches it (measured:
+        # the sf0.1 init txn wrote ~700 sub-30KB postings files; every probe
+        # paid ~700 file opens/footer reads and, under small
+        # maxPartitionBytes, ~700 scan tasks).  One shuffle of the postings
+        # at save time — a one-time cost the probes amortize.  Oversized
+        # per-bucket files at real scale are re-split by maxRecordsPerFile
+        # (and `partitions` scales the bucket count itself).
+        w = postings.repartition(F.col("pb")).write.mode("append")
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.partitionBy("c", "pb").parquet(r + "/postings")
-        terms.write.mode("append").partitionBy("c", "pb").parquet(r + "/terms")
+        terms.repartition(F.col("pb")).write.mode("append").partitionBy("c", "pb").parquet(r + "/terms")
         stats.write.mode("append").partitionBy("c").parquet(r + "/stats")
     finally:
         if tf is not None:

@@ -1109,9 +1109,12 @@ def test_bm25_plan_broadcast_query_side_no_cartesian(spark):
     p = plan_of(retrieval.bm25_topk(docs, q, "doc_id", "text", k=5))
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p, "query-terms side must broadcast into postings"
-    # two-stage top-k: the global per-qid window only ever sees the salted
-    # survivors, so BOTH window specs appear
+    # r12 single-window top-k: the rank filter triggers WindowGroupLimit
+    # pushdown, so the plan carries the map-side partial limit node(s) AND
+    # the final Window — the same >=2 "Window" occurrences the pre-r12
+    # salted two-stage satisfied, now without its extra Exchange
     assert p.count("Window") >= 2
+    assert "WindowGroupLimit" in p, "map-side partial top-k must be pushed down"
 
 
 def test_bm25_index_probe_partition_pruned_no_corpus_agg(spark, tmp_path):
