@@ -667,8 +667,14 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str, k: float = 0.1) 
     bi = toks.select("id", F.explode(pairs).alias("p")).select(
         "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    prefix_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__cp"))
     bigram_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    # r12: derive the prefix counts from the bigram TYPE table instead of
+    # re-aggregating the corpus-sized instance stream — c(w1·) = Σ_w2
+    # c(w1,w2) exactly (integer sums, bit-identical scores), and the
+    # bigram_counts subtree now appears twice IDENTICALLY, so Spark's
+    # ReuseExchange serves both consumers from one corpus shuffle (plan:
+    # one Exchange over instances instead of two)
+    prefix_counts = bigram_counts.groupBy("w1").agg(F.sum("__cb").alias("__cp"))
     vocab = toks.select(F.explode("__t").alias("w")).agg(
         F.count_distinct("w").cast("double").alias("__v")
     )
@@ -909,8 +915,14 @@ def nb_classifier_scores(
     ).where(F.col("label").isNotNull())
     occ = toks_train.select("label", F.explode("__t").alias("w"))
     cw = occ.groupBy("label", "w").agg(F.count(F.lit(1)).alias("__cw"))
-    ct = occ.groupBy("label").agg(F.count(F.lit(1)).alias("__ct"))
-    vocab = occ.select(F.count_distinct("w").cast("double").alias("__v"))
+    # r12: per-label totals and vocabulary derive from the (label, w) TYPE
+    # table instead of re-aggregating the token-instance stream — exact:
+    # Σ_w c(w,label) over types equals the instance count, and distinct w
+    # over cw equals distinct w over occ (every occurring token owns a cw
+    # row).  The cw subtree appears identically under all three consumers,
+    # so ReuseExchange serves them from ONE corpus-sized shuffle.
+    ct = cw.groupBy("label").agg(F.sum("__cw").alias("__ct"))
+    vocab = cw.select(F.count_distinct("w").cast("double").alias("__v"))
     n_docs = toks_train.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     priors = (
         toks_train.groupBy("label")

