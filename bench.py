@@ -635,6 +635,28 @@ def main() -> None:
         docs, "doc_id", "text", 5, 0.5
     )
 
+    # r12 optimization-round tooling: SPARK_GRAFT_EXPLAIN_DIR=<dir> dumps
+    # every case's .explain("formatted") plan to <dir>/<case>.txt and exits
+    # without timing (plan evidence for plans/r12/, never set by the driver).
+    expl_dir = os.environ.get("SPARK_GRAFT_EXPLAIN_DIR")
+    if expl_dir:
+        import contextlib
+        import io
+
+        os.makedirs(expl_dir, exist_ok=True)
+        only = set(os.environ.get("SPARK_GRAFT_EXPLAIN_ONLY", "").split(",")) - {""}
+        for name, build in cases.items():
+            if only and name not in only:
+                continue
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                build().explain("formatted")
+            with open(os.path.join(expl_dir, f"{name}.txt"), "w") as fh:
+                fh.write(buf.getvalue())
+        print(json.dumps({"metric": "explain_only", "value": 0, "unit": "sec",
+                          "queries": {}, "sf": float(sf_tag)}))
+        return
+
     def timed(fn, runs: int = 3) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
