@@ -893,6 +893,33 @@ def dsir_log_ratios(
     }
 
 
+def _array_literal(spark, values: list[float | None]) -> Column:
+    """A Column holding ``values`` as a SINGLE array<double> ``Literal``
+    node.  ``F.array(*map(F.lit, values))`` builds a CreateArray with
+    ``len(values)`` children, which the analyzer/optimizer re-walks on
+    every pass — ~2 s of plan-build time per query at 1024 elements
+    (measured r12); the JVM-side ``functions.lit`` over a ``Double[]``
+    folds to one node up front (nulls preserved).  Falls back to the
+    expression form when no py4j gateway is reachable (Spark Connect)."""
+    try:
+        sc = spark.sparkContext
+        gw = sc._gateway
+        jarr = gw.new_array(gw.jvm.java.lang.Double, len(values))
+        for i, v in enumerate(values):
+            if v is not None:
+                jarr[i] = float(v)
+        from pyspark.sql.column import Column as _C
+
+        return _C(sc._jvm.org.apache.spark.sql.functions.lit(jarr))
+    except Exception:  # pragma: no cover - Connect-only path
+        return F.array(
+            *[
+                (F.lit(float(v)) if v is not None else F.lit(None)).cast("double")
+                for v in values
+            ]
+        )
+
+
 def dsir_weights(
     df: DataFrame,
     id_col: str,
@@ -911,40 +938,47 @@ def dsir_weights(
     (float addition is not associative; pinning the order makes it exact —
     the property the gate twin relies on).  Featureless docs get logw 0.
 
-    Plan shape: scan-local feature melt → ONE broadcast join against the
-    ≤ ``buckets``-row ratio table → per-doc collect_list (bounded by the
-    document's own token count) → sorted fold.  Nothing corpus-sized is
-    shuffled beyond the per-doc aggregation."""
-    spark = df.sparkSession
-    ratio_df = spark.createDataFrame(
-        [(int(b), float(v)) for b, v in log_ratios.items()], "b long, lr double"
+    Plan shape (r12): ONE scan-local projection — the ≤ ``buckets``-entry
+    ratio table rides the plan as an array LITERAL indexed by bucket id
+    (features are ``pmod``-bounded to ``[0, buckets)``), so the lookup,
+    the per-doc sorted fold, and the feature count all happen inside the
+    scan.  Zero shuffles, zero joins: the r11 body melted the features,
+    broadcast-joined the ratio rows, re-aggregated per doc, and
+    sort-merge-joined the whole corpus back on ``id_col`` — two
+    corpus-sized exchanges that pure expression evaluation replaces.
+    Values are bit-identical: the fold still runs over the ARRAY-SORTED
+    ratio list, and the per-doc ratio multiset is unchanged."""
+    # complete-by-construction when produced by dsir_log_ratios; a partial
+    # caller dict degrades to nulls, dropped exactly like the old left
+    # join's misses.  Built as ONE JVM-side array Literal: an F.array of
+    # `buckets` child expressions costs ~2 s of analyzer/optimizer time
+    # PER QUERY BUILD at buckets=1024 (measured r12) — the single Literal
+    # node plans in microseconds and element_at reads it unboxed.
+    ratio_arr = _array_literal(
+        df.sparkSession, [log_ratios.get(i) for i in range(buckets)]
     )
-    melt = df.select(
-        to_col(id_col).alias("__did"),
-        F.explode_outer(
-            dsir_feature_hashes(
-                text_col, buckets, bigrams=bigrams, lowercase=lowercase, hash_name=hash_name
-            )
-        ).alias("b"),
+    feats = F.coalesce(
+        dsir_feature_hashes(
+            text_col, buckets, bigrams=bigrams, lowercase=lowercase, hash_name=hash_name
+        ),
+        F.array().cast("array<bigint>"),
     )
-    per_doc = (
-        melt.join(F.broadcast(ratio_df), "b", "left")
-        .groupBy("__did")
-        .agg(
-            F.count("lr").alias("dsir_n_features"),
-            F.coalesce(
-                F.aggregate(
-                    F.array_sort(F.collect_list("lr")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                F.lit(0.0),
-            ).alias("dsir_logw"),
+    lrs = F.array_sort(
+        F.filter(
+            F.transform(feats, lambda b: F.element_at(ratio_arr, b.cast("int") + F.lit(1))),
+            lambda x: x.isNotNull(),
         )
     )
-    return df.join(
-        per_doc.withColumnRenamed("__did", id_col), id_col, "left"
-    ).fillna({"dsir_n_features": 0, "dsir_logw": 0.0})
+    # two-step projection: the tokenize→hash→lookup→sort pipeline lands in
+    # ONE alias referenced by both outputs — Catalyst does not CSE across
+    # HOF lambdas, and CollapseProject keeps the split because the alias is
+    # referenced twice (the same trick as text.text_profile)
+    staged = df.select("*", lrs.alias("__dsir_lrs"))
+    return staged.select(
+        *df.columns,
+        F.size("__dsir_lrs").cast("long").alias("dsir_n_features"),
+        F.aggregate(F.col("__dsir_lrs"), F.lit(0.0), lambda acc, x: acc + x).alias("dsir_logw"),
+    )
 
 
 def dsir_resample(
