@@ -904,10 +904,20 @@ def _array_literal(spark, values: list[float | None]) -> Column:
     try:
         sc = spark.sparkContext
         gw = sc._gateway
-        jarr = gw.new_array(gw.jvm.java.lang.Double, len(values))
-        for i, v in enumerate(values):
-            if v is not None:
-                jarr[i] = float(v)
+        if all(v is not None for v in values):
+            # bulk path: ONE py4j transfer of the packed doubles — a
+            # per-element jarr[i] loop is ~1024 py4j round trips, ~0.1 s
+            # of driver time per query build (measured r12)
+            import struct as _struct
+
+            packed = bytearray(_struct.pack(f">{len(values)}d", *values))
+            jarr = gw.new_array(gw.jvm.double, len(values))
+            gw.jvm.java.nio.ByteBuffer.wrap(packed).asDoubleBuffer().get(jarr)
+        else:
+            jarr = gw.new_array(gw.jvm.java.lang.Double, len(values))
+            for i, v in enumerate(values):
+                if v is not None:
+                    jarr[i] = float(v)
         from pyspark.sql.column import Column as _C
 
         return _C(sc._jvm.org.apache.spark.sql.functions.lit(jarr))
