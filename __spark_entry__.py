@@ -349,7 +349,20 @@ def q_dedup_minhash(spark, sf):
       kept-set the twin derives via a recursive CTE.
 
     Both equalities are the incremental == corpus-at-once guarantee: the
-    onboarding path only ever shuffles the new batch."""
+    onboarding path only ever shuffles the new batch.
+
+    r13 (VERDICT r12 #1, window restore): this row ALSO hosts the ENTIRE
+    ``q_crawl_day`` surface as ``scope='crawl_<scope>'`` legs mapped into
+    the host's 8-column shape (kept → id_a; kmv_n → common;
+    kmv_checksum → size_a; store version → id_a) — the r12 registry had
+    grown to 52 entries, pushing time_rollup/anomaly_train_score out of
+    the driver's 50-query window; folding the two r12-added rows
+    (crawl_day here, bm25_topk into ann_topk) as tagged legs restores
+    the window with ZERO loss of certified coverage: the streaming-sink
+    loop still runs end-to-end and every crawl row is still hash-checked
+    against the same from-scratch DuckDB twin, just under the host's
+    name.  Both are dedup-index stories, so the scope-tagged pair/kept
+    shape is shared naturally."""
     df = _read(spark, sf, "documents")
     out_cols = lambda p, scope: p.select(  # noqa: E731
         F.lit(scope).alias("scope"),
@@ -425,12 +438,26 @@ def q_dedup_minhash(spark, sf):
         nl("long").alias("common"), nl("long").alias("size_a"),
         nl("long").alias("size_b"), nl("double").alias("jaccard"),
     )
+    # r13 window restore: crawl_day's three scopes ride as tagged legs —
+    # same loop body, same twin, hosted here so the registry fits the
+    # driver's 50-query window (see docstring)
+    crawl = q_crawl_day(spark, sf).select(
+        F.concat(F.lit("crawl_"), F.col("scope")).alias("scope"),
+        F.col("id").cast("long").alias("id_a"),
+        nl("long").alias("id_b"),
+        nl("double").alias("est_jaccard"),
+        F.col("kmv_n").cast("long").alias("common"),
+        F.col("kmv_checksum").cast("long").alias("size_a"),
+        nl("long").alias("size_b"),
+        nl("double").alias("jaccard"),
+    )
     return (
         out_cols(within, "within")
         .unionByName(out_cols(cross, "cross"))
         .unionByName(incr)
         .unionByName(incr_kept)
         .unionByName(tomb_kept)
+        .unionByName(crawl)
     )
 
 
@@ -647,7 +674,19 @@ def q_ann_topk(spark, sf):
     rows discriminate at any vintage) and re-serve the queries; twin =
     the replay over the surviving rows with the unchanged frozen
     centroids/books.  Green == logical deletion bit-equal to an index
-    built without the removed vectors."""
+    built without the removed vectors.
+
+    r13 (VERDICT r12 #1, window restore): this row ALSO hosts the ENTIRE
+    ``q_bm25_topk`` surface as ``method='bm25_<scope>_q<qid>'`` legs
+    (columns ``n_matched``/``score`` added to the union schema, NULL on
+    the ANN legs) — the r12 registry had grown to 52 entries, pushing
+    time_rollup/anomaly_train_score out of the driver's 50-query window;
+    folding the two r12-added rows (bm25_topk here, crawl_day into
+    dedup_minhash_lsh) as tagged legs restores the window with ZERO loss
+    of certified coverage: every bm25/crawl row is still hash-checked
+    against the same from-scratch DuckDB twin, just under the host's
+    name.  Both retrieval queries are top-k-per-query surfaces, so the
+    (method, id, rank) shape is shared naturally."""
     p = _ANN_PARAMS
     df = _read(spark, sf, "embeddings")
     qvec = [float(x) for x in df.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -790,12 +829,29 @@ def q_ann_topk(spark, sf):
         F.concat(F.lit("ivfpq_tomb_q"), F.col("query_id").cast("string")).alias("method"),
         "id", "rank",
     )
-    return (
+    ann = (
         exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
         .unionByName(ivfpq).unionByName(ivfpq_join).unionByName(ivf_join)
         .unionByName(lsh_join).unionByName(lsh_disk).unionByName(ivfpq_disk)
         .unionByName(ivfpq_tomb)
     )
+    # r13 window restore: bm25_topk's four scopes ride as tagged legs —
+    # same query body, same twin, hosted here so the registry fits the
+    # driver's 50-query window (see docstring)
+    bm = q_bm25_topk(spark, sf).select(
+        F.concat(F.lit("bm25_"), F.col("scope"), F.lit("_q"), F.col("qid").cast("string")).alias("method"),
+        F.col("doc_id").alias("id"),
+        F.col("rank").cast("long").alias("rank"),
+        "n_matched",
+        "score",
+    )
+    return ann.select(
+        "method",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit(None).cast("long").alias("n_matched"),
+        F.lit(None).cast("double").alias("score"),
+    ).unionByName(bm)
 
 
 def q_boilerplate_removal(spark, sf):
@@ -2692,7 +2748,10 @@ def q_metrics_summary(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly the driver's 50-query correctness window — every registered
-    query gets a gate row each round.
+    query gets a gate row each round.  (r13: back to exactly 50 entries —
+    the r12 build round had grown this dict to 52, silently dropping the
+    final two entries from the driver's verified window; bm25_topk and
+    crawl_day now ride as certified legs of ann_topk / dedup_minhash_lsh.)
 
     §2 checks are certified through BATCH queries (one boolean column per
     check, named after the check function) so the whole surface fits:
@@ -2754,9 +2813,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_profile": q_gopher_profile,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "bm25_topk": q_bm25_topk,
+        # r13: bm25_topk legs live inside ann_topk, crawl_day legs inside
+        # dedup_minhash_lsh (VERDICT r12 #1 — the 52-entry registry pushed
+        # time_rollup/anomaly_train_score out of the driver's 50-query
+        # window; the two r12-added rows fold back as tagged legs so the
+        # window holds exactly 50 with no certified surface lost)
         "dedup_minhash_lsh": q_dedup_minhash,
-        "crawl_day": q_crawl_day,
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -3753,8 +3815,17 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_train_score": _anomaly_forest_oracle_sql(
             os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
         ),
-        "ann_topk": _ann_topk_oracle_sql(
-            os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        # r13: ann_topk hosts the bm25_topk legs (window restore) — the ANN
+        # replay twin widened with NULL n_matched/score, the bm25 twin mapped
+        # to method='bm25_<scope>_q<qid>' rows.  Same two independent
+        # derivations as before, one gate row.
+        "ann_topk": (
+            "SELECT method, id, rank, NULL::BIGINT AS n_matched, NULL::DOUBLE AS score FROM ("
+            + _ann_topk_oracle_sql(os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+            + ") UNION ALL SELECT 'bm25_' || scope || '_q' || qid::VARCHAR AS method, "
+            "doc_id AS id, rank::BIGINT AS rank, n_matched, score FROM ("
+            + _bm25_oracle()
+            + ")"
         ),
         # ------------------------------------------------------------------
         # batched §2 oracles (one boolean column per check, same fixtures as
@@ -4554,9 +4625,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM cm JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
             "WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5"
         ),
-        "bm25_topk": _bm25_oracle(),
-        "dedup_minhash_lsh": _minhash_oracle(),
-        "crawl_day": _crawl_day_oracle(),
+        # r13: dedup_minhash_lsh hosts the crawl_day legs (window restore) —
+        # the crawl twin mapped into the host's 8-column shape
+        # (kept.id → id_a, kmv_n → common, kmv_checksum → size_a).
+        "dedup_minhash_lsh": (
+            _minhash_oracle()
+            + " UNION ALL SELECT 'crawl_' || scope AS scope, id AS id_a, "
+            "NULL::BIGINT AS id_b, NULL::DOUBLE AS est_jaccard, kmv_n AS common, "
+            "kmv_checksum AS size_a, NULL::BIGINT AS size_b, NULL::DOUBLE AS jaccard FROM ("
+            + _crawl_day_oracle()
+            + ")"
+        ),
         "dedup_simhash": _simhash_oracle(),
         "dedup_groups": (
             "WITH RECURSIVE "

@@ -31,6 +31,10 @@ from dqx_spark.rule import (
 from dqx_spark.reporting import INFO_COLUMN_PREFIX, merge_info_columns
 from dqx_spark.schema import ERRORS_COLUMN, INFO_COLUMN, WARNINGS_COLUMN, dq_result_item_schema
 
+# sentinel for _process_rule's skip_reason parameter: None is a meaningful
+# value ("not skipped"), so absence needs its own marker
+_SKIP_UNSET = object()
+
 
 @dataclass(frozen=True)
 class ExtraParams:
@@ -131,12 +135,25 @@ class DQEngine:
         # single-rule plan shape.
         from dqx_spark.functions.dataset_checks import apply_fused_agg_rules  # noqa: PLC0415
 
+        # r13 (ADVICE r12): memoize skip verdicts for this apply — the scan
+        # below and the main loop's _process_rule otherwise BOTH run
+        # _skip_reason per rule, and for Column-expression args each call
+        # does analyzer probes (py4j round trips), doubling exactly the
+        # plan-build cost the _skip_reason fast path exists to bound.
+        skip_memo: dict[int, str | None] = {}
+
+        def _skip_of(r: DQRule) -> str | None:
+            rid = id(r)
+            if rid not in skip_memo:
+                skip_memo[rid] = self._skip_reason(r, df)
+            return skip_memo[rid]
+
         fusion_batches: dict[tuple, list[int]] = {}
         fusion_specs: dict[int, tuple] = {}
         for r in error_rules + warn_rules:
             if r.rule_type != "dataset" or id(r) in fusion_specs:
                 continue
-            if self._skip_reason(r, df) is not None:
+            if _skip_of(r) is not None:
                 continue
             try:
                 _c, closure = r.invoke_cached()
@@ -174,7 +191,8 @@ class DQEngine:
                 )
                 fused_done.add(ks[0])
             cond, current_df = self._process_rule(
-                rule, current_df, df, spark, ref_dfs, set_fp, closure_applied=ks is not None
+                rule, current_df, df, spark, ref_dfs, set_fp, closure_applied=ks is not None,
+                skip_reason=_skip_of(rule),
             )
             seen_in_pass[id(rule)] = cond
             if cond is not None:
@@ -471,8 +489,10 @@ class DQEngine:
         ref_dfs: dict[str, DataFrame] | None,
         set_fp: str,
         closure_applied: bool = False,
+        skip_reason: str | None | object = _SKIP_UNSET,
     ) -> tuple[Column | None, DataFrame]:
-        skip_reason = self._skip_reason(rule, original_df)
+        if skip_reason is _SKIP_UNSET:
+            skip_reason = self._skip_reason(rule, original_df)
         if skip_reason is not None:
             if self.suppress_skipped:
                 return None, current_df

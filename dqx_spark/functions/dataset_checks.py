@@ -424,9 +424,23 @@ class _AggFusionSpec:
     def key(self) -> tuple:
         if not self.group_by:
             return ("global", bool(self.distinct_agg))
+        # r13 (ADVICE r12): the grouped key must be COLLISION-SAFE.
+        # normalize_col_str collapses non-alphanumerics, so two rules with
+        # DIFFERENT group expressions ('a + b' vs 'a - b', 'a.b' vs 'a_b' —
+        # to_col parses strings as full SQL) could normalize identically,
+        # silently fuse, and the second rule's stats would group and join
+        # back on the FIRST rule's key.  Key on the RAW string instead
+        # (equal raw strings parse to equal expressions, so fusing them is
+        # exact); Column-object group keys get a per-spec unique key — a
+        # singleton batch never fuses, keeping the unfused single-rule plan.
+        ids: list[str] = []
+        for g in self.group_by:
+            if not isinstance(g, str):
+                return ("grouped_nofuse", id(self))
+            ids.append(g)
         return (
             "grouped",
-            tuple(normalize_col_str(g) for g in self.group_by),
+            tuple(ids),
             bool(self.broadcast_stats),
             bool(self.distinct_agg),
         )

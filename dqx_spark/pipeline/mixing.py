@@ -957,7 +957,17 @@ def dsir_weights(
     sort-merge-joined the whole corpus back on ``id_col`` — two
     corpus-sized exchanges that pure expression evaluation replaces.
     Values are bit-identical: the fold still runs over the ARRAY-SORTED
-    ratio list, and the per-doc ratio multiset is unchanged."""
+    ratio list, and the per-doc ratio multiset is unchanged.
+
+    Per-ROW semantics (r13 note, ADVICE r12): each output row is scored
+    from ITS OWN ``text_col`` independently — ``id_col`` is not used for
+    aggregation.  This differs from the pre-r12 body for degenerate ids
+    only: duplicate ``id_col`` values used to share one combined
+    count/logw (features of all same-id rows pooled by the groupBy) and
+    null-id rows fell out of the equi-join and were filled with 0/0.0.
+    The contract here is one-row-per-document with a unique, non-null id
+    (what every in-tree caller and the gate fixture provide); under that
+    contract the two bodies are bit-identical."""
     # complete-by-construction when produced by dsir_log_ratios; a partial
     # caller dict degrades to nulls, dropped exactly like the old left
     # join's misses.  Built as ONE JVM-side array Literal: an F.array of

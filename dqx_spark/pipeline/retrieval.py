@@ -295,8 +295,17 @@ def bm25_topk(
     Exchange + two Sorts (interleaved A/B at sf0.1: corpus path median
     2.44 s -> 1.92 s, index-probe path 4.03 -> 3.72; output verified
     identical — same order spec, total order via the id tiebreak).
-    ``num_salts`` is retained for API compatibility and ignored."""
-    del num_salts  # pre-r12 knob: the map-side WindowGroupLimit replaces it
+
+    The pushdown is gated by ``spark.sql.window.group.limit.threshold``
+    (default 1000): for ``k`` ABOVE the session's threshold the rank
+    filter would degrade to one full window partition per qid — the
+    corpus-sized scored frame for a hot query id serialized through a
+    single task.  r13 (ADVICE r12): in that case the explicit salted
+    two-stage top-k is used instead — ``num_salts`` deterministic salts
+    (``pmod(xxhash64(id))``) bound each first-stage partition, the second
+    window merges the ≤ ``num_salts · k`` survivors per qid.  Same
+    result (every global top-k row is in its salt's top-k), same
+    per-task bound, independent of the session threshold."""
     scored = bm25_scores(
         docs, queries, id_col, text_col, query_id_col, query_text_col,
         k1, b, lowercase, postings=postings, stats=stats, df_counts=df_counts,
@@ -304,6 +313,21 @@ def bm25_topk(
     )
     rank_score = F.round(F.col("score"), tie_rounding) if tie_rounding is not None else F.col("score")
     order = [rank_score.desc(), F.col("id").asc()]
+    try:
+        thr = int(scored.sparkSession.conf.get("spark.sql.window.group.limit.threshold", "1000"))
+    except Exception:  # noqa: BLE001 — Connect / conf-less sessions: assume the default
+        thr = 1000
+    if k > thr and num_salts and num_salts > 1:
+        # WindowGroupLimit will not fire for this k: bound the hot-qid
+        # funnel explicitly with the pre-r12 salted two-stage top-k
+        salt = F.pmod(F.xxhash64(F.col("id")), F.lit(int(num_salts)))
+        w1 = Window.partitionBy("qid", "__dq_salt").orderBy(*order)
+        scored = (
+            scored.withColumn("__dq_salt", salt)
+            .withColumn("__dq_r1", F.row_number().over(w1))
+            .where(F.col("__dq_r1") <= k)
+            .drop("__dq_salt", "__dq_r1")
+        )
     w = Window.partitionBy("qid").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))

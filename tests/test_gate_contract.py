@@ -1,8 +1,8 @@
-"""Locks the driver-gate contract of __spark_entry__: the correctness
-window is exactly 52 queries, every oracle key has a query, and the
-rows-only set stays the explicit, justified list.  A future reorder or
-addition that silently pushes a query out of the checked window fails
-here first, not in the round's CORRECTNESS file."""
+"""Locks the driver-gate contract of __spark_entry__: the registry is
+exactly the driver's 50-query correctness window, every oracle key has a
+query, and the rows-only set stays the explicit, justified list.  A
+future reorder or addition that silently pushes a query out of the
+checked window fails here first, not in the round's CORRECTNESS file."""
 
 import sys
 from pathlib import Path
@@ -24,12 +24,16 @@ EXPECTED_ROWS_ONLY: set[str] = set(
 )
 
 
-def test_window_is_exactly_52():
-    # 50 through r11; +1 in r12: crawl_day (VERDICT r11 #7 — the streaming
-    # ingestion + incremental sketches loop certified as ONE gate row);
-    # +1 later in r12: bm25_topk (retrieval + persisted inverted index,
-    # scan and through-the-store scopes against one from-scratch twin)
-    assert len(entry.queries()) == 52
+def test_window_is_exactly_50():
+    # 50 through r11; the r12 build round grew the dict to 52 (crawl_day,
+    # bm25_topk), silently pushing time_rollup/anomaly_train_score out of
+    # the driver's 50-query verified window (VERDICT r12 #1).  r13 folds
+    # the two r12 additions back as certified legs (bm25_topk → ann_topk,
+    # crawl_day → dedup_minhash_lsh) so the registry is EXACTLY the
+    # window again — any future addition must consolidate, not append.
+    assert len(entry.queries()) == 50
+    assert "time_rollup" in entry.queries()
+    assert "anomaly_train_score" in entry.queries()
 
 
 def test_every_query_has_oracle_or_is_whitelisted_rows_only():
