@@ -657,16 +657,62 @@ def main() -> None:
                           "queries": {}, "sf": float(sf_tag)}))
         return
 
-    def timed(fn, runs: int = 3) -> float:
+    def timed(fn, runs: int = 3, group: str | None = None) -> float:
         """Best of N runs — the reference benchmarks mean-of-5 after warmup
         (pytest-benchmark); min-of-3 strips first-run codegen compile and
-        same-JVM GC noise between cases."""
+        same-JVM GC noise between cases.  With ``group``, each run is
+        labeled ``<group>#r<i>`` so per-run executor task-time can be read
+        back from the driver's status store (see _group_task_time)."""
         best = float("inf")
-        for _ in range(runs):
-            start = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - start)
+        for i in range(runs):
+            if group is not None:
+                spark.sparkContext.setJobGroup(f"{group}#r{i}", group)
+            try:
+                start = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - start)
+            finally:
+                if group is not None:
+                    spark.sparkContext.setJobGroup(None, None)
         return round(best, 3)
+
+    def _group_task_time(prefix: str, runs: int = 3) -> list[float]:
+        """r13 (VERDICT r12 #5): per-run executor task-time totals (seconds)
+        for the job groups ``<prefix>#r<i>``, from the driver's in-memory
+        AppStatusStore (the same numbers the Spark UI REST API serves — the
+        UI itself is disabled here).  task_time / wall_time is the measured
+        effective parallelism of a case, which makes scaling claims
+        falsifiable on one box: a case whose 32-core wall time is floor-bound
+        shows task_time ≈ wall (no parallel work to speak of), a genuinely
+        parallel case shows task_time >> wall.  Collected immediately after
+        each case so status-store eviction (spark.ui.retainedStages) cannot
+        bite; best-effort by construction."""
+        out: list[float] = []
+        try:
+            store = spark.sparkContext._jsc.sc().statusStore()
+            jobs = store.jobsList(None)
+            per_run: dict[int, float] = {}
+            for ji in range(jobs.size()):
+                j = jobs.apply(ji)
+                grp = j.jobGroup()
+                if not grp.isDefined():
+                    continue
+                g = grp.get()
+                if not g.startswith(prefix + "#r"):
+                    continue
+                run_idx = int(g.rsplit("#r", 1)[1])
+                sids = [j.stageIds().apply(k) for k in range(j.stageIds().size())]
+                total = 0.0
+                for sid in sids:
+                    try:
+                        total += store.lastStageAttempt(sid).executorRunTime()
+                    except Exception:  # noqa: BLE001 — skipped/evicted stage
+                        pass
+                per_run[run_idx] = per_run.get(run_idx, 0.0) + total
+            out = [round(per_run.get(i, 0.0) / 1000.0, 3) for i in range(runs)]
+        except Exception:  # noqa: BLE001 — instrumentation must never fail the bench
+            out = []
+        return out
 
     # fixed-overhead CANARY (r8, VERDICT r7 item 2): no-op cases so
     # environment drift and plan drift are separable across rounds —
@@ -696,8 +742,12 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    task_times: dict[str, list[float]] = {}
     for name, build in cases.items():
-        timings[name] = timed(lambda b=build: materialize(b()))
+        timings[name] = timed(lambda b=build: materialize(b()), group=f"tt_{name}")
+        tt = _group_task_time(f"tt_{name}")
+        if tt:
+            task_times[name] = tt
     # one honest full-materialization number (every result struct serialized)
     full_df = cases["all_row_checks"]()
     timings["all_row_checks_materialized"] = timed(lambda: materialize_full(full_df))
@@ -765,6 +815,17 @@ def main() -> None:
     result["stages_canary_ratio"] = {
         q: round(t / canary["stages"], 2) for q, t in timings.items()
     } if canary["stages"] else {}
+    # r13 (VERDICT r12 #5): per-run executor task-time totals (s) and the
+    # implied effective parallelism (min task-time / best wall) per case —
+    # details-file only.  At sf0.1 most sub-second cases read parallelism
+    # ≈1-3 (floor-bound, no parallel work), which is the measured reason the
+    # 8v32-core wall-clock block is uninformative at this SF.
+    result["executor_task_time_s"] = task_times
+    result["effective_parallelism"] = {
+        q: round(min(tt) / timings[q], 2)
+        for q, tt in task_times.items()
+        if timings.get(q) and min(tt) > 0
+    }
     result["all_dataset_checks_decomposition"] = adc_decomposition
 
     # ------------------------------------------------------------------

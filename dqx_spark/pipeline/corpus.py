@@ -648,10 +648,35 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str, k: float = 0.1) 
     tokens get ``n_bigrams = 0`` and a null score.
 
     Plan (no broadcast assumption — the vocab may itself be huge): lower-
-    cased tokens once; bigram explode; two count aggregations (map-side
-    combined); scoring joins the exploded bigrams back to the count
-    tables keyed on the token strings and sums per doc.  V rides along as
-    a 1-row broadcast crossJoin, so the whole thing is one lazy plan."""
+    cased tokens once; bigram explode; one count aggregation (map-side
+    combined) whose exchange is REUSED to derive prefix counts; the
+    per-bigram log-probability is computed on the TYPE table (bigram
+    counts ⋈ prefix counts — type-sized, not instance-sized) and the
+    instance stream joins that one lookup table ONCE.  V rides along as a
+    1-row broadcast crossJoin, so the whole thing is one lazy plan.
+
+    r13 (VERDICT r12 #4, guide §2.4): runtime stage capture
+    (plans/r13/lm_nb_scores_runtime.txt) showed the r12 shape executed the
+    instance stream through TWO corpus-sized join exchanges — on (w1,w2)
+    against the bigram counts and AGAIN on w1 against the prefix counts —
+    plus a third corpus pass for the final id join-back.  Joining the two
+    type tables first folds both lookups into one type-sized join; the
+    instance stream is exchanged once.  ``explode_outer`` keeps short
+    documents in the stream (one null-pair row each), so the per-doc
+    aggregate already covers every id and the trailing left join (and its
+    extra scan + id exchange) is gone.  Per-bigram log-probabilities are
+    computed from the identical float inputs; the per-doc avg's summation
+    ORDER changes with the plan (float avg is order-dependent), the same
+    last-ulp noise class as r12's totals derivation, absorbed by the
+    gate's round(.,6).
+
+    One row per DISTINCT id (r13 — aligned with
+    :func:`nb_classifier_scores`'s documented contract): duplicate-id
+    rows merge into one logical document; null ids form one group scored
+    from their own bigrams.  The pre-r13 body emitted one output row per
+    INPUT row (each duplicate repeating the combined group's score) —
+    identical under the one-row-per-document, unique-non-null-id contract
+    every in-tree caller and the gate fixture provide."""
     toks = df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("__t"))
     sz = F.size(F.col("__t"))
     pairs = F.when(
@@ -667,37 +692,34 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str, k: float = 0.1) 
     bi = toks.select("id", F.explode(pairs).alias("p")).select(
         "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+    bi_all = toks.select("id", F.explode_outer(pairs).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
     bigram_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
-    # r12: derive the prefix counts from the bigram TYPE table instead of
-    # re-aggregating the corpus-sized instance stream — c(w1·) = Σ_w2
-    # c(w1,w2) exactly (integer sums, bit-identical scores), and the
-    # bigram_counts subtree now appears twice IDENTICALLY, so Spark's
-    # ReuseExchange serves both consumers from one corpus shuffle (plan:
-    # one Exchange over instances instead of two)
+    # c(w1·) = Σ_w2 c(w1,w2) exactly (integer sums, r12) — the bigram_counts
+    # exchange is reused between this and the lookup-table join below
     prefix_counts = bigram_counts.groupBy("w1").agg(F.sum("__cb").alias("__cp"))
     vocab = toks.select(F.explode("__t").alias("w")).agg(
         F.count_distinct("w").cast("double").alias("__v")
     )
-    scored = (
-        bi.join(bigram_counts, ["w1", "w2"])
-        .join(prefix_counts, "w1")
+    logprob = (
+        bigram_counts.join(prefix_counts, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "__lp",
-            F.log((F.col("__cb") + F.lit(float(k))) / (F.col("__cp") + F.lit(float(k)) * F.col("__v"))),
-        )
-    )
-    per_doc = scored.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"), (-F.avg("__lp")).alias("avg_neg_logprob")
-    )
-    return (
-        toks.select("id")
-        .join(per_doc, "id", "left")
         .select(
-            "id",
-            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
-            F.col("avg_neg_logprob"),
+            "w1",
+            "w2",
+            F.log(
+                (F.col("__cb") + F.lit(float(k))) / (F.col("__cp") + F.lit(float(k)) * F.col("__v"))
+            ).alias("__lp"),
         )
+    )
+    # left join: every REAL bigram matches (counts come from the same rows);
+    # only the null-pair placeholder rows of short docs miss, keeping their
+    # ids alive for the aggregate below
+    scored = bi_all.join(logprob, ["w1", "w2"], "left")
+    return scored.groupBy("id").agg(
+        F.count("w1").cast("bigint").alias("n_bigrams"),
+        (-F.avg("__lp")).alias("avg_neg_logprob"),
     )
 
 

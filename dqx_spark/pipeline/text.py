@@ -376,7 +376,171 @@ def lang_id(column: str | Column) -> Column:
     return _lang_id_from(col, tokens(F.lower(col)))
 
 
-def text_profile(df, id_col: str, text_col: str, language: str = "en"):
+# ---------------------------------------------------------------------------
+# text_profile: Arrow fast path (r13, VERDICT r12 #7 / guide §4.2)
+# ---------------------------------------------------------------------------
+# Compiled once per Python worker PROCESS (module-level cache + worker reuse,
+# guide §4.5).  `regex` (the C-backed third-party module) is required for
+# \p{L}; both it and pyarrow are optional — text_profile falls back to the
+# JVM expression chain when either is missing, so pyspark stays the only
+# hard dependency.
+_PROFILE_STATE: dict | None = None
+
+
+def _profile_state() -> dict:
+    global _PROFILE_STATE
+    if _PROFILE_STATE is None:
+        import regex
+
+        _PROFILE_STATE = {
+            # Java regex \s under default flags is EXACTLY [ \t\n\x0B\f\r];
+            # Python \s on str is Unicode whitespace — use the literal class
+            # so tokenization matches F.split(col, r"\s+") byte for byte.
+            "ws": regex.compile(r"[ \t\n\x0B\f\r]+"),
+            "nonletter": regex.compile(r"[^\p{L}]"),
+            "cjk": regex.compile(r"[^一-鿿]"),
+            "hangul": regex.compile(r"[^가-힯]"),
+            "kana": regex.compile(r"[^぀-ヿ]"),
+            "stop": {la: frozenset(ws) for la, ws in LANG_STOPWORDS.items()},
+            "langs": list(LANG_STOPWORDS),
+        }
+    return _PROFILE_STATE
+
+
+def _arrow_profile_available() -> bool:
+    try:  # pragma: no cover - import probe
+        import pyarrow  # noqa: F401
+        import regex  # noqa: F401
+    except Exception:  # noqa: BLE001
+        return False
+    return True
+
+
+def _profile_arrow_batches(batches, language: str):
+    """mapInArrow body for :func:`text_profile` — input batches of
+    (id, __s non-null text), output (id passthrough, token_count int,
+    lang, __q/__awl/__sr/__ar RAW doubles, fingerprint).
+
+    Per-value arithmetic is plain IEEE-double Python, written in the same
+    evaluation order as the JVM expression chain, so every raw double is
+    bit-identical to the JVM path; the final HALF_UP round(.,6) is applied
+    by F.round in the caller's JVM projection — NOT here — so the
+    Java-vs-Python decimal-rounding boundary class cannot exist."""
+    import hashlib
+
+    import pyarrow as pa
+
+    st = _profile_state()
+    ws, nonletter = st["ws"], st["nonletter"]
+    cjk_re, hangul_re, kana_re = st["cjk"], st["hangul"], st["kana"]
+    stop, langs = st["stop"], st["langs"]
+    for batch in batches:
+        ids = batch.column(0)
+        texts = batch.column(1).to_pylist()
+        n_rows = len(texts)
+        tc = [0] * n_rows
+        lang_out = [""] * n_rows
+        q = [0.0] * n_rows
+        awl_out = [0.0] * n_rows
+        sr_out = [0.0] * n_rows
+        ar_out = [0.0] * n_rows
+        fp = [""] * n_rows
+        for i, s in enumerate(texts):
+            toks = [t for t in ws.split(s) if t != ""]
+            tl = [t for t in ws.split(s.lower()) if t != ""]
+            n_toks, n_tl = len(toks), len(tl)
+            wchars = sum(len(t) for t in toks)
+            alpha_chars = len(nonletter.sub("", s))
+            hits = {la: sum(1 for t in tl if t in stop[la]) for la in langs}
+            # _pick_lang: max hits, ties to the EARLIER language in dict order
+            best = min(langs, key=lambda la: (-hits[la], langs.index(la)))
+            n = len(s)
+            # _ratio(): 0.0 (not null) on a zero denominator
+            awl = (wchars / n_toks) if n_toks else 0.0
+            alpha = (alpha_chars / n) if n else 0.0
+            stop_ratio = (hits[language] / n_tl) if n_tl else 0.0
+            length_component = (n / 20.0) if n < 20 else (0.5 if n > 100000 else 1.0)
+            alpha_component = min(alpha / 0.7, 1.0)
+            word_len_component = 1.0 if 2.0 <= awl <= 12.0 else 0.4
+            stop_component = min(stop_ratio / 0.2, 1.0)
+            score = (length_component * 0.25 + alpha_component * 0.35
+                     + word_len_component * 0.2 + stop_component * 0.2)
+            # _lang_verdict: script-ratio short-circuits, then stopword argmax
+            if n == 0:
+                lang = "und"
+            elif len(kana_re.sub("", s)) > n * 0.1:
+                lang = "ja"
+            elif len(hangul_re.sub("", s)) > n * 0.1:
+                lang = "ko"
+            elif len(cjk_re.sub("", s)) > n * 0.2:
+                lang = "zh"
+            elif n_tl > 0 and hits[best] > 0:
+                lang = best
+            else:
+                lang = "und"
+            # doc_fingerprint: md5(lower(trim(regexp_replace(s, \s+, ' ')))) —
+            # Spark trim strips SPACES only, so strip(' '), not strip()
+            tc[i] = n_toks
+            lang_out[i] = lang
+            q[i] = score
+            awl_out[i] = awl
+            sr_out[i] = stop_ratio
+            ar_out[i] = alpha
+            fp[i] = hashlib.md5(ws.sub(" ", s).strip(" ").lower().encode("utf-8")).hexdigest()
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(tc, pa.int32()),
+                pa.array(lang_out, pa.string()),
+                pa.array(q, pa.float64()),
+                pa.array(awl_out, pa.float64()),
+                pa.array(sr_out, pa.float64()),
+                pa.array(ar_out, pa.float64()),
+                pa.array(fp, pa.string()),
+            ],
+            names=["id", "token_count", "lang", "__q", "__awl", "__sr", "__ar",
+                   "fingerprint"],
+        )
+
+
+def _text_profile_arrow(df, id_col: str, text_col: str, language: str):
+    from pyspark.sql import types as T
+
+    col = to_col(text_col)
+    src = df.select(
+        F.col(id_col).alias("id"), F.coalesce(col, F.lit("")).alias("__s")
+    )
+    out_schema = T.StructType([
+        T.StructField("id", src.schema["id"].dataType),
+        T.StructField("token_count", T.IntegerType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("__q", T.DoubleType()),
+        T.StructField("__awl", T.DoubleType()),
+        T.StructField("__sr", T.DoubleType()),
+        T.StructField("__ar", T.DoubleType()),
+        T.StructField("fingerprint", T.StringType()),
+    ])
+
+    def gen(batches):
+        return _profile_arrow_batches(batches, language)
+
+    prof = src.mapInArrow(gen, out_schema)
+    # the HALF_UP decimal rounding stays on the JVM so it is the SAME
+    # implementation as the pre-r13 chain (see _profile_arrow_batches)
+    return prof.select(
+        "id",
+        "token_count",
+        "lang",
+        F.round("__q", 6).alias("quality"),
+        F.round("__awl", 6).alias("avg_token_length"),
+        F.round("__sr", 6).alias("stopword_ratio"),
+        F.round("__ar", 6).alias("alpha_ratio"),
+        "fingerprint",
+    )
+
+
+def text_profile(df, id_col: str, text_col: str, language: str = "en",
+                 impl: str = "auto"):
     """Every text signal in ONE pass: (id, token_count, lang, quality,
     avg_token_length, stopword_ratio, alpha_ratio, fingerprint).
 
@@ -391,9 +555,24 @@ def text_profile(df, id_col: str, text_col: str, language: str = "en"):
     Benchmarked ~2× over composing the individual signal functions at sf0.1
     (warm JVM, full materialization) — on top of the ~3× the encoded
     ``_pick_lang`` argmax gained over the old when-chain inside lang_id.
-    """
+
+    ``impl`` (r13, VERDICT r12 #7 / guide §4.2): ``'arrow'`` runs the whole
+    per-document computation in ONE ``mapInArrow`` pass — C-backed ``regex``
+    tokenization beats the JVM higher-order-function chain ~1.5× at sf0.1
+    (committed A/B `scripts/ab_text_profile_arrow_result.json`: bit-identical
+    on the bench corpus AND a unicode/whitespace edge fixture; parity also
+    pinned in tests).  Only (id, text) cross the Python boundary and the
+    decimal rounding stays on the JVM, so values are unchanged.  ``'jvm'``
+    keeps the pure-Column chain; ``'auto'`` (default) picks arrow when
+    pyarrow + regex import, else jvm."""
     if language not in LANG_STOPWORDS:
         raise ValueError(f"unsupported language {language!r}; have {sorted(LANG_STOPWORDS)}")
+    if impl not in ("auto", "arrow", "jvm"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'jvm', got {impl!r}")
+    if impl == "auto":
+        impl = "arrow" if _arrow_profile_available() else "jvm"
+    if impl == "arrow":
+        return _text_profile_arrow(df, id_col, text_col, language)
     col = to_col(text_col)
     step1 = df.select(
         F.col(id_col).alias("id"),
