@@ -686,29 +686,31 @@ def main() -> None:
         shows task_time ≈ wall (no parallel work to speak of), a genuinely
         parallel case shows task_time >> wall.  Collected immediately after
         each case so status-store eviction (spark.ui.retainedStages) cannot
-        bite; best-effort by construction."""
+        bite; best-effort by construction.
+
+        r13 fix: the first cut scanned the store's FULL jobsList after every
+        case — ~4 py4j round trips per retained job (default 1000), growing
+        with bench progress: seconds of driver-side churn per case (~2-3 min
+        over the bench) whose py4j garbage is paid as GC debt during later
+        cases.  statusTracker().getJobIdsForGroup touches only THIS case's
+        jobs, so the read is O(jobs-in-case), constant over the bench."""
         out: list[float] = []
         try:
+            tracker = spark.sparkContext.statusTracker()
             store = spark.sparkContext._jsc.sc().statusStore()
-            jobs = store.jobsList(None)
             per_run: dict[int, float] = {}
-            for ji in range(jobs.size()):
-                j = jobs.apply(ji)
-                grp = j.jobGroup()
-                if not grp.isDefined():
-                    continue
-                g = grp.get()
-                if not g.startswith(prefix + "#r"):
-                    continue
-                run_idx = int(g.rsplit("#r", 1)[1])
-                sids = [j.stageIds().apply(k) for k in range(j.stageIds().size())]
+            for i in range(runs):
                 total = 0.0
-                for sid in sids:
-                    try:
-                        total += store.lastStageAttempt(sid).executorRunTime()
-                    except Exception:  # noqa: BLE001 — skipped/evicted stage
-                        pass
-                per_run[run_idx] = per_run.get(run_idx, 0.0) + total
+                for jid in tracker.getJobIdsForGroup(f"{prefix}#r{i}"):
+                    info = tracker.getJobInfo(jid)
+                    if info is None:
+                        continue
+                    for sid in info.stageIds:
+                        try:
+                            total += store.lastStageAttempt(sid).executorRunTime()
+                        except Exception:  # noqa: BLE001 — skipped/evicted stage
+                            pass
+                per_run[i] = total
             out = [round(per_run.get(i, 0.0) / 1000.0, 3) for i in range(runs)]
         except Exception:  # noqa: BLE001 — instrumentation must never fail the bench
             out = []
