@@ -40,7 +40,14 @@ def main() -> None:
         .appName("prefix_pairs_runtime_evidence")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # mirror bench.py exactly: a 1g-default driver heap inflates the
+        # localCheckpoint block-store stage with GC time (measured 113 s vs
+        # ~40 s at 16g), which would misattribute the case's cost
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.codegen.maxFields", "500")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "4194304")
         .config("spark.ui.enabled", "false")
